@@ -1,0 +1,99 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.TransferSchema._
+
+/** Source adapters producing the raw (pre-coercion) frame: the 19 positional
+  * string columns + ingest metadata (`_src_file`, `_sheet`, `_row_idx`,
+  * `_arrival_seq`).
+  *
+  * The reference reads Excel workbooks via POI SAX/DataFormatter and delivers
+  * every cell as a formatted STRING (SQLiteDirectImporter.java:330-379,
+  * 736-741); all Excel specifics — the `Transfer Report*` sheet-name predicate
+  * (ibid.:349), header-row skip (ibid.:468-473), short-row padding to 19
+  * columns with "" (ibid.:460-464), extra-column drop (ibid.:511-513) — are
+  * reproduced here behind a format-agnostic trait, so engine semantics are
+  * fully testable from Parquet/CSV in the offline environment (SURVEY.md §7.5
+  * item 7); a POI-backed adapter is a drop-in later.
+  */
+trait RawSource {
+
+  /** Load one or more report files into the raw frame. */
+  def load(spark: SparkSession, path: String): DataFrame
+
+  /** Normalize an arbitrary positionally-mapped string frame into the raw
+    * contract: rename first 19 columns positionally to `dbColumns` (header
+    * text ignored — SQLiteDirectImporter.java:511-513), drop extras, pad
+    * missing trailing columns with "", null cells → "".
+    */
+  protected def positional(df: DataFrame): DataFrame = {
+    val present = df.columns.take(dbColumns.size)
+    val renamed = present.zip(dbColumns).map { case (src, dst) => col(src).as(dst) }
+    val padded = dbColumns.drop(present.size).map(c => lit("").as(c))
+    val metas = metaColumns.filter(df.columns.contains).map(col)
+    val out = df.select(renamed ++ padded ++ metas: _*)
+    // missing cells are empty string, never null (SQLiteDirectImporter.java:461-464, 534)
+    out.na.fill("", dbColumns)
+  }
+
+  /** Sheet-name predicate S4 + header-skip S5, applied when the adapter
+    * carries sheet metadata.
+    */
+  protected def sheetFilter(df: DataFrame): DataFrame = {
+    val afterSheet =
+      if (df.columns.contains(sheetCol)) df.filter(col(sheetCol).startsWith("Transfer Report"))
+      else df
+    if (afterSheet.columns.contains(rowIdxCol)) afterSheet.filter(col(rowIdxCol) > 0)
+    else afterSheet
+  }
+}
+
+/** Parquet-backed raw source: expects string-typed positional columns, with
+  * optional `_src_file`/`_sheet`/`_row_idx` metadata columns. Synthesizes any
+  * missing metadata ( `_src_file` from the physical file name, `_arrival_seq`
+  * from (file, sheet, row) order) so downstream upsert determinism holds.
+  */
+object ParquetRawSource extends RawSource {
+  def load(spark: SparkSession, path: String): DataFrame =
+    withArrivalSeq(sheetFilter(positional(attachMeta(spark.read.parquet(path)))))
+
+  private[ingest] def attachMeta(df0: DataFrame): DataFrame = {
+    var df = df0
+    if (!df.columns.contains(srcFileCol))
+      df = df.withColumn(srcFileCol, regexp_extract(input_file_name(), "([^/]+)$", 1))
+    if (!df.columns.contains(sheetCol))
+      df = df.withColumn(sheetCol, lit("Transfer Report"))
+    if (!df.columns.contains(rowIdxCol))
+      df = df.withColumn(rowIdxCol, row_number().over(
+        Window.partitionBy(col(srcFileCol), col(sheetCol)).orderBy(monotonically_increasing_id()))
+        .cast("long"))
+    df
+  }
+
+  /** Global arrival order = (file name asc, sheet asc, row idx asc), matching
+    * the reference's sequential sorted-file loop (SQLiteDirectImporter.java:171,
+    * 480-486; SURVEY.md §7.5 item 1). A row_number over an un-partitioned
+    * window is a single-task sort — acceptable because it exists only to
+    * replicate SQLite's physical insert order on bounded report batches; the
+    * scalable upsert path orders by the (file, sheet, row) triple directly
+    * without materializing a global sequence.
+    */
+  private[ingest] def withArrivalSeq(df: DataFrame): DataFrame =
+    if (df.columns.contains(arrivalSeqCol)) df
+    else df.withColumn(arrivalSeqCol,
+      row_number().over(Window.orderBy(col(srcFileCol), col(sheetCol), col(rowIdxCol))).cast("long"))
+}
+
+/** CSV-backed raw source (one CSV per sheet, header row present). */
+object CsvRawSource extends RawSource {
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read
+      .option("header", "true") // S5: header row dropped from data
+      .option("inferSchema", "false") // all strings — typing is the engine's job
+      .csv(path)
+    ParquetRawSource.withArrivalSeq(sheetFilter(positional(ParquetRawSource.attachMeta(df))))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.TransferSchema._
+
+/** Keyed last-writer-wins dedup (J3/A4), replicating SQLite
+  * `INSERT OR REPLACE` on `UNIQUE(file_name, target_file_id)`
+  * (SQLiteDirectImporter.java:306, 711-729): the whole old row is replaced;
+  * the winner is the physically last arrival (file order × sheet × row order,
+  * ibid.:171, 480-486), carried explicitly as `_arrival_seq`.
+  *
+  * Physical shape at scale: one hash-partition shuffle on the key, then a
+  * per-partition sort for `row_number` — Spark's standard window dedup. With
+  * AQE on, skewed keys split automatically. No driver-side state.
+  */
+object Upsert {
+
+  def apply(df: DataFrame): DataFrame =
+    dedupLastWins(df, upsertKey.map(col), Seq(col(arrivalSeqCol).desc))
+
+  /** Generic keyed last-wins: keep the single row per key that sorts FIRST by
+    * `order` (pass descending cols for "latest wins"). `order` must be a total
+    * order within key for determinism.
+    */
+  def dedupLastWins(df: DataFrame, key: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key: _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.model.TransferSchema
+import graft.pipeline.Pipeline
+
+/** End-to-end demo / smoke driver: writes a small synthetic transfer-report
+  * batch as parquet (the raw 19-string-column contract), ingests it through
+  * the full pipeline, registers the analytic layer, and runs the reference's
+  * documented acceptance query corpus (SCHEMA.sql:92-101;
+  * run-sqlite-importer.sh:199-204) via `spark.sql` against the views.
+  *
+  * Usage: `sbt "runMain graft.tools.Demo [workDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-demo").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // synthetic "source/" drop-folder content (FIXTURES.md §A shape)
+    def r(fn: String, size: String, id: String, status: String, serial: String,
+        src: String, seq: Long): Row =
+      Row.fromSeq(Seq(fn, size, "", id, "", "", serial, "", "", "", "", "", "",
+        "", "", status, "", "", "", src, "Transfer Report", seq, seq))
+    val rows = Seq(
+      r("Root", "0", "1001", "success", "45000.5", "JobA.xlsx", 1),
+      r("Root/Sub", "", "1002", "success", "0", "JobA.xlsx", 2),
+      r("Root/Sub/a.pdf", "2048", "1003", "match-exists", "45123.25", "JobA.xlsx", 3),
+      r("Root/Sub/b.pdf", "abc", "1004", "filtered", "notadate", "JobA.xlsx", 4),
+      r("/lead/slash.txt", "10", "1005", "success", "", "JobA.xlsx", 5),
+      r("Root/Sub/a.pdf", "4096", "1003", "success", "", "JobA.xlsx", 6),
+      r("Orphan/child.txt", "5", "1006", "weird status!", "", "JobA.xlsx", 7),
+      r("Root", "0", "1001", "resent", "", "JobB.xlsx", 8))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), TransferSchema.rawSchema)
+      .write.mode("overwrite").parquet(s"$workDir/source")
+
+    val df = Pipeline.runAndRegister(spark, s"$workDir/source")
+    println(s"=== ingested ${df.count()} rows (post-upsert) ===")
+
+    // The reference's documented acceptance queries (SCHEMA.sql:92-101)
+    val corpus = Seq(
+      "Status summary" -> "SELECT * FROM status_summary",
+      "Hierarchy" -> "SELECT file_name, depth, path FROM hierarchy_children",
+      "Files preview" -> "SELECT file_name, source_file_size FROM files_view LIMIT 10",
+      "Folders preview" -> "SELECT file_name FROM folders_view LIMIT 10",
+      "Per-status view" -> "SELECT file_name, file_status FROM status_success",
+      "Counts by level" ->
+        "SELECT level, COUNT(*) AS n FROM transfer_data GROUP BY level ORDER BY level",
+      "Counts by job" ->
+        "SELECT job_name, COUNT(*) AS n FROM transfer_data GROUP BY job_name",
+      "Children of id" ->
+        "SELECT file_name FROM transfer_data WHERE parent_id = '1002'")
+    corpus.foreach { case (title, sql) =>
+      println(s"--- $title: $sql")
+      spark.sql(sql).show(50, truncate = false)
+    }
+    spark.stop()
+  }
+}
