@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExcelSerial
+import graft.model.PathOps
+import graft.ops.{Hierarchy, Parents, Upsert}
+import graft.views.Analytic
+
+/** The oracle-checked query registry (SURVEY.md §7.3): each entry proves one
+  * engine operator over the driver's testdata tables, paired with equivalent
+  * ANSI SQL for DuckDB in [[oracle]].
+  *
+  * Determinism rules (the driver hash-compares values under sorted column
+  * names): every computed column is aliased identically on both sides; every
+  * query ends in a total ORDER BY; ints that differ in width across engines
+  * are cast to BIGINT; double aggregates go through DECIMAL(18,2) so the sum
+  * is exact and order-independent.
+  */
+object Registry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's reader.
+    // Sessions set spark.sql.legacy.parquet.nanosAsLong; surface it as a
+    // micros-truncated TimestampType (DuckDB's reader coerces NS→US the same
+    // way, so oracle comparisons line up).
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
+      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))) // integral div: no double rounding at e18 nanos
+      .getOrElse(df)
+  }
+
+  // ---- role mapping: orders as status-bearing transfer rows --------------
+  // file_status ← o_orderstatus; source_file_size ← >0 / 0 / NULL three-way
+  // split on o_totalprice so files/folders/null semantics all occur.
+  private def ordersAsTransfer(spark: SparkSession, dir: String,
+      statusCol: String = "o_orderstatus"): DataFrame =
+    t(spark, dir, "orders").select(
+      col(statusCol).as("file_status"),
+      when(col("o_totalprice") > 150000, lit(1L))
+        .when(col("o_totalprice") > 100000, lit(0L))
+        .otherwise(lit(null).cast("long")).as("source_file_size"))
+
+  private val ordersAsTransferSql =
+    """SELECT o_orderstatus AS file_status,
+      | CASE WHEN o_totalprice > 150000 THEN CAST(1 AS BIGINT)
+      |      WHEN o_totalprice > 100000 THEN CAST(0 AS BIGINT)
+      |      ELSE NULL END AS source_file_size FROM orders""".stripMargin.replace("\n", " ")
+
+  private val prioAsTransferSql = ordersAsTransferSql
+    .replace("o_orderstatus AS file_status", "o_orderpriority AS file_status")
+
+  // ---- role mapping: region→nation→customer as a 3-level forest ----------
+  private def forestNodes(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val regions = r.select(
+      col("r_name").as("file_name"),
+      (lit(1000L) + col("r_regionkey")).cast("long").as("target_file_id"),
+      lit(null).cast("string").as("parent_folder"),
+      lit(null).cast("string").as("parent_id"),
+      lit(1).as("level"))
+    val nations = n.join(r, n("n_regionkey") === r("r_regionkey")).select(
+      col("n_name").as("file_name"),
+      (lit(2000L) + col("n_nationkey")).cast("long").as("target_file_id"),
+      col("r_name").as("parent_folder"),
+      (lit(1000L) + col("n_regionkey")).cast("string").as("parent_id"),
+      lit(2).as("level"))
+    val customers = c.join(n, c("c_nationkey") === n("n_nationkey")).select(
+      col("c_name").as("file_name"),
+      (lit(3000L) + col("c_custkey")).cast("long").as("target_file_id"),
+      col("n_name").as("parent_folder"),
+      (lit(2000L) + col("c_nationkey")).cast("string").as("parent_id"),
+      lit(3).as("level"))
+    regions.union(nations).union(customers)
+  }
+
+  private val forestNodesSql =
+    """SELECT r_name AS file_name, CAST(1000 + r_regionkey AS BIGINT) AS target_file_id,
+      |   CAST(NULL AS VARCHAR) AS parent_folder FROM region
+      | UNION ALL
+      | SELECT n_name, CAST(2000 + n_nationkey AS BIGINT), r_name
+      |   FROM nation JOIN region ON n_regionkey = r_regionkey
+      | UNION ALL
+      | SELECT c_name, CAST(3000 + c_custkey AS BIGINT), n_name
+      |   FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // A1/P7/P8/O1: grouped conditional-count aggregate (status_summary)
+  // ------------------------------------------------------------------------
+  def qStatusSummary(spark: SparkSession, dir: String): DataFrame =
+    Analytic.statusSummary(ordersAsTransfer(spark, dir))
+      .orderBy(col("record_count").desc, col("status_name"))
+
+  val qStatusSummarySql: String =
+    s"""SELECT COALESCE(file_status, 'Unknown') AS status_name,
+       | COUNT(*) AS record_count,
+       | COUNT(CASE WHEN source_file_size > 0 THEN 1 END) AS file_count,
+       | COUNT(CASE WHEN source_file_size = 0 OR source_file_size IS NULL THEN 1 END) AS folder_count
+       | FROM ($ordersAsTransferSql)
+       | GROUP BY COALESCE(file_status, 'Unknown')
+       | ORDER BY record_count DESC, status_name""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // P12/P13: files / folders filters (null-or-zero semantics)
+  // ------------------------------------------------------------------------
+  private def lineitemAsTransfer(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").select(
+      concat_ws("/", col("l_orderkey"), col("l_linenumber")).as("file_name"),
+      when(col("l_discount") === 0, lit(0L))
+        .when(col("l_discount") > 0.05, lit(null).cast("long"))
+        .otherwise(col("l_linenumber").cast("long")).as("source_file_size"))
+
+  private val lineitemAsTransferSql =
+    """SELECT CAST(l_orderkey AS VARCHAR) || '/' || CAST(l_linenumber AS VARCHAR) AS file_name,
+      | CASE WHEN l_discount = 0 THEN CAST(0 AS BIGINT)
+      |      WHEN l_discount > 0.05 THEN NULL
+      |      ELSE CAST(l_linenumber AS BIGINT) END AS source_file_size
+      | FROM lineitem""".stripMargin.replace("\n", " ")
+
+  def qFilterFiles(spark: SparkSession, dir: String): DataFrame =
+    Analytic.filesView(lineitemAsTransfer(spark, dir)).orderBy("file_name")
+
+  val qFilterFilesSql: String =
+    s"SELECT * FROM ($lineitemAsTransferSql) WHERE source_file_size > 0 ORDER BY file_name"
+
+  def qFilterFolders(spark: SparkSession, dir: String): DataFrame =
+    Analytic.foldersView(lineitemAsTransfer(spark, dir)).orderBy("file_name")
+
+  val qFilterFoldersSql: String =
+    s"""SELECT * FROM ($lineitemAsTransferSql)
+       | WHERE source_file_size = 0 OR source_file_size IS NULL
+       | ORDER BY file_name""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // J3/A4: keyed last-writer-wins upsert dedup
+  // ------------------------------------------------------------------------
+  def qUpsertLastwins(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    Upsert.dedupLastWins(e,
+      Seq(col("user_id"), col("event_type")),
+      Seq(col("ts").desc, col("event_id").desc))
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  val qUpsertLastwinsSql: String =
+    """SELECT user_id, event_type, event_id, ts, value FROM (
+      | SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      | WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // J1: broadcast hash left-outer parent resolution (the Parents operator)
+  // ------------------------------------------------------------------------
+  def qParentJoin(spark: SparkSession, dir: String): DataFrame =
+    Parents(forestNodes(spark, dir).drop("parent_id"))
+      .select("file_name", "parent_id")
+      .orderBy("file_name")
+
+  val qParentJoinSql: String =
+    s"""WITH nodes AS ($forestNodesSql)
+       | SELECT n.file_name, CAST(p.target_file_id AS VARCHAR) AS parent_id
+       | FROM nodes n LEFT JOIN nodes p ON n.parent_folder = p.file_name
+       | ORDER BY n.file_name""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // J2/U1/O2: recursive hierarchy traversal (iterative fixpoint)
+  // ------------------------------------------------------------------------
+  def qHierarchyRecursive(spark: SparkSession, dir: String): DataFrame =
+    Hierarchy(forestNodes(spark, dir))
+      .select(col("file_name"), col("target_file_id"), col("depth").cast("int").as("depth"),
+        col("path"))
+      .orderBy("path", "target_file_id")
+
+  // (oracle SQL for the recursive hierarchy is built inline in `oracle` —
+  // DuckDB WITH RECURSIVE, anchored on parent_folder IS NULL, which is
+  // equivalent to the engine's parent_id IS NULL anchor in this forest)
+
+  // ------------------------------------------------------------------------
+  // P4/A5: path level law + level histogram
+  // ------------------------------------------------------------------------
+  def qLevelCounts(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val p1 = r.select(col("r_name").as("path"))
+    val p1s = r.select(concat(lit("/"), col("r_name")).as("path"))
+    val p2 = n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(concat_ws("/", col("r_name"), col("n_name")).as("path"))
+    val p3 = c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(concat_ws("/", col("r_name"), col("n_name"), col("c_name")).as("path"))
+    p1.union(p1s).union(p2).union(p3)
+      .select(PathOps.level(col("path")).cast("bigint").as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n"))
+      .orderBy("level")
+  }
+
+  val qLevelCountsSql: String =
+    """WITH paths AS (
+      | SELECT r_name AS path FROM region
+      | UNION ALL SELECT '/' || r_name FROM region
+      | UNION ALL SELECT r_name || '/' || n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+      | UNION ALL SELECT r_name || '/' || n_name || '/' || c_name
+      |   FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey)
+      | SELECT CAST(CASE WHEN trim(path) = '' THEN 0
+      |   ELSE len(string_split(regexp_replace(path, '^/', ''), '/')) END AS BIGINT) AS level,
+      |  COUNT(*) AS n FROM paths GROUP BY 1 ORDER BY level""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // O3: top-k statuses (TakeOrderedAndProject)
+  // ------------------------------------------------------------------------
+  def qTopStatuses(spark: SparkSession, dir: String): DataFrame =
+    Analytic.statusSummary(ordersAsTransfer(spark, dir, statusCol = "o_orderpriority"))
+      .orderBy(col("record_count").desc, col("status_name"))
+      .limit(3)
+
+  val qTopStatusesSql: String =
+    s"""SELECT COALESCE(file_status, 'Unknown') AS status_name,
+       | COUNT(*) AS record_count,
+       | COUNT(CASE WHEN source_file_size > 0 THEN 1 END) AS file_count,
+       | COUNT(CASE WHEN source_file_size = 0 OR source_file_size IS NULL THEN 1 END) AS folder_count
+       | FROM ($prioAsTransferSql)
+       | GROUP BY COALESCE(file_status, 'Unknown')
+       | ORDER BY record_count DESC, status_name LIMIT 3""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // A3: distinct non-null statuses
+  // ------------------------------------------------------------------------
+  def qDistinctStatuses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Analytic.distinctStatuses(
+      t(spark, dir, "orders").select(col("o_orderstatus").as("file_status")))
+      .sorted.toDF("status")
+  }
+
+  val qDistinctStatusesSql: String =
+    "SELECT DISTINCT o_orderstatus AS status FROM orders WHERE o_orderstatus IS NOT NULL ORDER BY status"
+
+  // ------------------------------------------------------------------------
+  // P14/P10: dynamic per-status views (data-dependent plan) + sanitizer
+  // ------------------------------------------------------------------------
+  def qDynamicStatusViews(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mapped = t(spark, dir, "orders").select(col("o_orderstatus").as("file_status"))
+    Analytic.statusViews(mapped)
+      .map { case (name, frame) => (name, frame.count()) }
+      .toDF("view_name", "record_count")
+      .orderBy("view_name")
+  }
+
+  val qDynamicStatusViewsSql: String =
+    """SELECT 'status_' || lower(o_orderstatus) AS view_name, COUNT(*) AS record_count
+      | FROM orders WHERE o_orderstatus IS NOT NULL
+      | GROUP BY 1 ORDER BY view_name""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // P3: Excel serial → timestamp law (incl. zero/negative → null branches)
+  // ------------------------------------------------------------------------
+  def qExcelDates(spark: SparkSession, dir: String): DataFrame = {
+    val serial = when(col("event_type") === "error", lit(0.0))
+      .when(col("event_type") === "signup", -col("value"))
+      .otherwise(col("value"))
+    t(spark, dir, "events")
+      .select(col("event_id"), ExcelSerial.excelSerialToTimestamp(serial).as("excel_ts"))
+      .orderBy("event_id")
+  }
+
+  val qExcelDatesSql: String = {
+    val serial = "(CASE WHEN event_type = 'error' THEN 0.0 " +
+      "WHEN event_type = 'signup' THEN -value ELSE value END)"
+    s"SELECT event_id, ${ExcelSerial.oracleSql(serial)} AS excel_ts FROM events ORDER BY event_id"
+  }
+
+  // ------------------------------------------------------------------------
+  // A2: one-pass global conditional counts
+  // ------------------------------------------------------------------------
+  def qGlobalStats(spark: SparkSession, dir: String): DataFrame =
+    Analytic.stats(ordersAsTransfer(spark, dir))
+
+  val qGlobalStatsSql: String =
+    s"""SELECT COUNT(*) AS total_records,
+       | COUNT(CASE WHEN source_file_size > 0 THEN 1 END) AS file_count,
+       | COUNT(CASE WHEN source_file_size = 0 OR source_file_size IS NULL THEN 1 END) AS folder_count
+       | FROM ($ordersAsTransferSql)""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // Headline scan+agg: partial aggregation, filter/column pushdown
+  // ------------------------------------------------------------------------
+  def qLineitemAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        // multiply in the DECIMAL domain: both factors are clean 2-decimal
+        // values, so the product is exact — no double→decimal tie-rounding
+        // (Spark HALF_UP vs DuckDB half-even would split on x.xx5 products)
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("decimal(27,4)").as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val qLineitemAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(27,4)) AS revenue,
+      | COUNT(*) AS n FROM lineitem
+      | GROUP BY l_returnflag, l_linestatus
+      | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // Event-time tumbling window aggregate (batch semantics == streaming agg)
+  // ------------------------------------------------------------------------
+  def qEventWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val qEventWindowsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_status_summary" -> (qStatusSummary _),
+    "q_filter_files" -> (qFilterFiles _),
+    "q_filter_folders" -> (qFilterFolders _),
+    "q_upsert_lastwins" -> (qUpsertLastwins _),
+    "q_parent_join" -> (qParentJoin _),
+    "q_hierarchy_recursive" -> (qHierarchyRecursive _),
+    "q_level_counts" -> (qLevelCounts _),
+    "q_top_statuses" -> (qTopStatuses _),
+    "q_distinct_statuses" -> (qDistinctStatuses _),
+    "q_dynamic_status_views" -> (qDynamicStatusViews _),
+    "q_excel_dates" -> (qExcelDates _),
+    "q_global_stats" -> (qGlobalStats _),
+    "q_lineitem_agg" -> (qLineitemAgg _),
+    "q_event_windows" -> (qEventWindows _))
+
+  val oracle: Map[String, String] = Map(
+    "q_status_summary" -> qStatusSummarySql,
+    "q_filter_files" -> qFilterFilesSql,
+    "q_filter_folders" -> qFilterFoldersSql,
+    "q_upsert_lastwins" -> qUpsertLastwinsSql,
+    "q_parent_join" -> qParentJoinSql,
+    "q_hierarchy_recursive" ->
+      s"""WITH RECURSIVE nodes AS ($forestNodesSql),
+         | tree(file_name, target_file_id, depth, path) AS (
+         |  SELECT file_name, target_file_id, CAST(0 AS INTEGER) AS depth, file_name AS path
+         |  FROM nodes WHERE parent_folder IS NULL
+         |  UNION ALL
+         |  SELECT n.file_name, n.target_file_id, tree.depth + 1, tree.path || ' > ' || n.file_name
+         |  FROM nodes n JOIN tree ON n.parent_folder = tree.file_name)
+         | SELECT file_name, target_file_id, depth, path FROM tree
+         | ORDER BY path, target_file_id""".stripMargin.replace("\n", " "),
+    "q_level_counts" -> qLevelCountsSql,
+    "q_top_statuses" -> qTopStatusesSql,
+    "q_distinct_statuses" -> qDistinctStatusesSql,
+    "q_dynamic_status_views" -> qDynamicStatusViewsSql,
+    "q_excel_dates" -> qExcelDatesSql,
+    "q_global_stats" -> qGlobalStatsSql,
+    "q_lineitem_agg" -> qLineitemAggSql,
+    "q_event_windows" -> qEventWindowsSql)
+}
