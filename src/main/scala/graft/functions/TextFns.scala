@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All built-in
+  * expression trees (split/transform/filter/aggregate) — codegen-friendly,
+  * no UDFs, fully distributed.
+  *
+  * Extension scope beyond the reference (SURVEY.md §7.1 step 10); laws are
+  * deliberately SQL-expressible so each has a DuckDB oracle.
+  */
+object TextFns {
+
+  /** Whitespace tokens of trimmed text; blank → empty array. Regex-trim, not
+    * `trim`: SQL trim strips only spaces, and a trailing tab/newline would
+    * leave a phantom empty token (Spark's split keeps trailing empties).
+    */
+  def tokens(c: Column): Column = {
+    val t = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(t === "" || c.isNull, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
+
+  /** Count of sentence-punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[^.!?,;:]", "")).cast("bigint")
+
+  /** BPE-ish subword count: tokens split further at letter/digit boundaries
+    * and every 4 chars — a cheap, deterministic proxy for BPE token counts
+    * (real tokenizers are model-specific; this gives a stable budget signal).
+    */
+  def subwordCount(c: Column): Column =
+    aggregate(
+      tokens(c), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** English stopwords used by the quality heuristic. */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it", "that", "for")
+  val deStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit")
+  val frStopwords: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans")
+  val esStopwords: Seq[String] = Seq("el", "los", "las", "y", "es", "un", "una", "en")
+
+  private def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isInCollection(words))).cast("bigint")
+
+  def stopwordCount(c: Column): Column = stopwordHits(c, enStopwords)
+
+  /** Deterministic quality score in [0,1]: stopword ratio (0.4) + length
+    * saturation at 100 tokens (0.3) + punctuation sparsity (0.3). Single
+    * formula, fixed operation order — bit-identical across engines.
+    */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c).cast("double")
+    val sw = stopwordCount(c).cast("double")
+    val punct = punctCount(c).cast("double")
+    val nChars = length(c).cast("double")
+    when(n === 0, lit(0.0)).otherwise(
+      (sw / n) * 0.4 + least(n / 100.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(punct / greatest(nChars, lit(1.0)), lit(1.0))) * 0.3)
+  }
+
+  /** Rule-based language ID: CJK charset → zh; else argmax of per-language
+    * stopword hits with deterministic tie order en > de > es > fr; no hits →
+    * 'und' (undetermined). Strict-inequality cascade == fixed tie preference.
+    */
+  def langId(c: Column): Column = {
+    val en = stopwordHits(c, enStopwords)
+    val de = stopwordHits(c, deStopwords)
+    val es = stopwordHits(c, esStopwords)
+    val fr = stopwordHits(c, frStopwords)
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(en === 0 && de === 0 && es === 0 && fr === 0, lit("und"))
+      .when(en >= de && en >= es && en >= fr, lit("en"))
+      .when(de >= es && de >= fr, lit("de"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key for documents.
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** 64-bit rolling hash over tokens: fold acc = xxhash64(acc, token).
+    * Hash-chaining rather than polynomial arithmetic — wrapping multiplies
+    * would throw under ANSI mode; chaining keeps the same order-sensitivity
+    * (distinguishes permuted documents, unlike [[fingerprintMd5]]'s
+    * normalized form). Engine-side law (xxhash64 has no DuckDB analog) —
+    * validated by unit test, not oracle.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Word n-gram shingles (distinct), the unit of Jaccard similarity:
+    * e.g. n=3: ["a b c", "b c d", ...]. Empty when fewer than n tokens.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    array_distinct(
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+}

@@ -329,6 +329,175 @@ object Registry {
       | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------------
+  // EXTENSIONS: training-data pipeline operators over documents/embeddings
+  // ------------------------------------------------------------------------
+
+  /** Exact dedup by normalized-content fingerprint. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+
+  val qDedupExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      | min(doc_id) AS survivor_id, COUNT(*) AS dup_count
+      | FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " ")
+
+  /** Per-document text statistics + deterministic quality score. */
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns._
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      punctCount(col("text")).as("n_punct"),
+      stopwordCount(col("text")).as("n_stopwords"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // the same laws in DuckDB SQL — operation order kept identical so the
+  // double-valued quality score is bit-equal
+  // regex-trim both ends (not SQL trim: spaces only) — mirrors TextFns.tokens
+  private val tokensSql =
+    "regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+  private val lowerTokensSql =
+    "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+  private def hitsSql(words: Seq[String]) =
+    s"len(list_filter($lowerTokensSql, tk -> tk IN (${words.map("'" + _ + "'").mkString(",")})))"
+
+  val qTextStatsSql: String = {
+    val n = s"CAST(len($tokensSql) AS BIGINT)"
+    val sw = s"CAST(${hitsSql(graft.functions.TextFns.enStopwords)} AS BIGINT)"
+    val punct = s"CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)"
+    s"""SELECT doc_id,
+       | $n AS n_tokens,
+       | CAST(list_sum(list_transform($tokensSql, tk -> CAST(ceil(CAST(length(tk) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
+       | $punct AS n_punct,
+       | $sw AS n_stopwords,
+       | CASE WHEN $n = 0 THEN 0.0 ELSE
+       |   (CAST($sw AS DOUBLE) / CAST($n AS DOUBLE)) * 0.4
+       |   + least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.3
+       |   + (1.0 - least(CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3
+       | END AS quality
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Rule-based language ID (CJK charset, stopword argmax). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), graft.functions.TextFns.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val qLangIdSql: String = {
+    import graft.functions.TextFns._
+    val (en, de, es, fr) =
+      (hitsSql(enStopwords), hitsSql(deStopwords), hitsSql(esStopwords), hitsSql(frStopwords))
+    s"""SELECT doc_id, CASE
+       | WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       | WHEN $en = 0 AND $de = 0 AND $es = 0 AND $fr = 0 THEN 'und'
+       | WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       | WHEN $de >= $es AND $de >= $fr THEN 'de'
+       | WHEN $es >= $fr THEN 'es'
+       | ELSE 'fr' END AS lang_pred
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Quality gate: the filter stage of a training-data pipeline. */
+  def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns._
+    t(spark, dir, "documents")
+      .filter(tokenCount(col("text")).between(20, 1000) &&
+        qualityScore(col("text")) >= 0.5)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val qQualityFilterSql: String = {
+    val n = s"CAST(len($tokensSql) AS BIGINT)"
+    val sw = s"CAST(${hitsSql(graft.functions.TextFns.enStopwords)} AS BIGINT)"
+    val punct = s"CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)"
+    val quality =
+      s"""(CASE WHEN $n = 0 THEN 0.0 ELSE
+         | (CAST($sw AS DOUBLE) / CAST($n AS DOUBLE)) * 0.4
+         | + least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.3
+         | + (1.0 - least(CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3
+         | END)""".stripMargin.replace("\n", " ")
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       | WHERE $n BETWEEN 20 AND 1000 AND $quality >= 0.5
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Exact word-3-gram Jaccard near-duplicate pairs (inverted-index join). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val qNgramJaccardSql: String =
+    s"""WITH toks AS (
+      | SELECT doc_id, $tokensSql AS tk FROM documents
+      |), sh AS (
+      | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+      | FROM toks WHERE len(tk) >= 3
+      |), ex AS (
+      | SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh WHERE len(shingles) > 0
+      |), pairs AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+      |   any_value(a.n) AS na, any_value(b.n) AS nb
+      | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      | SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jaccard
+      | FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.8
+      | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+  /** MinHash+LSH near-dup pairs — same verified output as the exact pass at
+    * these similarity levels (the documents' planted pairs sit ≥0.8 where
+    * LSH recall with 16×4 banding is ≈1), so it shares the exact oracle.
+    */
+  def qMinhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (Hamming ≤ 3) — xxhash64-based, no SQL oracle;
+    * driver records the rows-only check; planted-pair recall is unit-tested.
+    */
+  def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
+  def qAnnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val qAnnCosineSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |   list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+      | SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 10
+      | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+
+  /** LSH-bucketed ANN (the scale path) — no SQL oracle (hash-derived
+    * hyperplanes); recall vs brute force is unit-tested.
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.lshTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -345,7 +514,16 @@ object Registry {
     "q_excel_dates" -> (qExcelDates _),
     "q_global_stats" -> (qGlobalStats _),
     "q_lineitem_agg" -> (qLineitemAgg _),
-    "q_event_windows" -> (qEventWindows _))
+    "q_event_windows" -> (qEventWindows _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_filter" -> (qQualityFilter _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_neardup" -> (qMinhashNeardup _),
+    "q_simhash_neardup" -> (qSimhashNeardup _),
+    "q_ann_cosine" -> (qAnnCosine _),
+    "q_ann_lsh" -> (qAnnLsh _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -370,5 +548,14 @@ object Registry {
     "q_excel_dates" -> qExcelDatesSql,
     "q_global_stats" -> qGlobalStatsSql,
     "q_lineitem_agg" -> qLineitemAggSql,
-    "q_event_windows" -> qEventWindowsSql)
+    "q_event_windows" -> qEventWindowsSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_text_stats" -> qTextStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_filter" -> qQualityFilterSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
+    "q_ann_cosine" -> qAnnCosineSql)
+    // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
+    // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

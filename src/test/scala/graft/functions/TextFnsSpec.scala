@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column): T =
+    Seq(text).toDF("t").select(c).head.getAs[T](0)
+
+  test("tokenCount: whitespace runs, trim, blank → 0") {
+    assert(one[Long]("a b  c", TextFns.tokenCount(col("t"))) === 3L)
+    assert(one[Long]("  a\t b \n", TextFns.tokenCount(col("t"))) === 2L)
+    assert(one[Long]("", TextFns.tokenCount(col("t"))) === 0L)
+    assert(one[Long]("   ", TextFns.tokenCount(col("t"))) === 0L)
+  }
+
+  test("punctCount and subwordCount") {
+    assert(one[Long]("Hi, there! Ok?", TextFns.punctCount(col("t"))) === 3L)
+    // ceil(len/4) per token: "abcdefgh"→2, "abc"→1, "abcde"→2
+    assert(one[Long]("abcdefgh abc abcde", TextFns.subwordCount(col("t"))) === 5L)
+  }
+
+  test("langId: charset + stopword cascade") {
+    assert(one[String]("the cat is in the hat", TextFns.langId(col("t"))) === "en")
+    assert(one[String]("der hund und die katze ist nicht da", TextFns.langId(col("t"))) === "de")
+    assert(one[String]("le chat est dans la maison et il dort", TextFns.langId(col("t"))) === "fr")
+    assert(one[String]("el perro y el gato es un animal en casa", TextFns.langId(col("t"))) === "es")
+    assert(one[String]("这是中文文本", TextFns.langId(col("t"))) === "zh")
+    assert(one[String]("zzz qqq www", TextFns.langId(col("t"))) === "und")
+    // tie prefers en (deterministic cascade)
+    assert(one[String]("the der", TextFns.langId(col("t"))) === "en")
+  }
+
+  test("qualityScore: bounded [0,1], monotone in stopword ratio") {
+    val hi = one[Double]("the cat is on the mat and it is a good day for the walk " * 5,
+      TextFns.qualityScore(col("t")))
+    val lo = one[Double]("zzz!!! ??? ... ;;; :::", TextFns.qualityScore(col("t")))
+    assert(hi > lo)
+    assert(hi <= 1.0 && lo >= 0.0)
+    assert(one[Double]("", TextFns.qualityScore(col("t"))) === 0.0)
+  }
+
+  test("shingles: distinct n-grams, short text → empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextFns.shingles(col("t"), 3)).head.getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    assert(Seq("a b").toDF("t")
+      .select(TextFns.shingles(col("t"), 3)).head.getSeq[String](0).isEmpty)
+    // repeated shingles dedup
+    val rep = Seq("x y x y x y").toDF("t")
+      .select(TextFns.shingles(col("t"), 2)).head.getSeq[String](0)
+    assert(rep === Seq("x y", "y x"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFns
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: (1,2) exact dups; (3,4) near-dups (one word changed);
+  // 5 is a permutation of 3 (same bag of words, different order); 6 unrelated
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omega"),
+    (5L, "xi nu mu lambda kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+    (6L, "completely different content about spark catalyst optimizer internals here")
+  ).toDF("doc_id", "text")
+
+  test("exact: collapses identical content, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+    assert(r.count() === 5) // 6 docs, one exact-dup pair
+    val dup = r.filter($"dup_count" === 2).head
+    assert(dup.getAs[Long]("survivor_id") === 1L)
+  }
+
+  test("ngram jaccard: finds exact + near pairs, not permutation/unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.contains((3L, 4L))) // 1-word tail change → high 3-gram overlap
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // permutation: no shared 3-grams
+  }
+
+  test("minhash LSH: same verified pairs as exact ngram pass") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("minhash signature: identical docs agree, near docs mostly agree") {
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 64, 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val agree34 = sigs(3L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree34 > 40, s"near-dup signature agreement $agree34/64") // E[agree] = j*64 ≈ 0.71*64
+    val agree16 = sigs(1L).zip(sigs(6L)).count { case (a, b) => a == b }
+    assert(agree16 < 10, s"unrelated signature agreement $agree16/64")
+  }
+
+  test("simhash: identical → distance 0; near → small; permutation → 0 (bag of words)") {
+    val sh = docs.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) === 0)
+    assert(ham(sh(3L), sh(4L)) <= 12, s"near-dup hamming ${ham(sh(3L), sh(4L))}")
+    assert(ham(sh(3L), sh(5L)) === 0) // simhash is order-insensitive
+    assert(ham(sh(1L), sh(6L)) > 12)
+  }
+
+  test("simhash pairs: surfaces near + permuted pairs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 5L))) // permutation — caught by simhash, missed by ngrams
+  }
+
+  test("rolling hash: order-sensitive; md5 fingerprint: whitespace-normalized") {
+    val r = docs.select($"doc_id",
+      TextFns.rollingHash($"text").as("rh"), TextFns.fingerprintMd5($"text").as("fp"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r(1L) === r(2L))
+    assert(r(3L)._1 !== r(5L)._1) // permutation changes rolling hash
+    val ws = Seq((9L, "  the   quick\tbrown ")).toDF("doc_id", "text")
+      .select(TextFns.fingerprintMd5($"text")).head.getString(0)
+    val plain = Seq((9L, "the quick brown")).toDF("doc_id", "text")
+      .select(TextFns.fingerprintMd5($"text")).head.getString(0)
+    assert(ws === plain)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted corpus: 40 seeded random 32-dim vectors; vectors 100+i are
+  // small perturbations of i (cos ≈ 0.999) for i < 5
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 40).map(i => i.toLong -> Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    val twins = (0 until 5).map { i =>
+      (100 + i).toLong -> base(i)._2.map(x => x * 0.99f + 0.001f)
+    }
+    (base ++ twins).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: planted twin is always the rank-1 neighbor") {
+    val top = Similarity.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 3)
+    val rank1 = top.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach(i => assert(rank1(i.toLong) === 100L + i))
+    // all sims in [-1, 1], rank 1 sim ≈ 1 for twins
+    val sims = top.filter($"rank" === 1).select("sim").as[Double].collect()
+    sims.foreach(s => assert(s > 0.99))
+  }
+
+  test("lshTopK: recovers planted twins (the genuinely-near regime)") {
+    val top = Similarity.lshTopK(
+      vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 3)
+    val rank1 = top.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recovered = (0 until 5).count(i => rank1.get(i.toLong).contains(100L + i))
+    assert(recovered >= 4, s"twin recall $recovered/5")
+  }
+
+  test("cosineNearDupPairs: exactly the 5 planted near-dup pairs at 0.99") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
+  }
+
+  test("cosine law: self-similarity 1, symmetry") {
+    val a = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-3.0f, 2.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val self = a.select(Similarity.cosine($"embedding", $"embedding")).head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    val ab = a.agg(collect_list($"embedding")).head.getSeq[Seq[Float]](0)
+    val cross = Similarity.bruteForceTopK(a, a, "vec_id", "embedding", 1)
+      .select("sim").as[Double].collect()
+    assert(cross(0) === cross(1)) // cos(a,b) == cos(b,a)
+  }
+}
