@@ -1,0 +1,140 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus the decode / feature-extract / resize /
+  * frame-sample stages a training-data pipeline needs.
+  *
+  * The Spark-side plumbing is real — schema, task-level batching, iterator
+  * transforms, partition sizing — and is what this module tests. The codec
+  * itself is a STUB ([[FakeCodec]]): the container has no image/audio
+  * libraries, so decode is a deterministic fake keyed on payload bytes. A
+  * real codec (JNI/javacpp-ffmpeg/ImageIO) drops into the same
+  * `Iterator[MediaRecord] ⇒ Iterator[...]` seam without touching any plan.
+  *
+  * Scale shape: decode runs as `mapPartitions` (the Scala analog of
+  * `mapInPandas`) with explicit micro-batching, so per-batch codec setup is
+  * amortized and memory is bounded by `batchSize × payload`, not partition
+  * size. Payload-bearing frames should be range-partitioned by id with a
+  * row-group-friendly target size before heavy decode fan-out.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata (unused fields null). */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long])
+
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      features: Array[Float]) // FEATURE_DIM-dim embedding (stub: byte histogram)
+
+  case class Frame(
+      media_id: Long,
+      frame_ts_ms: Long,
+      frame_payload: Array[Byte])
+
+  val FeatureDim = 16
+
+  /** STUB codec — deterministic fake standing in for image/audio decode.
+    * "Dimensions" derive from payload length, "features" are the normalized
+    * byte histogram: stable across runs and partitionings, which is exactly
+    * what the plumbing tests need. Replace with a real decoder here.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val w = 16 + (payload.length % 1024)
+      val h = 16 + ((payload.length / 7) % 1024)
+      val hist = new Array[Float](FeatureDim)
+      payload.foreach(b => hist((b & 0xFF) % FeatureDim) += 1f)
+      val n = math.max(payload.length, 1).toFloat
+      (w, h, hist.map(_ / n))
+    }
+
+    /** Stub frame extraction: a real codec would seek+decode; the fake emits
+      * a deterministic 8-byte digest of (payload, ts).
+      */
+    def frameAt(payload: Array[Byte], tsMs: Long): Array[Byte] = {
+      var h = 1125899906842597L
+      payload.foreach(b => h = h * 31 + b)
+      h = h * 31 + tsMs
+      java.nio.ByteBuffer.allocate(8).putLong(h).array()
+    }
+  }
+
+  /** Wrap a text/bytes frame as a media frame (test/fixture path; real
+    * ingestion would `spark.read.format("binaryFile")`).
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String, kind: String): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      col(payloadCol).cast("binary").as("payload"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("int").as("sample_rate"),
+      (length(col(payloadCol)).cast("long") * 40L).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
+  /** Decode + feature-extract: mapPartitions with explicit micro-batching.
+    * The `grouped` batcher keeps the iterator lazy — memory is bounded by
+    * one batch, and a per-batch "codec handle" is where real decoder setup
+    * (model load, ffmpeg context) amortizes.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would go here (amortized over batchSize rows)
+        batch.iterator.map { m =>
+          val (w, h, feats) = FakeCodec.decode(m.payload)
+          MediaFeatures(m.media_id, m.kind, m.width.getOrElse(w), m.height.getOrElse(h), feats)
+        }
+      }
+    }
+  }
+
+  /** Resize stage: metadata-level transform with payload passthrough (the
+    * stub cannot re-encode pixels; a real codec replaces the payload too).
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    media.map(m => m.copy(width = Some(w), height = Some(h)))
+  }
+
+  /** Frame sampling for video rows: one output row per `everyMs` step across
+    * the duration. The sequence explode is plan-level (narrow, codegen'd);
+    * only the per-frame payload digest runs in the stub codec.
+    */
+  def frameSample(media: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
+    implicit val enc = Encoders.product[Frame]
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), coalesce(col("duration_ms"), lit(0L)), lit(everyMs)))
+          .as("frame_ts_ms"))
+      .as[(Long, Array[Byte], Long)](Encoders.tuple(Encoders.scalaLong,
+        Encoders.BINARY, Encoders.scalaLong))
+      .map { case (id, payload, ts) => Frame(id, ts, FakeCodec.frameAt(payload, ts)) }
+  }
+
+  /** Partition payload-bearing data for decode fan-out: range partition by id
+    * targeting `targetRowsPerPartition` so each task holds a bounded byte
+    * budget (payloads are large; row count is the proxy the optimizer sees).
+    */
+  def partitionForDecode(media: Dataset[MediaRecord], targetRowsPerPartition: Long): Dataset[MediaRecord] = {
+    val n = math.max(1L, media.count() / math.max(1L, targetRowsPerPartition)).toInt
+    media.repartitionByRange(n, col("media_id"))
+  }
+}

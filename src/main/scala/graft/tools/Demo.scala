@@ -14,19 +14,9 @@ import graft.pipeline.Pipeline
   * Usage: `sbt "runMain graft.tools.Demo [workDir]"`.
   */
 object Demo {
-  def main(args: Array[String]): Unit = {
-    val workDir = args.headOption.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-demo").toString)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    // synthetic "source/" drop-folder content (FIXTURES.md §A shape)
+  /** Synthetic "source/" drop-folder content (FIXTURES.md §A shape). */
+  def writeFixture(spark: SparkSession, dir: String): Unit = {
     def r(fn: String, size: String, id: String, status: String, serial: String,
         src: String, seq: Long): Row =
       Row.fromSeq(Seq(fn, size, "", id, "", "", serial, "", "", "", "", "", "",
@@ -42,7 +32,22 @@ object Demo {
       r("Root", "0", "1001", "resent", "", "JobB.xlsx", 8))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows), TransferSchema.rawSchema)
-      .write.mode("overwrite").parquet(s"$workDir/source")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val workDir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-demo").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    writeFixture(spark, s"$workDir/source")
 
     val df = Pipeline.runAndRegister(spark, s"$workDir/source")
     println(s"=== ingested ${df.count()} rows (post-upsert) ===")

@@ -1,0 +1,77 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Coerce
+import graft.ops.Enrich
+import graft.pipeline.Pipeline
+import graft.streaming.StreamIngest
+
+/** Streaming demo: reproduces the reference's drop-folder lifecycle
+  * (source/ → process once → archive to processed/) with the incremental
+  * engine, then prints the resulting analytic state and the event-time
+  * window/session queries over the events table.
+  *
+  * Usage: `sbt "runMain graft.tools.StreamDemo [workDir]"` — run it twice
+  * against the same workDir to see exactly-once semantics (second run
+  * processes nothing new).
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      Files.createTempDirectory("graft-stream-demo").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-stream-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (src, archive, ckpt, out) =
+      (s"$work/source", s"$work/processed", s"$work/ckpt", s"$work/out")
+    Files.createDirectories(Paths.get(src))
+
+    // drop a report batch into source/ if none pending. Names must be fresh:
+    // the file source's checkpoint tracks seen PATHS, so a re-dropped file
+    // with an already-seen name is (correctly) never reprocessed.
+    if (!Files.list(Paths.get(src)).findAny().isPresent) {
+      val archived = Option(new java.io.File(archive).listFiles()).map(_.length).getOrElse(0)
+      val name = s"report${archived + 1}.parquet"
+      val stage = s"$work/stage"
+      Demo.writeFixture(spark, stage)
+      val part = new java.io.File(s"$stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(src, name))
+      println(s"=== dropped $name into $src ===")
+    }
+
+    val q = StreamIngest.runDropFolder(spark, src, archive, ckpt) { (batch, id) =>
+      if (!batch.isEmpty) {
+        val n = batch.count()
+        println(s"=== batch $id: processing $n raw rows ===")
+        Pipeline.resolve(Enrich(Coerce(batch))).write.mode("append").parquet(out)
+      }
+    }
+    q.awaitTermination()
+
+    if (Files.exists(Paths.get(out))) {
+      val df = spark.read.parquet(out)
+      println(s"=== pipeline output: ${df.count()} resolved rows ===")
+      df.select("file_name", "file_status", "level", "parent_id").show(20, truncate = false)
+    } else println("=== no new files to process (exactly-once checkpoint) ===")
+
+    println("=== event-time windows (first 5) ===")
+    graft.queries.Registry.qEventWindows(spark, "/root/testdata/sf0.001").show(5)
+    println("=== user sessions (first 5) ===")
+    StreamIngest.userSessions(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .orderBy("session_start", "user_id").show(5)
+    spark.stop()
+  }
+}

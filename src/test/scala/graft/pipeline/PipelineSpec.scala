@@ -9,21 +9,17 @@ import graft.model.TransferSchema._
 import graft.ops.{Enrich, Hierarchy, Parents, Upsert}
 import graft.views.Analytic
 
-/** End-to-end over the FIXTURES.md §A synthetic transfer-report fixture —
-  * the reference's input contract (19 positional strings, empty-never-null),
-  * checked against the reference's documented acceptance queries
-  * (SCHEMA.sql:92-101).
+/** The FIXTURES.md §A synthetic transfer-report fixture — shared by the
+  * pipeline and streaming suites.
   */
-class PipelineSpec extends SparkSpec {
-  import spark.implicits._
-
+object PipelineFixture {
   /** (file_name, src_size, tgt_id, file_status, creation_serial) + meta. */
   private def rawRow(fn: String, size: String, id: String, status: String,
       serial: String, src: String, seq: Long): Row =
     Row.fromSeq(Seq(fn, size, "", id, "", "", serial, "", "", "", "", "", "",
       "", "", status, "", "", "", src, "Transfer Report", seq, seq))
 
-  private lazy val raw: DataFrame = {
+  def raw(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val rows = Seq(
       rawRow("Root", "0", "1001", "success", "45000.5", "JobA.xlsx", 1L),
       rawRow("Root/Sub", "", "1002", "success", "0", "JobA.xlsx", 2L),
@@ -37,8 +33,19 @@ class PipelineSpec extends SparkSpec {
       // cross-file re-ship of Root (JobB arrives later) → JobB's row wins
       rawRow("Root", "0", "1001", "resent", "", "JobB.xlsx", 9L),
       rawRow("/lead", "0", "1008", "success", "", "JobB.xlsx", 10L))
-    spark.createDataFrame(sc.parallelize(rows), rawSchema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), rawSchema)
   }
+}
+
+/** End-to-end over the FIXTURES.md §A synthetic transfer-report fixture —
+  * the reference's input contract (19 positional strings, empty-never-null),
+  * checked against the reference's documented acceptance queries
+  * (SCHEMA.sql:92-101).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val raw: DataFrame = PipelineFixture.raw(spark)
 
   private lazy val resolved: DataFrame = Pipeline.resolve(Enrich(Coerce(raw))).cache()
 

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.Coerce
+import graft.ops.Enrich
+import graft.pipeline.Pipeline
+import graft.queries.Registry
+
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("drop-folder contract: each file processed exactly once through the pipeline") {
+    val src = tmp("graft-stream-src")
+    val archive = tmp("graft-stream-archive")
+    val ckpt = tmp("graft-stream-ckpt")
+    val out = tmp("graft-stream-out")
+
+    // two "report drops" as single parquet FILES in the drop folder (the
+    // file stream source lists plain files, mirroring the reference's
+    // one-workbook-per-drop contract)
+    def dropFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp("graft-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(src, name))
+    }
+    val fixture = graft.pipeline.PipelineFixture.raw(spark)
+    dropFile(fixture.filter(col("_arrival_seq") <= 5), "drop1.parquet")
+    dropFile(fixture.filter(col("_arrival_seq") > 5), "drop2.parquet")
+
+    def run(): Unit = {
+      val q = StreamIngest.runDropFolder(spark, src, archive, ckpt) { (batch, _) =>
+        if (!batch.isEmpty)
+          Pipeline.resolve(Enrich(Coerce(batch)))
+            .write.mode("append").parquet(out)
+      }
+      q.awaitTermination()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === 8) // 10 raw rows, upsert collapses 2 within the batch set
+    // source files archived to processed/ (the reference's move contract)
+    assert(new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet")) === 0)
+    assert(new java.io.File(archive).listFiles().count(_.getName.endsWith(".parquet")) === 2)
+
+    // re-run with same checkpoint: no new files → no reprocessing
+    run()
+    assert(spark.read.parquet(out).count() === n1)
+  }
+
+  test("windowed event counts: streaming result equals the batch oracle query") {
+    val srcDir = tmp("graft-events")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val agg = StreamIngest.windowedEventCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val want = Registry.qEventWindows(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("user sessions: gap-based session windows produce bounded sessions") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = StreamIngest.userSessions(events, gap = "30 minutes")
+    val rows = sessions.collect()
+    assert(rows.nonEmpty)
+    // sessions are per-user, non-overlapping, end > start
+    rows.foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("session_end")
+        .after(r.getAs[java.sql.Timestamp]("session_start")))
+    }
+    val total = sessions.agg(sum("n_events")).head.getLong(0)
+    assert(total === events.count())
+  }
+}
