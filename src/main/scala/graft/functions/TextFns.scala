@@ -25,6 +25,13 @@ object TextFns {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
 
+  /** Scala twin of [[tokens]] (same law) for object-boundary operators. */
+  def tokensScala(s: String): Array[String] = {
+    if (s == null) return Array.empty
+    val t = s.replaceAll("^\\s+|\\s+$", "")
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
   /** Count of sentence-punctuation characters. */
   def punctCount(c: Column): Column =
     length(regexp_replace(c, "[^.!?,;:]", "")).cast("bigint")
@@ -107,4 +114,28 @@ object TextFns {
           sequence(lit(0), size(t) - n),
           i => concat_ws(" ", slice(t, i + 1, lit(n))))))
   }
+
+  /** Distinct 64-bit hashes of word n-gram shingles from a BOUND token-array
+    * column — the working form for dedup at scale: hashing token tuples
+    * directly skips building one shingle STRING per position, and downstream
+    * set ops compare longs. xxhash64 is length-prefixed per field, so
+    * ("a","bc") and ("ab","c") hash apart; collisions (~|shingles|²/2⁶⁴) are
+    * negligible against count-based Jaccard.
+    *
+    * COST MODEL: `t` must be a materialized column, not an expression —
+    * inside interpreted HOF lambdas every `element_at(t, …)` re-evaluates
+    * the whole argument tree, so an inlined tokens() pipeline here runs
+    * 3×|positions| regexp splits per row (measured 4× slowdown end-to-end).
+    * Callers stage `tokens()` into a column behind an exchange first.
+    */
+  def shingleHashesFromTokens(t: Column, n: Int): Column =
+    array_distinct(
+      when(size(t) < n, array().cast("array<bigint>"))
+        .otherwise(transform(
+          sequence(lit(0), size(t) - n),
+          i => xxhash64((1 to n).map(o => element_at(t, i + o)): _*))))
+
+  /** Convenience inline form (tests, small data) — see the cost note above. */
+  def shingleHashes(c: Column, n: Int): Column =
+    shingleHashesFromTokens(tokens(c), n)
 }

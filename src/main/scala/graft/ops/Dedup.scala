@@ -34,16 +34,28 @@ object Dedup {
     df.groupBy(TextFns.fingerprintMd5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
-  /** Per-document MinHash signature: numHashes independent min-hashes over
-    * word-shingle hashes. Seed-rehash construction: h_i(s) = xxhash64(h(s), i).
-    * Pure per-row expression tree — no shuffle, no UDF.
+  /** MinHash signature from an already-materialized array of shingle hashes:
+    * numHashes independent min-hashes, seed-rehash construction
+    * h_i(s) = xxhash64(h(s), i).
+    *
+    * IMPORTANT (cost model): call this on a BOUND COLUMN of longs, not on an
+    * expression — higher-order functions are interpreted (CodegenFallback)
+    * with no common-subexpression elimination, so each of the `numHashes`
+    * lanes re-evaluates its input expression. Folding over a materialized
+    * long array costs 64×|shingles| long-hashes per row; inlining the shingle
+    * pipeline instead multiplies the regexp/tokenize work 64× (measured ~500×
+    * slower end-to-end).
     */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
-    val shingleHashes = transform(TextFns.shingles(text, shingleSize), s => xxhash64(s))
+  def minhashSignatureFromHashes(shingleHashes: Column, numHashes: Int = 64): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleHashes, h => xxhash64(h, lit(i))))
     }: _*)
-  }
+
+  /** Convenience single-expression form (tests, small data): inlines the
+    * shingle pipeline into every lane — see the cost note above.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    minhashSignatureFromHashes(TextFns.shingleHashes(text, shingleSize), numHashes)
 
   /** MinHash+LSH near-duplicate pairs: returns (id_a, id_b, jaccard) with
     * id_a < id_b and exact-verified jaccard ≥ threshold. Candidate recall is
@@ -55,8 +67,8 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
-      .withColumn("_sig", minhashSignature(col("_text"), numHashes, shingleSize))
+    val sh = shingleHashFrame(df, idCol, textCol, shingleSize, numHashes)
+    val sig = sh.select(col("_id"), col("_sig"))
     val banded = sig.select(col("_id"), explode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(concat_ws(",", slice(col("_sig"), b * r + 1, r))).as("bh"))
@@ -71,14 +83,89 @@ object Dedup {
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, df, idCol, textCol, shingleSize, threshold)
+    verifyJaccard(cand, sh.withColumnRenamed("_id", "_jid"), threshold)
   }
 
-  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. */
-  private def verifyJaccard(cand: DataFrame, df: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("_jid"),
-      TextFns.shingles(col(textCol), shingleSize).as("_sh"))
+  /** 64-bit FNV-1a over UTF-8 bytes (Scala-side token hash). */
+  private def fnv64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h ^= (b & 0xFFL); h *= 0x100000001B3L
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — avalanche mixing for shingle/lane hashes. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct shingle hashes + MinHash signature for one document, computed
+    * in plain Scala. The Jaccard/minhash laws are count- and min-based, so
+    * the internal hash family is free to differ from any SQL function.
+    */
+  private[ops] def shingleAndSig(text: String, n: Int, numHashes: Int): (Array[Long], Array[Long]) = {
+    val toks = TextFns.tokensScala(text)
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0L
+      var o = 0
+      while (o < n) { h = mix64(h ^ fnv64(toks(i + o))); o += 1 }
+      set.add(h)
+      i += 1
+    }
+    val sh = new Array[Long](set.size)
+    val it = set.iterator(); var j = 0
+    while (it.hasNext) { sh(j) = it.next(); j += 1 }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var k = 0
+    while (k < sh.length) {
+      var lane = 0
+      while (lane < numHashes) {
+        val v = mix64(sh(k) ^ (lane.toLong * 0xD6E8FEB86659FD93L))
+        if (v < sig(lane)) sig(lane) = v
+        lane += 1
+      }
+      k += 1
+    }
+    (sh, sig)
+  }
+
+  /** (_id, _sh, _sig): distinct shingle hashes + minhash signature per doc,
+    * via ONE Scala mapPartitions pass. Deliberately an object boundary, not
+    * expression trees: interpreted higher-order functions cost ~30µs/element,
+    * and Catalyst duplicates such expressions freely (CollapseProject inlining
+    * across lanes; InferFiltersFromConstraints pushing inferred predicates —
+    * with the whole pipeline inlined — beneath every exchange barrier;
+    * measured 500s vs <1s for the same work). The closure is opaque to the
+    * optimizer, runs narrow, and scales linearly.
+    */
+  private def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = shingleSize
+    val nh = numHashes
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (sh, sig) = shingleAndSig(if (text == null) "" else text, n, nh)
+        (id, sh, sig)
+      })
+      .toDF("_id", "_sh", "_sig")
+      // shuffle barrier shared by every consumer (signature banding and the
+      // pair-verify joins read the same exchange instead of re-running the map)
+      .repartition(col("_id"))
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    * materialized (_jid, _sh) shingle-hash frame (set ops over longs).
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     cand
       .join(sh.select(col("_jid").as("id_a"), col("_sh").as("_sha")), "id_a")
       .join(sh.select(col("_jid").as("id_b"), col("_sh").as("_shb")), "id_b")
@@ -96,11 +183,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("_id"),
-      TextFns.shingles(col(textCol), shingleSize).as("_sh"))
-      .filter(size(col("_sh")) > 0)
+    val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
       .withColumn("_n", size(col("_sh")).cast("bigint"))
+    // (no size>0 filter: explode of an empty array emits nothing anyway, and
+    // an explicit filter would be pushed — with inferred monster predicates —
+    // below the object boundary's parents by the optimizer)
     val ex = sh.select(col("_id"), col("_n"), explode(col("_sh")).as("_s"))
+      .repartition(col("_s")) // pre-shuffle on the join key; both sides reuse this exchange
     ex.as("a").join(ex.as("b"), col("a._s") === col("b._s") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .agg(count(lit(1)).as("_shared"), first(col("a._n")).as("_na"), first(col("b._n")).as("_nb"))
@@ -131,13 +220,39 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Scala twin of [[simhash64]] (same shape of law, FNV token hashes) for
+    * the object-boundary pair search.
+    */
+  private[ops] def simhash64Scala(text: String): Long = {
+    val counts = new Array[Int](64)
+    TextFns.tokensScala(text).foreach { t =>
+      val h = fnv64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** SimHash near-duplicate pairs: bucket-join on 4×16-bit chunks (any pair
     * with Hamming distance ≤ 3 shares at least one chunk), verified with
-    * bit_count(a xor b) ≤ maxHamming.
+    * bit_count(a xor b) ≤ maxHamming. Signatures computed at an object
+    * boundary (see [[shingleHashFrame]] for why not expression trees).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sig = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sh"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sig = df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash64Scala(if (t == null) "" else t)) })
+      .toDF("_id", "_sh")
+      .repartition(col("_id"))
     val chunked = sig.select(col("_id"), col("_sh"), explode(
       array((0 until 4).map { k =>
         struct(lit(k).as("chunk"),

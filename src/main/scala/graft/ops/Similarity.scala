@@ -27,6 +27,10 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Embedding dimensionality, read once at plan time (first row). */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
+
   /** cosine(a,b) = dot/(norm(a)*norm(b)) — fixed op order. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -50,42 +54,70 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component: ±1 derived from a
-    * 64-bit avalanche hash of (plane, dim) — no RNG state, reproducible on
-    * any cluster.
+  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
+    * derived from a splitmix-style avalanche of the pair — no RNG state,
+    * reproducible on any cluster.
     */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  private[ops] def planeComponent(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong + 0x632BE59BD9B4E019L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
 
-  /** LSH bucket id: `planes` sign bits of hyperplane projections. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  /** Hyperplane as a literal vector — planes are plan-time constants, so the
+    * per-row work is a plain fold (no per-element hashing inside the lambda,
+    * which would run planes×dim interpreted hash calls per row).
+    */
+  private def planeLit(plane: Int, dim: Int): Column =
+    typedLit((0 until dim).map(planeComponent(plane, _)))
+
+  /** LSH bucket id: `planes` sign bits of hyperplane projections. `dim` must
+    * match the embedding length (hyperplanes are plan-time literals);
+    * `planeOffset` selects a disjoint slice of the plane index space so
+    * independent tables use independent hyperplanes.
+    */
+  def lshBucket(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column = {
     val proj = (0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeSign(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val s = dot(vec, planeLit(planeOffset + p, dim))
       when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     proj.reduce(_ + _)
   }
 
-  /** Explode a frame into one row per (table, bucket) signature —
-    * per-table planes use disjoint slices of the plane index space.
+  /** Explode a frame into one row per (table, bucket) signature — per-table
+    * planes use disjoint slices of the plane index space. Object-boundary
+    * Scala (not expression folds): planes×tables interpreted HOF folds per
+    * row are ~1000× a plain loop, and the closure is opaque to optimizer
+    * expression duplication (cf. Dedup.shingleHashFrame).
     */
   private def bucketSignatures(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String, planes: Int, tables: Int): DataFrame =
-    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs), explode(
-      array((0 until tables).map { t =>
-        val proj = (0 until planes).map { p =>
-          val s = aggregate(
-            zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-              (x, i) => x.cast("double") * planeSign(t * planes + p, i)),
-            lit(0.0), (acc, v) => acc + v)
-          when(s >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      idAs: String, vecAs: String, planes: Int, tables: Int, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planeVecs = Array.tabulate(tables * planes, dim)(planeComponent)
+    df.select(col(idCol).cast("long").as("_bid"), col(vecCol).as("_bv"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (id, v) =>
+        (0 until tables).iterator.map { t =>
+          var bucket = 0L
+          var p = 0
+          while (p < planes) {
+            val plane = planeVecs(t * planes + p)
+            var s = 0.0
+            var i = 0
+            val d = math.min(v.length, dim)
+            while (i < d) { s += v(i).toDouble * plane(i); i += 1 }
+            if (s >= 0) bucket |= (1L << p)
+            p += 1
+          }
+          (id, v, t, bucket)
         }
-        struct(lit(t).as("table"), proj.reduce(_ + _).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col(idAs), col(vecAs), col("tb.table"), col("tb.bucket"))
+      })
+      .toDF(idAs, vecAs, "table", "bucket")
+      // one shuffle on the join key, shared by every consumer via ReuseExchange
+      .repartition(col("table"), col("bucket"))
+  }
 
   /** ANN top-k via hyperplane LSH: candidates share a bucket in ≥1 of
     * `tables` independent hash tables; exact cosine + top-k inside the
@@ -98,8 +130,9 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 6, tables: Int = 8): DataFrame = {
-    val c = bucketSignatures(corpus, idCol, vecCol, "neighbor_id", "_cv", planes, tables)
-    val q = bucketSignatures(queries, idCol, vecCol, "query_id", "_qv", planes, tables)
+    val dim = vecDim(corpus, vecCol)
+    val c = bucketSignatures(corpus, idCol, vecCol, "neighbor_id", "_cv", planes, tables, dim)
+    val q = bucketSignatures(queries, idCol, vecCol, "query_id", "_qv", planes, tables, dim)
     val cand = c.join(q,
         c("table") === q("table") && c("bucket") === q("bucket") &&
           col("neighbor_id") =!= col("query_id"))
@@ -119,7 +152,8 @@ object Similarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8, tables: Int = 8): DataFrame = {
-    val sigs = bucketSignatures(df, idCol, vecCol, "_id", "_v", planes, tables)
+    val sigs = bucketSignatures(df, idCol, vecCol, "_id", "_v", planes, tables,
+      vecDim(df, vecCol))
     sigs.as("a").join(sigs.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a._id") < col("b._id"))

@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Prints physical plans for the core queries so pushdown, broadcast, and
+  * whole-stage-codegen coverage can be audited (SURVEY.md §4 discipline).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_status_summary", "q_filter_files", "q_parent_join",
+        "q_upsert_lastwins", "q_lineitem_agg", "q_top_statuses")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      Registry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
