@@ -18,8 +18,19 @@ import graft.model.TransferSchema._
   */
 object Upsert {
 
-  def apply(df: DataFrame): DataFrame =
-    dedupLastWins(df, upsertKey.map(col), Seq(col(arrivalSeqCol).desc))
+  /** SQLite NULL semantics: rows with a NULL in a UNIQUE column never
+    * conflict — every insert with `target_file_id IS NULL` survives, and
+    * `INSERT OR REPLACE` replaces nothing. A plain window over the key would
+    * group the NULLs together and collapse them, so NULL-keyed rows bypass
+    * the dedup entirely. (`file_name` is never null from import — missing
+    * cells become "" — so only `target_file_id` carries this case.)
+    */
+  def apply(df: DataFrame): DataFrame = {
+    val keyed = df.filter(col("target_file_id").isNotNull)
+    val nullKeyed = df.filter(col("target_file_id").isNull)
+    dedupLastWins(keyed, upsertKey.map(col), Seq(col(arrivalSeqCol).desc))
+      .union(nullKeyed)
+  }
 
   /** Generic keyed last-wins: keep the single row per key that sorts FIRST by
     * `order` (pass descending cols for "latest wins"). `order` must be a total

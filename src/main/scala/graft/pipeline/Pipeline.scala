@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ingest.{Coerce, ParquetRawSource, RawSource}
+import graft.ingest.{Coerce, ParquetRawSource, Quarantine, RawSource}
 import graft.ops.{Enrich, Parents, Upsert}
 import graft.views.Analytic
 
@@ -21,7 +21,16 @@ object Pipeline {
 
   /** Ingest one batch of report data into the final analytical frame. */
   def run(spark: SparkSession, path: String, source: RawSource = ParquetRawSource): DataFrame =
-    resolve(Enrich(Coerce(source.load(spark, path))))
+    runWithQuarantine(spark, path, source)._1
+
+  /** Same, but also surfaces the structurally-rejected rows (A6 error
+    * channel) for the report.
+    */
+  def runWithQuarantine(spark: SparkSession, path: String,
+      source: RawSource = ParquetRawSource): (DataFrame, DataFrame) = {
+    val (good, bad) = Quarantine.split(source.load(spark, path))
+    (resolve(Enrich(Coerce(good))), bad)
+  }
 
   /** The post-ingest passes over an already-typed frame. */
   def resolve(typed: DataFrame): DataFrame = Parents(Upsert(typed))

@@ -164,4 +164,24 @@ class PipelineSpec extends SparkSpec {
     val twice = Upsert(once)
     assert(once.count() === twice.count())
   }
+
+  test("upsert: NULL target_file_id rows never conflict (SQLite UNIQUE semantics)") {
+    // two rows, same file_name, both with unparsable ("" → NULL) ids: SQLite's
+    // UNIQUE(file_name, target_file_id) sees no conflict — both survive
+    val rows = Seq(
+      Row.fromSeq(Seq("Dup/x.txt", "1", "", "", "", "", "", "", "", "", "", "", "",
+        "", "", "s1", "", "", "", "JobA.xlsx", "Transfer Report", 1L, 1L)),
+      Row.fromSeq(Seq("Dup/x.txt", "2", "", "", "", "", "", "", "", "", "", "", "",
+        "", "", "s2", "", "", "", "JobA.xlsx", "Transfer Report", 2L, 2L)),
+      Row.fromSeq(Seq("Dup/y.txt", "3", "", "77", "", "", "", "", "", "", "", "", "",
+        "", "", "s3", "", "", "", "JobA.xlsx", "Transfer Report", 3L, 3L)),
+      Row.fromSeq(Seq("Dup/y.txt", "4", "", "77", "", "", "", "", "", "", "", "", "",
+        "", "", "s4", "", "", "", "JobA.xlsx", "Transfer Report", 4L, 4L)))
+    val df = Upsert(Enrich(Coerce(
+      spark.createDataFrame(sc.parallelize(rows), rawSchema))))
+    assert(df.filter($"file_name" === "Dup/x.txt").count() === 2) // NULL ids: both kept
+    val y = df.filter($"file_name" === "Dup/y.txt")
+    assert(y.count() === 1) // same non-null id: last wins
+    assert(y.head.getAs[String]("file_status") === "s4")
+  }
 }
