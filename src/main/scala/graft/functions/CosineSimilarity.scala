@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd cosine similarity over two `array<float>` columns.
+  *
+  * This is the one hot scalar where built-ins genuinely can't express the
+  * computation efficiently: the declarative form
+  * `aggregate(zip_with(a,b,multiply), 0.0, add) / (sqrt(...)*sqrt(...))`
+  * is a CodegenFallback higher-order chain — interpreted per element, one
+  * products-array allocation per row, and three passes. This expression is a
+  * single fused loop inside whole-stage codegen.
+  *
+  * The operation order (sequential fold over i, then dot/(sqrt(na)*sqrt(nb)))
+  * is IDENTICAL to the declarative form and to the DuckDB oracle formula, so
+  * results stay bit-for-bit equal — required by the hash-compared
+  * `q_ann_cosine` correctness gate.
+  *
+  * Null law: null array → null; null elements are treated as 0 contribution
+  * (the engine's embeddings are dense; nulls cannot occur from the parquet
+  * sources used here).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object CosineSimilarity {
+
+  /** Column-API form — resolves through the function registry, so call
+    * [[register]] (or install [[GraftExtensions]]) on the session first.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  private val info = new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
+  private val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case args => throw new IllegalArgumentException(
+      s"graft_cosine expects 2 arguments, got ${args.size}")
+  }
+
+  /** Register `graft_cosine` for SQL + Column use on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"), info, builder)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — injects the
+  * engine's native functions at session build time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      ((args: Seq[Expression]) => CosineSimilarity(args(0), args(1))): Seq[Expression] => Expression))
+}

@@ -31,9 +31,19 @@ object Similarity {
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head.getInt(0)
 
-  /** cosine(a,b) = dot/(norm(a)*norm(b)) — fixed op order. */
+  /** cosine(a,b) = dot/(norm(a)*norm(b)) — fixed op order. Declarative
+    * fold form; the operators below use the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression (same op order, same
+    * bits, one fused loop instead of an interpreted three-pass HOF chain).
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Native cosine, registering the function on first use. */
+  private def nativeCosine(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.CosineSimilarity.register(df.sparkSession)
+    graft.functions.CosineSimilarity.cosine(a, b)
+  }
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus rows.
     * `queries` should be small (it is broadcast); ties break on corpus id.
@@ -48,7 +58,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     joined
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -141,7 +151,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -160,7 +170,7 @@ object Similarity {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a._v").as("_va"), col("b._v").as("_vb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .withColumn("sim", nativeCosine(df, col("_va"), col("_vb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

@@ -24,6 +24,17 @@ object PlanAudit {
       println(s"===== $n =====")
       Registry.queries(n)(spark, dir).explain("formatted")
     }
+    // native expression: SQL surface + codegen placement
+    println("===== graft_cosine (SQL surface) =====")
+    graft.functions.CosineSimilarity.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .createOrReplaceTempView("embeddings")
+    val q = spark.sql(
+      """SELECT a.vec_id, b.vec_id AS other, graft_cosine(a.embedding, b.embedding) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY sim DESC LIMIT 5""".stripMargin)
+    q.explain("codegen")
+    q.show()
     spark.stop()
   }
 }
