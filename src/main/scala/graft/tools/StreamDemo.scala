@@ -54,14 +54,18 @@ object StreamDemo {
       if (!batch.isEmpty) {
         val n = batch.count()
         println(s"=== batch $id: processing $n raw rows ===")
-        Pipeline.resolve(Enrich(Coerce(batch))).write.mode("append").parquet(out)
+        // keyed merge: successive drops CONVERGE (reference INSERT OR REPLACE
+        // semantics across runs), instead of appending
+        val total = graft.streaming.MergeSink.merge(
+          spark, Pipeline.resolve(Enrich(Coerce(batch))), out)
+        println(s"=== merged state: $total keyed rows ===")
       }
     }
     q.awaitTermination()
 
     if (Files.exists(Paths.get(out))) {
       val df = spark.read.parquet(out)
-      println(s"=== pipeline output: ${df.count()} resolved rows ===")
+      println(s"=== pipeline state: ${df.count()} resolved rows ===")
       df.select("file_name", "file_status", "level", "parent_id").show(20, truncate = false)
     } else println("=== no new files to process (exactly-once checkpoint) ===")
 

@@ -1,0 +1,48 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.Coerce
+import graft.pipeline.{Pipeline, PipelineFixture}
+import graft.streaming.MergeSink
+
+class SaltAndMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted conditional counts equal the direct groupBy aggregate") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val direct = orders.groupBy($"o_orderstatus".as("status"))
+      .agg(count(lit(1)).as("n"), count(when($"o_totalprice" > 150000, 1)).as("big"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Salt.saltedConditionalCounts(
+      orders, $"o_orderstatus", "status",
+      Map("n" -> None, "big" -> Some($"o_totalprice" > 150000)), saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
+
+  test("merge sink: batches converge on keys; re-merge is idempotent") {
+    val state = Files.createTempDirectory("graft-merge").toString + "/state"
+    val resolved = Pipeline.resolve(Enrich(Coerce(PipelineFixture.raw(spark))))
+
+    val batch1 = resolved.filter($"file_name" =!= "Root")
+    val n1 = MergeSink.merge(spark, batch1, state)
+    assert(n1 === 7)
+
+    // batch 2 re-ships Root/Sub/a.pdf with a later arrival and adds Root
+    val batch2 = resolved.filter($"file_name".isin("Root", "Root/Sub/a.pdf"))
+      .withColumn("_arrival_seq", col("_arrival_seq") + 100)
+      .withColumn("file_status", lit("reconciled"))
+    val n2 = MergeSink.merge(spark, batch2, state)
+    assert(n2 === 8) // one new key (Root), one replaced (a.pdf)
+    val st = spark.read.parquet(state)
+    assert(st.filter($"file_name" === "Root/Sub/a.pdf").head
+      .getAs[String]("file_status") === "reconciled")
+
+    // idempotence: merging batch2 again changes nothing
+    assert(MergeSink.merge(spark, batch2, state) === 8)
+  }
+}

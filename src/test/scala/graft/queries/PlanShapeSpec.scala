@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-regression guards: the physical shapes that make these queries
+  * scale (broadcasts, pruned scans, top-k without global sort, window
+  * pre-filtering) must not silently degrade.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_parent_join: broadcast hash join, no sort-merge/cartesian") {
+    val p = plan("q_parent_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_status_summary: pruned scan + two-phase hash aggregate") {
+    val p = plan("q_status_summary")
+    assert(p.contains("HashAggregate"))
+    // only the two referenced columns reach the parquet reader
+    assert(p.contains("ReadSchema: struct<o_orderstatus:string,o_totalprice:double>"))
+  }
+
+  test("q_top_statuses: TakeOrderedAndProject, no global Sort") {
+    val p = plan("q_top_statuses")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_upsert_lastwins: WindowGroupLimit pre-filters the dedup window") {
+    val p = plan("q_upsert_lastwins")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_filter_files: filter does not force a wide scan") {
+    val p = plan("q_filter_files")
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_discount:double>"))
+  }
+
+  test("q_ann_cosine: query side broadcast, native cosine in plan") {
+    val p = plan("q_ann_cosine")
+    assert(p.contains("graft_cosine"))
+    assert(p.contains("Broadcast"))
+  }
+}
