@@ -329,6 +329,33 @@ object Registry {
       | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------------
+  // Gap-based session windows (30 min): the oracle derives sessions
+  // independently via gaps-and-islands (lag + cumulative break-sum), so this
+  // cross-checks Spark's session_window semantics, not just our arithmetic.
+  // Session break law: a gap ≥ the duration starts a new session (Spark's
+  // window is half-open [start, last+gap)).
+  // ------------------------------------------------------------------------
+  def qUserSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamIngest.userSessions(t(spark, dir, "events"), gap = "30 minutes")
+      .orderBy("user_id", "session_start")
+
+  val qUserSessionsSql: String =
+    """WITH g AS (
+      | SELECT user_id, event_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      | SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      | SELECT min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      | FROM s GROUP BY user_id, sid
+      | ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
   // EXTENSIONS: training-data pipeline operators over documents/embeddings
   // ------------------------------------------------------------------------
 
@@ -515,6 +542,7 @@ object Registry {
     "q_global_stats" -> (qGlobalStats _),
     "q_lineitem_agg" -> (qLineitemAgg _),
     "q_event_windows" -> (qEventWindows _),
+    "q_user_sessions" -> (qUserSessions _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -549,6 +577,7 @@ object Registry {
     "q_global_stats" -> qGlobalStatsSql,
     "q_lineitem_agg" -> qLineitemAggSql,
     "q_event_windows" -> qEventWindowsSql,
+    "q_user_sessions" -> qUserSessionsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
