@@ -97,3 +97,21 @@ object CsvRawSource extends RawSource {
     ParquetRawSource.withArrivalSeq(sheetFilter(positional(ParquetRawSource.attachMeta(df))))
   }
 }
+
+/** JSON-lines raw source: one object per row; values read as strings (the
+  * engine owns typing, like every other adapter).
+  */
+object JsonRawSource extends RawSource {
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val df0 = spark.read
+      .option("primitivesAsString", "true") // all strings — typing is the engine's job
+      .json(path)
+    // JSON is name-addressed, not positional: select the 19 db columns by
+    // name where present (absent → ""), then reuse the shared contract.
+    val named = df0.select(
+      (graft.model.TransferSchema.dbColumns.map(c =>
+        (if (df0.columns.contains(c)) col(c) else lit("")).as(c)) ++
+        graft.model.TransferSchema.metaColumns.filter(df0.columns.contains).map(col)): _*)
+    ParquetRawSource.withArrivalSeq(sheetFilter(positional(ParquetRawSource.attachMeta(named))))
+  }
+}

@@ -47,9 +47,23 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    writeFixture(spark, s"$workDir/source")
-
-    val df = Pipeline.runAndRegister(spark, s"$workDir/source")
+    val format = args.drop(1).headOption.getOrElse("parquet")
+    val df = format match {
+      case "csv" =>
+        val raw = { // re-render the fixture as header'd CSV
+          val stage = s"$workDir/stage-raw"
+          writeFixture(spark, stage)
+          spark.read.parquet(stage)
+        }
+        raw.coalesce(1).write.mode("overwrite").option("header", "true")
+          .csv(s"$workDir/source")
+        val out = Pipeline.run(spark, s"$workDir/source", graft.ingest.CsvRawSource)
+        graft.views.Analytic.registerAll(spark, out)
+        out
+      case _ =>
+        writeFixture(spark, s"$workDir/source")
+        Pipeline.runAndRegister(spark, s"$workDir/source")
+    }
     println(s"=== ingested ${df.count()} rows (post-upsert) ===")
 
     // The reference's documented acceptance queries (SCHEMA.sql:92-101)
