@@ -157,6 +157,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k: coarse k-means quantization of the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
+    * and ranks candidates by exact cosine. The standard
+    * recall-vs-cost dial for vector search at scale:
+    *
+    *   - centroids are trained once (sampled fit) and are tiny
+    *     (nlist × dim) — they broadcast; assignment is one narrow pass;
+    *   - the candidate join is `cell = cell` — a hash join whose right side
+    *     is |corpus| × nprobe/nlist on average, never a cross join;
+    *   - unlike hyperplane LSH, recall degrades gracefully on
+    *     uniformly-random data (probing 1/4 of cells ⇒ ~1/4 recall floor).
+    *
+    * Uses Spark ML KMeans (public API) for training only; everything
+    * per-row is the engine's own expressions.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val train = corpus.select(array_to_vector(
+      transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+      .fit(train)
+    val centroids: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
+
+    def nearestCells(v: Array[Float], n: Int): Seq[Int] =
+      centroids.map { case (i, c) =>
+        var d = 0.0; var j = 0
+        val dim = math.min(v.length, c.length)
+        while (j < dim) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(n).map(_._1).toSeq
+
+    val assignCell = udf((v: Array[Float]) => nearestCells(v, 1).head)
+    val probeCells = udf((v: Array[Float]) => nearestCells(v, nprobe))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("cell", assignCell(col("_cv")))
+      .repartition(col("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("cell", explode(probeCells(col("_qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
     * candidates via shared LSH bucket — the embedding analog of MinHash dedup.
     */

@@ -524,6 +524,17 @@ object Registry {
       .orderBy("query_id", "rk")
   }
 
+  /** IVF (k-means coarse quantization) ANN — no SQL oracle (trained
+    * centroids); twin recall + brute-force sim agreement are unit-tested.
+    */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.ivfTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -551,7 +562,8 @@ object Registry {
     "q_minhash_neardup" -> (qMinhashNeardup _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_ann_cosine" -> (qAnnCosine _),
-    "q_ann_lsh" -> (qAnnLsh _))
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,

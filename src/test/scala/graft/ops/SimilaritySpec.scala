@@ -38,6 +38,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recovered >= 4, s"twin recall $recovered/5")
   }
 
+  test("ivfTopK: planted twins recovered; recall beats the probe fraction") {
+    val top = Similarity.ivfTopK(
+      vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3)
+    val rank1 = top.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // a twin lands in the same k-means cell as its original with near
+    // certainty (cos ≈ 0.999 ⇒ same region) — all 5 must be recovered
+    val recovered = (0 until 5).count(i => rank1.get(i.toLong).contains(100L + i))
+    assert(recovered === 5, s"twin recall $recovered/5")
+    // exact-cosine agreement with brute force on recovered pairs
+    val bf = Similarity.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 1)
+      .select("query_id", "sim").as[(Long, Double)].collect().toMap
+    top.filter($"rank" === 1).select("query_id", "sim").as[(Long, Double)]
+      .collect().foreach { case (qid, s) => assert(s === bf(qid)) }
+  }
+
   test("cosineNearDupPairs: exactly the 5 planted near-dup pairs at 0.99") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99)
