@@ -74,9 +74,41 @@ object StreamIngest {
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
-  /** Sessionized per-user activity via mapGroupsWithState-style semantics,
-    * expressed with the session_window built-in (gap-based sessions) — the
-    * idiomatic Spark form of custom session state.
+  /** Streaming exactly-once event dedup: watermark-bounded state keyed on
+    * `event_id` — duplicates arriving within the watermark horizon are
+    * dropped by the state store; state for events older than the watermark
+    * is reclaimed. The streaming twin of the batch upsert's "seen keys" set.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Custom per-key state via `mapGroupsWithState`: running per-user
+    * (event count, value total), re-emitted on every update — the
+    * KeyValueGroupedDataset form for state machines the built-in windows
+    * can't express. GroupState holds one small case class per user; at
+    * scale the state store shards by key across executors.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    case class In(user_id: Long, value: Double)
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          (user, n, v)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Sessionized per-user activity via gap-based `session_window` — the
+    * idiomatic built-in for session state (see [[runningUserTotals]] for the
+    * custom-state form).
     */
   def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

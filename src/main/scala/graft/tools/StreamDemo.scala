@@ -71,11 +71,27 @@ object StreamDemo {
 
     println("=== event-time windows (first 5) ===")
     graft.queries.Registry.qEventWindows(spark, "/root/testdata/sf0.001").show(5)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     println("=== user sessions (first 5) ===")
-    StreamIngest.userSessions(
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .orderBy("session_start", "user_id").show(5)
+    StreamIngest.userSessions(events).orderBy("session_start", "user_id").show(5)
+
+    // stateful streaming: watermarked dedup + custom running state, driven
+    // synchronously over a doubled copy of the events table
+    val dupDir = s"$work/events-doubled"
+    events.union(events).write.mode("overwrite").parquet(dupDir)
+    val stream = spark.readStream.schema(events.schema).parquet(dupDir)
+    val dq = StreamIngest.dedupEvents(stream).writeStream
+      .outputMode("append").format("memory").queryName("sd_dedup").start()
+    dq.processAllAvailable(); dq.stop()
+    println(s"=== streaming dedup: ${events.count() * 2} in → " +
+      s"${spark.table("sd_dedup").count()} unique out ===")
+    val sq = StreamIngest.runningUserTotals(spark,
+      spark.readStream.schema(events.schema).parquet(dupDir)).writeStream
+      .outputMode("update").format("memory").queryName("sd_state").start()
+    sq.processAllAvailable(); sq.stop()
+    println("=== mapGroupsWithState running totals (first 5 users) ===")
+    spark.table("sd_state").orderBy("user_id").show(5)
     spark.stop()
   }
 }

@@ -75,6 +75,39 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming dedup: watermarked state drops duplicate event_ids exactly-once") {
+    val srcDir = tmp("graft-dup-events")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ship every event twice — the stream must emit each id once
+    events.union(events).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val q = StreamIngest.dedupEvents(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_out")
+    assert(got.count() === events.count())
+    assert(got.select("event_id").distinct().count() === got.count())
+  }
+
+  test("mapGroupsWithState: running per-user totals equal the batch aggregate") {
+    val srcDir = tmp("graft-state-events")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val q = StreamIngest.runningUserTotals(spark, stream).writeStream
+      .outputMode("update").format("memory").queryName("state_out").start()
+    q.processAllAvailable(); q.stop()
+    // single batch → latest update per user == full batch aggregate
+    val got = spark.table("state_out")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("user sessions: gap-based session windows produce bounded sessions") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
