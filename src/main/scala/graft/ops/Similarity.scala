@@ -29,7 +29,7 @@ object Similarity {
 
   /** Embedding dimensionality, read once at plan time (first row). */
   private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** cosine(a,b) = dot/(norm(a)*norm(b)) — fixed op order. Declarative
     * fold form; the operators below use the codegen'd

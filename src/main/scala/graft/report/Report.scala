@@ -17,7 +17,7 @@ object Report {
       topStatuses: Seq[(String, Long)], quarantined: Long)
 
   def collect(resolved: DataFrame, quarantined: Option[DataFrame] = None): Stats = {
-    val s = Analytic.stats(resolved).head
+    val s = Analytic.stats(resolved).head()
     val top = Analytic.topStatuses(resolved, 5)
       .select("status_name", "record_count")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
