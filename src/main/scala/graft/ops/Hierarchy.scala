@@ -37,8 +37,11 @@ object Hierarchy {
       col("file_name"), col("target_file_id"),
       col(parentIdCol).try_cast("long").as(parentIdCol), // TEXT column, numeric compare (SQLite affinity)
       col(levelCol)).persist()
+    // every level's frontier is an EAGER localCheckpoint, so by the time
+    // buildTree returns nothing references the cached nodes lazily —
+    // unpersisting here is safe and frees executor storage immediately
     try buildTree(nodes, maxDepth).orderBy("path")
-    finally () // caller's action materializes before unpersist would matter; nodes GC'd with the session
+    finally nodes.unpersist(blocking = false)
   }
 
   private def buildTree(nodes: DataFrame, maxDepth: Int): DataFrame = {
