@@ -93,7 +93,7 @@ object CosineSimilarity {
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   private val info = new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
-  private val builder: Seq[Expression] => Expression = {
+  private[functions] val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => CosineSimilarity(a, b)
     case args => throw new IllegalArgumentException(
       s"graft_cosine expects 2 arguments, got ${args.size}")
@@ -112,5 +112,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      ((args: Seq[Expression]) => CosineSimilarity(args(0), args(1))): Seq[Expression] => Expression))
+      CosineSimilarity.builder)) // shared arity-checked builder
 }

@@ -30,10 +30,20 @@ trait RawSource {
     * missing trailing columns with "", null cells → "".
     */
   protected def positional(df: DataFrame): DataFrame = {
-    val present = df.columns.take(dbColumns.size)
+    // meta columns are OUT of the positional band: a short row (< 19 data
+    // cells) must pad with "", never consume a synthesized meta column as a
+    // trailing data column
+    val dataCols = df.columns.filterNot(metaColumns.contains)
+    val present = dataCols.take(dbColumns.size)
     val renamed = present.zip(dbColumns).map { case (src, dst) => col(src).as(dst) }
     val padded = dbColumns.drop(present.size).map(c => lit("").as(c))
-    val metas = metaColumns.filter(df.columns.contains).map(col)
+    // meta columns may arrive string-typed from CSV/JSON round-trips — pin
+    // the contract types (lexicographic "_arrival_seq" ordering would invert
+    // last-writer-wins at 10+ rows)
+    val metas = metaColumns.filter(df.columns.contains).map {
+      case c @ (`rowIdxCol` | `arrivalSeqCol`) => col(c).cast("long").as(c)
+      case c => col(c).cast("string").as(c)
+    }
     val out = df.select(renamed ++ padded ++ metas: _*)
     // missing cells are empty string, never null (SQLiteDirectImporter.java:461-464, 534)
     out.na.fill("", dbColumns)

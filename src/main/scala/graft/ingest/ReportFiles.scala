@@ -26,7 +26,8 @@ object ReportFiles {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
     val exts = extensions.map("." + _.toLowerCase)
-    Files.list(d).iterator().asScala
+    val stream = Files.list(d) // must close: holds a directory fd
+    try stream.iterator().asScala
       .filter(Files.isRegularFile(_))
       .filter { p =>
         val name = p.getFileName.toString
@@ -34,6 +35,7 @@ object ReportFiles {
         exts.exists(lower.endsWith) && !skipOutputPrefixes.exists(name.startsWith)
       }
       .toSeq.sortBy(_.getFileName.toString)
+    finally stream.close()
   }
 
   /** The Overview-extractor variant: additionally skips prior outputs

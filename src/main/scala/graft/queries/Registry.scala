@@ -383,7 +383,11 @@ object Registry {
   }
 
   // the same laws in DuckDB SQL — operation order kept identical so the
-  // double-valued quality score is bit-equal
+  // double-valued quality score is bit-equal. Known divergence, documented:
+  // on text IS NULL the engine yields n_tokens=0/quality=0.0 while this SQL
+  // propagates NULL (DuckDB regexp over NULL); the documents table has no
+  // null text, and hardening the SQL would bloat every expression — revisit
+  // only if a null-text source appears.
   // regex-trim both ends (not SQL trim: spaces only) — mirrors TextFns.tokens
   private val tokensSql =
     "regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"

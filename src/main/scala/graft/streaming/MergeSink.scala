@@ -26,14 +26,27 @@ object MergeSink {
 
   /** Merge `resolved` (post-pipeline rows carrying `_arrival_seq`) into the
     * keyed state at `statePath`. Returns the new state row count.
+    *
+    * The incoming batch's `_arrival_seq` is REBASED above the state's max:
+    * sequences restart per report batch, so without the epoch bump a stale
+    * state row with an equal-or-higher seq would beat the newer arrival and
+    * the update would be silently discarded. Within-batch order is
+    * preserved; batches become strictly later epochs — matching the
+    * reference's wall-clock insert order across runs.
     */
   def merge(spark: SparkSession, resolved: DataFrame, statePath: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    import graft.model.TransferSchema.arrivalSeqCol
     val hconf = spark.sparkContext.hadoopConfiguration
     val state = new Path(statePath)
     val fs = state.getFileSystem(hconf)
     val merged =
-      if (fs.exists(state)) Upsert(spark.read.parquet(statePath).union(resolved))
-      else Upsert(resolved)
+      if (fs.exists(state)) {
+        val existing = spark.read.parquet(statePath)
+        val epoch = existing.agg(max(col(arrivalSeqCol))).head().getLong(0)
+        val rebased = resolved.withColumn(arrivalSeqCol, col(arrivalSeqCol) + lit(epoch))
+        Upsert(existing.union(rebased))
+      } else Upsert(resolved)
     val staging = new Path(statePath + "._staging")
     fs.delete(staging, true)
     merged.write.parquet(staging.toString)

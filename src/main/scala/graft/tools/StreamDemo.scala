@@ -39,7 +39,11 @@ object StreamDemo {
     // drop a report batch into source/ if none pending. Names must be fresh:
     // the file source's checkpoint tracks seen PATHS, so a re-dropped file
     // with an already-seen name is (correctly) never reprocessed.
-    if (!Files.list(Paths.get(src)).findAny().isPresent) {
+    val srcEmpty = {
+      val s = Files.list(Paths.get(src))
+      try !s.findAny().isPresent finally s.close()
+    }
+    if (srcEmpty) {
       val archived = Option(new java.io.File(archive).listFiles()).map(_.length).getOrElse(0)
       val name = s"report${archived + 1}.parquet"
       val stage = s"$work/stage"

@@ -56,7 +56,11 @@ object Analytic {
     */
   def statusViews(df: DataFrame): Seq[(String, DataFrame)] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
-    distinctStatuses(df).foreach { s =>
+    // sorted: distinct().collect() order varies with partitioning, which
+    // would make sanitizer-collision winners nondeterministic run-to-run
+    // (the reference's winner is SQLite's arbitrary DISTINCT order; we pin
+    // lexicographic order and document the divergence)
+    distinctStatuses(df).sorted.foreach { s =>
       val name = PathOps.sanitizeViewName(s)
       if (name.nonEmpty && !out.contains(s"status_$name"))
         out(s"status_$name") = df.filter(col("file_status") === lit(s))
@@ -71,7 +75,9 @@ object Analytic {
     * no global sort.
     */
   def topStatuses(df: DataFrame, k: Int = 5): DataFrame =
-    statusSummary(df).limit(k)
+    // status_name tiebreak: limit over a non-total order would make the
+    // k-th entry nondeterministic under count ties
+    statusSummary(df).orderBy(col("record_count").desc, col("status_name")).limit(k)
 
   /** Count-by-level histogram (A5; SCHEMA.sql:100). */
   def levelCounts(df: DataFrame): DataFrame =

@@ -51,6 +51,41 @@ class RawSourceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("short positional input: pads with empty string, never consumes meta columns") {
+    val dir = Files.createTempDirectory("graft-src-short").toString
+    // only the first 4 data columns present, meta columns alongside — the
+    // positional band must stop before the meta columns and pad the rest
+    PipelineFixture.raw(spark)
+      .select((Seq("file_name", "source_file_size", "target_file_size",
+        "target_file_id") ++ metaColumns).map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+    val raw = ParquetRawSource.load(spark, dir)
+    assert(raw.filter(col("source_account") =!= "").count() === 0) // padded, not JobA.xlsx
+    assert(raw.filter(col("translated_file_name") =!= "").count() === 0)
+    assert(raw.schema("_arrival_seq").dataType.typeName === "long")
+    assert(raw.filter(col("file_name") === "Root").count() === 2) // data intact
+  }
+
+  test("string-typed meta columns from CSV are re-cast: last-writer-wins survives 10+ rows") {
+    // "9" > "10" lexicographically — if _arrival_seq stayed a string, the
+    // EARLIER arrival would win the upsert
+    val dir = Files.createTempDirectory("graft-src-strseq").toString
+    val rows = (1 to 12).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(s"Dup/key.txt", i.toString, "", "500", "", "", "", "", "", "", "", "",
+          "", "", "", s"status$i", "", "", "", "J.xlsx", "Transfer Report",
+          i.toString, i.toString))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      (dbColumns ++ metaColumns).map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(sc.parallelize(rows), schema)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val resolved = Pipeline.run(spark, dir, CsvRawSource)
+    assert(resolved.count() === 1)
+    assert(resolved.head.getAs[String]("file_status") === "status12") // 12 beats 9
+  }
+
   test("parquet adapter synthesizes metadata when columns are missing") {
     val dir = Files.createTempDirectory("graft-src-bare").toString
     PipelineFixture.raw(spark).drop(metaColumns: _*)

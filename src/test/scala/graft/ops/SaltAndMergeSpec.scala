@@ -32,9 +32,11 @@ class SaltAndMergeSpec extends SparkSpec {
     val n1 = MergeSink.merge(spark, batch1, state)
     assert(n1 === 7)
 
-    // batch 2 re-ships Root/Sub/a.pdf with a later arrival and adds Root
+    // batch 2 re-ships Root/Sub/a.pdf and adds Root — its per-batch seqs
+    // START OVER (lower than state's); the sink must epoch-rebase so the
+    // newer batch still wins
     val batch2 = resolved.filter($"file_name".isin("Root", "Root/Sub/a.pdf"))
-      .withColumn("_arrival_seq", col("_arrival_seq") + 100)
+      .withColumn("_arrival_seq", lit(1L))
       .withColumn("file_status", lit("reconciled"))
     val n2 = MergeSink.merge(spark, batch2, state)
     assert(n2 === 8) // one new key (Root), one replaced (a.pdf)
