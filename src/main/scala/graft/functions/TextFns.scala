@@ -87,6 +87,55 @@ object TextFns {
       .otherwise(lit("fr"))
   }
 
+  /** One-row text statistics — the one-pass Scala twin of the column laws
+    * ([[tokenCount]]/[[subwordCount]]/[[punctCount]]/[[stopwordCount]]/
+    * [[qualityScore]]), produced by a single tokenization. Operation order in
+    * the double-valued quality formula is kept identical to the expression
+    * form so results are bit-equal (verified by TextFnsSpec twin test).
+    */
+  final case class TextStats(nTokens: Long, nSubwords: Long, nPunct: Long,
+      nStopwords: Long, quality: Double)
+
+  private val enStopSet = enStopwords.toSet
+
+  /** Scala twin of the per-document stats laws; see [[TextStats]].
+    *
+    * COST MODEL: the expression forms above re-run the token pipeline once
+    * per consuming expression — Catalyst HOFs are interpreted and
+    * CollapseProject/constraint-inference duplicate them freely (the
+    * measured trap documented at Dedup.shingleHashFrame). One Scala pass
+    * per row behind an object boundary tokenizes exactly once and runs
+    * narrow; use [[statsFrame]] / the quality-filter form in Registry for
+    * anything per-row and hot.
+    */
+  def statsScala(text: String): TextStats = {
+    val s = if (text == null) "" else text
+    val toks = tokensScala(s)
+    val n = toks.length.toLong
+    var subw = 0L
+    var sw = 0L
+    toks.foreach { t =>
+      // ceil(codePoints/4): integer form of ceil(length(t)/4.0)
+      val cp = t.codePointCount(0, t.length)
+      subw += (cp + 3) / 4
+      if (enStopSet(t.toLowerCase(java.util.Locale.ROOT))) sw += 1
+    }
+    var punct = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':') punct += 1
+      i += 1
+    }
+    val nChars = s.codePointCount(0, s.length).toDouble
+    val quality =
+      if (n == 0) 0.0
+      else (sw.toDouble / n.toDouble) * 0.4 +
+        math.min(n.toDouble / 100.0, 1.0) * 0.3 +
+        (1.0 - math.min(punct.toDouble / math.max(nChars, 1.0), 1.0)) * 0.3
+    TextStats(n, subw, punct, sw, quality)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key for documents.
     */

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.model.TransferSchema._
 
 /** Source adapters producing the raw (pre-coercion) frame: the 19 positional
-  * string columns + ingest metadata (`_src_file`, `_sheet`, `_row_idx`,
-  * `_arrival_seq`).
+  * string columns + ingest metadata (`_src_file`, `_sheet`, `_row_idx`;
+  * plus `_arrival_seq` only when the input supplies an explicit order).
   *
   * The reference reads Excel workbooks via POI SAX/DataFormatter and delivers
   * every cell as a formatted STRING (SQLiteDirectImporter.java:330-379,
@@ -63,12 +63,20 @@ trait RawSource {
 
 /** Parquet-backed raw source: expects string-typed positional columns, with
   * optional `_src_file`/`_sheet`/`_row_idx` metadata columns. Synthesizes any
-  * missing metadata ( `_src_file` from the physical file name, `_arrival_seq`
-  * from (file, sheet, row) order) so downstream upsert determinism holds.
+  * missing triple column (`_src_file` from the physical file name, `_row_idx`
+  * from within-file order) so downstream upsert determinism holds.
+  *
+  * NO global `_arrival_seq` is materialized: arrival order is the
+  * (file, sheet, row) triple, compared lazily inside hash-partitioned
+  * windows/aggregates (TransferSchema.arrivalOrderAsc). A
+  * `row_number() OVER (ORDER BY …)` here would be a single-task global
+  * sort of the entire ingest — the row-1 scale flaw this design removes.
+  * Inputs that carry their own `_arrival_seq` keep it as an explicit
+  * order override.
   */
 object ParquetRawSource extends RawSource {
   def load(spark: SparkSession, path: String): DataFrame =
-    withArrivalSeq(sheetFilter(positional(attachMeta(spark.read.parquet(path)))))
+    sheetFilter(positional(attachMeta(spark.read.parquet(path))))
 
   private[ingest] def attachMeta(df0: DataFrame): DataFrame = {
     var df = df0
@@ -77,24 +85,12 @@ object ParquetRawSource extends RawSource {
     if (!df.columns.contains(sheetCol))
       df = df.withColumn(sheetCol, lit("Transfer Report"))
     if (!df.columns.contains(rowIdxCol))
+      // per-(file, sheet) window: partition-parallel, no global sort
       df = df.withColumn(rowIdxCol, row_number().over(
         Window.partitionBy(col(srcFileCol), col(sheetCol)).orderBy(monotonically_increasing_id()))
         .cast("long"))
     df
   }
-
-  /** Global arrival order = (file name asc, sheet asc, row idx asc), matching
-    * the reference's sequential sorted-file loop (SQLiteDirectImporter.java:171,
-    * 480-486; SURVEY.md §7.5 item 1). A row_number over an un-partitioned
-    * window is a single-task sort — acceptable because it exists only to
-    * replicate SQLite's physical insert order on bounded report batches; the
-    * scalable upsert path orders by the (file, sheet, row) triple directly
-    * without materializing a global sequence.
-    */
-  private[ingest] def withArrivalSeq(df: DataFrame): DataFrame =
-    if (df.columns.contains(arrivalSeqCol)) df
-    else df.withColumn(arrivalSeqCol,
-      row_number().over(Window.orderBy(col(srcFileCol), col(sheetCol), col(rowIdxCol))).cast("long"))
 }
 
 /** CSV-backed raw source (one CSV per sheet, header row present). */
@@ -104,7 +100,7 @@ object CsvRawSource extends RawSource {
       .option("header", "true") // S5: header row dropped from data
       .option("inferSchema", "false") // all strings — typing is the engine's job
       .csv(path)
-    ParquetRawSource.withArrivalSeq(sheetFilter(positional(ParquetRawSource.attachMeta(df))))
+    sheetFilter(positional(ParquetRawSource.attachMeta(df)))
   }
 }
 
@@ -122,6 +118,6 @@ object JsonRawSource extends RawSource {
       (graft.model.TransferSchema.dbColumns.map(c =>
         (if (df0.columns.contains(c)) col(c) else lit("")).as(c)) ++
         graft.model.TransferSchema.metaColumns.filter(df0.columns.contains).map(col)): _*)
-    ParquetRawSource.withArrivalSeq(sheetFilter(positional(ParquetRawSource.attachMeta(named))))
+    sheetFilter(positional(ParquetRawSource.attachMeta(named)))
   }
 }

@@ -1,5 +1,7 @@
 package graft.model
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 import org.apache.spark.sql.types._
 
 /** Column constants and schemas for the transfer-report data model.
@@ -44,9 +46,40 @@ object TransferSchema {
   val srcFileCol = "_src_file"     // source workbook file name
   val sheetCol = "_sheet"          // sheet name within the workbook
   val rowIdxCol = "_row_idx"       // 0-based row index within the sheet (0 = header)
-  val arrivalSeqCol = "_arrival_seq" // global total order: file × sheet × row
+  val arrivalSeqCol = "_arrival_seq" // OPTIONAL explicit total order (input-supplied)
+  val epochCol = "_epoch"          // cross-batch merge epoch (MergeSink)
 
   val metaColumns: Seq[String] = Seq(srcFileCol, sheetCol, rowIdxCol, arrivalSeqCol)
+
+  /** The arrival total order (ascending), WITHOUT materializing a global
+    * sequence: the reference's physical insert order is (file name asc,
+    * sheet asc, row asc) — its sequential sorted-file loop
+    * (SQLiteDirectImporter.java:171, 480-486) — and every consumer
+    * (upsert winner, parent-map build, merge sink) only ever needs to
+    * COMPARE arrival order within a key, never a global row number. Sorting
+    * by the triple inside hash-partitioned windows keeps the whole ingest
+    * path shuffle-parallel; a materialized `row_number() OVER (ORDER BY …)`
+    * would funnel all rows through one task — the one thing a 100 TB ingest
+    * must not do.
+    *
+    * Precedence: `_epoch` (cross-batch, strictly later batches win) →
+    * `_arrival_seq` if the INPUT supplied an explicit order → the
+    * (file, sheet, row) triple → `monotonically_increasing_id()` as a
+    * last-resort arbitrary-but-stable order for meta-less frames.
+    */
+  def arrivalOrderAsc(columns: Seq[String]): Seq[Column] = {
+    val epoch = if (columns.contains(epochCol)) Seq(col(epochCol)) else Nil
+    val base =
+      if (columns.contains(arrivalSeqCol)) Seq(col(arrivalSeqCol))
+      else if (Seq(srcFileCol, sheetCol, rowIdxCol).forall(columns.contains))
+        Seq(col(srcFileCol), col(sheetCol), col(rowIdxCol))
+      else Seq(monotonically_increasing_id())
+    epoch ++ base
+  }
+
+  /** [[arrivalOrderAsc]] reversed: "latest arrival first" for last-wins. */
+  def arrivalOrderDesc(columns: Seq[String]): Seq[Column] =
+    arrivalOrderAsc(columns).map(_.desc)
 
   /** Raw (pre-coercion) schema: 19 string columns + ingest metadata. Missing
     * cells are empty string, never null (SQLiteDirectImporter.java:461-464, 534).

@@ -14,7 +14,9 @@ import graft.model.TransferSchema._
   * Two semantic quirks replicated exactly (SURVEY.md §7.5 item 2):
   *   - the build map keeps the LAST `(file_name → target_file_id)` inserted
   *     (map overwrite, SQLiteDirectImporter.java:810) → we reduce the build
-  *     side to one row per `file_name` by max `_arrival_seq` before joining;
+  *     side to one row per `file_name` by `max_by` over the arrival order
+  *     ([[graft.model.TransferSchema.arrivalOrderAsc]] as an orderable
+  *     struct — no global sequence materialized) before joining;
   *   - a miss leaves `parent_id` NULL (left-outer).
   *
   * Scale: the build side is `distinct file_name` of folder-bearing rows —
@@ -26,16 +28,15 @@ import graft.model.TransferSchema._
 object Parents {
 
   def apply(df: DataFrame): DataFrame = {
-    val hasSeq = df.columns.contains(arrivalSeqCol)
-    val ordered =
-      if (hasSeq) df.select(col("file_name"), col("target_file_id"), col(arrivalSeqCol))
-      else df.select(col("file_name"), col("target_file_id"),
-        monotonically_increasing_id().as(arrivalSeqCol))
+    // struct comparison is lexicographic by field → the arrival-order cols
+    // wrapped in one struct give max_by a total "latest arrival" order
+    val ordered = df.select(col("file_name"), col("target_file_id"),
+      struct(arrivalOrderAsc(df.columns.toSeq): _*).as("_ord"))
     // last-write-wins map build: one (file_name → target_file_id) per name
     val parents = ordered
       .filter(col("target_file_id").isNotNull) // null-guard, SQLiteDirectImporter.java:802
       .groupBy(col("file_name").as("_parent_name"))
-      .agg(max_by(col("target_file_id"), col(arrivalSeqCol)).as("_resolved_pid"))
+      .agg(max_by(col("target_file_id"), col("_ord")).as("_resolved_pid"))
     df.drop(parentIdCol)
       .join(broadcast(parents), col(parentFolderCol) === col("_parent_name"), "left")
       .withColumn(parentIdCol, col("_resolved_pid").cast("string"))

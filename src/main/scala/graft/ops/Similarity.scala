@@ -157,13 +157,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Per-JVM centroid cache: repeated ivfTopK calls over the same corpus
+    * (same canonicalized plan, same nlist) reuse the trained centroids
+    * instead of refitting — training is the expensive part, and at scale the
+    * corpus is static across many query batches.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Int, Array[Double])]]()
+
+  /** Train IVF coarse centroids on a BOUNDED sample of the corpus
+    * (`maxTrainRows`, default 100k): k-means quality needs only a
+    * representative sample, and an unbounded fit would scale training cost
+    * linearly with corpus size — the one thing a coarse quantizer must not
+    * do. Centroids are tiny (nlist × dim) and live on the driver.
+    */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+      maxTrainRows: Int = 100000): Array[(Int, Array[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val key = (corpus.queryExecution.logical.canonicalized.toString + "#" + vecCol,
+      nlist, maxTrainRows)
+    centroidCache.computeIfAbsent(key, { _ =>
+      val train = corpus
+        .select(array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+        .limit(maxTrainRows)
+      val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
+        .fit(train)
+      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
+    })
+  }
+
   /** IVF (inverted-file) ANN top-k: coarse k-means quantization of the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest cells
     * and ranks candidates by exact cosine. The standard
     * recall-vs-cost dial for vector search at scale:
     *
-    *   - centroids are trained once (sampled fit) and are tiny
-    *     (nlist × dim) — they broadcast; assignment is one narrow pass;
+    *   - centroids come from [[trainIvfCentroids]] — a bounded-sample fit,
+    *     cached per corpus plan, tiny (nlist × dim) — they broadcast;
+    *     assignment is one narrow pass;
     *   - the candidate join is `cell = cell` — a hash join whose right side
     *     is |corpus| × nprobe/nlist on average, never a cross join;
     *   - unlike hyperplane LSH, recall degrades gracefully on
@@ -173,19 +205,11 @@ object Similarity {
     * per-row is the engine's own expressions.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      maxTrainRows: Int = 100000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val train = corpus.select(array_to_vector(
-      transform(col(vecCol), x => x.cast("double"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
-      .fit(train)
-    val centroids: Array[(Int, Array[Double])] =
-      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
+    val centroids = trainIvfCentroids(corpus, vecCol, nlist, maxTrainRows)
 
     def nearestCells(v: Array[Float], n: Int): Seq[Int] =
       centroids.map { case (i, c) =>

@@ -9,12 +9,15 @@ import graft.model.TransferSchema._
 /** Keyed last-writer-wins dedup (J3/A4), replicating SQLite
   * `INSERT OR REPLACE` on `UNIQUE(file_name, target_file_id)`
   * (SQLiteDirectImporter.java:306, 711-729): the whole old row is replaced;
-  * the winner is the physically last arrival (file order × sheet × row order,
-  * ibid.:171, 480-486), carried explicitly as `_arrival_seq`.
+  * the winner is the physically last arrival — compared via
+  * [[graft.model.TransferSchema.arrivalOrderDesc]] (epoch, then the
+  * (file, sheet, row) triple or an input-supplied `_arrival_seq`), never a
+  * materialized global sequence.
   *
   * Physical shape at scale: one hash-partition shuffle on the key, then a
   * per-partition sort for `row_number` — Spark's standard window dedup. With
-  * AQE on, skewed keys split automatically. No driver-side state.
+  * AQE on, skewed keys split automatically. No driver-side state, no global
+  * sort anywhere.
   */
 object Upsert {
 
@@ -28,7 +31,7 @@ object Upsert {
   def apply(df: DataFrame): DataFrame = {
     val keyed = df.filter(col("target_file_id").isNotNull)
     val nullKeyed = df.filter(col("target_file_id").isNull)
-    dedupLastWins(keyed, upsertKey.map(col), Seq(col(arrivalSeqCol).desc))
+    dedupLastWins(keyed, upsertKey.map(col), arrivalOrderDesc(df.columns.toSeq))
       .union(nullKeyed)
   }
 

@@ -211,6 +211,79 @@ object Registry {
       |  COUNT(*) AS n FROM paths GROUP BY 1 ORDER BY level""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------------
+  // P5: parent_folder law — synthesized paths over `part` (word→segment),
+  // covering leading-slash, trailing-slash, blank, and NULL edge cases
+  // ------------------------------------------------------------------------
+  private def partPaths(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(col("p_partkey"),
+      when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+        .when(col("p_partkey") % 5 === 0, lit(""))
+        .when(col("p_partkey") % 3 === 0,
+          concat(lit("/"), regexp_replace(col("p_name"), " ", "/")))
+        .when(col("p_partkey") % 11 === 0,
+          concat(regexp_replace(col("p_name"), " ", "/"), lit("//")))
+        .otherwise(regexp_replace(col("p_name"), " ", "/")).as("path"))
+
+  private val partPathsSql =
+    """SELECT p_partkey,
+      | CASE WHEN p_partkey % 7 = 0 THEN NULL
+      |      WHEN p_partkey % 5 = 0 THEN ''
+      |      WHEN p_partkey % 3 = 0 THEN '/' || regexp_replace(p_name, ' ', '/', 'g')
+      |      WHEN p_partkey % 11 = 0 THEN regexp_replace(p_name, ' ', '/', 'g') || '//'
+      |      ELSE regexp_replace(p_name, ' ', '/', 'g') END AS path
+      | FROM part""".stripMargin.replace("\n", " ")
+
+  def qParentFolder(spark: SparkSession, dir: String): DataFrame =
+    partPaths(spark, dir).select(col("p_partkey"), col("path"),
+      PathOps.level(col("path")).cast("bigint").as("level"),
+      PathOps.parentFolder(col("path")).as("parent_folder"))
+      .orderBy("p_partkey")
+
+  val qParentFolderSql: String =
+    s"""WITH paths AS ($partPathsSql),
+       | lv AS (SELECT p_partkey, path,
+       |   regexp_replace(regexp_replace(path, '^/', ''), '/+$$', '') AS clean FROM paths)
+       | SELECT p_partkey, path,
+       |  CAST(CASE WHEN path IS NULL OR trim(path) = '' OR clean = '' THEN 0
+       |    ELSE len(string_split(clean, '/')) END AS BIGINT) AS level,
+       |  CASE WHEN CASE WHEN path IS NULL OR trim(path) = '' OR clean = '' THEN 0
+       |         ELSE len(string_split(clean, '/')) END <= 1 THEN NULL
+       |       WHEN length(path) - strpos(reverse(path), '/') > 0
+       |         THEN substring(path, 1, length(path) - strpos(reverse(path), '/'))
+       |       ELSE NULL END AS parent_folder
+       | FROM lv ORDER BY p_partkey""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // P6: job_name law — workbook names synthesized over `part`, covering the
+  // case-SENSITIVE extension strip and the blank/NULL → 'Unknown' branch
+  // ------------------------------------------------------------------------
+  def qJobName(spark: SparkSession, dir: String): DataFrame = {
+    val name = when(col("p_partkey") % 9 === 0, lit(null).cast("string"))
+      .when(col("p_partkey") % 5 === 0, lit("   "))
+      .when(col("p_partkey") % 4 === 0, concat(col("p_name"), lit(".xlsx")))
+      .when(col("p_partkey") % 4 === 1, concat(col("p_name"), lit(".xls")))
+      .when(col("p_partkey") % 4 === 2, concat(col("p_name"), lit(".XLSX")))
+      .otherwise(col("p_name"))
+    t(spark, dir, "part")
+      .select(col("p_partkey"), name.as("wb_name"))
+      .select(col("p_partkey"), col("wb_name"), PathOps.jobName(col("wb_name")).as("job_name"))
+      .orderBy("p_partkey")
+  }
+
+  val qJobNameSql: String =
+    """WITH names AS (SELECT p_partkey,
+      |  CASE WHEN p_partkey % 9 = 0 THEN NULL
+      |       WHEN p_partkey % 5 = 0 THEN '   '
+      |       WHEN p_partkey % 4 = 0 THEN p_name || '.xlsx'
+      |       WHEN p_partkey % 4 = 1 THEN p_name || '.xls'
+      |       WHEN p_partkey % 4 = 2 THEN p_name || '.XLSX'
+      |       ELSE p_name END AS wb_name FROM part)
+      | SELECT p_partkey, wb_name,
+      |  CASE WHEN wb_name IS NULL OR trim(wb_name) = '' THEN 'Unknown'
+      |       ELSE trim(regexp_replace(wb_name, '\.(xlsx|xls)$', '')) END AS job_name
+      | FROM names ORDER BY p_partkey""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
   // O3: top-k statuses (TakeOrderedAndProject)
   // ------------------------------------------------------------------------
   def qTopStatuses(spark: SparkSession, dir: String): DataFrame =
@@ -294,20 +367,25 @@ object Registry {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+        // aggregate in the DECIMAL domain for exactness, but emit DOUBLE:
+        // the driver comparator renders Decimal differently between its
+        // parquet-read and DuckDB paths (r1 hash FAIL), and the exact
+        // decimal→double conversion is deterministic on both engines.
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("sum_qty"),
         // multiply in the DECIMAL domain: both factors are clean 2-decimal
         // values, so the product is exact — no double→decimal tie-rounding
         // (Spark HALF_UP vs DuckDB half-even would split on x.xx5 products)
         sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
-          .cast("decimal(27,4)").as("revenue"),
+          .cast("decimal(27,4)").cast("double").as("revenue"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val qLineitemAggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(27,4)) AS revenue,
+      | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue,
       | COUNT(*) AS n FROM lineitem
       | GROUP BY l_returnflag, l_linestatus
       | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
@@ -319,13 +397,16 @@ object Registry {
     t(spark, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        // decimal-exact sum, DOUBLE on the wire (driver comparator can't
+        // hash Decimal consistently — see qLineitemAgg note)
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
       .orderBy("window_start", "event_type")
 
   val qEventWindowsSql: String =
     """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
       | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------------
@@ -351,7 +432,7 @@ object Registry {
       | SELECT min(ts) AS session_start,
       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
       |  user_id, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
       | FROM s GROUP BY user_id, sid
       | ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")
 
@@ -369,16 +450,22 @@ object Registry {
       | min(doc_id) AS survivor_id, COUNT(*) AS dup_count
       | FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin.replace("\n", " ")
 
-  /** Per-document text statistics + deterministic quality score. */
+  /** Per-document text statistics + deterministic quality score.
+    *
+    * ONE tokenization per row via mapPartitions (TextFns.statsScala): the
+    * expression forms re-run the interpreted token pipeline once per output
+    * column (the measured HOF trap — Dedup.shingleHashFrame cost note).
+    * Bit-equality with the expression laws is pinned by TextFnsSpec.
+    */
   def qTextStats(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFns._
-    t(spark, dir, "documents").select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      subwordCount(col("text")).as("n_subwords"),
-      punctCount(col("text")).as("n_punct"),
-      stopwordCount(col("text")).as("n_stopwords"),
-      qualityScore(col("text")).as("quality"))
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = graft.functions.TextFns.statsScala(text)
+        (id, s.nTokens, s.nSubwords, s.nPunct, s.nStopwords, s.quality)
+      })
+      .toDF("doc_id", "n_tokens", "n_subwords", "n_punct", "n_stopwords", "quality")
       .orderBy("doc_id")
   }
 
@@ -388,11 +475,16 @@ object Registry {
   // propagates NULL (DuckDB regexp over NULL); the documents table has no
   // null text, and hardening the SQL would bloat every expression — revisit
   // only if a null-text source appears.
-  // regex-trim both ends (not SQL trim: spaces only) — mirrors TextFns.tokens
-  private val tokensSql =
-    "regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
-  private val lowerTokensSql =
-    "regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+  // regex-trim both ends (not SQL trim: spaces only) — mirrors TextFns.tokens,
+  // including the blank-text branch: regexp_split_to_array('') yields ['']
+  // (n_tokens=1), while the engine's law says blank → empty array
+  private def tokensSqlOf(src: String): String = {
+    val trimmed = s"regexp_replace($src, '^\\s+|\\s+$$', '', 'g')"
+    s"(CASE WHEN $trimmed = '' THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE regexp_split_to_array($trimmed, '\\s+') END)"
+  }
+  private val tokensSql = tokensSqlOf("text")
+  private val lowerTokensSql = tokensSqlOf("lower(text)")
   private def hitsSql(words: Seq[String]) =
     s"len(list_filter($lowerTokensSql, tk -> tk IN (${words.map("'" + _ + "'").mkString(",")})))"
 
@@ -433,13 +525,23 @@ object Registry {
        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
-  /** Quality gate: the filter stage of a training-data pipeline. */
+  /** Quality gate: the filter stage of a training-data pipeline. Same
+    * one-pass mapPartitions form as [[qTextStats]] — the filter context made
+    * the expression form worst-case (Catalyst duplicated the inlined token
+    * pipeline ~4× per row; 2.25 s vs 0.60 s at sf0.1 in BENCH_r01).
+    */
   def qQualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFns._
+    import spark.implicits._
     t(spark, dir, "documents")
-      .filter(tokenCount(col("text")).between(20, 1000) &&
-        qualityScore(col("text")) >= 0.5)
-      .select("doc_id", "lang", "n_chars")
+      .select(col("doc_id").cast("long"), col("lang"), col("n_chars").cast("long"), col("text"))
+      .as[(Long, String, Long, String)]
+      .mapPartitions(_.flatMap { case (id, lang, nChars, text) =>
+        val s = graft.functions.TextFns.statsScala(text)
+        if (s.nTokens >= 20 && s.nTokens <= 1000 && s.quality >= 0.5)
+          Iterator.single((id, lang, nChars))
+        else Iterator.empty
+      })
+      .toDF("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -550,6 +652,8 @@ object Registry {
     "q_parent_join" -> (qParentJoin _),
     "q_hierarchy_recursive" -> (qHierarchyRecursive _),
     "q_level_counts" -> (qLevelCounts _),
+    "q_parent_folder" -> (qParentFolder _),
+    "q_job_name" -> (qJobName _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -586,6 +690,8 @@ object Registry {
          | SELECT file_name, target_file_id, depth, path FROM tree
          | ORDER BY path, target_file_id""".stripMargin.replace("\n", " "),
     "q_level_counts" -> qLevelCountsSql,
+    "q_parent_folder" -> qParentFolderSql,
+    "q_job_name" -> qJobNameSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, hash, lit, max, pmod}
 
+import graft.model.TransferSchema.epochCol
 import graft.ops.Upsert
 
 /** Keyed-merge parquet sink: the cross-batch analog of the reference's
@@ -10,52 +12,113 @@ import graft.ops.Upsert
   * one row per key instead of appending (re-ingesting the same report is
   * idempotent, as with the reference's re-runs — SURVEY.md §2.8).
   *
-  * Mechanics: union the incoming resolved batch with current state, re-run
-  * the keyed last-wins upsert on `_arrival_seq`, write to a staging dir,
-  * then atomically swap directories. The swap gives readers
-  * all-or-nothing visibility on a filesystem with atomic rename.
+  * State layout: parquet partitioned by `_bucket` = hash(upsert key) mod
+  * `numBuckets`. Every row of a given key lands in exactly one bucket, so a
+  * per-bucket keyed upsert equals the global one. A merge touches ONLY the
+  * buckets the incoming batch hashes into — dynamic partition overwrite
+  * replaces just those directories and leaves every other bucket's files
+  * untouched (byte-identical). Cost per batch is O(batch + dirty-bucket
+  * state), not O(total state): the property a 100 TB keyed table needs from
+  * its drop-folder cadence.
   *
-  * Scale notes: this is the portable-parquet form of a table-format MERGE —
-  * on a real deployment the same call site targets Delta/Iceberg
-  * `MERGE INTO`, which replaces the full-state rewrite with file-level
-  * upserts. State is re-shuffled once per batch on the upsert key; for
-  * drop-folder cadences (bounded batches over a large keyed table) prefer
-  * the table-format path.
+  * Cross-batch ordering: each merge stamps the batch with a strictly
+  * increasing `_epoch` (persisted in a `_graft_meta` sidecar; underscore
+  * files are invisible to Spark's file index). Within the upsert, epoch
+  * dominates the arrival order (TransferSchema.arrivalOrderAsc), so a
+  * re-shipped key whose per-batch sequence restarted still loses to nothing
+  * and beats every earlier epoch — the reference's wall-clock insert order
+  * across runs.
+  *
+  * Visibility: partition overwrite commits per-bucket, so a concurrent
+  * reader can observe some buckets new and some old mid-merge (the previous
+  * whole-directory swap had its own no-directory window). Crash recovery is
+  * re-running the merge: the keyed upsert is idempotent. On a real
+  * deployment the same call site targets a table format (Delta/Iceberg
+  * `MERGE INTO`) for snapshot-atomic visibility.
   */
 object MergeSink {
 
-  /** Merge `resolved` (post-pipeline rows carrying `_arrival_seq`) into the
-    * keyed state at `statePath`. Returns the new state row count.
-    *
-    * The incoming batch's `_arrival_seq` is REBASED above the state's max:
-    * sequences restart per report batch, so without the epoch bump a stale
-    * state row with an equal-or-higher seq would beat the newer arrival and
-    * the update would be silently discarded. Within-batch order is
-    * preserved; batches become strictly later epochs — matching the
-    * reference's wall-clock insert order across runs.
+  private val bucketColName = "_bucket"
+
+  /** Merge `resolved` (post-pipeline rows carrying arrival-order metadata)
+    * into the keyed state at `statePath`. Returns the new state row count.
     */
-  def merge(spark: SparkSession, resolved: DataFrame, statePath: String): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max}
-    import graft.model.TransferSchema.arrivalSeqCol
-    val hconf = spark.sparkContext.hadoopConfiguration
+  def merge(spark: SparkSession, resolved: DataFrame, statePath: String,
+      numBuckets: Int = 64): Long = {
     val state = new Path(statePath)
-    val fs = state.getFileSystem(hconf)
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "state exists" = it has the sidecar or at least one bucket dir — a
+    // merely-created empty directory is a fresh state, not a crash
+    val exists = fs.exists(state) && (fs.exists(metaFile(state)) ||
+      fs.listStatus(state).exists(_.getPath.getName.startsWith(bucketColName + "=")))
+    val (epoch, prevTotal) = readMeta(fs, state, spark, statePath, exists)
+
+    // bucket by the upsert key's hash: same key → same bucket, always
+    val withBucket = resolved
+      .withColumn(epochCol, lit(epoch + 1))
+      .withColumn(bucketColName,
+        pmod(hash(col("file_name"), col("target_file_id")), lit(numBuckets)))
+
+    // buckets this batch touches — bounded by numBuckets, safe to collect
+    val dirty = withBucket.select(bucketColName).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
     val merged =
-      if (fs.exists(state)) {
-        val existing = spark.read.parquet(statePath)
-        val epoch = existing.agg(max(col(arrivalSeqCol))).head().getLong(0)
-        val rebased = resolved.withColumn(arrivalSeqCol, col(arrivalSeqCol) + lit(epoch))
-        Upsert(existing.union(rebased))
-      } else Upsert(resolved)
-    val staging = new Path(statePath + "._staging")
-    fs.delete(staging, true)
-    merged.write.parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
-    val old = new Path(statePath + "._old")
-    fs.delete(old, true)
-    if (fs.exists(state)) fs.rename(state, old)
-    fs.rename(staging, state)
-    fs.delete(old, true)
-    n
+      if (exists) {
+        // partition pruning: only the dirty buckets' files are read
+        val dirtyState = spark.read.parquet(statePath)
+          .filter(col(bucketColName).isin(dirty: _*))
+          .persist()
+        val prevDirty = dirtyState.count()
+        val m = Upsert(dirtyState.unionByName(withBucket)).persist()
+        m.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(bucketColName)
+          .parquet(statePath)
+        val total = prevTotal - prevDirty + m.count()
+        dirtyState.unpersist(); m.unpersist()
+        total
+      } else {
+        val m = Upsert(withBucket).persist()
+        m.write.mode("overwrite").partitionBy(bucketColName).parquet(statePath)
+        val total = m.count()
+        m.unpersist()
+        total
+      }
+    writeMeta(fs, state, epoch + 1, merged)
+    merged
   }
+
+  /** Current (epoch, total rows). Prefers the sidecar; falls back to a scan
+    * with a null-guard (empty-but-existing state ⇒ epoch 0, count 0) so a
+    * state directory with zero rows never throws.
+    */
+  private def readMeta(fs: org.apache.hadoop.fs.FileSystem, state: Path,
+      spark: SparkSession, statePath: String, exists: Boolean): (Long, Long) = {
+    if (!exists) return (0L, 0L)
+    val meta = metaFile(state)
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      line.split(',') match {
+        case Array(e, t) => (e.toLong, t.toLong)
+        case _ => scanMeta(spark, statePath)
+      }
+    } else scanMeta(spark, statePath)
+  }
+
+  private def scanMeta(spark: SparkSession, statePath: String): (Long, Long) = {
+    val df = spark.read.parquet(statePath)
+    val row = df.agg(coalesce(max(col(epochCol)), lit(0L)), org.apache.spark.sql.functions.count(lit(1))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, state: Path,
+      epoch: Long, total: Long): Unit = {
+    val out = fs.create(metaFile(state), true)
+    try out.write(s"$epoch,$total".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def metaFile(state: Path) = new Path(state, "_graft_meta")
 }

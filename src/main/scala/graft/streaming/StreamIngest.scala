@@ -71,7 +71,10 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        // decimal-exact sum, DOUBLE on the wire (exact decimal→double is
+        // deterministic; Decimal columns hash inconsistently downstream)
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
   /** Streaming exactly-once event dedup: watermark-bounded state keyed on
@@ -115,7 +118,9 @@ object StreamIngest {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+        // decimal-exact sum, DOUBLE on the wire (see windowedEventCounts)
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 }

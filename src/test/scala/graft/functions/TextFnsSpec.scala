@@ -42,6 +42,37 @@ class TextFnsSpec extends SparkSpec {
     assert(one[Double]("", TextFns.qualityScore(col("t"))) === 0.0)
   }
 
+  test("statsScala twin: bit-equal to the expression laws on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaExprs = docs.select(
+      col("doc_id"),
+      TextFns.tokenCount(col("text")).as("n_tokens"),
+      TextFns.subwordCount(col("text")).as("n_subwords"),
+      TextFns.punctCount(col("text")).as("n_punct"),
+      TextFns.stopwordCount(col("text")).as("n_stopwords"),
+      TextFns.qualityScore(col("text")).as("quality"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val viaScala = docs.select("doc_id", "text").collect().map { r =>
+      val s = TextFns.statsScala(r.getString(1))
+      r.getLong(0) -> (s.nTokens, s.nSubwords, s.nPunct, s.nStopwords, s.quality)
+    }.toMap
+    assert(viaScala === viaExprs) // exact ==, including the double quality
+  }
+
+  test("statsScala twin: edge cases match the expression laws") {
+    for (text <- Seq("", "   ", "a", "the the the", "Hi, there! Ok?",
+        "x\ty \n z", "zzz!!! ??? ... ;;; :::")) {
+      val r = Seq(text).toDF("t").select(
+        TextFns.tokenCount(col("t")), TextFns.subwordCount(col("t")),
+        TextFns.punctCount(col("t")), TextFns.stopwordCount(col("t")),
+        TextFns.qualityScore(col("t"))).head
+      val s = TextFns.statsScala(text)
+      assert((s.nTokens, s.nSubwords, s.nPunct, s.nStopwords, s.quality) ===
+        ((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))), s"text=<$text>")
+    }
+  }
+
   test("shingles: distinct n-grams, short text → empty") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFns.shingles(col("t"), 3)).head.getSeq[String](0)

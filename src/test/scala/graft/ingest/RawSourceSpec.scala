@@ -86,12 +86,18 @@ class RawSourceSpec extends SparkSpec {
     assert(resolved.head.getAs[String]("file_status") === "status12") // 12 beats 9
   }
 
-  test("parquet adapter synthesizes metadata when columns are missing") {
+  test("parquet adapter synthesizes the (file, sheet, row) triple when missing") {
     val dir = Files.createTempDirectory("graft-src-bare").toString
     PipelineFixture.raw(spark).drop(metaColumns: _*)
       .write.mode("overwrite").parquet(dir)
     val raw = ParquetRawSource.load(spark, dir)
-    assert(metaColumns.forall(raw.columns.contains))
+    // the order triple is synthesized; no global _arrival_seq is materialized
+    // (arrival order is compared lazily — see TransferSchema.arrivalOrderAsc)
+    assert(Seq(srcFileCol, sheetCol, rowIdxCol).forall(raw.columns.contains))
+    assert(!raw.columns.contains(arrivalSeqCol))
     assert(raw.select(srcFileCol).distinct().count() >= 1) // from input_file_name
+    // pipeline still resolves deterministically without the sequence
+    val resolved = Pipeline.run(spark, dir)
+    assert(resolved.count() === viaParquet.count())
   }
 }

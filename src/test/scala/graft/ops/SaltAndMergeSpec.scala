@@ -47,4 +47,38 @@ class SaltAndMergeSpec extends SparkSpec {
     // idempotence: merging batch2 again changes nothing
     assert(MergeSink.merge(spark, batch2, state) === 8)
   }
+
+  test("merge sink: untouched buckets' files stay byte-identical across a merge") {
+    val state = Files.createTempDirectory("graft-merge-buckets").toString + "/state"
+    val resolved = Pipeline.resolve(Enrich(Coerce(PipelineFixture.raw(spark))))
+    MergeSink.merge(spark, resolved, state, numBuckets = 16)
+
+    def snapshot(): Map[String, Seq[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(state))
+        .filter(f => f.getPath.contains("_bucket=") && f.getName.startsWith("part-"))
+        .map(f => f.getPath.stripPrefix(state) ->
+          Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    // single-key follow-up batch → exactly one dirty bucket
+    val batch = resolved.filter($"file_name" === "Root/Sub/a.pdf")
+      .withColumn("file_status", lit("retouched"))
+    MergeSink.merge(spark, batch, state, numBuckets = 16)
+    val dirtyBucket = batch
+      .select(pmod(hash($"file_name", $"target_file_id"), lit(16)).as("b"))
+      .head.getInt(0)
+
+    val after = snapshot()
+    val untouchedBefore = before.filter(!_._1.contains(s"_bucket=$dirtyBucket"))
+    val untouchedAfter = after.filter(!_._1.contains(s"_bucket=$dirtyBucket"))
+    // same file names, same bytes — those directories were never rewritten
+    assert(untouchedBefore === untouchedAfter)
+    // and the dirty bucket did change (the status update landed)
+    assert(spark.read.parquet(state).filter($"file_name" === "Root/Sub/a.pdf")
+      .head.getAs[String]("file_status") === "retouched")
+  }
 }

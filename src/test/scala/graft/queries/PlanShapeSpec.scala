@@ -47,4 +47,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_cosine"))
     assert(p.contains("Broadcast"))
   }
+
+  test("ingest path: no single-partition exchange, no un-partitioned window") {
+    // the full default pipeline (scan → coerce → enrich → upsert → parents)
+    // must stay shuffle-parallel end to end: a SinglePartition exchange means
+    // some stage funnels every ingest row through one task (the r1 global
+    // arrival-seq window did exactly that)
+    import java.nio.file.Files
+    val d = Files.createTempDirectory("graft-plan-ingest").toString
+    graft.pipeline.PipelineFixture.raw(spark).write.mode("overwrite").parquet(d)
+    val p = graft.pipeline.Pipeline.run(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"ingest plan funnels through one partition:\n$p")
+  }
 }
