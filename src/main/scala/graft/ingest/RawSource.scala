@@ -104,6 +104,59 @@ object CsvRawSource extends RawSource {
   }
 }
 
+/** XLSX-backed raw source — the reference's PRIMARY input format
+  * (SQLiteDirectImporter.java:330-379), read dependency-free via [[Xlsx]]
+  * (JDK zip + StAX; no POI, which is unavailable offline).
+  *
+  * Distribution model: one workbook per task. The xlsx container is a ZIP
+  * whose sheet parts are single compressed streams, so a file is the unit
+  * of scan parallelism — the cluster parallelizes across the drop-folder's
+  * files (the reference processes them one by one on one thread). File
+  * paths must be visible to executors (local/NFS mounts; on object stores,
+  * localize first — the workbook format itself precludes split reads).
+  *
+  * The `Transfer Report*` sheet predicate is applied AT SCAN (non-matching
+  * sheets are never parsed, SQLiteDirectImporter.java:349); the shared
+  * `sheetFilter` then re-asserts it and drops header rows, identically to
+  * every other adapter.
+  */
+object XlsxRawSource extends RawSource {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  private val scanSchema = StructType(
+    dbColumns.map(c => StructField(c, StringType, nullable = false)) ++ Seq(
+      StructField(srcFileCol, StringType, nullable = false),
+      StructField(sheetCol, StringType, nullable = false),
+      StructField(rowIdxCol, LongType, nullable = false)))
+
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val files = ReportFiles.list(path, extensions = Seq("xlsx")).map(_.toString)
+    val nCols = dbColumns.size
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val name = new java.io.File(f).getName
+        Xlsx.scanRows(new java.io.File(f), _.startsWith("Transfer Report"))
+          .map { case (sheet, rowIdx, cells) =>
+            // positional pad/truncate to the 19-column band
+            // (SQLiteDirectImporter.java:460-464, 511-513)
+            val vals = new Array[Any](nCols + 3)
+            var i = 0
+            while (i < nCols) {
+              vals(i) = if (i < cells.length && cells(i) != null) cells(i) else ""
+              i += 1
+            }
+            vals(nCols) = name
+            vals(nCols + 1) = sheet
+            vals(nCols + 2) = rowIdx
+            Row.fromSeq(vals.toIndexedSeq)
+          }
+      }
+    sheetFilter(positional(spark.createDataFrame(rows, scanSchema)))
+  }
+}
+
 /** JSON-lines raw source: one object per row; values read as strings (the
   * engine owns typing, like every other adapter).
   */

@@ -60,6 +60,24 @@ object Demo {
         val out = Pipeline.run(spark, s"$workDir/source", graft.ingest.CsvRawSource)
         graft.views.Analytic.registerAll(spark, out)
         out
+      case "xlsx" =>
+        // real .xlsx workbooks through the dependency-free reader: the
+        // fixture rows become two workbooks (JobA/JobB), read back through
+        // Pipeline.run with XlsxRawSource — the reference's primary format
+        val srcDir = new java.io.File(s"$workDir/source"); srcDir.mkdirs()
+        val stage = s"$workDir/stage-raw"
+        writeFixture(spark, stage)
+        val raw = spark.read.parquet(stage).collect()
+          .groupBy(_.getAs[String]("_src_file"))
+        raw.foreach { case (src, rows) =>
+          val data = rows.sortBy(_.getAs[Long]("_row_idx")).toSeq
+            .map(r => (0 until 19).map(i => Option(r.getString(i)).getOrElse("")))
+          graft.ingest.XlsxWriter.write(new java.io.File(srcDir, src),
+            "Transfer Report", TransferSchema.excelHeaders, data.iterator)
+        }
+        val out = Pipeline.run(spark, srcDir.toString, graft.ingest.XlsxRawSource)
+        graft.views.Analytic.registerAll(spark, out)
+        out
       case _ =>
         writeFixture(spark, s"$workDir/source")
         Pipeline.runAndRegister(spark, s"$workDir/source")

@@ -1,0 +1,170 @@
+package graft.ingest
+
+import java.io.File
+import java.nio.file.Files
+import java.util.zip.ZipFile
+
+import graft.SparkSpec
+import graft.model.TransferSchema._
+import graft.pipeline.Pipeline
+
+/** The dependency-free .xlsx reader (S2) and Overview extractor (K4) against
+  * REAL zip workbooks written by [[XlsxFixture]] — covering shared strings,
+  * inline strings, numeric General formatting, sparse-cell padding, the
+  * `Transfer Report*` sheet predicate, header skip, and the zip-surgery
+  * single-sheet subset.
+  */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val headers = excelHeaders
+
+  // the 19-column data rows of PipelineFixture, grouped by workbook
+  private def dataRow(fn: String, size: String, id: String, status: String,
+      serial: String): Seq[String] =
+    Seq(fn, size, "", id, "", "", serial, "", "", "", "", "", "", "", "",
+      status, "", "", "")
+
+  private val jobARows = Seq(
+    dataRow("Root", "0", "1001", "success", "45000.5"),
+    dataRow("Root/Sub", "", "1002", "success", "0"),
+    dataRow("Root/Sub/a.pdf", "2048", "1003", "match-exists", "45123.25"),
+    dataRow("Root/Sub/b.pdf", "abc", "1004", "filtered", "notadate"),
+    dataRow("/lead/slash.txt", "10", "1005", "success", ""),
+    dataRow("Root/Sub/a.pdf", "4096", "1003", "success", ""),
+    dataRow("Orphan/child.txt", "5", "1006", "weird status!", ""),
+    dataRow("", "0", "1007", "", ""))
+  private val jobBRows = Seq(
+    dataRow("Root", "0", "1001", "resent", ""),
+    dataRow("/lead", "0", "1008", "success", ""))
+
+  private def writeFixtureDir(): String = {
+    val dir = Files.createTempDirectory("graft-xlsx").toString
+    XlsxFixture.write(new File(dir, "JobA.xlsx"), Seq(
+      "Transfer Report" -> (Seq(headers) ++ jobARows),
+      // non-matching sheet: must be skipped without being parsed
+      "Summary" -> Seq(Seq("junk", "columns"), Seq("1", "2"))))
+    XlsxFixture.write(new File(dir, "JobB.xlsx"), Seq(
+      "Transfer Report 2" -> (Seq(headers) ++ jobBRows)))
+    // Office temp file: must be ignored by the directory scan
+    XlsxFixture.write(new File(dir, "~$JobA.xlsx"), Seq(
+      "Transfer Report" -> Seq(headers)))
+    dir
+  }
+
+  test("xlsx pipeline end-to-end equals the parquet adapter result") {
+    val xlsxDir = writeFixtureDir()
+    val viaXlsx = Pipeline.run(spark, xlsxDir, XlsxRawSource)
+
+    val pqDir = Files.createTempDirectory("graft-xlsx-pq").toString
+    graft.pipeline.PipelineFixture.raw(spark).write.mode("overwrite").parquet(pqDir)
+    val viaParquet = Pipeline.run(spark, pqDir)
+
+    assert(viaXlsx.count() === viaParquet.count())
+    val cols = Seq("file_name", "file_status", "source_file_size", "creation_time",
+      "level", "parent_folder", "parent_id", "job_name")
+    val a = viaXlsx.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).toSet
+    val b = viaParquet.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    // job_name derives from the workbook file name (extension stripped)
+    assert(viaXlsx.filter($"file_name" === "Root").head.getAs[String]("job_name") === "JobB")
+  }
+
+  test("scanRows: sheet predicate, header row present, sparse padding, formats") {
+    val dir = Files.createTempDirectory("graft-xlsx-scan").toString
+    val f = new File(dir, "W.xlsx")
+    XlsxFixture.write(f, Seq(
+      "Transfer Report" -> Seq(Seq("H1", "H2", "H3", "H4"),
+        Seq("alpha", "", "", "2048.0"), // sparse middle cells, integral double
+        Seq("beta", "x y", "0.50", "")),
+      "Notes" -> Seq(Seq("should", "not", "appear"))))
+    val rows = Xlsx.scanRows(f, _.startsWith("Transfer Report")).toVector
+    assert(rows.map(_._1).distinct === Vector("Transfer Report"))
+    assert(rows.map(_._2) === Vector(0L, 1L, 2L)) // header included at idx 0
+    val r1 = rows(1)._3
+    assert(r1.toSeq === Seq("alpha", "", "", "2048")) // padded + General format
+    val r2 = rows(2)._3
+    assert(r2.toSeq === Seq("beta", "x y", "0.5"))
+  }
+
+  test("colIndex and formatGeneral laws") {
+    assert(Xlsx.colIndex("A1") === 0)
+    assert(Xlsx.colIndex("B3") === 1)
+    assert(Xlsx.colIndex("Z9") === 25)
+    assert(Xlsx.colIndex("AA10") === 26)
+    assert(Xlsx.colIndex("AS1") === 44)
+    assert(Xlsx.formatGeneral("2048") === "2048")
+    assert(Xlsx.formatGeneral("2048.0") === "2048")
+    assert(Xlsx.formatGeneral("45000.5") === "45000.5")
+    assert(Xlsx.formatGeneral("0.50") === "0.5")
+    assert(Xlsx.formatGeneral("0") === "0")
+    assert(Xlsx.formatGeneral("abc") === "abc") // non-numeric passes through
+  }
+
+  test("XlsxWriter round-trip: written workbook reads back through the reader") {
+    val dir = Files.createTempDirectory("graft-xlsx-w").toString
+    val f = new File(dir, "out.xlsx")
+    XlsxWriter.write(f, "Transfer Report X",
+      Seq("A", "B", "C"),
+      Iterator(Seq("r1a", "", "3.50"), Seq("r2 & <odd>", "x", "")))
+    val rows = Xlsx.scanRows(f, _.startsWith("Transfer Report")).toVector
+    assert(rows.map(_._3.toSeq) === Vector(
+      Seq("A", "B", "C"),
+      Seq("r1a", "", "3.5"),
+      Seq("r2 & <odd>", "x"))) // trailing empty stays absent; XML-escaped text survives
+  }
+
+  test("XlsxWriter.writeFrame: DataFrame report export round-trips") {
+    val dir = Files.createTempDirectory("graft-xlsx-wf").toString
+    val f = new File(dir, "report.xlsx")
+    val df = Seq((1L, "success", 4.5), (2L, "filtered", 0.0)).toDF("id", "status", "score")
+    XlsxWriter.writeFrame(df, f, "Transfer Report Out")
+    val rows = Xlsx.scanRows(f, _.startsWith("Transfer Report")).toVector
+    assert(rows.head._3.toSeq === Seq("id", "status", "score"))
+    assert(rows(1)._3.toSeq === Seq("1", "success", "4.5"))
+    assert(rows(2)._3.toSeq === Seq("2", "filtered", "0")) // 0.0 → General "0"
+  }
+
+  test("overview extract: single-sheet subset, artifacts preserved, round-trips") {
+    val dir = Files.createTempDirectory("graft-ovw").toString
+    val src = new File(dir, "Report.xlsx")
+    XlsxFixture.write(src, Seq(
+      "Transfer Report" -> Seq(Seq("H"), Seq("data")),
+      "Overview" -> Seq(Seq("Metric", "Value"), Seq("total", "42"))),
+      extraEntries = Seq(
+        "xl/media/image1.png" -> Array[Byte](1, 2, 3),
+        "xl/styles.xml" -> "<styleSheet/>".getBytes("UTF-8")))
+
+    val out = OverviewExtract.extract(src).get
+    assert(out.getName === "Transfer-Overview-Report.xlsx")
+
+    // zip-validates and contains ONLY the Overview worksheet part
+    val zf = new ZipFile(out)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.count(_.startsWith("xl/worksheets/")) === 1)
+      assert(names.contains("xl/media/image1.png")) // artifact fidelity
+      assert(names.contains("xl/styles.xml"))
+      assert(Xlsx.sheetRefs(zf).map(_.name) === Seq("Overview"))
+    } finally zf.close()
+
+    // round-trip: the reader layer reads the extracted sheet's data
+    val rows = Xlsx.scanRows(out, _ == "Overview").toVector
+    assert(rows.map(_._3.toSeq) === Vector(Seq("Metric", "Value"), Seq("total", "42")))
+
+    // the extractor's own outputs are skipped on a re-scan of the folder
+    val rescan = ReportFiles.listSkippingOverviewOutputs(dir, Seq("xlsx"))
+    assert(rescan.map(_.getFileName.toString) === Seq("Report.xlsx"))
+
+    // a workbook without an Overview sheet is skipped, not an error
+    val noOvw = new File(dir, "Plain.xlsx")
+    XlsxFixture.write(noOvw, Seq("Transfer Report" -> Seq(Seq("H"))))
+    assert(OverviewExtract.extract(noOvw).isEmpty)
+  }
+}
