@@ -169,23 +169,112 @@ object Similarity {
     * (`maxTrainRows`, default 100k): k-means quality needs only a
     * representative sample, and an unbounded fit would scale training cost
     * linearly with corpus size — the one thing a coarse quantizer must not
-    * do. Centroids are tiny (nlist × dim) and live on the driver.
+    * do.
+    *
+    * The fit itself runs DRIVER-SIDE (seeded k-means++ init + fixed Lloyd
+    * iterations over the collected sample): because the sample is bounded,
+    * driver training is scale-safe by construction, deterministic, and
+    * avoids the ~2 Spark jobs PER ITERATION a distributed fit schedules —
+    * which dominated wall-clock at every corpus size (the work is tiny; the
+    * job overhead isn't). Centroids are nlist × dim and broadcast from the
+    * driver either way.
     */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
       maxTrainRows: Int = 100000): Array[(Int, Array[Double])] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
     val key = (corpus.queryExecution.logical.canonicalized.toString + "#" + vecCol,
       nlist, maxTrainRows)
     centroidCache.computeIfAbsent(key, { _ =>
-      val train = corpus
-        .select(array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+      val sample: Array[Array[Double]] = corpus
+        .select(transform(col(vecCol), x => x.cast("double")).as("v"))
         .limit(maxTrainRows)
-      val model = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("features")
-        .fit(train)
-      model.clusterCenters.zipWithIndex.map { case (c: Vector, i) => (i, c.toArray) }
+        .collect().map(_.getSeq[Double](0).toArray)
+      lloyd(sample, nlist, iters = 15, seed = 42L).zipWithIndex.map(_.swap)
     })
+  }
+
+  /** Seeded k-means++ init + `iters` Lloyd iterations; empty clusters are
+    * re-seeded to the point farthest from its center. Pure JVM, O(n·k·dim)
+    * per iteration over the bounded sample.
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "IVF training sample is empty")
+    val n = points.length
+    val dim = points(0).length
+    val rng = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = new Array[Array[Double]](math.min(k, n))
+    centers(0) = points(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < centers.length) {
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      var target = rng.nextDouble() * total
+      var pick = 0
+      i = 0
+      while (i < n && target > 0) { target -= minD(i); if (target > 0) pick = math.min(i + 1, n - 1); i += 1 }
+      centers(c) = points(pick).clone()
+      c += 1
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < centers.length) {
+          val d = d2(points(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val counts = new Array[Int](centers.length)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        val p = points(i); var j = 0
+        while (j < math.min(dim, p.length)) { sums(a)(j) += p(j); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < centers.length) {
+        if (counts(j) > 0) {
+          var m = 0
+          while (m < dim) { sums(j)(m) /= counts(j); m += 1 }
+          centers(j) = sums(j)
+        } else {
+          // empty cluster: re-seed to the globally farthest point
+          var far = 0; var farD = -1.0; var x = 0
+          while (x < n) {
+            val d = d2(points(x), centers(assign(x)))
+            if (d > farD) { farD = d; far = x }
+            x += 1
+          }
+          centers(j) = points(far).clone()
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centers
   }
 
   /** IVF (inverted-file) ANN top-k: coarse k-means quantization of the
