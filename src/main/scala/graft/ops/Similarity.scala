@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * across engines (the DuckDB oracle uses the same sequential formula).
   *
   * Scale shape: brute-force is queries × corpus — only viable with a small
-  * broadcast query set (it is exactly the verification oracle). The LSH path
-  * shuffles each side once on the bucket key, turning the cross join into a
-  * per-bucket join; recall is tuned by planes/probes.
+  * broadcast query set (it is exactly the verification oracle). The LSH/IVF
+  * top-k paths keep the corpus side NARROW (signatures/cells computed in one
+  * pass, bounded query batch broadcast onto it); only the candidate set
+  * reaches a shuffle. The all-pairs near-dup path shuffles both sides once
+  * on the bucket key, turning the cross join into a per-bucket join; recall
+  * is tuned by planes/probes.
   */
 object Similarity {
 
@@ -102,11 +105,12 @@ object Similarity {
     * expression duplication (cf. Dedup.shingleHashFrame).
     */
   private def bucketSignatures(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String, planes: Int, tables: Int, dim: Int): DataFrame = {
+      idAs: String, vecAs: String, planes: Int, tables: Int, dim: Int,
+      shuffle: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val planeVecs = Array.tabulate(tables * planes, dim)(planeComponent)
-    df.select(col(idCol).cast("long").as("_bid"), col(vecCol).as("_bv"))
+    val sigs = df.select(col(idCol).cast("long").as("_bid"), col(vecCol).as("_bv"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
         (0 until tables).iterator.map { t =>
@@ -125,8 +129,9 @@ object Similarity {
         }
       })
       .toDF(idAs, vecAs, "table", "bucket")
-      // one shuffle on the join key, shared by every consumer via ReuseExchange
-      .repartition(col("table"), col("bucket"))
+    // one shuffle on the join key, shared by every consumer via ReuseExchange
+    // (skipped when the consumer broadcasts the other side instead)
+    if (shuffle) sigs.repartition(col("table"), col("bucket")) else sigs
   }
 
   /** ANN top-k via hyperplane LSH: candidates share a bucket in ≥1 of
@@ -141,9 +146,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 6, tables: Int = 8): DataFrame = {
     val dim = vecDim(corpus, vecCol)
-    val c = bucketSignatures(corpus, idCol, vecCol, "neighbor_id", "_cv", planes, tables, dim)
-    val q = bucketSignatures(queries, idCol, vecCol, "query_id", "_qv", planes, tables, dim)
-    val cand = c.join(q,
+    // the query batch is bounded (like bruteForceTopK's contract): BROADCAST
+    // its signatures, so the corpus side stays one narrow pass — no corpus
+    // shuffle at all for a top-k query batch. Only the candidate set (tiny
+    // vs corpus) reaches the dedup/window exchanges downstream.
+    val c = bucketSignatures(corpus, idCol, vecCol, "neighbor_id", "_cv",
+      planes, tables, dim, shuffle = false)
+    val q = bucketSignatures(queries, idCol, vecCol, "query_id", "_qv",
+      planes, tables, dim, shuffle = false)
+    val cand = c.join(broadcast(q),
         c("table") === q("table") && c("bucket") === q("bucket") &&
           col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
@@ -311,14 +322,16 @@ object Similarity {
     val assignCell = udf((v: Array[Float]) => nearestCells(v, 1).head)
     val probeCells = udf((v: Array[Float]) => nearestCells(v, nprobe))
 
+    // query batch is bounded → broadcast its probe cells; the corpus-side
+    // cell assignment stays one narrow pass with no shuffle (the old
+    // repartition(cell) only helped when both sides shuffled)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("cell", assignCell(col("_cv")))
-      .repartition(col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("cell", explode(probeCells(col("_qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    c.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))

@@ -48,6 +48,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Broadcast"))
   }
 
+  test("q_ann_lsh / q_ann_ivf: bounded query batch broadcasts; corpus never shuffles into the join") {
+    for (name <- Seq("q_ann_lsh", "q_ann_ivf")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost the broadcast candidate join")
+      assert(!p.contains("SortMergeJoin"), s"$name degraded to a sort-merge join")
+      assert(!p.contains("CartesianProduct"), s"$name degraded to a cross join")
+    }
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
