@@ -1,0 +1,153 @@
+package graft.ingest
+
+import java.io.File
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.Files
+
+/** Minimal Compound File Binary (MS-CFB) reader — the container format of
+  * legacy `.xls` workbooks. Dependency-free: CFB is a FAT filesystem in a
+  * file (512-byte sectors, FAT chains, a directory, and a 64-byte-sector
+  * "mini stream" for streams under the 4096-byte cutoff). Only reading is
+  * supported, and only what BIFF8 extraction needs: locate a named stream
+  * and return its bytes.
+  *
+  * Whole-file in memory: legacy workbooks are bounded artifacts (the
+  * reference loads the entire HSSFWorkbook into heap the same way —
+  * SQLiteDirectImporter.java:389-391); the streaming path at scale is the
+  * modern `.xlsx` reader ([[Xlsx]]).
+  */
+object Cfb {
+
+  private val ENDOFCHAIN = 0xFFFFFFFE
+  private val FREESECT = 0xFFFFFFFF
+
+  final case class Entry(name: String, objType: Int, startSector: Int, size: Long)
+
+  /** Bytes of the first stream whose name is in `names` (as stored), or None. */
+  def readStream(file: File, names: Seq[String]): Option[Array[Byte]] = {
+    val bytes = Files.readAllBytes(file.toPath)
+    require(bytes.length >= 512 &&
+      (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
+      (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0,
+      s"not a compound (CFB) file: $file")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+    val sectorShift = buf.getShort(30).toInt // 9 → 512-byte sectors (v3)
+    val sectorSize = 1 << sectorShift
+    val firstDirSector = buf.getInt(48)
+    val miniCutoff = buf.getInt(56)
+    val firstMiniFat = buf.getInt(60)
+    val firstDifat = buf.getInt(68)
+
+    def sectorOffset(sector: Int): Int = 512 + sector * sectorSize
+
+    // FAT sector list: 109 header DIFAT entries, then chained DIFAT sectors
+    val fatSectors: IndexedSeq[Int] = {
+      val b = IndexedSeq.newBuilder[Int]
+      var i = 0
+      while (i < 109) {
+        val s = buf.getInt(76 + i * 4)
+        if (s != FREESECT && s != ENDOFCHAIN) b += s
+        i += 1
+      }
+      var difat = firstDifat
+      var guard = 0
+      while (difat != ENDOFCHAIN && difat != FREESECT && guard < (1 << 16)) {
+        val base = sectorOffset(difat)
+        var j = 0
+        while (j < sectorSize / 4 - 1) {
+          val s = buf.getInt(base + j * 4)
+          if (s != FREESECT && s != ENDOFCHAIN) b += s
+          j += 1
+        }
+        difat = buf.getInt(base + sectorSize - 4)
+        guard += 1
+      }
+      b.result()
+    }
+    val entriesPerFat = sectorSize / 4
+    def fatAt(sector: Int): Int = {
+      val fs = fatSectors(sector / entriesPerFat)
+      buf.getInt(sectorOffset(fs) + (sector % entriesPerFat) * 4)
+    }
+
+    def readChain(start: Int, size: Long): Array[Byte] = {
+      val out = new Array[Byte](size.toInt)
+      var sector = start
+      var pos = 0
+      var guard = 0
+      while (sector != ENDOFCHAIN && sector != FREESECT && pos < out.length &&
+          guard < (1 << 24)) {
+        val n = math.min(sectorSize, out.length - pos)
+        System.arraycopy(bytes, sectorOffset(sector), out, pos, n)
+        pos += n
+        sector = fatAt(sector)
+        guard += 1
+      }
+      out
+    }
+
+    // directory entries (128 bytes each) across the directory chain
+    val entries: Seq[Entry] = {
+      val b = Seq.newBuilder[Entry]
+      var sector = firstDirSector
+      var guard = 0
+      while (sector != ENDOFCHAIN && sector != FREESECT && guard < (1 << 20)) {
+        val base = sectorOffset(sector)
+        var e = 0
+        while (e < sectorSize / 128) {
+          val off = base + e * 128
+          val nameLen = buf.getChar(off + 64).toInt // bytes incl. terminator
+          if (nameLen >= 2 && nameLen <= 64) {
+            val name = new String(bytes, off, nameLen - 2, "UTF-16LE")
+            val objType = bytes(off + 66) & 0xFF
+            val start = buf.getInt(off + 116)
+            val size = buf.getInt(off + 120).toLong & 0xFFFFFFFFL // v3: low 32 bits
+            b += Entry(name, objType, start, size)
+          }
+          e += 1
+        }
+        sector = fatAt(sector)
+        guard += 1
+      }
+      b.result()
+    }
+
+    val root = entries.find(_.objType == 5)
+    entries.find(e => e.objType == 2 && names.contains(e.name)).map { e =>
+      if (e.size >= miniCutoff) readChain(e.startSector, e.size)
+      else {
+        // mini stream: the root entry's regular-FAT chain holds 64-byte mini
+        // sectors; the miniFAT (its own regular-FAT chain) links them
+        val r = root.getOrElse(sys.error("CFB: no root directory entry"))
+        val ministream = readChain(r.startSector, r.size)
+        val miniFat: Array[Byte] =
+          if (firstMiniFat == ENDOFCHAIN || firstMiniFat == FREESECT) Array.empty
+          else {
+            // walk the miniFAT chain to its full length
+            var n = 0
+            var s = firstMiniFat
+            var guard = 0
+            while (s != ENDOFCHAIN && s != FREESECT && guard < (1 << 16)) {
+              n += 1; s = fatAt(s); guard += 1
+            }
+            readChain(firstMiniFat, n.toLong * sectorSize)
+          }
+        val mfBuf = ByteBuffer.wrap(miniFat).order(ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Byte](e.size.toInt)
+        var mini = e.startSector
+        var pos = 0
+        var guard = 0
+        while (mini != ENDOFCHAIN && mini != FREESECT && pos < out.length &&
+            guard < (1 << 20)) {
+          val n = math.min(64, out.length - pos)
+          System.arraycopy(ministream, mini * 64, out, pos, n)
+          pos += n
+          mini = mfBuf.getInt(mini * 4)
+          guard += 1
+        }
+        out
+      }
+    }
+  }
+}

@@ -121,6 +121,45 @@ object CsvRawSource extends RawSource {
   * every other adapter.
   */
 object XlsxRawSource extends RawSource {
+  def load(spark: SparkSession, path: String): DataFrame =
+    sheetFilter(positional(WorkbookFrames.frame(spark, path, "xlsx")(
+      f => Xlsx.scanRows(f, _.startsWith("Transfer Report")))))
+}
+
+/** XLS (legacy BIFF8) raw source — the reference's "traditional" path
+  * (SQLiteDirectImporter.java:384-426), dependency-free via [[Cfb]] +
+  * [[Xls]]. Same one-workbook-per-task distribution and semantics as
+  * [[XlsxRawSource]]; the legacy container is whole-file-in-memory by
+  * nature (as with the reference's HSSFWorkbook), which is fine for the
+  * bounded archival files the format implies — the scale path is xlsx.
+  */
+object XlsRawSource extends RawSource {
+  def load(spark: SparkSession, path: String): DataFrame =
+    sheetFilter(positional(WorkbookFrames.frame(spark, path, "xls")(
+      f => Xls.scanRows(f, _.startsWith("Transfer Report")))))
+}
+
+/** Combined workbook source matching the reference's per-file dispatch
+  * (`.xlsx` → streaming, anything else → traditional,
+  * SQLiteDirectImporter.java:319-325).
+  */
+object WorkbookRawSource extends RawSource {
+  def load(spark: SparkSession, path: String): DataFrame =
+    sheetFilter(positional(WorkbookFrames.frame(spark, path, "xlsx", "xls")({ f =>
+      if (f.getName.toLowerCase.endsWith(".xlsx"))
+        Xlsx.scanRows(f, _.startsWith("Transfer Report"))
+      else Xls.scanRows(f, _.startsWith("Transfer Report"))
+    })))
+}
+
+/** Shared scan→DataFrame assembly for the workbook adapters: list report
+  * files, parallelize ONE FILE PER TASK (the workbook containers are
+  * single-stream artifacts — files are the unit of scan parallelism; the
+  * reference processes them sequentially on one thread), run the
+  * per-file scan closure, pad/truncate positionally to the 19-column band
+  * (SQLiteDirectImporter.java:460-464, 511-513).
+  */
+private[ingest] object WorkbookFrames {
   import org.apache.spark.sql.Row
   import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -130,30 +169,28 @@ object XlsxRawSource extends RawSource {
       StructField(sheetCol, StringType, nullable = false),
       StructField(rowIdxCol, LongType, nullable = false)))
 
-  def load(spark: SparkSession, path: String): DataFrame = {
-    val files = ReportFiles.list(path, extensions = Seq("xlsx")).map(_.toString)
+  def frame(spark: SparkSession, path: String, extensions: String*)(
+      scan: java.io.File => Iterator[(String, Long, Array[String])]): DataFrame = {
+    val files = ReportFiles.list(path, extensions = extensions).map(_.toString)
     val nCols = dbColumns.size
     val rows = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
         val name = new java.io.File(f).getName
-        Xlsx.scanRows(new java.io.File(f), _.startsWith("Transfer Report"))
-          .map { case (sheet, rowIdx, cells) =>
-            // positional pad/truncate to the 19-column band
-            // (SQLiteDirectImporter.java:460-464, 511-513)
-            val vals = new Array[Any](nCols + 3)
-            var i = 0
-            while (i < nCols) {
-              vals(i) = if (i < cells.length && cells(i) != null) cells(i) else ""
-              i += 1
-            }
-            vals(nCols) = name
-            vals(nCols + 1) = sheet
-            vals(nCols + 2) = rowIdx
-            Row.fromSeq(vals.toIndexedSeq)
+        scan(new java.io.File(f)).map { case (sheet, rowIdx, cells) =>
+          val vals = new Array[Any](nCols + 3)
+          var i = 0
+          while (i < nCols) {
+            vals(i) = if (i < cells.length && cells(i) != null) cells(i) else ""
+            i += 1
           }
+          vals(nCols) = name
+          vals(nCols + 1) = sheet
+          vals(nCols + 2) = rowIdx
+          Row.fromSeq(vals.toIndexedSeq)
+        }
       }
-    sheetFilter(positional(spark.createDataFrame(rows, scanSchema)))
+    spark.createDataFrame(rows, scanSchema)
   }
 }
 

@@ -1,0 +1,118 @@
+package graft.ingest
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.model.TransferSchema._
+import graft.pipeline.Pipeline
+
+/** The dependency-free legacy `.xls` (CFB + BIFF8) reader (S3) against real
+  * hand-assembled workbooks from [[XlsFixture]]: shared strings (plain,
+  * CONTINUE-split between strings and mid-string), RK/MULRK packing,
+  * NUMBER doubles, booleans, sparse cells, sheet predicate, header skip —
+  * and full pipeline equivalence with the parquet adapter.
+  */
+class XlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dataRow(fn: String, size: String, id: String, status: String,
+      serial: String): Seq[String] =
+    Seq(fn, size, "", id, "", "", serial, "", "", "", "", "", "", "", "",
+      status, "", "", "")
+
+  private val jobARows = Seq(
+    dataRow("Root", "0", "1001", "success", "45000.5"),
+    dataRow("Root/Sub", "", "1002", "success", "0"),
+    dataRow("Root/Sub/a.pdf", "2048", "1003", "match-exists", "45123.25"),
+    dataRow("Root/Sub/b.pdf", "abc", "1004", "filtered", "notadate"),
+    dataRow("/lead/slash.txt", "10", "1005", "success", ""),
+    dataRow("Root/Sub/a.pdf", "4096", "1003", "success", ""),
+    dataRow("Orphan/child.txt", "5", "1006", "weird status!", ""),
+    dataRow("", "0", "1007", "", ""))
+  private val jobBRows = Seq(
+    dataRow("Root", "0", "1001", "resent", ""),
+    dataRow("/lead", "0", "1008", "success", ""))
+
+  test("xls pipeline end-to-end equals the parquet adapter result") {
+    val dir = Files.createTempDirectory("graft-xls").toString
+    XlsFixture.write(new File(dir, "JobA.xls"), Seq(
+      "Transfer Report" -> (Seq(excelHeaders) ++ jobARows),
+      "Summary" -> Seq(Seq("junk"), Seq("1"))))
+    XlsFixture.write(new File(dir, "JobB.xls"), Seq(
+      "Transfer Report 2" -> (Seq(excelHeaders) ++ jobBRows)))
+
+    // job_name derives from "JobA.xls"/"JobB.xls" → same JobA/JobB as the
+    // parquet fixture's .xlsx names (extension strip is the law under test)
+    val viaXls = Pipeline.run(spark, dir, XlsRawSource)
+
+    val pqDir = Files.createTempDirectory("graft-xls-pq").toString
+    graft.pipeline.PipelineFixture.raw(spark).write.mode("overwrite").parquet(pqDir)
+    val viaParquet = Pipeline.run(spark, pqDir)
+
+    assert(viaXls.count() === viaParquet.count())
+    val cols = Seq("file_name", "file_status", "source_file_size", "creation_time",
+      "level", "parent_folder", "parent_id", "job_name")
+    val a = viaXls.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).toSet
+    val b = viaParquet.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("scanRows: sheet predicate, RK/MULRK/NUMBER/boolean/sparse cells") {
+    val dir = Files.createTempDirectory("graft-xls-scan").toString
+    val f = new File(dir, "W.xls")
+    XlsFixture.write(f, Seq(
+      "Transfer Report" -> Seq(
+        Seq("H1", "H2", "H3", "H4", "H5", "H6"),
+        // 3 consecutive ints → MULRK; a double → NUMBER; bool; sparse gap
+        Seq("7", "8", "9", "45000.5", "TRUE", "text"),
+        Seq("alpha", "", "", "-12", "", "0.25")),
+      "Notes" -> Seq(Seq("skip", "me"))))
+    val rows = Xls.scanRows(f, _.startsWith("Transfer Report")).toVector
+    assert(rows.map(_._1).distinct === Vector("Transfer Report"))
+    assert(rows.map(_._2) === Vector(0L, 1L, 2L))
+    assert(rows(1)._3.toSeq === Seq("7", "8", "9", "45000.5", "TRUE", "text"))
+    assert(rows(2)._3.toSeq === Seq("alpha", "", "", "-12", "", "0.25"))
+  }
+
+  test("SST CONTINUE splits: between strings and mid-string") {
+    val dir = Files.createTempDirectory("graft-xls-sst").toString
+    val longA = "alpha-" + ("x" * 40)
+    val longB = "beta-" + ("y" * 40)
+    val rows = Seq("Transfer Report" -> Seq(Seq(longA, longB, "gamma")))
+    // budget 20: header+few chars of longA fit → MID-STRING split
+    val f1 = new File(dir, "mid.xls")
+    XlsFixture.write(f1, rows, sstSplitAt = Some(20))
+    assert(Xls.scanRows(f1, _ => true).toVector.head._3.toSeq ===
+      Seq(longA, longB, "gamma"))
+    // budget exactly after longA: header of longB would straddle →
+    // BETWEEN-STRINGS split (8 preamble + 3 header + 46 chars = 57)
+    val f2 = new File(dir, "between.xls")
+    XlsFixture.write(f2, rows, sstSplitAt = Some(58))
+    assert(Xls.scanRows(f2, _ => true).toVector.head._3.toSeq ===
+      Seq(longA, longB, "gamma"))
+  }
+
+  test("rk decoding laws") {
+    assert(Xls.decodeRk((12345 << 2) | 2) === "12345") // int
+    assert(Xls.decodeRk((-7 << 2) | 2) === "-7") // negative int (30-bit sign)
+    assert(Xls.decodeRk((12345 << 2) | 3) === "123.45") // int / 100
+    assert(Xls.decodeRk((123400 << 2) | 3) === "1234") // /100 → integral
+    // high 32 bits of an IEEE double: 2048.0
+    val bits = java.lang.Double.doubleToLongBits(2048.0)
+    assert(Xls.decodeRk(((bits >>> 32) & 0xFFFFFFFCL).toInt) === "2048")
+  }
+
+  test("combined WorkbookRawSource dispatches by extension") {
+    val dir = Files.createTempDirectory("graft-wb-mixed").toString
+    XlsFixture.write(new File(dir, "Old.xls"), Seq(
+      "Transfer Report" -> (Seq(excelHeaders) ++ Seq(dataRow("A/x.txt", "1", "1", "s1", "")))))
+    XlsxFixture.write(new File(dir, "New.xlsx"), Seq(
+      "Transfer Report" -> (Seq(excelHeaders) ++ Seq(dataRow("B/y.txt", "2", "2", "s2", "")))))
+    val out = Pipeline.run(spark, dir, WorkbookRawSource)
+    assert(out.select("file_name").as[String].collect().toSet === Set("A/x.txt", "B/y.txt"))
+    assert(out.filter($"file_name" === "A/x.txt").head.getAs[String]("job_name") === "Old")
+  }
+}
