@@ -24,12 +24,17 @@ object Cfb {
   final case class Entry(name: String, objType: Int, startSector: Int, size: Long)
 
   /** Bytes of the first stream whose name is in `names` (as stored), or None. */
-  def readStream(file: File, names: Seq[String]): Option[Array[Byte]] = {
-    val bytes = Files.readAllBytes(file.toPath)
+  def readStream(file: File, names: Seq[String]): Option[Array[Byte]] =
+    readStream(Files.readAllBytes(file.toPath), names)
+
+  /** Same, over in-memory container bytes (the streaming drop-folder path
+    * delivers workbooks as `binaryFile` content).
+    */
+  def readStream(bytes: Array[Byte], names: Seq[String]): Option[Array[Byte]] = {
     require(bytes.length >= 512 &&
       (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
       (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0,
-      s"not a compound (CFB) file: $file")
+      "not a compound (CFB) file")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
     val sectorShift = buf.getShort(30).toInt // 9 → 512-byte sectors (v3)

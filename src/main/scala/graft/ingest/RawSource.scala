@@ -150,6 +150,13 @@ object WorkbookRawSource extends RawSource {
         Xlsx.scanRows(f, _.startsWith("Transfer Report"))
       else Xls.scanRows(f, _.startsWith("Transfer Report"))
     })))
+
+  /** Raw frame from a `binaryFile` (path, content) batch — the streaming
+    * drop-folder entry (StreamIngest.runWorkbookDropFolder): same per-file
+    * dispatch and normalization as [[load]], parsing on executors.
+    */
+  def fromBinary(spark: SparkSession, batch: DataFrame): DataFrame =
+    sheetFilter(positional(WorkbookFrames.frameFromBinary(spark, batch)))
 }
 
 /** Shared scan→DataFrame assembly for the workbook adapters: list report
@@ -169,26 +176,50 @@ private[ingest] object WorkbookFrames {
       StructField(sheetCol, StringType, nullable = false),
       StructField(rowIdxCol, LongType, nullable = false)))
 
+  private def toRow(name: String, sheet: String, rowIdx: Long,
+      cells: Array[String]): Row = {
+    val nCols = dbColumns.size
+    val vals = new Array[Any](nCols + 3)
+    var i = 0
+    while (i < nCols) {
+      vals(i) = if (i < cells.length && cells(i) != null) cells(i) else ""
+      i += 1
+    }
+    vals(nCols) = name
+    vals(nCols + 1) = sheet
+    vals(nCols + 2) = rowIdx
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
   def frame(spark: SparkSession, path: String, extensions: String*)(
       scan: java.io.File => Iterator[(String, Long, Array[String])]): DataFrame = {
     val files = ReportFiles.list(path, extensions = extensions).map(_.toString)
-    val nCols = dbColumns.size
     val rows = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
         val name = new java.io.File(f).getName
         scan(new java.io.File(f)).map { case (sheet, rowIdx, cells) =>
-          val vals = new Array[Any](nCols + 3)
-          var i = 0
-          while (i < nCols) {
-            vals(i) = if (i < cells.length && cells(i) != null) cells(i) else ""
-            i += 1
-          }
-          vals(nCols) = name
-          vals(nCols + 1) = sheet
-          vals(nCols + 2) = rowIdx
-          Row.fromSeq(vals.toIndexedSeq)
+          toRow(name, sheet, rowIdx, cells)
         }
+      }
+    spark.createDataFrame(rows, scanSchema)
+  }
+
+  /** Same assembly over an in-memory `binaryFile` batch (path, content):
+    * workbook bytes parsed on executors, dispatched by extension.
+    */
+  def frameFromBinary(spark: SparkSession, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rows = batch.select(col("path"), col("content")).rdd
+      .flatMap { r =>
+        val path = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val it =
+          if (name.toLowerCase.endsWith(".xlsx"))
+            Xlsx.scanRowsBytes(bytes, _.startsWith("Transfer Report"))
+          else Xls.scanRowsBytes(bytes, _.startsWith("Transfer Report"))
+        it.map { case (sheet, rowIdx, cells) => toRow(name, sheet, rowIdx, cells) }
       }
     spark.createDataFrame(rows, scanSchema)
   }

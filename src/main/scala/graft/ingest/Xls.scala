@@ -47,6 +47,10 @@ object Xls {
     Cfb.readStream(file, Seq("Workbook", "Book"))
       .getOrElse(sys.error(s"no Workbook stream in $file"))
 
+  def workbookStream(bytes: Array[Byte]): Array[Byte] =
+    Cfb.readStream(bytes, Seq("Workbook", "Book"))
+      .getOrElse(sys.error("no Workbook stream in .xls bytes"))
+
   private def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
   private def u32(b: Array[Byte], off: Int): Int =
@@ -274,8 +278,16 @@ object Xls {
     * [[Xlsx.scanRows]].
     */
   def scanRows(file: File, sheetPredicate: String => Boolean)
+      : Iterator[(String, Long, Array[String])] =
+    scanWorkbook(workbookStream(file), sheetPredicate)
+
+  /** In-memory twin of [[scanRows]] for the streaming drop-folder path. */
+  def scanRowsBytes(container: Array[Byte], sheetPredicate: String => Boolean)
+      : Iterator[(String, Long, Array[String])] =
+    scanWorkbook(workbookStream(container), sheetPredicate)
+
+  private def scanWorkbook(wb: Array[Byte], sheetPredicate: String => Boolean)
       : Iterator[(String, Long, Array[String])] = {
-    val wb = workbookStream(file)
     val sheets = sheetRefs(wb).filter(s => sheetPredicate(s.name))
     if (sheets.isEmpty) return Iterator.empty
     val strings = sst(wb)

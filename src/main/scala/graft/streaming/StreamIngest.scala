@@ -50,6 +50,38 @@ object StreamIngest {
       }
       .start()
 
+  /** The drop-folder contract over WORKBOOK files (`.xlsx`/`.xls`) — the
+    * reference's actual input mode: new workbooks stream in as
+    * `binaryFile` rows (path + content), are parsed on executors by the
+    * dependency-free readers (Xlsx/Xls via WorkbookRawSource.fromBinary),
+    * flow once through `batchFn` as the raw 19-column frame, then are
+    * archived. Exactly-once bookkeeping from the checkpoint, as in
+    * [[runDropFolder]].
+    */
+  def runWorkbookDropFolder(spark: SparkSession, sourceDir: String,
+      archiveDir: String, checkpointDir: String)(
+      batchFn: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.readStream
+      .format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", "*.xls*")
+      .option("maxFilesPerTrigger", 1000)
+      .load(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val files = batch.select(col("path")).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty)
+        batchFn(graft.ingest.WorkbookRawSource.fromBinary(spark, batch), id)
+        archiveFiles(files, archiveDir)
+      }
+      .start()
+
   private def archiveFiles(files: Seq[String], archiveDir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(archiveDir))

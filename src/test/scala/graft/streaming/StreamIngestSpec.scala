@@ -55,6 +55,44 @@ class StreamIngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === n1)
   }
 
+  test("workbook drop-folder: .xlsx and .xls stream through the pipeline exactly once") {
+    val src = tmp("graft-wb-src")
+    val archive = tmp("graft-wb-archive")
+    val ckpt = tmp("graft-wb-ckpt")
+    val out = tmp("graft-wb-out")
+
+    def row(fn: String, id: String, status: String): Seq[String] =
+      Seq(fn, "1", "", id, "", "", "", "", "", "", "", "", "", "", "",
+        status, "", "", "")
+    val headers = graft.model.TransferSchema.excelHeaders
+    graft.ingest.XlsxFixture.write(new java.io.File(src, "JobA.xlsx"), Seq(
+      "Transfer Report" -> Seq(headers, row("A/x.txt", "1", "s1"), row("A/y.txt", "2", "s2"))))
+    graft.ingest.XlsFixture.write(new java.io.File(src, "JobB.xls"), Seq(
+      "Transfer Report" -> Seq(headers, row("B/z.txt", "3", "s3"))))
+
+    def run(): Unit = {
+      val q = StreamIngest.runWorkbookDropFolder(spark, src, archive, ckpt) { (batch, _) =>
+        if (!batch.isEmpty)
+          Pipeline.resolve(Enrich(Coerce(batch)))
+            .write.mode("append").parquet(out)
+      }
+      q.awaitTermination()
+    }
+    run()
+    val got = spark.read.parquet(out)
+    assert(got.count() === 3)
+    assert(got.select("file_name").as[String].collect().toSet ===
+      Set("A/x.txt", "A/y.txt", "B/z.txt"))
+    assert(got.filter($"file_name" === "B/z.txt").head.getAs[String]("job_name") === "JobB")
+    // both workbooks archived out of the drop folder
+    assert(new java.io.File(src).listFiles().count(f =>
+      f.getName.endsWith(".xlsx") || f.getName.endsWith(".xls")) === 0)
+    assert(new java.io.File(archive).listFiles().length === 2)
+    // re-run with same checkpoint: nothing new → no reprocessing
+    run()
+    assert(spark.read.parquet(out).count() === 3)
+  }
+
   test("windowed event counts: streaming result equals the batch oracle query") {
     val srcDir = tmp("graft-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
