@@ -319,16 +319,45 @@ object Registry {
   def qDynamicStatusViews(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val mapped = t(spark, dir, "orders").select(col("o_orderstatus").as("file_status"))
-    Analytic.statusViews(mapped)
-      .map { case (name, frame) => (name, frame.count()) }
-      .toDF("view_name", "record_count")
-      .orderBy("view_name")
+    // the registry METRIC comes from ONE aggregate job (not one count() job
+    // per view — the r1 N+1 pattern); the per-status frames themselves stay
+    // lazy in Analytic.statusViews. Same first-wins sanitizer-collision and
+    // empty-name-skip laws, applied to the aggregated rows driver-side.
+    val counts = mapped.filter(col("file_status").isNotNull)
+      .groupBy(col("file_status")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    counts.keys.toSeq.sorted.foreach { s =>
+      val name = graft.model.PathOps.sanitizeViewName(s)
+      if (name.nonEmpty && !out.contains(s"status_$name"))
+        out(s"status_$name") = counts(s)
+    }
+    out.toSeq.toDF("view_name", "record_count").orderBy("view_name")
   }
 
   val qDynamicStatusViewsSql: String =
     """SELECT 'status_' || lower(o_orderstatus) AS view_name, COUNT(*) AS record_count
       | FROM orders WHERE o_orderstatus IS NOT NULL
       | GROUP BY 1 ORDER BY view_name""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
+  // Skew-mitigation twin of A1: the SALTED two-phase aggregate must produce
+  // exactly the status_summary result (same oracle shape) — the operator a
+  // pathological hot status key needs at 100 TB
+  // ------------------------------------------------------------------------
+  def qSaltedStatus(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Salt.saltedConditionalCounts(
+      ordersAsTransfer(spark, dir),
+      coalesce(col("file_status"), lit("Unknown")), "status_name",
+      Map(
+        "record_count" -> None,
+        "file_count" -> Some(col("source_file_size") > 0),
+        "folder_count" -> Some(col("source_file_size") === 0 || col("source_file_size").isNull)),
+      saltBuckets = 16)
+      .select("status_name", "record_count", "file_count", "folder_count")
+      .orderBy(col("record_count").desc, col("status_name"))
+
+  val qSaltedStatusSql: String = qStatusSummarySql
 
   // ------------------------------------------------------------------------
   // P3: Excel serial → timestamp law (incl. zero/negative → null branches)
@@ -654,6 +683,7 @@ object Registry {
     "q_level_counts" -> (qLevelCounts _),
     "q_parent_folder" -> (qParentFolder _),
     "q_job_name" -> (qJobName _),
+    "q_salted_status" -> (qSaltedStatus _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -692,6 +722,7 @@ object Registry {
     "q_level_counts" -> qLevelCountsSql,
     "q_parent_folder" -> qParentFolderSql,
     "q_job_name" -> qJobNameSql,
+    "q_salted_status" -> qSaltedStatusSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,
