@@ -176,6 +176,30 @@ private[ingest] object WorkbookFrames {
       StructField(sheetCol, StringType, nullable = false),
       StructField(rowIdxCol, LongType, nullable = false)))
 
+  /** Per-FILE error tolerance (SQLiteDirectImporter.java:196-197): a corrupt
+    * workbook logs and contributes zero rows instead of failing the batch —
+    * including failures surfacing lazily mid-iteration. Row-level structural
+    * tolerance is downstream ([[Quarantine]]).
+    */
+  private def tolerant(name: String,
+      mk: => Iterator[(String, Long, Array[String])])
+      : Iterator[(String, Long, Array[String])] = {
+    def fail(e: Throwable): Iterator[(String, Long, Array[String])] = {
+      System.err.println(s"[graft] error processing $name: ${e.getMessage} — skipped")
+      Iterator.empty
+    }
+    val underlying =
+      try mk catch { case scala.util.control.NonFatal(e) => return fail(e) }
+    new Iterator[(String, Long, Array[String])] {
+      private var broken = false
+      override def hasNext: Boolean = !broken && {
+        try underlying.hasNext
+        catch { case scala.util.control.NonFatal(e) => broken = true; fail(e); false }
+      }
+      override def next(): (String, Long, Array[String]) = underlying.next()
+    }
+  }
+
   private def toRow(name: String, sheet: String, rowIdx: Long,
       cells: Array[String]): Row = {
     val nCols = dbColumns.size
@@ -198,7 +222,7 @@ private[ingest] object WorkbookFrames {
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
         val name = new java.io.File(f).getName
-        scan(new java.io.File(f)).map { case (sheet, rowIdx, cells) =>
+        tolerant(name, scan(new java.io.File(f))).map { case (sheet, rowIdx, cells) =>
           toRow(name, sheet, rowIdx, cells)
         }
       }
@@ -215,10 +239,10 @@ private[ingest] object WorkbookFrames {
         val path = r.getString(0)
         val bytes = r.getAs[Array[Byte]](1)
         val name = path.substring(path.lastIndexOf('/') + 1)
-        val it =
+        val it = tolerant(name,
           if (name.toLowerCase.endsWith(".xlsx"))
             Xlsx.scanRowsBytes(bytes, _.startsWith("Transfer Report"))
-          else Xls.scanRowsBytes(bytes, _.startsWith("Transfer Report"))
+          else Xls.scanRowsBytes(bytes, _.startsWith("Transfer Report")))
         it.map { case (sheet, rowIdx, cells) => toRow(name, sheet, rowIdx, cells) }
       }
     spark.createDataFrame(rows, scanSchema)

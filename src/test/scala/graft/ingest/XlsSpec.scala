@@ -105,6 +105,18 @@ class XlsSpec extends SparkSpec {
     assert(Xls.decodeRk(((bits >>> 32) & 0xFFFFFFFCL).toInt) === "2048")
   }
 
+  test("per-file tolerance: a corrupt workbook is skipped, good files survive") {
+    val dir = Files.createTempDirectory("graft-wb-corrupt").toString
+    XlsFixture.write(new File(dir, "Good.xls"), Seq(
+      "Transfer Report" -> (Seq(excelHeaders) ++ Seq(dataRow("G/ok.txt", "1", "1", "s1", "")))))
+    // truncated garbage with a workbook extension
+    Files.write(new File(dir, "Bad.xls").toPath, Array.fill[Byte](600)(0x42))
+    Files.write(new File(dir, "AlsoBad.xlsx").toPath, "not a zip".getBytes)
+    val out = Pipeline.run(spark, dir, WorkbookRawSource)
+    assert(out.count() === 1)
+    assert(out.head.getAs[String]("file_name") === "G/ok.txt")
+  }
+
   test("combined WorkbookRawSource dispatches by extension") {
     val dir = Files.createTempDirectory("graft-wb-mixed").toString
     XlsFixture.write(new File(dir, "Old.xls"), Seq(
