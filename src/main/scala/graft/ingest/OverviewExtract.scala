@@ -96,22 +96,50 @@ object OverviewExtract {
   }
 
   /** Keep only the target `<sheet>` element; force its sheetId to 1
-    * (TransferOverviewExtractor.java:438-446).
+    * (TransferOverviewExtractor.java:438-446). Element-wise rewrite rather
+    * than the reference's single regex: OOXML attribute order is not fixed
+    * (name may follow sheetId from non-Excel producers), and paired
+    * `<sheet ...></sheet>` forms must not survive as dangling entries.
     */
   private[ingest] def rewriteWorkbook(xml: String, sheetName: String): String = {
-    val q = Pattern.quote(sheetName)
-    xml
-      .replaceAll(s"""<sheet[^>]*name="(?!$q")[^"]*"[^>]*/>""", "")
-      .replaceAll(s"""(<sheet[^>]*name="$q"[^>]*sheetId=")[^"]*""", "$11")
+    val el = Pattern.compile("<sheet\\b[^>]*/>|<sheet\\b[^>]*>.*?</sheet>", Pattern.DOTALL)
+    val m = el.matcher(xml)
+    val sb = new StringBuffer
+    val nameAttr = s"""name="${escAttr(sheetName)}""""
+    while (m.find()) {
+      val e = m.group()
+      val out =
+        if (e.contains(nameAttr)) e.replaceAll("""sheetId="[^"]*"""", """sheetId="1"""")
+        else ""
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(out))
+    }
+    m.appendTail(sb)
+    sb.toString
   }
 
+  private def escAttr(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
   /** Drop worksheet relationships that don't target the kept sheet
-    * (TransferOverviewExtractor.java:470-474).
+    * (TransferOverviewExtractor.java:470-474) — element-wise, any attribute
+    * order, relative or absolute Target form.
     */
   private[ingest] def rewriteRels(xml: String, sheetFile: String): String = {
-    val target = Pattern.quote("worksheets/" + sheetFile)
-    xml.replaceAll(
-      s"""<Relationship(?![^>]*Target="$target")[^>]*Type="[^"]*worksheet"[^>]*/>""", "")
+    val el = Pattern.compile("<Relationship\\b[^>]*/>")
+    val m = el.matcher(xml)
+    val sb = new StringBuffer
+    val keepTargets = Seq(
+      s"""Target="worksheets/$sheetFile"""",
+      s"""Target="/xl/worksheets/$sheetFile"""")
+    while (m.find()) {
+      val e = m.group()
+      val isWorksheet = e.contains("""/worksheet"""")
+      val out = if (isWorksheet && !keepTargets.exists(e.contains)) "" else e
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(out))
+    }
+    m.appendTail(sb)
+    sb.toString
   }
 
   private def readAll(zis: ZipInputStream): String = {

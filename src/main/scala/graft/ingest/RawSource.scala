@@ -183,22 +183,31 @@ private[ingest] object WorkbookFrames {
     */
   private def tolerant(name: String,
       mk: => Iterator[(String, Long, Array[String])])
-      : Iterator[(String, Long, Array[String])] = {
-    def fail(e: Throwable): Iterator[(String, Long, Array[String])] = {
-      System.err.println(s"[graft] error processing $name: ${e.getMessage} — skipped")
-      Iterator.empty
-    }
-    val underlying =
-      try mk catch { case scala.util.control.NonFatal(e) => return fail(e) }
+      : Iterator[(String, Long, Array[String])] =
     new Iterator[(String, Long, Array[String])] {
+      // prefetch-based: BOTH hasNext- and next-time parse failures (the xlsx
+      // reader parses inside next()) truncate this file instead of killing
+      // the task
       private var broken = false
-      override def hasNext: Boolean = !broken && {
-        try underlying.hasNext
-        catch { case scala.util.control.NonFatal(e) => broken = true; fail(e); false }
+      private var pending: (String, Long, Array[String]) = null
+      private val underlying =
+        try mk catch { case scala.util.control.NonFatal(e) => fail(e); null }
+      private def fail(e: Throwable): Unit = {
+        broken = true
+        System.err.println(s"[graft] error processing $name: ${e.getMessage} — skipped")
       }
-      override def next(): (String, Long, Array[String]) = underlying.next()
+      private def prefetch(): Unit =
+        if (!broken && pending == null) {
+          try { if (underlying.hasNext) pending = underlying.next() }
+          catch { case scala.util.control.NonFatal(e) => fail(e) }
+        }
+      override def hasNext: Boolean = { prefetch(); pending != null }
+      override def next(): (String, Long, Array[String]) = {
+        prefetch()
+        if (pending == null) throw new NoSuchElementException(name)
+        val out = pending; pending = null; out
+      }
     }
-  }
 
   private def toRow(name: String, sheet: String, rowIdx: Long,
       cells: Array[String]): Row = {

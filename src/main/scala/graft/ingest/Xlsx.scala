@@ -251,6 +251,11 @@ object Xlsx {
     val tmp = java.nio.file.Files.createTempFile("graft-wb", ".xlsx")
     java.nio.file.Files.write(tmp, container)
     tmp.toFile.deleteOnExit()
+    // abandoned-iterator safety net: a consumer that stops early (error
+    // tolerance truncation, pushed-down limit) never exhausts us — clean up
+    // at task end so long-lived executors don't fill /tmp
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => java.nio.file.Files.deleteIfExists(tmp)))
     val it = scanRows(tmp.toFile, sheetPredicate)
     new Iterator[(String, Long, Array[String])] {
       override def hasNext: Boolean = {
@@ -265,6 +270,10 @@ object Xlsx {
   def scanRows(file: File, sheetPredicate: String => Boolean)
       : Iterator[(String, Long, Array[String])] = {
     val zf = new ZipFile(file)
+    // close-on-task-end safety net for abandoned iterators (ZipFile.close
+    // is idempotent; the exhaustion path below stays the primary close)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => zf.close()))
     val sheets = sheetRefs(zf).filter(s => sheetPredicate(s.name))
     if (sheets.isEmpty) { zf.close(); return Iterator.empty }
     val sst = sharedStrings(zf)

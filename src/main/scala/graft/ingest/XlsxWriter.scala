@@ -68,9 +68,12 @@ object XlsxWriter {
         w.write(s"""<row r="$ri">""")
         cells.zipWithIndex.foreach { case (v, ci) =>
           val ref = colRef(ci) + ri
-          // empty cells are omitted; the explicit r= refs keep positions
+          // empty cells are omitted; the explicit r= refs keep positions.
+          // numeric cells ONLY for strings that are the canonical General
+          // rendering of their value — "0123" or "1.50" would come back as
+          // "123"/"1.5" and break round-trips of string-typed keys
           if (v == null || v.isEmpty) ()
-          else if (numeric.findFirstIn(v).isDefined)
+          else if (numeric.findFirstIn(v).isDefined && Xlsx.formatGeneral(v) == v)
             w.write(s"""<c r="$ref"><v>$v</v></c>""")
           else
             w.write(s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>""")

@@ -194,11 +194,16 @@ object Similarity {
       maxTrainRows: Int = 100000): Array[(Int, Array[Double])] = {
     val key = (corpus.queryExecution.logical.canonicalized.toString + "#" + vecCol,
       nlist, maxTrainRows)
+    if (centroidCache.size > 64) centroidCache.clear() // bounded across corpora
     centroidCache.computeIfAbsent(key, { _ =>
+      // representative seeded sample across ALL partitions — a limit() would
+      // be a partition PREFIX, and ordered/clustered corpora (by source,
+      // topic, time) would train centroids on only the leading cluster.
+      // Costs one extra narrow pass; amortized by the cache.
       val sample: Array[Array[Double]] = corpus
         .select(transform(col(vecCol), x => x.cast("double")).as("v"))
-        .limit(maxTrainRows)
-        .collect().map(_.getSeq[Double](0).toArray)
+        .rdd.map(_.getSeq[Double](0).toArray)
+        .takeSample(withReplacement = false, maxTrainRows, seed = 42L)
       lloyd(sample, nlist, iters = 15, seed = 42L).zipWithIndex.map(_.swap)
     })
   }

@@ -320,19 +320,14 @@ object Registry {
     import spark.implicits._
     val mapped = t(spark, dir, "orders").select(col("o_orderstatus").as("file_status"))
     // the registry METRIC comes from ONE aggregate job (not one count() job
-    // per view — the r1 N+1 pattern); the per-status frames themselves stay
-    // lazy in Analytic.statusViews. Same first-wins sanitizer-collision and
-    // empty-name-skip laws, applied to the aggregated rows driver-side.
+    // per view — the r1 N+1 pattern); the naming/collision law is the SAME
+    // code the real view registry uses (Analytic.statusViewNames)
     val counts = mapped.filter(col("file_status").isNotNull)
       .groupBy(col("file_status")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    counts.keys.toSeq.sorted.foreach { s =>
-      val name = graft.model.PathOps.sanitizeViewName(s)
-      if (name.nonEmpty && !out.contains(s"status_$name"))
-        out(s"status_$name") = counts(s)
-    }
-    out.toSeq.toDF("view_name", "record_count").orderBy("view_name")
+    Analytic.statusViewNames(counts.keys.toSeq)
+      .map { case (viewName, s) => (viewName, counts(s)) }
+      .toDF("view_name", "record_count").orderBy("view_name")
   }
 
   val qDynamicStatusViewsSql: String =

@@ -47,11 +47,21 @@ object MergeSink {
       numBuckets: Int = 64): Long = {
     val state = new Path(statePath)
     val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a flat (pre-bucketing) state directory is MIGRATED, never clobbered
+    if (fs.exists(state) && !fs.exists(metaFile(state)) &&
+        !fs.listStatus(state).exists(_.getPath.getName.startsWith(bucketColName + "=")) &&
+        fs.listStatus(state).exists(_.getPath.getName.startsWith("part-")))
+      migrateLegacy(spark, fs, state, statePath, numBuckets)
     // "state exists" = it has the sidecar or at least one bucket dir — a
     // merely-created empty directory is a fresh state, not a crash
     val exists = fs.exists(state) && (fs.exists(metaFile(state)) ||
       fs.listStatus(state).exists(_.getPath.getName.startsWith(bucketColName + "=")))
     val (epoch, prevTotal) = readMeta(fs, state, spark, statePath, exists)
+    // RESERVE the new epoch before touching data: if the data write crashes
+    // mid-way, the next (different) batch gets a strictly later epoch and
+    // can never tie with the crashed batch's partially-written rows. The
+    // total in the sidecar is advisory until the post-write update lands.
+    if (exists) writeMeta(fs, state, epoch + 1, prevTotal)
 
     // bucket by the upsert key's hash: same key → same bucket, always
     val withBucket = resolved
@@ -121,4 +131,31 @@ object MergeSink {
   }
 
   private def metaFile(state: Path) = new Path(state, "_graft_meta")
+
+  /** One-time in-place migration of a pre-bucketing (flat parquet) state
+    * directory into the bucketed layout: stamp `_epoch` 1, bucket by the
+    * upsert-key hash, rewrite via staging + directory swap, then record the
+    * sidecar. Without this, the fresh-state branch's `mode(overwrite)`
+    * would silently clobber previously merged rows.
+    */
+  private def migrateLegacy(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, state: Path, statePath: String,
+      numBuckets: Int): Unit = {
+    val stamped = spark.read.parquet(statePath)
+      .withColumn(epochCol, lit(1L))
+      .withColumn(bucketColName,
+        pmod(hash(col("file_name"), col("target_file_id")), lit(numBuckets)))
+      .persist()
+    val staging = new Path(statePath + "._migrate")
+    fs.delete(staging, true)
+    stamped.write.mode("overwrite").partitionBy(bucketColName).parquet(staging.toString)
+    val n = stamped.count()
+    stamped.unpersist()
+    val old = new Path(statePath + "._old")
+    fs.delete(old, true)
+    fs.rename(state, old)
+    fs.rename(staging, state)
+    fs.delete(old, true)
+    writeMeta(fs, state, 1L, n)
+  }
 }

@@ -74,7 +74,18 @@ object StreamIngest {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (batch0: DataFrame, id: Long) =>
+        // same hygiene as the batch scan (ReportFiles / S1): skip Office
+        // `~$` lock files and prior extractor outputs — archiving a lock
+        // file would break an open Excel session — and accept exactly
+        // .xlsx/.xls (the glob also matches .xlsm/.xlsb, which the
+        // readers can't parse)
+        val fname = lower(regexp_extract(col("path"), "([^/]+)$", 1))
+        val batch = batch0.filter(
+          !regexp_extract(col("path"), "([^/]+)$", 1).startsWith("~") &&
+          !regexp_extract(col("path"), "([^/]+)$", 1).startsWith("Transfer-Overview-") &&
+          !regexp_extract(col("path"), "([^/]+)$", 1).startsWith("Overview-") &&
+          (fname.endsWith(".xlsx") || fname.endsWith(".xls")))
         val files = batch.select(col("path")).distinct()
           .collect().map(_.getString(0)).filter(_.nonEmpty)
         batchFn(graft.ingest.WorkbookRawSource.fromBinary(spark, batch), id)

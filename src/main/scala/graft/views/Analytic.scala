@@ -54,19 +54,28 @@ object Analytic {
     * (`CREATE VIEW IF NOT EXISTS`, ibid.:894); empty sanitized names are
     * skipped. Data-dependent plan — SURVEY.md §7.5 item 5.
     */
-  def statusViews(df: DataFrame): Seq[(String, DataFrame)] = {
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
-    // sorted: distinct().collect() order varies with partitioning, which
-    // would make sanitizer-collision winners nondeterministic run-to-run
-    // (the reference's winner is SQLite's arbitrary DISTINCT order; we pin
-    // lexicographic order and document the divergence)
-    distinctStatuses(df).sorted.foreach { s =>
+  /** The view-NAMING law alone: sanitized `status_<s>` per status, FIRST
+    * wins on sanitizer collisions, empty names skipped. Single source of
+    * truth shared by [[statusViews]] and the registry's metric query —
+    * sorted input: distinct().collect() order varies with partitioning,
+    * which would make collision winners nondeterministic run-to-run (the
+    * reference's winner is SQLite's arbitrary DISTINCT order; we pin
+    * lexicographic order and document the divergence).
+    */
+  def statusViewNames(statuses: Seq[String]): Seq[(String, String)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    statuses.sorted.foreach { s =>
       val name = PathOps.sanitizeViewName(s)
       if (name.nonEmpty && !out.contains(s"status_$name"))
-        out(s"status_$name") = df.filter(col("file_status") === lit(s))
+        out(s"status_$name") = s
     }
     out.toSeq
   }
+
+  def statusViews(df: DataFrame): Seq[(String, DataFrame)] =
+    statusViewNames(distinctStatuses(df)).map { case (viewName, s) =>
+      (viewName, df.filter(col("file_status") === lit(s)))
+    }
 
   /** `hierarchy_children` (J2), ordered by path — see [[graft.ops.Hierarchy]]. */
   def hierarchyChildren(df: DataFrame): DataFrame = Hierarchy(df)

@@ -112,7 +112,7 @@ class XlsxSpec extends SparkSpec {
     val rows = Xlsx.scanRows(f, _.startsWith("Transfer Report")).toVector
     assert(rows.map(_._3.toSeq) === Vector(
       Seq("A", "B", "C"),
-      Seq("r1a", "", "3.5"),
+      Seq("r1a", "", "3.50"), // non-canonical numeric → preserved VERBATIM
       Seq("r2 & <odd>", "x"))) // trailing empty stays absent; XML-escaped text survives
   }
 
@@ -124,7 +124,61 @@ class XlsxSpec extends SparkSpec {
     val rows = Xlsx.scanRows(f, _.startsWith("Transfer Report")).toVector
     assert(rows.head._3.toSeq === Seq("id", "status", "score"))
     assert(rows(1)._3.toSeq === Seq("1", "success", "4.5"))
-    assert(rows(2)._3.toSeq === Seq("2", "filtered", "0")) // 0.0 → General "0"
+    assert(rows(2)._3.toSeq === Seq("2", "filtered", "0.0")) // "0.0" non-canonical → verbatim string
+  }
+
+  test("mid-file corruption: truncated sheet XML truncates the file, not the job") {
+    val dir = Files.createTempDirectory("graft-xlsx-midcorrupt").toString
+    // valid zip, valid workbook/rels, but the sheet XML is cut mid-row:
+    // parsing fails at next()-time, inside iteration — the tolerance
+    // wrapper must truncate this FILE and keep the batch alive
+    val f = new File(dir, "Torn.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(f))
+    def put(n: String, c: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<workbook xmlns:r="r"><sheets><sheet name="Transfer Report" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<Relationships><Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/></Relationships>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>H</t></is></c></row><row r="2"><c r="A2" t="inl""")
+    zos.close()
+    XlsxFixture.write(new File(dir, "Whole.xlsx"), Seq(
+      "Transfer Report" -> (Seq(headers) ++ Seq(dataRow("W/ok.txt", "1", "9", "s", "")))))
+    val out = Pipeline.run(spark, dir, XlsxRawSource)
+    assert(out.select("file_name").as[String].collect().toSet === Set("W/ok.txt"))
+  }
+
+  test("XlsxWriter: non-canonical numeric strings survive round-trips verbatim") {
+    val dir = Files.createTempDirectory("graft-xlsx-canon").toString
+    val f = new File(dir, "c.xlsx")
+    XlsxWriter.write(f, "Transfer Report",
+      Seq("A", "B", "C"), Iterator(Seq("0123", "1.50", "45000.5")))
+    val rows = Xlsx.scanRows(f, _ => true).toVector
+    // "0123"/"1.50" are NOT the canonical General form of their value →
+    // written as strings; "45000.5" is canonical → numeric cell
+    assert(rows(1)._3.toSeq === Seq("0123", "1.50", "45000.5"))
+  }
+
+  test("overview surgery: attribute order and paired sheet tags are handled") {
+    val wb = """<workbook><sheets>""" +
+      """<sheet sheetId="3" name="Overview" r:id="rId3"/>""" +
+      """<sheet sheetId="1" name="Transfer Report" r:id="rId1"></sheet>""" +
+      """</sheets></workbook>"""
+    val out = OverviewExtract.rewriteWorkbook(wb, "Overview")
+    assert(out.contains("""sheetId="1" name="Overview""""))
+    assert(!out.contains("Transfer Report"))
+    val rels = """<Relationships>""" +
+      """<Relationship Target="worksheets/sheet1.xml" Id="rId1" Type="x/worksheet"/>""" +
+      """<Relationship Id="rId3" Type="x/worksheet" Target="worksheets/sheet3.xml"/>""" +
+      """<Relationship Id="rId9" Type="x/styles" Target="styles.xml"/>""" +
+      """</Relationships>"""
+    val relsOut = OverviewExtract.rewriteRels(rels, "sheet3.xml")
+    assert(!relsOut.contains("sheet1.xml"))
+    assert(relsOut.contains("sheet3.xml"))
+    assert(relsOut.contains("styles.xml")) // non-worksheet rels untouched
   }
 
   test("overview extract: single-sheet subset, artifacts preserved, round-trips") {

@@ -48,6 +48,25 @@ class SaltAndMergeSpec extends SparkSpec {
     assert(MergeSink.merge(spark, batch2, state) === 8)
   }
 
+  test("merge sink: a legacy flat state directory is migrated, not clobbered") {
+    val state = Files.createTempDirectory("graft-merge-legacy").toString + "/state"
+    val resolved = Pipeline.resolve(Enrich(Coerce(PipelineFixture.raw(spark))))
+    // pre-bucketing layout: flat parquet, no sidecar, no bucket dirs
+    resolved.filter($"file_name" =!= "Root").write.parquet(state)
+
+    val batch = resolved.filter($"file_name" === "Root")
+    val n = MergeSink.merge(spark, batch, state)
+    assert(n === 8) // 7 legacy rows survived + 1 new key
+    val st = spark.read.parquet(state)
+    assert(st.count() === 8)
+    assert(st.filter($"file_name" === "Root/Sub/a.pdf").count() === 1) // legacy row intact
+    // and the batch's row won where keys overlap on a re-merge
+    val batch2 = batch.withColumn("file_status", lit("migrated-wins"))
+    MergeSink.merge(spark, batch2, state)
+    assert(spark.read.parquet(state).filter($"file_name" === "Root")
+      .head.getAs[String]("file_status") === "migrated-wins")
+  }
+
   test("merge sink: untouched buckets' files stay byte-identical across a merge") {
     val state = Files.createTempDirectory("graft-merge-buckets").toString + "/state"
     val resolved = Pipeline.resolve(Enrich(Coerce(PipelineFixture.raw(spark))))

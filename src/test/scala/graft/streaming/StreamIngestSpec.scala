@@ -69,6 +69,12 @@ class StreamIngestSpec extends SparkSpec {
       "Transfer Report" -> Seq(headers, row("A/x.txt", "1", "s1"), row("A/y.txt", "2", "s2"))))
     graft.ingest.XlsFixture.write(new java.io.File(src, "JobB.xls"), Seq(
       "Transfer Report" -> Seq(headers, row("B/z.txt", "3", "s3"))))
+    // hygiene: an Office lock file and a prior extractor output in the drop
+    // folder must be neither ingested nor archived away
+    graft.ingest.XlsxFixture.write(new java.io.File(src, "~$JobA.xlsx"), Seq(
+      "Transfer Report" -> Seq(headers, row("LOCK/file.txt", "9", "s9"))))
+    graft.ingest.XlsxFixture.write(new java.io.File(src, "Transfer-Overview-Old.xlsx"), Seq(
+      "Transfer Report" -> Seq(headers, row("OVW/file.txt", "8", "s8"))))
 
     def run(): Unit = {
       val q = StreamIngest.runWorkbookDropFolder(spark, src, archive, ckpt) { (batch, _) =>
@@ -84,9 +90,10 @@ class StreamIngestSpec extends SparkSpec {
     assert(got.select("file_name").as[String].collect().toSet ===
       Set("A/x.txt", "A/y.txt", "B/z.txt"))
     assert(got.filter($"file_name" === "B/z.txt").head.getAs[String]("job_name") === "JobB")
-    // both workbooks archived out of the drop folder
-    assert(new java.io.File(src).listFiles().count(f =>
-      f.getName.endsWith(".xlsx") || f.getName.endsWith(".xls")) === 0)
+    // both REAL workbooks archived; the lock file and extractor output
+    // remain untouched in the drop folder
+    assert(new java.io.File(src).listFiles().map(_.getName).sorted.toSeq ===
+      Seq("Transfer-Overview-Old.xlsx", "~$JobA.xlsx"))
     assert(new java.io.File(archive).listFiles().length === 2)
     // re-run with same checkpoint: nothing new → no reprocessing
     run()
