@@ -1,0 +1,192 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL dependency-free media codecs for the formats plain JDK bytes can
+  * decode — no ImageIO/ffmpeg/javacpp needed:
+  *
+  *   - PPM (P6 binary): ASCII header + raw RGB triplets;
+  *   - BMP (BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB): bottom-up
+  *     BGR(A) rows with 4-byte stride padding;
+  *   - WAV (RIFF, PCM 8/16-bit): fmt + data chunk walk.
+  *
+  * Payloads in other containers (JPEG/PNG/MP4…) fall back to the
+  * deterministic [[Multimodal.FakeCodec]] — the dispatch seam is the same
+  * one a JNI/ffmpeg codec would drop into. Features are real where decode
+  * is real: images → 4×4 mean-gray grid (16 dims), audio → 16-bin
+  * normalized amplitude histogram.
+  */
+object Codec {
+
+  final case class Image(width: Int, height: Int, rgb: Array[Byte])
+  final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Container sniffing by magic bytes. */
+  def sniff(payload: Array[Byte]): String =
+    if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') "ppm"
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+      payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
+    else "unknown"
+
+  // -------------------------------------------------------------- images --
+
+  def decodeImage(payload: Array[Byte]): Option[Image] = sniff(payload) match {
+    case "ppm" => decodePpm(payload)
+    case "bmp" => decodeBmp(payload)
+    case _ => None
+  }
+
+  private def decodePpm(b: Array[Byte]): Option[Image] = {
+    // header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
+    var i = 2
+    val fields = new Array[Int](3)
+    var f = 0
+    while (f < 3 && i < b.length) {
+      while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
+      if (i < b.length && b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+      else {
+        var v = 0
+        var any = false
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1; any = true }
+        if (!any) return None
+        fields(f) = v; f += 1
+      }
+    }
+    if (f < 3 || i >= b.length) return None
+    i += 1 // the single whitespace after maxval
+    val (w, h) = (fields(0), fields(1))
+    if (w <= 0 || h <= 0 || b.length - i < w * h * 3) return None
+    Some(Image(w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3)))
+  }
+
+  private def decodeBmp(b: Array[Byte]): Option[Image] = {
+    if (b.length < 54) return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val bpp = buf.getShort(28).toInt
+    val compression = buf.getInt(30)
+    if (w <= 0 || hRaw == 0 || compression != 0 || (bpp != 24 && bpp != 32)) return None
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    val bytesPerPx = bpp / 8
+    val stride = ((w * bytesPerPx + 3) / 4) * 4
+    if (dataOffset.toLong + stride.toLong * h > b.length) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOffset + stride * (if (bottomUp) h - 1 - y else y)
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * bytesPerPx
+        val d = (y * w + x) * 3
+        rgb(d) = b(s + 2) // BGR(A) → RGB
+        rgb(d + 1) = b(s + 1)
+        rgb(d + 2) = b(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, rgb))
+  }
+
+  /** Nearest-neighbor resample; result re-encoded as canonical P6 PPM (the
+    * format this codec can WRITE without libraries).
+    */
+  def resizeToPpm(img: Image, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.width / w).toInt
+        val s = (sy * img.width + sx) * 3
+        val d = header.length + (y * w + x) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 4×4 mean-gray grid feature (16 dims, [0,1]). */
+  def imageFeatures(img: Image): Array[Float] = {
+    val sums = new Array[Double](16)
+    val counts = new Array[Long](16)
+    var y = 0
+    while (y < img.height) {
+      val gy = math.min(3, y * 4 / math.max(1, img.height))
+      var x = 0
+      while (x < img.width) {
+        val gx = math.min(3, x * 4 / math.max(1, img.width))
+        val s = (y * img.width + x) * 3
+        val gray = ((img.rgb(s) & 0xFF) + (img.rgb(s + 1) & 0xFF) + (img.rgb(s + 2) & 0xFF)) / 3.0
+        sums(gy * 4 + gx) += gray
+        counts(gy * 4 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(16)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
+  }
+
+  // --------------------------------------------------------------- audio --
+
+  def decodeWav(b: Array[Byte]): Option[Audio] = {
+    if (sniff(b) != "wav") return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var samples: Array[Short] = null
+    while (pos + 8 <= b.length) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          val fmt = buf.getShort(pos + 8).toInt
+          channels = buf.getShort(pos + 10).toInt
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22).toInt
+          if (fmt != 1 || (bits != 8 && bits != 16)) return None // PCM only
+        case "data" if sampleRate > 0 =>
+          val n = size / (bits / 8)
+          samples = new Array[Short](n)
+          var i = 0
+          if (bits == 16) {
+            while (i < n) { samples(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+          } else {
+            while (i < n) { samples(i) = (((b(pos + 8 + i) & 0xFF) - 128) << 8).toShort; i += 1 }
+          }
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate <= 0 || channels <= 0 || samples == null) None
+    else Some(Audio(sampleRate, channels, samples))
+  }
+
+  def audioDurationMs(a: Audio): Long =
+    a.samples.length.toLong * 1000 / (a.sampleRate.toLong * a.channels)
+
+  /** 16-bin normalized absolute-amplitude histogram. */
+  def audioFeatures(a: Audio): Array[Float] = {
+    val hist = new Array[Float](16)
+    a.samples.foreach { s =>
+      val v = math.min(15, math.abs(s.toInt) * 16 / 32768)
+      hist(v) += 1f
+    }
+    val n = math.max(1, a.samples.length).toFloat
+    hist.map(_ / n)
+  }
+}

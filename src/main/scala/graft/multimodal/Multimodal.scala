@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * frame-sample stages a training-data pipeline needs.
   *
   * The Spark-side plumbing is real — schema, task-level batching, iterator
-  * transforms, partition sizing — and is what this module tests. The codec
-  * itself is a STUB ([[FakeCodec]]): the container has no image/audio
-  * libraries, so decode is a deterministic fake keyed on payload bytes. A
-  * real codec (JNI/javacpp-ffmpeg/ImageIO) drops into the same
-  * `Iterator[MediaRecord] ⇒ Iterator[...]` seam without touching any plan.
+  * transforms, partition sizing. Decode is REAL for the containers plain
+  * JDK bytes can parse ([[Codec]]: PPM/BMP images with actual pixel
+  * resampling, PCM WAV audio with actual sample rates/durations); payloads
+  * in compressed containers (JPEG/MP4…) fall back to the deterministic
+  * [[FakeCodec]] — the same `Iterator[MediaRecord] ⇒ Iterator[...]` seam a
+  * JNI/ffmpeg codec drops into without touching any plan.
   *
   * Scale shape: decode runs as `mapPartitions` (the Scala analog of
   * `mapInPandas`) with explicit micro-batching, so per-batch codec setup is
@@ -45,6 +46,20 @@ object Multimodal {
       frame_payload: Array[Byte])
 
   val FeatureDim = 16
+
+  /** Real-or-fake decode dispatch: (width, height, features, durationMs). */
+  private[multimodal] def decodeAny(kind: String, payload: Array[Byte])
+      : (Int, Int, Array[Float], Option[Long]) =
+    Codec.decodeImage(payload) match {
+      case Some(img) => (img.width, img.height, Codec.imageFeatures(img), None)
+      case None => Codec.decodeWav(payload) match {
+        case Some(a) =>
+          (a.channels, 0, Codec.audioFeatures(a), Some(Codec.audioDurationMs(a)))
+        case None =>
+          val (w, h, f) = FakeCodec.decode(payload)
+          (w, h, f, None)
+      }
+    }
 
   /** STUB codec — deterministic fake standing in for image/audio decode.
     * "Dimensions" derive from payload length, "features" are the normalized
@@ -99,19 +114,26 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch codec setup would go here (amortized over batchSize rows)
         batch.iterator.map { m =>
-          val (w, h, feats) = FakeCodec.decode(m.payload)
+          val (w, h, feats, _) = decodeAny(m.kind, m.payload)
           MediaFeatures(m.media_id, m.kind, m.width.getOrElse(w), m.height.getOrElse(h), feats)
         }
       }
     }
   }
 
-  /** Resize stage: metadata-level transform with payload passthrough (the
-    * stub cannot re-encode pixels; a real codec replaces the payload too).
+  /** Resize stage: REAL pixel resampling (nearest-neighbor, re-encoded as
+    * P6 PPM) for decodable images; metadata-only passthrough for payloads
+    * only a library codec could re-encode.
     */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
-    media.map(m => m.copy(width = Some(w), height = Some(h)))
+    media.map { m =>
+      Codec.decodeImage(m.payload) match {
+        case Some(img) =>
+          m.copy(payload = Codec.resizeToPpm(img, w, h), width = Some(w), height = Some(h))
+        case None => m.copy(width = Some(w), height = Some(h))
+      }
+    }
   }
 
   /** Frame sampling for video rows: one output row per `everyMs` step across
