@@ -61,6 +61,23 @@ object Xlsx {
     idx - 1
   }
 
+  /** OOXML `_xHHHH_` unescape: XML 1.0 cannot carry control characters, so
+    * Excel stores them escaped in sharedStrings/inline strings (and escapes
+    * a literal `_xHHHH_` by encoding its own underscore as `_x005F_`).
+    */
+  def unescapeOoxml(s: String): String = {
+    if (!s.contains("_x")) return s
+    val m = java.util.regex.Pattern.compile("_x([0-9A-Fa-f]{4})_").matcher(s)
+    val sb = new StringBuffer
+    while (m.find()) {
+      val ch = Integer.parseInt(m.group(1), 16).toChar
+      m.appendReplacement(sb,
+        java.util.regex.Matcher.quoteReplacement(ch.toString))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
   /** POI DataFormatter "General" rendering of a raw numeric cell value:
     * integral values lose the decimal part ("2048.0" → "2048"), everything
     * else keeps its plain decimal form; non-numeric text passes through.
@@ -129,7 +146,7 @@ object Xlsx {
             }
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
-              case "si" => inSi = false; out += sb.toString
+              case "si" => inSi = false; out += unescapeOoxml(sb.toString)
               case "rPh" => inRPh = false
               case _ =>
             }
@@ -170,7 +187,8 @@ object Xlsx {
 
       private def cellValue(t: String, v: String): String = t match {
         case "s" => if (v == null) "" else sst(v.trim.toInt)
-        case "inlineStr" | "str" | "e" => if (v == null) "" else v
+        case "inlineStr" | "str" => if (v == null) "" else unescapeOoxml(v)
+        case "e" => if (v == null) "" else v
         case "b" => if (v != null && v.trim == "1") "TRUE" else "FALSE"
         case _ => if (v == null) "" else formatGeneral(v.trim)
       }

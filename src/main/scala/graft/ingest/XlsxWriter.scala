@@ -33,9 +33,19 @@ object XlsxWriter {
       zos.write(content.getBytes(StandardCharsets.UTF_8))
       zos.closeEntry()
     }
-    def esc(s: String): String = s
-      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+    // OOXML escaping first (XML 1.0 cannot carry control chars: they become
+    // _xHHHH_, and a literal _xHHHH_ protects its own underscore as _x005F_),
+    // then XML entity escaping
+    def esc(s: String): String = {
+      val oox0 = s.replaceAll("_x([0-9A-Fa-f]{4})_", "_x005F_x$1_")
+      val oox =
+        if (oox0.forall(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r')) oox0
+        else oox0.flatMap(c =>
+          if (c < ' ' && c != '\t' && c != '\n' && c != '\r') f"_x${c.toInt}%04X_"
+          else c.toString)
+      oox.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;")
+    }
     try {
       put("[Content_Types].xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +

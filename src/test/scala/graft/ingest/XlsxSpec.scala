@@ -181,6 +181,33 @@ class XlsxSpec extends SparkSpec {
     assert(relsOut.contains("styles.xml")) // non-worksheet rels untouched
   }
 
+  test("property: arbitrary cell strings round-trip writer → reader verbatim") {
+    import org.scalacheck.Gen
+    // strings with XML entities, unicode, control chars, literal _xHHHH_
+    // sequences, leading zeros, whitespace-heavy text
+    val tricky = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOfN(8, Gen.oneOf('&', '<', '>', '"', '\'', '\n', '\t', 'a', 'é',
+        '中', '', '', '_')).map(_.mkString),
+      Gen.const("_x0041_ literal"),
+      Gen.const("0123"), Gen.const("1.50"), Gen.const("-0"),
+      Gen.const("  padded  "), Gen.const(""))
+    val rows: Seq[Seq[String]] =
+      Gen.listOfN(60, Gen.listOfN(3, tricky)).sample.get
+    // blank cells read back as "" (sparse), so normalize expectations
+    val expected = rows.map(_.map(v => v))
+    val dir = Files.createTempDirectory("graft-xlsx-prop").toString
+    val f = new File(dir, "prop.xlsx")
+    XlsxWriter.write(f, "Transfer Report", Seq("A", "B", "C"), rows.iterator)
+    val got = Xlsx.scanRows(f, _ => true).toVector.drop(1) // drop header
+      .map(_._3.toSeq)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      // trailing empties are absent in sparse rows; pad for comparison
+      val gp = g.padTo(3, "")
+      assert(gp === e, s"row $i")
+    }
+  }
+
   test("overview extract: single-sheet subset, artifacts preserved, round-trips") {
     val dir = Files.createTempDirectory("graft-ovw").toString
     val src = new File(dir, "Report.xlsx")
