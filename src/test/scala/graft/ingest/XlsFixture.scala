@@ -14,9 +14,14 @@ import scala.collection.mutable
 object XlsFixture {
 
   private val numeric = "^-?[0-9]+(\\.[0-9]+)?$".r
+  // numeric cells only for CANONICAL renderings ("0123" must stay a string)
   private def isRkInt(v: String): Boolean =
     numeric.findFirstIn(v).isDefined && !v.contains(".") &&
-      math.abs(v.toLong) < (1L << 28)
+      (try { math.abs(v.toLong) < (1L << 28) && v.toLong.toString == v }
+       catch { case _: NumberFormatException => false })
+  private def isCanonicalNum(v: String): Boolean =
+    numeric.findFirstIn(v).isDefined &&
+      (try Xls.formatNum(v.toDouble) == v catch { case _: NumberFormatException => false })
 
   private class Rec(val id: Int) {
     val b = new ByteArrayOutputStream()
@@ -48,8 +53,8 @@ object XlsFixture {
     var sstRefs = 0
     sheets.foreach { case (_, rows) =>
       rows.foreach(_.foreach { v =>
-        if (v != null && v.nonEmpty && numeric.findFirstIn(v).isEmpty &&
-            v != "TRUE" && v != "FALSE") {
+        if (v != null && v.nonEmpty && v != "TRUE" && v != "FALSE" &&
+            !isRkInt(v) && !isCanonicalNum(v)) {
           sst.getOrElseUpdate(v, sst.size); sstRefs += 1
         }
       })
@@ -81,7 +86,7 @@ object XlsFixture {
             out.write(new Rec(0x205).u16(ri).u16(ci).u16(0)
               .u8(if (v == "TRUE") 1 else 0).u8(0).bytes)
             ci += 1
-          } else if (numeric.findFirstIn(v).isDefined) {
+          } else if (isCanonicalNum(v)) {
             out.write(new Rec(0x203).u16(ri).u16(ci).u16(0).f64(v.toDouble).bytes)
             ci += 1
           } else {

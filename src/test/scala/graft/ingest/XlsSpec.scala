@@ -117,6 +117,26 @@ class XlsSpec extends SparkSpec {
     assert(out.head.getAs[String]("file_name") === "G/ok.txt")
   }
 
+  test("property: arbitrary cell strings round-trip BIFF8 fixture → reader verbatim") {
+    import org.scalacheck.Gen
+    val tricky = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOfN(6, Gen.oneOf('a', 'é', '中', 'ß', '€', ' ', '_')).map(_.mkString),
+      Gen.const("0123"), Gen.const("1.50"), Gen.const("TRUE"),
+      Gen.const("45000.5"), Gen.const("-12"), Gen.const(""))
+    val rows: Seq[Seq[String]] = Gen.listOfN(50, Gen.listOfN(3, tricky)).sample.get
+      // an all-empty row has no cell records at all and would (correctly)
+      // vanish on read — keep every generated row observable
+      .map(r => if (r.forall(_.isEmpty)) r.updated(0, "x") else r)
+    val dir = Files.createTempDirectory("graft-xls-prop").toString
+    val f = new File(dir, "prop.xls")
+    XlsFixture.write(f, Seq("Transfer Report" -> rows))
+    val got = Xls.scanRows(f, _ => true).toVector.map(_._3.toSeq)
+    got.zip(rows).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g.padTo(3, "") === e, s"row $i")
+    }
+  }
+
   test("combined WorkbookRawSource dispatches by extension") {
     val dir = Files.createTempDirectory("graft-wb-mixed").toString
     XlsFixture.write(new File(dir, "Old.xls"), Seq(
