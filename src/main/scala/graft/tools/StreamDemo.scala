@@ -73,6 +73,34 @@ object StreamDemo {
       df.select("file_name", "file_status", "level", "parent_id").show(20, truncate = false)
     } else println("=== no new files to process (exactly-once checkpoint) ===")
 
+    // workbook drop-folder: REAL .xlsx files streaming through binaryFile +
+    // the dependency-free reader — the reference's actual operating mode
+    val (wbSrc, wbArch, wbCkpt) =
+      (s"$work/wb-source", s"$work/wb-processed", s"$work/wb-ckpt")
+    Files.createDirectories(Paths.get(wbSrc))
+    val wbEmpty = {
+      val s = Files.list(Paths.get(wbSrc))
+      try !s.findAny().isPresent finally s.close()
+    }
+    if (wbEmpty) {
+      val n = Option(new java.io.File(wbArch).listFiles()).map(_.length).getOrElse(0)
+      graft.ingest.XlsxWriter.write(
+        new java.io.File(wbSrc, s"Drop${n + 1}.xlsx"), "Transfer Report",
+        graft.model.TransferSchema.excelHeaders,
+        Iterator(
+          Seq("WbRoot", "0", "", "2001", "", "", "45000.5") ++ Seq.fill(12)(""),
+          Seq("WbRoot/a.txt", "77", "", "2002", "", "", "") ++ Seq.fill(12)("")))
+      println(s"=== dropped Drop${n + 1}.xlsx into $wbSrc ===")
+    }
+    val wq = StreamIngest.runWorkbookDropFolder(spark, wbSrc, wbArch, wbCkpt) { (batch, id) =>
+      if (!batch.isEmpty) {
+        val resolved = Pipeline.resolve(Enrich(Coerce(batch)))
+        println(s"=== workbook batch $id: ${resolved.count()} resolved rows " +
+          "(xlsx → binaryFile stream → pipeline) ===")
+      }
+    }
+    wq.awaitTermination()
+
     println("=== event-time windows (first 5) ===")
     graft.queries.Registry.qEventWindows(spark, "/root/testdata/sf0.001").show(5)
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
