@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: greedily fill fixed
+  * token-budget bins ("packs") with documents, the standard step between
+  * dedup/quality filtering and batch assembly — packed sequences waste no
+  * padding tokens.
+  *
+  * Law (deterministic, oracle-checkable): documents are split into RANGES
+  * by an integral range key (id boundaries, modulo classes, …); within a
+  * range, docs are taken in id order and appended to the current pack
+  * until the next doc would exceed `budget`, which starts a new pack. A
+  * single doc larger than the budget gets its own pack. Pack identity is
+  * `(range_id, pack_no)`.
+  *
+  * Scale shape: ranges are packed INDEPENDENTLY — one shuffle on the range
+  * id, then a per-partition sorted sweep (mapPartitions; the sequential
+  * fold is inherently order-dependent, so "globally sequential" would be a
+  * single task — ranges are how packing parallelizes in practice, trading
+  * at most one partially-filled pack per range). Boundaries are plan-time
+  * literals; at 100 TB they come from equi-depth id quantiles.
+  */
+object Packing {
+
+  /** Assign each doc to a pack: output (idCol, cost, range_id, pack_no,
+    * pack_id) with `pack_id = range_id * 1e9 + pack_no` for a flat key.
+    * `rangeCol` must be integral in [0, nRanges).
+    */
+  def packGreedy(df: DataFrame, idCol: String, costCol: Column, budget: Long,
+      rangeCol: Column, nRanges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("_id"), costCol.cast("long").as("_cost"),
+        rangeCol.cast("int").as("_range"))
+      .repartition(nRanges, col("_range"))
+      .sortWithinPartitions("_range", "_id")
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // consecutive range groups within the partition: reset at changes
+        var curRange = -1
+        var packNo = -1L
+        var acc = 0L
+        it.map { case (id, cost, range) =>
+          if (range != curRange) { curRange = range; packNo = 0L; acc = 0L }
+          if (acc > 0 && acc + cost > budget) { packNo += 1; acc = 0L }
+          acc += cost
+          (id, cost, range, packNo, range.toLong * 1000000000L + packNo)
+        }
+      }
+      .toDF("_id", "cost", "range_id", "pack_no", "pack_id")
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Range assignment from ascending id boundaries (plan-time literals; at
+    * 100 TB these come from equi-depth id quantiles).
+    */
+  def packGreedyByBoundaries(df: DataFrame, idCol: String, costCol: Column,
+      budget: Long, boundaries: Seq[Long]): DataFrame = {
+    require(boundaries == boundaries.sorted, "boundaries must be ascending")
+    val rangeId = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(idCol) >= b, 1).otherwise(0)
+    }
+    packGreedy(df, idCol, costCol, budget, rangeId, boundaries.size + 1)
+  }
+
+  /** Pack-level rollup: docs per pack, total cost, budget utilization. */
+  def packStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("cost").as("total_cost"))
+      .withColumn("utilization", col("total_cost").cast("double") / budget)
+}

@@ -529,6 +529,36 @@ object Registry {
        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Sequence packing: greedy token-budget bins over ranged documents —
+    * the oracle replicates the sequential fold with a recursive CTE, so
+    * the order-dependent law itself is driver-checked, not just row counts.
+    */
+  def qSequencePacking(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packGreedy(
+      t(spark, dir, "documents"), "doc_id", col("n_chars"), budget = 4000L,
+      rangeCol = pmod(col("doc_id"), lit(4)), nRanges = 4)
+      .select(col("doc_id"), col("cost"),
+        col("range_id").cast("bigint").as("range_id"),
+        col("pack_no"), col("pack_id"))
+      .orderBy("doc_id")
+
+  val qSequencePackingSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS cost,
+      |         CAST(doc_id % 4 AS BIGINT) AS range_id,
+      |         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+      |  FROM documents),
+      | walk(range_id, rn, doc_id, cost, pack_no, acc) AS (
+      |  SELECT range_id, rn, doc_id, cost, CAST(0 AS BIGINT), cost FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.range_id, d.rn, d.doc_id, d.cost,
+      |    CASE WHEN w.acc + d.cost > 4000 THEN w.pack_no + 1 ELSE w.pack_no END,
+      |    CASE WHEN w.acc + d.cost > 4000 THEN d.cost ELSE w.acc + d.cost END
+      |  FROM walk w JOIN d ON d.range_id = w.range_id AND d.rn = w.rn + 1)
+      | SELECT doc_id, cost, range_id, pack_no,
+      |  range_id * 1000000000 + pack_no AS pack_id
+      | FROM walk ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Rule-based language ID (CJK charset, stopword argmax). */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -679,6 +709,7 @@ object Registry {
     "q_parent_folder" -> (qParentFolder _),
     "q_job_name" -> (qJobName _),
     "q_salted_status" -> (qSaltedStatus _),
+    "q_sequence_packing" -> (qSequencePacking _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -718,6 +749,7 @@ object Registry {
     "q_parent_folder" -> qParentFolderSql,
     "q_job_name" -> qJobNameSql,
     "q_salted_status" -> qSaltedStatusSql,
+    "q_sequence_packing" -> qSequencePackingSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,

@@ -57,6 +57,12 @@ object StreamIngest {
     * flow once through `batchFn` as the raw 19-column frame, then are
     * archived. Exactly-once bookkeeping from the checkpoint, as in
     * [[runDropFolder]].
+    *
+    * Scale note: `binaryFile` materializes each workbook's bytes as one row
+    * (spilling to an executor temp file for the zip's random access) —
+    * right for drop-folder cadences of bounded report files; for very large
+    * workbooks on a shared mount, the batch adapter (`XlsxRawSource`)
+    * streams straight from the file instead.
     */
   def runWorkbookDropFolder(spark: SparkSession, sourceDir: String,
       archiveDir: String, checkpointDir: String)(

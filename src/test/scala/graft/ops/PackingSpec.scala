@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(Long, Long)], budget: Long, nRanges: Int = 1) =
+    Packing.packGreedy(rows.toDF("doc_id", "cost"), "doc_id", col("cost"),
+      budget, pmod(col("doc_id"), lit(nRanges)), nRanges)
+
+  test("greedy law: fill to budget, overflow starts a new pack") {
+    val out = pack(Seq((1L, 300L), (2L, 400L), (3L, 400L), (4L, 100L)), budget = 800)
+      .orderBy("doc_id").collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_no"))
+    // 300+400=700 fits; +400 would be 1100 → new pack; +100=500 fits
+    assert(out.toSeq === Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("oversized doc gets its own pack; packing continues after") {
+    val out = pack(Seq((1L, 100L), (2L, 5000L), (3L, 100L)), budget = 800)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("pack_no"))
+    assert(out.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("ranges pack independently; pack_id is globally unique") {
+    val rows = (0L until 40L).map(i => (i, 300L))
+    val out = pack(rows, budget = 800, nRanges = 4)
+    // per range: 10 docs × 300 → packs of 2 (600), 5 packs per range
+    val stats = Packing.packStats(out, budget = 800)
+    assert(stats.count() === 20)
+    assert(stats.agg(max("utilization")).head.getDouble(0) <= 1.0)
+    assert(out.select("pack_id").distinct().count() === 20)
+    // per-range pack content is the same regardless of input partitioning
+    val repartitioned = Packing.packGreedy(
+      rows.toDF("doc_id", "cost").repartition(13), "doc_id", col("cost"),
+      800, pmod(col("doc_id"), lit(4)), 4)
+    assert(out.orderBy("doc_id").collect().toSeq ===
+      repartitioned.orderBy("doc_id").collect().toSeq)
+  }
+}
