@@ -559,6 +559,63 @@ object Registry {
       |  range_id * 1000000000 + pack_no AS pack_id
       | FROM walk ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** As-of join: each 'view' event matched to the user's latest
+    * prior-or-equal 'purchase' (DuckDB's native ASOF JOIN is the oracle).
+    * The right side is deduped to one row per (user, ts) — max event_id —
+    * so the tie winner is deterministic on both engines.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = Upsert.dedupLastWins(
+      e.filter(col("event_type") === "purchase"),
+      Seq(col("user_id"), col("ts")), Seq(col("event_id").desc))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.ops.TemporalJoin.asof(views, purchases, Seq("user_id"), "ts", "ts",
+      payload = Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_event_id"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+      | p AS (SELECT user_id, ts, event_id, value FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |   FROM events WHERE event_type = 'purchase') WHERE rn = 1)
+      | SELECT v.event_id, v.user_id, v.ts,
+      |  p.event_id AS asof_event_id, p.value AS asof_value
+      | FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+      | ORDER BY v.event_id""".stripMargin.replace("\n", " ")
+
+  /** Range join: clicks landing inside any same-user purchase's 1-hour
+    * window — bucketized equi-join on the engine side, plain inequality
+    * join in the oracle.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val windows = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    graft.ops.TemporalJoin.rangeJoin(clicks, windows, Seq("user_id"),
+      "ts", "w_start", "w_end", intervalPayload = Seq("purchase_id"),
+      bucketSeconds = 3600L)
+      .select(col("click_id"), col("user_id"), col("ivl_purchase_id").as("purchase_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+      | FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND c.user_id = p.user_id
+      |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+      | ORDER BY click_id, purchase_id""".stripMargin.replace("\n", " ")
+
   /** Rule-based language ID (CJK charset, stopword argmax). */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -710,6 +767,8 @@ object Registry {
     "q_job_name" -> (qJobName _),
     "q_salted_status" -> (qSaltedStatus _),
     "q_sequence_packing" -> (qSequencePacking _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -750,6 +809,8 @@ object Registry {
     "q_job_name" -> qJobNameSql,
     "q_salted_status" -> qSaltedStatusSql,
     "q_sequence_packing" -> qSequencePackingSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,

@@ -57,6 +57,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_asof_join: one keyed window, no join at all in the physical plan") {
+    val p = plan("q_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of degenerated into a per-row probe join")
+  }
+
+  test("q_range_join: bucketized equi hash join, never a nested-loop range join") {
+    val p = plan("q_range_join")
+    assert(p.contains("HashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
