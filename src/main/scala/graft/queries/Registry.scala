@@ -616,6 +616,47 @@ object Registry {
       |  AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
       | ORDER BY click_id, purchase_id""".stripMargin.replace("\n", " ")
 
+  /** Deterministic stratified sampling: per-language quotas via the
+    * md5-prefix survival law — the exact subset is engine-independent, so
+    * the oracle checks membership itself, not just counts.
+    */
+  private val sampleRates = Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5, "zh" -> 0.1)
+
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(
+      t(spark, dir, "documents"), "doc_id", "lang", sampleRates)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val qStratifiedSampleSql: String = {
+    val arms = sampleRates.toSeq.sortBy(_._1).map { case (lang, rate) =>
+      s"(lang = '$lang' AND substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) " +
+        s"< '${graft.ops.Sampling.rateThreshold(rate)}')"
+    }.mkString(" OR ")
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       | WHERE $arms ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Exact grouped percentiles (linear interpolation): Spark's `percentile`
+    * vs DuckDB's `quantile_cont` — both interpolate linearly on the sorted
+    * values, so the doubles match bit-for-bit. The exact form is the
+    * oracle-able one; `approx_percentile` (t-digest) is the 100 TB path and
+    * is deliberately not in the gate (approximation is engine-specific).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy("event_type")
+
+  val qPercentilesSql: String =
+    """SELECT event_type,
+      | quantile_cont(value, 0.5) AS p50,
+      | quantile_cont(value, 0.9) AS p90,
+      | quantile_cont(value, 0.99) AS p99
+      | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+
   /** Rule-based language ID (CJK charset, stopword argmax). */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -769,6 +810,8 @@ object Registry {
     "q_sequence_packing" -> (qSequencePacking _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_percentiles" -> (qPercentiles _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -811,6 +854,8 @@ object Registry {
     "q_sequence_packing" -> qSequencePackingSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_stratified_sample" -> qStratifiedSampleSql,
+    "q_percentiles" -> qPercentilesSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("deterministic sample: rate approximately honored, exactly reproducible") {
+    val n = docs.count()
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.3)
+    val rate = s1.count().toDouble / n
+    assert(rate > 0.15 && rate < 0.45, s"rate $rate far from 0.3")
+    // same ids regardless of partitioning — a pure function of the row
+    val s2 = Sampling.deterministicSample(docs.repartition(17), "doc_id", 0.3)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a sample at a higher rate is a SUPERSET (thresholds nest)
+    val s3 = Sampling.deterministicSample(docs, "doc_id", 0.6)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet.subsetOf(
+      s3.select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+
+  test("different salts draw (near-)independent subsets") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.5, salt = "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.5, salt = "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== b)
+    val overlap = a.intersect(b).size.toDouble / math.max(1, a.size)
+    assert(overlap > 0.25 && overlap < 0.75) // ≈ rate, not ≈ 1
+  }
+
+  test("stratified: per-stratum rates; unlisted strata dropped") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0))
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enTotal = docs.filter($"lang" === "en").count()
+    assert(byLang.getOrElse("en", 0L) === enTotal) // rate 1.0 keeps all
+    assert(!byLang.contains("de")) // rate 0.0
+    assert(byLang.keySet === Set("en")) // fr/zh/es unlisted → dropped
+  }
+}
