@@ -415,6 +415,36 @@ object Registry {
       | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------------------
+  // Headline multi-join: revenue by nation (TPC-H Q5 shape) — dimension
+  // tables broadcast, the fact table never shuffles before aggregation
+  // ------------------------------------------------------------------------
+  def qRevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("decimal(27,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val qRevenueByNationSql: String =
+    """SELECT n_name,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      | GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
   // Event-time tumbling window aggregate (batch semantics == streaming agg)
   // ------------------------------------------------------------------------
   def qEventWindows(spark: SparkSession, dir: String): DataFrame =
@@ -812,6 +842,7 @@ object Registry {
     "q_range_join" -> (qRangeJoin _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_percentiles" -> (qPercentiles _),
+    "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -856,6 +887,7 @@ object Registry {
     "q_range_join" -> qRangeJoinSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_percentiles" -> qPercentilesSql,
+    "q_revenue_by_nation" -> qRevenueByNationSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,

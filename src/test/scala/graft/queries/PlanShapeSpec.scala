@@ -71,6 +71,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_revenue_by_nation: dimensions broadcast; no cartesian") {
+    val p = plan("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
