@@ -605,7 +605,13 @@ object Registry {
     graft.ops.TemporalJoin.asof(views, purchases, Seq("user_id"), "ts", "ts",
       payload = Seq("event_id", "value"))
       .select(col("event_id"), col("user_id"), col("ts"),
-        col("asof_event_id"), col("asof_value"))
+        // NULLABLE ints render inconsistently across the driver comparator's
+        // two read paths (pandas nullable Int64 vs float64-NaN) — the same
+        // class as the r1 DECIMAL trap. String-typed ids with nulls are the
+        // proven-safe form (parent_id, r1); asof_value stays double (floats
+        // are NaN on every path).
+        col("asof_event_id").cast("string").as("asof_event_id"),
+        col("asof_value"))
       .orderBy("event_id")
   }
 
@@ -615,7 +621,7 @@ object Registry {
       |   SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
       |   FROM events WHERE event_type = 'purchase') WHERE rn = 1)
       | SELECT v.event_id, v.user_id, v.ts,
-      |  p.event_id AS asof_event_id, p.value AS asof_value
+      |  CAST(p.event_id AS VARCHAR) AS asof_event_id, p.value AS asof_value
       | FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
       | ORDER BY v.event_id""".stripMargin.replace("\n", " ")
 
