@@ -34,14 +34,16 @@ object XlsxWriter {
       zos.closeEntry()
     }
     // OOXML escaping first (XML 1.0 cannot carry control chars: they become
-    // _xHHHH_, and a literal _xHHHH_ protects its own underscore as _x005F_),
-    // then XML entity escaping
+    // _xHHHH_; a literal _xHHHH_ protects its own underscore as _x005F_ —
+    // via LOOKAHEAD, so overlapping runs sharing an underscore are each
+    // protected), then XML entity escaping. '\r' MUST be escaped: XML 1.0
+    // line-ending normalization silently turns a raw CR into LF on read.
     def esc(s: String): String = {
-      val oox0 = s.replaceAll("_x([0-9A-Fa-f]{4})_", "_x005F_x$1_")
+      val oox0 = s.replaceAll("_(?=x[0-9A-Fa-f]{4}_)", "_x005F_")
       val oox =
-        if (oox0.forall(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r')) oox0
+        if (oox0.forall(c => c >= ' ' || c == '\t' || c == '\n')) oox0
         else oox0.flatMap(c =>
-          if (c < ' ' && c != '\t' && c != '\n' && c != '\r') f"_x${c.toInt}%04X_"
+          if (c < ' ' && c != '\t' && c != '\n') f"_x${c.toInt}%04X_"
           else c.toString)
       oox.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace("\"", "&quot;")

@@ -32,11 +32,15 @@ object Codec {
 
   // -------------------------------------------------------------- images --
 
-  def decodeImage(payload: Array[Byte]): Option[Image] = sniff(payload) match {
-    case "ppm" => decodePpm(payload)
-    case "bmp" => decodeBmp(payload)
-    case _ => None
-  }
+  /** None on anything malformed — a corrupt payload must FALL BACK, never
+    * throw out of a Spark task (the drop-folder contains what it contains).
+    */
+  def decodeImage(payload: Array[Byte]): Option[Image] =
+    try sniff(payload) match {
+      case "ppm" => decodePpm(payload)
+      case "bmp" => decodeBmp(payload)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def decodePpm(b: Array[Byte]): Option[Image] = {
     // header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
@@ -56,9 +60,13 @@ object Codec {
     }
     if (f < 3 || i >= b.length) return None
     i += 1 // the single whitespace after maxval
-    val (w, h) = (fields(0), fields(1))
-    if (w <= 0 || h <= 0 || b.length - i < w * h * 3) return None
-    Some(Image(w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3)))
+    val (w, h, maxval) = (fields(0), fields(1), fields(2))
+    // only the 8-bit form (maxval 255); 2-byte-per-sample PPMs would be
+    // silently misread as half an image. Long math: w*h*3 must not overflow.
+    if (w <= 0 || h <= 0 || maxval != 255) return None
+    val need = w.toLong * h * 3
+    if (need > Int.MaxValue || b.length - i < need) return None
+    Some(Image(w, h, java.util.Arrays.copyOfRange(b, i, i + need.toInt)))
   }
 
   private def decodeBmp(b: Array[Byte]): Option[Image] = {
@@ -74,7 +82,10 @@ object Codec {
     val bottomUp = hRaw > 0
     val bytesPerPx = bpp / 8
     val stride = ((w * bytesPerPx + 3) / 4) * 4
-    if (dataOffset.toLong + stride.toLong * h > b.length) return None
+    // dataOffset must point past the headers; all arithmetic in Long so a
+    // hostile/corrupt header can't wrap negative and pass the bound check
+    if (dataOffset < 54 || w.toLong * h * 3 > Int.MaxValue ||
+      dataOffset.toLong + stride.toLong * h > b.length) return None
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -140,7 +151,7 @@ object Codec {
 
   // --------------------------------------------------------------- audio --
 
-  def decodeWav(b: Array[Byte]): Option[Audio] = {
+  def decodeWav(b: Array[Byte]): Option[Audio] = try {
     if (sniff(b) != "wav") return None
     val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     var pos = 12
@@ -154,6 +165,7 @@ object Codec {
       if (size < 0 || pos + 8 + size > b.length) return None
       id match {
         case "fmt " =>
+          if (size < 16) return None
           val fmt = buf.getShort(pos + 8).toInt
           channels = buf.getShort(pos + 10).toInt
           sampleRate = buf.getInt(pos + 12)
@@ -174,7 +186,7 @@ object Codec {
     }
     if (sampleRate <= 0 || channels <= 0 || samples == null) None
     else Some(Audio(sampleRate, channels, samples))
-  }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   def audioDurationMs(a: Audio): Long =
     a.samples.length.toLong * 1000 / (a.sampleRate.toLong * a.channels)

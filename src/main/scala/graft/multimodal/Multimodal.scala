@@ -47,19 +47,26 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Real-or-fake decode dispatch: (width, height, features, durationMs). */
+  /** Real-or-fake decode dispatch: (width, height, features, durationMs).
+    * The declared `kind` GATES which real decoder may run (an audio row
+    * whose payload happens to sniff as BMP must not silently get image
+    * semantics); a failed or unsupported decode falls back to the
+    * deterministic fake.
+    */
   private[multimodal] def decodeAny(kind: String, payload: Array[Byte])
-      : (Int, Int, Array[Float], Option[Long]) =
-    Codec.decodeImage(payload) match {
-      case Some(img) => (img.width, img.height, Codec.imageFeatures(img), None)
-      case None => Codec.decodeWav(payload) match {
-        case Some(a) =>
-          (a.channels, 0, Codec.audioFeatures(a), Some(Codec.audioDurationMs(a)))
-        case None =>
-          val (w, h, f) = FakeCodec.decode(payload)
-          (w, h, f, None)
-      }
+      : (Int, Int, Array[Float], Option[Long]) = {
+    val real: Option[(Int, Int, Array[Float], Option[Long])] = kind match {
+      case "image" => Codec.decodeImage(payload)
+        .map(img => (img.width, img.height, Codec.imageFeatures(img), None))
+      case "audio" => Codec.decodeWav(payload)
+        .map(a => (a.channels, 0, Codec.audioFeatures(a), Some(Codec.audioDurationMs(a))))
+      case _ => None
     }
+    real.getOrElse {
+      val (w, h, f) = FakeCodec.decode(payload)
+      (w, h, f, None)
+    }
+  }
 
   /** STUB codec — deterministic fake standing in for image/audio decode.
     * "Dimensions" derive from payload length, "features" are the normalized
@@ -122,13 +129,13 @@ object Multimodal {
   }
 
   /** Resize stage: REAL pixel resampling (nearest-neighbor, re-encoded as
-    * P6 PPM) for decodable images; metadata-only passthrough for payloads
-    * only a library codec could re-encode.
+    * P6 PPM) for decodable IMAGE rows; metadata-only passthrough for other
+    * kinds and for payloads only a library codec could re-encode.
     */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     implicit val enc = Encoders.product[MediaRecord]
     media.map { m =>
-      Codec.decodeImage(m.payload) match {
+      (if (m.kind == "image") Codec.decodeImage(m.payload) else None) match {
         case Some(img) =>
           m.copy(payload = Codec.resizeToPpm(img, w, h), width = Some(w), height = Some(h))
         case None => m.copy(width = Some(w), height = Some(h))

@@ -38,14 +38,18 @@ object Packing {
       .sortWithinPartitions("_range", "_id")
       .as[(Long, Long, Int)]
       .mapPartitions { it =>
-        // consecutive range groups within the partition: reset at changes
+        // consecutive range groups within the partition: reset at changes.
+        // EXACT fold law (mirrors the recursive-CTE oracle): the range's
+        // first doc anchors pack 0; every later doc starts a new pack iff
+        // acc + cost > budget — no acc>0 special case, so a zero-cost doc
+        // at a pack start does NOT let an over-budget doc join its pack
         var curRange = -1
-        var packNo = -1L
+        var packNo = 0L
         var acc = 0L
         it.map { case (id, cost, range) =>
-          if (range != curRange) { curRange = range; packNo = 0L; acc = 0L }
-          if (acc > 0 && acc + cost > budget) { packNo += 1; acc = 0L }
-          acc += cost
+          if (range != curRange) { curRange = range; packNo = 0L; acc = cost }
+          else if (acc + cost > budget) { packNo += 1; acc = cost }
+          else acc += cost
           (id, cost, range, packNo, range.toLong * 1000000000L + packNo)
         }
       }

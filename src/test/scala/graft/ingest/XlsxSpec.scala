@@ -190,6 +190,8 @@ class XlsxSpec extends SparkSpec {
       Gen.listOfN(8, Gen.oneOf('&', '<', '>', '"', '\'', '\n', '\t', 'a', 'é',
         '中', '', '', '_')).map(_.mkString),
       Gen.const("_x0041_ literal"),
+      Gen.const("file_x0010_x0011_end"), // overlapping runs share an underscore
+      Gen.const("a\rb"), Gen.const("crlf\r\nend"), // raw CR: XML would LF-normalize
       Gen.const("0123"), Gen.const("1.50"), Gen.const("-0"),
       Gen.const("  padded  "), Gen.const(""))
     val rows: Seq[Seq[String]] =

@@ -24,6 +24,13 @@ class PackingSpec extends SparkSpec {
     assert(out.toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("zero-cost doc at a pack start does not absorb an over-budget follower") {
+    // exact oracle law: split iff acc + cost > budget — no acc>0 carve-out
+    val out = pack(Seq((1L, 0L), (2L, 5000L), (3L, 0L)), budget = 800)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("pack_no"))
+    assert(out.toSeq === Seq(0L, 1L, 2L)) // 5000 overflows pack 0; 0-cost after overflows pack 1
+  }
+
   test("ranges pack independently; pack_id is globally unique") {
     val rows = (0L until 40L).map(i => (i, 300L))
     val out = pack(rows, budget = 800, nRanges = 4)
