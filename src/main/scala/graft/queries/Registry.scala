@@ -693,6 +693,24 @@ object Registry {
       | quantile_cont(value, 0.99) AS p99
       | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
 
+  /** Document chunking: 400-char windows with 100 overlap — the span set
+    * and extracted text are pure arithmetic, replicated exactly in SQL.
+    */
+  def qDocChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.charChunks(t(spark, dir, "documents"), "doc_id", "text",
+      size = 400, overlap = 100)
+      .orderBy("doc_id", "chunk_idx")
+
+  val qDocChunksSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      | s AS (SELECT doc_id, text, n,
+      |   unnest(range(0, greatest(n - 100, 1), 300)) AS chunk_start FROM d)
+      | SELECT doc_id, CAST(chunk_start // 300 AS BIGINT) AS chunk_idx,
+      |  CAST(chunk_start AS BIGINT) AS chunk_start,
+      |  CAST(least(400, n - chunk_start) AS BIGINT) AS chunk_len,
+      |  substr(text, CAST(chunk_start + 1 AS INTEGER), 400) AS chunk_text
+      | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")
+
   /** Rule-based language ID (CJK charset, stopword argmax). */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -849,6 +867,7 @@ object Registry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_percentiles" -> (qPercentiles _),
     "q_revenue_by_nation" -> (qRevenueByNation _),
+    "q_doc_chunks" -> (qDocChunks _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -894,6 +913,7 @@ object Registry {
     "q_stratified_sample" -> qStratifiedSampleSql,
     "q_percentiles" -> qPercentilesSql,
     "q_revenue_by_nation" -> qRevenueByNationSql,
+    "q_doc_chunks" -> qDocChunksSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,
