@@ -136,6 +136,27 @@ object TextFns {
     TextStats(n, subw, punct, sw, quality)
   }
 
+  /** Intra-document repetition: (total word-3-gram positions, distinct
+    * 3-grams, repetition ratio = 1 - distinct/total; 0.0 when no 3-grams).
+    * High ratios flag boilerplate/templated/spammy documents — a standard
+    * quality gate next to [[statsScala]]. One tokenization pass; 3-grams
+    * compared as joined strings (the law the SQL oracle replicates — no
+    * hashing, so no collision caveat).
+    */
+  def repetitionScala(text: String): (Long, Long, Double) = {
+    val toks = tokensScala(text)
+    val total = math.max(toks.length - 2, 0).toLong
+    if (total == 0) return (0L, 0L, 0.0)
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length - 2) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val distinct = seen.size.toLong
+    (total, distinct, 1.0 - distinct.toDouble / total.toDouble)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key for documents.
     */

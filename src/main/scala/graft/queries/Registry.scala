@@ -711,6 +711,36 @@ object Registry {
       |  substr(text, CAST(chunk_start + 1 AS INTEGER), 400) AS chunk_text
       | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")
 
+  /** Intra-document repetition ratio (repeated word-3-gram fraction) —
+    * boilerplate/spam quality signal, one mapPartitions tokenization pass.
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (total, distinct, ratio) = graft.functions.TextFns.repetitionScala(text)
+        (id, total, distinct, ratio)
+      })
+      .toDF("doc_id", "n_shingles", "n_distinct", "repetition")
+      .orderBy("doc_id")
+  }
+
+  val qRepetitionSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       | sh AS (SELECT doc_id,
+       |   CASE WHEN len(toks) < 3 THEN []
+       |        ELSE list_transform(range(1, len(toks) - 1),
+       |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams
+       |   FROM tk)
+       | SELECT doc_id,
+       |  CAST(len(grams) AS BIGINT) AS n_shingles,
+       |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       |  CASE WHEN len(grams) = 0 THEN 0.0
+       |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+       |  END AS repetition
+       | FROM sh ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Rule-based language ID (CJK charset, stopword argmax). */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -868,6 +898,7 @@ object Registry {
     "q_percentiles" -> (qPercentiles _),
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_doc_chunks" -> (qDocChunks _),
+    "q_repetition" -> (qRepetition _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -914,6 +945,7 @@ object Registry {
     "q_percentiles" -> qPercentilesSql,
     "q_revenue_by_nation" -> qRevenueByNationSql,
     "q_doc_chunks" -> qDocChunksSql,
+    "q_repetition" -> qRepetitionSql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,
