@@ -37,14 +37,19 @@ object Cfb {
       "not a compound (CFB) file")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
-    val sectorShift = buf.getShort(30).toInt // 9 → 512-byte sectors (v3)
+    val sectorShift = buf.getShort(30).toInt // 9 → 512-byte sectors (v3), 12 → 4096 (v4)
+    require(sectorShift == 9 || sectorShift == 12,
+      s"unsupported CFB sector shift $sectorShift (spec allows 9 or 12)")
     val sectorSize = 1 << sectorShift
     val firstDirSector = buf.getInt(48)
     val miniCutoff = buf.getInt(56)
     val firstMiniFat = buf.getInt(60)
     val firstDifat = buf.getInt(68)
 
-    def sectorOffset(sector: Int): Int = 512 + sector * sectorSize
+    // MS-CFB §2.1: sector n starts at (n + 1) << sectorShift — the header
+    // occupies exactly one sector-sized slot even in v4 (4096-byte sectors),
+    // so the previous `512 + n * sectorSize` form only held for v3
+    def sectorOffset(sector: Int): Int = (sector + 1) << sectorShift
 
     // FAT sector list: 109 header DIFAT entries, then chained DIFAT sectors
     val fatSectors: IndexedSeq[Int] = {

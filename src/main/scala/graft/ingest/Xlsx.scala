@@ -268,7 +268,10 @@ object Xlsx {
       : Iterator[(String, Long, Array[String])] = {
     val tmp = java.nio.file.Files.createTempFile("graft-wb", ".xlsx")
     java.nio.file.Files.write(tmp, container)
-    tmp.toFile.deleteOnExit()
+    // no deleteOnExit(): DeleteOnExitHook entries are never removed, so a
+    // long-lived executor streaming many workbooks would accumulate
+    // unbounded shutdown-hook entries; the listener below plus the
+    // exhaustion-path deleteIfExists cover every cleanup case
     // abandoned-iterator safety net: a consumer that stops early (error
     // tolerance truncation, pushed-down limit) never exhausts us — clean up
     // at task end so long-lived executors don't fill /tmp

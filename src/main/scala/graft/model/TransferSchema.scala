@@ -66,14 +66,24 @@ object TransferSchema {
     * `_arrival_seq` if the INPUT supplied an explicit order → the
     * (file, sheet, row) triple → `monotonically_increasing_id()` as a
     * last-resort arbitrary-but-stable order for meta-less frames.
+    *
+    * When BOTH `_arrival_seq` and the triple are present, the triple is a
+    * trailing tiebreak: a mixed frame (e.g. a legacy seq-carrying state
+    * union'd with a seq-less batch via allowMissingColumns) has the seq
+    * null-filled on one side, and within that side's epoch every seq
+    * compares equal — the triple must decide, not a coin flip.
     */
   def arrivalOrderAsc(columns: Seq[String]): Seq[Column] = {
     val epoch = if (columns.contains(epochCol)) Seq(col(epochCol)) else Nil
-    val base =
-      if (columns.contains(arrivalSeqCol)) Seq(col(arrivalSeqCol))
-      else if (Seq(srcFileCol, sheetCol, rowIdxCol).forall(columns.contains))
+    val seq =
+      if (columns.contains(arrivalSeqCol)) Seq(col(arrivalSeqCol)) else Nil
+    val triple =
+      if (Seq(srcFileCol, sheetCol, rowIdxCol).forall(columns.contains))
         Seq(col(srcFileCol), col(sheetCol), col(rowIdxCol))
-      else Seq(monotonically_increasing_id())
+      else Nil
+    val base =
+      if (seq.isEmpty && triple.isEmpty) Seq(monotonically_increasing_id())
+      else seq ++ triple
     epoch ++ base
   }
 

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate pair graph — the step a
+  * training-data dedup pipeline runs AFTER candidate pairs are verified
+  * (MinHash/SimHash/exact-Jaccard → pairs → components → one survivor per
+  * component). The reference has no graph operator; this extends the engine
+  * the same way the dedup family does (SURVEY.md §8).
+  *
+  * Algorithm: iterative min-label propagation with a pointer-jumping
+  * (path-compression) join each round, the alternating-contraction idea of
+  * the large-star/small-star MapReduce algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14). Per round:
+  *
+  *   1. neighbor-min: every node takes `min(own label, min of neighbors'
+  *      labels)` — one shuffle join edges⋈labels + one hash aggregate;
+  *   2. pointer jump: every node replaces its label by its LABEL'S label
+  *      (`comp ← comp(comp)`) — one self-join on the (tiny) label frame.
+  *
+  * Step 2 is what turns O(diameter) rounds into O(log diameter): labels hop
+  * toward the component minimum exponentially, so even a pathological chain
+  * graph (diameter n) converges in ~log₂ n rounds (pinned by the chain
+  * property test). Every round `localCheckpoint`s the label frame — the
+  * driver loop holds plans, never data, exactly like [[Hierarchy]]'s
+  * fixpoint.
+  *
+  * Scale: the working set is one (id, comp) row per VERTEX of the pair
+  * graph (near-dup pairs, not the corpus — typically orders of magnitude
+  * smaller than the document table), hash-partitioned by id; each round is
+  * two shuffles of that frame. Convergence is detected with an
+  * anti-join-style changed-count, so quiet graphs (cliques — the common
+  * near-dup shape) finish in 2 rounds.
+  */
+object Clusters {
+
+  /** Components of the undirected graph given by `edges(srcCol, dstCol)`.
+    * Returns one row per vertex: (id, component) where component is the
+    * minimum vertex id reachable — deterministic, so oracle-comparable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 32): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+    // undirected: keep both directions so "min over neighbors" sees the
+    // whole neighborhood from either endpoint
+    val bidir = e.union(e.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d")).distinct()
+      .localCheckpoint() // edges are re-joined every round: cut re-compute + lineage
+    var labels = bidir.select(col("s").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = !labels.isEmpty
+    while (changed && iter < maxIter) {
+      // 1. neighbor-min
+      val nmin = bidir.join(labels, bidir("s") === labels("id"))
+        .groupBy(col("d").as("_id")).agg(min(col("comp")).as("_nmin"))
+      val stepped = labels.join(nmin, col("id") === col("_id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+      // 2. pointer jump: comp ← comp(comp)
+      val jumped = stepped.as("l").join(
+          stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")),
+          col("l.comp") === col("_jid"), "left")
+        .select(col("l.id").as("id"), coalesce(col("_jcomp"), col("l.comp")).as("comp"))
+        .localCheckpoint()
+      changed = !jumped.as("n")
+        .join(labels.select(col("id").as("_oid"), col("comp").as("_ocomp")),
+          col("n.id") === col("_oid"))
+        .filter(col("n.comp") =!= col("_ocomp"))
+        .isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Cluster assignment for a near-dup pair frame (id_a, id_b, …): every
+    * document that participates in at least one verified pair, labeled with
+    * its cluster id (= min doc id in the cluster). Downstream keeps
+    * `id == cluster_id` rows as survivors and drops the rest.
+    */
+  def dedupClusters(pairs: DataFrame, idACol: String = "id_a",
+      idBCol: String = "id_b", maxIter: Int = 32): DataFrame =
+    connectedComponents(pairs, idACol, idBCol, maxIter)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+}

@@ -802,8 +802,12 @@ object Registry {
       shingleSize = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  val qNgramJaccardSql: String =
-    s"""WITH toks AS (
+  /** Shared CTE chain producing the exact word-3-gram pair candidates
+    * (`pairs(id_a, id_b, shared, na, nb)`) — composed by both the Jaccard
+    * pair oracle and the dedup-clusters closure oracle.
+    */
+  private val ngramPairCtes: String =
+    s"""toks AS (
       | SELECT doc_id, $tokensSql AS tk FROM documents
       |), sh AS (
       | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
@@ -814,10 +818,40 @@ object Registry {
       |), pairs AS (
       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
       |   any_value(a.n) AS na, any_value(b.n) AS nb
-      | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      | FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  val qNgramJaccardSql: String =
+    s"""WITH $ngramPairCtes
       | SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jaccard
       | FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.8
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+  /** Near-dup cluster assignment: connected components over the verified
+    * exact-Jaccard pair graph — the survivor-selection step of a dedup
+    * pipeline (keep one doc per cluster). The oracle computes the same
+    * components with a recursive transitive closure; both sides label each
+    * cluster with its minimum doc id, so the outputs are deterministic.
+    */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Clusters.dedupClusters(
+      graft.ops.Dedup.ngramJaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8))
+      .orderBy("doc_id")
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      | verified AS (
+      | SELECT id_a, id_b FROM pairs
+      | WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.8
+      |), edges AS (
+      | SELECT id_a AS s, id_b AS d FROM verified
+      | UNION SELECT id_b, id_a FROM verified
+      |), reach(s, d) AS (
+      | SELECT s, d FROM edges
+      | UNION
+      | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      | SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+      | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** MinHash+LSH near-dup pairs — same verified output as the exact pass at
     * these similarity levels (the documents' planted pairs sit ≥0.8 where
@@ -912,6 +946,7 @@ object Registry {
     "q_lang_id" -> (qLangId _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_minhash_neardup" -> (qMinhashNeardup _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -959,6 +994,7 @@ object Registry {
     "q_lang_id" -> qLangIdSql,
     "q_quality_filter" -> qQualityFilterSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived

@@ -60,8 +60,10 @@ object MergeSink {
     // RESERVE the new epoch before touching data: if the data write crashes
     // mid-way, the next (different) batch gets a strictly later epoch and
     // can never tie with the crashed batch's partially-written rows. The
-    // total in the sidecar is advisory until the post-write update lands.
-    if (exists) writeMeta(fs, state, epoch + 1, prevTotal)
+    // total in the sidecar is advisory until the post-write update lands —
+    // the `reserved` flag makes readMeta recount from data instead of
+    // trusting it, so a crash can't make the persisted total drift forever.
+    if (exists) writeMeta(fs, state, epoch + 1, prevTotal, finalized = false)
 
     // bucket by the upsert key's hash: same key → same bucket, always
     val withBucket = resolved
@@ -80,7 +82,11 @@ object MergeSink {
           .filter(col(bucketColName).isin(dirty: _*))
           .persist()
         val prevDirty = dirtyState.count()
-        val m = Upsert(dirtyState.unionByName(withBucket)).persist()
+        // allowMissingColumns: a legacy-migrated state still carries
+        // _arrival_seq while post-r2 batches don't (and vice versa for a
+        // seq-carrying input). Safe: _epoch dominates arrivalOrderAsc, so a
+        // null _arrival_seq never decides a winner across epochs.
+        val m = Upsert(dirtyState.unionByName(withBucket, allowMissingColumns = true)).persist()
         m.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(bucketColName)
@@ -102,6 +108,12 @@ object MergeSink {
   /** Current (epoch, total rows). Prefers the sidecar; falls back to a scan
     * with a null-guard (empty-but-existing state ⇒ epoch 0, count 0) so a
     * state directory with zero rows never throws.
+    *
+    * A `reserved` (non-finalized) sidecar means the previous merge crashed
+    * between the epoch reservation and the post-write update: the epoch
+    * reservation is still honored (that's its point — no tie with the
+    * crashed batch's partial rows), but the advisory total is stale, so the
+    * real count comes from a data scan instead.
     */
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem, state: Path,
       spark: SparkSession, statePath: String, exists: Boolean): (Long, Long) = {
@@ -112,7 +124,11 @@ object MergeSink {
       val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
       line.split(',') match {
-        case Array(e, t) => (e.toLong, t.toLong)
+        case Array(e, t) => (e.toLong, t.toLong) // pre-flag format: finalized
+        case Array(e, t, "f") => (e.toLong, t.toLong)
+        case Array(e, _, "r") =>
+          val (scanEpoch, scanCount) = scanMeta(spark, statePath)
+          (math.max(e.toLong, scanEpoch), scanCount)
         case _ => scanMeta(spark, statePath)
       }
     } else scanMeta(spark, statePath)
@@ -125,9 +141,10 @@ object MergeSink {
   }
 
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem, state: Path,
-      epoch: Long, total: Long): Unit = {
+      epoch: Long, total: Long, finalized: Boolean = true): Unit = {
+    val flag = if (finalized) "f" else "r"
     val out = fs.create(metaFile(state), true)
-    try out.write(s"$epoch,$total".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$epoch,$total,$flag".getBytes("UTF-8")) finally out.close()
   }
 
   private def metaFile(state: Path) = new Path(state, "_graft_meta")

@@ -194,8 +194,11 @@ class XlsxSpec extends SparkSpec {
       Gen.const("a\rb"), Gen.const("crlf\r\nend"), // raw CR: XML would LF-normalize
       Gen.const("0123"), Gen.const("1.50"), Gen.const("-0"),
       Gen.const("  padded  "), Gen.const(""))
+    // seeded pureApply: `sample` can return None (flaky NoSuchElementException)
+    // and an unseeded draw makes failures unreproducible run-to-run
     val rows: Seq[Seq[String]] =
-      Gen.listOfN(60, Gen.listOfN(3, tricky)).sample.get
+      Gen.listOfN(60, Gen.listOfN(3, tricky))
+        .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L))
     // blank cells read back as "" (sparse), so normalize expectations
     val expected = rows.map(_.map(v => v))
     val dir = Files.createTempDirectory("graft-xlsx-prop").toString

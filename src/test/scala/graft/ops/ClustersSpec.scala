@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint cliques get their min ids as labels") {
+    val got = components(Seq((3L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a long chain converges within the pointer-jumping bound") {
+    // path graph 0-1-2-…-100: diameter 100. Plain min-propagation needs 100
+    // rounds; the pointer-jumping variant must land well inside maxIter=32
+    // (≈ log₂ 100 + slack). maxIter=12 proves the log behavior: if the jump
+    // step regressed to linear propagation this returns unconverged labels.
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val got = Clusters.connectedComponents(chain.toDF("s", "d"), "s", "d", maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 101)
+    assert(got.values.forall(_ === 0L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val got = components(Seq((5L, 5L), (7L, 6L), (6L, 7L), (7L, 6L)))
+    // pure self-loop vertices are dropped (no actual edge); the 6-7 pair folds
+    assert(got === Map(6L -> 6L, 7L -> 6L))
+  }
+
+  test("empty edge frame yields empty labels") {
+    assert(components(Seq.empty) === Map.empty)
+  }
+
+  test("dedupClusters: survivors are exactly one per component") {
+    val pairs = Seq((1L, 2L), (2L, 4L), (9L, 8L)).toDF("id_a", "id_b")
+    val cl = Clusters.dedupClusters(pairs)
+    val byCluster = cl.collect().map(r => r.getLong(1) -> r.getLong(0))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    assert(byCluster === Map(1L -> Set(1L, 2L, 4L), 8L -> Set(8L, 9L)))
+    // survivor rule: id == cluster_id picks exactly one per component
+    val survivors = cl.filter($"doc_id" === $"cluster_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 8L))
+  }
+}

@@ -67,6 +67,59 @@ class SaltAndMergeSpec extends SparkSpec {
       .head.getAs[String]("file_status") === "migrated-wins")
   }
 
+  test("merge sink: seq-carrying state merges with a seq-less batch (and vice versa)") {
+    // r2 regression seam: a legacy-migrated state always materialized
+    // _arrival_seq while post-r2 pipeline batches don't carry it — the
+    // union must align schemas instead of throwing AnalysisException, and
+    // within the seq-less side the (file, sheet, row) triple must still
+    // decide same-key duplicates (not a null-vs-null coin flip).
+    val resolved = Pipeline.resolve(Enrich(Coerce(PipelineFixture.raw(spark))))
+
+    // direction 1: state WITH seq, batch WITHOUT
+    val state1 = Files.createTempDirectory("graft-merge-drift1").toString + "/state"
+    MergeSink.merge(spark, resolved.filter($"file_name" =!= "Root"), state1)
+    val seqless = resolved.filter($"file_name".isin("Root", "Root/Sub/a.pdf"))
+      .withColumn("file_status", lit("seqless-wins"))
+      .drop("_arrival_seq")
+    val n1 = MergeSink.merge(spark, seqless, state1)
+    assert(n1 === 8)
+    assert(spark.read.parquet(state1).filter($"file_name" === "Root/Sub/a.pdf")
+      .head.getAs[String]("file_status") === "seqless-wins")
+
+    // direction 2: state WITHOUT seq, batch WITH
+    val state2 = Files.createTempDirectory("graft-merge-drift2").toString + "/state"
+    MergeSink.merge(spark, resolved.drop("_arrival_seq"), state2)
+    val seqful = resolved.filter($"file_name" === "Root/Sub/a.pdf")
+      .withColumn("_arrival_seq", lit(1L))
+      .withColumn("file_status", lit("seqful-wins"))
+    MergeSink.merge(spark, seqful, state2)
+    assert(spark.read.parquet(state2).filter($"file_name" === "Root/Sub/a.pdf")
+      .head.getAs[String]("file_status") === "seqful-wins")
+  }
+
+  test("merge sink: a reserved (crashed-merge) sidecar total is recounted, not trusted") {
+    val state = Files.createTempDirectory("graft-merge-crash").toString + "/state"
+    val resolved = Pipeline.resolve(Enrich(Coerce(PipelineFixture.raw(spark))))
+    MergeSink.merge(spark, resolved.filter($"file_name" =!= "Root"), state) // 7 rows
+
+    // simulate a crash after epoch reservation: sidecar carries a reserved
+    // flag and a wildly stale advisory total (written through the Hadoop FS
+    // so the checksum sidecar stays consistent, as MergeSink itself writes)
+    val metaPath = new org.apache.hadoop.fs.Path(state, "_graft_meta")
+    val hfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(metaPath, true)
+    try out.write("2,999999,r".getBytes("UTF-8")) finally out.close()
+
+    val batch = resolved.filter($"file_name" === "Root")
+    val n = MergeSink.merge(spark, batch, state)
+    assert(n === 8) // real count from a data scan, no 999999 drift
+    // and the crashed batch's reserved epoch can never tie: the new batch
+    // got a strictly later epoch
+    val maxEpoch = spark.read.parquet(state)
+      .agg(max($"_epoch")).head.getLong(0)
+    assert(maxEpoch >= 3)
+  }
+
   test("merge sink: untouched buckets' files stay byte-identical across a merge") {
     val state = Files.createTempDirectory("graft-merge-buckets").toString + "/state"
     val resolved = Pipeline.resolve(Enrich(Coerce(PipelineFixture.raw(spark))))
