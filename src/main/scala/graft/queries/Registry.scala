@@ -853,6 +853,77 @@ object Registry {
       | SELECT s AS doc_id, least(s, min(d)) AS cluster_id
       | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** PII scrub: email/phone regex masking + per-doc match counts. The
+    * synthetic corpus carries no natural PII, so both sides deterministically
+    * weave a contact string (derived from doc_id arithmetic) into the text —
+    * docs with doc_id % 5 == 0 stay untouched to exercise the zero-mask
+    * path. The scrub itself is [[graft.ops.Scrub]]'s codegen'd expression
+    * tree; the oracle applies the identical pattern strings (Java ∩ RE2
+    * dialect subset) with DuckDB's regexp engine.
+    */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val contact = when(id % 5 === 0, col("text")).otherwise(concat(
+      lit("reach user"), id.cast("string"), lit("@example.com or call "),
+      (id % 900 + 100).cast("string"), lit("-"),
+      (id * 7 % 900 + 100).cast("string"), lit("-"),
+      (id * 13 % 9000 + 1000).cast("string"), lit(" "), col("text")))
+    t(spark, dir, "documents")
+      .select(id.as("doc_id"), contact.as("_c"))
+      .select(col("doc_id"),
+        graft.ops.Scrub.emailCount(col("_c")).cast("bigint").as("n_emails"),
+        graft.ops.Scrub.phoneCount(col("_c")).cast("bigint").as("n_phones"),
+        graft.ops.Scrub.maskPii(col("_c")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiScrubSql: String =
+    """WITH c AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN text ELSE
+      |   'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or call ' ||
+      |   CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+      |   CAST(doc_id * 7 % 900 + 100 AS VARCHAR) || '-' ||
+      |   CAST(doc_id * 13 % 9000 + 1000 AS VARCHAR) || ' ' || text END AS _c
+      | FROM documents)
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(_c, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(_c, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(_c, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS scrubbed
+      | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Benchmark-contamination check: corpus docs sharing ≥1 word 5-gram with
+    * the benchmark subset (doc_id % 10 == 0 stands in for a held-out eval
+    * set). Benchmark shingles broadcast; corpus streams map-side.
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Contamination.check(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  val qContaminationSql: String =
+    s"""WITH toks AS (
+      | SELECT doc_id, $tokensSql AS tk FROM documents
+      |), sh AS (
+      | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-4),
+      |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS shingles
+      | FROM toks WHERE len(tk) >= 5
+      |), bench AS (
+      | SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0
+      |), ex AS (
+      | SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 != 0
+      |), hits AS (
+      | SELECT ex.doc_id, count(*) AS n FROM ex JOIN bench USING (s) GROUP BY ex.doc_id)
+      | SELECT d.doc_id, COALESCE(hits.n, 0) AS n_contaminated,
+      |  COALESCE(hits.n, 0) > 0 AS contaminated
+      | FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      | WHERE d.doc_id % 10 != 0 ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
   /** MinHash+LSH near-dup pairs — same verified output as the exact pass at
     * these similarity levels (the documents' planted pairs sit ≥0.8 where
     * LSH recall with 16×4 banding is ≈1), so it shares the exact oracle.
@@ -947,6 +1018,8 @@ object Registry {
     "q_quality_filter" -> (qQualityFilter _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_contamination" -> (qContamination _),
     "q_minhash_neardup" -> (qMinhashNeardup _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -995,6 +1068,8 @@ object Registry {
     "q_quality_filter" -> qQualityFilterSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_contamination" -> qContaminationSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
