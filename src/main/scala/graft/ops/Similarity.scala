@@ -344,6 +344,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Exact embedding near-dup pairs within metadata blocks: candidates are
+    * restricted to rows sharing `blockCol` (source, shard, language, …) and
+    * verified with the native cosine — the classic blocking+verify dedup
+    * shape when a cheap partition key bounds where duplicates can live.
+    *
+    * Scale: one shuffle of each side on the block key, then quadratic work
+    * WITHIN each block only — total cost Σ|block|², so this is the right
+    * tool for many small blocks (and the wrong one for megablocks: cap or
+    * LSH-split any block whose size makes |block|² unpayable; cf.
+    * [[cosineNearDupPairs]] for the unblocked LSH path).
+    */
+  def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("_blk"), col(idCol).cast("long").as("id_a"),
+      col(vecCol).as("_va"))
+    val b = df.select(col(blockCol).as("_blk2"), col(idCol).cast("long").as("id_b"),
+      col(vecCol).as("_vb"))
+    a.join(b, col("_blk") === col("_blk2") && col("id_a") < col("id_b"))
+      .withColumn("sim", nativeCosine(df, col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
     * candidates via shared LSH bucket — the embedding analog of MinHash dedup.
     */

@@ -960,6 +960,26 @@ object Registry {
       | SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 10
       | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
+  /** Blocked exact embedding near-dup pairs: candidates share a `label`
+    * block, verified by the native cosine expression — exact on both sides,
+    * so unlike the LSH variant this one is fully hash-oracled. Threshold
+    * 0.4 because the synthetic embeddings plant no true near-duplicates
+    * (max pairwise cosine ≈ 0.51); the pair semantics, blocking join, and
+    * bit-exact sim arithmetic are what's under test.
+    */
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.blockedNearDupPairs(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  val qEmbedNeardupSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      | s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |   list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))) AS sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      | SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4
+      | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** LSH-bucketed ANN (the scale path) — no SQL oracle (hash-derived
     * hyperplanes); recall vs brute force is unit-tested.
     */
@@ -1023,6 +1043,7 @@ object Registry {
     "q_minhash_neardup" -> (qMinhashNeardup _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_ann_cosine" -> (qAnnCosine _),
+    "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _))
 
@@ -1071,7 +1092,8 @@ object Registry {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_contamination" -> qContaminationSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
-    "q_ann_cosine" -> qAnnCosineSql)
+    "q_ann_cosine" -> qAnnCosineSql,
+    "q_embed_neardup" -> qEmbedNeardupSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

@@ -63,6 +63,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("blockedNearDupPairs: finds twins only when they share a block") {
+    // put each base vector i < 5 and its twin 100+i in block i%2; everything
+    // else in block 9 — pairs can only form within blocks
+    val blocked = vecs.withColumn("blk",
+      when($"vec_id" < 5, $"vec_id" % 2)
+        .when($"vec_id" >= 100, ($"vec_id" - 100) % 2)
+        .otherwise(lit(9L)))
+    val pairs = Similarity.blockedNearDupPairs(blocked, "vec_id", "embedding",
+      "blk", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === (0 until 5).map(i => (i.toLong, 100L + i)).toSet)
+
+    // twin 100+0 moved to a different block than 0 → its pair disappears
+    val split = blocked.withColumn("blk",
+      when($"vec_id" === 100, lit(7L)).otherwise($"blk"))
+    val pairs2 = Similarity.blockedNearDupPairs(split, "vec_id", "embedding",
+      "blk", threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs2 === (1 until 5).map(i => (i.toLong, 100L + i)).toSet)
+  }
+
   test("cosine law: self-similarity 1, symmetry") {
     val a = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-3.0f, 2.0f, -1.0f)))
       .toDF("vec_id", "embedding")
