@@ -163,6 +163,16 @@ object TextFns {
   def fingerprintMd5(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Case-preserving token-stream md5 fingerprint: md5 of the space-joined
+    * token array. Complements [[fingerprintMd5]], which lowercases (so
+    * case-variant copies collide there but not here); both collapse
+    * whitespace and preserve token order. Unlike [[rollingHash]] it has an
+    * exact DuckDB analog (`md5(array_to_string(tokens, ' '))`) —
+    * oracle-comparable.
+    */
+  def orderedFingerprintMd5(c: Column): Column =
+    md5(concat_ws(" ", tokens(c)))
+
   /** 64-bit rolling hash over tokens: fold acc = xxhash64(acc, token).
     * Hash-chaining rather than polynomial arithmetic — wrapping multiplies
     * would throw under ANSI mode; chaining keeps the same order-sensitivity

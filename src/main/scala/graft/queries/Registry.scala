@@ -893,6 +893,24 @@ object Registry {
       |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS scrubbed
       | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Document fingerprints, both laws side by side: the lowercased
+    * normalized md5 (exact-dedup key — case-variant copies collide) and the
+    * case-preserving token-stream md5 (they don't). Narrow codegen'd
+    * expressions over the scan; no shuffle.
+    */
+  def qDocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TextFns.fingerprintMd5(col("text")).as("content_hash"),
+        graft.functions.TextFns.orderedFingerprintMd5(col("text")).as("stream_hash"))
+      .orderBy("doc_id")
+
+  val qDocFingerprintSql: String =
+    s"""SELECT doc_id,
+      | md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+      | md5(array_to_string($tokensSql, ' ')) AS stream_hash
+      | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Benchmark-contamination check: corpus docs sharing ≥1 word 5-gram with
     * the benchmark subset (doc_id % 10 == 0 stands in for a held-out eval
     * set). Benchmark shingles broadcast; corpus streams map-side.
@@ -1040,6 +1058,7 @@ object Registry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
+    "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_minhash_neardup" -> (qMinhashNeardup _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
     "q_ann_cosine" -> (qAnnCosine _),
@@ -1091,6 +1110,7 @@ object Registry {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_contamination" -> qContaminationSql,
+    "q_doc_fingerprint" -> qDocFingerprintSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
     "q_embed_neardup" -> qEmbedNeardupSql)
