@@ -838,9 +838,12 @@ object Registry {
         shingleSize = 3, threshold = 0.8))
       .orderBy("doc_id")
 
-  val qDedupClustersSql: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
-      | verified AS (
+  /** Recursive-closure CTEs over the verified pair graph, ending in
+    * `comp(doc_id, cluster_id)` — appended after [[ngramPairCtes]] under a
+    * `WITH RECURSIVE` header by the cluster oracles.
+    */
+  private val componentCtes: String =
+    """verified AS (
       | SELECT id_a, id_b FROM pairs
       | WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.8
       |), edges AS (
@@ -849,9 +852,64 @@ object Registry {
       |), reach(s, d) AS (
       | SELECT s, d FROM edges
       | UNION
-      | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-      | SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-      | FROM reach GROUP BY s ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+      |), comp AS (
+      | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)""".stripMargin
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes, $componentCtes
+      | SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** The dedup pipeline's last step, end to end: pairs → components →
+    * survivor per cluster, where the survivor is the longest document
+    * (n_chars desc, doc_id asc tiebreak) — "keep the best copy", not just
+    * "keep the first". One extra window over the (tiny) cluster frame.
+    */
+  def qClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val clusters = graft.ops.Clusters.dedupClusters(
+      graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8))
+    val sized = clusters.join(
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("n_chars")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    sized
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("_rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+  val qClusterSurvivorsSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes, $componentCtes,
+      | ranked AS (
+      | SELECT c.cluster_id, c.doc_id, d.n_chars,
+      |  row_number() OVER (PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+      |  count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      | FROM comp c JOIN documents d USING (doc_id))
+      | SELECT cluster_id, doc_id AS survivor_id, n_members
+      | FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin.replace("\n", " ")
+
+  /** Corpus token-length histogram (training-mix statistics): docs and
+    * total tokens per 10-token bucket. Bucket arithmetic is `n - n % 10`
+    * on both sides — no division-rounding dialect trap.
+    */
+  def qTokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val n = graft.functions.TextFns.tokenCount(col("text"))
+    t(spark, dir, "documents")
+      .select((n - n % 10).as("bucket"), n.as("_n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
+      .orderBy("bucket")
+  }
+
+  val qTokenHistogramSql: String =
+    s"""WITH t AS (SELECT CAST(len($tokensSql) AS BIGINT) AS n FROM documents)
+      | SELECT n - n % 10 AS bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+      | FROM t GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " ")
 
   /** PII scrub: email/phone regex masking + per-doc match counts. The
     * synthetic corpus carries no natural PII, so both sides deterministically
@@ -1056,6 +1114,8 @@ object Registry {
     "q_quality_filter" -> (qQualityFilter _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_cluster_survivors" -> (qClusterSurvivors _),
+    "q_token_histogram" -> (qTokenHistogram _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
@@ -1108,6 +1168,8 @@ object Registry {
     "q_quality_filter" -> qQualityFilterSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_cluster_survivors" -> qClusterSurvivorsSql,
+    "q_token_histogram" -> qTokenHistogramSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_contamination" -> qContaminationSql,
     "q_doc_fingerprint" -> qDocFingerprintSql,

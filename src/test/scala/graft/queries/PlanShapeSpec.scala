@@ -77,6 +77,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_contamination: benchmark shingles broadcast; corpus side never shuffles pre-join") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_embed_neardup: block-keyed equi join, never a nested-loop pair scan") {
+    val p = plan("q_embed_neardup")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "blocked pair join lost its equi-join key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "blocked pairs degenerated into an all-pairs scan")
+  }
+
+  test("q_pii_scrub / q_doc_fingerprint: narrow scan, no shuffle except the output sort") {
+    for (name <- Seq("q_pii_scrub", "q_doc_fingerprint")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      val rangeExchanges = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+      assert(exchanges === rangeExchanges,
+        s"$name grew a non-sort shuffle:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name reads more than (doc_id, text)")
+    }
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
