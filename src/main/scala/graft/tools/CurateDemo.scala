@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.ops.{Clusters, Contamination, Dedup, Packing, Scrub}
+
+/** End-to-end training-data curation demo: the extension operators composed
+  * the way a real corpus pipeline chains them —
+  *
+  *   quality filter → PII scrub → exact dedup → near-dup clustering →
+  *   survivor selection → contamination check → sequence packing
+  *
+  * Every stage is an operator the correctness gate oracles individually;
+  * this tool demonstrates (and smoke-checks) that they compose on a real
+  * table without collecting anything unbounded to the driver.
+  *
+  * Usage: `sbt "runMain graft.tools.CurateDemo [sfDir]"`.
+  */
+object CurateDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val total = docs.count()
+    println(s"=== corpus: $total docs ===")
+
+    // 1. quality gate: one mapPartitions stats pass, filter on the score
+    val scored = docs.select($"doc_id".cast("long").as("doc_id"), $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = TextFns.statsScala(text)
+        (id, text, s.nTokens, s.quality)
+      })
+      .toDF("doc_id", "text", "n_tokens", "quality")
+    val quality = scored.filter($"quality" >= 0.5 && $"n_tokens".between(20, 1000))
+      .localCheckpoint() // reused by three stages below; cut the re-scan
+    println(s"=== quality gate: ${quality.count()} of $total pass ===")
+
+    // 2. PII scrub (narrow, codegen'd regexps)
+    val scrubbed = quality.withColumn("text", Scrub.maskPii($"text"))
+
+    // 3. exact dedup: survivor per content fingerprint
+    val exact = Dedup.exact(scrubbed, "doc_id", "text")
+    println(s"=== exact dedup: ${exact.count()} distinct contents ===")
+
+    // 4. near-dup pairs → components → keep the longest doc per cluster
+    val pairs = Dedup.ngramJaccardPairs(scrubbed, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+    val clusters = Clusters.dedupClusters(pairs)
+    val nClusters = clusters.select(countDistinct($"cluster_id")).head.getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_tokens".desc, $"doc_id")
+    val dropped = clusters
+      .join(quality.select($"doc_id", $"n_tokens"), "doc_id")
+      .withColumn("_rk", row_number().over(w))
+      .filter($"_rk" > 1) // everyone but the per-cluster survivor
+      .select("doc_id")
+    val deduped = scrubbed.join(dropped, Seq("doc_id"), "left_anti")
+    println(s"=== near-dup: ${clusters.count()} docs in $nClusters clusters; " +
+      s"${deduped.count()} survive ===")
+
+    // 5. contamination check against a held-out benchmark slice
+    val contaminated = Contamination.check(
+      deduped.filter($"doc_id" % 10 =!= 0),
+      docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text", n = 5)
+      .filter($"contaminated")
+    println(s"=== contamination: ${contaminated.count()} flagged vs benchmark ===")
+
+    val clean = deduped.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 6. pack into 512-token training sequences (16 parallel ranges)
+    val packed = Packing.packGreedy(clean, "doc_id", $"n_tokens", budget = 512,
+      pmod(hash($"doc_id"), lit(16)), nRanges = 16)
+    val stats = Packing.packStats(packed, budget = 512)
+      .agg(count(lit(1)), avg($"utilization"), max($"n_docs")).head()
+    println(f"=== packing: ${stats.getLong(0)}%d packs, mean utilization ${stats.getDouble(1)}%.2f, " +
+      f"max docs/pack ${stats.getLong(2)}%d ===")
+    println("=== curation pipeline complete ===")
+    spark.stop()
+  }
+}
