@@ -893,6 +893,32 @@ object Registry {
       | SELECT cluster_id, doc_id AS survivor_id, n_members
       | FROM ranked WHERE rk = 1 ORDER BY cluster_id""".stripMargin.replace("\n", " ")
 
+  /** Corpus vocabulary head: top-25 tokens by document frequency (exact
+    * integer counts — no float scoring, so fully hash-oracleable; token
+    * ties break lexicographically). Per-doc distinct tokens explode at an
+    * object boundary, then one hash-aggregate shuffle + TakeOrderedAndProject
+    * — the vocabulary-stats pass a tokenizer-training pipeline runs.
+    */
+  def qVocabTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("_id"), col("text").cast("string").as("_t"))
+      .as[(Long, String)]
+      .flatMap { case (_, t) =>
+        graft.functions.TextFns.tokensScala(if (t == null) "" else t).distinct.iterator
+      }
+      .toDF("token")
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(25)
+  }
+
+  val qVocabTopSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | ex AS (SELECT DISTINCT doc_id, unnest(tk) AS token FROM toks)
+      | SELECT token, count(*) AS doc_freq FROM ex GROUP BY token
+      | ORDER BY doc_freq DESC, token LIMIT 25""".stripMargin.replace("\n", " ")
+
   /** Corpus token-length histogram (training-mix statistics): docs and
     * total tokens per 10-token bucket. Bucket arithmetic is `n - n % 10`
     * on both sides — no division-rounding dialect trap.
@@ -1116,6 +1142,7 @@ object Registry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_cluster_survivors" -> (qClusterSurvivors _),
     "q_token_histogram" -> (qTokenHistogram _),
+    "q_vocab_top" -> (qVocabTop _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
@@ -1170,6 +1197,7 @@ object Registry {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_cluster_survivors" -> qClusterSurvivorsSql,
     "q_token_histogram" -> qTokenHistogramSql,
+    "q_vocab_top" -> qVocabTopSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_contamination" -> qContaminationSql,
     "q_doc_fingerprint" -> qDocFingerprintSql,
