@@ -31,19 +31,19 @@ object Bench {
       // plan, not the weather. A failed query must be visible in the output,
       // not timed as success: report -1 so the driver can distinguish
       // failure from a fast run.
-      val secs =
+      val times = (1 to 2).flatMap { _ =>
+        // each attempt tries independently: a flake on run 2 must not
+        // discard run 1's valid measurement
         try {
-          val times = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
-          }
-          times.min
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          None
         }
-      name -> secs
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

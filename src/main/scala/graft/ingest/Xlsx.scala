@@ -268,15 +268,18 @@ object Xlsx {
       : Iterator[(String, Long, Array[String])] = {
     val tmp = java.nio.file.Files.createTempFile("graft-wb", ".xlsx")
     java.nio.file.Files.write(tmp, container)
-    // no deleteOnExit(): DeleteOnExitHook entries are never removed, so a
-    // long-lived executor streaming many workbooks would accumulate
-    // unbounded shutdown-hook entries; the listener below plus the
-    // exhaustion-path deleteIfExists cover every cleanup case
     // abandoned-iterator safety net: a consumer that stops early (error
-    // tolerance truncation, pushed-down limit) never exhausts us — clean up
-    // at task end so long-lived executors don't fill /tmp
-    Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => java.nio.file.Files.deleteIfExists(tmp)))
+    // tolerance truncation, pushed-down limit) never exhausts us. Inside a
+    // Spark task, clean up at task end — NOT deleteOnExit, whose
+    // DeleteOnExitHook entries are never removed and would grow unboundedly
+    // on a long-lived executor streaming many workbooks. Outside a task
+    // (driver-side tools, tests) the call count is bounded, so deleteOnExit
+    // is an acceptable JVM-exit backstop for an abandoned iterator there.
+    org.apache.spark.TaskContext.get() match {
+      case null => tmp.toFile.deleteOnExit()
+      case tc => tc.addTaskCompletionListener[Unit](_ =>
+        java.nio.file.Files.deleteIfExists(tmp))
+    }
     val it = scanRows(tmp.toFile, sheetPredicate)
     new Iterator[(String, Long, Array[String])] {
       override def hasNext: Boolean = {

@@ -56,8 +56,12 @@ object Clusters {
       // 1. neighbor-min
       val nmin = bidir.join(labels, bidir("s") === labels("id"))
         .groupBy(col("d").as("_id")).agg(min(col("comp")).as("_nmin"))
+      // materialize before the self-join below: `stepped` appears on BOTH
+      // sides of the jump join, and without a checkpoint the edges⋈labels
+      // aggregate (the expensive stage) would execute twice per round
       val stepped = labels.join(nmin, col("id") === col("_id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
       // 2. pointer jump: comp ← comp(comp)
       val jumped = stepped.as("l").join(
           stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")),

@@ -354,6 +354,10 @@ object Similarity {
     * tool for many small blocks (and the wrong one for megablocks: cap or
     * LSH-split any block whose size makes |block|² unpayable; cf.
     * [[cosineNearDupPairs]] for the unblocked LSH path).
+    *
+    * Contract: rows with a NULL block key are EXCLUDED — the equi-join is
+    * null-rejecting, so NULL-block rows pair with nothing (not even each
+    * other). Pre-`coalesce` a sentinel block if they should be compared.
     */
   def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {

@@ -524,16 +524,21 @@ object Registry {
   }
 
   // the same laws in DuckDB SQL — operation order kept identical so the
-  // double-valued quality score is bit-equal. Known divergence, documented:
-  // on text IS NULL the engine yields n_tokens=0/quality=0.0 while this SQL
-  // propagates NULL (DuckDB regexp over NULL); the documents table has no
-  // null text, and hardening the SQL would bloat every expression — revisit
-  // only if a null-text source appears.
+  // double-valued quality score is bit-equal. The former NULL-text
+  // divergence (engine n_tokens=0 vs SQL NULL-propagation) is closed by the
+  // COALESCE inside tokensSqlOf: NULL and blank both follow the []-branch
+  // on both sides now.
   // regex-trim both ends (not SQL trim: spaces only) — mirrors TextFns.tokens,
   // including the blank-text branch: regexp_split_to_array('') yields ['']
   // (n_tokens=1), while the engine's law says blank → empty array
   private def tokensSqlOf(src: String): String = {
-    val trimmed = s"regexp_replace($src, '^\\s+|\\s+$$', '', 'g')"
+    // COALESCE closes the NULL leg of the law: the engine's tokens(NULL)
+    // yields [] (explicit isNull branch), while raw DuckDB regexps would
+    // propagate NULL — so every tokens-derived oracle column (stats, hists,
+    // fingerprints) would diverge on a NULL-text row. One wrap here aligns
+    // all consumers; blank and NULL both land in the []-branch, as the
+    // engine law says.
+    val trimmed = s"regexp_replace(COALESCE($src, ''), '^\\s+|\\s+$$', '', 'g')"
     s"(CASE WHEN $trimmed = '' THEN CAST([] AS VARCHAR[]) " +
       s"ELSE regexp_split_to_array($trimmed, '\\s+') END)"
   }

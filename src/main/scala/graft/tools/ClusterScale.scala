@@ -20,7 +20,10 @@ import graft.ops.Clusters
   */
 object ClusterScale {
   def main(args: Array[String]): Unit = {
-    val nEdges = args.headOption.map(_.toLong).getOrElse(1000000L)
+    // round down to a multiple of 10 (the block-ring construction assumes
+    // complete blocks) and keep the chain leg non-degenerate
+    val nEdges = math.max(1000L,
+      args.headOption.map(_.toLong).getOrElse(1000000L) / 10 * 10)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -49,12 +49,16 @@ object CurateDemo {
     // 2. PII scrub (narrow, codegen'd regexps)
     val scrubbed = quality.withColumn("text", Scrub.maskPii($"text"))
 
-    // 3. exact dedup: survivor per content fingerprint
+    // 3. exact dedup: keep one survivor per content fingerprint — the cheap
+    // pass that shrinks the corpus BEFORE the quadratic-ish near-dup stage
     val exact = Dedup.exact(scrubbed, "doc_id", "text")
-    println(s"=== exact dedup: ${exact.count()} distinct contents ===")
+    val exactSurvivors = scrubbed.join(
+      exact.select($"survivor_id".as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    println(s"=== exact dedup: ${exactSurvivors.count()} of ${quality.count()} survive ===")
 
     // 4. near-dup pairs → components → keep the longest doc per cluster
-    val pairs = Dedup.ngramJaccardPairs(scrubbed, "doc_id", "text",
+    val pairs = Dedup.ngramJaccardPairs(exactSurvivors, "doc_id", "text",
       shingleSize = 3, threshold = 0.8)
     val clusters = Clusters.dedupClusters(pairs)
     val nClusters = clusters.select(countDistinct($"cluster_id")).head.getLong(0)
@@ -65,19 +69,22 @@ object CurateDemo {
       .withColumn("_rk", row_number().over(w))
       .filter($"_rk" > 1) // everyone but the per-cluster survivor
       .select("doc_id")
-    val deduped = scrubbed.join(dropped, Seq("doc_id"), "left_anti")
+    val deduped = exactSurvivors.join(dropped, Seq("doc_id"), "left_anti")
     println(s"=== near-dup: ${clusters.count()} docs in $nClusters clusters; " +
       s"${deduped.count()} survive ===")
 
-    // 5. contamination check against a held-out benchmark slice
+    // 5. decontamination vs a held-out benchmark slice: the benchmark docs
+    // themselves NEVER enter the training output (that's the whole point),
+    // and remaining docs sharing a 5-gram with them are dropped too
+    val candidates = deduped.filter($"doc_id" % 10 =!= 0)
     val contaminated = Contamination.check(
-      deduped.filter($"doc_id" % 10 =!= 0),
+      candidates,
       docs.filter($"doc_id" % 10 === 0),
       "doc_id", "text", n = 5)
       .filter($"contaminated")
     println(s"=== contamination: ${contaminated.count()} flagged vs benchmark ===")
 
-    val clean = deduped.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val clean = candidates.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
 
     // 6. pack into 512-token training sequences (16 parallel ranges)
     val packed = Packing.packGreedy(clean, "doc_id", $"n_tokens", budget = 512,
