@@ -36,6 +36,38 @@ class ClustersSpec extends SparkSpec {
     assert(components(Seq.empty) === Map.empty)
   }
 
+  test("property: random graphs match a union-find reference") {
+    // seeded random edge lists of varied density vs a driver-side disjoint-set
+    // with min-id relabeling — the distributed fixpoint must agree exactly
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 5) {
+      val nVerts = 20 + rnd.nextInt(60)
+      val nEdges = rnd.nextInt(2 * nVerts)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // min-id per root: path compression above may leave non-min roots,
+        // so normalize by grouping members under their root first
+        val expected = verts.groupBy(find).flatMap { case (_, members) =>
+          val m = members.min
+          members.map(_ -> m)
+        }
+        assert(components(edges) === expected, s"trial $trial")
+      }
+    }
+  }
+
   test("dedupClusters: survivors are exactly one per component") {
     val pairs = Seq((1L, 2L), (2L, 4L), (9L, 8L)).toDF("id_a", "id_b")
     val cl = Clusters.dedupClusters(pairs)

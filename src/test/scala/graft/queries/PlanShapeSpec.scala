@@ -103,6 +103,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_cluster_survivors: rank and count windows share one cluster_id exchange") {
+    val p = plan("q_cluster_survivors")
+    val clusterShuffles = "hashpartitioning\\(cluster_id".r.findAllIn(p).size
+    assert(clusterShuffles === 1,
+      s"expected the twin windows to reuse one cluster_id exchange, got $clusterShuffles:\n$p")
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
