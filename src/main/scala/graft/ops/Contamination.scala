@@ -49,27 +49,56 @@ object Contamination {
     }
   }
 
-  /** Per-document contamination counts of `corpus` against `benchmark`:
-    * (doc_id, n_contaminated, contaminated) for EVERY corpus doc — zero
-    * counts included, so the clean/dirty split is explicit.
-    */
-  def check(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int = 5): DataFrame = {
-    val spark: SparkSession = corpus.sparkSession
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark: SparkSession = df.sparkSession
     import spark.implicits._
-    def shingleFrame(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
-        .as[(Long, String)]
-        .flatMap { case (id, t) => shingleStringsScala(t, n).iterator.map(s => (id, s)) }
-        .toDF("_id", "_s")
-    val benchShingles = shingleFrame(benchmark).select("_s").distinct()
-    val hits = shingleFrame(corpus)
-      .join(broadcast(benchShingles), "_s")
-      .groupBy("_id").agg(count(lit(1)).as("_hits"))
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleStringsScala(t, n).iterator.map(s => (id, s)) }
+      .toDF("_id", "_s")
+  }
+
+  private def withZeroCounts(corpus: DataFrame, idCol: String,
+      hits: DataFrame): DataFrame =
     corpus.select(col(idCol).cast("long").as("doc_id"))
       .join(hits, col("doc_id") === col("_id"), "left")
       .select(col("doc_id"),
         coalesce(col("_hits"), lit(0L)).as("n_contaminated"),
         (coalesce(col("_hits"), lit(0L)) > 0).as("contaminated"))
+
+  /** Per-document contamination counts of `corpus` against `benchmark`:
+    * (doc_id, n_contaminated, contaminated) for EVERY corpus doc — zero
+    * counts included, so the clean/dirty split is explicit. The benchmark
+    * shingle set is broadcast: the right call when the benchmark is an eval
+    * set (thousands of docs). For benchmark sides too big to broadcast,
+    * use [[checkLarge]].
+    */
+  def check(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val benchShingles = shingleFrame(benchmark, idCol, textCol, n).select("_s").distinct()
+    val hits = shingleFrame(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), "_s")
+      .groupBy("_id").agg(count(lit(1)).as("_hits"))
+    withZeroCounts(corpus, idCol, hits)
+  }
+
+  /** [[check]] for a LARGE reference side (cross-corpus contamination, e.g.
+    * "does my training set overlap that other crawl"): identical output,
+    * but the shingle match is a shuffle equi-join on the shingle key — both
+    * sides hash-partition by shingle, nothing broadcasts, so the reference
+    * corpus can be any size. The `_left_semi` join also stops shingle-level
+    * fan-out: a shingle occurring k times in the reference must count ONCE
+    * per corpus doc, not k times (the broadcast path gets this from
+    * `distinct()`; here the semi-join does it without deduplicating the
+    * reference side first).
+    */
+  def checkLarge(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    val benchShingles = shingleFrame(benchmark, idCol, textCol, n).select("_s")
+    val hits = shingleFrame(corpus, idCol, textCol, n)
+      .join(benchShingles, Seq("_s"), "left_semi")
+      .groupBy("_id").agg(count(lit(1)).as("_hits"))
+    withZeroCounts(corpus, idCol, hits)
   }
 }

@@ -982,6 +982,19 @@ object Registry {
       |   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS scrubbed
       | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** The shuffle-join twin of [[qContamination]] (reference side too big to
+    * broadcast at scale) — identical semantics, identical oracle, different
+    * physical strategy.
+    */
+  def qContaminationLarge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Contamination.checkLarge(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprints, both laws side by side: the lowercased
     * normalized md5 (exact-dedup key — case-variant copies collide) and the
     * case-preserving token-stream md5 (they don't). Narrow codegen'd
@@ -1150,6 +1163,7 @@ object Registry {
     "q_vocab_top" -> (qVocabTop _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_contamination" -> (qContamination _),
+    "q_contamination_large" -> (qContaminationLarge _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_minhash_neardup" -> (qMinhashNeardup _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
@@ -1205,6 +1219,7 @@ object Registry {
     "q_vocab_top" -> qVocabTopSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_contamination" -> qContaminationSql,
+    "q_contamination_large" -> qContaminationSql, // same semantics, shuffle-join plan
     "q_doc_fingerprint" -> qDocFingerprintSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,

@@ -30,6 +30,22 @@ class ContaminationSpec extends SparkSpec {
     assert(got(3L) === ((1L, true)))
   }
 
+  test("checkLarge (shuffle semi-join) returns exactly check's output") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words in this one here now"),
+      (3L, "quick brown fox jumps high and brown fox jumps over")).toDF("doc_id", "text")
+    // duplicate shingles across benchmark docs: the semi-join must not
+    // multiply a corpus doc's hit count by reference-side occurrences
+    val bench = Seq(
+      (100L, "a quick brown fox jumps straight up"),
+      (101L, "that quick brown fox jumps again today")).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(collect(Contamination.checkLarge(corpus, bench, "doc_id", "text", n = 4)) ===
+      collect(Contamination.check(corpus, bench, "doc_id", "text", n = 4)))
+  }
+
   test("every corpus doc appears exactly once, clean docs included") {
     val corpus = Seq((1L, "x y z"), (2L, "p q r")).toDF("doc_id", "text")
     val bench = Seq((9L, "x y z w")).toDF("doc_id", "text")
