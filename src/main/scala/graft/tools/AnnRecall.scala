@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Measured recall of the approximate ANN paths against the brute-force
+  * oracle, on the real embeddings table: for each query vector, how many of
+  * the true top-k neighbors does LSH / IVF return?
+  *
+  * Context for reading the numbers: hyperplane LSH's candidate probability
+  * decays with angular distance, so recall is HIGH in the genuinely-near
+  * regime (near-duplicate detection, the dedup use case — SimilaritySpec
+  * pins planted twins at recall 1) and MODEST for "nearest of a uniformly
+  * spread cloud" (this table's regime: max pairwise cosine ≈ 0.5). IVF
+  * recall is governed by the probed-cell fraction. This probe prints both
+  * so the trade-off is a measured artifact, not a scaladoc claim.
+  *
+  * Usage: `sbt "runMain graft.tools.AnnRecall [sfDir] [k] [nQueries]"`.
+  */
+object AnnRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val nQueries = args.drop(2).headOption.map(_.toInt).getOrElse(50)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    println(s"=== corpus ${corpus.count()} vectors; $nQueries queries; k=$k ===")
+
+    def truthPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val truth = truthPairs(
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k))
+
+    def report(name: String, got: Set[(Long, Long)]): Unit = {
+      val recall = if (truth.isEmpty) 0.0
+        else truth.intersect(got).size.toDouble / truth.size
+      println(f"=== $name%-10s recall@$k = $recall%.3f (${got.size}%d returned) ===")
+    }
+    report("lsh", truthPairs(
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding", k)))
+    report("ivf", truthPairs(
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k)))
+    spark.stop()
+  }
+}
