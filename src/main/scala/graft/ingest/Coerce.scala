@@ -23,8 +23,10 @@ object Coerce {
 
   /** `Long.parseLong`-strict: integral form only. Spark's lax string cast
     * would accept "12.5" (→ 12) where the reference nulls it.
+    * `private[graft]` so the query registry can oracle the LAW ITSELF
+    * (q_coerce_longs) rather than a re-implementation of it.
     */
-  private[ingest] def strictLong(c: Column): Column = {
+  private[graft] def strictLong(c: Column): Column = {
     val t = trim(c.cast("string"))
     // try_cast: ANSI-safe (overflow → null, like parseLong's caught exception)
     when(t.rlike("^[+-]?\\d+$"), t.try_cast("long")).otherwise(lit(null).cast("long"))

@@ -865,6 +865,49 @@ object Registry {
     s"""WITH RECURSIVE $ngramPairCtes, $componentCtes
       | SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** The P2 coercion law itself, driver-oracled (it was unit-only before):
+    * derive seven raw-string shapes from o_orderkey arithmetic — valid,
+    * space-padded, decimal ("12.5" must NULL, where a lax cast yields 12),
+    * empty, alphabetic, explicit +, negative — and parse with the REAL
+    * [[graft.ingest.Coerce.strictLong]] production expression. The oracle
+    * mirrors the law as a regexp-guarded TRY_CAST. The parsed value is
+    * output as VARCHAR: nullable-BIGINT output columns are a known driver
+    * comparator trap (see q_parent_join's parent_id precedent).
+    */
+  def qCoerceLongs(spark: SparkSession, dir: String): DataFrame = {
+    val key = col("o_orderkey").cast("long")
+    val ks = key.cast("string")
+    val raw = when(key % 7 === 0, ks)
+      .when(key % 7 === 1, concat(lit("  "), ks, lit(" ")))
+      .when(key % 7 === 2, concat(ks, lit(".5")))
+      .when(key % 7 === 3, lit(""))
+      .when(key % 7 === 4, concat(lit("x"), ks))
+      .when(key % 7 === 5, concat(lit("+"), ks))
+      .otherwise(concat(lit("-"), ks))
+    t(spark, dir, "orders")
+      .select(key.as("o_orderkey"), raw.as("raw"))
+      .select(col("o_orderkey"), col("raw"),
+        graft.ingest.Coerce.strictLong(col("raw")).cast("string").as("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  val qCoerceLongsSql: String =
+    """WITH r AS (
+      | SELECT o_orderkey,
+      |  CASE o_orderkey % 7
+      |   WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
+      |   WHEN 1 THEN '  ' || CAST(o_orderkey AS VARCHAR) || ' '
+      |   WHEN 2 THEN CAST(o_orderkey AS VARCHAR) || '.5'
+      |   WHEN 3 THEN ''
+      |   WHEN 4 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+      |   WHEN 5 THEN '+' || CAST(o_orderkey AS VARCHAR)
+      |   ELSE '-' || CAST(o_orderkey AS VARCHAR) END AS raw
+      | FROM orders)
+      | SELECT o_orderkey, raw,
+      |  CAST(CASE WHEN regexp_matches(trim(raw), '^[+-]?\d+$')
+      |   THEN TRY_CAST(trim(raw) AS BIGINT) END AS VARCHAR) AS parsed
+      | FROM r ORDER BY o_orderkey""".stripMargin.replace("\n", " ")
+
   /** The dedup pipeline's last step, end to end: pairs → components →
     * survivor per cluster, where the survivor is the longest document
     * (n_chars desc, doc_id asc tiebreak) — "keep the best copy", not just
@@ -1148,6 +1191,7 @@ object Registry {
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
     "q_excel_dates" -> (qExcelDates _),
+    "q_coerce_longs" -> (qCoerceLongs _),
     "q_global_stats" -> (qGlobalStats _),
     "q_lineitem_agg" -> (qLineitemAgg _),
     "q_event_windows" -> (qEventWindows _),
@@ -1204,6 +1248,7 @@ object Registry {
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,
     "q_excel_dates" -> qExcelDatesSql,
+    "q_coerce_longs" -> qCoerceLongsSql,
     "q_global_stats" -> qGlobalStatsSql,
     "q_lineitem_agg" -> qLineitemAggSql,
     "q_event_windows" -> qEventWindowsSql,
