@@ -28,8 +28,12 @@ object Coerce {
     */
   private[graft] def strictLong(c: Column): Column = {
     val t = trim(c.cast("string"))
+    // \A..\z (not ^..$): Java's $ matches before a trailing newline, which
+    // trim (spaces-only) does not strip — "123\n" must null like parseLong.
+    // Both anchors exist in Java regex and RE2, so the DuckDB oracle can
+    // apply the identical pattern.
     // try_cast: ANSI-safe (overflow → null, like parseLong's caught exception)
-    when(t.rlike("^[+-]?\\d+$"), t.try_cast("long")).otherwise(lit(null).cast("long"))
+    when(t.rlike("\\A[+-]?\\d+\\z"), t.try_cast("long")).otherwise(lit(null).cast("long"))
   }
 
   private def coerceCol(name: String): Column = {

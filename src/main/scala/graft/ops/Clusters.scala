@@ -35,9 +35,27 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Block-manager storage of a `localCheckpoint`ed frame, released eagerly.
+    * The checkpointed RDD sits behind the plan's `LogicalRDD` leaf; without
+    * this, every round's three checkpoint frames linger until RDD garbage
+    * collection, which can lag on a long-lived driver.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Components of the undirected graph given by `edges(srcCol, dstCol)`.
     * Returns one row per vertex: (id, component) where component is the
     * minimum vertex id reachable — deterministic, so oracle-comparable.
+    *
+    * Throws if `maxIter` is exhausted before convergence: silently returning
+    * partially-merged labels would make dedup callers keep duplicate
+    * survivors with no signal. At the default 32 rounds, pointer jumping
+    * needs a component diameter beyond ~2^32 to trip this.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 32): DataFrame = {
@@ -73,8 +91,20 @@ object Clusters {
           col("n.id") === col("_oid"))
         .filter(col("n.comp") =!= col("_ocomp"))
         .isEmpty
+      // `jumped` is materialized (eager checkpoint) and now carries the
+      // state: release the previous round's label frame and the
+      // intermediate, or block-manager storage accumulates across rounds
+      freeCheckpoint(stepped)
+      freeCheckpoint(labels)
       labels = jumped
       iter += 1
+    }
+    freeCheckpoint(bidir)
+    if (changed) {
+      log.warn(s"connectedComponents did not converge in $maxIter rounds; " +
+        "labels are partially merged")
+      throw new IllegalStateException(
+        s"connectedComponents: maxIter=$maxIter exhausted before convergence")
     }
     labels.select(col("id"), col("comp").as("component"))
   }

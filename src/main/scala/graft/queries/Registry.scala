@@ -877,12 +877,13 @@ object Registry {
   def qCoerceLongs(spark: SparkSession, dir: String): DataFrame = {
     val key = col("o_orderkey").cast("long")
     val ks = key.cast("string")
-    val raw = when(key % 7 === 0, ks)
-      .when(key % 7 === 1, concat(lit("  "), ks, lit(" ")))
-      .when(key % 7 === 2, concat(ks, lit(".5")))
-      .when(key % 7 === 3, lit(""))
-      .when(key % 7 === 4, concat(lit("x"), ks))
-      .when(key % 7 === 5, concat(lit("+"), ks))
+    val raw = when(key % 8 === 0, ks)
+      .when(key % 8 === 1, concat(lit("  "), ks, lit(" ")))
+      .when(key % 8 === 2, concat(ks, lit(".5")))
+      .when(key % 8 === 3, lit(""))
+      .when(key % 8 === 4, concat(lit("x"), ks))
+      .when(key % 8 === 5, concat(lit("+"), ks))
+      .when(key % 8 === 6, concat(ks, lit("\n"))) // trim keeps \n; parseLong nulls it
       .otherwise(concat(lit("-"), ks))
     t(spark, dir, "orders")
       .select(key.as("o_orderkey"), raw.as("raw"))
@@ -894,17 +895,18 @@ object Registry {
   val qCoerceLongsSql: String =
     """WITH r AS (
       | SELECT o_orderkey,
-      |  CASE o_orderkey % 7
+      |  CASE o_orderkey % 8
       |   WHEN 0 THEN CAST(o_orderkey AS VARCHAR)
       |   WHEN 1 THEN '  ' || CAST(o_orderkey AS VARCHAR) || ' '
       |   WHEN 2 THEN CAST(o_orderkey AS VARCHAR) || '.5'
       |   WHEN 3 THEN ''
       |   WHEN 4 THEN 'x' || CAST(o_orderkey AS VARCHAR)
       |   WHEN 5 THEN '+' || CAST(o_orderkey AS VARCHAR)
+      |   WHEN 6 THEN CAST(o_orderkey AS VARCHAR) || chr(10)
       |   ELSE '-' || CAST(o_orderkey AS VARCHAR) END AS raw
       | FROM orders)
       | SELECT o_orderkey, raw,
-      |  CAST(CASE WHEN regexp_matches(trim(raw), '^[+-]?\d+$')
+      |  CAST(CASE WHEN regexp_matches(trim(raw), '\A[+-]?\d+\z')
       |   THEN TRY_CAST(trim(raw) AS BIGINT) END AS VARCHAR) AS parsed
       | FROM r ORDER BY o_orderkey""".stripMargin.replace("\n", " ")
 

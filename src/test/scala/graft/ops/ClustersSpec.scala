@@ -36,6 +36,18 @@ class ClustersSpec extends SparkSpec {
     assert(components(Seq.empty) === Map.empty)
   }
 
+  test("maxIter exhaustion throws instead of returning partial labels") {
+    // diameter-4 path with maxIter=1: one neighbor-min + one jump round
+    // cannot reach the far end, and silently-partial labels would let dedup
+    // keep duplicate survivors — the contract is to fail loudly
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Clusters.connectedComponents(chain.toDF("s", "d"), "s", "d", maxIter = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxIter=1"))
+  }
+
   test("property: random graphs match a union-find reference") {
     // seeded random edge lists of varied density vs a driver-side disjoint-set
     // with min-id relabeling — the distributed fixpoint must agree exactly
