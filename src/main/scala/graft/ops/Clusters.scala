@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   * Scale: the working set is one (id, comp) row per VERTEX of the pair
   * graph (near-dup pairs, not the corpus — typically orders of magnitude
   * smaller than the document table), hash-partitioned by id; each round is
-  * two shuffles of that frame. Convergence is detected with an
-  * anti-join-style changed-count, so quiet graphs (cliques — the common
+  * two shuffles of that frame. The round's starting label rides along as
+  * `_prev`, so convergence detection is a filter over the already-
+  * checkpointed frame (no extra join); quiet graphs (cliques — the common
   * near-dup shape) finish in 2 rounds.
   */
 object Clusters {
@@ -71,32 +72,33 @@ object Clusters {
     var iter = 0
     var changed = !labels.isEmpty
     while (changed && iter < maxIter) {
-      // 1. neighbor-min
+      // 1. neighbor-min — carry the round's starting label through as
+      // `_prev` so convergence below is a scan of the checkpointed frame,
+      // not an extra shuffle join against the previous round
       val nmin = bidir.join(labels, bidir("s") === labels("id"))
         .groupBy(col("d").as("_id")).agg(min(col("comp")).as("_nmin"))
       // materialize before the self-join below: `stepped` appears on BOTH
       // sides of the jump join, and without a checkpoint the edges⋈labels
       // aggregate (the expensive stage) would execute twice per round
       val stepped = labels.join(nmin, col("id") === col("_id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"))
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
+          col("comp").as("_prev"))
         .localCheckpoint()
       // 2. pointer jump: comp ← comp(comp)
       val jumped = stepped.as("l").join(
           stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")),
           col("l.comp") === col("_jid"), "left")
-        .select(col("l.id").as("id"), coalesce(col("_jcomp"), col("l.comp")).as("comp"))
+        .select(col("l.id").as("id"),
+          coalesce(col("_jcomp"), col("l.comp")).as("comp"), col("l._prev"))
         .localCheckpoint()
-      changed = !jumped.as("n")
-        .join(labels.select(col("id").as("_oid"), col("comp").as("_ocomp")),
-          col("n.id") === col("_oid"))
-        .filter(col("n.comp") =!= col("_ocomp"))
-        .isEmpty
+      changed = !jumped.filter(col("comp") =!= col("_prev")).isEmpty
       // `jumped` is materialized (eager checkpoint) and now carries the
       // state: release the previous round's label frame and the
       // intermediate, or block-manager storage accumulates across rounds
       freeCheckpoint(stepped)
       freeCheckpoint(labels)
-      labels = jumped
+      labels = jumped.select(col("id"), col("comp"))
       iter += 1
     }
     freeCheckpoint(bidir)
