@@ -270,4 +270,47 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document chunk-level exact dedup (the CCNet line-dedup family,
+    * over fixed char windows since corpus text carries no line structure):
+    * split each document into non-overlapping `size`-char chunks, drop every
+    * chunk whose content appears in MORE than one distinct document
+    * (boilerplate headers, license blocks, templated spans), and reassemble
+    * the surviving chunks in order. Whole-document exact duplicates lose all
+    * their chunks — their clean text collapses to "" — while unique content
+    * passes through untouched.
+    *
+    * Returns one row per input document: (idCol, n_chunks, n_kept,
+    * clean_len, clean_hash) where clean_hash = md5 of the reassembled text
+    * (the compact oracle-able witness of the reassembly — downstream stages
+    * would carry the text itself).
+    *
+    * Scale shape: chunking is a narrow codegen'd fanout; the duplicate count
+    * is one hash-aggregate shuffle on the 128-bit chunk hash; the frequency
+    * join is 1:1 per chunk row (no fanout — `freq` has one row per distinct
+    * hash); reassembly is one shuffle back to the document key with an
+    * in-group sort. No window over unpartitioned data, no driver state.
+    */
+  def chunkDedupDocs(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 400): DataFrame = {
+    val chunks = Chunking.charChunks(df, idCol, textCol, size, overlap = 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("_h"))
+    val freq = chunks.groupBy(col("_h"))
+      .agg(count_distinct(col(idCol)).as("_ndocs"))
+    val kept = when(col("_ndocs") === 1,
+      struct(col("chunk_idx"), col("chunk_text")))
+    chunks.join(freq, "_h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(kept).as("n_kept"),
+        // collect_list drops the nulls of non-kept chunks; array_sort on the
+        // (chunk_idx, text) struct restores document order deterministically
+        array_join(transform(array_sort(collect_list(kept)),
+          c => c.getField("chunk_text")), "").as("_clean"))
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        length(col("_clean")).cast("bigint").as("clean_len"),
+        md5(col("_clean")).as("clean_hash"))
+  }
 }

@@ -51,4 +51,42 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Temperature-scaled domain sampling (α = 1/2): down-weights dominant
+    * strata so the mixture flattens toward uniform — the standard rebalance
+    * for web-crawl training mixes where the head language/domain would
+    * otherwise drown the tail. Keep probability per stratum g:
+    *
+    *   rate_g = min(1, base · sqrt(n_max / n_g))
+    *
+    * so the LARGEST stratum keeps `base` of its rows and smaller strata
+    * keep proportionally more (a stratum at n_max/4 keeps 2·base), i.e.
+    * expected post-sample counts ∝ sqrt(n_g) — exactly n_g^α with α = 1/2.
+    *
+    * Every arithmetic step is cross-engine deterministic: one integer-count
+    * division, an IEEE-exact sqrt, a power-of-two scale (base defaults to
+    * 0.5), and the md5-prefix survival compare of [[hashKey]] — so the
+    * exact surviving subset is oracle-checkable, and re-runs reproduce it.
+    *
+    * Scale shape: one tiny count aggregate (|strata| rows) broadcast back
+    * onto the corpus; the survival filter itself is a narrow per-row
+    * predicate — no shuffle of the data.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      base: Double = 0.5, salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("_stratum"))
+      .agg(count(lit(1)).as("_n"))
+    val rate = least(lit(1.0),
+      lit(base) * sqrt(col("_nmax").cast("double") / col("_n").cast("double")))
+    // 4-hex-digit threshold, same law as rateThreshold: floor(rate · 65536),
+    // 'g' (sorts above every hex digit) for the keep-everything case
+    val v = floor(rate * 65536).cast("int")
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(max(col("_n")).as("_nmax"))))
+      .select(col("_stratum"),
+        when(v >= 65536, lit("g")).otherwise(format_string("%04x", v)).as("_thr"))
+    df.join(broadcast(thresholds), col(stratumCol) === col("_stratum"))
+      .filter(hashKey(col(idCol), salt) < col("_thr"))
+      .drop("_stratum", "_thr")
+  }
 }

@@ -1145,6 +1145,113 @@ object Registry {
       | SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Semi-structured JSON extraction (web-scrape metadata parsing): pull a
+    * typed field out of the events' JSON props with the codegen'd
+    * `get_json_object` path expression, then aggregate by its decade bucket
+    * (`k - k % 10` — no division-rounding dialect trap). The sum goes
+    * through DECIMAL(18,2) internally for order-independence, DOUBLE on the
+    * wire (the r1 comparator rule).
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(spark, dir, "events")
+      .select(k.as("_k"), col("user_id"), col("value"))
+      .groupBy((col("_k") - col("_k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("k_bucket")
+  }
+
+  val qJsonExtractSql: String =
+    """WITH j AS (SELECT CAST(json_extract_string(props, 'k') AS BIGINT) AS _k,
+      |  user_id, value FROM events)
+      | SELECT _k - _k % 10 AS k_bucket, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      | FROM j GROUP BY 1 ORDER BY k_bucket""".stripMargin.replace("\n", " ")
+
+  /** Chunk-level cross-document dedup ([[graft.ops.Dedup.chunkDedupDocs]]):
+    * the oracle independently rebuilds the chunk table, duplicate counts,
+    * and the ORDER-SENSITIVE reassembly (string_agg ORDER BY chunk_idx vs
+    * the engine's sorted-collect), so the whole law is hash-checked
+    * including the md5 witness of each cleaned document.
+    */
+  def qChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.chunkDedupDocs(t(spark, dir, "documents"), "doc_id", "text",
+      size = 400)
+      .orderBy("doc_id")
+
+  val qChunkDedupSql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      | s AS (SELECT doc_id, text, unnest(range(0, greatest(n, 1), 400)) AS cs FROM d),
+      | ch AS (SELECT doc_id, CAST(cs // 400 AS BIGINT) AS chunk_idx,
+      |   substr(text, CAST(cs + 1 AS INTEGER), 400) AS chunk_text FROM s),
+      | h AS (SELECT *, md5(chunk_text) AS _h FROM ch),
+      | f AS (SELECT _h, COUNT(DISTINCT doc_id) AS _ndocs FROM h GROUP BY 1),
+      | j AS (SELECT h.doc_id, h.chunk_idx, h.chunk_text, f._ndocs
+      |   FROM h JOIN f USING (_h))
+      | SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(COUNT(CASE WHEN _ndocs = 1 THEN 1 END) AS BIGINT) AS n_kept,
+      |  CAST(length(COALESCE(string_agg(chunk_text, '' ORDER BY chunk_idx)
+      |    FILTER (WHERE _ndocs = 1), '')) AS BIGINT) AS clean_len,
+      |  md5(COALESCE(string_agg(chunk_text, '' ORDER BY chunk_idx)
+      |    FILTER (WHERE _ndocs = 1), '')) AS clean_hash
+      | FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Top-3 TF-IDF terms per document ([[graft.ops.Relevance.tfidfTopTerms]]).
+    * The rational idf keeps the double scores bit-identical across engines
+    * (see the operator scaladoc), so score values — not just ranks — are in
+    * the hash compare.
+    */
+  def qTfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Relevance.tfidfTopTerms(docs, "doc_id", "text", k = 3,
+      nDocs = docs.count())
+      .orderBy("doc_id", "rk")
+  }
+
+  val qTfidfTermsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+      | tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      | dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+      | sc AS (SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+      |   CAST(dfq.doc_freq AS BIGINT) AS doc_freq,
+      |   CAST(tf.tf AS DOUBLE) *
+      |     (CAST((SELECT COUNT(*) FROM documents) - dfq.doc_freq AS DOUBLE)
+      |      / CAST(dfq.doc_freq AS DOUBLE)) AS score
+      |  FROM tf JOIN dfq USING (token)),
+      | r AS (SELECT *, CAST(row_number() OVER
+      |   (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rk FROM sc)
+      | SELECT doc_id, rk, token, tf, doc_freq, score FROM r
+      | WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", " ")
+
+  /** Temperature-scaled domain sampling
+    * ([[graft.ops.Sampling.temperatureSample]] over the skewed `lang`
+    * mixture, α = 1/2, base 0.5): the oracle recomputes the per-stratum
+    * rates from counts — integer division, IEEE-exact sqrt, power-of-two
+    * base — and the exact md5-survival subset, so membership itself is
+    * checked, like q_stratified_sample.
+    */
+  def qDomainSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureSample(
+      t(spark, dir, "documents"), "doc_id", "lang")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val qDomainSampleSql: String =
+    """WITH c AS (SELECT lang AS _stratum, COUNT(*) AS _n FROM documents GROUP BY 1),
+      | m AS (SELECT _stratum, least(1.0, 0.5 * sqrt(
+      |   CAST((SELECT max(_n) FROM c) AS DOUBLE) / CAST(_n AS DOUBLE))) AS rate FROM c),
+      | t AS (SELECT _stratum,
+      |   CASE WHEN CAST(floor(rate * 65536) AS INTEGER) >= 65536 THEN 'g'
+      |        ELSE printf('%04x', CAST(floor(rate * 65536) AS INTEGER)) END AS thr
+      |  FROM m)
+      | SELECT doc_id, lang, n_chars FROM documents d JOIN t ON d.lang = t._stratum
+      | WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < thr
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** LSH-bucketed ANN (the scale path) — no SQL oracle (hash-derived
     * hyperplanes); recall vs brute force is unit-tested.
     */
@@ -1213,6 +1320,10 @@ object Registry {
     "q_doc_fingerprint" -> (qDocFingerprint _),
     "q_minhash_neardup" -> (qMinhashNeardup _),
     "q_simhash_neardup" -> (qSimhashNeardup _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_chunk_dedup" -> (qChunkDedup _),
+    "q_tfidf_terms" -> (qTfidfTerms _),
+    "q_domain_sample" -> (qDomainSample _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -1268,6 +1379,10 @@ object Registry {
     "q_contamination" -> qContaminationSql,
     "q_contamination_large" -> qContaminationSql, // same semantics, shuffle-join plan
     "q_doc_fingerprint" -> qDocFingerprintSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_chunk_dedup" -> qChunkDedupSql,
+    "q_tfidf_terms" -> qTfidfTermsSql,
+    "q_domain_sample" -> qDomainSampleSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
     "q_embed_neardup" -> qEmbedNeardupSql)

@@ -82,4 +82,35 @@ class DedupSpec extends SparkSpec {
       .select(TextFns.fingerprintMd5($"text")).head.getString(0)
     assert(ws === plain)
   }
+
+  test("chunk dedup: shared chunks dropped, unique kept in order, dup docs collapse") {
+    // size=4 chunks: "AAAA" is the boilerplate shared by docs 1 and 2;
+    // doc 3 = doc 4 exactly (every chunk shared); doc 5 is all-unique
+    val corpus = Seq(
+      (1L, "AAAAbbbb"), // chunks AAAA|bbbb — AAAA shared with doc 2
+      (2L, "AAAAcccc"),
+      (3L, "ddddeeee"), // exact dup of 4 → both collapse to ""
+      (4L, "ddddeeee"),
+      (5L, "ffffgggg")
+    ).toDF("doc_id", "text")
+    val r = Dedup.chunkDedupDocs(corpus, "doc_id", "text", size = 4)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))).toMap
+    assert(r(1L)._1 === 2 && r(1L)._2 === 1) // one of two chunks survives
+    assert(r(1L)._3 === 4) // clean text is just "bbbb"
+    assert(r(3L)._2 === 0 && r(3L)._3 === 0) // exact dup: nothing survives
+    assert(r(3L)._4 === r(4L)._4) // both collapse to the same (empty) witness
+    assert(r(5L) === (2L, 2L, 8L,
+      Seq(("x", "ffffgggg")).toDF("k", "t").select(md5($"t")).head.getString(0)))
+    // reassembly preserves chunk order: clean hash of doc 1 == md5("bbbb")
+    val bbbb = Seq(("x", "bbbb")).toDF("k", "t").select(md5($"t")).head.getString(0)
+    assert(r(1L)._4 === bbbb)
+  }
+
+  test("chunk dedup: within-doc repeats survive (only cross-doc sharing drops)") {
+    val corpus = Seq((1L, "AAAAAAAA"), (2L, "bbbbcccc")).toDF("doc_id", "text")
+    val r = Dedup.chunkDedupDocs(corpus, "doc_id", "text", size = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) === (2L, 2L)) // "AAAA" twice in ONE doc: both kept
+  }
 }

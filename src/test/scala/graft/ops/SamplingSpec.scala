@@ -44,4 +44,39 @@ class SamplingSpec extends SparkSpec {
     assert(!byLang.contains("de")) // rate 0.0
     assert(byLang.keySet === Set("en")) // fr/zh/es unlisted → dropped
   }
+
+  test("temperature sample: head stratum keeps ~base, tail keeps more; reproducible") {
+    // skewed mixture: 200 of 'big', 50 of 'mid', 8 of 'tiny'
+    val skewed = spark.range(258).select(
+      col("id"),
+      when(col("id") < 200, "big").when(col("id") < 250, "mid")
+        .otherwise("tiny").as("dom"))
+    val out = Sampling.temperatureSample(skewed, "id", "dom", base = 0.5)
+    val byDom = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest stratum: rate = base = 0.5 exactly (threshold 8000)
+    val bigRate = byDom.getOrElse("big", 0L).toDouble / 200
+    assert(bigRate > 0.35 && bigRate < 0.65, s"big rate $bigRate far from 0.5")
+    // mid: 0.5*sqrt(200/50) = 1.0 → everything survives, exactly
+    assert(byDom.getOrElse("mid", 0L) === 50L)
+    // tiny: 0.5*sqrt(200/8) = 2.5 → capped at 1, everything survives
+    assert(byDom.getOrElse("tiny", 0L) === 8L)
+    // pure function of the row: partitioning-independent subset
+    val again = Sampling.temperatureSample(skewed.repartition(13), "id", "dom")
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("temperature sample flattens a skewed mixture toward uniform") {
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang")
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def spread(m: Map[String, Long]) =
+      m.values.max.toDouble / math.max(1L, m.values.min)
+    assert(after.keySet === before.keySet) // no stratum disappears
+    assert(spread(after) < spread(before), // head:tail ratio strictly shrinks
+      s"spread ${spread(after)} not below ${spread(before)}")
+  }
 }

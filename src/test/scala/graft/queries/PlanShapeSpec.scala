@@ -110,6 +110,34 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the twin windows to reuse one cluster_id exchange, got $clusterShuffles:\n$p")
   }
 
+  test("q_domain_sample: stratum thresholds broadcast onto the corpus — no data shuffle") {
+    val p = plan("q_domain_sample")
+    assert(p.contains("BroadcastHashJoin"), "threshold table lost its broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_chunk_dedup: hash-keyed frequency join, never an all-pairs scan") {
+    val p = plan("q_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_tfidf_terms: doc-partitioned window (no global sort), keyed joins only") {
+    val p = plan("q_tfidf_terms")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the rank window must partition by doc_id, not sort the world
+    assert(p.contains("Window"))
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      s"rank window lost its doc_id partitioning:\n$p")
+  }
+
+  test("q_json_extract: narrow pruned scan of (props, user_id, value)") {
+    val p = plan("q_json_extract")
+    assert(p.contains("ReadSchema: struct<user_id:bigint,value:double,props:string>") ||
+      p.contains("ReadSchema: struct<props:string,user_id:bigint,value:double>"),
+      s"q_json_extract reads more than the three referenced columns:\n$p")
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
