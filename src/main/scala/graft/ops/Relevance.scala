@@ -51,4 +51,61 @@ object Relevance {
       .select(col("doc_id"), col("rk"), col("token"), col("tf"),
         col("doc_freq"), col("score"))
   }
+
+  /** BM25 retrieval: top-k documents for a fixed bag-of-words query — the
+    * search leg of a curation pipeline (find docs about X, pull eval-adjacent
+    * content, build topic subsets).
+    *
+    * Determinism (so the double SCORES oracle-match, not just the ranking):
+    *   - idf is the rational core of BM25's log argument,
+    *     (N - df + 0.5) / (df + 0.5) — log dropped (monotone, libm-varying);
+    *   - the per-term contribution is a fixed parenthesization of IEEE ops
+    *     over exact integers (tf, len, df, N) and literal constants;
+    *   - the per-document score folds the per-term columns LEFT-TO-RIGHT in
+    *     `terms` order — never a SUM over rows, whose accumulation order is
+    *     engine- and partitioning-dependent.
+    * Only documents matching ≥1 query term are candidates (standard
+    * retrieval contract; zero-score docs can't enter a top-k anyway).
+    *
+    * Scale shape: explode → per-(doc,term) count filtered to the query
+    * vocabulary (the filter pushes before the aggregate, so the shuffle
+    * carries only query-term hits); document frequencies (≤ |terms| rows)
+    * broadcast back; one doc-keyed join against lengths; top-k is
+    * TakeOrderedAndProject — no global sort.
+    */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "need distinct query terms")
+    val lens = df.select(col(idCol).as("doc_id"),
+      TextFns.tokenCount(col(textCol)).as("len"))
+    // two exact-integer corpus scalars; avg length derives from them with
+    // one double division — bit-equal to any engine doing the same division
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("s")).head()
+    val nDocs = stats.getLong(0)
+    val avgLen = stats.getLong(1).toDouble / nDocs.toDouble
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("token"))
+    val tf = toks.filter(col("token").isInCollection(terms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("term_df"))
+    val tfD = col("tf").cast("double")
+    val idf = ((lit(nDocs) - col("term_df")).cast("double") + lit(0.5)) /
+      (col("term_df").cast("double") + lit(0.5))
+    val norm = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / lit(avgLen))))
+    val contrib = tf.join(broadcast(dfreq), "token")
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("token"), (idf * norm).as("contrib"))
+    val perTerm = contrib.groupBy("doc_id").agg(
+      sum(when(col("token") === terms.head, col("contrib"))).as(s"_c0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("token") === t, col("contrib"))).as(s"_c${i + 1}")
+      }: _*)
+    val score = terms.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0)))
+      .reduceLeft(_ + _) // fixed left-assoc fold in `terms` order
+    perTerm.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1227,6 +1227,46 @@ object Registry {
       | SELECT doc_id, rk, token, tf, doc_freq, score FROM r
       | WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", " ")
 
+  /** BM25 retrieval ([[graft.ops.Relevance.bm25TopDocs]]): top-10 corpus
+    * documents for a fixed 3-term query. The oracle recomputes the full
+    * scoring law — rational idf, exact-integer corpus stats, the identical
+    * parenthesization, and the same left-to-right per-term fold — so the
+    * double scores themselves hash-match. Constant literals are
+    * interpolated from the SAME Scala doubles the engine uses
+    * (shortest-repr round-trip makes the bit patterns identical).
+    */
+  private val bm25Terms = Seq("spark", "merge", "vector")
+
+  def qBm25Search(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Relevance.bm25TopDocs(t(spark, dir, "documents"), "doc_id", "text",
+      bm25Terms, k = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+
+  val qBm25SearchSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val inList = bm25Terms.map("'" + _ + "'").mkString(",")
+    val cases = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"COALESCE(SUM(CASE WHEN token = '$t' THEN contrib END), 0.0) AS _c$i"
+    }.mkString(", ")
+    val fold = bm25Terms.indices.map(i => s"_c$i").mkString(" + ")
+    s"""WITH lens AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS len FROM documents),
+      | stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS sumlen FROM lens),
+      | toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+      | tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |   WHERE token IN ($inList) GROUP BY 1, 2),
+      | dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS term_df FROM tf GROUP BY 1),
+      | c AS (SELECT tf.doc_id, tf.token,
+      |   ((CAST(s.n - dfq.term_df AS DOUBLE) + 0.5) / (CAST(dfq.term_df AS DOUBLE) + 0.5)) *
+      |   ((CAST(tf.tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE)) /
+      |    (CAST(tf.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE)
+      |      + CAST($b AS DOUBLE) * (CAST(l.len AS DOUBLE)
+      |        / (CAST(s.sumlen AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS contrib
+      |  FROM tf JOIN lens l USING (doc_id) CROSS JOIN stats s JOIN dfq USING (token)),
+      | p AS (SELECT doc_id, $cases FROM c GROUP BY doc_id)
+      | SELECT doc_id, $fold AS score FROM p
+      | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
+
   /** Temperature-scaled domain sampling
     * ([[graft.ops.Sampling.temperatureSample]] over the skewed `lang`
     * mixture, α = 1/2, base 0.5): the oracle recomputes the per-stratum
@@ -1324,6 +1364,7 @@ object Registry {
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_domain_sample" -> (qDomainSample _),
+    "q_bm25_search" -> (qBm25Search _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -1383,6 +1424,7 @@ object Registry {
     "q_chunk_dedup" -> qChunkDedupSql,
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_domain_sample" -> qDomainSampleSql,
+    "q_bm25_search" -> qBm25SearchSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
     "q_embed_neardup" -> qEmbedNeardupSql)

@@ -48,4 +48,40 @@ class RelevanceSpec extends SparkSpec {
       .orderBy("rk").select("token").as[String].collect()
     assert(tied.toSeq === Seq("alpha", "zeta"))
   }
+
+  test("bm25: term-dense short docs rank first; non-matching docs absent; k caps") {
+    val corpus = Seq(
+      (1L, "spark spark spark"), // dense, short → highest
+      (2L, "spark filler filler filler filler filler filler filler filler"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark spark filler")
+    ).toDF("doc_id", "text")
+    val r = Relevance.bm25TopDocs(corpus, "doc_id", "text", Seq("spark"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(r.map(_._1).toSeq === Seq(1L, 4L, 2L)) // rank order
+    assert(!r.map(_._1).contains(3L)) // no query term → not a candidate
+    assert(r.map(_._2).toSeq === r.map(_._2).sortBy(-_).toSeq)
+    val capped = Relevance.bm25TopDocs(corpus, "doc_id", "text", Seq("spark"), k = 2)
+    assert(capped.count() === 2)
+  }
+
+  test("bm25: multi-term scores are the left-assoc sum of per-term contributions") {
+    // doc 1 matches both terms, doc 2 only one — two-term score strictly
+    // dominates when tf/len are equal
+    val corpus = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "delta delta")
+    ).toDF("doc_id", "text")
+    val r = Relevance.bm25TopDocs(corpus, "doc_id", "text",
+      Seq("alpha", "beta"), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L))
+    assert(!r.contains(3L))
+    // single-term retrieval on the shared term gives both docs the SAME
+    // score (identical tf, len, df) — the doc_id tiebreak orders them
+    val tie = Relevance.bm25TopDocs(corpus, "doc_id", "text", Seq("alpha"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    assert(tie(0)._2 === tie(1)._2 && tie(0)._1 === 1L)
+  }
 }

@@ -131,6 +131,13 @@ class PlanShapeSpec extends SparkSpec {
       s"rank window lost its doc_id partitioning:\n$p")
   }
 
+  test("q_bm25_search: top-k via TakeOrderedAndProject; term-df joins broadcast") {
+    val p = plan("q_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), "bm25 top-k degraded to a global sort")
+    assert(p.contains("BroadcastHashJoin"), "term document-frequency join lost its broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_json_extract: narrow pruned scan of (props, user_id, value)") {
     val p = plan("q_json_extract")
     assert(p.contains("ReadSchema: struct<user_id:bigint,value:double,props:string>") ||
