@@ -1227,6 +1227,81 @@ object Registry {
       | SELECT doc_id, rk, token, tf, doc_freq, score FROM r
       | WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin.replace("\n", " ")
 
+  /** ROLLUP aggregate (subtotal lattice): per (status, priority), per
+    * status, and grand total in one pass — Spark's `rollup` vs DuckDB's
+    * `GROUP BY ROLLUP`. Neither grouping column is ever NULL in the data,
+    * so COALESCE sentinels disambiguate the subtotal rows without needing
+    * a cross-engine `grouping_id` convention.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status_g"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("prio_g"),
+        col("n"), col("total"))
+      .orderBy("status_g", "prio_g")
+
+  val qRollupSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status_g,
+      | COALESCE(o_orderpriority, '(all)') AS prio_g,
+      | COUNT(*) AS n,
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+      | FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      | ORDER BY status_g, prio_g""".stripMargin.replace("\n", " ")
+
+  /** Frame-based moving window: rolling 7-row total and count per user over
+    * the event stream — the running-feature pattern (rate limits, rolling
+    * spend). The rolling sum stays in the DECIMAL domain inside the frame
+    * (order-independent, exact) and ships as DOUBLE; the frame order
+    * (ts, event_id) is total, so frames are identical on both engines.
+    */
+  def qMovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("decimal(18,2)").cast("double").as("roll_total"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qMovingWindowSql: String =
+    """SELECT user_id, event_id, ts,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS roll_total,
+      | COUNT(*) OVER w AS roll_n
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      | ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+
+  /** PIVOT: status counts spread into columns per priority — Spark's
+    * explicit-values `pivot` (no extra distinct-discovery job) vs
+    * conditional counts in the oracle. COALESCE-0 on the engine side:
+    * Spark's pivot yields NULL for absent cells, the CASE-count law says 0.
+    */
+  def qPivotStatus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("priority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("priority")
+
+  val qPivotStatusSql: String =
+    """SELECT o_orderpriority AS priority,
+      | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      | FROM orders GROUP BY 1 ORDER BY priority""".stripMargin.replace("\n", " ")
+
   /** BM25 retrieval ([[graft.ops.Relevance.bm25TopDocs]]): top-10 corpus
     * documents for a fixed 3-term query. The oracle recomputes the full
     * scoring law — rational idf, exact-integer corpus stats, the identical
@@ -1368,7 +1443,10 @@ object Registry {
     "q_ann_cosine" -> (qAnnCosine _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _))
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_rollup" -> (qRollup _),
+    "q_moving_window" -> (qMovingWindow _),
+    "q_pivot_status" -> (qPivotStatus _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1427,7 +1505,10 @@ object Registry {
     "q_bm25_search" -> qBm25SearchSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
-    "q_embed_neardup" -> qEmbedNeardupSql)
+    "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_rollup" -> qRollupSql,
+    "q_moving_window" -> qMovingWindowSql,
+    "q_pivot_status" -> qPivotStatusSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
