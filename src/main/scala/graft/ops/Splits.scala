@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic dataset splitting and training-order assignment.
+  *
+  * Training pipelines need two id-pure functions (same reproducibility
+  * contract as [[Sampling]] — a re-run, a different partitioning, or a
+  * different engine must produce byte-identical assignments):
+  *
+  *  - '''train/val/test split''': every document lands in exactly one split,
+  *    decided only by its id, so later corpus additions never move an
+  *    existing document across the contamination boundary between train and
+  *    eval.
+  *  - '''shuffle-shards''': a deterministic pseudo-random global training
+  *    order, expressed as (shard, position-within-shard). Hashing IS the
+  *    shuffle: ordering by a cryptographic fingerprint of the id is a
+  *    reproducible permutation, and sharding first keeps the ordering
+  *    window partitioned (no global single-task sort — the anti-pattern
+  *    removed from the ingest path in round 2).
+  *
+  * Both laws are plain hex-string operations on `md5(id)` so a SQL oracle
+  * can replay them exactly; no engine RNG is involved anywhere.
+  */
+object Splits {
+
+  /** Document fingerprint: md5 of the id rendered as a string. */
+  def fingerprint(id: Column): Column = md5(id.cast("string"))
+
+  /** The split nibble: LAST hex digit of the fingerprint — independent of
+    * [[Sampling.hashKey]]'s FIRST-4-digit survival key, so sampling and
+    * splitting compose without correlation.
+    */
+  def splitNibble(id: Column): Column = substring(fingerprint(id), 32, 1)
+
+  /** Adds a `split` column: 13/16 train, 2/16 val, 1/16 test, by
+    * lexicographic nibble compare (hex digits sort numerically, so the
+    * boundaries are exact and engine-independent).
+    */
+  def withSplit(df: DataFrame, idCol: String): DataFrame = {
+    val nib = splitNibble(col(idCol))
+    df.withColumn("split",
+      when(nib <= "c", lit("train"))
+        .when(nib <= "e", lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Adds `shard` (0 until nShards) and `pos` (1-based position within the
+    * shard's deterministic order). Shard is a pure id-hash; position orders
+    * by (fingerprint, id) inside a hash-partitioned window — fingerprint
+    * first for the pseudo-random permutation, id as total-order tiebreak
+    * (md5 collisions are unreachable, but the contract should not rest on
+    * that).
+    *
+    * Scale shape: one hash-partition shuffle on `shard` + a per-shard sort;
+    * no global ordering task. At 100 TB, pick nShards ≈ cluster parallelism
+    * so each sort fits an executor (or range-split within shard by
+    * fingerprint prefix if a single shard outgrows one).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int = 8): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val fp = fingerprint(col(idCol))
+    val withShard = df
+      .withColumn("_fp", fp)
+      // ascii of the last nibble mod nShards: deterministic, SQL-replayable.
+      // Slightly uneven for nShards that don't divide the 16 nibble codes —
+      // fine for training shards (they only need rough balance).
+      .withColumn("shard", ascii(substring(col("_fp"), 32, 1)) % nShards)
+    val w = Window.partitionBy("shard").orderBy(col("_fp"), col(idCol))
+    withShard
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_fp")
+  }
+}

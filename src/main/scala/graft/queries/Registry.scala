@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ExcelSerial
@@ -1389,6 +1390,149 @@ object Registry {
       .orderBy("query_id", "rk")
   }
 
+  /** CUBE aggregate: the full subtotal lattice over (lang, source) — per
+    * pair, per lang, per source, and grand total in one pass. Complements
+    * [[qRollup]] (which only produces the prefix hierarchy). Neither column
+    * is NULL in the data, so COALESCE sentinels disambiguate subtotal rows.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang_g"),
+        coalesce(col("source"), lit("(all)")).as("source_g"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang_g", "source_g")
+
+  val qCubeSql: String =
+    """SELECT COALESCE(lang, '(all)') AS lang_g,
+      | COALESCE(source, '(all)') AS source_g,
+      | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      | FROM documents GROUP BY CUBE(lang, source)
+      | ORDER BY lang_g, source_g""".stripMargin.replace("\n", " ")
+
+  /** Per-user lag/lead event features: microsecond gap since the previous
+    * event plus neighboring event types — the feature-engineering window
+    * pattern (sessionization inputs, inter-arrival models). Gaps are exact
+    * integer micros (`unix_micros` vs DuckDB `epoch_us`), never interval or
+    * float arithmetic, so the law is engine-independent. The window is
+    * hash-partitioned by user — no global sort.
+    */
+  def qEventDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qEventDeltasSql: String =
+    """SELECT user_id, event_id, ts,
+      | epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+      | lag(event_type) OVER w AS prev_type,
+      | lead(event_type) OVER w AS next_type
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      | ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+
+  /** Corpus length histogram in power-of-two buckets: bucket = number of
+    * binary digits of `n_chars` (an exact integer law — `length(bin(x))`
+    * on both engines — immune to the float boundary drift a
+    * `floor(log2(x))` law would have at exact powers of two).
+    */
+  def qLengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(length(bin(col("n_chars"))).cast("long").as("bucket_bits"),
+        col("n_chars"))
+      .groupBy("bucket_bits")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy("bucket_bits")
+
+  val qLengthBucketsSql: String =
+    """SELECT CAST(length(bin(n_chars)) AS BIGINT) AS bucket_bits,
+      | COUNT(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      | FROM documents GROUP BY 1 ORDER BY bucket_bits""".stripMargin.replace("\n", " ")
+
+  /** Deterministic train/val/test split ([[graft.ops.Splits.withSplit]]):
+    * 13/16 train, 2/16 val, 1/16 test by the last md5 nibble of the id.
+    * The oracle replays the exact nibble-compare law, so per-split counts
+    * AND membership (via total_chars) are both checked.
+    */
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.withSplit(t(spark, dir, "documents"), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+
+  val qTrainSplitSql: String =
+    """WITH s AS (SELECT n_chars,
+      |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) <= 'c' THEN 'train'
+      |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) <= 'e' THEN 'val'
+      |       ELSE 'test' END AS split
+      | FROM documents)
+      | SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      | FROM s GROUP BY 1 ORDER BY split""".stripMargin.replace("\n", " ")
+
+  /** Deterministic shuffle-shards ([[graft.ops.Splits.shuffleShards]]): the
+    * reproducible training order as (shard, pos). The oracle replays the
+    * full permutation — shard hash AND the within-shard (fingerprint, id)
+    * rank — so every document's exact training position is checked.
+    */
+  def qShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.shuffleShards(t(spark, dir, "documents"), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  val qShuffleShardsSql: String =
+    """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp FROM documents),
+      | s AS (SELECT doc_id, fp,
+      |   CAST(ascii(substr(fp, 32, 1)) % 8 AS BIGINT) AS shard FROM k)
+      | SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY fp, doc_id) AS BIGINT) AS pos
+      | FROM s ORDER BY shard, pos""".stripMargin.replace("\n", " ")
+
+  /** Top quality decile per language: percent_rank over the deterministic
+    * quality score (same one-pass mapPartitions scoring as
+    * [[qQualityFilter]]; bit-equality with the SQL law pinned by
+    * TextFnsSpec). Rank order (quality, doc_id) is total, so ranks — and
+    * the exact (rank-1)/(n-1) doubles — are engine-identical.
+    */
+  def qQualityDecile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        (id, lang, graft.functions.TextFns.statsScala(text).quality)
+      })
+      .toDF("doc_id", "lang", "quality")
+    val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+    scored.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.9)
+      .orderBy("doc_id")
+  }
+
+  val qQualityDecileSql: String = {
+    val n = s"CAST(len($tokensSql) AS BIGINT)"
+    val sw = s"CAST(${hitsSql(graft.functions.TextFns.enStopwords)} AS BIGINT)"
+    val punct = s"CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)"
+    val quality =
+      s"""(CASE WHEN $n = 0 THEN 0.0 ELSE
+         | (CAST($sw AS DOUBLE) / CAST($n AS DOUBLE)) * 0.4
+         | + least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.3
+         | + (1.0 - least(CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3
+         | END)""".stripMargin.replace("\n", " ")
+    s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents),
+       | r AS (SELECT doc_id, lang, quality,
+       |   percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr FROM q)
+       | SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.9
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -1446,7 +1590,13 @@ object Registry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_rollup" -> (qRollup _),
     "q_moving_window" -> (qMovingWindow _),
-    "q_pivot_status" -> (qPivotStatus _))
+    "q_pivot_status" -> (qPivotStatus _),
+    "q_cube" -> (qCube _),
+    "q_event_deltas" -> (qEventDeltas _),
+    "q_length_buckets" -> (qLengthBuckets _),
+    "q_train_split" -> (qTrainSplit _),
+    "q_shuffle_shards" -> (qShuffleShards _),
+    "q_quality_decile" -> (qQualityDecile _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1508,7 +1658,13 @@ object Registry {
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_rollup" -> qRollupSql,
     "q_moving_window" -> qMovingWindowSql,
-    "q_pivot_status" -> qPivotStatusSql)
+    "q_pivot_status" -> qPivotStatusSql,
+    "q_cube" -> qCubeSql,
+    "q_event_deltas" -> qEventDeltasSql,
+    "q_length_buckets" -> qLengthBucketsSql,
+    "q_train_split" -> qTrainSplitSql,
+    "q_shuffle_shards" -> qShuffleShardsSql,
+    "q_quality_decile" -> qQualityDecileSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SplitsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("withSplit: total partition, roughly 13/2/1, reproducible under repartitioning") {
+    val n = docs.count()
+    val split = Splits.withSplit(docs, "doc_id")
+    assert(split.count() === n) // every row lands in exactly one split
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    val trainFrac = counts("train").toDouble / n
+    assert(trainFrac > 0.65 && trainFrac < 0.95, s"train fraction $trainFrac far from 13/16")
+    assert(counts("val") > counts("test"), "val (2/16) should exceed test (1/16) at this n")
+    // pure function of the id: identical assignment on any partitioning
+    val again = Splits.withSplit(docs.repartition(17), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first === again)
+  }
+
+  test("withSplit: membership is stable under corpus growth (split decided by id alone)") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val fromHalf = Splits.withSplit(half, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromFull = Splits.withSplit(docs, "doc_id")
+      .filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fromHalf === fromFull, "adding documents must not move existing ones across splits")
+  }
+
+  test("shuffleShards: positions are a 1..n permutation per shard, deterministic") {
+    val sharded = Splits.shuffleShards(docs, "doc_id", nShards = 4)
+    assert(sharded.count() === docs.count())
+    assert(sharded.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      .subsetOf((0 until 4).toSet))
+    // per shard: pos is exactly 1..count(shard) with no gaps or dups
+    val bad = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d"))
+      .filter(col("lo") =!= 1L || col("hi") =!= col("n") || col("d") =!= col("n"))
+    assert(bad.count() === 0, "pos must be a dense 1..n permutation within each shard")
+    // deterministic: identical (shard, pos) under a different partitioning
+    val a = sharded.select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val b = Splits.shuffleShards(docs.repartition(13), "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(a === b)
+  }
+
+  test("shuffleShards: the order is a shuffle, not the id order") {
+    val sharded = Splits.shuffleShards(docs, "doc_id", nShards = 1)
+    val inOrder = sharded.orderBy("pos").select("doc_id").collect().map(_.getLong(0))
+    assert(!(inOrder sameElements inOrder.sorted),
+      "fingerprint order coinciding with id order would mean no shuffle happened")
+  }
+}
