@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Quantile-based selection at corpus scale.
+  *
+  * The exact form of "keep the top decile per language"
+  * (Registry.qQualityDecile) ranks each stratum with `percent_rank`, which
+  * sorts each stratum in ONE task — fine for correctness checking, wrong at
+  * 100 TB where a single language is most of the corpus. The scale shape is
+  * the two-pass sketch form:
+  *
+  *   1. one aggregation computes a per-stratum threshold with
+  *      `approx_percentile` (a Greenwald-Khanna sketch: partial-aggregatable
+  *      and mergeable, so the pass is map-side-combined like any count), and
+  *   2. the tiny (stratum, threshold) frame broadcasts back onto the corpus
+  *      as a per-row filter — no data shuffle at all.
+  *
+  * Selection near the boundary is approximate exactly where the sketch is
+  * (rank error ≤ 1/accuracy · n per stratum); everything clearly above the
+  * cut is kept deterministically. For small strata the sketch degenerates to
+  * exact (it holds all values until compression kicks in).
+  */
+object Quantiles {
+
+  /** Per-stratum value threshold at quantile `q` (0..1): one mergeable
+    * sketch aggregation → |strata| rows.
+    */
+  def stratumThresholds(df: DataFrame, valueCol: String, stratumCol: String,
+      q: Double, accuracy: Int = 10000): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0,1]")
+    df.groupBy(col(stratumCol).as("_stratum"))
+      .agg(percentile_approx(col(valueCol), lit(q), lit(accuracy)).as("_thr"))
+  }
+
+  /** Keep rows in the top `fraction` of `valueCol` within their stratum:
+    * threshold at (1 - fraction), broadcast, filter `value >= threshold`.
+    * Rows tying the threshold value are kept (inclusive boundary).
+    */
+  def topFractionByStratum(df: DataFrame, valueCol: String, stratumCol: String,
+      fraction: Double, accuracy: Int = 10000): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction $fraction outside (0,1]")
+    val thr = stratumThresholds(df, valueCol, stratumCol, 1.0 - fraction, accuracy)
+    df.join(broadcast(thr), col(stratumCol) === col("_stratum"))
+      .filter(col(valueCol) >= col("_thr"))
+      .drop("_stratum", "_thr")
+  }
+}

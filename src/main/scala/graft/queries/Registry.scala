@@ -1500,6 +1500,12 @@ object Registry {
     * [[qQualityFilter]]; bit-equality with the SQL law pinned by
     * TextFnsSpec). Rank order (quality, doc_id) is total, so ranks — and
     * the exact (rank-1)/(n-1) doubles — are engine-identical.
+    *
+    * SCALE NOTE: `percent_rank` sorts each language in one task (parallelism
+    * = |langs|) — exact and right for the oracle gate, wrong for 100 TB.
+    * The scale path is [[graft.ops.Quantiles.topFractionByStratum]]: a
+    * mergeable `approx_percentile` threshold pass + broadcast filter, no
+    * per-stratum sort (QuantilesSpec pins the agreement between the two).
     */
   def qQualityDecile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

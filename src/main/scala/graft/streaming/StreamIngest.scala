@@ -134,6 +134,27 @@ object StreamIngest {
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Streaming content-level exact dedup — the streaming twin of
+    * [[graft.ops.Dedup.exact]]: documents arriving on a stream are keyed by
+    * the same normalized-content md5 fingerprint, and
+    * `dropDuplicatesWithinWatermark` drops any copy whose fingerprint was
+    * already seen within the watermark horizon. Unlike plain
+    * `dropDuplicates`, state is reclaimed once the event-time watermark
+    * passes, so a continuous crawl-ingest stream holds bounded state
+    * (horizon-sized, not corpus-sized) — re-crawled near-in-time copies are
+    * the duplicates that matter; historical dedup stays a batch join against
+    * the corpus fingerprint index.
+    *
+    * `tsCol` is the document's event time (crawl/arrival timestamp).
+    */
+  def dedupDocumentsByContent(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        graft.functions.TextFns.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom per-key state via `mapGroupsWithState`: running per-user
     * (event count, value total), re-emitted on every update — the
     * KeyValueGroupedDataset form for state machines the built-in windows

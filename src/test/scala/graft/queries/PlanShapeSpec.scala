@@ -145,6 +145,26 @@ class PlanShapeSpec extends SparkSpec {
       s"q_json_extract reads more than the three referenced columns:\n$p")
   }
 
+  test("q_shuffle_shards: shard-partitioned window, no single-partition funnel") {
+    val p = plan("q_shuffle_shards")
+    assert(!p.contains("SinglePartition"),
+      s"shuffle-shards must order within hash-partitioned shards:\n$p")
+  }
+
+  test("q_event_deltas: user-partitioned window, pruned scan (no props/value)") {
+    val p = plan("q_event_deltas")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("props"), s"unreferenced wide column reaches the scan:\n$p")
+  }
+
+  test("q_train_split / q_cube: hash aggregates, no single-partition exchange") {
+    Seq("q_train_split", "q_cube").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means

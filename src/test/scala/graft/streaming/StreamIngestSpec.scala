@@ -135,6 +135,24 @@ class StreamIngestSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() === got.count())
   }
 
+  test("streaming content dedup: one survivor per fingerprint, same law as batch Dedup.exact") {
+    val srcDir = tmp("graft-dup-docs")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    // ship every document twice — content state must drop the second copy
+    docs.union(docs).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(
+      docs.schema).parquet(srcDir)
+    val q = StreamIngest.dedupDocumentsByContent(stream).writeStream
+      .outputMode("append").format("memory").queryName("doc_dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("doc_dedup_out")
+    // survivors = exactly the batch operator's distinct-fingerprint count
+    val want = graft.ops.Dedup.exact(docs, "doc_id", "text").count()
+    assert(got.count() === want)
+    assert(got.select("content_hash").distinct().count() === got.count())
+  }
+
   test("mapGroupsWithState: running per-user totals equal the batch aggregate") {
     val srcDir = tmp("graft-state-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
