@@ -1539,6 +1539,26 @@ object Registry {
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Epoch upsampling toward mixture balance
+    * ([[graft.ops.Mixture.upsampleEpochs]] over the skewed `lang` mix,
+    * cap 4): the oracle replays the per-stratum epoch law AND the exact
+    * (doc, epoch) multiset, complementing q_domain_sample's down-sampling
+    * direction.
+    */
+  def qEpochUpsample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.upsampleEpochs(t(spark, dir, "documents"), "lang", maxEpochs = 4)
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  val qEpochUpsampleSql: String =
+    """WITH c AS (SELECT lang AS _stratum, COUNT(*) AS _n FROM documents GROUP BY 1),
+      | k AS (SELECT _stratum, least(4, CAST(ceil(
+      |   CAST((SELECT max(_n) FROM c) AS DOUBLE) / CAST(_n AS DOUBLE)) AS BIGINT)) AS epochs
+      |  FROM c)
+      | SELECT doc_id, lang, unnest(generate_series(1, epochs)) AS epoch
+      | FROM documents d JOIN k ON d.lang = k._stratum
+      | ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -1602,7 +1622,8 @@ object Registry {
     "q_length_buckets" -> (qLengthBuckets _),
     "q_train_split" -> (qTrainSplit _),
     "q_shuffle_shards" -> (qShuffleShards _),
-    "q_quality_decile" -> (qQualityDecile _))
+    "q_quality_decile" -> (qQualityDecile _),
+    "q_epoch_upsample" -> (qEpochUpsample _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1670,7 +1691,8 @@ object Registry {
     "q_length_buckets" -> qLengthBucketsSql,
     "q_train_split" -> qTrainSplitSql,
     "q_shuffle_shards" -> qShuffleShardsSql,
-    "q_quality_decile" -> qQualityDecileSql)
+    "q_quality_decile" -> qQualityDecileSql,
+    "q_epoch_upsample" -> qEpochUpsampleSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.ops.{Clusters, Contamination, Dedup, Packing, Scrub}
+import graft.ops.{Clusters, Contamination, Dedup, Mixture, Packing, Scrub, Splits, TrainExport}
 
 /** End-to-end training-data curation demo: the extension operators composed
   * the way a real corpus pipeline chains them —
   *
   *   quality filter → PII scrub → exact dedup → near-dup clustering →
-  *   survivor selection → contamination check → sequence packing
+  *   survivor selection → contamination check → sequence packing →
+  *   mixture upsampling → train/val/test split → shuffle-shards →
+  *   JSONL export
   *
   * Every stage is an operator the correctness gate oracles individually;
   * this tool demonstrates (and smoke-checks) that they compose on a real
@@ -93,6 +95,21 @@ object CurateDemo {
       .agg(count(lit(1)), avg($"utilization"), max($"n_docs")).head()
     println(f"=== packing: ${stats.getLong(0)}%d packs, mean utilization ${stats.getDouble(1)}%.2f, " +
       f"max docs/pack ${stats.getLong(2)}%d ===")
+
+    // 7. rebalance the language mixture (tail langs repeat, cap 2 epochs),
+    // split train/val/test by id hash, lay out the deterministic training
+    // order, and hand off as partitioned JSONL
+    val mix = Mixture.upsampleEpochs(
+      clean.join(docs.select($"doc_id", $"lang"), "doc_id"), "lang", maxEpochs = 2)
+    val split = Splits.withSplit(mix, "doc_id")
+    val sharded = Splits.shuffleShards(split, "doc_id", nShards = 4)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    TrainExport.writeJsonl(
+      sharded.select($"doc_id", $"lang", $"epoch", $"split", $"shard", $"pos"),
+      outDir, partitionBy = Seq("split", "shard"))
+    val exported = spark.read.json(s"$outDir/split=train/*")
+    println(s"=== export: ${exported.count()} train rows across " +
+      s"${sharded.select($"shard").distinct().count()} shards → $outDir ===")
     println("=== curation pipeline complete ===")
     spark.stop()
   }
