@@ -1539,6 +1539,36 @@ object Registry {
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** RANGE-frame rolling aggregate: per-user trailing 1-HOUR event total —
+    * the time-based sibling of [[qMovingWindow]]'s ROWS frame (a RANGE frame
+    * bounds by ordering VALUE, so co-timed events aggregate together no
+    * matter how many there are). The frame is defined on exact integer
+    * micros (`unix_micros` / `epoch_us`), not intervals, so the boundary
+    * arithmetic is engine-identical; sums stay decimal-exact and ship as
+    * DOUBLE.
+    */
+  def qRollingHour(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-(hourUs - 1), 0) // inclusive trailing hour: (ts-1h, ts]
+    t(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("decimal(18,2)").cast("double").as("hour_total"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qRollingHourSql: String =
+    """SELECT user_id, event_id, ts,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS hour_total,
+      | COUNT(*) OVER w AS hour_n
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      | ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+
   /** Epoch upsampling toward mixture balance
     * ([[graft.ops.Mixture.upsampleEpochs]] over the skewed `lang` mix,
     * cap 4): the oracle replays the per-stratum epoch law AND the exact
@@ -1623,7 +1653,8 @@ object Registry {
     "q_train_split" -> (qTrainSplit _),
     "q_shuffle_shards" -> (qShuffleShards _),
     "q_quality_decile" -> (qQualityDecile _),
-    "q_epoch_upsample" -> (qEpochUpsample _))
+    "q_epoch_upsample" -> (qEpochUpsample _),
+    "q_rolling_hour" -> (qRollingHour _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1692,7 +1723,8 @@ object Registry {
     "q_train_split" -> qTrainSplitSql,
     "q_shuffle_shards" -> qShuffleShardsSql,
     "q_quality_decile" -> qQualityDecileSql,
-    "q_epoch_upsample" -> qEpochUpsampleSql)
+    "q_epoch_upsample" -> qEpochUpsampleSql,
+    "q_rolling_hour" -> qRollingHourSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
