@@ -1146,6 +1146,36 @@ object Registry {
       | SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** SemDeDup-style semantic clustering: embedding near-dup pairs
+    * ([[qEmbedNeardup]]'s exact blocked form) → connected components →
+    * per-cluster size and member span. The embedding-space sibling of
+    * [[qDedupClusters]] (text n-gram space): semantically-redundant groups
+    * a curation pipeline would collapse to one representative
+    * (cluster_id = min member id, the survivor law). Fully oracled — pair
+    * sims are bit-exact and the closure is replayed by `WITH RECURSIVE`.
+    */
+  def qSemanticClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Clusters.dedupClusters(
+      graft.ops.Similarity.blockedNearDupPairs(
+        t(spark, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.4))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+      .orderBy("cluster_id")
+
+  val qSemanticClustersSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |   list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))) AS sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      | verified AS (SELECT id_a, id_b FROM p WHERE sim >= 0.4),
+      | edges AS (SELECT id_a AS s, id_b AS d FROM verified
+      |  UNION SELECT id_b, id_a FROM verified),
+      | reach(s, d) AS (SELECT s, d FROM edges
+      |  UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+      | comp AS (SELECT s AS vid, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+      | SELECT cluster_id, COUNT(*) AS n_members, max(vid) AS max_member
+      | FROM comp GROUP BY 1 ORDER BY cluster_id""".stripMargin.replace("\n", " ")
+
   /** Semi-structured JSON extraction (web-scrape metadata parsing): pull a
     * typed field out of the events' JSON props with the codegen'd
     * `get_json_object` path expression, then aggregate by its decade bucket
@@ -1654,7 +1684,8 @@ object Registry {
     "q_shuffle_shards" -> (qShuffleShards _),
     "q_quality_decile" -> (qQualityDecile _),
     "q_epoch_upsample" -> (qEpochUpsample _),
-    "q_rolling_hour" -> (qRollingHour _))
+    "q_rolling_hour" -> (qRollingHour _),
+    "q_semantic_clusters" -> (qSemanticClusters _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1724,7 +1755,8 @@ object Registry {
     "q_shuffle_shards" -> qShuffleShardsSql,
     "q_quality_decile" -> qQualityDecileSql,
     "q_epoch_upsample" -> qEpochUpsampleSql,
-    "q_rolling_hour" -> qRollingHourSql)
+    "q_rolling_hour" -> qRollingHourSql,
+    "q_semantic_clusters" -> qSemanticClustersSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
