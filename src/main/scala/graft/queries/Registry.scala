@@ -1599,6 +1599,34 @@ object Registry {
       |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       | ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
 
+  /** Fuzzy entity matching: near-identical name pairs within a blocking key
+    * (nation), verified by exact Levenshtein distance — the blocking-join +
+    * edit-distance shape of entity resolution over curated metadata.
+    * `levenshtein` is the classic DP edit distance in both engines, so the
+    * integer distances hash-match. Bounded key range keeps the
+    * within-block quadratic candidate set small, as real blocking does.
+    */
+  def qFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val qFuzzyMatchSql: String =
+    """WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey <= 200)
+      | SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      | FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      | WHERE levenshtein(a.c_name, b.c_name) <= 2
+      | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** Epoch upsampling toward mixture balance
     * ([[graft.ops.Mixture.upsampleEpochs]] over the skewed `lang` mix,
     * cap 4): the oracle replays the per-stratum epoch law AND the exact
@@ -1685,7 +1713,8 @@ object Registry {
     "q_quality_decile" -> (qQualityDecile _),
     "q_epoch_upsample" -> (qEpochUpsample _),
     "q_rolling_hour" -> (qRollingHour _),
-    "q_semantic_clusters" -> (qSemanticClusters _))
+    "q_semantic_clusters" -> (qSemanticClusters _),
+    "q_fuzzy_match" -> (qFuzzyMatch _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1756,7 +1785,8 @@ object Registry {
     "q_quality_decile" -> qQualityDecileSql,
     "q_epoch_upsample" -> qEpochUpsampleSql,
     "q_rolling_hour" -> qRollingHourSql,
-    "q_semantic_clusters" -> qSemanticClustersSql)
+    "q_semantic_clusters" -> qSemanticClustersSql,
+    "q_fuzzy_match" -> qFuzzyMatchSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
