@@ -29,11 +29,15 @@ object Chunking {
     require(size > 0 && overlap >= 0 && overlap < size,
       "need size > 0 and 0 <= overlap < size")
     val step = size - overlap
-    val n = length(col(textCol))
+    // NULL text reads as empty: length(NULL) would null the sequence bound
+    // and explode would DROP the document — violating the every-document
+    // contract above
+    val txt = coalesce(col(textCol), lit(""))
+    val n = length(txt)
     // last start = largest step-multiple below max(n - overlap, 1) → 0 for
     // empty/short docs (1 chunk). `div`, not `/`: Column `/` is DOUBLE div
     val lastStart = expr(
-      s"((greatest(length($textCol) - $overlap, 1L) - 1) div $step) * ${step}L")
+      s"((greatest(length(coalesce($textCol, '')) - $overlap, 1L) - 1) div $step) * ${step}L")
     val out = df
       .withColumn("chunk_start", explode(sequence(lit(0L), lastStart, lit(step.toLong))))
       .withColumn("chunk_idx", expr(s"chunk_start div $step"))
@@ -43,7 +47,7 @@ object Chunking {
       (Seq(col(idCol), col("chunk_idx"), col("chunk_start"), col("chunk_len")) ++
         (if (withText)
           // substring is 1-based; empty doc → empty chunk text
-          Seq(substring(col(textCol), (col("chunk_start") + 1).cast("int"), lit(size))
+          Seq(substring(txt, (col("chunk_start") + 1).cast("int"), lit(size))
             .as("chunk_text"))
         else Nil)): _*)
     base

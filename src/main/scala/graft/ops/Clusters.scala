@@ -36,8 +36,6 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Block-manager storage of a `localCheckpoint`ed frame, released eagerly.
     * The checkpointed RDD sits behind the plan's `LogicalRDD` leaf; without
     * this, every round's three checkpoint frames linger until RDD garbage
@@ -102,12 +100,10 @@ object Clusters {
       iter += 1
     }
     freeCheckpoint(bidir)
-    if (changed) {
-      log.warn(s"connectedComponents did not converge in $maxIter rounds; " +
-        "labels are partially merged")
+    if (changed)
       throw new IllegalStateException(
-        s"connectedComponents: maxIter=$maxIter exhausted before convergence")
-    }
+        s"connectedComponents: maxIter=$maxIter exhausted before convergence " +
+          "— labels are partially merged")
     labels.select(col("id"), col("comp").as("component"))
   }
 

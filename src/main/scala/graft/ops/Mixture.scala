@@ -39,7 +39,14 @@ object Mixture {
           .as("epochs"))
   }
 
-  /** One output row per (input row, epoch), epoch in 1..epochs_stratum. */
+  /** One output row per (input row, epoch), epoch in 1..epochs_stratum.
+    *
+    * NULL-stratum contract (shared with [[Sampling.temperatureSample]] and
+    * [[Quantiles.topFractionByStratum]]): rows whose stratum is NULL are
+    * EXCLUDED — the keyed join never matches them. Coalesce a sentinel
+    * stratum upstream (e.g. `'und'` for unknown language) if NULL rows must
+    * participate in the mixture.
+    */
   def upsampleEpochs(df: DataFrame, stratumCol: String, maxEpochs: Int = 4): DataFrame =
     df.join(broadcast(epochCounts(df, stratumCol, maxEpochs)),
         col(stratumCol) === col("_stratum"))

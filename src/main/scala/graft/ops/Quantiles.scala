@@ -37,6 +37,8 @@ object Quantiles {
   /** Keep rows in the top `fraction` of `valueCol` within their stratum:
     * threshold at (1 - fraction), broadcast, filter `value >= threshold`.
     * Rows tying the threshold value are kept (inclusive boundary).
+    * NULL-stratum rows are EXCLUDED (see [[Mixture.upsampleEpochs]] for the
+    * shared contract); coalesce a sentinel upstream to include them.
     */
   def topFractionByStratum(df: DataFrame, valueCol: String, stratumCol: String,
       fraction: Double, accuracy: Int = 10000): DataFrame = {

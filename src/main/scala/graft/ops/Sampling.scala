@@ -71,6 +71,10 @@ object Sampling {
     * Scale shape: one tiny count aggregate (|strata| rows) broadcast back
     * onto the corpus; the survival filter itself is a narrow per-row
     * predicate — no shuffle of the data.
+    *
+    * NULL-stratum rows are EXCLUDED by the keyed join (see
+    * [[Mixture.upsampleEpochs]] for the shared contract); coalesce a
+    * sentinel upstream to include them.
     */
   def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
       base: Double = 0.5, salt: String = "graft"): DataFrame = {

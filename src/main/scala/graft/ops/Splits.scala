@@ -48,27 +48,43 @@ object Splits {
   }
 
   /** Adds `shard` (0 until nShards) and `pos` (1-based position within the
-    * shard's deterministic order). Shard is a pure id-hash; position orders
-    * by (fingerprint, id) inside a hash-partitioned window — fingerprint
-    * first for the pseudo-random permutation, id as total-order tiebreak
-    * (md5 collisions are unreachable, but the contract should not rest on
-    * that).
+    * shard's deterministic order). Shard is a pure key-hash; position orders
+    * by (fingerprint, key) inside a hash-partitioned window — fingerprint
+    * first for the pseudo-random permutation, the key as total-order
+    * tiebreak (md5 collisions are unreachable, but the contract should not
+    * rest on that).
+    *
+    * DETERMINISM CONTRACT: (idCol ++ keyCols) must uniquely identify a row.
+    * If `idCol` alone is not unique — e.g. after
+    * [[Mixture.upsampleEpochs]], where each document repeats per epoch —
+    * pass the disambiguating columns (`keyCols = Seq("epoch")`): they join
+    * the fingerprint AND the tiebreak, so the order stays a pure function
+    * of the row (and epoch copies of one document scatter across the order
+    * instead of sitting adjacent — exactly what epoch repetition wants).
+    * With duplicate keys, `row_number` would break ties by physical row
+    * order and re-runs could swap positions.
     *
     * Scale shape: one hash-partition shuffle on `shard` + a per-shard sort;
     * no global ordering task. At 100 TB, pick nShards ≈ cluster parallelism
     * so each sort fits an executor (or range-split within shard by
     * fingerprint prefix if a single shard outgrows one).
     */
-  def shuffleShards(df: DataFrame, idCol: String, nShards: Int = 8): DataFrame = {
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int = 8,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(nShards > 0, "nShards must be positive")
-    val fp = fingerprint(col(idCol))
+    // unit-separator join so ("a", "1") and ("a1") can't collide; with no
+    // keyCols this reduces to md5(id) exactly — the same law the SQL
+    // oracle replays
+    val key = (col(idCol) +: keyCols.map(col)).map(_.cast("string"))
+    val fp = md5(concat_ws("\u001f", key: _*))
     val withShard = df
       .withColumn("_fp", fp)
       // ascii of the last nibble mod nShards: deterministic, SQL-replayable.
       // Slightly uneven for nShards that don't divide the 16 nibble codes —
       // fine for training shards (they only need rough balance).
       .withColumn("shard", ascii(substring(col("_fp"), 32, 1)) % nShards)
-    val w = Window.partitionBy("shard").orderBy(col("_fp"), col(idCol))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("_fp") +: (col(idCol) +: keyCols.map(col)): _*)
     withShard
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_fp")

@@ -548,22 +548,29 @@ object Registry {
   private def hitsSql(words: Seq[String]) =
     s"len(list_filter($lowerTokensSql, tk -> tk IN (${words.map("'" + _ + "'").mkString(",")})))"
 
-  val qTextStatsSql: String = {
-    val n = s"CAST(len($tokensSql) AS BIGINT)"
-    val sw = s"CAST(${hitsSql(graft.functions.TextFns.enStopwords)} AS BIGINT)"
-    val punct = s"CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)"
+  // the TextFns.statsScala quality law, once — shared by qTextStatsSql,
+  // qQualityFilterSql, and qQualityDecileSql so the oracle of the law can
+  // never diverge between queries
+  private val nTokensSqlExpr = s"CAST(len($tokensSql) AS BIGINT)"
+  private val nStopwordsSqlExpr =
+    s"CAST(${hitsSql(graft.functions.TextFns.enStopwords)} AS BIGINT)"
+  private val nPunctSqlExpr =
+    "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)"
+  private val qualitySqlExpr =
+    s"""(CASE WHEN $nTokensSqlExpr = 0 THEN 0.0 ELSE
+       | (CAST($nStopwordsSqlExpr AS DOUBLE) / CAST($nTokensSqlExpr AS DOUBLE)) * 0.4
+       | + least(CAST($nTokensSqlExpr AS DOUBLE) / 100.0, 1.0) * 0.3
+       | + (1.0 - least(CAST($nPunctSqlExpr AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3
+       | END)""".stripMargin.replace("\n", " ")
+
+  val qTextStatsSql: String =
     s"""SELECT doc_id,
-       | $n AS n_tokens,
+       | $nTokensSqlExpr AS n_tokens,
        | CAST(list_sum(list_transform($tokensSql, tk -> CAST(ceil(CAST(length(tk) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords,
-       | $punct AS n_punct,
-       | $sw AS n_stopwords,
-       | CASE WHEN $n = 0 THEN 0.0 ELSE
-       |   (CAST($sw AS DOUBLE) / CAST($n AS DOUBLE)) * 0.4
-       |   + least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.3
-       |   + (1.0 - least(CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3
-       | END AS quality
+       | $nPunctSqlExpr AS n_punct,
+       | $nStopwordsSqlExpr AS n_stopwords,
+       | $qualitySqlExpr AS quality
        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
-  }
 
   /** Sequence packing: greedy token-budget bins over ranged documents —
     * the oracle replicates the sequential fold with a recursive CTE, so
@@ -787,20 +794,10 @@ object Registry {
       .orderBy("doc_id")
   }
 
-  val qQualityFilterSql: String = {
-    val n = s"CAST(len($tokensSql) AS BIGINT)"
-    val sw = s"CAST(${hitsSql(graft.functions.TextFns.enStopwords)} AS BIGINT)"
-    val punct = s"CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)"
-    val quality =
-      s"""(CASE WHEN $n = 0 THEN 0.0 ELSE
-         | (CAST($sw AS DOUBLE) / CAST($n AS DOUBLE)) * 0.4
-         | + least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.3
-         | + (1.0 - least(CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3
-         | END)""".stripMargin.replace("\n", " ")
+  val qQualityFilterSql: String =
     s"""SELECT doc_id, lang, n_chars FROM documents
-       | WHERE $n BETWEEN 20 AND 1000 AND $quality >= 0.5
+       | WHERE $nTokensSqlExpr BETWEEN 20 AND 1000 AND $qualitySqlExpr >= 0.5
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
-  }
 
   /** Exact word-3-gram Jaccard near-duplicate pairs (inverted-index join). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -1552,22 +1549,12 @@ object Registry {
       .orderBy("doc_id")
   }
 
-  val qQualityDecileSql: String = {
-    val n = s"CAST(len($tokensSql) AS BIGINT)"
-    val sw = s"CAST(${hitsSql(graft.functions.TextFns.enStopwords)} AS BIGINT)"
-    val punct = s"CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT)"
-    val quality =
-      s"""(CASE WHEN $n = 0 THEN 0.0 ELSE
-         | (CAST($sw AS DOUBLE) / CAST($n AS DOUBLE)) * 0.4
-         | + least(CAST($n AS DOUBLE) / 100.0, 1.0) * 0.3
-         | + (1.0 - least(CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0)) * 0.3
-         | END)""".stripMargin.replace("\n", " ")
-    s"""WITH q AS (SELECT doc_id, lang, $quality AS quality FROM documents),
+  val qQualityDecileSql: String =
+    s"""WITH q AS (SELECT doc_id, lang, $qualitySqlExpr AS quality FROM documents),
        | r AS (SELECT doc_id, lang, quality,
        |   percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr FROM q)
        | SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.9
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
-  }
 
   /** RANGE-frame rolling aggregate: per-user trailing 1-HOUR event total —
     * the time-based sibling of [[qMovingWindow]]'s ROWS frame (a RANGE frame

@@ -102,7 +102,11 @@ object CurateDemo {
     val mix = Mixture.upsampleEpochs(
       clean.join(docs.select($"doc_id", $"lang"), "doc_id"), "lang", maxEpochs = 2)
     val split = Splits.withSplit(mix, "doc_id")
-    val sharded = Splits.shuffleShards(split, "doc_id", nShards = 4)
+    // (doc_id, epoch) is the unique row key post-upsampling: epoch joins the
+    // shuffle fingerprint so positions stay deterministic and epoch copies
+    // scatter across the order
+    val sharded = Splits.shuffleShards(split, "doc_id", nShards = 4,
+      keyCols = Seq("epoch"))
     val outDir = java.nio.file.Files.createTempDirectory("graft-export").toString
     TrainExport.writeJsonl(
       sharded.select($"doc_id", $"lang", $"epoch", $"split", $"shard", $"pos"),

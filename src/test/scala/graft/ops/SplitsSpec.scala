@@ -56,6 +56,30 @@ class SplitsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("shuffleShards: duplicate ids stay deterministic when keyCols disambiguate") {
+    // the upsampled shape: one row per (doc_id, epoch) — doc_id alone is
+    // NOT unique, so epoch must join the fingerprint and the tiebreak
+    val up = Mixture.upsampleEpochs(docs, "lang", maxEpochs = 3)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Splits.shuffleShards(d, "doc_id", nShards = 4, keyCols = Seq("epoch"))
+        .select("doc_id", "epoch", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
+    val a = run(up)
+    val b = run(up.repartition(13))
+    assert(a === b, "positions must be a pure function of (doc_id, epoch)")
+    // epoch copies of one doc scatter rather than sitting adjacent: at least
+    // one multi-epoch doc must have non-consecutive positions in its shard
+    val scattered = a.groupBy { case ((id, _), _) => id }
+      .exists { case (_, copies) =>
+        val byShard = copies.values.groupBy(_._1)
+        byShard.exists { case (_, ps) =>
+          val sorted = ps.map(_._2).toSeq.sorted
+          sorted.size > 1 && sorted.sliding(2).exists { case Seq(x, y) => y != x + 1 }
+        }
+      }
+    assert(scattered, "epoch copies should spread across the order, not cluster")
+  }
+
   test("shuffleShards: the order is a shuffle, not the id order") {
     val sharded = Splits.shuffleShards(docs, "doc_id", nShards = 1)
     val inOrder = sharded.orderBy("pos").select("doc_id").collect().map(_.getLong(0))
