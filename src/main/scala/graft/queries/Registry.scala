@@ -1556,6 +1556,50 @@ object Registry {
        | SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.9
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** GROUPING SETS with an explicit lattice — per-lang totals, per-source
+    * totals, and the grand total, WITHOUT the (lang, source) pairs that
+    * [[qCube]] would add: the exact-subtotal shape reporting queries want,
+    * one `Expand` pass. Spark 4's `Dataset.groupingSets` vs DuckDB
+    * `GROUP BY GROUPING SETS`.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang_g"),
+        coalesce(col("source"), lit("(all)")).as("source_g"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang_g", "source_g")
+
+  val qGroupingSetsSql: String =
+    """SELECT COALESCE(lang, '(all)') AS lang_g,
+      | COALESCE(source, '(all)') AS source_g,
+      | COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      | FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+      | ORDER BY lang_g, source_g""".stripMargin.replace("\n", " ")
+
+  /** Set operations beyond UNION ALL (§2.6): EXCEPT and INTERSECT with
+    * SQL bag/distinct semantics — "sources that publish German but not
+    * Chinese docs" and "sources that publish both", tagged into one frame.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val de = docs.filter(col("lang") === "de").select("source").distinct()
+    val zh = docs.filter(col("lang") === "zh").select("source").distinct()
+    de.except(zh).withColumn("op", lit("except"))
+      .unionAll(de.intersect(zh).withColumn("op", lit("intersect")))
+      .orderBy("op", "source")
+  }
+
+  val qSetOpsSql: String =
+    """WITH de AS (SELECT DISTINCT source FROM documents WHERE lang = 'de'),
+      | zh AS (SELECT DISTINCT source FROM documents WHERE lang = 'zh')
+      | SELECT source, 'except' AS op FROM (SELECT * FROM de EXCEPT SELECT * FROM zh)
+      | UNION ALL
+      | SELECT source, 'intersect' AS op FROM (SELECT * FROM de INTERSECT SELECT * FROM zh)
+      | ORDER BY op, source""".stripMargin.replace("\n", " ")
+
   /** RANGE-frame rolling aggregate: per-user trailing 1-HOUR event total —
     * the time-based sibling of [[qMovingWindow]]'s ROWS frame (a RANGE frame
     * bounds by ordering VALUE, so co-timed events aggregate together no
@@ -1701,7 +1745,9 @@ object Registry {
     "q_epoch_upsample" -> (qEpochUpsample _),
     "q_rolling_hour" -> (qRollingHour _),
     "q_semantic_clusters" -> (qSemanticClusters _),
-    "q_fuzzy_match" -> (qFuzzyMatch _))
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_set_ops" -> (qSetOps _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1773,7 +1819,9 @@ object Registry {
     "q_epoch_upsample" -> qEpochUpsampleSql,
     "q_rolling_hour" -> qRollingHourSql,
     "q_semantic_clusters" -> qSemanticClustersSql,
-    "q_fuzzy_match" -> qFuzzyMatchSql)
+    "q_fuzzy_match" -> qFuzzyMatchSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_set_ops" -> qSetOpsSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

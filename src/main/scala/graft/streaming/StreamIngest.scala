@@ -179,6 +179,73 @@ object StreamIngest {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** COMPLETED-session emission via `flatMapGroupsWithState` — the
+    * custom-state sessionizer for logic `session_window` can't express
+    * (per-session derived fields, multi-emit, custom close rules). Open
+    * sessions live in per-user state; a session closes — and is emitted
+    * exactly once, in append mode — when the event-time watermark passes
+    * its end (`last + gap`), driven by `EventTimeTimeout`. Late events
+    * within the watermark can still extend or merge open sessions (the
+    * interval-merge fold below), which is precisely why closing must wait
+    * for the watermark rather than fire on the first in-batch gap.
+    *
+    * Session law matches [[userSessions]]: a gap ≥ `gapMinutes` starts a
+    * new session; `session_end = last + gap` (half-open).
+    *
+    * Scale: state is one small interval list per user with open sessions
+    * only (closed state is removed), sharded by key across executors; the
+    * watermark bounds both state size and emission latency.
+    */
+  def completedUserSessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def ts(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(u / 1000L)
+      t.setNanos(((u % 1000000L) * 1000L).toInt)
+      t
+    }
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+    typed.groupByKey(_._1)
+      // state: open session intervals (startUs, lastUs, n, total) — the
+      // encoder needs the concrete tuple type (a method-local alias has no
+      // TypeTag)
+      .flatMapGroupsWithState[Seq[(Long, Long, Long, Double)],
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[Seq[(Long, Long, Long, Double)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty[(Long, Long, Long, Double)])
+          val incoming =
+            rows.map { case (_, t, v) => val u = us(t); (u, u, 1L, v) }.toList
+          // interval-merge fold: sessions chain while consecutive starts are
+          // within gap of the previous session's last event
+          val merged = (prev ++ incoming).sortBy(s => (s._1, s._2))
+            .foldLeft(List.empty[(Long, Long, Long, Double)]) {
+              case (h :: t, s) if s._1 - h._2 < gapUs =>
+                (h._1, math.max(h._2, s._2), h._3 + s._3, h._4 + s._4) :: t
+              case (acc, s) => s :: acc
+            }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // close = watermark has passed session_end (= last + gap)
+          val (closed, open) = merged.partition(s => s._2 + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp((open.map(_._2).min + gapUs) / 1000L)
+          }
+          closed.iterator.map { case (s, l, n, tot) =>
+            (user, ts(s), ts(l + gapUs), n, tot)
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events", "total_value")
+  }
+
   /** Sessionized per-user activity via gap-based `session_window` — the
     * idiomatic built-in for session state (see [[runningUserTotals]] for the
     * custom-state form).

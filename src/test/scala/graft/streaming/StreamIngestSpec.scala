@@ -171,6 +171,38 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("flatMapGroupsWithState: completed sessions emit exactly once, matching the batch law") {
+    val srcDir = tmp("graft-fmgws-events")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // two time-ordered batches: batch 1's max ts sets the watermark that
+    // closes old sessions during batch 2
+    val cut = events.selectExpr("percentile(unix_micros(ts), 0.8)").head.getDouble(0).toLong
+    events.filter(unix_micros(col("ts")) <= cut)
+      .write.mode("overwrite").parquet(s"$srcDir/b1")
+    events.filter(unix_micros(col("ts")) > cut)
+      .write.mode("overwrite").parquet(s"$srcDir/b2")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*")
+    val q = StreamIngest.completedUserSessions(spark, stream).writeStream
+      .outputMode("append").format("memory").queryName("fmgws_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("fmgws_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "watermark advance between batches should close some sessions")
+    assert(got.distinct.size === got.size, "append mode must emit each session once")
+    // every emitted session must be a session of the BATCH gaps-and-islands
+    // law over the same events (same gap, same end = last + gap)
+    val batch = Registry.qUserSessions(spark, "/root/testdata/sf0.001")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(_.toSeq).toSet
+    val missing = got.filterNot(batch.contains)
+    assert(missing.isEmpty,
+      s"emitted sessions not in the batch law (first: ${missing.headOption})")
+  }
+
   test("user sessions: gap-based session windows produce bounded sessions") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
