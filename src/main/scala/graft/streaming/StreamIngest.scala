@@ -179,6 +179,24 @@ object StreamIngest {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** The sessionizer's interval-merge law, extracted pure for property
+    * testing: fold (start, last, n, total) intervals in start order,
+    * chaining while the next start is strictly within `gapUs` of the
+    * running session's last event — the same gap law as [[userSessions]]
+    * (gap ≥ duration ⇒ new session). Associative over batch splits: merging
+    * incrementally (any prefix, then the rest) equals merging all at once,
+    * which is what makes cross-batch state correct.
+    */
+  private[streaming] def mergeSessions(
+      intervals: Seq[(Long, Long, Long, Double)],
+      gapUs: Long): List[(Long, Long, Long, Double)] =
+    intervals.sortBy(s => (s._1, s._2))
+      .foldLeft(List.empty[(Long, Long, Long, Double)]) {
+        case (h :: t, s) if s._1 - h._2 < gapUs =>
+          (h._1, math.max(h._2, s._2), h._3 + s._3, h._4 + s._4) :: t
+        case (acc, s) => s :: acc
+      }.reverse
+
   /** COMPLETED-session emission via `flatMapGroupsWithState` — the
     * custom-state sessionizer for logic `session_window` can't express
     * (per-session derived fields, multi-emit, custom close rules). Open
@@ -223,14 +241,7 @@ object StreamIngest {
           val prev = state.getOption.getOrElse(Seq.empty[(Long, Long, Long, Double)])
           val incoming =
             rows.map { case (_, t, v) => val u = us(t); (u, u, 1L, v) }.toList
-          // interval-merge fold: sessions chain while consecutive starts are
-          // within gap of the previous session's last event
-          val merged = (prev ++ incoming).sortBy(s => (s._1, s._2))
-            .foldLeft(List.empty[(Long, Long, Long, Double)]) {
-              case (h :: t, s) if s._1 - h._2 < gapUs =>
-                (h._1, math.max(h._2, s._2), h._3 + s._3, h._4 + s._4) :: t
-              case (acc, s) => s :: acc
-            }.reverse
+          val merged = mergeSessions(prev ++ incoming, gapUs)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           // close = watermark has passed session_end (= last + gap)
           val (closed, open) = merged.partition(s => s._2 + gapUs <= wmUs)
