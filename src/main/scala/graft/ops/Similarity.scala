@@ -106,15 +106,16 @@ object Similarity {
     */
   private def bucketSignatures(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, planes: Int, tables: Int, dim: Int,
-      shuffle: Boolean = true): DataFrame = {
+      shuffle: Boolean = true, probes: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val planeVecs = Array.tabulate(tables * planes, dim)(planeComponent)
     val sigs = df.select(col(idCol).cast("long").as("_bid"), col(vecCol).as("_bv"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        (0 until tables).iterator.map { t =>
+        (0 until tables).iterator.flatMap { t =>
           var bucket = 0L
+          val margins = new Array[Double](planes)
           var p = 0
           while (p < planes) {
             val plane = planeVecs(t * planes + p)
@@ -123,9 +124,17 @@ object Similarity {
             val d = math.min(v.length, dim)
             while (i < d) { s += v(i).toDouble * plane(i); i += 1 }
             if (s >= 0) bucket |= (1L << p)
+            margins(p) = math.abs(s)
             p += 1
           }
-          (id, v, t, bucket)
+          // multi-probe: additionally emit the buckets across the `probes`
+          // hyperplanes this vector is CLOSEST to (smallest |margin|) —
+          // the buckets a true neighbor most likely fell into when it
+          // landed on the other side of a near-miss plane
+          val flips = if (probes <= 0) Iterator.empty
+            else margins.zipWithIndex.sortBy(_._1).iterator.take(probes)
+              .map { case (_, pi) => (id, v, t, bucket ^ (1L << pi)) }
+          Iterator.single((id, v, t, bucket)) ++ flips
         }
       })
       .toDF(idAs, vecAs, "table", "bucket")
@@ -142,9 +151,17 @@ object Similarity {
     * p = (1-θ/π)^planes. Genuinely-near pairs (cos ≥ 0.95, θ ≤ 18°) reach
     * ≈99% over 8 tables; uniformly-random "nearest" pairs (cos ≈ 0.4) are
     * inherently LSH-hostile — that regime is what bruteForceTopK is for.
+    *
+    * `probes` enables multi-probe on the QUERY side only: each query also
+    * checks the buckets across its `probes` nearest hyperplanes (the
+    * standard recall/cost lever — Lv et al., "Multi-Probe LSH", VLDB'07).
+    * Query signatures are broadcast, so extra probes cost candidate-join
+    * fan-in, not another corpus pass; probes=2 roughly doubles candidate
+    * volume for a large recall gain in the hard uniform regime.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 6, tables: Int = 8): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 6, tables: Int = 8,
+      probes: Int = 2): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     // the query batch is bounded (like bruteForceTopK's contract): BROADCAST
     // its signatures, so the corpus side stays one narrow pass — no corpus
@@ -153,7 +170,7 @@ object Similarity {
     val c = bucketSignatures(corpus, idCol, vecCol, "neighbor_id", "_cv",
       planes, tables, dim, shuffle = false)
     val q = bucketSignatures(queries, idCol, vecCol, "query_id", "_qv",
-      planes, tables, dim, shuffle = false)
+      planes, tables, dim, shuffle = false, probes = probes)
     val cand = c.join(broadcast(q),
         c("table") === q("table") && c("bucket") === q("bucket") &&
           col("neighbor_id") =!= col("query_id"))
