@@ -1556,6 +1556,63 @@ object Registry {
        | SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.9
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** first_value / last_value over an unbounded frame: each user's first
+    * and latest event type plus lifetime span — the profile-building window
+    * shape. One row per user via WindowGroupLimit-style dedup (rank 1 on
+    * the same window), frame pinned to the FULL partition for last_value
+    * (the default frame would stop at CURRENT ROW).
+    */
+  def qFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        (unix_micros(max(col("ts")).over(full)) -
+          unix_micros(min(col("ts")).over(full))).as("span_us"),
+        row_number().over(order).as("_rk"))
+      .filter(col("_rk") === 1)
+      .select("user_id", "first_type", "last_type", "span_us")
+      .orderBy("user_id")
+  }
+
+  val qFirstLastSql: String =
+    """SELECT user_id, first_type, last_type, span_us FROM (
+      | SELECT user_id,
+      |  first_value(event_type) OVER w AS first_type,
+      |  last_value(event_type) OVER w AS last_type,
+      |  epoch_us(max(ts) OVER w) - epoch_us(min(ts) OVER w) AS span_us,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _rk
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      | WHERE _rk = 1 ORDER BY user_id""".stripMargin.replace("\n", " ")
+
+  /** Array higher-order functions as first-class surface: per-document
+    * distinct-sorted token head (deterministic — `array_sort` +
+    * `array_distinct` vs `list_sort` + `list_distinct`), token count, and a
+    * `filter`-HOF long-token count. Exercises the Spark array-function
+    * family against DuckDB's list family on identical laws.
+    */
+  def qArrayOps(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), " ")
+          .as("head_tokens"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long"))
+      .orderBy("doc_id")
+  }
+
+  val qArrayOpsSql: String =
+    s"""SELECT doc_id,
+       | array_to_string(list_sort(list_distinct($tokensSql))[1:3], ' ') AS head_tokens,
+       | CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+       | CAST(len(list_filter($tokensSql, tk -> length(tk) >= 6)) AS BIGINT) AS n_long
+       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** GROUPING SETS with an explicit lattice — per-lang totals, per-source
     * totals, and the grand total, WITHOUT the (lang, source) pairs that
     * [[qCube]] would add: the exact-subtotal shape reporting queries want,
@@ -1747,7 +1804,9 @@ object Registry {
     "q_semantic_clusters" -> (qSemanticClusters _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_grouping_sets" -> (qGroupingSets _),
-    "q_set_ops" -> (qSetOps _))
+    "q_set_ops" -> (qSetOps _),
+    "q_first_last" -> (qFirstLast _),
+    "q_array_ops" -> (qArrayOps _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1821,7 +1880,9 @@ object Registry {
     "q_semantic_clusters" -> qSemanticClustersSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_grouping_sets" -> qGroupingSetsSql,
-    "q_set_ops" -> qSetOpsSql)
+    "q_set_ops" -> qSetOpsSql,
+    "q_first_last" -> qFirstLastSql,
+    "q_array_ops" -> qArrayOpsSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
