@@ -1556,6 +1556,32 @@ object Registry {
        | SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.9
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Null-safe equality join (`<=>` / `IS NOT DISTINCT FROM`): the NULL
+    * bucket of the reference's nullable `source_file_size` joins itself —
+    * a plain equi-join silently drops the NULL group (null-rejecting
+    * predicate), the null-safe form keeps it. Distinct three-way split
+    * (1 / 0 / NULL) on both sides keeps the join bounded.
+    */
+  def qNullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = ordersAsTransfer(spark, dir)
+      .groupBy("source_file_size").agg(count(lit(1)).as("n"))
+    val a = sizes.select(col("source_file_size").as("size_a"), col("n").as("n_a"))
+    val b = sizes.select(col("source_file_size").as("size_b"), col("n").as("n_b"))
+    a.join(b, col("size_a") <=> col("size_b"))
+      // nullable BIGINT output is a driver-comparator trap: ship as VARCHAR
+      .select(coalesce(col("size_a").cast("string"), lit("(null)")).as("size_key"),
+        col("n_a"), col("n_b"))
+      .orderBy("size_key")
+  }
+
+  val qNullsafeJoinSql: String =
+    s"""WITH s AS (SELECT source_file_size, COUNT(*) AS n
+       |   FROM ($ordersAsTransferSql) GROUP BY 1)
+       | SELECT COALESCE(CAST(a.source_file_size AS VARCHAR), '(null)') AS size_key,
+       |  a.n AS n_a, b.n AS n_b
+       | FROM s a JOIN s b ON a.source_file_size IS NOT DISTINCT FROM b.source_file_size
+       | ORDER BY size_key""".stripMargin.replace("\n", " ")
+
   /** first_value / last_value over an unbounded frame: each user's first
     * and latest event type plus lifetime span — the profile-building window
     * shape. One row per user via WindowGroupLimit-style dedup (rank 1 on
@@ -1806,7 +1832,8 @@ object Registry {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_set_ops" -> (qSetOps _),
     "q_first_last" -> (qFirstLast _),
-    "q_array_ops" -> (qArrayOps _))
+    "q_array_ops" -> (qArrayOps _),
+    "q_nullsafe_join" -> (qNullsafeJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1882,7 +1909,8 @@ object Registry {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_set_ops" -> qSetOpsSql,
     "q_first_last" -> qFirstLastSql,
-    "q_array_ops" -> qArrayOpsSql)
+    "q_array_ops" -> qArrayOpsSql,
+    "q_nullsafe_join" -> qNullsafeJoinSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

@@ -179,6 +179,31 @@ object StreamIngest {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Stream-stream inner join with event-time range bounds: attribute each
+    * left-stream event to same-user right-stream events inside the
+    * following `rangeMinutes` — the attribution-join shape (view →
+    * purchase). BOTH sides carry watermarks and the time-range predicate,
+    * which is what lets Spark bound the join state: a buffered left row can
+    * be dropped once the right watermark passes `l_ts + range`, and vice
+    * versa. Without the range condition the state store would hold every
+    * row forever.
+    */
+  def correlatedEvents(left: DataFrame, right: DataFrame,
+      rangeMinutes: Int = 60, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).select(
+      col("user_id"), col("event_id").as("l_event"),
+      col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark).select(
+      col("user_id").as("r_user"), col("event_id").as("r_event"),
+      col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $rangeMinutes MINUTES") &&
+        col("l_event") =!= col("r_event"))
+      .select("user_id", "l_event", "l_type", "r_event", "r_type", "l_ts", "r_ts")
+  }
+
   /** The sessionizer's interval-merge law, extracted pure for property
     * testing: fold (start, last, n, total) intervals in start order,
     * chaining while the next start is strictly within `gapUs` of the

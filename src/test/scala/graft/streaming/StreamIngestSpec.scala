@@ -171,6 +171,27 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("stream-stream range join: attribution matches the identical batch join") {
+    val srcDir = tmp("graft-ss-events")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val views = events.filter(col("event_type") === "view")
+    val buys = events.filter(col("event_type") === "purchase")
+    views.write.mode("overwrite").parquet(s"$srcDir/l")
+    buys.write.mode("overwrite").parquet(s"$srcDir/r")
+    val lStream = spark.readStream.schema(events.schema).parquet(s"$srcDir/l")
+    val rStream = spark.readStream.schema(events.schema).parquet(s"$srcDir/r")
+    val q = StreamIngest.correlatedEvents(lStream, rStream).writeStream
+      .outputMode("append").format("memory").queryName("ss_join_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join_out")
+      .select("l_event", "r_event").collect().map(_.toSeq).toSet
+    val want = StreamIngest.correlatedEvents(views, buys) // same plan, batch frames
+      .select("l_event", "r_event").collect().map(_.toSeq).toSet
+    assert(got === want, s"stream join emitted ${got.size} pairs, batch ${want.size}")
+    assert(want.nonEmpty, "fixture should produce at least one attribution pair")
+  }
+
   test("flatMapGroupsWithState: completed sessions emit exactly once, matching the batch law") {
     val srcDir = tmp("graft-fmgws-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
