@@ -165,6 +165,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_fuzzy_match / q_semantic_clusters: blocked equi joins, never nested-loop") {
+    Seq("q_fuzzy_match", "q_semantic_clusters").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_nullsafe_join: null-safe equality stays a hash join (EqualNullSafe is an equi key)") {
+    val p = plan("q_nullsafe_join")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
