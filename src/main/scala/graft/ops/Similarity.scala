@@ -113,7 +113,23 @@ object Similarity {
     val sigs = df.select(col(idCol).cast("long").as("_bid"), col(vecCol).as("_bv"))
       .as[(Long, Array[Float])]
       .mapPartitions(_.flatMap { case (id, v) =>
-        (0 until tables).iterator.flatMap { t =>
+        if (probes <= 0) {
+          // corpus-side / near-dup path: keep the inner loop allocation-free
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var p = 0
+            while (p < planes) {
+              val plane = planeVecs(t * planes + p)
+              var s = 0.0
+              var i = 0
+              val d = math.min(v.length, dim)
+              while (i < d) { s += v(i).toDouble * plane(i); i += 1 }
+              if (s >= 0) bucket |= (1L << p)
+              p += 1
+            }
+            (id, v, t, bucket)
+          }
+        } else (0 until tables).iterator.flatMap { t =>
           var bucket = 0L
           val margins = new Array[Double](planes)
           var p = 0
@@ -131,10 +147,9 @@ object Similarity {
           // hyperplanes this vector is CLOSEST to (smallest |margin|) —
           // the buckets a true neighbor most likely fell into when it
           // landed on the other side of a near-miss plane
-          val flips = if (probes <= 0) Iterator.empty
-            else margins.zipWithIndex.sortBy(_._1).iterator.take(probes)
+          Iterator.single((id, v, t, bucket)) ++
+            margins.zipWithIndex.sortBy(_._1).iterator.take(probes)
               .map { case (_, pi) => (id, v, t, bucket ^ (1L << pi)) }
-          Iterator.single((id, v, t, bucket)) ++ flips
         }
       })
       .toDF(idAs, vecAs, "table", "bucket")

@@ -38,15 +38,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recovered >= 4, s"twin recall $recovered/5")
   }
 
-  test("lshTopK: multi-probe recall dominates zero-probe (same tables/planes)") {
-    // the hard regime: no planted twins, uniform cloud — nearest neighbors
-    // sit at wide angles where single-bucket LSH recall collapses
+  test("lshTopK: multi-probe recall dominates zero-probe in the uniform regime") {
+    // the hard regime: TWIN-FREE uniform cloud (vec_id < 100 strips the
+    // planted twins) — nearest neighbors sit at wide angles where
+    // single-bucket LSH recall collapses; this is the regime the 0.30→0.68
+    // AnnRecall gain lives in
+    val uniform = vecs.filter($"vec_id" < 100)
     val exact = Similarity.bruteForceTopK(
-      vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 3)
+      uniform, uniform.filter($"vec_id" < 5), "vec_id", "embedding", k = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     def recall(probes: Int): Double = {
       val got = Similarity.lshTopK(
-        vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 3,
+        uniform, uniform.filter($"vec_id" < 5), "vec_id", "embedding", k = 3,
         probes = probes)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       (got intersect exact).size.toDouble / exact.size
@@ -54,7 +57,7 @@ class SimilaritySpec extends SparkSpec {
     val r0 = recall(0)
     val r2 = recall(2)
     assert(r2 >= r0, s"multi-probe recall $r2 must not fall below zero-probe $r0")
-    assert(r2 >= 0.5, s"2-probe recall $r2 too low on the planted corpus")
+    assert(r2 > 0.3, s"2-probe uniform-regime recall $r2 unexpectedly low")
   }
 
   test("ivfTopK: planted twins recovered; recall beats the probe fraction") {

@@ -23,34 +23,43 @@ class BucketedJoinSpec extends SparkSpec {
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders").saveAsTable("b_orders")
-    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem").saveAsTable("b_lineitem")
+    try {
+      orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable("b_orders")
+      lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable("b_lineitem")
 
-    // force the sort-merge path (hint on the JOIN INPUT) so the bucket
-    // layout — not a broadcast — is what eliminates the exchanges
-    val noBroadcast = spark.table("b_orders").hint("merge")
-      .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderstatus")
-      .agg(sum(col("l_quantity")).as("qty"))
-    val p = noBroadcast.queryExecution.executedPlan.toString
-    assert(p.contains("SortMergeJoin"), p)
-    // neither join input may re-shuffle: bucket layout == join distribution.
-    // (the post-join aggregate exchange is expected and allowed)
-    val exchanges = "Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
-      .findAllIn(p).toList
-    assert(exchanges.isEmpty,
-      s"bucketed join still shuffles its inputs: $exchanges\n$p")
+      // force the sort-merge path (hint on the JOIN INPUT) so the bucket
+      // layout — not a broadcast — is what eliminates the exchanges
+      val noBroadcast = spark.table("b_orders").hint("merge")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(sum(col("l_quantity")).as("qty"))
+      val p = noBroadcast.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // neither join input may re-shuffle: bucket layout == join distribution.
+      // (the post-join aggregate exchange is expected and allowed)
+      val exchanges = "Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+        .findAllIn(p).toList
+      assert(exchanges.isEmpty,
+        s"bucketed join still shuffles its inputs: $exchanges\n$p")
 
-    // correctness unchanged vs the plain (non-bucketed) join
-    val want = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderstatus").agg(sum(col("l_quantity")).as("qty"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val got = noBroadcast.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(got === want)
-
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      // correctness unchanged vs the plain (non-bucketed) join
+      val want = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus").agg(sum(col("l_quantity")).as("qty"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = noBroadcast.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got === want)
+    } finally {
+      // the session catalog is shared across suites: never leak the tables
+      // (or the on-disk bucketed copies) past this test, pass or fail
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
   }
 }
