@@ -19,7 +19,11 @@ object PlanAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_status_summary", "q_filter_files", "q_parent_join",
-        "q_upsert_lastwins", "q_lineitem_agg", "q_top_statuses")
+        "q_upsert_lastwins", "q_lineitem_agg", "q_top_statuses",
+        // r4 additions worth auditing: partitioned shard window, lattice
+        // Expand, range-frame window, null-safe hash join, blocked fuzzy join
+        "q_shuffle_shards", "q_grouping_sets", "q_rolling_hour",
+        "q_nullsafe_join", "q_fuzzy_match")
     names.foreach { n =>
       println(s"===== $n =====")
       Registry.queries(n)(spark, dir).explain("formatted")
