@@ -57,4 +57,16 @@ class MixtureSpec extends SparkSpec {
     assert(back.agg(sum("n_chars")).head.getLong(0) ===
       wantTrain.agg(sum("n_chars")).head.getLong(0))
   }
+
+  test("writeJsonl: gzip codec round-trips (the trainer-handoff compression path)") {
+    val out = Files.createTempDirectory("graft-jsonl-gz").toString
+    val withSplit = Splits.withSplit(docs.select("doc_id", "n_chars"), "doc_id")
+    TrainExport.writeJsonl(withSplit, out, partitionBy = Seq("split"),
+      codec = Some("gzip"))
+    val files = new java.io.File(s"$out/split=train").listFiles()
+      .filter(_.getName.endsWith(".gz"))
+    assert(files.nonEmpty, "gzip codec should produce .gz part files")
+    val back = spark.read.json(s"$out/split=train/") // text source decompresses by extension
+    assert(back.count() === withSplit.filter(col("split") === "train").count())
+  }
 }
