@@ -1556,6 +1556,27 @@ object Registry {
        | SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.9
        | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** UNPIVOT (wide→long melt): the inverse of [[qPivotStatus]] — the
+    * pivoted per-priority status counts melt back into
+    * (priority, status_col, n) rows. Spark's `Dataset.unpivot` vs DuckDB's
+    * `UNPIVOT ... INTO NAME ... VALUE`; the round-trip law (pivot ∘ unpivot
+    * = identity on the long form) is what the shared oracle checks.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    qPivotStatus(spark, dir)
+      .unpivot(Array(col("priority")), Array(col("n_f"), col("n_o"), col("n_p")),
+        "status_col", "n")
+      .orderBy("priority", "status_col")
+
+  val qUnpivotSql: String =
+    s"""WITH wide AS (SELECT o_orderpriority AS priority,
+       |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+       | FROM orders GROUP BY 1)
+       | UNPIVOT wide ON n_f, n_o, n_p INTO NAME status_col VALUE n
+       | ORDER BY priority, status_col""".stripMargin.replace("\n", " ")
+
   /** Null-safe equality join (`<=>` / `IS NOT DISTINCT FROM`): the NULL
     * bucket of the reference's nullable `source_file_size` joins itself —
     * a plain equi-join silently drops the NULL group (null-rejecting
@@ -1833,7 +1854,8 @@ object Registry {
     "q_set_ops" -> (qSetOps _),
     "q_first_last" -> (qFirstLast _),
     "q_array_ops" -> (qArrayOps _),
-    "q_nullsafe_join" -> (qNullsafeJoin _))
+    "q_nullsafe_join" -> (qNullsafeJoin _),
+    "q_unpivot" -> (qUnpivot _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1910,7 +1932,8 @@ object Registry {
     "q_set_ops" -> qSetOpsSql,
     "q_first_last" -> qFirstLastSql,
     "q_array_ops" -> qArrayOpsSql,
-    "q_nullsafe_join" -> qNullsafeJoinSql)
+    "q_nullsafe_join" -> qNullsafeJoinSql,
+    "q_unpivot" -> qUnpivotSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
