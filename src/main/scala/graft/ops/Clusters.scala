@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,16 +37,29 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
-  /** Block-manager storage of a `localCheckpoint`ed frame, released eagerly.
-    * The checkpointed RDD sits behind the plan's `LogicalRDD` leaf; without
-    * this, every round's three checkpoint frames linger until RDD garbage
-    * collection, which can lag on a long-lived driver.
+  /** `localCheckpoint` a frame and capture the RDD this call just created,
+    * so [[release]] frees exactly our own block-manager storage and never a
+    * caller's. Walking a frame's plan leaves instead would also collect
+    * checkpoint RDDs the CALLER owns (e.g. an edges frame the caller
+    * localCheckpointed before handing it in) — unpersisting those truncates
+    * their lineage-free blocks and any later use of the caller's frame dies
+    * with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Capturing at creation time is
+    * immune: the just-checkpointed frame's only leaf is the RDD this call
+    * made.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
+  private def ownedCheckpoint(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val cp = df.localCheckpoint()
+    val own = cp.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
+    (cp, own.toSeq)
+  }
+
+  /** Eagerly drop the block-manager storage of RDDs [[ownedCheckpoint]]
+    * created; without this, every round's checkpoint frames linger until RDD
+    * garbage collection, which can lag on a long-lived driver.
+    */
+  private def release(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(false))
 
   /** Components of the undirected graph given by `edges(srcCol, dstCol)`.
     * Returns one row per vertex: (id, component) where component is the
@@ -61,12 +75,13 @@ object Clusters {
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
     // undirected: keep both directions so "min over neighbors" sees the
     // whole neighborhood from either endpoint
-    val bidir = e.union(e.select(col("d").as("s"), col("s").as("d")))
-      .filter(col("s") =!= col("d")).distinct()
-      .localCheckpoint() // edges are re-joined every round: cut re-compute + lineage
-    var labels = bidir.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    // edges are re-joined every round: cut re-compute + lineage
+    val (bidir, bidirOwn) = ownedCheckpoint(
+      e.union(e.select(col("d").as("s"), col("s").as("d")))
+        .filter(col("s") =!= col("d")).distinct())
+    var (labels, labelsOwn) = ownedCheckpoint(
+      bidir.select(col("s").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var iter = 0
     var changed = !labels.isEmpty
     while (changed && iter < maxIter) {
@@ -78,28 +93,29 @@ object Clusters {
       // materialize before the self-join below: `stepped` appears on BOTH
       // sides of the jump join, and without a checkpoint the edges⋈labels
       // aggregate (the expensive stage) would execute twice per round
-      val stepped = labels.join(nmin, col("id") === col("_id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
-          col("comp").as("_prev"))
-        .localCheckpoint()
+      val (stepped, steppedOwn) = ownedCheckpoint(
+        labels.join(nmin, col("id") === col("_id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
+            col("comp").as("_prev")))
       // 2. pointer jump: comp ← comp(comp)
-      val jumped = stepped.as("l").join(
-          stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")),
-          col("l.comp") === col("_jid"), "left")
-        .select(col("l.id").as("id"),
-          coalesce(col("_jcomp"), col("l.comp")).as("comp"), col("l._prev"))
-        .localCheckpoint()
+      val (jumped, jumpedOwn) = ownedCheckpoint(
+        stepped.as("l").join(
+            stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")),
+            col("l.comp") === col("_jid"), "left")
+          .select(col("l.id").as("id"),
+            coalesce(col("_jcomp"), col("l.comp")).as("comp"), col("l._prev")))
       changed = !jumped.filter(col("comp") =!= col("_prev")).isEmpty
       // `jumped` is materialized (eager checkpoint) and now carries the
       // state: release the previous round's label frame and the
       // intermediate, or block-manager storage accumulates across rounds
-      freeCheckpoint(stepped)
-      freeCheckpoint(labels)
+      release(steppedOwn)
+      release(labelsOwn)
       labels = jumped.select(col("id"), col("comp"))
+      labelsOwn = jumpedOwn
       iter += 1
     }
-    freeCheckpoint(bidir)
+    release(bidirOwn)
     if (changed)
       throw new IllegalStateException(
         s"connectedComponents: maxIter=$maxIter exhausted before convergence " +

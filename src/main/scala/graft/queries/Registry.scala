@@ -715,7 +715,8 @@ object Registry {
       .orderBy("doc_id", "chunk_idx")
 
   val qDocChunksSql: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text,
+      |   length(COALESCE(text, '')) AS n FROM documents),
       | s AS (SELECT doc_id, text, n,
       |   unnest(range(0, greatest(n - 100, 1), 300)) AS chunk_start FROM d)
       | SELECT doc_id, CAST(chunk_start // 300 AS BIGINT) AS chunk_idx,
@@ -1212,7 +1213,8 @@ object Registry {
       .orderBy("doc_id")
 
   val qChunkDedupSql: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text,
+      |   length(COALESCE(text, '')) AS n FROM documents),
       | s AS (SELECT doc_id, text, unnest(range(0, greatest(n, 1), 400)) AS cs FROM d),
       | ch AS (SELECT doc_id, CAST(cs // 400 AS BIGINT) AS chunk_idx,
       |   substr(text, CAST(cs + 1 AS INTEGER), 400) AS chunk_text FROM s),

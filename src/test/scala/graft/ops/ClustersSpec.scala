@@ -90,4 +90,21 @@ class ClustersSpec extends SparkSpec {
     val survivors = cl.filter($"doc_id" === $"cluster_id").collect().map(_.getLong(0)).toSet
     assert(survivors === Set(1L, 8L))
   }
+
+  test("a caller-checkpointed edges frame survives the internal cleanup") {
+    // The internal checkpoint release must free ONLY the RDDs the fixpoint
+    // itself created. Handing in a localCheckpoint()ed pair frame — the
+    // idiomatic move when pairs are reused (cf. CurateDemo) — and then
+    // reusing it after the call must not hit the caller's truncated-lineage
+    // blocks (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND if cleanup overreaches).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      .localCheckpoint()
+    val first = Clusters.dedupClusters(pairs).collect()
+    assert(first.length === 5)
+    // later uses of the caller's frame: a plain action AND a second full run
+    assert(pairs.count() === 3L)
+    val second = Clusters.dedupClusters(pairs).collect()
+    assert(second.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      first.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
 }
