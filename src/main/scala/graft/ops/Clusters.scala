@@ -90,26 +90,29 @@ object Clusters {
       // not an extra shuffle join against the previous round
       val nmin = bidir.join(labels, bidir("s") === labels("id"))
         .groupBy(col("d").as("_id")).agg(min(col("comp")).as("_nmin"))
-      // materialize before the self-join below: `stepped` appears on BOTH
-      // sides of the jump join, and without a checkpoint the edges⋈labels
-      // aggregate (the expensive stage) would execute twice per round
-      val (stepped, steppedOwn) = ownedCheckpoint(
-        labels.join(nmin, col("id") === col("_id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
-            col("comp").as("_prev")))
-      // 2. pointer jump: comp ← comp(comp)
+      val stepped = labels.join(nmin, col("id") === col("_id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
+          col("comp").as("_prev"))
+      // 2. pointer jump against the ROUND-START map — the classic
+      // synchronous `p ← p∘p` doubling. Jumping on `labels` (already
+      // checkpointed) instead of on `stepped` itself means `stepped` feeds
+      // exactly one consumer and never needs its own eager materialization:
+      // one checkpoint job per round instead of two. Labels only decrease
+      // and only within a component, so chasing the older map stays correct;
+      // the doubling argument (distance to the component min halves per
+      // round) holds for the synchronous form, pinned by the chain test.
       val (jumped, jumpedOwn) = ownedCheckpoint(
         stepped.as("l").join(
-            stepped.select(col("id").as("_jid"), col("comp").as("_jcomp")),
+            labels.select(col("id").as("_jid"), col("comp").as("_jcomp")),
             col("l.comp") === col("_jid"), "left")
           .select(col("l.id").as("id"),
-            coalesce(col("_jcomp"), col("l.comp")).as("comp"), col("l._prev")))
+            least(col("l.comp"), coalesce(col("_jcomp"), col("l.comp"))).as("comp"),
+            col("l._prev")))
       changed = !jumped.filter(col("comp") =!= col("_prev")).isEmpty
       // `jumped` is materialized (eager checkpoint) and now carries the
-      // state: release the previous round's label frame and the
-      // intermediate, or block-manager storage accumulates across rounds
-      release(steppedOwn)
+      // state: release the previous round's label frame, or block-manager
+      // storage accumulates across rounds
       release(labelsOwn)
       labels = jumped.select(col("id"), col("comp"))
       labelsOwn = jumpedOwn

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan-time skipping — the write-side half of
+  * the 100 TB story. Parquet/ORC readers prune row groups by min/max
+  * statistics; those statistics only cut multi-dimensional point/box
+  * lookups when rows that are close in KEY space are close in FILE space.
+  * Z-ordering (bit-interleaved Morton curve — the technique behind
+  * clustered table layouts in modern lakehouse formats) gives that
+  * locality for two keys at once, where a lexicographic sort favors only
+  * its leading column.
+  *
+  * The z-value itself is a pure bit law (deterministic, oracle-checkable);
+  * the physical placement is `repartitionByRange` on it + an in-partition
+  * sort — both stock Spark operators, so AQE and the range-sampler handle
+  * balance.
+  */
+object Layout {
+
+  /** Morton z-value: the low `bits` bits of x and y interleaved
+    * (x → even positions, y → odd). Built from shift/and/or primitives
+    * only — whole-stage-codegen friendly, no UDF. Values are masked to
+    * `bits`, so callers bucket/clamp wider domains first.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in 1..31")
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(lit(mask))
+    val ym = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Cluster rows along the z-curve of (xCol, yCol): range-partition on the
+    * z-value (contiguous curve segments per output file) and sort within
+    * partitions (tight per-row-group min/max). The frame comes back with
+    * its original columns — `_z` is internal. Writing the result with any
+    * file sink yields a layout where a box predicate on (x, y) touches
+    * O(perimeter) files instead of all of them.
+    */
+  def clusterByZ(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      numPartitions: Int): DataFrame = {
+    val cols = df.columns
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numPartitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(cols.map(col).toIndexedSeq: _*)
+  }
+}

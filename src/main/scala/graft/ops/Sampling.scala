@@ -93,4 +93,28 @@ object Sampling {
       .filter(hashKey(col(idCol), salt) < col("_thr"))
       .drop("_stratum", "_thr")
   }
+
+  /** Deterministic EXACT-size sample: the k rows per stratum whose
+    * md5(salt||id) hashes sort lowest (full hash, then id as the total-order
+    * tiebreak). Rate-based sampling gives binomial sizes; eval sets and
+    * per-domain quota draws need exactly k. Being a pure hash order, the
+    * selection is engine-independent and stable under corpus REORDERING —
+    * though unlike rate sampling, membership can shift when rows are added
+    * (a new row can displace the k-th).
+    *
+    * Scale shape: one hash-partitioned window (shuffle by stratum) with a
+    * rank pre-filter — Spark's WindowGroupLimit pushes the `rk <= k` cut
+    * into the sort, so per-partition state is O(k), not O(stratum). For
+    * very hot strata, pre-thin with [[deterministicSample]] at a rate that
+    * keeps ≥ k expected survivors, then take the exact k from the residue.
+    */
+  def fixedKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .filter(col("sample_rank") <= k)
+  }
 }

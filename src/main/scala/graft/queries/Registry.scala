@@ -1784,6 +1784,120 @@ object Registry {
       | FROM documents d JOIN k ON d.lang = k._stratum
       | ORDER BY doc_id, epoch""".stripMargin.replace("\n", " ")
 
+  /** BPE-style adjacent-pair counting ([[graft.ops.Vocab.topPairCounts]]):
+    * the corpus-wide most-frequent adjacent token pairs — the counting
+    * round of tokenizer (BPE/WordPiece) vocabulary construction. Exact
+    * multiset law over the shared tokens law, so counts AND the
+    * deterministic tiebreak are in the hash compare.
+    */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.topPairCounts(t(spark, dir, "documents"), "text", k = 25)
+
+  val qBpePairsSql: String =
+    s"""WITH tk AS (SELECT $tokensSql AS toks FROM documents),
+      | p AS (SELECT unnest(list_transform(range(1, len(toks)),
+      |   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      |  FROM tk WHERE len(toks) >= 2)
+      | SELECT pair, COUNT(*) AS n FROM p GROUP BY 1
+      | ORDER BY n DESC, pair LIMIT 25""".stripMargin.replace("\n", " ")
+
+  /** Z-order (Morton) clustering key ([[graft.ops.Layout.zValue]]): the
+    * bit-interleave law over two bucketed keys, checked value-exact. The
+    * physical placement half ([[graft.ops.Layout.clusterByZ]] =
+    * repartitionByRange + in-partition sort) is pinned by LayoutSpec's
+    * locality test — range boundaries are sampled, so only the pure law is
+    * oracle territory.
+    */
+  def qZorder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        graft.ops.Layout.zValue(col("user_id"), col("event_id"), bits = 10).as("z"))
+      .orderBy("z", "event_id")
+
+  val qZorderSql: String =
+    """SELECT event_id, user_id,
+      | CAST(list_sum(list_transform(range(0, 10), i ->
+      |   ((((user_id & 1023) >> i) & 1) << (2 * i)) +
+      |   ((((event_id & 1023) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+      | FROM events ORDER BY z, event_id""".stripMargin.replace("\n", " ")
+
+  /** Exact-k deterministic sample per stratum
+    * ([[graft.ops.Sampling.fixedKPerStratum]]): the k lowest md5 hashes per
+    * language — eval-set carving with engine-independent membership. The
+    * oracle re-derives the full hash order, so rank AND membership are
+    * checked.
+    */
+  def qFixedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.fixedKPerStratum(
+        t(spark, dir, "documents"), "doc_id", "lang", k = 20)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("doc_id")
+
+  val qFixedSampleSql: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |  CAST(row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |    AS sample_rank
+      | FROM documents)
+      | SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Sliding event-time windows (1 h length, 30 min slide): every event
+    * lands in exactly length/slide = 2 epoch-aligned windows. The oracle
+    * rebuilds that fanout from integer-microsecond arithmetic, so Spark's
+    * `window(slideDuration)` expansion itself is what's cross-checked.
+    * Streaming twin: identical `window()` call under `readStream` +
+    * watermark (same expansion node).
+    */
+  def qSlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val qSlidingWindowsSql: String =
+    """WITH w AS (SELECT event_type, value,
+      |  unnest([make_timestamp(epoch_us(ts) // 1800000000 * 1800000000),
+      |          make_timestamp(epoch_us(ts) // 1800000000 * 1800000000
+      |            - 1800000000)]) AS window_start
+      | FROM events)
+      | SELECT window_start, event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+      |    AS total_value
+      | FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " ")
+
+  /** Map-typed column surface: per-user event-type profile built with
+    * `map_from_entries(collect_list(struct(...)))`, probed with
+    * `element_at` / `size` — the MapType construction/lookup path a
+    * metadata-heavy pipeline leans on. Scalar projections on the wire (the
+    * comparator can't hash maps); the oracle computes the same profile
+    * relationally.
+    */
+  def qMapOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("_n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("_n"))))
+        .as("_m"))
+      .select(col("user_id"),
+        coalesce(element_at(col("_m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("_m"), "purchase"), lit(0L)).as("n_purchase"),
+        coalesce(element_at(col("_m"), "error"), lit(0L)).as("n_error"),
+        size(col("_m")).cast("bigint").as("n_types"))
+      .orderBy("user_id")
+
+  val qMapOpsSql: String =
+    """SELECT user_id,
+      | COALESCE(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+      | COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
+      | COALESCE(COUNT(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error,
+      | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -1857,7 +1971,12 @@ object Registry {
     "q_first_last" -> (qFirstLast _),
     "q_array_ops" -> (qArrayOps _),
     "q_nullsafe_join" -> (qNullsafeJoin _),
-    "q_unpivot" -> (qUnpivot _))
+    "q_unpivot" -> (qUnpivot _),
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_zorder" -> (qZorder _),
+    "q_fixed_sample" -> (qFixedSample _),
+    "q_sliding_windows" -> (qSlidingWindows _),
+    "q_map_ops" -> (qMapOps _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -1935,7 +2054,12 @@ object Registry {
     "q_first_last" -> qFirstLastSql,
     "q_array_ops" -> qArrayOpsSql,
     "q_nullsafe_join" -> qNullsafeJoinSql,
-    "q_unpivot" -> qUnpivotSql)
+    "q_unpivot" -> qUnpivotSql,
+    "q_bpe_pairs" -> qBpePairsSql,
+    "q_zorder" -> qZorderSql,
+    "q_fixed_sample" -> qFixedSampleSql,
+    "q_sliding_windows" -> qSlidingWindowsSql,
+    "q_map_ops" -> qMapOpsSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave on the driver. */
+  private def zRef(x: Long, y: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    val (xm, ym) = (x & mask, y & mask)
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((xm >> i) & 1L) << (2 * i)) | (((ym >> i) & 1L) << (2 * i + 1))
+    }
+  }
+
+  test("zValue matches the reference bit-interleave, incl. masking") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L),
+      (1024L, 0L) /* masked back to 0 */, (65535L, 12345L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === zRef(x, y, 10), s"($x, $y)")
+    }
+    // spot-pin the canonical small values: z(1,0)=1, z(0,1)=2, z(1,1)=3
+    assert(got((1L, 0L)) === 1L && got((0L, 1L)) === 2L)
+  }
+
+  test("clusterByZ gives box-query locality that unclustered placement lacks") {
+    // 64×64 grid, 16 range partitions on z. The 8×8 box at the origin is one
+    // contiguous z-run (z < 64 of 4096) → lands in 1 partition (≤2 if a
+    // sampled range boundary happens to split the run); round-robin placement
+    // scatters the same 64 rows across essentially every partition — the
+    // min/max-pruning contrast a writer gets from clustering.
+    // Materialize through a real write/read: lazily, Catalyst pushes the box
+    // filter BELOW the repartition and the comparison measures nothing.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def filesHit(layout: org.apache.spark.sql.DataFrame, dir: String): Long = {
+      layout.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .filter(col("x") < 8 && col("y") < 8)
+        .select(input_file_name()).distinct().count()
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val zFiles = filesHit(
+      Layout.clusterByZ(grid, "x", "y", bits = 6, numPartitions = 16), s"$base/z")
+    assert(zFiles <= 2L, s"z-order box should hit ≤2 files, hit $zFiles")
+    val ctrlFiles = filesHit(grid.repartition(16), s"$base/ctrl")
+    assert(ctrlFiles >= 8L, s"unclustered control should scatter, hit $ctrlFiles")
+  }
+
+  test("clusterByZ preserves rows and columns") {
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val out = Layout.clusterByZ(grid, "x", "y", bits = 4, numPartitions = 4)
+    assert(out.columns.toSeq === Seq("x", "y"))
+    assert(out.count() === 256L)
+  }
+}

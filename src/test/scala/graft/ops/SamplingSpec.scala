@@ -79,4 +79,35 @@ class SamplingSpec extends SparkSpec {
     assert(spread(after) < spread(before), // head:tail ratio strictly shrinks
       s"spread ${spread(after)} not below ${spread(before)}")
   }
+
+  test("fixedKPerStratum: exactly k per stratum, reproducible, hash-ordered") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, if (i % 4 == 0) "fr" else "en"))
+      .toDF("id", "lang")
+    val out = Sampling.fixedKPerStratum(df, "id", "lang", k = 10)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("en" -> 10L, "fr" -> 10L))
+    // ranks are 1..k within each stratum
+    assert(out.filter($"sample_rank" < 1 || $"sample_rank" > 10).isEmpty)
+    // pure hash order: partitioning-independent membership AND ranks
+    val again = Sampling.fixedKPerStratum(df.repartition(13), "id", "lang", k = 10)
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "sample_rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyed(out) === keyed(again))
+    // a different salt draws a different committee
+    val salted = Sampling.fixedKPerStratum(df, "id", "lang", k = 10, salt = "other")
+    assert(keyed(out).keySet !== keyed(salted).keySet)
+  }
+
+  test("fixedKPerStratum: stratum smaller than k keeps all its rows") {
+    import spark.implicits._
+    val df = ((0L until 3L).map(i => (i, "rare")) ++
+      (10L until 60L).map(i => (i, "big"))).toDF("id", "lang")
+    val out = Sampling.fixedKPerStratum(df, "id", "lang", k = 5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("rare" -> 3L, "big" -> 5L))
+  }
 }
