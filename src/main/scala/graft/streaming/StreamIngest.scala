@@ -115,10 +115,13 @@ object StreamIngest {
     * bounds state for late data).
     */
   def windowedEventCounts(events: DataFrame, windowLen: String = "1 hour",
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour", slide: String = null): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      // slide < windowLen → overlapping (sliding) windows: each event lands
+      // in windowLen/slide state rows; null slide = tumbling (slide == len)
+      .groupBy(window(col("ts"), windowLen,
+        Option(slide).getOrElse(windowLen)).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         // decimal-exact sum, DOUBLE on the wire (exact decimal→double is
         // deterministic; Decimal columns hash inconsistently downstream)

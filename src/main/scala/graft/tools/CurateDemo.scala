@@ -4,15 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.ops.{Clusters, Contamination, Dedup, Mixture, Packing, Scrub, Splits, TrainExport}
+import graft.ops.{Clusters, Contamination, Dedup, Mixture, Packing, Sampling, Scrub, Splits, TrainExport, Vocab}
 
 /** End-to-end training-data curation demo: the extension operators composed
   * the way a real corpus pipeline chains them —
   *
   *   quality filter → PII scrub → exact dedup → near-dup clustering →
-  *   survivor selection → contamination check → sequence packing →
-  *   mixture upsampling → train/val/test split → shuffle-shards →
-  *   JSONL export
+  *   survivor selection → contamination check → tokenizer pair counts →
+  *   fixed-k eval carve → sequence packing → mixture upsampling →
+  *   train/val/test split → shuffle-shards → JSONL export
   *
   * Every stage is an operator the correctness gate oracles individually;
   * this tool demonstrates (and smoke-checks) that they compose on a real
@@ -88,6 +88,20 @@ object CurateDemo {
 
     val clean = candidates.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
 
+    // 5b. tokenizer prep: the corpus adjacent-pair table (BPE merge
+    // selection reads the head of this)
+    val topPairs = Vocab.topPairCounts(clean, "text", k = 5)
+      .collect().map(r => s"'${r.getString(0)}'x${r.getLong(1)}").mkString(", ")
+    println(s"=== top adjacent token pairs: $topPairs ===")
+
+    // 5c. deterministic fixed-size eval carve per language — held out of
+    // every training artifact below
+    val withLang = clean.join(docs.select($"doc_id", $"lang"), "doc_id")
+    val evalSet = Sampling.fixedKPerStratum(withLang, "doc_id", "lang", k = 25)
+    val trainPool = withLang.join(evalSet.select("doc_id"), Seq("doc_id"), "left_anti")
+    println(s"=== eval carve: ${evalSet.count()} eval docs held out; " +
+      s"${trainPool.count()} remain ===")
+
     // 6. pack into 512-token training sequences (16 parallel ranges)
     val packed = Packing.packGreedy(clean, "doc_id", $"n_tokens", budget = 512,
       pmod(hash($"doc_id"), lit(16)), nRanges = 16)
@@ -99,8 +113,7 @@ object CurateDemo {
     // 7. rebalance the language mixture (tail langs repeat, cap 2 epochs),
     // split train/val/test by id hash, lay out the deterministic training
     // order, and hand off as partitioned JSONL
-    val mix = Mixture.upsampleEpochs(
-      clean.join(docs.select($"doc_id", $"lang"), "doc_id"), "lang", maxEpochs = 2)
+    val mix = Mixture.upsampleEpochs(trainPool, "lang", maxEpochs = 2)
     val split = Splits.withSplit(mix, "doc_id")
     // (doc_id, epoch) is the unique row key post-upsampling: epoch joins the
     // shuffle fingerprint so positions stay deterministic and epoch copies

@@ -179,6 +179,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_bpe_pairs: top-k via TakeOrderedAndProject over one partial-agg shuffle") {
+    val p = plan("q_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
+    // partial+final hash agg: heavy-hitter pairs collapse map-side
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_fixed_sample: WindowGroupLimit caps per-stratum state at k") {
+    val p = plan("q_fixed_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rank pre-filter lost — the window would sort whole strata")
+  }
+
+  test("q_zorder: narrow two-column scan, no joins/shuffles beyond the output sort") {
+    val p = plan("q_zorder")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint>"),
+      "z-value query should read only its two key columns")
+    // the interleave is pure shift/and/or built-ins: a row-local Project —
+    // any aggregate or join appearing here means the law leaked a shuffle
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+  }
+
+  test("q_map_ops / q_sliding_windows: two-phase hash aggregates, no single-partition funnel") {
+    for (name <- Seq("q_map_ops", "q_sliding_windows")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+        s"$name lost its hash aggregate")
+      // final orderBy is the only global exchange allowed
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means

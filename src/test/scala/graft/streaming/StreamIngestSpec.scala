@@ -120,6 +120,26 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("sliding windows: streaming result equals the batch q_sliding_windows law") {
+    val srcDir = tmp("graft-events-slide")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    events.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+    val agg = StreamIngest.windowedEventCounts(stream, slide = "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("slide_out")
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val want = Registry.qSlidingWindows(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("streaming dedup: watermarked state drops duplicate event_ids exactly-once") {
     val srcDir = tmp("graft-dup-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
