@@ -313,4 +313,117 @@ object Dedup {
         length(col("_clean")).cast("bigint").as("clean_len"),
         md5(col("_clean")).as("clean_hash"))
   }
+
+  /** Corpus-duplicated span islands — substring-level dedup in the spirit
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22): find character spans that recur across documents
+    * and merge them into per-document intervals. Span starts are picked by
+    * CONTENT, not position — a k-gram is an anchor iff its hash is a
+    * strict local minimum among the `w` k-grams on each side (the
+    * winnowing/fingerprinting idea of Schleimer et al., SIGMOD'03) — so
+    * two copies of a long duplicated run select the SAME interior anchors
+    * no matter where the run sits in each document (fixed-stride windows
+    * would only match when both copies happen to share alignment phase).
+    * A span of `span` chars from each anchor is hashed; spans whose exact
+    * text occurs in ≥ `minDocs` distinct documents are flagged and merged
+    * (gaps-and-islands) into intervals.
+    *
+    * Detection granularity: duplicated runs of at least ~(span + 2w + k)
+    * chars are caught in their interior; runs shorter than `span` never
+    * are. Highly repetitive text yields no STRICT local minima and thus no
+    * anchors inside the repetition — its duplication is the intra-doc kind
+    * ([[graft.queries.Registry.qRepetition]] territory), documented, not
+    * hidden.
+    *
+    * Scale shape: per-position hashing is one generate+project inside the
+    * scan (no text duplication — codegen fuses the substring into the
+    * explode loop); anchor selection is a doc-partitioned window (two
+    * frames, one sort); flagged-span detection is one hash-aggregate on
+    * the span hash + a semi join — all keyed shuffles, nothing quadratic,
+    * no driver state. The anchor density is ~2/(w+1) per char, so the
+    * span-hash table is a small fraction of corpus size.
+    */
+  def duplicatedSpanIslands(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8, span: Int = 40, minDocs: Int = 2): DataFrame = {
+    require(k > 0 && w > 0 && span >= k && minDocs >= 2,
+      "need k > 0, w > 0, span >= k, minDocs >= 2")
+    val txt = coalesce(col(textCol).cast("string"), lit(""))
+    val d = df.select(col(idCol).as("_id"), txt.as("_t"),
+      length(txt).cast("long").as("_len"))
+    val grams = d.filter(col("_len") >= k)
+      .select(col("_id"), col("_len"), col("_t"),
+        explode(sequence(lit(0L), col("_len") - k)).as("_p"))
+      .select(col("_id"), col("_len"), col("_p"),
+        md5(col("_t").substr((col("_p") + 1L).cast("int"), lit(k))).as("_h"))
+    val ws = Window.partitionBy("_id").orderBy("_p")
+    val minL = min(col("_h")).over(ws.rowsBetween(-w, -1))
+    val minR = min(col("_h")).over(ws.rowsBetween(1, w))
+    val anchors = grams
+      .withColumn("_sel",
+        (minL.isNull || col("_h") < minL) && (minR.isNull || col("_h") < minR))
+      .filter(col("_sel"))
+      .select(col("_id"), col("_p"))
+    // re-join the text to hash the span ONLY at anchors (hashing span chars
+    // at every position would be w-times the work for nothing)
+    val slen = least(lit(span.toLong), col("_len") - col("_p"))
+    val spans = anchors.join(d, "_id")
+      .select(col("_id"), col("_p").as("_start"), slen.as("_slen"),
+        md5(col("_t").substr((col("_p") + 1L).cast("int"), slen.cast("int")))
+          .as("_sh"))
+    val dup = spans.groupBy("_sh")
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+    val wse = Window.partitionBy("_id").orderBy("_start")
+    val prevMaxEnd = max(col("_end")).over(
+      wse.rowsBetween(Window.unboundedPreceding, -1))
+    spans.join(dup.select("_sh"), Seq("_sh"), "left_semi")
+      .withColumn("_end", col("_start") + col("_slen"))
+      .withColumn("_brk",
+        when(prevMaxEnd.isNull || col("_start") > prevMaxEnd, 1).otherwise(0))
+      .withColumn("_isl",
+        sum(col("_brk")).over(wse.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_id"), col("_isl"))
+      .agg(min(col("_start")).as("island_start"),
+        max(col("_end")).as("island_end"),
+        count(lit(1)).as("n_spans"))
+      .select(col("_id").as(idCol), col("island_start"), col("island_end"),
+        col("n_spans"))
+  }
+
+  /** Excise the duplicated-span islands from every document: the
+    * reassembly law of [[duplicatedSpanIslands]]. Returns one row per
+    * input document — (idCol, n_islands, n_dup_spans, clean_len,
+    * clean_hash) — with the kept segments concatenated in order (hash
+    * witness, same contract as [[chunkDedupDocs]]).
+    */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 8, span: Int = 40, minDocs: Int = 2): DataFrame = {
+    val islands = duplicatedSpanIslands(df, idCol, textCol, k, w, span, minDocs)
+    val perDoc = islands.groupBy(idCol)
+      .agg(count(lit(1)).as("_ni"), sum(col("n_spans")).as("_nsp"),
+        array_sort(collect_list(struct(col("island_start"), col("island_end"))))
+          .as("_isl"))
+    val txt = coalesce(col(textCol).cast("string"), lit(""))
+    val emptyIslands = array().cast(
+      "array<struct<island_start:bigint,island_end:bigint>>")
+    df.select(col(idCol), txt.as("_t"), length(txt).cast("long").as("_len"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("_clean", aggregate(
+        coalesce(col("_isl"), emptyIslands),
+        struct(lit(0L).as("pos"), lit("").as("acc")),
+        (st, i) => struct(
+          i.getField("island_end").as("pos"),
+          concat(st.getField("acc"),
+            col("_t").substr((st.getField("pos") + 1L).cast("int"),
+              (i.getField("island_start") - st.getField("pos")).cast("int")))
+            .as("acc")),
+        st => concat(st.getField("acc"),
+          col("_t").substr((st.getField("pos") + 1L).cast("int"),
+            (col("_len") - st.getField("pos")).cast("int")))))
+      .select(col(idCol),
+        coalesce(col("_ni"), lit(0L)).cast("bigint").as("n_islands"),
+        coalesce(col("_nsp"), lit(0L)).cast("bigint").as("n_dup_spans"),
+        length(col("_clean")).cast("bigint").as("clean_len"),
+        md5(col("_clean")).as("clean_hash"))
+  }
 }

@@ -1898,6 +1898,64 @@ object Registry {
       | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
       | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
 
+  /** Substring-level (span) dedup
+    * ([[graft.ops.Dedup.stripDuplicatedSpans]]): content-anchored spans
+    * recurring across documents are excised and each document reassembled —
+    * the Lee et al. ACL'22 exact-substring law, here with winnowing-style
+    * local-minimum anchors so detection is alignment-free. The oracle
+    * independently rebuilds anchors, span flags, interval merge, AND the
+    * ordered reassembly, hash-witnessed per document.
+    */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.stripDuplicatedSpans(t(spark, dir, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  val qSpanDedupSql: String =
+    """WITH d AS (SELECT doc_id, COALESCE(text, '') AS t,
+      |   length(COALESCE(text, '')) AS len FROM documents),
+      | g AS (SELECT doc_id, len, t, unnest(range(0, len - 8 + 1)) AS p
+      |   FROM d WHERE len >= 8),
+      | h AS (SELECT doc_id, len, t, p,
+      |   md5(substr(t, CAST(p + 1 AS INTEGER), 8)) AS hh FROM g),
+      | a AS (SELECT doc_id, len, t, p, hh,
+      |   min(hh) OVER (PARTITION BY doc_id ORDER BY p
+      |     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS ml,
+      |   min(hh) OVER (PARTITION BY doc_id ORDER BY p
+      |     ROWS BETWEEN 1 FOLLOWING AND 8 FOLLOWING) AS mr FROM h),
+      | an AS (SELECT doc_id, p, least(40, len - p) AS slen,
+      |   md5(substr(t, CAST(p + 1 AS INTEGER),
+      |     CAST(least(40, len - p) AS INTEGER))) AS sh
+      |  FROM a WHERE (ml IS NULL OR hh < ml) AND (mr IS NULL OR hh < mr)),
+      | f AS (SELECT sh FROM an GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+      | fl AS (SELECT doc_id, p AS st, p + slen AS en FROM an JOIN f USING (sh)),
+      | b AS (SELECT doc_id, st, en, CASE WHEN st > COALESCE(max(en) OVER
+      |   (PARTITION BY doc_id ORDER BY st
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |   THEN 1 ELSE 0 END AS brk FROM fl),
+      | i AS (SELECT doc_id, st, en, SUM(brk) OVER (PARTITION BY doc_id
+      |   ORDER BY st ROWS UNBOUNDED PRECEDING) AS isl FROM b),
+      | m AS (SELECT doc_id, isl, MIN(st) AS i_start, MAX(en) AS i_end,
+      |   COUNT(*) AS nsp FROM i GROUP BY 1, 2),
+      | gp AS (SELECT doc_id, COALESCE(lag(i_end) OVER (PARTITION BY doc_id
+      |     ORDER BY i_start), 0) AS gs, i_start AS ge FROM m
+      |   UNION ALL
+      |   SELECT doc_id, MAX(i_end) AS gs, any_value(len) AS ge
+      |    FROM m JOIN d USING (doc_id) GROUP BY doc_id),
+      | seg AS (SELECT gp.doc_id, gs, substr(d.t, CAST(gs + 1 AS INTEGER),
+      |   CAST(ge - gs AS INTEGER)) AS sgt FROM gp JOIN d USING (doc_id)),
+      | cl AS (SELECT doc_id, string_agg(sgt, '' ORDER BY gs) AS ct
+      |   FROM seg GROUP BY doc_id),
+      | stt AS (SELECT doc_id, COUNT(*) AS n_islands, SUM(nsp) AS n_dup_spans
+      |   FROM m GROUP BY doc_id)
+      | SELECT d.doc_id,
+      |  CAST(COALESCE(stt.n_islands, 0) AS BIGINT) AS n_islands,
+      |  CAST(COALESCE(stt.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      |  CAST(length(COALESCE(cl.ct, d.t)) AS BIGINT) AS clean_len,
+      |  md5(COALESCE(cl.ct, d.t)) AS clean_hash
+      | FROM d LEFT JOIN stt USING (doc_id) LEFT JOIN cl USING (doc_id)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -1976,7 +2034,8 @@ object Registry {
     "q_zorder" -> (qZorder _),
     "q_fixed_sample" -> (qFixedSample _),
     "q_sliding_windows" -> (qSlidingWindows _),
-    "q_map_ops" -> (qMapOps _))
+    "q_map_ops" -> (qMapOps _),
+    "q_span_dedup" -> (qSpanDedup _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -2059,7 +2118,8 @@ object Registry {
     "q_zorder" -> qZorderSql,
     "q_fixed_sample" -> qFixedSampleSql,
     "q_sliding_windows" -> qSlidingWindowsSql,
-    "q_map_ops" -> qMapOpsSql)
+    "q_map_ops" -> qMapOpsSql,
+    "q_span_dedup" -> qSpanDedupSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

@@ -113,4 +113,50 @@ class DedupSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
     assert(r(1L) === (2L, 2L)) // "AAAA" twice in ONE doc: both kept
   }
+
+  test("duplicated spans: alignment-free detection, unique docs untouched") {
+    // the same ~300-char boilerplate run planted at DIFFERENT offsets in two
+    // otherwise-unrelated documents — content anchors must still line up
+    // (a fixed-stride scheme would need both copies in the same phase)
+    val boiler = ("all your base stations belong to the colocated region " +
+      "please subscribe to the daily newsletter for exclusive updates ") * 3
+    val docA = "first document opens with its own words and numbers 12345. " +
+      boiler + "then it trails off into unrelated content about gardens."
+    val docB = "B-doc preamble of a deliberately different length!! " +
+      boiler + "closing remarks differ completely here, mentioning ships."
+    val docC = "entirely unique third document long enough to have many " +
+      "anchors of its own but sharing no forty-char run with anything else."
+    val corpus = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+
+    val islands = Dedup.duplicatedSpanIslands(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = islands.groupBy(_._1)
+    assert(byDoc.contains(1L) && byDoc.contains(2L), s"both copies flagged: $islands")
+    assert(!byDoc.contains(3L), "unique doc must have no islands")
+    // the island sits inside the boiler region (± span-length edge slack)
+    // and covers most of the run's interior
+    for ((id, off) <- Seq((1L, docA.indexOf(boiler)), (2L, docB.indexOf(boiler)))) {
+      val covered = byDoc(id).map(i => i._3 - i._2).sum
+      assert(covered >= boiler.length / 2, s"doc $id covered only $covered")
+      assert(byDoc(id).forall(i => i._2 >= off - 40 && i._3 <= off + boiler.length + 40),
+        s"island outside boiler region: ${byDoc(id).toList} vs offset $off")
+    }
+
+    // reassembly law: strip == independent driver-side excision of the islands
+    val got = Dedup.stripDuplicatedSpans(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getString(4))).toMap
+    val texts = Map(1L -> docA, 2L -> docB, 3L -> docC)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((id, text) <- texts) {
+      val isl = byDoc.getOrElse(id, Array.empty[(Long, Long, Long)])
+        .map(i => (i._2.toInt, i._3.toInt)).sortBy(_._1)
+      val clean = isl.foldLeft((0, new StringBuilder)) { case ((pos, sb), (s, e)) =>
+        (e, sb.append(text.substring(pos, s)))
+      } match { case (pos, sb) => sb.append(text.substring(pos)).toString }
+      assert(got(id)._1 === isl.length.toLong, s"doc $id n_islands")
+      assert(got(id)._2 === clean.length.toLong, s"doc $id clean_len")
+      assert(got(id)._3 === md5hex(clean), s"doc $id clean_hash")
+    }
+  }
 }

@@ -212,6 +212,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_span_dedup: doc-keyed windows, no cartesian, no single-partition funnel") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("CartesianProduct"), "span flagging degraded to all-pairs")
+    assert(!p.contains("SinglePartition"),
+      "a global exchange crept into the anchor/island windows")
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
