@@ -34,6 +34,24 @@ object Dedup {
     df.groupBy(TextFns.fingerprintMd5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
+  /** Cross-corpus exact dedup: drop incoming documents whose normalized
+    * content fingerprint (same law as [[exact]]) already exists in
+    * `reference` — the incremental-ingest guard that keeps a new crawl
+    * batch from re-adding what the corpus already holds. Anti semi-join on
+    * the hash: the reference side reduces to DISTINCT fingerprints first,
+    * so the shuffle carries one row per distinct reference content, not
+    * per reference document.
+    */
+  def exactAgainst(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val refHashes = reference
+      .select(TextFns.fingerprintMd5(col(textCol)).as("_rh")).distinct()
+    incoming
+      .withColumn("_ih", TextFns.fingerprintMd5(col(textCol)))
+      .join(refHashes, col("_ih") === col("_rh"), "left_anti")
+      .drop("_ih")
+  }
+
   /** MinHash signature from an already-materialized array of shingle hashes:
     * numHashes independent min-hashes, seed-rehash construction
     * h_i(s) = xxhash64(h(s), i).

@@ -1956,6 +1956,31 @@ object Registry {
       | FROM d LEFT JOIN stt USING (doc_id) LEFT JOIN cl USING (doc_id)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Cross-corpus exact dedup ([[graft.ops.Dedup.exactAgainst]]): a new
+    * batch (doc_id % 7 != 0) anti-joined on content fingerprint against the
+    * already-ingested corpus (doc_id % 7 == 0). NOT EXISTS in the oracle —
+    * the same keep-on-NULL semantics as Spark's left_anti.
+    */
+  def qDedupAgainst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Dedup.exactAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupAgainstSql: String =
+    """WITH fp AS (SELECT doc_id, lang,
+      |   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |  FROM documents),
+      | inc AS (SELECT * FROM fp WHERE doc_id % 7 <> 0),
+      | ref AS (SELECT DISTINCT h FROM fp WHERE doc_id % 7 = 0)
+      | SELECT doc_id, lang FROM inc i
+      | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -2035,7 +2060,8 @@ object Registry {
     "q_fixed_sample" -> (qFixedSample _),
     "q_sliding_windows" -> (qSlidingWindows _),
     "q_map_ops" -> (qMapOps _),
-    "q_span_dedup" -> (qSpanDedup _))
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_dedup_against" -> (qDedupAgainst _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -2119,7 +2145,8 @@ object Registry {
     "q_fixed_sample" -> qFixedSampleSql,
     "q_sliding_windows" -> qSlidingWindowsSql,
     "q_map_ops" -> qMapOpsSql,
-    "q_span_dedup" -> qSpanDedupSql)
+    "q_span_dedup" -> qSpanDedupSql,
+    "q_dedup_against" -> qDedupAgainstSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }

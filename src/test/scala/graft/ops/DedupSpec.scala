@@ -114,6 +114,17 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) === (2L, 2L)) // "AAAA" twice in ONE doc: both kept
   }
 
+  test("exactAgainst: normalized duplicates of the reference drop; NULL text survives") {
+    val incoming = Seq((1L, "Hello   World"), (2L, "fresh content"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val reference = Seq((100L, "hello world"), (101L, "other ref")).toDF("doc_id", "text")
+    val kept = Dedup.exactAgainst(incoming, reference, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 collapses onto the reference under the whitespace/case law; a NULL
+    // fingerprint never equi-matches, so 3 is kept (left_anti semantics)
+    assert(kept === Set(2L, 3L))
+  }
+
   test("duplicated spans: alignment-free detection, unique docs untouched") {
     // the same ~300-char boilerplate run planted at DIFFERENT offsets in two
     // otherwise-unrelated documents — content anchors must still line up
