@@ -1981,6 +1981,57 @@ object Registry {
       | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Array-producing regex extraction (`regexp_extract_all` — the
+    * entity/link-harvest surface): all 6+-letter lowercase words per
+    * document, count + order-sensitive md5 witness of the joined matches.
+    * Spark and RE2 agree on this pattern subset (the [[graft.ops.Scrub]]
+    * compatibility contract).
+    */
+  def qRegexExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(coalesce(col("text"), lit("")),
+          lit("[a-z]{6,}"), lit(0)).as("_m"))
+      .select(col("doc_id"),
+        size(col("_m")).cast("bigint").as("n_matches"),
+        md5(array_join(col("_m"), " ")).as("match_hash"))
+      .orderBy("doc_id")
+
+  val qRegexExtractSql: String =
+    // COALESCE twice: NULL text matches as '' (total law), and DuckDB's
+    // string_agg over an EMPTY list is NULL where Spark's array_join is ''
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(COALESCE(text, ''), '[a-z]{6,}')) AS BIGINT)
+      |   AS n_matches,
+      | md5(COALESCE(list_aggregate(regexp_extract_all(COALESCE(text, ''),
+      |   '[a-z]{6,}'), 'string_agg', ' '), '')) AS match_hash
+      | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** NTILE quartile assignment (per-group value banding — the remaining
+    * ranking-window surface after row_number/rank/percent_rank elsewhere):
+    * quartile bounds and populations of `value` per event type. Fully
+    * deterministic ordering tiebreak (value, event_id) so the quartile
+    * boundaries are engine-exact.
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .groupBy("event_type", "quartile")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("event_type", "quartile")
+  }
+
+  val qNtileSql: String =
+    """WITH q AS (SELECT event_type, value,
+      |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+      | FROM events)
+      | SELECT event_type, quartile, COUNT(*) AS n,
+      |  min(value) AS lo, max(value) AS hi
+      | FROM q GROUP BY 1, 2 ORDER BY event_type, quartile""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -2061,7 +2112,9 @@ object Registry {
     "q_sliding_windows" -> (qSlidingWindows _),
     "q_map_ops" -> (qMapOps _),
     "q_span_dedup" -> (qSpanDedup _),
-    "q_dedup_against" -> (qDedupAgainst _))
+    "q_dedup_against" -> (qDedupAgainst _),
+    "q_regex_extract" -> (qRegexExtract _),
+    "q_ntile" -> (qNtile _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -2146,7 +2199,9 @@ object Registry {
     "q_sliding_windows" -> qSlidingWindowsSql,
     "q_map_ops" -> qMapOpsSql,
     "q_span_dedup" -> qSpanDedupSql,
-    "q_dedup_against" -> qDedupAgainstSql)
+    "q_dedup_against" -> qDedupAgainstSql,
+    "q_regex_extract" -> qRegexExtractSql,
+    "q_ntile" -> qNtileSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
