@@ -353,41 +353,70 @@ object Dedup {
     * ([[graft.queries.Registry.qRepetition]] territory), documented, not
     * hidden.
     *
-    * Scale shape: per-position hashing is one generate+project inside the
-    * scan (no text duplication — codegen fuses the substring into the
-    * explode loop); anchor selection is a doc-partitioned window (two
-    * frames, one sort); flagged-span detection is one hash-aggregate on
-    * the span hash + a semi join — all keyed shuffles, nothing quadratic,
-    * no driver state. The anchor density is ~2/(w+1) per char, so the
-    * span-hash table is a small fraction of corpus size.
+    * Scale shape: anchor selection is ONE narrow mapPartitions pass per
+    * document (object boundary, the [[Dedup]] shingleHashFrame idiom) —
+    * the per-position k-gram hashes live only inside the closure, so
+    * nothing per-CHAR is ever shuffled. A declarative explode + window
+    * formulation would sort a frame ~40× the corpus bytes (one 32-hex
+    * hash row per character); here the first exchange already carries
+    * only the ~2/(w+1)-per-char span candidates. Flagged-span detection
+    * is one hash-aggregate on the span hash + a semi join, then a
+    * doc-keyed island-merge window over flagged spans only — all keyed
+    * shuffles, nothing quadratic, no driver state.
+    *
+    * Hash/offset law (oracle contract): hashes are lowercase-hex md5 of
+    * the UTF-8 bytes; offsets are Java UTF-16 code units, which equal
+    * SQL's codepoint offsets for BMP text (the oracle's domain).
     */
   def duplicatedSpanIslands(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8, span: Int = 40, minDocs: Int = 2): DataFrame = {
     require(k > 0 && w > 0 && span >= k && minDocs >= 2,
       "need k > 0, w > 0, span >= k, minDocs >= 2")
-    val txt = coalesce(col(textCol).cast("string"), lit(""))
-    val d = df.select(col(idCol).as("_id"), txt.as("_t"),
-      length(txt).cast("long").as("_len"))
-    val grams = d.filter(col("_len") >= k)
-      .select(col("_id"), col("_len"), col("_t"),
-        explode(sequence(lit(0L), col("_len") - k)).as("_p"))
-      .select(col("_id"), col("_len"), col("_p"),
-        md5(col("_t").substr((col("_p") + 1L).cast("int"), lit(k))).as("_h"))
-    val ws = Window.partitionBy("_id").orderBy("_p")
-    val minL = min(col("_h")).over(ws.rowsBetween(-w, -1))
-    val minR = min(col("_h")).over(ws.rowsBetween(1, w))
-    val anchors = grams
-      .withColumn("_sel",
-        (minL.isNull || col("_h") < minL) && (minR.isNull || col("_h") < minR))
-      .filter(col("_sel"))
-      .select(col("_id"), col("_p"))
-    // re-join the text to hash the span ONLY at anchors (hashing span chars
-    // at every position would be w-times the work for nothing)
-    val slen = least(lit(span.toLong), col("_len") - col("_p"))
-    val spans = anchors.join(d, "_id")
-      .select(col("_id"), col("_p").as("_start"), slen.as("_slen"),
-        md5(col("_t").substr((col("_p") + 1L).cast("int"), slen.cast("int")))
-          .as("_sh"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (kk, ww, sp) = (k, w, span)
+    val spans = df
+      .select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          digest.reset()
+          val b = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < b.length) {
+            sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+            sb.append(Character.forDigit(b(i) & 0xf, 16))
+            i += 1
+          }
+          sb.toString
+        }
+        it.flatMap { case (id, text) =>
+          val t = if (text == null) "" else text
+          val m = t.length - kk + 1 // k-gram count
+          if (m <= 0) Iterator.empty
+          else {
+            val hs = new Array[String](m)
+            var p = 0
+            while (p < m) { hs(p) = md5hex(t.substring(p, p + kk)); p += 1 }
+            // strict local minimum among the w neighbors on each side
+            (0 until m).iterator.filter { q =>
+              val lo = math.max(0, q - ww); val hi = math.min(m - 1, q + ww)
+              var j = lo; var sel = true
+              while (sel && j <= hi) {
+                if (j != q && hs(j) <= hs(q)) sel = false
+                j += 1
+              }
+              sel
+            }.map { q =>
+              val slen = math.min(sp, t.length - q)
+              (id, q.toLong, slen.toLong, md5hex(t.substring(q, q + slen)))
+            }
+          }
+        }
+      }
+      .toDF("_id", "_start", "_slen", "_sh")
     val dup = spans.groupBy("_sh")
       .agg(count_distinct(col("_id")).as("_nd"))
       .filter(col("_nd") >= minDocs)
