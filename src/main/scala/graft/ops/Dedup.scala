@@ -397,22 +397,38 @@ object Dedup {
           val m = t.length - kk + 1 // k-gram count
           if (m <= 0) Iterator.empty
           else {
-            val hs = new Array[String](m)
-            var p = 0
-            while (p < m) { hs(p) = md5hex(t.substring(p, p + kk)); p += 1 }
-            // strict local minimum among the w neighbors on each side
-            (0 until m).iterator.filter { q =>
+            // ring of the last 2w+1 k-gram hashes: the strict-local-min test
+            // for position q only reads [q-w, q+w], so per-doc memory is
+            // O(w), not O(doc length) (a full hash array would be ~50× the
+            // document size in the worst case)
+            val ring = new Array[String](2 * ww + 1)
+            def isAnchor(q: Int): Boolean = {
+              val hq = ring(q % ring.length)
               val lo = math.max(0, q - ww); val hi = math.min(m - 1, q + ww)
               var j = lo; var sel = true
               while (sel && j <= hi) {
-                if (j != q && hs(j) <= hs(q)) sel = false
+                if (j != q && ring(j % ring.length) <= hq) sel = false
                 j += 1
               }
               sel
-            }.map { q =>
-              val slen = math.min(sp, t.length - q)
-              (id, q.toLong, slen.toLong, md5hex(t.substring(q, q + slen)))
             }
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+            def emit(q: Int): Unit = {
+              val slen = math.min(sp, t.length - q)
+              out += ((id, q.toLong, slen.toLong, md5hex(t.substring(q, q + slen))))
+            }
+            var p = 0
+            while (p < m) {
+              ring(p % ring.length) = md5hex(t.substring(p, p + kk))
+              // position p-w now has its full right neighborhood in the ring
+              val q = p - ww
+              if (q >= 0 && isAnchor(q)) emit(q)
+              p += 1
+            }
+            // tail positions whose right neighborhood is truncated by doc end
+            var q = math.max(0, m - ww)
+            while (q < m) { if (isAnchor(q)) emit(q); q += 1 }
+            out.iterator
           }
         }
       }

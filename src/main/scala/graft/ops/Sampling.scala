@@ -107,6 +107,13 @@ object Sampling {
     * into the sort, so per-partition state is O(k), not O(stratum). For
     * very hot strata, pre-thin with [[deterministicSample]] at a rate that
     * keeps ≥ k expected survivors, then take the exact k from the residue.
+    *
+    * NULL-stratum note: unlike the join-keyed siblings
+    * ([[temperatureSample]], [[Mixture.upsampleEpochs]]), which EXCLUDE
+    * NULL strata, window partitioning groups NULLs together — so NULL
+    * forms its own stratum and contributes k rows (SQL window semantics,
+    * identical in the oracle). Coalesce a sentinel upstream if the
+    * exclusion contract is wanted.
     */
   def fixedKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
       k: Int, salt: String = "graft"): DataFrame = {

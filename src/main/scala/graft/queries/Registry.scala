@@ -1884,9 +1884,12 @@ object Registry {
       .agg(map_from_entries(collect_list(struct(col("event_type"), col("_n"))))
         .as("_m"))
       .select(col("user_id"),
-        coalesce(element_at(col("_m"), "click"), lit(0L)).as("n_click"),
-        coalesce(element_at(col("_m"), "purchase"), lit(0L)).as("n_purchase"),
-        coalesce(element_at(col("_m"), "error"), lit(0L)).as("n_error"),
+        // try_element_at, NOT element_at: under ANSI mode (this build's
+        // default) element_at THROWS on a missing map key — a user with no
+        // 'click' events would kill the query, not yield 0
+        coalesce(try_element_at(col("_m"), lit("click")), lit(0L)).as("n_click"),
+        coalesce(try_element_at(col("_m"), lit("purchase")), lit(0L)).as("n_purchase"),
+        coalesce(try_element_at(col("_m"), lit("error")), lit(0L)).as("n_error"),
         size(col("_m")).cast("bigint").as("n_types"))
       .orderBy("user_id")
 

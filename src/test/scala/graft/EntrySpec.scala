@@ -26,4 +26,20 @@ class EntrySpec extends SparkSpec {
       assert(n >= 0, name) // near-dup pair sets may legitimately be empty
     }
   }
+
+  test("q_map_ops: a user missing event types yields 0s, not an ANSI element_at error") {
+    // sf-corpus users happen to have every event type, so the driver gate
+    // can't see this; under ANSI (this build's default) a plain element_at
+    // THROWS on the missing keys — try_element_at is load-bearing
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-mapops").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = graft.queries.Registry.qMapOps(spark, d).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((0L, 0L, 0L, 1L)))
+  }
 }
