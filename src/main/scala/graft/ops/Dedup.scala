@@ -380,9 +380,8 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
-        def md5hex(s: String): String = {
-          digest.reset()
-          val b = digest.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        def hex(b: Array[Byte]): String = {
           val sb = new java.lang.StringBuilder(32)
           var i = 0
           while (i < b.length) {
@@ -392,22 +391,49 @@ object Dedup {
           }
           sb.toString
         }
+        // unsigned digest-byte order == lowercase-hex lexicographic order
+        // (each byte renders as two hex digits preserving unsigned rank), so
+        // the anchor test can compare raw 16-byte digests and skip per-
+        // position hex-string construction entirely
+        def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+          var i = 0
+          while (i < 16) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) return d
+            i += 1
+          }
+          0
+        }
         it.flatMap { case (id, text) =>
           val t = if (text == null) "" else text
           val m = t.length - kk + 1 // k-gram count
           if (m <= 0) Iterator.empty
           else {
-            // ring of the last 2w+1 k-gram hashes: the strict-local-min test
-            // for position q only reads [q-w, q+w], so per-doc memory is
-            // O(w), not O(doc length) (a full hash array would be ~50× the
-            // document size in the worst case)
-            val ring = new Array[String](2 * ww + 1)
+            // ASCII fast path: one UTF-8 encoding of the whole document, then
+            // every k-gram digests a slice of that array with zero per-
+            // position allocation. Non-ASCII docs (byte count != char count,
+            // so char offsets aren't byte offsets) fall back to substring
+            // encoding — the LAW (md5 of the UTF-8 bytes of the char span)
+            // is identical on both paths.
+            val bytes = t.getBytes(utf8)
+            val ascii = bytes.length == t.length
+            def gramDigest(p: Int, into: Array[Byte]): Unit = {
+              digest.reset()
+              if (ascii) digest.update(bytes, p, kk)
+              else digest.update(t.substring(p, p + kk).getBytes(utf8))
+              digest.digest(into, 0, 16)
+            }
+            // ring of the last 2w+1 k-gram digests: the strict-local-min
+            // test for position q only reads [q-w, q+w], so per-doc memory
+            // is O(w), not O(doc length) (a full hash array would be ~50×
+            // the document size in the worst case)
+            val ring = Array.fill(2 * ww + 1)(new Array[Byte](16))
             def isAnchor(q: Int): Boolean = {
               val hq = ring(q % ring.length)
               val lo = math.max(0, q - ww); val hi = math.min(m - 1, q + ww)
               var j = lo; var sel = true
               while (sel && j <= hi) {
-                if (j != q && ring(j % ring.length) <= hq) sel = false
+                if (j != q && cmp(ring(j % ring.length), hq) <= 0) sel = false
                 j += 1
               }
               sel
@@ -415,11 +441,14 @@ object Dedup {
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
             def emit(q: Int): Unit = {
               val slen = math.min(sp, t.length - q)
-              out += ((id, q.toLong, slen.toLong, md5hex(t.substring(q, q + slen))))
+              digest.reset()
+              if (ascii) digest.update(bytes, q, slen)
+              else digest.update(t.substring(q, q + slen).getBytes(utf8))
+              out += ((id, q.toLong, slen.toLong, hex(digest.digest())))
             }
             var p = 0
             while (p < m) {
-              ring(p % ring.length) = md5hex(t.substring(p, p + kk))
+              gramDigest(p, ring(p % ring.length))
               // position p-w now has its full right neighborhood in the ring
               val q = p - ww
               if (q >= 0 && isAnchor(q)) emit(q)
@@ -433,6 +462,11 @@ object Dedup {
         }
       }
       .toDF("_id", "_start", "_slen", "_sh")
+      // shuffle barrier shared by BOTH consumers below (frequency aggregate
+      // and the flagged-span semi join): without it each would re-run the
+      // whole anchor pass; with it they read one reused exchange, and both
+      // are keyed on _sh so neither needs a further shuffle
+      .repartition(col("_sh"))
     val dup = spans.groupBy("_sh")
       .agg(count_distinct(col("_id")).as("_nd"))
       .filter(col("_nd") >= minDocs)

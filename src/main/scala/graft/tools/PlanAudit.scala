@@ -23,7 +23,12 @@ object PlanAudit {
         // r4 additions worth auditing: partitioned shard window, lattice
         // Expand, range-frame window, null-safe hash join, blocked fuzzy join
         "q_shuffle_shards", "q_grouping_sets", "q_rolling_hour",
-        "q_nullsafe_join", "q_fuzzy_match")
+        "q_nullsafe_join", "q_fuzzy_match",
+        // r5: object-boundary span pass + keyed flag join, pair-count top-k,
+        // codegen bit-interleave, WindowGroupLimit'd fixed-k sample,
+        // window-expansion sliding agg
+        "q_span_dedup", "q_bpe_pairs", "q_zorder", "q_fixed_sample",
+        "q_sliding_windows")
     names.foreach { n =>
       println(s"===== $n =====")
       Registry.queries(n)(spark, dir).explain("formatted")
