@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *   1. neighbor-min: every node takes `min(own label, min of neighbors'
   *      labels)` — one shuffle join edges⋈labels + one hash aggregate;
   *   2. pointer jump: every node replaces its label by its LABEL'S label
-  *      (`comp ← comp(comp)`) — one self-join on the (tiny) label frame.
+  *      (`comp ← comp(comp)`, chasing the round-start map — synchronous
+  *      doubling) — one join against the (tiny) checkpointed label frame.
   *
   * Step 2 is what turns O(diameter) rounds into O(log diameter): labels hop
   * toward the component minimum exponentially, so even a pathological chain
