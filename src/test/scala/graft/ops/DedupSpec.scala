@@ -125,6 +125,22 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("duplicated spans negative control: a collision-free corpus is untouched") {
+    // random hex content (huge alphabet — no 40-char run can recur by
+    // chance): every doc must come back island-free and byte-identical
+    val rnd = new scala.util.Random(19L)
+    val docs = (0L until 40L).map { id =>
+      (id, Seq.fill(300)(Integer.toHexString(rnd.nextInt())).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(docs, "doc_id", "text")
+    assert(out.filter(col("n_islands") > 0).isEmpty, "false-positive islands")
+    val lens = out.select("doc_id", "clean_len").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length.toLong).toMap
+    assert(lens === want)
+  }
+
   test("duplicated spans: alignment-free detection, unique docs untouched") {
     // the same ~300-char boilerplate run planted at DIFFERENT offsets in two
     // otherwise-unrelated documents — content anchors must still line up

@@ -53,6 +53,28 @@ class LayoutSpec extends SparkSpec {
     assert(ctrlFiles >= 8L, s"unclustered control should scatter, hit $ctrlFiles")
   }
 
+  test("property: zValue round-trips through de-interleaving (random points)") {
+    // inverse law: collecting even bits gives x&mask, odd bits gives y&mask —
+    // a z-value that loses or mixes bits would fail some random point
+    def deinterleave(z: Long, bits: Int): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      for (i <- 0 until bits) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    val rnd = new scala.util.Random(11L)
+    val pts = Seq.fill(200)((rnd.nextLong().abs, rnd.nextLong().abs))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mask = (1L << 16) - 1
+    got.foreach { case (x, y, z) =>
+      assert(deinterleave(z, 16) === ((x & mask, y & mask)), s"($x, $y) -> $z")
+    }
+  }
+
   test("clusterByZ preserves rows and columns") {
     val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
       .toDF("x", "y")

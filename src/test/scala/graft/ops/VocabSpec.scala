@@ -33,4 +33,17 @@ class VocabSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(got === Set("w x", "x y", "y z"))
   }
+
+  test("property: total pair mass equals sum of max(0, n_tokens - 1)") {
+    val rnd = new scala.util.Random(3L)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val texts = Seq.fill(60)(
+      Seq.fill(rnd.nextInt(6))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    val docs = texts.toDF("text")
+    val totalPairs = Vocab.topPairCounts(docs, "text", k = 1000)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    val want = texts.map(t => math.max(0,
+      graft.functions.TextFns.tokensScala(t).length - 1).toLong).sum
+    assert(totalPairs === want)
+  }
 }
