@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches — the typed `Aggregator` (UDAF) surface of
+  * the engine. At 100 TB an exact per-token `groupBy` is the dominant
+  * shuffle of any corpus-statistics job; a count-min sketch (Cormode &
+  * Muthukrishnan, J.Algorithms'05) reduces it to one fixed-size buffer per
+  * group per partition: `reduce` is O(depth) increments, `merge` is
+  * element-wise addition (associative + commutative, so Spark's partial
+  * aggregation applies map-side), and the result answers point-frequency
+  * queries with one-sided error: estimate ≥ true count, and
+  * P[estimate > true + ε·N] ≤ δ with width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+  *
+  * The estimate is NOT cross-engine deterministic arithmetic, so this is
+  * deliberately a bench/scale path (like `approx_percentile` in
+  * [[Quantiles]]): SketchesSpec pins the one-sided bound and the
+  * exact-on-collision-free-fixtures case; exact oracles stay on the exact
+  * operators (q_vocab_top, q_token_histogram).
+  */
+object Sketches {
+
+  /** depth×width count-min matrix in one flat array, plus the item count. */
+  type Cms = Array[Long]
+
+  /** Lane index: row i uses hash h_i(x) = mix(x ^ seed_i) mod width. */
+  private def slot(item: Long, lane: Int, width: Int): Int = {
+    // the Dedup.mix64 finalizer (splitmix64) with a per-lane seed
+    var z = item ^ (0x9E3779B97F4A7C15L * (lane + 1))
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    ((z % width) + width).toInt % width
+  }
+
+  /** Typed Aggregator over pre-hashed items (xxhash64 a string column to
+    * feed it). Buffer layout: [d*w counters..., total_items].
+    */
+  final class CountMinAgg(depth: Int, width: Int)
+      extends Aggregator[Long, Cms, Cms] {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    override def zero: Cms = new Array[Long](depth * width + 1)
+    override def reduce(b: Cms, item: Long): Cms = {
+      var lane = 0
+      while (lane < depth) {
+        b(lane * width + slot(item, lane, width)) += 1L
+        lane += 1
+      }
+      b(depth * width) += 1L
+      b
+    }
+    override def merge(a: Cms, b: Cms): Cms = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(r: Cms): Cms = r
+    // ExpressionEncoder, not java/kryo serialization: the buffer crosses the
+    // partial→final exchange once per group per partition, so it should ride
+    // as an unsafe long array, not an opaque blob
+    override def bufferEncoder: Encoder[Cms] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Cms]()
+    override def outputEncoder: Encoder[Cms] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Cms]()
+  }
+
+  /** Column form: `cms(xxhash64(token))` usable in any agg. */
+  def countMin(items: Column, depth: Int = 4, width: Int = 1024): Column =
+    udaf(new CountMinAgg(depth, width)).apply(items)
+
+  /** Point-frequency estimate from a finished sketch (driver/UDF side):
+    * min over lanes — the canonical CM query.
+    */
+  def estimate(sketch: Cms, item: Long, depth: Int = 4, width: Int = 1024): Long = {
+    var best = Long.MaxValue
+    var lane = 0
+    while (lane < depth) {
+      val c = sketch(lane * width + slot(item, lane, width))
+      if (c < best) best = c
+      lane += 1
+    }
+    best
+  }
+
+  /** Total items folded into the sketch (the N of the ε·N error bound). */
+  def totalItems(sketch: Cms, depth: Int = 4, width: Int = 1024): Long =
+    sketch(depth * width)
+
+  /** Per-stratum approximate token frequencies for a probe list: one pass,
+    * one fixed-size buffer per stratum — the sketch twin of the exact
+    * q_vocab_top/q_token_histogram pipeline. Returns
+    * (stratum, token, est_count, n_tokens).
+    */
+  def approxTokenCounts(df: DataFrame, stratumCol: String, textCol: String,
+      probes: Seq[String], depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(stratumCol).as("_stratum"),
+      explode(graft.functions.TextFns.tokens(col(textCol))).as("_tok"))
+    val sketches = toks
+      .groupBy("_stratum")
+      .agg(countMin(xxhash64(col("_tok")), depth, width).as("_cms"))
+      .as[(String, Array[Long])]
+    // hash the probes with the SAME xxhash64 expression the token column
+    // saw (a JVM-side reimplementation would have to match Spark's seed and
+    // tail handling exactly — run it through Spark instead; bounded: one
+    // tiny local job over |probes| rows)
+    val hashed = spark.createDataset(probes).toDF("_p")
+      .select(col("_p"), xxhash64(col("_p")).as("_ph"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    sketches.flatMap { case (stratum, cms) =>
+      hashed.map { case (p, h) =>
+        (stratum, p, estimate(cms, h, depth, width),
+          totalItems(cms, depth, width))
+      }
+    }.toDF(stratumCol, "token", "est_count", "n_tokens")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(reps: Map[String, Int]): Seq[(String, String)] =
+    reps.toSeq.flatMap { case (tok, n) => Seq.fill(n)(("en", tok)) }
+      .grouped(7).zipWithIndex
+      .map { case (g, i) => ("en", g.map(_._2).mkString(" ")) }.toSeq
+
+  test("count-min: exact on a collision-free fixture; absent token reads 0") {
+    val docs = corpus(Map("alpha" -> 50, "beta" -> 20, "gamma" -> 1))
+      .toDF("lang", "text")
+    val got = Sketches.approxTokenCounts(docs, "lang", "text",
+        probes = Seq("alpha", "beta", "gamma", "absent"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // 3 distinct tokens in a 4×1024 sketch: no collisions, estimates exact
+    assert(got("alpha") === ((50L, 71L)))
+    assert(got("beta") === ((20L, 71L)))
+    assert(got("gamma") === ((1L, 71L)))
+    assert(got("absent")._1 === 0L)
+  }
+
+  test("count-min: partial+final merge is partitioning-independent") {
+    val docs = corpus(Map("aa" -> 33, "bb" -> 7, "cc" -> 19)).toDF("lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.approxTokenCounts(df, "lang", "text", Seq("aa", "bb", "cc"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(run(docs.repartition(7)) === run(docs.coalesce(1)))
+  }
+
+  test("count-min: one-sided error bound under forced collisions") {
+    // 2000-token vocabulary into a width-256 sketch: collisions guaranteed.
+    // CM law: estimate ≥ true always; overshoot ≤ 3e·N/width per probe with
+    // overwhelming (and, seeded, deterministic) probability.
+    val rnd = new scala.util.Random(5L)
+    val vocab = (0 until 2000).map(i => s"tok$i")
+    val toks = Seq.fill(5000)(vocab(rnd.nextInt(vocab.size)))
+    val docs = toks.grouped(10).map(g => ("en", g.mkString(" "))).toSeq
+      .toDF("lang", "text")
+    val truth = toks.groupBy(identity).map { case (t, l) => t -> l.size.toLong }
+    val probes = truth.keys.take(12).toSeq
+    val got = Sketches.approxTokenCounts(docs, "lang", "text", probes,
+        depth = 4, width = 256)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val n = 5000L
+    val cap = (3 * math.E * n / 256).toLong // 3e·N/width
+    probes.foreach { p =>
+      val (est, total) = got(p)
+      assert(total === n)
+      assert(est >= truth(p), s"$p: CM must never undercount")
+      assert(est <= truth(p) + cap, s"$p: overshoot ${est - truth(p)} > $cap")
+    }
+  }
+}
