@@ -2035,6 +2035,47 @@ object Registry {
       |  min(value) AS lo, max(value) AS hi
       | FROM q GROUP BY 1, 2 ORDER BY event_type, quartile""".stripMargin.replace("\n", " ")
 
+  /** Winsorization (percentile clipping — the standard outlier guard before
+    * a value feeds loss weighting or mixture math): per event type, clamp
+    * `value` into its exact [p05, p95] band and compare clipped vs raw
+    * mass. The exact-interpolation percentile is bit-equal to DuckDB's
+    * quantile_cont (proven by q_percentiles), so the clip thresholds — and
+    * therefore every clipped value — are engine-exact. Scale shape: one
+    * tiny per-group percentile aggregate broadcast back onto the stream;
+    * at 100 TB swap the exact percentile for `approx_percentile` exactly
+    * as [[graft.ops.Quantiles.topFractionByStratum]] does.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val bands = ev.groupBy(col("event_type").as("_et"))
+      .agg(expr("percentile(value, 0.05)").as("_lo"),
+        expr("percentile(value, 0.95)").as("_hi"))
+    ev.join(broadcast(bands), col("event_type") === col("_et"))
+      .select(col("event_type"),
+        least(greatest(col("value"), col("_lo")), col("_hi")).as("_cv"),
+        col("value"), col("_lo"), col("_hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") < col("_lo") || col("value") > col("_hi"), 1))
+          .as("n_clipped"),
+        sum(col("_cv").cast("decimal(18,4)")).cast("decimal(18,4)")
+          .cast("double").as("clipped_sum"),
+        first(col("_lo")).as("p05"), first(col("_hi")).as("p95"))
+      .orderBy("event_type")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH b AS (SELECT event_type AS _et,
+      |   quantile_cont(value, 0.05) AS _lo, quantile_cont(value, 0.95) AS _hi
+      |  FROM events GROUP BY 1)
+      | SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CASE WHEN value < _lo OR value > _hi THEN 1 END) AS n_clipped,
+      |  CAST(CAST(SUM(CAST(least(greatest(value, _lo), _hi) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS clipped_sum,
+      |  any_value(_lo) AS p05, any_value(_hi) AS p95
+      | FROM events JOIN b ON event_type = _et
+      | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -2117,7 +2158,8 @@ object Registry {
     "q_span_dedup" -> (qSpanDedup _),
     "q_dedup_against" -> (qDedupAgainst _),
     "q_regex_extract" -> (qRegexExtract _),
-    "q_ntile" -> (qNtile _))
+    "q_ntile" -> (qNtile _),
+    "q_winsorize" -> (qWinsorize _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -2204,7 +2246,8 @@ object Registry {
     "q_span_dedup" -> qSpanDedupSql,
     "q_dedup_against" -> qDedupAgainstSql,
     "q_regex_extract" -> qRegexExtractSql,
-    "q_ntile" -> qNtileSql)
+    "q_ntile" -> qNtileSql,
+    "q_winsorize" -> qWinsorizeSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
