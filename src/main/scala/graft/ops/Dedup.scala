@@ -114,7 +114,7 @@ object Dedup {
   }
 
   /** splitmix64 finalizer — avalanche mixing for shingle/lane hashes. */
-  private def mix64(z0: Long): Long = {
+  private[ops] def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -25,13 +25,11 @@ object Sketches {
   /** depth×width count-min matrix in one flat array, plus the item count. */
   type Cms = Array[Long]
 
-  /** Lane index: row i uses hash h_i(x) = mix(x ^ seed_i) mod width. */
+  /** Lane index: row i uses hash h_i(x) = mix64(x ^ seed_i) mod width —
+    * the shared splitmix64 finalizer ([[Dedup.mix64]]) with a per-lane seed.
+    */
   private def slot(item: Long, lane: Int, width: Int): Int = {
-    // the Dedup.mix64 finalizer (splitmix64) with a per-lane seed
-    var z = item ^ (0x9E3779B97F4A7C15L * (lane + 1))
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= z >>> 31
+    val z = Dedup.mix64(item ^ (0x9E3779B97F4A7C15L * (lane + 1)))
     ((z % width) + width).toInt % width
   }
 
@@ -97,7 +95,7 @@ object Sketches {
       probes: Seq[String], depth: Int = 4, width: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(col(stratumCol).as("_stratum"),
+    val toks = df.select(col(stratumCol).cast("string").as("_stratum"),
       explode(graft.functions.TextFns.tokens(col(textCol))).as("_tok"))
     val sketches = toks
       .groupBy("_stratum")

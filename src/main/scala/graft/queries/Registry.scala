@@ -1881,7 +1881,12 @@ object Registry {
     t(spark, dir, "events")
       .groupBy("user_id", "event_type").agg(count(lit(1)).as("_n"))
       .groupBy("user_id")
-      .agg(map_from_entries(collect_list(struct(col("event_type"), col("_n"))))
+      // NULL event_type must not reach the map: map_from_entries throws on
+      // a NULL key. collect_list drops the nulled-out struct, which matches
+      // the oracle's laws exactly (COUNT(DISTINCT) ignores NULL; a user with
+      // only NULL types still groups, here with an empty map → n_types 0)
+      .agg(map_from_entries(collect_list(
+          when(col("event_type").isNotNull, struct(col("event_type"), col("_n")))))
         .as("_m"))
       .select(col("user_id"),
         // try_element_at, NOT element_at: under ANSI mode (this build's
@@ -2017,7 +2022,11 @@ object Registry {
     * boundaries are engine-exact.
     */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    // NULLS FIRST pinned explicitly on both sides: Spark's ascending default
+    // is nulls-first, DuckDB's is nulls-LAST — a NULL value would otherwise
+    // land in quartile 1 here and quartile 4 in the oracle
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc_nulls_first, col("event_id"))
     t(spark, dir, "events")
       .select(col("event_type"), col("event_id"), col("value"),
         ntile(4).over(w).cast("bigint").as("quartile"))
@@ -2029,7 +2038,8 @@ object Registry {
 
   val qNtileSql: String =
     """WITH q AS (SELECT event_type, value,
-      |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+      |  ntile(4) OVER (PARTITION BY event_type
+      |    ORDER BY value NULLS FIRST, event_id) AS quartile
       | FROM events)
       | SELECT event_type, quartile, COUNT(*) AS n,
       |  min(value) AS lo, max(value) AS hi

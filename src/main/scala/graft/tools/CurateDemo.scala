@@ -102,8 +102,10 @@ object CurateDemo {
     println(s"=== eval carve: ${evalSet.count()} eval docs held out; " +
       s"${trainPool.count()} remain ===")
 
-    // 6. pack into 512-token training sequences (16 parallel ranges)
-    val packed = Packing.packGreedy(clean, "doc_id", $"n_tokens", budget = 512,
+    // 6. pack into 512-token training sequences (16 parallel ranges) —
+    // from trainPool, NOT clean: the eval carve must stay out of every
+    // training artifact, packs included
+    val packed = Packing.packGreedy(trainPool, "doc_id", $"n_tokens", budget = 512,
       pmod(hash($"doc_id"), lit(16)), nRanges = 16)
     val stats = Packing.packStats(packed, budget = 512)
       .agg(count(lit(1)), avg($"utilization"), max($"n_docs")).head()

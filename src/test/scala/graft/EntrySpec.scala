@@ -33,13 +33,17 @@ class EntrySpec extends SparkSpec {
     // THROWS on the missing keys — try_element_at is load-bearing
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-mapops").toString
-    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 1.0, "{}"))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, ts, 7L, "view", 1.0, "{}"),
+      // a user whose ONLY event type is NULL: map_from_entries would throw
+      // on the NULL key; the law keeps the user with an empty map (n_types 0,
+      // matching the oracle's COUNT(DISTINCT) null-exclusion)
+      (2L, ts, 8L, null.asInstanceOf[String], 2.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     val rows = graft.queries.Registry.qMapOps(spark, d).collect()
-    assert(rows.length === 1)
-    val r = rows.head
-    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
-      ((0L, 0L, 0L, 1L)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows === Map(7L -> ((0L, 0L, 0L, 1L)), 8L -> ((0L, 0L, 0L, 0L))))
   }
 }
