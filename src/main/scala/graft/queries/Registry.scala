@@ -2086,6 +2086,42 @@ object Registry {
       | FROM events JOIN b ON event_type = _et
       | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
 
+  /** Corpus profile (the "dataset card" table a curation run publishes):
+    * per language — document count, exact token mass (shared tokens law),
+    * median char length (bit-exact interpolated percentile), and the
+    * duplicate-document rate under the exact-dedup fingerprint law. One
+    * composed query over three already-oracled laws; the scale shape is
+    * two hash aggregates (fingerprint, then language) — no window, no join
+    * wider than the per-language rollup.
+    */
+  def qCorpusProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val fp = docs.select(col("lang"), col("n_chars"),
+      graft.functions.TextFns.tokenCount(col("text")).as("_nt"),
+      graft.functions.TextFns.fingerprintMd5(col("text")).as("_h"))
+    val dupHashes = fp.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("_h")
+    fp.join(dupHashes.withColumn("_dup", lit(1L)), Seq("_h"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("total_tokens"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        count(col("_dup")).as("n_dup_docs"))
+      .orderBy("lang")
+  }
+
+  val qCorpusProfileSql: String =
+    s"""WITH fp AS (SELECT lang, n_chars, $nTokensSqlExpr AS _nt,
+      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS _h
+      |  FROM documents),
+      | d AS (SELECT _h FROM fp GROUP BY _h HAVING COUNT(*) > 1)
+      | SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(_nt) AS BIGINT) AS total_tokens,
+      |  quantile_cont(n_chars, 0.5) AS p50_chars,
+      |  CAST(COUNT(CASE WHEN _h IN (SELECT _h FROM d) THEN 1 END) AS BIGINT)
+      |    AS n_dup_docs
+      | FROM fp GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -2169,7 +2205,8 @@ object Registry {
     "q_dedup_against" -> (qDedupAgainst _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
-    "q_winsorize" -> (qWinsorize _))
+    "q_winsorize" -> (qWinsorize _),
+    "q_corpus_profile" -> (qCorpusProfile _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,
@@ -2257,7 +2294,8 @@ object Registry {
     "q_dedup_against" -> qDedupAgainstSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
-    "q_winsorize" -> qWinsorizeSql)
+    "q_winsorize" -> qWinsorizeSql,
+    "q_corpus_profile" -> qCorpusProfileSql)
     // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
     // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
 }
