@@ -376,6 +376,155 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Per-JVM PQ codebook cache (same rationale as [[centroidCache]]). */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int), Array[Array[Array[Double]]]]()
+
+  private def normalized(v: Array[Float]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+    out
+  }
+
+  /** Train product-quantization codebooks (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11): the vector is cut
+    * into `m` subspaces and each gets its own 2^nbits-centroid k-means
+    * codebook, fit on the same BOUNDED seeded sample discipline as
+    * [[trainIvfCentroids]]. Training (and encoding) operates on
+    * L2-NORMALIZED vectors, so the asymmetric-distance sum directly
+    * approximates the cosine.
+    */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int,
+      nbits: Int, maxTrainRows: Int = 100000): Array[Array[Array[Double]]] = {
+    require(m >= 1 && nbits >= 1 && nbits <= 12, "need m >= 1, 1 <= nbits <= 12")
+    val key = (corpus.queryExecution.logical.canonicalized.toString + "#" + vecCol,
+      m, nbits, maxTrainRows)
+    if (pqCache.size > 64) pqCache.clear()
+    pqCache.computeIfAbsent(key, { _ =>
+      val sample: Array[Array[Double]] = corpus
+        .select(col(vecCol))
+        .rdd.map(r => normalized(r.getSeq[Float](0).toArray))
+        .takeSample(withReplacement = false, maxTrainRows, seed = 42L)
+      require(sample.nonEmpty, "PQ training sample is empty")
+      val dim = sample(0).length
+      require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+      val sub = dim / m
+      Array.tabulate(m) { j =>
+        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+        lloyd(pts, 1 << nbits, iters = 15, seed = 42L + j)
+      }
+    })
+  }
+
+  /** PQ ANN top-k — the compressed-domain scan that makes embedding search
+    * payable when the vectors themselves no longer fit anywhere: the corpus
+    * is encoded to `m` code bytes per vector (one narrow pass, codebooks in
+    * the closure), each query carries an m×2^nbits table of per-centroid
+    * dot contributions, and the scan accumulates `sim ≈ Σ_j tab(j)(code_j)`
+    * keeping a bounded per-query heap PER PARTITION — so the shuffle after
+    * the scan is only (numPartitions × k) rows per query, never the corpus.
+    * With `rerank` (default) the shortlist is re-scored with the exact
+    * native cosine, so returned sims are true cosines of PQ-recalled
+    * candidates (rank quality comes from recall, not from ADC error).
+    *
+    * Query batch is BOUNDED by contract (collected to build ADC tables —
+    * same boundedness the broadcast query side of [[lshTopK]]/[[ivfTopK]]
+    * relies on). ADC ties at a partial heap's boundary may admit either
+    * candidate depending on partitioning; the final rank window breaks all
+    * surviving ties deterministically.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 16, nbits: Int = 6,
+      rerank: Boolean = true, shortlistFactor: Int = 8,
+      maxTrainRows: Int = 100000): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = trainPqCodebooks(corpus, vecCol, m, nbits, maxTrainRows)
+    val sub = books(0)(0).length
+    // the ADC scan keeps shortlistFactor·k candidates per query and the
+    // exact rerank cuts back to k — the standard recall lever: ADC error
+    // reorders the boundary, so recall lives in the shortlist size (cost is
+    // per-partition heap size only; the rerank join stays tiny)
+    val shortlistK = if (rerank) math.max(k, shortlistFactor * k) else k
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val tables: Array[(Long, Array[Array[Double]])] = qRows.map { case (qid, qv) =>
+      val qn = normalized(qv)
+      qid -> Array.tabulate(m) { j =>
+        books(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qn(j * sub + i) * c(i); i += 1 }
+          s
+        }
+      }
+    }
+    val kk = shortlistK
+    val candidates = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // min-heap per query: head is the weakest kept candidate
+        val heaps = tables.map { case (qid, _) =>
+          qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by((x: (Double, Long)) => -x._1))
+        }
+        it.foreach { case (nid, v) =>
+          val vn = normalized(v)
+          val codes = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            val book = books(j)
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < book.length) {
+              var d = 0.0; var i = 0
+              while (i < sub) { val t = vn(j * sub + i) - book(c)(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best; j += 1
+          }
+          var qi = 0
+          while (qi < tables.length) {
+            val (qid, tab) = tables(qi)
+            if (qid != nid) {
+              var s = 0.0; var jj = 0
+              while (jj < m) { s += tab(jj)(codes(jj)); jj += 1 }
+              val h = heaps(qi)._2
+              if (h.size < kk) h.enqueue((s, nid))
+              else if (s > h.head._1) { h.dequeue(); h.enqueue((s, nid)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (s, nid) => (qid, nid, s) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc_sim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("neighbor_id"))
+    val shortlist = candidates
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= shortlistK)
+    if (!rerank) {
+      shortlist.select(col("query_id"), col("neighbor_id"),
+        col("adc_sim").as("sim"), col("rank"))
+    } else {
+      val qdf = spark.createDataset(qRows.toSeq).toDF("query_id", "_qv")
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      shortlist.select("query_id", "neighbor_id")
+        .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+          col(vecCol).as("_cv")), "neighbor_id")
+        .join(broadcast(qdf), "query_id")
+        .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    }
+  }
+
   /** Exact embedding near-dup pairs within metadata blocks: candidates are
     * restricted to rows sharing `blockCol` (source, shard, language, …) and
     * verified with the native cosine — the classic blocking+verify dedup

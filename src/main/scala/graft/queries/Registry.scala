@@ -1419,6 +1419,19 @@ object Registry {
       .orderBy("query_id", "rk")
   }
 
+  /** PQ (product-quantization) ANN — no SQL oracle (trained codebooks);
+    * twin recall, brute-force agreement after re-rank, and ADC-vs-exact
+    * correlation are unit-tested (SimilaritySpec), recall measured by
+    * AnnRecall.
+    */
+  def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.pqTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** CUBE aggregate: the full subtotal lattice over (lang, source) — per
     * pair, per lang, per source, and grand total in one pass. Complements
     * [[qRollup]] (which only produces the prefix hierarchy). Neither column
@@ -2206,7 +2219,8 @@ object Registry {
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
-    "q_corpus_profile" -> (qCorpusProfile _))
+    "q_corpus_profile" -> (qCorpusProfile _),
+    "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
     "q_status_summary" -> qStatusSummarySql,

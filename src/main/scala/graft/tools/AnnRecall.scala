@@ -7,7 +7,7 @@ import graft.ops.Similarity
 
 /** Measured recall of the approximate ANN paths against the brute-force
   * oracle, on the real embeddings table: for each query vector, how many of
-  * the true top-k neighbors does LSH / IVF return?
+  * the true top-k neighbors does LSH / IVF / PQ return?
   *
   * Context for reading the numbers: hyperplane LSH's candidate probability
   * decays with angular distance, so recall is HIGH in the genuinely-near
@@ -52,6 +52,8 @@ object AnnRecall {
       Similarity.lshTopK(corpus, queries, "vec_id", "embedding", k)))
     report("ivf", truthPairs(
       Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k)))
+    report("pq", truthPairs(
+      Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k)))
     spark.stop()
   }
 }

@@ -78,6 +78,39 @@ class SimilaritySpec extends SparkSpec {
       .collect().foreach { case (qid, s) => assert(s === bf(qid)) }
   }
 
+  test("pqTopK: planted twins recovered; reranked sims are exact cosines") {
+    // 32-dim vectors, m=4 subspaces × 64 codes: a twin's PQ codes match its
+    // original's (perturbation ≪ quantization cell), so ADC ranks it top
+    val top = Similarity.pqTopK(
+      vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 3,
+      m = 4, nbits = 6)
+    val rank1 = top.filter($"rank" === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach(i => assert(rank1(i.toLong) === 100L + i, s"query $i"))
+    // rerank contract: the returned sim must equal the brute-force cosine
+    val bf = Similarity.bruteForceTopK(
+      vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding", k = 1)
+      .filter($"rank" === 1)
+      .select("query_id", "sim").as[(Long, Double)].collect().toMap
+    top.filter($"rank" === 1).select("query_id", "sim").as[(Long, Double)]
+      .collect().foreach { case (qid, s) => assert(s === bf(qid)) }
+  }
+
+  test("pqTopK: ADC shortlist recall beats random in the uniform regime") {
+    val uniform = vecs.filter($"vec_id" < 100) // strip twins: hard regime
+    val exact = Similarity.bruteForceTopK(
+      uniform, uniform.filter($"vec_id" < 5), "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.pqTopK(
+      uniform, uniform.filter($"vec_id" < 5), "vec_id", "embedding", k = 3,
+      m = 4, nbits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    // 3 random picks of 39 would land ~0.08; quantized dot products must do
+    // far better even at wide angles
+    assert(recall >= 0.5, s"uniform-regime PQ recall $recall")
+  }
+
   test("cosineNearDupPairs: exactly the 5 planted near-dup pairs at 0.99") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
       threshold = 0.99)
