@@ -45,10 +45,21 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // stdout must fit the driver's 2000-char capture window or per-query
+    // timings silently vanish from review (r5 lost 16 of 82 queries to
+    // truncation): 2-decimal values keep the full 80+-query map ≈1900
+    // chars. Full precision goes to BENCH_FULL.json alongside.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

