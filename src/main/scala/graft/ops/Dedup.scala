@@ -366,7 +366,15 @@ object Dedup {
     *
     * Hash/offset law (oracle contract): hashes are lowercase-hex md5 of
     * the UTF-8 bytes; offsets are Java UTF-16 code units, which equal
-    * SQL's codepoint offsets for BMP text (the oracle's domain).
+    * SQL's codepoint offsets for BMP text (the oracle's domain). Non-BMP
+    * documents are handled exactly, not just tolerated: no emitted slice
+    * ever splits a surrogate pair (a position on the low half of a pair is
+    * not an anchor; a slice end that would cut a pair extends by one unit),
+    * so span hashes are always md5 of well-formed text — two documents
+    * differing only in an astral character can never collide via the
+    * replacement-char encoding of an unpaired surrogate. Excision
+    * ([[stripDuplicatedSpans]]) consumes these offsets in the JVM with the
+    * same UTF-16 indexing end-to-end.
     */
   def duplicatedSpanIslands(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8, span: Int = 40, minDocs: Int = 2): DataFrame = {
@@ -417,10 +425,20 @@ object Dedup {
             // is identical on both paths.
             val bytes = t.getBytes(utf8)
             val ascii = bytes.length == t.length
+            // surrogate hygiene (non-ASCII path only): a slice end that
+            // would cut a pair extends one unit to keep it; a position on
+            // the low half of a pair can't start a span. Identity on BMP
+            // text, so the oracle law is untouched.
+            def alignEnd(e: Int): Int =
+              if (e > 0 && e < t.length && Character.isLowSurrogate(t.charAt(e)) &&
+                Character.isHighSurrogate(t.charAt(e - 1))) e + 1 else e
+            def midPair(q: Int): Boolean =
+              q > 0 && Character.isLowSurrogate(t.charAt(q)) &&
+                Character.isHighSurrogate(t.charAt(q - 1))
             def gramDigest(p: Int, into: Array[Byte]): Unit = {
               digest.reset()
               if (ascii) digest.update(bytes, p, kk)
-              else digest.update(t.substring(p, p + kk).getBytes(utf8))
+              else digest.update(t.substring(p, alignEnd(p + kk)).getBytes(utf8))
               digest.digest(into, 0, 16)
             }
             // ring of the last 2w+1 k-gram digests: the strict-local-min
@@ -440,7 +458,10 @@ object Dedup {
             }
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
             def emit(q: Int): Unit = {
-              val slen = math.min(sp, t.length - q)
+              if (!ascii && midPair(q)) return // can't start a span mid-pair
+              val slen =
+                if (ascii) math.min(sp, t.length - q)
+                else alignEnd(math.min(q + sp, t.length)) - q
               digest.reset()
               if (ascii) digest.update(bytes, q, slen)
               else digest.update(t.substring(q, q + slen).getBytes(utf8))
@@ -492,35 +513,60 @@ object Dedup {
     * input document — (idCol, n_islands, n_dup_spans, clean_len,
     * clean_hash) — with the kept segments concatenated in order (hash
     * witness, same contract as [[chunkDedupDocs]]).
+    *
+    * The cut happens in the JVM with the SAME UTF-16 indexing the anchor
+    * pass emitted — a SQL `substr` excision counts codepoints and would
+    * shift every island after an astral character (emoji), silently
+    * excising the wrong text while reporting success. `clean_len` counts
+    * codepoints (= SQL `length`) and `clean_hash` is md5 of the UTF-8
+    * bytes (= SQL `md5`), so the oracle law on BMP text is unchanged.
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8, span: Int = 40, minDocs: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val islands = duplicatedSpanIslands(df, idCol, textCol, k, w, span, minDocs)
+    // array<[start,end]> sorts lexicographically == ascending by start
+    // (islands are disjoint by construction, so starts never tie)
     val perDoc = islands.groupBy(idCol)
       .agg(count(lit(1)).as("_ni"), sum(col("n_spans")).as("_nsp"),
-        array_sort(collect_list(struct(col("island_start"), col("island_end"))))
+        array_sort(collect_list(array(col("island_start"), col("island_end"))))
           .as("_isl"))
     val txt = coalesce(col(textCol).cast("string"), lit(""))
-    val emptyIslands = array().cast(
-      "array<struct<island_start:bigint,island_end:bigint>>")
-    df.select(col(idCol), txt.as("_t"), length(txt).cast("long").as("_len"))
+    df.select(col(idCol).cast("long").as(idCol), txt.as("_t"))
       .join(perDoc, Seq(idCol), "left")
-      .withColumn("_clean", aggregate(
-        coalesce(col("_isl"), emptyIslands),
-        struct(lit(0L).as("pos"), lit("").as("acc")),
-        (st, i) => struct(
-          i.getField("island_end").as("pos"),
-          concat(st.getField("acc"),
-            col("_t").substr((st.getField("pos") + 1L).cast("int"),
-              (i.getField("island_start") - st.getField("pos")).cast("int")))
-            .as("acc")),
-        st => concat(st.getField("acc"),
-          col("_t").substr((st.getField("pos") + 1L).cast("int"),
-            (col("_len") - st.getField("pos")).cast("int")))))
-      .select(col(idCol),
-        coalesce(col("_ni"), lit(0L)).cast("bigint").as("n_islands"),
-        coalesce(col("_nsp"), lit(0L)).cast("bigint").as("n_dup_spans"),
-        length(col("_clean")).cast("bigint").as("clean_len"),
-        md5(col("_clean")).as("clean_hash"))
+      .select(col(idCol), col("_t"),
+        coalesce(col("_ni"), lit(0L)).as("_ni"),
+        coalesce(col("_nsp"), lit(0L)).as("_nsp"),
+        coalesce(col("_isl"), array().cast("array<array<bigint>>")).as("_isl"))
+      .as[(Long, String, Long, Long, Seq[Seq[Long]])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.map { case (id, t0, ni, nsp, isl) =>
+          val t = if (t0 == null) "" else t0
+          val sb = new java.lang.StringBuilder(t.length)
+          var pos = 0
+          isl.foreach { se =>
+            val s = math.min(se(0), t.length.toLong).toInt
+            val e = math.min(se(1), t.length.toLong).toInt
+            if (s > pos) sb.append(t, pos, s)
+            pos = math.max(pos, e)
+          }
+          if (pos < t.length) sb.append(t, pos, t.length)
+          val clean = sb.toString
+          digest.reset()
+          val h = digest.digest(clean.getBytes(utf8))
+          val hx = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < h.length) {
+            hx.append(Character.forDigit((h(i) >> 4) & 0xf, 16))
+            hx.append(Character.forDigit(h(i) & 0xf, 16))
+            i += 1
+          }
+          (id, ni, nsp, clean.codePointCount(0, clean.length).toLong, hx.toString)
+        }
+      }
+      .toDF(idCol, "n_islands", "n_dup_spans", "clean_len", "clean_hash")
   }
 }

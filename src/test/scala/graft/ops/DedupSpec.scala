@@ -186,4 +186,50 @@ class DedupSpec extends SparkSpec {
       assert(got(id)._3 === md5hex(clean), s"doc $id clean_hash")
     }
   }
+
+  test("duplicated spans: non-BMP docs cut correctly (UTF-16 law end-to-end)") {
+    // the shared run sits AFTER astral chars in doc 1, so every island
+    // offset there is shifted in UTF-16 relative to codepoints — a
+    // codepoint-counting excision (SQL substr) would cut the wrong text
+    val boiler = ("emoji-proof boilerplate that recurs verbatim across both " +
+      "documents and is longer than one span window by a margin ") * 3
+    val docA = "🙂🚀 intro with astral chars 😀😁😂🤣 ahead of it: " + boiler +
+      " tail A mentions gardens 🌍."
+    val docB = "plain ascii preamble of the second document " + boiler +
+      " tail B differs completely."
+    val corpus = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val texts = Map(1L -> docA, 2L -> docB)
+
+    val byDoc = Dedup.duplicatedSpanIslands(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byDoc.contains(1L) && byDoc.contains(2L), s"both copies flagged: $byDoc")
+    // structural law: no island boundary splits a surrogate pair
+    for ((id, text) <- texts; (_, s0, e0) <- byDoc(id)) {
+      val (s, e) = (s0.toInt, e0.toInt)
+      assert(!(s > 0 && Character.isLowSurrogate(text.charAt(s)) &&
+        Character.isHighSurrogate(text.charAt(s - 1))), s"island start $s mid-pair")
+      assert(e >= text.length || !(Character.isLowSurrogate(text.charAt(e)) &&
+        Character.isHighSurrogate(text.charAt(e - 1))), s"island end $e mid-pair")
+    }
+
+    // reassembly law under UTF-16 indexing: strip == Java-substring excision,
+    // clean_len counts CODEPOINTS, and the planted payload is actually gone
+    val got = Dedup.stripDuplicatedSpans(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getString(4))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for ((id, text) <- texts) {
+      val isl = byDoc(id).map(i => (i._2.toInt, i._3.toInt)).sortBy(_._1)
+      val clean = isl.foldLeft((0, new StringBuilder)) { case ((pos, sb), (s, e)) =>
+        (e, sb.append(text.substring(pos, s)))
+      } match { case (pos, sb) => sb.append(text.substring(pos)).toString }
+      assert(got(id)._1 === isl.length.toLong, s"doc $id n_islands")
+      assert(got(id)._2 === clean.codePointCount(0, clean.length).toLong,
+        s"doc $id clean_len")
+      assert(got(id)._3 === md5hex(clean), s"doc $id clean_hash")
+      assert(!clean.contains(boiler.substring(20, boiler.length - 20)),
+        s"doc $id still contains the duplicated payload")
+    }
+  }
 }
