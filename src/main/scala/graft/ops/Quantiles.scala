@@ -48,4 +48,37 @@ object Quantiles {
       .filter(col(valueCol) >= col("_thr"))
       .drop("_stratum", "_thr")
   }
+
+  /** Winsorization at corpus scale: clamp `valueCol` into its per-stratum
+    * [loQ, hiQ] percentile band. The thresholds come from ONE mergeable
+    * `approx_percentile` sketch aggregation (map-side combinable — the same
+    * two-pass shape as [[topFractionByStratum]]) and broadcast back onto the
+    * stream as a row-local clip, so the corpus itself never shuffles. This
+    * is the 100 TB form of the exact-percentile winsorize
+    * (Registry.qWinsorize), which sorts each stratum in one task.
+    *
+    * The sketch returns an ACTUAL data value (a discrete percentile — the
+    * smallest value with cumulative frequency ≥ q; DuckDB `quantile_disc`),
+    * not the interpolated `quantile_cont`, so the two forms agree except on
+    * rows between an interpolated threshold and its nearest data value.
+    *
+    * NULL law (pinned, unlike a bare least/greatest which silently clamps
+    * NULL to the low band): a NULL value stays NULL in `winsorized` and
+    * contributes nothing to the band. NULL strata follow the family
+    * contract (excluded by the equi-join).
+    *
+    * Output: all input columns + `band_lo`, `band_hi`, `winsorized`.
+    */
+  def winsorizeApprox(df: DataFrame, valueCol: String, stratumCol: String,
+      loQ: Double = 0.05, hiQ: Double = 0.95, accuracy: Int = 10000): DataFrame = {
+    require(loQ >= 0.0 && loQ <= hiQ && hiQ <= 1.0,
+      s"need 0 <= loQ <= hiQ <= 1, got [$loQ, $hiQ]")
+    val bands = df.groupBy(col(stratumCol).as("_stratum"))
+      .agg(percentile_approx(col(valueCol), lit(loQ), lit(accuracy)).as("band_lo"),
+        percentile_approx(col(valueCol), lit(hiQ), lit(accuracy)).as("band_hi"))
+    df.join(broadcast(bands), col(stratumCol) === col("_stratum"))
+      .withColumn("winsorized", when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol), col("band_lo")), col("band_hi"))))
+      .drop("_stratum")
+  }
 }

@@ -63,4 +63,51 @@ class QuantilesSpec extends SparkSpec {
     assert(!p.contains("Window"), s"scale path must not rank:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("winsorizeApprox: discrete-percentile bands, NULL law, exact-form agreement") {
+    // stratum a: 1..100 (clean ranks); stratum b: constant + a NULL value
+    val rows = (1 to 100).map(v => ("a", Some(v.toDouble), v.toLong)) ++
+      Seq(("b", Some(7.0), 101L), ("b", Some(7.0), 102L), ("b", None, 103L))
+    val df = rows.toDF("stratum", "value", "id")
+    val out = Quantiles.winsorizeApprox(df, "value", "stratum").cache()
+
+    // bands are ACTUAL data values at the discrete-percentile rank law
+    // (smallest value with cumulative frequency >= q — what quantile_disc
+    // and an exact-regime GK sketch both return)
+    val a = out.filter(col("stratum") === "a").select("band_lo", "band_hi").head()
+    assert(a.getDouble(0) === 5.0 && a.getDouble(1) === 95.0,
+      s"bands ${a.toSeq} not the rank-5/95 order statistics")
+
+    // NULL value: winsorized stays NULL (never clamps to the low band)
+    val nullRow = out.filter(col("id") === 103L).select("winsorized").head()
+    assert(nullRow.isNullAt(0), "NULL value must not clamp to band_lo")
+
+    // agreement with the exact interpolated form: every row strictly inside
+    // BOTH band pairs is untouched by both; disagreements live only between
+    // a discrete threshold and its interpolated neighbor
+    val exactLo = 1.0 + 0.05 * 99 // quantile_cont(0.05) of 1..100
+    val exactHi = 1.0 + 0.95 * 99
+    val got = out.filter(col("stratum") === "a")
+      .select(col("id"), col("value"), col("winsorized")).collect()
+    got.foreach { r =>
+      val v = r.getDouble(1)
+      val wv = r.getDouble(2)
+      if (v >= math.max(5.0, exactLo) && v <= math.min(95.0, exactHi))
+        assert(wv === v, s"interior value $v modified")
+      else {
+        val exact = math.min(math.max(v, exactLo), exactHi)
+        assert(math.abs(wv - exact) <= 1.0,
+          s"boundary row $v: approx $wv vs exact $exact differ beyond one rank step")
+      }
+    }
+  }
+
+  test("winsorizeApprox plan: sketch + broadcast clip, no window, no stratum sort") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val p = Quantiles.winsorizeApprox(ev, "value", "event_type")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"scale path must not rank:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

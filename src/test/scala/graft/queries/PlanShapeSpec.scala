@@ -219,6 +219,14 @@ class PlanShapeSpec extends SparkSpec {
       "a global exchange crept into the anchor/island windows")
   }
 
+  test("q_winsorize_approx: sketch thresholds broadcast back; no window, no stratum sort") {
+    val p = plan("q_winsorize_approx")
+    assert(p.contains("BroadcastHashJoin"), "band clip lost its broadcast")
+    assert(!p.contains("Window"), s"scale form must not per-stratum rank:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
