@@ -27,10 +27,28 @@ object Cfb {
   def readStream(file: File, names: Seq[String]): Option[Array[Byte]] =
     readStream(Files.readAllBytes(file.toPath), names)
 
+  /** Every stream in the container as (name, bytes), directory order —
+    * what a container REWRITE ([[CfbWriter]]) needs to carry all
+    * non-workbook streams (SummaryInformation, CompObj, …) across intact.
+    */
+  def allStreams(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    withParsed(bytes) { (entries, read) =>
+      entries.filter(_.objType == 2).map(e => e.name -> read(e))
+    }
+
   /** Same, over in-memory container bytes (the streaming drop-folder path
     * delivers workbooks as `binaryFile` content).
     */
-  def readStream(bytes: Array[Byte], names: Seq[String]): Option[Array[Byte]] = {
+  def readStream(bytes: Array[Byte], names: Seq[String]): Option[Array[Byte]] =
+    withParsed(bytes) { (entries, read) =>
+      entries.find(e => e.objType == 2 && names.contains(e.name)).map(read)
+    }
+
+  /** Parse the container once; hand `f` the directory entries and a
+    * stream-entry reader (FAT or mini-FAT chain as size dictates).
+    */
+  private def withParsed[A](bytes: Array[Byte])(
+      f: (Seq[Entry], Entry => Array[Byte]) => A): A = {
     require(bytes.length >= 512 &&
       (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
       (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0,
@@ -124,26 +142,31 @@ object Cfb {
     }
 
     val root = entries.find(_.objType == 5)
-    entries.find(e => e.objType == 2 && names.contains(e.name)).map { e =>
+    lazy val ministream: Array[Byte] = {
+      // the root entry's regular-FAT chain holds 64-byte mini sectors
+      val r = root.getOrElse(sys.error("CFB: no root directory entry"))
+      readChain(r.startSector, r.size)
+    }
+    lazy val miniFatBuf: ByteBuffer = {
+      val miniFat: Array[Byte] =
+        if (firstMiniFat == ENDOFCHAIN || firstMiniFat == FREESECT) Array.empty
+        else {
+          // walk the miniFAT chain to its full length
+          var n = 0
+          var s = firstMiniFat
+          var guard = 0
+          while (s != ENDOFCHAIN && s != FREESECT && guard < (1 << 16)) {
+            n += 1; s = fatAt(s); guard += 1
+          }
+          readChain(firstMiniFat, n.toLong * sectorSize)
+        }
+      ByteBuffer.wrap(miniFat).order(ByteOrder.LITTLE_ENDIAN)
+    }
+    def readEntry(e: Entry): Array[Byte] =
       if (e.size >= miniCutoff) readChain(e.startSector, e.size)
       else {
-        // mini stream: the root entry's regular-FAT chain holds 64-byte mini
-        // sectors; the miniFAT (its own regular-FAT chain) links them
-        val r = root.getOrElse(sys.error("CFB: no root directory entry"))
-        val ministream = readChain(r.startSector, r.size)
-        val miniFat: Array[Byte] =
-          if (firstMiniFat == ENDOFCHAIN || firstMiniFat == FREESECT) Array.empty
-          else {
-            // walk the miniFAT chain to its full length
-            var n = 0
-            var s = firstMiniFat
-            var guard = 0
-            while (s != ENDOFCHAIN && s != FREESECT && guard < (1 << 16)) {
-              n += 1; s = fatAt(s); guard += 1
-            }
-            readChain(firstMiniFat, n.toLong * sectorSize)
-          }
-        val mfBuf = ByteBuffer.wrap(miniFat).order(ByteOrder.LITTLE_ENDIAN)
+        // mini stream: the miniFAT (its own regular-FAT chain) links the
+        // 64-byte mini sectors inside the root's ministream
         val out = new Array[Byte](e.size.toInt)
         var mini = e.startSector
         var pos = 0
@@ -153,11 +176,11 @@ object Cfb {
           val n = math.min(64, out.length - pos)
           System.arraycopy(ministream, mini * 64, out, pos, n)
           pos += n
-          mini = mfBuf.getInt(mini * 4)
+          mini = miniFatBuf.getInt(mini * 4)
           guard += 1
         }
         out
       }
-    }
+    f(entries, readEntry)
   }
 }

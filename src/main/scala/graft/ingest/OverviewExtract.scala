@@ -29,19 +29,48 @@ object OverviewExtract {
 
   val defaultSheetName = "Overview"
 
-  /** Extract `sheetName` from `input` into `Transfer-Overview-<name>.xlsx`
-    * (or `output` if given). Returns the output path, or None when the
-    * workbook has no such sheet (the reference logs and skips,
-    * TransferOverviewExtractor.java:270-276).
+  /** Extract `sheetName` from `input` into `Transfer-Overview-<name>` with
+    * the source's own extension (or `output` if given). Dispatches by
+    * format like the reference's extractFromXLSX/extractFromXLS pair
+    * (TransferOverviewExtractor.java:279-296): zip surgery for `.xlsx`,
+    * BIFF + CFB surgery for legacy `.xls`. Returns the output path, or
+    * None when the workbook has no such sheet (the reference logs and
+    * skips, ibid.:270-276).
     */
   def extract(input: File, output: Option[File] = None,
+      sheetName: String = defaultSheetName): Option[File] =
+    if (input.getName.toLowerCase.endsWith(".xls"))
+      extractXls(input, output, sheetName)
+    else {
+      val part = sheetPartName(input, sheetName)
+      part.map { p =>
+        val sheetFile = p.substring(p.lastIndexOf('/') + 1)
+        val out = output.getOrElse(
+          new File(input.getParentFile, s"Transfer-Overview-${input.getName}"))
+        copySubset(input, out, sheetFile, sheetName)
+        out
+      }
+    }
+
+  /** Legacy `.xls` leg (TransferOverviewExtractor.java:487-526: load,
+    * remove every non-Overview sheet, rewrite): [[Xls.subsetWorkbookStream]]
+    * performs the BIFF surgery, [[CfbWriter]] rebuilds the container with
+    * every OTHER stream (SummaryInformation, CompObj, …) carried over
+    * verbatim — the artifact keeps its document properties, not just the
+    * sheet data.
+    */
+  def extractXls(input: File, output: Option[File] = None,
       sheetName: String = defaultSheetName): Option[File] = {
-    val part = sheetPartName(input, sheetName)
-    part.map { p =>
-      val sheetFile = p.substring(p.lastIndexOf('/') + 1)
+    val container = java.nio.file.Files.readAllBytes(input.toPath)
+    val wb = Xls.workbookStream(container)
+    Xls.subsetWorkbookStream(wb, sheetName).map { newWb =>
+      val streams = Cfb.allStreams(container).map {
+        case (n, _) if n == "Workbook" || n == "Book" => n -> newWb
+        case s => s
+      }
       val out = output.getOrElse(
         new File(input.getParentFile, s"Transfer-Overview-${input.getName}"))
-      copySubset(input, out, sheetFile, sheetName)
+      java.nio.file.Files.write(out.toPath, CfbWriter.write(streams))
       out
     }
   }

@@ -42,6 +42,7 @@ object Xls {
   private val BOOLERR = 0x205
   private val FORMULA = 0x06
   private val STRING_R = 0x207
+  private val INDEX = 0x20B
 
   def workbookStream(file: File): Array[Byte] =
     Cfb.readStream(file, Seq("Workbook", "Book"))
@@ -83,19 +84,67 @@ object Xls {
       }
     }
 
+  private def boundsheetName(wb: Array[Byte], off: Int): String = {
+    val cch = wb(off + 6) & 0xFF
+    val high = (wb(off + 7) & 0x1) != 0
+    if (high) new String(wb, off + 8, cch * 2, "UTF-16LE")
+    else new String(wb, off + 8, cch, "ISO-8859-1")
+  }
+
   /** Sheet names + substream positions, in workbook order (BOUNDSHEET,
     * SQLiteDirectImporter.java:396-401 iterates the same order).
     */
   def sheetRefs(wb: Array[Byte]): Seq[SheetRef] =
     records(wb, 0).collect { case (BOUNDSHEET, off, _) =>
-      val pos = u32(wb, off)
-      val cch = wb(off + 6) & 0xFF
-      val high = (wb(off + 7) & 0x1) != 0
-      val name =
-        if (high) new String(wb, off + 8, cch * 2, "UTF-16LE")
-        else new String(wb, off + 8, cch, "ISO-8859-1")
-      SheetRef(name, pos)
+      SheetRef(boundsheetName(wb, off), u32(wb, off))
     }.toSeq
+
+  /** Rewrite the Workbook stream keeping ONLY the sheet named `sheetName` —
+    * the BIFF-level half of the reference's legacy Overview extraction
+    * (TransferOverviewExtractor.java:508-515 removes every other sheet via
+    * POI). Record-exact surgery:
+    *
+    *   - globals substream copied verbatim minus the other sheets'
+    *     BOUNDSHEET records; the kept BOUNDSHEET's lbPlyPos is patched to
+    *     the sheet substream's new position;
+    *   - the kept sheet substream copied verbatim minus its INDEX record —
+    *     INDEX holds ABSOLUTE stream offsets of the DBCELL accelerators,
+    *     which the surgery shifts; the record is an optional read
+    *     accelerator (consumers fall back to the sequential record walk,
+    *     which [[sheetRows]] always uses), so dropping it beats carrying
+    *     stale offsets. DBCELL itself is position-relative and survives.
+    *
+    * Formula references into removed sheets (EXTERNSHEET indices) are left
+    * untouched: cached formula RESULTS still read correctly (the cells this
+    * path exists to preserve); re-evaluation in Excel may show #REF!, same
+    * as any sheet deletion.
+    */
+  def subsetWorkbookStream(wb: Array[Byte], sheetName: String): Option[Array[Byte]] = {
+    val refs = sheetRefs(wb)
+    refs.find(_.name == sheetName).map { target =>
+      val out = new java.io.ByteArrayOutputStream(wb.length)
+      var patchAt = -1 // output offset of the kept BOUNDSHEET's lbPlyPos
+      var kept = false
+      records(wb, 0).foreach { case (id, off, len) =>
+        val keep = id != BOUNDSHEET ||
+          (!kept && boundsheetName(wb, off) == sheetName)
+        if (keep) {
+          if (id == BOUNDSHEET) { patchAt = out.size + 4; kept = true }
+          out.write(wb, off - 4, len + 4)
+        }
+      }
+      val newPos = out.size
+      records(wb, target.pos).foreach { case (id, off, len) =>
+        if (id != INDEX) out.write(wb, off - 4, len + 4)
+      }
+      val bytes = out.toByteArray
+      bytes(patchAt) = (newPos & 0xFF).toByte
+      bytes(patchAt + 1) = ((newPos >> 8) & 0xFF).toByte
+      bytes(patchAt + 2) = ((newPos >> 16) & 0xFF).toByte
+      bytes(patchAt + 3) = ((newPos >> 24) & 0xFF).toByte
+      bytes
+    }
+  }
 
   /** The shared-string table: SST record + its CONTINUE records form one
     * logical byte stream; strings may split at chunk boundaries, where a

@@ -149,4 +149,52 @@ class XlsSpec extends SparkSpec {
     assert(out.select("file_name").as[String].collect().toSet === Set("A/x.txt", "B/y.txt"))
     assert(out.filter($"file_name" === "A/x.txt").head.getAs[String]("job_name") === "Old")
   }
+
+  test("CfbWriter round-trips mini-stream and regular-FAT streams through Cfb") {
+    val small = ("payload-α " * 20).getBytes("UTF-8")          // < 4096 → ministream
+    val big = Array.tabulate[Byte](9001)(i => (i % 251).toByte) // ≥ 4096 → regular FAT
+    val tiny = Array[Byte](1, 2, 3)
+    val container = CfbWriter.write(Seq(
+      "Workbook" -> big, "SummaryInformation" -> small, "Tiny" -> tiny))
+    assert(Cfb.readStream(container, Seq("Workbook")).get.toSeq === big.toSeq)
+    assert(Cfb.readStream(container, Seq("SummaryInformation")).get.toSeq === small.toSeq)
+    assert(Cfb.readStream(container, Seq("Tiny")).get.toSeq === tiny.toSeq)
+    assert(Cfb.allStreams(container).map(_._1) ===
+      Seq("Workbook", "SummaryInformation", "Tiny"))
+  }
+
+  test(".xls Overview artifact extraction: only Overview survives, cells intact") {
+    // the reference's legacy leg (TransferOverviewExtractor.java:487-526):
+    // load, remove every other sheet, rewrite the container
+    val dir = Files.createTempDirectory("graft-xls-ov").toString
+    val overviewRows = Seq(
+      Seq("Job", "Files", "Status"),
+      Seq("JobA", "120", "success"),
+      Seq("JobB", "7", "partial"),
+      Seq("", "42.5", "TRUE")) // sparse + number + boolean cells survive
+    val src = new File(dir, "Report.xls")
+    XlsFixture.write(src, Seq(
+      "Transfer Report" -> (Seq(excelHeaders) ++ jobARows),
+      "Overview" -> overviewRows,
+      "Summary" -> Seq(Seq("junk"))))
+
+    val out = OverviewExtract.extract(src).get
+    assert(out.getName === "Transfer-Overview-Report.xls")
+
+    // re-read with the BIFF reader: exactly one sheet, named Overview,
+    // with the original cell content
+    val wb = Xls.workbookStream(out)
+    assert(Xls.sheetRefs(wb).map(_.name) === Seq("Overview"))
+    val got = Xls.scanRows(out, _ => true).toVector
+    assert(got.map(_._1).toSet === Set("Overview"))
+    got.foreach { case (_, idx, cells) =>
+      assert(cells.padTo(3, "").toSeq === overviewRows(idx.toInt), s"row $idx")
+    }
+    assert(got.size === overviewRows.size)
+
+    // a workbook without an Overview sheet is skipped (reference logs+skips)
+    val noOv = new File(dir, "None.xls")
+    XlsFixture.write(noOv, Seq("Transfer Report" -> Seq(Seq("x"))))
+    assert(OverviewExtract.extract(noOv).isEmpty)
+  }
 }
