@@ -2,15 +2,16 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL dependency-free media codecs for the formats plain JDK bytes can
-  * decode — no ImageIO/ffmpeg/javacpp needed:
+/** REAL dependency-free media codecs — plain JDK only:
   *
-  *   - PPM (P6 binary): ASCII header + raw RGB triplets;
+  *   - PPM (P6 binary): ASCII header + raw RGB triplets (hand parser);
   *   - BMP (BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB): bottom-up
-  *     BGR(A) rows with 4-byte stride padding;
-  *   - WAV (RIFF, PCM 8/16-bit): fmt + data chunk walk.
+  *     BGR(A) rows with 4-byte stride padding (hand parser);
+  *   - PNG / JPEG / GIF: `javax.imageio` — in the JDK itself, so still
+  *     zero external dependencies — normalized to the same RGB frame;
+  *   - WAV (RIFF, PCM 8/16-bit): fmt + data chunk walk (hand parser).
   *
-  * Payloads in other containers (JPEG/PNG/MP4…) fall back to the
+  * Payloads in other containers (MP4, webm…) fall back to the
   * deterministic [[Multimodal.FakeCodec]] — the dispatch seam is the same
   * one a JNI/ffmpeg codec would drop into. Features are real where decode
   * is real: images → 4×4 mean-gray grid (16 dims), audio → 16-bin
@@ -25,6 +26,12 @@ object Codec {
   def sniff(payload: Array[Byte]): String =
     if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') "ppm"
     else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 8 && (payload(0) & 0xFF) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 3 && (payload(0) & 0xFF) == 0xFF &&
+      (payload(1) & 0xFF) == 0xD8 && (payload(2) & 0xFF) == 0xFF) "jpeg"
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8') "gif"
     else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
       payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
@@ -39,8 +46,34 @@ object Codec {
     try sniff(payload) match {
       case "ppm" => decodePpm(payload)
       case "bmp" => decodeBmp(payload)
+      case "png" | "jpeg" | "gif" => decodeViaImageIO(payload)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Compressed containers via the JDK's own `javax.imageio` readers —
+    * normalized to the same packed RGB frame as the hand parsers, so
+    * every downstream law (features, resize) is format-agnostic. Alpha is
+    * dropped (composited as-is, matching the BMP 32-bit path, which also
+    * ignores the A byte).
+    */
+  private def decodeViaImageIO(b: Array[Byte]): Option[Image] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      rgb(i * 3) = ((p >> 16) & 0xFF).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xFF).toByte
+      rgb(i * 3 + 2) = (p & 0xFF).toByte
+      i += 1
+    }
+    Some(Image(w, h, rgb))
+  }
 
   private def decodePpm(b: Array[Byte]): Option[Image] = {
     // header: "P6" <ws> width <ws> height <ws> maxval <single ws> data
