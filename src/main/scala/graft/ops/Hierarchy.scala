@@ -32,6 +32,68 @@ import graft.model.TransferSchema._
   */
 object Hierarchy {
 
+  /** Path-doubling traversal — the adversarial-depth form. The level loop
+    * below runs one distributed join PER LEVEL: exactly right for file
+    * forests (depth 10–20), hopeless for a degenerate 10k-deep chain
+    * (10k sequential jobs of fixed overhead). This variant is classic
+    * parallel list ranking: every node keeps a pointer to its nearest
+    * not-yet-absorbed ancestor plus the name-segment and edge-count back
+    * to it; each round jumps the pointer to the pointer's pointer and
+    * concatenates segments, so the frontier halves its distance to the
+    * root — O(log depth) rounds, each one self-join of the node table.
+    *
+    * Same output law as [[apply]] on well-formed forests (pinned by test
+    * AND by sharing q_hierarchy_recursive's WITH RECURSIVE oracle):
+    * nodes whose parent id resolves to no row are dropped (the level
+    * loop's join never reaches them), as are cycle members (they never
+    * absorb a root; the level loop never emits them either). Trade-off vs
+    * the level loop: each round shuffles accumulated PATH STRINGS, so
+    * bytes-per-round grows toward total-path-bytes — the textbook list-
+    * ranking trade of bandwidth for rounds.
+    */
+  def byDoubling(df: DataFrame, maxRounds: Int = 48): DataFrame = {
+    val init = df.select(
+      col("file_name"), col("target_file_id"),
+      col(parentIdCol).try_cast("long").as(parentIdCol),
+      col(levelCol),
+      col(parentIdCol).try_cast("long").as("_ptr"),
+      col("file_name").as("_seg"),
+      when(col(parentIdCol).try_cast("long").isNull, lit(0))
+        .otherwise(lit(1)).as("_dep"))
+    var (state, stateOwn) = Clusters.ownedCheckpoint(init)
+    var round = 0
+    var live = !state.filter(col("_ptr").isNotNull).isEmpty
+    while (live && round < maxRounds) {
+      val anc = state.select(col("target_file_id").as("_aid"),
+        col("_ptr").as("_aptr"), col("_seg").as("_aseg"), col("_dep").as("_adep"))
+      val (next, nextOwn) = Clusters.ownedCheckpoint(state.as("s")
+        .join(anc, col("_ptr") === col("_aid"), "left")
+        // dangling pointer (no ancestor row): drop — the level loop's
+        // inner join never reaches these nodes
+        .filter(col("_ptr").isNull || col("_aid").isNotNull)
+        .select(col("s.file_name"), col("s.target_file_id"),
+          col(s"s.$parentIdCol"), col(s"s.$levelCol"),
+          when(col("_ptr").isNull, col("_ptr")).otherwise(col("_aptr")).as("_ptr"),
+          when(col("_ptr").isNull, col("_seg"))
+            .otherwise(PathOps.breadcrumb(col("_aseg"), col("_seg"))).as("_seg"),
+          when(col("_ptr").isNull, col("_dep"))
+            .otherwise(col("_dep") + col("_adep")).as("_dep")))
+      Clusters.release(stateOwn)
+      state = next
+      stateOwn = nextOwn
+      live = !state.filter(col("_ptr").isNotNull).isEmpty
+      round += 1
+    }
+    // cycle members never absorb a root — still carrying a pointer after
+    // convergence/maxRounds; the level loop never emits them either.
+    // (The final state's checkpoint RDD must NOT be released here: the
+    // returned frame reads it lazily.)
+    state.filter(col("_ptr").isNull)
+      .select(col("file_name"), col("target_file_id"), col(parentIdCol),
+        col(levelCol), col("_dep").as("depth"), col("_seg").as("path"))
+      .orderBy("path")
+  }
+
   def apply(df: DataFrame, maxDepth: Int = 64): DataFrame = {
     val nodes = df.select(
       col("file_name"), col("target_file_id"),
@@ -44,31 +106,55 @@ object Hierarchy {
     finally nodes.unpersist(blocking = false)
   }
 
+  /** Collapse the accumulator's union lineage every this-many levels: `acc`
+    * grows one `Union` arm per level, so an adversarially deep chain (10k
+    * levels — no real file forest, but the operator must not be the thing
+    * that breaks) would otherwise hand the planner a 10k-arm union and
+    * serialize a plan linear in depth at every downstream use. Each
+    * collapse rewrites the accumulated rows once, so total extra work is
+    * depth/interval extra passes over the result — flat driver memory for
+    * a bounded-cost trade. Shallow forests (≤ interval) never pay it.
+    */
+  private val accCollapseEvery = 64
+
   private def buildTree(nodes: DataFrame, maxDepth: Int): DataFrame = {
-    var frontier = nodes
+    var (frontier, frontierOwn) = Clusters.ownedCheckpoint(nodes
       .filter(col(parentIdCol).isNull)
       .withColumn("depth", lit(0))
-      .withColumn("path", col("file_name"))
-      .localCheckpoint()
+      .withColumn("path", col("file_name")))
     val children = nodes.filter(col(parentIdCol).isNotNull)
     var acc = frontier
+    // checkpoint RDDs that are still arms of the un-collapsed acc union —
+    // they can only be freed once a collapse materializes acc standalone
+    var deferred: List[org.apache.spark.rdd.RDD[_]] = Nil
+    var accOwn: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     var depth = 0
     var growing = !frontier.isEmpty
     while (growing && depth < maxDepth) {
-      val next = children.as("t")
+      val (next, nextOwn) = Clusters.ownedCheckpoint(children.as("t")
         .join(frontier.select(col("target_file_id").as("_pid"), col("path").as("_ppath"),
           col("depth").as("_pdepth")),
           col(s"t.$parentIdCol") === col("_pid"))
         .select(col("t.file_name"), col("t.target_file_id"), col(s"t.$parentIdCol"),
           col(s"t.$levelCol"),
           (col("_pdepth") + 1).as("depth"),
-          PathOps.breadcrumb(col("_ppath"), col("t.file_name")).as("path"))
-        .localCheckpoint()
-      if (next.isEmpty) growing = false
+          PathOps.breadcrumb(col("_ppath"), col("t.file_name")).as("path")))
+      if (next.isEmpty) { growing = false; Clusters.release(nextOwn) }
       else {
         acc = acc.union(next)
+        deferred ++= frontierOwn // replaced as join input; still an acc arm
         frontier = next
+        frontierOwn = nextOwn
         depth += 1
+        if (depth % accCollapseEvery == 0) {
+          val (cp, cpOwn) = Clusters.ownedCheckpoint(acc)
+          acc = cp
+          // the old collapsed acc and every deferred arm are now
+          // unreferenced (the live frontier's RDD stays — next join input)
+          Clusters.release(accOwn ++ deferred)
+          accOwn = cpOwn
+          deferred = Nil
+        }
       }
     }
     acc

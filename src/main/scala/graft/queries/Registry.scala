@@ -176,6 +176,19 @@ object Registry {
         col("path"))
       .orderBy("path", "target_file_id")
 
+  /** The path-doubling traversal ([[Hierarchy.byDoubling]], O(log depth)
+    * rounds — the adversarial-depth form) against the SAME WITH RECURSIVE
+    * oracle as [[qHierarchyRecursive]]: both variants must produce the
+    * identical tree, so the doubling algebra (segment concatenation,
+    * depth accumulation, root absorption) is driver-gated, not just
+    * unit-tested.
+    */
+  def qHierarchyDoubling(spark: SparkSession, dir: String): DataFrame =
+    Hierarchy.byDoubling(forestNodes(spark, dir))
+      .select(col("file_name"), col("target_file_id"), col("depth").cast("int").as("depth"),
+        col("path"))
+      .orderBy("path", "target_file_id")
+
   // (oracle SQL for the recursive hierarchy is built inline in `oracle` —
   // DuckDB WITH RECURSIVE, anchored on parent_folder IS NULL, which is
   // equivalent to the engine's parent_id IS NULL anchor in this forest)
@@ -2327,6 +2340,7 @@ object Registry {
     "q_upsert_lastwins" -> (qUpsertLastwins _),
     "q_parent_join" -> (qParentJoin _),
     "q_hierarchy_recursive" -> (qHierarchyRecursive _),
+    "q_hierarchy_doubling" -> (qHierarchyDoubling _),
     "q_level_counts" -> (qLevelCounts _),
     "q_parent_folder" -> (qParentFolder _),
     "q_job_name" -> (qJobName _),
@@ -2413,6 +2427,17 @@ object Registry {
     "q_upsert_lastwins" -> qUpsertLastwinsSql,
     "q_parent_join" -> qParentJoinSql,
     "q_hierarchy_recursive" ->
+      s"""WITH RECURSIVE nodes AS ($forestNodesSql),
+         | tree(file_name, target_file_id, depth, path) AS (
+         |  SELECT file_name, target_file_id, CAST(0 AS INTEGER) AS depth, file_name AS path
+         |  FROM nodes WHERE parent_folder IS NULL
+         |  UNION ALL
+         |  SELECT n.file_name, n.target_file_id, tree.depth + 1, tree.path || ' > ' || n.file_name
+         |  FROM nodes n JOIN tree ON n.parent_folder = tree.file_name)
+         | SELECT file_name, target_file_id, depth, path FROM tree
+         | ORDER BY path, target_file_id""".stripMargin.replace("\n", " "),
+    // the doubling variant must reproduce the recursive tree exactly
+    "q_hierarchy_doubling" ->
       s"""WITH RECURSIVE nodes AS ($forestNodesSql),
          | tree(file_name, target_file_id, depth, path) AS (
          |  SELECT file_name, target_file_id, CAST(0 AS INTEGER) AS depth, file_name AS path

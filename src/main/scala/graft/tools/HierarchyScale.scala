@@ -51,6 +51,28 @@ object HierarchyScale {
     println(f"=== traversal + depth histogram: $secs%.1f s for $total nodes ===")
     val leaf = tree.filter(col("depth") === depth - 1).select("path").head.getString(0)
     println(s"=== sample leaf path: ${leaf.take(120)} ===")
+
+    // adversarial-depth probe: a chain 10k deep breaks any one-job-per-level
+    // loop on job overhead alone (measured: 300 levels ≳ 10 min on this
+    // box) — the path-doubling form resolves it in O(log depth) rounds
+    val chainDepth = args.drop(2).headOption.map(_.toInt).getOrElse(10000)
+    val chain = spark.range(chainDepth).select(
+      concat(lit("C/n"), col("id")).as("file_name"),
+      (col("id") + 5000000L).as("target_file_id"),
+      when(col("id") === 0, lit(null).cast("string"))
+        .otherwise((col("id") + 5000000L - 1).cast("string")).as("parent_id"),
+      lit(1).as("level"))
+    val t1 = System.nanoTime()
+    val deep = Hierarchy.byDoubling(chain)
+    val (n, maxDepthSeen) = {
+      val r = deep.agg(count(lit(1)), max(col("depth"))).head()
+      (r.getLong(0), r.getInt(1))
+    }
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    require(n == chainDepth && maxDepthSeen == chainDepth - 1,
+      s"deep chain wrong: $n nodes, max depth $maxDepthSeen")
+    println(f"=== deep chain: depth $chainDepth resolved by doubling in $secs2%.1f s " +
+      f"(~${(math.log(chainDepth) / math.log(2)).ceil.toInt} rounds) ===")
     spark.stop()
   }
 }
