@@ -217,6 +217,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus NEAR-dup dedup — the fuzzy sibling of [[exactAgainst]]:
+    * drop incoming documents whose word-n-gram Jaccard with ANY reference
+    * document is ≥ `threshold` (the incremental-crawl guard against
+    * re-ingesting lightly-edited copies of what the corpus already holds).
+    * Returns the SURVIVING incoming rows, same contract as exactAgainst.
+    *
+    * Scale shape mirrors [[minhashLshPairs]]: both sides get banded MinHash
+    * bucket keys in one narrow pass each; candidates come from an
+    * equi-join on (band, bucket) — never incoming × reference — with
+    * per-side `maxBucket` caps on degenerate buckets; the survivors of the
+    * bucket join are verified with EXACT Jaccard over the materialized
+    * shingle-hash sets, so false bucket collisions cannot drop a document.
+    */
+  def minhashAgainst(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame, as: String): (DataFrame, DataFrame) = {
+      val sh = shingleHashFrame(df, idCol, textCol, shingleSize, numHashes)
+      val b = sh.select(col("_id"), explode(
+        array((0 until bands).map { i =>
+          struct(lit(i).as("band"),
+            xxhash64(concat_ws(",", slice(col("_sig"), i * r + 1, r))).as("bh"))
+        }: _*)).as("bk"))
+        .select(col("_id").as(as), col("bk.band"), col("bk.bh"))
+      val capped = b.withColumn("_bn",
+        count(lit(1)).over(Window.partitionBy("band", "bh")))
+        .filter(col("_bn") <= maxBucket).drop("_bn")
+      (capped, sh)
+    }
+    val (bi, shi) = banded(incoming, "_iid")
+    val (br, shr) = banded(reference, "_rid")
+    val cand = bi.join(br, Seq("band", "bh"))
+      .select(col("_iid"), col("_rid")).distinct()
+    val flagged = cand
+      .join(shi.select(col("_id").as("_iid"), col("_sh").as("_sha")), "_iid")
+      .join(shr.select(col("_id").as("_rid"), col("_sh").as("_shb")), "_rid")
+      .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("double"))
+      .filter(col("_inter") /
+        (size(col("_sha")) + size(col("_shb")) - col("_inter")) >= threshold)
+      .select(col("_iid")).distinct()
+    incoming
+      .withColumn("_mhid", col(idCol).cast("long"))
+      .join(flagged, col("_mhid") === col("_iid"), "left_anti")
+      .drop("_mhid")
+  }
+
   /** 64-bit SimHash of a document: sign-aggregate of per-token hash bits.
     * One pass over tokens with an array accumulator — narrow, codegen'd.
     */

@@ -552,6 +552,32 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Semantic decontamination — [[Dedup.exactAgainst]]'s embedding-space
+    * sibling: drop incoming rows whose cosine against ANY reference row in
+    * the same metadata block reaches `threshold` (eval-set leakage that
+    * survives text-level checks: paraphrases, translations, templated
+    * restatements). Returns the SURVIVING incoming rows.
+    *
+    * Scale: block-keyed equi-join (one shuffle per side on the block key,
+    * quadratic only within a block — [[blockedNearDupPairs]]'s shape), sim
+    * by the codegen'd native cosine. NULL-block rows on either side pair
+    * with nothing (null-rejecting equi-join) and therefore SURVIVE on the
+    * incoming side; coalesce a sentinel block upstream to compare them.
+    */
+  def embedAgainst(incoming: DataFrame, reference: DataFrame, idCol: String,
+      vecCol: String, blockCol: String, threshold: Double): DataFrame = {
+    val i = incoming.select(col(blockCol).as("_blk"),
+      col(idCol).cast("long").as("_iid"), col(vecCol).as("_vi"))
+    val rf = reference.select(col(blockCol).as("_blk2"), col(vecCol).as("_vr"))
+    val flagged = i.join(rf, col("_blk") === col("_blk2"))
+      .filter(nativeCosine(incoming, col("_vi"), col("_vr")) >= threshold)
+      .select(col("_iid")).distinct()
+    incoming
+      .withColumn("_eaid", col(idCol).cast("long"))
+      .join(flagged, col("_eaid") === col("_iid"), "left_anti")
+      .drop("_eaid")
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold),
     * candidates via shared LSH bucket — the embedding analog of MinHash dedup.
     */

@@ -2034,6 +2034,70 @@ object Registry {
       | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Cross-corpus NEAR-dup dedup ([[graft.ops.Dedup.minhashAgainst]]):
+    * incoming docs (doc_id % 7 ≠ 0) that near-duplicate (3-gram Jaccard
+    * ≥ 0.8) ANY reference doc (doc_id % 7 = 0) are dropped. Candidates via
+    * banded MinHash bucket join, verified with exact Jaccard; the oracle
+    * recomputes the EXACT against-law (inverted-index join on trigram
+    * strings), so the gate also certifies that LSH candidate recall loses
+    * no qualifying pair at this scale — the same exact-oracle discipline
+    * as q_minhash_neardup.
+    */
+  def qMinhashAgainst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Dedup.minhashAgainst(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qMinhashAgainstSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+      |  FROM toks WHERE len(tk) >= 3),
+      | exi AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |  WHERE doc_id % 7 <> 0 AND len(shingles) > 0),
+      | exr AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |  WHERE doc_id % 7 = 0 AND len(shingles) > 0),
+      | pairs AS (SELECT i.doc_id AS ia, r.doc_id AS ir, COUNT(*) AS shared,
+      |   any_value(i.n) AS ni, any_value(r.n) AS nr
+      |  FROM exi i JOIN exr r USING (s) GROUP BY 1, 2),
+      | flagged AS (SELECT DISTINCT ia FROM pairs
+      |  WHERE CAST(shared AS DOUBLE)/(ni+nr-shared) >= 0.8)
+      | SELECT doc_id, lang FROM documents d
+      | WHERE doc_id % 7 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.ia = d.doc_id)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Semantic decontamination ([[graft.ops.Similarity.embedAgainst]]):
+    * incoming embeddings (vec_id % 4 ≠ 0) dropped when they cosine ≥ 0.35
+    * against ANY reference row (vec_id % 4 = 0) in the same `label` block.
+    * Blocked equi-join + bit-exact native cosine, so the oracle replays the
+    * whole law including the threshold boundary.
+    */
+  def qEmbedAgainst(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.embedAgainst(
+        e.filter(col("vec_id") % 4 =!= 0),
+        e.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", "label", threshold = 0.35)
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
+  val qEmbedAgainstSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      | flagged AS (SELECT DISTINCT i.vec_id FROM e i JOIN e r
+      |  ON i.label = r.label AND i.vec_id % 4 <> 0 AND r.vec_id % 4 = 0
+      |  AND list_dot_product(i.v, r.v)/(sqrt(list_dot_product(i.v, i.v))*sqrt(list_dot_product(r.v, r.v))) >= 0.35)
+      | SELECT vec_id, label FROM e d
+      | WHERE vec_id % 4 <> 0
+      |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.vec_id = d.vec_id)
+      | ORDER BY vec_id""".stripMargin.replace("\n", " ")
+
   /** Array-producing regex extraction (`regexp_extract_all` — the
     * entity/link-harvest surface): all 6+-letter lowercase words per
     * document, count + order-sensitive md5 witness of the joined matches.
@@ -2412,6 +2476,8 @@ object Registry {
     "q_map_ops" -> (qMapOps _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_dedup_against" -> (qDedupAgainst _),
+    "q_minhash_against" -> (qMinhashAgainst _),
+    "q_embed_against" -> (qEmbedAgainst _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2515,6 +2581,8 @@ object Registry {
     "q_map_ops" -> qMapOpsSql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_dedup_against" -> qDedupAgainstSql,
+    "q_minhash_against" -> qMinhashAgainstSql,
+    "q_embed_against" -> qEmbedAgainstSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,

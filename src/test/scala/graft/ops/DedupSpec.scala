@@ -114,6 +114,29 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) === (2L, 2L)) // "AAAA" twice in ONE doc: both kept
   }
 
+  test("minhashAgainst: near-copies of the reference drop, fresh and distant docs survive") {
+    val boiler = ("the quarterly compliance report must be submitted through the " +
+      "standard portal before the posted deadline each cycle ") * 4
+    val incoming = Seq(
+      (1L, boiler + "with one trailing edit appended here."), // near-dup of ref 100
+      (2L, "entirely different content about migratory birds and their seasonal " +
+        "routes across continents, long enough to carry many distinct shingles " +
+        "of its own for the index."),
+      (3L, null.asInstanceOf[String])) // no shingles → no candidates → survives
+      .toDF("doc_id", "text")
+    val reference = Seq(
+      (100L, boiler),
+      (101L, "reference corpus filler text that matches nothing incoming at all " +
+        "but still contributes buckets to the banded index."))
+      .toDF("doc_id", "text")
+    // threshold 0.5: the repeated boiler collapses to ~18 distinct cyclic
+    // shingles, so the trailing edit dilutes exact Jaccard to ~0.67
+    val kept = Dedup.minhashAgainst(incoming, reference, "doc_id", "text",
+      threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("exactAgainst: normalized duplicates of the reference drop; NULL text survives") {
     val incoming = Seq((1L, "Hello   World"), (2L, "fresh content"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")

@@ -139,6 +139,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs2 === (1 until 5).map(i => (i.toLong, 100L + i)).toSet)
   }
 
+  test("embedAgainst: semantic twins of the reference drop; block gates the comparison") {
+    // incoming 0..4 are twins of reference 100..104 (same planted base);
+    // block them together → all five incoming drop; everything else survives
+    val blocked = vecs.withColumn("blk",
+      when($"vec_id" < 5, $"vec_id" % 2)
+        .when($"vec_id" >= 100, ($"vec_id" - 100) % 2)
+        .otherwise(lit(9L)))
+    val incoming = blocked.filter($"vec_id" < 100)
+    val reference = blocked.filter($"vec_id" >= 100)
+    val kept = Similarity.embedAgainst(incoming, reference, "vec_id",
+      "embedding", "blk", threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === incoming.select("vec_id").as[Long].collect().toSet -- (0L until 5L))
+
+    // move reference twin 100 out of incoming 0's block → 0 now survives
+    val refSplit = reference.withColumn("blk",
+      when($"vec_id" === 100, lit(7L)).otherwise($"blk"))
+    val kept2 = Similarity.embedAgainst(incoming, refSplit, "vec_id",
+      "embedding", "blk", threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2.contains(0L) && !kept2.contains(1L))
+  }
+
   test("cosine law: self-similarity 1, symmetry") {
     val a = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-3.0f, 2.0f, -1.0f)))
       .toDF("vec_id", "embedding")
