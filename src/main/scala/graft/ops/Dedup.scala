@@ -569,6 +569,14 @@ object Dedup {
     * excising the wrong text while reporting success. `clean_len` counts
     * codepoints (= SQL `length`) and `clean_hash` is md5 of the UTF-8
     * bytes (= SQL `md5`), so the oracle law on BMP text is unchanged.
+    *
+    * Bench note: the earlier declarative-fold excision let `count()`
+    * ELIMINATE the whole pipeline (count over a left join against a
+    * grouped key is join-eliminated, and every computed column pruned),
+    * so pre-r6 bench entries for q_span_dedup (~0.4 s at sf0.1) measured
+    * a collapsed plan. The object boundary here is opaque to pruning, so
+    * the ~1.4 s it shows now is the operator's real cost — the same work
+    * the correctness gate's parquet write always paid.
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 8, span: Int = 40, minDocs: Int = 2): DataFrame = {

@@ -51,4 +51,21 @@ object Layout {
       .sortWithinPartitions("_z")
       .select(cols.map(col).toIndexedSeq: _*)
   }
+
+  /** Persist a frame as a BUCKETED table: rows hash-partitioned into
+    * `buckets` files per partition by `keyCol` and sorted within each
+    * bucket — the write-side contract that lets every later equi-join or
+    * aggregation on `keyCol` between co-bucketed tables run with ZERO
+    * shuffle (the scan's output partitioning already satisfies the join's
+    * distribution requirement; LayoutSpec pins the exchange-free plan).
+    * This is the standing answer to "big fact-to-fact joins shuffle both
+    * sides every query": pay one shuffle at write time, amortized over
+    * every read. Bucketing rides the session catalog (`saveAsTable` —
+    * bucket metadata lives in the table definition, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+      buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .mode("overwrite").saveAsTable(table)
 }

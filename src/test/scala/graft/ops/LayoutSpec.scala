@@ -82,4 +82,39 @@ class LayoutSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("x", "y"))
     assert(out.count() === 256L)
   }
+
+  test("bucketed co-located join: ZERO exchanges, results identical to the shuffled join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '$dir'")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the exchange-free claim is about
+      // BUCKETING, not about one side being small enough to broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      Layout.writeBucketed(li, "bucketdb.lineitem_b", "l_orderkey", buckets = 8)
+      Layout.writeBucketed(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "bucketdb.orders_b", "l_orderkey", buckets = 8)
+
+      val joined = spark.table("bucketdb.lineitem_b")
+        .join(spark.table("bucketdb.orders_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed scan satisfies the join's distribution: no shuffle at all
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("SelectedBucketsCount"), plan)
+
+      // and it computes the same thing as the plain shuffled join
+      val expected = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+    }
+  }
 }
