@@ -10,7 +10,8 @@ import graft.ops.{Clusters, Contamination, Dedup, Mixture, Packing, Sampling, Sc
   * the way a real corpus pipeline chains them —
   *
   *   quality filter → PII scrub → exact dedup → near-dup clustering →
-  *   survivor selection → contamination check → tokenizer pair counts →
+  *   survivor selection → contamination check → SEMANTIC decontamination
+  *   (embedding-space, Similarity.embedAgainst) → tokenizer pair counts →
   *   fixed-k eval carve → sequence packing → mixture upsampling →
   *   train/val/test split → shuffle-shards → JSONL export
   *
@@ -86,7 +87,21 @@ object CurateDemo {
       .filter($"contaminated")
     println(s"=== contamination: ${contaminated.count()} flagged vs benchmark ===")
 
-    val clean = candidates.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    val cleanText = candidates.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 5a. SEMANTIC decontamination: embedding-space leakage the 5-gram
+    // check can't see (paraphrases / restatements of benchmark items) —
+    // incoming embeddings vs the benchmark rows' embeddings, blocked by
+    // label, survivors kept (Similarity.embedAgainst)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val incEmb = emb.join(cleanText.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+    val refEmb = emb.filter($"vec_id" % 10 === 0)
+    val semKept = graft.ops.Similarity.embedAgainst(
+      incEmb, refEmb, "vec_id", "embedding", "label", threshold = 0.35)
+    val clean = cleanText.join(
+      semKept.select($"vec_id".as("doc_id")), Seq("doc_id"), "left_semi")
+    println(s"=== semantic decontamination: ${cleanText.count() - clean.count()} " +
+      s"dropped by embedding similarity ===")
 
     // 5b. tokenizer prep: the corpus adjacent-pair table (BPE merge
     // selection reads the head of this)

@@ -28,7 +28,11 @@ object PlanAudit {
         // codegen bit-interleave, WindowGroupLimit'd fixed-k sample,
         // window-expansion sliding agg
         "q_span_dedup", "q_bpe_pairs", "q_zorder", "q_fixed_sample",
-        "q_sliding_windows")
+        "q_sliding_windows",
+        // r6: sketch-threshold broadcast clip, composed curation chain,
+        // pointer-doubling traversal, against-family bucket joins
+        "q_winsorize_approx", "q_curate_summary", "q_hierarchy_doubling",
+        "q_minhash_against", "q_embed_against")
     names.foreach { n =>
       println(s"===== $n =====")
       Registry.queries(n)(spark, dir).explain("formatted")
