@@ -41,4 +41,159 @@ object Vocab {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  /** Word-frequency table: one narrow token pass + one hash aggregate —
+    * the BOUNDED structure BPE training actually needs (distinct words,
+    * not the corpus; Zipf makes the distinct-word table corpus-size-
+    * sublinear, and `trainBpeMerges` caps it anyway).
+    */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(textCol).cast("string"))
+      .as[String]
+      .mapPartitions(_.flatMap(t => TextFns.tokensScala(t).iterator))
+      .toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+  }
+
+  /** Train BPE merges (Sennrich et al., ACL'16) — the scale-correct shape:
+    * the corpus reduces to its word-frequency table distributed-side (one
+    * aggregate), the top `maxVocabRows` rows by frequency (ties on word)
+    * collect to the driver — bounded by construction, like IVF/PQ codebook
+    * training — and the merge loop runs there deterministically: each
+    * round merges the most-frequent adjacent symbol pair (weighted by word
+    * frequency; ties break lexicographically), until `numMerges` or no
+    * pair repeats. Returns the ordered merge list — merge RANK is the
+    * encoder's priority.
+    *
+    * Symbols are the word's Unicode codepoints (surrogate-safe) with
+    * `</w>` appended to the final symbol, the classic end-of-word marker
+    * that keeps "low" vs "low-as-prefix" distinct.
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocabRows: Int = 100000): Seq[(String, String)] = {
+    val vocab: Array[(Array[String], Long)] = wordFreq(df, textCol)
+      .orderBy(col("n").desc, col("word")).limit(maxVocabRows)
+      .collect().map { r =>
+        val w = r.getString(0)
+        val cps = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        if (cps.nonEmpty) cps(cps.length - 1) = cps(cps.length - 1) + "</w>"
+        (cps, r.getLong(1))
+      }
+    val words = vocab.map(_._1.toBuffer)
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var go = true
+    while (go && round < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi); val f = vocab(wi)._2
+        var i = 0
+        while (i < w.length - 1) {
+          val k = (w(i), w(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+        wi += 1
+      }
+      val best = counts.filter(_._2 >= 2).toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case None => go = false
+        case Some((pair @ (a, b), _)) =>
+          merges += pair
+          val merged = a + b
+          words.foreach { w =>
+            var i = 0
+            while (i < w.length - 1) {
+              if (w(i) == a && w(i + 1) == b) { w(i) = merged; w.remove(i + 1) }
+              else i += 1
+            }
+          }
+          round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply trained merges to one word's symbol sequence (greedy by merge
+    * RANK — the standard BPE encode: always the earliest-learned
+    * applicable merge first).
+    */
+  private[ops] def applyMerges(word: String,
+      rank: Map[(String, String), Int]): Array[String] = {
+    val cps = word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    if (cps.isEmpty) return cps
+    cps(cps.length - 1) = cps(cps.length - 1) + "</w>"
+    val buf = scala.collection.mutable.ArrayBuffer.from(cps)
+    var done = false
+    while (!done && buf.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < buf.length - 1) {
+        val r = rank.getOrElse((buf(i), buf(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else { buf(bestAt) = buf(bestAt) + buf(bestAt + 1); buf.remove(bestAt + 1) }
+    }
+    buf.toArray
+  }
+
+  /** Distributed BPE encode with a broadcast merge table: per document,
+    * (idCol, n_tokens, n_bpe_tokens, stream_hash) where `stream_hash` is
+    * the md5 of the DECODED symbol stream joined back into the original
+    * space-joined token stream — the lossless round-trip witness. Decoding
+    * is symbol concatenation minus the `</w>` markers, so stream_hash must
+    * equal [[graft.functions.TextFns.orderedFingerprintMd5]] of the
+    * original text for every document regardless of what merges were
+    * learned — which is exactly what makes a TRAINED tokenizer
+    * oracle-checkable in SQL (the oracle recomputes the token-stream md5
+    * without knowing the merges).
+    */
+  def encodeBpe(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank = merges.zipWithIndex.toMap
+    val bRank = spark.sparkContext.broadcast(rank)
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val r = bRank.value
+        it.map { case (id, text) =>
+          val toks = TextFns.tokensScala(if (text == null) "" else text)
+          var nBpe = 0L
+          val decoded = new java.lang.StringBuilder
+          var i = 0
+          while (i < toks.length) {
+            val syms = applyMerges(toks(i), r)
+            nBpe += syms.length
+            if (i > 0) decoded.append(' ')
+            // strip ONLY the trailing structural marker (concatenated
+            // symbols always end with the `</w>` appended at train/encode
+            // time); a literal "</w>" inside real token text survives
+            val full = syms.mkString
+            decoded.append(full, 0, full.length - 4)
+            i += 1
+          }
+          digest.reset()
+          val h = digest.digest(decoded.toString.getBytes("UTF-8"))
+          val hex = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < h.length) {
+            hex.append(Character.forDigit((h(j) >> 4) & 0xf, 16))
+            hex.append(Character.forDigit(h(j) & 0xf, 16))
+            j += 1
+          }
+          (id, toks.length.toLong, nBpe, hex.toString)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_bpe_tokens", "stream_hash")
+  }
 }

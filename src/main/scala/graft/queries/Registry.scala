@@ -2034,6 +2034,31 @@ object Registry {
       | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** BPE tokenizer train + encode, end-to-end oracled
+    * ([[graft.ops.Vocab.trainBpeMerges]] / [[graft.ops.Vocab.encodeBpe]]):
+    * merges are trained on the corpus's bounded word-frequency table
+    * (driver-side deterministic loop, the IVF/PQ training discipline),
+    * broadcast, and applied distributed. The TRAINED artifact can't be
+    * replayed in SQL — but the encode's round-trip can: `stream_hash` is
+    * the md5 of the DECODED symbol stream, which must equal the original
+    * token-stream md5 for every document NO MATTER what merges were
+    * learned. A wrong merge application, marker corruption, or lossy
+    * encode breaks the hash; n_bpe_tokens compression is pinned by unit
+    * tests (merge-count monotonicity) since it is merge-dependent.
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = graft.ops.Vocab.trainBpeMerges(docs, "text", numMerges = 200)
+    graft.ops.Vocab.encodeBpe(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_tokens"), col("stream_hash"))
+      .orderBy("doc_id")
+  }
+
+  val qBpeEncodeSql: String =
+    s"""SELECT doc_id, $nTokensSqlExpr AS n_tokens,
+      | md5(array_to_string($tokensSql, ' ')) AS stream_hash
+      | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Cross-corpus NEAR-dup dedup ([[graft.ops.Dedup.minhashAgainst]]):
     * incoming docs (doc_id % 7 ≠ 0) that near-duplicate (3-gram Jaccard
     * ≥ 0.8) ANY reference doc (doc_id % 7 = 0) are dropped. Candidates via
@@ -2478,6 +2503,7 @@ object Registry {
     "q_dedup_against" -> (qDedupAgainst _),
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_embed_against" -> (qEmbedAgainst _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2583,6 +2609,7 @@ object Registry {
     "q_dedup_against" -> qDedupAgainstSql,
     "q_minhash_against" -> qMinhashAgainstSql,
     "q_embed_against" -> qEmbedAgainstSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,

@@ -46,4 +46,40 @@ class VocabSpec extends SparkSpec {
       graft.functions.TextFns.tokensScala(t).length - 1).toLong).sum
     assert(totalPairs === want)
   }
+
+  test("BPE: merges learn the dominant pair; encode compresses monotonically; round-trip exact") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "lower lower lower newest newest widest low low low low"),
+      (2L, "lower newest newest er er est low lowest"),
+      (3L, "an unrelated </w> literal marker survives decoding intact"))
+      .toDF("doc_id", "text")
+
+    val merges = Vocab.trainBpeMerges(docs, "text", numMerges = 50)
+    assert(merges.nonEmpty)
+    // the first merge is the most frequent weighted symbol pair: 'l'+'o'
+    // ("low"×5, "lower"×4, "lowest"×1 all contribute l,o at rank 1 weight 10)
+    assert(merges.head === (("l", "o")), s"first merge was ${merges.head}")
+
+    // more merges never increase the encoded length; enough merges reach
+    // one-symbol-per-frequent-word
+    def totalBpe(n: Int): Long = {
+      val m = Vocab.trainBpeMerges(docs, "text", numMerges = n)
+      Vocab.encodeBpe(docs, "doc_id", "text", m)
+        .agg(sum("n_bpe_tokens")).head.getLong(0)
+    }
+    val t0 = totalBpe(0); val t10 = totalBpe(10); val t50 = totalBpe(50)
+    assert(t0 >= t10 && t10 >= t50, s"$t0 >= $t10 >= $t50 violated")
+    assert(t50 < t0, "merges compressed nothing")
+
+    // round-trip witness: decoded stream md5 equals the original
+    // token-stream md5 for EVERY doc — including the literal "</w>" text
+    val enc = Vocab.encodeBpe(docs, "doc_id", "text", merges)
+      .select("doc_id", "stream_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.select(col("doc_id"),
+        graft.functions.TextFns.orderedFingerprintMd5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc === want)
+  }
 }
