@@ -227,6 +227,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_minhash_against / q_embed_against: bucket/block equi-joins, never a cross join") {
+    for (name <- Seq("q_minhash_against", "q_embed_against")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name degraded to all-pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degraded to a probe join")
+    }
+  }
+
+  test("q_bpe_encode: one narrow encode pass, no join, no window") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Join"), s"encode must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
