@@ -52,4 +52,56 @@ object Chunking {
         else Nil)): _*)
     base
   }
+
+  /** TOKEN-space context windows with stride — how pretraining actually
+    * cuts long documents into model-length sequences: windows of `size`
+    * tokens starting every `stride` tokens (overlap = size - stride keeps
+    * boundary context). Same start law as [[charChunks]] transplanted to
+    * token space: starts run while `start < max(n - (size - stride), 1)`,
+    * so a tail the previous window fully covers is not re-emitted and
+    * every document yields ≥ 1 window (an empty doc yields one empty
+    * window — no document silently disappears).
+    *
+    * Output: (idCol, win_idx, start_tok, n_toks, window_hash) where
+    * `window_hash` is the md5 of the window's tokens joined by a single
+    * space — the per-window content witness (the oracle recomputes it via
+    * list_slice, so window boundaries AND content are both gated).
+    *
+    * One mapPartitions pass (the shared tokenizer law at an object
+    * boundary — the HOF-duplication trap note in [[Dedup]]); fanout
+    * ≈ n/stride rows per doc, the intended output cardinality; no shuffle.
+    */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need size > 0 and 0 < stride <= size")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (s, st) = (size, stride)
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val toks = graft.functions.TextFns.tokensScala(if (text == null) "" else text)
+          val n = toks.length
+          val lastStart = ((math.max(n - (s - st), 1) - 1) / st) * st
+          (0 to lastStart by st).iterator.map { start =>
+            val len = math.max(0, math.min(s, n - start))
+            digest.reset()
+            val h = digest.digest(
+              toks.slice(start, start + len).mkString(" ").getBytes("UTF-8"))
+            val hex = new java.lang.StringBuilder(32)
+            var j = 0
+            while (j < h.length) {
+              hex.append(Character.forDigit((h(j) >> 4) & 0xf, 16))
+              hex.append(Character.forDigit(h(j) & 0xf, 16))
+              j += 1
+            }
+            (id, (start / st).toLong, start.toLong, len.toLong, hex.toString)
+          }
+        }
+      }
+      .toDF(idCol, "win_idx", "start_tok", "n_toks", "window_hash")
+  }
 }

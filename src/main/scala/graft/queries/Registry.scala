@@ -2059,6 +2059,27 @@ object Registry {
       | md5(array_to_string($tokensSql, ' ')) AS stream_hash
       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Token-space context windows ([[graft.ops.Chunking.tokenWindows]]):
+    * size-64 / stride-48 windows (16-token overlap) over every document —
+    * boundaries AND per-window content md5 both replayed by the oracle's
+    * list_slice, so the whole pretraining windowing law is hash-gated.
+    */
+  def qTokenWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.tokenWindows(t(spark, dir, "documents"),
+      "doc_id", "text", size = 64, stride = 48)
+      .orderBy("doc_id", "win_idx")
+
+  val qTokenWindowsSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | w AS (SELECT doc_id, tk, unnest(generate_series(0,
+      |   ((greatest(len(tk) - 16, 1) - 1) // 48) * 48, 48)) AS start_tok
+      |  FROM t)
+      | SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS win_idx,
+      |  CAST(start_tok AS BIGINT) AS start_tok,
+      |  CAST(greatest(least(64, len(tk) - start_tok), 0) AS BIGINT) AS n_toks,
+      |  md5(array_to_string(list_slice(tk, start_tok + 1, start_tok + 64), ' ')) AS window_hash
+      | FROM w ORDER BY doc_id, win_idx""".stripMargin.replace("\n", " ")
+
   /** Cross-corpus NEAR-dup dedup ([[graft.ops.Dedup.minhashAgainst]]):
     * incoming docs (doc_id % 7 ≠ 0) that near-duplicate (3-gram Jaccard
     * ≥ 0.8) ANY reference doc (doc_id % 7 = 0) are dropped. Candidates via
@@ -2504,6 +2525,7 @@ object Registry {
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_embed_against" -> (qEmbedAgainst _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_token_windows" -> (qTokenWindows _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2610,6 +2632,7 @@ object Registry {
     "q_minhash_against" -> qMinhashAgainstSql,
     "q_embed_against" -> qEmbedAgainstSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_token_windows" -> qTokenWindowsSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,

@@ -32,4 +32,27 @@ class ChunkingSpec extends SparkSpec {
     val out = chunks("x" * 600, size = 400, overlap = 100) // step 300
     assert(out.map(t => (t._2, t._3)).toSeq === Seq((0L, 400L), (300L, 300L)))
   }
+
+  test("tokenWindows: stride starts, overlap content, full token coverage, empty doc kept") {
+    import spark.implicits._
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val words = (0 until 130).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Chunking.tokenWindows(docs, "doc_id", "text", size = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+
+    // doc 1 (130 tokens): starts at 0, 48, 96 — last window truncated to 34
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(w => (w._3, w._4)).toSeq === Seq((0L, 64L), (48L, 64L), (96L, 34L)))
+    // content witness: each window hashes exactly its token slice,
+    // including the 16-token overlaps
+    d1.foreach { case (_, _, start, len, h) =>
+      assert(h === md5(words.slice(start.toInt, start.toInt + len.toInt).mkString(" ")))
+    }
+    // short doc: one window with all tokens; empty doc: one empty window
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 3L, md5("a b c"))))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, 0L, md5(""))))
+  }
 }
