@@ -47,19 +47,27 @@ object Bench {
     }
     // stdout must fit the driver's 2000-char capture window or per-query
     // timings silently vanish from review (r5 lost 16 of 82 queries to
-    // truncation): 2-decimal values keep the full 80+-query map ≈1900
-    // chars. Full precision goes to BENCH_FULL.json alongside.
-    // sub-second values keep 2 decimals; ≥1 s keeps 1 (relative precision —
-    // and the line SHRINKS on a slow box instead of outgrowing the window)
-    def fmt(v: Double): String = {
-      val s = if (v < 0) return "-1" else if (v >= 1) f"$v%.1f" else f"$v%.2f"
-      s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // truncation). Precision degrades AUTOMATICALLY until the full map
+    // fits — the query count can keep growing without anyone re-checking
+    // the budget. Full precision goes to BENCH_FULL.json alongside.
     val total = results.values.filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    def render(dec: Int): String = {
+      def fmt(v: Double): String = {
+        val s = if (v < 0) return "-1"
+          else if (v >= 1) f"$v%.1f"
+          else String.format(s"%.${dec}f", Double.box(v))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+          case "" => "0"
+          case t => t
+        }
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val line = Iterator(2, 1).map(render).find(_.length <= 1950)
+      .getOrElse(render(1))
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),

@@ -41,19 +41,25 @@ object Verify {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       Seq("q_ann_lsh" -> 0.6, "q_ann_ivf" -> 0.5, "q_ann_pq" -> 0.9)
         .foreach { case (name, floor) =>
-          val got = spark.read.parquet(s"$outDir/$name")
-            .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-          val recall =
-            if (truth.isEmpty) 0.0
-            else truth.intersect(got).size.toDouble / truth.size
-          System.err.println(f"[verify] $name recall@10 = $recall%.3f (floor $floor)")
-          if (recall < floor) {
-            System.err.println(s"[verify] $name FAILED recall floor — removing output")
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          // per-query try: one missing/broken output must not skip the
+          // remaining floors
+          try {
+            val got = spark.read.parquet(s"$outDir/$name")
+              .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            val recall =
+              if (truth.isEmpty) 0.0
+              else truth.intersect(got).size.toDouble / truth.size
+            System.err.println(f"[verify] $name recall@10 = $recall%.3f (floor $floor)")
+            if (recall < floor) {
+              System.err.println(s"[verify] $name FAILED recall floor — removing output")
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+              }
+              rm(new java.io.File(s"$outDir/$name"))
             }
-            rm(new java.io.File(s"$outDir/$name"))
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name recall check failed: ${e.getMessage}")
           }
         }
     } catch { case e: Throwable =>

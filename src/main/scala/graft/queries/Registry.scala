@@ -2059,6 +2059,40 @@ object Registry {
       | md5(array_to_string($tokensSql, ' ')) AS stream_hash
       | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Exact Mann-Whitney AUC per event type ([[graft.ops.Eval.aucByGroup]]):
+    * how well `value` separates a deterministic synthetic label
+    * (user_id % 3 = 0 — a stand-in for "passed human review"). Average
+    * ranks on ties, NULL scores/labels excluded, degenerate groups NULL —
+    * the oracle replays the identical rank algebra, DOUBLE throughout
+    * (rank sums are exact integers + halves, so no decimal-rounding trap).
+    */
+  def qAucEval(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.aucByGroup(
+      t(spark, dir, "events")
+        .withColumn("label", col("user_id") % 3 === 0),
+      "value", "label", "event_type")
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        round(col("auc"), 10).as("auc"))
+      .orderBy("event_type")
+
+  val qAucEvalSql: String =
+    """WITH b AS (SELECT event_type AS _g, value AS _s,
+      |   (user_id % 3 = 0) AS _y FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      | r AS (SELECT _g, _y,
+      |   rank() OVER (PARTITION BY _g ORDER BY _s)
+      |     + (COUNT(*) OVER (PARTITION BY _g, _s) - 1) / 2.0 AS _avg_rank
+      |  FROM b),
+      | a AS (SELECT _g AS event_type,
+      |   COUNT(CASE WHEN _y THEN 1 END) AS n_pos,
+      |   COUNT(CASE WHEN NOT _y THEN 1 END) AS n_neg,
+      |   SUM(CASE WHEN _y THEN _avg_rank END) AS _rpos
+      |  FROM r GROUP BY 1)
+      | SELECT event_type, n_pos, n_neg,
+      |  round(CASE WHEN n_pos > 0 AND n_neg > 0
+      |   THEN (_rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) END, 10) AS auc
+      | FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")
+
   /** Token-space context windows ([[graft.ops.Chunking.tokenWindows]]):
     * size-64 / stride-48 windows (16-token overlap) over every document —
     * boundaries AND per-window content md5 both replayed by the oracle's
@@ -2526,6 +2560,7 @@ object Registry {
     "q_embed_against" -> (qEmbedAgainst _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_token_windows" -> (qTokenWindows _),
+    "q_auc_eval" -> (qAucEval _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2633,6 +2668,7 @@ object Registry {
     "q_embed_against" -> qEmbedAgainstSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_token_windows" -> qTokenWindowsSql,
+    "q_auc_eval" -> qAucEvalSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,
