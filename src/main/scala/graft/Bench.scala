@@ -53,10 +53,13 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val sfName = new java.io.File(sfDir).getName
     def render(dec: Int): String = {
+      // Locale.ROOT: a de_DE/fr_FR default locale renders 0.43 as "0,43"
+      // — malformed JSON, and the driver's json.load loses the round
       def fmt(v: Double): String = {
         val s = if (v < 0) return "-1"
-          else if (v >= 1) f"$v%.1f"
-          else String.format(s"%.${dec}f", Double.box(v))
+          else if (v >= 1)
+            String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+          else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
         s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
           case "" => "0"
           case t => t

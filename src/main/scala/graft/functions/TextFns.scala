@@ -163,6 +163,22 @@ object TextFns {
   def fingerprintMd5(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** Lowercase-hex rendering of a digest — THE hash-witness encoding every
+    * JVM-side md5 law shares with SQL `md5()` (unsigned byte order ==
+    * lexicographic hex order). One definition so the oracle-critical
+    * casing/format can never drift between operators.
+    */
+  def hexBytes(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Case-preserving token-stream md5 fingerprint: md5 of the space-joined
     * token array. Complements [[fingerprintMd5]], which lowercases (so
     * case-variant copies collide there but not here); both collapse

@@ -21,20 +21,49 @@ object Cfb {
   private val ENDOFCHAIN = 0xFFFFFFFE
   private val FREESECT = 0xFFFFFFFF
 
-  final case class Entry(name: String, objType: Int, startSector: Int, size: Long)
+  final case class Entry(name: String, objType: Int, startSector: Int, size: Long,
+      id: Int = -1, leftSib: Int = -1, rightSib: Int = -1, childId: Int = -1)
 
   /** Bytes of the first stream whose name is in `names` (as stored), or None. */
   def readStream(file: File, names: Seq[String]): Option[Array[Byte]] =
     readStream(Files.readAllBytes(file.toPath), names)
 
   /** Every stream in the container as (name, bytes), directory order —
-    * what a container REWRITE ([[CfbWriter]]) needs to carry all
-    * non-workbook streams (SummaryInformation, CompObj, …) across intact.
+    * nested storages flattened (reader convenience).
     */
   def allStreams(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
     withParsed(bytes) { (entries, read) =>
       entries.filter(_.objType == 2).map(e => e.name -> read(e))
     }
+
+  /** Only the ROOT-LEVEL streams (direct children of the root entry, via
+    * the red-black sibling tree) — what a FLAT container rewrite
+    * ([[CfbWriter]]) can faithfully carry. Streams nested inside storages
+    * (VBA projects, embedded OLE objects) are NOT included: flattening
+    * them would collide names and orphan their storage structure.
+    */
+  def rootStreams(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    withParsed(bytes) { (entries, read) =>
+      val byId = entries.map(e => e.id -> e).toMap
+      val root = entries.find(_.objType == 5)
+      val out = Seq.newBuilder[(String, Array[Byte])]
+      def walk(id: Int, guard: Int): Unit = {
+        if (guard > (1 << 16) || id < 0) return
+        byId.get(id).foreach { e =>
+          walk(e.leftSib, guard + 1)
+          if (e.objType == 2) out += e.name -> read(e)
+          walk(e.rightSib, guard + 1)
+        }
+      }
+      root.foreach(r => walk(r.childId, 0))
+      out.result()
+    }
+
+  /** True when the container holds nested storages (objType 1) — content a
+    * flat rewrite cannot preserve.
+    */
+  def hasStorages(bytes: Array[Byte]): Boolean =
+    withParsed(bytes) { (entries, _) => entries.exists(_.objType == 1) }
 
   /** Same, over in-memory container bytes (the streaming drop-folder path
     * delivers workbooks as `binaryFile` content).
@@ -115,11 +144,13 @@ object Cfb {
       out
     }
 
-    // directory entries (128 bytes each) across the directory chain
+    // directory entries (128 bytes each) across the directory chain; ids
+    // are the SLOT indices (what sibling/child pointers reference)
     val entries: Seq[Entry] = {
       val b = Seq.newBuilder[Entry]
       var sector = firstDirSector
       var guard = 0
+      var slot = 0
       while (sector != ENDOFCHAIN && sector != FREESECT && guard < (1 << 20)) {
         val base = sectorOffset(sector)
         var e = 0
@@ -131,9 +162,12 @@ object Cfb {
             val objType = bytes(off + 66) & 0xFF
             val start = buf.getInt(off + 116)
             val size = buf.getInt(off + 120).toLong & 0xFFFFFFFFL // v3: low 32 bits
-            b += Entry(name, objType, start, size)
+            b += Entry(name, objType, start, size, id = slot,
+              leftSib = buf.getInt(off + 68), rightSib = buf.getInt(off + 72),
+              childId = buf.getInt(off + 76))
           }
           e += 1
+          slot += 1
         }
         sector = fatAt(sector)
         guard += 1

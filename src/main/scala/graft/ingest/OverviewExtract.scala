@@ -64,7 +64,16 @@ object OverviewExtract {
     val container = java.nio.file.Files.readAllBytes(input.toPath)
     val wb = Xls.workbookStream(container)
     Xls.subsetWorkbookStream(wb, sheetName).map { newWb =>
-      val streams = Cfb.allStreams(container).map {
+      // ROOT-level streams only: [[CfbWriter]] writes a flat container, and
+      // flattening nested storages (VBA projects, embedded OLE) would
+      // collide names and orphan their structure — drop them with a
+      // visible note instead (the reference's POI path drops VBA from
+      // extracted artifacts too; the sheet data itself never lives in a
+      // nested storage)
+      if (Cfb.hasStorages(container))
+        System.err.println(s"[overview] ${input.getName}: nested storages " +
+          "(macros/OLE) are not carried into the extracted artifact")
+      val streams = Cfb.rootStreams(container).map {
         case (n, _) if n == "Workbook" || n == "Book" => n -> newWb
         case s => s
       }

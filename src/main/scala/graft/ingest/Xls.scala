@@ -43,6 +43,7 @@ object Xls {
   private val FORMULA = 0x06
   private val STRING_R = 0x207
   private val INDEX = 0x20B
+  private val EXTSST = 0xFF
 
   def workbookStream(file: File): Array[Byte] =
     Cfb.readStream(file, Seq("Workbook", "Book"))
@@ -105,8 +106,13 @@ object Xls {
     * POI). Record-exact surgery:
     *
     *   - globals substream copied verbatim minus the other sheets'
-    *     BOUNDSHEET records; the kept BOUNDSHEET's lbPlyPos is patched to
-    *     the sheet substream's new position;
+    *     BOUNDSHEET records and minus EXTSST — EXTSST's ISSTINF entries
+    *     hold ABSOLUTE stream offsets into the SST, which the BOUNDSHEET
+    *     removals shift; like INDEX it is an optional access accelerator
+    *     (readers fall back to the sequential SST walk), so dropping it
+    *     beats carrying stale offsets that would mis-seek shared strings.
+    *     The kept BOUNDSHEET's lbPlyPos is patched to the sheet
+    *     substream's new position;
     *   - the kept sheet substream copied verbatim minus its INDEX record —
     *     INDEX holds ABSOLUTE stream offsets of the DBCELL accelerators,
     *     which the surgery shifts; the record is an optional read
@@ -126,8 +132,8 @@ object Xls {
       var patchAt = -1 // output offset of the kept BOUNDSHEET's lbPlyPos
       var kept = false
       records(wb, 0).foreach { case (id, off, len) =>
-        val keep = id != BOUNDSHEET ||
-          (!kept && boundsheetName(wb, off) == sheetName)
+        val keep = id != EXTSST && (id != BOUNDSHEET ||
+          (!kept && boundsheetName(wb, off) == sheetName))
         if (keep) {
           if (id == BOUNDSHEET) { patchAt = out.size + 4; kept = true }
           out.write(wb, off - 4, len + 4)

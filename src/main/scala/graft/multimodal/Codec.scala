@@ -55,9 +55,28 @@ object Codec {
     * every downstream law (features, resize) is format-agnostic. Alpha is
     * dropped (composited as-is, matching the BMP 32-bit path, which also
     * ignores the A byte).
+    *
+    * Declared dimensions are checked from the HEADER (ImageReader
+    * getWidth/getHeight — no pixel decode) BEFORE the full read: a 1 KB
+    * decompression bomb declaring 50000×50000 would otherwise allocate
+    * its raster inside `ImageIO.read` and OOM the task, past any
+    * after-the-fact guard.
     */
+  private val MaxDecodedPixels = 64L * 1024 * 1024 // 64 MPx ≈ 192 MB RGB
+
   private def decodeViaImageIO(b: Array[Byte]): Option[Image] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return None }
+    val reader = readers.next()
+    val img =
+      try {
+        reader.setInput(iis)
+        val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+        if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodedPixels) null
+        else reader.read(0)
+      } finally { reader.dispose(); iis.close() }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight

@@ -89,16 +89,9 @@ object Chunking {
           (0 to lastStart by st).iterator.map { start =>
             val len = math.max(0, math.min(s, n - start))
             digest.reset()
-            val h = digest.digest(
-              toks.slice(start, start + len).mkString(" ").getBytes("UTF-8"))
-            val hex = new java.lang.StringBuilder(32)
-            var j = 0
-            while (j < h.length) {
-              hex.append(Character.forDigit((h(j) >> 4) & 0xf, 16))
-              hex.append(Character.forDigit(h(j) & 0xf, 16))
-              j += 1
-            }
-            (id, (start / st).toLong, start.toLong, len.toLong, hex.toString)
+            val hex = graft.functions.TextFns.hexBytes(digest.digest(
+              toks.slice(start, start + len).mkString(" ").getBytes("UTF-8")))
+            (id, (start / st).toLong, start.toLong, len.toLong, hex)
           }
         }
       }

@@ -438,16 +438,7 @@ object Dedup {
       .mapPartitions { it =>
         val digest = java.security.MessageDigest.getInstance("MD5")
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
-        def hex(b: Array[Byte]): String = {
-          val sb = new java.lang.StringBuilder(32)
-          var i = 0
-          while (i < b.length) {
-            sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
-            sb.append(Character.forDigit(b(i) & 0xf, 16))
-            i += 1
-          }
-          sb.toString
-        }
+        def hex(b: Array[Byte]): String = TextFns.hexBytes(b)
         // unsigned digest-byte order == lowercase-hex lexicographic order
         // (each byte renders as two hex digits preserving unsigned rank), so
         // the anchor test can compare raw 16-byte digests and skip per-
@@ -613,15 +604,8 @@ object Dedup {
           if (pos < t.length) sb.append(t, pos, t.length)
           val clean = sb.toString
           digest.reset()
-          val h = digest.digest(clean.getBytes(utf8))
-          val hx = new java.lang.StringBuilder(32)
-          var i = 0
-          while (i < h.length) {
-            hx.append(Character.forDigit((h(i) >> 4) & 0xf, 16))
-            hx.append(Character.forDigit(h(i) & 0xf, 16))
-            i += 1
-          }
-          (id, ni, nsp, clean.codePointCount(0, clean.length).toLong, hx.toString)
+          (id, ni, nsp, clean.codePointCount(0, clean.length).toLong,
+            TextFns.hexBytes(digest.digest(clean.getBytes(utf8))))
         }
       }
       .toDF(idCol, "n_islands", "n_dup_spans", "clean_len", "clean_hash")

@@ -27,10 +27,13 @@ object Eval {
     */
   def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
       groupCol: String): DataFrame = {
+    // filter on the CASTED label: a non-NULL value that casts to NULL
+    // (e.g. the string "unknown") must not occupy a rank — it would be
+    // excluded from n_pos/n_neg yet shift every higher-scored row's rank
     val base = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(groupCol).as("_g"), col(scoreCol).as("_s"),
         col(labelCol).cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
     val wRank = Window.partitionBy("_g").orderBy("_s")
     val wTies = Window.partitionBy("_g", "_s")
     val ranked = base

@@ -60,35 +60,37 @@ object Hierarchy {
       col("file_name").as("_seg"),
       when(col(parentIdCol).try_cast("long").isNull, lit(0))
         .otherwise(lit(1)).as("_dep"))
-    var (state, stateOwn) = Clusters.ownedCheckpoint(init)
+    // settled rows (_ptr IS NULL — root absorbed) STOP flowing: after
+    // ~log(depth) rounds the overwhelming majority is settled, and pumping
+    // them through further self-joins would make every round cost a full
+    // table rewrite. Only the live set iterates; the ancestor lookup still
+    // spans settled ∪ live (a live pointer may target a settled node).
+    // Each round's checkpoint feeds the settled accumulator (bounded at
+    // maxRounds union arms), so none can be released early.
+    val (cur, _) = Clusters.ownedCheckpoint(init)
+    var settled = cur.filter(col("_ptr").isNull)
+    var live = cur.filter(col("_ptr").isNotNull)
     var round = 0
-    var live = !state.filter(col("_ptr").isNotNull).isEmpty
-    while (live && round < maxRounds) {
-      val anc = state.select(col("target_file_id").as("_aid"),
+    while (round < maxRounds && !live.isEmpty) {
+      val anc = settled.union(live).select(col("target_file_id").as("_aid"),
         col("_ptr").as("_aptr"), col("_seg").as("_aseg"), col("_dep").as("_adep"))
-      val (next, nextOwn) = Clusters.ownedCheckpoint(state.as("s")
+      val (next, _) = Clusters.ownedCheckpoint(live.as("s")
         .join(anc, col("_ptr") === col("_aid"), "left")
         // dangling pointer (no ancestor row): drop — the level loop's
         // inner join never reaches these nodes
-        .filter(col("_ptr").isNull || col("_aid").isNotNull)
+        .filter(col("_aid").isNotNull)
         .select(col("s.file_name"), col("s.target_file_id"),
           col(s"s.$parentIdCol"), col(s"s.$levelCol"),
-          when(col("_ptr").isNull, col("_ptr")).otherwise(col("_aptr")).as("_ptr"),
-          when(col("_ptr").isNull, col("_seg"))
-            .otherwise(PathOps.breadcrumb(col("_aseg"), col("_seg"))).as("_seg"),
-          when(col("_ptr").isNull, col("_dep"))
-            .otherwise(col("_dep") + col("_adep")).as("_dep")))
-      Clusters.release(stateOwn)
-      state = next
-      stateOwn = nextOwn
-      live = !state.filter(col("_ptr").isNotNull).isEmpty
+          col("_aptr").as("_ptr"),
+          PathOps.breadcrumb(col("_aseg"), col("_seg")).as("_seg"),
+          (col("_dep") + col("_adep")).as("_dep")))
+      settled = settled.union(next.filter(col("_ptr").isNull))
+      live = next.filter(col("_ptr").isNotNull)
       round += 1
     }
-    // cycle members never absorb a root — still carrying a pointer after
-    // convergence/maxRounds; the level loop never emits them either.
-    // (The final state's checkpoint RDD must NOT be released here: the
-    // returned frame reads it lazily.)
-    state.filter(col("_ptr").isNull)
+    // cycle members never absorb a root — still live after maxRounds; the
+    // level loop never emits them either
+    settled
       .select(col("file_name"), col("target_file_id"), col(parentIdCol),
         col(levelCol), col("_dep").as("depth"), col("_seg").as("path"))
       .orderBy("path")

@@ -183,15 +183,8 @@ object Vocab {
             i += 1
           }
           digest.reset()
-          val h = digest.digest(decoded.toString.getBytes("UTF-8"))
-          val hex = new java.lang.StringBuilder(32)
-          var j = 0
-          while (j < h.length) {
-            hex.append(Character.forDigit((h(j) >> 4) & 0xf, 16))
-            hex.append(Character.forDigit(h(j) & 0xf, 16))
-            j += 1
-          }
-          (id, toks.length.toLong, nBpe, hex.toString)
+          (id, toks.length.toLong, nBpe,
+            TextFns.hexBytes(digest.digest(decoded.toString.getBytes("UTF-8"))))
         }
       }
       .toDF(idCol, "n_tokens", "n_bpe_tokens", "stream_hash")

@@ -28,15 +28,9 @@ object OneQuery {
     graft.queries.Registry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     graft.queries.Registry.oracle.get(name).foreach { sql =>
-      def q(s: String): String = "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-        s"{${q(name)}: ${q(sql)}}")
+        s"{${graft.Verify.jsonEscape(name)}: ${graft.Verify.jsonEscape(sql)}}")
     }
     println(s"=== dumped $name to $outDir ===")
     spark.stop()
