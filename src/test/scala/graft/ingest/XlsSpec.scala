@@ -150,6 +150,24 @@ class XlsSpec extends SparkSpec {
     assert(out.filter($"file_name" === "A/x.txt").head.getAs[String]("job_name") === "Old")
   }
 
+  test("CfbWriter: round-trip across the mini/regular cutoff and sector boundaries") {
+    // every interesting size: empty, one byte, mini-sector edges (64),
+    // the 4096 mini cutoff itself and both neighbors, sector edges (512),
+    // and a multi-sector stream — plus a non-ASCII stream name (UTF-16LE)
+    val sizes = Seq(0, 1, 63, 64, 65, 511, 512, 513, 4095, 4096, 4097, 10240)
+    val streams = sizes.zipWithIndex.map { case (n, i) =>
+      s"s${i}_π" -> Array.tabulate[Byte](n)(j => ((j * 31 + i) % 251).toByte)
+    }
+    val container = CfbWriter.write(streams)
+    assert(Cfb.allStreams(container).map(_._1) === streams.map(_._1))
+    streams.foreach { case (name, bytes) =>
+      assert(Cfb.readStream(container, Seq(name)).get.toSeq === bytes.toSeq, name)
+    }
+    // the writer's directory tree is walkable: root-level view sees all
+    assert(Cfb.rootStreams(container).map(_._1) === streams.map(_._1))
+    assert(!Cfb.hasStorages(container))
+  }
+
   test("CfbWriter round-trips mini-stream and regular-FAT streams through Cfb") {
     val small = ("payload-α " * 20).getBytes("UTF-8")          // < 4096 → ministream
     val big = Array.tabulate[Byte](9001)(i => (i % 251).toByte) // ≥ 4096 → regular FAT
