@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The driver-facing stdout line. It must fit the driver's 2000-char
+    * capture window or per-query timings silently vanish from review (r5
+    * lost 16 of 82 queries to truncation): precision degrades
+    * AUTOMATICALLY until the full map fits ≤ 1950 chars, so the query
+    * count can keep growing without anyone re-checking the budget
+    * (BenchLineSpec pins this against the live registry). Values format
+    * with Locale.ROOT — a de_DE/fr_FR default locale would render 0.43
+    * as "0,43", malformed JSON, and the driver's json.load would lose
+    * the round. Full precision goes to BENCH_FULL.json alongside.
+    */
+  private[graft] def renderLine(results: Map[String, Double], sfName: String): String = {
+    val total = results.values.filter(_ >= 0).sum
+    def render(dec: Int): String = {
+      def fmt(v: Double): String = {
+        val s = if (v < 0) return "-1"
+          else if (v >= 1)
+            String.format(java.util.Locale.ROOT, s"%.${math.min(dec, 1)}f", Double.box(v))
+          else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+          case "" => "0"
+          case t => t
+        }
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    // last tier is whole seconds — coarse, but the full map always lands
+    Iterator(2, 1, 0).map(render).find(_.length <= 1950).getOrElse(render(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,34 +77,10 @@ object Bench {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    // stdout must fit the driver's 2000-char capture window or per-query
-    // timings silently vanish from review (r5 lost 16 of 82 queries to
-    // truncation). Precision degrades AUTOMATICALLY until the full map
-    // fits — the query count can keep growing without anyone re-checking
-    // the budget. Full precision goes to BENCH_FULL.json alongside.
-    val total = results.values.filter(_ >= 0).sum
-    val sfName = new java.io.File(sfDir).getName
-    def render(dec: Int): String = {
-      // Locale.ROOT: a de_DE/fr_FR default locale renders 0.43 as "0,43"
-      // — malformed JSON, and the driver's json.load loses the round
-      def fmt(v: Double): String = {
-        val s = if (v < 0) return "-1"
-          else if (v >= 1)
-            String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-          else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
-          case "" => "0"
-          case t => t
-        }
-      }
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    }
-    val line = Iterator(2, 1).map(render).find(_.length <= 1950)
-      .getOrElse(render(1))
+    val line = renderLine(results, new java.io.File(sfDir).getName)
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
     catch { case _: Throwable => () }

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures ~2000 chars of Bench stdout; this pins — against
+  * the LIVE registry, so adding a query re-checks the budget — that the
+  * rendered line fits with margin under worst-case value widths, and that
+  * it stays locale-independent machine-parseable JSON.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private def lineFor(v: Double): String =
+    Bench.renderLine(SparkEntry.queries.keys.map(_ -> v).toMap, "sf0.1")
+
+  test("bench line fits the driver capture window for every registry size/value regime") {
+    // worst sub-second width (0.99), worst common width (9.9), failures (-1)
+    for (v <- Seq(0.99, 9.9, -1.0)) {
+      val line = lineFor(v)
+      assert(line.length <= 1950, s"value $v: ${line.length} chars")
+    }
+  }
+
+  test("bench line is parseable JSON with every query present, locale-proof") {
+    val default = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY) // 0,43 territory
+      val line = lineFor(0.43)
+      // JSON separators are commas; a LOCALE comma would sit between digits
+      assert(!"""\d,\d""".r.findFirstIn(line).isDefined,
+        "locale-formatted decimal leaked")
+      // minimal structural parse: every registry key appears as "name":
+      SparkEntry.queries.keys.foreach { k =>
+        assert(line.contains("\"" + k + "\":"), s"$k missing from line")
+      }
+      assert(line.startsWith("""{"metric":"total","value":"""))
+      assert(line.endsWith(""","sf":"sf0.1"}"""))
+    } finally java.util.Locale.setDefault(default)
+  }
+}
