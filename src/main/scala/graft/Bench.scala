@@ -20,7 +20,10 @@ object Bench {
           else if (v >= 1)
             String.format(java.util.Locale.ROOT, s"%.${math.min(dec, 1)}f", Double.box(v))
           else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
+        // strip trailing zeros ONLY past a decimal point: an integer-formatted
+        // value ("%.0f" tier) like "10" must not collapse to "1"
+        if (!s.contains('.')) s
+        else s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse match {
           case "" => "0"
           case t => t
         }

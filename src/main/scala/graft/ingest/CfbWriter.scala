@@ -11,9 +11,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * streams under the 4096-byte cutoff (held in the root entry's
   * ministream, linked by a miniFAT), header-resident DIFAT (≤109 FAT
   * sectors ⇒ ~7k regular sectors ⇒ far beyond any legacy workbook this
-  * path rewrites). The directory tree is written as a right-leaning
-  * sibling chain rather than a balanced red-black tree — readers
-  * (including [[Cfb]], which scans entries linearly) accept this layout.
+  * path rewrites). The directory sibling tree is the balanced
+  * name-sorted BST the spec mandates (collation: UTF-16 length, then
+  * uppercased code-unit compare — MS-CFB §2.6.4); slots keep insertion
+  * order, only the sibling/child ids encode the tree. Nodes are colored
+  * black — strict red-black coloring is not required by readers (POI
+  * writes all-black too) and the tree is height-balanced by
+  * construction. Zero-length streams get ENDOFCHAIN as their start
+  * sector (not the next stream's first sector), so chain-walking
+  * readers cannot bleed into a neighbour's data.
   */
 object CfbWriter {
 
@@ -39,7 +45,10 @@ object CfbWriter {
     val ministream = new Array[Byte](nMiniTotal * MINI)
     var miniPos = 0
     val miniStarts = small.zip(miniCounts).map { case ((_, b), n) =>
-      val start = miniPos / MINI
+      // an empty stream owns no mini sectors: its start MUST be ENDOFCHAIN,
+      // not the next stream's first sector (a chain-walking reader would
+      // read the neighbour's data)
+      val start = if (n == 0) ENDOFCHAIN else miniPos / MINI
       System.arraycopy(b, 0, ministream, miniPos, b.length)
       miniPos += n * MINI
       start
@@ -77,7 +86,8 @@ object CfbWriter {
       if (nMiniStreamSectors == 0) ENDOFCHAIN
       else { val s = alloc(nMiniStreamSectors); chain(s, nMiniStreamSectors); s }
     val bigStarts = big.zip(bigCounts).map { case (_, n) =>
-      val s = alloc(n); chain(s, n); s
+      if (n == 0) ENDOFCHAIN // unreachable (big ⇒ ≥ cutoff), kept for symmetry
+      else { val s = alloc(n); chain(s, n); s }
     }
     require(next == totalSectors, s"sector accounting drift: $next != $totalSectors")
 
@@ -113,7 +123,8 @@ object CfbWriter {
     out.position(sectorBase(fatStart))
     fat.foreach(out.putInt)
 
-    // directory: root + one entry per stream, right-sibling chain
+    // directory: root + one entry per stream. Slots keep insertion order;
+    // sibling pointers form the balanced name-sorted BST the spec mandates
     val streamStartsAndSizes: Seq[(Int, Long)] = {
       var bi = 0; var si = 0
       streams.map { case (_, b) =>
@@ -121,8 +132,8 @@ object CfbWriter {
         else { val r = (miniStarts(si), b.length.toLong); si += 1; r }
       }
     }
-    def putDirEntry(slot: Int, name: String, objType: Int, rightSib: Int,
-        childId: Int, start: Int, size: Long): Unit = {
+    def putDirEntry(slot: Int, name: String, objType: Int, leftSib: Int,
+        rightSib: Int, childId: Int, start: Int, size: Long): Unit = {
       val base = sectorBase(dirStart) + slot * 128
       val nb = name.getBytes("UTF-16LE")
       out.position(base)
@@ -131,7 +142,7 @@ object CfbWriter {
       out.putShort((nb.length + 2).toShort)
       out.put(objType.toByte)
       out.put(1.toByte) // black
-      out.putInt(-1)    // left sibling
+      out.putInt(leftSib)
       out.putInt(rightSib)
       out.putInt(childId)
       out.position(base + 116)
@@ -139,13 +150,27 @@ object CfbWriter {
       out.putInt(size.toInt)
       out.putInt(0) // v3: high 32 bits of size MUST be 0
     }
-    putDirEntry(0, "Root Entry", 5, -1, if (streams.nonEmpty) 1 else -1,
+    // balanced BST over the collation-sorted stream indices; left/right
+    // hold directory ids (stream idx + 1), -1 = no sibling
+    val order = streams.indices.sortWith((i, j) => nameLt(streams(i)._1, streams(j)._1))
+    val leftSib = Array.fill(streams.length)(-1)
+    val rightSib = Array.fill(streams.length)(-1)
+    def buildTree(lo: Int, hi: Int): Int =
+      if (lo > hi) -1
+      else {
+        val mid = (lo + hi) >>> 1
+        val idx = order(mid)
+        leftSib(idx) = buildTree(lo, mid - 1)
+        rightSib(idx) = buildTree(mid + 1, hi)
+        idx + 1
+      }
+    val rootChild = buildTree(0, streams.length - 1)
+    putDirEntry(0, "Root Entry", 5, -1, -1, rootChild,
       if (nMiniStreamSectors == 0) ENDOFCHAIN else miniStreamStart,
       ministream.length.toLong)
     streams.zipWithIndex.foreach { case ((name, _), idx) =>
       val (start, size) = streamStartsAndSizes(idx)
-      val rightSib = if (idx + 1 < streams.length) idx + 2 else -1
-      putDirEntry(idx + 1, name, 2, rightSib, -1, start, size)
+      putDirEntry(idx + 1, name, 2, leftSib(idx), rightSib(idx), -1, start, size)
     }
     // unused tail slots of the directory sector: objType 0, name len 0 —
     // already zeroed by allocation
@@ -177,4 +202,22 @@ object CfbWriter {
   }
 
   private def sectors(bytes: Int, unit: Int): Int = (bytes + unit - 1) / unit
+
+  /** MS-CFB §2.6.4 directory-entry collation: shorter UTF-16 name first;
+    * equal length → per-code-unit uppercase compare (NOT locale casing —
+    * each UTF-16 code unit uppercased individually).
+    */
+  private[ingest] def nameLt(a: String, b: String): Boolean = {
+    if (a.length != b.length) a.length < b.length
+    else {
+      var i = 0
+      while (i < a.length) {
+        val ca = Character.toUpperCase(a.charAt(i))
+        val cb = Character.toUpperCase(b.charAt(i))
+        if (ca != cb) return ca < cb
+        i += 1
+      }
+      false
+    }
+  }
 }

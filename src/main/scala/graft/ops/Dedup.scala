@@ -23,9 +23,36 @@ import graft.functions.TextFns
   *
   * Skew note: a degenerate band bucket (e.g. empty-text signature) would
   * quadratically blow up the bucket join; `maxBucket` caps candidate
-  * generation per bucket, the standard LSH guard at scale.
+  * generation per bucket, the standard LSH guard at scale. The cap keeps a
+  * DETERMINISTIC sample of an over-full bucket (not a silent full drop)
+  * and surfaces the dropped-row count as an observed metric — see
+  * [[Dedup.capBuckets]].
   */
 object Dedup {
+
+  private val capSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Per-bucket candidate cap, the no-silent-caps way: keep a DETERMINISTIC
+    * pseudo-random sample of `maxBucket` rows per over-full bucket (stable
+    * hash order on the id, so recall degrades gracefully instead of every
+    * row of a degenerate bucket vanishing at once), and surface the dropped
+    * row count as a Dataset.observe metric `graft_capped_<tag>_<n>`
+    * (columns: dropped_rows, capped_buckets) that a QueryExecutionListener
+    * — or the SQL UI — reports per action. The suffix keeps metric names
+    * unique when one plan caps several frames (observe names must be
+    * unique per query).
+    */
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String], idCol: String,
+      maxBucket: Int, tag: String): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .observe(s"graft_capped_${tag}_${capSeq.incrementAndGet()}",
+        sum(when(col("_rn") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+        // exactly one row per over-full bucket carries rank maxBucket+1
+        sum(when(col("_rn") === maxBucket + 1, 1L).otherwise(0L)).as("capped_buckets"))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+  }
 
   /** Exact dedup on a content fingerprint. Returns one survivor row per
     * distinct content: (content_hash, survivor_id, dup_count).
@@ -92,10 +119,9 @@ object Dedup {
         struct(lit(b).as("band"), xxhash64(concat_ws(",", slice(col("_sig"), b * r + 1, r))).as("bh"))
       }: _*)).as("bk"))
       .select(col("_id"), col("bk.band"), col("bk.bh"))
-    // cap pathological buckets (all-empty docs etc.)
-    val capped = banded.withColumn("_bn",
-      count(lit(1)).over(Window.partitionBy("band", "bh")))
-      .filter(col("_bn") <= maxBucket).drop("_bn")
+    // cap pathological buckets (all-empty docs etc.) — deterministic
+    // sample + observed drop metric, not a silent full-bucket drop
+    val capped = capBuckets(banded, Seq("band", "bh"), "_id", maxBucket, "lsh")
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a._id") < col("b._id"))
@@ -244,9 +270,7 @@ object Dedup {
             xxhash64(concat_ws(",", slice(col("_sig"), i * r + 1, r))).as("bh"))
         }: _*)).as("bk"))
         .select(col("_id").as(as), col("bk.band"), col("bk.bh"))
-      val capped = b.withColumn("_bn",
-        count(lit(1)).over(Window.partitionBy("band", "bh")))
-        .filter(col("_bn") <= maxBucket).drop("_bn")
+      val capped = capBuckets(b, Seq("band", "bh"), as, maxBucket, s"against_$as")
       (capped, sh)
     }
     val (bi, shi) = banded(incoming, "_iid")
@@ -326,9 +350,7 @@ object Dedup {
           shiftright(col("_sh"), k * 16).bitwiseAND(0xFFFFL).as("ch")).as("c")
       }: _*)).as("ck"))
       .select(col("_id"), col("_sh"), col("ck.chunk"), col("ck.ch"))
-    val capped = chunked.withColumn("_bn",
-      count(lit(1)).over(Window.partitionBy("chunk", "ch")))
-      .filter(col("_bn") <= maxBucket).drop("_bn")
+    val capped = capBuckets(chunked, Seq("chunk", "ch"), "_id", maxBucket, "simhash")
     capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a._id") < col("b._id"))

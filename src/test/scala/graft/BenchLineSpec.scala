@@ -20,6 +20,22 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("whole-second tier renders integers ending in zero intact") {
+    // force the dec=0 fallback tier: a map so large no precision tier fits
+    // 1950 chars, so renderLine lands on getOrElse(render(0)). Under the
+    // old trailing-zero strip, "%.0f" of 10.0 rendered "10" then collapsed
+    // to "1" (100 -> "1", 70 -> "7") — a 10-100x silent timing corruption.
+    val big = (0 until 400).map(i => f"k$i%03d" -> 10.0).toMap
+    val line = Bench.renderLine(big, "sf0.1")
+    assert(line.contains("\"k000\":10,") || line.contains("\"k000\":10}"),
+      "10.0 must render as 10 in the integer tier")
+    assert(line.contains("\"value\":4000,"), "total 400*10 must render as 4000")
+    for ((v, want) <- Seq(100.0 -> "100", 70.0 -> "70", 10.5 -> "11")) {
+      val l = Bench.renderLine((0 until 400).map(i => f"k$i%03d" -> v).toMap, "sf0.1")
+      assert(l.contains("\"k000\":" + want + ","), s"$v must render as $want, got: ${l.take(60)}")
+    }
+  }
+
   test("bench line is parseable JSON with every query present, locale-proof") {
     val default = java.util.Locale.getDefault
     try {

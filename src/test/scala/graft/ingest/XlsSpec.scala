@@ -168,6 +168,44 @@ class XlsSpec extends SparkSpec {
     assert(!Cfb.hasStorages(container))
   }
 
+  test("CfbWriter: zero-length stream start sector is ENDOFCHAIN, not the neighbour's") {
+    // a 0-sector stream must not point at the NEXT stream's first mini
+    // sector — a reader that walks the miniFAT chain (rather than trusting
+    // size) would read the neighbour's data
+    val next = Array[Byte](1, 2, 3)
+    val container = CfbWriter.write(Seq(
+      "EmptyOne" -> Array.empty[Byte], "NextData" -> next))
+    val base = container.indexOfSlice("EmptyOne".getBytes("UTF-16LE"))
+    assert(base > 0, "directory entry for EmptyOne not found")
+    val buf = java.nio.ByteBuffer.wrap(container).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getInt(base + 116) === 0xFFFFFFFE, "empty stream start must be ENDOFCHAIN")
+    assert(Cfb.readStream(container, Seq("EmptyOne")).get.isEmpty)
+    assert(Cfb.readStream(container, Seq("NextData")).get.toSeq === next.toSeq)
+  }
+
+  test("CfbWriter: directory sibling tree is collation-sorted and balanced") {
+    // insertion order deliberately violates CFB collation (length, then
+    // uppercased code-unit compare)
+    val names = Seq("Workbook", "SummaryInformation", "Tiny", "b", "AZ", "a2", "Book")
+    val container = CfbWriter.write(names.map(n => n -> Array[Byte](n.length.toByte)))
+    // in-order walk of the sibling tree (Cfb.rootStreams) = collation order
+    assert(Cfb.rootStreams(container).map(_._1) === names.sortWith(CfbWriter.nameLt))
+    // collation law spot checks: length first, then case-insensitive code units
+    assert(CfbWriter.nameLt("Tiny", "Workbook"))           // 4 < 8
+    assert(CfbWriter.nameLt("b", "AZ") && CfbWriter.nameLt("a2", "AZ")) // 1<2; A2<AZ
+    assert(!CfbWriter.nameLt("workbook", "WORKBOOK") && !CfbWriter.nameLt("WORKBOOK", "workbook"))
+    // tree is height-balanced: slots are root + insertion order, contiguous
+    // dir sectors (writer layout); depth over sibling ids ≤ ceil(log2(n+1))
+    val buf = java.nio.ByteBuffer.wrap(container).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dirStart = buf.getInt(48)
+    def entryBase(slot: Int): Int = 512 + (dirStart + slot / 4) * 512 + (slot % 4) * 128
+    def sib(slot: Int, off: Int): Int = buf.getInt(entryBase(slot) + off)
+    def depth(id: Int): Int =
+      if (id < 0) 0 else 1 + math.max(depth(sib(id, 68)), depth(sib(id, 72)))
+    val rootChild = sib(0, 76)
+    assert(depth(rootChild) <= 3, s"7-node tree must have depth ≤ 3, got ${depth(rootChild)}")
+  }
+
   test("CfbWriter round-trips mini-stream and regular-FAT streams through Cfb") {
     val small = ("payload-α " * 20).getBytes("UTF-8")          // < 4096 → ministream
     val big = Array.tabulate[Byte](9001)(i => (i % 251).toByte) // ≥ 4096 → regular FAT

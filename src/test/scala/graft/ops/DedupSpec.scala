@@ -137,6 +137,45 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("bucket cap keeps a deterministic sample + observable drop count, not a silent full drop") {
+    // 10 identical docs: every (band, bucket) holds all 10, far over a cap
+    // of 3 — the old cap dropped the WHOLE bucket (zero pairs, silently)
+    val clones = (1L to 10L)
+      .map(i => (i, "same text cloned many times over for bucket capping checks"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(clones, "doc_id", "text",
+      threshold = 0.9, maxBucket = 3)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "capped bucket must still yield sampled candidates")
+    // deterministic: the sample is hash-ordered, not partition-order luck
+    val again = Dedup.minhashLshPairs(clones, "doc_id", "text",
+      threshold = 0.9, maxBucket = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again === got)
+    // the drop is surfaced as an observed metric on the plan
+    pairs.collect()
+    val m = pairs.queryExecution.observedMetrics
+      .collectFirst { case (k, v) if k.startsWith("graft_capped_lsh") => v }
+    assert(m.nonEmpty, "graft_capped_lsh metric missing from the plan")
+    assert(m.get.getAs[Long]("dropped_rows") > 0L)
+    assert(m.get.getAs[Long]("capped_buckets") > 0L)
+  }
+
+  test("minhashAgainst: an over-full bucket no longer silently passes a known near-dup") {
+    // 10 identical reference docs blow every shared bucket past the cap;
+    // under the old drop-the-bucket cap the incoming copy SURVIVED
+    val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 5
+    val reference = (100L to 109L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, boiler),
+      (2L, "unrelated fresh content about entirely different subject matter " +
+        "with plenty of distinct shingles of its own")).toDF("doc_id", "text")
+    val kept = Dedup.minhashAgainst(incoming, reference, "doc_id", "text",
+      threshold = 0.8, maxBucket = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L), "sampled bucket must still catch the exact copy")
+  }
+
   test("exactAgainst: normalized duplicates of the reference drop; NULL text survives") {
     val incoming = Seq((1L, "Hello   World"), (2L, "fresh content"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
