@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** DSIR-style importance weighting for target-distribution data selection
+  * (Data Selection with Importance Resampling, Xie et al. 2023,
+  * arXiv:2302.03169): score every raw document by how much its hashed
+  * bag-of-words distribution looks like a TARGET corpus (the "quality"
+  * exemplar — curated text, a domain, a language) relative to the raw
+  * corpus, then keep the top-scoring documents. This is the standard
+  * pretraining-data selection move when a small trusted corpus should
+  * steer what survives from a large crawl.
+  *
+  * The law, engine-portably pinned:
+  *
+  *  - feature = hashed token bucket: the first byte of `md5(token)` mod
+  *    `buckets` (md5 hex is identical in every engine; no engine-native
+  *    hash leaks into the law).
+  *  - per-bucket log-ratio, Laplace-smoothed, evaluated left-to-right:
+  *    `((ln(t_b+1) - ln(T+B)) - ln(s_b+1)) + ln(S+B)` where t/s are
+  *    target/source occurrence counts, T/S the totals, B the bucket count.
+  *  - the ratio is then QUANTIZED to integer micro-log units
+  *    (`round(lr * 1e6)` as BIGINT). Quantization is part of the LAW, not
+  *    an oracle convenience: document weights become exact integer sums,
+  *    so they are independent of summation order (float addition is not
+  *    associative — a shuffle-order change or another engine would
+  *    otherwise flip low bits) and hash-comparable bit-exactly.
+  *  - document weight = Σ over token OCCURRENCES of the bucket's
+  *    micro-log-ratio; a document with no tokens weighs 0.
+  *
+  * Scale shape (100 TB): the ratio table is at most `buckets` rows —
+  * computed by two map-side-combined aggregations over exploded tokens
+  * (the shuffle carries ≤ `buckets` rows per partition), then BROADCAST
+  * to the scorer. Scoring is explode → broadcast-hash-join → one
+  * hash-aggregate shuffle keyed by document id with partial sums. No
+  * all-pairs stage, no driver-side data beyond the bounded table.
+  * Unigram features here; hashed bigrams compose by pre-concatenating
+  * adjacent tokens into the text column upstream.
+  */
+object Importance {
+
+  /** Hashed feature bucket of a token: first md5 byte mod `buckets`,
+    * SQL-replayable in any engine with md5 + string ops.
+    */
+  def bucketOf(tok: Column, buckets: Int): Column =
+    (conv(substring(md5(tok), 1, 2), 16, 10).cast("int") % buckets).as("bucket")
+
+  /** Token-occurrence counts per hashed bucket. */
+  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    df.select(explode(TextFns.tokens(col(textCol))).as("_tok"))
+      .select(bucketOf(col("_tok"), buckets).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+
+  /** The quantized log-ratio table: one row per bucket,
+    * (bucket, lr_micro: BIGINT). Missing buckets get the pure-smoothing
+    * ratio (counts 0), so the table ALWAYS has exactly `buckets` rows —
+    * the broadcast side of the scorer is bounded by construction.
+    */
+  def hashedRatioTable(target: DataFrame, source: DataFrame, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    val spark = target.sparkSession
+    val spine = spark.range(buckets.toLong).select(col("id").cast("int").as("_b"))
+    val tc = bucketCounts(target, textCol, buckets).withColumnRenamed("_n", "_tn")
+    val sc = bucketCounts(source, textCol, buckets).withColumnRenamed("_n", "_sn")
+    val tt = tc.agg(coalesce(sum(col("_tn")), lit(0L)).as("_tt"))
+    val st = sc.agg(coalesce(sum(col("_sn")), lit(0L)).as("_st"))
+    // totals are 1-row frames; the cross joins broadcast a single row each
+    val joined = spine
+      .join(tc, Seq("_b"), "left").join(sc, Seq("_b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(st))
+      .select(col("_b"),
+        coalesce(col("_tn"), lit(0L)).as("_tn"),
+        coalesce(col("_sn"), lit(0L)).as("_sn"),
+        col("_tt"), col("_st"))
+    // the exact left-to-right association below IS the law — the oracle
+    // mirrors it token for token so the doubles agree before quantization
+    val lr = ((log((col("_tn") + 1L).cast("double")) -
+      log((col("_tt") + buckets.toLong).cast("double"))) -
+      log((col("_sn") + 1L).cast("double"))) +
+      log((col("_st") + buckets.toLong).cast("double"))
+    joined.select(col("_b").as("bucket"),
+      round(lr * 1000000.0).cast("bigint").as("lr_micro"))
+  }
+
+  /** Per-document importance weight in micro-log units: exact BIGINT sum
+    * of the bucket ratios of every token occurrence. Documents with no
+    * tokens (blank/NULL text) weigh 0. Input columns are preserved.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, buckets: Int = 256): DataFrame = {
+    val sums = df
+      .select(col(idCol).as("_wid"), explode(TextFns.tokens(col(textCol))).as("_tok"))
+      .select(col("_wid"), bucketOf(col("_tok"), buckets).as("bucket"))
+      .join(broadcast(ratios), "bucket")
+      .groupBy(col("_wid")).agg(sum(col("lr_micro")).as("_w"))
+    df.join(sums, col(idCol) === col("_wid"), "left")
+      .withColumn("weight_micro", coalesce(col("_w"), lit(0L)))
+      .drop("_wid", "_w")
+  }
+
+  /** DSIR selection composed end-to-end: weight raw `df` against the
+    * `target` exemplar corpus and keep the `k` highest-weight documents
+    * (deterministic id tie-break).
+    */
+  def dsirSelect(df: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 256): DataFrame = {
+    val ratios = hashedRatioTable(target, df, textCol, buckets)
+    importanceWeights(df, idCol, textCol, ratios, buckets)
+      .orderBy(col("weight_micro").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1418,6 +1418,48 @@ object Registry {
       | WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < thr
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** DSIR importance selection ([[graft.ops.Importance.dsirSelect]]):
+    * the 50 documents whose hashed bag-of-words looks most like the
+    * English-target distribution relative to the whole corpus. The oracle
+    * replays the complete law — md5-byte feature buckets, the
+    * left-to-right smoothed log-ratio association, micro-unit
+    * quantization — so the BIGINT weights hash-match exactly (integer
+    * sums are order-independent; the only doubles live in the 256-row
+    * ratio table, pinned by identical association then quantized).
+    */
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Importance.dsirSelect(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 50)
+      .select("doc_id", "lang", "weight_micro")
+  }
+
+  val qDsirSelectSql: String = {
+    // the md5-byte bucket law, nibble-by-nibble (ascii math like the
+    // shuffle-shard oracle — no hex-parse builtin dependency)
+    def nib(pos: Int) =
+      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
+        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    s"""WITH tok AS (SELECT doc_id, lang, unnest($tokensSql) AS tk FROM documents),
+      | bk AS (SELECT doc_id, lang, (16 * ${nib(1)} + ${nib(2)}) % 256 AS b
+      |   FROM (SELECT doc_id, lang, md5(tk) AS m FROM tok)),
+      | tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tn FROM bk WHERE lang = 'en' GROUP BY 1),
+      | sc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS sn FROM bk GROUP BY 1),
+      | tt AS (SELECT CAST(COALESCE(SUM(tn), 0) AS BIGINT) AS t FROM tc),
+      | st AS (SELECT CAST(COALESCE(SUM(sn), 0) AS BIGINT) AS s FROM sc),
+      | lr AS (SELECT sp.b,
+      |   CAST(round((((ln(CAST(COALESCE(tc.tn, 0) + 1 AS DOUBLE))
+      |     - ln(CAST(tt.t + 256 AS DOUBLE)))
+      |     - ln(CAST(COALESCE(sc.sn, 0) + 1 AS DOUBLE)))
+      |     + ln(CAST(st.s + 256 AS DOUBLE))) * 1000000.0) AS BIGINT) AS lrm
+      |  FROM (SELECT unnest(range(0, 256)) AS b) sp
+      |  LEFT JOIN tc USING (b) LEFT JOIN sc USING (b) CROSS JOIN tt CROSS JOIN st),
+      | w AS (SELECT bk.doc_id, SUM(lr.lrm) AS wm FROM bk JOIN lr USING (b) GROUP BY 1)
+      | SELECT d.doc_id, d.lang, CAST(COALESCE(w.wm, 0) AS BIGINT) AS weight_micro
+      | FROM documents d LEFT JOIN w USING (doc_id)
+      | ORDER BY weight_micro DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")
+  }
+
   /** LSH-bucketed ANN (the scale path) — no SQL oracle (hash-derived
     * hyperplanes); recall vs brute force is unit-tested AND gated by
     * [[graft.Verify]]'s recall floor (≥ 0.6 at the verify sf).
@@ -2556,6 +2598,7 @@ object Registry {
     "q_map_ops" -> (qMapOps _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_dedup_against" -> (qDedupAgainst _),
+    "q_dsir_select" -> (qDsirSelect _),
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_embed_against" -> (qEmbedAgainst _),
     "q_bpe_encode" -> (qBpeEncode _),
@@ -2664,6 +2707,7 @@ object Registry {
     "q_map_ops" -> qMapOpsSql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_dedup_against" -> qDedupAgainstSql,
+    "q_dsir_select" -> qDsirSelectSql,
     "q_minhash_against" -> qMinhashAgainstSql,
     "q_embed_against" -> qEmbedAgainstSql,
     "q_bpe_encode" -> qBpeEncodeSql,

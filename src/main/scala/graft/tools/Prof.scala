@@ -25,6 +25,19 @@ object Prof {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    // `runMain graft.tools.Prof q_x q_y`: best-of-2 time just those registry
+    // queries (the single-query perf iteration loop) and exit
+    if (args.nonEmpty) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      args.foreach { q =>
+        (1 to 2).foreach { i =>
+          time(s"$q#$i")(graft.queries.Registry.queries(q)(spark, dir).count())
+        }
+      }
+      spark.stop()
+      return
+    }
+
     time("tokens")(docs.select(TextFns.tokens(col("text")).as("t")).count())
     time("shingles")(docs.select(TextFns.shingles(col("text"), 3).as("s")).count())
     time("shingles.materialize")(

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ImportanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two disjoint vocabularies: "target-ish" docs vs "other" docs
+  private lazy val corpus = Seq(
+    (1L, "alpha beta gamma alpha beta alpha"),
+    (2L, "alpha gamma beta gamma alpha gamma"),
+    (3L, "umber vermilion woad umber vermilion"),
+    (4L, "woad umber vermilion woad woad umber"),
+    (5L, ""),
+    (6L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+  private lazy val target = corpus.filter($"doc_id" <= 2)
+
+  test("ratio table: always exactly `buckets` rows, missing buckets at the smoothing floor") {
+    val ratios = Importance.hashedRatioTable(target, corpus, "text", buckets = 64)
+    assert(ratios.count() === 64)
+    // an untouched bucket's ratio is ((ln 1 - ln(T+B)) - ln 1) + ln(S+B):
+    // positive here because the source total exceeds the target total
+    val lrs = ratios.select("lr_micro").as[Long].collect()
+    val t = 12L; val s = 23L; val b = 64L // token occurrences above + buckets
+    val floor = math.round(
+      (((math.log(1.0) - math.log((t + b).toDouble)) - math.log(1.0)) +
+        math.log((s + b).toDouble)) * 1e6)
+    assert(lrs.contains(floor), s"smoothing-floor ratio $floor missing")
+  }
+
+  test("weights: target-vocabulary docs outscore disjoint-vocabulary docs; empty text weighs 0") {
+    val ratios = Importance.hashedRatioTable(target, corpus, "text")
+    val w = Importance.importanceWeights(corpus, "doc_id", "text", ratios)
+      .select("doc_id", "weight_micro").as[(Long, Long)].collect().toMap
+    assert(w(1L) > 0 && w(2L) > 0, s"target-ish docs must score positive: $w")
+    assert(w(3L) < 0 && w(4L) < 0, s"disjoint-vocab docs must score negative: $w")
+    assert(w(5L) === 0L && w(6L) === 0L, "blank/NULL text weighs exactly 0")
+    assert(math.min(w(1L), w(2L)) > math.max(w(3L), w(4L)))
+  }
+
+  test("dsirSelect: top-k prefers the target look-alikes, deterministic order") {
+    val top = Importance.dsirSelect(corpus, target, "doc_id", "text", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top.toSet === Set(1L, 2L))
+    val again = Importance.dsirSelect(corpus, target, "doc_id", "text", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again === top)
+  }
+
+  test("weight law is an exact integer sum: clone a doc's tokens, weight doubles") {
+    val dup = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val ratios = Importance.hashedRatioTable(dup.filter($"doc_id" === 1L), dup, "text")
+    val w = Importance.importanceWeights(dup, "doc_id", "text", ratios)
+      .select("doc_id", "weight_micro").as[(Long, Long)].collect().toMap
+    assert(w(2L) === 2L * w(1L), "doubling occurrences must exactly double the integer weight")
+  }
+}

@@ -235,6 +235,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_dsir_select: ratio table broadcasts into the scorer; top-k without global sort") {
+    val p = plan("q_dsir_select")
+    // the ≤256-row ratio table must be the broadcast side of the token join
+    assert(p.contains("BroadcastHashJoin"), "ratio-table join lost its broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian crept into the scoring path")
+    // doc weights: partial-agg'd hash aggregate, top-50 via TakeOrdered
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
