@@ -595,4 +595,70 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Fixed-point centroid accumulators for semantic-dedup clusters: one row
+    * per (cluster, dimension) with the exact BIGINT sum of members'
+    * micro-quantized components and the member count. Quantizing each
+    * component (`round(x·1e6)`, float→double cast and one double multiply —
+    * both exact IEEE ops) BEFORE summing is part of the law: integer sums
+    * are independent of partitioning and summation order, so the
+    * accumulators reproduce bit-for-bit across runs and engines. The
+    * caller derives the centroid component as `sum_micro / 1e6 / n_members`
+    * in full double precision ([[assignNearestCentroid]] does).
+    *
+    * Scale: one hash join on the member id, posexplode to (cluster, dim)
+    * keys, one partial-agg'd hash aggregate; output is clusters × dims
+    * rows — tiny relative to the corpus, and mergeable across batches by
+    * plain integer addition (the incremental-update property sums of
+    * doubles would not have).
+    */
+  def clusterCentroidSums(embeddings: DataFrame, assignments: DataFrame,
+      idCol: String, vecCol: String, memberCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("_mid"), col(vecCol).as("_v"))
+    val a = assignments.select(col(memberCol).cast("long").as("_aid"),
+      col(clusterCol).cast("long").as("cluster_id"))
+    e.join(a, col("_mid") === col("_aid"))
+      .select(col("cluster_id"), posexplode(col("_v")))
+      .select(col("cluster_id"), col("pos").cast("bigint").as("dim"),
+        round(col("col").cast("double") * 1000000.0).cast("bigint").as("_q"))
+      .groupBy("cluster_id", "dim")
+      .agg(sum(col("_q")).as("sum_micro"), count(lit(1)).as("n_members"))
+  }
+
+  /** Nearest-centroid assignment — the INCREMENTAL path of semantic dedup:
+    * new documents join existing clusters without re-running pair
+    * generation over the full corpus (the IVF coarse-assignment shape,
+    * with [[clusterCentroidSums]] output as the codebook). Centroid
+    * vectors are reassembled from the bounded accumulator frame and
+    * BROADCAST; the incoming side stays narrow and never shuffles. Rows
+    * whose best cosine falls below `minSim` keep a NULL cluster_id (no
+    * home — downstream seeds new clusters from them). Ties break toward
+    * the smaller cluster id. Output: incoming columns +
+    * (cluster_id, centroid_sim).
+    */
+  def assignNearestCentroid(incoming: DataFrame, centroidSums: DataFrame,
+      idCol: String, vecCol: String, minSim: Double = 0.0): DataFrame = {
+    val cent = centroidSums
+      .groupBy(col("cluster_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sum_micro"), col("n_members")))),
+        s => (s.getField("sum_micro").cast("double") / 1000000.0) /
+          s.getField("n_members").cast("double"))
+        // float codebook: the codegen'd graft_cosine kernel is float-typed,
+        // and float precision is far beyond what a nearest-centroid
+        // decision needs
+        .cast("array<float>").as("_cv"))
+    val inc = incoming.withColumn("_nid", col(idCol).cast("long"))
+    val best = inc.select(col("_nid"), col(vecCol).as("_iv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("_sim", nativeCosine(incoming, col("_iv"), col("_cv")))
+      .groupBy("_nid")
+      .agg(max_by(struct(col("_sim"), col("cluster_id")),
+        struct(col("_sim"), -col("cluster_id"))).as("_b"))
+      .select(col("_nid"),
+        when(col("_b._sim") >= minSim, col("_b.cluster_id")).as("cluster_id"),
+        when(col("_b._sim") >= minSim, col("_b._sim")).as("centroid_sim"))
+    inc.join(best, Seq("_nid"), "left").drop("_nid")
+  }
 }

@@ -1187,6 +1187,41 @@ object Registry {
       | SELECT cluster_id, COUNT(*) AS n_members, max(vid) AS max_member
       | FROM comp GROUP BY 1 ORDER BY cluster_id""".stripMargin.replace("\n", " ")
 
+  /** Semantic-cluster centroid accumulators
+    * ([[graft.ops.Similarity.clusterCentroidSums]] over the same cluster
+    * assignment as q_semantic_clusters): exact BIGINT micro-unit component
+    * sums + member counts per (cluster, dim). Per-component quantization
+    * BEFORE summing makes the accumulator order-independent, so the oracle
+    * (WITH RECURSIVE closure + the identical quantization over unnested
+    * components) hash-matches bit-exactly — no float-summation-order trap.
+    */
+  def qClusterCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val assign = graft.ops.Clusters.dedupClusters(
+      graft.ops.Similarity.blockedNearDupPairs(
+        e, "vec_id", "embedding", "label", threshold = 0.4))
+    graft.ops.Similarity.clusterCentroidSums(e, assign, "vec_id", "embedding")
+      .orderBy("cluster_id", "dim")
+  }
+
+  val qClusterCentroidsSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |   list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))) AS sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      | verified AS (SELECT id_a, id_b FROM p WHERE sim >= 0.4),
+      | edges AS (SELECT id_a AS s, id_b AS d FROM verified
+      |  UNION SELECT id_b, id_a FROM verified),
+      | reach(s, d) AS (SELECT s, d FROM edges
+      |  UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+      | comp AS (SELECT s AS vid, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+      | q AS (SELECT c.cluster_id, CAST(u.i - 1 AS BIGINT) AS dim,
+      |   CAST(round(e.v[u.i] * 1000000.0) AS BIGINT) AS qv
+      |  FROM comp c JOIN e ON e.vec_id = c.vid, unnest(range(1, len(e.v) + 1)) u(i))
+      | SELECT cluster_id, dim, CAST(SUM(qv) AS BIGINT) AS sum_micro,
+      |  COUNT(*) AS n_members
+      | FROM q GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin.replace("\n", " ")
+
   /** Semi-structured JSON extraction (web-scrape metadata parsing): pull a
     * typed field out of the events' JSON props with the codegen'd
     * `get_json_object` path expression, then aggregate by its decade bucket
@@ -2584,6 +2619,7 @@ object Registry {
     "q_epoch_upsample" -> (qEpochUpsample _),
     "q_rolling_hour" -> (qRollingHour _),
     "q_semantic_clusters" -> (qSemanticClusters _),
+    "q_cluster_centroids" -> (qClusterCentroids _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_set_ops" -> (qSetOps _),
@@ -2693,6 +2729,7 @@ object Registry {
     "q_epoch_upsample" -> qEpochUpsampleSql,
     "q_rolling_hour" -> qRollingHourSql,
     "q_semantic_clusters" -> qSemanticClustersSql,
+    "q_cluster_centroids" -> qClusterCentroidsSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_set_ops" -> qSetOpsSql,

@@ -162,6 +162,45 @@ class SimilaritySpec extends SparkSpec {
     assert(kept2.contains(0L) && !kept2.contains(1L))
   }
 
+  test("clusterCentroidSums: exact integer accumulators, hand-checked") {
+    val e = Seq(
+      (1L, Array(1.0f, -2.0f)), (2L, Array(3.0f, 4.0f)),   // cluster 1
+      (3L, Array(0.5f, 0.25f)),                            // cluster 3
+      (4L, Array(9.0f, 9.0f))                              // unassigned
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val r = Similarity.clusterCentroidSums(e, assign, "vec_id", "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r((1L, 0L)) === (4000000L, 2L)) // 1e6 + 3e6
+    assert(r((1L, 1L)) === (2000000L, 2L)) // -2e6 + 4e6
+    assert(r((3L, 0L)) === (500000L, 1L))
+    assert(r((3L, 1L)) === (250000L, 1L))
+    assert(!r.keySet.exists(_._1 == 4L), "unassigned member must not appear")
+    assert(r.size === 4)
+  }
+
+  test("assignNearestCentroid: incremental assignment picks the right cluster; below minSim stays NULL") {
+    // two axis-aligned clusters in 2-d; incoming vectors near each axis
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),    // cluster ~x
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))     // cluster ~y
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "cluster_id")
+    val sums = Similarity.clusterCentroidSums(e, assign, "vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Array(0.95f, 0.05f)),   // → cluster 1
+      (11L, Array(0.02f, 1.1f)),    // → cluster 3
+      (12L, Array(-1.0f, -1.0f))    // opposite everything → below minSim
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.assignNearestCentroid(incoming, sums, "vec_id", "embedding",
+      minSim = 0.5)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(10L) === Some(1L))
+    assert(out(11L) === Some(3L))
+    assert(out(12L) === None, "no-home vector must keep a NULL cluster")
+  }
+
   test("cosine law: self-similarity 1, symmetry") {
     val a = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-3.0f, 2.0f, -1.0f)))
       .toDF("vec_id", "embedding")

@@ -235,6 +235,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_cluster_centroids: hash-aggregated accumulators, no cartesian") {
+    val p = plan("q_cluster_centroids")
+    assert(p.contains("HashAggregate"), "centroid sums lost the hash aggregate")
+    assert(!p.contains("CartesianProduct"), "cartesian crept into the centroid path")
+  }
+
   test("q_dsir_select: ratio table broadcasts into the scorer; top-k without global sort") {
     val p = plan("q_dsir_select")
     // the ≤256-row ratio table must be the broadcast side of the token join
