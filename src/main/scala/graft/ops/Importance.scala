@@ -37,8 +37,9 @@ import graft.functions.TextFns
   * to the scorer. Scoring is explode → broadcast-hash-join → one
   * hash-aggregate shuffle keyed by document id with partial sums. No
   * all-pairs stage, no driver-side data beyond the bounded table.
-  * Unigram features here; hashed bigrams compose by pre-concatenating
-  * adjacent tokens into the text column upstream.
+  * Features default to unigrams; pass `ngrams = Seq(1, 2)` for DSIR's
+  * hashed unigram+bigram stream (see [[Importance.featuresCol]]'s cost
+  * note).
   */
 object Importance {
 
@@ -48,9 +49,31 @@ object Importance {
   def bucketOf(tok: Column, buckets: Int): Column =
     (conv(substring(md5(tok), 1, 2), 16, 10).cast("int") % buckets).as("bucket")
 
-  /** Token-occurrence counts per hashed bucket. */
-  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
-    df.select(explode(TextFns.tokens(col(textCol))).as("_tok"))
+  /** Feature stream of a document: token occurrences for each requested
+    * n-gram order, concatenated (DSIR proper uses unigrams+bigrams,
+    * `Seq(1, 2)`). Position n-grams are space-joined token windows WITHOUT
+    * dedup — occurrence counts are the law. Orders > 1 go through an
+    * interpreted transform/slice lambda chain (CodegenFallback — see the
+    * [[graft.ops.Dedup.minhashSignatureFromHashes]] cost note), so the
+    * unigram default keeps the hot scorer fully codegen'd; reach for
+    * bigrams when word order matters more than throughput.
+    */
+  private def featuresCol(c: Column, ngrams: Seq[Int]): Column = {
+    require(ngrams.nonEmpty && ngrams.forall(_ >= 1), "ngram orders must be ≥ 1")
+    def order(n: Int): Column = {
+      val t = TextFns.tokens(c)
+      if (n == 1) t
+      else when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    }
+    if (ngrams == Seq(1)) TextFns.tokens(c) else concat(ngrams.map(order): _*)
+  }
+
+  /** Feature-occurrence counts per hashed bucket. */
+  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      ngrams: Seq[Int]): DataFrame =
+    df.select(explode(featuresCol(col(textCol), ngrams)).as("_tok"))
       .select(bucketOf(col("_tok"), buckets).as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
 
@@ -60,11 +83,11 @@ object Importance {
     * the broadcast side of the scorer is bounded by construction.
     */
   def hashedRatioTable(target: DataFrame, source: DataFrame, textCol: String,
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256, ngrams: Seq[Int] = Seq(1)): DataFrame = {
     val spark = target.sparkSession
     val spine = spark.range(buckets.toLong).select(col("id").cast("int").as("_b"))
-    val tc = bucketCounts(target, textCol, buckets).withColumnRenamed("_n", "_tn")
-    val sc = bucketCounts(source, textCol, buckets).withColumnRenamed("_n", "_sn")
+    val tc = bucketCounts(target, textCol, buckets, ngrams).withColumnRenamed("_n", "_tn")
+    val sc = bucketCounts(source, textCol, buckets, ngrams).withColumnRenamed("_n", "_sn")
     val tt = tc.agg(coalesce(sum(col("_tn")), lit(0L)).as("_tt"))
     val st = sc.agg(coalesce(sum(col("_sn")), lit(0L)).as("_st"))
     // totals are 1-row frames; the cross joins broadcast a single row each
@@ -90,9 +113,9 @@ object Importance {
     * tokens (blank/NULL text) weigh 0. Input columns are preserved.
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-      ratios: DataFrame, buckets: Int = 256): DataFrame = {
+      ratios: DataFrame, buckets: Int = 256, ngrams: Seq[Int] = Seq(1)): DataFrame = {
     val sums = df
-      .select(col(idCol).as("_wid"), explode(TextFns.tokens(col(textCol))).as("_tok"))
+      .select(col(idCol).as("_wid"), explode(featuresCol(col(textCol), ngrams)).as("_tok"))
       .select(col("_wid"), bucketOf(col("_tok"), buckets).as("bucket"))
       .join(broadcast(ratios), "bucket")
       .groupBy(col("_wid")).agg(sum(col("lr_micro")).as("_w"))
@@ -106,9 +129,10 @@ object Importance {
     * (deterministic id tie-break).
     */
   def dsirSelect(df: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, k: Int, buckets: Int = 256): DataFrame = {
-    val ratios = hashedRatioTable(target, df, textCol, buckets)
-    importanceWeights(df, idCol, textCol, ratios, buckets)
+      textCol: String, k: Int, buckets: Int = 256,
+      ngrams: Seq[Int] = Seq(1)): DataFrame = {
+    val ratios = hashedRatioTable(target, df, textCol, buckets, ngrams)
+    importanceWeights(df, idCol, textCol, ratios, buckets, ngrams)
       .orderBy(col("weight_micro").desc, col(idCol))
       .limit(k)
   }

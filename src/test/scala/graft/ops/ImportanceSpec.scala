@@ -50,6 +50,27 @@ class ImportanceSpec extends SparkSpec {
     assert(again === top)
   }
 
+  test("bigram features see word order where unigrams cannot") {
+    // doc 2 is a PERMUTATION of doc 1: identical unigram bag, disjoint
+    // bigrams. With ngrams=Seq(1) both score the same; with Seq(1,2) the
+    // true word-order match must outscore the permutation.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "zeta epsilon delta gamma beta alpha"),
+      (3L, "umber vermilion woad ochre sienna teal")).toDF("doc_id", "text")
+    val target = corpus.filter($"doc_id" === 1L)
+    def weights(ngrams: Seq[Int]): Map[Long, Long] = {
+      val r = Importance.hashedRatioTable(target, corpus, "text", ngrams = ngrams)
+      Importance.importanceWeights(corpus, "doc_id", "text", r, ngrams = ngrams)
+        .select("doc_id", "weight_micro").as[(Long, Long)].collect().toMap
+    }
+    val uni = weights(Seq(1))
+    assert(uni(1L) === uni(2L), "unigram law is order-blind by construction")
+    val bi = weights(Seq(1, 2))
+    assert(bi(1L) > bi(2L), s"bigrams must break the permutation tie: $bi")
+    assert(bi(2L) > bi(3L), "shared unigrams still beat a disjoint vocabulary")
+  }
+
   test("weight law is an exact integer sum: clone a doc's tokens, weight doubles") {
     val dup = Seq(
       (1L, "alpha beta gamma"),
