@@ -653,6 +653,11 @@ object Similarity {
     val best = inc.select(col("_nid"), col(vecCol).as("_iv"))
       .crossJoin(broadcast(cent))
       .withColumn("_sim", nativeCosine(incoming, col("_iv"), col("_cv")))
+      // NaN sorts ABOVE every real double in Spark orderings: a zero-norm
+      // centroid (or incoming vector) would win max_by and poison the
+      // assignment — degenerate sims drop here, the left join below turns
+      // an all-NaN row into the NULL no-home verdict
+      .filter(!isnan(col("_sim")))
       .groupBy("_nid")
       .agg(max_by(struct(col("_sim"), col("cluster_id")),
         struct(col("_sim"), -col("cluster_id"))).as("_b"))

@@ -201,6 +201,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out(12L) === None, "no-home vector must keep a NULL cluster")
   }
 
+  test("assignNearestCentroid: a zero-norm centroid cannot poison assignments (NaN guard)") {
+    // cluster 9's members cancel to the zero vector → NaN cosine, which
+    // sorts ABOVE every real sim in Spark — it must not win max_by
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (5L, Array(1.0f, 1.0f)), (6L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L), (5L, 9L), (6L, 9L)).toDF("doc_id", "cluster_id")
+    val sums = Similarity.clusterCentroidSums(e, assign, "vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Array(0.95f, 0.05f)),      // real best: cluster 1
+      (11L, Array(0.0f, 0.0f))         // zero-norm incoming: NaN everywhere → NULL
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.assignNearestCentroid(incoming, sums, "vec_id", "embedding",
+      minSim = 0.5)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(10L) === Some(1L), "zero-norm centroid must not steal the assignment")
+    assert(out(11L) === None, "zero-norm incoming vector has no home")
+  }
+
   test("cosine law: self-similarity 1, symmetry") {
     val a = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-3.0f, 2.0f, -1.0f)))
       .toDF("vec_id", "embedding")
