@@ -124,6 +124,58 @@ object Importance {
       .drop("_wid", "_w")
   }
 
+  /** Scala twin of the feature law for the narrow scorer: token (and
+    * optional n-gram) occurrences, same token law as [[TextFns.tokens]].
+    */
+  private[ops] def featuresScala(text: String, ngrams: Seq[Int]): Iterator[String] = {
+    val toks = TextFns.tokensScala(text)
+    ngrams.iterator.flatMap { n =>
+      if (n == 1) toks.iterator
+      else if (toks.length < n) Iterator.empty
+      else (0 to toks.length - n).iterator.map(i => toks.slice(i, i + n).mkString(" "))
+    }
+  }
+
+  /** Scala twin of [[bucketOf]]: first byte of the md5 digest (== the
+    * first two hex chars of the SQL `md5`) mod `buckets`.
+    */
+  private[ops] def bucketScala(feature: String, buckets: Int,
+      md: java.security.MessageDigest): Int = {
+    md.reset()
+    val d = md.digest(feature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (d(0) & 0xFF) % buckets
+  }
+
+  /** NARROW scorer — the same weight law as [[importanceWeights]] with a
+    * different physical strategy (the [[Contamination]] broadcast/shuffle
+    * precedent): the ≤`buckets`-row ratio table is collected (bounded by
+    * construction) and broadcast into one object-boundary pass that sums
+    * each document's bucket ratios in place. Zero shuffle, no explode
+    * fanout, stateless — safe inside a streaming micro-batch, and the
+    * batch fast path when the corpus is wide. Integer weights make the
+    * two strategies agree EXACTLY (equivalence-pinned in ImportanceSpec),
+    * not just approximately. Output schema matches `df` +
+    * (weight_micro BIGINT); building the frame runs the ratio-table jobs
+    * eagerly (the collect).
+    */
+  def importanceWeightsNarrow(df: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, buckets: Int = 256, ngrams: Seq[Int] = Seq(1)): DataFrame = {
+    val table = new Array[Long](buckets)
+    ratios.select(col("bucket").cast("int"), col("lr_micro").cast("long"))
+      .collect().foreach(r => table(r.getInt(0)) = r.getLong(1))
+    val bc = df.sparkSession.sparkContext.broadcast(table)
+    val ng = ngrams
+    val nb = buckets
+    val score = udf { text: String =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val t = bc.value
+      var acc = 0L
+      featuresScala(text, ng).foreach(f => acc += t(bucketScala(f, nb, md)))
+      acc
+    }
+    df.withColumn("weight_micro", score(coalesce(col(textCol), lit(""))))
+  }
+
   /** DSIR selection composed end-to-end: weight raw `df` against the
     * `target` exemplar corpus and keep the `k` highest-weight documents
     * (deterministic id tie-break).

@@ -71,6 +71,19 @@ class ImportanceSpec extends SparkSpec {
     assert(bi(2L) > bi(3L), "shared unigrams still beat a disjoint vocabulary")
   }
 
+  test("narrow scorer ≡ declarative scorer, exactly (integer law, both strategies)") {
+    for (ngrams <- Seq(Seq(1), Seq(1, 2))) {
+      val ratios = Importance.hashedRatioTable(target, corpus, "text", ngrams = ngrams)
+      val wide = Importance.importanceWeights(corpus, "doc_id", "text", ratios,
+        ngrams = ngrams)
+        .select("doc_id", "weight_micro").as[(Long, Long)].collect().toMap
+      val narrow = Importance.importanceWeightsNarrow(corpus, "doc_id", "text", ratios,
+        ngrams = ngrams)
+        .select("doc_id", "weight_micro").as[(Long, Long)].collect().toMap
+      assert(narrow === wide, s"strategies diverge for ngrams=$ngrams")
+    }
+  }
+
   test("weight law is an exact integer sum: clone a doc's tokens, weight doubles") {
     val dup = Seq(
       (1L, "alpha beta gamma"),
