@@ -167,7 +167,7 @@ object Importance {
     val ng = ngrams
     val nb = buckets
     val score = udf { text: String =>
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Importance.md5Local.get()
       val t = bc.value
       var acc = 0L
       featuresScala(text, ng).foreach(f => acc += t(bucketScala(f, nb, md)))
@@ -175,6 +175,14 @@ object Importance {
     }
     df.withColumn("weight_micro", score(coalesce(col(textCol), lit(""))))
   }
+
+  /** Executor-side digest reuse for the narrow scorer: the UDF body runs
+    * per ROW, so `MessageDigest.getInstance` there would allocate per row;
+    * a module-held ThreadLocal serializes by module reference and hands
+    * each task thread one long-lived instance.
+    */
+  private lazy val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   /** DSIR selection composed end-to-end: weight raw `df` against the
     * `target` exemplar corpus and keep the `k` highest-weight documents

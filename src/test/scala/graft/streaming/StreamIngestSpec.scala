@@ -140,6 +140,33 @@ class StreamIngestSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming DSIR scoring: narrow scorer on a stream equals the batch weights") {
+    // the narrow scorer is stateless (one broadcast table, no shuffle), so
+    // it must drop into a micro-batch unchanged — the scaladoc's
+    // stream-safe claim, pinned
+    val srcDir = tmp("graft-dsir-stream")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(srcDir)
+    val ratios = graft.ops.Importance.hashedRatioTable(
+      docs.filter(col("lang") === "en"), docs, "text")
+
+    val stream = spark.readStream.schema(docs.schema).parquet(srcDir)
+    val scored = graft.ops.Importance.importanceWeightsNarrow(
+      stream, "doc_id", "text", ratios)
+      .select("doc_id", "weight_micro")
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("dsir_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("dsir_out").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.ops.Importance.importanceWeightsNarrow(
+      docs, "doc_id", "text", ratios)
+      .select("doc_id", "weight_micro").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("streaming dedup: watermarked state drops duplicate event_ids exactly-once") {
     val srcDir = tmp("graft-dup-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
