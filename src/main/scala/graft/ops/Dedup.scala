@@ -79,6 +79,58 @@ object Dedup {
       .drop("_ih")
   }
 
+  /** Bloom-prefiltered cross-corpus exact dedup — the 100 TB scale path for
+    * [[exactAgainst]]. Builds a Bloom filter over the reference corpus's
+    * distinct content fingerprints (`DataFrameStatFunctions.bloomFilter` — a
+    * mergeable map-side `treeAggregate`, one pass, bounded driver memory:
+    * ~1.2 bits × expectedItems / ln²2 at 1% fpp), broadcasts it, and tests
+    * every incoming row AT THE SCAN with `mightContain`:
+    *
+    *   - miss  → the fingerprint is DEFINITELY absent from the reference
+    *             (Bloom filters have no false negatives) — the row is new
+    *             and never enters a shuffle;
+    *   - hit   → possibly present (fpp false-positive rate) — only this
+    *             small fraction proceeds to the exact anti-join, which
+    *             eliminates false positives.
+    *
+    * The result is therefore EXACTLY equal to [[exactAgainst]] — the Bloom
+    * stage is a pure candidate-set reducer, the same discipline as every
+    * LSH family here (prefilter, then exact verify), and the same shape as
+    * Spark's own runtime row-level join filtering. At scale the anti-join's
+    * incoming side shrinks from |batch| to ≈ dup_rate·|batch| + fpp·|batch|
+    * rows, and the definitely-new branch is a narrow scan→project.
+    *
+    * NULL text rows carry a NULL fingerprint: the Bloom test returns false
+    * (kept narrow-side) and an anti-join would keep them too (NULL keys
+    * never match) — both branches agree with [[exactAgainst]]'s law.
+    *
+    * The Bloom test is a Scala UDF by necessity (`sketch.BloomFilter` has no
+    * Column form); it is a ~2-hash bit probe per row, far cheaper than the
+    * md5 beside it, and named `graft_might_contain` so plans show the
+    * prefilter below the exchange.
+    */
+  def exactAgainstBloom(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val refFp = reference
+      .select(TextFns.fingerprintMd5(col(textCol)).as("_rh"))
+      .filter(col("_rh").isNotNull)
+    // bloom insertion is idempotent — build on the NON-distinct projection
+    // (narrow treeAggregate, zero shuffle); distinct only feeds the verify
+    // join, whose shuffle the bloom has already shrunk on the probe side.
+    val bloom = spark.sparkContext.broadcast(
+      refFp.stat.bloomFilter("_rh", expectedItems, fpp))
+    val refHashes = refFp.distinct()
+    val might = udf((h: String) => h != null && bloom.value.mightContainString(h))
+      .withName("graft_might_contain")
+    val inc = incoming.withColumn("_ih", TextFns.fingerprintMd5(col(textCol)))
+    val definitelyNew = inc.filter(!might(col("_ih")))
+    val verified = inc.filter(might(col("_ih")))
+      .join(refHashes, col("_ih") === col("_rh"), "left_anti")
+    definitelyNew.unionByName(verified).drop("_ih")
+  }
+
   /** MinHash signature from an already-materialized array of shingle hashes:
     * numHashes independent min-hashes, seed-rehash construction
     * h_i(s) = xxhash64(h(s), i).

@@ -2111,6 +2111,34 @@ object Registry {
       | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Bloom-prefiltered cross-corpus dedup
+    * ([[graft.ops.Dedup.exactAgainstBloom]]): same NOT EXISTS law as
+    * [[qDedupAgainst]] — the Bloom stage is a pure candidate reducer with
+    * no false negatives, so the oracle is the EXACT anti-join semantics,
+    * proving end-to-end that the prefilter+verify composition loses and
+    * invents nothing. Different corpus split (% 5) than q_dedup_against so
+    * the two rows gate independent code paths.
+    */
+  def qDedupBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Dedup.exactAgainstBloom(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", expectedItems = 100000L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupBloomSql: String =
+    """WITH fp AS (SELECT doc_id, lang,
+      |   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |  FROM documents),
+      | inc AS (SELECT * FROM fp WHERE doc_id % 5 <> 0),
+      | ref AS (SELECT DISTINCT h FROM fp WHERE doc_id % 5 = 0 AND h IS NOT NULL)
+      | SELECT doc_id, lang FROM inc i
+      | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** BPE tokenizer train + encode, end-to-end oracled
     * ([[graft.ops.Vocab.trainBpeMerges]] / [[graft.ops.Vocab.encodeBpe]]):
     * merges are trained on the corpus's bounded word-frequency table
@@ -2634,6 +2662,7 @@ object Registry {
     "q_map_ops" -> (qMapOps _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_dedup_against" -> (qDedupAgainst _),
+    "q_dedup_bloom" -> (qDedupBloom _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_embed_against" -> (qEmbedAgainst _),
@@ -2744,6 +2773,7 @@ object Registry {
     "q_map_ops" -> qMapOpsSql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_dedup_against" -> qDedupAgainstSql,
+    "q_dedup_bloom" -> qDedupBloomSql,
     "q_dsir_select" -> qDsirSelectSql,
     "q_minhash_against" -> qMinhashAgainstSql,
     "q_embed_against" -> qEmbedAgainstSql,

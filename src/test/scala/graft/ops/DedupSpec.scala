@@ -187,6 +187,35 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("exactAgainstBloom: exactly equal to exactAgainst, NULL text included") {
+    val incoming = Seq((1L, "Hello   World"), (2L, "fresh content"),
+      (3L, null.asInstanceOf[String]), (4L, "other  REF"),
+      (5L, "brand new material")).toDF("doc_id", "text")
+    val reference = Seq((100L, "hello world"), (101L, "other ref"),
+      (102L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val exact = Dedup.exactAgainst(incoming, reference, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.exactAgainstBloom(incoming, reference, "doc_id", "text",
+        expectedItems = 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact === Set(2L, 3L, 5L))
+    assert(bloomed === exact, "bloom prefilter must not change the law")
+  }
+
+  test("exactAgainstBloom: a tiny saturated bloom (all-positives) still verifies exactly") {
+    // expectedItems=1 at high fpp saturates the filter: every incoming row
+    // takes the might-contain branch, so the exact verify join alone must
+    // reproduce the law (false positives eliminated, nothing dropped)
+    val incoming = Seq((1L, "dup one"), (2L, "new two"), (3L, "new three"))
+      .toDF("doc_id", "text")
+    val reference = (100L to 160L).map(i => (i, s"ref doc number $i"))
+      .toDF("doc_id", "text").union(Seq((99L, "dup one")).toDF("doc_id", "text"))
+    val kept = Dedup.exactAgainstBloom(incoming, reference, "doc_id", "text",
+        expectedItems = 1L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("duplicated spans negative control: a collision-free corpus is untouched") {
     // random hex content (huge alphabet — no 40-char run can recur by
     // chance): every doc must come back island-free and byte-identical

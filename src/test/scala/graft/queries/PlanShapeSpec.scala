@@ -251,6 +251,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
   }
 
+  test("q_dedup_bloom: might-contain prefilter below the anti-join, no cartesian") {
+    val p = plan("q_dedup_bloom")
+    assert(p.contains("graft_might_contain"), "bloom prefilter fell out of the plan")
+    assert(p.contains("LeftAnti"), "exact verify anti-join missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
