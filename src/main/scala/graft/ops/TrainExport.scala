@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** JSONL training-data export — the handoff format every trainer reads.
   *
@@ -30,5 +31,131 @@ object TrainExport {
       (partitionBy.map(col) :+ to_json(struct(payloadCols: _*)).as("value")): _*)
     val w = out.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
     codec.fold(w)(c => w.option("compression", c)).text(outDir)
+  }
+
+  /** WebDataset-style tar-shard export — the sequential-read handoff format
+    * for multimodal training loaders: each sample is a run of adjacent tar
+    * members sharing a basename (`<key>.txt`, `<key>.json`, `<key>.bin` …),
+    * each shard one `shard-NNNNNN.tar` a loader streams front-to-back with
+    * zero random IO.
+    *
+    * Distribution shape: one hash shuffle on the shard id co-locates each
+    * shard in exactly one task (`repartition(shardCol)`), rows sorted within
+    * partitions by (shard, key) so member order — and therefore shard
+    * bytes — is DETERMINISTIC; a partition holding several shards rolls to a
+    * new tar on each shard change. Headers are fixed-metadata ustar
+    * (mtime 0, uid/gid 0, mode 644, dependency-free — same posture as the
+    * CFB/XLSX codecs), so identical input produces byte-identical shards on
+    * any cluster.
+    *
+    * `members` maps payload columns to member extensions, e.g.
+    * `Seq("text" -> "txt", "meta" -> "json")`; string columns are written
+    * UTF-8, binary columns as-is, NULL members are skipped (the WebDataset
+    * missing-member convention).
+    *
+    * Returns the collected per-shard manifest (shard_file, n_samples,
+    * n_bytes) as a DataFrame — bounded by the shard count, and the write has
+    * already happened exactly once when this returns.
+    */
+  def writeTarShards(df: DataFrame, outDir: String, shardCol: String,
+      keyCol: String, members: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val memberCols = members.map { case (c, ext) =>
+      (col(c).cast(BinaryType)).as(s"_m_$c") -> ext
+    }
+    val prepared = df
+      .select((Seq(col(shardCol).cast(IntegerType).as("_shard"),
+        col(keyCol).cast(StringType).as("_key")) ++ memberCols.map(_._1)): _*)
+      .repartition(col("_shard"))
+      .sortWithinPartitions("_shard", "_key")
+    val exts = members.map(_._2)
+    // hadoopConfiguration isn't serializable; ship it as key-values so the
+    // executor-side FileSystem sees the session's object-store credentials —
+    // this sink writes to whatever outDir's scheme resolves to (local, HDFS,
+    // s3a) through the same API the parquet sinks use.
+    val confKv = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
+    val bcConf = spark.sparkContext.broadcast(confKv)
+    val manifest = prepared.queryExecution.toRdd.mapPartitions { rows =>
+      // InternalRow iteration: _shard int, _key UTF8String, members binary
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+      val baseDir = new org.apache.hadoop.fs.Path(outDir)
+      val fs = baseDir.getFileSystem(conf)
+      fs.mkdirs(baseDir)
+      var cur = Int.MinValue
+      var out: java.io.OutputStream = null
+      var file: String = null
+      var nSamples = 0L; var nBytes = 0L
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      def close(): Unit = if (out != null) {
+        out.write(new Array[Byte](1024)) // tar end-of-archive: two zero blocks
+        out.close(); acc += ((file, nSamples, nBytes + 1024)); out = null
+      }
+      def roll(shard: Int): Unit = {
+        close()
+        cur = shard; nSamples = 0L; nBytes = 0L
+        file = f"shard-$shard%06d.tar"
+        out = new java.io.BufferedOutputStream(
+          fs.create(new org.apache.hadoop.fs.Path(baseDir, file), true))
+      }
+      rows.foreach { r =>
+        val shard = r.getInt(0)
+        if (shard != cur || out == null) roll(shard)
+        val key = r.getUTF8String(1).toString
+        var i = 0
+        while (i < exts.length) {
+          if (!r.isNullAt(2 + i)) {
+            val body = r.getBinary(2 + i)
+            nBytes += Tar.writeMember(out, s"$key.${exts(i)}", body)
+          }
+          i += 1
+        }
+        nSamples += 1
+      }
+      close()
+      acc.iterator
+    }.collect()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(manifest.toSeq.map(Row.fromTuple), 1),
+      StructType(Seq(StructField("shard_file", StringType, nullable = false),
+        StructField("n_samples", LongType, nullable = false),
+        StructField("n_bytes", LongType, nullable = false))))
+  }
+
+  /** Minimal deterministic ustar writer (POSIX.1-1988 layout: 512-byte
+    * header, NUL-padded octal fields, checksum computed with the checksum
+    * field spaced out, body padded to the 512 boundary).
+    */
+  private[ops] object Tar {
+    def writeMember(out: java.io.OutputStream, name: String,
+        body: Array[Byte]): Long = {
+      require(name.getBytes("UTF-8").length <= 100, s"tar member name too long: $name")
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(0, name)
+      put(100, "0000644" + "\u0000")            // mode
+      put(108, "0000000" + "\u0000")            // uid
+      put(116, "0000000" + "\u0000")            // gid
+      put(124, f"${body.length}%011o" + "\u0000") // size
+      put(136, "00000000000" + "\u0000")        // mtime: epoch, deterministic
+      put(148, "        ")                      // chksum spaces for the sum
+      h(156) = '0'                              // typeflag: regular file
+      put(257, "ustar" + "\u0000" + "00")       // magic + version
+      var sum = 0; var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      put(148, f"$sum%06o" + "\u0000" + " ")
+      out.write(h)
+      out.write(body)
+      val pad = (512 - body.length % 512) % 512
+      if (pad > 0) out.write(new Array[Byte](pad))
+      512L + body.length + pad
+    }
   }
 }

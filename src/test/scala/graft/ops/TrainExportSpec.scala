@@ -1,0 +1,98 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Tar-shard (WebDataset-style) export laws: byte-level ustar conformance,
+  * deterministic member order, NULL-member skip, manifest accounting, and
+  * write-twice byte identity. The parser here is written from the ustar
+  * spec (not the writer) so the two can't share a bug.
+  */
+class TrainExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent minimal ustar reader: returns (name, body) in archive
+    * order, validating the checksum and magic of every header.
+    */
+  private def readTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= bytes.length) {
+      val name = new String(bytes, off, 100, "US-ASCII").takeWhile(_ != '\u0000')
+      if (name.isEmpty) done = true // first zero block = end of archive
+      else {
+        val magic = new String(bytes, off + 257, 6, "US-ASCII")
+        assert(magic == "ustar\u0000", s"bad magic at $off: ${magic.toList}")
+        val stored = java.lang.Integer.parseInt(
+          new String(bytes, off + 148, 8, "US-ASCII")
+            .replace('\u0000', ' ').trim, 8)
+        var sum = 0
+        for (i <- 0 until 512)
+          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xff)
+        assert(stored == sum, s"checksum mismatch for $name")
+        val size = java.lang.Integer.parseInt(
+          new String(bytes, off + 124, 12, "US-ASCII")
+            .replace('\u0000', ' ').trim, 8)
+        out += name -> bytes.slice(off + 512, off + 512 + size)
+        off += 512 + ((size + 511) / 512) * 512
+      }
+    }
+    out.toSeq
+  }
+
+  private def docsDf = Seq(
+    (0, "d00", "alpha text", """{"lang":"en"}"""),
+    (0, "d01", "beta text", """{"lang":"de"}"""),
+    (1, "d10", "gamma text", null),
+    (1, "d11", "delta text", """{"lang":"fr"}"""),
+    (2, "d20", "epsilon text", """{"lang":"en"}""")
+  ).toDF("shard", "key", "text", "meta")
+
+  test("writeTarShards: round-trips every member, in sorted sample order") {
+    val dir = Files.createTempDirectory("tar-shards").toString
+    val manifest = TrainExport.writeTarShards(docsDf, dir, "shard", "key",
+      Seq("text" -> "txt", "meta" -> "json"))
+    val m = manifest.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.keySet === Set("shard-000000.tar", "shard-000001.tar", "shard-000002.tar"))
+    assert(m("shard-000000.tar")._1 === 2L)
+    assert(m("shard-000001.tar")._1 === 2L)
+    assert(m("shard-000002.tar")._1 === 1L)
+
+    val s0 = readTar(Files.readAllBytes(Paths.get(dir, "shard-000000.tar")))
+    assert(s0.map(_._1) === Seq("d00.txt", "d00.json", "d01.txt", "d01.json"),
+      "members must arrive key-sorted, sample-adjacent")
+    assert(new String(s0.head._2, "UTF-8") === "alpha text")
+    assert(new String(s0(1)._2, "UTF-8") === """{"lang":"en"}""")
+
+    // NULL member is skipped, not emitted empty
+    val s1 = readTar(Files.readAllBytes(Paths.get(dir, "shard-000001.tar")))
+    assert(s1.map(_._1) === Seq("d10.txt", "d11.txt", "d11.json"))
+
+    // manifest n_bytes is the true file size (headers + padding + trailer)
+    for ((f, (_, b)) <- m)
+      assert(Files.size(Paths.get(dir, f)) === b, s"manifest size drift for $f")
+  }
+
+  test("writeTarShards: byte-identical across runs; binary payloads exact") {
+    val bin = Array.tabulate[Byte](700)(i => (i % 251).toByte) // crosses a 512 pad
+    val df = Seq((7, "s0")).toDF("shard", "key")
+      .withColumn("blob", lit(bin))
+    val d1 = Files.createTempDirectory("tar-a").toString
+    val d2 = Files.createTempDirectory("tar-b").toString
+    TrainExport.writeTarShards(df, d1, "shard", "key", Seq("blob" -> "bin"))
+    TrainExport.writeTarShards(df, d2, "shard", "key", Seq("blob" -> "bin"))
+    val b1 = Files.readAllBytes(Paths.get(d1, "shard-000007.tar"))
+    val b2 = Files.readAllBytes(Paths.get(d2, "shard-000007.tar"))
+    assert(java.util.Arrays.equals(b1, b2), "export must be deterministic")
+    val members = readTar(b1)
+    assert(members.map(_._1) === Seq("s0.bin"))
+    assert(java.util.Arrays.equals(members.head._2, bin))
+    // 512 header + 700 body padded to 1024 + 1024 trailer
+    assert(b1.length === 512 + 1024 + 1024)
+  }
+}
