@@ -626,6 +626,78 @@ object Similarity {
       .agg(sum(col("_q")).as("sum_micro"), count(lit(1)).as("n_members"))
   }
 
+  /** Distributed Lloyd (k-means) refinement over embeddings, engine-exact:
+    * `iters` rounds of assign-to-nearest + centroid recompute, returning the
+    * final accumulator frame (cluster_id, dim, sum_micro, n_members) — the
+    * same exact-BIGINT shape as [[clusterCentroidSums]].
+    *
+    * What makes a floating-point-iterative algorithm bit-exact across
+    * engines: EVERY comparison and accumulation in the loop is integer.
+    *   - Points are unit-normalized in double once, then quantized to 1e6
+    *     micro-units (`_qv: array<bigint>`); centroids likewise each round.
+    *   - Nearest-centroid is argmax over the INTEGER dot product
+    *     `sum(_qv·_qc)` (≤ dim·1e12 — no overflow), ties to the smaller
+    *     cluster id. Cosine order is preserved because both sides are
+    *     unit-length before quantization.
+    *   - Centroid update re-sums the RAW components micro-quantized —
+    *     order-independent exact integers, mergeable across batches.
+    * Seeds are the `k` lowest-id vectors as singleton clusters (cluster_id
+    * = seed vec_id) — deterministic and SQL-expressible, so the whole
+    * refinement unrolls into a DuckDB oracle (q_kmeans_refine). Zero-norm
+    * vectors are excluded from assignment (no cosine home); a cluster that
+    * loses all members simply drops out (standard Lloyd empty-cluster
+    * behavior, identical in the oracle's GROUP BY).
+    *
+    * Scale shape per round: the ≤k-row quantized codebook broadcasts into a
+    * narrow per-point argmax (corpus never shuffles for assignment); the
+    * update is one posexplode + map-side-combined hash aggregate to
+    * k×dims rows. The driver holds nothing but the plan — `iters` is small
+    * and fixed (curriculum: refine an existing coarse clustering, not
+    * train-from-scratch — that is [[ivfIndex]]'s bounded-sample job).
+    */
+  def kmeansRefineSums(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 2, quant: Double = 1000000.0): DataFrame = {
+    val e = embeddings.select(col(idCol).cast("long").as("_vid"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val pn = e
+      .withColumn("_nrm", sqrt(aggregate(col("_v"), lit(0.0), (a, x) => a + x * x)))
+      .filter(col("_nrm") > 0)
+      .withColumn("_qv", transform(col("_v"),
+        x => round(x / col("_nrm") * quant).cast("long")))
+      .select("_vid", "_qv")
+    var sums = e.orderBy("_vid").limit(k)
+      .select(col("_vid").as("cluster_id"), posexplode(col("_v")))
+      .select(col("cluster_id"), col("pos").cast("long").as("dim"),
+        round(col("col") * quant).cast("long").as("_q"))
+      .groupBy("cluster_id", "dim")
+      .agg(sum(col("_q")).as("sum_micro"), count(lit(1)).as("n_members"))
+    for (_ <- 1 to iters) {
+      val cent = sums.groupBy("cluster_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("sum_micro"), col("n_members")))),
+          s => s.getField("sum_micro").cast("double") / quant /
+            s.getField("n_members").cast("double")).as("_cv"))
+        .withColumn("_cnrm", sqrt(aggregate(col("_cv"), lit(0.0), (a, x) => a + x * x)))
+        .filter(col("_cnrm") > 0)
+        .withColumn("_qc", transform(col("_cv"),
+          x => round(x / col("_cnrm") * quant).cast("long")))
+        .select("cluster_id", "_qc")
+      val assign = pn.crossJoin(broadcast(cent))
+        .withColumn("_dot", aggregate(zip_with(col("_qv"), col("_qc"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x))
+        .groupBy("_vid")
+        .agg(max_by(col("cluster_id"),
+          struct(col("_dot"), (-col("cluster_id")).as("_nc"))).as("cluster_id"))
+      sums = e.join(assign, "_vid")
+        .select(col("cluster_id"), posexplode(col("_v")))
+        .select(col("cluster_id"), col("pos").cast("long").as("dim"),
+          round(col("col") * quant).cast("long").as("_q"))
+        .groupBy("cluster_id", "dim")
+        .agg(sum(col("_q")).as("sum_micro"), count(lit(1)).as("n_members"))
+    }
+    sums
+  }
+
   /** Nearest-centroid assignment — the INCREMENTAL path of semantic dedup:
     * new documents join existing clusters without re-running pair
     * generation over the full corpus (the IVF coarse-assignment shape,

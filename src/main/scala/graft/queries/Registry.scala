@@ -1222,6 +1222,69 @@ object Registry {
       |  COUNT(*) AS n_members
       | FROM q GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin.replace("\n", " ")
 
+  /** Distributed Lloyd refinement ([[graft.ops.Similarity.kmeansRefineSums]]):
+    * 2 rounds of assign+update from the 4 lowest-id seeds, every comparison
+    * integer (quantized unit vectors → exact BIGINT dot-product argmax) and
+    * every accumulator an exact micro-unit sum — so the WHOLE iterative
+    * algorithm unrolls into CTEs and hash-matches bit-for-bit. The one
+    * float-boundary law: both engines unit-normalize in double and round
+    * half-away-from-zero to 1e6 units before ANY comparison, which keeps
+    * ulp-level summation differences from ever reaching the argmax.
+    */
+  def qKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.kmeansRefineSums(e, "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("cluster_id", "dim")
+  }
+
+  val qKmeansRefineSql: String = {
+    // one Lloyd round as a CTE pair (centroids from sums `S`, new sums from
+    // assignment), textually instantiated twice — the unrolled twin of the
+    // Scala loop
+    def round(s: String, cent: String, asg: String, out: String): String =
+      s"""$cent AS (
+         |  SELECT cluster_id,
+         |   list_transform(cv, x -> CAST(round(x / cnrm * 1000000.0) AS BIGINT)) AS qc
+         |  FROM (SELECT cluster_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm
+         |        FROM (SELECT cluster_id,
+         |               list(sum_micro / 1000000.0 / n_members ORDER BY dim) AS cv
+         |              FROM $s GROUP BY cluster_id))
+         |  WHERE cnrm > 0),
+         | $asg AS (
+         |  SELECT vec_id, cluster_id FROM (
+         |   SELECT d.vec_id, d.cluster_id,
+         |    row_number() OVER (PARTITION BY d.vec_id
+         |                       ORDER BY d.dot DESC, d.cluster_id) AS rn
+         |   FROM (SELECT p.vec_id, c.cluster_id,
+         |          SUM(p.qv[u.i] * c.qc[u.i]) AS dot
+         |         FROM pq p, $cent c, unnest(range(1, len(p.qv) + 1)) u(i)
+         |         GROUP BY p.vec_id, c.cluster_id) d)
+         |  WHERE rn = 1),
+         | $out AS (
+         |  SELECT a.cluster_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         |   CAST(SUM(CAST(round(e.v[u.i] * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro,
+         |   COUNT(*) AS n_members
+         |  FROM $asg a JOIN e ON e.vec_id = a.vec_id,
+         |   unnest(range(1, len(e.v) + 1)) u(i)
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | pq AS (
+       |  SELECT vec_id,
+       |   list_transform(v, x -> CAST(round(x / nrm * 1000000.0) AS BIGINT)) AS qv
+       |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |  WHERE nrm > 0),
+       | s0 AS (
+       |  SELECT s.vec_id AS cluster_id, CAST(u.i - 1 AS BIGINT) AS dim,
+       |   CAST(round(s.v[u.i] * 1000000.0) AS BIGINT) AS sum_micro,
+       |   CAST(1 AS BIGINT) AS n_members
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4) s,
+       |   unnest(range(1, len(s.v) + 1)) u(i)),
+       | ${round("s0", "c1", "a1", "s1")},
+       | ${round("s1", "c2", "a2", "s2")}
+       | SELECT cluster_id, dim, sum_micro, n_members
+       | FROM s2 ORDER BY cluster_id, dim""".stripMargin.replace("\n", " ")
+  }
+
   /** Semi-structured JSON extraction (web-scrape metadata parsing): pull a
     * typed field out of the events' JSON props with the codegen'd
     * `get_json_object` path expression, then aggregate by its decade bucket
@@ -2648,6 +2711,7 @@ object Registry {
     "q_rolling_hour" -> (qRollingHour _),
     "q_semantic_clusters" -> (qSemanticClusters _),
     "q_cluster_centroids" -> (qClusterCentroids _),
+    "q_kmeans_refine" -> (qKmeansRefine _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_set_ops" -> (qSetOps _),
@@ -2759,6 +2823,7 @@ object Registry {
     "q_rolling_hour" -> qRollingHourSql,
     "q_semantic_clusters" -> qSemanticClustersSql,
     "q_cluster_centroids" -> qClusterCentroidsSql,
+    "q_kmeans_refine" -> qKmeansRefineSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_set_ops" -> qSetOpsSql,

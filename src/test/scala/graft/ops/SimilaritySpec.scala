@@ -179,6 +179,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size === 4)
   }
 
+  test("kmeansRefineSums: planted groups converge from adjacent seeds; sums exact") {
+    // two tight direction-groups in 2-d; the two seeds (lowest ids 1,2) land
+    // one in each group, so one round already separates them and the second
+    // round is a fixed point
+    val e = Seq(
+      (1L, Array(1.0f, 0.05f)), (3L, Array(0.9f, 0.0f)), (5L, Array(1.0f, -0.05f)),
+      (2L, Array(0.05f, 1.0f)), (4L, Array(0.0f, 1.1f)), (6L, Array(-0.05f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansRefineSums(e, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    // cluster 1 = x-group {1,3,5}: dim0 = (1.0+0.9+1.0)e6, dim1 = (0.05+0-0.05)e6
+    assert(r((1L, 0L)) === (2900000L, 3L))
+    assert(r((1L, 1L)) === (0L, 3L))
+    // cluster 2 = y-group {2,4,6}: float 1.1f widens to 1.100000023841858
+    assert(r((2L, 0L)) === (0L, 3L))
+    assert(r((2L, 1L)) === (3100000L, 3L))
+    assert(r.size === 4)
+  }
+
+  test("kmeansRefineSums: zero-norm vectors never assign; empty clusters drop out") {
+    // both seeds (ids 1,2) sit in the SAME direction-group: every point
+    // assigns to the nearer seed 1 after normalization ties break low, and
+    // seed 2's cluster empties; the zero vector has no cosine home
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.8f, 0.0f)),
+      (4L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansRefineSums(e, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r((1L, 0L)) === (2800000L, 3L), "all unit-direction points join cluster 1")
+    assert(!r.keySet.exists(_._1 == 2L), "emptied seed cluster must drop out")
+    assert(r.values.forall(_._2 == 3L), "zero-norm vector must not be counted anywhere")
+  }
+
   test("assignNearestCentroid: incremental assignment picks the right cluster; below minSim stays NULL") {
     // two axis-aligned clusters in 2-d; incoming vectors near each axis
     val e = Seq(

@@ -251,6 +251,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
   }
 
+  test("q_kmeans_refine: codebook broadcasts into the argmax; no real cartesian") {
+    val p = plan("q_kmeans_refine")
+    assert(p.contains("BroadcastNestedLoopJoin"), "codebook cross join lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_dedup_bloom: might-contain prefilter below the anti-join, no cartesian") {
     val p = plan("q_dedup_bloom")
     assert(p.contains("graft_might_contain"), "bloom prefilter fell out of the plan")
