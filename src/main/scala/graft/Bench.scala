@@ -28,7 +28,11 @@ object Bench {
           case t => t
         }
       }
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      // the uniform "q_" prefix is dead weight under a hard char budget:
+      // stripping it in the COMPACT line only (~3 chars × |registry|) buys
+      // a whole precision tier at 95 queries; BENCH_FULL.json keeps the
+      // exact registry names
+      val qs = results.map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }

@@ -104,6 +104,14 @@ object Dedup {
     * (kept narrow-side) and an anti-join would keep them too (NULL keys
     * never match) — both branches agree with [[exactAgainst]]'s law.
     *
+    * Cost tradeoff, stated plainly: the two branches are two consumers of
+    * the incoming frame, so the (column-pruned) incoming scan and its
+    * fingerprint md5 run TWICE. That is deliberate — caching 100 TB is not
+    * an option, and fusing the branches into one anti-join with a
+    * `might AND hash-equal` condition would put EVERY incoming row back
+    * through the exchange, which is exactly the cost this operator exists
+    * to avoid. Two narrow scans ≪ one full-corpus shuffle.
+    *
     * The Bloom test is a Scala UDF by necessity (`sketch.BloomFilter` has no
     * Column form); it is a ~2-hash bit probe per row, far cheaper than the
     * md5 beside it, and named `graft_might_contain` so plans show the

@@ -16,7 +16,7 @@ import graft.functions.TextFns
   *
   * The law, engine-portably pinned:
   *
-  *  - feature = hashed token bucket: the first byte of `md5(token)` mod
+  *  - feature = hashed token bucket: the first two bytes of `md5(token)` mod
   *    `buckets` (md5 hex is identical in every engine; no engine-native
   *    hash leaks into the law).
   *  - per-bucket log-ratio, Laplace-smoothed, evaluated left-to-right:
@@ -43,11 +43,17 @@ import graft.functions.TextFns
   */
 object Importance {
 
-  /** Hashed feature bucket of a token: first md5 byte mod `buckets`,
-    * SQL-replayable in any engine with md5 + string ops.
+  /** Hashed feature bucket of a token: first TWO md5 bytes mod `buckets`,
+    * SQL-replayable in any engine with md5 + string ops. Two bytes give
+    * 65536 distinct hash values, so bucket counts up to DSIR's usual 10k
+    * stay meaningful (a one-byte hash would silently alias everything
+    * above 256 buckets); `buckets` beyond that is a contract error.
     */
-  def bucketOf(tok: Column, buckets: Int): Column =
-    (conv(substring(md5(tok), 1, 2), 16, 10).cast("int") % buckets).as("bucket")
+  def bucketOf(tok: Column, buckets: Int): Column = {
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets must be in 1..65536 (two md5 bytes of hash range), got $buckets")
+    (conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % buckets).as("bucket")
+  }
 
   /** Feature stream of a document: token occurrences for each requested
     * n-gram order, concatenated (DSIR proper uses unigrams+bigrams,
@@ -136,14 +142,14 @@ object Importance {
     }
   }
 
-  /** Scala twin of [[bucketOf]]: first byte of the md5 digest (== the
-    * first two hex chars of the SQL `md5`) mod `buckets`.
+  /** Scala twin of [[bucketOf]]: first two bytes of the md5 digest (== the
+    * first four hex chars of the SQL `md5`) mod `buckets`.
     */
   private[ops] def bucketScala(feature: String, buckets: Int,
       md: java.security.MessageDigest): Int = {
     md.reset()
     val d = md.digest(feature.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (d(0) & 0xFF) % buckets
+    (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % buckets
   }
 
   /** NARROW scorer — the same weight law as [[importanceWeights]] with a

@@ -51,7 +51,15 @@ object TrainExport {
     * `members` maps payload columns to member extensions, e.g.
     * `Seq("text" -> "txt", "meta" -> "json")`; string columns are written
     * UTF-8, binary columns as-is, NULL members are skipped (the WebDataset
-    * missing-member convention).
+    * missing-member convention). Sample keys may be any UTF-8 string (tar
+    * names are raw bytes); NULL shard ids or keys fail fast with context —
+    * routing columns are a data contract, not something to guess around.
+    *
+    * Tasks write dot-hidden per-attempt temp files and rename into place on
+    * completion, so a retried or speculative attempt can never interleave
+    * bytes into a final shard (and because shards are byte-deterministic, a
+    * rename race between twin attempts is harmless — both wrote the same
+    * bytes).
     *
     * Returns the collected per-shard manifest (shard_file, n_samples,
     * n_bytes) as a DataFrame — bounded by the shard count, and the write has
@@ -87,6 +95,13 @@ object TrainExport {
       val baseDir = new org.apache.hadoop.fs.Path(outDir)
       val fs = baseDir.getFileSystem(conf)
       fs.mkdirs(baseDir)
+      // task-attempt commit protocol: write to a dot-hidden temp (unique per
+      // attempt), rename into place on completion. A retried or speculative
+      // attempt never interleaves bytes into a final shard; if the rename
+      // loses a race the winner's file is byte-identical (the export is
+      // deterministic), so the loser just discards its temp.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       var cur = Int.MinValue
       var out: java.io.OutputStream = null
       var file: String = null
@@ -94,16 +109,27 @@ object TrainExport {
       val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
       def close(): Unit = if (out != null) {
         out.write(new Array[Byte](1024)) // tar end-of-archive: two zero blocks
-        out.close(); acc += ((file, nSamples, nBytes + 1024)); out = null
+        out.close()
+        val tmp = new org.apache.hadoop.fs.Path(baseDir, s".$file.$attempt.tmp")
+        val dst = new org.apache.hadoop.fs.Path(baseDir, file)
+        fs.delete(dst, false) // stale file from a FAILED earlier attempt
+        if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // lost a live race
+        acc += ((file, nSamples, nBytes + 1024)); out = null
       }
       def roll(shard: Int): Unit = {
         close()
         cur = shard; nSamples = 0L; nBytes = 0L
         file = f"shard-$shard%06d.tar"
-        out = new java.io.BufferedOutputStream(
-          fs.create(new org.apache.hadoop.fs.Path(baseDir, file), true))
+        out = new java.io.BufferedOutputStream(fs.create(
+          new org.apache.hadoop.fs.Path(baseDir, s".$file.$attempt.tmp"), true))
       }
       rows.foreach { r =>
+        // fail fast with context on NULL routing columns: a NULL shard would
+        // otherwise read as 0 from the unsafe row (silent misroute) and a
+        // NULL key would NPE opaquely deep in the member writer
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"writeTarShards: NULL ${if (r.isNullAt(0)) "shard" else "key"} value " +
+            "in input — every row must carry a non-null shard id and sample key")
         val shard = r.getInt(0)
         if (shard != cur || out == null) roll(shard)
         val key = r.getUTF8String(1).toString
@@ -134,12 +160,15 @@ object TrainExport {
   private[ops] object Tar {
     def writeMember(out: java.io.OutputStream, name: String,
         body: Array[Byte]): Long = {
-      require(name.getBytes("UTF-8").length <= 100, s"tar member name too long: $name")
+      // tar names are raw bytes: encode UTF-8 (the python/GNU convention) so
+      // non-ASCII sample keys survive instead of collapsing to '?' collisions
+      val nameBytes = name.getBytes("UTF-8")
+      require(nameBytes.length <= 100, s"tar member name too long: $name")
       val h = new Array[Byte](512)
       def put(off: Int, s: String): Unit = {
         val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
       }
-      put(0, name)
+      System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
       put(100, "0000644" + "\u0000")            // mode
       put(108, "0000000" + "\u0000")            // uid
       put(116, "0000000" + "\u0000")            // gid

@@ -45,8 +45,9 @@ class BenchLineSpec extends AnyFunSuite {
       assert(!"""\d,\d""".r.findFirstIn(line).isDefined,
         "locale-formatted decimal leaked")
       // minimal structural parse: every registry key appears as "name":
+      // (compact form drops the uniform q_ prefix for the char budget)
       SparkEntry.queries.keys.foreach { k =>
-        assert(line.contains("\"" + k + "\":"), s"$k missing from line")
+        assert(line.contains("\"" + k.stripPrefix("q_") + "\":"), s"$k missing from line")
       }
       assert(line.startsWith("""{"metric":"total","value":"""))
       assert(line.endsWith(""","sf":"sf0.1"}"""))

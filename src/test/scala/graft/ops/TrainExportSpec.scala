@@ -78,6 +78,32 @@ class TrainExportSpec extends SparkSpec {
       assert(Files.size(Paths.get(dir, f)) === b, s"manifest size drift for $f")
   }
 
+  test("writeTarShards: non-ASCII keys survive as UTF-8 member names; NULL routing fails fast") {
+    val dir = Files.createTempDirectory("tar-utf8").toString
+    TrainExport.writeTarShards(
+      Seq((0, "café", "x"), (0, "日本", "y")).toDF("shard", "key", "text"),
+      dir, "shard", "key", Seq("text" -> "txt"))
+    val names = readTar(Files.readAllBytes(Paths.get(dir, "shard-000000.tar")))
+      .map { case (n, _) => new String(
+        n.getBytes("US-ASCII").takeWhile(_ != 0), "US-ASCII") }
+    // read back through the byte layer: the parser decodes US-ASCII, so
+    // check the raw UTF-8 bytes survived un-mangled (no '?' fold)
+    val raw = Files.readAllBytes(Paths.get(dir, "shard-000000.tar"))
+    val first = new String(raw.take(100).takeWhile(_ != 0), "UTF-8")
+    assert(Set(first) subsetOf Set("café.txt", "日本.txt"))
+    assert(!first.contains("?"))
+    assert(names.size === 2)
+
+    val err = intercept[org.apache.spark.SparkException] {
+      TrainExport.writeTarShards(
+        Seq((Some(0), Option.empty[String], Some("x"))).toDF("shard", "key", "text"),
+        Files.createTempDirectory("tar-null").toString,
+        "shard", "key", Seq("text" -> "txt"))
+    }
+    assert(err.getMessage.contains("NULL key") ||
+      Option(err.getCause).exists(_.getMessage.contains("NULL key")))
+  }
+
   test("writeTarShards: byte-identical across runs; binary payloads exact") {
     val bin = Array.tabulate[Byte](700)(i => (i % 251).toByte) // crosses a 512 pad
     val df = Seq((7, "s0")).toDF("shard", "key")
