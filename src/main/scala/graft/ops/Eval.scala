@@ -55,4 +55,69 @@ object Eval {
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
     aucByGroup(df.withColumn("_all", lit(1)), scoreCol, labelCol, "_all")
       .drop("_all")
+
+  /** The NDCG@k discount table in integer micro-units:
+    * `disc(r) = round(1e6 / log2(r+1))`, computed ONCE in the JVM and
+    * embedded as a literal on both engine sides. This is the trick that
+    * makes graded-ranking eval bit-exact: `log2` is not guaranteed
+    * correctly-rounded and differs across libm implementations, so the law
+    * quantizes the k discounts up front instead of letting each engine
+    * take its own logarithm.
+    */
+  def ndcgDiscountsMicro(k: Int): Seq[Long] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    (1 to k).map(r => math.round(1000000.0 / (math.log(r + 1.0) / math.log(2.0))))
+  }
+
+  /** Per-group ranking evaluation at cutoff `k` — the retrieval-eval twin
+    * of [[aucByGroup]] for scored candidate lists (query → candidates with
+    * a model score and a relevance gain):
+    * (group, dcg_micro, idcg_micro, ndcg, rel_total, rel_at_k, recall_at_k,
+    * first_rel_rank).
+    *
+    *  - model order: score DESC, id ASC; ideal order: gain DESC, id ASC.
+    *  - DCG/IDCG are exact BIGINT sums of `round(gain · disc_micro(rank))`
+    *    over the top k of each order ([[ndcgDiscountsMicro]]); `ndcg` is
+    *    one double division of the two exact integers — engine-stable.
+    *  - `recall_at_k` = relevant in model top-k / total relevant;
+    *    `first_rel_rank` = model rank of the best relevant hit (NULL when
+    *    the group has no relevant candidates, as are ndcg/recall — a
+    *    visible NULL beats a fake 0, the [[aucByGroup]] posture).
+    * NULL scores/gains are excluded before ranking (no ordering / no
+    * truth to contribute).
+    *
+    * Scale shape: two row_number windows over the same group partitioning
+    * + one hash aggregate; no join, no collect — group cardinality (number
+    * of queries × candidates) is the only driver of cost.
+    */
+  def ndcgAtK(df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
+      gainCol: String, k: Int): DataFrame = {
+    val disc = array(ndcgDiscountsMicro(k).map(lit): _*)
+    val base = df
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        col(scoreCol).as("_s"), col(gainCol).cast("double").as("_rel"))
+      .filter(col("_s").isNotNull && col("_rel").isNotNull)
+    val wModel = Window.partitionBy("_g").orderBy(col("_s").desc, col("_id"))
+    val wIdeal = Window.partitionBy("_g").orderBy(col("_rel").desc, col("_id"))
+    base
+      .withColumn("_rm", row_number().over(wModel))
+      .withColumn("_ri", row_number().over(wIdeal))
+      .groupBy(col("_g").as(groupCol))
+      .agg(
+        sum(when(col("_rm") <= k,
+          round(col("_rel") * element_at(disc, col("_rm"))).cast("long"))
+          .otherwise(0L)).as("dcg_micro"),
+        sum(when(col("_ri") <= k,
+          round(col("_rel") * element_at(disc, col("_ri"))).cast("long"))
+          .otherwise(0L)).as("idcg_micro"),
+        count(when(col("_rel") > 0, 1)).as("rel_total"),
+        count(when(col("_rel") > 0 && col("_rm") <= k, 1)).as("rel_at_k"),
+        min(when(col("_rel") > 0, col("_rm"))).cast("bigint").as("first_rel_rank"))
+      .withColumn("ndcg",
+        when(col("idcg_micro") > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double")))
+      .withColumn("recall_at_k",
+        when(col("rel_total") > 0,
+          col("rel_at_k").cast("double") / col("rel_total").cast("double")))
+  }
 }

@@ -1137,6 +1137,55 @@ object Registry {
       | SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 10
       | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
+  /** Retrieval-quality evaluation ([[graft.ops.Eval.ndcgAtK]]): NDCG@10 /
+    * recall@10 / first-relevant-rank of brute-force cosine retrieval where
+    * a neighbor is relevant iff it shares the query's label. The ranking
+    * eval is bit-exact because the discount table is a JVM-computed
+    * integer literal embedded on BOTH engine sides (no engine `log2` in
+    * the law) and DCG/IDCG are exact BIGINT sums; ndcg/recall are single
+    * divisions of exact integers.
+    */
+  def qNdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.functions.CosineSimilarity.register(spark)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("_qv"),
+      col("label").as("_ql")).filter(col("qid") < 5)
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("_cv"),
+      col("label").as("_cl"))
+    val pairs = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.CosineSimilarity.cosine(col("_cv"), col("_qv")).as("_sim"),
+        (col("_cl") === col("_ql")).cast("int").as("_rel"))
+    graft.ops.Eval.ndcgAtK(pairs, "qid", "cid", "_sim", "_rel", k = 10)
+      .withColumnRenamed("qid", "query_id")
+      .orderBy("query_id")
+  }
+
+  val qNdcgEvalSql: String = {
+    val dlist = graft.ops.Eval.ndcgDiscountsMicro(10).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+      |   FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+      | s AS (SELECT qid, cid,
+      |   list_dot_product(cv, qv)/(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv))) AS sim,
+      |   CAST(CAST(cl = ql AS INTEGER) AS DOUBLE) AS rel
+      |  FROM c, q WHERE cid <> qid),
+      | r AS (SELECT *,
+      |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rm,
+      |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS ri FROM s),
+      | a AS (SELECT qid AS query_id,
+      |   CAST(SUM(CASE WHEN rm <= 10 THEN CAST(round(rel * ($dlist[rm])) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_micro,
+      |   CAST(SUM(CASE WHEN ri <= 10 THEN CAST(round(rel * ($dlist[ri])) AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_micro,
+      |   CAST(COUNT(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS rel_total,
+      |   CAST(COUNT(CASE WHEN rel > 0 AND rm <= 10 THEN 1 END) AS BIGINT) AS rel_at_k,
+      |   CAST(MIN(CASE WHEN rel > 0 THEN rm END) AS BIGINT) AS first_rel_rank
+      |  FROM r GROUP BY qid)
+      | SELECT query_id, dcg_micro, idcg_micro, rel_total, rel_at_k, first_rel_rank,
+      |  CASE WHEN idcg_micro > 0 THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END AS ndcg,
+      |  CASE WHEN rel_total > 0 THEN CAST(rel_at_k AS DOUBLE) / CAST(rel_total AS DOUBLE) END AS recall_at_k
+      | FROM a ORDER BY query_id""".stripMargin.replace("\n", " ")
+  }
+
   /** Blocked exact embedding near-dup pairs: candidates share a `label`
     * block, verified by the native cosine expression — exact on both sides,
     * so unlike the LSH variant this one is fully hash-oracled. Threshold
@@ -1519,7 +1568,7 @@ object Registry {
   /** DSIR importance selection ([[graft.ops.Importance.dsirSelect]]):
     * the 50 documents whose hashed bag-of-words looks most like the
     * English-target distribution relative to the whole corpus. The oracle
-    * replays the complete law — md5-byte feature buckets, the
+    * replays the complete law — two-md5-byte feature buckets, the
     * left-to-right smoothed log-ratio association, micro-unit
     * quantization — so the BIGINT weights hash-match exactly (integer
     * sums are order-independent; the only doubles live in the 256-row
@@ -1533,13 +1582,14 @@ object Registry {
   }
 
   val qDsirSelectSql: String = {
-    // the md5-byte bucket law, nibble-by-nibble (ascii math like the
+    // the two-md5-byte bucket law, nibble-by-nibble (ascii math like the
     // shuffle-shard oracle — no hex-parse builtin dependency)
     def nib(pos: Int) =
       s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
         s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
     s"""WITH tok AS (SELECT doc_id, lang, unnest($tokensSql) AS tk FROM documents),
-      | bk AS (SELECT doc_id, lang, (16 * ${nib(1)} + ${nib(2)}) % 256 AS b
+      | bk AS (SELECT doc_id, lang,
+      |   (4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)} + ${nib(4)}) % 256 AS b
       |   FROM (SELECT doc_id, lang, md5(tk) AS m FROM tok)),
       | tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tn FROM bk WHERE lang = 'en' GROUP BY 1),
       | sc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS sn FROM bk GROUP BY 1),
@@ -2733,6 +2783,7 @@ object Registry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_token_windows" -> (qTokenWindows _),
     "q_auc_eval" -> (qAucEval _),
+    "q_ndcg_eval" -> (qNdcgEval _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2845,6 +2896,7 @@ object Registry {
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_token_windows" -> qTokenWindowsSql,
     "q_auc_eval" -> qAucEvalSql,
+    "q_ndcg_eval" -> qNdcgEvalSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,

@@ -30,6 +30,44 @@ class EvalSpec extends SparkSpec {
     assert(got("d") === ((2L, 0L, None)))
   }
 
+  test("ndcgAtK: hand-computed DCG/IDCG, graded ideal order, NULL laws") {
+    // disc(1..3) = [1000000, 630930, 500000]
+    assert(Eval.ndcgDiscountsMicro(3) === Seq(1000000L, 630930L, 500000L))
+    val df = Seq(
+      // g=1: model order by score desc = (a,b,c,d); gains 0,1,1,0; k=3
+      (1, "a", Some(9.0), Some(0)), (1, "b", Some(8.0), Some(1)),
+      (1, "c", Some(7.0), Some(1)), (1, "d", Some(6.0), Some(0)),
+      // g=2: graded gains — ideal puts gain 2 first even though the model
+      // scored it below the gain-1 doc
+      (2, "a", Some(9.0), Some(1)), (2, "b", Some(8.0), Some(2)),
+      // g=3: nothing relevant → NULL ndcg/recall/first_rel_rank
+      (3, "a", Some(9.0), Some(0)),
+      // g=4: NULL score and NULL gain rows are excluded from ranking
+      (4, "a", Some(9.0), Some(1)), (4, "zz", None, Some(1)),
+      (4, "yy", Some(99.0), None)
+    ).toDF("g", "id", "score", "rel")
+    val r = Eval.ndcgAtK(df, "g", "id", "score", "rel", k = 3)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    // g=1: DCG = 1·630930 + 1·500000; IDCG = 1000000 + 630930
+    assert(r(1).getAs[Long]("dcg_micro") === 1130930L)
+    assert(r(1).getAs[Long]("idcg_micro") === 1630930L)
+    assert(r(1).getAs[Double]("ndcg") === 1130930.0 / 1630930.0)
+    assert(r(1).getAs[Long]("rel_at_k") === 2L &&
+      r(1).getAs[Long]("rel_total") === 2L)
+    assert(r(1).getAs[Double]("recall_at_k") === 1.0)
+    assert(r(1).getAs[Long]("first_rel_rank") === 2L)
+    // g=2: model DCG = 1·1e6 + 2·630930; ideal = 2·1e6 + 1·630930
+    assert(r(2).getAs[Long]("dcg_micro") === 2261860L)
+    assert(r(2).getAs[Long]("idcg_micro") === 2630930L)
+    // g=3: no relevant → visible NULLs
+    assert(r(3).isNullAt(r(3).fieldIndex("ndcg")))
+    assert(r(3).isNullAt(r(3).fieldIndex("recall_at_k")))
+    assert(r(3).isNullAt(r(3).fieldIndex("first_rel_rank")))
+    // g=4: the NULL-score and NULL-gain rows never occupy a rank
+    assert(r(4).getAs[Long]("dcg_micro") === 1000000L)
+    assert(r(4).getAs[Long]("first_rel_rank") === 1L)
+  }
+
   test("auc agrees with the pair-counting definition on a random frame") {
     val rnd = new scala.util.Random(23L)
     val rows = Seq.fill(300)((rnd.nextInt(20).toDouble, rnd.nextBoolean()))

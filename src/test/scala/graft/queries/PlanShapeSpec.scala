@@ -251,6 +251,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
   }
 
+  test("q_ndcg_eval: query side broadcasts; ranking windows stay query-partitioned") {
+    val p = plan("q_ndcg_eval")
+    assert(p.contains("Broadcast"), "query side lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window [") || !p.contains("PartitionBy []"),
+      "un-partitioned window would funnel all candidates to one task")
+  }
+
   test("q_kmeans_refine: codebook broadcasts into the argmax; no real cartesian") {
     val p = plan("q_kmeans_refine")
     assert(p.contains("BroadcastNestedLoopJoin"), "codebook cross join lost its broadcast")
