@@ -144,6 +144,20 @@ object CurateDemo {
     val exported = spark.read.json(s"$outDir/split=train/*")
     println(s"=== export: ${exported.count()} train rows across " +
       s"${sharded.select($"shard").distinct().count()} shards → $outDir ===")
+
+    // 8. the same training order as WebDataset tar shards (the multimodal
+    // loader handoff): text + metadata members per sample, key carries the
+    // deterministic position so a sequential read IS the training order
+    val tarDir = java.nio.file.Files.createTempDirectory("graft-tar").toString
+    val samples = sharded.filter($"split" === "train")
+      .select($"shard", format_string("%08d-%d", $"pos", $"epoch").as("key"),
+        coalesce($"text", lit("")).as("text"), // the SCRUBBED text ships
+        to_json(struct($"doc_id", $"lang", $"epoch", $"pos")).as("meta"))
+    val manifest = TrainExport.writeTarShards(samples, tarDir, "shard", "key",
+      Seq("text" -> "txt", "meta" -> "json"))
+    val m = manifest.agg(count(lit(1)), sum($"n_samples"), sum($"n_bytes")).head()
+    println(s"=== tar export: ${m.getLong(0)} shards, ${m.getLong(1)} samples, " +
+      s"${m.getLong(2)} bytes → $tarDir ===")
     println("=== curation pipeline complete ===")
     spark.stop()
   }
