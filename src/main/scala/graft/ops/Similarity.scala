@@ -738,4 +738,64 @@ object Similarity {
         when(col("_b._sim") >= minSim, col("_b._sim")).as("centroid_sim"))
     inc.join(best, Seq("_nid"), "left").drop("_nid")
   }
+
+  /** Exact JVM twin of the `graft_cosine` kernel (double accumulation over
+    * float inputs, sequential fold, dot/(√na·√nb)) — one definition so the
+    * narrow scorer below can never drift from the codegen expression.
+    */
+  private[ops] def cosineScala(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** STREAM-SAFE narrow twin of [[assignNearestCentroid]]: same codebook
+    * reassembly, same cosine kernel, same NaN/minSim/tie laws — but the
+    * bounded accumulator frame is collected ONCE on the driver (the
+    * IVF/PQ/BPE bounded-training discipline) and the assignment is a
+    * single broadcast-backed projection. No join, no aggregate, no
+    * shuffle, so it composes into a Structured Streaming query as-is:
+    * each arriving micro-batch of documents joins the existing semantic
+    * clusters row-by-row — the incremental-ingest path running
+    * continuously. Equivalence with the join form is pinned in
+    * SimilaritySpec (including the NaN-poisoning and no-home cases);
+    * prefer the join form in batch jobs (keeps everything lazy), this one
+    * in streams and small-batch loops.
+    */
+  def assignNearestCentroidNarrow(incoming: DataFrame, centroidSums: DataFrame,
+      idCol: String, vecCol: String, minSim: Double = 0.0): DataFrame = {
+    val codebook: Array[(Long, Array[Float])] = centroidSums
+      .groupBy(col("cluster_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sum_micro"), col("n_members")))),
+        s => (s.getField("sum_micro").cast("double") / 1000000.0) /
+          s.getField("n_members").cast("double"))
+        .cast("array<float>").as("_cv"))
+      .orderBy("cluster_id") // ascending scan + strict-greater = ties to smaller id
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val bc = incoming.sparkSession.sparkContext.broadcast(codebook)
+    val assign = udf { v: scala.collection.Seq[Float] =>
+      if (v == null) None
+      else {
+        val arr = v.toArray
+        var bestId = -1L; var bestSim = Double.NegativeInfinity; var found = false
+        for ((cid, cv) <- bc.value) {
+          val s = cosineScala(arr, cv)
+          // NaN never beats a real sim (the max_by guard's narrow twin)
+          if (!s.isNaN && s > bestSim) { bestId = cid; bestSim = s; found = true }
+        }
+        if (found && bestSim >= minSim) Some((bestId, bestSim)) else None
+      }
+    }.withName("graft_assign_centroid")
+    incoming
+      .withColumn("_a", assign(col(vecCol)))
+      .withColumn("cluster_id", col("_a._1"))
+      .withColumn("centroid_sim", col("_a._2"))
+      .drop("_a")
+  }
 }

@@ -32,7 +32,10 @@ object PlanAudit {
         // r6: sketch-threshold broadcast clip, composed curation chain,
         // pointer-doubling traversal, against-family bucket joins
         "q_winsorize_approx", "q_curate_summary", "q_hierarchy_doubling",
-        "q_minhash_against", "q_embed_against")
+        "q_minhash_against", "q_embed_against",
+        // r7: bloom prefilter below the anti-join, broadcast codebook
+        // argmax loop, DSIR broadcast scorer, query-partitioned rank eval
+        "q_dedup_bloom", "q_kmeans_refine", "q_dsir_select", "q_ndcg_eval")
     names.foreach { n =>
       println(s"===== $n =====")
       Registry.queries(n)(spark, dir).explain("formatted")

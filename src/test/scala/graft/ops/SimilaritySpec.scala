@@ -179,6 +179,63 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size === 4)
   }
 
+  test("assignNearestCentroidNarrow ≡ join form: sims, ties, NaN guard, no-home NULLs") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "cluster_id")
+    // a zero-norm "cluster 9" (NaN centroid cosine) rides along: the narrow
+    // form must skip it exactly like the join form's isnan filter
+    val sums = Similarity.clusterCentroidSums(e, assign, "vec_id", "embedding")
+      .unionByName(Seq((9L, 0L, 0L, 1L), (9L, 1L, 0L, 1L))
+        .toDF("cluster_id", "dim", "sum_micro", "n_members"))
+    val incoming = Seq(
+      (10L, Array(0.95f, 0.05f)), (11L, Array(0.02f, 1.1f)),
+      (12L, Array(-1.0f, -1.0f)), (13L, Array(0.0f, 0.0f)),
+      (14L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster_id", "centroid_sim").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val joinForm = norm(Similarity.assignNearestCentroid(
+      incoming, sums, "vec_id", "embedding", minSim = 0.5))
+    val narrow = norm(Similarity.assignNearestCentroidNarrow(
+      incoming, sums, "vec_id", "embedding", minSim = 0.5))
+    assert(narrow === joinForm, "narrow twin drifted from the join form")
+    assert(joinForm.exists { case (id, c, _) => id == 10L && c == Some(1L) })
+    assert(joinForm.exists { case (id, c, _) => id == 12L && c == None })
+  }
+
+  test("assignNearestCentroidNarrow: runs inside a streaming query, stream == batch") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "cluster_id")
+    val sums = Similarity.clusterCentroidSums(e, assign, "vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.1f, 0.9f)), (12L, Array(0.6f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val srcDir = java.nio.file.Files.createTempDirectory("assign-stream").toString
+    incoming.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(srcDir)
+    val q = Similarity.assignNearestCentroidNarrow(stream, sums, "vec_id", "embedding")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("assign_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("assign_stream_out")
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Similarity.assignNearestCentroidNarrow(
+      incoming, sums, "vec_id", "embedding")
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got(10L) === 1L && got(11L) === 2L)
+  }
+
   test("kmeansRefineSums: planted groups converge from adjacent seeds; sums exact") {
     // two tight direction-groups in 2-d; the two seeds (lowest ids 1,2) land
     // one in each group, so one round already separates them and the second
