@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Scale probe for the Bloom-prefiltered cross-corpus dedup: a large
+  * reference corpus, a batch with a known dup rate, and three questions —
+  *
+  *   1. does the composition stay EXACTLY equal to the plain anti-join at
+  *      a size where the bloom actually matters (no fixture-scale alibi)?
+  *   2. how much of the batch does the prefilter keep out of the exchange
+  *      (the 100 TB claim — expected ≈ 1 - dup_rate - fpp)?
+  *   3. what do the bloom build + probe cost next to the plain anti-join?
+  *
+  * `sbt "runMain graft.tools.BloomScale [refRows] [batchRows] [dupPct]"`
+  */
+object BloomScale {
+
+  private def docs(spark: SparkSession, n: Long, salt: String,
+      dupEvery: Int): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      // every dupEvery-th doc draws from a shared 1000-value content pool
+      // (mod keeps the key integral — id/7 would render distinct doubles);
+      // the rest carry salted unique text
+      when(col("id") % dupEvery === 0,
+        concat(lit("shared content "), (col("id") % 1000).cast("string")))
+        .otherwise(concat(lit(s"unique $salt "), col("id").cast("string")))
+        .as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val refRows = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val batchRows = args.lift(1).map(_.toLong).getOrElse(200000L)
+    val dupEvery = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .appName("bloom-scale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reference = docs(spark, refRows, "ref", 7).cache()
+    val incoming = docs(spark, batchRows, "batch", dupEvery).cache()
+    reference.count(); incoming.count()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (plainCount, tPlain) = timed(
+      Dedup.exactAgainst(incoming, reference, "doc_id", "text").count())
+    val (bloomCount, tBloom) = timed(
+      Dedup.exactAgainstBloom(incoming, reference, "doc_id", "text",
+        expectedItems = refRows).count())
+    require(plainCount == bloomCount,
+      s"EQUIVALENCE BROKEN: plain=$plainCount bloom=$bloomCount")
+
+    // prefilter effectiveness: how many batch rows even reach the join
+    val fp = graft.functions.TextFns.fingerprintMd5(col("text"))
+    val refFp = reference.select(fp.as("_rh")).filter(col("_rh").isNotNull)
+    val bloom = refFp.stat.bloomFilter("_rh", refRows, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => h != null && bc.value.mightContainString(h))
+    val hits = incoming.withColumn("_ih", fp).filter(might(col("_ih"))).count()
+    println(f"=== bloom-scale: ref=$refRows batch=$batchRows survivors=$bloomCount " +
+      f"(== plain anti-join) ===")
+    println(f"=== prefilter: $hits of $batchRows rows (${hits * 100.0 / batchRows}%.1f%%) " +
+      f"reach the exchange; bloom ${bloom.bitSize() / 8 / 1024 / 1024} MiB ===")
+    println(f"=== wall: plain ${tPlain}%.2f s, bloom path ${tBloom}%.2f s ===")
+    spark.stop()
+  }
+}
