@@ -596,6 +596,35 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the `k` most cosine-similar corpus rows whose label is DISTINCT from
+    * the query's — the near-miss examples a contrastive or reranker
+    * objective learns the most from (easy negatives are free; hard ones
+    * need exactly this search). Same broadcast shape as
+    * [[bruteForceTopK]]: the bounded query side broadcasts, the corpus
+    * never shuffles into the join, per-query top-k via a rank window.
+    * Label law: null-safe inequality (`IS DISTINCT FROM`) — a NULL-label
+    * corpus row is a negative for every labeled query, NULL-vs-NULL is
+    * same-label (excluded); SQL-mirrorable verbatim.
+    * Output: (query_id, neighbor_id, sim, rank).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      col(labelCol).as("_ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      col(labelCol).as("_cl"))
+    val joined = c.join(broadcast(q),
+      col("neighbor_id") =!= col("query_id") && !(col("_cl") <=> col("_ql")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Fixed-point centroid accumulators for semantic-dedup clusters: one row
     * per (cluster, dimension) with the exact BIGINT sum of members'
     * micro-quantized components and the member count. Quantizing each

@@ -1186,6 +1186,30 @@ object Registry {
       | FROM a ORDER BY query_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
+    * query, the 10 most-similar corpus vectors with a DISTINCT label —
+    * contrastive-training data prep. Bit-exact oracle: the cosine law is
+    * q_ann_cosine's, the label law is null-safe IS DISTINCT FROM.
+    */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.hardNegatives(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val qHardNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      |   FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |   list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM c, q WHERE neighbor_id <> query_id AND cl IS DISTINCT FROM ql),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
+      | SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 10
+      | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+
   /** Blocked exact embedding near-dup pairs: candidates share a `label`
     * block, verified by the native cosine expression — exact on both sides,
     * so unlike the LSH variant this one is fully hash-oracled. Threshold
@@ -2784,6 +2808,7 @@ object Registry {
     "q_token_windows" -> (qTokenWindows _),
     "q_auc_eval" -> (qAucEval _),
     "q_ndcg_eval" -> (qNdcgEval _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2897,6 +2922,7 @@ object Registry {
     "q_token_windows" -> qTokenWindowsSql,
     "q_auc_eval" -> qAucEvalSql,
     "q_ndcg_eval" -> qNdcgEvalSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,

@@ -179,6 +179,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size === 4)
   }
 
+  test("hardNegatives: nearest DIFFERENT-label rows only; NULL label laws") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), Some(7)),   // query
+      (2L, Array(0.99f, 0.1f), Some(7)),  // same label — never a negative
+      (3L, Array(0.95f, 0.2f), Some(8)),  // negative, cos ≈ 0.978
+      (4L, Array(0.5f, 0.8f), Some(8)),   // easier negative
+      (5L, Array(0.9f, 0.15f), None)      // NULL label — negative, cos ≈ 0.986
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+        corpus, corpus.filter($"vec_id" === 1L), "vec_id", "embedding", "label", k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(got === Map(1 -> 5L, 2 -> 3L),
+      "same-label twin must be excluded; NULL label counts as different")
+    // NULL-label query: every labeled row is a negative, NULL-vs-NULL is not
+    val corpus2 = corpus.union(Seq(
+      (6L, Array(1.0f, 0.01f), Option.empty[Int])).toDF("vec_id", "embedding", "label"))
+    val gotNull = Similarity.hardNegatives(
+        corpus2, corpus2.filter($"vec_id" === 5L), "vec_id", "embedding", "label", k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(gotNull === Set(1L, 2L, 3L, 4L), "NULL-vs-NULL is same-label, excluded")
+  }
+
   test("assignNearestCentroidNarrow ≡ join form: sims, ties, NaN guard, no-home NULLs") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),

@@ -251,6 +251,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
   }
 
+  test("q_hard_negatives: query side broadcasts, no sort-merge/cartesian") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("Broadcast"), "query side lost its broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_ndcg_eval: query side broadcasts; ranking windows stay query-partitioned") {
     val p = plan("q_ndcg_eval")
     assert(p.contains("Broadcast"), "query side lost its broadcast")
