@@ -52,4 +52,68 @@ object Mixture {
         col(stratumCol) === col("_stratum"))
       .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
       .drop("_stratum", "epochs")
+
+  /** Token-budget waterfilling: given per-domain AVAILABLE token counts and
+    * target mixture weights, allocate a total `budget` proportionally to
+    * the weights, capping each domain at its availability and
+    * redistributing the overflow to the uncapped domains — the standard
+    * "fill to the water line" mixture solver a 100 TB pretraining run uses
+    * to turn (weights, budget) into per-domain sampling quotas.
+    *
+    * The algorithm sorts domains by saturation ratio `avail/weight`
+    * ascending, finds the first domain the rising water line does NOT
+    * cap, and splits: capped domains contribute `avail`, uncapped get
+    * `floor((budget - Σ capped avail) · w_d / Σ uncapped w)`.
+    *
+    * ENGINE-EXACT by construction: weights are integer micro-units,
+    * saturation tests compare cross-multiplied BIGINTs
+    * (`(B - prefA)·w ≤ a·W` — no division), and allocations are integer
+    * floor divisions. The ONLY double is the sort ratio, a single IEEE
+    * division identical in every engine. Σ alloc ≤ budget with a
+    * sub-|domains| token shortfall from the floors (documented, standard).
+    *
+    * Input: one row per domain (a BOUNDED stats frame — the per-domain
+    * aggregate upstream is where the data-sized work happened); the
+    * windows here run over |domains| rows, the quantile-threshold posture.
+    * Output: (domain, available, weight_micro, alloc_tokens, saturated).
+    */
+  def waterfillAllocations(stats: DataFrame, domainCol: String,
+      availCol: String, weightMicroCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val base = stats.select(col(domainCol).as("domain"),
+      col(availCol).cast("long").as("available"),
+      col(weightMicroCol).cast("long").as("weight_micro"))
+    val w = Window.orderBy(
+      (col("available").cast("double") / col("weight_micro").cast("double")).asc,
+      col("domain"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_pref_a", coalesce(
+        sum(col("available")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_w_rem",
+        sum(col("weight_micro")).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      // unsaturated ⟺ the water line stays below this domain's cap:
+      // λ·w ≤ a ⟺ (B - prefA)·w ≤ a·W_rem (exact cross-multiplied BIGINTs)
+      .withColumn("_unsat",
+        (lit(budget) - col("_pref_a")) * col("weight_micro") <=
+          col("available") * col("_w_rem"))
+    val marked = ranked
+      .withColumn("_u", min(when(col("_unsat"), col("_rn"))).over(wAll))
+      .withColumn("_b_star", max(when(col("_rn") === col("_u"),
+        lit(budget) - col("_pref_a"))).over(wAll))
+      .withColumn("_w_star", max(when(col("_rn") === col("_u"),
+        col("_w_rem"))).over(wAll))
+    // DIV, not `/`: Spark's Divide on longs goes through DOUBLE, which is
+    // only exact to 2^53 — budget·weight products pass 1e17. The least/
+    // greatest guards keep the law total even on adversarial stats where
+    // the single-crossing property of the saturation flag might not hold.
+    marked.select(col("domain"), col("available"), col("weight_micro"),
+      when(col("_u").isNull || col("_rn") < col("_u"), col("available"))
+        .otherwise(least(col("available"), greatest(lit(0L),
+          expr("(_b_star * weight_micro) DIV _w_star"))))
+        .cast("long").as("alloc_tokens"),
+      (col("_u").isNull || col("_rn") < col("_u")).as("saturated"))
+  }
 }

@@ -1186,6 +1186,50 @@ object Registry {
       | FROM a ORDER BY query_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Token-budget waterfilling ([[graft.ops.Mixture.waterfillAllocations]]):
+    * per-source availability (Σ n_chars as the token proxy), deterministic
+    * uneven integer weights (alphabetical rank × 100k), budget = 3/5 of
+    * the corpus — small sources saturate at their cap and the overflow
+    * redistributes to the big ones. Every comparison and allocation is
+    * integer (cross-multiplied saturation tests, floor divisions), so the
+    * whole solver hash-matches bit-for-bit; the lone double is the sort
+    * ratio, one IEEE division.
+    */
+  def qWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val stats = docs.groupBy(col("source").as("domain"))
+      .agg(sum(col("n_chars")).as("avail"))
+      .withColumn("weight_micro",
+        row_number().over(Window.orderBy("domain")).cast("long") * 100000L)
+    val budget = stats.agg(sum(col("avail"))).head.getLong(0) * 3 / 5
+    graft.ops.Mixture.waterfillAllocations(
+        stats, "domain", "avail", "weight_micro", budget)
+      .orderBy("domain")
+  }
+
+  val qWaterfillSql: String =
+    """WITH stats AS (SELECT source AS domain, CAST(SUM(n_chars) AS BIGINT) AS available,
+      |   CAST(row_number() OVER (ORDER BY source) AS BIGINT) * 100000 AS weight_micro
+      |  FROM documents GROUP BY source),
+      | b AS (SELECT SUM(available) * 3 // 5 AS budget FROM stats),
+      | rk AS (SELECT s.*, b.budget,
+      |   row_number() OVER (ORDER BY CAST(available AS DOUBLE)/CAST(weight_micro AS DOUBLE), domain) AS rn,
+      |   COALESCE(SUM(available) OVER (ORDER BY CAST(available AS DOUBLE)/CAST(weight_micro AS DOUBLE), domain
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref_a,
+      |   SUM(weight_micro) OVER (ORDER BY CAST(available AS DOUBLE)/CAST(weight_micro AS DOUBLE), domain
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_rem
+      |  FROM stats s CROSS JOIN b),
+      | fl AS (SELECT *, ((budget - pref_a) * weight_micro <= available * w_rem) AS unsat FROM rk),
+      | mk AS (SELECT *, MIN(CASE WHEN unsat THEN rn END) OVER () AS u FROM fl),
+      | st AS (SELECT *,
+      |   MAX(CASE WHEN rn = u THEN budget - pref_a END) OVER () AS b_star,
+      |   MAX(CASE WHEN rn = u THEN w_rem END) OVER () AS w_star FROM mk)
+      | SELECT domain, available, weight_micro,
+      |  CAST(CASE WHEN u IS NULL OR rn < u THEN available
+      |   ELSE LEAST(available, GREATEST(0, (b_star * weight_micro) // w_star)) END AS BIGINT) AS alloc_tokens,
+      |  (u IS NULL OR rn < u) AS saturated
+      | FROM st ORDER BY domain""".stripMargin.replace("\n", " ")
+
   /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): per
     * query, the 10 most-similar corpus vectors with a DISTINCT label —
     * contrastive-training data prep. Bit-exact oracle: the cosine law is
@@ -2809,6 +2853,7 @@ object Registry {
     "q_auc_eval" -> (qAucEval _),
     "q_ndcg_eval" -> (qNdcgEval _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_waterfill" -> (qWaterfill _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2923,6 +2968,7 @@ object Registry {
     "q_auc_eval" -> qAucEvalSql,
     "q_ndcg_eval" -> qNdcgEvalSql,
     "q_hard_negatives" -> qHardNegativesSql,
+    "q_waterfill" -> qWaterfillSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,

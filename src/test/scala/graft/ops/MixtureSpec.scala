@@ -58,6 +58,53 @@ class MixtureSpec extends SparkSpec {
       wantTrain.agg(sum("n_chars")).head.getLong(0))
   }
 
+  test("waterfillAllocations: cap + redistribute, hand-checked") {
+    import spark.implicits._
+    // A saturates at 100; its shortfall flows to B
+    val stats = Seq(("A", 100L, 1L), ("B", 1000L, 1L))
+      .toDF("domain", "avail", "w")
+    val r = Mixture.waterfillAllocations(stats, "domain", "avail", "w", budget = 600L)
+      .collect().map(x => x.getString(0) -> (x.getLong(3), x.getBoolean(4))).toMap
+    assert(r("A") === ((100L, true)), "small domain caps at availability")
+    assert(r("B") === ((500L, false)), "overflow redistributes to the uncapped domain")
+
+    // nothing saturates → pure weight-proportional split
+    val loose = Seq(("A", 1000000L, 1L), ("B", 1000000L, 3L))
+      .toDF("domain", "avail", "w")
+    val r2 = Mixture.waterfillAllocations(loose, "domain", "avail", "w", budget = 400L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r2 === Map("A" -> 100L, "B" -> 300L))
+
+    // budget beyond the corpus → everything saturates at availability
+    val r3 = Mixture.waterfillAllocations(stats, "domain", "avail", "w", budget = 99999L)
+      .collect().map(x => x.getString(0) -> (x.getLong(3), x.getBoolean(4))).toMap
+    assert(r3 === Map("A" -> ((100L, true)), "B" -> ((1000L, true))))
+  }
+
+  test("waterfillAllocations: invariants hold on random stats") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    for (trial <- 1 to 5) {
+      val stats = (1 to 12).map(i =>
+        (f"d$i%02d", 1L + rnd.nextInt(100000).toLong, 1L + rnd.nextInt(900000).toLong))
+        .toDF("domain", "avail", "w")
+      val totalAvail = 1L * stats.as[(String, Long, Long)].collect().map(_._2).sum
+      val budget = (totalAvail * (trial * 17 % 100 + 1)) / 100
+      val rows = Mixture.waterfillAllocations(stats, "domain", "avail", "w", budget)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getBoolean(4)))
+      val total = rows.map(_._4).sum
+      assert(total <= budget, s"trial $trial: Σalloc $total > budget $budget")
+      rows.foreach { case (d, avail, _, alloc, sat) =>
+        assert(alloc >= 0 && alloc <= avail, s"trial $trial $d: alloc $alloc vs avail $avail")
+        assert(!sat || alloc == avail, s"trial $trial $d: saturated but alloc < avail")
+      }
+      // the floors leave less than one token per domain on the table
+      assert(budget - total <= rows.length || total == totalAvail,
+        s"trial $trial: shortfall ${budget - total} too large")
+    }
+  }
+
   test("writeJsonl: gzip codec round-trips (the trainer-handoff compression path)") {
     val out = Files.createTempDirectory("graft-jsonl-gz").toString
     val withSplit = Splits.withSplit(docs.select("doc_id", "n_chars"), "doc_id")
