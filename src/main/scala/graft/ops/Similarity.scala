@@ -596,6 +596,41 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Per-dimension embedding health stats — the QA pass a pipeline runs on
+    * every new embedding batch before it reaches ANN/dedup (a broken
+    * encoder shows up as dead dimensions, exploded scales, or NaN/NULL
+    * components long before recall metrics notice). One row per dimension:
+    * exact micro-quantized BIGINT sums (mean), sums of SQUARED micro
+    * values (variance — q² ≤ 1e12·dims·rows stays in BIGINT for corpora to
+    * ~10^6 rows per stats batch; shard the stats pass beyond that), integer
+    * min/max, and NaN / non-finite counts. Everything on the wire is
+    * BIGINT, so the whole profile hash-compares bit-for-bit.
+    *
+    * Scale shape: posexplode → one map-side-combined hash aggregate to
+    * `dims` rows. NULL vectors are counted once per dimension-0 row
+    * upstream of the explode (they carry no per-dim values), surfaced in
+    * `null_vecs`.
+    */
+  def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame = {
+    val nullVecs = df.filter(col(vecCol).isNull).count()
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)))
+      .select(col("pos").cast("long").as("dim"), col("col").cast("double").as("_x"))
+      .withColumn("_bad", isnan(col("_x")) ||
+        col("_x") === Double.PositiveInfinity || col("_x") === Double.NegativeInfinity)
+      .withColumn("_q", when(!col("_bad"),
+        round(col("_x") * 1000000.0).cast("long")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_bad"), 1L).otherwise(0L)).as("n_bad"),
+        sum(col("_q")).as("sum_micro"),
+        sum(col("_q") * col("_q")).as("sumsq_micro2"),
+        min(col("_q")).as("min_micro"),
+        max(col("_q")).as("max_micro"))
+      .withColumn("null_vecs", lit(nullVecs))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the `k` most cosine-similar corpus rows whose label is DISTINCT from
     * the query's — the near-miss examples a contrastive or reranker

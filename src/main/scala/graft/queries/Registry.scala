@@ -1186,6 +1186,32 @@ object Registry {
       | FROM a ORDER BY query_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Embedding batch QA ([[graft.ops.Similarity.embeddingDimStats]]): per
+    * dimension, exact BIGINT moments (micro-quantized sums and sums of
+    * squares), integer min/max and non-finite counts — everything on the
+    * wire integer, hash-matched bit-for-bit.
+    */
+  def qEmbedStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.embeddingDimStats(t(spark, dir, "embeddings"), "embedding")
+      .orderBy("dim")
+
+  val qEmbedStatsSql: String =
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+      | nv AS (SELECT COUNT(*) AS null_vecs FROM embeddings WHERE embedding IS NULL),
+      | x AS (SELECT CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS x,
+      |   (isnan(v[u.i]) OR isinf(v[u.i])) AS bad
+      |  FROM e, unnest(range(1, len(v) + 1)) u(i)),
+      | q AS (SELECT dim, bad,
+      |   CASE WHEN NOT bad THEN CAST(round(x * 1000000.0) AS BIGINT) END AS qv FROM x)
+      | SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  CAST(SUM(qv) AS BIGINT) AS sum_micro,
+      |  CAST(SUM(qv * qv) AS BIGINT) AS sumsq_micro2,
+      |  CAST(MIN(qv) AS BIGINT) AS min_micro,
+      |  CAST(MAX(qv) AS BIGINT) AS max_micro,
+      |  (SELECT null_vecs FROM nv) AS null_vecs
+      | FROM q GROUP BY dim ORDER BY dim""".stripMargin.replace("\n", " ")
+
   /** Token-budget waterfilling ([[graft.ops.Mixture.waterfillAllocations]]):
     * per-source availability (Σ n_chars as the token proxy), deterministic
     * uneven integer weights (alphabetical rank × 100k), budget = 3/5 of
@@ -2854,6 +2880,7 @@ object Registry {
     "q_ndcg_eval" -> (qNdcgEval _),
     "q_hard_negatives" -> (qHardNegatives _),
     "q_waterfill" -> (qWaterfill _),
+    "q_embed_stats" -> (qEmbedStats _),
     "q_regex_extract" -> (qRegexExtract _),
     "q_ntile" -> (qNtile _),
     "q_winsorize" -> (qWinsorize _),
@@ -2969,6 +2996,7 @@ object Registry {
     "q_ndcg_eval" -> qNdcgEvalSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_waterfill" -> qWaterfillSql,
+    "q_embed_stats" -> qEmbedStatsSql,
     "q_regex_extract" -> qRegexExtractSql,
     "q_ntile" -> qNtileSql,
     "q_winsorize" -> qWinsorizeSql,

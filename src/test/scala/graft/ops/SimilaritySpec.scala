@@ -179,6 +179,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size === 4)
   }
 
+  test("embeddingDimStats: exact moments, NaN/Inf counted not summed, NULL vecs surfaced") {
+    val e = Seq(
+      (1L, Array(1.0f, -2.0f)),
+      (2L, Array(3.0f, Float.NaN)),
+      (3L, Array(0.5f, Float.PositiveInfinity)),
+      (4L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingDimStats(e, "embedding")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d0 = r(0L)
+    assert(d0.getAs[Long]("n") === 3L && d0.getAs[Long]("n_bad") === 0L)
+    assert(d0.getAs[Long]("sum_micro") === 4500000L)      // (1 + 3 + 0.5)e6
+    assert(d0.getAs[Long]("sumsq_micro2") === 1e12.toLong + 9e12.toLong + 25e10.toLong)
+    assert(d0.getAs[Long]("min_micro") === 500000L && d0.getAs[Long]("max_micro") === 3000000L)
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_bad") === 2L, "NaN and Inf both count as bad")
+    assert(d1.getAs[Long]("sum_micro") === -2000000L, "bad components must not poison sums")
+    assert(d1.getAs[Long]("null_vecs") === 1L)
+  }
+
   test("hardNegatives: nearest DIFFERENT-label rows only; NULL label laws") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f), Some(7)),   // query
