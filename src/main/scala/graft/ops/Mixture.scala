@@ -66,11 +66,19 @@ object Mixture {
     * `floor((budget - Σ capped avail) · w_d / Σ uncapped w)`.
     *
     * ENGINE-EXACT by construction: weights are integer micro-units,
-    * saturation tests compare cross-multiplied BIGINTs
-    * (`(B - prefA)·w ≤ a·W` — no division), and allocations are integer
-    * floor divisions. The ONLY double is the sort ratio, a single IEEE
-    * division identical in every engine. Σ alloc ≤ budget with a
-    * sub-|domains| token shortfall from the floors (documented, standard).
+    * saturation tests compare cross-multiplied products — carried in
+    * DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB, because
+    * budget·weight products overflow BIGINT right at the documented
+    * scale (2.5e13 tokens × 1e6 micro-weights ≈ 2.5e19 > 2^63) — and
+    * allocations are integer floor divisions (`DIV`/`//`, never `/`:
+    * Spark's Divide on integral types routes through DOUBLE, exact only
+    * to 2^53). The ONLY double is the sort ratio, a single IEEE division
+    * identical in every engine. Σ alloc ≤ budget with a sub-|domains|
+    * token shortfall from the floors (documented, standard).
+    *
+    * Non-positive weights (w ≤ 0 = "domain present but excluded") take no
+    * part in the waterline: they allocate 0 unsaturated, and cannot
+    * divide-by-zero the solve.
     *
     * Input: one row per domain (a BOUNDED stats frame — the per-domain
     * aggregate upstream is where the data-sized work happened); the
@@ -81,39 +89,43 @@ object Mixture {
       availCol: String, weightMicroCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
     val base = stats.select(col(domainCol).as("domain"),
       col(availCol).cast("long").as("available"),
       col(weightMicroCol).cast("long").as("weight_micro"))
+    val solve = base.filter(col("weight_micro") > 0)
+    val excluded = base.filter(!(col("weight_micro") > 0))
+      .select(col("domain"), col("available"), col("weight_micro"),
+        lit(0L).as("alloc_tokens"), lit(false).as("saturated"))
     val w = Window.orderBy(
       (col("available").cast("double") / col("weight_micro").cast("double")).asc,
       col("domain"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = base
+    val ranked = solve
       .withColumn("_rn", row_number().over(w))
       .withColumn("_pref_a", coalesce(
         sum(col("available")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_w_rem",
         sum(col("weight_micro")).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
       // unsaturated ⟺ the water line stays below this domain's cap:
-      // λ·w ≤ a ⟺ (B - prefA)·w ≤ a·W_rem (exact cross-multiplied BIGINTs)
+      // λ·w ≤ a ⟺ (B - prefA)·w ≤ a·W_rem, exact in decimal128
       .withColumn("_unsat",
-        (lit(budget) - col("_pref_a")) * col("weight_micro") <=
-          col("available") * col("_w_rem"))
+        (lit(budget) - col("_pref_a")).cast(dec) * col("weight_micro").cast(dec) <=
+          col("available").cast(dec) * col("_w_rem").cast(dec))
     val marked = ranked
       .withColumn("_u", min(when(col("_unsat"), col("_rn"))).over(wAll))
       .withColumn("_b_star", max(when(col("_rn") === col("_u"),
         lit(budget) - col("_pref_a"))).over(wAll))
       .withColumn("_w_star", max(when(col("_rn") === col("_u"),
         col("_w_rem"))).over(wAll))
-    // DIV, not `/`: Spark's Divide on longs goes through DOUBLE, which is
-    // only exact to 2^53 — budget·weight products pass 1e17. The least/
-    // greatest guards keep the law total even on adversarial stats where
-    // the single-crossing property of the saturation flag might not hold.
-    marked.select(col("domain"), col("available"), col("weight_micro"),
+    // the least/greatest guards keep the law total even on adversarial
+    // stats where the saturation flag's single-crossing might not hold
+    val solved = marked.select(col("domain"), col("available"), col("weight_micro"),
       when(col("_u").isNull || col("_rn") < col("_u"), col("available"))
         .otherwise(least(col("available"), greatest(lit(0L),
-          expr("(_b_star * weight_micro) DIV _w_star"))))
+          expr(s"(CAST(_b_star AS $dec) * CAST(weight_micro AS $dec)) DIV _w_star"))))
         .cast("long").as("alloc_tokens"),
       (col("_u").isNull || col("_rn") < col("_u")).as("saturated"))
+    solved.unionByName(excluded)
   }
 }

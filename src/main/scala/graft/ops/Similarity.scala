@@ -48,24 +48,37 @@ object Similarity {
     graft.functions.CosineSimilarity.cosine(a, b)
   }
 
-  /** Exact cosine top-k: for each query vector, the k nearest corpus rows.
-    * `queries` should be small (it is broadcast); ties break on corpus id.
-    * Output: (query_id, neighbor_id, sim, rank).
+  /** Shared broadcast-topk shape: corpus rows joined to the broadcast query
+    * side under `cond` (built from the projected `_extra` query columns /
+    * corpus columns), cosine-scored, per-query rank window, top k. Both
+    * [[bruteForceTopK]] and [[hardNegatives]] are this with a different
+    * join predicate — one definition so the tie law, broadcast hint and
+    * rank filter can never drift apart.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val joined = c.join(broadcast(q),
-      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+  private def broadcastTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      extraCols: Seq[(String, String)], cond: Column): DataFrame = {
+    val q = queries.select((Seq(col(idCol).as("query_id"), col(vecCol).as("_qv")) ++
+      extraCols.map { case (c0, a) => col(c0).as(s"_q$a") }): _*)
+    val c = corpus.select((Seq(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")) ++
+      extraCols.map { case (c0, a) => col(c0).as(s"_c$a") }): _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    joined
+    c.join(broadcast(q), cond)
       .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus rows.
+    * `queries` should be small (it is broadcast); ties break on corpus id.
+    * Output: (query_id, neighbor_id, sim, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame =
+    broadcastTopK(corpus, queries, idCol, vecCol, k, Seq.empty,
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
     * derived from a splitmix-style avalanche of the pair — no RNG state,
@@ -603,21 +616,21 @@ object Similarity {
     * exact micro-quantized BIGINT sums (mean), sums of SQUARED micro
     * values (variance — q² ≤ 1e12·dims·rows stays in BIGINT for corpora to
     * ~10^6 rows per stats batch; shard the stats pass beyond that), integer
-    * min/max, and NaN / non-finite counts. Everything on the wire is
-    * BIGINT, so the whole profile hash-compares bit-for-bit.
-    *
-    * Scale shape: posexplode → one map-side-combined hash aggregate to
-    * `dims` rows. NULL vectors are counted once per dimension-0 row
-    * upstream of the explode (they carry no per-dim values), surfaced in
-    * `null_vecs`.
+    * min/max, and a `n_bad` count of components that are NaN, ±Inf, NULL,
+    * or beyond the quantization range (|x| > 9e12 — a finite "exploded
+    * scale" must be REPORTED by the QA op, not crash its ANSI cast). Bad
+    * components are counted, never summed. Degenerate vectors (NULL or
+    * empty) surface as one `dim = -1` row, so the whole profile is ONE
+    * lazy pass: posexplode_outer → a map-side-combined hash aggregate to
+    * `dims + 1` rows, no extra scan, no driver action. Everything on the
+    * wire is BIGINT → hash-compares bit-for-bit.
     */
-  def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame = {
-    val nullVecs = df.filter(col(vecCol).isNull).count()
-    df.filter(col(vecCol).isNotNull)
-      .select(posexplode(col(vecCol)))
-      .select(col("pos").cast("long").as("dim"), col("col").cast("double").as("_x"))
-      .withColumn("_bad", isnan(col("_x")) ||
-        col("_x") === Double.PositiveInfinity || col("_x") === Double.NegativeInfinity)
+  def embeddingDimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode_outer(col(vecCol)))
+      .select(coalesce(col("pos").cast("long"), lit(-1L)).as("dim"),
+        col("col").cast("double").as("_x"))
+      .withColumn("_bad", col("_x").isNull || isnan(col("_x")) ||
+        abs(col("_x")) > 9.0e12)
       .withColumn("_q", when(!col("_bad"),
         round(col("_x") * 1000000.0).cast("long")))
       .groupBy("dim")
@@ -628,8 +641,6 @@ object Similarity {
         sum(col("_q") * col("_q")).as("sumsq_micro2"),
         min(col("_q")).as("min_micro"),
         max(col("_q")).as("max_micro"))
-      .withColumn("null_vecs", lit(nullVecs))
-  }
 
   /** Hard-negative mining for contrastive training: for each query vector,
     * the `k` most cosine-similar corpus rows whose label is DISTINCT from
@@ -644,21 +655,10 @@ object Similarity {
     * Output: (query_id, neighbor_id, sim, rank).
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      col(labelCol).as("_ql"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      col(labelCol).as("_cl"))
-    val joined = c.join(broadcast(q),
-      col("neighbor_id") =!= col("query_id") && !(col("_cl") <=> col("_ql")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    joined
-      .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
-  }
+      vecCol: String, labelCol: String, k: Int): DataFrame =
+    broadcastTopK(corpus, queries, idCol, vecCol, k,
+      extraCols = Seq(labelCol -> "l"),
+      cond = col("neighbor_id") =!= col("query_id") && !(col("_cl") <=> col("_ql")))
 
   /** Fixed-point centroid accumulators for semantic-dedup clusters: one row
     * per (cluster, dimension) with the exact BIGINT sum of members'

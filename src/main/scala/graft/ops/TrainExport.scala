@@ -88,6 +88,18 @@ object TrainExport {
       buf.toArray
     }
     val bcConf = spark.sparkContext.broadcast(confKv)
+    // overwrite semantics happen HERE, on the driver, before any task runs:
+    // per-task deletes of final paths would race twin attempts (the reason
+    // close() below never deletes dst)
+    locally {
+      val base = new org.apache.hadoop.fs.Path(outDir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (n.matches("shard-\\d{6}\\.tar") || n.endsWith(".tmp"))
+          fs.delete(st.getPath, false)
+      }
+    }
     val manifest = prepared.queryExecution.toRdd.mapPartitions { rows =>
       // InternalRow iteration: _shard int, _key UTF8String, members binary
       val conf = new org.apache.hadoop.conf.Configuration(false)
@@ -112,8 +124,16 @@ object TrainExport {
         out.close()
         val tmp = new org.apache.hadoop.fs.Path(baseDir, s".$file.$attempt.tmp")
         val dst = new org.apache.hadoop.fs.Path(baseDir, file)
-        fs.delete(dst, false) // stale file from a FAILED earlier attempt
-        if (!fs.rename(tmp, dst)) fs.delete(tmp, false) // lost a live race
+        // NEVER delete dst: a twin attempt may have committed it, and shards
+        // are byte-deterministic so an existing dst IS our bytes. Rename only
+        // wins on a vacant slot; on failure, dst-present = twin won (drop our
+        // temp), dst-absent = a real FS error that must fail the task loudly
+        // rather than silently lose a shard the manifest reports.
+        if (!fs.rename(tmp, dst)) {
+          if (fs.exists(dst)) fs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"writeTarShards: rename $tmp -> $dst failed with no committed twin")
+        }
         acc += ((file, nSamples, nBytes + 1024)); out = null
       }
       def roll(shard: Int): Unit = {

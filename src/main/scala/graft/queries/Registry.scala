@@ -1166,10 +1166,11 @@ object Registry {
     s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
       |   FROM embeddings WHERE vec_id < 5),
       | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
-      | s AS (SELECT qid, cid,
+      | s0 AS (SELECT qid, cid,
       |   list_dot_product(cv, qv)/(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv))) AS sim,
       |   CAST(CAST(cl = ql AS INTEGER) AS DOUBLE) AS rel
       |  FROM c, q WHERE cid <> qid),
+      | s AS (SELECT * FROM s0 WHERE sim IS NOT NULL AND rel IS NOT NULL),
       | r AS (SELECT *,
       |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rm,
       |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS ri FROM s),
@@ -1188,28 +1189,32 @@ object Registry {
 
   /** Embedding batch QA ([[graft.ops.Similarity.embeddingDimStats]]): per
     * dimension, exact BIGINT moments (micro-quantized sums and sums of
-    * squares), integer min/max and non-finite counts — everything on the
-    * wire integer, hash-matched bit-for-bit.
+    * squares), integer min/max, and bad-component counts (NaN/Inf/NULL/
+    * out-of-quantization-range) — everything on the wire integer,
+    * hash-matched bit-for-bit. Degenerate (NULL/empty) vectors appear as
+    * the dim = -1 row, mirroring the single-pass posexplode_outer law.
     */
   def qEmbedStats(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.embeddingDimStats(t(spark, dir, "embeddings"), "embedding")
       .orderBy("dim")
 
   val qEmbedStatsSql: String =
-    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-      | nv AS (SELECT COUNT(*) AS null_vecs FROM embeddings WHERE embedding IS NULL),
-      | x AS (SELECT CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS x,
-      |   (isnan(v[u.i]) OR isinf(v[u.i])) AS bad
-      |  FROM e, unnest(range(1, len(v) + 1)) u(i)),
-      | q AS (SELECT dim, bad,
-      |   CASE WHEN NOT bad THEN CAST(round(x * 1000000.0) AS BIGINT) END AS qv FROM x)
+    """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      | x AS (SELECT CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS x
+      |  FROM e, unnest(range(1, len(v) + 1)) u(i)
+      |  UNION ALL
+      |  SELECT CAST(-1 AS BIGINT) AS dim, CAST(NULL AS DOUBLE) AS x
+      |  FROM embeddings WHERE embedding IS NULL OR len(embedding) = 0),
+      | q AS (SELECT dim,
+      |   (x IS NULL OR isnan(x) OR abs(x) > 9.0e12) AS bad,
+      |   CASE WHEN NOT (x IS NULL OR isnan(x) OR abs(x) > 9.0e12)
+      |    THEN CAST(round(x * 1000000.0) AS BIGINT) END AS qv FROM x)
       | SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
       |  CAST(SUM(qv) AS BIGINT) AS sum_micro,
       |  CAST(SUM(qv * qv) AS BIGINT) AS sumsq_micro2,
       |  CAST(MIN(qv) AS BIGINT) AS min_micro,
-      |  CAST(MAX(qv) AS BIGINT) AS max_micro,
-      |  (SELECT null_vecs FROM nv) AS null_vecs
+      |  CAST(MAX(qv) AS BIGINT) AS max_micro
       | FROM q GROUP BY dim ORDER BY dim""".stripMargin.replace("\n", " ")
 
   /** Token-budget waterfilling ([[graft.ops.Mixture.waterfillAllocations]]):

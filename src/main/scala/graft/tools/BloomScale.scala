@@ -14,7 +14,9 @@ import graft.ops.Dedup
   *      (the 100 TB claim — expected ≈ 1 - dup_rate - fpp)?
   *   3. what do the bloom build + probe cost next to the plain anti-join?
   *
-  * `sbt "runMain graft.tools.BloomScale [refRows] [batchRows] [dupPct]"`
+  * `sbt "runMain graft.tools.BloomScale [refRows] [batchRows] [dupEvery]"`
+  * (dupEvery = every Nth batch row duplicates reference content, so the
+  * dup rate is 1/dupEvery — 10 → 10%.)
   */
 object BloomScale {
 

@@ -79,6 +79,26 @@ class MixtureSpec extends SparkSpec {
     val r3 = Mixture.waterfillAllocations(stats, "domain", "avail", "w", budget = 99999L)
       .collect().map(x => x.getString(0) -> (x.getLong(3), x.getBoolean(4))).toMap
     assert(r3 === Map("A" -> ((100L, true)), "B" -> ((1000L, true))))
+
+    // zero-weight domain: excluded from the waterline, allocates 0, and
+    // cannot divide-by-zero the solve (the natural "present but off" row)
+    val withOff = Seq(("A", 100L, 1L), ("B", 50L, 0L)).toDF("domain", "avail", "w")
+    val r4 = Mixture.waterfillAllocations(withOff, "domain", "avail", "w", budget = 600L)
+      .collect().map(x => x.getString(0) -> (x.getLong(3), x.getBoolean(4))).toMap
+    assert(r4("B") === ((0L, false)), "zero-weight domain allocates nothing")
+    assert(r4("A") === ((100L, true)), "positive-weight solve unaffected")
+
+    // 100 TB regime: products pass 2^63 — decimal128 carries them
+    val huge = Seq(("A", 20000000000000L, 900000L), ("B", 90000000000000L, 100000L))
+      .toDF("domain", "avail", "w")
+    val r5 = Mixture.waterfillAllocations(huge, "domain", "avail", "w",
+        budget = 25000000000000L)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    // nothing saturates: 25e12·0.9 = 22.5e12 ≤ 20e12? No — A caps at 20e12?
+    // A's share 22.5e12 > avail 20e12 → A saturates; B gets the rest
+    assert(r5("A") === 20000000000000L)
+    assert(r5("B") === 5000000000000L)
+    assert(r5.values.sum === 25000000000000L)
   }
 
   test("waterfillAllocations: invariants hold on random stats") {

@@ -179,24 +179,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r.size === 4)
   }
 
-  test("embeddingDimStats: exact moments, NaN/Inf counted not summed, NULL vecs surfaced") {
-    val e = Seq(
-      (1L, Array(1.0f, -2.0f)),
-      (2L, Array(3.0f, Float.NaN)),
-      (3L, Array(0.5f, Float.PositiveInfinity)),
-      (4L, null.asInstanceOf[Array[Float]])
-    ).toDF("vec_id", "embedding")
+  test("embeddingDimStats: exact moments; NaN/Inf/NULL/huge counted not summed; degenerates at dim -1") {
+    val e = spark.sql(
+      """SELECT * FROM VALUES
+        | (1L, array(float(1.0),  float(-2.0))),
+        | (2L, array(float(3.0),  float('NaN'))),
+        | (3L, array(float(0.5),  float('Infinity'))),
+        | (4L, array(float(1e20), cast(NULL AS FLOAT))),
+        | (5L, cast(NULL AS ARRAY<FLOAT>)),
+        | (6L, array() )
+        |AS t(vec_id, embedding)""".stripMargin
+          .replace("array() ", "cast(array() as array<float>) "))
     val r = Similarity.embeddingDimStats(e, "embedding")
       .collect().map(x => x.getLong(0) -> x).toMap
     val d0 = r(0L)
-    assert(d0.getAs[Long]("n") === 3L && d0.getAs[Long]("n_bad") === 0L)
+    // 1e20 is finite but beyond the quantization range: BAD, not a crash
+    assert(d0.getAs[Long]("n") === 4L && d0.getAs[Long]("n_bad") === 1L)
     assert(d0.getAs[Long]("sum_micro") === 4500000L)      // (1 + 3 + 0.5)e6
     assert(d0.getAs[Long]("sumsq_micro2") === 1e12.toLong + 9e12.toLong + 25e10.toLong)
     assert(d0.getAs[Long]("min_micro") === 500000L && d0.getAs[Long]("max_micro") === 3000000L)
     val d1 = r(1L)
-    assert(d1.getAs[Long]("n_bad") === 2L, "NaN and Inf both count as bad")
+    assert(d1.getAs[Long]("n_bad") === 3L, "NaN, Inf AND element-NULL all count as bad")
     assert(d1.getAs[Long]("sum_micro") === -2000000L, "bad components must not poison sums")
-    assert(d1.getAs[Long]("null_vecs") === 1L)
+    val deg = r(-1L)
+    assert(deg.getAs[Long]("n") === 2L, "NULL and empty vectors surface at dim -1")
+    assert(deg.isNullAt(deg.fieldIndex("sum_micro")))
   }
 
   test("hardNegatives: nearest DIFFERENT-label rows only; NULL label laws") {

@@ -262,8 +262,12 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_ndcg_eval")
     assert(p.contains("Broadcast"), "query side lost its broadcast")
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("Window [") || !p.contains("PartitionBy []"),
-      "un-partitioned window would funnel all candidates to one task")
+    // the ranking windows must sit on a per-query hash exchange — a
+    // degradation to a global (un-partitioned) window would show up as the
+    // group key vanishing from the partitioning
+    assert(p.contains("Window"), "ranking windows vanished from the plan")
+    assert(p.contains("hashpartitioning(_g"),
+      "windows lost their per-query partitioning (global-window funnel)")
   }
 
   test("q_kmeans_refine: codebook broadcasts into the argmax; no real cartesian") {
