@@ -83,8 +83,16 @@ object Eval {
     *    `first_rel_rank` = model rank of the best relevant hit (NULL when
     *    the group has no relevant candidates, as are ndcg/recall — a
     *    visible NULL beats a fake 0, the [[aucByGroup]] posture).
-    * NULL scores/gains are excluded before ranking (no ordering / no
-    * truth to contribute).
+    * NULL and NON-FINITE scores/gains are excluded before ranking (no
+    * ordering / no truth to contribute): a NaN gain would otherwise pass
+    * `_rel > 0` (NaN compares greatest in Spark AND DuckDB) and then throw
+    * on the ANSI `round(NaN·disc)` cast, crashing the whole eval instead
+    * of being dropped like NULL. Gains are gated with `abs(_rel) ≤ 9e12`
+    * (catches NaN, ±Inf, and values whose `gain·disc_micro` product would
+    * leave BIGINT — identical semantics in both engines since NaN fails
+    * any ≤); NaN scores are dropped via `isnan` when the score column is
+    * floating-point (non-floating scores can't be NaN and are left to
+    * their native ordering).
     *
     * Scale shape: two row_number windows over the same group partitioning
     * + one hash aggregate; no join, no collect — group cardinality (number
@@ -93,10 +101,16 @@ object Eval {
   def ndcgAtK(df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
       gainCol: String, k: Int): DataFrame = {
     val disc = array(ndcgDiscountsMicro(k).map(lit): _*)
+    val scoreFinite = df.schema(scoreCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => !isnan(col("_s"))
+      case _ => lit(true)
+    }
     val base = df
       .select(col(groupCol).as("_g"), col(idCol).as("_id"),
         col(scoreCol).as("_s"), col(gainCol).cast("double").as("_rel"))
-      .filter(col("_s").isNotNull && col("_rel").isNotNull)
+      .filter(col("_s").isNotNull && col("_rel").isNotNull &&
+        abs(col("_rel")) <= 9.0e12 && scoreFinite)
     val wModel = Window.partitionBy("_g").orderBy(col("_s").desc, col("_id"))
     val wIdeal = Window.partitionBy("_g").orderBy(col("_rel").desc, col("_id"))
     base

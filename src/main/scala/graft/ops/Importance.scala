@@ -77,7 +77,7 @@ object Importance {
   }
 
   /** Feature-occurrence counts per hashed bucket. */
-  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+  private[ops] def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
       ngrams: Seq[Int]): DataFrame =
     df.select(explode(featuresCol(col(textCol), ngrams)).as("_tok"))
       .select(bucketOf(col("_tok"), buckets).as("_b"))
@@ -87,32 +87,68 @@ object Importance {
     * (bucket, lr_micro: BIGINT). Missing buckets get the pure-smoothing
     * ratio (counts 0), so the table ALWAYS has exactly `buckets` rows —
     * the broadcast side of the scorer is bounded by construction.
+    *
+    * The ln → quantize step runs ONCE on the DRIVER JVM over the two
+    * collected count frames (bounded: ≤ `buckets` rows each — the collect
+    * is the same bounded-table discipline as the narrow scorer), not
+    * inside a distributed expression. `Math.log` is only 1-ulp-accurate
+    * and platform-dependent, so evaluating it per-executor on a
+    * heterogeneous cluster could quantize the same bucket differently on
+    * different machines; one driver-side evaluation makes the table a
+    * plain integer literal everywhere downstream. Residual cross-ENGINE
+    * risk (documented, not eliminable while the DuckDB oracle takes its
+    * own `ln`): a libm-vs-JVM ulp difference can flip a micro-unit only
+    * when `lr·1e6` lands within ~1e-7 of a .5 boundary —
+    * [[minBoundaryMarginMicro]] measures the actual distance, and
+    * ImportanceSpec pins the gate fixture's margin orders of magnitude
+    * above it. Quantization matches BOTH engines' `round` (HALF_UP, away
+    * from zero — NOT `Math.round`, which rounds negative halves up).
     */
   def hashedRatioTable(target: DataFrame, source: DataFrame, textCol: String,
       buckets: Int = 256, ngrams: Seq[Int] = Seq(1)): DataFrame = {
     val spark = target.sparkSession
-    val spine = spark.range(buckets.toLong).select(col("id").cast("int").as("_b"))
-    val tc = bucketCounts(target, textCol, buckets, ngrams).withColumnRenamed("_n", "_tn")
-    val sc = bucketCounts(source, textCol, buckets, ngrams).withColumnRenamed("_n", "_sn")
-    val tt = tc.agg(coalesce(sum(col("_tn")), lit(0L)).as("_tt"))
-    val st = sc.agg(coalesce(sum(col("_sn")), lit(0L)).as("_st"))
-    // totals are 1-row frames; the cross joins broadcast a single row each
-    val joined = spine
-      .join(tc, Seq("_b"), "left").join(sc, Seq("_b"), "left")
-      .crossJoin(broadcast(tt)).crossJoin(broadcast(st))
-      .select(col("_b"),
-        coalesce(col("_tn"), lit(0L)).as("_tn"),
-        coalesce(col("_sn"), lit(0L)).as("_sn"),
-        col("_tt"), col("_st"))
-    // the exact left-to-right association below IS the law — the oracle
-    // mirrors it token for token so the doubles agree before quantization
-    val lr = ((log((col("_tn") + 1L).cast("double")) -
-      log((col("_tt") + buckets.toLong).cast("double"))) -
-      log((col("_sn") + 1L).cast("double"))) +
-      log((col("_st") + buckets.toLong).cast("double"))
-    joined.select(col("_b").as("bucket"),
-      round(lr * 1000000.0).cast("bigint").as("lr_micro"))
+    def counts(df: DataFrame): Map[Int, Long] =
+      bucketCounts(df, textCol, buckets, ngrams)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val table = ratioMicroScala(counts(target), counts(source), buckets)
+    import spark.implicits._
+    table.toSeq.zipWithIndex.map { case (lr, b) => (b, lr) }
+      .toDF("bucket", "lr_micro")
   }
+
+  /** Driver-side twin of the ratio law — the exact left-to-right ln
+    * association IS the law; the oracle mirrors it token for token so the
+    * doubles agree (to libm accuracy) before quantization.
+    */
+  private[ops] def ratioMicroScala(tc: Map[Int, Long], sc: Map[Int, Long],
+      buckets: Int): Array[Long] =
+    rawLrTable(tc, sc, buckets).map(lr =>
+      java.math.BigDecimal.valueOf(lr * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact())
+
+  private def rawLrTable(tc: Map[Int, Long], sc: Map[Int, Long],
+      buckets: Int): Array[Double] = {
+    val tt = tc.values.sum; val st = sc.values.sum
+    Array.tabulate(buckets) { b =>
+      ((math.log((tc.getOrElse(b, 0L) + 1L).toDouble) -
+        math.log((tt + buckets).toDouble)) -
+        math.log((sc.getOrElse(b, 0L) + 1L).toDouble)) +
+        math.log((st + buckets).toDouble)
+    }
+  }
+
+  /** Diagnostic for the residual cross-libm risk: the minimum distance, in
+    * micro-units, of any bucket's unquantized `lr·1e6` from its nearest
+    * HALF_UP rounding boundary (|x| = k + 0.5). A margin far above ~1e-7
+    * (the worst plausible JVM-vs-libm ln divergence at these magnitudes)
+    * proves the DuckDB oracle must quantize every bucket identically.
+    */
+  private[ops] def minBoundaryMarginMicro(tc: Map[Int, Long],
+      sc: Map[Int, Long], buckets: Int): Double =
+    rawLrTable(tc, sc, buckets).map { lr =>
+      val x = math.abs(lr * 1000000.0)
+      math.abs((x - math.floor(x)) - 0.5)
+    }.min
 
   /** Per-document importance weight in micro-log units: exact BIGINT sum
     * of the bucket ratios of every token occurrence. Documents with no

@@ -614,12 +614,17 @@ object Similarity {
     * encoder shows up as dead dimensions, exploded scales, or NaN/NULL
     * components long before recall metrics notice). One row per dimension:
     * exact micro-quantized BIGINT sums (mean), sums of SQUARED micro
-    * values (variance — q² ≤ 1e12·dims·rows stays in BIGINT for corpora to
-    * ~10^6 rows per stats batch; shard the stats pass beyond that), integer
-    * min/max, and a `n_bad` count of components that are NaN, ±Inf, NULL,
-    * or beyond the quantization range (|x| > 9e12 — a finite "exploded
-    * scale" must be REPORTED by the QA op, not crash its ANSI cast). Bad
-    * components are counted, never summed. Degenerate vectors (NULL or
+    * values (variance — for unit-scale embeddings q² ≤ 1e12, so the sum
+    * stays in BIGINT for corpora to ~10^6 rows per stats batch; shard the
+    * stats pass beyond that, or sooner when components run near the 3e3
+    * cutoff), integer min/max, and a `n_bad` count of components that are NaN, ±Inf, NULL,
+    * or beyond the quantization range (|x| > 3.0e3 — a finite "exploded
+    * scale" must be REPORTED by the QA op, not crash). The cutoff is
+    * `floor(sqrt(Long.Max)) / 1e6`: it keeps not just `round(x·1e6)` but
+    * also its SQUARE inside BIGINT, so the `_q·_q` sum-of-squares term can
+    * never hit an ANSI ArithmeticException (and never silently diverges
+    * from DuckDB's HUGEINT promotion). Bad components are counted, never
+    * summed. Degenerate vectors (NULL or
     * empty) surface as one `dim = -1` row, so the whole profile is ONE
     * lazy pass: posexplode_outer → a map-side-combined hash aggregate to
     * `dims + 1` rows, no extra scan, no driver action. Everything on the
@@ -630,7 +635,7 @@ object Similarity {
       .select(coalesce(col("pos").cast("long"), lit(-1L)).as("dim"),
         col("col").cast("double").as("_x"))
       .withColumn("_bad", col("_x").isNull || isnan(col("_x")) ||
-        abs(col("_x")) > 9.0e12)
+        abs(col("_x")) > 3.0e3)
       .withColumn("_q", when(!col("_bad"),
         round(col("_x") * 1000000.0).cast("long")))
       .groupBy("dim")

@@ -41,8 +41,9 @@ object TrainExport {
     *
     * Distribution shape: one hash shuffle on the shard id co-locates each
     * shard in exactly one task (`repartition(shardCol)`), rows sorted within
-    * partitions by (shard, key) so member order — and therefore shard
-    * bytes — is DETERMINISTIC; a partition holding several shards rolls to a
+    * partitions by (shard, key, member bytes) — the byte columns are the
+    * final tie-break so even duplicate sample keys order deterministically —
+    * making member order, and therefore shard bytes, DETERMINISTIC; a partition holding several shards rolls to a
     * new tar on each shard change. Headers are fixed-metadata ustar
     * (mtime 0, uid/gid 0, mode 644, dependency-free — same posture as the
     * CFB/XLSX codecs), so identical input produces byte-identical shards on
@@ -75,7 +76,14 @@ object TrainExport {
       .select((Seq(col(shardCol).cast(IntegerType).as("_shard"),
         col(keyCol).cast(StringType).as("_key")) ++ memberCols.map(_._1)): _*)
       .repartition(col("_shard"))
-      .sortWithinPartitions("_shard", "_key")
+      // member bytes as final sort keys: with DUPLICATE (_shard, _key) rows
+      // a (shard, key) sort alone leaves tie order attempt-dependent, which
+      // would break the byte-determinism the rename race and the manifest
+      // both rely on — a losing attempt's manifest row could then describe
+      // different bytes than the winner's committed file
+      .sortWithinPartitions(
+        (Seq(col("_shard"), col("_key")) ++
+          members.map { case (c, _) => col(s"_m_$c") }): _*)
     val exts = members.map(_._2)
     // hadoopConfiguration isn't serializable; ship it as key-values so the
     // executor-side FileSystem sees the session's object-store credentials —

@@ -1170,7 +1170,8 @@ object Registry {
       |   list_dot_product(cv, qv)/(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv))) AS sim,
       |   CAST(CAST(cl = ql AS INTEGER) AS DOUBLE) AS rel
       |  FROM c, q WHERE cid <> qid),
-      | s AS (SELECT * FROM s0 WHERE sim IS NOT NULL AND rel IS NOT NULL),
+      | s AS (SELECT * FROM s0 WHERE sim IS NOT NULL AND rel IS NOT NULL
+      |   AND abs(rel) <= 9.0e12 AND NOT isnan(sim)),
       | r AS (SELECT *,
       |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rm,
       |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS ri FROM s),
@@ -1206,8 +1207,8 @@ object Registry {
       |  SELECT CAST(-1 AS BIGINT) AS dim, CAST(NULL AS DOUBLE) AS x
       |  FROM embeddings WHERE embedding IS NULL OR len(embedding) = 0),
       | q AS (SELECT dim,
-      |   (x IS NULL OR isnan(x) OR abs(x) > 9.0e12) AS bad,
-      |   CASE WHEN NOT (x IS NULL OR isnan(x) OR abs(x) > 9.0e12)
+      |   (x IS NULL OR isnan(x) OR abs(x) > 3.0e3) AS bad,
+      |   CASE WHEN NOT (x IS NULL OR isnan(x) OR abs(x) > 3.0e3)
       |    THEN CAST(round(x * 1000000.0) AS BIGINT) END AS qv FROM x)
       | SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,

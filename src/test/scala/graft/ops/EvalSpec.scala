@@ -68,6 +68,34 @@ class EvalSpec extends SparkSpec {
     assert(r(4).getAs[Long]("first_rel_rank") === 1L)
   }
 
+  test("ndcgAtK: non-finite scores/gains are excluded like NULL, not a crash") {
+    val df = Seq(
+      (5, "a", Some(9.0), Some(1.0)),
+      // NaN gain: passes isNotNull and `_rel > 0` (NaN compares greatest),
+      // then round(NaN·disc) would throw under ANSI — must drop pre-rank
+      (5, "nan", Some(8.0), Some(Double.NaN)),
+      (5, "inf", Some(7.0), Some(Double.PositiveInfinity)),
+      // finite but past the 9e12 bound: gain·disc_micro would leave BIGINT
+      (5, "big", Some(6.5), Some(1.0e13)),
+      // NaN score: sorts greatest in Spark — would steal rank 1
+      (5, "nsc", Some(Double.NaN), Some(1.0)),
+      (5, "b", Some(6.0), Some(1.0))
+    ).toDF("g", "id", "score", "rel")
+    val r = Eval.ndcgAtK(df, "g", "id", "score", "rel", k = 3)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    // only a and b occupy ranks (1, 2): excluded rows shift nobody
+    assert(r(5).getAs[Long]("dcg_micro") === 1630930L)
+    assert(r(5).getAs[Long]("idcg_micro") === 1630930L)
+    assert(r(5).getAs[Long]("rel_total") === 2L &&
+      r(5).getAs[Long]("rel_at_k") === 2L)
+    assert(r(5).getAs[Long]("first_rel_rank") === 1L)
+    // non-floating score columns can't be NaN: the guard must not reject
+    // (or try to isnan-cast) an integer-scored frame
+    val ints = Seq((6, "a", 2, 1.0), (6, "b", 1, 0.0)).toDF("g", "id", "score", "rel")
+    val ri = Eval.ndcgAtK(ints, "g", "id", "score", "rel", k = 2).collect()
+    assert(ri.length === 1 && ri(0).getAs[Long]("dcg_micro") === 1000000L)
+  }
+
   test("auc agrees with the pair-counting definition on a random frame") {
     val rnd = new scala.util.Random(23L)
     val rows = Seq.fill(300)((rnd.nextInt(20).toDouble, rnd.nextBoolean()))

@@ -84,6 +84,21 @@ class ImportanceSpec extends SparkSpec {
     }
   }
 
+  test("gate fixture: every bucket's lr·1e6 sits far from a rounding boundary") {
+    // the DuckDB oracle takes its own libm ln; a hash flip needs a bucket
+    // whose unquantized lr·1e6 lies within ~1e-7 of a .5 boundary. Pin the
+    // actual gate data (sf0.01, the q_dsir_select configuration) orders of
+    // magnitude clear of that window, so the gate cannot flake on libm.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def cmap(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+      Importance.bucketCounts(df, "text", 256, Seq(1))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val margin = Importance.minBoundaryMarginMicro(
+      cmap(docs.filter($"lang" === "en")), cmap(docs), 256)
+    assert(margin > 1e-4,
+      f"gate-fixture boundary margin $margin%g too close to a .5 flip")
+  }
+
   test("weight law is an exact integer sum: clone a doc's tokens, weight doubles") {
     val dup = Seq(
       (1L, "alpha beta gamma"),

@@ -187,20 +187,24 @@ class SimilaritySpec extends SparkSpec {
         | (3L, array(float(0.5),  float('Infinity'))),
         | (4L, array(float(1e20), cast(NULL AS FLOAT))),
         | (5L, cast(NULL AS ARRAY<FLOAT>)),
-        | (6L, array() )
+        | (6L, array() ),
+        | (7L, array(float(1.0e6), float(0.25)))
         |AS t(vec_id, embedding)""".stripMargin
           .replace("array() ", "cast(array() as array<float>) "))
     val r = Similarity.embeddingDimStats(e, "embedding")
       .collect().map(x => x.getLong(0) -> x).toMap
     val d0 = r(0L)
-    // 1e20 is finite but beyond the quantization range: BAD, not a crash
-    assert(d0.getAs[Long]("n") === 4L && d0.getAs[Long]("n_bad") === 1L)
+    // 1e20 AND 1e6 are finite but beyond the 3e3 quantization cutoff: BAD,
+    // not a crash — 1e6 squared in micro-units would overflow BIGINT, the
+    // exact ANSI ArithmeticException window the cutoff exists to close
+    assert(d0.getAs[Long]("n") === 5L && d0.getAs[Long]("n_bad") === 2L)
     assert(d0.getAs[Long]("sum_micro") === 4500000L)      // (1 + 3 + 0.5)e6
     assert(d0.getAs[Long]("sumsq_micro2") === 1e12.toLong + 9e12.toLong + 25e10.toLong)
     assert(d0.getAs[Long]("min_micro") === 500000L && d0.getAs[Long]("max_micro") === 3000000L)
     val d1 = r(1L)
     assert(d1.getAs[Long]("n_bad") === 3L, "NaN, Inf AND element-NULL all count as bad")
-    assert(d1.getAs[Long]("sum_micro") === -2000000L, "bad components must not poison sums")
+    assert(d1.getAs[Long]("sum_micro") === -1750000L, "bad components must not poison sums")
+    assert(d1.getAs[Long]("max_micro") === 250000L)
     val deg = r(-1L)
     assert(deg.getAs[Long]("n") === 2L, "NULL and empty vectors surface at dim -1")
     assert(deg.isNullAt(deg.fieldIndex("sum_micro")))

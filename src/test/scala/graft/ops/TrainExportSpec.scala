@@ -121,4 +121,28 @@ class TrainExportSpec extends SparkSpec {
     // 512 header + 700 body padded to 1024 + 1024 trailer
     assert(b1.length === 512 + 1024 + 1024)
   }
+
+  test("writeTarShards: DUPLICATE keys still order deterministically (bytes tie-break)") {
+    // two rows with the same (shard, key) but different payloads: without
+    // the member-bytes sort tie-break their order would be attempt- and
+    // partitioning-dependent, breaking the byte-determinism the rename
+    // race and the manifest both rely on
+    val rows = Seq((3, "dup", "payload-b"), (3, "dup", "payload-a"),
+      (3, "zz", "tail"))
+    val d1 = Files.createTempDirectory("tar-dup-a").toString
+    val d2 = Files.createTempDirectory("tar-dup-b").toString
+    TrainExport.writeTarShards(
+      rows.toDF("shard", "key", "text").repartition(4), d1,
+      "shard", "key", Seq("text" -> "txt"))
+    TrainExport.writeTarShards(
+      rows.reverse.toDF("shard", "key", "text").coalesce(1), d2,
+      "shard", "key", Seq("text" -> "txt"))
+    val b1 = Files.readAllBytes(Paths.get(d1, "shard-000003.tar"))
+    val b2 = Files.readAllBytes(Paths.get(d2, "shard-000003.tar"))
+    assert(java.util.Arrays.equals(b1, b2),
+      "duplicate-key export must not depend on input order/partitioning")
+    // tie order is by member bytes: payload-a before payload-b
+    assert(readTar(b1).map(m => new String(m._2, "UTF-8")) ===
+      Seq("payload-a", "payload-b", "tail"))
+  }
 }
