@@ -120,16 +120,34 @@ object Dedup {
   def exactAgainstBloom(incoming: DataFrame, reference: DataFrame,
       idCol: String, textCol: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val spark = incoming.sparkSession
     val refFp = reference
       .select(TextFns.fingerprintMd5(col(textCol)).as("_rh"))
       .filter(col("_rh").isNotNull)
     // bloom insertion is idempotent — build on the NON-distinct projection
     // (narrow treeAggregate, zero shuffle); distinct only feeds the verify
     // join, whose shuffle the bloom has already shrunk on the probe side.
-    val bloom = spark.sparkContext.broadcast(
-      refFp.stat.bloomFilter("_rh", expectedItems, fpp))
-    val refHashes = refFp.distinct()
+    exactAgainstBloomCore(incoming, textCol,
+      refFp.stat.bloomFilter("_rh", expectedItems, fpp), refFp.distinct())
+  }
+
+  /** [[exactAgainstBloom]] against a PERSISTED [[RefStore]] exact-dedup
+    * artifact — the incremental-ingest fast path: batch N+1 loads the
+    * bloom + distinct-fingerprint parquet the earlier batches committed,
+    * so the reference CORPUS is never re-scanned (the per-call
+    * treeAggregate rebuild is exactly the 100 TB cost the bloom path
+    * exists to avoid). Same result as [[exactAgainst]] run against every
+    * document whose fingerprints the store holds.
+    */
+  def exactAgainstBloomStored(incoming: DataFrame, storeDir: String,
+      idCol: String, textCol: String): DataFrame = {
+    val (bloom, refHashes) = RefStore.loadExact(incoming.sparkSession, storeDir)
+    exactAgainstBloomCore(incoming, textCol, bloom, refHashes)
+  }
+
+  private def exactAgainstBloomCore(incoming: DataFrame, textCol: String,
+      bloomFilter: org.apache.spark.util.sketch.BloomFilter,
+      refHashes: DataFrame): DataFrame = {
+    val bloom = incoming.sparkSession.sparkContext.broadcast(bloomFilter)
     val might = udf((h: String) => h != null && bloom.value.mightContainString(h))
       .withName("graft_might_contain")
     val inc = incoming.withColumn("_ih", TextFns.fingerprintMd5(col(textCol)))
@@ -248,7 +266,7 @@ object Dedup {
     * measured 500s vs <1s for the same work). The closure is opaque to the
     * optimizer, runs narrow, and scales linearly.
     */
-  private def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+  private[ops] def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -319,27 +337,50 @@ object Dedup {
   def minhashAgainst(incoming: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    minhashAgainstSh(incoming,
+      shingleHashFrame(reference, idCol, textCol, shingleSize, numHashes),
+      idCol, textCol, numHashes, bands, shingleSize, threshold, maxBucket)
+
+  /** [[minhashAgainst]] against a PERSISTED [[RefStore]] minhash artifact:
+    * batch N+1 reads the reference signatures the earlier batches
+    * committed instead of recomputing shingles + 64 hash lanes over the
+    * whole reference corpus per run. `bands` stays a query-time knob (any
+    * divisor of the stored numHashes); the signature-law parameters come
+    * from the store's meta and are validated against the caller's
+    * expectations when supplied.
+    */
+  def minhashAgainstStored(incoming: DataFrame, storeDir: String,
+      idCol: String, textCol: String, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val (refSh, numHashes, shingleSize) =
+      RefStore.loadMinhash(incoming.sparkSession, storeDir)
+    minhashAgainstSh(incoming, refSh, idCol, textCol, numHashes, bands,
+      shingleSize, threshold, maxBucket)
+  }
+
+  private def minhashAgainstSh(incoming: DataFrame, refSh: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      shingleSize: Int, threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def banded(df: DataFrame, as: String): (DataFrame, DataFrame) = {
-      val sh = shingleHashFrame(df, idCol, textCol, shingleSize, numHashes)
+    def banded(sh: DataFrame, as: String): DataFrame = {
       val b = sh.select(col("_id"), explode(
         array((0 until bands).map { i =>
           struct(lit(i).as("band"),
             xxhash64(concat_ws(",", slice(col("_sig"), i * r + 1, r))).as("bh"))
         }: _*)).as("bk"))
         .select(col("_id").as(as), col("bk.band"), col("bk.bh"))
-      val capped = capBuckets(b, Seq("band", "bh"), as, maxBucket, s"against_$as")
-      (capped, sh)
+      capBuckets(b, Seq("band", "bh"), as, maxBucket, s"against_$as")
     }
-    val (bi, shi) = banded(incoming, "_iid")
-    val (br, shr) = banded(reference, "_rid")
+    val shi = shingleHashFrame(incoming, idCol, textCol, shingleSize, numHashes)
+    val bi = banded(shi, "_iid")
+    val br = banded(refSh, "_rid")
     val cand = bi.join(br, Seq("band", "bh"))
       .select(col("_iid"), col("_rid")).distinct()
     val flagged = cand
       .join(shi.select(col("_id").as("_iid"), col("_sh").as("_sha")), "_iid")
-      .join(shr.select(col("_id").as("_rid"), col("_sh").as("_shb")), "_rid")
+      .join(refSh.select(col("_id").as("_rid"), col("_sh").as("_shb")), "_rid")
       .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("double"))
       .filter(col("_inter") /
         (size(col("_sha")) + size(col("_shb")) - col("_inter")) >= threshold)

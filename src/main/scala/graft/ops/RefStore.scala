@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.TextFns
+
+/** Persisted, MERGEABLE reference-corpus artifacts for the incremental
+  * dedup guards — the missing piece that lets [[Dedup.exactAgainstBloom]]
+  * and [[Dedup.minhashAgainst]] stop re-scanning the whole reference
+  * corpus on every ingest batch. At 100 TB the reference side IS the
+  * corpus: its fingerprints, Bloom filter, and MinHash signatures must be
+  * computed once when a batch commits and LOADED (not recomputed) by every
+  * later batch's guard.
+  *
+  * Store layout under `dir` (all IO through the Hadoop FileSystem API, so
+  * local/HDFS/s3a all work — the [[TrainExport]] posture):
+  *
+  *   - `fingerprints/`  parquet, one column `_rh` — the SOURCE OF TRUTH:
+  *     distinct content fingerprints ([[TextFns.fingerprintMd5]] law).
+  *     Batch commits APPEND (cross-batch duplicates are harmless — every
+  *     consumer re-distincts, and a semi-/anti-join is multiplicity-blind).
+  *   - `bloom.bin`      the serialized Bloom filter over the fingerprints —
+  *     a CACHE, never the truth. The exactness law of the bloom path needs
+  *     `bloom ⊇ fingerprints` (no false negative against the store), so
+  *     merges write the bloom BEFORE appending fingerprints, and a missing/
+  *     half-written bloom is rebuilt from the fingerprint parquet on load.
+  *   - `signatures/`    parquet (_id, _sh, _sig) — per-document distinct
+  *     shingle hashes + MinHash signature (the [[Dedup]] signature law),
+  *     appended per batch. Document ids must be unique across batches
+  *     (the caller's ingest contract — they already are corpus keys).
+  *   - `meta.properties` the sketch parameters (bloom expectedItems/fpp,
+  *     minhash numHashes/shingleSize). Loads FAIL FAST on a parameter
+  *     mismatch: signatures built under a different law are silently
+  *     wrong, which is worse than an error.
+  *
+  * Crash/concurrency contract: ONE writer at a time (merges are
+  * driver-side batch commits, serialized by the ingest pipeline). Every
+  * step is idempotent — re-running a merge after a crash ORs the same bits
+  * into the bloom and re-appends fingerprints whose duplicates the
+  * consumers ignore — and the bloom-before-fingerprints order means a
+  * crash between the two leaves `bloom ⊇ fingerprints` intact (extra bits
+  * cost a little verify traffic, never a wrong answer). The fingerprint
+  * store accumulates one parquet file set per batch; compact it with a
+  * standard rewrite (`load → repartition → overwrite`) on whatever cadence
+  * the file count warrants.
+  */
+object RefStore {
+
+  private val FINGERPRINTS = "fingerprints"
+  private val SIGNATURES = "signatures"
+  private val BLOOM = "bloom.bin"
+  private val META = "meta.properties"
+
+  // ---- exact-dedup artifact (fingerprints + bloom) ----
+
+  /** Create the exact-dedup artifact from the initial reference corpus:
+    * one pass for the bloom (mergeable treeAggregate, zero shuffle), one
+    * distinct for the fingerprint parquet. `expectedItems` should be sized
+    * for the CORPUS the store will grow to, not the first batch — merged
+    * batches reuse these bits, and an undersized filter degrades fpp (more
+    * verify traffic), never correctness.
+    */
+  def writeExact(reference: DataFrame, textCol: String, dir: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    val spark = reference.sparkSession
+    val refFp = fingerprintsOf(reference, textCol)
+    val bloom = refFp.stat.bloomFilter("_rh", expectedItems, fpp)
+    writeMeta(spark, dir, Map(
+      "version" -> "1",
+      "expectedItems" -> expectedItems.toString,
+      "fpp" -> fpp.toString))
+    writeBloom(spark, dir, bloom)
+    refFp.distinct().write.mode("overwrite").parquet(path(dir, FINGERPRINTS))
+  }
+
+  /** Commit one ingest batch into the artifact: OR the batch's bloom into
+    * the stored one (same parameters from meta → bit-compatible), then
+    * append the batch's distinct fingerprints. Bloom first — see the
+    * crash contract above.
+    */
+  def mergeExact(batch: DataFrame, textCol: String, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, dir)
+    val batchFp = fingerprintsOf(batch, textCol)
+    val add = batchFp.stat.bloomFilter("_rh",
+      meta("expectedItems").toLong, meta("fpp").toDouble)
+    writeBloom(spark, dir, loadBloom(spark, dir).mergeInPlace(add))
+    batchFp.distinct().write.mode("append").parquet(path(dir, FINGERPRINTS))
+  }
+
+  /** Load the exact-dedup artifact: (bloom, distinct-fingerprint frame).
+    * A missing bloom (crash window, or a store created by hand from bare
+    * fingerprints) is REBUILT from the fingerprint parquet — cheap (hashes
+    * only, no text scan) — and written back for the next loader.
+    */
+  def loadExact(spark: SparkSession, dir: String): (BloomFilter, DataFrame) = {
+    val meta = readMeta(spark, dir)
+    val fps = spark.read.parquet(path(dir, FINGERPRINTS)).select(col("_rh")).distinct()
+    val bloom =
+      if (exists(spark, dir, BLOOM)) loadBloom(spark, dir)
+      else {
+        val rebuilt = fps.stat.bloomFilter("_rh",
+          meta("expectedItems").toLong, meta("fpp").toDouble)
+        writeBloom(spark, dir, rebuilt)
+        rebuilt
+      }
+    (bloom, fps)
+  }
+
+  // ---- minhash artifact (shingle hashes + signatures) ----
+
+  /** Create the near-dup artifact: the reference side of
+    * [[Dedup.minhashAgainst]] — per-document distinct shingle hashes and
+    * MinHash signatures — computed ONCE and persisted. Banding is a query-
+    * time parameter (any `bands` dividing `numHashes` works against the
+    * same signatures), so it is deliberately NOT part of the artifact.
+    */
+  def writeMinhash(reference: DataFrame, idCol: String, textCol: String,
+      dir: String, numHashes: Int = 64, shingleSize: Int = 3): Unit = {
+    val spark = reference.sparkSession
+    writeMeta(spark, dir, Map(
+      "version" -> "1",
+      "numHashes" -> numHashes.toString,
+      "shingleSize" -> shingleSize.toString))
+    Dedup.shingleHashFrame(reference, idCol, textCol, shingleSize, numHashes)
+      .write.mode("overwrite").parquet(path(dir, SIGNATURES))
+  }
+
+  /** Append one batch's signatures (same law parameters, from meta). */
+  def mergeMinhash(batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, dir)
+    Dedup.shingleHashFrame(batch, idCol, textCol,
+        meta("shingleSize").toInt, meta("numHashes").toInt)
+      .write.mode("append").parquet(path(dir, SIGNATURES))
+  }
+
+  /** Load the signature frame + the law parameters it was built under.
+    * `requireNumHashes`/`requireShingleSize` (when given) fail fast on a
+    * store built under a different signature law.
+    */
+  def loadMinhash(spark: SparkSession, dir: String,
+      requireNumHashes: Option[Int] = None,
+      requireShingleSize: Option[Int] = None): (DataFrame, Int, Int) = {
+    val meta = readMeta(spark, dir)
+    val nh = meta("numHashes").toInt
+    val ss = meta("shingleSize").toInt
+    requireNumHashes.foreach(n => require(n == nh,
+      s"minhash store $dir was built with numHashes=$nh, caller expects $n"))
+    requireShingleSize.foreach(n => require(n == ss,
+      s"minhash store $dir was built with shingleSize=$ss, caller expects $n"))
+    (spark.read.parquet(path(dir, SIGNATURES)), nh, ss)
+  }
+
+  // ---- shared plumbing ----
+
+  private def fingerprintsOf(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextFns.fingerprintMd5(col(textCol)).as("_rh"))
+      .filter(col("_rh").isNotNull)
+
+  private def path(dir: String, name: String): String =
+    new org.apache.hadoop.fs.Path(dir, name).toString
+
+  private def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, dir: String, name: String): Boolean =
+    fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir, name))
+
+  /** Driver-side small-file write: temp, delete old, rename. The missing-
+    * file window between delete and rename only ever hits `bloom.bin`
+    * (rebuilt on load) under the single-writer contract; `meta.properties`
+    * is written once at store creation.
+    */
+  private def writeSmallFile(spark: SparkSession, dir: String, name: String)(
+      body: java.io.OutputStream => Unit): Unit = {
+    val f = fs(spark, dir)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    f.mkdirs(base)
+    val tmp = new org.apache.hadoop.fs.Path(base, s".$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(base, name)
+    val out = f.create(tmp, true)
+    try body(out) finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"RefStore: rename $tmp -> $dst failed")
+  }
+
+  private def writeBloom(spark: SparkSession, dir: String, bloom: BloomFilter): Unit =
+    writeSmallFile(spark, dir, BLOOM)(bloom.writeTo)
+
+  private def loadBloom(spark: SparkSession, dir: String): BloomFilter = {
+    val in = fs(spark, dir).open(new org.apache.hadoop.fs.Path(dir, BLOOM))
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      kv: Map[String, String]): Unit =
+    writeSmallFile(spark, dir, META) { out =>
+      val p = new java.util.Properties()
+      kv.foreach { case (k, v) => p.setProperty(k, v) }
+      p.store(out, null)
+    }
+
+  private def readMeta(spark: SparkSession, dir: String): Map[String, String] = {
+    val in = fs(spark, dir).open(new org.apache.hadoop.fs.Path(dir, META))
+    val p = new java.util.Properties()
+    try p.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+  }
+}

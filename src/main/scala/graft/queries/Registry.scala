@@ -2352,6 +2352,38 @@ object Registry {
       | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** PERSISTED incremental dedup artifact, full lifecycle oracled
+    * ([[graft.ops.RefStore]] + [[graft.ops.Dedup.exactAgainstBloomStored]]):
+    * the reference corpus commits in TWO batches (write, then merge — bloom
+    * OR-union + fingerprint append), and the incoming batch dedups against
+    * the LOADED artifact without ever scanning the reference documents.
+    * The oracle is the plain NOT-EXISTS law against the union of both
+    * reference batches, so a store that loses a fingerprint in the merge,
+    * breaks the bloom's no-false-negative superset invariant, or muddles
+    * the meta round-trip hash-mismatches here.
+    */
+  def qDedupStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val store = java.nio.file.Files.createTempDirectory("graft-refstore").toString
+    graft.ops.RefStore.writeExact(
+      docs.filter(col("doc_id") % 4 === 0), "text", store, expectedItems = 100000L)
+    graft.ops.RefStore.mergeExact(docs.filter(col("doc_id") % 4 === 1), "text", store)
+    graft.ops.Dedup.exactAgainstBloomStored(
+        docs.filter(col("doc_id") % 4 >= 2), store, "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qDedupStoreSql: String =
+    """WITH fp AS (SELECT doc_id, lang,
+      |   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      |  FROM documents),
+      | inc AS (SELECT * FROM fp WHERE doc_id % 4 >= 2),
+      | ref AS (SELECT DISTINCT h FROM fp WHERE doc_id % 4 <= 1 AND h IS NOT NULL)
+      | SELECT doc_id, lang FROM inc i
+      | WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.h = i.h)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** BPE tokenizer train + encode, end-to-end oracled
     * ([[graft.ops.Vocab.trainBpeMerges]] / [[graft.ops.Vocab.encodeBpe]]):
     * merges are trained on the corpus's bounded word-frequency table
@@ -2877,6 +2909,7 @@ object Registry {
     "q_span_dedup" -> (qSpanDedup _),
     "q_dedup_against" -> (qDedupAgainst _),
     "q_dedup_bloom" -> (qDedupBloom _),
+    "q_dedup_store" -> (qDedupStore _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_embed_against" -> (qEmbedAgainst _),
@@ -2993,6 +3026,7 @@ object Registry {
     "q_span_dedup" -> qSpanDedupSql,
     "q_dedup_against" -> qDedupAgainstSql,
     "q_dedup_bloom" -> qDedupBloomSql,
+    "q_dedup_store" -> qDedupStoreSql,
     "q_dsir_select" -> qDsirSelectSql,
     "q_minhash_against" -> qMinhashAgainstSql,
     "q_embed_against" -> qEmbedAgainstSql,

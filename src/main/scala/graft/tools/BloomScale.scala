@@ -56,6 +56,20 @@ object BloomScale {
     require(plainCount == bloomCount,
       s"EQUIVALENCE BROKEN: plain=$plainCount bloom=$bloomCount")
 
+    // the incremental-ingest leg: commit the reference ONCE into a RefStore,
+    // then probe as batch N+1 — the stored path must (a) still equal the
+    // plain anti-join and (b) cost build-free probe time, because it reads
+    // the persisted bloom + fingerprint parquet instead of re-scanning and
+    // re-hashing the reference corpus per batch
+    val store = java.nio.file.Files.createTempDirectory("bloomscale-store").toString
+    val (_, tCommit) = timed(
+      graft.ops.RefStore.writeExact(reference, "text", store,
+        expectedItems = refRows))
+    val (storedCount, tStored) = timed(
+      Dedup.exactAgainstBloomStored(incoming, store, "doc_id", "text").count())
+    require(storedCount == plainCount,
+      s"STORED-PATH EQUIVALENCE BROKEN: plain=$plainCount stored=$storedCount")
+
     // prefilter effectiveness: how many batch rows even reach the join
     val fp = graft.functions.TextFns.fingerprintMd5(col("text"))
     val refFp = reference.select(fp.as("_rh")).filter(col("_rh").isNotNull)
@@ -68,6 +82,8 @@ object BloomScale {
     println(f"=== prefilter: $hits of $batchRows rows (${hits * 100.0 / batchRows}%.1f%%) " +
       f"reach the exchange; bloom ${bloom.bitSize() / 8 / 1024 / 1024} MiB ===")
     println(f"=== wall: plain ${tPlain}%.2f s, bloom path ${tBloom}%.2f s ===")
+    println(f"=== refstore: one-time commit ${tCommit}%.2f s; batch-N+1 stored " +
+      f"probe ${tStored}%.2f s (== plain anti-join, no reference scan) ===")
     spark.stop()
   }
 }

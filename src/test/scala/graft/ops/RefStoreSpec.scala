@@ -1,0 +1,86 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class RefStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference arrives in two batches; incoming carries exact dups of both
+  // batches, a near-dup (one-word edit), and genuinely new rows
+  private lazy val batch1 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "pack my box with five dozen liquor jugs every single day")
+  ).toDF("doc_id", "text")
+  private lazy val batch2 = Seq(
+    (3L, "sphinx of black quartz judge my vow said the old inscription"),
+    (4L, "how vexingly quick daft zebras jump around the quiet paddock")
+  ).toDF("doc_id", "text")
+  private lazy val incoming = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of b1
+    (11L, "sphinx of black quartz judge my vow said the old inscription"), // dup of b2
+    (12L, "sphinx of black quartz judge my vow said the old carving"),    // near-dup
+    (13L, "a genuinely new document that matches nothing in the corpus"),
+    (14L, null.asInstanceOf[String])                                      // NULL text: kept
+  ).toDF("doc_id", "text")
+
+  private def survivors(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("doc_id").as[Long].collect().toSet
+
+  test("exact store: write + merge ≡ rebuild against the union; batch N+1 never scans the reference") {
+    val dir = Files.createTempDirectory("refstore-exact").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    RefStore.mergeExact(batch2, "text", dir)
+    val stored = survivors(
+      Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+    val rebuilt = survivors(
+      Dedup.exactAgainst(incoming, batch1.union(batch2), "doc_id", "text"))
+    assert(stored === rebuilt, "stored artifact must reproduce the rebuild exactly")
+    assert(stored === Set(12L, 13L, 14L),
+      "exact dups dropped; near-dup, new and NULL-text rows kept")
+  }
+
+  test("exact store: merge is idempotent (re-running a crashed commit is safe)") {
+    val dir = Files.createTempDirectory("refstore-idem").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    RefStore.mergeExact(batch2, "text", dir)
+    RefStore.mergeExact(batch2, "text", dir) // the retry after a crash
+    val stored = survivors(
+      Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+    assert(stored === Set(12L, 13L, 14L))
+  }
+
+  test("exact store: a missing bloom is rebuilt from the fingerprint truth") {
+    val dir = Files.createTempDirectory("refstore-rebuild").toString
+    RefStore.writeExact(batch1.union(batch2), "text", dir, expectedItems = 1000L)
+    Files.delete(Paths.get(dir, "bloom.bin")) // the crash window
+    val stored = survivors(
+      Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+    assert(stored === Set(12L, 13L, 14L), "rebuilt bloom must behave identically")
+    assert(Files.exists(Paths.get(dir, "bloom.bin")),
+      "load must write the rebuilt bloom back for the next reader")
+  }
+
+  test("minhash store: write + merge ≡ rebuild against the union (near-dups caught)") {
+    val dir = Files.createTempDirectory("refstore-mh").toString
+    RefStore.writeMinhash(batch1, "doc_id", "text", dir)
+    RefStore.mergeMinhash(batch2, "doc_id", "text", dir)
+    val stored = survivors(Dedup.minhashAgainstStored(
+      incoming, dir, "doc_id", "text", threshold = 0.5))
+    val rebuilt = survivors(Dedup.minhashAgainst(
+      incoming, batch1.union(batch2), "doc_id", "text", threshold = 0.5))
+    assert(stored === rebuilt, "stored signatures must reproduce the rebuild exactly")
+    assert(!stored.contains(12L), "the near-dup must be caught from stored signatures")
+    assert(stored.contains(13L) && stored.contains(14L))
+  }
+
+  test("minhash store: signature-law parameter mismatch fails fast") {
+    val dir = Files.createTempDirectory("refstore-meta").toString
+    RefStore.writeMinhash(batch1, "doc_id", "text", dir, numHashes = 64, shingleSize = 3)
+    val err = intercept[IllegalArgumentException] {
+      RefStore.loadMinhash(spark, dir, requireNumHashes = Some(32))
+    }
+    assert(err.getMessage.contains("numHashes=64"))
+  }
+}
