@@ -109,8 +109,12 @@ object CosineSimilarity {
   * engine's native functions at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       CosineSimilarity.builder)) // shared arity-checked builder
+    e.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      NearestCentroid.builder))
+  }
 }

@@ -717,23 +717,35 @@ object Similarity {
     * loses all members simply drops out (standard Lloyd empty-cluster
     * behavior, identical in the oracle's GROUP BY).
     *
-    * Scale shape per round: the ≤k-row quantized codebook broadcasts into a
-    * narrow per-point argmax (corpus never shuffles for assignment); the
-    * update is one posexplode + map-side-combined hash aggregate to
-    * k×dims rows. The driver holds nothing but the plan — `iters` is small
+    * Scale shape: the corpus pays ONE exchange total (the `_vid` barrier
+    * materializing raw + quantized components, reused by every round);
+    * per round, the ≤k-row quantized codebook folds into a single
+    * broadcast row and assignment is a narrow per-point projection
+    * through the codegen'd [[graft.functions.NearestCentroid]] kernel
+    * (corpus never shuffles for assignment, and the update reads the raw
+    * components off the same row — no re-join); the update is one
+    * posexplode + map-side-combined hash aggregate to k×dims rows. The driver holds nothing but the plan — `iters` is small
     * and fixed (curriculum: refine an existing coarse clustering, not
     * train-from-scratch — that is [[ivfIndex]]'s bounded-sample job).
     */
   def kmeansRefineSums(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int = 4, iters: Int = 2, quant: Double = 1000000.0): DataFrame = {
+    graft.functions.NearestCentroid.register(embeddings.sparkSession)
     val e = embeddings.select(col(idCol).cast("long").as("_vid"),
       col(vecCol).cast("array<double>").as("_v"))
+    // quantized + raw components in ONE frame behind a _vid exchange
+    // barrier: every round's assignment AND update read this single
+    // ReusedExchange instead of re-running the scan + normalize +
+    // quantize per round (and instead of a per-round corpus re-join to
+    // recover the raw components — the update reads `_v` straight off
+    // the assignment row)
     val pn = e
       .withColumn("_nrm", sqrt(aggregate(col("_v"), lit(0.0), (a, x) => a + x * x)))
       .filter(col("_nrm") > 0)
       .withColumn("_qv", transform(col("_v"),
         x => round(x / col("_nrm") * quant).cast("long")))
-      .select("_vid", "_qv")
+      .select("_vid", "_v", "_qv")
+      .repartition(col("_vid"))
     var sums = e.orderBy("_vid").limit(k)
       .select(col("_vid").as("cluster_id"), posexplode(col("_v")))
       .select(col("cluster_id"), col("pos").cast("long").as("dim"),
@@ -751,13 +763,17 @@ object Similarity {
         .withColumn("_qc", transform(col("_cv"),
           x => round(x / col("_cnrm") * quant).cast("long")))
         .select("cluster_id", "_qc")
-      val assign = pn.crossJoin(broadcast(cent))
-        .withColumn("_dot", aggregate(zip_with(col("_qv"), col("_qc"), (a, b) => a * b),
-          lit(0L), (a, x) => a + x))
-        .groupBy("_vid")
-        .agg(max_by(col("cluster_id"),
-          struct(col("_dot"), (-col("cluster_id")).as("_nc"))).as("cluster_id"))
-      sums = e.join(assign, "_vid")
+      // the whole ≤k-row codebook folds into ONE broadcast row; assignment
+      // becomes a narrow per-point projection through the codegen'd
+      // graft_nearest_centroid kernel (fused integer-dot argmax, ties to
+      // the smaller id — same law as the max_by form it replaces), so the
+      // per-round groupBy(_vid) exchange and the corpus re-join are gone
+      val cb = cent.agg(sort_array(
+        collect_list(struct(col("cluster_id"), col("_qc")))).as("_cb"))
+      sums = pn.crossJoin(broadcast(cb))
+        .select(graft.functions.NearestCentroid
+          .nearest(col("_qv"), col("_cb")).as("cluster_id"), col("_v"))
+        .filter(col("cluster_id").isNotNull)
         .select(col("cluster_id"), posexplode(col("_v")))
         .select(col("cluster_id"), col("pos").cast("long").as("dim"),
           round(col("col") * quant).cast("long").as("_q"))

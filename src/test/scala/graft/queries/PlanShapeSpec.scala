@@ -270,10 +270,28 @@ class PlanShapeSpec extends SparkSpec {
       "windows lost their per-query partitioning (global-window funnel)")
   }
 
-  test("q_kmeans_refine: codebook broadcasts into the argmax; no real cartesian") {
+  test("q_kmeans_refine: codegen argmax kernel; ONE corpus exchange, no per-round rejoin") {
     val p = plan("q_kmeans_refine")
     assert(p.contains("BroadcastNestedLoopJoin"), "codebook cross join lost its broadcast")
+    assert(p.contains("graft_nearest_centroid"),
+      "assignment regressed off the codegen'd argmax kernel")
     assert(!p.contains("CartesianProduct"))
+    // the corpus-sized join back to the raw vectors (a shuffled join per
+    // round) must stay gone — assignment reads _v off its own row
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a per-round corpus re-join crept back into the refinement loop")
+    // one corpus-wide exchange per round in the STATIC plan — just the
+    // repeated _vid barrier subtree (2 rounds), which AQE collapses to a
+    // single live exchange + ReusedExchange at runtime (asserted below);
+    // the old shape carried an additional groupBy(_vid) argmax exchange
+    // AND a corpus join per round on top of it
+    val corpusExchanges = "Exchange hashpartitioning\\(_vid".r.findAllIn(p).length
+    assert(corpusExchanges == 2,
+      s"expected the per-round _vid barrier subtree twice, found $corpusExchanges")
+    val df = Registry.queries("q_kmeans_refine")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "AQE stopped reusing the _vid barrier across rounds")
   }
 
   test("q_dedup_bloom: might-contain prefilter below the anti-join, no cartesian") {
