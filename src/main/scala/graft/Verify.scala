@@ -81,6 +81,38 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] ann recall check failed: ${e.getMessage}")
     }
+    // SimHash planted-recall gate — the remaining rows-only output with no
+    // driver-visible regression check. Identical texts yield identical
+    // 64-bit signatures, so every planted exact-duplicate pair is
+    // GUARANTEED catchable (Hamming 0, all four pigeonhole chunks match):
+    // required recall is exactly 1.0, and anything less is a real
+    // signature/banding/verify regression, not sampling noise. Planted
+    // pairs get pair-unique content so bucket caps cannot sample them away.
+    try {
+      import spark.implicits._
+      val filler = (0 until 2000).map(i =>
+        (i.toLong, s"unique filler document number $i carrying variety ${i * 37}"))
+      val planted = (0 until 50).flatMap { p =>
+        val text = s"planted duplicate pair $p sharing identical content ${p * 101}"
+        Seq((10000L + p, text), (20000L + p, text))
+      }
+      val docs = (filler ++ planted).toDF("doc_id", "text")
+      val got = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (0 until 50).map(p => (10000L + p, 20000L + p)).toSet
+      val recall = expect.intersect(got).size.toDouble / expect.size
+      System.err.println(f"[verify] q_simhash_neardup planted recall = $recall%.3f (floor 1.0)")
+      if (recall < 1.0) {
+        System.err.println("[verify] q_simhash_neardup FAILED planted floor — removing output")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/q_simhash_neardup"))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] simhash planted check failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
       .mkString("{", ",", "}")
