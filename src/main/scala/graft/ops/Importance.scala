@@ -64,7 +64,7 @@ object Importance {
     * unigram default keeps the hot scorer fully codegen'd; reach for
     * bigrams when word order matters more than throughput.
     */
-  private def featuresCol(c: Column, ngrams: Seq[Int]): Column = {
+  private[ops] def featuresCol(c: Column, ngrams: Seq[Int]): Column = {
     require(ngrams.nonEmpty && ngrams.forall(_ >= 1), "ngram orders must be ≥ 1")
     def order(n: Int): Column = {
       val t = TextFns.tokens(c)
@@ -76,11 +76,40 @@ object Importance {
     if (ngrams == Seq(1)) TextFns.tokens(c) else concat(ngrams.map(order): _*)
   }
 
+  /** The per-document hashed-bucket stream, strategy-switched on the
+    * n-gram orders: unigrams stay on the fully codegen'd SQL path
+    * (regex tokenize → md5 → mod); orders > 1 go through ONE
+    * object-boundary UDF built on the Scala law twins
+    * ([[featuresScala]] + [[bucketScala]]) instead of the interpreted
+    * transform/slice lambda chain — the same mapPartitions-not-HOF
+    * escape the narrow scorer and the Dedup signature pass use
+    * (measured ~500× on per-token work). The two laws are equal by
+    * construction (same md5, same window join) and cross-pinned in
+    * ImportanceSpec, so DSIR's paper configuration `Seq(1, 2)` is usable
+    * at corpus scale on every path.
+    */
+  private def bucketStream(df: DataFrame, textCol: String, buckets: Int,
+      ngrams: Seq[Int], keep: Seq[Column]): DataFrame =
+    if (ngrams == Seq(1))
+      df.select((keep :+ explode(featuresCol(col(textCol), ngrams)).as("_tok")): _*)
+        .select((keep :+ bucketOf(col("_tok"), buckets).as("bucket")): _*)
+    else {
+      val ng = ngrams
+      val nb = buckets
+      val stream = udf { text: String =>
+        val md = Importance.md5Local.get()
+        featuresScala(if (text == null) "" else text, ng)
+          .map(f => bucketScala(f, nb, md)).toArray
+      }.withName("graft_dsir_buckets")
+      df.select((keep :+
+        explode(stream(coalesce(col(textCol), lit("")))).as("bucket")): _*)
+    }
+
   /** Feature-occurrence counts per hashed bucket. */
   private[ops] def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
       ngrams: Seq[Int]): DataFrame =
-    df.select(explode(featuresCol(col(textCol), ngrams)).as("_tok"))
-      .select(bucketOf(col("_tok"), buckets).as("_b"))
+    bucketStream(df, textCol, buckets, ngrams, Seq.empty)
+      .select(col("bucket").as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_n"))
 
   /** The quantized log-ratio table: one row per bucket,
@@ -156,9 +185,9 @@ object Importance {
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame, buckets: Int = 256, ngrams: Seq[Int] = Seq(1)): DataFrame = {
-    val sums = df
-      .select(col(idCol).as("_wid"), explode(featuresCol(col(textCol), ngrams)).as("_tok"))
-      .select(col("_wid"), bucketOf(col("_tok"), buckets).as("bucket"))
+    val sums = bucketStream(
+        df.select(col(idCol).as("_wid"), col(textCol)),
+        textCol, buckets, ngrams, Seq(col("_wid")))
       .join(broadcast(ratios), "bucket")
       .groupBy(col("_wid")).agg(sum(col("lr_micro")).as("_w"))
     df.join(sums, col(idCol) === col("_wid"), "left")

@@ -84,6 +84,23 @@ class ImportanceSpec extends SparkSpec {
     }
   }
 
+  test("bigram bucket stream: object-boundary UDF ≡ the declarative SQL law") {
+    // orders > 1 route through the Scala law twins (featuresScala +
+    // bucketScala) for throughput; this pins them against the SQL
+    // expression law (featuresCol + bucketOf) they must never drift from
+    val texts = corpus.union(Seq(
+      (7L, "ünïcode tokens AND   irregular   spacing here"),
+      (8L, "one"),
+      (9L, "a b a b a b")).toDF("doc_id", "text"))
+    val declared = texts
+      .select(explode(Importance.featuresCol(col("text"), Seq(1, 2))).as("_tok"))
+      .select(Importance.bucketOf(col("_tok"), 64).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    val viaCounts = Importance.bucketCounts(texts, "text", 64, Seq(1, 2))
+      .as[(Int, Long)].collect().toMap
+    assert(viaCounts === declared, "bigram UDF path diverged from the SQL law")
+  }
+
   test("gate fixture: every bucket's lr·1e6 sits far from a rounding boundary") {
     // the DuckDB oracle takes its own libm ln; a hash flip needs a bucket
     // whose unquantized lr·1e6 lies within ~1e-7 of a .5 boundary. Pin the
