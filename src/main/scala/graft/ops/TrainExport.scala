@@ -67,7 +67,13 @@ object TrainExport {
     * already happened exactly once when this returns.
     */
   def writeTarShards(df: DataFrame, outDir: String, shardCol: String,
-      keyCol: String, members: Seq[(String, String)]): DataFrame = {
+      keyCol: String, members: Seq[(String, String)]): DataFrame =
+    writeTarShardsCore(df, outDir, shardCol, keyCol, members,
+      filePrefix = "", overwrite = true)
+
+  private def writeTarShardsCore(df: DataFrame, outDir: String, shardCol: String,
+      keyCol: String, members: Seq[(String, String)], filePrefix: String,
+      overwrite: Boolean): DataFrame = {
     val spark = df.sparkSession
     val memberCols = members.map { case (c, ext) =>
       (col(c).cast(BinaryType)).as(s"_m_$c") -> ext
@@ -98,14 +104,20 @@ object TrainExport {
     val bcConf = spark.sparkContext.broadcast(confKv)
     // overwrite semantics happen HERE, on the driver, before any task runs:
     // per-task deletes of final paths would race twin attempts (the reason
-    // close() below never deletes dst)
+    // close() below never deletes dst). Everything is SCOPED to this call's
+    // file prefix: the streaming append path (overwrite = false, per-batch
+    // prefix) clears only its own stale temps — a replayed micro-batch must
+    // never touch another batch's committed shards, and its own committed
+    // shards are byte-identical by determinism, so they stand as twin wins.
     locally {
       val base = new org.apache.hadoop.fs.Path(outDir)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val shardRe = java.util.regex.Pattern.quote(filePrefix) + "shard-\\d{6}\\.tar"
       if (fs.exists(base)) fs.listStatus(base).foreach { st =>
         val n = st.getPath.getName
-        if (n.matches("shard-\\d{6}\\.tar") || n.endsWith(".tmp"))
-          fs.delete(st.getPath, false)
+        val stale = (overwrite && n.matches(shardRe)) ||
+          (n.startsWith(s".$filePrefix") && n.endsWith(".tmp"))
+        if (stale) fs.delete(st.getPath, false)
       }
     }
     val manifest = prepared.queryExecution.toRdd.mapPartitions { rows =>
@@ -147,7 +159,7 @@ object TrainExport {
       def roll(shard: Int): Unit = {
         close()
         cur = shard; nSamples = 0L; nBytes = 0L
-        file = f"shard-$shard%06d.tar"
+        file = f"${filePrefix}shard-$shard%06d.tar"
         out = new java.io.BufferedOutputStream(fs.create(
           new org.apache.hadoop.fs.Path(baseDir, s".$file.$attempt.tmp"), true))
       }
@@ -180,6 +192,58 @@ object TrainExport {
         StructField("n_samples", LongType, nullable = false),
         StructField("n_bytes", LongType, nullable = false))))
   }
+
+  /** One micro-batch of the STREAMING tar-shard export. Shard files carry
+    * the batch id in their name (`batch-BBBBBB-shard-NNNNNN.tar`), which is
+    * what makes incremental delivery exactly-once WITHOUT any mutable
+    * ledger: ids can never collide across batches, and a replayed batch
+    * (foreachBatch is at-least-once) rewrites byte-identical files under
+    * the same names — the commit protocol treats the existing shard as the
+    * deterministic twin's win. The per-shard manifest lands beside the
+    * shards as `manifest-BBBBBB.tsv` (sorted `file\tsamples\tbytes` lines,
+    * tmp→rename, idempotently rewritten on replay); the GLOBAL manifest is
+    * simply the set of `manifest-*.tsv` files — append-by-new-file, never
+    * append-in-place. Loaders reading `shard-*.tar` in name order get
+    * batch-arrival order, the natural incremental training order.
+    */
+  def appendTarShards(batch: DataFrame, batchId: Long, outDir: String,
+      shardCol: String, keyCol: String,
+      members: Seq[(String, String)]): DataFrame = {
+    val prefix = f"batch-$batchId%06d-"
+    val manifest = writeTarShardsCore(batch, outDir, shardCol, keyCol, members,
+      filePrefix = prefix, overwrite = false)
+    val lines = manifest.collect()
+      .map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}").sorted
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val name = f"manifest-$batchId%06d.tsv"
+    val tmp = new org.apache.hadoop.fs.Path(outDir, s".$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(outDir, name)
+    val out = fs.create(tmp, true)
+    try out.write((if (lines.isEmpty) "" else lines.mkString("", "\n", "\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"appendTarShards: rename $tmp -> $dst failed")
+    manifest
+  }
+
+  /** Continuous WebDataset delivery: compose the deterministic tar-shard
+    * writer into a Structured Streaming sink. Each micro-batch commits its
+    * own shard files + manifest via [[appendTarShards]]; the checkpoint
+    * gives exactly-once batch ids, and the per-batch naming above turns
+    * at-least-once replays into byte-identical no-ops.
+    */
+  def streamTarShards(stream: DataFrame, outDir: String, shardCol: String,
+      keyCol: String, members: Seq[(String, String)],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendTarShards(b, id, outDir, shardCol, keyCol, members); ()
+      }
+      .start()
 
   /** Minimal deterministic ustar writer (POSIX.1-1988 layout: 512-byte
     * header, NUL-padded octal fields, checksum computed with the checksum

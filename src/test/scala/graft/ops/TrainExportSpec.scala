@@ -145,4 +145,58 @@ class TrainExportSpec extends SparkSpec {
     assert(readTar(b1).map(m => new String(m._2, "UTF-8")) ===
       Seq("payload-a", "payload-b", "tail"))
   }
+
+  test("streaming tar shards: two-batch feed — deterministic bytes, exact manifests, no id collision") {
+    val batch1 = Seq((0, "k1", "alpha"), (0, "k2", "beta"), (1, "k3", "gamma"))
+    val batch2 = Seq((0, "k4", "delta"), (2, "k5", "epsilon"))
+    def drive(tag: String): String = {
+      val src = Files.createTempDirectory(s"tarstream-src-$tag").toString
+      val out = Files.createTempDirectory(s"tarstream-out-$tag").toString
+      val ckp = Files.createTempDirectory(s"tarstream-ckp-$tag").toString
+      val df1 = batch1.toDF("shard", "key", "text")
+      df1.coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream.schema(df1.schema).parquet(src)
+      val q = TrainExport.streamTarShards(
+        stream, out, "shard", "key", Seq("text" -> "txt"), ckp)
+      q.processAllAvailable()
+      batch2.toDF("shard", "key", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+      q.processAllAvailable(); q.stop()
+      out
+    }
+    val out = drive("a")
+    // ignore the local-FS checksum sidecars (.crc) the Hadoop
+    // LocalFileSystem writes beside every file
+    val names = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq
+    // batch id in the shard name = structurally impossible id collisions,
+    // even though both batches carry a shard 0
+    assert(names === Seq(
+      "batch-000000-shard-000000.tar", "batch-000000-shard-000001.tar",
+      "batch-000001-shard-000000.tar", "batch-000001-shard-000002.tar",
+      "manifest-000000.tsv", "manifest-000001.tsv"))
+    // manifests: sorted lines, sizes matching the committed files exactly
+    val m0 = new String(Files.readAllBytes(Paths.get(out, "manifest-000000.tsv")), "UTF-8")
+    assert(m0.split("\n").toSeq === Seq(
+      s"batch-000000-shard-000000.tar\t2\t${Files.size(Paths.get(out, "batch-000000-shard-000000.tar"))}",
+      s"batch-000000-shard-000001.tar\t1\t${Files.size(Paths.get(out, "batch-000000-shard-000001.tar"))}"))
+    // member layout of a streamed shard is the batch writer's layout
+    assert(readTar(Files.readAllBytes(Paths.get(out, "batch-000000-shard-000000.tar")))
+      .map(_._1) === Seq("k1.txt", "k2.txt"))
+    // the whole feed is byte-deterministic across independent drives
+    val out2 = drive("b")
+    names.foreach { n =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(Paths.get(out, n)), Files.readAllBytes(Paths.get(out2, n))),
+        s"streamed artifact $n not byte-deterministic")
+    }
+    // at-least-once replay of a committed batch is a byte-identical no-op
+    val before = names.map(n => n -> Files.readAllBytes(Paths.get(out, n))).toMap
+    TrainExport.appendTarShards(batch2.toDF("shard", "key", "text"), 1L,
+      out, "shard", "key", Seq("text" -> "txt"))
+    names.foreach { n =>
+      assert(java.util.Arrays.equals(before(n), Files.readAllBytes(Paths.get(out, n))),
+        s"replay mutated $n")
+    }
+  }
 }
