@@ -35,6 +35,8 @@ object Codec {
     else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
       payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
+    else if (payload.length >= 12 && payload(4) == 'f' && payload(5) == 't' &&
+      payload(6) == 'y' && payload(7) == 'p') "mp4"
     else "unknown"
 
   // -------------------------------------------------------------- images --
@@ -253,4 +255,91 @@ object Codec {
     val n = math.max(1, a.samples.length).toFloat
     hist.map(_ / n)
   }
+
+  // --------------------------------------------------------------- video --
+
+  /** Metadata from an ISO BMFF (MP4/MOV) container. */
+  final case class Mp4Meta(brand: String, durationMs: Long, width: Int, height: Int)
+
+  /** ISO BMFF box walk — METADATA ONLY, no frame decode (that stays behind
+    * the [[Multimodal.FakeCodec]] seam a real JNI/ffmpeg codec drops into).
+    * Pure JDK byte walking, the CFB/BIFF discipline: every box boundary is
+    * bounds-checked against its parent, a lying size field truncates the
+    * walk instead of reading out of range, box counts are capped (a crafted
+    * zero-size chain must not loop), and nothing allocates proportionally
+    * to DECLARED sizes — so a hostile payload costs at most one pass over
+    * its actual bytes.
+    *
+    *   - `ftyp` → major brand (also the sniff gate);
+    *   - `moov/mvhd` (v0 + v1) → timescale + duration → duration in ms;
+    *   - first `moov/trak/tkhd` (v0 + v1) with nonzero 16.16 fixed-point
+    *     width/height → display dimensions (audio-only files legitimately
+    *     probe as 0×0 with a real duration).
+    *
+    * None on anything that does not parse as BMFF — the caller falls back,
+    * never throws out of a task (same contract as [[decodeImage]]).
+    */
+  def probeMp4(payload: Array[Byte]): Option[Mp4Meta] = try {
+    if (payload.length < 16 || sniff(payload) != "mp4") return None
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    def u32(off: Int): Long = bb.getInt(off) & 0xFFFFFFFFL
+    def typ(off: Int): String = new String(payload, off + 4, 4, "ISO-8859-1")
+    /** Direct children of [start, end): (type, contentStart, contentEnd). */
+    def children(start: Int, end: Int): List[(String, Int, Int)] = {
+      val buf = List.newBuilder[(String, Int, Int)]
+      var off = start
+      var n = 0
+      var bad = false
+      while (!bad && off + 8 <= end && n < 10000) {
+        val sz0 = u32(off)
+        val (hdr, sz): (Int, Long) =
+          if (sz0 == 1L && off + 16 <= end) (16, bb.getLong(off + 8))
+          else if (sz0 == 0L) (8, (end - off).toLong)
+          else (8, sz0)
+        if (sz < hdr || off + sz > end) bad = true // lying size: stop the walk
+        else {
+          buf += ((typ(off), off + hdr, (off + sz).toInt))
+          off = (off + sz).toInt
+          n += 1
+        }
+      }
+      buf.result()
+    }
+    val top = children(0, payload.length)
+    val brand = top.collectFirst { case ("ftyp", cs, ce) if ce - cs >= 4 =>
+      new String(payload, cs, 4, "ISO-8859-1")
+    }.getOrElse(return None)
+    val (moovS, moovE) = top.collectFirst { case ("moov", cs, ce) => (cs, ce) }
+      .getOrElse(return None)
+    val moov = children(moovS, moovE)
+    val durationMs = moov.collectFirst { case ("mvhd", cs, ce) => (cs, ce) }
+      .flatMap { case (cs, ce) =>
+        val v = payload(cs) & 0xFF
+        if (v == 0 && ce - cs >= 20) {
+          val ts = u32(cs + 12); val d = u32(cs + 16)
+          if (ts > 0) Some(d * 1000L / ts) else None
+        } else if (v == 1 && ce - cs >= 32) {
+          val ts = u32(cs + 20); val d = bb.getLong(cs + 24)
+          if (ts > 0 && d >= 0) Some(d * 1000L / ts) else None
+        } else None
+      }.getOrElse(return None)
+    val wh = moov.collect { case ("trak", cs, ce) => children(cs, ce) }
+      .flatten
+      .collectFirst(Function.unlift {
+        case ("tkhd", cs, ce) =>
+          val v = payload(cs) & 0xFF
+          // width/height are 16.16 fixed point after version+flags, the
+          // time/id fields (v1 carries three 64-bit times: +12), reserved
+          // words and the 36-byte matrix
+          val wOff = if (v == 1) cs + 88 else cs + 76
+          if (ce - wOff >= 8) {
+            val w = (u32(wOff) >> 16).toInt
+            val h = (u32(wOff + 4) >> 16).toInt
+            if (w > 0 && h > 0) Some((w, h)) else None
+          } else None
+        case _ => None
+      })
+    val (w, h) = wh.getOrElse((0, 0))
+    Some(Mp4Meta(brand, durationMs, w, h))
+  } catch { case scala.util.control.NonFatal(_) => None }
 }

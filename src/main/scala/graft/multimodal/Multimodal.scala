@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, task-level batching, iterator
   * transforms, partition sizing. Decode is REAL for the containers plain
   * JDK bytes can parse ([[Codec]]: PPM/BMP images with actual pixel
-  * resampling, PCM WAV audio with actual sample rates/durations); payloads
-  * in compressed containers (JPEG/MP4…) fall back to the deterministic
-  * [[FakeCodec]] — the same `Iterator[MediaRecord] ⇒ Iterator[...]` seam a
-  * JNI/ffmpeg codec drops into without touching any plan.
+  * resampling, PCM WAV audio with actual sample rates/durations, PNG/JPEG/
+  * GIF via the JDK's own imageio, and MP4 metadata — brand, duration,
+  * display dimensions — via a bounds-checked box walk); only frame-level
+  * video decode falls back to the deterministic [[FakeCodec]] — the same
+  * `Iterator[MediaRecord] ⇒ Iterator[...]` seam a JNI/ffmpeg codec drops
+  * into without touching any plan.
   *
   * Scale shape: decode runs as `mapPartitions` (the Scala analog of
   * `mapInPandas`) with explicit micro-batching, so per-batch codec setup is
@@ -60,6 +62,11 @@ object Multimodal {
         .map(img => (img.width, img.height, Codec.imageFeatures(img), None))
       case "audio" => Codec.decodeWav(payload)
         .map(a => (a.channels, 0, Codec.audioFeatures(a), Some(Codec.audioDurationMs(a))))
+      case "video" =>
+        // REAL container metadata (MP4 box walk: brand, duration, display
+        // dims); frame DECODE stays behind the FakeCodec feature seam
+        Codec.probeMp4(payload)
+          .map(m => (m.width, m.height, FakeCodec.decode(payload)._3, Some(m.durationMs)))
       case _ => None
     }
     real.getOrElse {
