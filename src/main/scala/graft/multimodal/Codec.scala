@@ -320,7 +320,11 @@ object Codec {
           if (ts > 0) Some(d * 1000L / ts) else None
         } else if (v == 1 && ce - cs >= 32) {
           val ts = u32(cs + 20); val d = bb.getLong(cs + 24)
-          if (ts > 0 && d >= 0) Some(d * 1000L / ts) else None
+          // d·1000 must not wrap: a crafted 2^63-ish tick count would
+          // otherwise surface a negative "real" duration instead of None
+          if (ts > 0 && d >= 0 && d <= Long.MaxValue / 1000L)
+            Some(d * 1000L / ts)
+          else None
         } else None
       }.getOrElse(return None)
     val wh = moov.collect { case ("trak", cs, ce) => children(cs, ce) }

@@ -86,7 +86,11 @@ object RefStore {
     val batchFp = fingerprintsOf(batch, textCol)
     val add = batchFp.stat.bloomFilter("_rh",
       meta("expectedItems").toLong, meta("fpp").toDouble)
-    writeBloom(spark, dir, loadBloom(spark, dir).mergeInPlace(add))
+    // loadOrRebuild, not loadBloom: the retry of a merge that crashed in
+    // the bloom delete→rename window (or any missing-bloom state) must
+    // rebuild from the fingerprint truth like loadExact does — otherwise
+    // the documented crashed-commit retry fails forever on fs.open
+    writeBloom(spark, dir, loadOrRebuildBloom(spark, dir, meta).mergeInPlace(add))
     batchFp.distinct().write.mode("append").parquet(path(dir, FINGERPRINTS))
   }
 
@@ -96,18 +100,20 @@ object RefStore {
     * only, no text scan) — and written back for the next loader.
     */
   def loadExact(spark: SparkSession, dir: String): (BloomFilter, DataFrame) = {
-    val meta = readMeta(spark, dir)
-    val fps = spark.read.parquet(path(dir, FINGERPRINTS)).select(col("_rh")).distinct()
-    val bloom =
-      if (exists(spark, dir, BLOOM)) loadBloom(spark, dir)
-      else {
-        val rebuilt = fps.stat.bloomFilter("_rh",
-          meta("expectedItems").toLong, meta("fpp").toDouble)
-        writeBloom(spark, dir, rebuilt)
-        rebuilt
-      }
-    (bloom, fps)
+    val bloom = loadOrRebuildBloom(spark, dir, readMeta(spark, dir))
+    (bloom, spark.read.parquet(path(dir, FINGERPRINTS)).select(col("_rh")).distinct())
   }
+
+  private def loadOrRebuildBloom(spark: SparkSession, dir: String,
+      meta: Map[String, String]): BloomFilter =
+    if (exists(spark, dir, BLOOM)) loadBloom(spark, dir)
+    else {
+      val rebuilt = spark.read.parquet(path(dir, FINGERPRINTS))
+        .select(col("_rh")).distinct()
+        .stat.bloomFilter("_rh", meta("expectedItems").toLong, meta("fpp").toDouble)
+      writeBloom(spark, dir, rebuilt)
+      rebuilt
+    }
 
   // ---- minhash artifact (shingle hashes + signatures) ----
 
@@ -198,13 +204,21 @@ object RefStore {
     try BloomFilter.readFrom(in) finally in.close()
   }
 
+  /** MERGE the given keys into meta.properties (never replace the file):
+    * the exact-dedup and minhash families share one store dir by design,
+    * and a `writeMinhash` that clobbered the bloom's expectedItems/fpp
+    * would brick the exact artifact's merge and crash-recovery loads.
+    */
   private def writeMeta(spark: SparkSession, dir: String,
-      kv: Map[String, String]): Unit =
+      kv: Map[String, String]): Unit = {
+    val existing =
+      if (exists(spark, dir, META)) readMeta(spark, dir) else Map.empty[String, String]
     writeSmallFile(spark, dir, META) { out =>
       val p = new java.util.Properties()
-      kv.foreach { case (k, v) => p.setProperty(k, v) }
+      (existing ++ kv).foreach { case (k, v) => p.setProperty(k, v) }
       p.store(out, null)
     }
+  }
 
   private def readMeta(spark: SparkSession, dir: String): Map[String, String] = {
     val in = fs(spark, dir).open(new org.apache.hadoop.fs.Path(dir, META))

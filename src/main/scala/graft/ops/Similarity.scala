@@ -613,18 +613,18 @@ object Similarity {
     * every new embedding batch before it reaches ANN/dedup (a broken
     * encoder shows up as dead dimensions, exploded scales, or NaN/NULL
     * components long before recall metrics notice). One row per dimension:
-    * exact micro-quantized BIGINT sums (mean), sums of SQUARED micro
-    * values (variance — for unit-scale embeddings q² ≤ 1e12, so the sum
-    * stays in BIGINT for corpora to ~10^6 rows per stats batch; shard the
-    * stats pass beyond that, or sooner when components run near the 3e3
-    * cutoff), integer min/max, and a `n_bad` count of components that are NaN, ±Inf, NULL,
+    * exact micro-quantized BIGINT sums (mean) and sums of SQUARED micro
+    * values (variance) — the squares are accumulated in DECIMAL(38,0)
+    * (exact integers to 10³⁸: no row count a single stats batch can hold
+    * overflows it) and the wire value is ONE cast of that exact integer
+    * to DOUBLE, which both engines round identically — plus integer
+    * min/max and a `n_bad` count of components that are NaN, ±Inf, NULL,
     * or beyond the quantization range (|x| > 3.0e3 — a finite "exploded
     * scale" must be REPORTED by the QA op, not crash). The cutoff is
-    * `floor(sqrt(Long.Max)) / 1e6`: it keeps not just `round(x·1e6)` but
-    * also its SQUARE inside BIGINT, so the `_q·_q` sum-of-squares term can
-    * never hit an ANSI ArithmeticException (and never silently diverges
-    * from DuckDB's HUGEINT promotion). Bad components are counted, never
-    * summed. Degenerate vectors (NULL or
+    * `floor(sqrt(Long.Max)) / 1e6`: it keeps each single square inside
+    * BIGINT, which the ORACLE side needs (DuckDB evaluates `qv·qv` in
+    * BIGINT before its SUM promotes to HUGEINT). Bad components are
+    * counted, never summed. Degenerate vectors (NULL or
     * empty) surface as one `dim = -1` row, so the whole profile is ONE
     * lazy pass: posexplode_outer → a map-side-combined hash aggregate to
     * `dims + 1` rows, no extra scan, no driver action. Everything on the
@@ -643,7 +643,11 @@ object Similarity {
         count(lit(1)).as("n"),
         sum(when(col("_bad"), 1L).otherwise(0L)).as("n_bad"),
         sum(col("_q")).as("sum_micro"),
-        sum(col("_q") * col("_q")).as("sumsq_micro2"),
+        // cast BEFORE the multiply: two near-cutoff components would
+        // overflow the BIGINT product sum under ANSI; decimal sums stay
+        // exact and one final double cast matches DuckDB's HUGEINT→DOUBLE
+        sum(col("_q").cast("decimal(38,0)") * col("_q").cast("decimal(38,0)"))
+          .cast("double").as("sumsq_micro2"),
         min(col("_q")).as("min_micro"),
         max(col("_q")).as("max_micro"))
 

@@ -112,12 +112,17 @@ object TrainExport {
     locally {
       val base = new org.apache.hadoop.fs.Path(outDir)
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val shardRe = java.util.regex.Pattern.quote(filePrefix) + "shard-\\d{6}\\.tar"
+      val quoted = java.util.regex.Pattern.quote(filePrefix)
+      val shardRe = quoted + "shard-\\d{6}\\.tar"
+      // temps match the FULL dot-hidden shard-temp shape for THIS prefix —
+      // a bare startsWith(".")/endsWith(".tmp") would let a batch-mode
+      // overwrite (prefix "") delete a concurrent streaming batch's
+      // in-flight temps and kill that micro-batch's renames
+      val tmpRe = "\\." + shardRe + "\\.\\d+\\.tmp"
       if (fs.exists(base)) fs.listStatus(base).foreach { st =>
         val n = st.getPath.getName
-        val stale = (overwrite && n.matches(shardRe)) ||
-          (n.startsWith(s".$filePrefix") && n.endsWith(".tmp"))
-        if (stale) fs.delete(st.getPath, false)
+        if ((overwrite && n.matches(shardRe)) || n.matches(tmpRe))
+          fs.delete(st.getPath, false)
       }
     }
     val manifest = prepared.queryExecution.toRdd.mapPartitions { rows =>

@@ -32,6 +32,21 @@ object Registry {
       .getOrElse(df)
   }
 
+  /** Temp dir deleted at JVM exit. Bench passes, Verify, and plan-shape
+    * tests invoke store-lifecycle queries repeatedly in one process;
+    * leaking a parquet tree per invocation accumulates on a shared box.
+    */
+  private def tempDirForRun(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   // ---- role mapping: orders as status-bearing transfer rows --------------
   // file_status ← o_orderstatus; source_file_size ← >0 / 0 / NULL three-way
   // split on o_totalprice so files/folders/null semantics all occur.
@@ -1213,7 +1228,7 @@ object Registry {
       | SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
       |  CAST(SUM(qv) AS BIGINT) AS sum_micro,
-      |  CAST(SUM(qv * qv) AS BIGINT) AS sumsq_micro2,
+      |  CAST(SUM(qv * qv) AS DOUBLE) AS sumsq_micro2,
       |  CAST(MIN(qv) AS BIGINT) AS min_micro,
       |  CAST(MAX(qv) AS BIGINT) AS max_micro
       | FROM q GROUP BY dim ORDER BY dim""".stripMargin.replace("\n", " ")
@@ -2364,7 +2379,7 @@ object Registry {
     */
   def qDedupStore(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val store = java.nio.file.Files.createTempDirectory("graft-refstore").toString
+    val store = tempDirForRun("graft-refstore")
     graft.ops.RefStore.writeExact(
       docs.filter(col("doc_id") % 4 === 0), "text", store, expectedItems = 100000L)
     graft.ops.RefStore.mergeExact(docs.filter(col("doc_id") % 4 === 1), "text", store)

@@ -61,7 +61,14 @@ object BloomScale {
     // plain anti-join and (b) cost build-free probe time, because it reads
     // the persisted bloom + fingerprint parquet instead of re-scanning and
     // re-hashing the reference corpus per batch
-    val store = java.nio.file.Files.createTempDirectory("bloomscale-store").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("bloomscale-store")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(storeDir.toFile)
+    }))
+    val store = storeDir.toString
     val (_, tCommit) = timed(
       graft.ops.RefStore.writeExact(reference, "text", store,
         expectedItems = refRows))

@@ -75,6 +75,29 @@ class RefStoreSpec extends SparkSpec {
     assert(stored.contains(13L) && stored.contains(14L))
   }
 
+  test("both families share one store dir: meta keys merge, never clobber") {
+    val dir = Files.createTempDirectory("refstore-both").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    // writing the minhash family must MERGE into meta.properties — a
+    // replace would brick the exact family's merge + crash-recovery loads
+    RefStore.writeMinhash(batch1, "doc_id", "text", dir)
+    RefStore.mergeExact(batch2, "text", dir)
+    RefStore.mergeMinhash(batch2, "doc_id", "text", dir)
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+      === Set(12L, 13L, 14L))
+    assert(survivors(Dedup.minhashAgainstStored(
+      incoming, dir, "doc_id", "text", threshold = 0.5)) === Set(13L, 14L))
+  }
+
+  test("exact store: a merge retried from the missing-bloom crash window succeeds") {
+    val dir = Files.createTempDirectory("refstore-mergecrash").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    Files.delete(Paths.get(dir, "bloom.bin")) // crashed mid-merge, bloom gone
+    RefStore.mergeExact(batch2, "text", dir)  // the retry must rebuild, not throw
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+      === Set(12L, 13L, 14L))
+  }
+
   test("minhash store: signature-law parameter mismatch fails fast") {
     val dir = Files.createTempDirectory("refstore-meta").toString
     RefStore.writeMinhash(batch1, "doc_id", "text", dir, numHashes = 64, shingleSize = 3)

@@ -199,7 +199,7 @@ class SimilaritySpec extends SparkSpec {
     // exact ANSI ArithmeticException window the cutoff exists to close
     assert(d0.getAs[Long]("n") === 5L && d0.getAs[Long]("n_bad") === 2L)
     assert(d0.getAs[Long]("sum_micro") === 4500000L)      // (1 + 3 + 0.5)e6
-    assert(d0.getAs[Long]("sumsq_micro2") === 1e12.toLong + 9e12.toLong + 25e10.toLong)
+    assert(d0.getAs[Double]("sumsq_micro2") === 1e12 + 9e12 + 25e10)
     assert(d0.getAs[Long]("min_micro") === 500000L && d0.getAs[Long]("max_micro") === 3000000L)
     val d1 = r(1L)
     assert(d1.getAs[Long]("n_bad") === 3L, "NaN, Inf AND element-NULL all count as bad")
@@ -208,6 +208,20 @@ class SimilaritySpec extends SparkSpec {
     val deg = r(-1L)
     assert(deg.getAs[Long]("n") === 2L, "NULL and empty vectors surface at dim -1")
     assert(deg.isNullAt(deg.fieldIndex("sum_micro")))
+  }
+
+  test("embeddingDimStats: near-cutoff components can't overflow the square sum") {
+    // two components just under the 3e3 cutoff: each square ≈ 9e18 fits
+    // BIGINT alone, but their SUM exceeds Long.Max — the decimal
+    // accumulator must absorb it instead of throwing under ANSI
+    val e = Seq(
+      (1L, Array(2999.0f)),
+      (2L, Array(2999.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingDimStats(e, "embedding").collect().head
+    assert(r.getAs[Long]("n_bad") === 0L, "2999 is inside the cutoff — good")
+    val q = BigInt(math.round(2999.0f.toDouble * 1000000.0))
+    assert(r.getAs[Double]("sumsq_micro2") === (q * q * 2).toDouble)
+    assert(r.getAs[Long]("sum_micro") === (q * 2).toLong)
   }
 
   test("hardNegatives: nearest DIFFERENT-label rows only; NULL label laws") {
