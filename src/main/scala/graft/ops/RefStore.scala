@@ -161,6 +161,40 @@ object RefStore {
     (spark.read.parquet(path(dir, SIGNATURES)), nh, ss)
   }
 
+  // ---- centroid artifact (semantic-dedup cluster accumulators) ----
+
+  private val CENTROIDS = "centroids"
+
+  /** Persist [[Similarity.clusterCentroidSums]] accumulators. The frame is
+    * (cluster_id, dim, sum_micro, n_members) — exact BIGINTs, so batches
+    * merge by plain integer addition: `mergeCentroids` just APPENDS partial
+    * sums and [[loadCentroidSums]] re-aggregates. This is the property the
+    * accumulators were quantized for — a float centroid store could not
+    * merge without order-dependent drift.
+    */
+  def writeCentroids(sums: DataFrame, dir: String): Unit =
+    sums.select(col("cluster_id"), col("dim"), col("sum_micro"), col("n_members"))
+      .write.mode("overwrite").parquet(path(dir, CENTROIDS))
+
+  /** Append one batch's partial accumulators (same cluster-id space —
+    * the caller's assignment contract).
+    */
+  def mergeCentroids(sums: DataFrame, dir: String): Unit =
+    sums.select(col("cluster_id"), col("dim"), col("sum_micro"), col("n_members"))
+      .write.mode("append").parquet(path(dir, CENTROIDS))
+
+  /** The re-aggregated exact accumulator frame — bit-identical to running
+    * [[Similarity.clusterCentroidSums]] over the union of every committed
+    * batch (integer sums are order- and batching-independent). Feeds
+    * [[Similarity.assignNearestCentroid]] directly: the incremental
+    * semantic-dedup path with a PERSISTED codebook.
+    */
+  def loadCentroidSums(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(path(dir, CENTROIDS))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(sum(col("sum_micro")).as("sum_micro"),
+        sum(col("n_members")).as("n_members"))
+
   // ---- shared plumbing ----
 
   private def fingerprintsOf(df: DataFrame, textCol: String): DataFrame =

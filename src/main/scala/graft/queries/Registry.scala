@@ -1386,6 +1386,38 @@ object Registry {
       |  COUNT(*) AS n_members
       | FROM q GROUP BY 1, 2 ORDER BY cluster_id, dim""".stripMargin.replace("\n", " ")
 
+  /** PERSISTED centroid accumulators, full lifecycle oracled
+    * ([[graft.ops.RefStore.writeCentroids]]/mergeCentroids/loadCentroidSums):
+    * the corpus's cluster accumulators commit in TWO batches (even then odd
+    * vec_ids, same assignment space) as appended PARTIAL integer sums; the
+    * load re-aggregates. Because the accumulators are exact BIGINTs, the
+    * merged store must be BIT-IDENTICAL to computing the sums over the
+    * whole corpus at once — so the oracle is exactly the q_cluster_centroids
+    * law, and a store that drops a partial row, double-counts a merge, or
+    * mis-aggregates on load hash-mismatches here. This is the persisted
+    * codebook the incremental assignNearestCentroid path loads per batch.
+    */
+  def qCentroidStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val assign = graft.ops.Clusters.dedupClusters(
+      graft.ops.Similarity.blockedNearDupPairs(
+        e, "vec_id", "embedding", "label", threshold = 0.4))
+    val store = tempDirForRun("graft-centroids")
+    graft.ops.RefStore.writeCentroids(
+      graft.ops.Similarity.clusterCentroidSums(
+        e.filter(col("vec_id") % 2 === 0), assign, "vec_id", "embedding"), store)
+    graft.ops.RefStore.mergeCentroids(
+      graft.ops.Similarity.clusterCentroidSums(
+        e.filter(col("vec_id") % 2 === 1), assign, "vec_id", "embedding"), store)
+    graft.ops.RefStore.loadCentroidSums(spark, store)
+      .orderBy("cluster_id", "dim")
+  }
+
+  /** Same law as q_cluster_centroids: batching is invisible to exact
+    * integer accumulators, which is precisely the property under test.
+    */
+  val qCentroidStoreSql: String = qClusterCentroidsSql
+
   /** Distributed Lloyd refinement ([[graft.ops.Similarity.kmeansRefineSums]]):
     * 2 rounds of assign+update from the 4 lowest-id seeds, every comparison
     * integer (quantized unit vectors → exact BIGINT dot-product argmax) and
@@ -2517,6 +2549,49 @@ object Registry {
       |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.ia = d.doc_id)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** PERSISTED near-dup guard, full lifecycle oracled
+    * ([[graft.ops.RefStore.writeMinhash]]/mergeMinhash +
+    * [[graft.ops.Dedup.minhashAgainstStored]]): the reference corpus
+    * commits its shingle/signature frames in two batches (doc_id % 9 ∈
+    * {0, 1}); the incoming batch (% 9 ≥ 2) dedups against the LOADED
+    * signatures without recomputing the reference side. The oracle
+    * recomputes the EXACT against-law over the union of both committed
+    * batches — the q_minhash_against discipline — so a store that loses a
+    * signature row, appends under drifted law parameters, or breaks the
+    * banding-from-stored-signatures path hash-mismatches here.
+    */
+  def qMinhashStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val store = tempDirForRun("graft-mhstore")
+    graft.ops.RefStore.writeMinhash(
+      docs.filter(col("doc_id") % 9 === 0), "doc_id", "text", store)
+    graft.ops.RefStore.mergeMinhash(
+      docs.filter(col("doc_id") % 9 === 1), "doc_id", "text", store)
+    graft.ops.Dedup.minhashAgainstStored(
+        docs.filter(col("doc_id") % 9 >= 2), store, "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val qMinhashStoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+      |  FROM toks WHERE len(tk) >= 3),
+      | exi AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |  WHERE doc_id % 9 >= 2 AND len(shingles) > 0),
+      | exr AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+      |  WHERE doc_id % 9 <= 1 AND len(shingles) > 0),
+      | pairs AS (SELECT i.doc_id AS ia, r.doc_id AS ir, COUNT(*) AS shared,
+      |   any_value(i.n) AS ni, any_value(r.n) AS nr
+      |  FROM exi i JOIN exr r USING (s) GROUP BY 1, 2),
+      | flagged AS (SELECT DISTINCT ia FROM pairs
+      |  WHERE CAST(shared AS DOUBLE)/(ni+nr-shared) >= 0.8)
+      | SELECT doc_id, lang FROM documents d
+      | WHERE doc_id % 9 >= 2
+      |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.ia = d.doc_id)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Semantic decontamination ([[graft.ops.Similarity.embedAgainst]]):
     * incoming embeddings (vec_id % 4 ≠ 0) dropped when they cosine ≥ 0.35
     * against ANY reference row (vec_id % 4 = 0) in the same `label` block.
@@ -2908,6 +2983,7 @@ object Registry {
     "q_rolling_hour" -> (qRollingHour _),
     "q_semantic_clusters" -> (qSemanticClusters _),
     "q_cluster_centroids" -> (qClusterCentroids _),
+    "q_centroid_store" -> (qCentroidStore _),
     "q_kmeans_refine" -> (qKmeansRefine _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -2927,6 +3003,7 @@ object Registry {
     "q_dedup_store" -> (qDedupStore _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_minhash_against" -> (qMinhashAgainst _),
+    "q_minhash_store" -> (qMinhashStore _),
     "q_embed_against" -> (qEmbedAgainst _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_token_windows" -> (qTokenWindows _),
@@ -3025,6 +3102,7 @@ object Registry {
     "q_rolling_hour" -> qRollingHourSql,
     "q_semantic_clusters" -> qSemanticClustersSql,
     "q_cluster_centroids" -> qClusterCentroidsSql,
+    "q_centroid_store" -> qCentroidStoreSql,
     "q_kmeans_refine" -> qKmeansRefineSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_grouping_sets" -> qGroupingSetsSql,
@@ -3044,6 +3122,7 @@ object Registry {
     "q_dedup_store" -> qDedupStoreSql,
     "q_dsir_select" -> qDsirSelectSql,
     "q_minhash_against" -> qMinhashAgainstSql,
+    "q_minhash_store" -> qMinhashStoreSql,
     "q_embed_against" -> qEmbedAgainstSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_token_windows" -> qTokenWindowsSql,

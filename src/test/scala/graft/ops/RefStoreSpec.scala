@@ -98,6 +98,35 @@ class RefStoreSpec extends SparkSpec {
       === Set(12L, 13L, 14L))
   }
 
+  test("centroid store: partial-sum merge ≡ whole-corpus accumulators; assignment from store ≡ direct") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)),
+      (5L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val dir = Files.createTempDirectory("refstore-cent").toString
+    RefStore.writeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" % 2 === 0), assign, "vec_id", "embedding"), dir)
+    RefStore.mergeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" % 2 === 1), assign, "vec_id", "embedding"), dir)
+    val loaded = RefStore.loadCentroidSums(spark, dir)
+    val direct = Similarity.clusterCentroidSums(emb, assign, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster_id", "dim", "sum_micro", "n_members")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows(loaded) === rows(direct),
+      "batched integer merge must be invisible — bit-identical accumulators")
+    // the persisted codebook drives incremental assignment identically
+    val incoming = Seq((10L, Array(0.95f, 0.05f)), (11L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    def assigned(sums: org.apache.spark.sql.DataFrame) =
+      Similarity.assignNearestCentroid(incoming, sums, "vec_id", "embedding")
+        .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(assigned(loaded) === assigned(direct))
+    assert(assigned(loaded) === Map(10L -> 1L, 11L -> 3L))
+  }
+
   test("minhash store: signature-law parameter mismatch fails fast") {
     val dir = Files.createTempDirectory("refstore-meta").toString
     RefStore.writeMinhash(batch1, "doc_id", "text", dir, numHashes = 64, shingleSize = 3)
