@@ -195,6 +195,59 @@ object RefStore {
       .agg(sum(col("sum_micro")).as("sum_micro"),
         sum(col("n_members")).as("n_members"))
 
+  // ---- IVF index artifact (coarse centroids + assigned corpus) ----
+
+  private val IVF_CENTROIDS = "ivf_centroids"
+  private val IVF_ASSIGNED = "ivf_assigned"
+
+  /** Build and persist an IVF index: train coarse centroids once
+    * ([[Similarity.trainIvfCentroids]], bounded seeded sample) and run the
+    * whole-corpus cell-assignment pass once, instead of per query batch.
+    * The centroids are the IMMUTABLE half of the index (the standard IVF
+    * contract — new vectors quantize into the existing cells; retrain by
+    * rebuilding the store when drift warrants it); the assigned corpus is
+    * the growable half.
+    */
+  def writeIvf(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int = 16, maxTrainRows: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.trainIvfCentroids(corpus, vecCol, nlist, maxTrainRows)
+    writeMeta(spark, dir, Map("version" -> "1", "ivfNlist" -> nlist.toString))
+    centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "cvec")
+      .write.mode("overwrite").parquet(path(dir, IVF_CENTROIDS))
+    Similarity.assignIvfCells(corpus, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(path(dir, IVF_ASSIGNED))
+  }
+
+  /** Quantize one ingest batch into the EXISTING cells and append. Ids must
+    * be unique across batches (the ingest key contract).
+    */
+  def mergeIvf(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val (centroids, _) = loadIvf(batch.sparkSession, dir)
+    Similarity.assignIvfCells(batch, idCol, vecCol, centroids)
+      .write.mode("append").parquet(path(dir, IVF_ASSIGNED))
+  }
+
+  /** (centroids, assigned-corpus frame) — [[Similarity.ivfTopKStored]]'s
+    * input. Centroids are ≤nlist rows: collected, validated against meta.
+    */
+  def loadIvf(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], DataFrame) = {
+    val meta = readMeta(spark, dir)
+    val nlist = meta.getOrElse("ivfNlist",
+      sys.error(s"store $dir holds no IVF artifact (missing ivfNlist)")).toInt
+    val centroids = spark.read.parquet(path(dir, IVF_CENTROIDS))
+      .select(col("cell").cast("int"), col("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(centroids.nonEmpty && centroids.length <= nlist,
+      s"IVF centroid artifact in $dir is inconsistent with meta nlist=$nlist")
+    (centroids, spark.read.parquet(path(dir, IVF_ASSIGNED)))
+  }
+
   // ---- shared plumbing ----
 
   private def fingerprintsOf(df: DataFrame, textCol: String): DataFrame =

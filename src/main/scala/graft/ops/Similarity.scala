@@ -357,33 +357,57 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       maxTrainRows: Int = 100000): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centroids = trainIvfCentroids(corpus, vecCol, nlist, maxTrainRows)
+    ivfProbe(assignIvfCells(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, centroids, k, nprobe)
+  }
 
-    def nearestCells(v: Array[Float], n: Int): Seq[Int] =
-      centroids.map { case (i, c) =>
-        var d = 0.0; var j = 0
-        val dim = math.min(v.length, c.length)
-        while (j < dim) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
-        (i, d)
-      }.sortBy(_._2).take(n).map(_._1).toSeq
+  /** [[ivfTopK]] against a PERSISTED [[RefStore]] IVF index: the corpus-side
+    * cell assignment — the narrow-but-whole-corpus pass — and the trained
+    * centroids are computed when the index commits, not per query batch.
+    * New vectors merge into the FIXED coarse quantizer ([[RefStore.mergeIvf]],
+    * the standard IVF index contract), so query batches only pay the
+    * bounded probe join.
+    */
+  def ivfTopKStored(queries: DataFrame, storeDir: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val (centroids, assigned) = RefStore.loadIvf(queries.sparkSession, storeDir)
+    ivfProbe(assigned, queries, idCol, vecCol, centroids, k, nprobe)
+  }
 
-    val assignCell = udf((v: Array[Float]) => nearestCells(v, 1).head)
-    val probeCells = udf((v: Array[Float]) => nearestCells(v, nprobe))
+  private def nearestCells(centroids: Array[(Int, Array[Double])],
+      v: Array[Float], n: Int): Seq[Int] =
+    centroids.map { case (i, c) =>
+      var d = 0.0; var j = 0
+      val dim = math.min(v.length, c.length)
+      while (j < dim) { val diff = v(j) - c(j); d += diff * diff; j += 1 }
+      (i, d)
+    }.sortBy(_._2).take(n).map(_._1).toSeq
 
+  /** One narrow pass assigning each corpus row to its nearest coarse cell:
+    * (neighbor_id, _cv, cell) — the persisted half of an IVF index.
+    */
+  private[ops] def assignIvfCells(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val assignCell = udf((v: Array[Float]) => nearestCells(centroids, v, 1).head)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("cell", assignCell(col("_cv")))
+  }
+
+  private def ivfProbe(assigned: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[(Int, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    val probeCells = udf((v: Array[Float]) => nearestCells(centroids, v, nprobe))
     // query batch is bounded → broadcast its probe cells; the corpus-side
     // cell assignment stays one narrow pass with no shuffle (the old
     // repartition(cell) only helped when both sides shuffled)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .withColumn("cell", assignCell(col("_cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("cell", explode(probeCells(col("_qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("cell"))
+    assigned.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
+      .withColumn("sim", nativeCosine(queries, col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")

@@ -2592,6 +2592,30 @@ object Registry {
       |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.ia = d.doc_id)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** PERSISTED IVF index ([[graft.ops.RefStore.writeIvf]]/mergeIvf +
+    * [[graft.ops.Similarity.ivfTopKStored]]): the index builds on half the
+    * corpus (training + whole-side cell assignment happen at COMMIT time),
+    * the other half merges into the fixed coarse cells, and the query
+    * batch probes the loaded index — no per-query-batch training or
+    * corpus assignment pass. No SQL oracle (trained centroids); gated by
+    * [[graft.Verify]]'s recall floor like q_ann_ivf.
+    */
+  def qAnnIvfStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val store = tempDirForRun("graft-ivfstore")
+    graft.ops.RefStore.writeIvf(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", store)
+    graft.ops.RefStore.mergeIvf(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store)
+    // nprobe 6 (vs the per-call row's 4): the index trains on HALF the
+    // corpus by design here, so probe a little wider to hold the floor
+    graft.ops.Similarity.ivfTopKStored(
+        e.filter(col("vec_id") < 5), store, "vec_id", "embedding", k = 10,
+        nprobe = 6)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Semantic decontamination ([[graft.ops.Similarity.embedAgainst]]):
     * incoming embeddings (vec_id % 4 ≠ 0) dropped when they cosine ≥ 0.35
     * against ANY reference row (vec_id % 4 = 0) in the same `label` block.
@@ -3004,6 +3028,7 @@ object Registry {
     "q_dsir_select" -> (qDsirSelect _),
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_minhash_store" -> (qMinhashStore _),
+    "q_ann_ivf_store" -> (qAnnIvfStore _),
     "q_embed_against" -> (qEmbedAgainst _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_token_windows" -> (qTokenWindows _),

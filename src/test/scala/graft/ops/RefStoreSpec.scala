@@ -127,6 +127,45 @@ class RefStoreSpec extends SparkSpec {
     assert(assigned(loaded) === Map(10L -> 1L, 11L -> 3L))
   }
 
+  test("ivf store: stored probe ≡ direct ivfTopK; merge quantizes into fixed cells") {
+    val rnd = new scala.util.Random(5)
+    // two tight planted clusters + noise, so top-k is stable
+    val emb = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 0.0f, 1.0f, 0.0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val dir = Files.createTempDirectory("refstore-ivf").toString
+    RefStore.writeIvf(emb, "vec_id", "embedding", dir, nlist = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val stored = rows(Similarity.ivfTopKStored(queries, dir, "vec_id", "embedding", k = 5))
+    val direct = rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nlist = 4))
+    assert(stored === direct, "persisted index must reproduce the per-call build exactly")
+
+    // incremental: build on half, merge the rest into the FIXED cells —
+    // every id must be probe-able afterwards
+    val dir2 = Files.createTempDirectory("refstore-ivf2").toString
+    RefStore.writeIvf(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", dir2, nlist = 4)
+    RefStore.mergeIvf(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2)
+    val (_, assigned) = RefStore.loadIvf(spark, dir2)
+    assert(assigned.count() === 60L, "merged batch must join the index")
+    val got = Similarity.ivfTopKStored(queries, dir2, "vec_id", "embedding",
+      k = 5, nprobe = 4).select("neighbor_id").as[Long].collect().toSet
+    assert(got.exists(_ % 2 == 1L), "merged (odd-id) vectors must be retrievable")
+  }
+
+  test("ivf store: a non-IVF store dir fails fast on load") {
+    val dir = Files.createTempDirectory("refstore-noivf").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 100L)
+    val err = intercept[RuntimeException] {
+      RefStore.loadIvf(spark, dir)
+    }
+    assert(err.getMessage.contains("ivfNlist"))
+  }
+
   test("minhash store: signature-law parameter mismatch fails fast") {
     val dir = Files.createTempDirectory("refstore-meta").toString
     RefStore.writeMinhash(batch1, "doc_id", "text", dir, numHashes = 64, shingleSize = 3)
