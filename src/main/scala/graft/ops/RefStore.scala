@@ -66,7 +66,7 @@ object RefStore {
       expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
     val spark = reference.sparkSession
     val refFp = fingerprintsOf(reference, textCol)
-    val bloom = refFp.stat.bloomFilter("_rh", expectedItems, fpp)
+    val bloom = bloomOf(refFp, expectedItems, fpp)
     writeMeta(spark, dir, Map(
       "version" -> "1",
       "expectedItems" -> expectedItems.toString,
@@ -84,8 +84,7 @@ object RefStore {
     val spark = batch.sparkSession
     val meta = readMeta(spark, dir)
     val batchFp = fingerprintsOf(batch, textCol)
-    val add = batchFp.stat.bloomFilter("_rh",
-      meta("expectedItems").toLong, meta("fpp").toDouble)
+    val add = bloomOf(batchFp, meta("expectedItems").toLong, meta("fpp").toDouble)
     // loadOrRebuild, not loadBloom: the retry of a merge that crashed in
     // the bloom delete→rename window (or any missing-bloom state) must
     // rebuild from the fingerprint truth like loadExact does — otherwise
@@ -108,12 +107,21 @@ object RefStore {
       meta: Map[String, String]): BloomFilter =
     if (exists(spark, dir, BLOOM)) loadBloom(spark, dir)
     else {
-      val rebuilt = spark.read.parquet(path(dir, FINGERPRINTS))
-        .select(col("_rh")).distinct()
-        .stat.bloomFilter("_rh", meta("expectedItems").toLong, meta("fpp").toDouble)
+      val rebuilt = bloomOf(
+        spark.read.parquet(path(dir, FINGERPRINTS)).select(col("_rh")).distinct(),
+        meta("expectedItems").toLong, meta("fpp").toDouble)
       writeBloom(spark, dir, rebuilt)
       rebuilt
     }
+
+  /** `stat.bloomFilter` NPEs on a ZERO-ROW frame (its treeAggregate zero is
+    * null); an empty reference/batch is legitimate — the continuous-ingest
+    * loop starts from an empty corpus — so build the same-parameter (hence
+    * still mergeable) empty filter directly.
+    */
+  private def bloomOf(fp: DataFrame, expectedItems: Long, fpp: Double): BloomFilter =
+    if (fp.isEmpty) BloomFilter.create(expectedItems, fpp)
+    else fp.stat.bloomFilter("_rh", expectedItems, fpp)
 
   // ---- minhash artifact (shingle hashes + signatures) ----
 

@@ -299,4 +299,63 @@ object StreamIngest {
           .cast("double").as("total_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
+
+  /** CONTINUOUS DEDUP'D INGEST — the incremental-corpus loop closed end to
+    * end: each arriving micro-batch (1) drops rows whose content the
+    * [[graft.ops.RefStore]] exact artifact already holds (bloom-prefiltered,
+    * no reference scan), plus within-batch duplicate content (lowest id
+    * survives; NULL-text rows all survive, the exactAgainst law), (2) lands
+    * the survivors under `sinkDir/batch=<id>/`, and (3) commits their
+    * fingerprints back to the store — so batch N+2 dedups against
+    * everything batches ≤ N+1 ingested. The store must exist
+    * ([[graft.ops.RefStore.writeExact]] on the initial corpus, possibly
+    * empty).
+    *
+    * Exactly-once across at-least-once foreachBatch replays, with no
+    * ledger beyond the sink itself: the batch's survivors parquet
+    * (atomic `_SUCCESS` marker) is the source of truth. A replay that
+    * finds the marker SKIPS recomputation — recomputing after the store
+    * merge would see the batch's own fingerprints and emit an empty
+    * (data-losing) overwrite — and then re-merges from the COMMITTED
+    * survivors, which closes the crash window between sink commit and
+    * store merge because [[graft.ops.RefStore.mergeExact]] is idempotent
+    * (bloom OR, consumer-distincted fingerprint append).
+    */
+  def runDedupedIngest(stream: DataFrame, storeDir: String, sinkDir: String,
+      idCol: String, textCol: String, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestDedupedBatch(batch, id, storeDir, sinkDir, idCol, textCol); ()
+      }
+      .start()
+
+  /** One micro-batch of [[runDedupedIngest]] — factored out so the replay
+    * law is directly testable. Idempotent per (batch content, id).
+    */
+  private[streaming] def ingestDedupedBatch(batch: DataFrame, id: Long,
+      storeDir: String, sinkDir: String, idCol: String, textCol: String): Unit = {
+    val spark = batch.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(sinkDir, f"batch=$id%06d")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))) {
+      val fp = graft.functions.TextFns.fingerprintMd5(col(textCol))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(fp).orderBy(col(idCol))
+      val selfDeduped = batch
+        .withColumn("_rn", row_number().over(w))
+        // NULL fingerprints land in ONE window partition: without the
+        // isNull escape every NULL-text row but one would vanish, where
+        // the exactAgainst law keeps them all (no content = no duplicate)
+        .filter(col("_rn") === 1 || fp.isNull)
+        .drop("_rn")
+      graft.ops.Dedup
+        .exactAgainstBloomStored(selfDeduped, storeDir, idCol, textCol)
+        .write.mode("overwrite").parquet(dst.toString)
+    }
+    // ALWAYS merge from the committed survivors — replay-safe (idempotent)
+    // and it closes the crash window between sink commit and store merge
+    graft.ops.RefStore.mergeExact(
+      spark.read.parquet(dst.toString), textCol, storeDir)
+  }
 }

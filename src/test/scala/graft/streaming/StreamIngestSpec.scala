@@ -285,4 +285,44 @@ class StreamIngestSpec extends SparkSpec {
     val total = sessions.agg(sum("n_events")).head.getLong(0)
     assert(total === events.count())
   }
+
+  test("deduped ingest loop: store-known and in-batch dup content drops; replay lossless") {
+    import spark.implicits._
+    val store = tmp("graft-ingest-store")
+    val sink = tmp("graft-ingest-sink")
+    val src = tmp("graft-ingest-src")
+    // the store starts from an EMPTY initial corpus
+    graft.ops.RefStore.writeExact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", store,
+      expectedItems = 1000L)
+    val b1 = Seq((1L, "alpha content"), (2L, "beta content"),
+      (3L, "alpha content"), // in-batch dup: lowest id survives
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(b1.schema).parquet(src)
+    val q = StreamIngest.runDedupedIngest(
+      stream, store, sink, "doc_id", "text", tmp("graft-ingest-ckp"))
+    q.processAllAvailable()
+    val b2 = Seq((10L, "alpha content"), // already ingested by batch 0
+      (11L, "gamma content"), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    def sinkIds() = spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().toSet
+    // NULL-text rows ALL survive (no content = no duplicate, both laws)
+    assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L),
+      "batch 2 must dedup against batch 1's committed fingerprints")
+    // replay of a fully committed batch: marker short-circuits recompute
+    // (recomputing would see the batch's own fingerprints → empty, a LOSS),
+    // and the re-merge from committed survivors is an idempotent no-op
+    StreamIngest.ingestDedupedBatch(b2, 1L, store, sink, "doc_id", "text")
+    assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L), "replay mutated the sink")
+    // a later batch still dedups correctly after the replay
+    StreamIngest.ingestDedupedBatch(
+      Seq((20L, "gamma content"), (21L, "delta content")).toDF("doc_id", "text"),
+      2L, store, sink, "doc_id", "text")
+    assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L, 21L))
+  }
 }
