@@ -56,7 +56,7 @@ object Verify {
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       Seq("q_ann_lsh" -> 0.6, "q_ann_ivf" -> 0.5, "q_ann_pq" -> 0.9,
-          "q_ann_ivf_store" -> 0.5)
+          "q_ann_ivf_store" -> 0.5, "q_ann_pq_store" -> 0.9)
         .foreach { case (name, floor) =>
           // per-query try: one missing/broken output must not skip the
           // remaining floors

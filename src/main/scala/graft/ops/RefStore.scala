@@ -256,6 +256,58 @@ object RefStore {
     (centroids, spark.read.parquet(path(dir, IVF_ASSIGNED)))
   }
 
+  // ---- PQ index artifact (codebooks + encoded corpus) ----
+
+  private val PQ_BOOKS = "pq_codebooks"
+  private val PQ_ENCODED = "pq_encoded"
+
+  /** Build and persist a PQ index: train the per-subspace codebooks once
+    * and encode the corpus to its `m` code bytes once — the compressed
+    * representation IS the artifact a 100 TB deployment scans. Raw vectors
+    * ride along for the exact shortlist rerank. Same immutable-quantizer
+    * contract as [[writeIvf]].
+    */
+  def writePq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      m: Int = 16, nbits: Int = 6, maxTrainRows: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = Similarity.trainPqCodebooks(corpus, vecCol, m, nbits, maxTrainRows)
+    writeMeta(spark, dir, Map("version" -> "1",
+      "pqM" -> m.toString, "pqNbits" -> nbits.toString))
+    books.zipWithIndex.toSeq.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+    }.toDF("subspace", "code", "subvec")
+      .write.mode("overwrite").parquet(path(dir, PQ_BOOKS))
+    Similarity.pqEncodeFrame(corpus, idCol, vecCol, books)
+      .write.mode("overwrite").parquet(path(dir, PQ_ENCODED))
+  }
+
+  /** Encode one ingest batch with the EXISTING codebooks and append. */
+  def mergePq(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val (books, _) = loadPq(batch.sparkSession, dir)
+    Similarity.pqEncodeFrame(batch, idCol, vecCol, books)
+      .write.mode("append").parquet(path(dir, PQ_ENCODED))
+  }
+
+  /** (codebooks, encoded-corpus frame) — [[Similarity.pqTopKStored]]'s
+    * input. Codebooks are m × 2^nbits rows: collected, validated.
+    */
+  def loadPq(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], DataFrame) = {
+    val meta = readMeta(spark, dir)
+    val m = meta.getOrElse("pqM",
+      sys.error(s"store $dir holds no PQ artifact (missing pqM)")).toInt
+    val rows = spark.read.parquet(path(dir, PQ_BOOKS))
+      .select(col("subspace").cast("int"), col("code").cast("int"), col("subvec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty && rows.map(_._1).distinct.length == m,
+      s"PQ codebook artifact in $dir is inconsistent with meta m=$m")
+    val books = rows.groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, cs) => cs.sortBy(_._2).map(_._3) }
+    (books, spark.read.parquet(path(dir, PQ_ENCODED)))
+  }
+
   // ---- shared plumbing ----
 
   private def fingerprintsOf(df: DataFrame, textCol: String): DataFrame =

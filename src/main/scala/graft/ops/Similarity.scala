@@ -477,9 +477,71 @@ object Similarity {
       vecCol: String, k: Int, m: Int = 16, nbits: Int = 6,
       rerank: Boolean = true, shortlistFactor: Int = 8,
       maxTrainRows: Int = 100000): DataFrame = {
+    val books = trainPqCodebooks(corpus, vecCol, m, nbits, maxTrainRows)
+    pqScan(pqEncodeFrame(corpus, idCol, vecCol, books), queries, idCol, vecCol,
+      books, k, rerank, shortlistFactor)
+  }
+
+  /** [[pqTopK]] against a PERSISTED [[RefStore]] PQ index: codebooks train
+    * and the corpus encodes to its `m` code bytes when the index COMMITS
+    * ([[RefStore.writePq]]) — per query batch only the compressed-domain
+    * ADC scan over the stored codes runs, plus the exact rerank of the
+    * bounded shortlist. New vectors encode into the fixed codebooks on
+    * merge, the same immutable-quantizer contract as the IVF store.
+    */
+  def pqTopKStored(queries: DataFrame, storeDir: String, idCol: String,
+      vecCol: String, k: Int, rerank: Boolean = true,
+      shortlistFactor: Int = 8): DataFrame = {
+    val (books, encoded) = RefStore.loadPq(queries.sparkSession, storeDir)
+    pqScan(encoded, queries, idCol, vecCol, books, k, rerank, shortlistFactor)
+  }
+
+  /** Encode one vector against the trained codebooks (nearest centroid per
+    * subspace over the L2-normalized vector) — ONE definition shared by the
+    * per-call scan and the persisted index, so stored codes can never drift
+    * from on-the-fly codes.
+    */
+  private[ops] def pqEncode(books: Array[Array[Array[Double]]],
+      v: Array[Float]): Array[Int] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val vn = normalized(v)
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < book.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = vn(j * sub + i) - book(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best; j += 1
+    }
+    codes
+  }
+
+  /** (neighbor_id, _cv, codes): the encoded corpus — one narrow pass. The
+    * raw vectors ride along for the exact rerank (the standard PQ
+    * deployment keeps full vectors for shortlist re-scoring).
+    */
+  private[ops] def pqEncodeFrame(corpus: DataFrame, idCol: String,
+      vecCol: String, books: Array[Array[Array[Double]]]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val books = trainPqCodebooks(corpus, vecCol, m, nbits, maxTrainRows)
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, v, pqEncode(books, v)) })
+      .toDF("neighbor_id", "_cv", "codes")
+  }
+
+  private def pqScan(encoded: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, books: Array[Array[Array[Double]]], k: Int,
+      rerank: Boolean, shortlistFactor: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val m = books.length
     val sub = books(0)(0).length
     // the ADC scan keeps shortlistFactor·k candidates per query and the
     // exact rerank cuts back to k — the standard recall lever: ADC error
@@ -499,29 +561,15 @@ object Similarity {
       }
     }
     val kk = shortlistK
-    val candidates = corpus.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])]
+    val candidates = encoded.select(col("neighbor_id"), col("codes"))
+      .as[(Long, Array[Int])]
       .mapPartitions { it =>
         // min-heap per query: head is the weakest kept candidate
         val heaps = tables.map { case (qid, _) =>
           qid -> scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
             Ordering.by((x: (Double, Long)) => -x._1))
         }
-        it.foreach { case (nid, v) =>
-          val vn = normalized(v)
-          val codes = new Array[Int](m)
-          var j = 0
-          while (j < m) {
-            val book = books(j)
-            var best = 0; var bestD = Double.MaxValue; var c = 0
-            while (c < book.length) {
-              var d = 0.0; var i = 0
-              while (i < sub) { val t = vn(j * sub + i) - book(c)(i); d += t * t; i += 1 }
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            codes(j) = best; j += 1
-          }
+        it.foreach { case (nid, codes) =>
           var qi = 0
           while (qi < tables.length) {
             val (qid, tab) = tables(qi)
@@ -552,10 +600,9 @@ object Similarity {
       val wr = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       shortlist.select("query_id", "neighbor_id")
-        .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
-          col(vecCol).as("_cv")), "neighbor_id")
+        .join(encoded.select(col("neighbor_id"), col("_cv")), "neighbor_id")
         .join(broadcast(qdf), "query_id")
-        .withColumn("sim", nativeCosine(corpus, col("_qv"), col("_cv")))
+        .withColumn("sim", nativeCosine(queries, col("_qv"), col("_cv")))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")

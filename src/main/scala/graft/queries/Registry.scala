@@ -2616,6 +2616,28 @@ object Registry {
       .orderBy("query_id", "rk")
   }
 
+  /** PERSISTED PQ index ([[graft.ops.RefStore.writePq]]/mergePq +
+    * [[graft.ops.Similarity.pqTopKStored]]): codebooks train and half the
+    * corpus encodes at COMMIT; the other half merges into the fixed
+    * codebooks; the query batch runs only the compressed-domain ADC scan
+    * over the stored codes + exact rerank. No SQL oracle (trained
+    * codebooks); recall-floor-gated by [[graft.Verify]] like the other
+    * ANN rows.
+    */
+  def qAnnPqStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val store = tempDirForRun("graft-pqstore")
+    graft.ops.RefStore.writePq(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", store,
+      m = 16, nbits = 6)
+    graft.ops.RefStore.mergePq(
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store)
+    graft.ops.Similarity.pqTopKStored(
+        e.filter(col("vec_id") < 5), store, "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Semantic decontamination ([[graft.ops.Similarity.embedAgainst]]):
     * incoming embeddings (vec_id % 4 ≠ 0) dropped when they cosine ≥ 0.35
     * against ANY reference row (vec_id % 4 = 0) in the same `label` block.
@@ -3029,6 +3051,7 @@ object Registry {
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_minhash_store" -> (qMinhashStore _),
     "q_ann_ivf_store" -> (qAnnIvfStore _),
+    "q_ann_pq_store" -> (qAnnPqStore _),
     "q_embed_against" -> (qEmbedAgainst _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_token_windows" -> (qTokenWindows _),

@@ -23,7 +23,7 @@ class EntrySpec extends SparkSpec {
     // floor for simhash. q_ann_pq graduated to a full hash oracle via the
     // exact-rerank contract (Registry.qAnnPq).
     assert((q -- o) === Set("q_simhash_neardup", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_ivf_store"),
+      "q_ann_ivf_store", "q_ann_pq_store"),
       "rows-only queries drifted — add an oracle or update the rationale")
   }
 

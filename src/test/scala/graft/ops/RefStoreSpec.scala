@@ -157,6 +157,35 @@ class RefStoreSpec extends SparkSpec {
     assert(got.exists(_ % 2 == 1L), "merged (odd-id) vectors must be retrievable")
   }
 
+  test("pq store: stored ADC scan + rerank ≡ direct pqTopK; merged vectors retrievable") {
+    val rnd = new scala.util.Random(9)
+    val emb = (0 until 80).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 0.0f, 1.0f, 0.0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val dir = Files.createTempDirectory("refstore-pq").toString
+    RefStore.writePq(emb, "vec_id", "embedding", dir, m = 2, nbits = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val stored = rows(Similarity.pqTopKStored(queries, dir, "vec_id", "embedding", k = 5))
+    val direct = rows(Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, m = 2, nbits = 4))
+    assert(stored === direct, "persisted PQ index must reproduce the per-call scan")
+
+    val dir2 = Files.createTempDirectory("refstore-pq2").toString
+    RefStore.writePq(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      dir2, m = 2, nbits = 4)
+    RefStore.mergePq(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2)
+    val (_, encoded) = RefStore.loadPq(spark, dir2)
+    assert(encoded.count() === 80L, "merged batch must join the encoded index")
+    val got = Similarity.pqTopKStored(queries, dir2, "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.exists(_ % 2 == 1L), "merged (odd-id) vectors must be retrievable")
+  }
+
   test("ivf store: a non-IVF store dir fails fast on load") {
     val dir = Files.createTempDirectory("refstore-noivf").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 100L)
