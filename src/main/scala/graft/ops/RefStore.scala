@@ -37,11 +37,15 @@ import graft.functions.TextFns
   *
   * Crash/concurrency contract: ONE writer at a time (merges are
   * driver-side batch commits, serialized by the ingest pipeline). Every
-  * step is idempotent — re-running a merge after a crash ORs the same bits
-  * into the bloom and re-appends fingerprints whose duplicates the
-  * consumers ignore — and the bloom-before-fingerprints order means a
-  * crash between the two leaves `bloom ⊇ fingerprints` intact (extra bits
-  * cost a little verify traffic, never a wrong answer). The fingerprint
+  * step is idempotent, by one of two mechanisms chosen per family:
+  * families whose consumers re-distinct (fingerprints, minhash
+  * signatures) simply re-append on retry; families whose rows CANNOT be
+  * deduplicated after the fact (centroid partial sums, IVF/PQ
+  * assigned/encoded corpus rows) commit each batch under its own
+  * `batch=<id>/` subdir, overwritten on retry. The
+  * bloom-before-fingerprints order means a crash between the two leaves
+  * `bloom ⊇ fingerprints` intact (extra bits cost a little verify
+  * traffic, never a wrong answer). The fingerprint
   * store accumulates one parquet file set per batch; compact it with a
   * standard rewrite (`load → repartition → overwrite`) on whatever cadence
   * the file count warrants.
@@ -175,21 +179,25 @@ object RefStore {
 
   /** Persist [[Similarity.clusterCentroidSums]] accumulators. The frame is
     * (cluster_id, dim, sum_micro, n_members) — exact BIGINTs, so batches
-    * merge by plain integer addition: `mergeCentroids` just APPENDS partial
-    * sums and [[loadCentroidSums]] re-aggregates. This is the property the
-    * accumulators were quantized for — a float centroid store could not
-    * merge without order-dependent drift.
+    * merge by plain integer addition: each batch lands under its OWN
+    * `batch=<id>/` subdir and [[loadCentroidSums]] re-aggregates the whole
+    * tree. The per-batch subdir (overwritten, never appended) is what
+    * makes a crashed-commit RETRY idempotent: partial sums cannot be
+    * deduplicated after the fact (two batches may legitimately produce
+    * identical rows), so a bare parquet append would double-count the
+    * retried batch and silently skew every centroid.
     */
   def writeCentroids(sums: DataFrame, dir: String): Unit =
-    sums.select(col("cluster_id"), col("dim"), col("sum_micro"), col("n_members"))
-      .write.mode("overwrite").parquet(path(dir, CENTROIDS))
+    mergeCentroids(sums, dir, "init")
 
-  /** Append one batch's partial accumulators (same cluster-id space —
-    * the caller's assignment contract).
+  /** Commit one batch's partial accumulators under `batch=<batchId>/`
+    * (same cluster-id space — the caller's assignment contract; batch ids
+    * must be unique per batch and stable across retries).
     */
-  def mergeCentroids(sums: DataFrame, dir: String): Unit =
+  def mergeCentroids(sums: DataFrame, dir: String, batchId: String): Unit =
     sums.select(col("cluster_id"), col("dim"), col("sum_micro"), col("n_members"))
-      .write.mode("append").parquet(path(dir, CENTROIDS))
+      .write.mode("overwrite")
+      .parquet(batchPath(dir, CENTROIDS, batchId))
 
   /** The re-aggregated exact accumulator frame — bit-identical to running
     * [[Similarity.clusterCentroidSums]] over the union of every committed
@@ -202,6 +210,18 @@ object RefStore {
       .groupBy(col("cluster_id"), col("dim"))
       .agg(sum(col("sum_micro")).as("sum_micro"),
         sum(col("n_members")).as("n_members"))
+
+  /** Batch-scoped subdir inside an artifact directory: overwriting it is
+    * the idempotent commit unit for artifacts whose rows cannot be
+    * re-distincted by consumers (partial sums, assigned/encoded corpus
+    * rows). The `batch=` prefix doubles as a partition column on read;
+    * loaders drop it.
+    */
+  private def batchPath(dir: String, artifact: String, batchId: String): String = {
+    require(batchId.nonEmpty && !batchId.exists(c => c == '/' || c == '='),
+      s"batch id must be a plain token, got '$batchId'")
+    new org.apache.hadoop.fs.Path(path(dir, artifact), s"batch=$batchId").toString
+  }
 
   // ---- IVF index artifact (coarse centroids + assigned corpus) ----
 
@@ -226,16 +246,20 @@ object RefStore {
       .toDF("cell", "cvec")
       .write.mode("overwrite").parquet(path(dir, IVF_CENTROIDS))
     Similarity.assignIvfCells(corpus, idCol, vecCol, centroids)
-      .write.mode("overwrite").parquet(path(dir, IVF_ASSIGNED))
+      .write.mode("overwrite").parquet(batchPath(dir, IVF_ASSIGNED, "init"))
   }
 
-  /** Quantize one ingest batch into the EXISTING cells and append. Ids must
-    * be unique across batches (the ingest key contract).
+  /** Quantize one ingest batch into the EXISTING cells and commit it under
+    * `batch=<batchId>/` — overwritten on a crashed-commit retry, never
+    * appended, so a retry cannot double the batch's rows (duplicates would
+    * silently eat top-k slots in the probe). Ids must be unique across
+    * batches (the ingest key contract); batch ids stable across retries.
     */
-  def mergeIvf(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+  def mergeIvf(batch: DataFrame, idCol: String, vecCol: String, dir: String,
+      batchId: String): Unit = {
     val (centroids, _) = loadIvf(batch.sparkSession, dir)
     Similarity.assignIvfCells(batch, idCol, vecCol, centroids)
-      .write.mode("append").parquet(path(dir, IVF_ASSIGNED))
+      .write.mode("overwrite").parquet(batchPath(dir, IVF_ASSIGNED, batchId))
   }
 
   /** (centroids, assigned-corpus frame) — [[Similarity.ivfTopKStored]]'s
@@ -253,7 +277,8 @@ object RefStore {
       .sortBy(_._1)
     require(centroids.nonEmpty && centroids.length <= nlist,
       s"IVF centroid artifact in $dir is inconsistent with meta nlist=$nlist")
-    (centroids, spark.read.parquet(path(dir, IVF_ASSIGNED)))
+    (centroids,
+      spark.read.parquet(path(dir, IVF_ASSIGNED)).drop("batch"))
   }
 
   // ---- PQ index artifact (codebooks + encoded corpus) ----
@@ -279,14 +304,17 @@ object RefStore {
     }.toDF("subspace", "code", "subvec")
       .write.mode("overwrite").parquet(path(dir, PQ_BOOKS))
     Similarity.pqEncodeFrame(corpus, idCol, vecCol, books)
-      .write.mode("overwrite").parquet(path(dir, PQ_ENCODED))
+      .write.mode("overwrite").parquet(batchPath(dir, PQ_ENCODED, "init"))
   }
 
-  /** Encode one ingest batch with the EXISTING codebooks and append. */
-  def mergePq(batch: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+  /** Encode one ingest batch with the EXISTING codebooks and commit it
+    * under `batch=<batchId>/` (idempotent on retry — see [[mergeIvf]]).
+    */
+  def mergePq(batch: DataFrame, idCol: String, vecCol: String, dir: String,
+      batchId: String): Unit = {
     val (books, _) = loadPq(batch.sparkSession, dir)
     Similarity.pqEncodeFrame(batch, idCol, vecCol, books)
-      .write.mode("append").parquet(path(dir, PQ_ENCODED))
+      .write.mode("overwrite").parquet(batchPath(dir, PQ_ENCODED, batchId))
   }
 
   /** (codebooks, encoded-corpus frame) — [[Similarity.pqTopKStored]]'s
@@ -305,7 +333,7 @@ object RefStore {
       s"PQ codebook artifact in $dir is inconsistent with meta m=$m")
     val books = rows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, cs) => cs.sortBy(_._2).map(_._3) }
-    (books, spark.read.parquet(path(dir, PQ_ENCODED)))
+    (books, spark.read.parquet(path(dir, PQ_ENCODED)).drop("batch"))
   }
 
   // ---- shared plumbing ----

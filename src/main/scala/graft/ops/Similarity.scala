@@ -478,8 +478,13 @@ object Similarity {
       rerank: Boolean = true, shortlistFactor: Int = 8,
       maxTrainRows: Int = 100000): DataFrame = {
     val books = trainPqCodebooks(corpus, vecCol, m, nbits, maxTrainRows)
-    pqScan(pqEncodeFrame(corpus, idCol, vecCol, books), queries, idCol, vecCol,
-      books, k, rerank, shortlistFactor)
+    // rerank joins the RAW corpus (one plain pruned scan) — joining the
+    // encode frame here would run the opaque pqEncode closure a second
+    // time over every corpus row just to fetch vectors
+    pqScan(pqEncodeFrame(corpus, idCol, vecCol, books),
+      corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("_cv")),
+      queries, idCol, vecCol, books, k, rerank, shortlistFactor)
   }
 
   /** [[pqTopK]] against a PERSISTED [[RefStore]] PQ index: codebooks train
@@ -493,7 +498,10 @@ object Similarity {
       vecCol: String, k: Int, rerank: Boolean = true,
       shortlistFactor: Int = 8): DataFrame = {
     val (books, encoded) = RefStore.loadPq(queries.sparkSession, storeDir)
-    pqScan(encoded, queries, idCol, vecCol, books, k, rerank, shortlistFactor)
+    // here the encoded frame IS the cheap source of the rerank vectors —
+    // a parquet scan of (_cv), no encode work
+    pqScan(encoded, encoded.select(col("neighbor_id"), col("_cv")),
+      queries, idCol, vecCol, books, k, rerank, shortlistFactor)
   }
 
   /** Encode one vector against the trained codebooks (nearest centroid per
@@ -536,7 +544,8 @@ object Similarity {
       .toDF("neighbor_id", "_cv", "codes")
   }
 
-  private def pqScan(encoded: DataFrame, queries: DataFrame, idCol: String,
+  private def pqScan(encoded: DataFrame, rerankSrc: DataFrame,
+      queries: DataFrame, idCol: String,
       vecCol: String, books: Array[Array[Array[Double]]], k: Int,
       rerank: Boolean, shortlistFactor: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -600,7 +609,7 @@ object Similarity {
       val wr = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
       shortlist.select("query_id", "neighbor_id")
-        .join(encoded.select(col("neighbor_id"), col("_cv")), "neighbor_id")
+        .join(rerankSrc, "neighbor_id")
         .join(broadcast(qdf), "query_id")
         .withColumn("sim", nativeCosine(queries, col("_qv"), col("_cv")))
         .withColumn("rank", row_number().over(wr))

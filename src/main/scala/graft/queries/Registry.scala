@@ -1399,16 +1399,22 @@ object Registry {
     */
   def qCentroidStore(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
+    // cache the assignment: the write and the merge are two separate
+    // actions, and without the cache each would re-run the quadratic
+    // blocked pair join + components fixpoint
     val assign = graft.ops.Clusters.dedupClusters(
       graft.ops.Similarity.blockedNearDupPairs(
-        e, "vec_id", "embedding", "label", threshold = 0.4))
+        e, "vec_id", "embedding", "label", threshold = 0.4)).cache()
     val store = tempDirForRun("graft-centroids")
-    graft.ops.RefStore.writeCentroids(
-      graft.ops.Similarity.clusterCentroidSums(
-        e.filter(col("vec_id") % 2 === 0), assign, "vec_id", "embedding"), store)
-    graft.ops.RefStore.mergeCentroids(
-      graft.ops.Similarity.clusterCentroidSums(
-        e.filter(col("vec_id") % 2 === 1), assign, "vec_id", "embedding"), store)
+    try {
+      graft.ops.RefStore.writeCentroids(
+        graft.ops.Similarity.clusterCentroidSums(
+          e.filter(col("vec_id") % 2 === 0), assign, "vec_id", "embedding"), store)
+      graft.ops.RefStore.mergeCentroids(
+        graft.ops.Similarity.clusterCentroidSums(
+          e.filter(col("vec_id") % 2 === 1), assign, "vec_id", "embedding"),
+        store, batchId = "b1")
+    } finally assign.unpersist(false)
     graft.ops.RefStore.loadCentroidSums(spark, store)
       .orderBy("cluster_id", "dim")
   }
@@ -2606,7 +2612,8 @@ object Registry {
     graft.ops.RefStore.writeIvf(
       e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", store)
     graft.ops.RefStore.mergeIvf(
-      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store)
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store,
+      batchId = "b1")
     // nprobe 6 (vs the per-call row's 4): the index trains on HALF the
     // corpus by design here, so probe a little wider to hold the floor
     graft.ops.Similarity.ivfTopKStored(
@@ -2631,7 +2638,8 @@ object Registry {
       e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", store,
       m = 16, nbits = 6)
     graft.ops.RefStore.mergePq(
-      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store)
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store,
+      batchId = "b1")
     graft.ops.Similarity.pqTopKStored(
         e.filter(col("vec_id") < 5), store, "vec_id", "embedding", k = 10)
       .withColumnRenamed("rank", "rk")

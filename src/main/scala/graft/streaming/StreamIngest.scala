@@ -332,13 +332,44 @@ object StreamIngest {
 
   /** One micro-batch of [[runDedupedIngest]] — factored out so the replay
     * law is directly testable. Idempotent per (batch content, id).
+    *
+    * Lifecycle contract, ENFORCED: `sinkDir` and `checkpointDir` live and
+    * die together. Restarting a stream with a fresh checkpoint over an old
+    * sink restarts batch ids at 0; the `_SUCCESS` marker alone would then
+    * silently DROP the new batch 0 (skip-recompute would keep the stale
+    * survivors). Each committed batch therefore also records an
+    * order-independent content fingerprint (`_BATCH_FP`, hidden from the
+    * parquet reader by its underscore); a marker hit with a DIFFERENT
+    * fingerprint fails loudly instead of losing data.
     */
   private[streaming] def ingestDedupedBatch(batch: DataFrame, id: Long,
       storeDir: String, sinkDir: String, idCol: String, textCol: String): Unit = {
     val spark = batch.sparkSession
     val dst = new org.apache.hadoop.fs.Path(sinkDir, f"batch=$id%06d")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))) {
+    // order-independent batch content fingerprint: one cheap agg, safe to
+    // recompute on replay (unlike the survivors, which post-merge would
+    // recompute as EMPTY)
+    val fpVal = batch.agg(coalesce(
+      sum(xxhash64(col(idCol), coalesce(col(textCol), lit(" ")))
+        .cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO))).head().getDecimal(0).toBigInteger.toString
+    val fpPath = new org.apache.hadoop.fs.Path(dst, "_BATCH_FP")
+    def writeFp(): Unit = {
+      val out = fs.create(fpPath, true)
+      try out.write(fpVal.getBytes("UTF-8")) finally out.close()
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))) {
+      if (fs.exists(fpPath)) {
+        val in = fs.open(fpPath)
+        val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        require(old == fpVal,
+          s"deduped-ingest sink $dst already holds a DIFFERENT batch $id " +
+            "(fingerprint mismatch) — the sink and checkpoint lifecycles are " +
+            "coupled; pair a fresh checkpoint with a fresh sinkDir")
+      } else writeFp() // crash squeezed between parquet commit and fp write
+    } else {
       val fp = graft.functions.TextFns.fingerprintMd5(col(textCol))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(fp).orderBy(col(idCol))
@@ -352,6 +383,7 @@ object StreamIngest {
       graft.ops.Dedup
         .exactAgainstBloomStored(selfDeduped, storeDir, idCol, textCol)
         .write.mode("overwrite").parquet(dst.toString)
+      writeFp()
     }
     // ALWAYS merge from the committed survivors — replay-safe (idempotent)
     // and it closes the crash window between sink commit and store merge

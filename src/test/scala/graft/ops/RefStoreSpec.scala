@@ -109,7 +109,11 @@ class RefStoreSpec extends SparkSpec {
     RefStore.writeCentroids(Similarity.clusterCentroidSums(
       emb.filter($"vec_id" % 2 === 0), assign, "vec_id", "embedding"), dir)
     RefStore.mergeCentroids(Similarity.clusterCentroidSums(
-      emb.filter($"vec_id" % 2 === 1), assign, "vec_id", "embedding"), dir)
+      emb.filter($"vec_id" % 2 === 1), assign, "vec_id", "embedding"), dir, "b1")
+    // crash-retry idempotency: re-committing the same batch id OVERWRITES
+    // its subdir — partial sums must never double-count
+    RefStore.mergeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" % 2 === 1), assign, "vec_id", "embedding"), dir, "b1")
     val loaded = RefStore.loadCentroidSums(spark, dir)
     val direct = Similarity.clusterCentroidSums(emb, assign, "vec_id", "embedding")
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -149,9 +153,12 @@ class RefStoreSpec extends SparkSpec {
     // every id must be probe-able afterwards
     val dir2 = Files.createTempDirectory("refstore-ivf2").toString
     RefStore.writeIvf(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", dir2, nlist = 4)
-    RefStore.mergeIvf(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2)
+    RefStore.mergeIvf(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2, "b1")
+    // retried commit of the same batch id must not double rows (duplicate
+    // neighbors would eat top-k slots in the probe)
+    RefStore.mergeIvf(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2, "b1")
     val (_, assigned) = RefStore.loadIvf(spark, dir2)
-    assert(assigned.count() === 60L, "merged batch must join the index")
+    assert(assigned.count() === 60L, "merged batch must join the index exactly once")
     val got = Similarity.ivfTopKStored(queries, dir2, "vec_id", "embedding",
       k = 5, nprobe = 4).select("neighbor_id").as[Long].collect().toSet
     assert(got.exists(_ % 2 == 1L), "merged (odd-id) vectors must be retrievable")
@@ -178,9 +185,10 @@ class RefStoreSpec extends SparkSpec {
     val dir2 = Files.createTempDirectory("refstore-pq2").toString
     RefStore.writePq(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
       dir2, m = 2, nbits = 4)
-    RefStore.mergePq(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2)
+    RefStore.mergePq(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2, "b1")
+    RefStore.mergePq(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", dir2, "b1")
     val (_, encoded) = RefStore.loadPq(spark, dir2)
-    assert(encoded.count() === 80L, "merged batch must join the encoded index")
+    assert(encoded.count() === 80L, "merged batch must join the encoded index exactly once")
     val got = Similarity.pqTopKStored(queries, dir2, "vec_id", "embedding", k = 5)
       .select("neighbor_id").as[Long].collect().toSet
     assert(got.exists(_ % 2 == 1L), "merged (odd-id) vectors must be retrievable")

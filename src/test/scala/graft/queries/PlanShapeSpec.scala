@@ -301,6 +301,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_dedup_store: stored bloom prefilter below the anti-join, no cartesian") {
+    val p = plan("q_dedup_store")
+    assert(p.contains("graft_might_contain"), "stored bloom prefilter fell out of the plan")
+    assert(p.contains("LeftAnti"), "exact verify anti-join missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_minhash_store: banded bucket join from stored signatures, no cartesian") {
+    val p = plan("q_minhash_store")
+    assert(!p.contains("CartesianProduct"))
+    // reference side must come from the store's parquet, not a recompute:
+    // the scan list shows the signatures directory
+    assert(p.contains("signatures"), "stored-signature scan missing from the plan")
+  }
+
+  test("q_centroid_store: load is one re-aggregation over the store scan") {
+    val p = plan("q_centroid_store")
+    assert(p.contains("HashAggregate"), "partial-sum re-aggregation missing")
+    assert(p.contains("centroids"), "centroid-store scan missing from the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")

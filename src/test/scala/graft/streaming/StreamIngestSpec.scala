@@ -324,5 +324,14 @@ class StreamIngestSpec extends SparkSpec {
       Seq((20L, "gamma content"), (21L, "delta content")).toDF("doc_id", "text"),
       2L, store, sink, "doc_id", "text")
     assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L, 21L))
+    // fresh-checkpoint-over-old-sink collision: a DIFFERENT batch arriving
+    // under a committed id must fail loudly, never silently drop
+    val err = intercept[IllegalArgumentException] {
+      StreamIngest.ingestDedupedBatch(
+        Seq((99L, "entirely different content")).toDF("doc_id", "text"),
+        2L, store, sink, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("fingerprint mismatch"))
+    assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L, 21L), "sink must be untouched")
   }
 }
