@@ -342,7 +342,7 @@ object StreamIngest {
     * parquet reader by its underscore); a marker hit with a DIFFERENT
     * fingerprint fails loudly instead of losing data.
     */
-  private[streaming] def ingestDedupedBatch(batch: DataFrame, id: Long,
+  private[graft] def ingestDedupedBatch(batch: DataFrame, id: Long,
       storeDir: String, sinkDir: String, idCol: String, textCol: String): Unit = {
     val spark = batch.sparkSession
     val dst = new org.apache.hadoop.fs.Path(sinkDir, f"batch=$id%06d")
