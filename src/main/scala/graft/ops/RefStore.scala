@@ -336,6 +336,55 @@ object RefStore {
     (books, spark.read.parquet(path(dir, PQ_ENCODED)).drop("batch"))
   }
 
+  // ---- search-index artifact (postings + document lengths) ----
+
+  private val POSTINGS = "postings"
+  private val LENGTHS = "lengths"
+
+  /** Build and persist an inverted index for [[Relevance.bm25TopDocsStored]]:
+    * per-(doc, token) term frequencies laid out range-partitioned and
+    * sorted by token — so a term query prunes parquet row groups down to
+    * its vocabulary — plus the (doc_id, len) frame the corpus scalars
+    * re-derive from. The whole-corpus tokenize + aggregate runs once per
+    * COMMIT, not per query.
+    */
+  def writeSearchIndex(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    writeMeta(df.sparkSession, dir, Map("version" -> "1", "searchIndex" -> "1"))
+    commitSearchBatch(df, idCol, textCol, dir, "init")
+  }
+
+  /** Commit one batch under `batch=<batchId>/` (idempotent on retry; ids
+    * unique across batches, so per-batch tf IS corpus tf per document).
+    */
+  def mergeSearchIndex(batch: DataFrame, idCol: String, textCol: String,
+      dir: String, batchId: String): Unit =
+    commitSearchBatch(batch, idCol, textCol, dir, batchId)
+
+  private def commitSearchBatch(df: DataFrame, idCol: String, textCol: String,
+      dir: String, batchId: String): Unit = {
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions("token", "doc_id")
+      .write.mode("overwrite").parquet(batchPath(dir, POSTINGS, batchId))
+    df.select(col(idCol).as("doc_id"),
+        TextFns.tokenCount(col(textCol)).as("len"))
+      .write.mode("overwrite").parquet(batchPath(dir, LENGTHS, batchId))
+  }
+
+  /** (postings, lengths) frames of the whole committed index. */
+  def loadSearchIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val meta = readMeta(spark, dir)
+    require(meta.contains("searchIndex"),
+      s"store $dir holds no search-index artifact")
+    (spark.read.parquet(path(dir, POSTINGS))
+       .select(col("doc_id"), col("token"), col("tf")),
+     spark.read.parquet(path(dir, LENGTHS))
+       .select(col("doc_id"), col("len")))
+  }
+
   // ---- shared plumbing ----
 
   private def fingerprintsOf(df: DataFrame, textCol: String): DataFrame =

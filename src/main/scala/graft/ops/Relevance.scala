@@ -75,18 +75,45 @@ object Relevance {
     */
   def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && terms.distinct == terms, "need distinct query terms")
     val lens = df.select(col(idCol).as("doc_id"),
       TextFns.tokenCount(col(textCol)).as("len"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("token"))
+    val tf = toks.filter(col("token").isInCollection(terms))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, lens, terms, k, k1, b)
+  }
+
+  /** BM25 over a PERSISTED search index ([[RefStore.writeSearchIndex]]):
+    * the tokenize + per-(doc, term) aggregation — the whole-corpus pass —
+    * happened when the index committed; a query reads only the
+    * term-pruned postings (the store lays postings out range-partitioned
+    * and sorted by token, so parquet row-group stats prune everything but
+    * the query vocabulary) plus the lengths frame. Same scoring law to
+    * the bit: per-(doc, token) tf within a batch equals the corpus-wide
+    * tf (ids are unique across batches), document frequency and the
+    * corpus scalars re-derive from the stored exact integers.
+    */
+  def bm25TopDocsStored(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (postings, lengths) = RefStore.loadSearchIndex(spark, storeDir)
+    bm25Score(postings.filter(col("token").isInCollection(terms)),
+      lengths, terms, k, k1, b)
+  }
+
+  /** The BM25 scoring law over a prepared per-(doc, term) frequency frame
+    * (doc_id, token, tf) and a lengths frame (doc_id, len) — shared by the
+    * live and stored paths so they cannot drift.
+    */
+  private def bm25Score(tf: DataFrame, lens: DataFrame, terms: Seq[String],
+      k: Int, k1: Double, b: Double): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "need distinct query terms")
     // two exact-integer corpus scalars; avg length derives from them with
     // one double division — bit-equal to any engine doing the same division
     val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("s")).head()
     val nDocs = stats.getLong(0)
     val avgLen = stats.getLong(1).toDouble / nDocs.toDouble
-    val toks = df.select(col(idCol).as("doc_id"),
-      explode(TextFns.tokens(col(textCol))).as("token"))
-    val tf = toks.filter(col("token").isInCollection(terms))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("term_df"))
     val tfD = col("tf").cast("double")
     val idf = ((lit(nDocs) - col("term_df")).cast("double") + lit(0.5)) /

@@ -1693,6 +1693,32 @@ object Registry {
       | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replace("\n", " ")
   }
 
+  /** PERSISTED search index ([[graft.ops.RefStore.writeSearchIndex]] +
+    * [[graft.ops.Relevance.bm25TopDocsStored]]): the corpus commits its
+    * postings + lengths in two batches; the query scores against the
+    * LOADED index without re-tokenizing anything. Oracle = the
+    * q_bm25_search law over the whole corpus: per-document tf, document
+    * frequency, and the exact-integer corpus scalars are
+    * batching-invariant, so the stored path must hash-match the same
+    * scores bit-for-bit — an index that loses a posting, double-commits
+    * a batch, or drifts the layout breaks here.
+    */
+  def qBm25Store(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val store = tempDirForRun("graft-searchstore")
+    graft.ops.RefStore.writeSearchIndex(
+      docs.filter(col("doc_id") % 6 < 3), "doc_id", "text", store)
+    graft.ops.RefStore.mergeSearchIndex(
+      docs.filter(col("doc_id") % 6 >= 3), "doc_id", "text", store, batchId = "b1")
+    graft.ops.Relevance.bm25TopDocsStored(spark, store, bm25Terms, k = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Same law as q_bm25_search: batching is invisible to the exact-integer
+    * index stats — precisely the property under test.
+    */
+  val qBm25StoreSql: String = qBm25SearchSql
+
   /** Temperature-scaled domain sampling
     * ([[graft.ops.Sampling.temperatureSample]] over the skewed `lang`
     * mixture, α = 1/2, base 0.5): the oracle recomputes the per-stratum
@@ -3020,6 +3046,7 @@ object Registry {
     "q_tfidf_terms" -> (qTfidfTerms _),
     "q_domain_sample" -> (qDomainSample _),
     "q_bm25_search" -> (qBm25Search _),
+    "q_bm25_store" -> (qBm25Store _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -3142,6 +3169,7 @@ object Registry {
     "q_tfidf_terms" -> qTfidfTermsSql,
     "q_domain_sample" -> qDomainSampleSql,
     "q_bm25_search" -> qBm25SearchSql,
+    "q_bm25_store" -> qBm25StoreSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
     "q_embed_neardup" -> qEmbedNeardupSql,

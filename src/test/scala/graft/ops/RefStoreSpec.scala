@@ -194,6 +194,28 @@ class RefStoreSpec extends SparkSpec {
     assert(got.exists(_ % 2 == 1L), "merged (odd-id) vectors must be retrievable")
   }
 
+  test("search index: stored BM25 ≡ live scoring; retried commit is a no-op") {
+    val docs = Seq(
+      (1L, "spark merge vector spark"),
+      (2L, "vector vector merge data"),
+      (3L, "spark pipeline"),
+      (4L, "unrelated words entirely"),
+      (5L, "")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("refstore-search").toString
+    RefStore.writeSearchIndex(docs.filter($"doc_id" <= 2), "doc_id", "text", dir)
+    RefStore.mergeSearchIndex(docs.filter($"doc_id" > 2), "doc_id", "text", dir, "b1")
+    // crash retry of the same batch id must not double postings or lengths
+    RefStore.mergeSearchIndex(docs.filter($"doc_id" > 2), "doc_id", "text", dir, "b1")
+    val terms = Seq("spark", "merge", "vector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "score").as[(Long, Double)].collect().toSeq
+        .sortBy(r => (-r._2, r._1))
+    val stored = rows(Relevance.bm25TopDocsStored(spark, dir, terms, k = 10))
+    val live = rows(Relevance.bm25TopDocs(docs, "doc_id", "text", terms, k = 10))
+    assert(stored === live, "stored index must reproduce the live scores bit-for-bit")
+    assert(stored.map(_._1).toSet === Set(1L, 2L, 3L))
+  }
+
   test("ivf store: a non-IVF store dir fails fast on load") {
     val dir = Files.createTempDirectory("refstore-noivf").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 100L)

@@ -323,6 +323,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bm25_store: term filter reaches the postings scan; top-k without global sort") {
+    val p = plan("q_bm25_store")
+    assert(p.contains("postings"), "stored-postings scan missing from the plan")
+    // the query-vocabulary filter must push into the parquet scan, where
+    // the token-sorted layout prunes row groups
+    assert(p.contains("PushedFilters: [In(token"),
+      "term filter failed to push into the postings scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
