@@ -28,12 +28,15 @@ object Bench {
           case t => t
         }
       }
-      // the uniform "q_" prefix is dead weight under a hard char budget:
-      // stripping it in the COMPACT line only (~3 chars × |registry|) buys
-      // a whole precision tier at 95 queries; BENCH_FULL.json keeps the
-      // exact registry names
-      val qs = results.map { case (k, v) => "\"" + k.stripPrefix("q_") + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
+      // the uniform "q_" prefix AND the word-separating underscores are
+      // dead weight under a hard char budget: stripping both in the
+      // COMPACT line only (~4-5 chars × |registry|) keeps the full map
+      // inside the window at 105+ queries; BENCH_FULL.json keeps the
+      // exact registry names, and BenchLineSpec asserts the compaction
+      // never collides two live names
+      val qs = results.map { case (k, v) =>
+        "\"" + k.stripPrefix("q_").replace("_", "") + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // last tier is whole seconds — coarse, but the full map always lands

@@ -385,6 +385,67 @@ object RefStore {
        .select(col("doc_id"), col("len")))
   }
 
+  // ---- DSIR bucket-count artifact (mergeable integer count tables) ----
+
+  private val DSIR_COUNTS = "dsir_counts"
+
+  /** Persist DSIR's hashed-bucket occurrence counts — the whole-corpus
+    * pass behind [[Importance.hashedRatioTable]]. Counts for the TARGET
+    * and SOURCE sides store as (side, bucket, n) rows; batches merge
+    * under `batch=<id>/` subdirs and [[loadDsirRatios]] re-sums — exact
+    * integers, so the re-derived ratio table is BIT-IDENTICAL to
+    * computing it over the union corpus (the same batching-invariance
+    * law as the centroid store). The ln → quantize step still runs once
+    * on the driver at load ([[Importance.ratioMicroScala]]).
+    */
+  def writeDsirCounts(target: DataFrame, source: DataFrame, textCol: String,
+      dir: String, buckets: Int = 256, ngrams: Seq[Int] = Seq(1)): Unit = {
+    writeMeta(target.sparkSession, dir, Map("version" -> "1",
+      "dsirBuckets" -> buckets.toString,
+      "dsirNgrams" -> ngrams.mkString(",")))
+    commitDsirBatch(target, source, textCol, dir, "init")
+  }
+
+  /** Commit one batch's counts (either side may be empty — e.g. a pure
+    * source-corpus growth batch passes an empty target frame).
+    */
+  def mergeDsirCounts(target: DataFrame, source: DataFrame, textCol: String,
+      dir: String, batchId: String): Unit =
+    commitDsirBatch(target, source, textCol, dir, batchId)
+
+  private def commitDsirBatch(target: DataFrame, source: DataFrame,
+      textCol: String, dir: String, batchId: String): Unit = {
+    val spark = target.sparkSession
+    val meta = readMeta(spark, dir)
+    val buckets = meta("dsirBuckets").toInt
+    val ngrams = meta("dsirNgrams").split(",").map(_.toInt).toSeq
+    def side(df: DataFrame, tag: String): DataFrame =
+      Importance.bucketCounts(df, textCol, buckets, ngrams)
+        .select(lit(tag).as("side"), col("_b").as("bucket"), col("_n").as("n"))
+    side(target, "t").unionByName(side(source, "s"))
+      .write.mode("overwrite").parquet(batchPath(dir, DSIR_COUNTS, batchId))
+  }
+
+  /** The quantized ratio table re-derived from every committed batch's
+    * counts — drop-in for [[Importance.importanceWeights]]' `ratios`.
+    */
+  def loadDsirRatios(spark: SparkSession, dir: String): DataFrame = {
+    val meta = readMeta(spark, dir)
+    val buckets = meta.getOrElse("dsirBuckets",
+      sys.error(s"store $dir holds no DSIR artifact")).toInt
+    val merged = spark.read.parquet(path(dir, DSIR_COUNTS))
+      .groupBy(col("side"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    def cmap(tag: String): Map[Int, Long] =
+      merged.collect { case (`tag`, b, n) => b -> n }.toMap
+    val table = Importance.ratioMicroScala(cmap("t"), cmap("s"), buckets)
+    import spark.implicits._
+    table.toSeq.zipWithIndex.map { case (lr, b) => (b, lr) }
+      .toDF("bucket", "lr_micro")
+  }
+
   // ---- shared plumbing ----
 
   private def fingerprintsOf(df: DataFrame, textCol: String): DataFrame =

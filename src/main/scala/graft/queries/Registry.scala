@@ -1719,6 +1719,36 @@ object Registry {
     */
   val qBm25StoreSql: String = qBm25SearchSql
 
+  /** PERSISTED DSIR count tables ([[graft.ops.RefStore.writeDsirCounts]] +
+    * loadDsirRatios): the source corpus commits its hashed-bucket counts
+    * in two batches (the target exemplar once); the ratio table
+    * re-derives from the SUMMED integer counts at load — bit-identical to
+    * the one-shot build because bucket counts are batching-invariant —
+    * and the selection must therefore hash-match the full q_dsir_select
+    * law exactly.
+    */
+  def qDsirStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val target = docs.filter(col("lang") === "en")
+    val store = tempDirForRun("graft-dsirstore")
+    graft.ops.RefStore.writeDsirCounts(
+      target, docs.filter(col("doc_id") % 2 === 0), "text", store)
+    graft.ops.RefStore.mergeDsirCounts(
+      target.limit(0), docs.filter(col("doc_id") % 2 === 1), "text", store,
+      batchId = "b1")
+    graft.ops.Importance.importanceWeights(
+        docs, "doc_id", "text", graft.ops.RefStore.loadDsirRatios(spark, store))
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(50)
+      .select("doc_id", "lang", "weight_micro")
+  }
+
+  /** Same law as q_dsir_select: count batching is invisible. (`lazy`:
+    * q_dsir_select's SQL initializes LATER in this object — an eager val
+    * here would capture null.)
+    */
+  lazy val qDsirStoreSql: String = qDsirSelectSql
+
   /** Temperature-scaled domain sampling
     * ([[graft.ops.Sampling.temperatureSample]] over the skewed `lang`
     * mixture, α = 1/2, base 0.5): the oracle recomputes the per-stratum
@@ -3083,6 +3113,7 @@ object Registry {
     "q_dedup_bloom" -> (qDedupBloom _),
     "q_dedup_store" -> (qDedupStore _),
     "q_dsir_select" -> (qDsirSelect _),
+    "q_dsir_store" -> (qDsirStore _),
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_minhash_store" -> (qMinhashStore _),
     "q_ann_ivf_store" -> (qAnnIvfStore _),
@@ -3205,6 +3236,7 @@ object Registry {
     "q_dedup_bloom" -> qDedupBloomSql,
     "q_dedup_store" -> qDedupStoreSql,
     "q_dsir_select" -> qDsirSelectSql,
+    "q_dsir_store" -> qDsirStoreSql,
     "q_minhash_against" -> qMinhashAgainstSql,
     "q_minhash_store" -> qMinhashStoreSql,
     "q_embed_against" -> qEmbedAgainstSql,

@@ -45,10 +45,18 @@ class BenchLineSpec extends AnyFunSuite {
       assert(!"""\d,\d""".r.findFirstIn(line).isDefined,
         "locale-formatted decimal leaked")
       // minimal structural parse: every registry key appears as "name":
-      // (compact form drops the uniform q_ prefix for the char budget)
+      // (compact form drops the uniform q_ prefix and the underscores for
+      // the char budget)
       SparkEntry.queries.keys.foreach { k =>
-        assert(line.contains("\"" + k.stripPrefix("q_") + "\":"), s"$k missing from line")
+        assert(line.contains("\"" + k.stripPrefix("q_").replace("_", "") + "\":"),
+          s"$k missing from line")
       }
+      // the compaction must stay injective over the LIVE registry — two
+      // names collapsing to one key would silently merge their timings
+      val compacted = SparkEntry.queries.keys
+        .map(_.stripPrefix("q_").replace("_", "")).toSeq
+      assert(compacted.distinct.size === compacted.size,
+        "compact bench names collided")
       assert(line.startsWith("""{"metric":"total","value":"""))
       assert(line.endsWith(""","sf":"sf0.1"}"""))
     } finally java.util.Locale.setDefault(default)

@@ -216,6 +216,30 @@ class RefStoreSpec extends SparkSpec {
     assert(stored.map(_._1).toSet === Set(1L, 2L, 3L))
   }
 
+  test("dsir count store: merged ratios ≡ one-shot table; empty-side batches legal") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha gamma beta gamma"),
+      (3L, "umber vermilion woad"),
+      (4L, "woad umber vermilion woad")).toDF("doc_id", "text")
+    val target = corpus.filter($"doc_id" <= 2)
+    val dir = Files.createTempDirectory("refstore-dsir").toString
+    RefStore.writeDsirCounts(target, corpus.filter($"doc_id" % 2 === 0), "text",
+      dir, buckets = 64)
+    // source grows by a batch with NO new target docs (empty target side)
+    RefStore.mergeDsirCounts(target.limit(0), corpus.filter($"doc_id" % 2 === 1),
+      "text", dir, "b1")
+    // retried commit: no double counts
+    RefStore.mergeDsirCounts(target.limit(0), corpus.filter($"doc_id" % 2 === 1),
+      "text", dir, "b1")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long)].collect().toMap
+    val stored = table(RefStore.loadDsirRatios(spark, dir))
+    val direct = table(Importance.hashedRatioTable(target, corpus, "text", buckets = 64))
+    assert(stored === direct,
+      "summed batch counts must re-derive the one-shot ratio table bit-for-bit")
+  }
+
   test("ivf store: a non-IVF store dir fails fast on load") {
     val dir = Files.createTempDirectory("refstore-noivf").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 100L)
