@@ -135,13 +135,21 @@ object Importance {
     */
   def hashedRatioTable(target: DataFrame, source: DataFrame, textCol: String,
       buckets: Int = 256, ngrams: Seq[Int] = Seq(1)): DataFrame = {
-    val spark = target.sparkSession
     def counts(df: DataFrame): Map[Int, Long] =
       bucketCounts(df, textCol, buckets, ngrams)
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val table = ratioMicroScala(counts(target), counts(source), buckets)
+    ratioFrame(target.sparkSession, counts(target), counts(source), buckets)
+  }
+
+  /** Counts → quantized ratio-table frame, ONE definition shared with the
+    * persisted count store ([[RefStore.loadDsirRatios]]) so the stored
+    * path can never drift from the live one.
+    */
+  private[ops] def ratioFrame(spark: org.apache.spark.sql.SparkSession,
+      tc: Map[Int, Long], sc: Map[Int, Long], buckets: Int): DataFrame = {
     import spark.implicits._
-    table.toSeq.zipWithIndex.map { case (lr, b) => (b, lr) }
+    ratioMicroScala(tc, sc, buckets).toSeq.zipWithIndex
+      .map { case (lr, b) => (b, lr) }
       .toDF("bucket", "lr_micro")
   }
 

@@ -363,6 +363,11 @@ object RefStore {
 
   private def commitSearchBatch(df: DataFrame, idCol: String, textCol: String,
       dir: String, batchId: String): Unit = {
+    // fail loudly on an uninitialized / wrong-family dir BEFORE writing
+    // anything — a silent commit into a foreign store would corrupt its
+    // corpus scalars (the mergeExact/mergeMinhash posture)
+    require(readMeta(df.sparkSession, dir).contains("searchIndex"),
+      s"store $dir holds no search-index artifact — writeSearchIndex first")
     df.select(col(idCol).as("doc_id"),
         explode(TextFns.tokens(col(textCol))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -427,12 +432,22 @@ object RefStore {
   }
 
   /** The quantized ratio table re-derived from every committed batch's
-    * counts — drop-in for [[Importance.importanceWeights]]' `ratios`.
+    * counts, plus the law parameters it was built under — the scorer MUST
+    * be called with the same buckets/ngrams (a 64-bucket table scored mod
+    * 256 silently drops three quarters of all token occurrences in the
+    * join), so the fail-fast options mirror [[loadMinhash]].
     */
-  def loadDsirRatios(spark: SparkSession, dir: String): DataFrame = {
+  def loadDsirRatios(spark: SparkSession, dir: String,
+      requireBuckets: Option[Int] = None,
+      requireNgrams: Option[Seq[Int]] = None): (DataFrame, Int, Seq[Int]) = {
     val meta = readMeta(spark, dir)
     val buckets = meta.getOrElse("dsirBuckets",
       sys.error(s"store $dir holds no DSIR artifact")).toInt
+    val ngrams = meta("dsirNgrams").split(",").map(_.toInt).toSeq
+    requireBuckets.foreach(b => require(b == buckets,
+      s"DSIR store $dir was built with buckets=$buckets, caller expects $b"))
+    requireNgrams.foreach(n => require(n == ngrams,
+      s"DSIR store $dir was built with ngrams=$ngrams, caller expects $n"))
     val merged = spark.read.parquet(path(dir, DSIR_COUNTS))
       .groupBy(col("side"), col("bucket"))
       .agg(sum(col("n")).as("n"))
@@ -440,10 +455,7 @@ object RefStore {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     def cmap(tag: String): Map[Int, Long] =
       merged.collect { case (`tag`, b, n) => b -> n }.toMap
-    val table = Importance.ratioMicroScala(cmap("t"), cmap("s"), buckets)
-    import spark.implicits._
-    table.toSeq.zipWithIndex.map { case (lr, b) => (b, lr) }
-      .toDF("bucket", "lr_micro")
+    (Importance.ratioFrame(spark, cmap("t"), cmap("s"), buckets), buckets, ngrams)
   }
 
   // ---- shared plumbing ----

@@ -1736,8 +1736,10 @@ object Registry {
     graft.ops.RefStore.mergeDsirCounts(
       target.limit(0), docs.filter(col("doc_id") % 2 === 1), "text", store,
       batchId = "b1")
+    val (ratios, buckets, ngrams) =
+      graft.ops.RefStore.loadDsirRatios(spark, store, requireBuckets = Some(256))
     graft.ops.Importance.importanceWeights(
-        docs, "doc_id", "text", graft.ops.RefStore.loadDsirRatios(spark, store))
+        docs, "doc_id", "text", ratios, buckets, ngrams)
       .orderBy(col("weight_micro").desc, col("doc_id"))
       .limit(50)
       .select("doc_id", "lang", "weight_micro")

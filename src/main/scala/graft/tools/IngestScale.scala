@@ -26,6 +26,10 @@ object IngestScale {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(300000L)
     val dupEvery = args.lift(1).map(_.toInt).getOrElse(10)
+    // the exact-survivor arithmetic needs aligned planted ranges, and
+    // dupEvery = 1 would break the offset-plus-1 non-planted-reference law
+    require(dupEvery >= 2 && rows % dupEvery == 0,
+      s"need dupEvery >= 2 dividing rowsPerBatch, got $rows / $dupEvery")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")

@@ -234,10 +234,19 @@ class RefStoreSpec extends SparkSpec {
       "text", dir, "b1")
     def table(df: org.apache.spark.sql.DataFrame) =
       df.as[(Int, Long)].collect().toMap
-    val stored = table(RefStore.loadDsirRatios(spark, dir))
+    val (frame, buckets, ngrams) = RefStore.loadDsirRatios(spark, dir)
+    assert(buckets === 64 && ngrams === Seq(1),
+      "load must hand back the store's law parameters")
+    val stored = table(frame)
     val direct = table(Importance.hashedRatioTable(target, corpus, "text", buckets = 64))
     assert(stored === direct,
       "summed batch counts must re-derive the one-shot ratio table bit-for-bit")
+    // a caller expecting different law params must fail fast, not silently
+    // drop three quarters of the bucket space in the scorer join
+    val err = intercept[IllegalArgumentException] {
+      RefStore.loadDsirRatios(spark, dir, requireBuckets = Some(256))
+    }
+    assert(err.getMessage.contains("buckets=64"))
   }
 
   test("ivf store: a non-IVF store dir fails fast on load") {
