@@ -343,7 +343,77 @@ object StreamIngest {
     * fingerprint fails loudly instead of losing data.
     */
   private[graft] def ingestDedupedBatch(batch: DataFrame, id: Long,
-      storeDir: String, sinkDir: String, idCol: String, textCol: String): Unit = {
+      storeDir: String, sinkDir: String, idCol: String, textCol: String): Unit =
+    ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
+      guard = { b =>
+        val fp = graft.functions.TextFns.fingerprintMd5(col(textCol))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fp).orderBy(col(idCol))
+        val selfDeduped = b
+          .withColumn("_rn", row_number().over(w))
+          // NULL fingerprints land in ONE window partition: without the
+          // isNull escape every NULL-text row but one would vanish, where
+          // the exactAgainst law keeps them all (no content = no duplicate)
+          .filter(col("_rn") === 1 || fp.isNull)
+          .drop("_rn")
+        graft.ops.Dedup.exactAgainstBloomStored(
+          selfDeduped, storeDir, idCol, textCol)
+      },
+      commit = survivors =>
+        graft.ops.RefStore.mergeExact(survivors, textCol, storeDir))
+
+  /** NEAR-DUP tier of the continuous ingest loop — same skeleton, fuzzier
+    * guard: each micro-batch (1) collapses its own near-dup clusters
+    * (banded MinHash pairs → connected components → the smallest id per
+    * cluster survives, the q_cluster_survivors law), (2) drops survivors
+    * that near-duplicate anything the [[graft.ops.RefStore]] minhash
+    * artifact already holds, (3) lands the rest and commits their
+    * signatures back. The store must exist
+    * ([[graft.ops.RefStore.writeMinhash]] on the initial corpus, possibly
+    * empty). Signature re-appends on replay are tolerated by construction
+    * (every consumer re-distincts candidates), so the commit needs no
+    * batch-scoped subdir.
+    */
+  def runNearDupIngest(stream: DataFrame, storeDir: String, sinkDir: String,
+      idCol: String, textCol: String, checkpointDir: String,
+      threshold: Double = 0.8): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestNearDupBatch(batch, id, storeDir, sinkDir, idCol, textCol,
+          threshold); ()
+      }
+      .start()
+
+  private[graft] def ingestNearDupBatch(batch: DataFrame, id: Long,
+      storeDir: String, sinkDir: String, idCol: String, textCol: String,
+      threshold: Double): Unit =
+    ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
+      guard = { b =>
+        val pairs = graft.ops.Dedup.minhashLshPairs(
+          b, idCol, textCol, threshold = threshold)
+        // cluster_id IS the smallest member id (the components law), so
+        // every other member is a within-batch near-dup loser
+        val losers = graft.ops.Clusters.dedupClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("_loser"))
+        val selfSurvivors = b
+          .join(losers, col(idCol).cast("long") === col("_loser"), "left_anti")
+        graft.ops.Dedup.minhashAgainstStored(
+          selfSurvivors, storeDir, idCol, textCol, threshold = threshold)
+      },
+      commit = survivors =>
+        graft.ops.RefStore.mergeMinhash(survivors, idCol, textCol, storeDir))
+
+  /** The shared exactly-once micro-batch skeleton of the ingest loops:
+    * guard → land survivors under `sinkDir/batch=<id>/` → commit survivors
+    * to the store, with the `_SUCCESS` + `_BATCH_FP` replay/collision
+    * protocol of [[ingestDedupedBatch]]'s scaladoc.
+    */
+  private def ingestGuardedBatch(batch: DataFrame, id: Long, sinkDir: String,
+      idCol: String, textCol: String,
+      guard: DataFrame => DataFrame,
+      commit: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
     val dst = new org.apache.hadoop.fs.Path(sinkDir, f"batch=$id%06d")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -365,29 +435,16 @@ object StreamIngest {
         val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         require(old == fpVal,
-          s"deduped-ingest sink $dst already holds a DIFFERENT batch $id " +
+          s"guarded-ingest sink $dst already holds a DIFFERENT batch $id " +
             "(fingerprint mismatch) — the sink and checkpoint lifecycles are " +
             "coupled; pair a fresh checkpoint with a fresh sinkDir")
       } else writeFp() // crash squeezed between parquet commit and fp write
     } else {
-      val fp = graft.functions.TextFns.fingerprintMd5(col(textCol))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(fp).orderBy(col(idCol))
-      val selfDeduped = batch
-        .withColumn("_rn", row_number().over(w))
-        // NULL fingerprints land in ONE window partition: without the
-        // isNull escape every NULL-text row but one would vanish, where
-        // the exactAgainst law keeps them all (no content = no duplicate)
-        .filter(col("_rn") === 1 || fp.isNull)
-        .drop("_rn")
-      graft.ops.Dedup
-        .exactAgainstBloomStored(selfDeduped, storeDir, idCol, textCol)
-        .write.mode("overwrite").parquet(dst.toString)
+      guard(batch).write.mode("overwrite").parquet(dst.toString)
       writeFp()
     }
-    // ALWAYS merge from the committed survivors — replay-safe (idempotent)
+    // ALWAYS commit from the committed survivors — replay-safe (idempotent)
     // and it closes the crash window between sink commit and store merge
-    graft.ops.RefStore.mergeExact(
-      spark.read.parquet(dst.toString), textCol, storeDir)
+    commit(spark.read.parquet(dst.toString))
   }
 }

@@ -334,4 +334,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(err.getMessage.contains("fingerprint mismatch"))
     assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L, 21L), "sink must be untouched")
   }
+
+  test("near-dup ingest loop: in-batch clusters collapse to min id; cross-batch near-dups drop") {
+    import spark.implicits._
+    val store = tmp("graft-neardup-store")
+    val sink = tmp("graft-neardup-sink")
+    graft.ops.RefStore.writeMinhash(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", store)
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills"
+    val edit1 = base.replace("rain", "snow")   // near-dup of base
+    val edit2 = base.replace("quiet", "silent") // another near-dup
+    val other = "completely unrelated text about spark shuffles partitions joins and broadcast exchanges here"
+    // batch 0: base + its in-batch near-dup + one unrelated doc
+    StreamIngest.ingestNearDupBatch(
+      Seq((1L, base), (2L, edit1), (3L, other)).toDF("doc_id", "text"),
+      0L, store, sink, "doc_id", "text", threshold = 0.5)
+    // batch 1: a near-dup of the STORED survivor + a genuinely new doc
+    StreamIngest.ingestNearDupBatch(
+      Seq((10L, edit2),
+        (11L, "fresh content with its own vocabulary entirely distinct from previous documents in every way"))
+        .toDF("doc_id", "text"),
+      1L, store, sink, "doc_id", "text", threshold = 0.5)
+    val ids = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 11L),
+      "in-batch cluster keeps id 1; stored near-dup drops 10; new docs survive")
+  }
 }
