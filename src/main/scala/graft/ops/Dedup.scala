@@ -187,10 +187,15 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
+    minhashLshPairsSh(
+      shingleHashFrame(df, idCol, textCol, shingleSize, numHashes),
+      numHashes, bands, threshold, maxBucket)
+
+  private def minhashLshPairsSh(sh: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = shingleHashFrame(df, idCol, textCol, shingleSize, numHashes)
     val sig = sh.select(col("_id"), col("_sig"))
     val banded = sig.select(col("_id"), explode(
       array((0 until bands).map { b =>
@@ -361,7 +366,18 @@ object Dedup {
 
   private def minhashAgainstSh(incoming: DataFrame, refSh: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
-      shingleSize: Int, threshold: Double, maxBucket: Int): DataFrame = {
+      shingleSize: Int, threshold: Double, maxBucket: Int): DataFrame =
+    minhashAgainstPre(incoming,
+      shingleHashFrame(incoming, idCol, textCol, shingleSize, numHashes),
+      refSh, idCol, numHashes, bands, threshold, maxBucket)
+
+  /** Core of the against-law with the incoming shingle/signature frame
+    * PRECOMPUTED — the seam that lets one pass feed both the in-batch
+    * pair search and the store screen in the streaming ingest guard.
+    */
+  private def minhashAgainstPre(incoming: DataFrame, shi: DataFrame,
+      refSh: DataFrame, idCol: String, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     def banded(sh: DataFrame, as: String): DataFrame = {
@@ -373,7 +389,6 @@ object Dedup {
         .select(col("_id").as(as), col("bk.band"), col("bk.bh"))
       capBuckets(b, Seq("band", "bh"), as, maxBucket, s"against_$as")
     }
-    val shi = shingleHashFrame(incoming, idCol, textCol, shingleSize, numHashes)
     val bi = banded(shi, "_iid")
     val br = banded(refSh, "_rid")
     val cand = bi.join(br, Seq("band", "bh"))
@@ -389,6 +404,38 @@ object Dedup {
       .withColumn("_mhid", col(idCol).cast("long"))
       .join(flagged, col("_mhid") === col("_iid"), "left_anti")
       .drop("_mhid")
+  }
+
+  /** The streaming-ingest near-dup guard in ONE shingle pass: collapse the
+    * batch's own near-dup clusters (banded pairs → connected components →
+    * smallest id survives) and screen the survivors against a persisted
+    * [[RefStore]] minhash artifact — BOTH stages reading a single
+    * shingle/signature frame of the batch (the `_id` barrier makes it one
+    * ReusedExchange), and both running under the STORE's law parameters
+    * (numHashes/shingleSize from meta — hard-coding defaults here would
+    * silently apply two different dedup laws in one loop when the store
+    * was built non-default). Returns the surviving rows of `batch`.
+    */
+  def nearDupSurvivorsAgainstStore(batch: DataFrame, storeDir: String,
+      idCol: String, textCol: String, bands: Int = 16,
+      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    val (refSh, numHashes, shingleSize) =
+      RefStore.loadMinhash(batch.sparkSession, storeDir)
+    require(numHashes % bands == 0,
+      s"bands=$bands must divide the store's numHashes=$numHashes")
+    val shi = shingleHashFrame(batch, idCol, textCol, shingleSize, numHashes)
+    val pairs = minhashLshPairsSh(shi, numHashes, bands, threshold, maxBucket)
+    // cluster_id IS the smallest member id (the components law), so every
+    // other member is a within-batch near-dup loser
+    val losers = Clusters.dedupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("_loser"))
+    val survivors = batch
+      .join(losers, col(idCol).cast("long") === col("_loser"), "left_anti")
+    val shiSurvivors = shi
+      .join(losers, col("_id") === col("_loser"), "left_anti")
+    minhashAgainstPre(survivors, shiSurvivors, refSh, idCol,
+      numHashes, bands, threshold, maxBucket)
   }
 
   /** 64-bit SimHash of a document: sign-aggregate of per-token hash bits.

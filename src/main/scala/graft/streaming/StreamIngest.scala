@@ -367,41 +367,32 @@ object StreamIngest {
     * (banded MinHash pairs → connected components → the smallest id per
     * cluster survives, the q_cluster_survivors law), (2) drops survivors
     * that near-duplicate anything the [[graft.ops.RefStore]] minhash
-    * artifact already holds, (3) lands the rest and commits their
-    * signatures back. The store must exist
+    * artifact already holds — both stages in ONE shingle pass, under the
+    * STORE's law parameters
+    * ([[graft.ops.Dedup.nearDupSurvivorsAgainstStore]]) — and (3) lands
+    * the rest and commits their signatures back. The store must exist
     * ([[graft.ops.RefStore.writeMinhash]] on the initial corpus, possibly
-    * empty). Signature re-appends on replay are tolerated by construction
-    * (every consumer re-distincts candidates), so the commit needs no
-    * batch-scoped subdir.
+    * empty); `bands` must divide the store's numHashes. Signature
+    * re-appends on replay are tolerated by construction (every consumer
+    * re-distincts candidates), so the commit needs no batch-scoped subdir.
     */
   def runNearDupIngest(stream: DataFrame, storeDir: String, sinkDir: String,
       idCol: String, textCol: String, checkpointDir: String,
-      threshold: Double = 0.8): StreamingQuery =
+      threshold: Double = 0.8, bands: Int = 16): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestNearDupBatch(batch, id, storeDir, sinkDir, idCol, textCol,
-          threshold); ()
+          threshold, bands); ()
       }
       .start()
 
   private[graft] def ingestNearDupBatch(batch: DataFrame, id: Long,
       storeDir: String, sinkDir: String, idCol: String, textCol: String,
-      threshold: Double): Unit =
+      threshold: Double, bands: Int = 16): Unit =
     ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
-      guard = { b =>
-        val pairs = graft.ops.Dedup.minhashLshPairs(
-          b, idCol, textCol, threshold = threshold)
-        // cluster_id IS the smallest member id (the components law), so
-        // every other member is a within-batch near-dup loser
-        val losers = graft.ops.Clusters.dedupClusters(pairs)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("_loser"))
-        val selfSurvivors = b
-          .join(losers, col(idCol).cast("long") === col("_loser"), "left_anti")
-        graft.ops.Dedup.minhashAgainstStored(
-          selfSurvivors, storeDir, idCol, textCol, threshold = threshold)
-      },
+      guard = b => graft.ops.Dedup.nearDupSurvivorsAgainstStore(
+        b, storeDir, idCol, textCol, bands, threshold),
       commit = survivors =>
         graft.ops.RefStore.mergeMinhash(survivors, idCol, textCol, storeDir))
 

@@ -335,28 +335,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L, 21L), "sink must be untouched")
   }
 
-  test("near-dup ingest loop: in-batch clusters collapse to min id; cross-batch near-dups drop") {
+  test("near-dup ingest loop: in-batch collapse, cross-batch drops, NULL text, replay — through the real stream") {
     import spark.implicits._
     val store = tmp("graft-neardup-store")
     val sink = tmp("graft-neardup-sink")
+    val src = tmp("graft-neardup-src")
     graft.ops.RefStore.writeMinhash(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", store)
     val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet hills"
     val edit1 = base.replace("rain", "snow")   // near-dup of base
     val edit2 = base.replace("quiet", "silent") // another near-dup
     val other = "completely unrelated text about spark shuffles partitions joins and broadcast exchanges here"
-    // batch 0: base + its in-batch near-dup + one unrelated doc
-    StreamIngest.ingestNearDupBatch(
-      Seq((1L, base), (2L, edit1), (3L, other)).toDF("doc_id", "text"),
-      0L, store, sink, "doc_id", "text", threshold = 0.5)
+    // batch 0: base + its in-batch near-dup + one unrelated doc + NULL text
+    val b1 = Seq((1L, base), (2L, edit1), (3L, other),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    val q = StreamIngest.runNearDupIngest(
+      spark.readStream.schema(b1.schema).parquet(src),
+      store, sink, "doc_id", "text", tmp("graft-neardup-ckp"), threshold = 0.5)
+    q.processAllAvailable()
     // batch 1: a near-dup of the STORED survivor + a genuinely new doc
+    val b2 = Seq((10L, edit2),
+      (11L, "fresh content with its own vocabulary entirely distinct from previous documents in every way"))
+      .toDF("doc_id", "text")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    def ids() = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+    // NULL text: empty shingle set pairs with nothing — survives, matching
+    // the exact tier's no-content-no-duplicate law
+    assert(ids() === Set(1L, 3L, 4L, 11L),
+      "in-batch cluster keeps id 1; stored near-dup drops 10; NULL + new docs survive")
+    // replay of a committed batch (the skeleton's marker + fp protocol):
+    // sink untouched, store commit idempotent by consumer re-distinct
+    StreamIngest.ingestNearDupBatch(b2, 1L, store, sink, "doc_id", "text",
+      threshold = 0.5)
+    assert(ids() === Set(1L, 3L, 4L, 11L), "replay mutated the sink")
+    // a later batch still screens against the grown store after the replay
     StreamIngest.ingestNearDupBatch(
-      Seq((10L, edit2),
-        (11L, "fresh content with its own vocabulary entirely distinct from previous documents in every way"))
-        .toDF("doc_id", "text"),
-      1L, store, sink, "doc_id", "text", threshold = 0.5)
-    val ids = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
-    assert(ids === Set(1L, 3L, 11L),
-      "in-batch cluster keeps id 1; stored near-dup drops 10; new docs survive")
+      Seq((20L, base.replace("hills", "plains"))).toDF("doc_id", "text"),
+      2L, store, sink, "doc_id", "text", threshold = 0.5)
+    assert(ids() === Set(1L, 3L, 4L, 11L),
+      "near-dup of the stored survivor must drop after replay")
   }
 }
