@@ -296,6 +296,13 @@ object Dedup {
     cand
       .join(sh.select(col("_jid").as("id_a"), col("_sh").as("_sha")), "id_a")
       .join(sh.select(col("_jid").as("id_b"), col("_sh").as("_shb")), "id_b")
+      // empty shingle sets (NULL text, docs shorter than the shingle size)
+      // all share the degenerate all-MaxValue signature, so they collide in
+      // EVERY band and reach this verify as candidate pairs — where the
+      // Jaccard denominator is 0 and the division THROWS under ANSI (or
+      // yields NaN >= threshold = true without it, silently dropping them).
+      // No n-gram content = no near-duplicate: exclude before dividing.
+      .filter(size(col("_sha")) > 0 && size(col("_shb")) > 0)
       .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("double"))
       .withColumn("jaccard", col("_inter") /
         (size(col("_sha")) + size(col("_shb")) - col("_inter")))
@@ -396,6 +403,10 @@ object Dedup {
     val flagged = cand
       .join(shi.select(col("_id").as("_iid"), col("_sh").as("_sha")), "_iid")
       .join(refSh.select(col("_id").as("_rid"), col("_sh").as("_shb")), "_rid")
+      // same degenerate-pair exclusion as verifyJaccard: empty-vs-empty
+      // candidates would divide 0/0 (ANSI throw) — and a stored empty
+      // signature would otherwise arm that crash for every later batch
+      .filter(size(col("_sha")) > 0 && size(col("_shb")) > 0)
       .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("double"))
       .filter(col("_inter") /
         (size(col("_sha")) + size(col("_shb")) - col("_inter")) >= threshold)
@@ -406,15 +417,19 @@ object Dedup {
       .drop("_mhid")
   }
 
-  /** The streaming-ingest near-dup guard in ONE shingle pass: collapse the
-    * batch's own near-dup clusters (banded pairs → connected components →
-    * smallest id survives) and screen the survivors against a persisted
-    * [[RefStore]] minhash artifact — BOTH stages reading a single
-    * shingle/signature frame of the batch (the `_id` barrier makes it one
-    * ReusedExchange), and both running under the STORE's law parameters
-    * (numHashes/shingleSize from meta — hard-coding defaults here would
-    * silently apply two different dedup laws in one loop when the store
-    * was built non-default). Returns the surviving rows of `batch`.
+  /** The streaming-ingest near-dup guard: collapse the batch's own
+    * near-dup clusters (banded pairs → connected components → smallest id
+    * survives) and screen the survivors against a persisted [[RefStore]]
+    * minhash artifact — both stages over ONE logical shingle/signature
+    * frame and, critically, ONE law: numHashes/shingleSize come from the
+    * store's meta, because hard-coding defaults here would silently apply
+    * two different dedup laws in one loop when the store was built
+    * non-default. Cost note, stated honestly: the components fixpoint is
+    * an eager sub-job, so the final action re-evaluates the batch's
+    * shingle pass (exchange reuse does not span actions) — that
+    * recomputation is MICRO-BATCH-sized; the store side, the corpus-scale
+    * half, is parquet and never recomputes. Returns the surviving rows of
+    * `batch`.
     */
   def nearDupSurvivorsAgainstStore(batch: DataFrame, storeDir: String,
       idCol: String, textCol: String, bands: Int = 16,

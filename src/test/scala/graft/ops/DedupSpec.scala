@@ -43,6 +43,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("minhash LSH: empty-shingle docs never pair, never crash (NULL/short text)") {
+    // empty shingle sets all share the degenerate all-MaxValue signature —
+    // they collide in EVERY band, and before the degenerate-pair exclusion
+    // the Jaccard verify divided 0/0 (ANSI throw; NaN-match without ANSI)
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "yes"), (4L, "no"), // shorter than the shingle size: empty sets
+      (5L, "a real document with enough words to carry shingles here"),
+      (6L, "a real document with enough words to carry shingles too"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 <= 4L || p._2 <= 4L),
+      "no-content docs must pair with nothing — not each other, not real docs")
+    assert(pairs === Set((5L, 6L)), "real near-dups still verify")
+    // cross-corpus arm: stored empty signatures meet incoming empty docs
+    val survivors = Dedup.minhashAgainst(
+        docs.filter($"doc_id" >= 3), docs.filter($"doc_id" <= 2),
+        "doc_id", "text", threshold = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(3L, 4L, 5L, 6L),
+      "incoming docs must all survive an empty-signature reference")
+  }
+
   test("minhash signature: identical docs agree, near docs mostly agree") {
     val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 64, 3).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap

@@ -346,35 +346,42 @@ class StreamIngestSpec extends SparkSpec {
     val edit1 = base.replace("rain", "snow")   // near-dup of base
     val edit2 = base.replace("quiet", "silent") // another near-dup
     val other = "completely unrelated text about spark shuffles partitions joins and broadcast exchanges here"
-    // batch 0: base + its in-batch near-dup + one unrelated doc + NULL text
+    // batch 0: base + its in-batch near-dup + one unrelated doc + TWO
+    // NULL-text docs — the pair of empty signatures collides in every LSH
+    // band, the exact configuration that crashed the verify's 0/0 before
+    // the degenerate-pair exclusion
     val b1 = Seq((1L, base), (2L, edit1), (3L, other),
-      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
     b1.coalesce(1).write.mode("append").parquet(src)
     val q = StreamIngest.runNearDupIngest(
       spark.readStream.schema(b1.schema).parquet(src),
       store, sink, "doc_id", "text", tmp("graft-neardup-ckp"), threshold = 0.5)
     q.processAllAvailable()
-    // batch 1: a near-dup of the STORED survivor + a genuinely new doc
+    // batch 1: a near-dup of the STORED survivor + a new doc + ANOTHER
+    // NULL-text doc — its empty signature meets the stored empty
+    // signatures of docs 4/5, the cross-batch arm of the 0/0 crash
     val b2 = Seq((10L, edit2),
-      (11L, "fresh content with its own vocabulary entirely distinct from previous documents in every way"))
+      (11L, "fresh content with its own vocabulary entirely distinct from previous documents in every way"),
+      (12L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     b2.coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable(); q.stop()
     def ids() = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
-    // NULL text: empty shingle set pairs with nothing — survives, matching
-    // the exact tier's no-content-no-duplicate law
-    assert(ids() === Set(1L, 3L, 4L, 11L),
-      "in-batch cluster keeps id 1; stored near-dup drops 10; NULL + new docs survive")
+    // NULL text: no n-gram content, so NOTHING near-duplicates it — every
+    // empty doc survives, matching the exact tier's no-content law
+    assert(ids() === Set(1L, 3L, 4L, 5L, 11L, 12L),
+      "in-batch cluster keeps id 1; stored near-dup drops 10; NULLs + new docs survive")
     // replay of a committed batch (the skeleton's marker + fp protocol):
     // sink untouched, store commit idempotent by consumer re-distinct
     StreamIngest.ingestNearDupBatch(b2, 1L, store, sink, "doc_id", "text",
       threshold = 0.5)
-    assert(ids() === Set(1L, 3L, 4L, 11L), "replay mutated the sink")
+    assert(ids() === Set(1L, 3L, 4L, 5L, 11L, 12L), "replay mutated the sink")
     // a later batch still screens against the grown store after the replay
     StreamIngest.ingestNearDupBatch(
       Seq((20L, base.replace("hills", "plains"))).toDF("doc_id", "text"),
       2L, store, sink, "doc_id", "text", threshold = 0.5)
-    assert(ids() === Set(1L, 3L, 4L, 11L),
+    assert(ids() === Set(1L, 3L, 4L, 5L, 11L, 12L),
       "near-dup of the stored survivor must drop after replay")
   }
 }
