@@ -210,17 +210,52 @@ object TrainExport {
     * simply the set of `manifest-*.tsv` files — append-by-new-file, never
     * append-in-place. Loaders reading `shard-*.tar` in name order get
     * batch-arrival order, the natural incremental training order.
+    *
+    * Lifecycle contract, ENFORCED (same `_BATCH_FP` protocol as the
+    * guarded parquet ingest): shard names alone make SAME-data replays
+    * no-ops, but a fresh checkpoint over an old outDir restarts batch ids
+    * at 0 with DIFFERENT data — dst-present renames would then stand as
+    * false "twin wins" while `manifest-<id>.tsv` is rewritten to describe
+    * the new data, silently diverging manifest from shard bytes. Each
+    * batch therefore records an order-independent content fingerprint
+    * (`_BATCH_FP-<id>`, underscore-hidden from loaders) BEFORE any shard
+    * byte lands; an existing fingerprint that doesn't match the arriving
+    * batch fails loudly before anything is touched.
     */
   def appendTarShards(batch: DataFrame, batchId: Long, outDir: String,
       shardCol: String, keyCol: String,
       members: Seq[(String, String)]): DataFrame = {
     val prefix = f"batch-$batchId%06d-"
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    // hash the BYTES the writer will emit (same binary cast), plus each
+    // member's null flag so a NULL member can't alias an absent one and
+    // position information survives xxhash64's null-skipping
+    val fpCols = Seq(col(shardCol).cast(IntegerType),
+      col(keyCol).cast(StringType)) ++
+      members.flatMap { case (c, _) =>
+        Seq(col(c).cast(BinaryType), col(c).isNull) }
+    val fpVal = batch.agg(coalesce(
+      sum(xxhash64(fpCols: _*).cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+      .toBigInteger.toString
+    val fpPath = new org.apache.hadoop.fs.Path(outDir, f"_BATCH_FP-$batchId%06d")
+    if (fs.exists(fpPath)) {
+      val in = fs.open(fpPath)
+      val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(old == fpVal,
+        s"appendTarShards: $outDir already holds a DIFFERENT batch $batchId " +
+          "(fingerprint mismatch) — the outDir and checkpoint lifecycles are " +
+          "coupled; pair a fresh checkpoint with a fresh outDir")
+    } else {
+      val out = fs.create(fpPath, true)
+      try out.write(fpVal.getBytes("UTF-8")) finally out.close()
+    }
     val manifest = writeTarShardsCore(batch, outDir, shardCol, keyCol, members,
       filePrefix = prefix, overwrite = false)
     val lines = manifest.collect()
       .map(r => s"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}").sorted
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val name = f"manifest-$batchId%06d.tsv"
     val tmp = new org.apache.hadoop.fs.Path(outDir, s".$name.tmp")
     val dst = new org.apache.hadoop.fs.Path(outDir, name)

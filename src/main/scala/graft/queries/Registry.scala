@@ -35,15 +35,24 @@ object Registry {
   /** Temp dir deleted at JVM exit. Bench passes, Verify, and plan-shape
     * tests invoke store-lifecycle queries repeatedly in one process;
     * leaking a parquet tree per invocation accumulates on a shared box.
+    * ONE shutdown hook drains a shared queue — per-call hooks would pile
+    * up a thread per store-query invocation across a bench run.
     */
-  private def tempDirForRun(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
+  private val tempDirsForRun =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tempDirHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(d.toFile)
+      var d = tempDirsForRun.poll()
+      while (d != null) { rm(d.toFile); d = tempDirsForRun.poll() }
     }))
+  }
+  private def tempDirForRun(prefix: String): String = {
+    tempDirHook
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirsForRun.add(d)
     d.toString
   }
 

@@ -338,9 +338,11 @@ object StreamIngest {
     * sink restarts batch ids at 0; the `_SUCCESS` marker alone would then
     * silently DROP the new batch 0 (skip-recompute would keep the stale
     * survivors). Each committed batch therefore also records an
-    * order-independent content fingerprint (`_BATCH_FP`, hidden from the
-    * parquet reader by its underscore); a marker hit with a DIFFERENT
-    * fingerprint fails loudly instead of losing data.
+    * order-independent content fingerprint (`_BATCH_FP-<id>` beside the
+    * batch dir, underscore-hidden from the parquet reader, written BEFORE
+    * the survivors commit so a marker always has its fingerprint); a
+    * marker hit with a DIFFERENT fingerprint fails loudly instead of
+    * losing data.
     */
   private[graft] def ingestDedupedBatch(batch: DataFrame, id: Long,
       storeDir: String, sinkDir: String, idCol: String, textCol: String): Unit =
@@ -415,24 +417,32 @@ object StreamIngest {
       sum(xxhash64(col(idCol), coalesce(col(textCol), lit(" ")))
         .cast("decimal(38,0)")),
       lit(java.math.BigDecimal.ZERO))).head().getDecimal(0).toBigInteger.toString
-    val fpPath = new org.apache.hadoop.fs.Path(dst, "_BATCH_FP")
+    // fp lives BESIDE the batch dir (underscore-hidden from partition
+    // discovery), NOT inside it: the survivors overwrite would delete an
+    // fp written first, and fp-BEFORE-parquet ordering is what makes
+    // "marker present ⇒ fp present" an invariant — a crash can leave an
+    // fp without a marker (harmlessly overwritten on the next attempt),
+    // never a committed batch without its fingerprint.
+    val fpPath = new org.apache.hadoop.fs.Path(sinkDir, f"_BATCH_FP-$id%06d")
     def writeFp(): Unit = {
       val out = fs.create(fpPath, true)
       try out.write(fpVal.getBytes("UTF-8")) finally out.close()
     }
     if (fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))) {
-      if (fs.exists(fpPath)) {
-        val in = fs.open(fpPath)
-        val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        require(old == fpVal,
-          s"guarded-ingest sink $dst already holds a DIFFERENT batch $id " +
-            "(fingerprint mismatch) — the sink and checkpoint lifecycles are " +
-            "coupled; pair a fresh checkpoint with a fresh sinkDir")
-      } else writeFp() // crash squeezed between parquet commit and fp write
+      require(fs.exists(fpPath),
+        s"guarded-ingest sink $dst is committed but carries no batch " +
+          "fingerprint — the sink was not written by this protocol (or was " +
+          "tampered with); refusing to guess whether batch ids collide")
+      val in = fs.open(fpPath)
+      val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(old == fpVal,
+        s"guarded-ingest sink $dst already holds a DIFFERENT batch $id " +
+          "(fingerprint mismatch) — the sink and checkpoint lifecycles are " +
+          "coupled; pair a fresh checkpoint with a fresh sinkDir")
     } else {
+      writeFp() // BEFORE the survivors commit: marker ⇒ fp, by construction
       guard(batch).write.mode("overwrite").parquet(dst.toString)
-      writeFp()
     }
     // ALWAYS commit from the committed survivors — replay-safe (idempotent)
     // and it closes the crash window between sink commit and store merge

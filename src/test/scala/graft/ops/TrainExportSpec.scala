@@ -166,9 +166,10 @@ class TrainExportSpec extends SparkSpec {
     }
     val out = drive("a")
     // ignore the local-FS checksum sidecars (.crc) the Hadoop
-    // LocalFileSystem writes beside every file
+    // LocalFileSystem writes beside every file, and the underscore-hidden
+    // protocol files (_BATCH_FP-*) loaders never see
     val names = new java.io.File(out).listFiles().map(_.getName)
-      .filterNot(_.startsWith(".")).sorted.toSeq
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted.toSeq
     // batch id in the shard name = structurally impossible id collisions,
     // even though both batches carry a shard 0
     assert(names === Seq(
@@ -197,6 +198,20 @@ class TrainExportSpec extends SparkSpec {
     names.foreach { n =>
       assert(java.util.Arrays.equals(before(n), Files.readAllBytes(Paths.get(out, n))),
         s"replay mutated $n")
+    }
+    // fresh-checkpoint-over-old-outDir collision: a committed batch id
+    // arriving with DIFFERENT data must fail loudly BEFORE touching any
+    // shard or manifest byte — the silent alternative is an overwritten
+    // manifest describing bytes the standing "twin win" shards don't hold
+    val err = intercept[IllegalArgumentException] {
+      TrainExport.appendTarShards(
+        Seq((0, "k9", "entirely different")).toDF("shard", "key", "text"), 1L,
+        out, "shard", "key", Seq("text" -> "txt"))
+    }
+    assert(err.getMessage.contains("fingerprint mismatch"))
+    names.foreach { n =>
+      assert(java.util.Arrays.equals(before(n), Files.readAllBytes(Paths.get(out, n))),
+        s"rejected collision mutated $n")
     }
   }
 }
