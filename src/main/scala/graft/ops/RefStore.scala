@@ -35,20 +35,39 @@ import graft.functions.TextFns
   *     mismatch: signatures built under a different law are silently
   *     wrong, which is worse than an error.
   *
-  * Crash/concurrency contract: ONE writer at a time (merges are
-  * driver-side batch commits, serialized by the ingest pipeline). Every
-  * step is idempotent, by one of two mechanisms chosen per family:
-  * families whose consumers re-distinct (fingerprints, minhash
+  * Crash/concurrency contract: ONE writer at a time — ENFORCED, not just
+  * documented: every mutation (the write/merge families and compact) runs under a
+  * `_LEASE` file created-if-absent in the store dir and deleted on
+  * completion, so a second concurrent writer fails fast instead of racing
+  * the bloom/meta read-modify-write (the silent-corruption vector two
+  * simultaneous ingest streams would otherwise hit). A lease left by a
+  * CRASHED writer blocks the store until [[breakLease]] — merges are
+  * idempotent on retry, so break-and-retry is always safe once the dead
+  * writer is confirmed gone. Readers never take the lease.
+  *
+  * Every mutation is idempotent, by one of two mechanisms chosen per
+  * family: families whose consumers re-distinct (fingerprints, minhash
   * signatures) simply re-append on retry; families whose rows CANNOT be
   * deduplicated after the fact (centroid partial sums, IVF/PQ
-  * assigned/encoded corpus rows) commit each batch under its own
-  * `batch=<id>/` subdir, overwritten on retry. The
+  * assigned/encoded corpus rows, postings, DSIR counts) commit each batch
+  * under its own `batch=<id>/` subdir, overwritten on retry. The
   * bloom-before-fingerprints order means a crash between the two leaves
   * `bloom ⊇ fingerprints` intact (extra bits cost a little verify
-  * traffic, never a wrong answer). The fingerprint
-  * store accumulates one parquet file set per batch; compact it with a
-  * standard rewrite (`load → repartition → overwrite`) on whatever cadence
-  * the file count warrants.
+  * traffic, never a wrong answer).
+  *
+  * GROWTH: every append family accumulates one parquet file set per
+  * batch, and the bloom is sized once at [[writeExact]] — past
+  * `expectedItems` its fpp degrades (more rows reach the exact verify
+  * join; correct but increasingly expensive). [[compact]] is the
+  * maintenance operation that re-establishes both: it rewrites each
+  * family into a small bucketed file set (re-distincting / re-summing
+  * where the family's law allows) and re-sizes + rebuilds the bloom from
+  * the TRUE fingerprint count when the corpus outgrew the original
+  * sizing. Run it on whatever cadence the store's file count warrants —
+  * it holds the same write lease as a merge, so never concurrently with
+  * one, and NEVER while a crashed batch commit might still be retried
+  * (a post-compact retry of a pre-compact batch would re-add rows the
+  * compacted artifact already folded in).
   */
 object RefStore {
 
@@ -56,6 +75,53 @@ object RefStore {
   private val SIGNATURES = "signatures"
   private val BLOOM = "bloom.bin"
   private val META = "meta.properties"
+  private val LEASE = "_LEASE"
+  private val COMPACT_DONE = "_COMPACT_DONE"
+
+  // ---- single-writer lease ----
+
+  /** Run `body` holding the store's write lease: create `_LEASE`
+    * fail-if-exists, release on completion (success OR failure — every
+    * mutation is idempotent on retry, so a failed writer must not keep
+    * the store locked). A held lease means a LIVE writer is mid-mutation;
+    * the second writer throws instead of interleaving. Entry also
+    * completes any half-finished [[compact]] swap (see
+    * [[recoverCompact]]) so mutations never touch a mid-swap artifact.
+    */
+  private def withLease[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val f = fs(spark, dir)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    f.mkdirs(base)
+    val p = new org.apache.hadoop.fs.Path(base, LEASE)
+    val token = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "/thread-" + Thread.currentThread().getId
+    val out = try f.create(p, false) catch {
+      case _: java.io.IOException if f.exists(p) =>
+        val in = f.open(p)
+        val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        throw new IllegalStateException(
+          s"store $dir is write-leased by '$holder' — RefStore mutations are " +
+            "single-writer (a concurrent merge would race the bloom/meta " +
+            "read-modify-write and lose updates silently); if that writer " +
+            "crashed, clear it with RefStore.breakLease and retry — merges " +
+            "are idempotent")
+    }
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+    try {
+      allArtifacts.foreach(a => recoverCompact(spark, dir, a))
+      body
+    } finally { f.delete(p, false); () }
+  }
+
+  /** Remove a lease left behind by a CRASHED writer. Only ever call this
+    * after confirming the holder named in the thrown message is gone —
+    * breaking a live writer's lease reopens the interleaving race the
+    * lease exists to close.
+    */
+  def breakLease(spark: SparkSession, dir: String): Unit = {
+    fs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir, LEASE), false); ()
+  }
 
   // ---- exact-dedup artifact (fingerprints + bloom) ----
 
@@ -69,14 +135,16 @@ object RefStore {
   def writeExact(reference: DataFrame, textCol: String, dir: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
     val spark = reference.sparkSession
-    val refFp = fingerprintsOf(reference, textCol)
-    val bloom = bloomOf(refFp, expectedItems, fpp)
-    writeMeta(spark, dir, Map(
-      "version" -> "1",
-      "expectedItems" -> expectedItems.toString,
-      "fpp" -> fpp.toString))
-    writeBloom(spark, dir, bloom)
-    refFp.distinct().write.mode("overwrite").parquet(path(dir, FINGERPRINTS))
+    withLease(spark, dir) {
+      val refFp = fingerprintsOf(reference, textCol)
+      val bloom = bloomOf(refFp, expectedItems, fpp)
+      writeMeta(spark, dir, Map(
+        "version" -> "1",
+        "expectedItems" -> expectedItems.toString,
+        "fpp" -> fpp.toString))
+      writeBloom(spark, dir, bloom)
+      refFp.distinct().write.mode("overwrite").parquet(path(dir, FINGERPRINTS))
+    }
   }
 
   /** Commit one ingest batch into the artifact: OR the batch's bloom into
@@ -86,15 +154,17 @@ object RefStore {
     */
   def mergeExact(batch: DataFrame, textCol: String, dir: String): Unit = {
     val spark = batch.sparkSession
-    val meta = readMeta(spark, dir)
-    val batchFp = fingerprintsOf(batch, textCol)
-    val add = bloomOf(batchFp, meta("expectedItems").toLong, meta("fpp").toDouble)
-    // loadOrRebuild, not loadBloom: the retry of a merge that crashed in
-    // the bloom delete→rename window (or any missing-bloom state) must
-    // rebuild from the fingerprint truth like loadExact does — otherwise
-    // the documented crashed-commit retry fails forever on fs.open
-    writeBloom(spark, dir, loadOrRebuildBloom(spark, dir, meta).mergeInPlace(add))
-    batchFp.distinct().write.mode("append").parquet(path(dir, FINGERPRINTS))
+    withLease(spark, dir) {
+      val meta = readMeta(spark, dir)
+      val batchFp = fingerprintsOf(batch, textCol)
+      val add = bloomOf(batchFp, meta("expectedItems").toLong, meta("fpp").toDouble)
+      // loadOrRebuild, not loadBloom: the retry of a merge that crashed in
+      // the bloom delete→rename window (or any missing-bloom state) must
+      // rebuild from the fingerprint truth like loadExact does — otherwise
+      // the documented crashed-commit retry fails forever on fs.open
+      writeBloom(spark, dir, loadOrRebuildBloom(spark, dir, meta).mergeInPlace(add))
+      batchFp.distinct().write.mode("append").parquet(path(dir, FINGERPRINTS))
+    }
   }
 
   /** Load the exact-dedup artifact: (bloom, distinct-fingerprint frame).
@@ -104,7 +174,7 @@ object RefStore {
     */
   def loadExact(spark: SparkSession, dir: String): (BloomFilter, DataFrame) = {
     val bloom = loadOrRebuildBloom(spark, dir, readMeta(spark, dir))
-    (bloom, spark.read.parquet(path(dir, FINGERPRINTS)).select(col("_rh")).distinct())
+    (bloom, artifactDf(spark, dir, FINGERPRINTS).select(col("_rh")).distinct())
   }
 
   private def loadOrRebuildBloom(spark: SparkSession, dir: String,
@@ -112,7 +182,7 @@ object RefStore {
     if (exists(spark, dir, BLOOM)) loadBloom(spark, dir)
     else {
       val rebuilt = bloomOf(
-        spark.read.parquet(path(dir, FINGERPRINTS)).select(col("_rh")).distinct(),
+        artifactDf(spark, dir, FINGERPRINTS).select(col("_rh")).distinct(),
         meta("expectedItems").toLong, meta("fpp").toDouble)
       writeBloom(spark, dir, rebuilt)
       rebuilt
@@ -138,22 +208,26 @@ object RefStore {
   def writeMinhash(reference: DataFrame, idCol: String, textCol: String,
       dir: String, numHashes: Int = 64, shingleSize: Int = 3): Unit = {
     val spark = reference.sparkSession
-    writeMeta(spark, dir, Map(
-      "version" -> "1",
-      "numHashes" -> numHashes.toString,
-      "shingleSize" -> shingleSize.toString))
-    Dedup.shingleHashFrame(reference, idCol, textCol, shingleSize, numHashes)
-      .write.mode("overwrite").parquet(path(dir, SIGNATURES))
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map(
+        "version" -> "1",
+        "numHashes" -> numHashes.toString,
+        "shingleSize" -> shingleSize.toString))
+      Dedup.shingleHashFrame(reference, idCol, textCol, shingleSize, numHashes)
+        .write.mode("overwrite").parquet(path(dir, SIGNATURES))
+    }
   }
 
   /** Append one batch's signatures (same law parameters, from meta). */
   def mergeMinhash(batch: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = batch.sparkSession
-    val meta = readMeta(spark, dir)
-    Dedup.shingleHashFrame(batch, idCol, textCol,
-        meta("shingleSize").toInt, meta("numHashes").toInt)
-      .write.mode("append").parquet(path(dir, SIGNATURES))
+    withLease(spark, dir) {
+      val meta = readMeta(spark, dir)
+      Dedup.shingleHashFrame(batch, idCol, textCol,
+          meta("shingleSize").toInt, meta("numHashes").toInt)
+        .write.mode("append").parquet(path(dir, SIGNATURES))
+    }
   }
 
   /** Load the signature frame + the law parameters it was built under.
@@ -170,7 +244,7 @@ object RefStore {
       s"minhash store $dir was built with numHashes=$nh, caller expects $n"))
     requireShingleSize.foreach(n => require(n == ss,
       s"minhash store $dir was built with shingleSize=$ss, caller expects $n"))
-    (spark.read.parquet(path(dir, SIGNATURES)), nh, ss)
+    (artifactDf(spark, dir, SIGNATURES), nh, ss)
   }
 
   // ---- centroid artifact (semantic-dedup cluster accumulators) ----
@@ -195,9 +269,11 @@ object RefStore {
     * must be unique per batch and stable across retries).
     */
   def mergeCentroids(sums: DataFrame, dir: String, batchId: String): Unit =
-    sums.select(col("cluster_id"), col("dim"), col("sum_micro"), col("n_members"))
-      .write.mode("overwrite")
-      .parquet(batchPath(dir, CENTROIDS, batchId))
+    withLease(sums.sparkSession, dir) {
+      sums.select(col("cluster_id"), col("dim"), col("sum_micro"), col("n_members"))
+        .write.mode("overwrite")
+        .parquet(batchPath(dir, CENTROIDS, batchId))
+    }
 
   /** The re-aggregated exact accumulator frame — bit-identical to running
     * [[Similarity.clusterCentroidSums]] over the union of every committed
@@ -206,7 +282,7 @@ object RefStore {
     * semantic-dedup path with a PERSISTED codebook.
     */
   def loadCentroidSums(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(path(dir, CENTROIDS))
+    artifactDf(spark, dir, CENTROIDS)
       .groupBy(col("cluster_id"), col("dim"))
       .agg(sum(col("sum_micro")).as("sum_micro"),
         sum(col("n_members")).as("n_members"))
@@ -240,13 +316,15 @@ object RefStore {
       nlist: Int = 16, maxTrainRows: Int = 100000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Similarity.trainIvfCentroids(corpus, vecCol, nlist, maxTrainRows)
-    writeMeta(spark, dir, Map("version" -> "1", "ivfNlist" -> nlist.toString))
-    centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) }
-      .toDF("cell", "cvec")
-      .write.mode("overwrite").parquet(path(dir, IVF_CENTROIDS))
-    Similarity.assignIvfCells(corpus, idCol, vecCol, centroids)
-      .write.mode("overwrite").parquet(batchPath(dir, IVF_ASSIGNED, "init"))
+    withLease(spark, dir) {
+      val centroids = Similarity.trainIvfCentroids(corpus, vecCol, nlist, maxTrainRows)
+      writeMeta(spark, dir, Map("version" -> "1", "ivfNlist" -> nlist.toString))
+      centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) }
+        .toDF("cell", "cvec")
+        .write.mode("overwrite").parquet(path(dir, IVF_CENTROIDS))
+      Similarity.assignIvfCells(corpus, idCol, vecCol, centroids)
+        .write.mode("overwrite").parquet(batchPath(dir, IVF_ASSIGNED, "init"))
+    }
   }
 
   /** Quantize one ingest batch into the EXISTING cells and commit it under
@@ -256,11 +334,12 @@ object RefStore {
     * batches (the ingest key contract); batch ids stable across retries.
     */
   def mergeIvf(batch: DataFrame, idCol: String, vecCol: String, dir: String,
-      batchId: String): Unit = {
-    val (centroids, _) = loadIvf(batch.sparkSession, dir)
-    Similarity.assignIvfCells(batch, idCol, vecCol, centroids)
-      .write.mode("overwrite").parquet(batchPath(dir, IVF_ASSIGNED, batchId))
-  }
+      batchId: String): Unit =
+    withLease(batch.sparkSession, dir) {
+      val (centroids, _) = loadIvf(batch.sparkSession, dir)
+      Similarity.assignIvfCells(batch, idCol, vecCol, centroids)
+        .write.mode("overwrite").parquet(batchPath(dir, IVF_ASSIGNED, batchId))
+    }
 
   /** (centroids, assigned-corpus frame) — [[Similarity.ivfTopKStored]]'s
     * input. Centroids are ≤nlist rows: collected, validated against meta.
@@ -270,7 +349,7 @@ object RefStore {
     val meta = readMeta(spark, dir)
     val nlist = meta.getOrElse("ivfNlist",
       sys.error(s"store $dir holds no IVF artifact (missing ivfNlist)")).toInt
-    val centroids = spark.read.parquet(path(dir, IVF_CENTROIDS))
+    val centroids = artifactDf(spark, dir, IVF_CENTROIDS)
       .select(col("cell").cast("int"), col("cvec"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -278,7 +357,7 @@ object RefStore {
     require(centroids.nonEmpty && centroids.length <= nlist,
       s"IVF centroid artifact in $dir is inconsistent with meta nlist=$nlist")
     (centroids,
-      spark.read.parquet(path(dir, IVF_ASSIGNED)).drop("batch"))
+      artifactDf(spark, dir, IVF_ASSIGNED).drop("batch"))
   }
 
   // ---- PQ index artifact (codebooks + encoded corpus) ----
@@ -296,26 +375,29 @@ object RefStore {
       m: Int = 16, nbits: Int = 6, maxTrainRows: Int = 100000): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val books = Similarity.trainPqCodebooks(corpus, vecCol, m, nbits, maxTrainRows)
-    writeMeta(spark, dir, Map("version" -> "1",
-      "pqM" -> m.toString, "pqNbits" -> nbits.toString))
-    books.zipWithIndex.toSeq.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
-    }.toDF("subspace", "code", "subvec")
-      .write.mode("overwrite").parquet(path(dir, PQ_BOOKS))
-    Similarity.pqEncodeFrame(corpus, idCol, vecCol, books)
-      .write.mode("overwrite").parquet(batchPath(dir, PQ_ENCODED, "init"))
+    withLease(spark, dir) {
+      val books = Similarity.trainPqCodebooks(corpus, vecCol, m, nbits, maxTrainRows)
+      writeMeta(spark, dir, Map("version" -> "1",
+        "pqM" -> m.toString, "pqNbits" -> nbits.toString))
+      books.zipWithIndex.toSeq.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+      }.toDF("subspace", "code", "subvec")
+        .write.mode("overwrite").parquet(path(dir, PQ_BOOKS))
+      Similarity.pqEncodeFrame(corpus, idCol, vecCol, books)
+        .write.mode("overwrite").parquet(batchPath(dir, PQ_ENCODED, "init"))
+    }
   }
 
   /** Encode one ingest batch with the EXISTING codebooks and commit it
     * under `batch=<batchId>/` (idempotent on retry — see [[mergeIvf]]).
     */
   def mergePq(batch: DataFrame, idCol: String, vecCol: String, dir: String,
-      batchId: String): Unit = {
-    val (books, _) = loadPq(batch.sparkSession, dir)
-    Similarity.pqEncodeFrame(batch, idCol, vecCol, books)
-      .write.mode("overwrite").parquet(batchPath(dir, PQ_ENCODED, batchId))
-  }
+      batchId: String): Unit =
+    withLease(batch.sparkSession, dir) {
+      val (books, _) = loadPq(batch.sparkSession, dir)
+      Similarity.pqEncodeFrame(batch, idCol, vecCol, books)
+        .write.mode("overwrite").parquet(batchPath(dir, PQ_ENCODED, batchId))
+    }
 
   /** (codebooks, encoded-corpus frame) — [[Similarity.pqTopKStored]]'s
     * input. Codebooks are m × 2^nbits rows: collected, validated.
@@ -325,7 +407,7 @@ object RefStore {
     val meta = readMeta(spark, dir)
     val m = meta.getOrElse("pqM",
       sys.error(s"store $dir holds no PQ artifact (missing pqM)")).toInt
-    val rows = spark.read.parquet(path(dir, PQ_BOOKS))
+    val rows = artifactDf(spark, dir, PQ_BOOKS)
       .select(col("subspace").cast("int"), col("code").cast("int"), col("subvec"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
@@ -333,7 +415,7 @@ object RefStore {
       s"PQ codebook artifact in $dir is inconsistent with meta m=$m")
     val books = rows.groupBy(_._1).toArray.sortBy(_._1)
       .map { case (_, cs) => cs.sortBy(_._2).map(_._3) }
-    (books, spark.read.parquet(path(dir, PQ_ENCODED)).drop("batch"))
+    (books, artifactDf(spark, dir, PQ_ENCODED).drop("batch"))
   }
 
   // ---- search-index artifact (postings + document lengths) ----
@@ -362,7 +444,7 @@ object RefStore {
     commitSearchBatch(batch, idCol, textCol, dir, batchId)
 
   private def commitSearchBatch(df: DataFrame, idCol: String, textCol: String,
-      dir: String, batchId: String): Unit = {
+      dir: String, batchId: String): Unit = withLease(df.sparkSession, dir) {
     // fail loudly on an uninitialized / wrong-family dir BEFORE writing
     // anything — a silent commit into a foreign store would corrupt its
     // corpus scalars (the mergeExact/mergeMinhash posture)
@@ -384,9 +466,9 @@ object RefStore {
     val meta = readMeta(spark, dir)
     require(meta.contains("searchIndex"),
       s"store $dir holds no search-index artifact")
-    (spark.read.parquet(path(dir, POSTINGS))
+    (artifactDf(spark, dir, POSTINGS)
        .select(col("doc_id"), col("token"), col("tf")),
-     spark.read.parquet(path(dir, LENGTHS))
+     artifactDf(spark, dir, LENGTHS)
        .select(col("doc_id"), col("len")))
   }
 
@@ -421,6 +503,7 @@ object RefStore {
   private def commitDsirBatch(target: DataFrame, source: DataFrame,
       textCol: String, dir: String, batchId: String): Unit = {
     val spark = target.sparkSession
+    withLease(spark, dir) {
     val meta = readMeta(spark, dir)
     val buckets = meta("dsirBuckets").toInt
     val ngrams = meta("dsirNgrams").split(",").map(_.toInt).toSeq
@@ -429,6 +512,7 @@ object RefStore {
         .select(lit(tag).as("side"), col("_b").as("bucket"), col("_n").as("n"))
     side(target, "t").unionByName(side(source, "s"))
       .write.mode("overwrite").parquet(batchPath(dir, DSIR_COUNTS, batchId))
+    }
   }
 
   /** The quantized ratio table re-derived from every committed batch's
@@ -448,7 +532,7 @@ object RefStore {
       s"DSIR store $dir was built with buckets=$buckets, caller expects $b"))
     requireNgrams.foreach(n => require(n == ngrams,
       s"DSIR store $dir was built with ngrams=$ngrams, caller expects $n"))
-    val merged = spark.read.parquet(path(dir, DSIR_COUNTS))
+    val merged = artifactDf(spark, dir, DSIR_COUNTS)
       .groupBy(col("side"), col("bucket"))
       .agg(sum(col("n")).as("n"))
       .collect()
@@ -456,6 +540,178 @@ object RefStore {
     def cmap(tag: String): Map[Int, Long] =
       merged.collect { case (`tag`, b, n) => b -> n }.toMap
     (Importance.ratioFrame(spark, cmap("t"), cmap("s"), buckets), buckets, ngrams)
+  }
+
+  // ---- compaction (the store's growth story) ----
+
+  /** Rewrite every artifact the store holds into a bounded bucketed file
+    * set, and re-size the bloom when the corpus outgrew its sizing. After
+    * thousands of micro-batch merges a store is thousands of small files;
+    * every load then pays the full file listing plus a wide re-distinct /
+    * re-sum. Compaction folds each family down under its OWN law, so the
+    * compacted store is observably IDENTICAL to the uncompacted one:
+    *
+    *   - `fingerprints/`: re-distinct into `numFiles` hash-bucketed files
+    *     (consumers re-distinct anyway — this just makes it cheap). When
+    *     the true count exceeds meta's `expectedItems`, the bloom is
+    *     re-sized to 2× the count and rebuilt from the fingerprint truth
+    *     (delete → re-point meta → rebuild, so any crash mid-sequence
+    *     rebuilds from truth on next load and `bloom ⊇ fingerprints`
+    *     never breaks).
+    *   - `signatures/`: re-distinct (replay re-appends are byte-identical
+    *     rows), bucketed by document id.
+    *   - `centroids/`, `dsir_counts/`: per-batch partial sums fold to ONE
+    *     row per key — exact integer addition, so the folded table is
+    *     bit-identical to re-summing the batch tree.
+    *   - `ivf_assigned/`, `pq_encoded/`: batch subdirs coalesce into one
+    *     `batch=compacted/` set (rows are unique by ingest contract; IVF
+    *     rows re-cluster by cell so probe filters skip row groups).
+    *   - `postings/` + `lengths/`: re-laid out token-range-sorted across
+    *     the WHOLE corpus, restoring the `PushedFilters: [In(token` prune
+    *     that per-batch layout only gives per file.
+    *
+    * Each swap writes the compacted artifact beside the live one, marks
+    * it complete, and only then replaces the live dir; a crash anywhere
+    * leaves either the old artifact or a marked-complete new one, and
+    * every load/merge entry point finishes a half-done swap
+    * ([[recoverCompact]]). Holds the write lease: never run concurrently
+    * with a merge, and never while a crashed pre-compact batch commit
+    * might still be retried (the retry would re-add folded rows).
+    */
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    withLease(spark, dir) {
+      val f = fs(spark, dir)
+      // centroid-only stores carry no meta.properties (no law parameters);
+      // the meta-gated families just don't fire there
+      val meta = if (exists(spark, dir, META)) readMeta(spark, dir)
+        else Map.empty[String, String]
+      def has(name: String): Boolean =
+        f.exists(new org.apache.hadoop.fs.Path(dir, name))
+      if (has(FINGERPRINTS)) {
+        val fp = spark.read.parquet(path(dir, FINGERPRINTS))
+          .select(col("_rh")).distinct()
+        val n = fp.count()
+        swapArtifact(spark, dir, FINGERPRINTS)(tmp =>
+          fp.repartition(numFiles, col("_rh"))
+            .write.mode("overwrite").parquet(tmp))
+        meta.get("expectedItems").map(_.toLong).filter(_ < n).foreach { _ =>
+          f.delete(new org.apache.hadoop.fs.Path(dir, BLOOM), false)
+          writeMeta(spark, dir, Map("expectedItems" -> (n * 2L).toString))
+          loadOrRebuildBloom(spark, dir, readMeta(spark, dir))
+          ()
+        }
+      }
+      if (has(SIGNATURES)) {
+        val sig = spark.read.parquet(path(dir, SIGNATURES)).distinct()
+        swapArtifact(spark, dir, SIGNATURES)(tmp =>
+          sig.repartition(numFiles, col("_id"))
+            .write.mode("overwrite").parquet(tmp))
+      }
+      if (has(CENTROIDS)) {
+        val sums = loadCentroidSums(spark, dir)
+        swapArtifact(spark, dir, CENTROIDS)(tmp =>
+          sums.coalesce(1).write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
+      if (meta.contains("ivfNlist") && has(IVF_ASSIGNED)) {
+        val assigned = spark.read.parquet(path(dir, IVF_ASSIGNED)).drop("batch")
+        swapArtifact(spark, dir, IVF_ASSIGNED)(tmp =>
+          assigned.repartition(numFiles, col("cell")).sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
+      if (meta.contains("pqM") && has(PQ_ENCODED)) {
+        val enc = spark.read.parquet(path(dir, PQ_ENCODED)).drop("batch")
+        swapArtifact(spark, dir, PQ_ENCODED)(tmp =>
+          enc.repartition(numFiles)
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
+      if (meta.contains("searchIndex") && has(POSTINGS)) {
+        val p = spark.read.parquet(path(dir, POSTINGS))
+          .select(col("doc_id"), col("token"), col("tf"))
+        swapArtifact(spark, dir, POSTINGS)(tmp =>
+          p.repartitionByRange(numFiles, col("token"))
+            .sortWithinPartitions("token", "doc_id")
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
+      if (meta.contains("searchIndex") && has(LENGTHS)) {
+        val l = spark.read.parquet(path(dir, LENGTHS))
+          .select(col("doc_id"), col("len"))
+        swapArtifact(spark, dir, LENGTHS)(tmp =>
+          l.repartition(numFiles)
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
+      if (meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
+        val c = spark.read.parquet(path(dir, DSIR_COUNTS))
+          .groupBy(col("side"), col("bucket"))
+          .agg(sum(col("n")).as("n"))
+        swapArtifact(spark, dir, DSIR_COUNTS)(tmp =>
+          c.coalesce(1).write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
+    }
+  }
+
+  /** Every parquet artifact a store can hold — the compact-swap recovery
+    * sweep at mutation entry walks this list.
+    */
+  private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, CENTROIDS,
+    IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS,
+    DSIR_COUNTS)
+
+  /** Atomic-enough artifact replacement: write the compacted set to a
+    * dot-hidden sibling, stamp a completeness marker at its ROOT (the
+    * batch-subdir families put parquet's own `_SUCCESS` one level down),
+    * then delete-and-rename. A crash before the marker leaves the live
+    * artifact untouched (a later compact restarts from scratch); a crash
+    * between delete and rename leaves a marked tmp that [[recoverCompact]]
+    * promotes on the next load or mutation.
+    */
+  private def swapArtifact(spark: SparkSession, dir: String, name: String)(
+      write: String => Unit): Unit = {
+    val f = fs(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(dir, name)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.compact")
+    f.delete(tmp, true)
+    write(tmp.toString)
+    val out = f.create(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE), true)
+    out.close()
+    f.delete(live, true)
+    if (!f.rename(tmp, live))
+      throw new java.io.IOException(s"RefStore.compact: rename $tmp -> $live failed")
+    f.delete(new org.apache.hadoop.fs.Path(live, COMPACT_DONE), false)
+    ()
+  }
+
+  /** Finish a [[swapArtifact]] interrupted between delete and rename:
+    * live dir missing + marked-complete tmp present → promote the tmp.
+    * Any other state is left alone (unmarked tmps are garbage a future
+    * compact clears).
+    */
+  private def recoverCompact(spark: SparkSession, dir: String, name: String): Unit = {
+    val f = fs(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(dir, name)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.compact")
+    if (!f.exists(live) &&
+        f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE))) {
+      if (!f.rename(tmp, live))
+        throw new java.io.IOException(
+          s"RefStore: recovering interrupted compact failed: $tmp -> $live")
+      f.delete(new org.apache.hadoop.fs.Path(live, COMPACT_DONE), false)
+      ()
+    }
+  }
+
+  /** Read a parquet artifact, first completing any interrupted compact
+    * swap — the read-side half of the crash contract.
+    */
+  private def artifactDf(spark: SparkSession, dir: String, name: String): DataFrame = {
+    recoverCompact(spark, dir, name)
+    spark.read.parquet(path(dir, name))
   }
 
   // ---- shared plumbing ----

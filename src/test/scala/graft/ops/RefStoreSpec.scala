@@ -266,4 +266,174 @@ class RefStoreSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("numHashes=64"))
   }
+
+  private def partFiles(dir: String, artifact: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(Paths.get(dir, artifact).toFile).filter(_.getName.startsWith("part-"))
+  }
+
+  test("compact: exact+minhash shared store — observably identical, bucketed files, bloom re-sized past expectedItems") {
+    val dir = Files.createTempDirectory("refstore-compact").toString
+    // expectedItems deliberately UNDERSIZED (3 < the 4 distinct contents the
+    // store grows to) so compaction must re-size the bloom from the truth
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 3L)
+    RefStore.writeMinhash(batch1, "doc_id", "text", dir)
+    RefStore.mergeExact(batch2, "text", dir)
+    RefStore.mergeMinhash(batch2, "doc_id", "text", dir)
+    // replayed merges: duplicate appended rows compaction must re-distinct
+    RefStore.mergeExact(batch2, "text", dir)
+    RefStore.mergeMinhash(batch2, "doc_id", "text", dir)
+    val exactPre = survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+    val mhPre = survivors(Dedup.minhashAgainstStored(incoming, dir, "doc_id", "text", threshold = 0.5))
+    val filesPre = partFiles(dir, "fingerprints").size
+    RefStore.compact(spark, dir, numFiles = 2)
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text")) === exactPre,
+      "compacted exact store must answer identically")
+    assert(survivors(Dedup.minhashAgainstStored(incoming, dir, "doc_id", "text", threshold = 0.5)) === mhPre,
+      "compacted minhash store must answer identically")
+    // ≤ not ==: an empty hash bucket writes no part file at fixture scale
+    assert(partFiles(dir, "fingerprints").size <= 2 && filesPre > 2,
+      s"compaction must fold $filesPre fingerprint files into ≤2 buckets")
+    assert(partFiles(dir, "signatures").size <= 2)
+    // bloom growth: 4 distinct contents > expectedItems=3 → re-sized to 2×count
+    val meta = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(dir, "meta.properties"))
+    try meta.load(in) finally in.close()
+    assert(meta.getProperty("expectedItems").toLong === 8L,
+      "compaction must re-point expectedItems at 2x the true fingerprint count")
+    // post-compact merges keep working (new bloom and meta stay bit-compatible)
+    RefStore.mergeExact(incoming.filter($"doc_id" === 13L), "text", dir)
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+      === exactPre - 13L, "a post-compact merge must dedup against the compacted store")
+  }
+
+  test("compact: centroid and dsir partial-sum trees fold to one batch, bit-identically") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "cluster_id")
+    val cdir = Files.createTempDirectory("refstore-compact-cent").toString
+    RefStore.writeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" <= 2), assign, "vec_id", "embedding"), cdir)
+    RefStore.mergeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" > 2), assign, "vec_id", "embedding"), cdir, "b1")
+    def crows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cluster_id", "dim", "sum_micro", "n_members")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val centPre = crows(RefStore.loadCentroidSums(spark, cdir))
+    RefStore.compact(spark, cdir)
+    assert(crows(RefStore.loadCentroidSums(spark, cdir)) === centPre,
+      "folded centroid sums must be bit-identical (integer addition)")
+    assert(Paths.get(cdir, "centroids").toFile.listFiles()
+      .count(_.getName.startsWith("batch=")) === 1,
+      "the batch tree must fold to one compacted batch")
+
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "alpha gamma beta gamma"),
+      (3L, "umber vermilion woad"), (4L, "woad umber vermilion woad"))
+      .toDF("doc_id", "text")
+    val target = corpus.filter($"doc_id" <= 2)
+    val ddir = Files.createTempDirectory("refstore-compact-dsir").toString
+    RefStore.writeDsirCounts(target, corpus.filter($"doc_id" % 2 === 0), "text",
+      ddir, buckets = 64)
+    RefStore.mergeDsirCounts(target.limit(0), corpus.filter($"doc_id" % 2 === 1),
+      "text", ddir, "b1")
+    def table(df: org.apache.spark.sql.DataFrame) = df.as[(Int, Long)].collect().toMap
+    val dsirPre = table(RefStore.loadDsirRatios(spark, ddir)._1)
+    RefStore.compact(spark, ddir)
+    assert(table(RefStore.loadDsirRatios(spark, ddir)._1) === dsirPre,
+      "ratio table re-derived from folded counts must be bit-identical")
+    assert(Paths.get(ddir, "dsir_counts").toFile.listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+  }
+
+  test("compact: ivf/pq/search batch trees coalesce; stored queries answer identically") {
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 0.0f, 1.0f, 0.0f)
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    def arows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val ivfDir = Files.createTempDirectory("refstore-compact-ivf").toString
+    RefStore.writeIvf(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", ivfDir, nlist = 4)
+    RefStore.mergeIvf(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", ivfDir, "b1")
+    val ivfPre = arows(Similarity.ivfTopKStored(queries, ivfDir, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    RefStore.compact(spark, ivfDir, numFiles = 2)
+    assert(arows(Similarity.ivfTopKStored(queries, ivfDir, "vec_id", "embedding",
+      k = 5, nprobe = 4)) === ivfPre, "compacted IVF index must probe identically")
+    assert(RefStore.loadIvf(spark, ivfDir)._2.count() === 60L)
+
+    val pqDir = Files.createTempDirectory("refstore-compact-pq").toString
+    RefStore.writePq(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      pqDir, m = 2, nbits = 4)
+    RefStore.mergePq(emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", pqDir, "b1")
+    val pqPre = arows(Similarity.pqTopKStored(queries, pqDir, "vec_id", "embedding", k = 5))
+    RefStore.compact(spark, pqDir, numFiles = 2)
+    assert(arows(Similarity.pqTopKStored(queries, pqDir, "vec_id", "embedding", k = 5))
+      === pqPre, "compacted PQ index must scan identically")
+
+    val docs = Seq(
+      (1L, "spark merge vector spark"), (2L, "vector vector merge data"),
+      (3L, "spark pipeline"), (4L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val sDir = Files.createTempDirectory("refstore-compact-search").toString
+    RefStore.writeSearchIndex(docs.filter($"doc_id" <= 2), "doc_id", "text", sDir)
+    RefStore.mergeSearchIndex(docs.filter($"doc_id" > 2), "doc_id", "text", sDir, "b1")
+    def srows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "score").as[(Long, Double)].collect().toSeq
+        .sortBy(r => (-r._2, r._1))
+    val searchPre = srows(Relevance.bm25TopDocsStored(spark, sDir,
+      Seq("spark", "merge", "vector"), k = 10))
+    RefStore.compact(spark, sDir, numFiles = 2)
+    assert(srows(Relevance.bm25TopDocsStored(spark, sDir,
+      Seq("spark", "merge", "vector"), k = 10)) === searchPre,
+      "compacted postings must score bit-for-bit")
+  }
+
+  test("compact: a swap interrupted between delete and rename recovers on the next load") {
+    val dir = Files.createTempDirectory("refstore-compact-crash").toString
+    RefStore.writeExact(batch1.union(batch2), "text", dir, expectedItems = 1000L)
+    val pre = survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+    // simulate the crash window: the completed, marked tmp exists and the
+    // live artifact is already gone
+    val live = Paths.get(dir, "fingerprints")
+    val tmp = Paths.get(dir, ".fingerprints.compact")
+    Files.move(live, tmp)
+    Files.createFile(tmp.resolve("_COMPACT_DONE"))
+    assert(!Files.exists(live))
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text")) === pre,
+      "the load must promote the marked tmp and answer identically")
+    assert(Files.exists(live) && !Files.exists(tmp),
+      "recovery must leave a normal live artifact behind")
+    assert(!Files.exists(live.resolve("_COMPACT_DONE")))
+  }
+
+  test("write lease: a second writer fails fast with the holder named; breakLease reopens") {
+    val dir = Files.createTempDirectory("refstore-lease").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    Files.write(Paths.get(dir, "_LEASE"),
+      "dead-writer@elsewhere/thread-7".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      RefStore.mergeExact(batch2, "text", dir)
+    }
+    assert(err.getMessage.contains("write-leased") &&
+      err.getMessage.contains("dead-writer@elsewhere"))
+    val err2 = intercept[IllegalStateException] {
+      RefStore.compact(spark, dir)
+    }
+    assert(err2.getMessage.contains("write-leased"))
+    RefStore.breakLease(spark, dir)
+    RefStore.mergeExact(batch2, "text", dir) // the retry after the break
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+      === Set(12L, 13L, 14L))
+    assert(!Files.exists(Paths.get(dir, "_LEASE")),
+      "a completed merge must release its lease")
+  }
 }

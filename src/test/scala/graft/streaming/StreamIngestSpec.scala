@@ -335,6 +335,35 @@ class StreamIngestSpec extends SparkSpec {
     assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L, 21L), "sink must be untouched")
   }
 
+  test("second writer on the shared store: the ingest batch fails loudly; break-and-retry completes") {
+    import spark.implicits._
+    val store = tmp("graft-lease-store")
+    val sink = tmp("graft-lease-sink")
+    graft.ops.RefStore.writeExact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", store,
+      expectedItems = 100L)
+    // another stream's merge is mid-flight on the same store: its lease
+    // must make OUR commit throw instead of racing the bloom RMW
+    java.nio.file.Files.write(java.nio.file.Paths.get(store, "_LEASE"),
+      "other-stream@elsewhere/thread-1".getBytes("UTF-8"))
+    val b = Seq((1L, "alpha content"), (2L, "beta content")).toDF("doc_id", "text")
+    val err = intercept[IllegalStateException] {
+      StreamIngest.ingestDedupedBatch(b, 0L, store, sink, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("write-leased"))
+    // the batch landed in the sink but did NOT merge; after the dead lease
+    // is broken, the replay re-commits from the committed survivors and the
+    // loop continues exactly-once
+    graft.ops.RefStore.breakLease(spark, store)
+    StreamIngest.ingestDedupedBatch(b, 0L, store, sink, "doc_id", "text")
+    StreamIngest.ingestDedupedBatch(
+      Seq((3L, "alpha content"), (4L, "gamma content")).toDF("doc_id", "text"),
+      1L, store, sink, "doc_id", "text")
+    assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 4L),
+      "batch 1 must dedup against the retried batch 0's committed store")
+  }
+
   test("near-dup ingest loop: in-batch collapse, cross-batch drops, NULL text, replay — through the real stream") {
     import spark.implicits._
     val store = tmp("graft-neardup-store")
