@@ -54,6 +54,22 @@ object AnnRecall {
       Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", k)))
     report("pq", truthPairs(
       Similarity.pqTopK(corpus, queries, "vec_id", "embedding", k)))
+
+    // Stored-IVF nprobe sweep, on the SAME store construction the registry's
+    // q_ann_ivf_store uses (train on the even half, merge the odd half) —
+    // recall here is governed by the probed-cell fraction nprobe/nlist, and
+    // the floor gate needs measured margin, not a scaladoc claim.
+    val store = java.nio.file.Files.createTempDirectory("annrecall-ivfstore").toString
+    graft.ops.RefStore.writeIvf(
+      corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", store)
+    graft.ops.RefStore.mergeIvf(
+      corpus.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store,
+      batchId = "b1")
+    Seq(4, 6, 8, 10, 12).foreach { np =>
+      report(f"ivf_store nprobe=$np%-2d", truthPairs(
+        Similarity.ivfTopKStored(queries, store, "vec_id", "embedding", k,
+          nprobe = np)))
+    }
     spark.stop()
   }
 }
