@@ -20,20 +20,22 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
-  test("whole-second tier renders integers ending in zero intact") {
-    // force the dec=0 fallback tier: a map so large no precision tier fits
-    // 1950 chars, so renderLine lands on getOrElse(render(0)). Under the
-    // old trailing-zero strip, "%.0f" of 10.0 rendered "10" then collapsed
-    // to "1" (100 -> "1", 70 -> "7") — a 10-100x silent timing corruption.
-    val big = (0 until 400).map(i => f"k$i%03d" -> 10.0).toMap
+  test("oversize registry falls back to total + top-15 slowest + failures at 2 decimals") {
+    // a map so large no full-precision tier fits 1950 chars: the fallback
+    // must carry the slow tail at REAL precision (the old whole-seconds
+    // full map printed most sub-second values as "0" — near-zero review
+    // signal), plus every failure, plus the true total and query count
+    val big = (0 until 400).map(i => f"k$i%03d" -> 0.25).toMap ++
+      Map("slowone" -> 12.34, "slowtwo" -> 3.5, "deadq" -> -1.0)
     val line = Bench.renderLine(big, "sf0.1")
-    assert(line.contains("\"k000\":10,") || line.contains("\"k000\":10}"),
-      "10.0 must render as 10 in the integer tier")
-    assert(line.contains("\"value\":4000,"), "total 400*10 must render as 4000")
-    for ((v, want) <- Seq(100.0 -> "100", 70.0 -> "70", 10.5 -> "11")) {
-      val l = Bench.renderLine((0 until 400).map(i => f"k$i%03d" -> v).toMap, "sf0.1")
-      assert(l.contains("\"k000\":" + want + ","), s"$v must render as $want, got: ${l.take(60)}")
-    }
+    assert(line.length <= 1950)
+    assert(line.contains("\"slowone\":12.34"), s"slowest must render at 2 decimals: $line")
+    assert(line.contains("\"slowtwo\":3.5"))
+    assert(line.contains("\"deadq\":-1"), "failures must survive the top-15 cut")
+    assert(line.contains("\"nq\":403"), "partial map must declare the true query count")
+    assert(line.contains("\"value\":115.84"), "total stays the FULL sum (400*0.25+12.34+3.5)")
+    // 1 failure + the 15 slowest (slowone, slowtwo, 13 quarter-second ks)
+    assert("\"k\\d+\":".r.findAllIn(line).size === 13, "only the slow tail is listed")
   }
 
   test("bench line is parseable JSON with every query present, locale-proof") {
@@ -46,8 +48,13 @@ class BenchLineSpec extends AnyFunSuite {
         "locale-formatted decimal leaked")
       // minimal structural parse: every registry key appears as "name":
       // (compact form drops the uniform q_ prefix and the underscores for
-      // the char budget)
-      SparkEntry.queries.keys.foreach { k =>
+      // the char budget) — unless the registry outgrew every full-map
+      // tier, in which case the line must declare itself partial via the
+      // true query count
+      if (line.contains("\"nq\":"))
+        assert(line.contains("\"nq\":" + SparkEntry.queries.size + ","),
+          "partial line must carry the live registry size")
+      else SparkEntry.queries.keys.foreach { k =>
         assert(line.contains("\"" + k.stripPrefix("q_").replace("_", "") + "\":"),
           s"$k missing from line")
       }
