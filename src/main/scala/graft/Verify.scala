@@ -114,6 +114,45 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] simhash planted check failed: ${e.getMessage}")
     }
+    // Same guaranteed-catchable law through the STORED path: reference
+    // copies of the planted texts commit to a RefStore simhash artifact
+    // (write + merge, both legs exercised), and every incoming twin MUST
+    // be screened out by the loaded signatures — identical text, Hamming
+    // 0. A survivor means the store lost/garbled a signature row or the
+    // against-join broke; floor 1.0, same posture as the live gate.
+    try {
+      import spark.implicits._
+      val refDocs = ((0 until 2000).map(i =>
+        (i.toLong, s"stored filler document number $i carrying variety ${i * 37}")) ++
+        (0 until 50).map(p =>
+          (10000L + p, s"stored planted pair $p sharing identical content ${p * 101}")))
+        .toDF("doc_id", "text")
+      val incoming = ((0 until 50).map(p =>
+        (20000L + p, s"stored planted pair $p sharing identical content ${p * 101}")) ++
+        (0 until 50).map(p =>
+          (30000L + p, s"genuinely novel incoming document $p with content ${p * 997}")))
+        .toDF("doc_id", "text")
+      val store = Files.createTempDirectory("verify-shstore").toString
+      graft.ops.RefStore.writeSimhash(
+        refDocs.filter($"doc_id" < 1000 || $"doc_id" >= 10000), "doc_id", "text", store)
+      graft.ops.RefStore.mergeSimhash(
+        refDocs.filter($"doc_id" >= 1000 && $"doc_id" < 10000), "doc_id", "text", store)
+      val survivors = graft.ops.Dedup.simhashAgainstStored(
+          incoming, store, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      val caught = (0 until 50).count(p => !survivors.contains(20000L + p))
+      val recall = caught.toDouble / 50
+      System.err.println(f"[verify] q_simhash_store planted recall = $recall%.3f (floor 1.0)")
+      if (recall < 1.0) {
+        System.err.println("[verify] q_simhash_store FAILED planted floor — removing output")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/q_simhash_store"))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] stored simhash planted check failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
       .mkString("{", ",", "}")

@@ -500,20 +500,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sig = df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhash64Scala(if (t == null) "" else t)) })
-      .toDF("_id", "_sh")
-      .repartition(col("_id"))
-    val chunked = sig.select(col("_id"), col("_sh"), explode(
-      array((0 until 4).map { k =>
-        struct(lit(k).as("chunk"),
-          shiftright(col("_sh"), k * 16).bitwiseAND(0xFFFFL).as("ch")).as("c")
-      }: _*)).as("ck"))
-      .select(col("_id"), col("_sh"), col("ck.chunk"), col("ck.ch"))
-    val capped = capBuckets(chunked, Seq("chunk", "ch"), "_id", maxBucket, "simhash")
+    val capped = simhashChunked(
+      simhashFrame(df, idCol, textCol), maxBucket, "simhash")
     capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a._id") < col("b._id"))
@@ -521,6 +509,78 @@ object Dedup {
         bit_count(col("a._sh").bitwiseXOR(col("b._sh"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** (_id, _sh) signature frame — one narrow object-boundary pass, the
+    * persistable unit of the SimHash family ([[RefStore.writeSimhash]]).
+    */
+  private[graft] def simhashFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, simhash64Scala(if (t == null) "" else t)) })
+      .toDF("_id", "_sh")
+      .repartition(col("_id"))
+  }
+
+  /** Pigeonhole fanout of a signature frame: 4 rows per doc keyed by
+    * (chunk index, 16-bit chunk value) — any pair within Hamming ≤ 3
+    * shares at least one chunk — with the standard per-bucket cap.
+    */
+  private def simhashChunked(sig: DataFrame, maxBucket: Int,
+      tag: String): DataFrame = {
+    val chunked = sig.select(col("_id"), col("_sh"), explode(
+      array((0 until 4).map { k =>
+        struct(lit(k).as("chunk"),
+          shiftright(col("_sh"), k * 16).bitwiseAND(0xFFFFL).as("ch")).as("c")
+      }: _*)).as("ck"))
+      .select(col("_id"), col("_sh"), col("ck.chunk"), col("ck.ch"))
+    capBuckets(chunked, Seq("chunk", "ch"), "_id", maxBucket, tag)
+  }
+
+  /** Cross-corpus SimHash dedup — the Hamming-distance sibling of
+    * [[minhashAgainst]]: drop incoming documents whose 64-bit SimHash is
+    * within `maxHamming` bits of ANY reference document's. Returns the
+    * SURVIVING incoming rows, same contract as [[exactAgainst]].
+    *
+    * Scale shape: both sides fan out to 4 pigeonhole-chunk rows; candidates
+    * come from the (chunk, value) equi-join — never incoming × reference —
+    * and are verified with the exact `bit_count(xor)` distance, so a false
+    * bucket collision cannot drop a document.
+    */
+  def simhashAgainst(incoming: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simhashAgainstSig(incoming, simhashFrame(reference, idCol, textCol),
+      idCol, textCol, maxHamming, maxBucket)
+
+  /** [[simhashAgainst]] against a PERSISTED [[RefStore]] signature frame:
+    * batch N+1 reads the 8-byte-per-doc signatures earlier batches
+    * committed instead of re-hashing the whole reference corpus per run.
+    * `maxHamming` stays a query-time knob (the signature law is fixed;
+    * only the verify threshold varies).
+    */
+  def simhashAgainstStored(incoming: DataFrame, storeDir: String,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    simhashAgainstSig(incoming,
+      RefStore.loadSimhash(incoming.sparkSession, storeDir),
+      idCol, textCol, maxHamming, maxBucket)
+
+  private def simhashAgainstSig(incoming: DataFrame, refSig: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    val bi = simhashChunked(simhashFrame(incoming, idCol, textCol),
+      maxBucket, "shagainst_in")
+    val br = simhashChunked(refSig.select(col("_id"), col("_sh")),
+      maxBucket, "shagainst_ref")
+    val flagged = bi.as("a").join(br.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch"))
+      .filter(bit_count(col("a._sh").bitwiseXOR(col("b._sh"))) <= maxHamming)
+      .select(col("a._id").as("_fid")).distinct()
+    incoming.join(flagged,
+        incoming(idCol).cast("long") === flagged("_fid"), "left_anti")
   }
 
   /** Cross-document chunk-level exact dedup (the CCNet line-dedup family,

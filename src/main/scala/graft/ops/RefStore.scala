@@ -247,6 +247,51 @@ object RefStore {
     (artifactDf(spark, dir, SIGNATURES), nh, ss)
   }
 
+  // ---- simhash artifact (8-byte/doc near-dup signatures) ----
+
+  private val SIMHASH = "simhash_signatures"
+
+  /** Persist the [[Dedup.simhashFrame]] signatures of the starting corpus:
+    * one (_id, _sh) row per document, 8 signature bytes each. The
+    * signature law (tokenizer + FNV-64 bit votes) is FIXED in code — the
+    * only query-time knob is the verify threshold `maxHamming`, so meta
+    * records just the family marker + bit width. Same idempotency
+    * mechanism as minhash: replay re-appends byte-identical rows and every
+    * consumer re-distincts.
+    */
+  def writeSimhash(reference: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = reference.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "simhashBits" -> "64"))
+      Dedup.simhashFrame(reference, idCol, textCol)
+        .write.mode("overwrite").parquet(path(dir, SIMHASH))
+    }
+  }
+
+  /** Append one batch's signatures (fails fast on a dir that never saw
+    * [[writeSimhash]] — the commit-into-a-foreign-store guard).
+    */
+  def mergeSimhash(batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    withLease(spark, dir) {
+      require(readMeta(spark, dir).contains("simhashBits"),
+        s"store $dir holds no simhash artifact — writeSimhash first")
+      Dedup.simhashFrame(batch, idCol, textCol)
+        .write.mode("append").parquet(path(dir, SIMHASH))
+    }
+  }
+
+  /** The distinct signature frame — [[Dedup.simhashAgainstStored]]'s
+    * reference side.
+    */
+  def loadSimhash(spark: SparkSession, dir: String): DataFrame = {
+    require(readMeta(spark, dir).contains("simhashBits"),
+      s"store $dir holds no simhash artifact")
+    artifactDf(spark, dir, SIMHASH).select(col("_id"), col("_sh")).distinct()
+  }
+
   // ---- centroid artifact (semantic-dedup cluster accumulators) ----
 
   private val CENTROIDS = "centroids"
@@ -608,6 +653,12 @@ object RefStore {
           sig.repartition(numFiles, col("_id"))
             .write.mode("overwrite").parquet(tmp))
       }
+      if (has(SIMHASH)) {
+        val sig = spark.read.parquet(path(dir, SIMHASH)).distinct()
+        swapArtifact(spark, dir, SIMHASH)(tmp =>
+          sig.repartition(numFiles, col("_id"))
+            .write.mode("overwrite").parquet(tmp))
+      }
       if (has(CENTROIDS)) {
         val sums = loadCentroidSums(spark, dir)
         swapArtifact(spark, dir, CENTROIDS)(tmp =>
@@ -659,7 +710,7 @@ object RefStore {
   /** Every parquet artifact a store can hold — the compact-swap recovery
     * sweep at mutation entry walks this list.
     */
-  private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, CENTROIDS,
+  private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, CENTROIDS,
     IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS,
     DSIR_COUNTS)
 

@@ -2694,6 +2694,29 @@ object Registry {
       |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.ia = d.doc_id)
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** PERSISTED SimHash signatures ([[graft.ops.RefStore.writeSimhash]] +
+    * [[graft.ops.Dedup.simhashAgainstStored]]): the reference corpus
+    * commits its 8-byte/doc signatures in two batches; the incoming split
+    * screens against the LOADED frame (pigeonhole chunk join + exact
+    * Hamming verify) without re-hashing the reference. No SQL oracle (the
+    * FNV-64 signature law lives at an object boundary, same as the live
+    * q_simhash_neardup); gated by [[graft.Verify]]'s planted-recall floor
+    * through the STORED path.
+    */
+  def qSimhashStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val store = storeOnce(dir, "shstore") { s =>
+      graft.ops.RefStore.writeSimhash(
+        docs.filter(col("doc_id") % 9 === 0), "doc_id", "text", s)
+      graft.ops.RefStore.mergeSimhash(
+        docs.filter(col("doc_id") % 9 === 1), "doc_id", "text", s)
+    }
+    graft.ops.Dedup.simhashAgainstStored(
+        docs.filter(col("doc_id") % 9 >= 2), store, "doc_id", "text")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** PERSISTED IVF index ([[graft.ops.RefStore.writeIvf]]/mergeIvf +
     * [[graft.ops.Similarity.ivfTopKStored]]): the index builds on half the
     * corpus (training + whole-side cell assignment happen at COMMIT time),
@@ -3157,6 +3180,7 @@ object Registry {
     "q_dsir_store" -> (qDsirStore _),
     "q_minhash_against" -> (qMinhashAgainst _),
     "q_minhash_store" -> (qMinhashStore _),
+    "q_simhash_store" -> (qSimhashStore _),
     "q_ann_ivf_store" -> (qAnnIvfStore _),
     "q_ann_pq_store" -> (qAnnPqStore _),
     "q_embed_against" -> (qEmbedAgainst _),

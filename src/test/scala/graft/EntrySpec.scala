@@ -19,11 +19,11 @@ class EntrySpec extends SparkSpec {
     // rows-only rationale: hash-/model-derived laws (simhash chunks, LSH
     // buckets, trained IVF centroids — per-call and persisted) not
     // expressible in ANSI SQL; each carries planted-recall unit tests, and
-    // graft.Verify enforces recall floors for every ANN row plus a planted
-    // floor for simhash. q_ann_pq graduated to a full hash oracle via the
-    // exact-rerank contract (Registry.qAnnPq).
-    assert((q -- o) === Set("q_simhash_neardup", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_ivf_store", "q_ann_pq_store"),
+    // graft.Verify enforces recall floors for every ANN row plus planted
+    // floors for simhash, live AND stored. q_ann_pq graduated to a full
+    // hash oracle via the exact-rerank contract (Registry.qAnnPq).
+    assert((q -- o) === Set("q_simhash_neardup", "q_simhash_store",
+      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_store", "q_ann_pq_store"),
       "rows-only queries drifted — add an oracle or update the rationale")
   }
 

@@ -397,6 +397,35 @@ class RefStoreSpec extends SparkSpec {
       "compacted postings must score bit-for-bit")
   }
 
+  test("simhash store: write + merge ≡ against the union; replay-idempotent; compact preserves answers") {
+    val dir = Files.createTempDirectory("refstore-simhash").toString
+    RefStore.writeSimhash(batch1, "doc_id", "text", dir)
+    RefStore.mergeSimhash(batch2, "doc_id", "text", dir)
+    RefStore.mergeSimhash(batch2, "doc_id", "text", dir) // crashed-commit retry
+    val stored = survivors(
+      Dedup.simhashAgainstStored(incoming, dir, "doc_id", "text"))
+    val rebuilt = survivors(
+      Dedup.simhashAgainst(incoming, batch1.union(batch2), "doc_id", "text"))
+    assert(stored === rebuilt, "stored signatures must reproduce the rebuild exactly")
+    assert(!stored.contains(10L) && !stored.contains(11L),
+      "exact dups are Hamming 0 — guaranteed caught through the store")
+    assert(stored.contains(13L) && stored.contains(14L),
+      "novel and NULL-text rows survive")
+    RefStore.compact(spark, dir, numFiles = 2)
+    assert(survivors(Dedup.simhashAgainstStored(incoming, dir, "doc_id", "text"))
+      === stored, "compacted simhash store must answer identically")
+    assert(partFiles(dir, "simhash_signatures").size <= 2)
+  }
+
+  test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
+    val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    val err = intercept[IllegalArgumentException] {
+      RefStore.mergeSimhash(batch2, "doc_id", "text", dir)
+    }
+    assert(err.getMessage.contains("no simhash artifact"))
+  }
+
   test("compact: a swap interrupted between delete and rename recovers on the next load") {
     val dir = Files.createTempDirectory("refstore-compact-crash").toString
     RefStore.writeExact(batch1.union(batch2), "text", dir, expectedItems = 1000L)

@@ -316,6 +316,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("signatures"), "stored-signature scan missing from the plan")
   }
 
+  test("q_simhash_store: chunk join from stored signatures feeds the anti-join, no cartesian") {
+    val p = plan("q_simhash_store")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("simhash_signatures"),
+      "stored-signature scan missing from the plan")
+    assert(p.contains("LeftAnti"), "survivor anti-join missing")
+  }
+
   test("q_centroid_store: load is one re-aggregation over the store scan") {
     val p = plan("q_centroid_store")
     assert(p.contains("HashAggregate"), "partial-sum re-aggregation missing")
