@@ -91,6 +91,52 @@ object BloomScale {
     println(f"=== wall: plain ${tPlain}%.2f s, bloom path ${tBloom}%.2f s ===")
     println(f"=== refstore: one-time commit ${tCommit}%.2f s; batch-N+1 stored " +
       f"probe ${tStored}%.2f s (== plain anti-join, no reference scan) ===")
+
+    // the operability leg: months of micro-batch merges fragment the store
+    // (one appended parquet file set each) and outgrow the bloom's one-time
+    // sizing. compact() must fold the file count back to a bounded set and
+    // re-size the bloom from the true fingerprint count — with ZERO
+    // observable answer change and probe time flat (the fragmented store
+    // pays file-listing + many-file scan on every load)
+    val merges = 24
+    val mergeRows = 50000L
+    val (_, tMerges) = timed((0 until merges).foreach { i =>
+      graft.ops.RefStore.mergeExact(
+        docs(spark, mergeRows, s"merge$i", 7), "text", store)
+    })
+    def fileCount(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      walk(storeDir.resolve("fingerprints").toFile)
+    }
+    def expectedItemsMeta(): Long = {
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(storeDir.resolve("meta.properties"))
+      try p.load(in) finally in.close()
+      p.getProperty("expectedItems").toLong
+    }
+    val filesFrag = fileCount()
+    val (fragCount, tFrag) = timed(
+      Dedup.exactAgainstBloomStored(incoming, store, "doc_id", "text").count())
+    val sizedBefore = expectedItemsMeta()
+    val (_, tCompact) = timed(graft.ops.RefStore.compact(spark, store))
+    val filesCompact = fileCount()
+    val (compactCount, tAfter) = timed(
+      Dedup.exactAgainstBloomStored(incoming, store, "doc_id", "text").count())
+    require(compactCount == fragCount,
+      s"COMPACTION CHANGED ANSWERS: fragmented=$fragCount compacted=$compactCount")
+    require(filesCompact < filesFrag,
+      s"COMPACTION DID NOT FOLD FILES: $filesFrag -> $filesCompact")
+    val sizedAfter = expectedItemsMeta()
+    require(sizedAfter > sizedBefore,
+      s"BLOOM NOT RE-SIZED past outgrown expectedItems: $sizedBefore -> $sizedAfter")
+    println(f"=== compaction: $merges%d merges (+${merges * mergeRows}%d rows, " +
+      f"${tMerges / merges}%.2f s each) fragmented the store to $filesFrag%d part " +
+      f"files, probe ${tFrag}%.2f s ===")
+    println(f"=== compact() ${tCompact}%.2f s -> $filesCompact%d files, probe " +
+      f"${tAfter}%.2f s (== pre-compact survivors); bloom re-sized " +
+      f"$sizedBefore%d -> $sizedAfter%d ===")
     spark.stop()
   }
 }
