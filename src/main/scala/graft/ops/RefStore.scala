@@ -87,6 +87,14 @@ object RefStore {
     * the second writer throws instead of interleaving. Entry also
     * completes any half-finished [[compact]] swap (see
     * [[recoverCompact]]) so mutations never touch a mid-swap artifact.
+    *
+    * Atomicity of the create-if-absent is per-filesystem: HDFS-like
+    * stores give it natively; for `file:` URIs Hadoop's
+    * RawLocalFileSystem implements overwrite=false as a NON-atomic
+    * exists-then-create, so the local scheme routes through NIO's
+    * `Files.createFile` (O_CREAT|O_EXCL) instead. Eventually-consistent
+    * object stores without atomic create get best-effort exclusion —
+    * pair them with an external scheduler that serializes writers.
     */
   private def withLease[T](spark: SparkSession, dir: String)(body: => T): T = {
     val f = fs(spark, dir)
@@ -95,21 +103,42 @@ object RefStore {
     val p = new org.apache.hadoop.fs.Path(base, LEASE)
     val token = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "/thread-" + Thread.currentThread().getId
-    val out = try f.create(p, false) catch {
-      case _: java.io.IOException if f.exists(p) =>
+    def leaseHeldError(): Nothing = {
+      val holder = try {
         val in = f.open(p)
-        val holder = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        throw new IllegalStateException(
-          s"store $dir is write-leased by '$holder' — RefStore mutations are " +
-            "single-writer (a concurrent merge would race the bloom/meta " +
-            "read-modify-write and lose updates silently); if that writer " +
-            "crashed, clear it with RefStore.breakLease and retry — merges " +
-            "are idempotent")
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "<unreadable>" }
+      throw new IllegalStateException(
+        s"store $dir is write-leased by '$holder' — RefStore mutations are " +
+          "single-writer (a concurrent merge would race the bloom/meta " +
+          "read-modify-write and lose updates silently); if that writer " +
+          "crashed, clear it with RefStore.breakLease and retry — merges " +
+          "are idempotent")
     }
-    try out.write(token.getBytes("UTF-8")) finally out.close()
+    // take the lease; a failure AFTER the file exists must not leave an
+    // empty lease wedging the store behind a transient I/O error
     try {
-      allArtifacts.foreach(a => recoverCompact(spark, dir, a))
+      if ("file" == f.getUri.getScheme) {
+        val local = java.nio.file.Paths.get(base.toUri.getPath).resolve(LEASE)
+        try java.nio.file.Files.write(local, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => leaseHeldError() }
+      } else {
+        val out = try f.create(p, false) catch {
+          case _: java.io.IOException if f.exists(p) => leaseHeldError()
+        }
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+      }
+    } catch {
+      case e: IllegalStateException => throw e
+      case e: Throwable =>
+        try f.delete(p, false) catch { case _: java.io.IOException => () }
+        throw e
+    }
+    try {
+      allArtifacts.foreach(a => promoteCompactTmp(spark, dir, a))
       body
     } finally { f.delete(p, false); () }
   }
