@@ -138,7 +138,7 @@ object RefStore {
         throw e
     }
     try {
-      allArtifacts.foreach(a => promoteCompactTmp(spark, dir, a))
+      allArtifacts.foreach(a => recoverCompact(spark, dir, a))
       body
     } finally { f.delete(p, false); () }
   }

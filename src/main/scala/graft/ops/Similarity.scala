@@ -757,6 +757,89 @@ object Similarity {
       extraCols = Seq(labelCol -> "l"),
       cond = col("neighbor_id") =!= col("query_id") && !(col("_cl") <=> col("_ql")))
 
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR 1998): greedily select `k` of the `nCandidates` most
+    * query-similar corpus rows, each pick maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)` — the selection-diversity
+    * operator a training-data curator uses to avoid filling a context or
+    * a fine-tuning batch with near-duplicate retrievals. Pure relevance
+    * (λ=1) degrades to [[bruteForceTopK]] prefixes; λ<1 trades relevance
+    * for coverage.
+    *
+    * Exactly SQL-mirrorable (the oracle replays the greedy loop with a
+    * recursive CTE): the first pick's score is its relevance; later
+    * scores use the λ-mix; every cosine is the engine-wide double kernel
+    * ([[cosineScala]] ≡ `graft_cosine` ≡ `list_dot_product/(√·√)`), ties
+    * break on smaller id at every step. Output:
+    * (query_id, rk, neighbor_id, score), rk 1..k per query (fewer iff
+    * the candidate pool is smaller).
+    *
+    * Scale shape: stage 1 is the [[broadcastTopK]] discipline (bounded
+    * query side broadcasts, corpus never shuffles); stage 2 re-attaches
+    * candidate vectors by broadcasting the tiny candidate frame into a
+    * hash join against the corpus scan; stage 3 shuffles only the
+    * (queries × nCandidates) candidate rows — the greedy loop is
+    * O(k·n·dim) per query inside one task, never a corpus-sized job.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, nCandidates: Int = 20, k: Int = 8,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(nCandidates >= k, s"nCandidates=$nCandidates must be >= k=$k")
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCandidates)
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("_cv"))
+    val withVec = c.join(broadcast(cand), Seq("neighbor_id"))
+    val grouped = withVec.groupBy(col("query_id").cast("long").as("query_id"))
+      .agg(collect_list(struct(col("sim").as("_1"),
+        col("neighbor_id").cast("long").as("_2"), col("_cv").as("_3"))).as("_cands"))
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    grouped.as[(Long, Seq[(Double, Long, Seq[Float])])]
+      .flatMap { case (qid, cands0) =>
+        // deterministic candidate order regardless of collect_list arrival
+        val cands = cands0.toArray.map { case (rel, id, v) => (rel, id, v.toArray) }
+          .sortBy { case (rel, id, _) => (-rel, id) }
+        val n = cands.length
+        val used = new Array[Boolean](n)
+        val selVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var rk = 1
+        while (rk <= math.min(k, n)) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < n) {
+            if (!used(i)) {
+              val (rel, id, v) = cands(i)
+              val score =
+                if (rk == 1) rel
+                else {
+                  var maxSim = Double.NegativeInfinity
+                  selVecs.foreach { s =>
+                    val cs = cosineScala(s, v)
+                    if (cs > maxSim) maxSim = cs
+                  }
+                  lambda * rel - (1.0 - lambda) * maxSim
+                }
+              // (score DESC, id ASC) — the oracle's ORDER BY tie law at
+              // every step, including the rk=1 relevance pick
+              if (score > bestScore || (score == bestScore && id < bestId)) {
+                bestScore = score; bestIdx = i; bestId = id
+              }
+            }
+            i += 1
+          }
+          used(bestIdx) = true
+          selVecs += cands(bestIdx)._3
+          out += ((qid, rk.toLong, cands(bestIdx)._2, bestScore))
+          rk += 1
+        }
+        out
+      }
+      .toDF("query_id", "rk", "neighbor_id", "score")
+  }
+
   /** Fixed-point centroid accumulators for semantic-dedup clusters: one row
     * per (cluster, dimension) with the exact BIGINT sum of members'
     * micro-quantized components and the member count. Quantizing each

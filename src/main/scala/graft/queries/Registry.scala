@@ -21,16 +21,26 @@ import graft.views.Analytic
   */
 object Registry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) — unsupported by Spark's reader.
-    // Sessions set spark.sql.legacy.parquet.nanosAsLong; surface it as a
-    // micros-truncated TimestampType (DuckDB's reader coerces NS→US the same
-    // way, so oracle comparisons line up).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))) // integral div: no double rounding at e18 nanos
-      .getOrElse(df)
-  }
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    microsTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize `events.ts` across testdata vintages to a micros
+    * TimestampType under the UTC sessions every entry point pins:
+    * parquet TIMESTAMP(NANOS) arrives as Long (sessions set
+    * spark.sql.legacy.parquet.nanosAsLong) and is micros-truncated the
+    * same way DuckDB's reader coerces NS→US; parquet timestamp[us]
+    * with no timezone arrives as TimestampNTZ and is cast to the
+    * session-UTC instant — value-identical to what DuckDB reads, so
+    * oracle comparisons line up for either vintage.
+    */
+  def microsTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integral div: no double rounding at e18 nanos
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Temp dir deleted at JVM exit. Bench passes, Verify, and plan-shape
     * tests invoke store-lifecycle queries repeatedly in one process;
@@ -1183,6 +1193,54 @@ object Registry {
       |  FROM c, q WHERE neighbor_id <> query_id),
       | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk FROM s)
       | SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 10
+      | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+
+  /** MMR diverse top-8 ([[graft.ops.Similarity.mmrTopK]]): greedy
+    * maximal-marginal-relevance selection over the 20 most-similar
+    * candidates per query, λ=0.5 — the context/batch diversification
+    * selector. Fully hash-oracled: the DuckDB side replays the greedy
+    * loop with a recursive CTE (one selected row per query per
+    * iteration, window-ranked argmax, selected vectors carried in a
+    * list), and every cosine/score is the same double arithmetic in the
+    * same order on both engines, so selection, order, AND scores match
+    * bit-for-bit.
+    */
+  def qMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.mmrTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        nCandidates = 20, k = 8, lambda = 0.5)
+      .orderBy("query_id", "rk")
+  }
+
+  val qMmrSelectSql: String =
+    """WITH RECURSIVE
+      | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      | sim AS (SELECT query_id, cand_id, cv,
+      |   list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS rel
+      |  FROM q, c WHERE cand_id <> query_id),
+      | cand AS (SELECT query_id, cand_id, cv, rel FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) rn FROM sim) WHERE rn <= 20),
+      | mmr AS (
+      |  SELECT query_id, 1 AS rk, cand_id, rel AS score, [cand_id] AS sel_ids, [cv] AS sel_vecs
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) rn1 FROM cand) WHERE rn1 = 1
+      |  UNION ALL
+      |  SELECT query_id, rk, cand_id, score, list_append(sel_ids, cand_id), list_append(sel_vecs, cv)
+      |  FROM (
+      |   SELECT m.query_id, m.rk + 1 AS rk, x.cand_id, x.cv,
+      |    0.5 * x.rel - 0.5 * list_max(list_transform(m.sel_vecs,
+      |      v -> list_dot_product(v, x.cv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(x.cv, x.cv))))) AS score,
+      |    m.sel_ids, m.sel_vecs,
+      |    row_number() OVER (PARTITION BY m.query_id ORDER BY
+      |     0.5 * x.rel - 0.5 * list_max(list_transform(m.sel_vecs,
+      |       v -> list_dot_product(v, x.cv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(x.cv, x.cv))))) DESC,
+      |     x.cand_id) AS rn2
+      |   FROM mmr m JOIN cand x ON x.query_id = m.query_id AND NOT list_contains(m.sel_ids, x.cand_id)
+      |   WHERE m.rk < 8
+      |  ) WHERE rn2 = 1
+      | )
+      | SELECT query_id, rk, cand_id AS neighbor_id, score FROM mmr
       | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
   /** Retrieval-quality evaluation ([[graft.ops.Eval.ndcgAtK]]): NDCG@10 /
@@ -3142,6 +3200,7 @@ object Registry {
     "q_bm25_search" -> (qBm25Search _),
     "q_bm25_store" -> (qBm25Store _),
     "q_ann_cosine" -> (qAnnCosine _),
+    "q_mmr_select" -> (qMmrSelect _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3268,6 +3327,7 @@ object Registry {
     "q_bm25_store" -> qBm25StoreSql,
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
+    "q_mmr_select" -> qMmrSelectSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_rollup" -> qRollupSql,
     "q_moving_window" -> qMovingWindowSql,

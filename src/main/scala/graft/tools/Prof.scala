@@ -57,8 +57,8 @@ object Prof {
       .drop("excel_ts").count())
     val events = spark.read.parquet(s"$dir/events.parquet")
     time("events.read")(events.count())
-    time("events.ts-conv")(events
-      .select(expr("timestamp_micros(ts div 1000)")).distinct().count())
+    time("events.ts-conv")(graft.queries.Registry.microsTs(events)
+      .select(col("ts")).distinct().count())
     import graft.functions.ExcelSerial
     time("excel-conv-only")(events
       .select(ExcelSerial.excelSerialToTimestamp(col("value")).as("t"))

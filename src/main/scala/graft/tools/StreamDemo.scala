@@ -103,8 +103,8 @@ object StreamDemo {
 
     println("=== event-time windows (first 5) ===")
     graft.queries.Registry.qEventWindows(spark, "/root/testdata/sf0.001").show(5)
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.queries.Registry.microsTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     println("=== user sessions (first 5) ===")
     StreamIngest.userSessions(events).orderBy("session_start", "user_id").show(5)
 

@@ -103,7 +103,7 @@ class StreamIngestSpec extends SparkSpec {
   test("windowed event counts: streaming result equals the batch oracle query") {
     val srcDir = tmp("graft-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Registry.microsTs)
     events.write.mode("overwrite").parquet(srcDir)
 
     val stream = spark.readStream.schema(events.schema).parquet(srcDir)
@@ -123,7 +123,7 @@ class StreamIngestSpec extends SparkSpec {
   test("sliding windows: streaming result equals the batch q_sliding_windows law") {
     val srcDir = tmp("graft-events-slide")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Registry.microsTs)
     events.write.mode("overwrite").parquet(srcDir)
 
     val stream = spark.readStream.schema(events.schema).parquet(srcDir)
@@ -170,7 +170,7 @@ class StreamIngestSpec extends SparkSpec {
   test("streaming dedup: watermarked state drops duplicate event_ids exactly-once") {
     val srcDir = tmp("graft-dup-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Registry.microsTs)
     // ship every event twice — the stream must emit each id once
     events.union(events).write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(events.schema).parquet(srcDir)
@@ -203,7 +203,7 @@ class StreamIngestSpec extends SparkSpec {
   test("mapGroupsWithState: running per-user totals equal the batch aggregate") {
     val srcDir = tmp("graft-state-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Registry.microsTs)
     events.write.mode("overwrite").parquet(srcDir)
     val stream = spark.readStream.schema(events.schema).parquet(srcDir)
     val q = StreamIngest.runningUserTotals(spark, stream).writeStream
@@ -221,7 +221,7 @@ class StreamIngestSpec extends SparkSpec {
   test("stream-stream range join: attribution matches the identical batch join") {
     val srcDir = tmp("graft-ss-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Registry.microsTs)
     val views = events.filter(col("event_type") === "view")
     val buys = events.filter(col("event_type") === "purchase")
     views.write.mode("overwrite").parquet(s"$srcDir/l")
@@ -242,7 +242,7 @@ class StreamIngestSpec extends SparkSpec {
   test("flatMapGroupsWithState: completed sessions emit exactly once, matching the batch law") {
     val srcDir = tmp("graft-fmgws-events")
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Registry.microsTs)
     // two time-ordered batches: batch 1's max ts sets the watermark that
     // closes old sessions during batch 2
     val cut = events.selectExpr("percentile(unix_micros(ts), 0.8)").head.getDouble(0).toLong
@@ -273,7 +273,7 @@ class StreamIngestSpec extends SparkSpec {
 
   test("user sessions: gap-based session windows produce bounded sessions") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Registry.microsTs)
     val sessions = StreamIngest.userSessions(events, gap = "30 minutes")
     val rows = sessions.collect()
     assert(rows.nonEmpty)
