@@ -246,6 +246,50 @@ class SimilaritySpec extends SparkSpec {
     assert(gotNull === Set(1L, 2L, 3L, 4L), "NULL-vs-NULL is same-label, excluded")
   }
 
+  test("mmrTopK: diversification reorders a near-dup pair; λ=1 degrades to relevance order") {
+    // query points at x; a and b are near-duplicates of each other close to
+    // the query; c is orthogonal. Pure relevance ranks (a, b, c); MMR at
+    // λ=0.3 must interleave the orthogonal c before the redundant b.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),    // the query itself (self-excluded)
+      (1L, Array(1.0f, 0.05f)),   // a: rel ≈ 0.99875
+      (2L, Array(1.0f, 0.06f)),   // b: rel ≈ 0.99820, cos(a,b) ≈ 0.99995
+      (3L, Array(0.0f, 1.0f))     // c: rel = 0, cos(a,c) ≈ 0.05
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+
+    val diverse = Similarity.mmrTopK(corpus, q, "vec_id", "embedding",
+        nCandidates = 3, k = 3, lambda = 0.3)
+      .orderBy("rk").select("neighbor_id").as[Long].collect().toSeq
+    assert(diverse === Seq(1L, 3L, 2L),
+      "after picking a, the redundant twin b must fall behind orthogonal c")
+
+    val relevanceOnly = Similarity.mmrTopK(corpus, q, "vec_id", "embedding",
+        nCandidates = 3, k = 3, lambda = 1.0)
+      .orderBy("rk").select("neighbor_id").as[Long].collect().toSeq
+    assert(relevanceOnly === Seq(1L, 2L, 3L),
+      "λ=1 is pure relevance — bruteForceTopK order")
+  }
+
+  test("mmrTopK laws on the planted corpus: rank-1 = brute-force rank-1, selections ⊆ candidates, k rows") {
+    val queries = vecs.filter($"vec_id" < 5)
+    val got = Similarity.mmrTopK(vecs, queries, "vec_id", "embedding",
+      nCandidates = 10, k = 4, lambda = 0.5)
+    val byQ = got.select("query_id", "rk", "neighbor_id")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(byQ.size === 5 && byQ.values.forall(_.length === 4))
+    // rk=1 is the relevance argmax — the planted twin
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.find(_._2 == 1L).get._3 === 100L + qid)
+    }
+    // every selection came from the brute-force candidate pool
+    val pool = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(byQ.values.flatten.forall { case (q0, _, n0) => pool.contains((q0, n0)) })
+    // no repeats within a query
+    byQ.values.foreach(rows => assert(rows.map(_._3).distinct.length === rows.length))
+  }
+
   test("assignNearestCentroidNarrow ≡ join form: sims, ties, NaN guard, no-home NULLs") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),

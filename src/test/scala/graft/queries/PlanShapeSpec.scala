@@ -251,6 +251,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k degraded to a global sort")
   }
 
+  test("q_mmr_select: candidate stage broadcasts both ways; greedy never sees the corpus") {
+    val p = plan("q_mmr_select")
+    assert(p.contains("graft_cosine"), "relevance stage lost the native cosine kernel")
+    assert(p.contains("BroadcastHashJoin"), "vector re-attach lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "a corpus-sized shuffle crept into MMR")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_hard_negatives: query side broadcasts, no sort-merge/cartesian") {
     val p = plan("q_hard_negatives")
     assert(p.contains("Broadcast"), "query side lost its broadcast")
