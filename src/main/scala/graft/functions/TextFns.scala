@@ -157,6 +157,100 @@ object TextFns {
     (total, distinct, 1.0 - distinct.toDouble / total.toDouble)
   }
 
+  /** Per-document Gopher-rule quality signals. All fields are exact
+    * integer ratios rendered as one double division each — no libm —
+    * so the SQL oracle is bit-equal. See [[gopherScala]].
+    */
+  final case class GopherStats(nTokens: Long, nLines: Long,
+    dupLineFrac: Double, dupLineCharFrac: Double,
+    top2CharFrac: Double, top3CharFrac: Double,
+    meanWordLen: Double, alphaWordFrac: Double, gopherPass: Boolean)
+
+  /** Gopher-style repetition and word-shape quality rules (Rae et al.
+    * 2021, arXiv:2112.11446, Table A1 subset) — the standard web-scale
+    * pretraining filter family next to [[statsScala]]'s composite score:
+    *
+    *  - duplicate-line fraction `1 − distinct/total` over raw
+    *    `split('\n', -1)` lines (empty text is one empty line — the SQL
+    *    `string_split` law);
+    *  - duplicate-line CHARACTER fraction: code points in occurrences
+    *    beyond each line's first, over all line code points;
+    *  - top word-2-gram / 3-gram character coverage: occurrences × gram
+    *    code points over text code points, most-frequent gram with ties
+    *    to the lexicographically smaller;
+    *  - mean word length (code points) and the fraction of tokens
+    *    containing an ASCII letter.
+    *
+    * `gopherPass` applies the published thresholds expressible from these
+    * signals: 50 ≤ tokens ≤ 100000, 3 ≤ mean word length ≤ 10,
+    * duplicate-line fraction ≤ 0.30, top-2-gram coverage ≤ 0.20, alpha
+    * fraction ≥ 0.80. Every comparison runs on doubles both engines
+    * computed identically, so the boolean is oracle-stable too.
+    *
+    * One pass per document behind an object boundary (the
+    * [[repetitionScala]] cost-model discipline).
+    */
+  def gopherScala(text: String): GopherStats = {
+    val s = if (text == null) "" else text
+    def cp(x: String): Long = x.codePointCount(0, x.length).toLong
+    val toks = tokensScala(s)
+    val n = toks.length.toLong
+
+    var sumTokChars = 0L; var nAlpha = 0L
+    toks.foreach { t =>
+      sumTokChars += cp(t)
+      var has = false; var i = 0
+      while (!has && i < t.length) {
+        val c = t.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) has = true
+        i += 1
+      }
+      if (has) nAlpha += 1
+    }
+
+    val lines = s.split("\n", -1)
+    val nLines = lines.length.toLong
+    val lineCounts = new java.util.HashMap[String, Long]()
+    lines.foreach(l => lineCounts.merge(l, 1L, _ + _))
+    var dupLineChars = 0L; var lineChars = 0L
+    lineCounts.forEach { (l, cnt) =>
+      val len = cp(l)
+      dupLineChars += (cnt - 1) * len
+      lineChars += cnt * len
+    }
+    val dupLineFrac = 1.0 - lineCounts.size.toDouble / nLines.toDouble
+    val dupLineCharFrac =
+      if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars.toDouble
+
+    val textChars = cp(s)
+    def topGramCharFrac(g: Int): Double = {
+      if (toks.length < g || textChars == 0) return 0.0
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i <= toks.length - g) {
+        counts.merge(toks.slice(i, i + g).mkString(" "), 1L, _ + _)
+        i += 1
+      }
+      var bestGram: String = null; var bestCnt = 0L
+      counts.forEach { (gram, cnt) =>
+        if (cnt > bestCnt || (cnt == bestCnt && (bestGram == null || gram.compareTo(bestGram) < 0))) {
+          bestGram = gram; bestCnt = cnt
+        }
+      }
+      (bestCnt * cp(bestGram)).toDouble / textChars.toDouble
+    }
+    val top2 = topGramCharFrac(2)
+    val top3 = topGramCharFrac(3)
+
+    val meanWordLen = if (n == 0) 0.0 else sumTokChars.toDouble / n.toDouble
+    val alphaWordFrac = if (n == 0) 0.0 else nAlpha.toDouble / n.toDouble
+    val pass = n >= 50 && n <= 100000 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      dupLineFrac <= 0.30 && top2 <= 0.20 && alphaWordFrac >= 0.80
+    GopherStats(n, nLines, dupLineFrac, dupLineCharFrac, top2, top3,
+      meanWordLen, alphaWordFrac, pass)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key for documents.
     */

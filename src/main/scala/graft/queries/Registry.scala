@@ -826,6 +826,75 @@ object Registry {
        |  END AS repetition
        | FROM sh ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Gopher-rule quality signals ([[graft.functions.TextFns.gopherScala]]):
+    * duplicate-line fractions, top-n-gram character coverage, word-shape
+    * metrics, and the composite pass flag — the web-scale pretraining
+    * filter family. Every ratio is an exact integer pair rendered by ONE
+    * double division on both engines (no libm), so all eight metrics and
+    * the boolean hash-match.
+    */
+  def qGopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val g = graft.functions.TextFns.gopherScala(text)
+        (id, g.nTokens, g.nLines, g.dupLineFrac, g.dupLineCharFrac,
+          g.top2CharFrac, g.top3CharFrac, g.meanWordLen, g.alphaWordFrac,
+          g.gopherPass)
+      })
+      .toDF("doc_id", "n_tokens", "n_lines", "dup_line_frac",
+        "dup_line_char_frac", "top2_char_frac", "top3_char_frac",
+        "mean_word_len", "alpha_word_frac", "gopher_pass")
+      .orderBy("doc_id")
+  }
+
+  val qGopherQualitySql: String =
+    s"""WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+       | tk AS (SELECT doc_id, $tokensSql AS toks FROM d),
+       | tstat AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |   CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_tok_chars,
+       |   CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+       |  FROM tk),
+       | ls AS (SELECT doc_id, length(text) AS text_chars FROM d),
+       | lu AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+       | lg AS (SELECT doc_id, COUNT(*) AS cnt, length(line) AS llen FROM lu GROUP BY doc_id, line),
+       | lstat AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       |   CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+       |   CAST(SUM((cnt-1)*llen) AS BIGINT) AS dup_line_chars,
+       |   CAST(SUM(cnt*llen) AS BIGINT) AS line_chars
+       |  FROM lg GROUP BY doc_id),
+       | g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+       |   ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM tk),
+       | g2c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+       | g2t AS (SELECT doc_id, cnt, glen FROM (SELECT doc_id, cnt, length(gram) AS glen,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM g2c) WHERE rn = 1),
+       | g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |   ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS gram FROM tk),
+       | g3c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+       | g3t AS (SELECT doc_id, cnt, glen FROM (SELECT doc_id, cnt, length(gram) AS glen,
+       |   row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn FROM g3c) WHERE rn = 1)
+       | SELECT d.doc_id, t.n_tokens, l.n_lines,
+       |  1.0 - CAST(l.n_distinct_lines AS DOUBLE)/CAST(l.n_lines AS DOUBLE) AS dup_line_frac,
+       |  CASE WHEN l.line_chars = 0 THEN 0.0
+       |       ELSE CAST(l.dup_line_chars AS DOUBLE)/CAST(l.line_chars AS DOUBLE) END AS dup_line_char_frac,
+       |  CASE WHEN g2t.cnt IS NULL OR ls.text_chars = 0 THEN 0.0
+       |       ELSE CAST(g2t.cnt*g2t.glen AS DOUBLE)/CAST(ls.text_chars AS DOUBLE) END AS top2_char_frac,
+       |  CASE WHEN g3t.cnt IS NULL OR ls.text_chars = 0 THEN 0.0
+       |       ELSE CAST(g3t.cnt*g3t.glen AS DOUBLE)/CAST(ls.text_chars AS DOUBLE) END AS top3_char_frac,
+       |  CASE WHEN t.n_tokens = 0 THEN 0.0
+       |       ELSE CAST(t.sum_tok_chars AS DOUBLE)/CAST(t.n_tokens AS DOUBLE) END AS mean_word_len,
+       |  CASE WHEN t.n_tokens = 0 THEN 0.0
+       |       ELSE CAST(t.n_alpha AS DOUBLE)/CAST(t.n_tokens AS DOUBLE) END AS alpha_word_frac,
+       |  (t.n_tokens >= 50 AND t.n_tokens <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND dup_line_frac <= 0.30 AND top2_char_frac <= 0.20
+       |   AND alpha_word_frac >= 0.80) AS gopher_pass
+       | FROM d JOIN tstat t USING (doc_id) JOIN lstat l USING (doc_id)
+       |  JOIN ls USING (doc_id)
+       |  LEFT JOIN g2t USING (doc_id) LEFT JOIN g3t USING (doc_id)
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Rule-based language ID (CJK charset, stopword argmax). */
   def qLangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
@@ -3169,6 +3238,7 @@ object Registry {
     "q_revenue_by_nation" -> (qRevenueByNation _),
     "q_doc_chunks" -> (qDocChunks _),
     "q_repetition" -> (qRepetition _),
+    "q_gopher_quality" -> (qGopherQuality _),
     "q_top_statuses" -> (qTopStatuses _),
     "q_distinct_statuses" -> (qDistinctStatuses _),
     "q_dynamic_status_views" -> (qDynamicStatusViews _),
@@ -3297,6 +3367,7 @@ object Registry {
     "q_revenue_by_nation" -> qRevenueByNationSql,
     "q_doc_chunks" -> qDocChunksSql,
     "q_repetition" -> qRepetitionSql,
+    "q_gopher_quality" -> qGopherQualitySql,
     "q_top_statuses" -> qTopStatusesSql,
     "q_distinct_statuses" -> qDistinctStatusesSql,
     "q_dynamic_status_views" -> qDynamicStatusViewsSql,

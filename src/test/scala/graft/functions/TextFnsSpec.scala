@@ -73,6 +73,42 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("gopherScala: hand-checked duplicate-line and top-gram laws") {
+    // 4 lines, "dup" twice: distinct 3 of 4; dup chars = 3 of 3+3+1+1=8
+    val g = TextFns.gopherScala("dup\ndup\na\nb")
+    assert(g.nLines === 4L)
+    assert(g.dupLineFrac === 1.0 - 3.0 / 4.0)
+    assert(g.dupLineCharFrac === 3.0 / 8.0)
+    // tokens: dup dup a b → top 2-gram "dup dup" (others unique, tie law
+    // picks the smallest; "a b" < "dup a"... count first: "dup dup"=1,
+    // "dup a"=1, "a b"=1 — all 1, tie → lexicographically smallest "a b")
+    assert(g.top2CharFrac === (1L * 3L).toDouble / 11.0) // "a b"=3 cp, text=11 cp
+    assert(g.meanWordLen === (3 + 3 + 1 + 1).toDouble / 4.0)
+    assert(g.alphaWordFrac === 1.0)
+    assert(!g.gopherPass) // far under 50 tokens
+
+    // empty/null: one empty line, zero tokens, all ratios 0
+    for (t <- Seq("", null)) {
+      val e = TextFns.gopherScala(t)
+      assert(e.nTokens === 0L && e.nLines === 1L)
+      assert(e.dupLineFrac === 0.0 && e.dupLineCharFrac === 0.0)
+      assert(e.top2CharFrac === 0.0 && e.top3CharFrac === 0.0)
+      assert(e.meanWordLen === 0.0 && e.alphaWordFrac === 0.0 && !e.gopherPass)
+    }
+
+    // a passing document: 60 distinct-ish words, clean shape
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")
+    val gp = TextFns.gopherScala(good)
+    assert(gp.nTokens === 60L && gp.gopherPass,
+      s"clean 60-word doc must pass: $gp")
+
+    // heavy 2-gram repetition fails the coverage rule even at good length
+    val spam = Array.fill(30)("buy now").mkString(" ") + " " +
+      (1 to 10).map(i => s"tail$i").mkString(" ")
+    val gs = TextFns.gopherScala(spam)
+    assert(gs.top2CharFrac > 0.20 && !gs.gopherPass)
+  }
+
   test("shingles: distinct n-grams, short text → empty") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFns.shingles(col("t"), 3)).head.getSeq[String](0)
