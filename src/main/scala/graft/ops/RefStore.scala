@@ -743,6 +743,64 @@ object RefStore {
     IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS,
     DSIR_COUNTS)
 
+  /** Read-only store introspection — the operability dashboard row set a
+    * maintenance job keys compaction cadence off (is the file count
+    * creeping? is a lease stuck? did a compact swap get interrupted?).
+    * One row per store item:
+    *
+    *   - `kind=artifact`: a parquet family — file count, total bytes,
+    *     `detail` = `batches=<n>` for the `batch=<id>/` commit families
+    *     (a growing batch count is the compact trigger);
+    *   - `kind=cache`: `bloom.bin`;
+    *   - `kind=meta`: one row per law parameter (`item` = `meta:<key>`,
+    *     `detail` = value);
+    *   - `kind=lease`: present iff `_LEASE` exists — a live writer, or a
+    *     crashed one awaiting [[breakLease]];
+    *   - `kind=pending-swap`: a marked-complete `.name.compact` dir whose
+    *     promotion was interrupted — the next load/mutation finishes it.
+    *
+    * Deliberately NEVER mutates (no [[recoverCompact]], no lease): safe
+    * to run concurrently with a writer, so results are a snapshot that a
+    * racing merge may outdate. Driver-side file listing only — never a
+    * Spark job, never a row scan.
+    */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    def p(name: String) = new org.apache.hadoop.fs.Path(dir, name)
+    def walk(root: org.apache.hadoop.fs.Path): (Long, Long) = {
+      var files = 0L; var bytes = 0L
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile) { files += 1; bytes += s.getLen }
+      }
+      (files, bytes)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long, String)]
+    allArtifacts.foreach { a =>
+      if (f.exists(p(a))) {
+        val (nf, b) = walk(p(a))
+        val batches = f.listStatus(p(a))
+          .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        val detail = if (batches > 0) s"batches=$batches" else ""
+        rows += ((a, "artifact", nf, b, detail))
+      }
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".$a.compact")
+      if (f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE)))
+        rows += ((s".$a.compact", "pending-swap", walk(tmp)._1, walk(tmp)._2, ""))
+    }
+    if (f.exists(p(BLOOM)))
+      rows += ((BLOOM, "cache", 1L, f.getFileStatus(p(BLOOM)).getLen, ""))
+    if (f.exists(p(META)))
+      readMeta(spark, dir).toSeq.sortBy(_._1).foreach { case (k, v) =>
+        rows += ((s"meta:$k", "meta", 1L, 0L, v))
+      }
+    if (f.exists(p(LEASE)))
+      rows += ((LEASE, "lease", 1L, 0L, "held"))
+    rows.toSeq.toDF("item", "kind", "n_files", "bytes", "detail")
+  }
+
   /** Atomic-enough artifact replacement: write the compacted set to a
     * dot-hidden sibling, stamp a completeness marker at its ROOT (the
     * batch-subdir families put parquet's own `_SUCCESS` one level down),

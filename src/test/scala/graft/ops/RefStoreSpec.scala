@@ -309,6 +309,35 @@ class RefStoreSpec extends SparkSpec {
       === exactPre - 13L, "a post-compact merge must dedup against the compacted store")
   }
 
+  test("describe: read-only dashboard — artifacts, meta, bloom; lease surfaces; compact shrinks the file rows") {
+    val dir = Files.createTempDirectory("refstore-describe").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 100L)
+    RefStore.writeMinhash(batch1, "doc_id", "text", dir)
+    RefStore.mergeExact(batch2, "text", dir)
+    RefStore.mergeMinhash(batch2, "doc_id", "text", dir)
+    def desc() = RefStore.describe(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val d1 = desc()
+    assert(d1.contains("fingerprints") && d1.contains("signatures"))
+    assert(d1("fingerprints")._1 === "artifact" && d1("fingerprints")._2 >= 2L,
+      s"two commits must show >= 2 fingerprint files: $d1")
+    assert(d1("bloom.bin")._1 === "cache" && d1("bloom.bin")._3 > 0L)
+    assert(d1("meta:expectedItems")._4 === "100")
+    assert(!d1.contains("_LEASE"), "no writer is live")
+    // a stuck lease surfaces as a row (and only a row — describe never mutates)
+    val lease = Paths.get(dir, "_LEASE")
+    Files.createFile(lease)
+    assert(desc()("_LEASE") === (("lease", 1L, 0L, "held")))
+    assert(Files.exists(lease), "describe must not break the lease")
+    Files.delete(lease)
+    // compaction folds the per-batch file sets; describe reflects it
+    RefStore.compact(spark, dir, numFiles = 1)
+    val d2 = desc()
+    assert(d2("fingerprints")._2 < d1("fingerprints")._2,
+      s"compaction must shrink the fingerprint file count: ${d1("fingerprints")} -> ${d2("fingerprints")}")
+    assert(d2.keys.count(_.startsWith(".")) === 0, "no pending swaps after a clean compact")
+  }
+
   test("compact: centroid and dsir partial-sum trees fold to one batch, bit-identically") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
