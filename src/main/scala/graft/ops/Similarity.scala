@@ -784,9 +784,24 @@ object Similarity {
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, nCandidates: Int = 20, k: Int = 8,
       lambda: Double = 0.5): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
     require(nCandidates >= k, s"nCandidates=$nCandidates must be >= k=$k")
-    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCandidates)
+    mmrRerank(bruteForceTopK(corpus, queries, idCol, vecCol, nCandidates),
+      corpus, idCol, vecCol, k, lambda)
+  }
+
+  /** The greedy half of [[mmrTopK]], decoupled from the candidate
+    * generator: rerank ANY per-query candidate frame
+    * `(query_id, neighbor_id, sim)` — brute-force, [[lshTopK]],
+    * [[ivfTopKStored]], [[pqTopKStored]], all emit this shape — into an
+    * MMR-diverse top `k`. At 100 TB the candidate tier is an ANN index;
+    * diversification stays this same bounded post-pass: vectors
+    * re-attach by broadcasting the tiny candidate frame against the
+    * corpus scan, then only candidates shuffle to the greedy.
+    */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val cand = candidates.select(col("query_id"), col("neighbor_id"), col("sim"))
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("_cv"))
     val withVec = c.join(broadcast(cand), Seq("neighbor_id"))
@@ -1003,7 +1018,7 @@ object Similarity {
     * float inputs, sequential fold, dot/(√na·√nb)) — one definition so the
     * narrow scorer below can never drift from the codegen expression.
     */
-  private[ops] def cosineScala(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def cosineScala(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {

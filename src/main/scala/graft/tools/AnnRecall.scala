@@ -70,6 +70,29 @@ object AnnRecall {
         Similarity.ivfTopKStored(queries, store, "vec_id", "embedding", k,
           nprobe = np)))
     }
+
+    // MMR diversification effect, measured: mean intra-list pairwise cosine
+    // of the relevance top-k vs the MMR-reranked top-k from a 3k candidate
+    // pool. MMR must trade a little relevance for measurably lower
+    // redundancy; the delta is the artifact.
+    def meanIntraSim(sel: org.apache.spark.sql.DataFrame): Double = {
+      val byId = corpus.select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val lists = sel.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .collect().groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)))
+      val sims = lists.flatMap { ids =>
+        for { i <- ids.indices; j <- (i + 1) until ids.length }
+          yield Similarity.cosineScala(byId(ids(i)), byId(ids(j)))
+      }.toSeq
+      if (sims.isEmpty) 0.0 else sims.sum / sims.size
+    }
+    val pool = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3 * k)
+    val relevanceSim = meanIntraSim(pool.filter(col("rank") <= k))
+    val mmrSim = meanIntraSim(
+      Similarity.mmrRerank(pool, corpus, "vec_id", "embedding", k, lambda = 0.5))
+    println(f"=== mmr: intra-list cosine $relevanceSim%.4f (relevance top-$k) -> $mmrSim%.4f (mmr top-$k of ${3 * k}) ===")
+    require(mmrSim <= relevanceSim,
+      "MMR must not INCREASE intra-list similarity over the relevance ranking")
     spark.stop()
   }
 }

@@ -290,6 +290,22 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.map(_._3).distinct.length === rows.length))
   }
 
+  test("mmrRerank: any candidate tier composes — restricted pool respected, brute tier ≡ mmrTopK") {
+    val queries = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 10)
+    val viaRerank = Similarity.mmrRerank(brute, vecs, "vec_id", "embedding", k = 4, lambda = 0.5)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val direct = Similarity.mmrTopK(vecs, queries, "vec_id", "embedding",
+        nCandidates = 10, k = 4, lambda = 0.5)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(viaRerank === direct)
+    // an ANN tier that misses the twin: MMR can only pick from what it got
+    val noTwins = brute.filter($"neighbor_id" < 100L)
+    val restricted = Similarity.mmrRerank(noTwins, vecs, "vec_id", "embedding", k = 4, lambda = 0.5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(restricted.forall(_ < 100L), "selections must stay inside the candidate pool")
+  }
+
   test("assignNearestCentroidNarrow ≡ join form: sims, ties, NaN guard, no-home NULLs") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
