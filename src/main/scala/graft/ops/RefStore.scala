@@ -801,6 +801,117 @@ object RefStore {
     rows.toSeq.toDF("item", "kind", "n_files", "bytes", "detail")
   }
 
+  /** Store integrity check — the fsck to [[describe]]'s df: re-verify
+    * every family-law invariant the guards RELY on but never re-check on
+    * the hot path. One row per executed check; `ok=false` rows mean the
+    * store violates its own contract (a hand-edited artifact, a foreign
+    * parquet dropped into the dir, a partial copy) and the affected
+    * family must be rebuilt rather than trusted. Checks, per present
+    * family:
+    *
+    *   - exact: `bloom ⊇ fingerprints` (a false negative breaks the
+    *     prefilter's exactness law — THE invariant the crash contract
+    *     orders writes around); a missing bloom is legal (rebuilt on
+    *     load) and reported ok.
+    *   - minhash: every signature has meta's `numHashes` entries.
+    *   - centroids: accumulator rows carry positive member counts.
+    *   - ivf: assigned cells ⊆ the persisted centroid cells.
+    *   - pq: codebook subspaces = meta m; encoded code arrays all length m.
+    *   - search index: postings tf ≥ 1; every postings doc has a length row.
+    *   - dsir: sides ⊆ {t, s}; buckets within meta's modulus; counts ≥ 0.
+    *   - all `batch=<id>/` commit dirs carry parquet's `_SUCCESS` marker.
+    *
+    * Read-only (same posture as [[describe]]); aggregate jobs over the
+    * store's own artifacts — maintenance cost, run on the compaction
+    * cadence.
+    */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    def has(name: String): Boolean =
+      f.exists(new org.apache.hadoop.fs.Path(dir, name))
+    val meta = if (exists(spark, dir, META)) readMeta(spark, dir)
+      else Map.empty[String, String]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean, String)]
+
+    if (has(FINGERPRINTS)) {
+      if (has(BLOOM)) {
+        val bloom = spark.sparkContext.broadcast(loadBloom(spark, dir))
+        val might = udf((h: String) => h != null && bloom.value.mightContainString(h))
+        val misses = artifactDf(spark, dir, FINGERPRINTS)
+          .select(col("_rh")).distinct()
+          .filter(!might(col("_rh")))
+          .count()
+        rows += (("exact", "bloom_superset_of_fingerprints", misses == 0L,
+          s"misses=$misses"))
+      } else rows += (("exact", "bloom_superset_of_fingerprints", true,
+        "bloom absent - rebuilt from truth on next load"))
+      rows += (("exact", "meta_sizing_present",
+        meta.contains("expectedItems") && meta.contains("fpp"), ""))
+    }
+    if (has(SIGNATURES)) {
+      val nh = meta.get("numHashes").map(_.toInt)
+      val bad = nh.map(n => artifactDf(spark, dir, SIGNATURES)
+        .filter(size(col("_sig")) =!= n).count())
+      rows += (("minhash", "signature_arity_matches_meta",
+        nh.nonEmpty && bad.contains(0L),
+        nh.fold("numHashes missing from meta")(n => s"numHashes=$n bad=${bad.get}")))
+    }
+    if (has(CENTROIDS)) {
+      val bad = artifactDf(spark, dir, CENTROIDS)
+        .filter(col("n_members") <= 0L).count()
+      rows += (("centroids", "positive_member_counts", bad == 0L, s"bad=$bad"))
+    }
+    if (has(IVF_ASSIGNED) && has(IVF_CENTROIDS)) {
+      val cells = artifactDf(spark, dir, IVF_CENTROIDS).select(col("cell"))
+      val orphans = artifactDf(spark, dir, IVF_ASSIGNED)
+        .join(broadcast(cells), Seq("cell"), "left_anti").count()
+      rows += (("ivf", "assigned_cells_have_centroids", orphans == 0L,
+        s"orphans=$orphans"))
+    }
+    if (has(PQ_ENCODED) && has(PQ_BOOKS)) {
+      val m = meta.get("pqM").map(_.toInt)
+      val subspaces = artifactDf(spark, dir, PQ_BOOKS)
+        .select(col("subspace")).distinct().count()
+      val badLen = m.map(mm => artifactDf(spark, dir, PQ_ENCODED)
+        .filter(size(col("codes")) =!= mm).count())
+      rows += (("pq", "codebook_and_code_arity_match_meta",
+        m.nonEmpty && subspaces == m.get.toLong && badLen.contains(0L),
+        m.fold("pqM missing from meta")(mm =>
+          s"m=$mm subspaces=$subspaces badCodes=${badLen.get}")))
+    }
+    if (meta.contains("searchIndex") && has(POSTINGS) && has(LENGTHS)) {
+      val badTf = artifactDf(spark, dir, POSTINGS).filter(col("tf") < 1L).count()
+      val lens = artifactDf(spark, dir, LENGTHS).select(col("doc_id")).distinct()
+      val orphanDocs = artifactDf(spark, dir, POSTINGS).select(col("doc_id")).distinct()
+        .join(lens, Seq("doc_id"), "left_anti").count()
+      rows += (("search", "postings_tf_positive", badTf == 0L, s"bad=$badTf"))
+      rows += (("search", "postings_docs_have_lengths", orphanDocs == 0L,
+        s"orphans=$orphanDocs"))
+    }
+    if (meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
+      val b = meta("dsirBuckets").toInt
+      val bad = artifactDf(spark, dir, DSIR_COUNTS)
+        .filter(!col("side").isin("t", "s") ||
+          col("bucket") < 0 || col("bucket") >= b || col("n") < 0L)
+        .count()
+      rows += (("dsir", "sides_buckets_counts_lawful", bad == 0L, s"bad=$bad"))
+    }
+    // every batch commit dir must be a completed parquet write
+    allArtifacts.filter(has).foreach { a =>
+      val batchDirs = f.listStatus(new org.apache.hadoop.fs.Path(dir, a))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      if (batchDirs.nonEmpty) {
+        val unmarked = batchDirs.filterNot(s =>
+          f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          .map(_.getPath.getName)
+        rows += ((a, "batch_commits_marked", unmarked.isEmpty,
+          if (unmarked.isEmpty) "" else unmarked.mkString(",")))
+      }
+    }
+    rows.toSeq.toDF("family", "check", "ok", "detail")
+  }
+
   /** Atomic-enough artifact replacement: write the compacted set to a
     * dot-hidden sibling, stamp a completeness marker at its ROOT (the
     * batch-subdir families put parquet's own `_SUCCESS` one level down),

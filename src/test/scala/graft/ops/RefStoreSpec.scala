@@ -338,6 +338,49 @@ class RefStoreSpec extends SparkSpec {
     assert(d2.keys.count(_.startsWith(".")) === 0, "no pending swaps after a clean compact")
   }
 
+  test("fsck: clean store passes every check; hand-corrupted artifacts are flagged") {
+    val dir = Files.createTempDirectory("refstore-fsck").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 100L)
+    RefStore.writeMinhash(batch1, "doc_id", "text", dir)
+    RefStore.mergeExact(batch2, "text", dir)
+    def checks() = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val clean = checks()
+    assert(clean.nonEmpty && clean.values.forall(identity), s"clean store must pass: $clean")
+    assert(clean.contains(("exact", "bloom_superset_of_fingerprints")))
+    assert(clean.contains(("minhash", "signature_arity_matches_meta")))
+
+    // corruption 1: a fingerprint the bloom never saw (hand-dropped parquet
+    // beside the committed ones — the partial-copy / foreign-file scenario)
+    Seq("deadbeef" * 4).toDF("_rh").write.mode("append")
+      .parquet(s"$dir/fingerprints")
+    val c1 = checks()
+    assert(c1(("exact", "bloom_superset_of_fingerprints")) === false,
+      "a fingerprint outside the bloom must fail the superset law")
+
+    // corruption 2: a signature row with the wrong arity
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.read.parquet(s"$dir/signatures").limit(1)
+      .withColumn("_sig", org.apache.spark.sql.functions.slice(col("_sig"), 1, 3))
+      .withColumn("_id", lit(999L))
+      .write.mode("append").parquet(s"$dir/signatures")
+    assert(checks()(("minhash", "signature_arity_matches_meta")) === false)
+
+    // corruption 3: an unmarked batch commit dir (crashed mid-write copy)
+    val cdir = Files.createTempDirectory("refstore-fsck-cent").toString
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    RefStore.writeCentroids(Similarity.clusterCentroidSums(
+      emb, assign, "vec_id", "embedding"), cdir)
+    Files.delete(Paths.get(cdir, "centroids", "batch=init", "_SUCCESS"))
+    val c3 = RefStore.fsck(spark, cdir)
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(c3("batch_commits_marked") === false,
+      "a batch dir without _SUCCESS must be flagged")
+    assert(c3("positive_member_counts") === true)
+  }
+
   test("compact: centroid and dsir partial-sum trees fold to one batch, bit-identically") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
