@@ -37,17 +37,26 @@ object CurateDemo {
     val total = docs.count()
     println(s"=== corpus: $total docs ===")
 
-    // 1. quality gate: one mapPartitions stats pass, filter on the score
+    // 1. quality gate: ONE mapPartitions pass computes the composite score
+    // AND the Gopher-rule repetition/shape signals; filter on both
     val scored = docs.select($"doc_id".cast("long").as("doc_id"), $"text")
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val s = TextFns.statsScala(text)
-        (id, text, s.nTokens, s.quality)
+        val g = TextFns.gopherScala(text)
+        (id, text, s.nTokens, s.quality,
+          g.dupLineFrac, g.top2CharFrac, g.alphaWordFrac, g.gopherPass)
       })
-      .toDF("doc_id", "text", "n_tokens", "quality")
-    val quality = scored.filter($"quality" >= 0.5 && $"n_tokens".between(20, 1000))
+      .toDF("doc_id", "text", "n_tokens", "quality",
+        "dup_line_frac", "top2_char_frac", "alpha_word_frac", "gopher_pass")
+    val fullPass = scored.filter($"gopher_pass").count()
+    val quality = scored.filter($"quality" >= 0.5 && $"n_tokens".between(20, 1000) &&
+        $"dup_line_frac" <= 0.3 && $"top2_char_frac" <= 0.2 &&
+        $"alpha_word_frac" >= 0.8)
+      .drop("dup_line_frac", "top2_char_frac", "alpha_word_frac", "gopher_pass")
       .localCheckpoint() // reused by three stages below; cut the re-scan
-    println(s"=== quality gate: ${quality.count()} of $total pass ===")
+    println(s"=== quality gate: ${quality.count()} of $total pass " +
+      s"(composite + gopher repetition rules; $fullPass pass the full gopher battery) ===")
 
     // 2. PII scrub (narrow, codegen'd regexps)
     val scrubbed = quality.withColumn("text", Scrub.maskPii($"text"))
@@ -116,6 +125,18 @@ object CurateDemo {
     val trainPool = withLang.join(evalSet.select("doc_id"), Seq("doc_id"), "left_anti")
     println(s"=== eval carve: ${evalSet.count()} eval docs held out; " +
       s"${trainPool.count()} remain ===")
+
+    // 5d. diverse few-shot exemplars: for each eval doc, the 4 most
+    // relevant-but-mutually-diverse train-pool neighbors — MMR over a
+    // bounded ANN candidate pool (the context-building selection step;
+    // pure relevance would fill the context with near-duplicates)
+    val emb2 = emb.join(trainPool.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+    val evalEmb = emb.join(evalSet.select($"doc_id".as("vec_id")), Seq("vec_id"), "left_semi")
+    val exemplars = graft.ops.Similarity.mmrRerank(
+      graft.ops.Similarity.bruteForceTopK(emb2, evalEmb, "vec_id", "embedding", k = 12),
+      emb2, "vec_id", "embedding", k = 4, lambda = 0.5)
+    println(s"=== few-shot exemplars: ${exemplars.count()} rows for " +
+      s"${evalEmb.count()} embedded eval docs (MMR top-4 of 12 candidates) ===")
 
     // 6. pack into 512-token training sequences (16 parallel ranges) —
     // from trainPool, NOT clean: the eval carve must stay out of every
