@@ -320,13 +320,23 @@ object StreamIngest {
     * survivors, which closes the crash window between sink commit and
     * store merge because [[graft.ops.RefStore.mergeExact]] is idempotent
     * (bloom OR, consumer-distincted fingerprint append).
+    *
+    * `prefilter` is the QUALITY-GATE hook: applied inside the guard
+    * (quality-rejected rows never reach the sink NOR the store — a
+    * junk document must not vaccinate the corpus against a future clean
+    * duplicate of itself), while the batch content fingerprint stays
+    * over the RAW batch, so the fresh-checkpoint collision guard and the
+    * replay law are unchanged. Compose e.g.
+    * [[graft.functions.TextFns.gopherScala]] flags or a stats threshold.
     */
   def runDedupedIngest(stream: DataFrame, storeDir: String, sinkDir: String,
-      idCol: String, textCol: String, checkpointDir: String): StreamingQuery =
+      idCol: String, textCol: String, checkpointDir: String,
+      prefilter: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestDedupedBatch(batch, id, storeDir, sinkDir, idCol, textCol); ()
+        ingestDedupedBatch(batch, id, storeDir, sinkDir, idCol, textCol,
+          prefilter); ()
       }
       .start()
 
@@ -345,9 +355,11 @@ object StreamIngest {
     * losing data.
     */
   private[graft] def ingestDedupedBatch(batch: DataFrame, id: Long,
-      storeDir: String, sinkDir: String, idCol: String, textCol: String): Unit =
+      storeDir: String, sinkDir: String, idCol: String, textCol: String,
+      prefilter: DataFrame => DataFrame = identity): Unit =
     ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
-      guard = { b =>
+      guard = { b0 =>
+        val b = prefilter(b0)
         val fp = graft.functions.TextFns.fingerprintMd5(col(textCol))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(fp).orderBy(col(idCol))
@@ -380,21 +392,23 @@ object StreamIngest {
     */
   def runNearDupIngest(stream: DataFrame, storeDir: String, sinkDir: String,
       idCol: String, textCol: String, checkpointDir: String,
-      threshold: Double = 0.8, bands: Int = 16): StreamingQuery =
+      threshold: Double = 0.8, bands: Int = 16,
+      prefilter: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestNearDupBatch(batch, id, storeDir, sinkDir, idCol, textCol,
-          threshold, bands); ()
+          threshold, bands, prefilter); ()
       }
       .start()
 
   private[graft] def ingestNearDupBatch(batch: DataFrame, id: Long,
       storeDir: String, sinkDir: String, idCol: String, textCol: String,
-      threshold: Double, bands: Int = 16): Unit =
+      threshold: Double, bands: Int = 16,
+      prefilter: DataFrame => DataFrame = identity): Unit =
     ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
       guard = b => graft.ops.Dedup.nearDupSurvivorsAgainstStore(
-        b, storeDir, idCol, textCol, bands, threshold),
+        prefilter(b), storeDir, idCol, textCol, bands, threshold),
       commit = survivors =>
         graft.ops.RefStore.mergeMinhash(survivors, idCol, textCol, storeDir))
 

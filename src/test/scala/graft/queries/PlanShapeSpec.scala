@@ -91,6 +91,16 @@ class PlanShapeSpec extends SparkSpec {
       "blocked pairs degenerated into an all-pairs scan")
   }
 
+  test("q_gopher_quality: one object-boundary pass, no join, no shuffle except the output sort") {
+    val p = plan("q_gopher_quality")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val rangeExchanges = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(exchanges === rangeExchanges, s"gopher grew a non-sort shuffle:\n$p")
+    assert(!p.contains("Join"), s"gopher must not join:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "gopher reads more than (doc_id, text)")
+  }
+
   test("q_pii_scrub / q_doc_fingerprint: narrow scan, no shuffle except the output sort") {
     for (name <- Seq("q_pii_scrub", "q_doc_fingerprint")) {
       val p = plan(name)

@@ -335,6 +335,46 @@ class StreamIngestSpec extends SparkSpec {
     assert(sinkIds() === Set(1L, 2L, 4L, 5L, 11L, 12L, 21L), "sink must be untouched")
   }
 
+  test("quality-gated ingest: prefiltered junk reaches neither sink nor store; replay law intact") {
+    import spark.implicits._
+    val store = tmp("graft-qgate-store")
+    val sink = tmp("graft-qgate-sink")
+    graft.ops.RefStore.writeExact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", store,
+      expectedItems = 1000L)
+    // the gopher top-2-gram coverage rule as the gate
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+      df =>
+        val ok = org.apache.spark.sql.functions.udf { (t: String) =>
+          graft.functions.TextFns.gopherScala(t).top2CharFrac <= 0.2
+        }
+        df.filter(ok($"text"))
+    }
+    val junk = Array.fill(40)("buy now").mkString(" ")
+    // long enough that no single 2-gram covers 20% of the characters
+    val clean = (1 to 40).map(i => s"token$i word$i").mkString(" ")
+    val b1 = Seq((1L, clean), (2L, junk)).toDF("doc_id", "text")
+    StreamIngest.ingestDedupedBatch(b1, 0L, store, sink, "doc_id", "text", gate)
+    def sinkIds() = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+    assert(sinkIds() === Set(1L), "the junk doc must be gated out")
+    // the junk content must NOT be in the store: a future CLEAN duplicate
+    // of gated junk is still junk (re-gated), but a future doc that merely
+    // exact-matches prior junk must not have been vaccinated into the corpus
+    val (_, fps) = graft.ops.RefStore.loadExact(spark, store)
+    assert(fps.count() === 1L, "only the survivor's fingerprint commits")
+    // replay of the committed batch (same raw content incl. junk): the
+    // marker short-circuits, fp computed over the RAW batch still matches
+    StreamIngest.ingestDedupedBatch(b1, 0L, store, sink, "doc_id", "text", gate)
+    assert(sinkIds() === Set(1L), "replay mutated the gated sink")
+    // fresh-checkpoint collision still detected on the RAW fingerprint
+    val err = intercept[IllegalArgumentException] {
+      StreamIngest.ingestDedupedBatch(
+        Seq((9L, "different content")).toDF("doc_id", "text"),
+        0L, store, sink, "doc_id", "text", gate)
+    }
+    assert(err.getMessage.contains("fingerprint mismatch"))
+  }
+
   test("second writer on the shared store: the ingest batch fails loudly; break-and-retry completes") {
     import spark.implicits._
     val store = tmp("graft-lease-store")
