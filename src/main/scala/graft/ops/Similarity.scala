@@ -855,6 +855,41 @@ object Similarity {
       .toDF("query_id", "rk", "neighbor_id", "score")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/bandwidth compressor a 100 TB embedding corpus ships and
+    * serves (the standard max-abs scheme): per vector,
+    * `scale = max|xᵢ| / 127`, `codeᵢ = clamp(⌊xᵢ/scale + 0.5⌋, ±127)`.
+    * A zero vector quantizes to all-zero codes at scale 0 (no NaN leak).
+    *
+    * Every step is cross-engine exact — float→double casts, one max
+    * fold, one division per element, and FLOOR(+0.5) rounding (chosen
+    * over `round`, whose half-away/half-even convention differs across
+    * engines) — so the exploded (vec_id, dim, code, scale) frame is
+    * hash-oracle-able verbatim. Output dims are 1-based.
+    *
+    * Scale shape: a narrow two-projection pass (scale column first so
+    * the max fold runs once per vector, then the element transform) —
+    * no shuffle, no join; the exploded form is for the oracle gate,
+    * the packed `codes` array is what a real pipeline persists.
+    */
+  def int8QuantizeFrame(df: DataFrame, idCol: String, vecCol: String,
+      explode: Boolean = true): DataFrame = {
+    val scaled = df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("_v"))
+      .withColumn("scale",
+        array_max(transform(col("_v"), x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn("codes", transform(col("_v"), x =>
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          least(lit(127L), greatest(lit(-127L),
+            floor(x.cast("double") / col("scale") + lit(0.5)).cast("long"))))))
+    if (!explode) scaled.select(col("vec_id"), col("scale"), col("codes"))
+    else scaled
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("codes")).as(Seq("_pos", "code")))
+      .select(col("vec_id"), (col("_pos") + 1).cast("long").as("dim"),
+        col("code"), col("scale"))
+  }
+
   /** Fixed-point centroid accumulators for semantic-dedup clusters: one row
     * per (cluster, dimension) with the exact BIGINT sum of members'
     * micro-quantized components and the member count. Quantizing each

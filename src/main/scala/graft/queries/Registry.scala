@@ -1312,6 +1312,27 @@ object Registry {
       | SELECT query_id, rk, cand_id AS neighbor_id, score FROM mmr
       | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
+  /** Int8 embedding quantization ([[graft.ops.Similarity.int8QuantizeFrame]]):
+    * the max-abs symmetric scheme, exploded to scalar rows for the gate.
+    * FLOOR(x/scale + 0.5) rounding keeps the law engine-exact (`round`'s
+    * half convention differs across engines); the scale is one double
+    * division off an exact max fold.
+    */
+  def qEmbedQuant(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.int8QuantizeFrame(
+        t(spark, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id", "dim")
+
+  val qEmbedQuantSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      | x AS (SELECT vec_id, scale, unnest(list_transform(range(1, len(v)+1), i ->
+      |    struct_pack(dim := i, code := CASE WHEN scale = 0.0 THEN 0
+      |      ELSE least(127, greatest(-127, CAST(floor(v[i]/scale + 0.5) AS BIGINT))) END))) AS u
+      |  FROM s)
+      | SELECT vec_id, CAST(u.dim AS BIGINT) AS dim, CAST(u.code AS BIGINT) AS code, scale
+      | FROM x ORDER BY vec_id, dim""".stripMargin.replace("\n", " ")
+
   /** Retrieval-quality evaluation ([[graft.ops.Eval.ndcgAtK]]): NDCG@10 /
     * recall@10 / first-relevant-rank of brute-force cosine retrieval where
     * a neighbor is relevant iff it shares the query's label. The ranking
@@ -3271,6 +3292,7 @@ object Registry {
     "q_bm25_store" -> (qBm25Store _),
     "q_ann_cosine" -> (qAnnCosine _),
     "q_mmr_select" -> (qMmrSelect _),
+    "q_embed_quant" -> (qEmbedQuant _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3399,6 +3421,7 @@ object Registry {
     "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
     "q_mmr_select" -> qMmrSelectSql,
+    "q_embed_quant" -> qEmbedQuantSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_rollup" -> qRollupSql,
     "q_moving_window" -> qMovingWindowSql,

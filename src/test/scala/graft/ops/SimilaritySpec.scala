@@ -306,6 +306,30 @@ class SimilaritySpec extends SparkSpec {
     assert(restricted.forall(_ < 100L), "selections must stay inside the candidate pool")
   }
 
+  test("int8QuantizeFrame: roundtrip within half a step, clamp at ±127, zero vector safe") {
+    val e = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // zero vector: scale 0, codes 0
+      (3L, Array(1e-8f, -1e-8f, 1e-8f, 1e-8f))   // tiny but nonzero: still lawful
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.int8QuantizeFrame(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // hand-checked: scale = 1/127; 0.5 → 63.5 → 64; -1 → -127; 0.25 → 32
+    assert(q((1L, 1L))._1 === 64L && q((1L, 2L))._1 === -127L &&
+      q((1L, 3L))._1 === 32L && q((1L, 4L))._1 === 0L)
+    (1L to 4L).foreach(d => assert(q((2L, d)) === ((0L, 0.0))))
+    // roundtrip error ≤ scale/2 everywhere (the quantization contract)
+    val packed = Similarity.int8QuantizeFrame(e, "vec_id", "embedding", explode = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2).toArray)).toSeq
+    val orig = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    packed.foreach { case (id, scale, codes) =>
+      codes.zip(orig(id)).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x.toDouble) <= scale / 2.0 + 1e-15,
+          s"vec $id: code $c * $scale vs $x")
+      }
+    }
+  }
+
   test("assignNearestCentroidNarrow ≡ join form: sims, ties, NaN guard, no-home NULLs") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
