@@ -134,4 +134,43 @@ object Eval {
         when(col("rel_total") > 0,
           col("rel_at_k").cast("double") / col("rel_total").cast("double")))
   }
+
+  /** Calibration reliability bins (the per-bin decomposition of expected
+    * calibration error): scores in [0,1] bucket into `nBins` equal-width
+    * confidence bins; each bin reports its count, positive count,
+    * accuracy, and mean confidence. A well-calibrated scorer has
+    * accuracy ≈ confidence per bin — the gap, weighted by bin mass, IS
+    * ECE; the bins are emitted rather than the scalar because a Σ of
+    * per-bin doubles would be summation-order-dependent across engines,
+    * while every per-bin value here is exact (integer counts,
+    * micro-quantized confidence sums, one double division each).
+    *
+    * Laws, SQL-mirrorable verbatim: bin = clamp(⌊score·nBins⌋, 0,
+    * nBins−1) (score 1.0 lands in the top bin); confidence sums
+    * micro-quantized scores (⌊s·1e6 + 0.5⌋ — exact integers, so the sum
+    * is partition-order-independent); NULL scores/labels are excluded
+    * (no truth, no mass). One hash aggregate over nBins groups — no
+    * window, no join.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val base = df
+      .select(col(scoreCol).cast("double").as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && col("_y").isNotNull)
+    base
+      .withColumn("bin",
+        least(lit(nBins.toLong - 1), greatest(lit(0L),
+          floor(col("_s") * nBins).cast("long"))))
+      .withColumn("_m", floor(col("_s") * 1000000.0 + 0.5).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("_y"), 1)).as("n_pos"),
+        sum(col("_m")).as("conf_micro_sum"))
+      .withColumn("accuracy",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("confidence",
+        col("conf_micro_sum").cast("double") / col("n").cast("double") / 1000000.0)
+  }
 }

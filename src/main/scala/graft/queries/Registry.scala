@@ -1312,6 +1312,44 @@ object Registry {
       | SELECT query_id, rk, cand_id AS neighbor_id, score FROM mmr
       | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
+  /** Calibration reliability bins ([[graft.ops.Eval.calibrationBins]]):
+    * every vector scored by anchored cosine to vec 0 mapped to [0,1],
+    * truth = shares the anchor's label — is the scorer's confidence
+    * honest, bin by bin? Exact laws end to end: the engine-wide cosine
+    * kernel, (cos+1)/2 in fixed op order, clamped floor bins,
+    * micro-quantized confidence sums, one double division per output
+    * ratio.
+    */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.functions.CosineSimilarity.register(spark)
+    val anchor = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("_av"), col("label").as("_al"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(
+        ((graft.functions.CosineSimilarity.cosine(col("embedding"), col("_av"))
+          + lit(1.0)) / lit(2.0)).as("score"),
+        (col("label") === col("_al")).as("is_pos"))
+    graft.ops.Eval.calibrationBins(scored, "score", "is_pos", nBins = 10)
+      .orderBy("bin")
+  }
+
+  val qCalibrationSql: String =
+    """WITH a AS (SELECT embedding::DOUBLE[] AS av, label AS al FROM embeddings WHERE vec_id = 0),
+      | s AS (SELECT (list_dot_product(v, av)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(av, av))) + 1.0) / 2.0 AS score,
+      |    (e.label = a.al) AS y
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id <> 0) e, a),
+      | b AS (SELECT least(9, greatest(0, CAST(floor(score * 10) AS BIGINT))) AS bin,
+      |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m, y FROM s
+      |  WHERE score IS NOT NULL AND y IS NOT NULL)
+      | SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+      |  CAST(SUM(m) AS BIGINT) AS conf_micro_sum,
+      |  CAST(COUNT(CASE WHEN y THEN 1 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS accuracy,
+      |  CAST(SUM(m) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1000000.0 AS confidence
+      | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replace("\n", " ")
+
   /** Int8 embedding quantization ([[graft.ops.Similarity.int8QuantizeFrame]]):
     * the max-abs symmetric scheme, exploded to scalar rows for the gate.
     * FLOOR(x/scale + 0.5) rounding keeps the law engine-exact (`round`'s
@@ -3293,6 +3331,7 @@ object Registry {
     "q_ann_cosine" -> (qAnnCosine _),
     "q_mmr_select" -> (qMmrSelect _),
     "q_embed_quant" -> (qEmbedQuant _),
+    "q_calibration" -> (qCalibration _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3422,6 +3461,7 @@ object Registry {
     "q_ann_cosine" -> qAnnCosineSql,
     "q_mmr_select" -> qMmrSelectSql,
     "q_embed_quant" -> qEmbedQuantSql,
+    "q_calibration" -> qCalibrationSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_rollup" -> qRollupSql,
     "q_moving_window" -> qMovingWindowSql,

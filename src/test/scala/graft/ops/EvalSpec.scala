@@ -96,6 +96,27 @@ class EvalSpec extends SparkSpec {
     assert(ri.length === 1 && ri(0).getAs[Long]("dcg_micro") === 1000000L)
   }
 
+  test("calibrationBins: hand-checked bins, boundary score 1.0, clamps, NULL exclusion") {
+    import spark.implicits._
+    val rows = Seq(
+      (0.05, Some(false)), (0.05, Some(false)),            // bin 0: acc 0, conf 0.05
+      (0.95, Some(true)), (0.95, Some(false)),             // bin 9: acc 0.5
+      (1.0, Some(true)),                                   // score 1.0 → bin 9, not 10
+      (-0.2, Some(true)),                                  // below range clamps to bin 0
+      (0.5, Option.empty[Boolean]), (0.55, Some(true))     // NULL label excluded; bin 5
+    ).toDF("score", "label")
+    val got = Eval.calibrationBins(rows, "score", "label", nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet === Set(0L, 5L, 9L))
+    assert(got(0L)._1 === 3L && got(0L)._2 === 1L) // two 0.05s + clamped -0.2
+    assert(got(5L) === ((1L, 1L, 1.0, 0.55)))
+    assert(got(9L)._1 === 3L && got(9L)._2 === 2L)
+    // conf means are exact micro-sums: (0.95 + 0.95 + 1.0)/3 in micro units
+    val conf9 = (950000L + 950000L + 1000000L).toDouble / 3.0 / 1000000.0
+    assert(got(9L)._4 === conf9)
+  }
+
   test("auc agrees with the pair-counting definition on a random frame") {
     val rnd = new scala.util.Random(23L)
     val rows = Seq.fill(300)((rnd.nextInt(20).toDouble, rnd.nextBoolean()))
