@@ -867,23 +867,47 @@ object Similarity {
     * engines) — so the exploded (vec_id, dim, code, scale) frame is
     * hash-oracle-able verbatim. Output dims are 1-based.
     *
-    * Scale shape: a narrow two-projection pass (scale column first so
-    * the max fold runs once per vector, then the element transform) —
-    * no shuffle, no join; the exploded form is for the oracle gate,
-    * the packed `codes` array is what a real pipeline persists.
+    * Scale shape: ONE object-boundary pass per vector — no shuffle, no
+    * join. An expression-tree form (array_max + transform) measured
+    * O(dim²) here: the generator's non-empty/non-null constraint gets
+    * inferred into the scan filter with the max fold INLINED INSIDE the
+    * element lambda (the Catalyst HOF-duplication trap documented at
+    * [[Dedup.shingleHashFrame]] — visible in the optimized plan as five
+    * array_max copies). The exploded form is for the oracle gate; the
+    * packed `codes` array is what a real pipeline persists.
     */
   def int8QuantizeFrame(df: DataFrame, idCol: String, vecCol: String,
       explode: Boolean = true): DataFrame = {
-    val scaled = df.select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).as("_v"))
-      .withColumn("scale",
-        array_max(transform(col("_v"), x => abs(x.cast("double")))) / lit(127.0))
-      .withColumn("codes", transform(col("_v"), x =>
-        when(col("scale") === 0.0, lit(0L)).otherwise(
-          least(lit(127L), greatest(lit(-127L),
-            floor(x.cast("double") / col("scale") + lit(0.5)).cast("long"))))))
-    if (!explode) scaled.select(col("vec_id"), col("scale"), col("codes"))
-    else scaled
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        if (v == null) (id, 0.0, null.asInstanceOf[Array[Long]])
+        else {
+        var maxAbs = 0.0
+        var i = 0
+        while (i < v.length) {
+          val a = math.abs(v(i).toDouble)
+          if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        val scale = maxAbs / 127.0
+        val codes = new Array[Long](v.length)
+        if (scale != 0.0) {
+          i = 0
+          while (i < v.length) {
+            codes(i) = math.min(127L, math.max(-127L,
+              math.floor(v(i).toDouble / scale + 0.5).toLong))
+            i += 1
+          }
+        }
+        (id, scale, codes)
+        }
+      })
+      .toDF("vec_id", "scale", "codes")
+    if (!explode) packed
+    else packed
       .select(col("vec_id"), col("scale"),
         posexplode(col("codes")).as(Seq("_pos", "code")))
       .select(col("vec_id"), (col("_pos") + 1).cast("long").as("dim"),

@@ -91,6 +91,16 @@ class PlanShapeSpec extends SparkSpec {
       "blocked pairs degenerated into an all-pairs scan")
   }
 
+  test("q_embed_quant: object-boundary quantize — no HOF folds for constraint inference to duplicate") {
+    val p = plan("q_embed_quant")
+    assert(!p.contains("array_max"),
+      s"the max fold leaked back into expression form (O(dim²) filter trap):\n$p")
+    assert(!p.contains("Join"), s"quantize must not join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val rangeExchanges = "rangepartitioning".r.findAllIn(p.toLowerCase).size
+    assert(exchanges === rangeExchanges, s"quantize grew a non-sort shuffle:\n$p")
+  }
+
   test("q_gopher_quality: one object-boundary pass, no join, no shuffle except the output sort") {
     val p = plan("q_gopher_quality")
     val exchanges = "Exchange".r.findAllIn(p).size
