@@ -69,6 +69,36 @@ object Packing {
     packGreedy(df, idCol, costCol, budget, rangeId, boundaries.size + 1)
   }
 
+  /** Length-bucketed batch assignment — dynamic-batching prep: group
+    * similar-length documents so a batch pads to its own bucket's
+    * ceiling instead of the corpus maximum (the standard
+    * padding-efficiency trick for variable-length training). Bucket =
+    * `len DIV bucketWidth` (integer), order within a bucket by the
+    * deterministic shuffle key md5(salt‖id) (the [[Sampling]] survival-
+    * hash law — reproducible, corpus-order-independent), then
+    * `batch_idx = (rn−1) DIV batchSize`, `pos_in_batch = (rn−1) MOD
+    * batchSize`. Every law is integer/hash arithmetic — SQL-mirrorable
+    * verbatim.
+    *
+    * Scale shape: ONE hash-partitioned window per bucket (the stratum
+    * posture — no global sort, no single-partition funnel); rows with a
+    * NULL length are excluded (no length, no bucket).
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: String,
+      bucketWidth: Long, batchSize: Int, salt: String = "graft"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      s"bucketWidth=$bucketWidth and batchSize=$batchSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(Sampling.hashKey(col(idCol), salt), col(idCol))
+    df.filter(col(lenCol).isNotNull)
+      .withColumn("bucket", expr(s"$lenCol div ${bucketWidth}L"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(_rn - 1) div $batchSize"))
+      .withColumn("pos_in_batch", (col("_rn") - 1) % batchSize)
+      .drop("_rn")
+  }
+
   /** Pack-level rollup: docs per pack, total cost, budget utilization. */
   def packStats(packed: DataFrame, budget: Long): DataFrame =
     packed.groupBy("pack_id")

@@ -1312,6 +1312,30 @@ object Registry {
       | SELECT query_id, rk, cand_id AS neighbor_id, score FROM mmr
       | ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
+  /** Length-bucketed batch assignment
+    * ([[graft.ops.Packing.lengthBucketBatches]]): dynamic-batching prep —
+    * 256-char buckets, 16-doc batches, deterministic md5 shuffle order
+    * within a bucket. Integer/hash laws throughout.
+    */
+  def qLengthBatches(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.lengthBucketBatches(
+        t(spark, dir, "documents"), "doc_id", "n_chars",
+        bucketWidth = 256L, batchSize = 16)
+      .select(col("doc_id"), col("n_chars"), col("bucket"),
+        col("batch_idx"), col("pos_in_batch").cast("long").as("pos_in_batch"))
+      .orderBy("doc_id")
+
+  val qLengthBatchesSql: String =
+    """WITH d AS (SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL),
+      | b AS (SELECT doc_id, n_chars, n_chars // 256 AS bucket,
+      |    row_number() OVER (PARTITION BY n_chars // 256
+      |      ORDER BY substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+      |  FROM d)
+      | SELECT doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST((rn - 1) // 16 AS BIGINT) AS batch_idx,
+      |  CAST((rn - 1) % 16 AS BIGINT) AS pos_in_batch
+      | FROM b ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Calibration reliability bins ([[graft.ops.Eval.calibrationBins]]):
     * every vector scored by anchored cosine to vec 0 mapped to [0,1],
     * truth = shares the anchor's label — is the scorer's confidence
@@ -3332,6 +3356,7 @@ object Registry {
     "q_mmr_select" -> (qMmrSelect _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_calibration" -> (qCalibration _),
+    "q_length_batches" -> (qLengthBatches _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3462,6 +3487,7 @@ object Registry {
     "q_mmr_select" -> qMmrSelectSql,
     "q_embed_quant" -> qEmbedQuantSql,
     "q_calibration" -> qCalibrationSql,
+    "q_length_batches" -> qLengthBatchesSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_rollup" -> qRollupSql,
     "q_moving_window" -> qMovingWindowSql,

@@ -46,4 +46,33 @@ class PackingSpec extends SparkSpec {
     assert(out.orderBy("doc_id").collect().toSeq ===
       repartitioned.orderBy("doc_id").collect().toSeq)
   }
+
+  test("lengthBucketBatches: homogeneous batches, exact fill arithmetic, reorder-invariant, NULL excluded") {
+    import spark.implicits._
+    val docs = ((1L to 37L).map(i => (i, Some(i * 20))) :+
+      (99L, Option.empty[Long])).toDF("doc_id", "len")
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "len",
+      bucketWidth = 256L, batchSize = 4)
+    val rows = got.select("doc_id", "bucket", "batch_idx", "pos_in_batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 37, "the NULL-length row must be excluded")
+    // bucket law: len div 256
+    rows.foreach { case (id, b, _, _) => assert(b === (id * 20) / 256) }
+    // batches are within-bucket and never overfull; full-batch count exact
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((b, bi), members) =>
+      assert(members.length <= 4, s"batch ($b,$bi) overfull")
+      assert(members.map(_._4).sorted.toSeq === (0 until members.length).map(_.toLong),
+        "positions must be a dense 0..n-1")
+    }
+    rows.groupBy(_._2).foreach { case (b, members) =>
+      val full = members.groupBy(_._3).count(_._2.length == 4)
+      assert(full === members.length / 4, s"bucket $b full-batch arithmetic")
+    }
+    // corpus order never matters: reversed input, identical assignment
+    val rev = Packing.lengthBucketBatches(docs.orderBy(col("doc_id").desc),
+      "doc_id", "len", bucketWidth = 256L, batchSize = 4)
+      .select("doc_id", "bucket", "batch_idx", "pos_in_batch")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rev.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+  }
 }
