@@ -55,13 +55,17 @@ object Bench {
         }
       }
       val (ok, failed) = results.toSeq.partition(_._2 >= 0)
-      val shown = failed.map { case (k, _) => (k, -1.0) } ++
+      // failures are capped like the slow tail: a mass-failure run (every
+      // query -1) must still fit the window — "nfail" carries the true
+      // count when any were cut
+      val shown = failed.sortBy(_._1).take(15).map { case (k, _) => (k, -1.0) } ++
         ok.sortBy { case (k, v) => (-v, k) }.take(15)
       val qs = shown.map { case (k, v) =>
         "\"" + k.stripPrefix("q_").replace("_", "") + "\":" +
           (if (v < 0) "-1" else fmt2(v))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"nq":${results.size},"sf":"$sfName"}"""
+      val nfail = if (failed.nonEmpty) s""","nfail":${failed.size}""" else ""
+      s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","queries":$qs,"nq":${results.size}$nfail,"sf":"$sfName"}"""
     }
     Iterator(2, 1).map(render).find(_.length <= 1950).getOrElse(top15())
   }

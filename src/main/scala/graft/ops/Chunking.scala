@@ -71,6 +71,58 @@ object Chunking {
     * boundary — the HOF-duplication trap note in [[Dedup]]); fanout
     * ≈ n/stride rows per doc, the intended output cardinality; no shuffle.
     */
+  /** CONTENT-DEFINED chunking (the storage-dedup counterpart of the
+    * fixed-span forms): a chunk boundary falls AFTER any token whose
+    * md5 hex starts with '0' — a 1/16 per-token cut probability, so
+    * chunks average 16 tokens. Because boundaries depend only on local
+    * content, an insertion near the head re-chunks only up to the next
+    * boundary and every later chunk is byte-identical — the
+    * shift-robustness fixed-size chunking fundamentally lacks (one
+    * inserted token would shift every downstream fixed chunk). Chunk
+    * hashes then feed the exact-dedup guards as a sub-document
+    * fingerprint tier.
+    *
+    * Laws, SQL-mirrorable verbatim (md5 on both engines): the boundary
+    * token CLOSES its chunk; a document with no tokens yields no chunks
+    * (no content, no storage units — deliberately unlike [[charChunks]]'
+    * every-document contract, which serves corpus-coverage accounting).
+    * Output: (idCol, chunk_idx, n_toks, chunk_text, chunk_hash).
+    *
+    * One object-boundary pass per document (the [[tokenWindows]]
+    * discipline); no shuffle, fanout = chunks per doc.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          digest.reset()
+          graft.functions.TextFns.hexBytes(digest.digest(s.getBytes("UTF-8")))
+        }
+        it.flatMap { case (id, text) =>
+          val toks = graft.functions.TextFns.tokensScala(text)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, String)]
+          val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+          var idx = 0L
+          def close(): Unit = if (cur.nonEmpty) {
+            val t = cur.mkString(" ")
+            out += ((id, idx, cur.length.toLong, t, md5hex(t)))
+            idx += 1; cur.clear()
+          }
+          toks.foreach { t =>
+            cur += t
+            if (md5hex(t).charAt(0) == '0') close()
+          }
+          close()
+          out
+        }
+      }
+      .toDF(idCol, "chunk_idx", "n_toks", "chunk_text", "chunk_hash")
+  }
+
   def tokenWindows(df: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,

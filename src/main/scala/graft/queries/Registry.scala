@@ -796,6 +796,32 @@ object Registry {
       |  substr(text, CAST(chunk_start + 1 AS INTEGER), 400) AS chunk_text
       | FROM s ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")
 
+  /** Content-defined chunking ([[graft.ops.Chunking.cdcChunks]]): md5-
+    * nibble boundaries (cut after any token whose md5 starts with '0'),
+    * shift-robust storage-dedup units. Boundaries AND chunk content are
+    * both gated — the oracle recomputes the running boundary count and
+    * re-aggregates chunk text in token order.
+    */
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.cdcChunks(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
+  val qCdcChunksSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       | u AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+       |    i -> struct_pack(pos := i, tok := toks[i]))) AS s FROM tk),
+       | f AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+       |    CASE WHEN substr(md5(s.tok), 1, 1) = '0' THEN 1 ELSE 0 END AS cut FROM u),
+       | c AS (SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM f)
+       | SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_toks,
+       |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+       |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       | FROM c GROUP BY doc_id, chunk_idx
+       | ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")
+
   /** Intra-document repetition ratio (repeated word-3-gram fraction) —
     * boilerplate/spam quality signal, one mapPartitions tokenization pass.
     */
@@ -3357,6 +3383,7 @@ object Registry {
     "q_embed_quant" -> (qEmbedQuant _),
     "q_calibration" -> (qCalibration _),
     "q_length_batches" -> (qLengthBatches _),
+    "q_cdc_chunks" -> (qCdcChunks _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3488,6 +3515,7 @@ object Registry {
     "q_embed_quant" -> qEmbedQuantSql,
     "q_calibration" -> qCalibrationSql,
     "q_length_batches" -> qLengthBatchesSql,
+    "q_cdc_chunks" -> qCdcChunksSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_rollup" -> qRollupSql,
     "q_moving_window" -> qMovingWindowSql,

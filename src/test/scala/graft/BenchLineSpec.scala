@@ -33,6 +33,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"slowtwo\":3.5"))
     assert(line.contains("\"deadq\":-1"), "failures must survive the top-15 cut")
     assert(line.contains("\"nq\":403"), "partial map must declare the true query count")
+    assert(line.contains("\"nfail\":1"), "failure count must ride along")
     assert(line.contains("\"value\":115.84"), "total stays the FULL sum (400*0.25+12.34+3.5)")
     // 1 failure + the 15 slowest (slowone, slowtwo, 13 quarter-second ks)
     assert("\"k\\d+\":".r.findAllIn(line).size === 13, "only the slow tail is listed")

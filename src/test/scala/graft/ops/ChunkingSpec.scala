@@ -55,4 +55,38 @@ class ChunkingSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 3L, md5("a b c"))))
     assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, 0L, md5(""))))
   }
+
+  test("cdcChunks: boundary law, coverage, shift-robustness; empty doc yields nothing") {
+    val words = (1 to 400).map(i => s"w$i")
+    val text = words.mkString(" ")
+    val base = Chunking.cdcChunks(
+        Seq((1L, text), (2L, ""), (3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // empty and NULL docs: no storage units
+    assert(base.forall(_._1 == 1L))
+    val doc1 = base.sortBy(_._2)
+    // chunks cover the token stream exactly, in order
+    assert(doc1.map(_._4).mkString(" ") === text)
+    assert(doc1.map(_._2).toSeq === doc1.indices.map(_.toLong).toSeq)
+    // every non-final chunk ends in a boundary token (md5 leading nibble 0)
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      graft.functions.TextFns.hexBytes(d.digest(s.getBytes("UTF-8")))
+    }
+    doc1.dropRight(1).foreach { case (_, _, _, t, _) =>
+      assert(md5hex(t.split(" ").last).startsWith("0"), s"chunk '$t' not boundary-closed")
+    }
+    // ~400/16 chunks expected; sanity that cutting actually happens
+    assert(doc1.length > 10 && doc1.length < 60, s"${doc1.length} chunks")
+    // THE CDC property: prepend two tokens — every chunk after the first
+    // boundary is byte-identical (fixed-size chunking would shift them all)
+    val shifted = Chunking.cdcChunks(
+        Seq((1L, "zzz qqq " + text)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getString(4)).toSet
+    val common = doc1.map(_._5).toSet.intersect(shifted)
+    assert(common.size >= doc1.length - 1,
+      s"insertion must only re-chunk the head: ${common.size} of ${doc1.length} survive")
+  }
 }
