@@ -787,8 +787,10 @@ object RefStore {
         rows += ((a, "artifact", nf, b, detail))
       }
       val tmp = new org.apache.hadoop.fs.Path(dir, s".$a.compact")
-      if (f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE)))
-        rows += ((s".$a.compact", "pending-swap", walk(tmp)._1, walk(tmp)._2, ""))
+      if (f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE))) {
+        val (nf, b) = walk(tmp)
+        rows += ((s".$a.compact", "pending-swap", nf, b, ""))
+      }
     }
     if (f.exists(p(BLOOM)))
       rows += ((BLOOM, "cache", 1L, f.getFileStatus(p(BLOOM)).getLen, ""))

@@ -91,6 +91,16 @@ class PlanShapeSpec extends SparkSpec {
       "blocked pairs degenerated into an all-pairs scan")
   }
 
+  test("q_calibration / q_length_batches: one-row anchor broadcast / bucket-partitioned window") {
+    val pc = plan("q_calibration")
+    assert(pc.contains("graft_cosine"), "calibration lost the native cosine kernel")
+    assert(!pc.contains("SortMergeJoin"), "the one-row anchor must broadcast")
+    val pl = plan("q_length_batches")
+    assert(!pl.contains("Join"), s"length batching must not join:\n$pl")
+    assert(!pl.contains("SinglePartition"),
+      s"length batching grew a single-partition funnel:\n$pl")
+  }
+
   test("q_embed_quant: object-boundary quantize — no HOF folds for constraint inference to duplicate") {
     val p = plan("q_embed_quant")
     assert(!p.contains("array_max"),
