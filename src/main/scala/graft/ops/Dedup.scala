@@ -603,6 +603,39 @@ object Dedup {
     * hash); reassembly is one shuffle back to the document key with an
     * in-group sort. No window over unpartitioned data, no driver state.
     */
+  /** Cross-corpus SUB-DOCUMENT duplication via content-defined chunks:
+    * incoming documents that share any [[Chunking.cdcChunks]] chunk (of
+    * ≥ `minTokens` tokens — trivial short chunks would match noise) with
+    * the reference corpus, with the shared fraction — the partial-overlap
+    * detector whole-document fingerprints can't see and span excision
+    * ([[stripDuplicatedSpans]]) only handles within the frame it scans.
+    * Because CDC boundaries are content-local, a document that embeds a
+    * reference passage verbatim shares that passage's interior chunks no
+    * matter where it lands — the shift-robustness property doing cross-
+    * corpus work.
+    *
+    * Output: (idCol, n_chunks, n_shared, share_frac) for incoming docs
+    * with at least one shared chunk. Scale shape: chunking is narrow; the
+    * overlap test is ONE hash-partitioned equi join on the chunk hash
+    * against the reference's distinct chunk set (at 100 TB that set is a
+    * persisted artifact — the [[graft.ops.RefStore]] fingerprint
+    * discipline applies verbatim to chunk hashes).
+    */
+  def cdcChunkOverlap(incoming: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, minTokens: Int = 5): DataFrame = {
+    def bigChunks(df: DataFrame) =
+      Chunking.cdcChunks(df, idCol, textCol).filter(col("n_toks") >= minTokens)
+    val refHashes = bigChunks(reference)
+      .select(col("chunk_hash")).distinct().withColumn("_hit", lit(1))
+    bigChunks(incoming)
+      .join(refHashes, Seq("chunk_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), count(col("_hit")).as("n_shared"))
+      .withColumn("share_frac",
+        col("n_shared").cast("double") / col("n_chunks").cast("double"))
+      .filter(col("n_shared") > 0)
+  }
+
   def chunkDedupDocs(df: DataFrame, idCol: String, textCol: String,
       size: Int = 400): DataFrame = {
     val chunks = Chunking.charChunks(df, idCol, textCol, size, overlap = 0)

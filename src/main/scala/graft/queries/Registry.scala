@@ -822,6 +822,43 @@ object Registry {
        | FROM c GROUP BY doc_id, chunk_idx
        | ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")
 
+  /** Cross-corpus sub-document duplication
+    * ([[graft.ops.Dedup.cdcChunkOverlap]]): incoming docs sharing ≥5-token
+    * CDC chunks with the doc_id%10=0 reference slice. The oracle replays
+    * the whole chain — chunk boundaries, hashes, distinct reference set,
+    * overlap join, share fraction.
+    */
+  def qCdcOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Dedup.cdcChunkOverlap(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", minTokens = 5)
+      .orderBy("doc_id")
+  }
+
+  val qCdcOverlapSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       | u AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+       |    i -> struct_pack(pos := i, tok := toks[i]))) AS s FROM tk),
+       | f AS (SELECT doc_id, s.pos AS pos, s.tok AS tok,
+       |    CASE WHEN substr(md5(s.tok), 1, 1) = '0' THEN 1 ELSE 0 END AS cut FROM u),
+       | c AS (SELECT doc_id, pos, tok,
+       |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx FROM f),
+       | ch AS (SELECT doc_id, chunk_idx, COUNT(*) AS n_toks,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+       |   FROM c GROUP BY doc_id, chunk_idx),
+       | big AS (SELECT * FROM ch WHERE n_toks >= 5),
+       | ref AS (SELECT DISTINCT h FROM big WHERE doc_id % 10 = 0),
+       | inc AS (SELECT * FROM big WHERE doc_id % 10 <> 0)
+       | SELECT inc.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(ref.h) AS BIGINT) AS n_shared,
+       |  CAST(COUNT(ref.h) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS share_frac
+       | FROM inc LEFT JOIN ref ON inc.h = ref.h
+       | GROUP BY inc.doc_id HAVING COUNT(ref.h) > 0
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Intra-document repetition ratio (repeated word-3-gram fraction) —
     * boilerplate/spam quality signal, one mapPartitions tokenization pass.
     */
@@ -3384,6 +3421,7 @@ object Registry {
     "q_calibration" -> (qCalibration _),
     "q_length_batches" -> (qLengthBatches _),
     "q_cdc_chunks" -> (qCdcChunks _),
+    "q_cdc_overlap" -> (qCdcOverlap _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -3516,6 +3554,7 @@ object Registry {
     "q_calibration" -> qCalibrationSql,
     "q_length_batches" -> qLengthBatchesSql,
     "q_cdc_chunks" -> qCdcChunksSql,
+    "q_cdc_overlap" -> qCdcOverlapSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_rollup" -> qRollupSql,
     "q_moving_window" -> qMovingWindowSql,

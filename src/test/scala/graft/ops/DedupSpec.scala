@@ -347,4 +347,23 @@ class DedupSpec extends SparkSpec {
         s"doc $id still contains the duplicated payload")
     }
   }
+
+  test("cdcChunkOverlap: an embedded reference passage is caught wherever it lands; clean docs pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) = (1 to n).map(_ => tag + rnd.nextInt(100000)).mkString(" ")
+    val passage = words(200, "p")
+    val reference = Seq((100L, words(30, "r") + " " + passage + " " + words(30, "s")))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, words(50, "a") + " " + passage + " " + words(5, "b")), // embeds the passage, shifted
+      (2L, words(120, "z"))                                       // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkOverlap(incoming, reference, "doc_id", "text", minTokens = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.contains(1L), "the embedded passage must share interior CDC chunks")
+    val (n, shared, frac) = got(1L)
+    assert(shared >= 1L && shared <= n && frac > 0.0 && frac <= 1.0)
+    assert(!got.contains(2L), "an unrelated doc must not appear")
+  }
 }
