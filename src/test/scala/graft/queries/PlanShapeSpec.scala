@@ -101,6 +101,12 @@ class PlanShapeSpec extends SparkSpec {
       s"length batching grew a single-partition funnel:\n$pl")
   }
 
+  test("q_cdc_overlap: hash-keyed chunk join, never a nested-loop pair scan") {
+    val p = plan("q_cdc_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk overlap degraded to an all-pairs scan:\n$p")
+  }
+
   test("q_embed_quant: object-boundary quantize — no HOF folds for constraint inference to duplicate") {
     val p = plan("q_embed_quant")
     assert(!p.contains("array_max"),
