@@ -231,9 +231,23 @@ object TextFns {
         counts.merge(toks.slice(i, i + g).mkString(" "), 1L, _ + _)
         i += 1
       }
+      // code-POINT order, not String.compareTo: Java's UTF-16 code-unit
+      // comparison ranks supplementary-plane characters (surrogates,
+      // 0xD800-DFFF) BELOW U+E000..FFFF while the oracle's binary UTF-8
+      // collation ranks them above — compareTo would pick a different
+      // tie winner on emoji/CJK-extension grams
+      def cpLess(a: String, b: String): Boolean = {
+        var i = 0; var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+          if (ca != cb) return ca < cb
+          i += Character.charCount(ca); j += Character.charCount(cb)
+        }
+        a.length - i < b.length - j
+      }
       var bestGram: String = null; var bestCnt = 0L
       counts.forEach { (gram, cnt) =>
-        if (cnt > bestCnt || (cnt == bestCnt && (bestGram == null || gram.compareTo(bestGram) < 0))) {
+        if (cnt > bestCnt || (cnt == bestCnt && (bestGram == null || cpLess(gram, bestGram)))) {
           bestGram = gram; bestCnt = cnt
         }
       }

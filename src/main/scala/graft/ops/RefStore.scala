@@ -823,15 +823,20 @@ object RefStore {
     *   - dsir: sides ⊆ {t, s}; buckets within meta's modulus; counts ≥ 0.
     *   - all `batch=<id>/` commit dirs carry parquet's `_SUCCESS` marker.
     *
-    * Read-only (same posture as [[describe]]); aggregate jobs over the
-    * store's own artifacts — maintenance cost, run on the compaction
-    * cadence.
+    * Read-only (same posture as [[describe]] — families mid-swap are
+    * skipped rather than recovered); aggregate jobs over the store's own
+    * artifacts — maintenance cost, run on the compaction cadence.
     */
   def fsck(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, dir)
     def has(name: String): Boolean =
       f.exists(new org.apache.hadoop.fs.Path(dir, name))
+    // NOT artifactDf: that would recoverCompact (a rename) — fsck must
+    // stay genuinely read-only so it can run beside a live compactor.
+    // A family mid-swap has no live dir and its checks simply skip
+    // (describe surfaces the pending-swap row).
+    def ro(name: String): DataFrame = spark.read.parquet(path(dir, name))
     val meta = if (exists(spark, dir, META)) readMeta(spark, dir)
       else Map.empty[String, String]
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean, String)]
@@ -840,7 +845,7 @@ object RefStore {
       if (has(BLOOM)) {
         val bloom = spark.sparkContext.broadcast(loadBloom(spark, dir))
         val might = udf((h: String) => h != null && bloom.value.mightContainString(h))
-        val misses = artifactDf(spark, dir, FINGERPRINTS)
+        val misses = ro(FINGERPRINTS)
           .select(col("_rh")).distinct()
           .filter(!might(col("_rh")))
           .count()
@@ -853,29 +858,34 @@ object RefStore {
     }
     if (has(SIGNATURES)) {
       val nh = meta.get("numHashes").map(_.toInt)
-      val bad = nh.map(n => artifactDf(spark, dir, SIGNATURES)
+      val bad = nh.map(n => ro(SIGNATURES)
         .filter(size(col("_sig")) =!= n).count())
       rows += (("minhash", "signature_arity_matches_meta",
         nh.nonEmpty && bad.contains(0L),
         nh.fold("numHashes missing from meta")(n => s"numHashes=$n bad=${bad.get}")))
     }
+    if (has(SIMHASH)) {
+      val bad = ro(SIMHASH)
+        .filter(col("_id").isNull || col("_sh").isNull).count()
+      rows += (("simhash", "signatures_non_null", bad == 0L, s"bad=$bad"))
+    }
     if (has(CENTROIDS)) {
-      val bad = artifactDf(spark, dir, CENTROIDS)
+      val bad = ro(CENTROIDS)
         .filter(col("n_members") <= 0L).count()
       rows += (("centroids", "positive_member_counts", bad == 0L, s"bad=$bad"))
     }
     if (has(IVF_ASSIGNED) && has(IVF_CENTROIDS)) {
-      val cells = artifactDf(spark, dir, IVF_CENTROIDS).select(col("cell"))
-      val orphans = artifactDf(spark, dir, IVF_ASSIGNED)
+      val cells = ro(IVF_CENTROIDS).select(col("cell"))
+      val orphans = ro(IVF_ASSIGNED)
         .join(broadcast(cells), Seq("cell"), "left_anti").count()
       rows += (("ivf", "assigned_cells_have_centroids", orphans == 0L,
         s"orphans=$orphans"))
     }
     if (has(PQ_ENCODED) && has(PQ_BOOKS)) {
       val m = meta.get("pqM").map(_.toInt)
-      val subspaces = artifactDf(spark, dir, PQ_BOOKS)
+      val subspaces = ro(PQ_BOOKS)
         .select(col("subspace")).distinct().count()
-      val badLen = m.map(mm => artifactDf(spark, dir, PQ_ENCODED)
+      val badLen = m.map(mm => ro(PQ_ENCODED)
         .filter(size(col("codes")) =!= mm).count())
       rows += (("pq", "codebook_and_code_arity_match_meta",
         m.nonEmpty && subspaces == m.get.toLong && badLen.contains(0L),
@@ -883,9 +893,9 @@ object RefStore {
           s"m=$mm subspaces=$subspaces badCodes=${badLen.get}")))
     }
     if (meta.contains("searchIndex") && has(POSTINGS) && has(LENGTHS)) {
-      val badTf = artifactDf(spark, dir, POSTINGS).filter(col("tf") < 1L).count()
-      val lens = artifactDf(spark, dir, LENGTHS).select(col("doc_id")).distinct()
-      val orphanDocs = artifactDf(spark, dir, POSTINGS).select(col("doc_id")).distinct()
+      val badTf = ro(POSTINGS).filter(col("tf") < 1L).count()
+      val lens = ro(LENGTHS).select(col("doc_id")).distinct()
+      val orphanDocs = ro(POSTINGS).select(col("doc_id")).distinct()
         .join(lens, Seq("doc_id"), "left_anti").count()
       rows += (("search", "postings_tf_positive", badTf == 0L, s"bad=$badTf"))
       rows += (("search", "postings_docs_have_lengths", orphanDocs == 0L,
@@ -893,7 +903,7 @@ object RefStore {
     }
     if (meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
       val b = meta("dsirBuckets").toInt
-      val bad = artifactDf(spark, dir, DSIR_COUNTS)
+      val bad = ro(DSIR_COUNTS)
         .filter(!col("side").isin("t", "s") ||
           col("bucket") < 0 || col("bucket") >= b || col("n") < 0L)
         .count()

@@ -845,10 +845,16 @@ object Similarity {
             }
             i += 1
           }
-          used(bestIdx) = true
-          selVecs += cands(bestIdx)._3
-          out += ((qid, rk.toLong, cands(bestIdx)._2, bestScore))
-          rk += 1
+          // every remaining candidate scored NaN (zero-norm vectors make
+          // cosine NaN, and NaN wins no comparison): stop with what we
+          // have rather than index with the -1 sentinel
+          if (bestIdx < 0) rk = Int.MaxValue
+          else {
+            used(bestIdx) = true
+            selVecs += cands(bestIdx)._3
+            out += ((qid, rk.toLong, cands(bestIdx)._2, bestScore))
+            rk += 1
+          }
         }
         out
       }

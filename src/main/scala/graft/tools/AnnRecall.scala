@@ -75,9 +75,9 @@ object AnnRecall {
     // of the relevance top-k vs the MMR-reranked top-k from a 3k candidate
     // pool. MMR must trade a little relevance for measurably lower
     // redundancy; the delta is the artifact.
+    val byId = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def meanIntraSim(sel: org.apache.spark.sql.DataFrame): Double = {
-      val byId = corpus.select(col("vec_id").cast("long"), col("embedding"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
       val lists = sel.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
         .collect().groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)))
       val sims = lists.flatMap { ids =>

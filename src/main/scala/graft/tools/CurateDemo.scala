@@ -49,12 +49,14 @@ object CurateDemo {
       })
       .toDF("doc_id", "text", "n_tokens", "quality",
         "dup_line_frac", "top2_char_frac", "alpha_word_frac", "gopher_pass")
-    val fullPass = scored.filter($"gopher_pass").count()
-    val quality = scored.filter($"quality" >= 0.5 && $"n_tokens".between(20, 1000) &&
+    // checkpoint the SCORED frame (one scoring pass total), derive both
+    // the gate and the full-battery count from the materialized columns
+    val scoredCk = scored.localCheckpoint()
+    val fullPass = scoredCk.filter($"gopher_pass").count()
+    val quality = scoredCk.filter($"quality" >= 0.5 && $"n_tokens".between(20, 1000) &&
         $"dup_line_frac" <= 0.3 && $"top2_char_frac" <= 0.2 &&
         $"alpha_word_frac" >= 0.8)
       .drop("dup_line_frac", "top2_char_frac", "alpha_word_frac", "gopher_pass")
-      .localCheckpoint() // reused by three stages below; cut the re-scan
     println(s"=== quality gate: ${quality.count()} of $total pass " +
       s"(composite + gopher repetition rules; $fullPass pass the full gopher battery) ===")
 

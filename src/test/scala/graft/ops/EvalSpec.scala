@@ -115,6 +115,13 @@ class EvalSpec extends SparkSpec {
     // conf means are exact micro-sums: (0.95 + 0.95 + 1.0)/3 in micro units
     val conf9 = (950000L + 950000L + 1000000L).toDouble / 3.0 / 1000000.0
     assert(got(9L)._4 === conf9)
+    // NaN scores are excluded like NULL (they'd bin to 0 in Spark but
+    // ERROR the oracle's BIGINT cast — the law demands exclusion)
+    val withNan = rows.union(Seq((Double.NaN, Some(true))).toDF("score", "label"))
+    val gotNan = Eval.calibrationBins(withNan, "score", "label", nBins = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotNan === got.map { case (k, v) => k -> v._1 },
+      "a NaN score must not add mass to any bin")
   }
 
   test("auc agrees with the pair-counting definition on a random frame") {

@@ -381,6 +381,36 @@ class RefStoreSpec extends SparkSpec {
     assert(c3("positive_member_counts") === true)
   }
 
+  test("fsck: genuinely read-only — a pending compact swap is neither promoted nor touched; simhash nulls flagged") {
+    val dir = Files.createTempDirectory("refstore-fsck-ro").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 100L)
+    RefStore.writeSimhash(batch1, "doc_id", "text", dir)
+    // simulate a compact interrupted between delete and rename: live
+    // fingerprints gone, marked-complete tmp present
+    val live = Paths.get(dir, "fingerprints")
+    val tmp = Paths.get(dir, ".fingerprints.compact")
+    Files.move(live, tmp)
+    Files.createFile(tmp.resolve("_COMPACT_DONE"))
+    val report = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(Files.exists(tmp) && !Files.exists(live),
+      "fsck must not recover the swap — that is a mutation (loads do it)")
+    assert(!report.keys.exists(_._1 == "exact"),
+      "a family mid-swap has no live artifact: its checks skip")
+    assert(report(("simhash", "signatures_non_null")) === true)
+    // a mutation entry point DOES finish the swap, and fsck then sees it
+    val (_, fps) = RefStore.loadExact(spark, dir)
+    assert(fps.count() === 2L && Files.exists(live))
+    // null-signature corruption is flagged
+    import org.apache.spark.sql.functions.lit
+    spark.range(1).select(lit(999L).as("_id"),
+        lit(null).cast("long").as("_sh"))
+      .write.mode("append").parquet(s"$dir/simhash_signatures")
+    val after = RefStore.fsck(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    assert(after("signatures_non_null") === false)
+  }
+
   test("compact: centroid and dsir partial-sum trees fold to one batch, bit-identically") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),

@@ -290,6 +290,21 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.map(_._3).distinct.length === rows.length))
   }
 
+  test("mmrRerank: zero-norm candidates (NaN cosine) stop the greedy early instead of crashing") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)),  // zero vector: every cosine involving it is NaN
+      (3L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cand = Seq((0L, 1L, 0.995), (0L, 2L, Double.NaN), (0L, 3L, Double.NaN))
+      .toDF("query_id", "neighbor_id", "sim")
+    val got = Similarity.mmrRerank(cand, corpus, "vec_id", "embedding", k = 3, lambda = 0.5)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L)),
+      "only the finite candidate is selectable; NaN rows must not crash or rank")
+  }
+
   test("mmrRerank: any candidate tier composes — restricted pool respected, brute tier ≡ mmrTopK") {
     val queries = vecs.filter($"vec_id" < 3)
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 10)
