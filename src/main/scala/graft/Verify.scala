@@ -4,6 +4,14 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Recursive delete — shared by the floor-gate output removals and the
+    * stored-gate temp-store cleanup.
+    */
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
   /** JSON string escape for oracle_sql.json: backslash, quote, and ALL
     * control chars (<0x20) — a tab or CR in builder-authored SQL would
     * otherwise make the driver's json.load fail and silently zero the
@@ -70,9 +78,6 @@ object Verify {
             System.err.println(f"[verify] $name recall@10 = $recall%.3f (floor $floor)")
             if (recall < floor) {
               System.err.println(s"[verify] $name FAILED recall floor — removing output")
-              def rm(f: java.io.File): Unit = {
-                Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-              }
               rm(new java.io.File(s"$outDir/$name"))
             }
           } catch { case e: Throwable =>
@@ -106,9 +111,6 @@ object Verify {
       System.err.println(f"[verify] q_simhash_neardup planted recall = $recall%.3f (floor 1.0)")
       if (recall < 1.0) {
         System.err.println("[verify] q_simhash_neardup FAILED planted floor — removing output")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
         rm(new java.io.File(s"$outDir/q_simhash_neardup"))
       }
     } catch { case e: Throwable =>
@@ -133,6 +135,7 @@ object Verify {
           (30000L + p, s"genuinely novel incoming document $p with content ${p * 997}")))
         .toDF("doc_id", "text")
       val store = Files.createTempDirectory("verify-shstore").toString
+      try {
       graft.ops.RefStore.writeSimhash(
         refDocs.filter($"doc_id" < 1000 || $"doc_id" >= 10000), "doc_id", "text", store)
       graft.ops.RefStore.mergeSimhash(
@@ -145,11 +148,9 @@ object Verify {
       System.err.println(f"[verify] q_simhash_store planted recall = $recall%.3f (floor 1.0)")
       if (recall < 1.0) {
         System.err.println("[verify] q_simhash_store FAILED planted floor — removing output")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
         rm(new java.io.File(s"$outDir/q_simhash_store"))
       }
+      } finally rm(new java.io.File(store)) // a leaked parquet tree per run otherwise
     } catch { case e: Throwable =>
       System.err.println(s"[verify] stored simhash planted check failed: ${e.getMessage}")
     }

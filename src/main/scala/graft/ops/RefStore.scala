@@ -137,10 +137,32 @@ object RefStore {
         try f.delete(p, false) catch { case _: java.io.IOException => () }
         throw e
     }
+    var bodyOk = false
     try {
       allArtifacts.foreach(a => recoverCompact(spark, dir, a))
-      body
-    } finally { f.delete(p, false); () }
+      val r = body
+      bodyOk = true
+      r
+    } finally {
+      // release ONLY a lease still holding OUR token: a stalled-not-dead
+      // writer whose lease was broken and re-acquired must not delete the
+      // new holder's lease (that would re-open the interleaving race for
+      // a THIRD writer). If the mutation completed under a stolen lease,
+      // fail loudly — interleaved sketch writes may have corrupted state.
+      val mine = try {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == token
+        finally in.close()
+      } catch { case _: java.io.IOException => false }
+      if (mine) { f.delete(p, false); () }
+      else if (bodyOk)
+        throw new IllegalStateException(
+          s"store $dir: this writer's lease was broken and re-acquired " +
+            "mid-mutation — the interleaved writes may have corrupted " +
+            "sketch state; run RefStore.fsck and rebuild any failing family")
+      // body already failed and the lease is not ours: let the original
+      // exception propagate untouched
+    }
   }
 
   /** Remove a lease left behind by a CRASHED writer. Only ever call this
@@ -942,8 +964,13 @@ object RefStore {
     val out = f.create(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE), true)
     out.close()
     f.delete(live, true)
-    if (!f.rename(tmp, live))
-      throw new java.io.IOException(s"RefStore.compact: rename $tmp -> $live failed")
+    if (!f.rename(tmp, live)) {
+      // benign iff a concurrent reader promoted our marked tmp in the
+      // delete→rename window (the recoverCompact race): the compacted
+      // artifact is live either way. Anything else is a real failure.
+      if (!(f.exists(live) && !f.exists(tmp)))
+        throw new java.io.IOException(s"RefStore.compact: rename $tmp -> $live failed")
+    }
     f.delete(new org.apache.hadoop.fs.Path(live, COMPACT_DONE), false)
     ()
   }
@@ -959,9 +986,13 @@ object RefStore {
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.compact")
     if (!f.exists(live) &&
         f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE))) {
-      if (!f.rename(tmp, live))
-        throw new java.io.IOException(
-          s"RefStore: recovering interrupted compact failed: $tmp -> $live")
+      if (!f.rename(tmp, live)) {
+        // lost the promotion race to a concurrent recoverer (or the live
+        // compactor finishing its own swap) — benign iff live now exists
+        if (!f.exists(live))
+          throw new java.io.IOException(
+            s"RefStore: recovering interrupted compact failed: $tmp -> $live")
+      }
       f.delete(new org.apache.hadoop.fs.Path(live, COMPACT_DONE), false)
       ()
     }

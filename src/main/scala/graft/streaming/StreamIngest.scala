@@ -443,6 +443,18 @@ object StreamIngest {
       try out.write(fpVal.getBytes("UTF-8")) finally out.close()
     }
     if (fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))) {
+      // migration: sinks committed before the fp moved beside the batch
+      // dir carry it INSIDE dst (written post-commit under the old
+      // ordering) — honor it rather than refusing a legitimately
+      // committed sink; the copy is content-identical (same fp law)
+      val legacyFp = new org.apache.hadoop.fs.Path(dst, "_BATCH_FP")
+      if (!fs.exists(fpPath) && fs.exists(legacyFp)) {
+        val in = fs.open(legacyFp)
+        val legacy = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val out = fs.create(fpPath, true)
+        try out.write(legacy.getBytes("UTF-8")) finally out.close()
+      }
       require(fs.exists(fpPath),
         s"guarded-ingest sink $dst is committed but carries no batch " +
           "fingerprint — the sink was not written by this protocol (or was " +

@@ -375,6 +375,31 @@ class StreamIngestSpec extends SparkSpec {
     assert(err.getMessage.contains("fingerprint mismatch"))
   }
 
+  test("legacy sink migration: a pre-protocol _BATCH_FP inside the batch dir is honored, not refused") {
+    import spark.implicits._
+    val store = tmp("graft-legacy-store")
+    val sink = tmp("graft-legacy-sink")
+    graft.ops.RefStore.writeExact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", store,
+      expectedItems = 1000L)
+    val b = Seq((1L, "legacy content one"), (2L, "legacy content two")).toDF("doc_id", "text")
+    StreamIngest.ingestDedupedBatch(b, 0L, store, sink, "doc_id", "text")
+    // rewrite the sink to the OLD protocol: fp inside the batch dir
+    val sibling = java.nio.file.Paths.get(sink, "_BATCH_FP-000000")
+    val legacy = java.nio.file.Paths.get(sink, "batch=000000", "_BATCH_FP")
+    Files.move(sibling, legacy)
+    // replay must migrate the legacy fp and accept the committed sink
+    StreamIngest.ingestDedupedBatch(b, 0L, store, sink, "doc_id", "text")
+    assert(Files.exists(sibling), "migration must restore the sibling fp")
+    assert(spark.read.parquet(sink).count() === 2)
+    // and the collision guard still fires on migrated sinks
+    val err = intercept[IllegalArgumentException] {
+      StreamIngest.ingestDedupedBatch(
+        Seq((9L, "different")).toDF("doc_id", "text"), 0L, store, sink, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("fingerprint mismatch"))
+  }
+
   test("second writer on the shared store: the ingest batch fails loudly; break-and-retry completes") {
     import spark.implicits._
     val store = tmp("graft-lease-store")
