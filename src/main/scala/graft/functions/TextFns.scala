@@ -166,6 +166,24 @@ object TextFns {
     top2CharFrac: Double, top3CharFrac: Double,
     meanWordLen: Double, alphaWordFrac: Double, gopherPass: Boolean)
 
+  /** Code-POINT string order — identical to binary UTF-8 byte order, the
+    * collation SQL engines apply to `ORDER BY` on varchar. Java's
+    * `String.compareTo` is UTF-16 code-UNIT order instead, which ranks
+    * supplementary-plane characters (surrogate units 0xD800-DFFF) BELOW
+    * U+E000..FFFF — the two disagree exactly when an emoji/CJK-extension
+    * string ties against one in that range, so every tie law that must
+    * match a SQL oracle goes through this comparator.
+    */
+  private[graft] def codePointLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
   /** Gopher-style repetition and word-shape quality rules (Rae et al.
     * 2021, arXiv:2112.11446, Table A1 subset) — the standard web-scale
     * pretraining filter family next to [[statsScala]]'s composite score:
@@ -231,27 +249,17 @@ object TextFns {
         counts.merge(toks.slice(i, i + g).mkString(" "), 1L, _ + _)
         i += 1
       }
-      // code-POINT order, not String.compareTo: Java's UTF-16 code-unit
-      // comparison ranks supplementary-plane characters (surrogates,
-      // 0xD800-DFFF) BELOW U+E000..FFFF while the oracle's binary UTF-8
-      // collation ranks them above — compareTo would pick a different
-      // tie winner on emoji/CJK-extension grams
-      def cpLess(a: String, b: String): Boolean = {
-        var i = 0; var j = 0
-        while (i < a.length && j < b.length) {
-          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
-          if (ca != cb) return ca < cb
-          i += Character.charCount(ca); j += Character.charCount(cb)
-        }
-        a.length - i < b.length - j
-      }
       var bestGram: String = null; var bestCnt = 0L
       counts.forEach { (gram, cnt) =>
-        if (cnt > bestCnt || (cnt == bestCnt && (bestGram == null || cpLess(gram, bestGram)))) {
+        if (cnt > bestCnt || (cnt == bestCnt &&
+            (bestGram == null || codePointLess(gram, bestGram)))) {
           bestGram = gram; bestCnt = cnt
         }
       }
-      (bestCnt * cp(bestGram)).toDouble / textChars.toDouble
+      // min: occurrences of a self-overlapping gram ("w w" in "w w w")
+      // jointly count shared characters more than once, so the raw ratio
+      // can exceed 1 — cap to keep the value an honest coverage fraction
+      math.min(1.0, (bestCnt * cp(bestGram)).toDouble / textChars.toDouble)
     }
     val top2 = topGramCharFrac(2)
     val top3 = topGramCharFrac(3)

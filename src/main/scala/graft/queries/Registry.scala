@@ -942,9 +942,9 @@ object Registry {
        |  CASE WHEN l.line_chars = 0 THEN 0.0
        |       ELSE CAST(l.dup_line_chars AS DOUBLE)/CAST(l.line_chars AS DOUBLE) END AS dup_line_char_frac,
        |  CASE WHEN g2t.cnt IS NULL OR ls.text_chars = 0 THEN 0.0
-       |       ELSE CAST(g2t.cnt*g2t.glen AS DOUBLE)/CAST(ls.text_chars AS DOUBLE) END AS top2_char_frac,
+       |       ELSE least(1.0, CAST(g2t.cnt*g2t.glen AS DOUBLE)/CAST(ls.text_chars AS DOUBLE)) END AS top2_char_frac,
        |  CASE WHEN g3t.cnt IS NULL OR ls.text_chars = 0 THEN 0.0
-       |       ELSE CAST(g3t.cnt*g3t.glen AS DOUBLE)/CAST(ls.text_chars AS DOUBLE) END AS top3_char_frac,
+       |       ELSE least(1.0, CAST(g3t.cnt*g3t.glen AS DOUBLE)/CAST(ls.text_chars AS DOUBLE)) END AS top3_char_frac,
        |  CASE WHEN t.n_tokens = 0 THEN 0.0
        |       ELSE CAST(t.sum_tok_chars AS DOUBLE)/CAST(t.n_tokens AS DOUBLE) END AS mean_word_len,
        |  CASE WHEN t.n_tokens = 0 THEN 0.0

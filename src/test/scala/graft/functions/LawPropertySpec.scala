@@ -53,4 +53,67 @@ class LawPropertySpec extends SparkSpec {
       assert(TextFns.tokensScala(t).toList === exprTokens(t), s"text '$t'")
     }
   }
+
+  test("property: codePointLess ≡ unsigned UTF-8 byte order on random unicode incl. supplementary planes") {
+    // the SQL-oracle collation law: binary UTF-8 comparison. Generate
+    // strings biased toward the disagreement zone (surrogate-encoded
+    // supplementary chars vs U+E000..FFFF) plus plain ASCII/BMP.
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = java.lang.Integer.compareUnsigned(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    val interesting = Seq(0x41, 0x7a, 0xe9, 0x4e00, 0xe000, 0xfffd, 0x10000, 0x1f600, 0x10ffff)
+    val genCp = Gen.oneOf(Gen.oneOf(interesting), Gen.choose(0x20, 0x10ffff)
+      .map(cp => if (cp >= 0xd800 && cp <= 0xdfff) cp + 0x800 else cp)) // remap surrogates
+    val genStr = Gen.listOfN(4, genCp)
+      .map(_.foldLeft(new java.lang.StringBuilder)((sb, cp) => sb.appendCodePoint(cp)).toString)
+    val pairs = Gen.listOfN(500, Gen.zip(genStr, genStr)).sample.get
+    pairs.foreach { case (a, b) =>
+      assert(TextFns.codePointLess(a, b) === utf8Less(a, b),
+        s"collation divergence on ${a.codePoints().toArray.toSeq} vs ${b.codePoints().toArray.toSeq}")
+      assert(!(TextFns.codePointLess(a, b) && TextFns.codePointLess(b, a)), "antisymmetry")
+    }
+    // the motivating counter-example: compareTo disagrees, codePointLess doesn't
+    val emoji = new java.lang.StringBuilder().appendCodePoint(0x1f600).toString
+    val bmp = "�"
+    assert(emoji.compareTo(bmp) < 0 && !TextFns.codePointLess(emoji, bmp),
+      "the UTF-16 code-unit trap this comparator exists to avoid")
+  }
+
+  test("property: gopherScala ratios match naive recomputation on random multi-line texts") {
+    val rnd = new scala.util.Random(11)
+    def randText(): String = {
+      val nLines = 1 + rnd.nextInt(6)
+      (1 to nLines).map { _ =>
+        val nw = rnd.nextInt(8)
+        (1 to nw).map(_ => "w" + rnd.nextInt(6)).mkString(" ")
+      }.mkString("\n")
+    }
+    (1 to 200).foreach { _ =>
+      val t = randText()
+      val g = TextFns.gopherScala(t)
+      // independent recomputation of the line laws
+      val lines = t.split("\n", -1)
+      assert(g.nLines === lines.length.toLong)
+      assert(g.dupLineFrac === 1.0 - lines.distinct.length.toDouble / lines.length.toDouble)
+      val byLine = lines.groupBy(identity)
+      val dupChars = byLine.map { case (l, o) => (o.length - 1).toLong * l.length }.sum
+      val totChars = byLine.map { case (l, o) => o.length.toLong * l.length }.sum
+      assert(g.dupLineCharFrac ===
+        (if (totChars == 0) 0.0 else dupChars.toDouble / totChars.toDouble))
+      // word laws
+      val toks = TextFns.tokensScala(t)
+      assert(g.nTokens === toks.length.toLong)
+      if (toks.nonEmpty)
+        assert(g.meanWordLen === toks.map(_.length.toLong).sum.toDouble / toks.length.toDouble)
+      // top-2-gram coverage bound: in [0, 1] and exact when a unique max exists
+      assert(g.top2CharFrac >= 0.0 && g.top2CharFrac <= 1.0)
+    }
+  }
 }
