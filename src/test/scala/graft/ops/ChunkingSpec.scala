@@ -56,6 +56,41 @@ class ChunkingSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0L, 0L, md5(""))))
   }
 
+  test("property: cdcChunks equals a naive single-threaded chunker on random texts") {
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      graft.functions.TextFns.hexBytes(d.digest(s.getBytes("UTF-8")))
+    }
+    def naive(text: String): Seq[(Long, Long, String)] = {
+      val toks = graft.functions.TextFns.tokensScala(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      var cur = List.empty[String]
+      toks.foreach { t =>
+        cur = t :: cur
+        if (md5hex(t).startsWith("0")) {
+          out += ((out.length.toLong, cur.length.toLong, cur.reverse.mkString(" ")))
+          cur = Nil
+        }
+      }
+      if (cur.nonEmpty)
+        out += ((out.length.toLong, cur.length.toLong, cur.reverse.mkString(" ")))
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(31)
+    val docs = (0L until 40L).map { i =>
+      val n = rnd.nextInt(120)
+      (i, (1 to n).map(_ => "t" + rnd.nextInt(300)).mkString(" "))
+    }
+    val got = Chunking.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "chunk_idx", "n_toks", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq }
+    docs.foreach { case (id, text) =>
+      assert(got.getOrElse(id, Seq.empty) === naive(text), s"doc $id")
+    }
+  }
+
   test("cdcChunks: boundary law, coverage, shift-robustness; empty doc yields nothing") {
     val words = (1 to 400).map(i => s"w$i")
     val text = words.mkString(" ")

@@ -290,6 +290,39 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.map(_._3).distinct.length === rows.length))
   }
 
+  test("property: every mmr pick maximizes the λ-objective against an independent recomputation") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+    val lam = 0.4
+    val got = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+        nCandidates = 12, k = 5, lambda = lam)
+      .select("query_id", "rk", "neighbor_id", "score")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2) }
+    // independent replay: brute candidates, then exhaustive argmax per step
+    val vecs0 = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cand = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 12)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    got.foreach { case (q, picks) =>
+      val pool = cand(q).map(c => c._2 -> c._3).toMap
+      var selected = List.empty[Long]
+      picks.foreach { case (_, rk, id, score) =>
+        val best = pool.keys.filterNot(selected.contains).map { c =>
+          val s = if (rk == 1L) pool(c)
+            else lam * pool(c) - (1.0 - lam) * selected.map(s0 =>
+              Similarity.cosineScala(vecs0(s0), vecs0(c))).max
+          (c, s)
+        }.maxBy { case (c, s) => (s, -c) } // score desc, id asc
+        assert(best._1 === id && best._2 === score,
+          s"query $q step $rk: greedy picked $id@$score, exhaustive says $best")
+        selected ::= id
+      }
+    }
+  }
+
   test("mmrRerank: zero-norm candidates (NaN cosine) stop the greedy early instead of crashing") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)),
