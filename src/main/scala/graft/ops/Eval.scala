@@ -148,10 +148,11 @@ object Eval {
     * Laws, SQL-mirrorable verbatim: bin = clamp(⌊score·nBins⌋, 0,
     * nBins−1) (score 1.0 lands in the top bin); confidence sums
     * micro-quantized scores (⌊s·1e6 + 0.5⌋ — exact integers, so the sum
-    * is partition-order-independent); NULL and NaN scores and NULL
-    * labels are excluded (no truth, no mass — and a NaN would bin to 0
-    * here while the SQL oracle's BIGINT cast of floor(NaN) errors, so
-    * the exclusion is also what keeps the law engine-exact). One hash
+    * is partition-order-independent); NULL and non-finite scores and
+    * NULL labels are excluded (no truth, no mass — a NaN would bin to 0
+    * and an infinity would clamp to the edge bin with a Long.MaxValue
+    * micro-sum here, while the SQL oracle's BIGINT cast errors on both,
+    * so the exclusion is also what keeps the law engine-exact). One hash
     * aggregate over nBins groups — no window, no join.
     */
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
@@ -160,7 +161,8 @@ object Eval {
     val base = df
       .select(col(scoreCol).cast("double").as("_s"),
         col(labelCol).cast("boolean").as("_y"))
-      .filter(col("_s").isNotNull && !isnan(col("_s")) && col("_y").isNotNull)
+      .filter(col("_s").isNotNull && !isnan(col("_s")) &&
+        abs(col("_s")) < lit(Double.PositiveInfinity) && col("_y").isNotNull)
     base
       .withColumn("bin",
         least(lit(nBins.toLong - 1), greatest(lit(0L),

@@ -71,6 +71,17 @@ import graft.functions.TextFns
   */
 object RefStore {
 
+  /** Read a small protocol file (lease token, batch fingerprint) fully as
+    * trimmed UTF-8 — ONE definition for every lease/fp read so the
+    * protocols can never diverge on encoding or close handling.
+    */
+  private[graft] def readSmallText(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   private val FINGERPRINTS = "fingerprints"
   private val SIGNATURES = "signatures"
   private val BLOOM = "bloom.bin"
@@ -104,11 +115,8 @@ object RefStore {
     val token = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "/thread-" + Thread.currentThread().getId
     def leaseHeldError(): Nothing = {
-      val holder = try {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      } catch { case _: java.io.IOException => "<unreadable>" }
+      val holder = try readSmallText(f, p)
+        catch { case _: java.io.IOException => "<unreadable>" }
       throw new IllegalStateException(
         s"store $dir is write-leased by '$holder' — RefStore mutations are " +
           "single-writer (a concurrent merge would race the bloom/meta " +
@@ -147,21 +155,52 @@ object RefStore {
       // release ONLY a lease still holding OUR token: a stalled-not-dead
       // writer whose lease was broken and re-acquired must not delete the
       // new holder's lease (that would re-open the interleaving race for
-      // a THIRD writer). If the mutation completed under a stolen lease,
-      // fail loudly — interleaved sketch writes may have corrupted state.
-      val mine = try {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == token
-        finally in.close()
-      } catch { case _: java.io.IOException => false }
-      if (mine) { f.delete(p, false); () }
-      else if (bodyOk)
-        throw new IllegalStateException(
-          s"store $dir: this writer's lease was broken and re-acquired " +
-            "mid-mutation — the interleaved writes may have corrupted " +
-            "sketch state; run RefStore.fsck and rebuild any failing family")
-      // body already failed and the lease is not ours: let the original
-      // exception propagate untouched
+      // a THIRD writer). Distinguish the three non-ours states: absent
+      // (broken, nobody re-acquired — our completed writes are intact,
+      // warn only), foreign token (re-acquired mid-mutation — interleaved
+      // writes may have corrupted sketch state, fail loudly), unreadable
+      // after retries (can't verify ownership — fail with the ambiguity
+      // spelled out rather than deleting what might be someone else's,
+      // and NOT with a false corruption claim).
+      sealed trait LeaseState
+      case object Mine extends LeaseState
+      case object Absent extends LeaseState
+      case class Foreign(holder: String) extends LeaseState
+      case object Unreadable extends LeaseState
+      def readState(attempt: Int): LeaseState =
+        try {
+          if (!f.exists(p)) Absent
+          else readSmallText(f, p) match {
+            case t if t == token => Mine
+            case other => Foreign(other)
+          }
+        } catch {
+          case _: java.io.IOException if attempt < 3 =>
+            Thread.sleep(50L << attempt); readState(attempt + 1)
+          case _: java.io.IOException => Unreadable
+        }
+      readState(0) match {
+        case Mine => f.delete(p, false); ()
+        case Absent =>
+          if (bodyOk) System.err.println(
+            s"[refstore] WARNING: lease on $dir was broken while this " +
+              "writer ran; its mutation completed intact, but serialize " +
+              "breakLease with writer liveness checks")
+        case Foreign(holder) =>
+          if (bodyOk) throw new IllegalStateException(
+            s"store $dir: this writer's lease was broken and re-acquired " +
+              s"by '$holder' mid-mutation — the interleaved writes may have " +
+              "corrupted sketch state; run RefStore.fsck and rebuild any " +
+              "failing family")
+        case Unreadable =>
+          if (bodyOk) throw new java.io.IOException(
+            s"store $dir: could not verify lease ownership at release " +
+              "after retries — if the lease still holds this writer's " +
+              "token, clear it with RefStore.breakLease (the mutation " +
+              "itself completed)")
+      }
+      // when body already failed, the original exception propagates for
+      // every non-Mine state
     }
   }
 
@@ -862,85 +901,95 @@ object RefStore {
     val meta = if (exists(spark, dir, META)) readMeta(spark, dir)
       else Map.empty[String, String]
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean, String)]
+    // the has()-then-read sequence can race a live compactor's
+    // delete→rename window (the price of being lock-free): a scan that
+    // loses the race reports ok=false with a re-run hint instead of
+    // aborting the whole report — an honest signal either way
+    def checked(family: String, check: String)(body: => (Boolean, String)): Unit =
+      try { val (ok, d) = body; rows += ((family, check, ok, d)) }
+      catch { case e: Exception => rows += ((family, check, false,
+        s"check errored (${e.getClass.getSimpleName}) - re-run fsck; a live compact may have raced the scan")) }
 
     if (has(FINGERPRINTS)) {
-      if (has(BLOOM)) {
+      if (has(BLOOM)) checked("exact", "bloom_superset_of_fingerprints") {
         val bloom = spark.sparkContext.broadcast(loadBloom(spark, dir))
         val might = udf((h: String) => h != null && bloom.value.mightContainString(h))
         val misses = ro(FINGERPRINTS)
           .select(col("_rh")).distinct()
           .filter(!might(col("_rh")))
           .count()
-        rows += (("exact", "bloom_superset_of_fingerprints", misses == 0L,
-          s"misses=$misses"))
+        (misses == 0L, s"misses=$misses")
       } else rows += (("exact", "bloom_superset_of_fingerprints", true,
         "bloom absent - rebuilt from truth on next load"))
       rows += (("exact", "meta_sizing_present",
         meta.contains("expectedItems") && meta.contains("fpp"), ""))
     }
-    if (has(SIGNATURES)) {
+    if (has(SIGNATURES)) checked("minhash", "signature_arity_matches_meta") {
       val nh = meta.get("numHashes").map(_.toInt)
       val bad = nh.map(n => ro(SIGNATURES)
         .filter(size(col("_sig")) =!= n).count())
-      rows += (("minhash", "signature_arity_matches_meta",
-        nh.nonEmpty && bad.contains(0L),
-        nh.fold("numHashes missing from meta")(n => s"numHashes=$n bad=${bad.get}")))
+      (nh.nonEmpty && bad.contains(0L),
+        nh.fold("numHashes missing from meta")(n => s"numHashes=$n bad=${bad.get}"))
     }
-    if (has(SIMHASH)) {
+    if (has(SIMHASH)) checked("simhash", "signatures_non_null") {
       val bad = ro(SIMHASH)
         .filter(col("_id").isNull || col("_sh").isNull).count()
-      rows += (("simhash", "signatures_non_null", bad == 0L, s"bad=$bad"))
+      (bad == 0L, s"bad=$bad")
     }
-    if (has(CENTROIDS)) {
+    if (has(CENTROIDS)) checked("centroids", "positive_member_counts") {
       val bad = ro(CENTROIDS)
         .filter(col("n_members") <= 0L).count()
-      rows += (("centroids", "positive_member_counts", bad == 0L, s"bad=$bad"))
+      (bad == 0L, s"bad=$bad")
     }
-    if (has(IVF_ASSIGNED) && has(IVF_CENTROIDS)) {
+    if (has(IVF_ASSIGNED) && has(IVF_CENTROIDS)) checked("ivf", "assigned_cells_have_centroids") {
       val cells = ro(IVF_CENTROIDS).select(col("cell"))
       val orphans = ro(IVF_ASSIGNED)
         .join(broadcast(cells), Seq("cell"), "left_anti").count()
-      rows += (("ivf", "assigned_cells_have_centroids", orphans == 0L,
-        s"orphans=$orphans"))
+      (orphans == 0L, s"orphans=$orphans")
     }
-    if (has(PQ_ENCODED) && has(PQ_BOOKS)) {
+    if (has(PQ_ENCODED) && has(PQ_BOOKS)) checked("pq", "codebook_and_code_arity_match_meta") {
       val m = meta.get("pqM").map(_.toInt)
       val subspaces = ro(PQ_BOOKS)
         .select(col("subspace")).distinct().count()
       val badLen = m.map(mm => ro(PQ_ENCODED)
         .filter(size(col("codes")) =!= mm).count())
-      rows += (("pq", "codebook_and_code_arity_match_meta",
-        m.nonEmpty && subspaces == m.get.toLong && badLen.contains(0L),
+      (m.nonEmpty && subspaces == m.get.toLong && badLen.contains(0L),
         m.fold("pqM missing from meta")(mm =>
-          s"m=$mm subspaces=$subspaces badCodes=${badLen.get}")))
+          s"m=$mm subspaces=$subspaces badCodes=${badLen.get}"))
     }
     if (meta.contains("searchIndex") && has(POSTINGS) && has(LENGTHS)) {
-      val badTf = ro(POSTINGS).filter(col("tf") < 1L).count()
-      val lens = ro(LENGTHS).select(col("doc_id")).distinct()
-      val orphanDocs = ro(POSTINGS).select(col("doc_id")).distinct()
-        .join(lens, Seq("doc_id"), "left_anti").count()
-      rows += (("search", "postings_tf_positive", badTf == 0L, s"bad=$badTf"))
-      rows += (("search", "postings_docs_have_lengths", orphanDocs == 0L,
-        s"orphans=$orphanDocs"))
+      checked("search", "postings_tf_positive") {
+        val badTf = ro(POSTINGS).filter(col("tf") < 1L).count()
+        (badTf == 0L, s"bad=$badTf")
+      }
+      checked("search", "postings_docs_have_lengths") {
+        val lens = ro(LENGTHS).select(col("doc_id")).distinct()
+        val orphanDocs = ro(POSTINGS).select(col("doc_id")).distinct()
+          .join(lens, Seq("doc_id"), "left_anti").count()
+        (orphanDocs == 0L, s"orphans=$orphanDocs")
+      }
     }
-    if (meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
+    if (meta.contains("dsirBuckets") && has(DSIR_COUNTS)) checked("dsir", "sides_buckets_counts_lawful") {
       val b = meta("dsirBuckets").toInt
       val bad = ro(DSIR_COUNTS)
         .filter(!col("side").isin("t", "s") ||
           col("bucket") < 0 || col("bucket") >= b || col("n") < 0L)
         .count()
-      rows += (("dsir", "sides_buckets_counts_lawful", bad == 0L, s"bad=$bad"))
+      (bad == 0L, s"bad=$bad")
     }
     // every batch commit dir must be a completed parquet write
     allArtifacts.filter(has).foreach { a =>
-      val batchDirs = f.listStatus(new org.apache.hadoop.fs.Path(dir, a))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      if (batchDirs.nonEmpty) {
-        val unmarked = batchDirs.filterNot(s =>
-          f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-          .map(_.getPath.getName)
-        rows += ((a, "batch_commits_marked", unmarked.isEmpty,
-          if (unmarked.isEmpty) "" else unmarked.mkString(",")))
+      checked(a, "batch_commits_marked") {
+        val batchDirs = f.listStatus(new org.apache.hadoop.fs.Path(dir, a))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        if (batchDirs.isEmpty) (true, "no batch dirs")
+        else {
+          val unmarked = batchDirs.filterNot(s =>
+            f.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+            .map(_.getPath.getName)
+          (unmarked.isEmpty,
+            if (unmarked.isEmpty) "" else unmarked.mkString(","))
+        }
       }
     }
     rows.toSeq.toDF("family", "check", "ok", "detail")

@@ -1429,7 +1429,7 @@ object Registry {
       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id <> 0) e, a),
       | b AS (SELECT least(9, greatest(0, CAST(floor(score * 10) AS BIGINT))) AS bin,
       |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m, y FROM s
-      |  WHERE score IS NOT NULL AND NOT isnan(score) AND y IS NOT NULL)
+      |  WHERE score IS NOT NULL AND isfinite(score) AND y IS NOT NULL)
       | SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
       |  CAST(SUM(m) AS BIGINT) AS conf_micro_sum,

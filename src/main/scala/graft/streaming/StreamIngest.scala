@@ -449,9 +449,7 @@ object StreamIngest {
       // committed sink; the copy is content-identical (same fp law)
       val legacyFp = new org.apache.hadoop.fs.Path(dst, "_BATCH_FP")
       if (!fs.exists(fpPath) && fs.exists(legacyFp)) {
-        val in = fs.open(legacyFp)
-        val legacy = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
+        val legacy = graft.ops.RefStore.readSmallText(fs, legacyFp)
         val out = fs.create(fpPath, true)
         try out.write(legacy.getBytes("UTF-8")) finally out.close()
       }
@@ -459,9 +457,7 @@ object StreamIngest {
         s"guarded-ingest sink $dst is committed but carries no batch " +
           "fingerprint — the sink was not written by this protocol (or was " +
           "tampered with); refusing to guess whether batch ids collide")
-      val in = fs.open(fpPath)
-      val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
+      val old = graft.ops.RefStore.readSmallText(fs, fpPath)
       require(old == fpVal,
         s"guarded-ingest sink $dst already holds a DIFFERENT batch $id " +
           "(fingerprint mismatch) — the sink and checkpoint lifecycles are " +
