@@ -95,7 +95,14 @@ object RefStore {
     * fail-if-exists, release on completion (success OR failure — every
     * mutation is idempotent on retry, so a failed writer must not keep
     * the store locked). A held lease means a LIVE writer is mid-mutation;
-    * the second writer throws instead of interleaving. Entry also
+    * with `leaseWaitMs = 0` (the default) the second writer throws
+    * instead of interleaving. A POSITIVE `leaseWaitMs` bounds a poll-wait
+    * on the held lease instead — the coexistence knob that lets a
+    * maintenance [[compact]] and a live ingest stream's micro-batch
+    * merges take turns on the same store (each delays behind the other's
+    * lease rather than killing it); the error only fires once the bound
+    * is exhausted, so a wedged CRASHED writer still surfaces as the same
+    * actionable breakLease message, just `leaseWaitMs` later. Entry also
     * completes any half-finished [[compact]] swap (see
     * [[recoverCompact]]) so mutations never touch a mid-swap artifact.
     *
@@ -107,47 +114,77 @@ object RefStore {
     * object stores without atomic create get best-effort exclusion —
     * pair them with an external scheduler that serializes writers.
     */
-  private def withLease[T](spark: SparkSession, dir: String)(body: => T): T = {
+  private def withLease[T](spark: SparkSession, dir: String,
+      leaseWaitMs: Long = 0L)(body: => T): T = {
     val f = fs(spark, dir)
     val base = new org.apache.hadoop.fs.Path(dir)
     f.mkdirs(base)
     val p = new org.apache.hadoop.fs.Path(base, LEASE)
     val token = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "/thread-" + Thread.currentThread().getId
-    def leaseHeldError(): Nothing = {
+    def leaseHeldError(waitedMs: Long): Nothing = {
       val holder = try readSmallText(f, p)
         catch { case _: java.io.IOException => "<unreadable>" }
+      val waited = if (waitedMs > 0) s" (waited ${waitedMs} ms)" else ""
       throw new IllegalStateException(
-        s"store $dir is write-leased by '$holder' — RefStore mutations are " +
-          "single-writer (a concurrent merge would race the bloom/meta " +
+        s"store $dir is write-leased by '$holder'$waited — RefStore mutations " +
+          "are single-writer (a concurrent merge would race the bloom/meta " +
           "read-modify-write and lose updates silently); if that writer " +
           "crashed, clear it with RefStore.breakLease and retry — merges " +
           "are idempotent")
     }
-    // take the lease; a failure AFTER the file exists must not leave an
-    // empty lease wedging the store behind a transient I/O error
-    try {
+    // one acquisition attempt: true = lease taken, false = held by another
+    // writer; a failure AFTER the file exists must not leave an empty
+    // lease wedging the store behind a transient I/O error
+    def tryAcquire(): Boolean =
       if ("file" == f.getUri.getScheme) {
         val local = java.nio.file.Paths.get(base.toUri.getPath).resolve(LEASE)
-        try java.nio.file.Files.write(local, token.getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => leaseHeldError() }
-      } else {
-        val out = try f.create(p, false) catch {
-          case _: java.io.IOException if f.exists(p) => leaseHeldError()
+        try {
+          java.nio.file.Files.write(local, token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case e: Throwable =>
+            try f.delete(p, false) catch { case _: java.io.IOException => () }
+            throw e
         }
-        try out.write(token.getBytes("UTF-8")) finally out.close()
+      } else {
+        val created = try Option(f.create(p, false)) catch {
+          case _: java.io.IOException if f.exists(p) => None
+        }
+        created match {
+          case None => false
+          case Some(out) =>
+            try { try out.write(token.getBytes("UTF-8")) finally out.close(); true }
+            catch {
+              case e: Throwable =>
+                try f.delete(p, false) catch { case _: java.io.IOException => () }
+                throw e
+            }
+        }
       }
-    } catch {
-      case e: IllegalStateException => throw e
-      case e: Throwable =>
-        try f.delete(p, false) catch { case _: java.io.IOException => () }
-        throw e
+    val t0 = System.nanoTime()
+    var waited = false
+    var acquired = tryAcquire()
+    while (!acquired &&
+        (System.nanoTime() - t0) / 1000000L < leaseWaitMs) {
+      if (!waited) {
+        waited = true
+        System.err.println(s"[refstore] store $dir is write-leased; waiting " +
+          s"up to $leaseWaitMs ms for the holder to release")
+      }
+      Thread.sleep(math.min(200L, math.max(1L, leaseWaitMs / 10)))
+      acquired = tryAcquire()
     }
+    if (!acquired) leaseHeldError((System.nanoTime() - t0) / 1000000L)
     var bodyOk = false
     try {
-      allArtifacts.foreach(a => recoverCompact(spark, dir, a))
+      allArtifacts.foreach { a =>
+        recoverCompact(spark, dir, a)
+        gcStaleCompactTmp(spark, dir, a)
+      }
       val r = body
       bodyOk = true
       r
@@ -240,11 +277,15 @@ object RefStore {
   /** Commit one ingest batch into the artifact: OR the batch's bloom into
     * the stored one (same parameters from meta → bit-compatible), then
     * append the batch's distinct fingerprints. Bloom first — see the
-    * crash contract above.
+    * crash contract above. `leaseWaitMs` bounds a wait on a held lease
+    * (maintenance coexistence — see [[withLease]]); `autoCompactAfter`
+    * (0 = off) compacts the store inline once the fingerprint family
+    * accumulates that many commit units ([[maybeAutoCompact]]).
     */
-  def mergeExact(batch: DataFrame, textCol: String, dir: String): Unit = {
+  def mergeExact(batch: DataFrame, textCol: String, dir: String,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
     val spark = batch.sparkSession
-    withLease(spark, dir) {
+    withLease(spark, dir, leaseWaitMs) {
       val meta = readMeta(spark, dir)
       val batchFp = fingerprintsOf(batch, textCol)
       val add = bloomOf(batchFp, meta("expectedItems").toLong, meta("fpp").toDouble)
@@ -254,6 +295,7 @@ object RefStore {
       // the documented crashed-commit retry fails forever on fs.open
       writeBloom(spark, dir, loadOrRebuildBloom(spark, dir, meta).mergeInPlace(add))
       batchFp.distinct().write.mode("append").parquet(path(dir, FINGERPRINTS))
+      maybeAutoCompact(spark, dir, autoCompactAfter, FINGERPRINTS)
     }
   }
 
@@ -308,15 +350,18 @@ object RefStore {
     }
   }
 
-  /** Append one batch's signatures (same law parameters, from meta). */
+  /** Append one batch's signatures (same law parameters, from meta).
+    * `leaseWaitMs` / `autoCompactAfter` as in [[mergeExact]].
+    */
   def mergeMinhash(batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
     val spark = batch.sparkSession
-    withLease(spark, dir) {
+    withLease(spark, dir, leaseWaitMs) {
       val meta = readMeta(spark, dir)
       Dedup.shingleHashFrame(batch, idCol, textCol,
           meta("shingleSize").toInt, meta("numHashes").toInt)
         .write.mode("append").parquet(path(dir, SIGNATURES))
+      maybeAutoCompact(spark, dir, autoCompactAfter, SIGNATURES)
     }
   }
 
@@ -361,15 +406,17 @@ object RefStore {
 
   /** Append one batch's signatures (fails fast on a dir that never saw
     * [[writeSimhash]] — the commit-into-a-foreign-store guard).
+    * `leaseWaitMs` / `autoCompactAfter` as in [[mergeExact]].
     */
   def mergeSimhash(batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
     val spark = batch.sparkSession
-    withLease(spark, dir) {
+    withLease(spark, dir, leaseWaitMs) {
       require(readMeta(spark, dir).contains("simhashBits"),
         s"store $dir holds no simhash artifact — writeSimhash first")
       Dedup.simhashFrame(batch, idCol, textCol)
         .write.mode("append").parquet(path(dir, SIMHASH))
+      maybeAutoCompact(spark, dir, autoCompactAfter, SIMHASH)
     }
   }
 
@@ -401,13 +448,18 @@ object RefStore {
 
   /** Commit one batch's partial accumulators under `batch=<batchId>/`
     * (same cluster-id space — the caller's assignment contract; batch ids
-    * must be unique per batch and stable across retries).
+    * must be unique per batch and stable across retries). `leaseWaitMs` /
+    * `autoCompactAfter` as in [[mergeExact]] — but note the batch-dir
+    * retry caveat on [[maybeAutoCompact]]: enable auto-compaction here
+    * only when no crashed pre-compact commit can still be retried.
     */
-  def mergeCentroids(sums: DataFrame, dir: String, batchId: String): Unit =
-    withLease(sums.sparkSession, dir) {
+  def mergeCentroids(sums: DataFrame, dir: String, batchId: String,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit =
+    withLease(sums.sparkSession, dir, leaseWaitMs) {
       sums.select(col("cluster_id"), col("dim"), col("sum_micro"), col("n_members"))
         .write.mode("overwrite")
         .parquet(batchPath(dir, CENTROIDS, batchId))
+      maybeAutoCompact(sums.sparkSession, dir, autoCompactAfter, CENTROIDS)
     }
 
   /** The re-aggregated exact accumulator frame — bit-identical to running
@@ -469,11 +521,12 @@ object RefStore {
     * batches (the ingest key contract); batch ids stable across retries.
     */
   def mergeIvf(batch: DataFrame, idCol: String, vecCol: String, dir: String,
-      batchId: String): Unit =
-    withLease(batch.sparkSession, dir) {
+      batchId: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit =
+    withLease(batch.sparkSession, dir, leaseWaitMs) {
       val (centroids, _) = loadIvf(batch.sparkSession, dir)
       Similarity.assignIvfCells(batch, idCol, vecCol, centroids)
         .write.mode("overwrite").parquet(batchPath(dir, IVF_ASSIGNED, batchId))
+      maybeAutoCompact(batch.sparkSession, dir, autoCompactAfter, IVF_ASSIGNED)
     }
 
   /** (centroids, assigned-corpus frame) — [[Similarity.ivfTopKStored]]'s
@@ -527,11 +580,12 @@ object RefStore {
     * under `batch=<batchId>/` (idempotent on retry — see [[mergeIvf]]).
     */
   def mergePq(batch: DataFrame, idCol: String, vecCol: String, dir: String,
-      batchId: String): Unit =
-    withLease(batch.sparkSession, dir) {
+      batchId: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit =
+    withLease(batch.sparkSession, dir, leaseWaitMs) {
       val (books, _) = loadPq(batch.sparkSession, dir)
       Similarity.pqEncodeFrame(batch, idCol, vecCol, books)
         .write.mode("overwrite").parquet(batchPath(dir, PQ_ENCODED, batchId))
+      maybeAutoCompact(batch.sparkSession, dir, autoCompactAfter, PQ_ENCODED)
     }
 
   /** (codebooks, encoded-corpus frame) — [[Similarity.pqTopKStored]]'s
@@ -575,11 +629,15 @@ object RefStore {
     * unique across batches, so per-batch tf IS corpus tf per document).
     */
   def mergeSearchIndex(batch: DataFrame, idCol: String, textCol: String,
-      dir: String, batchId: String): Unit =
-    commitSearchBatch(batch, idCol, textCol, dir, batchId)
+      dir: String, batchId: String, leaseWaitMs: Long = 0L,
+      autoCompactAfter: Int = 0): Unit =
+    commitSearchBatch(batch, idCol, textCol, dir, batchId, leaseWaitMs,
+      autoCompactAfter)
 
   private def commitSearchBatch(df: DataFrame, idCol: String, textCol: String,
-      dir: String, batchId: String): Unit = withLease(df.sparkSession, dir) {
+      dir: String, batchId: String, leaseWaitMs: Long = 0L,
+      autoCompactAfter: Int = 0): Unit =
+      withLease(df.sparkSession, dir, leaseWaitMs) {
     // fail loudly on an uninitialized / wrong-family dir BEFORE writing
     // anything — a silent commit into a foreign store would corrupt its
     // corpus scalars (the mergeExact/mergeMinhash posture)
@@ -594,6 +652,7 @@ object RefStore {
     df.select(col(idCol).as("doc_id"),
         TextFns.tokenCount(col(textCol)).as("len"))
       .write.mode("overwrite").parquet(batchPath(dir, LENGTHS, batchId))
+    maybeAutoCompact(df.sparkSession, dir, autoCompactAfter, POSTINGS)
   }
 
   /** (postings, lengths) frames of the whole committed index. */
@@ -632,13 +691,16 @@ object RefStore {
     * source-corpus growth batch passes an empty target frame).
     */
   def mergeDsirCounts(target: DataFrame, source: DataFrame, textCol: String,
-      dir: String, batchId: String): Unit =
-    commitDsirBatch(target, source, textCol, dir, batchId)
+      dir: String, batchId: String, leaseWaitMs: Long = 0L,
+      autoCompactAfter: Int = 0): Unit =
+    commitDsirBatch(target, source, textCol, dir, batchId, leaseWaitMs,
+      autoCompactAfter)
 
   private def commitDsirBatch(target: DataFrame, source: DataFrame,
-      textCol: String, dir: String, batchId: String): Unit = {
+      textCol: String, dir: String, batchId: String,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
     val spark = target.sparkSession
-    withLease(spark, dir) {
+    withLease(spark, dir, leaseWaitMs) {
     val meta = readMeta(spark, dir)
     val buckets = meta("dsirBuckets").toInt
     val ngrams = meta("dsirNgrams").split(",").map(_.toInt).toSeq
@@ -647,6 +709,7 @@ object RefStore {
         .select(lit(tag).as("side"), col("_b").as("bucket"), col("_n").as("n"))
     side(target, "t").unionByName(side(source, "s"))
       .write.mode("overwrite").parquet(batchPath(dir, DSIR_COUNTS, batchId))
+    maybeAutoCompact(spark, dir, autoCompactAfter, DSIR_COUNTS)
     }
   }
 
@@ -713,9 +776,20 @@ object RefStore {
     * with a merge, and never while a crashed pre-compact batch commit
     * might still be retried (the retry would re-add folded rows).
     */
-  def compact(spark: SparkSession, dir: String, numFiles: Int = 8): Unit = {
+  def compact(spark: SparkSession, dir: String, numFiles: Int = 8,
+      leaseWaitMs: Long = 0L): Unit = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
-    withLease(spark, dir) {
+    withLease(spark, dir, leaseWaitMs) { compactLocked(spark, dir, numFiles) }
+  }
+
+  /** The body of [[compact]], assuming the caller ALREADY holds the write
+    * lease — shared between the standalone entry point and the
+    * merge-triggered auto-compaction path (which must not re-enter
+    * [[withLease]]: the lease file is not reentrant, so a second acquire
+    * from the same writer would see its own lease as a foreign holder).
+    */
+  private def compactLocked(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+    {
       val f = fs(spark, dir)
       // centroid-only stores carry no meta.properties (no law parameters);
       // the meta-gated families just don't fire there
@@ -804,6 +878,52 @@ object RefStore {
     IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS,
     DSIR_COUNTS)
 
+  /** Commit units a family has accumulated since its last compaction: the
+    * `batch=<id>/` subdir count for the per-batch commit families, else
+    * the parquet data-file count for the plain-append families — both are
+    * exactly what [[compact]] folds back down, so this is the number an
+    * auto-compaction threshold compares against.
+    */
+  private def commitUnits(f: org.apache.hadoop.fs.FileSystem, dir: String,
+      artifact: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir, artifact)
+    if (!f.exists(root)) 0L
+    else {
+      val top = f.listStatus(root)
+      val batchDirs = top.count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+      if (batchDirs > 0) batchDirs.toLong
+      else top.count(s =>
+        s.isFile && s.getPath.getName.startsWith("part-")).toLong
+    }
+  }
+
+  /** Merge-triggered auto-compaction — the unattended form of the
+    * [[compact]] cadence: called at the tail of a merge, UNDER the
+    * merge's already-held lease, with the merged family name. When that
+    * family's commit units reach `threshold` (0 = disabled), the whole
+    * store compacts inline — the next micro-batch pays one maintenance
+    * pass instead of an operator remembering a cron job, and the lease
+    * already held means no coexistence hazard beyond a longer batch.
+    *
+    * Retry caveat (same as [[compact]]'s): for the `batch=<id>/` commit
+    * families a post-compact retry of a PRE-compact crashed batch would
+    * re-add folded rows. The re-distinct families (fingerprints, minhash
+    * / simhash signatures) are immune — replay re-appends are
+    * re-distincted by every consumer — which is why the streaming ingest
+    * loops enable this only on those paths.
+    */
+  private def maybeAutoCompact(spark: SparkSession, dir: String,
+      threshold: Int, artifact: String): Unit =
+    if (threshold > 0) {
+      val units = commitUnits(fs(spark, dir), dir, artifact)
+      if (units >= threshold) {
+        System.err.println(s"[refstore] store $dir family $artifact reached " +
+          s"$units commit units (threshold $threshold) — auto-compacting inline")
+        compactLocked(spark, dir, numFiles = 8)
+      }
+    }
+
   /** Read-only store introspection — the operability dashboard row set a
     * maintenance job keys compaction cadence off (is the file count
     * creeping? is a lease stuck? did a compact swap get interrupted?).
@@ -839,28 +959,48 @@ object RefStore {
       (files, bytes)
     }
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long, String)]
-    allArtifacts.foreach { a =>
-      if (f.exists(p(a))) {
-        val (nf, b) = walk(p(a))
-        val batches = f.listStatus(p(a))
-          .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        val detail = if (batches > 0) s"batches=$batches" else ""
-        rows += ((a, "artifact", nf, b, detail))
+    // the exists-then-list sequence can race a live compactor's
+    // delete→rename window (the price of being lock-free, fsck's checked()
+    // posture): a listing that loses the race emits a kind=race row for
+    // that item instead of aborting the whole dashboard
+    def raced(item: String)(body: => Unit): Unit =
+      try body catch {
+        case e: java.io.IOException =>
+          rows += ((item, "race", 0L, 0L,
+            s"listing raced a concurrent writer (${e.getClass.getSimpleName}) - re-run describe"))
       }
-      val tmp = new org.apache.hadoop.fs.Path(dir, s".$a.compact")
-      if (f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE))) {
-        val (nf, b) = walk(tmp)
-        rows += ((s".$a.compact", "pending-swap", nf, b, ""))
+    allArtifacts.foreach { a =>
+      raced(a) {
+        if (f.exists(p(a))) {
+          val (nf, b) = walk(p(a))
+          val batches = f.listStatus(p(a))
+            .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          val detail = if (batches > 0) s"batches=$batches" else ""
+          rows += ((a, "artifact", nf, b, detail))
+        }
+      }
+      raced(s".$a.compact") {
+        val tmp = new org.apache.hadoop.fs.Path(dir, s".$a.compact")
+        if (f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE))) {
+          val (nf, b) = walk(tmp)
+          rows += ((s".$a.compact", "pending-swap", nf, b, ""))
+        }
       }
     }
-    if (f.exists(p(BLOOM)))
-      rows += ((BLOOM, "cache", 1L, f.getFileStatus(p(BLOOM)).getLen, ""))
-    if (f.exists(p(META)))
-      readMeta(spark, dir).toSeq.sortBy(_._1).foreach { case (k, v) =>
-        rows += ((s"meta:$k", "meta", 1L, 0L, v))
-      }
-    if (f.exists(p(LEASE)))
-      rows += ((LEASE, "lease", 1L, 0L, "held"))
+    raced(BLOOM) {
+      if (f.exists(p(BLOOM)))
+        rows += ((BLOOM, "cache", 1L, f.getFileStatus(p(BLOOM)).getLen, ""))
+    }
+    raced(META) {
+      if (f.exists(p(META)))
+        readMeta(spark, dir).toSeq.sortBy(_._1).foreach { case (k, v) =>
+          rows += ((s"meta:$k", "meta", 1L, 0L, v))
+        }
+    }
+    raced(LEASE) {
+      if (f.exists(p(LEASE)))
+        rows += ((LEASE, "lease", 1L, 0L, "held"))
+    }
     rows.toSeq.toDF("item", "kind", "n_files", "bytes", "detail")
   }
 
@@ -1043,6 +1183,27 @@ object RefStore {
             s"RefStore: recovering interrupted compact failed: $tmp -> $live")
       }
       f.delete(new org.apache.hadoop.fs.Path(live, COMPACT_DONE), false)
+      ()
+    }
+  }
+
+  /** Retention GC for a compact that crashed BEFORE its completeness
+    * marker: an UNMARKED `.name.compact` tmp beside a live artifact is
+    * dead weight (the interrupted compact restarts from scratch; nothing
+    * ever reads the tmp) — delete it so the store's footprint stays
+    * bounded between maintenance runs. ONLY called from the [[withLease]]
+    * entry sweep: under the held lease no compactor can be live, so an
+    * unmarked tmp is provably garbage — a lock-free reader must never do
+    * this (it could race a LIVE compactor's mid-write tmp), which is why
+    * [[recoverCompact]] (also run by reads) does not.
+    */
+  private def gcStaleCompactTmp(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.compact")
+    if (f.exists(tmp) &&
+        !f.exists(new org.apache.hadoop.fs.Path(tmp, COMPACT_DONE))) {
+      f.delete(tmp, true)
       ()
     }
   }

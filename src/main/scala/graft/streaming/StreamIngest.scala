@@ -328,15 +328,25 @@ object StreamIngest {
     * over the RAW batch, so the fresh-checkpoint collision guard and the
     * replay law are unchanged. Compose e.g.
     * [[graft.functions.TextFns.gopherScala]] flags or a stats threshold.
+    *
+    * Unattended-store knobs: `leaseWaitMs` (default 5 min) makes the
+    * store-commit step WAIT on a held write lease instead of failing the
+    * batch — a [[graft.tools.StoreAdmin]] `compact` run mid-stream delays
+    * the next micro-batch rather than killing the query (and a compact
+    * started with its own `leaseWaitMs` waits for the batch gap in turn).
+    * `autoCompactAfter` (default 32) compacts the store inline once the
+    * fingerprint family accumulates that many files — safe on this path
+    * because fingerprint replays are re-distincted by every consumer.
     */
   def runDedupedIngest(stream: DataFrame, storeDir: String, sinkDir: String,
       idCol: String, textCol: String, checkpointDir: String,
-      prefilter: DataFrame => DataFrame = identity): StreamingQuery =
+      prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 300000L, autoCompactAfter: Int = 32): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestDedupedBatch(batch, id, storeDir, sinkDir, idCol, textCol,
-          prefilter); ()
+          prefilter, leaseWaitMs, autoCompactAfter); ()
       }
       .start()
 
@@ -356,7 +366,8 @@ object StreamIngest {
     */
   private[graft] def ingestDedupedBatch(batch: DataFrame, id: Long,
       storeDir: String, sinkDir: String, idCol: String, textCol: String,
-      prefilter: DataFrame => DataFrame = identity): Unit =
+      prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit =
     ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
       guard = { b0 =>
         val b = prefilter(b0)
@@ -374,7 +385,8 @@ object StreamIngest {
           selfDeduped, storeDir, idCol, textCol)
       },
       commit = survivors =>
-        graft.ops.RefStore.mergeExact(survivors, textCol, storeDir))
+        graft.ops.RefStore.mergeExact(survivors, textCol, storeDir,
+          leaseWaitMs, autoCompactAfter))
 
   /** NEAR-DUP tier of the continuous ingest loop — same skeleton, fuzzier
     * guard: each micro-batch (1) collapses its own near-dup clusters
@@ -389,28 +401,33 @@ object StreamIngest {
     * empty); `bands` must divide the store's numHashes. Signature
     * re-appends on replay are tolerated by construction (every consumer
     * re-distincts candidates), so the commit needs no batch-scoped subdir.
+    * `leaseWaitMs` / `autoCompactAfter` as in [[runDedupedIngest]]
+    * (auto-compaction is replay-safe here for the same re-distinct reason).
     */
   def runNearDupIngest(stream: DataFrame, storeDir: String, sinkDir: String,
       idCol: String, textCol: String, checkpointDir: String,
       threshold: Double = 0.8, bands: Int = 16,
-      prefilter: DataFrame => DataFrame = identity): StreamingQuery =
+      prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 300000L, autoCompactAfter: Int = 32): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ingestNearDupBatch(batch, id, storeDir, sinkDir, idCol, textCol,
-          threshold, bands, prefilter); ()
+          threshold, bands, prefilter, leaseWaitMs, autoCompactAfter); ()
       }
       .start()
 
   private[graft] def ingestNearDupBatch(batch: DataFrame, id: Long,
       storeDir: String, sinkDir: String, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16,
-      prefilter: DataFrame => DataFrame = identity): Unit =
+      prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit =
     ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
       guard = b => graft.ops.Dedup.nearDupSurvivorsAgainstStore(
         prefilter(b), storeDir, idCol, textCol, bands, threshold),
       commit = survivors =>
-        graft.ops.RefStore.mergeMinhash(survivors, idCol, textCol, storeDir))
+        graft.ops.RefStore.mergeMinhash(survivors, idCol, textCol, storeDir,
+          leaseWaitMs, autoCompactAfter))
 
   /** The shared exactly-once micro-batch skeleton of the ingest loops:
     * guard → land survivors under `sinkDir/batch=<id>/` → commit survivors

@@ -137,6 +137,32 @@ object BloomScale {
     println(f"=== compact() ${tCompact}%.2f s -> $filesCompact%d files, probe " +
       f"${tAfter}%.2f s (== pre-compact survivors); bloom re-sized " +
       f"$sizedBefore%d -> $sizedAfter%d ===")
+
+    // the UNATTENDED leg: many more micro-batches with the merge-triggered
+    // auto-compaction threshold — the file count must stay bounded with NO
+    // manual compact call, and answers must still equal the plain anti-join
+    // over everything ever merged
+    val autoMerges = 100
+    val autoThreshold = 32
+    var maxFiles = 0
+    val (_, tAuto) = timed((0 until autoMerges).foreach { i =>
+      graft.ops.RefStore.mergeExact(
+        docs(spark, 5000L, s"auto$i", 7), "text", store,
+        autoCompactAfter = autoThreshold)
+      maxFiles = math.max(maxFiles, fileCount())
+    })
+    val filesAuto = fileCount()
+    require(maxFiles <= autoThreshold + 8,
+      s"AUTO-COMPACT DID NOT BOUND THE STORE: peaked at $maxFiles part files " +
+        s"(threshold $autoThreshold)")
+    val (autoCount, tAutoProbe) = timed(
+      Dedup.exactAgainstBloomStored(incoming, store, "doc_id", "text").count())
+    require(autoCount == fragCount,
+      s"AUTO-COMPACT CHANGED ANSWERS: $fragCount -> $autoCount")
+    println(f"=== auto-compact: $autoMerges%d more micro-batch merges at " +
+      f"threshold $autoThreshold%d (${tAuto / autoMerges}%.2f s each) peaked at " +
+      f"$maxFiles%d part files, ended at $filesAuto%d — bounded, no manual " +
+      f"compact; probe ${tAutoProbe}%.2f s unchanged ===")
     spark.stop()
   }
 }

@@ -546,6 +546,91 @@ class RefStoreSpec extends SparkSpec {
     assert(!Files.exists(live.resolve("_COMPACT_DONE")))
   }
 
+  test("write lease: a bounded leaseWaitMs waits out a live holder instead of failing the merge") {
+    val dir = Files.createTempDirectory("refstore-leasewait").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    // a live maintenance writer holds the lease; it releases 400 ms in
+    val lease = Paths.get(dir, "_LEASE")
+    Files.write(lease, "compactor@elsewhere/thread-1".getBytes("UTF-8"))
+    val releaser = new Thread(() => { Thread.sleep(400L); Files.delete(lease); () })
+    releaser.start()
+    // default (0) would fail fast here — the bounded wait must ride it out
+    RefStore.mergeExact(batch2, "text", dir, leaseWaitMs = 30000L)
+    releaser.join()
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+      === Set(12L, 13L, 14L), "the delayed merge must commit normally")
+    assert(!Files.exists(lease), "the waiting merge must release its own lease")
+    // a holder that NEVER releases still surfaces as the actionable error,
+    // just leaseWaitMs later
+    Files.write(lease, "wedged-writer@elsewhere/thread-9".getBytes("UTF-8"))
+    val err = intercept[IllegalStateException] {
+      RefStore.mergeExact(batch2, "text", dir, leaseWaitMs = 300L)
+    }
+    assert(err.getMessage.contains("wedged-writer") &&
+      err.getMessage.contains("waited"),
+      s"timeout error must name the holder and the wait: ${err.getMessage}")
+  }
+
+  test("auto-compact: a merge crossing the threshold compacts inline, identically to a manual compact") {
+    // twin stores, same data: A merges with autoCompactAfter crossing the
+    // threshold on the last merge; B merges plain then compacts manually
+    val dirA = Files.createTempDirectory("refstore-autocompact-a").toString
+    val dirB = Files.createTempDirectory("refstore-autocompact-b").toString
+    // expectedItems deliberately undersized so a compact MUST re-size the
+    // bloom — the observable proof the trigger actually fired in A
+    Seq(dirA, dirB).foreach(d => RefStore.writeExact(batch1, "text", d, expectedItems = 3L))
+    def metaItems(d: String): Long = {
+      val p = new java.util.Properties()
+      val in = Files.newInputStream(Paths.get(d, "meta.properties"))
+      try p.load(in) finally in.close()
+      p.getProperty("expectedItems").toLong
+    }
+    // each small merge appends one file set; threshold 2 fires once the
+    // fingerprint family holds >= 2 commit units
+    RefStore.mergeExact(batch2, "text", dirA, autoCompactAfter = 2)
+    RefStore.mergeExact(batch2, "text", dirB)
+    RefStore.compact(spark, dirB)
+    assert(metaItems(dirA) === 8L,
+      "the merge-triggered compact must have re-sized the bloom from the truth (4 distinct x2)")
+    assert(metaItems(dirA) === metaItems(dirB),
+      "merge-triggered and manual compaction must leave identical sizing")
+    val a = survivors(Dedup.exactAgainstBloomStored(incoming, dirA, "doc_id", "text"))
+    val b = survivors(Dedup.exactAgainstBloomStored(incoming, dirB, "doc_id", "text"))
+    assert(a === b && a === Set(12L, 13L, 14L),
+      "both stores must answer identically after their compacts")
+    // below the threshold nothing fires: a fresh store with a high
+    // threshold keeps its original sizing
+    val dirC = Files.createTempDirectory("refstore-autocompact-c").toString
+    RefStore.writeExact(batch1, "text", dirC, expectedItems = 3L)
+    RefStore.mergeExact(batch2, "text", dirC, autoCompactAfter = 100)
+    assert(metaItems(dirC) === 3L, "under-threshold merges must not compact")
+  }
+
+  test("retention: an unmarked compact tmp (crash before the marker) is GC'd by the next mutation") {
+    val dir = Files.createTempDirectory("refstore-tmpgc").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
+    // the signatures family must LIVE for the marked-tmp leg below — a
+    // marked tmp with no live artifact is a mid-swap crash that recovery
+    // legitimately promotes, not garbage
+    RefStore.writeMinhash(batch1, "doc_id", "text", dir)
+    // a compact crashed mid-write: unmarked tmp beside the live artifact
+    val stale = Paths.get(dir, ".fingerprints.compact")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    RefStore.mergeExact(batch2, "text", dir)
+    assert(!Files.exists(stale),
+      "the next mutation must GC the dead tmp (no compactor can be live under our lease)")
+    assert(survivors(Dedup.exactAgainstBloomStored(incoming, dir, "doc_id", "text"))
+      === Set(12L, 13L, 14L), "GC must not affect answers")
+    // a MARKED tmp is NOT gc'd when live exists (pending swap, surfaces in
+    // describe; the next compact of that family resolves it)
+    val marked = Paths.get(dir, ".signatures.compact")
+    Files.createDirectories(marked)
+    Files.createFile(marked.resolve("_COMPACT_DONE"))
+    RefStore.mergeExact(batch2, "text", dir)
+    assert(Files.exists(marked), "a marked pending swap must not be GC'd as garbage")
+  }
+
   test("write lease: a second writer fails fast with the holder named; breakLease reopens") {
     val dir = Files.createTempDirectory("refstore-lease").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)

@@ -429,6 +429,51 @@ class StreamIngestSpec extends SparkSpec {
       "batch 1 must dedup against the retried batch 0's committed store")
   }
 
+  test("maintenance coexistence: compact runs mid-stream; every micro-batch completes with exact survivors") {
+    import spark.implicits._
+    val store = tmp("graft-coexist-store")
+    val sink = tmp("graft-coexist-sink")
+    val src = tmp("graft-coexist-src")
+    graft.ops.RefStore.writeExact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", store,
+      expectedItems = 1000L)
+    val b1 = Seq((1L, "alpha content"), (2L, "beta content")).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    // autoCompactAfter=2: the stream ALSO auto-compacts its own store once
+    // the fingerprint family crosses two commit units — unattended cadence
+    val q = StreamIngest.runDedupedIngest(
+      spark.readStream.schema(b1.schema).parquet(src),
+      store, sink, "doc_id", "text", tmp("graft-coexist-ckp"),
+      autoCompactAfter = 2)
+    q.processAllAvailable()
+    // a StoreAdmin compact in the micro-batch gap: with its own bounded
+    // wait it queues behind any mid-flight merge; answers must not change
+    graft.ops.RefStore.compact(spark, store, leaseWaitMs = 30000L)
+    // a compactor is LIVE (lease held) when the next micro-batch lands:
+    // the batch's store commit must WAIT it out, not kill the query
+    val lease = java.nio.file.Paths.get(store, "_LEASE")
+    java.nio.file.Files.write(lease,
+      "storeadmin@elsewhere/thread-1".getBytes("UTF-8"))
+    val releaser = new Thread(() => {
+      Thread.sleep(500L); java.nio.file.Files.delete(lease); ()
+    })
+    releaser.start()
+    val b2 = Seq((10L, "alpha content"), // dup of batch 1 via the store
+      (11L, "gamma content")).toDF("doc_id", "text")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    // would rethrow as StreamingQueryException if the merge failed fast
+    q.processAllAvailable()
+    releaser.join()
+    // a batch AFTER the maintenance window still dedups against everything
+    val b3 = Seq((20L, "gamma content"), (21L, "delta content")).toDF("doc_id", "text")
+    b3.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 11L, 21L),
+      "all three micro-batches must complete with exact survivor counts " +
+        "despite the compacts and the held lease")
+  }
+
   test("near-dup ingest loop: in-batch collapse, cross-batch drops, NULL text, replay — through the real stream") {
     import spark.implicits._
     val store = tmp("graft-neardup-store")
