@@ -81,6 +81,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogLevels.quietCheckpointRelease()
     // warmup: absorb JVM/codegen first-touch cost, then pre-touch EVERY
     // testdata table (full scan into the noop sink — vectorized read, no row
     // conversion) so per-query timings measure the query, not whichever one

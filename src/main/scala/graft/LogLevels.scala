@@ -1,0 +1,26 @@
+package graft
+
+/** Entry-point log hygiene. [[graft.ops.Clusters.release]] (used by the
+  * connected-components rounds and the hierarchy traversal) unpersists
+  * RDDs it localCheckpointed ITSELF, on purpose, after their last use —
+  * but Spark logs every such unpersist as
+  * `WARN MapPartitionsRDD: RDD n was locally checkpointed, its lineage
+  * has been truncated and cannot be recomputed after unpersisting`, one
+  * line per released round. Over a full bench run that is dozens of
+  * lines of driver-tail noise that would bury a REAL warning.
+  *
+  * The silencing is deliberately done HERE, by the entry points (Bench,
+  * Verify, the scale probes) and not inside the library: a host
+  * application keeps its own logging policy — a library must not mutate
+  * global logger levels as a side effect of an operator call.
+  */
+object LogLevels {
+
+  /** Raise the intentional-release RDD logger to ERROR. Call after the
+    * SparkSession exists (Spark's log4j2 config is installed by then).
+    */
+  def quietCheckpointRelease(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+}

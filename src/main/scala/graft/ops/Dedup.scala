@@ -615,7 +615,12 @@ object Dedup {
     * corpus work.
     *
     * Output: (idCol, n_chunks, n_shared, share_frac) for incoming docs
-    * with at least one shared chunk. Scale shape: chunking is narrow; the
+    * with at least one shared chunk. `n_chunks` counts ONLY the
+    * qualifying (≥ `minTokens`-token) chunks — it is the denominator of
+    * `share_frac`, NOT the document's total CDC chunk count; sub-minimum
+    * chunks are invisible to both the numerator and the denominator, so
+    * the fraction reads "share of matchable content", not "share of all
+    * chunks". Scale shape: chunking is narrow; the
     * overlap test is ONE hash-partitioned equi join on the chunk hash
     * against the reference's distinct chunk set (at 100 TB that set is a
     * persisted artifact — the [[graft.ops.RefStore]] fingerprint

@@ -91,8 +91,13 @@ object Packing {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"))
       .orderBy(Sampling.hashKey(col(idCol), salt), col(idCol))
+    // the `div` law needs expr() (no Column-API integer division), so the
+    // interpolated identifier is backtick-quoted — a column name that
+    // needs quoting (spaces, dots) must not break the splice; `_rn` is
+    // our own safe name
+    val lenQ = "`" + lenCol.replace("`", "``") + "`"
     df.filter(col(lenCol).isNotNull)
-      .withColumn("bucket", expr(s"$lenCol div ${bucketWidth}L"))
+      .withColumn("bucket", expr(s"$lenQ div ${bucketWidth}L"))
       .withColumn("_rn", row_number().over(w).cast("long"))
       .withColumn("batch_idx", expr(s"(_rn - 1) div $batchSize"))
       .withColumn("pos_in_batch", (col("_rn") - 1) % batchSize)

@@ -835,7 +835,14 @@ object Similarity {
                     val cs = cosineScala(s, v)
                     if (cs > maxSim) maxSim = cs
                   }
-                  lambda * rel - (1.0 - lambda) * maxSim
+                  // EVERY selected↔candidate cosine NaN (a zero-norm vector
+                  // from a non-cosine candidate tier): the penalty is
+                  // undefined, so the score is NaN — unselectable below,
+                  // matching the oracle's NaN-propagating list_max instead
+                  // of letting the untouched -Infinity flip into a
+                  // +Infinity score that would win the argmax
+                  if (maxSim == Double.NegativeInfinity) Double.NaN
+                  else lambda * rel - (1.0 - lambda) * maxSim
                 }
               // (score DESC, id ASC) — the oracle's ORDER BY tie law at
               // every step, including the rk=1 relevance pick

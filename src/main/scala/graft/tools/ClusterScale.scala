@@ -31,6 +31,7 @@ object ClusterScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.LogLevels.quietCheckpointRelease()
 
     // blocks of 10 vertices: edge i links vertex i to the next vertex in its
     // block (ring), giving nEdges/10 components of size 10

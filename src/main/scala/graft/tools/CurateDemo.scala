@@ -31,6 +31,7 @@ object CurateDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.LogLevels.quietCheckpointRelease()
     import spark.implicits._
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -23,6 +23,7 @@ object HierarchyScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.LogLevels.quietCheckpointRelease()
 
     // level l has 10 * fanout^(l-1) nodes; node ids are contiguous per level
     def levelOffset(l: Int): Long =

@@ -75,4 +75,15 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rev.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
   }
+
+  test("lengthBucketBatches: a length column whose name needs quoting still works") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i => (i, i * 300)).toDF("doc_id", "doc len")
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "doc len",
+      bucketWidth = 256L, batchSize = 4)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 8L).map(i => i -> (i * 300) / 256).toMap,
+      "the non-identifier column name must splice quoted, same div law")
+  }
 }

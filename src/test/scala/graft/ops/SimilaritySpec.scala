@@ -338,6 +338,25 @@ class SimilaritySpec extends SparkSpec {
       "only the finite candidate is selectable; NaN rows must not crash or rank")
   }
 
+  test("mmrRerank: a finite-sim zero-norm candidate (all-NaN penalty) is unselectable, not +Infinity-first") {
+    // a non-cosine candidate tier CAN hand a zero-norm vector a finite
+    // sim; its diversity penalty is then NaN against every selected
+    // vector — the score must be NaN (skip it), never -Inf flipping into
+    // a +Inf score that would beat every honest candidate
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)), // zero-norm but FINITE sim below
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cand = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (0L, 3L, 0.7))
+      .toDF("query_id", "neighbor_id", "sim")
+    val got = Similarity.mmrRerank(cand, corpus, "vec_id", "embedding", k = 3, lambda = 0.5)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 1L), (2L, 3L)),
+      "rk2 must pick the honest diverse candidate; the zero-norm one is " +
+        "unselectable and the greedy stops at two")
+  }
+
   test("mmrRerank: any candidate tier composes — restricted pool respected, brute tier ≡ mmrTopK") {
     val queries = vecs.filter($"vec_id" < 3)
     val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 10)
