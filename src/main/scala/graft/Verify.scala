@@ -55,8 +55,13 @@ object Verify {
     // regression would otherwise only surface in an artifact nobody diffs.
     // Recompute the exact top-k here and delete any approximate output
     // below its floor — the driver then records the query as failed.
-    // Floors sit a margin below the deterministic (seeded) measured values
-    // at sf0.01: lsh 0.70, ivf 0.70, pq 1.00 (AnnRecall).
+    // Floors are a RATCHET pinned 0.10 under the deterministic (seeded)
+    // values this very gate measures at sf0.01 — lsh 0.700, ivf 0.700,
+    // pq 1.000, ivf_store 0.700, pq_store 1.000 (r10 run; the AnnRecall
+    // probe sweeps the same recalls against nprobe/bands at sf0.1, and
+    // the ivf_store nprobe sweep is documented at Similarity.scala's
+    // ivfTopKStored). A floor looser than 0.15 under measured would let
+    // a real recall regression hide inside the slack.
     try {
       import org.apache.spark.sql.functions.col
       val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -64,8 +69,8 @@ object Verify {
           corpus, corpus.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      Seq("q_ann_lsh" -> 0.6, "q_ann_ivf" -> 0.5, "q_ann_pq" -> 0.9,
-          "q_ann_ivf_store" -> 0.5, "q_ann_pq_store" -> 0.9)
+      Seq("q_ann_lsh" -> 0.6, "q_ann_ivf" -> 0.6, "q_ann_pq" -> 0.9,
+          "q_ann_ivf_store" -> 0.6, "q_ann_pq_store" -> 0.9)
         .foreach { case (name, floor) =>
           // per-query try: one missing/broken output must not skip the
           // remaining floors

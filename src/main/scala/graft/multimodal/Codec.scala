@@ -37,6 +37,9 @@ object Codec {
       payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
     else if (payload.length >= 12 && payload(4) == 'f' && payload(5) == 't' &&
       payload(6) == 'y' && payload(7) == 'p') "mp4"
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'A' &&
+      payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ') "avi"
     else "unknown"
 
   // -------------------------------------------------------------- images --
@@ -345,5 +348,96 @@ object Codec {
       })
     val (w, h) = wh.getOrElse((0, 0))
     Some(Mp4Meta(brand, durationMs, w, h))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---------------------------------------------------- AVI / MJPEG video --
+
+  /** Metadata from a RIFF AVI container's `avih` main header. */
+  final case class AviMeta(usPerFrame: Long, nFrames: Int, width: Int, height: Int) {
+    def durationMs: Long =
+      if (usPerFrame <= 0 || nFrames <= 0) 0L else usPerFrame * nFrames / 1000L
+  }
+
+  /** Direct children of a RIFF byte range: (fourcc, contentStart,
+    * contentEnd); `LIST` containers report as `LIST:<listType>` with
+    * content starting AFTER the 4-byte list type. Same defensive walk
+    * discipline as [[probeMp4]]'s box children — every boundary checked
+    * against the parent, a lying size truncates the walk, chunk count
+    * capped, sizes little-endian (RIFF) unlike BMFF.
+    */
+  private def riffChildren(b: Array[Byte], start: Int, end: Int)
+      : List[(String, Int, Int)] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val buf = List.newBuilder[(String, Int, Int)]
+    var off = start.toLong
+    var n = 0
+    while (off + 8 <= end && n < 100000) {
+      val id = new String(b, off.toInt, 4, "ISO-8859-1")
+      val sz = bb.getInt(off.toInt + 4) & 0xFFFFFFFFL
+      if (off + 8 + sz > end) { off = end.toLong } // lying size: stop the walk
+      else {
+        if (id == "LIST" && sz >= 4)
+          buf += ((s"LIST:${new String(b, off.toInt + 8, 4, "ISO-8859-1")}",
+            off.toInt + 12, (off + 8 + sz).toInt))
+        else buf += ((id, off.toInt + 8, (off + 8 + sz).toInt))
+        off = off + 8 + sz + (sz & 1L) // chunks are word-aligned
+        n += 1
+      }
+    }
+    buf.result()
+  }
+
+  /** AVI main-header metadata: `LIST hdrl` → `avih` →
+    * (dwMicroSecPerFrame @+0, dwTotalFrames @+16, dwWidth @+32,
+    * dwHeight @+36). None on anything that does not parse as RIFF AVI —
+    * the caller falls back, never throws out of a task.
+    */
+  def probeAvi(payload: Array[Byte]): Option[AviMeta] = try {
+    if (sniff(payload) != "avi") return None
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val riffEnd = math.min(payload.length.toLong,
+      8L + (bb.getInt(4) & 0xFFFFFFFFL)).toInt
+    riffChildren(payload, 12, riffEnd)
+      .collectFirst { case ("LIST:hdrl", cs, ce) => riffChildren(payload, cs, ce) }
+      .flatMap(_.collectFirst { case ("avih", cs, ce) if ce - cs >= 40 =>
+        AviMeta(
+          usPerFrame = bb.getInt(cs) & 0xFFFFFFFFL,
+          nFrames = bb.getInt(cs + 16),
+          width = bb.getInt(cs + 32),
+          height = bb.getInt(cs + 36))
+      })
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The video frame payloads of an MJPEG-in-AVI stream, in stream order:
+    * `LIST movi` → `##dc`/`##db` chunks (one level of `LIST rec ` record
+    * grouping honored — interleaved-stream AVIs wrap frames there). Each
+    * chunk's bytes ARE a complete JPEG image ([[decodeImage]] handles
+    * them) — that containment is what makes MJPEG the one video format a
+    * dependency-free splitter can decode to REAL pixels. Returns None
+    * unless the first video chunk actually sniffs as JPEG (a non-MJPEG
+    * codec in dc chunks must fall back to the fake seam, not masquerade
+    * as decodable frames). Memory: frame slices of one payload — bounded
+    * by the row, the [[Multimodal]] decode-batching contract.
+    */
+  def mjpegFrames(payload: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = try {
+    if (sniff(payload) != "avi") return None
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val riffEnd = math.min(payload.length.toLong,
+      8L + (bb.getInt(4) & 0xFFFFFFFFL)).toInt
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+    val frames = riffChildren(payload, 12, riffEnd)
+      .collectFirst { case ("LIST:movi", cs, ce) => riffChildren(payload, cs, ce) }
+      .map(_.flatMap {
+        case (id, cs, ce) if isFrameChunk(id) =>
+          Seq(java.util.Arrays.copyOfRange(payload, cs, ce))
+        case ("LIST:rec ", cs, ce) => riffChildren(payload, cs, ce).collect {
+          case (id, fs, fe) if isFrameChunk(id) =>
+            java.util.Arrays.copyOfRange(payload, fs, fe)
+        }
+        case _ => Nil
+      }.toIndexedSeq)
+    frames.filter(f => f.nonEmpty && sniff(f.head) == "jpeg")
   } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * transforms, partition sizing. Decode is REAL for the containers plain
   * JDK bytes can parse ([[Codec]]: PPM/BMP images with actual pixel
   * resampling, PCM WAV audio with actual sample rates/durations, PNG/JPEG/
-  * GIF via the JDK's own imageio, and MP4 metadata — brand, duration,
-  * display dimensions — via a bounds-checked box walk); only frame-level
-  * video decode falls back to the deterministic [[FakeCodec]] — the same
-  * `Iterator[MediaRecord] ⇒ Iterator[...]` seam a JNI/ffmpeg codec drops
-  * into without touching any plan.
+  * GIF via the JDK's own imageio, MP4 metadata — brand, duration,
+  * display dimensions — via a bounds-checked box walk, and MJPEG-in-AVI
+  * video down to REAL frame pixels: the RIFF walk splits the stream into
+  * complete JPEG images the image decoder already handles); frame-level
+  * decode of every OTHER video codec falls back to the deterministic
+  * [[FakeCodec]] — the same `Iterator[MediaRecord] ⇒ Iterator[...]` seam
+  * a JNI/ffmpeg codec drops into without touching any plan.
   *
   * Scale shape: decode runs as `mapPartitions` (the Scala analog of
   * `mapInPandas`) with explicit micro-batching, so per-batch codec setup is
@@ -64,9 +66,19 @@ object Multimodal {
         .map(a => (a.channels, 0, Codec.audioFeatures(a), Some(Codec.audioDurationMs(a))))
       case "video" =>
         // REAL container metadata (MP4 box walk: brand, duration, display
-        // dims); frame DECODE stays behind the FakeCodec feature seam
+        // dims — frame DECODE stays behind the FakeCodec feature seam), or
+        // REAL frames for MJPEG-in-AVI: the one container whose frames a
+        // dependency-free splitter hands to the existing JPEG decoder, so
+        // features come from actual first-frame pixels
         Codec.probeMp4(payload)
           .map(m => (m.width, m.height, FakeCodec.decode(payload)._3, Some(m.durationMs)))
+          .orElse(Codec.probeAvi(payload).map { a =>
+            val feats = Codec.mjpegFrames(payload)
+              .flatMap(_.headOption).flatMap(Codec.decodeImage)
+              .map(Codec.imageFeatures)
+              .getOrElse(FakeCodec.decode(payload)._3)
+            (a.width, a.height, feats, Some(a.durationMs))
+          })
       case _ => None
     }
     real.getOrElse {
@@ -150,19 +162,39 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: one output row per `everyMs` step across
-    * the duration. The sequence explode is plan-level (narrow, codegen'd);
-    * only the per-frame payload digest runs in the stub codec.
+  /** Frame sampling for video rows: one output row per `everyMs` step
+    * across the duration. MJPEG-in-AVI payloads emit REAL frames — the
+    * container splits into complete JPEG images ([[Codec.mjpegFrames]]),
+    * each sampled timestamp maps to its frame index under the `avih`
+    * frame clock, and the emitted payload is the frame's actual JPEG
+    * bytes (decodable by [[Codec.decodeImage]] downstream). Every other
+    * container keeps the [[FakeCodec]] digest seam a JNI/ffmpeg codec
+    * drops into. Scale shape: flatMap parses each payload ONCE and emits
+    * all its sampled frames (narrow, no shuffle); memory is bounded by
+    * one row's payload + its frame slices — the decode-batching contract.
     */
   def frameSample(media: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
+    require(everyMs > 0, s"everyMs=$everyMs must be positive")
     implicit val enc = Encoders.product[Frame]
-    media.filter(col("kind") === "video")
-      .select(col("media_id"), col("payload"),
-        explode(sequence(lit(0L), coalesce(col("duration_ms"), lit(0L)), lit(everyMs)))
-          .as("frame_ts_ms"))
-      .as[(Long, Array[Byte], Long)](Encoders.tuple(Encoders.scalaLong,
-        Encoders.BINARY, Encoders.scalaLong))
-      .map { case (id, payload, ts) => Frame(id, ts, FakeCodec.frameAt(payload, ts)) }
+    implicit val mrEnc = Encoders.product[MediaRecord]
+    media.filter(col("kind") === "video").as[MediaRecord]
+      .flatMap { m =>
+        val real = for {
+          meta <- Codec.probeAvi(m.payload)
+          frames <- Codec.mjpegFrames(m.payload)
+          if frames.nonEmpty && meta.usPerFrame > 0
+        } yield (meta, frames)
+        real match {
+          case Some((meta, frames)) =>
+            (0L to meta.durationMs by everyMs).iterator.map { ts =>
+              val idx = math.min(frames.length - 1L, ts * 1000L / meta.usPerFrame).toInt
+              Frame(m.media_id, ts, frames(idx))
+            }
+          case None =>
+            (0L to m.duration_ms.getOrElse(0L) by everyMs).iterator.map(ts =>
+              Frame(m.media_id, ts, FakeCodec.frameAt(m.payload, ts)))
+        }
+      }
   }
 
   /** Partition payload-bearing data for decode fan-out: range partition by id

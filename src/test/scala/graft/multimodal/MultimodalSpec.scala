@@ -291,4 +291,87 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.features.toSeq === Multimodal.FakeCodec.decode(mp4)._3.toSeq,
       "frame-level features remain the declared deterministic fake")
   }
+
+  // ---- MJPEG-in-AVI (hand-built RIFF fixtures, JDK-written JPEG frames) ----
+
+  private def le32(v: Long): Array[Byte] =
+    Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body ++
+      (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+
+  /** A solid-color JPEG written by the JDK's own encoder — real pixels. */
+  private def jpegFrame(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF(AVI LIST(hdrl avih) LIST(movi 00dc*)). */
+  private def mjpegAvi(frames: Seq[Array[Byte]], usPerFrame: Long,
+      w: Int = 32, h: Int = 24): Array[Byte] = {
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ new Array[Byte](16)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih))
+    val movi = riffList("movi",
+      frames.toArray.flatMap(f => riffChunk("00dc", f)))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("avi probe + mjpeg split: meta from avih; frame chunks bit-exact; non-MJPEG refused") {
+    val planted = Seq(jpegFrame(0xFF0000), jpegFrame(0x00FF00), jpegFrame(0x0000FF))
+    val avi = mjpegAvi(planted, usPerFrame = 100000L) // 10 fps, 300 ms
+    assert(Codec.sniff(avi) === "avi")
+    assert(Codec.probeAvi(avi) === Some(Codec.AviMeta(100000L, 3, 32, 24)))
+    assert(Codec.probeAvi(avi).get.durationMs === 300L)
+    val got = Codec.mjpegFrames(avi).get
+    assert(got.map(_.toSeq) === planted.map(_.toSeq),
+      "split frames must be the planted JPEG bytes, bit-exactly")
+    // every split frame is REAL pixels through the existing JPEG decoder
+    val img = Codec.decodeImage(got.head).get
+    assert(img.width === 32 && img.height === 24)
+    // dc chunks that are not JPEG (a cinepak/raw AVI) must refuse — the
+    // fake seam handles those, not a masquerading splitter
+    val notMjpeg = mjpegAvi(Seq(Array[Byte](1, 2, 3, 4)), 100000L)
+    assert(Codec.mjpegFrames(notMjpeg) === None)
+    // malformed payloads: None, never a throw
+    assert(Codec.probeAvi(avi.take(20)) === None)
+    assert(Codec.mjpegFrames(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("frameSample: MJPEG rows emit real frames under the avih clock; others keep the fake digest") {
+    val planted = Seq(jpegFrame(0xFF0000), jpegFrame(0x00FF00), jpegFrame(0x0000FF))
+    val avi = mjpegAvi(planted, usPerFrame = 100000L) // 10 fps, 300 ms
+    val df = Seq((60L, avi)).toDF("media_id", "payload")
+    val media = Multimodal.asMedia(df, "media_id", "payload", "video")
+    val frames = Multimodal.frameSample(media, everyMs = 100L).collect()
+      .sortBy(_.frame_ts_ms)
+    // ts 0,100,200,300 → frame idx 0,1,2,clamp(3→2)
+    assert(frames.map(_.frame_ts_ms).toSeq === Seq(0L, 100L, 200L, 300L))
+    assert(frames.map(_.frame_payload.toSeq).toSeq ===
+      Seq(planted(0), planted(1), planted(2), planted(2)).map(_.toSeq),
+      "sampled frames must be the planted JPEGs, bit-exactly, clamped at the tail")
+    // features now come from the FIRST real frame's pixels (solid red →
+    // every 4x4 grid cell carries the same gray), not the byte histogram
+    val feats = Multimodal.decodeFeatures(media).head()
+    assert(feats.width === 32 && feats.height === 24)
+    assert(feats.features.toSeq ===
+      Codec.imageFeatures(Codec.decodeImage(planted.head).get).toSeq,
+      "video features must be the real first-frame image features")
+    // a non-AVI video row still uses the declared deterministic fake
+    val mp4 = minimalMp4()
+    val fakeMedia = Multimodal.asMedia(
+      Seq((61L, mp4)).toDF("media_id", "payload"), "media_id", "payload", "video")
+    val fakeFrames = Multimodal.frameSample(fakeMedia, everyMs = 2000L).collect()
+    assert(fakeFrames.forall(f =>
+      f.frame_payload.toSeq === Multimodal.FakeCodec.frameAt(mp4, f.frame_ts_ms).toSeq))
+  }
 }
