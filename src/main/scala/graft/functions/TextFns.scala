@@ -276,6 +276,86 @@ object TextFns {
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key for documents.
     */
+  final case class C4Stats(nLines: Long, nKept: Long, nSentences: Long,
+    hasLorem: Boolean, hasBrace: Boolean, c4Keep: Boolean, cleanText: String)
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the published heuristics behind the C4 web corpus), the
+    * deterministic subset expressible without an external blocklist:
+    *
+    *  - a line is RETAINED iff it ends in a terminal punctuation mark
+    *    (`.` `!` `?` `"` — the paper's rule), carries at least 3 words
+    *    (the [[tokensScala]] whitespace law), and does not mention
+    *    `javascript` (case-insensitive — the paper's cookie-warning
+    *    rule); `cleanText` is the retained lines re-joined with `\n`;
+    *  - document flags: `lorem ipsum` anywhere (placeholder text) and
+    *    `{` anywhere (code page), both over the RAW text;
+    *  - `c4Keep` = neither flag ∧ the cleaned text holds ≥ 5 sentences,
+    *    where `nSentences` counts `.` `!` `?` characters in the CLEANED
+    *    text (the paper drops pages under 5 sentences; counting terminal
+    *    marks post-clean is this library's deterministic rendering of
+    *    that rule).
+    *
+    * Skipped on purpose: the three-sentence-span dedup (a CORPUS-level
+    * operation — [[graft.ops.Dedup.stripDuplicatedSpans]] owns it) and
+    * the bad-words blocklist (an external artifact, not a law). One pass
+    * per document behind an object boundary ([[statsScala]] cost model);
+    * every law mirrors to SQL string/list functions verbatim.
+    */
+  def c4Scala(text: String): C4Stats = {
+    val s = if (text == null) "" else text
+    val lines = s.split("\n", -1)
+    val kept = lines.filter { l =>
+      val endOk = l.nonEmpty && {
+        val c = l.charAt(l.length - 1)
+        c == '.' || c == '!' || c == '?' || c == '"'
+      }
+      endOk && tokensScala(l).length >= 3 &&
+        !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+    }
+    val clean = kept.mkString("\n")
+    var nSent = 0L
+    var i = 0
+    while (i < clean.length) {
+      val c = clean.charAt(i)
+      if (c == '.' || c == '!' || c == '?') nSent += 1
+      i += 1
+    }
+    val hasLorem = s.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum")
+    val hasBrace = s.indexOf('{') >= 0
+    C4Stats(lines.length.toLong, kept.length.toLong, nSent, hasLorem, hasBrace,
+      !hasLorem && !hasBrace && nSent >= 5, clean)
+  }
+
+  /** Character-diversity signal via the Simpson index over code points:
+    * `(n, Σc², 1 − Σc²/n²)` where `c` counts each distinct code point —
+    * near 0 for diverse prose, → 1 for one-character spam. The two
+    * integer sums make the law CROSS-ENGINE EXACT (no logs): both engines
+    * derive the double from the same two BIGINTs with one multiply and
+    * one divide in the same order, so even the double hash-matches —
+    * the reason this diversity form was chosen over Shannon entropy,
+    * whose per-term `log2` is not bit-identical across libms. Code
+    * points, not UTF-16 units, to match SQL `length`/`substr` semantics.
+    */
+  def simpsonScala(text: String): (Long, Long, Double) = {
+    val s = if (text == null) "" else text
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, _ + _)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var sumC2 = 0L
+    counts.forEach((_, c) => sumC2 += c * c)
+    val simpson =
+      if (n == 0) 0.0
+      else 1.0 - sumC2.toDouble / (n.toDouble * n.toDouble)
+    (n, sumC2, simpson)
+  }
+
   def fingerprintMd5(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 

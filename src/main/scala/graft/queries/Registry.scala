@@ -889,6 +889,87 @@ object Registry {
        |  END AS repetition
        | FROM sh ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** C4-style line-level cleaning ([[graft.functions.TextFns.c4Scala]],
+    * Raffel et al. 2020 §2.2): per-document retained-line counts, the
+    * lorem-ipsum / curly-brace page flags, the ≥5-sentence keep decision,
+    * and the CLEANED text itself — all string/integer laws, so every
+    * column including the rebuilt text hash-matches the SQL replay.
+    */
+  def qC4Clean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val c = graft.functions.TextFns.c4Scala(text)
+        (id, c.nLines, c.nKept, c.nSentences, c.hasLorem, c.hasBrace,
+          c.c4Keep, c.cleanText)
+      })
+      .toDF("doc_id", "n_lines", "n_kept", "n_sentences", "has_lorem",
+        "has_brace", "c4_keep", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  val qC4CleanSql: String = {
+    // one line's retention predicate, the lambda var `l` threaded through
+    // the SHARED tokens law (tokensSqlOf) so the ≥3-words rule can never
+    // diverge from the engine's tokenizer
+    val lineKeep = s"regexp_matches(l, '[.!?\"]$$') AND " +
+      s"len(${tokensSqlOf("l")}) >= 3 AND NOT contains(lower(l), 'javascript')"
+    s"""WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+       | ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+       | k AS (SELECT doc_id, list_filter(lines, l -> $lineKeep) AS kept FROM ls),
+       | c AS (SELECT doc_id,
+       |   COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+       |   len(kept) AS n_kept FROM k),
+       | s AS (SELECT doc_id,
+       |   CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sentences
+       |  FROM c)
+       | SELECT d.doc_id,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(n_kept AS BIGINT) AS n_kept,
+       |  s.n_sentences,
+       |  contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+       |  contains(d.text, '{') AS has_brace,
+       |  (NOT contains(lower(d.text), 'lorem ipsum') AND NOT contains(d.text, '{')
+       |   AND s.n_sentences >= 5) AS c4_keep,
+       |  clean_text
+       | FROM d JOIN ls USING (doc_id) JOIN c USING (doc_id) JOIN s USING (doc_id)
+       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Character-diversity spam signal
+    * ([[graft.functions.TextFns.simpsonScala]]): code-point Simpson index
+    * from two exact integer sums — the no-libm diversity law, so even the
+    * double hash-matches (one multiply + one divide, same order, both
+    * engines).
+    */
+  def qCharDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val (n, sumC2, simpson) = graft.functions.TextFns.simpsonScala(text)
+        (id, n, sumC2, simpson)
+      })
+      .toDF("doc_id", "n_cp", "sum_c2", "char_simpson")
+      .orderBy("doc_id")
+  }
+
+  val qCharDiversitySql: String =
+    """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      | ch AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+      |   i -> substr(text, i, 1))) AS c FROM d),
+      | cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+      | agg AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_cp,
+      |   CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2 FROM cc GROUP BY doc_id)
+      | SELECT d.doc_id,
+      |  COALESCE(a.n_cp, 0) AS n_cp,
+      |  COALESCE(a.sum_c2, 0) AS sum_c2,
+      |  CASE WHEN a.n_cp IS NULL OR a.n_cp = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(a.sum_c2 AS DOUBLE) /
+      |            (CAST(a.n_cp AS DOUBLE) * CAST(a.n_cp AS DOUBLE)) END AS char_simpson
+      | FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Gopher-rule quality signals ([[graft.functions.TextFns.gopherScala]]):
     * duplicate-line fractions, top-n-gram character coverage, word-shape
     * metrics, and the composite pass flag — the web-scale pretraining
@@ -3477,6 +3558,8 @@ object Registry {
     "q_winsorize_approx" -> (qWinsorizeApprox _),
     "q_corpus_profile" -> (qCorpusProfile _),
     "q_curate_summary" -> (qCurateSummary _),
+    "q_c4_clean" -> (qC4Clean _),
+    "q_char_diversity" -> (qCharDiversity _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -3605,6 +3688,8 @@ object Registry {
     "q_winsorize_approx" -> qWinsorizeApproxSql,
     "q_corpus_profile" -> qCorpusProfileSql,
     "q_curate_summary" -> qCurateSummarySql,
+    "q_c4_clean" -> qC4CleanSql,
+    "q_char_diversity" -> qCharDiversitySql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

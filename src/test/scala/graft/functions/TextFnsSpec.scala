@@ -109,6 +109,55 @@ class TextFnsSpec extends SparkSpec {
     assert(gs.top2CharFrac > 0.20 && !gs.gopherPass)
   }
 
+  test("c4Scala: line retention, page flags, sentence threshold — hand-checked") {
+    // retained: ends in terminal punct AND >= 3 words AND no 'javascript'
+    val doc = Seq(
+      "This is a fine sentence.",          // kept
+      "Short one.",                        // dropped: 2 words
+      "No terminal punctuation here",      // dropped: no terminal mark
+      "Please enable JavaScript to view.", // dropped: javascript rule
+      "He said \"stop right there\"",      // kept: closing quote is terminal
+      "Another good sentence ends here!",  // kept
+      "").mkString("\n")                   // dropped: empty
+    val c = TextFns.c4Scala(doc)
+    assert(c.nLines === 7L && c.nKept === 3L)
+    assert(c.cleanText === Seq(
+      "This is a fine sentence.",
+      "He said \"stop right there\"",
+      "Another good sentence ends here!").mkString("\n"))
+    // sentences count . ! ? in the CLEANED text: 1 + 0 + 1
+    assert(c.nSentences === 2L)
+    assert(!c.hasLorem && !c.hasBrace)
+    assert(!c.c4Keep, "under 5 sentences must not keep")
+
+    // five+ sentences → keep; lorem/brace flags veto over the RAW text
+    val five = (1 to 5).map(i => s"Sentence number $i is right here.").mkString("\n")
+    assert(TextFns.c4Scala(five).c4Keep)
+    assert(!TextFns.c4Scala(five + "\nlorem ipsum dolor sit amet.").c4Keep)
+    val braced = TextFns.c4Scala(five + "\nvar x = { a: 1 };")
+    assert(braced.hasBrace && !braced.c4Keep)
+
+    // NULL/empty law: one empty line, nothing kept, nothing flagged
+    val empty = TextFns.c4Scala(null)
+    assert(empty.nLines === 1L && empty.nKept === 0L &&
+      empty.cleanText === "" && !empty.c4Keep)
+  }
+
+  test("simpsonScala: exact integer sums; code points not UTF-16 units") {
+    assert(TextFns.simpsonScala("aaa") === ((3L, 9L, 0.0)))
+    assert(TextFns.simpsonScala("ab") === ((2L, 2L, 0.5)))
+    assert(TextFns.simpsonScala("") === ((0L, 0L, 0.0)))
+    assert(TextFns.simpsonScala(null) === ((0L, 0L, 0.0)))
+    // an astral-plane char is ONE code point (SQL length/substr law),
+    // though two UTF-16 units in the JVM string
+    val (n, s2, _) = TextFns.simpsonScala("a😀a")
+    assert(n === 3L && s2 === 5L, "emoji counts once: {a:2, emoji:1} → 4+1")
+    // diversity is monotone: one-char spam → 0, all-distinct → max
+    val (_, _, spam) = TextFns.simpsonScala("xxxxxxxx")
+    val (_, _, varied) = TextFns.simpsonScala("abcdefgh")
+    assert(spam === 0.0 && varied === 1.0 - 8.0 / 64.0)
+  }
+
   test("shingles: distinct n-grams, short text → empty") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFns.shingles(col("t"), 3)).head.getSeq[String](0)
