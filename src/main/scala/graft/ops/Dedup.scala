@@ -628,18 +628,41 @@ object Dedup {
     */
   def cdcChunkOverlap(incoming: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, minTokens: Int = 5): DataFrame = {
-    def bigChunks(df: DataFrame) =
-      Chunking.cdcChunks(df, idCol, textCol).filter(col("n_toks") >= minTokens)
-    val refHashes = bigChunks(reference)
-      .select(col("chunk_hash")).distinct().withColumn("_hit", lit(1))
-    bigChunks(incoming)
-      .join(refHashes, Seq("chunk_hash"), "left")
+    val refHashes = Chunking.cdcChunks(reference, idCol, textCol)
+      .filter(col("n_toks") >= minTokens)
+      .select(col("chunk_hash")).distinct()
+    cdcOverlapAgainstHashes(incoming, refHashes, idCol, textCol, minTokens)
+  }
+
+  /** [[cdcChunkOverlap]] against a PERSISTED reference chunk-hash set
+    * ([[RefStore.writeCdcChunks]] / mergeCdcChunks) — the incremental form
+    * the live variant's scaladoc promises at 100 TB: the reference corpus
+    * chunks once per store commit; each ingest batch chunks only ITSELF
+    * and equi-joins the loaded hash frame. The qualification law
+    * (minTokens) comes from the store's meta, so query and artifact can
+    * never disagree on which chunks count.
+    */
+  def cdcOverlapStored(incoming: DataFrame, storeDir: String,
+      idCol: String, textCol: String): DataFrame = {
+    val (refHashes, minTokens) =
+      RefStore.loadCdcChunks(incoming.sparkSession, storeDir)
+    cdcOverlapAgainstHashes(incoming, refHashes, idCol, textCol, minTokens)
+  }
+
+  /** The shared scoring join of the live and stored CDC overlap forms:
+    * chunk the incoming side, left-join the (distinct) reference hash
+    * set on the chunk hash, aggregate per document.
+    */
+  private def cdcOverlapAgainstHashes(incoming: DataFrame, refHashes: DataFrame,
+      idCol: String, textCol: String, minTokens: Int): DataFrame =
+    Chunking.cdcChunks(incoming, idCol, textCol)
+      .filter(col("n_toks") >= minTokens)
+      .join(refHashes.withColumn("_hit", lit(1)), Seq("chunk_hash"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"), count(col("_hit")).as("n_shared"))
       .withColumn("share_frac",
         col("n_shared").cast("double") / col("n_chunks").cast("double"))
       .filter(col("n_shared") > 0)
-  }
 
   def chunkDedupDocs(df: DataFrame, idCol: String, textCol: String,
       size: Int = 400): DataFrame = {

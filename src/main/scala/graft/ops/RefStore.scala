@@ -429,6 +429,68 @@ object RefStore {
     artifactDf(spark, dir, SIMHASH).select(col("_id"), col("_sh")).distinct()
   }
 
+  // ---- CDC chunk-hash artifact (sub-document dedup fingerprints) ----
+
+  private val CDC_CHUNKS = "cdc_chunks"
+
+  /** Persist the reference corpus's qualifying CDC chunk hashes — the
+    * sub-document fingerprint tier [[Dedup.cdcChunkOverlap]]'s scaladoc
+    * promises at 100 TB: the reference side's chunking runs ONCE per
+    * commit, and every later batch's overlap check joins the loaded hash
+    * set instead of re-chunking the whole reference corpus. Meta records
+    * `cdcMinTokens` (the chunk-qualification law — a store built at
+    * minTokens=5 silently served to a minTokens=3 query would miss real
+    * overlaps, so loads fail fast on mismatch). Same idempotency
+    * mechanism as the fingerprint family: batches append, replays
+    * re-append byte-identical rows, every consumer re-distincts.
+    */
+  def writeCdcChunks(reference: DataFrame, idCol: String, textCol: String,
+      dir: String, minTokens: Int = 5): Unit = {
+    val spark = reference.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map(
+        "version" -> "1", "cdcMinTokens" -> minTokens.toString))
+      cdcHashFrame(reference, idCol, textCol, minTokens)
+        .write.mode("overwrite").parquet(path(dir, CDC_CHUNKS))
+    }
+  }
+
+  /** Append one batch's qualifying chunk hashes (law parameters from
+    * meta; fails fast on a dir that never saw [[writeCdcChunks]]).
+    * `leaseWaitMs` / `autoCompactAfter` as in [[mergeExact]].
+    */
+  def mergeCdcChunks(batch: DataFrame, idCol: String, textCol: String,
+      dir: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      val minTokens = readMeta(spark, dir).getOrElse("cdcMinTokens",
+        sys.error(s"store $dir holds no CDC chunk artifact — writeCdcChunks first")).toInt
+      cdcHashFrame(batch, idCol, textCol, minTokens)
+        .write.mode("append").parquet(path(dir, CDC_CHUNKS))
+      maybeAutoCompact(spark, dir, autoCompactAfter, CDC_CHUNKS)
+    }
+  }
+
+  /** (distinct chunk-hash frame, minTokens law) — the reference side of
+    * [[Dedup.cdcOverlapStored]]. `requireMinTokens` fails fast on a
+    * store built under a different qualification law.
+    */
+  def loadCdcChunks(spark: SparkSession, dir: String,
+      requireMinTokens: Option[Int] = None): (DataFrame, Int) = {
+    val minTokens = readMeta(spark, dir).getOrElse("cdcMinTokens",
+      sys.error(s"store $dir holds no CDC chunk artifact")).toInt
+    requireMinTokens.foreach(m => require(m == minTokens,
+      s"CDC store $dir was built with minTokens=$minTokens, caller expects $m"))
+    (artifactDf(spark, dir, CDC_CHUNKS)
+       .select(col("chunk_hash")).distinct(), minTokens)
+  }
+
+  private def cdcHashFrame(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame =
+    Chunking.cdcChunks(df, idCol, textCol)
+      .filter(col("n_toks") >= minTokens)
+      .select(col("chunk_hash")).distinct()
+
   // ---- centroid artifact (semantic-dedup cluster accumulators) ----
 
   private val CENTROIDS = "centroids"
@@ -823,6 +885,13 @@ object RefStore {
           sig.repartition(numFiles, col("_id"))
             .write.mode("overwrite").parquet(tmp))
       }
+      if (has(CDC_CHUNKS)) {
+        val ch = spark.read.parquet(path(dir, CDC_CHUNKS))
+          .select(col("chunk_hash")).distinct()
+        swapArtifact(spark, dir, CDC_CHUNKS)(tmp =>
+          ch.repartition(numFiles, col("chunk_hash"))
+            .write.mode("overwrite").parquet(tmp))
+      }
       if (has(CENTROIDS)) {
         val sums = loadCentroidSums(spark, dir)
         swapArtifact(spark, dir, CENTROIDS)(tmp =>
@@ -874,9 +943,9 @@ object RefStore {
   /** Every parquet artifact a store can hold — the compact-swap recovery
     * sweep at mutation entry walks this list.
     */
-  private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, CENTROIDS,
-    IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS,
-    DSIR_COUNTS)
+  private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, CDC_CHUNKS,
+    CENTROIDS, IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS,
+    LENGTHS, DSIR_COUNTS)
 
   /** Commit units a family has accumulated since its last compaction: the
     * `batch=<id>/` subdir count for the per-batch commit families, else
@@ -1075,6 +1144,15 @@ object RefStore {
       val bad = ro(SIMHASH)
         .filter(col("_id").isNull || col("_sh").isNull).count()
       (bad == 0L, s"bad=$bad")
+    }
+    if (has(CDC_CHUNKS)) checked("cdc", "chunk_hashes_are_md5_hex") {
+      // the chunk hash IS the join key; a truncated copy or foreign
+      // parquet breaks the law silently (non-hex never matches → missed
+      // overlaps), so fsck pins the witness format
+      val bad = ro(CDC_CHUNKS)
+        .filter(col("chunk_hash").isNull ||
+          !col("chunk_hash").rlike("^[0-9a-f]{32}$")).count()
+      (meta.contains("cdcMinTokens") && bad == 0L, s"bad=$bad")
     }
     if (has(CENTROIDS)) checked("centroids", "positive_member_counts") {
       val bad = ro(CENTROIDS)

@@ -889,6 +889,33 @@ object Registry {
        |  END AS repetition
        | FROM sh ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** PERSISTED CDC chunk-hash reference
+    * ([[graft.ops.RefStore.writeCdcChunks]] + loadCdcChunks →
+    * [[graft.ops.Dedup.cdcOverlapStored]]): the reference slice commits
+    * its chunk hashes in two batches (one replayed — consumer re-distinct
+    * absorbs it), and the stored overlap must hash-match the live
+    * q_cdc_overlap law exactly — batching and persistence are invisible
+    * to the distinct hash set.
+    */
+  def qCdcStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val store = storeOnce(dir, "cdcstore") { s =>
+      graft.ops.RefStore.writeCdcChunks(
+        ref.filter(col("doc_id") % 20 === 0), "doc_id", "text", s, minTokens = 5)
+      graft.ops.RefStore.mergeCdcChunks(
+        ref.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", s)
+      graft.ops.RefStore.mergeCdcChunks( // crashed-commit replay
+        ref.filter(col("doc_id") % 20 =!= 0), "doc_id", "text", s)
+    }
+    graft.ops.Dedup.cdcOverlapStored(
+        docs.filter(col("doc_id") % 10 =!= 0), store, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Same law as q_cdc_overlap: the store is an implementation detail. */
+  lazy val qCdcStoreSql: String = qCdcOverlapSql
+
   /** C4-style line-level cleaning ([[graft.functions.TextFns.c4Scala]],
     * Raffel et al. 2020 §2.2): per-document retained-line counts, the
     * lorem-ipsum / curly-brace page flags, the ≥5-sentence keep decision,
@@ -3560,6 +3587,7 @@ object Registry {
     "q_curate_summary" -> (qCurateSummary _),
     "q_c4_clean" -> (qC4Clean _),
     "q_char_diversity" -> (qCharDiversity _),
+    "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -3690,6 +3718,7 @@ object Registry {
     "q_curate_summary" -> qCurateSummarySql,
     "q_c4_clean" -> qC4CleanSql,
     "q_char_diversity" -> qCharDiversitySql,
+    "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

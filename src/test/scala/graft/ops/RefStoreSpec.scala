@@ -519,6 +519,54 @@ class RefStoreSpec extends SparkSpec {
     assert(partFiles(dir, "simhash_signatures").size <= 2)
   }
 
+  test("cdc chunk store: write + merge ≡ live overlap; law mismatch fails fast; compact + fsck aware") {
+    // long docs so CDC yields >= minTokens chunks; doc 20 embeds doc 10's
+    // opening passage verbatim (the cross-corpus overlap CDC must catch)
+    val passage = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val reference = Seq(
+      (10L, passage + " " + (1 to 40).map(i => s"reftail$i").mkString(" ")),
+      (11L, (1 to 80).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, (1 to 10).map(i => s"head$i").mkString(" ") + " " + passage),
+      (21L, (1 to 80).map(i => s"novel$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("refstore-cdc").toString
+    RefStore.writeCdcChunks(reference.filter($"doc_id" === 10L), "doc_id", "text", dir)
+    RefStore.mergeCdcChunks(reference.filter($"doc_id" === 11L), "doc_id", "text", dir)
+    RefStore.mergeCdcChunks(reference.filter($"doc_id" === 11L), "doc_id", "text", dir) // replay
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_chunks", "n_shared", "share_frac")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val stored = rows(Dedup.cdcOverlapStored(incoming, dir, "doc_id", "text"))
+    val live = rows(Dedup.cdcChunkOverlap(incoming, reference, "doc_id", "text"))
+    assert(stored === live, "persisted hash set must reproduce the live overlap exactly")
+    assert(stored.map(_._1) === Set(20L), "only the passage-embedding doc overlaps")
+    // qualification-law mismatch fails fast, never silently mis-joins
+    val err = intercept[IllegalArgumentException] {
+      RefStore.loadCdcChunks(spark, dir, requireMinTokens = Some(3))
+    }
+    assert(err.getMessage.contains("minTokens=5"))
+    // a dir without the family fails fast
+    val plain = Files.createTempDirectory("refstore-cdc-foreign").toString
+    RefStore.writeExact(batch1, "text", plain, expectedItems = 100L)
+    val err2 = intercept[RuntimeException] {
+      RefStore.mergeCdcChunks(incoming, "doc_id", "text", plain)
+    }
+    assert(err2.getMessage.contains("no CDC chunk artifact"))
+    // compact folds the append files; answers unchanged; fsck green
+    RefStore.compact(spark, dir, numFiles = 2)
+    assert(rows(Dedup.cdcOverlapStored(incoming, dir, "doc_id", "text")) === stored,
+      "compacted CDC store must answer identically")
+    assert(partFiles(dir, "cdc_chunks").size <= 2)
+    val checks = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(checks(("cdc", "chunk_hashes_are_md5_hex")) === true)
+    // a corrupted (truncated-hex) hash row is flagged
+    Seq("deadbeef").toDF("chunk_hash").write.mode("append").parquet(s"$dir/cdc_chunks")
+    assert(RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toMap
+      .apply("chunk_hashes_are_md5_hex") === false)
+  }
+
   test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
     val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
