@@ -386,6 +386,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_c4_clean / q_char_diversity: one narrow object-boundary pass, no join, no window") {
+    for (name <- Seq("q_c4_clean", "q_char_diversity")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+      assert(!p.contains("Window"), s"$name must not window:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+      // only (doc_id, text) may reach the parquet reader
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$name scans more than the two consumed columns")
+    }
+  }
+
+  test("q_cdc_store: stored chunk-hash scan feeds an equi-join, no cartesian, no reference re-chunk") {
+    val p = plan("q_cdc_store")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("cdc_chunks"), "stored chunk-hash scan missing from the plan")
+    // exactly ONE mapPartitions chunking pass (the incoming side): the
+    // reference side must come from the store, not a second chunk run
+    val chunkPasses = "SerializeFromObject".r.findAllIn(p).length
+    assert(chunkPasses <= 1, s"reference side re-chunked: $chunkPasses object passes\n$p")
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
