@@ -429,6 +429,57 @@ object StreamIngest {
         graft.ops.RefStore.mergeMinhash(survivors, idCol, textCol, storeDir,
           leaseWaitMs, autoCompactAfter))
 
+  /** SUB-DOCUMENT tier of the continuous ingest loop — the CDC chunk-hash
+    * guard, completing the family (exact content → near-dup → shared
+    * passages): each micro-batch (1) drops documents whose
+    * qualifying-chunk overlap with the [[graft.ops.RefStore]] CDC
+    * artifact reaches `maxShareFrac` — a doc that mostly restates stored
+    * passages adds little novel text even when no whole-document or
+    * near-dup fingerprint fires ([[graft.ops.Dedup.cdcOverlapStored]];
+    * the share denominator is the store's own minTokens qualification
+    * law), (2) lands the survivors, and (3) commits THEIR chunk hashes
+    * back, so batch N+2 screens against everything batch N+1 kept.
+    *
+    * NULL/empty-text rows have no chunks, so nothing overlaps them — they
+    * all survive, the same no-content law as the other tiers. In-batch
+    * mutual overlap is deliberately NOT collapsed here: passage sharing
+    * WITHIN a batch is the span/chunk-dedup operators' job; this guard is
+    * the cross-corpus gate. The store must exist
+    * ([[graft.ops.RefStore.writeCdcChunks]] on the initial corpus,
+    * possibly empty); chunk-hash re-appends on replay are absorbed by
+    * consumer re-distinct, so the commit needs no batch-scoped subdir.
+    * `prefilter` / `leaseWaitMs` / `autoCompactAfter` as in
+    * [[runDedupedIngest]].
+    */
+  def runCdcGatedIngest(stream: DataFrame, storeDir: String, sinkDir: String,
+      idCol: String, textCol: String, checkpointDir: String,
+      maxShareFrac: Double = 0.5,
+      prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 300000L, autoCompactAfter: Int = 32): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestCdcGatedBatch(batch, id, storeDir, sinkDir, idCol, textCol,
+          maxShareFrac, prefilter, leaseWaitMs, autoCompactAfter); ()
+      }
+      .start()
+
+  private[graft] def ingestCdcGatedBatch(batch: DataFrame, id: Long,
+      storeDir: String, sinkDir: String, idCol: String, textCol: String,
+      maxShareFrac: Double, prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit =
+    ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
+      guard = { b0 =>
+        val b = prefilter(b0)
+        val flagged = graft.ops.Dedup.cdcOverlapStored(b, storeDir, idCol, textCol)
+          .filter(col("share_frac") >= maxShareFrac)
+          .select(col(idCol))
+        b.join(flagged, Seq(idCol), "left_anti")
+      },
+      commit = survivors =>
+        graft.ops.RefStore.mergeCdcChunks(survivors, idCol, textCol, storeDir,
+          leaseWaitMs, autoCompactAfter))
+
   /** The shared exactly-once micro-batch skeleton of the ingest loops:
     * guard → land survivors under `sinkDir/batch=<id>/` → commit survivors
     * to the store, with the `_SUCCESS` + `_BATCH_FP` replay/collision

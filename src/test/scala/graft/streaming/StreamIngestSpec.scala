@@ -474,6 +474,52 @@ class StreamIngestSpec extends SparkSpec {
         "despite the compacts and the held lease")
   }
 
+  test("cdc-gated ingest loop: cross-batch passage restatement drops; novel, partial and NULL rows survive; replay") {
+    import spark.implicits._
+    val store = tmp("graft-cdcgate-store")
+    val sink = tmp("graft-cdcgate-sink")
+    val src = tmp("graft-cdcgate-src")
+    graft.ops.RefStore.writeCdcChunks(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", store)
+    val passage = (1 to 120).map(i => s"shared$i").mkString(" ")
+    val other = (1 to 120).map(i => s"other$i").mkString(" ")
+    // batch 0 hits the EMPTY store: everything (incl. NULL text) survives
+    val b1 = Seq((1L, passage), (2L, other), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    val q = StreamIngest.runCdcGatedIngest(
+      spark.readStream.schema(b1.schema).parquet(src),
+      store, sink, "doc_id", "text", tmp("graft-cdcgate-ckp"))
+    q.processAllAvailable()
+    // batch 1: a pure restatement of batch 0's passage (share 1.0 →
+    // dropped), a HALF-novel doc (share < 0.5 → survives), a novel doc,
+    // and another NULL-text row
+    val novel = (1 to 150).map(i => s"novel$i").mkString(" ")
+    val b2 = Seq(
+      (10L, passage),
+      (11L, passage.split(" ").take(30).mkString(" ") + " " + novel),
+      (12L, (1 to 120).map(i => s"fresh$i").mkString(" ")),
+      (13L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    def ids() = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+    assert(ids() === Set(1L, 2L, 3L, 11L, 12L, 13L),
+      "the full restatement must drop; partial restatement, novel and NULL rows survive")
+    // replay of the committed batch: skeleton marker short-circuits; the
+    // chunk-hash re-merge is absorbed by consumer re-distinct
+    StreamIngest.ingestCdcGatedBatch(b2, 1L, store, sink, "doc_id", "text",
+      maxShareFrac = 0.5)
+    assert(ids() === Set(1L, 2L, 3L, 11L, 12L, 13L), "replay mutated the sink")
+    // a later batch screens against what the SURVIVORS committed: doc 11's
+    // novel tail is now stored content — restating it drops
+    StreamIngest.ingestCdcGatedBatch(
+      Seq((20L, novel)).toDF("doc_id", "text"),
+      2L, store, sink, "doc_id", "text", maxShareFrac = 0.5)
+    assert(ids() === Set(1L, 2L, 3L, 11L, 12L, 13L),
+      "restating a survivor's content after the replay must still drop")
+  }
+
   test("near-dup ingest loop: in-batch collapse, cross-batch drops, NULL text, replay — through the real stream") {
     import spark.implicits._
     val store = tmp("graft-neardup-store")
