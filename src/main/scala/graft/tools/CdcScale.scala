@@ -78,6 +78,31 @@ object CdcScale {
     val falsePos = flagged -- planted
     println(f"=== overlap: ${planted.size}%d planted embedders all caught " +
       f"(+${falsePos.size}%d incidental) in $tOv%.1f s ===")
+
+    // the incremental leg: commit the reference's chunk hashes ONCE into a
+    // RefStore, then screen the corpus as a later ingest batch would — the
+    // stored path must flag the identical set while chunking only the
+    // incoming side (no reference re-chunk per batch)
+    val storeDir = java.nio.file.Files.createTempDirectory("cdcscale-store")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(storeDir.toFile)
+    }))
+    val t2 = System.nanoTime()
+    graft.ops.RefStore.writeCdcChunks(reference, "doc_id", "text",
+      storeDir.toString, minTokens = 5)
+    val tCommit = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val storedFlagged = Dedup.cdcOverlapStored(docs, storeDir.toString,
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val tStored = (System.nanoTime() - t3) / 1e9
+    require(storedFlagged == flagged,
+      s"STORED-PATH EQUIVALENCE BROKEN: live=${flagged.size} stored=${storedFlagged.size}")
+    println(f"=== cdc refstore: one-time commit $tCommit%.1f s; stored-path " +
+      f"screen $tStored%.1f s flags the identical ${storedFlagged.size}%d docs ===")
     spark.stop()
   }
 }
