@@ -37,9 +37,11 @@ object StoreAdmin {
           (4L, "how vexingly quick daft zebras jump")).toDF("doc_id", "text")
         RefStore.writeExact(b1, "text", d, expectedItems = 1000L)
         RefStore.writeMinhash(b1, "doc_id", "text", d)
+        RefStore.writeCdcChunks(b1, "doc_id", "text", d, minTokens = 3)
         RefStore.mergeExact(b2, "text", d)
         RefStore.mergeMinhash(b2, "doc_id", "text", d)
-        println(s"=== demo store built at $d (exact + minhash, two batches) ===")
+        RefStore.mergeCdcChunks(b2, "doc_id", "text", d)
+        println(s"=== demo store built at $d (exact + minhash + cdc, two batches) ===")
         // one bucket: at demo scale the production default (8) would WRITE
         // more files than the two batches it folds
         (d, true, 1)
