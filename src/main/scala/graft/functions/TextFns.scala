@@ -329,7 +329,8 @@ object TextFns {
 
   /** Character-diversity signal via the Simpson index over code points:
     * `(n, Σc², 1 − Σc²/n²)` where `c` counts each distinct code point —
-    * near 0 for diverse prose, → 1 for one-character spam. The two
+    * near 1 for diverse prose, exactly 0 for one-character spam (filter
+    * LOW values to drop spam). The two
     * integer sums make the law CROSS-ENGINE EXACT (no logs): both engines
     * derive the double from the same two BIGINTs with one multiply and
     * one divide in the same order, so even the double hash-matches —

@@ -173,12 +173,26 @@ object Multimodal {
     * all its sampled frames (narrow, no shuffle); memory is bounded by
     * one row's payload + its frame slices — the decode-batching contract.
     */
+  /** Hard per-row emission cap for [[frameSample]]: header fields drive
+    * the sampling loop, and a HOSTILE clock (avih claiming 2^31 frames at
+    * 2^32 µs each, or a lying duration_ms) must not turn one
+    * kilobyte-sized row into ~10^13 output rows — the same
+    * lying-size-truncates discipline as the container walks. 2^20 samples
+    * comfortably covers every honest use (a 2-hour stream sampled every
+    * 10 ms is 720k rows).
+    */
+  private val MaxFrameSamplesPerRow = 1 << 20
+
   def frameSample(media: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
     require(everyMs > 0, s"everyMs=$everyMs must be positive")
     implicit val enc = Encoders.product[Frame]
     implicit val mrEnc = Encoders.product[MediaRecord]
+    // local copy: the task closure must capture the Int, not this object
+    val cap = MaxFrameSamplesPerRow
     media.filter(col("kind") === "video").as[MediaRecord]
       .flatMap { m =>
+        def sampleTs(durMs: Long): Iterator[Long] =
+          (0L to durMs by everyMs).iterator.take(cap)
         val real = for {
           meta <- Codec.probeAvi(m.payload)
           frames <- Codec.mjpegFrames(m.payload)
@@ -186,12 +200,16 @@ object Multimodal {
         } yield (meta, frames)
         real match {
           case Some((meta, frames)) =>
-            (0L to meta.durationMs by everyMs).iterator.map { ts =>
+            // duration bounded by the frames ACTUALLY in the stream, not
+            // the header's claimed count — an avih lying about nFrames
+            // must not stretch the clock past the real chunks
+            val honestDur = meta.usPerFrame * frames.length / 1000L
+            sampleTs(math.min(meta.durationMs, honestDur)).map { ts =>
               val idx = math.min(frames.length - 1L, ts * 1000L / meta.usPerFrame).toInt
               Frame(m.media_id, ts, frames(idx))
             }
           case None =>
-            (0L to m.duration_ms.getOrElse(0L) by everyMs).iterator.map(ts =>
+            sampleTs(m.duration_ms.getOrElse(0L)).map(ts =>
               Frame(m.media_id, ts, FakeCodec.frameAt(m.payload, ts)))
         }
       }

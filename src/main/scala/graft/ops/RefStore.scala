@@ -714,7 +714,7 @@ object RefStore {
     df.select(col(idCol).as("doc_id"),
         TextFns.tokenCount(col(textCol)).as("len"))
       .write.mode("overwrite").parquet(batchPath(dir, LENGTHS, batchId))
-    maybeAutoCompact(df.sparkSession, dir, autoCompactAfter, POSTINGS)
+    maybeAutoCompact(df.sparkSession, dir, autoCompactAfter, POSTINGS, LENGTHS)
   }
 
   /** (postings, lengths) frames of the whole committed index. */
@@ -849,17 +849,28 @@ object RefStore {
     * merge-triggered auto-compaction path (which must not re-enter
     * [[withLease]]: the lease file is not reentrant, so a second acquire
     * from the same writer would see its own lease as a foreign holder).
+    *
+    * `only` restricts the sweep to ONE family: the auto-compaction path
+    * compacts exactly the family it just merged, because a shared store
+    * dir may also hold `batch=<id>/` commit families whose crashed
+    * pre-compact batches could still be retried — a whole-store compact
+    * triggered by a fingerprint merge would fold those and let the retry
+    * double-count (the [[compact]] scaladoc's retry caveat). The manual
+    * entry point keeps the whole-store sweep (`only = None`): running it
+    * is the operator's explicit assertion that no retry is in flight.
     */
-  private def compactLocked(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+  private def compactLocked(spark: SparkSession, dir: String, numFiles: Int,
+      only: Option[String] = None): Unit = {
     {
       val f = fs(spark, dir)
+      def want(name: String): Boolean = only.forall(_ == name)
       // centroid-only stores carry no meta.properties (no law parameters);
       // the meta-gated families just don't fire there
       val meta = if (exists(spark, dir, META)) readMeta(spark, dir)
         else Map.empty[String, String]
       def has(name: String): Boolean =
         f.exists(new org.apache.hadoop.fs.Path(dir, name))
-      if (has(FINGERPRINTS)) {
+      if (want(FINGERPRINTS) && has(FINGERPRINTS)) {
         val fp = spark.read.parquet(path(dir, FINGERPRINTS))
           .select(col("_rh")).distinct()
         val n = fp.count()
@@ -873,46 +884,46 @@ object RefStore {
           ()
         }
       }
-      if (has(SIGNATURES)) {
+      if (want(SIGNATURES) && has(SIGNATURES)) {
         val sig = spark.read.parquet(path(dir, SIGNATURES)).distinct()
         swapArtifact(spark, dir, SIGNATURES)(tmp =>
           sig.repartition(numFiles, col("_id"))
             .write.mode("overwrite").parquet(tmp))
       }
-      if (has(SIMHASH)) {
+      if (want(SIMHASH) && has(SIMHASH)) {
         val sig = spark.read.parquet(path(dir, SIMHASH)).distinct()
         swapArtifact(spark, dir, SIMHASH)(tmp =>
           sig.repartition(numFiles, col("_id"))
             .write.mode("overwrite").parquet(tmp))
       }
-      if (has(CDC_CHUNKS)) {
+      if (want(CDC_CHUNKS) && has(CDC_CHUNKS)) {
         val ch = spark.read.parquet(path(dir, CDC_CHUNKS))
           .select(col("chunk_hash")).distinct()
         swapArtifact(spark, dir, CDC_CHUNKS)(tmp =>
           ch.repartition(numFiles, col("chunk_hash"))
             .write.mode("overwrite").parquet(tmp))
       }
-      if (has(CENTROIDS)) {
+      if (want(CENTROIDS) && has(CENTROIDS)) {
         val sums = loadCentroidSums(spark, dir)
         swapArtifact(spark, dir, CENTROIDS)(tmp =>
           sums.coalesce(1).write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
       }
-      if (meta.contains("ivfNlist") && has(IVF_ASSIGNED)) {
+      if (want(IVF_ASSIGNED) && meta.contains("ivfNlist") && has(IVF_ASSIGNED)) {
         val assigned = spark.read.parquet(path(dir, IVF_ASSIGNED)).drop("batch")
         swapArtifact(spark, dir, IVF_ASSIGNED)(tmp =>
           assigned.repartition(numFiles, col("cell")).sortWithinPartitions("cell")
             .write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
       }
-      if (meta.contains("pqM") && has(PQ_ENCODED)) {
+      if (want(PQ_ENCODED) && meta.contains("pqM") && has(PQ_ENCODED)) {
         val enc = spark.read.parquet(path(dir, PQ_ENCODED)).drop("batch")
         swapArtifact(spark, dir, PQ_ENCODED)(tmp =>
           enc.repartition(numFiles)
             .write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
       }
-      if (meta.contains("searchIndex") && has(POSTINGS)) {
+      if (want(POSTINGS) && meta.contains("searchIndex") && has(POSTINGS)) {
         val p = spark.read.parquet(path(dir, POSTINGS))
           .select(col("doc_id"), col("token"), col("tf"))
         swapArtifact(spark, dir, POSTINGS)(tmp =>
@@ -921,7 +932,7 @@ object RefStore {
             .write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
       }
-      if (meta.contains("searchIndex") && has(LENGTHS)) {
+      if (want(LENGTHS) && meta.contains("searchIndex") && has(LENGTHS)) {
         val l = spark.read.parquet(path(dir, LENGTHS))
           .select(col("doc_id"), col("len"))
         swapArtifact(spark, dir, LENGTHS)(tmp =>
@@ -929,7 +940,7 @@ object RefStore {
             .write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
       }
-      if (meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
+      if (want(DSIR_COUNTS) && meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
         val c = spark.read.parquet(path(dir, DSIR_COUNTS))
           .groupBy(col("side"), col("bucket"))
           .agg(sum(col("n")).as("n"))
@@ -969,27 +980,33 @@ object RefStore {
 
   /** Merge-triggered auto-compaction — the unattended form of the
     * [[compact]] cadence: called at the tail of a merge, UNDER the
-    * merge's already-held lease, with the merged family name. When that
-    * family's commit units reach `threshold` (0 = disabled), the whole
-    * store compacts inline — the next micro-batch pays one maintenance
-    * pass instead of an operator remembering a cron job, and the lease
-    * already held means no coexistence hazard beyond a longer batch.
+    * merge's already-held lease, with the merged family name(s). When
+    * the FIRST listed family's commit units reach `threshold` (0 =
+    * disabled), exactly the listed families compact inline — the next
+    * micro-batch pays one maintenance pass instead of an operator
+    * remembering a cron job, and the lease already held means no
+    * coexistence hazard beyond a longer batch. The sweep NEVER widens
+    * past the merged families: a shared store dir may hold OTHER
+    * `batch=<id>/` commit families whose crashed pre-compact batches
+    * could still be retried, and folding those from an unrelated merge
+    * would let the retry double-count ([[compact]]'s retry caveat).
     *
-    * Retry caveat (same as [[compact]]'s): for the `batch=<id>/` commit
-    * families a post-compact retry of a PRE-compact crashed batch would
-    * re-add folded rows. The re-distinct families (fingerprints, minhash
-    * / simhash signatures) are immune — replay re-appends are
+    * The same caveat applies to a batch-dir family compacting ITSELF:
+    * its own crashed earlier commits must not be retryable post-compact.
+    * The re-distinct families (fingerprints, minhash / simhash
+    * signatures, cdc chunk hashes) are immune — replay re-appends are
     * re-distincted by every consumer — which is why the streaming ingest
     * loops enable this only on those paths.
     */
   private def maybeAutoCompact(spark: SparkSession, dir: String,
-      threshold: Int, artifact: String): Unit =
+      threshold: Int, artifacts: String*): Unit =
     if (threshold > 0) {
-      val units = commitUnits(fs(spark, dir), dir, artifact)
+      val units = commitUnits(fs(spark, dir), dir, artifacts.head)
       if (units >= threshold) {
-        System.err.println(s"[refstore] store $dir family $artifact reached " +
-          s"$units commit units (threshold $threshold) — auto-compacting inline")
-        compactLocked(spark, dir, numFiles = 8)
+        System.err.println(s"[refstore] store $dir family ${artifacts.head} " +
+          s"reached $units commit units (threshold $threshold) — " +
+          s"auto-compacting ${artifacts.mkString("+")} inline")
+        artifacts.foreach(a => compactLocked(spark, dir, numFiles = 8, Some(a)))
       }
     }
 

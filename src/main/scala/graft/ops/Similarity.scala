@@ -798,6 +798,16 @@ object Similarity {
     * re-attach by broadcasting the tiny candidate frame against the
     * corpus scan, then only candidates shuffle to the greedy.
     */
+  /** Domain note: the greedy's oracle-equivalence claim (q_mmr_select's
+    * recursive-CTE replay) holds over NONZERO-NORM vectors — the cosine
+    * law's domain. Zero-norm vectors make cosines NaN, and the two
+    * engines' NaN TOTAL ORDERS differ (DuckDB sorts NaN above every
+    * value; the JVM comparison makes NaN lose every test), so no
+    * bit-equivalence is possible there. The engine's behavior on such
+    * degenerate inputs is therefore its own spec-pinned law: a candidate
+    * whose penalty involves ANY undefined similarity is unselectable
+    * (NaN score), and the greedy stops early when nothing is selectable.
+    */
   def mmrRerank(candidates: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
@@ -830,18 +840,24 @@ object Similarity {
               val score =
                 if (rk == 1) rel
                 else {
+                  // ANY selected↔candidate cosine NaN (a zero-norm vector
+                  // on either side) poisons the penalty: max over a set
+                  // containing an undefined similarity is undefined, so
+                  // the score is NaN — unselectable below. One law for
+                  // the mixed and all-NaN cases (skipping just the NaN
+                  // terms would mean the penalty silently ignores the
+                  // similarity to one of the SELECTED items; letting
+                  // -Infinity through would flip into a +Infinity score
+                  // that wins the argmax). See [[mmrRerank]]'s domain
+                  // note: the SQL oracle law assumes nonzero norms.
                   var maxSim = Double.NegativeInfinity
+                  var poisoned = false
                   selVecs.foreach { s =>
                     val cs = cosineScala(s, v)
-                    if (cs > maxSim) maxSim = cs
+                    if (cs.isNaN) poisoned = true
+                    else if (cs > maxSim) maxSim = cs
                   }
-                  // EVERY selected↔candidate cosine NaN (a zero-norm vector
-                  // from a non-cosine candidate tier): the penalty is
-                  // undefined, so the score is NaN — unselectable below,
-                  // matching the oracle's NaN-propagating list_max instead
-                  // of letting the untouched -Infinity flip into a
-                  // +Infinity score that would win the argmax
-                  if (maxSim == Double.NegativeInfinity) Double.NaN
+                  if (poisoned || maxSim == Double.NegativeInfinity) Double.NaN
                   else lambda * rel - (1.0 - lambda) * maxSim
                 }
               // (score DESC, id ASC) — the oracle's ORDER BY tie law at

@@ -374,4 +374,25 @@ class MultimodalSpec extends SparkSpec {
     assert(fakeFrames.forall(f =>
       f.frame_payload.toSeq === Multimodal.FakeCodec.frameAt(mp4, f.frame_ts_ms).toSeq))
   }
+
+  test("frameSample: a hostile avih clock cannot make one row emit unbounded frames") {
+    // avih claims ~2^31 frames at ~2^32 us each, but the movi list holds
+    // ONE real JPEG: the sampling clock must follow the real chunks (and
+    // the hard per-row cap), not the lying header
+    val avih = le32(0xFFFFFFFFL) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0x7FFFFFFFL) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(32L) ++ le32(24L) ++ new Array[Byte](16)
+    val hostile = {
+      val hdrl = riffList("hdrl", riffChunk("avih", avih))
+      val movi = riffList("movi", riffChunk("00dc", jpegFrame(0x123456)))
+      val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+      "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
+    }
+    val media = Multimodal.asMedia(
+      Seq((70L, hostile)).toDF("media_id", "payload"), "media_id", "payload", "video")
+    val n = Multimodal.frameSample(media, everyMs = 1000L).count()
+    // honest duration = 1 real frame x ~4295 s -> ~4.3k samples, not ~10^13
+    assert(n > 0 && n < 5000L,
+      s"lying header must be bounded by the real chunk count, emitted $n rows")
+  }
 }

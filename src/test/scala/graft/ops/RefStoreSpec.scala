@@ -654,6 +654,43 @@ class RefStoreSpec extends SparkSpec {
     assert(metaItems(dirC) === 3L, "under-threshold merges must not compact")
   }
 
+  test("auto-compact scope: a fingerprint-triggered compaction never folds a co-resident batch-dir family") {
+    // shared dir: exact family + centroid batch commits — the fingerprint
+    // merge's auto-compaction must fold ONLY fingerprints, because a
+    // crashed centroid batch commit may still be retried (batch-dir retry
+    // caveat) and a folded tree would double-count the retry
+    val dir = Files.createTempDirectory("refstore-autoscope").toString
+    RefStore.writeExact(batch1, "text", dir, expectedItems = 3L)
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val assign = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    RefStore.writeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" === 1L), assign, "vec_id", "embedding"), dir)
+    RefStore.mergeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" === 2L), assign, "vec_id", "embedding"), dir, "b1")
+    def centBatches() = Paths.get(dir, "centroids").toFile.listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    val before = centBatches()
+    assert(before === Seq("batch=b1", "batch=init"))
+    def crows() = RefStore.loadCentroidSums(spark, dir)
+      .select("cluster_id", "dim", "sum_micro", "n_members")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sums = crows()
+    // threshold 1: fires on this very merge — proof via the bloom re-size
+    RefStore.mergeExact(batch2, "text", dir, autoCompactAfter = 1)
+    val meta = new java.util.Properties()
+    val in = Files.newInputStream(Paths.get(dir, "meta.properties"))
+    try meta.load(in) finally in.close()
+    assert(meta.getProperty("expectedItems").toLong === 8L,
+      "the fingerprint family must have compacted (bloom re-sized)")
+    assert(centBatches() === before,
+      "the centroid batch tree must be untouched by the fingerprint trigger")
+    // the documented retry of a crashed centroid commit stays idempotent
+    RefStore.mergeCentroids(Similarity.clusterCentroidSums(
+      emb.filter($"vec_id" === 2L), assign, "vec_id", "embedding"), dir, "b1")
+    assert(crows() === sums, "a post-auto-compact batch retry must not double-count")
+  }
+
   test("retention: an unmarked compact tmp (crash before the marker) is GC'd by the next mutation") {
     val dir = Files.createTempDirectory("refstore-tmpgc").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)

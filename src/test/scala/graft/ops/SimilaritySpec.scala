@@ -355,6 +355,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 3L)),
       "rk2 must pick the honest diverse candidate; the zero-norm one is " +
         "unselectable and the greedy stops at two")
+    // the poisoned-selection arm: when the zero-norm vector WINS rank 1
+    // (pure relevance, no penalty yet), every later candidate's penalty
+    // involves an undefined similarity — all unselectable, greedy stops
+    val cand2 = Seq((1L, 2L, 0.99), (1L, 1L, 0.9), (1L, 3L, 0.8))
+      .toDF("query_id", "neighbor_id", "sim")
+    val got2 = Similarity.mmrRerank(cand2, corpus, "vec_id", "embedding", k = 3, lambda = 0.5)
+      .select("rk", "neighbor_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got2 === Seq((1L, 2L)),
+      "a zero-norm rank-1 pick poisons every later penalty: stop at one")
   }
 
   test("mmrRerank: any candidate tier composes — restricted pool respected, brute tier ≡ mmrTopK") {
