@@ -116,4 +116,68 @@ class LawPropertySpec extends SparkSpec {
       assert(g.top2CharFrac >= 0.0 && g.top2CharFrac <= 1.0)
     }
   }
+
+  test("property: c4Scala matches a naive line-by-line replay on random multi-line texts") {
+    val rnd = new scala.util.Random(23)
+    val enders = Seq(".", "!", "?", "\"", "", " ")
+    def randLine(): String = {
+      val nw = rnd.nextInt(6)
+      val words = (1 to nw).map(_ =>
+        if (rnd.nextInt(12) == 0) "JavaScript" else "w" + rnd.nextInt(9))
+      words.mkString(" ") + enders(rnd.nextInt(enders.length))
+    }
+    def randText(): String = {
+      val base = (1 to 1 + rnd.nextInt(7)).map(_ => randLine()).mkString("\n")
+      rnd.nextInt(10) match {
+        case 0 => base + "\nsome Lorem Ipsum filler here."
+        case 1 => base + "\nif (x) { return 1; }"
+        case _ => base
+      }
+    }
+    (1 to 300).foreach { _ =>
+      val t = randText()
+      val c = TextFns.c4Scala(t)
+      // naive replay, written from the documented rules
+      val lines = t.split("\n", -1)
+      val kept = lines.filter { l =>
+        l.nonEmpty && ".!?\"".contains(l.last.toString) &&
+          l.trim.split("\\s+").count(_.nonEmpty) >= 3 &&
+          !l.toLowerCase.contains("javascript")
+      }
+      assert(c.nLines === lines.length.toLong, t)
+      assert(c.nKept === kept.length.toLong, t)
+      assert(c.cleanText === kept.mkString("\n"), t)
+      val sent = c.cleanText.count(ch => ch == '.' || ch == '!' || ch == '?').toLong
+      assert(c.nSentences === sent, t)
+      assert(c.hasLorem === t.toLowerCase.contains("lorem ipsum"), t)
+      assert(c.hasBrace === t.contains("{"), t)
+      assert(c.c4Keep === (!c.hasLorem && !c.hasBrace && sent >= 5L), t)
+    }
+  }
+
+  test("property: simpsonScala equals a naive code-point frequency replay") {
+    val rnd = new scala.util.Random(29)
+    def randText(): String = {
+      val n = rnd.nextInt(40)
+      (1 to n).map(_ => rnd.nextInt(5) match {
+        case 0 => "a"
+        case 1 => "b"
+        case 2 => " "
+        case 3 => "é"   // multi-byte BMP
+        case _ => "😀" // astral plane: one code point, two units
+      }).mkString
+    }
+    (1 to 300).foreach { _ =>
+      val t = randText()
+      val (n, s2, simpson) = TextFns.simpsonScala(t)
+      val cps = t.codePoints().toArray
+      val counts = cps.groupBy(identity).map(_._2.length.toLong)
+      assert(n === cps.length.toLong, t)
+      assert(s2 === counts.map(c => c * c).sum, t)
+      val want = if (cps.isEmpty) 0.0
+        else 1.0 - counts.map(c => c * c).sum.toDouble /
+          (cps.length.toDouble * cps.length.toDouble)
+      assert(simpson === want, t)
+    }
+  }
 }
