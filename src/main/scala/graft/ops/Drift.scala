@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-drift monitoring: how far each stratum's unigram distribution
+  * sits from the pooled corpus distribution, as an EXACT total-variation
+  * distance — the pipeline-operability signal for "this source/snapshot no
+  * longer looks like the corpus" (mixture shift, a scraper gone wrong, a
+  * domain flooding the crawl).
+  *
+  * TV is chosen over KL/Jensen-Shannon deliberately, the
+  * [[graft.functions.TextFns.simpsonScala]] precedent: TV(P,Q) =
+  * ½·Σ_t |p_t − q_t| needs NO libm — with integer token counts the
+  * numerator is the exact integer Σ_t |c_st·N − c_t·N_s|, so both engines
+  * compute the same BIGINT-exact sum and ONE double division renders the
+  * statistic. KL would demand per-term ln() quantization (the DSIR
+  * discipline) for a metric that is unbounded and asymmetric anyway; TV is
+  * symmetric, bounded in [0,1], and admits the exact law.
+  *
+  * Union-of-vocabulary handling without a stratum×vocab blow-up: split the
+  * sum at stratum membership. For tokens present in the stratum the term is
+  * |c_st·N − c_t·N_s|; tokens absent from the stratum (c_st = 0) contribute
+  * Σ_{t∉s} c_t·N_s = N_s·(N − Σ_{t∈s} c_t) — a per-stratum rearrangement of
+  * already-aggregated numbers, so the computed frame stays exactly one row
+  * per (stratum, token) OBSERVED pair.
+  *
+  * Scale shape: one narrow tokenize+explode, one hash aggregate on
+  * (stratum, token), one re-aggregation to token totals (no corpus rescan),
+  * one hash equi-join keyed on the token, and broadcasts of the bounded
+  * per-stratum count frame (|strata| rows) and the 1-row corpus total.
+  * Nothing is quadratic; no driver state. Products are computed in
+  * DECIMAL(38,0) (HUGEINT on the oracle side): at 100 TB, c_t·N_s can pass
+  * 2^63 (c_t ≤ N ≈ 10^13 ⇒ products ≤ 10^26), which int64 cannot hold but
+  * 38 digits can.
+  */
+object Drift {
+
+  /** Per-stratum exact TV distance to the pooled corpus unigram
+    * distribution. Output: (stratumCol, n_tokens, vocab_s, tv_drift) for
+    * every stratum with at least one token ([[TextFns.tokens]] law:
+    * NULL/blank text yields no tokens, so token-free strata are absent by
+    * the same rule on both engines). `vocab_s` is the stratum's distinct
+    * token count; `tv_drift` ∈ [0,1] is rendered by one double division of
+    * exact integers (2.0·N_s·N evaluated left-to-right on both engines).
+    */
+  def tvDrift(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cst = df
+      .select(col(stratumCol).cast("string").as("_s"),
+        explode(TextFns.tokens(col(textCol))).as("_t"))
+      .groupBy("_s", "_t").agg(count(lit(1)).as("c_st"))
+    // token and stratum totals re-aggregate the (stratum, token) counts —
+    // no second pass over the corpus text
+    val ct = cst.groupBy("_t").agg(sum(col("c_st")).as("c_t"))
+    val ns = cst.groupBy("_s").agg(sum(col("c_st")).as("n_s"))
+    val nTot = ns.agg(sum(col("n_s")).as("n_tot"))
+    val agg = cst
+      .join(ct, "_t")
+      .join(broadcast(ns), "_s")
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("_s"), col("n_s"), col("n_tot"))
+      .agg(
+        sum(abs(col("c_st").cast(dec) * col("n_tot").cast(dec)
+          - col("c_t").cast(dec) * col("n_s").cast(dec))).as("_pnum"),
+        sum(col("c_t").cast(dec)).as("_ctp"),
+        count(lit(1)).as("vocab_s"))
+    agg.select(
+      col("_s").as(stratumCol),
+      col("n_s").as("n_tokens"),
+      col("vocab_s"),
+      ((col("_pnum") + col("n_s").cast(dec) *
+        (col("n_tot").cast(dec) - col("_ctp"))).cast("double") /
+        (lit(2.0) * col("n_s").cast("double") * col("n_tot").cast("double")))
+        .as("tv_drift"))
+  }
+
+  /** Naive single-machine replay of the TV law for property tests: the
+    * textbook ½·Σ over the FULL vocabulary union, straight doubles —
+    * independent of the engine's split-sum rearrangement.
+    */
+  private[ops] def tvNaive(docs: Seq[(String, String)]): Map[String, Double] = {
+    val toks = docs.flatMap { case (s, t) =>
+      TextFns.tokensScala(t).map(w => (s, w))
+    }
+    if (toks.isEmpty) return Map.empty
+    val n = toks.size.toDouble
+    val ctAll = toks.groupBy(_._2).map { case (w, xs) => (w, xs.size.toDouble) }
+    toks.groupBy(_._1).map { case (s, xs) =>
+      val nS = xs.size.toDouble
+      val cSt = xs.groupBy(_._2).map { case (w, ys) => (w, ys.size.toDouble) }
+      val tv = 0.5 * ctAll.keysIterator.map { w =>
+        math.abs(cSt.getOrElse(w, 0.0) / nS - ctAll(w) / n)
+      }.sum
+      (s, tv)
+    }
+  }
+}

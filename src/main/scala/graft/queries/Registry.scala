@@ -997,6 +997,35 @@ object Registry {
       |            (CAST(a.n_cp AS DOUBLE) * CAST(a.n_cp AS DOUBLE)) END AS char_simpson
       | FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Per-source total-variation drift from the pooled corpus unigram
+    * distribution ([[graft.ops.Drift.tvDrift]]): the exact no-libm
+    * distribution-shift monitor. The numerator is a BIGINT/HUGEINT-exact
+    * integer sum on both engines; one double division renders the
+    * statistic, so the double hash-matches.
+    */
+  def qTvDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.tvDrift(t(spark, dir, "documents"), "source", "text")
+      .orderBy("source")
+
+  val qTvDriftSql: String =
+    s"""WITH tok AS (SELECT CAST(source AS VARCHAR) AS s, unnest($tokensSql) AS t
+      |   FROM documents),
+      | cst AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c_st FROM tok GROUP BY 1, 2),
+      | ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+      | ns AS (SELECT s, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+      | nt AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_tot FROM cst),
+      | agg AS (SELECT cst.s, ns.n_s, nt.n_tot,
+      |   SUM(abs(CAST(cst.c_st AS HUGEINT) * nt.n_tot
+      |           - CAST(ct.c_t AS HUGEINT) * ns.n_s)) AS pnum,
+      |   SUM(CAST(ct.c_t AS HUGEINT)) AS ctp,
+      |   CAST(COUNT(*) AS BIGINT) AS vocab_s
+      |  FROM cst JOIN ct USING (t) JOIN ns USING (s) CROSS JOIN nt
+      |  GROUP BY 1, 2, 3)
+      | SELECT s AS source, n_s AS n_tokens, vocab_s,
+      |  CAST(pnum + CAST(n_s AS HUGEINT) * (n_tot - ctp) AS DOUBLE)
+      |    / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS tv_drift
+      | FROM agg ORDER BY source""".stripMargin.replace("\n", " ")
+
   /** Gopher-rule quality signals ([[graft.functions.TextFns.gopherScala]]):
     * duplicate-line fractions, top-n-gram character coverage, word-shape
     * metrics, and the composite pass flag — the web-scale pretraining
@@ -3587,6 +3616,7 @@ object Registry {
     "q_curate_summary" -> (qCurateSummary _),
     "q_c4_clean" -> (qC4Clean _),
     "q_char_diversity" -> (qCharDiversity _),
+    "q_tv_drift" -> (qTvDrift _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3718,6 +3748,7 @@ object Registry {
     "q_curate_summary" -> qCurateSummarySql,
     "q_c4_clean" -> qC4CleanSql,
     "q_char_diversity" -> qCharDiversitySql,
+    "q_tv_drift" -> qTvDriftSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

@@ -408,6 +408,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(chunkPasses <= 1, s"reference side re-chunked: $chunkPasses object passes\n$p")
   }
 
+  test("q_tv_drift: token join stays hash-keyed; small sides broadcast; no cartesian blow-up") {
+    val p = plan("q_tv_drift")
+    // the only permissible nested-loop is the 1-row corpus-total broadcast;
+    // a CartesianProduct would mean the stratum×vocab union materialized
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"per-stratum totals lost their broadcast:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    // token-keyed count join must not degrade to a nested loop: every Join
+    // in the plan is either hash-keyed or the 1-row broadcast
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"more than the 1-row total uses a nested loop:\n$p")
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
