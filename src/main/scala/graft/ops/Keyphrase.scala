@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley, "Automatic
+  * Keyword Extraction from Individual Documents", 2010) — the corpus-level
+  * "what is this data about" signal: candidate phrases are the maximal runs
+  * of content words between stopword/punctuation boundaries; each word
+  * scores degree/frequency over all candidate occurrences; a phrase scores
+  * the sum of its word scores.
+  *
+  * Law (shared verbatim with the SQL oracle):
+  *  - words are [[TextFns.tokens]] of `lower(text)`;
+  *  - a word is a BOUNDARY iff it is in the stoplist or is not purely
+  *    `[a-z]+` (punctuation-bearing and digit tokens break phrases);
+  *  - candidate phrases are maximal boundary-free runs of ≤ `maxWords`
+  *    words (longer runs are dropped whole — a run that long is prose, not
+  *    a keyphrase);
+  *  - freq(w) = candidate occurrences containing w (with multiplicity),
+  *    deg(w) = Σ over those occurrences of the phrase length (the classic
+  *    RAKE degree: freq + within-phrase co-occurrence);
+  *  - a word's score is the micro-quantized ratio
+  *    round(deg·10⁶ / freq) — one IEEE multiply+divide then HALF-AWAY
+  *    rounding, identical on both engines — so the phrase score is an
+  *    EXACT BIGINT sum with no float-accumulation order to disagree on.
+  *
+  * Scale shape: phrase chopping is ONE narrow object-boundary pass per
+  * document (the CDC/span idiom — per-position state never leaves the
+  * closure); word stats are one hash aggregate on the word; scoring is a
+  * hash equi-join of exploded distinct-phrase words against the word-stat
+  * frame; the final top-k is TakeOrderedAndProject, never a global sort.
+  * Nothing is quadratic; no driver state.
+  */
+object Keyphrase {
+
+  /** Corpus top-k RAKE phrases: (phrase, n_words, n_occ, score_micro),
+    * ordered score-desc then phrase-asc (deterministic at the k boundary).
+    */
+  def rakePhrases(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = TextFns.enStopwords,
+      maxWords: Int = 4, k: Int = 25): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxWords >= 1 && k >= 1, "need maxWords >= 1, k >= 1")
+    val stop = stopwords.toSet
+    val mw = maxWords
+    // lowercase in the DataFrame layer: Spark's lower() is the mapping the
+    // DuckDB oracles have pinned all round; a JVM toLowerCase inside the
+    // closure could diverge on exotic case mappings
+    val phrases = df.select(lower(col(textCol).cast("string")).as("_t"))
+      .as[String]
+      .mapPartitions { it =>
+        it.flatMap { text =>
+          phraseRuns(TextFns.tokensScala(text), stop, mw)
+            .map(ws => (ws.mkString(" "), ws.length))
+        }
+      }
+      .toDF("phrase", "n_words")
+    val wordStats = phrases
+      .select(explode(split(col("phrase"), " ")).as("_w"), col("n_words"))
+      .groupBy("_w")
+      .agg(count(lit(1)).as("_freq"), sum(col("n_words")).as("_deg"))
+    val distinctPhrases = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("_w"))
+      .join(wordStats, "_w")
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(round(col("_deg").cast("double") * lit(1000000.0) /
+          col("_freq").cast("double"), 0).cast("long")).as("score_micro"))
+      .select(col("phrase"), col("n_words"), col("n_occ"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** The phrase-chopping law: maximal boundary-free runs, runs longer than
+    * `maxWords` dropped whole. Shared by the engine pass and the naive
+    * property-test replay.
+    */
+  private[ops] def phraseRuns(toks: Array[String], stop: Set[String],
+      maxWords: Int): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var run = List.empty[String]
+    def close(): Unit = {
+      if (run.nonEmpty && run.length <= maxWords) out += run.reverse
+      run = Nil
+    }
+    toks.foreach { w =>
+      val boundary = stop.contains(w) || !w.forall(c => c >= 'a' && c <= 'z')
+      if (boundary) close() else run = w :: run
+    }
+    close()
+    out.result()
+  }
+
+  /** Naive single-machine RAKE replay for property tests: direct maps over
+    * the full candidate list, double ratios quantized the same way.
+    */
+  private[ops] def rakeNaive(texts: Seq[String], stopwords: Seq[String],
+      maxWords: Int): Map[String, (Long, Long, Long)] = {
+    val stop = stopwords.toSet
+    val cands = texts.flatMap { t =>
+      phraseRuns(TextFns.tokensScala(if (t == null) null else t.toLowerCase),
+        stop, maxWords)
+    }
+    if (cands.isEmpty) return Map.empty
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+    cands.foreach { ws =>
+      ws.foreach { w =>
+        freq(w) = freq.getOrElse(w, 0L) + 1L
+        deg(w) = deg.getOrElse(w, 0L) + ws.length
+      }
+    }
+    cands.groupBy(_.mkString(" ")).map { case (p, occ) =>
+      val ws = occ.head
+      val score = ws.map { w =>
+        math.round(deg(w).toDouble * 1000000.0 / freq(w).toDouble)
+      }.sum
+      (p, (ws.length.toLong, occ.size.toLong, score))
+    }
+  }
+}

@@ -1026,6 +1026,40 @@ object Registry {
       |    / (2.0 * CAST(n_s AS DOUBLE) * CAST(n_tot AS DOUBLE)) AS tv_drift
       | FROM agg ORDER BY source""".stripMargin.replace("\n", " ")
 
+  /** Corpus top-25 RAKE keyphrases ([[graft.ops.Keyphrase.rakePhrases]]):
+    * stopword-boundary candidate runs, exact integer degree/frequency word
+    * stats, micro-quantized per-word ratios summed to an exact BIGINT
+    * phrase score — so the ranking hash-matches with no float-order risk.
+    */
+  def qRakePhrases(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Keyphrase.rakePhrases(t(spark, dir, "documents"), "text")
+
+  val qRakePhrasesSql: String = {
+    val stopList = graft.functions.TextFns.enStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, ${tokensSqlOf("lower(text)")} AS tks FROM documents),
+      | pos AS (SELECT doc_id, tks, unnest(range(1, len(tks) + 1)) AS i FROM d),
+      | w AS (SELECT doc_id, i, tks[i] AS w FROM pos),
+      | nb AS (SELECT doc_id, i, w,
+      |   i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+      |  FROM w WHERE w NOT IN ($stopList) AND regexp_matches(w, '^[a-z]+$$')),
+      | ph AS (SELECT list(w ORDER BY i) AS words FROM nb GROUP BY doc_id, isl
+      |   HAVING COUNT(*) <= 4),
+      | pw AS (SELECT unnest(words) AS w, len(words) AS nw FROM ph),
+      | ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+      |   CAST(SUM(nw) AS BIGINT) AS deg FROM pw GROUP BY 1),
+      | pd AS (SELECT array_to_string(words, ' ') AS phrase,
+      |   CAST(COUNT(*) AS BIGINT) AS n_occ FROM ph GROUP BY 1),
+      | pe AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w FROM pd),
+      | sc AS (SELECT phrase, n_occ,
+      |   CAST(COUNT(*) AS BIGINT) AS n_words,
+      |   CAST(SUM(CAST(round(CAST(deg AS DOUBLE) * 1000000.0
+      |     / CAST(freq AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score_micro
+      |  FROM pe JOIN ws USING (w) GROUP BY 1, 2)
+      | SELECT phrase, n_words, n_occ, score_micro FROM sc
+      | ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin.replace("\n", " ")
+  }
+
   /** Gopher-rule quality signals ([[graft.functions.TextFns.gopherScala]]):
     * duplicate-line fractions, top-n-gram character coverage, word-shape
     * metrics, and the composite pass flag — the web-scale pretraining
@@ -3617,6 +3651,7 @@ object Registry {
     "q_c4_clean" -> (qC4Clean _),
     "q_char_diversity" -> (qCharDiversity _),
     "q_tv_drift" -> (qTvDrift _),
+    "q_rake_phrases" -> (qRakePhrases _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3749,6 +3784,7 @@ object Registry {
     "q_c4_clean" -> qC4CleanSql,
     "q_char_diversity" -> qCharDiversitySql,
     "q_tv_drift" -> qTvDriftSql,
+    "q_rake_phrases" -> qRakePhrasesSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

@@ -422,6 +422,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, s"more than the 1-row total uses a nested loop:\n$p")
   }
 
+  test("q_rake_phrases: word-stat join hash-keyed, top-k never a global sort") {
+    val p = plan("q_rake_phrases")
+    assert(p.contains("TakeOrderedAndProject"), s"rake top-k degraded to a global sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rake scoring join degraded to a nested loop:\n$p")
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
