@@ -1060,6 +1060,47 @@ object Registry {
       | ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin.replace("\n", " ")
   }
 
+  /** CCNet-style LM quality score ([[graft.ops.LangModel.bigramNllScore]]):
+    * every document's negative log-likelihood under an add-one smoothed
+    * bigram model trained on the `lang = 'en'` slice, in micro-log units
+    * (the DSIR ln-quantization discipline) — thresholding avg_nll is the
+    * perplexity filter without exp() between the engines.
+    */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.LangModel.bigramNllScore(
+      docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+      .orderBy("doc_id")
+  }
+
+  val qLmScoreSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    s"""WITH tr AS (SELECT $lowTok AS tks FROM documents WHERE lang = 'en'),
+      | bi AS (SELECT tks[i] AS w1, tks[i + 1] AS w2
+      |  FROM (SELECT tks, unnest(range(1, len(tks))) AS i FROM tr)),
+      | c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY 1, 2),
+      | c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      | v AS (SELECT CAST(COUNT(DISTINCT t) + 1 AS BIGINT) AS v
+      |  FROM (SELECT unnest(tks) AS t FROM tr)),
+      | dt AS (SELECT doc_id, $lowTok AS tks FROM documents),
+      | db AS (SELECT doc_id, tks[i] AS w1, tks[i + 1] AS w2
+      |  FROM (SELECT doc_id, tks, unnest(range(1, len(tks))) AS i FROM dt)),
+      | sc AS (SELECT doc_id,
+      |   CAST(round((ln(CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+      |     - ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE))) * 1000000.0) AS BIGINT) AS nll
+      |  FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+      | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |   CAST(SUM(nll) AS BIGINT) AS nll_micro FROM sc GROUP BY 1)
+      | SELECT d.doc_id,
+      |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(a.nll_micro, 0) AS nll_micro,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |       THEN CAST(a.nll_micro AS DOUBLE) / 1000000.0 / CAST(a.n_bigrams AS DOUBLE)
+      |       ELSE 0.0 END AS avg_nll
+      | FROM documents d LEFT JOIN agg a USING (doc_id)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** Gopher-rule quality signals ([[graft.functions.TextFns.gopherScala]]):
     * duplicate-line fractions, top-n-gram character coverage, word-shape
     * metrics, and the composite pass flag — the web-scale pretraining
@@ -3652,6 +3693,7 @@ object Registry {
     "q_char_diversity" -> (qCharDiversity _),
     "q_tv_drift" -> (qTvDrift _),
     "q_rake_phrases" -> (qRakePhrases _),
+    "q_lm_score" -> (qLmScore _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3785,6 +3827,7 @@ object Registry {
     "q_char_diversity" -> qCharDiversitySql,
     "q_tv_drift" -> qTvDriftSql,
     "q_rake_phrases" -> qRakePhrasesSql,
+    "q_lm_score" -> qLmScoreSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

@@ -429,6 +429,14 @@ class PlanShapeSpec extends SparkSpec {
       s"rake scoring join degraded to a nested loop:\n$p")
   }
 
+  test("q_lm_score: model joins hash-keyed; only the 1-row V total nested-loops") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"bigram/prefix join degraded to a nested loop:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
