@@ -48,18 +48,58 @@ object LangModel {
     */
   def bigramNllScore(df: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String): DataFrame = {
+    val c2 = bigramCounts(train, trainTextCol)
+      .withColumnRenamed("_c", "_c2")
+    val c1 = c2.groupBy("_w1").agg(sum(col("_c2")).as("_c1"))
+    val vFrame = vocabFrame(train, trainTextCol)
+      .agg((count(lit(1)) + lit(1L)).as("_v"))
+    scoreWithModel(df, idCol, textCol, c2, c1, vFrame)
+  }
+
+  /** [[bigramNllScore]] against a PERSISTED model
+    * ([[RefStore.writeLmModel]] / mergeLmModel) — the incremental form:
+    * the trusted slice trains once per store commit; each batch scores
+    * only itself against the loaded count frames. The law version comes
+    * from the store's meta, so model and scorer can never disagree.
+    */
+  def bigramNllScoreStored(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val trainToks = train
-      .select(lower(col(trainTextCol).cast("string")).as("_t")).as[String]
-    val trainBi = trainToks.mapPartitions(_.flatMap(bigramsScala))
+    val (c2, c1, v) = RefStore.loadLmModel(spark, storeDir)
+    scoreWithModel(df, idCol, textCol, c2, c1,
+      Seq(v).toDF("_v"))
+  }
+
+  /** One training batch's partial bigram counts (_w1, _w2, _c) — the
+    * count-family commit unit ([[RefStore.mergeLmModel]]); partial counts
+    * from different batches re-SUM to the whole-corpus model exactly.
+    */
+  private[ops] def bigramCounts(train: DataFrame, textCol: String): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    train.select(lower(col(textCol).cast("string")).as("_t")).as[String]
+      .mapPartitions(_.flatMap(bigramsScala))
       .toDF("_w1", "_w2")
-    val c2 = trainBi.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c2"))
-    val c1 = c2.groupBy("_w1").agg(sum(col("_c2")).as("_c1"))
-    val vFrame = trainToks
+      .groupBy("_w1", "_w2").agg(count(lit(1)).as("_c"))
+  }
+
+  /** One training batch's distinct tokens (_tk) — the V-law append family. */
+  private[ops] def vocabFrame(train: DataFrame, textCol: String): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    train.select(lower(col(textCol).cast("string")).as("_t")).as[String]
       .flatMap(t => TextFns.tokensScala(t))
       .distinct().toDF("_tk")
-      .agg((count(lit(1)) + lit(1L)).as("_v"))
+  }
+
+  /** The shared scoring join of the live and stored forms: doc bigrams
+    * left-join the model counts, quantize, sum per document.
+    */
+  private def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
+      c2: DataFrame, c1: DataFrame, vFrame: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val docBi = df
       .select(col(idCol).cast("long").as("_id"),
         lower(col(textCol).cast("string")).as("_t"))

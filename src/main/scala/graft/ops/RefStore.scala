@@ -491,6 +491,84 @@ object RefStore {
       .filter(col("n_toks") >= minTokens)
       .select(col("chunk_hash")).distinct()
 
+  // ---- bigram-LM model artifact (CCNet-style quality scoring) ----
+
+  private val LM_BIGRAMS = "lm_bigrams"
+  private val LM_VOCAB = "lm_vocab"
+
+  /** Persist a bigram-LM training corpus's model counts — the incremental
+    * form [[LangModel.bigramNllScore]]'s scaladoc promises at 100 TB: the
+    * trusted slice trains ONCE per commit; each ingest batch scores only
+    * ITSELF against the loaded count frames. Two artifacts:
+    *
+    *   - `lm_bigrams`: (w1, w2, c) partial counts. A COUNT family, so the
+    *     commit unit is a `batch=<id>/` subdir (the centroid/DSIR
+    *     discipline — identical partial-count rows from different batches
+    *     are legitimate, so consumers re-SUM and a crashed-commit retry
+    *     must overwrite its own batch dir, never append);
+    *   - `lm_vocab`: distinct training tokens (the V law — the +1 unknown
+    *     slot is added at load). Re-distinctable, so it is a plain append
+    *     family like the CDC chunk hashes.
+    *
+    * Meta pins `lmLaw` so a store written under a different token/
+    * smoothing law fails fast at load instead of silently mis-scoring.
+    */
+  def writeLmModel(train: DataFrame, textCol: String, dir: String): Unit = {
+    val spark = train.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "lmLaw" -> LM_LAW))
+      lmCommitLocked(train, textCol, dir, "init")
+    }
+  }
+
+  /** Commit one training batch's counts under `batch=<batchId>/` (ids
+    * unique per batch, stable across retries — the count-family retry
+    * contract) and append its vocabulary. `leaseWaitMs` /
+    * `autoCompactAfter` as in [[mergeExact]]; auto-compaction folds BOTH
+    * lm families (the vocab side is re-distinctable, the bigram side is
+    * safe because the threshold only fires on a healthy commit tail —
+    * see [[maybeAutoCompact]]'s batch-dir caveat before enabling it on a
+    * store whose earlier crashed commits may still be retried).
+    */
+  def mergeLmModel(batch: DataFrame, textCol: String, dir: String,
+      batchId: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      require(readMeta(spark, dir).get("lmLaw").contains(LM_LAW),
+        s"store $dir holds no bigram-LM artifact — writeLmModel first")
+      lmCommitLocked(batch, textCol, dir, batchId)
+      maybeAutoCompact(spark, dir, autoCompactAfter, LM_BIGRAMS, LM_VOCAB)
+    }
+  }
+
+  /** (bigram counts (_w1,_w2,_c2), prefix counts (_w1,_c1), V) — the model
+    * [[LangModel.bigramNllScoreStored]] scores against. The count frames
+    * re-aggregate the whole batch tree (integer sums are batching-
+    * independent, the centroid law); V counts the distinct vocabulary plus
+    * the unknown slot — one bounded action at load.
+    */
+  def loadLmModel(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    require(readMeta(spark, dir).get("lmLaw").contains(LM_LAW),
+      s"store $dir holds no bigram-LM artifact (or a different law version)")
+    val c2 = artifactDf(spark, dir, LM_BIGRAMS).drop("batch")
+      .groupBy(col("_w1"), col("_w2")).agg(sum(col("_c")).as("_c2"))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val v = artifactDf(spark, dir, LM_VOCAB)
+      .select(col("_tk")).distinct().count() + 1L
+    (c2, c1, v)
+  }
+
+  private val LM_LAW = "bigram-add1-lower-v1"
+
+  private def lmCommitLocked(batch: DataFrame, textCol: String, dir: String,
+      batchId: String): Unit = {
+    val spark = batch.sparkSession
+    LangModel.bigramCounts(batch, textCol)
+      .write.mode("overwrite").parquet(batchPath(dir, LM_BIGRAMS, batchId))
+    LangModel.vocabFrame(batch, textCol)
+      .write.mode("append").parquet(path(dir, LM_VOCAB))
+  }
+
   // ---- centroid artifact (semantic-dedup cluster accumulators) ----
 
   private val CENTROIDS = "centroids"
@@ -940,6 +1018,21 @@ object RefStore {
             .write.mode("overwrite")
             .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
       }
+      if (want(LM_BIGRAMS) && meta.contains("lmLaw") && has(LM_BIGRAMS)) {
+        val c = spark.read.parquet(path(dir, LM_BIGRAMS)).drop("batch")
+          .groupBy(col("_w1"), col("_w2")).agg(sum(col("_c")).as("_c"))
+        swapArtifact(spark, dir, LM_BIGRAMS)(tmp =>
+          c.repartition(numFiles, col("_w1"))
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
+      if (want(LM_VOCAB) && has(LM_VOCAB)) {
+        val vv = spark.read.parquet(path(dir, LM_VOCAB))
+          .select(col("_tk")).distinct()
+        swapArtifact(spark, dir, LM_VOCAB)(tmp =>
+          vv.repartition(numFiles, col("_tk"))
+            .write.mode("overwrite").parquet(tmp))
+      }
       if (want(DSIR_COUNTS) && meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
         val c = spark.read.parquet(path(dir, DSIR_COUNTS))
           .groupBy(col("side"), col("bucket"))
@@ -955,8 +1048,8 @@ object RefStore {
     * sweep at mutation entry walks this list.
     */
   private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, CDC_CHUNKS,
-    CENTROIDS, IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS,
-    LENGTHS, DSIR_COUNTS)
+    LM_BIGRAMS, LM_VOCAB, CENTROIDS, IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS,
+    PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS)
 
   /** Commit units a family has accumulated since its last compaction: the
     * `batch=<id>/` subdir count for the per-batch commit families, else
@@ -1170,6 +1263,26 @@ object RefStore {
         .filter(col("chunk_hash").isNull ||
           !col("chunk_hash").rlike("^[0-9a-f]{32}$")).count()
       (meta.contains("cdcMinTokens") && bad == 0L, s"bad=$bad")
+    }
+    if (has(LM_BIGRAMS)) {
+      checked("lm", "bigram_counts_positive") {
+        val bad = ro(LM_BIGRAMS)
+          .filter(col("_c").isNull || col("_c") < 1L ||
+            col("_w1").isNull || col("_w2").isNull).count()
+        (meta.get("lmLaw").nonEmpty && bad == 0L, s"bad=$bad")
+      }
+      if (has(LM_VOCAB)) checked("lm", "vocab_covers_bigram_words") {
+        // V comes from lm_vocab while the conditionals come from
+        // lm_bigrams; a vocab missing a bigram word means the two
+        // artifacts were written under different corpora — scores would
+        // silently use a too-small V
+        val vocab = ro(LM_VOCAB).select(col("_tk")).distinct()
+        val words = ro(LM_BIGRAMS).select(col("_w1").as("_tk"))
+          .union(ro(LM_BIGRAMS).select(col("_w2").as("_tk"))).distinct()
+        val orphans = words.join(vocab, Seq("_tk"), "left_anti").count()
+        (orphans == 0L, s"orphans=$orphans")
+      } else rows += (("lm", "vocab_covers_bigram_words", false,
+        "lm_vocab missing beside lm_bigrams"))
     }
     if (has(CENTROIDS)) checked("centroids", "positive_member_counts") {
       val bad = ro(CENTROIDS)

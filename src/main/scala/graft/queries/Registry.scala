@@ -1101,6 +1101,31 @@ object Registry {
       | ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** [[qLmScore]] against a PERSISTED model: the en slice trains the store
+    * in two batches plus a crashed-commit retry of the second (the
+    * count-family `batch=<id>/` overwrite makes the replay idempotent —
+    * an append would double the counts and shift every score); scoring
+    * runs [[graft.ops.LangModel.bigramNllScoreStored]]. Same law, same
+    * oracle as the live form: the store is an implementation detail.
+    */
+  def qLmStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val en = docs.filter(col("lang") === "en")
+    val store = storeOnce(dir, "lmstore") { s =>
+      graft.ops.RefStore.writeLmModel(
+        en.filter(col("doc_id") % 2 === 0), "text", s)
+      graft.ops.RefStore.mergeLmModel(
+        en.filter(col("doc_id") % 2 =!= 0), "text", s, batchId = "b1")
+      graft.ops.RefStore.mergeLmModel( // crashed-commit retry, same id
+        en.filter(col("doc_id") % 2 =!= 0), "text", s, batchId = "b1")
+    }
+    graft.ops.LangModel.bigramNllScoreStored(docs, "doc_id", "text", store)
+      .orderBy("doc_id")
+  }
+
+  /** Same law as q_lm_score: the store is an implementation detail. */
+  lazy val qLmStoreSql: String = qLmScoreSql
+
   /** Gopher-rule quality signals ([[graft.functions.TextFns.gopherScala]]):
     * duplicate-line fractions, top-n-gram character coverage, word-shape
     * metrics, and the composite pass flag — the web-scale pretraining
@@ -3694,6 +3719,7 @@ object Registry {
     "q_tv_drift" -> (qTvDrift _),
     "q_rake_phrases" -> (qRakePhrases _),
     "q_lm_score" -> (qLmScore _),
+    "q_lm_store" -> (qLmStore _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3828,6 +3854,7 @@ object Registry {
     "q_tv_drift" -> qTvDriftSql,
     "q_rake_phrases" -> qRakePhrasesSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_lm_store" -> qLmStoreSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

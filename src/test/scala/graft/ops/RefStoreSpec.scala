@@ -567,6 +567,61 @@ class RefStoreSpec extends SparkSpec {
       .apply("chunk_hashes_are_md5_hex") === false)
   }
 
+  test("lm store: batched training ≡ whole-slice live model; retry idempotent; compact + fsck aware") {
+    val train1 = Seq("the cat sat on the mat", "the dog sat on the rug").toDF("text")
+    val train2 = Seq("a cat and a dog sat", "").toDF("text")
+    val trainAll = train1.union(train2)
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "zebra quark flux"), (3L, ""),
+      (4L, null.asInstanceOf[String]), (5L, "dog sat on the mat")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("refstore-lm").toString
+    RefStore.writeLmModel(train1, "text", dir)
+    RefStore.mergeLmModel(train2, "text", dir, batchId = "b1")
+    RefStore.mergeLmModel(train2, "text", dir, batchId = "b1") // crashed-commit retry
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().toSet
+    val stored = rows(LangModel.bigramNllScoreStored(docs, "doc_id", "text", dir))
+    val live = rows(LangModel.bigramNllScore(docs, "doc_id", "text", trainAll, "text"))
+    assert(stored === live,
+      "batched model counts must re-sum to the whole-slice model exactly")
+    // a replayed APPEND would have doubled train2's counts — prove the
+    // batch-dir overwrite kept them single by checking one known count
+    val (c2, _, v) = RefStore.loadLmModel(spark, dir)
+    val satOn = c2.filter($"_w1" === "sat" && $"_w2" === "on")
+      .select("_c2").as[Long].collect()
+    assert(satOn.toSeq === Seq(2L), s"sat->on must count 2, got ${satOn.toSeq}")
+    // distinct train tokens: the cat sat on mat dog rug a and = 9
+    assert(v === 9L + 1L, s"V must be distinct-vocab+1, got $v")
+    // a dir without the family fails fast
+    val plain = Files.createTempDirectory("refstore-lm-foreign").toString
+    RefStore.writeExact(batch1, "text", plain, expectedItems = 100L)
+    val err = intercept[IllegalArgumentException] {
+      RefStore.mergeLmModel(train2, "text", plain, batchId = "x")
+    }
+    assert(err.getMessage.contains("no bigram-LM artifact"))
+    // compact folds both families; answers unchanged; fsck green
+    RefStore.compact(spark, dir, numFiles = 2)
+    assert(rows(LangModel.bigramNllScoreStored(docs, "doc_id", "text", dir)) === stored,
+      "compacted LM store must score identically")
+    val checks = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(checks(("lm", "bigram_counts_positive")) === true)
+    assert(checks(("lm", "vocab_covers_bigram_words")) === true)
+    // a vocab missing a bigram word (mismatched artifacts) is flagged
+    val dir2 = Files.createTempDirectory("refstore-lm-bad").toString
+    RefStore.writeLmModel(train1, "text", dir2)
+    spark.read.parquet(s"$dir2/lm_vocab").filter($"_tk" =!= "cat")
+      .write.mode("overwrite").parquet(s"$dir2/lm_vocab_tmp")
+    val fsLocal = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fsLocal.delete(new org.apache.hadoop.fs.Path(s"$dir2/lm_vocab"), true)
+    fsLocal.rename(new org.apache.hadoop.fs.Path(s"$dir2/lm_vocab_tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir2/lm_vocab"))
+    assert(RefStore.fsck(spark, dir2)
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toMap
+      .apply("vocab_covers_bigram_words") === false)
+  }
+
   test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
     val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)

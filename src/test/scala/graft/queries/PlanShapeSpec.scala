@@ -437,6 +437,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_lm_store: model comes from the store scan — exactly one object pass (the doc side)") {
+    val p = plan("q_lm_store")
+    assert(!p.contains("CartesianProduct"), p)
+    // the training side must be parquet count frames, not a re-run of the
+    // bigram extraction: one SerializeFromObject = the incoming docs only
+    val objPasses = "SerializeFromObject".r.findAllIn(p).length
+    assert(objPasses <= 1, s"stored LM path re-trains: $objPasses object passes\n$p")
+    assert(p.contains("lm_bigrams"), s"stored bigram scan missing from the plan:\n$p")
+  }
+
   test("q_bpe_encode: one narrow encode pass, no join, no window") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Join"), s"encode must not join:\n$p")
