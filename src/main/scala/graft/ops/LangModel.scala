@@ -71,6 +71,23 @@ object LangModel {
       Seq(v).toDF("_v"))
   }
 
+  /** Prefilter-hook form of the stored scorer for the guarded ingest
+    * loops ([[graft.streaming.StreamIngest.runDedupedIngest]]'s
+    * `prefilter`): keep only rows whose stored-model avg_nll is at most
+    * `maxAvgNll` — the CCNet perplexity gate as a composable batch
+    * transform. Sub-2-token and NULL-text rows score 0 and PASS: the LM
+    * judges only text it can score; length/shape junk is the
+    * stats/Gopher gates' jurisdiction. Returns the surviving input rows
+    * with their full schema (left-semi join on the id).
+    */
+  def lmGate(storeDir: String, idCol: String, textCol: String,
+      maxAvgNll: Double): DataFrame => DataFrame = { df =>
+    val keep = bigramNllScoreStored(df, idCol, textCol, storeDir)
+      .filter(col("avg_nll") <= maxAvgNll)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** One training batch's partial bigram counts (_w1, _w2, _c) — the
     * count-family commit unit ([[RefStore.mergeLmModel]]); partial counts
     * from different batches re-SUM to the whole-corpus model exactly.

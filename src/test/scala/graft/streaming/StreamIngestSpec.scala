@@ -375,6 +375,48 @@ class StreamIngestSpec extends SparkSpec {
     assert(err.getMessage.contains("fingerprint mismatch"))
   }
 
+  test("LM-gated ingest: the stored-model perplexity gate drops gibberish mid-stream") {
+    import spark.implicits._
+    val store = tmp("graft-lmgate-fpstore")
+    val lmStore = tmp("graft-lmgate-lmstore")
+    val sink = tmp("graft-lmgate-sink")
+    val src = tmp("graft-lmgate-src")
+    graft.ops.RefStore.writeExact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", store,
+      expectedItems = 1000L)
+    // train the LM on fluent text; the gate threshold sits between the
+    // fluent docs' avg_nll and the scrambled doc's
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    graft.ops.RefStore.writeLmModel(
+      Seq.fill(5)(fluent).toDF("text"), "text", lmStore)
+    val scores = graft.ops.LangModel.bigramNllScoreStored(
+      Seq((1L, fluent), (2L, "rug mat the dog on cat sat the"))
+        .toDF("doc_id", "text"), "doc_id", "text", lmStore)
+      .select($"doc_id", $"avg_nll").as[(Long, Double)].collect().toMap
+    val thr = (scores(1L) + scores(2L)) / 2.0
+    assert(scores(1L) < thr && thr < scores(2L), s"degenerate threshold: $scores")
+    val b1 = Seq(
+      (1L, fluent),
+      (2L, "rug mat the dog on cat sat the"), // scrambled → gated
+      (3L, null.asInstanceOf[String])) // NULL text scores 0 → passes the LM gate
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(b1.schema).parquet(src)
+    val q = StreamIngest.runDedupedIngest(
+      stream, store, sink, "doc_id", "text", tmp("graft-lmgate-ckp"),
+      prefilter = graft.ops.LangModel.lmGate(lmStore, "doc_id", "text", thr))
+    q.processAllAvailable(); q.stop()
+    def sinkIds() = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSet
+    assert(sinkIds() === Set(1L, 3L), "scrambled doc must be LM-gated out")
+    // gated content is NOT vaccinated into the fingerprint store
+    val (_, fps) = graft.ops.RefStore.loadExact(spark, store)
+    assert(fps.count() === 1L, "only the scored survivor's non-null fingerprint commits")
+    // replay law intact with the LM gate in place
+    StreamIngest.ingestDedupedBatch(b1, 0L, store, sink, "doc_id", "text",
+      graft.ops.LangModel.lmGate(lmStore, "doc_id", "text", thr))
+    assert(sinkIds() === Set(1L, 3L), "replay mutated the LM-gated sink")
+  }
+
   test("legacy sink migration: a pre-protocol _BATCH_FP inside the batch dir is honored, not refused") {
     import spark.implicits._
     val store = tmp("graft-legacy-store")
