@@ -431,4 +431,66 @@ object TextFns {
   /** Convenience inline form (tests, small data) — see the cost note above. */
   def shingleHashes(c: Column, n: Int): Column =
     shingleHashesFromTokens(tokens(c), n)
+
+  final case class FleschStats(nWords: Long, nSentences: Long,
+    nSyllables: Long, flesch: Double, fkGrade: Double)
+
+  /** Flesch reading-ease + Flesch–Kincaid grade (Flesch 1948; Kincaid et
+    * al. 1975) — the classic readability quality filter, from three exact
+    * integer counts:
+    *
+    *  - words: the shared [[tokensScala]] law;
+    *  - sentences: maximal runs of `[.!?]` (the SQL
+    *    `regexp_extract_all('[.!?]+')` law); a wordful document with no
+    *    terminal punctuation scores as ONE sentence (the formulas divide
+    *    by sentences — the raw run count is still reported);
+    *  - syllables: per word, vowel-GROUP count (`[aeiouyAEIOUY]+` runs —
+    *    case-insensitive by enumeration, so NO case mapping sits between
+    *    the engines) floored at 1 — the standard deterministic heuristic
+    *    (real syllabification is dictionary-bound; this is the
+    *    [[subwordCount]] stable-proxy posture, documented, not hidden).
+    *
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * and fk = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59,
+    * each evaluated left-to-right on both engines from the same exact
+    * integer ratios, so the doubles hash-match. Zero-word documents score
+    * (0, runs, 0, 0.0, 0.0).
+    */
+  def fleschScala(text: String): FleschStats = {
+    val s = if (text == null) "" else text
+    val toks = tokensScala(s)
+    val nWords = toks.length.toLong
+    var nSent = 0L
+    var i = 0; var inRun = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isTerm = c == '.' || c == '!' || c == '?'
+      if (isTerm && !inRun) nSent += 1
+      inRun = isTerm
+      i += 1
+    }
+    var nSyll = 0L
+    toks.foreach { w =>
+      var runs = 0L
+      var j = 0; var inV = false
+      while (j < w.length) {
+        val c = w.charAt(j)
+        val isV = c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y' ||
+          c == 'A' || c == 'E' || c == 'I' || c == 'O' || c == 'U' || c == 'Y'
+        if (isV && !inV) runs += 1
+        inV = isV
+        j += 1
+      }
+      nSyll += math.max(1L, runs)
+    }
+    if (nWords == 0L) FleschStats(0L, nSent, 0L, 0.0, 0.0)
+    else {
+      val sentEff = math.max(1L, nSent)
+      val wps = nWords.toDouble / sentEff.toDouble
+      val spw = nSyll.toDouble / nWords.toDouble
+      FleschStats(nWords, nSent, nSyll,
+        206.835 - 1.015 * wps - 84.6 * spw,
+        0.39 * wps + 11.8 * spw - 15.59)
+    }
+  }
 }

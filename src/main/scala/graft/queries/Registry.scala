@@ -1126,6 +1126,46 @@ object Registry {
   /** Same law as q_lm_score: the store is an implementation detail. */
   lazy val qLmStoreSql: String = qLmScoreSql
 
+  /** Flesch readability ([[graft.functions.TextFns.fleschScala]]): three
+    * exact integer counts (words, sentence-punctuation runs, vowel-group
+    * syllables) and the two classic formulas evaluated left-to-right on
+    * both engines — so even the doubles hash-match.
+    */
+  def qReadability(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val f = graft.functions.TextFns.fleschScala(text)
+        (id, f.nWords, f.nSentences, f.nSyllables, f.flesch, f.fkGrade)
+      })
+      .toDF("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "fk_grade")
+      .orderBy("doc_id")
+  }
+
+  val qReadabilitySql: String =
+    s"""WITH d AS (SELECT doc_id, COALESCE(text, '') AS text, $tokensSql AS tks
+      |   FROM documents),
+      | syl AS (SELECT doc_id, CAST(COALESCE(SUM(greatest(1,
+      |     len(regexp_extract_all(tk, '[aeiouyAEIOUY]+')))), 0) AS BIGINT) AS n_syll
+      |  FROM (SELECT doc_id, unnest(tks) AS tk FROM d) GROUP BY 1),
+      | base AS (SELECT d.doc_id,
+      |   CAST(len(d.tks) AS BIGINT) AS n_words,
+      |   CAST(len(regexp_extract_all(d.text, '[.!?]+')) AS BIGINT) AS n_sentences,
+      |   COALESCE(s.n_syll, 0) AS n_syllables
+      |  FROM d LEFT JOIN syl s USING (doc_id))
+      | SELECT doc_id, n_words, n_sentences,
+      |  CASE WHEN n_words = 0 THEN 0 ELSE n_syllables END AS n_syllables,
+      |  CASE WHEN n_words = 0 THEN 0.0
+      |       ELSE 206.835
+      |         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(greatest(1, n_sentences) AS DOUBLE))
+      |         - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END AS flesch,
+      |  CASE WHEN n_words = 0 THEN 0.0
+      |       ELSE 0.39 * (CAST(n_words AS DOUBLE) / CAST(greatest(1, n_sentences) AS DOUBLE))
+      |         + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |         - 15.59 END AS fk_grade
+      | FROM base ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   /** Gopher-rule quality signals ([[graft.functions.TextFns.gopherScala]]):
     * duplicate-line fractions, top-n-gram character coverage, word-shape
     * metrics, and the composite pass flag — the web-scale pretraining
@@ -3720,6 +3760,7 @@ object Registry {
     "q_rake_phrases" -> (qRakePhrases _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_store" -> (qLmStore _),
+    "q_readability" -> (qReadability _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3855,6 +3896,7 @@ object Registry {
     "q_rake_phrases" -> qRakePhrasesSql,
     "q_lm_score" -> qLmScoreSql,
     "q_lm_store" -> qLmStoreSql,
+    "q_readability" -> qReadabilitySql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

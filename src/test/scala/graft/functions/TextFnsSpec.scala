@@ -169,4 +169,44 @@ class TextFnsSpec extends SparkSpec {
       .select(TextFns.shingles(col("t"), 2)).head.getSeq[String](0)
     assert(rep === Seq("x y", "y x"))
   }
+
+  test("fleschScala: hand-checked counts and formulas") {
+    // 6 words, 2 sentence runs, syllables: the=1 cat=1 sat=1 here=2
+    // so=1 quickly=2 (qu-i..: i, then y run) → wait: "quickly" vowel runs:
+    // u-i? q(u)ickly → 'ui' is ONE run; 'y' another → 2. here: e, e → 2.
+    val f = TextFns.fleschScala("The cat sat here. So quickly?!")
+    assert(f.nWords === 6L)
+    assert(f.nSentences === 2L)
+    assert(f.nSyllables === (1L + 1L + 1L + 2L + 1L + 2L))
+    val wps = 6.0 / 2.0; val spw = 8.0 / 6.0
+    assert(f.flesch === 206.835 - 1.015 * wps - 84.6 * spw)
+    assert(f.fkGrade === 0.39 * wps + 11.8 * spw - 15.59)
+    // no terminal punctuation → raw run count 0, formulas divide by 1
+    val g = TextFns.fleschScala("just words no stops")
+    assert(g.nSentences === 0L)
+    assert(g.flesch === 206.835 - 1.015 * 4.0 - 84.6 * (4.0 / 4.0))
+    // vowel-free word floors at 1 syllable; zero words → all-zero metrics
+    assert(TextFns.fleschScala("brr").nSyllables === 1L)
+    assert(TextFns.fleschScala("") === TextFns.FleschStats(0L, 0L, 0L, 0.0, 0.0))
+    assert(TextFns.fleschScala(null) === TextFns.FleschStats(0L, 0L, 0L, 0.0, 0.0))
+    assert(TextFns.fleschScala("...!!!") === TextFns.FleschStats(1L, 1L, 1L, 206.835 - 1.015 - 84.6, 0.39 + 11.8 - 15.59))
+  }
+
+  test("fleschScala: scan counts match independent regex replays on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").as[String].collect()
+    assert(docs.nonEmpty)
+    val sentRe = java.util.regex.Pattern.compile("[.!?]+")
+    val vowRe = java.util.regex.Pattern.compile("[aeiouyAEIOUY]+")
+    def count(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s); var n = 0L; while (m.find()) n += 1; n
+    }
+    docs.foreach { t =>
+      val f = TextFns.fleschScala(t)
+      val s = if (t == null) "" else t
+      assert(f.nSentences === count(sentRe, s), s"sentences for '$s'")
+      val want = TextFns.tokensScala(s).map(w => math.max(1L, count(vowRe, w))).sum
+      assert(f.nSyllables === want, s"syllables for '$s'")
+    }
+  }
 }

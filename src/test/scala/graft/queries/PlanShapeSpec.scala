@@ -386,8 +386,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_c4_clean / q_char_diversity: one narrow object-boundary pass, no join, no window") {
-    for (name <- Seq("q_c4_clean", "q_char_diversity")) {
+  test("q_c4_clean / q_char_diversity / q_readability: one narrow object-boundary pass, no join, no window") {
+    for (name <- Seq("q_c4_clean", "q_char_diversity", "q_readability")) {
       val p = plan(name)
       assert(!p.contains("Join"), s"$name must not join:\n$p")
       assert(!p.contains("Window"), s"$name must not window:\n$p")
