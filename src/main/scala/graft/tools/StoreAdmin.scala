@@ -41,7 +41,11 @@ object StoreAdmin {
         RefStore.mergeExact(b2, "text", d)
         RefStore.mergeMinhash(b2, "doc_id", "text", d)
         RefStore.mergeCdcChunks(b2, "doc_id", "text", d)
-        println(s"=== demo store built at $d (exact + minhash + cdc, two batches) ===")
+        // the lm count family shares the dir: meta keys merge, and compact
+        // folds its batch tree beside the append families
+        RefStore.writeLmModel(b1, "text", d)
+        RefStore.mergeLmModel(b2, "text", d, batchId = "b2")
+        println(s"=== demo store built at $d (exact + minhash + cdc + lm, two batches) ===")
         // one bucket: at demo scale the production default (8) would WRITE
         // more files than the two batches it folds
         (d, true, 1)
