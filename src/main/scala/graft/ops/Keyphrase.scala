@@ -59,21 +59,30 @@ object Keyphrase {
         }
       }
       .toDF("phrase", "n_words")
-    val wordStats = phrases
-      .select(explode(split(col("phrase"), " ")).as("_w"), col("n_words"))
-      .groupBy("_w")
-      .agg(count(lit(1)).as("_freq"), sum(col("n_words")).as("_deg"))
+    // ONE aggregation consumes the object pass; word stats are DERIVED
+    // from the distinct-phrase counts (freq(w) = Σ n_occ over phrase
+    // occurrences containing w — explode keeps within-phrase multiplicity —
+    // and deg(w) = Σ n_occ·n_words), so the corpus-sized chop never runs
+    // twice and the two downstream aggs share the phrase exchange
+    // both consumers read the SAME (phrase, n_occ, n_words) aggregate —
+    // grouping the final agg by the carried n_words (constant per phrase)
+    // instead of recounting keeps the two subtrees column-identical, so
+    // AQE's exchange reuse holds and the chop pass executes once
     val distinctPhrases = phrases.groupBy("phrase")
-      .agg(count(lit(1)).as("n_occ"))
-    distinctPhrases
-      .select(col("phrase"), col("n_occ"),
+      .agg(count(lit(1)).as("n_occ"),
+        first(col("n_words")).cast("long").as("n_words"))
+    val exploded = distinctPhrases
+      .select(col("phrase"), col("n_occ"), col("n_words"),
         explode(split(col("phrase"), " ")).as("_w"))
+    val wordStats = exploded
+      .groupBy("_w")
+      .agg(sum(col("n_occ")).as("_freq"),
+        sum(col("n_occ") * col("n_words")).as("_deg"))
+    exploded
       .join(wordStats, "_w")
-      .groupBy(col("phrase"), col("n_occ"))
-      .agg(
-        count(lit(1)).as("n_words"),
-        sum(round(col("_deg").cast("double") * lit(1000000.0) /
-          col("_freq").cast("double"), 0).cast("long")).as("score_micro"))
+      .groupBy(col("phrase"), col("n_occ"), col("n_words"))
+      .agg(sum(round(col("_deg").cast("double") * lit(1000000.0) /
+        col("_freq").cast("double"), 0).cast("long")).as("score_micro"))
       .select(col("phrase"), col("n_words"), col("n_occ"), col("score_micro"))
       .orderBy(col("score_micro").desc, col("phrase"))
       .limit(k)
@@ -106,7 +115,8 @@ object Keyphrase {
       maxWords: Int): Map[String, (Long, Long, Long)] = {
     val stop = stopwords.toSet
     val cands = texts.flatMap { t =>
-      phraseRuns(TextFns.tokensScala(if (t == null) null else t.toLowerCase),
+      phraseRuns(TextFns.tokensScala(
+        if (t == null) null else t.toLowerCase(java.util.Locale.ROOT)),
         stop, maxWords)
     }
     if (cands.isEmpty) return Map.empty

@@ -81,11 +81,29 @@ object LangModel {
     * with their full schema (left-semi join on the id).
     */
   def lmGate(storeDir: String, idCol: String, textCol: String,
-      maxAvgNll: Double): DataFrame => DataFrame = { df =>
-    val keep = bigramNllScoreStored(df, idCol, textCol, storeDir)
-      .filter(col("avg_nll") <= maxAvgNll)
-      .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+      maxAvgNll: Double): DataFrame => DataFrame = {
+    // the model is immutable between store commits, while foreachBatch
+    // calls the gate once per micro-batch — load ONCE on first use and
+    // cache the count frames, instead of re-scanning the artifact tree and
+    // re-counting the vocab (a blocking driver action) every batch. The
+    // model is therefore PINNED at first use: a store recommit mid-stream
+    // is picked up on stream restart, not mid-flight (the IVF fixed-cells
+    // posture). foreachBatch is sequential, so the memo needs no lock.
+    var model: Option[(DataFrame, DataFrame, Long)] = None
+    df => {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val (c2, c1, v) = model.getOrElse {
+        val m = RefStore.loadLmModel(spark, storeDir)
+        m._1.persist(); m._2.persist()
+        model = Some(m)
+        m
+      }
+      val keep = scoreWithModel(df, idCol, textCol, c2, c1, Seq(v).toDF("_v"))
+        .filter(col("avg_nll") <= maxAvgNll)
+        .select(col(idCol))
+      df.join(keep, Seq(idCol), "left_semi")
+    }
   }
 
   /** One training batch's partial bigram counts (_w1, _w2, _c) — the

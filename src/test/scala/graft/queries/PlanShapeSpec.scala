@@ -422,11 +422,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, s"more than the 1-row total uses a nested loop:\n$p")
   }
 
-  test("q_rake_phrases: word-stat join hash-keyed, top-k never a global sort") {
+  test("q_rake_phrases: ONE corpus chop pass, word-stat join hash-keyed, top-k never a global sort") {
     val p = plan("q_rake_phrases")
     assert(p.contains("TakeOrderedAndProject"), s"rake top-k degraded to a global sort:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"rake scoring join degraded to a nested loop:\n$p")
+    // the one-pass claim: word stats derive from the distinct-phrase agg,
+    // so at runtime AQE reuses the phrase exchange and the object-boundary
+    // chop executes once (the q_kmeans_refine executed-plan precedent —
+    // the static adaptive plan prints both branches unreused)
+    val df = Registry.queries("q_rake_phrases")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "AQE stopped reusing the phrase exchange — the corpus chop runs twice")
   }
 
   test("q_lm_score: model joins hash-keyed; only the 1-row V total nested-loops") {
