@@ -1126,6 +1126,51 @@ object Registry {
   /** Same law as q_lm_score: the store is an implementation detail. */
   lazy val qLmStoreSql: String = qLmScoreSql
 
+  /** SemDeDup pruning (Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", 2023): within each
+    * ε-similarity cluster of embeddings keep ONE exemplar and prune the
+    * rest — the representation-level dedup pass that whole-document
+    * fingerprints and MinHash cannot see. Clusters are the connected
+    * components of the blocked exact-cosine pair graph (the
+    * q_semantic_clusters assignment — [[graft.ops.Clusters.dedupClusters]]
+    * over [[graft.ops.Similarity.blockedNearDupPairs]]); the exemplar law
+    * is min-id (== the component label, so the choice is deterministic and
+    * oracle-checkable). Singletons keep themselves. Scale shape: the pair
+    * graph is block-bounded, components are O(log diameter) rounds over
+    * the PAIR set, and the final prune is one left join back to the
+    * corpus — nothing corpus-quadratic.
+    */
+  def qSemdedupPrune(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val comp = graft.ops.Clusters.dedupClusters(
+      graft.ops.Similarity.blockedNearDupPairs(
+        e, "vec_id", "embedding", "label", threshold = 0.4))
+    e.select(col("vec_id").cast("long"), col("label"))
+      .join(comp, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        (col("cluster_id").isNull || col("cluster_id") === col("vec_id"))
+          .as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val qSemdedupPruneSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      | p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |   list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))) AS sim
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+      | verified AS (SELECT id_a, id_b FROM p WHERE sim >= 0.4),
+      | edges AS (SELECT id_a AS s, id_b AS d FROM verified
+      |  UNION SELECT id_b, id_a FROM verified),
+      | reach(s, d) AS (SELECT s, d FROM edges
+      |  UNION SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+      | comp AS (SELECT s AS vid, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+      | SELECT e.vec_id, e.label,
+      |  COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+      |  (c.cluster_id IS NULL OR c.cluster_id = e.vec_id) AS keep
+      | FROM e LEFT JOIN comp c ON c.vid = e.vec_id
+      | ORDER BY e.vec_id""".stripMargin.replace("\n", " ")
+
   /** Flesch readability ([[graft.functions.TextFns.fleschScala]]): three
     * exact integer counts (words, sentence-punctuation runs, vowel-group
     * syllables) and the two classic formulas evaluated left-to-right on
@@ -3761,6 +3806,7 @@ object Registry {
     "q_lm_score" -> (qLmScore _),
     "q_lm_store" -> (qLmStore _),
     "q_readability" -> (qReadability _),
+    "q_semdedup_prune" -> (qSemdedupPrune _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3897,6 +3943,7 @@ object Registry {
     "q_lm_score" -> qLmScoreSql,
     "q_lm_store" -> qLmStoreSql,
     "q_readability" -> qReadabilitySql,
+    "q_semdedup_prune" -> qSemdedupPruneSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

@@ -107,4 +107,21 @@ class ClustersSpec extends SparkSpec {
     assert(second.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
       first.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
+
+  test("semdedup prune law: exactly one min-id exemplar per cluster; singletons keep themselves") {
+    val rows = graft.queries.Registry.qSemdedupPrune(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(rows.length.toLong === corpus, "every corpus vector must be classified")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._3)
+      assert(keepers.length === 1, s"cluster $cid must keep exactly one exemplar")
+      assert(keepers.head._1 === cid, s"cluster $cid exemplar must be the min-id label")
+      assert(members.map(_._1).min === cid, s"cluster $cid label must be its min member")
+    }
+    // the prune is non-trivial on this corpus: some cluster has >1 member
+    assert(rows.exists(r => !r._3), "fixture corpus must contain at least one prunable near-dup")
+  }
 }
