@@ -47,25 +47,64 @@ object Drift {
     * exact integers (2.0·N_s·N evaluated left-to-right on both engines).
     */
   def tvDrift(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val cst = df
-      .select(col(stratumCol).cast("string").as("_s"),
+    val cst = stratumTokenCounts(df, stratumCol, textCol)
+    // token totals re-aggregate the (stratum, token) counts — no second
+    // pass over the corpus text
+    val ct = cst.groupBy("_t").agg(sum(col("c_st")).as("c_t"))
+    tvAgainstCounts(cst, ct, stratumCol)
+  }
+
+  /** [[tvDrift]] against a PERSISTED reference distribution
+    * ([[RefStore.writeTokenCounts]] / mergeTokenCounts) — the monitoring
+    * form: the baseline corpus tokenizes once per store commit; each
+    * ingest batch tokenizes only ITSELF and scores its strata against the
+    * loaded counts. Tokens absent from the reference contribute their full
+    * stratum mass (the left-join-coalesce leg of the shared core), so a
+    * batch from a genuinely foreign distribution reads near 1.0 — exactly
+    * the alarm the operator wants.
+    */
+  def tvDriftStored(df: DataFrame, stratumCol: String, textCol: String,
+      storeDir: String): DataFrame = {
+    val ct = RefStore.loadTokenCounts(df.sparkSession, storeDir)
+      .select(col("_t"), col("c_t"))
+    tvAgainstCounts(stratumTokenCounts(df, stratumCol, textCol), ct, stratumCol)
+  }
+
+  /** One batch's (_t, _c) token counts — the count-family commit unit
+    * ([[RefStore.mergeTokenCounts]]); partial counts re-SUM exactly.
+    */
+  private[ops] def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFns.tokens(col(textCol))).as("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_c"))
+
+  private def stratumTokenCounts(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame =
+    df.select(col(stratumCol).cast("string").as("_s"),
         explode(TextFns.tokens(col(textCol))).as("_t"))
       .groupBy("_s", "_t").agg(count(lit(1)).as("c_st"))
-    // token and stratum totals re-aggregate the (stratum, token) counts —
-    // no second pass over the corpus text
-    val ct = cst.groupBy("_t").agg(sum(col("c_st")).as("c_t"))
+
+  /** The shared scoring core of the pooled and stored forms: per-stratum
+    * exact TV between the stratum distribution (from `cst`) and the
+    * reference distribution (`ct`, whose total defines N). The token join
+    * is LEFT with a 0-coalesce: a stratum token absent from the reference
+    * still contributes its full |c_st·N − 0| term (in the pooled form the
+    * left join is vacuously inner — every stratum token is in the corpus).
+    */
+  private def tvAgainstCounts(cst: DataFrame, ct: DataFrame,
+      stratumCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
     val ns = cst.groupBy("_s").agg(sum(col("c_st")).as("n_s"))
-    val nTot = ns.agg(sum(col("n_s")).as("n_tot"))
+    val nTot = ct.agg(sum(col("c_t")).as("n_tot"))
     val agg = cst
-      .join(ct, "_t")
+      .join(ct, Seq("_t"), "left")
       .join(broadcast(ns), "_s")
       .crossJoin(broadcast(nTot))
       .groupBy(col("_s"), col("n_s"), col("n_tot"))
       .agg(
         sum(abs(col("c_st").cast(dec) * col("n_tot").cast(dec)
-          - col("c_t").cast(dec) * col("n_s").cast(dec))).as("_pnum"),
-        sum(col("c_t").cast(dec)).as("_ctp"),
+          - coalesce(col("c_t"), lit(0L)).cast(dec) * col("n_s").cast(dec)))
+          .as("_pnum"),
+        sum(coalesce(col("c_t"), lit(0L)).cast(dec)).as("_ctp"),
         count(lit(1)).as("vocab_s"))
     agg.select(
       col("_s").as(stratumCol),

@@ -569,6 +569,53 @@ object RefStore {
       .write.mode("append").parquet(path(dir, LM_VOCAB))
   }
 
+  // ---- token-count artifact (corpus distribution / drift baseline) ----
+
+  private val TOKEN_COUNTS = "token_counts"
+  private val DRIFT_LAW = "tokens-raw-v1"
+
+  /** Persist a corpus's unigram token counts — the DRIFT BASELINE
+    * [[Drift.tvDriftStored]] scores ingest batches against: the reference
+    * distribution commits once (and grows by merges), so per-batch drift
+    * monitoring never re-tokenizes the corpus. A COUNT family
+    * (`batch=<id>/` commit units, the lm_bigrams/centroid discipline —
+    * partial counts re-SUM; retries overwrite their own batch dir).
+    */
+  def writeTokenCounts(corpus: DataFrame, textCol: String, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "driftLaw" -> DRIFT_LAW))
+      Drift.tokenCounts(corpus, textCol)
+        .write.mode("overwrite").parquet(batchPath(dir, TOKEN_COUNTS, "init"))
+    }
+  }
+
+  /** Commit one batch's token counts under `batch=<batchId>/` (unique per
+    * batch, stable across retries). `leaseWaitMs` / `autoCompactAfter` as
+    * in [[mergeExact]].
+    */
+  def mergeTokenCounts(batch: DataFrame, textCol: String, dir: String,
+      batchId: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      require(readMeta(spark, dir).get("driftLaw").contains(DRIFT_LAW),
+        s"store $dir holds no token-count artifact — writeTokenCounts first")
+      Drift.tokenCounts(batch, textCol)
+        .write.mode("overwrite").parquet(batchPath(dir, TOKEN_COUNTS, batchId))
+      maybeAutoCompact(spark, dir, autoCompactAfter, TOKEN_COUNTS)
+    }
+  }
+
+  /** The re-summed (_t, c_t) reference distribution — batching-independent
+    * integer sums, the centroid law.
+    */
+  def loadTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    require(readMeta(spark, dir).get("driftLaw").contains(DRIFT_LAW),
+      s"store $dir holds no token-count artifact (or a different law version)")
+    artifactDf(spark, dir, TOKEN_COUNTS).drop("batch")
+      .groupBy(col("_t")).agg(sum(col("_c")).as("c_t"))
+  }
+
   // ---- centroid artifact (semantic-dedup cluster accumulators) ----
 
   private val CENTROIDS = "centroids"
@@ -1033,6 +1080,14 @@ object RefStore {
           vv.repartition(numFiles, col("_tk"))
             .write.mode("overwrite").parquet(tmp))
       }
+      if (want(TOKEN_COUNTS) && meta.contains("driftLaw") && has(TOKEN_COUNTS)) {
+        val c = spark.read.parquet(path(dir, TOKEN_COUNTS)).drop("batch")
+          .groupBy(col("_t")).agg(sum(col("_c")).as("_c"))
+        swapArtifact(spark, dir, TOKEN_COUNTS)(tmp =>
+          c.repartition(numFiles, col("_t"))
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
       if (want(DSIR_COUNTS) && meta.contains("dsirBuckets") && has(DSIR_COUNTS)) {
         val c = spark.read.parquet(path(dir, DSIR_COUNTS))
           .groupBy(col("side"), col("bucket"))
@@ -1048,8 +1103,8 @@ object RefStore {
     * sweep at mutation entry walks this list.
     */
   private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, CDC_CHUNKS,
-    LM_BIGRAMS, LM_VOCAB, CENTROIDS, IVF_CENTROIDS, IVF_ASSIGNED, PQ_BOOKS,
-    PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS)
+    LM_BIGRAMS, LM_VOCAB, TOKEN_COUNTS, CENTROIDS, IVF_CENTROIDS, IVF_ASSIGNED,
+    PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS)
 
   /** Commit units a family has accumulated since its last compaction: the
     * `batch=<id>/` subdir count for the per-batch commit families, else
@@ -1283,6 +1338,11 @@ object RefStore {
         (orphans == 0L, s"orphans=$orphans")
       } else rows += (("lm", "vocab_covers_bigram_words", false,
         "lm_vocab missing beside lm_bigrams"))
+    }
+    if (has(TOKEN_COUNTS)) checked("drift", "token_counts_positive") {
+      val bad = ro(TOKEN_COUNTS)
+        .filter(col("_c").isNull || col("_c") < 1L || col("_t").isNull).count()
+      (meta.get("driftLaw").nonEmpty && bad == 0L, s"bad=$bad")
     }
     if (has(CENTROIDS)) checked("centroids", "positive_member_counts") {
       val bad = ro(CENTROIDS)

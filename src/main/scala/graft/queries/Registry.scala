@@ -1126,6 +1126,31 @@ object Registry {
   /** Same law as q_lm_score: the store is an implementation detail. */
   lazy val qLmStoreSql: String = qLmScoreSql
 
+  /** [[qTvDrift]] against a PERSISTED baseline distribution: the corpus's
+    * token counts commit in two batches plus a crashed-commit retry of the
+    * second (count-family `batch=<id>/` overwrite — an append would double
+    * the counts and shift every distance); scoring runs
+    * [[graft.ops.Drift.tvDriftStored]]. With the whole corpus committed,
+    * the stored form equals the live pooled form exactly, so the store is
+    * an implementation detail and the oracle is shared.
+    */
+  def qTvDriftStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val store = storeOnce(dir, "driftstore") { s =>
+      graft.ops.RefStore.writeTokenCounts(
+        docs.filter(col("doc_id") % 2 === 0), "text", s)
+      graft.ops.RefStore.mergeTokenCounts(
+        docs.filter(col("doc_id") % 2 =!= 0), "text", s, batchId = "b1")
+      graft.ops.RefStore.mergeTokenCounts( // crashed-commit retry, same id
+        docs.filter(col("doc_id") % 2 =!= 0), "text", s, batchId = "b1")
+    }
+    graft.ops.Drift.tvDriftStored(docs, "source", "text", store)
+      .orderBy("source")
+  }
+
+  /** Same law as q_tv_drift: the store is an implementation detail. */
+  lazy val qTvDriftStoreSql: String = qTvDriftSql
+
   /** SemDeDup pruning (Abbas et al., "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", 2023): within each
     * ε-similarity cluster of embeddings keep ONE exemplar and prune the
@@ -3807,6 +3832,7 @@ object Registry {
     "q_lm_store" -> (qLmStore _),
     "q_readability" -> (qReadability _),
     "q_semdedup_prune" -> (qSemdedupPrune _),
+    "q_tv_drift_store" -> (qTvDriftStore _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3944,6 +3970,7 @@ object Registry {
     "q_lm_store" -> qLmStoreSql,
     "q_readability" -> qReadabilitySql,
     "q_semdedup_prune" -> qSemdedupPruneSql,
+    "q_tv_drift_store" -> qTvDriftStoreSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

@@ -622,6 +622,46 @@ class RefStoreSpec extends SparkSpec {
       .apply("vocab_covers_bigram_words") === false)
   }
 
+  test("token-count store: batched baseline ≡ live pooled drift; retry idempotent; compact + fsck aware") {
+    val docs = Seq(
+      (1L, "a", "x y z x"), (2L, "a", "y z"),
+      (3L, "b", "x x q"), (4L, "b", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val dir = Files.createTempDirectory("refstore-drift").toString
+    RefStore.writeTokenCounts(docs.filter($"doc_id" <= 2), "text", dir)
+    RefStore.mergeTokenCounts(docs.filter($"doc_id" > 2), "text", dir, batchId = "b1")
+    RefStore.mergeTokenCounts(docs.filter($"doc_id" > 2), "text", dir, batchId = "b1") // retry
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Double)].collect().toSet
+    val stored = rows(Drift.tvDriftStored(docs, "source", "text", dir))
+    val live = rows(Drift.tvDrift(docs, "source", "text"))
+    assert(stored === live,
+      "whole-corpus baseline must reproduce the pooled form exactly")
+    // a replayed APPEND would have doubled batch b1's counts — check one
+    val xCount = RefStore.loadTokenCounts(spark, dir)
+      .filter($"_t" === "x").select("c_t").as[Long].collect()
+    assert(xCount.toSeq === Seq(4L), s"x must count 4, got ${xCount.toSeq}")
+    // a foreign-distribution batch reads exactly 1.0 against the baseline
+    val foreign = Seq((9L, "new", "qq ww ee")).toDF("doc_id", "source", "text")
+    val far = Drift.tvDriftStored(foreign, "source", "text", dir)
+      .select("tv_drift").as[Double].head()
+    assert(far === 1.0, s"disjoint batch must read TV 1.0, got $far")
+    // a dir without the family fails fast
+    val plain = Files.createTempDirectory("refstore-drift-foreign").toString
+    RefStore.writeExact(batch1, "text", plain, expectedItems = 100L)
+    val err = intercept[IllegalArgumentException] {
+      RefStore.mergeTokenCounts(docs, "text", plain, batchId = "x")
+    }
+    assert(err.getMessage.contains("no token-count artifact"))
+    // compact folds the batch tree; answers unchanged; fsck green
+    RefStore.compact(spark, dir, numFiles = 2)
+    assert(rows(Drift.tvDriftStored(docs, "source", "text", dir)) === stored,
+      "compacted baseline must score identically")
+    val checks = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(checks(("drift", "token_counts_positive")) === true)
+  }
+
   test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
     val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)

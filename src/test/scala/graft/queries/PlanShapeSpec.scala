@@ -437,6 +437,14 @@ class PlanShapeSpec extends SparkSpec {
       "AQE stopped reusing the phrase exchange — the corpus chop runs twice")
   }
 
+  test("q_tv_drift_store: baseline comes from the store scan; joins hash-keyed") {
+    val p = plan("q_tv_drift_store")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("token_counts"), s"stored baseline scan missing from the plan:\n$p")
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"more than the 1-row total uses a nested loop:\n$p")
+  }
+
   test("q_lm_score: model joins hash-keyed; only the 1-row V total nested-loops") {
     val p = plan("q_lm_score")
     assert(!p.contains("CartesianProduct"), p)
