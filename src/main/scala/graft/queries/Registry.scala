@@ -1151,6 +1151,85 @@ object Registry {
   /** Same law as q_tv_drift: the store is an implementation detail. */
   lazy val qTvDriftStoreSql: String = qTvDriftSql
 
+  /** Pearson correlation between document metrics — the corpus-analytics
+    * sanity panel ("does length track tokens? do syllables?"): all five
+    * moment sums are EXACT (BIGINT row products summed in DECIMAL(38,0) /
+    * HUGEINT, so batching cannot reorder anything), and r is rendered by
+    * a fixed chain of IEEE ops (two sqrts, one divide) both engines
+    * evaluate identically. Metrics: n_chars (table column), n_words
+    * (shared token law), n_syllables ([[graft.functions.TextFns
+    * .fleschScala]] vowel-group law). Zero-variance pairs read 0.0 by law.
+    */
+  def qMetricCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val m = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"), col("text"))
+      .as[(Long, Long, String)]
+      .mapPartitions(_.map { case (_, chars, text) =>
+        val f = graft.functions.TextFns.fleschScala(text)
+        (chars, f.nWords, f.nSyllables)
+      })
+      .toDF("x", "y", "z")
+    def s(c: org.apache.spark.sql.Column) = sum(c.cast(dec))
+    val a = m.agg(
+      count(lit(1)).as("n"),
+      s(col("x")).as("sx"), s(col("y")).as("sy"), s(col("z")).as("sz"),
+      s(col("x") * col("x")).as("sxx"), s(col("y") * col("y")).as("syy"),
+      s(col("z") * col("z")).as("szz"),
+      s(col("x") * col("y")).as("sxy"), s(col("x") * col("z")).as("sxz"),
+      s(col("y") * col("z")).as("syz"))
+    def r(sab: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column, saa: org.apache.spark.sql.Column,
+        sbb: org.apache.spark.sql.Column) = {
+      val n = col("n").cast(dec)
+      val num = (n * sab - sa * sb).cast("double")
+      val va = (n * saa - sa * sa).cast("double")
+      val vb = (n * sbb - sb * sb).cast("double")
+      when(va === 0.0 || vb === 0.0, lit(0.0))
+        .otherwise(num / (sqrt(va) * sqrt(vb)))
+    }
+    a.select(col("n").cast("long").as("n"),
+        r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")).as("chars_words"),
+        r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")).as("chars_syllables"),
+        r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")).as("words_syllables"))
+      .selectExpr("stack(3, 'chars_words', chars_words, " +
+        "'chars_syllables', chars_syllables, " +
+        "'words_syllables', words_syllables) AS (metric_pair, r)", "n")
+      .select(col("metric_pair"), col("n"), col("r"))
+      .orderBy("metric_pair")
+  }
+
+  val qMetricCorrSql: String = {
+    def rx(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      s"""CASE WHEN CAST(n * $saa - $sa * $sa AS DOUBLE) = 0.0
+        |  OR CAST(n * $sbb - $sb * $sb AS DOUBLE) = 0.0 THEN 0.0
+        | ELSE CAST(n * $sab - $sa * $sb AS DOUBLE)
+        |  / (sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE))
+        |     * sqrt(CAST(n * $sbb - $sb * $sb AS DOUBLE))) END""".stripMargin
+    s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+      |   CAST(len($tokensSql) AS BIGINT) AS y,
+      |   (SELECT CAST(COALESCE(SUM(greatest(1,
+      |      len(regexp_extract_all(tk.t, '[aeiouyAEIOUY]+')))), 0) AS BIGINT)
+      |    FROM unnest($tokensSql) AS tk(t)) AS z
+      |  FROM documents),
+      | a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |   SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |   SUM(CAST(z AS HUGEINT)) AS sz,
+      |   SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |   SUM(CAST(z AS HUGEINT) * z) AS szz,
+      |   SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * z) AS sxz,
+      |   SUM(CAST(y AS HUGEINT) * z) AS syz
+      |  FROM d)
+      | SELECT metric_pair, CAST(n AS BIGINT) AS n, r FROM (
+      |  SELECT n, 'chars_words' AS metric_pair, ${rx("sxy", "sx", "sy", "sxx", "syy")} AS r FROM a
+      |  UNION ALL
+      |  SELECT n, 'chars_syllables', ${rx("sxz", "sx", "sz", "sxx", "szz")} FROM a
+      |  UNION ALL
+      |  SELECT n, 'words_syllables', ${rx("syz", "sy", "sz", "syy", "szz")} FROM a)
+      | ORDER BY metric_pair""".stripMargin.replace("\n", " ")
+  }
+
   /** SemDeDup pruning (Abbas et al., "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", 2023): within each
     * ε-similarity cluster of embeddings keep ONE exemplar and prune the
@@ -3833,6 +3912,7 @@ object Registry {
     "q_readability" -> (qReadability _),
     "q_semdedup_prune" -> (qSemdedupPrune _),
     "q_tv_drift_store" -> (qTvDriftStore _),
+    "q_metric_corr" -> (qMetricCorr _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -3971,6 +4051,7 @@ object Registry {
     "q_readability" -> qReadabilitySql,
     "q_semdedup_prune" -> qSemdedupPruneSql,
     "q_tv_drift_store" -> qTvDriftStoreSql,
+    "q_metric_corr" -> qMetricCorrSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

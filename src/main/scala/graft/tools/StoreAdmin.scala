@@ -45,7 +45,9 @@ object StoreAdmin {
         // folds its batch tree beside the append families
         RefStore.writeLmModel(b1, "text", d)
         RefStore.mergeLmModel(b2, "text", d, batchId = "b2")
-        println(s"=== demo store built at $d (exact + minhash + cdc + lm, two batches) ===")
+        RefStore.writeTokenCounts(b1, "text", d)
+        RefStore.mergeTokenCounts(b2, "text", d, batchId = "b2")
+        println(s"=== demo store built at $d (exact + minhash + cdc + lm + drift, two batches) ===")
         // one bucket: at demo scale the production default (8) would WRITE
         // more files than the two batches it folds
         (d, true, 1)

@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Pearson-correlation law: the exact-moment engine form against a naive
+  * double replay, plus range and sign sanity on real testdata.
+  */
+class MetricCorrSpec extends SparkSpec {
+
+  test("metric correlations match a naive double replay on real testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Registry.qMetricCorr(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === Set("chars_words", "chars_syllables", "words_syllables"))
+    // independent replay: straight doubles over the same metric law
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("n_chars", "text").collect().map { r =>
+        val f = graft.functions.TextFns.fleschScala(r.getAs[String]("text"))
+        (r.getAs[Long]("n_chars").toDouble, f.nWords.toDouble, f.nSyllables.toDouble)
+      }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val va = a.map(x => (x - ma) * (x - ma)).sum
+      val vb = b.map(y => (y - mb) * (y - mb)).sum
+      if (va == 0.0 || vb == 0.0) 0.0 else cov / (math.sqrt(va) * math.sqrt(vb))
+    }
+    val (xs, ys, zs) = (rows.map(_._1).toSeq, rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+    val want = Map(
+      "chars_words" -> pearson(xs, ys),
+      "chars_syllables" -> pearson(xs, zs),
+      "words_syllables" -> pearson(ys, zs))
+    want.foreach { case (k, w) =>
+      assert(math.abs(got(k) - w) < 1e-9, s"$k: engine ${got(k)} vs naive $w")
+      assert(got(k) >= -1.0 && got(k) <= 1.0 + 1e-12, s"$k out of range")
+    }
+    // text length and token count must correlate strongly on any real corpus
+    assert(got("chars_words") > 0.9, s"suspicious chars~words r ${got("chars_words")}")
+  }
+
+  test("zero-variance pairs read 0.0 by law") {
+    import spark.implicits._
+    val sp = spark
+    import org.apache.spark.sql.functions._
+    // all-identical docs → every variance is 0 → all three r are 0.0
+    val d = Seq.fill(4)((7L, "one two three")).toDF("n_chars", "text")
+    d.createOrReplaceTempView("corr_fixture")
+    // drive the same law through a scratch dir is overkill — call the
+    // private moment algebra indirectly by writing a tiny parquet corpus
+    val tmp = java.nio.file.Files.createTempDirectory("corr-zero").toString
+    d.withColumn("doc_id", monotonically_increasing_id())
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Registry.qMetricCorr(sp, tmp)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.values.forall(_ === 0.0), s"zero-variance corpus must read 0.0: $got")
+  }
+}

@@ -445,6 +445,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, s"more than the 1-row total uses a nested loop:\n$p")
   }
 
+  test("q_metric_corr: one narrow pass + one aggregate; no join, no window") {
+    val p = plan("q_metric_corr")
+    assert(!p.contains("Join"), s"corr must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q_lm_score: model joins hash-keyed; only the 1-row V total nested-loops") {
     val p = plan("q_lm_score")
     assert(!p.contains("CartesianProduct"), p)
