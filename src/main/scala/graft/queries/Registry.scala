@@ -1230,6 +1230,68 @@ object Registry {
       | ORDER BY metric_pair""".stripMargin.replace("\n", " ")
   }
 
+  /** N-gram novelty — the memorization/boilerplate signal: per document,
+    * the fraction of its DISTINCT word-3-gram shingles that occur in no
+    * other document (corpus-wide frequency 1). Low novelty = the document
+    * is assembled from corpus-common passages (template/boilerplate); high
+    * = genuinely unique text. The chop is ONE object-boundary pass (the
+    * shingleHashFrame idiom); the corpus frequency comes from a count-only
+    * window over the single shingle-keyed exchange rather than a
+    * freq-table self-join, so the pass never re-executes (the RAKE
+    * one-pass lesson). Trade-off, stated: a shingle shared by K docs
+    * buffers a K-row window group — boilerplate mega-shingles spill
+    * rather than skew-kill a hash agg; corpora where that dominates
+    * should pre-screen with the dedup family first.
+    */
+  def qShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val tk = graft.functions.TextFns.tokensScala(t)
+        if (tk.length < 3) Iterator.empty
+        else (0 to tk.length - 3).iterator
+          .map(i => tk(i) + " " + tk(i + 1) + " " + tk(i + 2))
+          .toSet.iterator.map((s: String) => (id, s))
+      })
+      .toDF("_id", "_sh")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_sh")
+    val per = sh
+      .withColumn("_ndocs", count(lit(1)).over(w))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("_ndocs") === 1, 1)).as("n_unique"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(per, col("doc_id") === col("_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  val qShingleNoveltySql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |   generate_series(1, len(tk) - 2),
+      |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+      |  FROM toks WHERE len(tk) >= 3),
+      | f AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS ndocs FROM sh),
+      | per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |   CAST(COUNT(CASE WHEN ndocs = 1 THEN 1 END) AS BIGINT) AS n_unique
+      |  FROM f GROUP BY 1)
+      | SELECT d.doc_id,
+      |  COALESCE(p.n_shingles, 0) AS n_shingles,
+      |  COALESCE(p.n_unique, 0) AS n_unique,
+      |  CASE WHEN COALESCE(p.n_shingles, 0) > 0
+      |       THEN CAST(p.n_unique AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+      |       ELSE 0.0 END AS novelty_frac
+      | FROM documents d LEFT JOIN per p USING (doc_id)
+      | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
   /** SemDeDup pruning (Abbas et al., "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", 2023): within each
     * ε-similarity cluster of embeddings keep ONE exemplar and prune the
@@ -3913,6 +3975,7 @@ object Registry {
     "q_semdedup_prune" -> (qSemdedupPrune _),
     "q_tv_drift_store" -> (qTvDriftStore _),
     "q_metric_corr" -> (qMetricCorr _),
+    "q_shingle_novelty" -> (qShingleNovelty _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -4052,6 +4115,7 @@ object Registry {
     "q_semdedup_prune" -> qSemdedupPruneSql,
     "q_tv_drift_store" -> qTvDriftStoreSql,
     "q_metric_corr" -> qMetricCorrSql,
+    "q_shingle_novelty" -> qShingleNoveltySql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

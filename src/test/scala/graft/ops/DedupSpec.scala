@@ -366,4 +366,27 @@ class DedupSpec extends SparkSpec {
     assert(shared >= 1L && shared <= n && frac > 0.0 && frac <= 1.0)
     assert(!got.contains(2L), "an unrelated doc must not appear")
   }
+
+  test("shingle novelty law: boilerplate reads 0, unique text 1, half-copies in between") {
+    val tmp = java.nio.file.Files.createTempDirectory("novelty").toString
+    val boiler = "copy paste copy paste copy paste copy"
+    Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),            // shared everything → 0.0
+      (4L, "a genuinely unique sentence about nothing"),   // all-unique → 1.0
+      (5L, boiler + " plus a fresh unique tail here"),     // mixed → strictly between
+      (6L, "one two"),                                     // < 3 tokens → no shingles
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.Registry.qShingleNovelty(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._3 === 0.0 && got(2L)._3 === 0.0 && got(3L)._3 === 0.0)
+    assert(got(4L)._3 === 1.0)
+    assert(got(5L)._3 > 0.0 && got(5L)._3 < 1.0,
+      s"half-copy must sit strictly between: ${got(5L)}")
+    assert(got(6L) === ((0L, 0L, 0.0)) && got(7L) === ((0L, 0L, 0.0)))
+    // distinct-shingle law: 7 tokens → 5 triples but only 2 DISTINCT
+    // ("copy paste copy", "paste copy paste") — repeats count once
+    assert(got(1L)._1 === 2L, s"distinct shingles for boilerplate: ${got(1L)}")
+  }
 }

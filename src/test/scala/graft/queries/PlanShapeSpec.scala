@@ -445,6 +445,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, s"more than the 1-row total uses a nested loop:\n$p")
   }
 
+  test("q_shingle_novelty: one chop pass; frequency via the window, not a self-join") {
+    val p = plan("q_shingle_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), s"shingle frequency lost the count-only window:\n$p")
+    val objPasses = "SerializeFromObject".r.findAllIn(p).length
+    assert(objPasses == 1, s"shingle chop runs $objPasses times:\n$p")
+  }
+
   test("q_metric_corr: one narrow pass + one aggregate; no join, no window") {
     val p = plan("q_metric_corr")
     assert(!p.contains("Join"), s"corr must not join:\n$p")
