@@ -432,6 +432,45 @@ object TextFns {
   def shingleHashes(c: Column, n: Int): Column =
     shingleHashesFromTokens(tokens(c), n)
 
+  /** Scala twin of the [[langId]] cascade over a PRE-LOWERED token window
+    * — the per-window form for code-switching detection, where the
+    * expression tree can't reach (windows live inside an object pass).
+    * `hasCjk` is the caller's CJK witness (CJK code points have no case,
+    * so lowered tokens carry them unchanged). Same cascade order as the
+    * expression: zh → und → en → de → es → fr.
+    */
+  def langIdCascade(lowToks: Array[String], hasCjk: Boolean): String = {
+    if (hasCjk) return "zh"
+    var en = 0; var de = 0; var es = 0; var fr = 0
+    lowToks.foreach { t =>
+      if (enStopSet.contains(t)) en += 1
+      if (deStopSet.contains(t)) de += 1
+      if (esStopSet.contains(t)) es += 1
+      if (frStopSet.contains(t)) fr += 1
+    }
+    if (en == 0 && de == 0 && es == 0 && fr == 0) "und"
+    else if (en >= de && en >= es && en >= fr) "en"
+    else if (de >= es && de >= fr) "de"
+    else if (es >= fr) "es"
+    else "fr"
+  }
+
+  private val deStopSet = deStopwords.toSet
+  private val esStopSet = esStopwords.toSet
+  private val frStopSet = frStopwords.toSet
+
+  /** Any CJK-unified-ideograph code point (the [[langId]] regex law). */
+  def hasCjkScala(s: String): Boolean = {
+    if (s == null) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x4e00 && c <= 0x9fff) return true
+      i += 1
+    }
+    false
+  }
+
   final case class FleschStats(nWords: Long, nSentences: Long,
     nSyllables: Long, flesch: Double, fkGrade: Double)
 

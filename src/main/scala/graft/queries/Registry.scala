@@ -1292,6 +1292,76 @@ object Registry {
       | FROM documents d LEFT JOIN per p USING (doc_id)
       | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
 
+  /** Per-window language consistency — the code-switching / mixed-language
+    * detector monolingual training pipelines gate on: classify each
+    * 50-token window with the [[graft.functions.TextFns.langIdCascade]]
+    * law and report the fraction of windows disagreeing with the
+    * document's own whole-text classification. All counts are exact
+    * integers; `mix_frac` is one division. One object-boundary pass per
+    * document (windows never leave the closure); the oracle replays the
+    * cascade over DuckDB list slices with the same stopword sets.
+    */
+  def qLangMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = 50
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        import graft.functions.TextFns._
+        val toks = tokensScala(text)
+        val low = toks.map(_.toLowerCase(java.util.Locale.ROOT))
+        val docLang = langIdCascade(low, toks.exists(hasCjkScala))
+        val nw = if (toks.isEmpty) 0 else (toks.length + W - 1) / W
+        var mixed = 0
+        var i = 0
+        while (i < nw) {
+          val sl = low.slice(i * W, math.min(toks.length, (i + 1) * W))
+          if (langIdCascade(sl, sl.exists(hasCjkScala)) != docLang) mixed += 1
+          i += 1
+        }
+        (id, docLang, nw.toLong, mixed.toLong,
+          if (nw > 0) mixed.toDouble / nw.toDouble else 0.0)
+      })
+      .toDF("doc_id", "lang_pred", "n_windows", "n_mixed", "mix_frac")
+      .orderBy("doc_id")
+  }
+
+  val qLangMixSql: String = {
+    def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+    import graft.functions.TextFns._
+    // the cascade over a bound token-list variable `L` (pre-lowered)
+    def cascade(l: String): String = {
+      def hits(ws: Seq[String]) = s"len(list_filter($l, t -> t IN (${inList(ws)})))"
+      val (en, de, es, fr) =
+        (hits(enStopwords), hits(deStopwords), hits(esStopwords), hits(frStopwords))
+      s"""CASE WHEN regexp_matches(array_to_string($l, ' '), '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        | WHEN $en = 0 AND $de = 0 AND $es = 0 AND $fr = 0 THEN 'und'
+        | WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+        | WHEN $de >= $es AND $de >= $fr THEN 'de'
+        | WHEN $es >= $fr THEN 'es'
+        | ELSE 'fr' END""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt
+      |  FROM documents),
+      | dl AS (SELECT doc_id, lt, len(lt) AS n, ${cascade("lt")} AS lang_pred FROM d),
+      | w AS (SELECT doc_id, lang_pred, n,
+      |   unnest(generate_series(0, CAST(ceil(CAST(n AS DOUBLE) / 50.0) AS BIGINT) - 1)) AS i, lt
+      |  FROM dl WHERE n > 0),
+      | wl AS (SELECT doc_id, lang_pred,
+      |   ${cascade("lt[i * 50 + 1 : least(n, (i + 1) * 50)]")} AS wlang FROM w),
+      | per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |   CAST(COUNT(CASE WHEN wlang <> lang_pred THEN 1 END) AS BIGINT) AS n_mixed
+      |  FROM wl GROUP BY 1)
+      | SELECT dl.doc_id, dl.lang_pred,
+      |  COALESCE(p.n_windows, 0) AS n_windows,
+      |  COALESCE(p.n_mixed, 0) AS n_mixed,
+      |  CASE WHEN COALESCE(p.n_windows, 0) > 0
+      |       THEN CAST(p.n_mixed AS DOUBLE) / CAST(p.n_windows AS DOUBLE)
+      |       ELSE 0.0 END AS mix_frac
+      | FROM dl LEFT JOIN per p USING (doc_id)
+      | ORDER BY dl.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** SemDeDup pruning (Abbas et al., "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", 2023): within each
     * ε-similarity cluster of embeddings keep ONE exemplar and prune the
@@ -3976,6 +4046,7 @@ object Registry {
     "q_tv_drift_store" -> (qTvDriftStore _),
     "q_metric_corr" -> (qMetricCorr _),
     "q_shingle_novelty" -> (qShingleNovelty _),
+    "q_lang_mix" -> (qLangMix _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -4116,6 +4187,7 @@ object Registry {
     "q_tv_drift_store" -> qTvDriftStoreSql,
     "q_metric_corr" -> qMetricCorrSql,
     "q_shingle_novelty" -> qShingleNoveltySql,
+    "q_lang_mix" -> qLangMixSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

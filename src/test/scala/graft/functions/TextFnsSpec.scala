@@ -192,6 +192,46 @@ class TextFnsSpec extends SparkSpec {
     assert(TextFns.fleschScala("...!!!") === TextFns.FleschStats(1L, 1L, 1L, 206.835 - 1.015 - 84.6, 0.39 + 11.8 - 15.59))
   }
 
+  test("langIdCascade twin: matches the langId expression on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        TextFns.langId(col("text")).as("expr_lang"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val text = r.getAs[String]("text")
+      val toks = TextFns.tokensScala(text)
+      val low = toks.map(_.toLowerCase(java.util.Locale.ROOT))
+      val got = TextFns.langIdCascade(low, TextFns.hasCjkScala(text))
+      assert(got === r.getAs[String]("expr_lang"), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("lang-mix law: uniform doc reads 0, a half-switched doc flags its windows") {
+    val tmp = java.nio.file.Files.createTempDirectory("langmix").toString
+    val en50 = Seq.fill(10)("the cat is in it").mkString(" ")   // 50 en-heavy tokens
+    val de50 = Seq.fill(10)("der hund ist nicht das").mkString(" ") // 50 de-heavy tokens
+    Seq(
+      (1L, en50 + " " + en50),  // 2 uniform windows
+      (2L, en50 + " " + de50 + " " + de50), // en window + 2 de windows → doc de? count hits:
+      (3L, "中文 " + en50), // CJK anywhere → zh doc; window 2 pure en → mixed
+      (4L, "")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.Registry.qLangMix(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) === (("en", 2L, 0L, 0.0)))
+    // doc 2: en hits 30 (the,is,in,it ×10 → 'the' 10,'is' 10? tokens per
+    // repeat: the,cat,is,in,it → hits the+is+in+it = 4×10 = 40; de hits
+    // 2×(der,ist,nicht,das ×10 = 40) = 80 → doc de; the en window flags
+    assert(got(2L)._1 === "de" && got(2L)._2 === 3L && got(2L)._3 === 1L)
+    assert(got(3L)._1 === "zh" && got(3L)._3 >= 1L,
+      s"the pure-en window must disagree with the zh doc: ${got(3L)}")
+    assert(got(4L) === (("und", 0L, 0L, 0.0)))
+  }
+
   test("fleschScala: scan counts match independent regex replays on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("text").as[String].collect()

@@ -453,6 +453,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(objPasses == 1, s"shingle chop runs $objPasses times:\n$p")
   }
 
+  test("q_lang_mix: one narrow pass; windows never leave the closure") {
+    val p = plan("q_lang_mix")
+    assert(!p.contains("Join"), s"lang-mix must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    val objPasses = "SerializeFromObject".r.findAllIn(p).length
+    assert(objPasses == 1, s"lang-mix pass runs $objPasses times:\n$p")
+  }
+
   test("q_metric_corr: one narrow pass + one aggregate; no join, no window") {
     val p = plan("q_metric_corr")
     assert(!p.contains("Join"), s"corr must not join:\n$p")
