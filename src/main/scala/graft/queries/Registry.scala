@@ -1362,6 +1362,33 @@ object Registry {
       | ORDER BY dl.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** PMI collocations ([[graft.ops.Collocations.pmiTop]], Church & Hanks
+    * 1990): top-25 adjacent pairs by micro-quantized pointwise mutual
+    * information — the ln-of-exact-integers chain in lockstep on both
+    * engines, ranking compared as exact BIGINTs.
+    */
+  def qPmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Collocations.pmiTop(t(spark, dir, "documents"), "text")
+
+  val qPmiCollocationsSql: String =
+    s"""WITH t AS (SELECT ${tokensSqlOf("lower(text)")} AS tks FROM documents),
+      | bi AS (SELECT tks[i] AS w1, tks[i + 1] AS w2
+      |  FROM (SELECT tks, unnest(range(1, len(tks))) AS i FROM t)),
+      | c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+      | uni AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(tks) AS u FROM t) GROUP BY 1),
+      | np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM bi),
+      | nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni)
+      | SELECT c12.w1, c12.w2, c12.c12,
+      |  CAST(round((((((ln(CAST(c12.c12 AS DOUBLE)) + ln(CAST(nu.nu AS DOUBLE)))
+      |    + ln(CAST(nu.nu AS DOUBLE))) - ln(CAST(np.np AS DOUBLE)))
+      |    - ln(CAST(u1.c AS DOUBLE))) - ln(CAST(u2.c AS DOUBLE)))
+      |    * 1000000.0) AS BIGINT) AS pmi_micro
+      | FROM c12 JOIN uni u1 ON u1.w = c12.w1 JOIN uni u2 ON u2.w = c12.w2
+      | CROSS JOIN np CROSS JOIN nu
+      | WHERE c12.c12 >= 5
+      | ORDER BY pmi_micro DESC, w1, w2 LIMIT 25""".stripMargin.replace("\n", " ")
+
   /** SemDeDup pruning (Abbas et al., "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", 2023): within each
     * ε-similarity cluster of embeddings keep ONE exemplar and prune the
@@ -4047,6 +4074,7 @@ object Registry {
     "q_metric_corr" -> (qMetricCorr _),
     "q_shingle_novelty" -> (qShingleNovelty _),
     "q_lang_mix" -> (qLangMix _),
+    "q_pmi_collocations" -> (qPmiCollocations _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -4188,6 +4216,7 @@ object Registry {
     "q_metric_corr" -> qMetricCorrSql,
     "q_shingle_novelty" -> qShingleNoveltySql,
     "q_lang_mix" -> qLangMixSql,
+    "q_pmi_collocations" -> qPmiCollocationsSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

@@ -461,6 +461,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(objPasses == 1, s"lang-mix pass runs $objPasses times:\n$p")
   }
 
+  test("q_pmi_collocations: count joins hash-keyed; only the 2 one-row totals nested-loop; top-k bounded") {
+    val p = plan("q_pmi_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"pmi top-k degraded to a global sort:\n$p")
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 2, s"a count join degraded to a nested loop:\n$p")
+  }
+
   test("q_metric_corr: one narrow pass + one aggregate; no join, no window") {
     val p = plan("q_metric_corr")
     assert(!p.contains("Join"), s"corr must not join:\n$p")
