@@ -130,6 +130,37 @@ object SignalScale {
     println(f"=== signal-scale lm store: commit $tCommit%.1f s; stored ≡ live " +
       f"on all $nDocs%d docs ($tStored%.1f s) ===")
 
+    // stored-baseline drift at scale: commit the non-spam corpus as the
+    // baseline in two batches, then screen the full stream — spam must
+    // still read strictly max (and higher than against the pooled form,
+    // which dilutes the baseline with spam's own mass)
+    val driftStore = java.nio.file.Files.createTempDirectory("signalscale-drift")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(driftStore.toFile)
+    }))
+    val clean = docs.filter($"source" =!= "spam")
+    val t5 = System.nanoTime()
+    RefStore.writeTokenCounts(clean.filter($"doc_id" % 2 === 0), "text", driftStore.toString)
+    RefStore.mergeTokenCounts(clean.filter($"doc_id" % 2 =!= 0), "text",
+      driftStore.toString, batchId = "odd")
+    val tBase = (System.nanoTime() - t5) / 1e9
+    val t6 = System.nanoTime()
+    val storedDrift = Drift.tvDriftStored(docs, "source", "text", driftStore.toString)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val tScreen = (System.nanoTime() - t6) / 1e9
+    val storedOthers = (storedDrift - "spam").values.max
+    require(storedDrift("spam") > storedOthers,
+      s"stored-baseline screen lost the outlier: $storedDrift")
+    require(storedDrift("spam") > drift("spam"),
+      s"clean baseline must sharpen the spam signal: stored ${storedDrift("spam")} " +
+        s"vs pooled ${drift("spam")}")
+    println(f"=== signal-scale drift store: baseline commit $tBase%.1f s; " +
+      f"screen $tScreen%.1f s; spam ${storedDrift("spam")}%.3f vs " +
+      f"max-other $storedOthers%.3f ===")
+
     // ---- RAKE: the planted 4-word phrase outranks the 3-word chains ----
     val t4 = System.nanoTime()
     val top = Keyphrase.rakePhrases(docs, "text", k = 10).collect()
