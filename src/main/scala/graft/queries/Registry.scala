@@ -1163,22 +1163,32 @@ object Registry {
   def qMetricCorr(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dec = "decimal(38,0)"
+    // NULL-n_chars rows are excluded from the panel BY LAW (the corpus
+    // model allows them — the q_length_buckets precedent) — the same
+    // filter on both engines, so n and every moment agree
     val m = t(spark, dir, "documents")
-      .select(col("doc_id").cast("long"), col("n_chars").cast("long"), col("text"))
-      .as[(Long, Long, String)]
-      .mapPartitions(_.map { case (_, chars, text) =>
+      .filter(col("n_chars").isNotNull)
+      .select(col("n_chars").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (chars, text) =>
         val f = graft.functions.TextFns.fleschScala(text)
         (chars, f.nWords, f.nSyllables)
       })
       .toDF("x", "y", "z")
-    def s(c: org.apache.spark.sql.Column) = sum(c.cast(dec))
+    // each operand casts to DECIMAL(38,0) BEFORE the multiply (the
+    // tvAgainstCounts discipline; the oracle's HUGEINT products) — an
+    // int64 row product would silently wrap for n_chars past ~3e9
+    def s(c: org.apache.spark.sql.Column) = sum(c)
+    def p(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum(a.cast(dec) * b.cast(dec))
     val a = m.agg(
       count(lit(1)).as("n"),
-      s(col("x")).as("sx"), s(col("y")).as("sy"), s(col("z")).as("sz"),
-      s(col("x") * col("x")).as("sxx"), s(col("y") * col("y")).as("syy"),
-      s(col("z") * col("z")).as("szz"),
-      s(col("x") * col("y")).as("sxy"), s(col("x") * col("z")).as("sxz"),
-      s(col("y") * col("z")).as("syz"))
+      s(col("x").cast(dec)).as("sx"), s(col("y").cast(dec)).as("sy"),
+      s(col("z").cast(dec)).as("sz"),
+      p(col("x"), col("x")).as("sxx"), p(col("y"), col("y")).as("syy"),
+      p(col("z"), col("z")).as("szz"),
+      p(col("x"), col("y")).as("sxy"), p(col("x"), col("z")).as("sxz"),
+      p(col("y"), col("z")).as("syz"))
     def r(sab: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
         sb: org.apache.spark.sql.Column, saa: org.apache.spark.sql.Column,
         sbb: org.apache.spark.sql.Column) = {
@@ -1212,7 +1222,7 @@ object Registry {
       |   (SELECT CAST(COALESCE(SUM(greatest(1,
       |      len(regexp_extract_all(tk.t, '[aeiouyAEIOUY]+')))), 0) AS BIGINT)
       |    FROM unnest($tokensSql) AS tk(t)) AS z
-      |  FROM documents),
+      |  FROM documents WHERE n_chars IS NOT NULL),
       | a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
       |   SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
       |   SUM(CAST(z AS HUGEINT)) AS sz,

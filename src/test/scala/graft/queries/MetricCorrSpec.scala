@@ -43,16 +43,18 @@ class MetricCorrSpec extends SparkSpec {
     import spark.implicits._
     val sp = spark
     import org.apache.spark.sql.functions._
-    // all-identical docs → every variance is 0 → all three r are 0.0
-    val d = Seq.fill(4)((7L, "one two three")).toDF("n_chars", "text")
-    d.createOrReplaceTempView("corr_fixture")
-    // drive the same law through a scratch dir is overkill — call the
-    // private moment algebra indirectly by writing a tiny parquet corpus
+    // all-identical docs → every variance is 0 → all three r are 0.0;
+    // a NULL-n_chars row rides along to pin the exclusion law
+    val d = Seq.fill(4)((Some(7L), "one two three")).toDF("n_chars", "text")
+      .union(Seq((Option.empty[Long], "different text entirely"))
+        .toDF("n_chars", "text"))
     val tmp = java.nio.file.Files.createTempDirectory("corr-zero").toString
     d.withColumn("doc_id", monotonically_increasing_id())
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val got = Registry.qMetricCorr(sp, tmp)
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val rows = Registry.qMetricCorr(sp, tmp).collect()
+    assert(rows.forall(_.getLong(1) === 4L),
+      "the NULL-n_chars row must be excluded from n by law")
+    val got = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(got.values.forall(_ === 0.0), s"zero-variance corpus must read 0.0: $got")
   }
 }
