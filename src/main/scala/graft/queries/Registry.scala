@@ -1372,6 +1372,108 @@ object Registry {
       | ORDER BY dl.doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Lexical diversity — type-token ratio and hapax-legomenon fraction,
+    * the word-level complement of [[qCharDiversity]]'s code-point Simpson
+    * index (low TTR = repetitive/template text; high hapax = open
+    * vocabulary). Exact integer counts from one object-boundary pass; two
+    * single divisions render the ratios.
+    */
+  def qLexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = graft.functions.TextFns.tokensScala(text)
+        val n = toks.length.toLong
+        val freq = new java.util.HashMap[String, Long]()
+        toks.foreach(t => freq.merge(t, 1L, _ + _))
+        var hapax = 0L
+        freq.forEach((_, c) => if (c == 1L) hapax += 1)
+        val types = freq.size.toLong
+        (id, n, types, hapax,
+          if (n > 0) types.toDouble / n.toDouble else 0.0,
+          if (n > 0) hapax.toDouble / n.toDouble else 0.0)
+      })
+      .toDF("doc_id", "n_tokens", "n_types", "n_hapax", "ttr", "hapax_frac")
+      .orderBy("doc_id")
+  }
+
+  val qLexicalDiversitySql: String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | tc AS (SELECT doc_id, t, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(tk) AS t FROM d) GROUP BY 1, 2),
+      | agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |   CAST(COUNT(*) AS BIGINT) AS n_types,
+      |   CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax
+      |  FROM tc GROUP BY 1)
+      | SELECT d.doc_id,
+      |  COALESCE(a.n_tokens, 0) AS n_tokens,
+      |  COALESCE(a.n_types, 0) AS n_types,
+      |  COALESCE(a.n_hapax, 0) AS n_hapax,
+      |  CASE WHEN COALESCE(a.n_tokens, 0) > 0
+      |       THEN CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+      |       ELSE 0.0 END AS ttr,
+      |  CASE WHEN COALESCE(a.n_tokens, 0) > 0
+      |       THEN CAST(a.n_hapax AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+      |       ELSE 0.0 END AS hapax_frac
+      | FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
+  /** Unicode script mix — per-document code-point class counts (Latin
+    * letters, CJK ideographs, Cyrillic, digits, whitespace, other) and the
+    * Latin fraction of letter-bearing content: the script-consistency
+    * signal language filters gate on before tokenization even applies.
+    * Exact integer counts over CODE POINTS (surrogate pairs counted once);
+    * one division renders the fraction.
+    */
+  def qScriptMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = if (text == null) "" else text
+        var latin = 0L; var cjk = 0L; var cyr = 0L; var digit = 0L
+        var ws = 0L; var other = 0L
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) latin += 1
+          else if (cp >= 0x4e00 && cp <= 0x9fff) cjk += 1
+          else if (cp >= 0x0400 && cp <= 0x04ff) cyr += 1
+          else if (cp >= '0' && cp <= '9') digit += 1
+          else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') ws += 1
+          else other += 1
+          i += Character.charCount(cp)
+        }
+        val letters = latin + cjk + cyr
+        (id, latin, cjk, cyr, digit, ws, other,
+          if (letters > 0) latin.toDouble / letters.toDouble else 0.0)
+      })
+      .toDF("doc_id", "n_latin", "n_cjk", "n_cyrillic", "n_digit",
+        "n_space", "n_other", "latin_frac")
+      .orderBy("doc_id")
+  }
+
+  val qScriptMixSql: String = {
+    def cls(re: String) =
+      s"CAST(length(regexp_replace(t, '[^$re]', '', 'g')) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+      | c AS (SELECT doc_id,
+      |   ${cls("A-Za-z")} AS n_latin,
+      |   ${cls("\\x{4e00}-\\x{9fff}")} AS n_cjk,
+      |   ${cls("\\x{0400}-\\x{04ff}")} AS n_cyrillic,
+      |   ${cls("0-9")} AS n_digit,
+      |   ${cls(" \\t\\n\\r")} AS n_space,
+      |   CAST(length(t) AS BIGINT) AS n_all
+      |  FROM d)
+      | SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_digit, n_space,
+      |  n_all - n_latin - n_cjk - n_cyrillic - n_digit - n_space AS n_other,
+      |  CASE WHEN n_latin + n_cjk + n_cyrillic > 0
+      |       THEN CAST(n_latin AS DOUBLE)
+      |         / CAST(n_latin + n_cjk + n_cyrillic AS DOUBLE)
+      |       ELSE 0.0 END AS latin_frac
+      | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** PMI collocations ([[graft.ops.Collocations.pmiTop]], Church & Hanks
     * 1990): top-25 adjacent pairs by micro-quantized pointwise mutual
     * information — the ln-of-exact-integers chain in lockstep on both
@@ -4085,6 +4187,8 @@ object Registry {
     "q_shingle_novelty" -> (qShingleNovelty _),
     "q_lang_mix" -> (qLangMix _),
     "q_pmi_collocations" -> (qPmiCollocations _),
+    "q_lexical_diversity" -> (qLexicalDiversity _),
+    "q_script_mix" -> (qScriptMix _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
 
@@ -4227,6 +4331,8 @@ object Registry {
     "q_shingle_novelty" -> qShingleNoveltySql,
     "q_lang_mix" -> qLangMixSql,
     "q_pmi_collocations" -> qPmiCollocationsSql,
+    "q_lexical_diversity" -> qLexicalDiversitySql,
+    "q_script_mix" -> qScriptMixSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),

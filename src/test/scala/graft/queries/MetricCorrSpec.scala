@@ -39,6 +39,41 @@ class MetricCorrSpec extends SparkSpec {
     assert(got("chars_words") > 0.9, s"suspicious chars~words r ${got("chars_words")}")
   }
 
+  test("lexical diversity law: types, hapax, and the zero-token row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("lexdiv").toString
+    Seq(
+      (1L, "a b a c a"),   // 5 tokens, 3 types, hapax {b, c} = 2
+      (2L, "x x x"),       // 3 tokens, 1 type, 0 hapax → ttr 1/3
+      (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Registry.qLexicalDiversity(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((5L, 3L, 2L, 3.0 / 5.0, 2.0 / 5.0)))
+    assert(got(2L) === ((3L, 1L, 0L, 1.0 / 3.0, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0L, 0.0, 0.0)))
+    assert(got(4L) === ((0L, 0L, 0L, 0.0, 0.0)))
+  }
+
+  test("script mix law: code-point classes, emoji count once, NBSP is other") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scriptmix").toString
+    Seq(
+      (1L, "Ab 中я9 😀"), // 2 latin, 1 cjk, 1 cyr, 1 digit, 1 space, NBSP+emoji other
+      (2L, "只有中文"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Registry.qScriptMix(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got(1L) === Seq(2L, 1L, 1L, 1L, 1L, 2L, 2.0 / 4.0))
+    assert(got(2L) === Seq(0L, 4L, 0L, 0L, 0L, 0L, 0.0))
+    assert(got(3L) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0.0))
+  }
+
   test("zero-variance pairs read 0.0 by law") {
     import spark.implicits._
     val sp = spark

@@ -386,8 +386,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q_c4_clean / q_char_diversity / q_readability: one narrow object-boundary pass, no join, no window") {
-    for (name <- Seq("q_c4_clean", "q_char_diversity", "q_readability")) {
+  test("q_c4_clean / q_char_diversity / q_readability / q_lexical_diversity / q_script_mix: one narrow object-boundary pass, no join, no window") {
+    for (name <- Seq("q_c4_clean", "q_char_diversity", "q_readability",
+        "q_lexical_diversity", "q_script_mix")) {
       val p = plan(name)
       assert(!p.contains("Join"), s"$name must not join:\n$p")
       assert(!p.contains("Window"), s"$name must not window:\n$p")
