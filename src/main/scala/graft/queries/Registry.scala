@@ -1474,6 +1474,68 @@ object Registry {
       | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Line-shape panel — the Gopher line rules (Rae et al. 2021, Table A1)
+    * not expressible from whole-document stats: fractions of lines that
+    * start with a bullet glyph, end with an ellipsis, are very short
+    * (≤ 2 tokens), or are blank — plus the composite pass flag
+    * (bullet ≤ 0.9 ∧ ellipsis ≤ 0.3, the published thresholds). Lines
+    * split on `\n` (the [[qC4Clean]] law); every fraction is an exact
+    * integer pair rendered by one double division; the flag compares
+    * doubles both engines computed identically.
+    */
+  def qLineShapes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val s = if (text == null) "" else text
+        val lines = s.split("\n", -1)
+        val n = lines.length.toLong
+        var bullet = 0L; var ellipsis = 0L; var short = 0L; var blank = 0L
+        lines.foreach { l =>
+          val t = l.replaceAll("^\\s+|\\s+$", "")
+          if (t.isEmpty) blank += 1
+          else {
+            if (t.startsWith("-") || t.startsWith("*") || t.startsWith("•")) bullet += 1
+            if (t.endsWith("...") || t.endsWith("…")) ellipsis += 1
+            if (graft.functions.TextFns.tokensScala(t).length <= 2) short += 1
+          }
+        }
+        val bf = bullet.toDouble / n.toDouble
+        val ef = ellipsis.toDouble / n.toDouble
+        (id, n, bullet, ellipsis, short, blank, bf, ef,
+          bf <= 0.9 && ef <= 0.3)
+      })
+      .toDF("doc_id", "n_lines", "n_bullet", "n_ellipsis", "n_short",
+        "n_blank", "bullet_frac", "ellipsis_frac", "line_pass")
+      .orderBy("doc_id")
+  }
+
+  val qLineShapesSql: String = {
+    // one line's trimmed form, shared by every class test
+    val trim = "regexp_replace(l, '^\\s+|\\s+$', '', 'g')"
+    s"""WITH d AS (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS lines
+      |   FROM documents),
+      | lc AS (SELECT doc_id, $trim AS t
+      |  FROM (SELECT doc_id, unnest(lines) AS l FROM d)),
+      | agg AS (SELECT doc_id,
+      |   CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |   CAST(COUNT(CASE WHEN t <> '' AND (t LIKE '-%' OR t LIKE '*%'
+      |     OR t LIKE '${"•"}%') THEN 1 END) AS BIGINT) AS n_bullet,
+      |   CAST(COUNT(CASE WHEN t <> '' AND (t LIKE '%...'
+      |     OR t LIKE '%${"…"}') THEN 1 END) AS BIGINT) AS n_ellipsis,
+      |   CAST(COUNT(CASE WHEN t <> '' AND len(${tokensSqlOf("t")}) <= 2
+      |     THEN 1 END) AS BIGINT) AS n_short,
+      |   CAST(COUNT(CASE WHEN t = '' THEN 1 END) AS BIGINT) AS n_blank
+      |  FROM lc GROUP BY 1)
+      | SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_short, n_blank,
+      |  CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+      |  CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_frac,
+      |  (CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+      |   AND CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3) AS line_pass
+      | FROM agg ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** PMI collocations ([[graft.ops.Collocations.pmiTop]], Church & Hanks
     * 1990): top-25 adjacent pairs by micro-quantized pointwise mutual
     * information — the ln-of-exact-integers chain in lockstep on both
@@ -4188,6 +4250,7 @@ object Registry {
     "q_lang_mix" -> (qLangMix _),
     "q_pmi_collocations" -> (qPmiCollocations _),
     "q_lexical_diversity" -> (qLexicalDiversity _),
+    "q_line_shapes" -> (qLineShapes _),
     "q_script_mix" -> (qScriptMix _),
     "q_cdc_store" -> (qCdcStore _),
     "q_ann_pq" -> (qAnnPq _))
@@ -4332,6 +4395,7 @@ object Registry {
     "q_lang_mix" -> qLangMixSql,
     "q_pmi_collocations" -> qPmiCollocationsSql,
     "q_lexical_diversity" -> qLexicalDiversitySql,
+    "q_line_shapes" -> qLineShapesSql,
     "q_script_mix" -> qScriptMixSql,
     "q_cdc_store" -> qCdcStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true

@@ -74,6 +74,27 @@ class MetricCorrSpec extends SparkSpec {
     assert(got(3L) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0.0))
   }
 
+  test("line-shape law: bullets, ellipses, short and blank lines, thresholds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lineshape").toString
+    Seq(
+      (1L, "- one\n* two items here\n• three\nplain line of text\n\nshort…\nok then..."),
+      (2L, "…\n…\n…\nnormal"),   // a lone '…' is a 1-token non-blank line
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Registry.qLineShapes(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // doc 1: 7 lines; bullets: -, *, • = 3; ellipsis: "short…", "ok then..." = 2;
+    // short (≤2 tokens, non-blank): "- one", "• three", "short…", "ok then..." = 4;
+    // blank: 1. bullet_frac 3/7 ≤ .9, ellipsis_frac 2/7 ≤ .3 → pass
+    assert(got(1L) === Seq(7L, 3L, 2L, 4L, 1L, 3.0 / 7.0, 2.0 / 7.0, true))
+    // doc 2: 4 lines, 3 pure-ellipsis lines → ellipsis_frac 0.75 > 0.3 → fail
+    assert(got(2L) === Seq(4L, 0L, 3L, 4L, 0L, 0.0, 3.0 / 4.0, false))
+    // NULL text → one blank line, passes vacuously
+    assert(got(3L) === Seq(1L, 0L, 0L, 0L, 1L, 0.0, 0.0, true))
+  }
+
   test("zero-variance pairs read 0.0 by law") {
     import spark.implicits._
     val sp = spark

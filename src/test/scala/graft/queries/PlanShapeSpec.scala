@@ -388,7 +388,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_c4_clean / q_char_diversity / q_readability / q_lexical_diversity / q_script_mix: one narrow object-boundary pass, no join, no window") {
     for (name <- Seq("q_c4_clean", "q_char_diversity", "q_readability",
-        "q_lexical_diversity", "q_script_mix")) {
+        "q_lexical_diversity", "q_script_mix", "q_line_shapes")) {
       val p = plan(name)
       assert(!p.contains("Join"), s"$name must not join:\n$p")
       assert(!p.contains("Window"), s"$name must not window:\n$p")
