@@ -532,4 +532,46 @@ object TextFns {
         0.39 * wps + 11.8 * spw - 15.59)
     }
   }
+
+  /** Number of HTML tags in the raw text (`<[^>]+>` occurrences — opening,
+    * closing, self-closing, and tags inside script/style blocks all
+    * count). The cheap "is this crawl output or prose" witness.
+    */
+  def htmlTagCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("<[^>]+>"), lit(0))).cast("bigint")
+
+  /** HTML → text stripping for crawl cleaning — the step every web-corpus
+    * pipeline runs before quality/dedup (C4 and CCNet both consume
+    * pre-extracted text; this is that extractor for markup-bearing rows,
+    * a no-op on prose). Pure codegen'd expression chain, no UDF, and every
+    * regex lives in the Java∩RE2 dialect subset (the [[graft.ops.Scrub]]
+    * discipline) so the DuckDB oracle replays it verbatim:
+    *
+    *  1. drop comments, then `<script>`/`<style>` elements WITH their
+    *     contents (case-insensitive, dot-matches-newline, non-greedy;
+    *     an unclosed element leaves its content for step 2's tag strip —
+    *     same on both engines),
+    *  2. replace every remaining `<[^>]+>` tag with a space (block
+    *     boundaries must not glue words),
+    *  3. decode the six ubiquitous entities — `&nbsp;` → space first,
+    *     `&amp;` LAST so freshly decoded `&` can't cascade into a second
+    *     decode,
+    *  4. collapse `[ \t\r\n\f]+` runs to one space and trim the ends.
+    */
+  def htmlStrip(c: Column): Column = {
+    val noComment = regexp_replace(c, "(?is)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&"
+    ).foldLeft(noTags) { case (col0, (from, to)) =>
+      call_function("replace", col0, lit(from), lit(to))
+    }
+    regexp_replace(regexp_replace(ent, "[ \\t\\r\\n\\f]+", " "), "^ +| +$", "")
+  }
 }

@@ -206,6 +206,56 @@ object Codec {
       if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the perceptual
+    * fingerprint for image near-dup detection: re-encodes (PNG↔BMP),
+    * metadata edits and mild recompression keep the hash identical or
+    * within a few bits, while distinct pictures differ in ~32.
+    *
+    * Deterministic integer law (no float resize, no libm): the image is
+    * box-partitioned into a 9×8 grid of cells; each cell's brightness is
+    * the exact integer sum of per-pixel luma `299·R + 587·G + 114·B` over
+    * the cell; bit `y·8 + x` is set iff cell (x,y) is darker than its
+    * right neighbor, compared in exact rational form
+    * `sumL·cntR < sumR·cntL` (cells may differ in pixel count when the
+    * dimensions don't divide evenly). Images smaller than the 9×8 grid
+    * have empty cells and no meaningful gradient — `None`.
+    */
+  def dhash64(img: Image): Option[Long] = {
+    val w = img.width; val h = img.height
+    if (w < 9 || h < 8) return None
+    val sums = new Array[Long](9 * 8)
+    val cnts = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(8, x * 9 / w)
+        val s = (y * w + x) * 3
+        val luma = 299L * (img.rgb(s) & 0xFF) + 587L * (img.rgb(s + 1) & 0xFF) +
+          114L * (img.rgb(s + 2) & 0xFF)
+        sums(gy * 9 + gx) += luma
+        cnts(gy * 9 + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var sig = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val l = gy * 9 + gx
+        // darker-than-right-neighbor in exact rationals
+        if (sums(l) * cnts(l + 1) < sums(l + 1) * cnts(l))
+          sig |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(sig)
+  }
+
   // --------------------------------------------------------------- audio --
 
   def decodeWav(b: Array[Byte]): Option[Audio] = try {

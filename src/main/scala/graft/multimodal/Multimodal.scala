@@ -215,6 +215,42 @@ object Multimodal {
       }
   }
 
+  /** Perceptual 64-bit dHash per decodable image row
+    * ([[Codec.dhash64]] over the REAL decode path — PPM/BMP hand parsers,
+    * PNG/JPEG/GIF via the JDK): the (_id, _sh) signature frame the
+    * Hamming near-dup machinery consumes. Rows whose payload does not
+    * decode as an image, or decodes smaller than the 9×8 gradient grid,
+    * are dropped (no signature, no candidate — same contract as a text
+    * doc with no shingles). One narrow object-boundary pass; 8 bytes per
+    * image survive it, never the pixels.
+    */
+  def imageDhashFrame(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.kind != "image") Iterator.empty
+        else Codec.decodeImage(m.payload).flatMap(Codec.dhash64).iterator
+          .map(sig => (m.media_id, sig))
+      }
+    }.toDF("_id", "_sh")
+  }
+
+  /** Image near-duplicate pairs — re-encodes, format conversions and mild
+    * pixel noise of the same picture land within a few dHash bits, while
+    * distinct pictures sit ~32 apart. Same scale shape as text SimHash
+    * ([[graft.ops.Dedup.simhashPairs]], whose pigeonhole bucket join +
+    * exact `bit_count(xor)` verify this shares): 4×16-bit chunks
+    * guarantee every pair within Hamming ≤ 3 shares a bucket — candidates
+    * per bucket, never all-pairs, `maxBucket` caps degenerate buckets
+    * (solid-color corpora hash identically — the skew guard).
+    * Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    graft.ops.Dedup.hammingPairsFromSig(
+      imageDhashFrame(media), maxHamming, maxBucket, "imgdhash")
+
   /** Partition payload-bearing data for decode fan-out: range partition by id
     * targeting `targetRowsPerPartition` so each task holds a bounded byte
     * budget (payloads are large; row count is the proxy the optimizer sees).

@@ -499,9 +499,19 @@ object Dedup {
     * boundary (see [[shingleHashFrame]] for why not expression trees).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val capped = simhashChunked(
-      simhashFrame(df, idCol, textCol), maxBucket, "simhash")
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingPairsFromSig(simhashFrame(df, idCol, textCol),
+      maxHamming, maxBucket, "simhash")
+
+  /** Hamming-near pairs of ANY 64-bit signature frame (_id, _sh) — the
+    * pigeonhole bucket join + exact `bit_count(xor)` verify shared by text
+    * SimHash and image dHash ([[graft.multimodal.Multimodal
+    * .imageNearDupPairs]]): 4×16-bit chunks guarantee every pair within
+    * Hamming ≤ 3 shares a bucket; never all-pairs.
+    */
+  private[graft] def hammingPairsFromSig(sig: DataFrame, maxHamming: Int,
+      maxBucket: Int, tag: String): DataFrame = {
+    val capped = simhashChunked(sig, maxBucket, tag)
     capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a._id") < col("b._id"))

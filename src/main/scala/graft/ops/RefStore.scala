@@ -558,6 +558,16 @@ object RefStore {
     (c2, c1, v)
   }
 
+  /** The distinct persisted vocabulary alone (`_tk`) — the reference side
+    * of [[graft.ops.Vocab.oovRate]]. Same law gate as [[loadLmModel]]; the
+    * append-family re-distinct makes crashed vocab appends invisible.
+    */
+  def loadLmVocab(spark: SparkSession, dir: String): DataFrame = {
+    require(readMeta(spark, dir).get("lmLaw").contains(LM_LAW),
+      s"store $dir holds no bigram-LM artifact (or a different law version)")
+    artifactDf(spark, dir, LM_VOCAB).select(col("_tk")).distinct()
+  }
+
   private val LM_LAW = "bigram-add1-lower-v1"
 
   private def lmCommitLocked(batch: DataFrame, textCol: String, dir: String,

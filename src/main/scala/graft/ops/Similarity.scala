@@ -943,6 +943,83 @@ object Similarity {
         col("code"), col("scale"))
   }
 
+  /** Signed random projection (Achlioptas 2003's ±1 database-friendly
+    * Johnson–Lindenstrauss form) of an embedding column down to `outDim`
+    * components — the cheap sketch a 100 TB pipeline computes ONCE and
+    * then filters/blocks/bands on instead of touching the full vector
+    * (sign patterns of the projected components are exactly the
+    * hyperplane-LSH bits; distances survive up to the JL distortion).
+    *
+    * Engine-exact law, no float dot products: component i is
+    * micro-quantized first (`⌊x·10⁶ + 0.5⌋`, the int8/centroid FLOOR(+0.5)
+    * discipline), the projection matrix entry for output j and input i is
+    * `+1` when the first hex nibble of `md5("<seed>:<j>:<i>")` is 0–7 and
+    * `-1` otherwise (i, j both 0-based — a data-independent coin both
+    * engines flip identically), and output component j is the exact BIGINT
+    * signed sum. NULL or empty vectors project to NULL.
+    *
+    * Scale shape: ONE object-boundary pass — the sign matrix is derived
+    * per partition from (seed, outDim, vector length) alone (a few hundred
+    * md5 calls, cached per length), no shuffle, no join, nothing on the
+    * driver. Output is the exploded oracle-gate form
+    * (vec_id, j, comp); a real pipeline would keep the packed array.
+    */
+  def randomProjectFrame(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: String = "graft"): DataFrame = {
+    require(outDim > 0, s"outDim=$outDim must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        // sign rows for the lengths seen in this partition: signs(j*len + i)
+        val cache = scala.collection.mutable.HashMap.empty[Int, Array[Int]]
+        def signs(len: Int): Array[Int] = cache.getOrElseUpdate(len, {
+          val m = new Array[Int](outDim * len)
+          var j = 0
+          while (j < outDim) {
+            var i = 0
+            while (i < len) {
+              digest.reset()
+              val h = digest.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+              m(j * len + i) = if ((h(0) & 0x80) == 0) 1 else -1
+              i += 1
+            }
+            j += 1
+          }
+          m
+        })
+        it.map { case (id, v) =>
+          if (v == null || v.isEmpty) (id, null.asInstanceOf[Array[Long]])
+          else {
+            val len = v.length
+            val m = signs(len)
+            val q = new Array[Long](len)
+            var i = 0
+            while (i < len) {
+              q(i) = math.floor(v(i).toDouble * 1000000.0 + 0.5).toLong
+              i += 1
+            }
+            val out = new Array[Long](outDim)
+            var j = 0
+            while (j < outDim) {
+              var s = 0L
+              i = 0
+              while (i < len) { s += m(j * len + i) * q(i); i += 1 }
+              out(j) = s
+              j += 1
+            }
+            (id, out)
+          }
+        }
+      }
+      .toDF("vec_id", "_proj")
+      .select(col("vec_id"),
+        posexplode_outer(col("_proj")).as(Seq("_pos", "comp")))
+      .select(col("vec_id"), col("_pos").cast("long").as("j"), col("comp"))
+  }
+
   /** Fixed-point centroid accumulators for semantic-dedup clusters: one row
     * per (cluster, dimension) with the exact BIGINT sum of members'
     * micro-quantized components and the member count. Quantizing each

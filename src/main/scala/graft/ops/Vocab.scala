@@ -189,4 +189,93 @@ object Vocab {
       }
       .toDF(idCol, "n_tokens", "n_bpe_tokens", "stream_hash")
   }
+
+  /** Out-of-vocabulary rate per document against a reference vocabulary —
+    * the training-data QA signal for "will this batch blow up the
+    * tokenizer / embed as `<unk>` soup" (CCNet tracks the same statistic
+    * against its LM vocabulary). Law: lowercased whitespace tokens
+    * ([[TextFns.tokens]] of `lower(text)` — the exact vocabulary law the
+    * persisted LM family trains with, so stored and live forms share one
+    * oracle); `n_tok` counts every occurrence, `n_oov` the occurrences
+    * whose token is absent from `vocab`, and `oov_frac` is the single
+    * division `n_oov / n_tok` (0.0 for empty docs). Every doc gets a row.
+    *
+    * Scale shape: ONE wide join — tokens explode narrowly, hash-join the
+    * distinct'd vocabulary on the token (AQE broadcasts a small vocab),
+    * then partial-agg back to one row per doc; the corpus never shuffles
+    * twice and nothing lands on the driver.
+    *
+    * @param vocab one-string-column frame of in-vocabulary tokens
+    *              (duplicates tolerated — distinct'd here)
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val vCol = vocab.columns.head
+    val v = vocab.select(col(vCol).cast("string").as("_tk")).distinct()
+      .withColumn("_in_v", lit(1))
+    val toks = df.select(col(idCol).cast("long").as("_id"),
+        explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("_tk"))
+    val agg = toks.join(v, Seq("_tk"), "left")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("_in_v").isNull, lit(1))).as("n_oov"))
+    df.select(col(idCol).cast("long").as("_id"))
+      .join(agg, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        when(col("n_tok") > 0,
+          col("n_oov").cast("double") / col("n_tok").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Pairwise vocabulary overlap between corpus strata (sources, domains,
+    * snapshots) — the mixture-design signal for "are these two domains
+    * lexically redundant or complementary" that decides merge-vs-keep
+    * before token budgets are allocated. Law: a stratum's vocabulary is
+    * its distinct lowercased whitespace tokens (the [[oovRate]] law);
+    * for every stratum pair a < b (string order) the row carries both
+    * vocabulary sizes, the exact intersection count, and Jaccard
+    * `n_shared / (v_a + v_b - n_shared)` — one division of exact BIGINTs.
+    * Strata with an empty vocabulary (no tokens at all) have no
+    * vocabulary set and are excluded.
+    *
+    * Scale shape: ONE distinct shuffle builds the (stratum, token) set,
+    * then a token-keyed self-join counts intersections — cost
+    * Σ_t C(k_t, 2) where k_t is the number of strata containing token t,
+    * bounded by strata² per token. Strata are mixture domains (dozens,
+    * the status-cardinality discipline), so the pair frame stays tiny;
+    * the corpus itself never joins.
+    */
+  def sourceVocabOverlap(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val st = df.select(col(groupCol).cast("string").as("_src"),
+        explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("_tk"))
+      .distinct()
+    val sizes = st.groupBy(col("_src")).agg(count(lit(1)).as("_v"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a._tk") === col("b._tk") && col("a._src") < col("b._src"))
+      .groupBy(col("a._src").as("source_a"), col("b._src").as("source_b"))
+      .agg(count(lit(1)).as("_shared"))
+    sizes.as("sa").join(sizes.as("sb"), col("sa._src") < col("sb._src"))
+      .select(col("sa._src").as("source_a"), col("sb._src").as("source_b"),
+        col("sa._v").as("v_a"), col("sb._v").as("v_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        coalesce(col("_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("v_a") + col("v_b") - col("n_shared")).cast("double"))
+  }
+
+  /** [[oovRate]] against the PERSISTED LM vocabulary
+    * ([[RefStore.loadLmVocab]]) — incremental ingest scores each batch
+    * without re-tokenizing the reference corpus. Same law, same oracle:
+    * the store is an implementation detail.
+    */
+  def oovRateStored(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String): DataFrame =
+    oovRate(df, idCol, textCol,
+      RefStore.loadLmVocab(df.sparkSession, storeDir))
 }

@@ -1060,6 +1060,78 @@ object Registry {
       | ORDER BY score_micro DESC, phrase LIMIT 25""".stripMargin.replace("\n", " ")
   }
 
+  /** HTML → text stripping ([[graft.functions.TextFns.htmlStrip]]): tag
+    * count, markup witness, extracted text and its length. Prose rows
+    * pass through (modulo the whitespace-collapse law); the planted-HTML
+    * behavior is pinned in TextFnsSpec. Every regex is in the Java∩RE2
+    * dialect subset, so the extracted TEXT itself hash-matches the
+    * DuckDB replay — not just the counts.
+    */
+  def qHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    t(spark, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.TextFns.htmlTagCount(text).as("n_tags"),
+        (graft.functions.TextFns.htmlTagCount(text) > 0).as("had_html"),
+        graft.functions.TextFns.htmlStrip(text).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
+  val qHtmlStripSql: String =
+    """WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      | s AS (SELECT doc_id, text,
+      |   regexp_replace(regexp_replace(regexp_replace(text,
+      |     '(?is)<!--.*?-->', ' ', 'g'),
+      |     '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+      |     '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t3 FROM d),
+      | u AS (SELECT doc_id, text,
+      |   regexp_replace(t3, '<[^>]+>', ' ', 'g') AS t4 FROM s),
+      | e AS (SELECT doc_id, text,
+      |   replace(replace(replace(replace(replace(replace(replace(t4,
+      |     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |     '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t5 FROM u),
+      | c AS (SELECT doc_id, text,
+      |   regexp_replace(regexp_replace(t5, '[ \t\r\n\f]+', ' ', 'g'),
+      |     '^ +| +$', '', 'g') AS clean_text FROM e)
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '<[^>]+>')) AS BIGINT) AS n_tags,
+      |  len(regexp_extract_all(text, '<[^>]+>')) > 0 AS had_html,
+      |  clean_text,
+      |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+      | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
+  /** Pairwise source-vocabulary overlap
+    * ([[graft.ops.Vocab.sourceVocabOverlap]]): distinct lowercased tokens
+    * per source, exact intersection counts per source pair, Jaccard as
+    * one division of exact integers — the mixture-design redundancy
+    * matrix, hash-oracled end to end.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.sourceVocabOverlap(
+        t(spark, dir, "documents"), "source", "text")
+      .orderBy("source_a", "source_b")
+
+  val qSourceOverlapSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    s"""WITH st AS (SELECT DISTINCT source, tk FROM
+      |   (SELECT source, unnest($lowTok) AS tk FROM documents)),
+      | sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+      |   FROM st GROUP BY source),
+      | inter AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |   FROM st a JOIN st b ON a.tk = b.tk AND a.source < b.source
+      |   GROUP BY 1, 2)
+      | SELECT sa.source AS source_a, sb.source AS source_b,
+      |  sa.v AS v_a, sb.v AS v_b,
+      |  COALESCE(i.n_shared, 0) AS n_shared,
+      |  CAST(COALESCE(i.n_shared, 0) AS DOUBLE) /
+      |    CAST(sa.v + sb.v - COALESCE(i.n_shared, 0) AS DOUBLE) AS jaccard
+      | FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+      | LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+      | ORDER BY source_a, source_b""".stripMargin.replace("\n", " ")
+  }
+
   /** CCNet-style LM quality score ([[graft.ops.LangModel.bigramNllScore]]):
     * every document's negative log-likelihood under an add-one smoothed
     * bigram model trained on the `lang = 'en'` slice, in micro-log units
@@ -1110,8 +1182,19 @@ object Registry {
     */
   def qLmStore(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val en = docs.filter(col("lang") === "en")
-    val store = storeOnce(dir, "lmstore") { s =>
+    graft.ops.LangModel.bigramNllScoreStored(docs, "doc_id", "text",
+        lmStoreOnce(spark, dir))
+      .orderBy("doc_id")
+  }
+
+  /** The shared persisted-LM commit (en slice in two batches plus a
+    * crashed-commit retry) — q_lm_store scores against its counts,
+    * q_oov_rate against its vocabulary; `storeOnce` makes whichever runs
+    * first pay the commit.
+    */
+  private def lmStoreOnce(spark: SparkSession, dir: String): String = {
+    val en = t(spark, dir, "documents").filter(col("lang") === "en")
+    storeOnce(dir, "lmstore") { s =>
       graft.ops.RefStore.writeLmModel(
         en.filter(col("doc_id") % 2 === 0), "text", s)
       graft.ops.RefStore.mergeLmModel(
@@ -1119,8 +1202,39 @@ object Registry {
       graft.ops.RefStore.mergeLmModel( // crashed-commit retry, same id
         en.filter(col("doc_id") % 2 =!= 0), "text", s, batchId = "b1")
     }
-    graft.ops.LangModel.bigramNllScoreStored(docs, "doc_id", "text", store)
+  }
+
+  /** Out-of-vocabulary rate against the PERSISTED LM vocabulary
+    * ([[graft.ops.Vocab.oovRate]] over [[graft.ops.RefStore.loadLmVocab]]):
+    * per-document `n_tok` / `n_oov` / `oov_frac` vs the vocabulary the
+    * lmstore family committed (distinct lowercased tokens of the en
+    * slice — the exact law the LM trains with). The oracle rebuilds the
+    * vocabulary in SQL from the same slice, so persistence, batching and
+    * the crashed-commit retry are all invisible to the counts.
+    */
+  def qOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Vocab.oovRateStored(docs, "doc_id", "text",
+        lmStoreOnce(spark, dir))
       .orderBy("doc_id")
+  }
+
+  val qOovRateSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    s"""WITH v AS (SELECT DISTINCT unnest($lowTok) AS tk
+      |  FROM documents WHERE lang = 'en'),
+      | dt AS (SELECT doc_id, unnest($lowTok) AS tk FROM documents),
+      | agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |   CAST(COUNT(CASE WHEN v.tk IS NULL THEN 1 END) AS BIGINT) AS n_oov
+      |  FROM dt LEFT JOIN v USING (tk) GROUP BY doc_id)
+      | SELECT d.doc_id,
+      |  COALESCE(a.n_tok, 0) AS n_tok,
+      |  COALESCE(a.n_oov, 0) AS n_oov,
+      |  CASE WHEN COALESCE(a.n_tok, 0) > 0
+      |       THEN CAST(a.n_oov AS DOUBLE) / CAST(a.n_tok AS DOUBLE)
+      |       ELSE 0.0 END AS oov_frac
+      | FROM documents d LEFT JOIN agg a USING (doc_id)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   /** Same law as q_lm_score: the store is an implementation detail. */
@@ -2216,6 +2330,32 @@ object Registry {
       |  FROM s)
       | SELECT vec_id, CAST(u.dim AS BIGINT) AS dim, CAST(u.code AS BIGINT) AS code, scale
       | FROM x ORDER BY vec_id, dim""".stripMargin.replace("\n", " ")
+
+  /** Signed random projection to 8 components
+    * ([[graft.ops.Similarity.randomProjectFrame]], Achlioptas'03 ±1 JL):
+    * micro-quantize each input component, flip the md5 coin per (j, i),
+    * sum exactly in BIGINT. The exploded (vec_id, j, comp) frame
+    * hash-matches because nothing in the law is a float accumulation.
+    */
+  def qRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.randomProjectFrame(
+        t(spark, dir, "embeddings"), "vec_id", "embedding", outDim = 8)
+      .orderBy("vec_id", "j")
+
+  val qRandomProjectionSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      | q AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+      |   FROM e WHERE embedding IS NOT NULL AND len(embedding) > 0),
+      | ji AS (SELECT vec_id, qv, j, unnest(range(1, len(qv) + 1)) AS i
+      |   FROM (SELECT vec_id, qv, unnest(range(0, 8)) AS j FROM q)),
+      | pr AS (SELECT vec_id, j, CAST(SUM(CASE WHEN
+      |     substr(md5('graft:' || CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+      |     BETWEEN '0' AND '7' THEN qv[i] ELSE -qv[i] END) AS BIGINT) AS comp
+      |   FROM ji GROUP BY vec_id, j)
+      | SELECT e.vec_id, pr.j, pr.comp
+      | FROM e LEFT JOIN pr USING (vec_id)
+      | ORDER BY vec_id, j""".stripMargin.replace("\n", " ")
 
   /** Retrieval-quality evaluation ([[graft.ops.Eval.ndcgAtK]]): NDCG@10 /
     * recall@10 / first-relevant-rank of brute-force cosine retrieval where
@@ -4177,6 +4317,7 @@ object Registry {
     "q_ann_cosine" -> (qAnnCosine _),
     "q_mmr_select" -> (qMmrSelect _),
     "q_embed_quant" -> (qEmbedQuant _),
+    "q_random_projection" -> (qRandomProjection _),
     "q_calibration" -> (qCalibration _),
     "q_length_batches" -> (qLengthBatches _),
     "q_cdc_chunks" -> (qCdcChunks _),
@@ -4242,6 +4383,9 @@ object Registry {
     "q_rake_phrases" -> (qRakePhrases _),
     "q_lm_score" -> (qLmScore _),
     "q_lm_store" -> (qLmStore _),
+    "q_oov_rate" -> (qOovRate _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_html_strip" -> (qHtmlStrip _),
     "q_readability" -> (qReadability _),
     "q_semdedup_prune" -> (qSemdedupPrune _),
     "q_tv_drift_store" -> (qTvDriftStore _),
@@ -4327,6 +4471,7 @@ object Registry {
     "q_ann_cosine" -> qAnnCosineSql,
     "q_mmr_select" -> qMmrSelectSql,
     "q_embed_quant" -> qEmbedQuantSql,
+    "q_random_projection" -> qRandomProjectionSql,
     "q_calibration" -> qCalibrationSql,
     "q_length_batches" -> qLengthBatchesSql,
     "q_cdc_chunks" -> qCdcChunksSql,
@@ -4387,6 +4532,9 @@ object Registry {
     "q_rake_phrases" -> qRakePhrasesSql,
     "q_lm_score" -> qLmScoreSql,
     "q_lm_store" -> qLmStoreSql,
+    "q_oov_rate" -> qOovRateSql,
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_html_strip" -> qHtmlStripSql,
     "q_readability" -> qReadabilitySql,
     "q_semdedup_prune" -> qSemdedupPruneSql,
     "q_tv_drift_store" -> qTvDriftStoreSql,

@@ -249,4 +249,39 @@ class TextFnsSpec extends SparkSpec {
       assert(f.nSyllables === want, s"syllables for '$s'")
     }
   }
+
+  test("htmlStrip: planted crawl page — script/style removed WITH contents, entities decoded, prose preserved") {
+    import org.apache.spark.sql.functions.col
+    val page =
+      """<!DOCTYPE html><html><head>
+        |<title>My Page</title>
+        |<style type="text/css">body { color: red; }</style>
+        |<SCRIPT src="x.js">var hidden = "must vanish";</script>
+        |</head><body>
+        |<!-- a comment <p>with a fake tag</p> -->
+        |<h1>Hello &amp; welcome</h1>
+        |<p>5 &lt; 7 and 9 &gt; 2, &quot;quoted&quot;, it&#39;s&nbsp;here.</p>
+        |<img src="a.png"/>
+        |</body></html>""".stripMargin
+    val cases = Seq(
+      (1L, page),
+      (2L, "plain prose stays  as is"), // only whitespace-collapse applies
+      (3L, "a &amp;lt; b"),             // amp decoded LAST: no double-decode
+      (4L, "<script>no close tag"),     // unclosed: content survives tag strip
+      (5L, null.asInstanceOf[String]))
+    val got = cases.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFns.htmlStrip(org.apache.spark.sql.functions.coalesce(
+          col("text"), org.apache.spark.sql.functions.lit(""))).as("c"),
+        TextFns.htmlTagCount(org.apache.spark.sql.functions.coalesce(
+          col("text"), org.apache.spark.sql.functions.lit(""))).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L)._1 ===
+      "My Page Hello & welcome 5 < 7 and 9 > 2, \"quoted\", it's here.")
+    assert(got(1L)._2 >= 10L, s"tag count ${got(1L)._2}")
+    assert(got(2L) === (("plain prose stays as is", 0L)))
+    assert(got(3L) === (("a &lt; b", 0L)), "freshly decoded & must not cascade")
+    assert(got(4L)._1 === "no close tag")
+    assert(got(5L) === (("", 0L)))
+  }
 }

@@ -395,4 +395,66 @@ class MultimodalSpec extends SparkSpec {
     assert(n > 0 && n < 5000L,
       s"lying header must be bounded by the real chunk count, emitted $n rows")
   }
+
+  test("dHash law: gradient directions pin every bit; grid-deficient images have no hash") {
+    // 18x16 -> every 9x8 grid cell is exactly 2x2 px; brightness strictly
+    // increasing left-to-right => every cell darker than its right
+    // neighbor => all 64 bits set
+    def gray(v: Int): (Int, Int, Int) = (v, v, v)
+    val inc = Codec.decodeImage(MediaFixture.ppm(18, 16, (x, _) => gray(x * 14))).get
+    assert(Codec.dhash64(inc) === Some(-1L))
+    // decreasing and constant images: no cell is darker than its right
+    val dec = Codec.decodeImage(MediaFixture.ppm(18, 16, (x, _) => gray(252 - x * 14))).get
+    assert(Codec.dhash64(dec) === Some(0L))
+    val flat = Codec.decodeImage(MediaFixture.ppm(18, 16, (_, _) => gray(77))).get
+    assert(Codec.dhash64(flat) === Some(0L))
+    // vertical gradient: rows vary, left==right everywhere -> 0
+    val vert = Codec.decodeImage(MediaFixture.ppm(18, 16, (_, y) => gray(y * 15))).get
+    assert(Codec.dhash64(vert) === Some(0L))
+    // smaller than the 9x8 grid: undefined cells, no hash
+    assert(Codec.dhash64(
+      Codec.decodeImage(MediaFixture.ppm(8, 8, (_, _) => gray(10))).get) === None)
+  }
+
+  test("image near-dup: PNG≡BMP same picture pairs at 0, perturbed copy within 3, reverse gradient unpaired") {
+    import spark.implicits._
+    def gray(v: Int): (Int, Int, Int) = (v, v, v)
+    val px: (Int, Int) => (Int, Int, Int) = (x, _) => gray((x * 254) / 35)
+    val pngA = MediaFixture.png(36, 16, px)
+    val bmpA = MediaFixture.bmp(36, 16, px)
+    // brighten one interior 4x2 cell by 60 - crosses the ~28-level
+    // neighbor gap, flipping that cell's own comparisons only
+    val perturbed = MediaFixture.png(36, 16, (x, y) =>
+      if (x >= 8 && x < 12 && y >= 4 && y < 6) gray(math.min(254, (x * 254) / 35 + 60))
+      else px(x, y))
+    val reverse = MediaFixture.png(36, 16, (x, _) => gray(254 - (x * 254) / 35))
+    val tiny = MediaFixture.png(6, 6, (_, _) => gray(9))
+    val rows = Seq(
+      (1L, pngA, "image"), (2L, bmpA, "image"), (3L, perturbed, "image"),
+      (4L, reverse, "image"), (5L, tiny, "image"),
+      (6L, pngA, "audio"),                     // wrong kind: gated out
+      (7L, Array[Byte](1, 2, 3), "image"))     // undecodable: dropped
+    val ds = rows.groupBy(_._3).map { case (kind, rs) =>
+      Multimodal.asMedia(
+        rs.map(r => (r._1, r._2)).toDF("media_id", "payload"),
+        "media_id", "payload", kind)
+    }.reduce(_ union _)
+
+    // signature frame law: exactly the decodable, grid-sufficient images
+    val sigs = Multimodal.imageDhashFrame(ds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet === Set(1L, 2L, 3L, 4L))
+    assert(sigs(1L) === sigs(2L), "PNG and BMP of the same pixels must hash identically")
+
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 0L)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3L)
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      s"reverse gradient must pair with nothing: $pairs")
+    // op's hamming agrees with the codec-level law
+    assert(pairs((1L, 3L)) ===
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)).toLong)
+  }
 }

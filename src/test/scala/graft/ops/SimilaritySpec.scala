@@ -540,6 +540,78 @@ class SimilaritySpec extends SparkSpec {
     assert(out(11L) === None, "zero-norm incoming vector has no home")
   }
 
+  test("random projection: naive md5 replay, NULL/empty law, determinism") {
+    def naive(seed: String, outDim: Int, v: Array[Float]): Array[Long] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(outDim) { j =>
+        var s = 0L
+        var i = 0
+        while (i < v.length) {
+          d.reset()
+          val h = d.digest(s"$seed:$j:$i".getBytes("UTF-8"))
+          val sign = if ((h(0) & 0x80) == 0) 1L else -1L
+          s += sign * math.floor(v(i).toDouble * 1000000.0 + 0.5).toLong
+          i += 1
+        }
+        s
+      }
+    }
+    val rnd = new scala.util.Random(7L)
+    val vecs = (1L to 20L).map(id =>
+      (id, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = (vecs :+ ((21L, null.asInstanceOf[Array[Float]]))
+      :+ ((22L, Array.empty[Float]))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjectFrame(df, "vec_id", "embedding", 4)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .groupBy(_._1)
+    vecs.foreach { case (id, v) =>
+      val want = naive("graft", 4, v)
+      val rows = got(id).sortBy(_._2)
+      assert(rows.length === 4)
+      rows.foreach { case (_, j, comp) => assert(comp === Some(want(j.toInt))) }
+    }
+    // NULL and empty vectors each produce exactly one (NULL j, NULL comp) row
+    Seq(21L, 22L).foreach { id =>
+      assert(got(id).toList === List((id, -1L, None)), s"vec $id law")
+    }
+    // data-independent signs: a second frame with one shared vector agrees
+    val again = Similarity.randomProjectFrame(
+        Seq((99L, vecs.head._2)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 4)
+      .orderBy("j").collect().map(_.getLong(2)).toList
+    assert(again === naive("graft", 4, vecs.head._2).toList)
+  }
+
+  test("random projection: JL sketch preserves relative cosine ordering on planted structure") {
+    // 3 tight clusters far apart in 32-dim; after projecting to 8 the
+    // nearest projected neighbor of each point must stay in-cluster
+    val rnd = new scala.util.Random(11L)
+    def base(k: Int) = Array.tabulate(32)(i => if (i % 3 == k) 5.0f else 0.0f)
+    val vecs = for (k <- 0 until 3; n <- 0 until 6) yield
+      (k * 10L + n,
+        base(k).map(x => x + rnd.nextFloat() * 0.2f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProjectFrame(df, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3.toDouble).toArray }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    vecs.foreach { case (id, _) =>
+      val mine = proj(id)
+      val best = proj.filter(_._1 != id)
+        .maxBy { case (_, v) => cos(mine, v) }._1
+      assert(best / 10L === id / 10L,
+        s"projected nearest neighbor of $id left its cluster ($best)")
+    }
+  }
+
   test("cosine law: self-similarity 1, symmetry") {
     val a = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-3.0f, 2.0f, -1.0f)))
       .toDF("vec_id", "embedding")

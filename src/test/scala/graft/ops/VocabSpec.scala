@@ -82,4 +82,67 @@ class VocabSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(enc === want)
   }
+
+  test("OOV rate: hand counts, lowercase law, empty/NULL docs, every doc a row") {
+    val vocab = Seq("the", "cat", "sat").toDF("tk")
+    val docs = Seq(
+      (1L, "The CAT sat"),          // lowercase law: all in-vocab
+      (2L, "the dog ran fast"),     // 3 of 4 OOV
+      (3L, "dog dog dog"),          // occurrences count, not distinct: 3/3
+      (4L, ""),                     // empty → 0/0, frac 0.0
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Vocab.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(got === List(
+      (1L, 3L, 0L, 0.0),
+      (2L, 4L, 3L, 0.75),
+      (3L, 3L, 3L, 1.0),
+      (4L, 0L, 0L, 0.0),
+      (5L, 0L, 0L, 0.0)))
+  }
+
+  test("source vocab overlap: hand Jaccard, lowercase distinct law, empty-vocab stratum excluded") {
+    val docs = Seq(
+      ("a", "the cat sat"), ("a", "THE Cat ran"),   // V_a = {the,cat,sat,ran}
+      ("b", "the dog sat"),                          // V_b = {the,dog,sat}
+      ("c", "unrelated words entirely"),             // V_c disjoint from a,b
+      ("d", "   "))                                  // empty vocab → excluded
+      .toDF("source", "text")
+    val got = Vocab.sourceVocabOverlap(docs, "source", "text")
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toList
+    assert(got === List(
+      ("a", "b", 4L, 3L, 2L, 2.0 / 5.0),  // {the,sat} shared
+      ("a", "c", 4L, 3L, 0L, 0.0),
+      ("b", "c", 3L, 3L, 0L, 0.0)))
+  }
+
+  test("OOV rate: duplicated vocab rows don't double-count; stored ≡ live") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta beta zeta"),
+      (3L, "entirely novel words here"))
+      .toDF("doc_id", "text")
+    val dupVocab = Seq("alpha", "beta", "alpha", "beta", "gamma").toDF("w")
+    val live = Vocab.oovRate(docs, "doc_id", "text", dupVocab)
+      .orderBy("doc_id").collect().map(_.toSeq).toList
+
+    val cleanVocab = Seq("alpha", "beta", "gamma").toDF("w")
+    assert(live === Vocab.oovRate(docs, "doc_id", "text", cleanVocab)
+      .orderBy("doc_id").collect().map(_.toSeq).toList)
+
+    // stored path: LM store trained on a slice whose vocabulary is
+    // exactly {alpha, beta, gamma} lowercased
+    val dir = java.nio.file.Files.createTempDirectory("oov-store").toString
+    val train = Seq("Alpha beta GAMMA", "beta alpha").toDF("text")
+    RefStore.writeLmModel(train, "text", dir)
+    val stored = Vocab.oovRateStored(docs, "doc_id", "text", dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toList
+    assert(stored === live)
+  }
 }
