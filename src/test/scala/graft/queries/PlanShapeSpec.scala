@@ -502,6 +502,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_oov_rate: vocab join hash-keyed, no cartesian, one doc-side agg") {
+    val p = plan("q_oov_rate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"token-vocab join degraded to a per-row probe:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_random_projection: one narrow object pass — no join, no window, only the output-sort exchange") {
+    val p = plan("q_random_projection")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // the oracle-gate orderBy is the ONLY allowed exchange, and it's a
+    // range partitioning (sort), not a data shuffle the law needs
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1 && (exchanges == 0 || p.contains("rangepartitioning")),
+      s"projection grew a non-sort shuffle:\n$p")
+  }
+
+  test("q_source_overlap: token self-join hash-keyed; only the tiny sizes frame nested-loops") {
+    val p = plan("q_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    // sizes x sizes (strata-many rows) may nested-loop; the corpus-scale
+    // (stratum, token) self-join must not
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"token intersection degraded to a nested loop:\n$p")
+  }
+
+  test("q_html_strip: pure projection over the scan — no shuffle except the output sort") {
+    val p = plan("q_html_strip")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // text + doc_id only reach the reader
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
