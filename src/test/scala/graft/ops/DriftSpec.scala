@@ -66,4 +66,40 @@ class DriftSpec extends SparkSpec {
       }
     }
   }
+
+  test("ingestDriftReport: the shifted micro-batch alarms, the on-distribution one doesn't") {
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("drift-ingest-store").toString
+    val dedupStore = Files.createTempDirectory("drift-ingest-dedup").toString
+    val sink = Files.createTempDirectory("drift-ingest-sink").toString
+    // vetted baseline: a clean-vocabulary corpus trains the drift store
+    val clean = (1L to 40L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    RefStore.writeTokenCounts(clean, "text", store)
+    // the ingest loop's own exact-dedup store (empty initial corpus)
+    RefStore.writeExact(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", dedupStore,
+      expectedItems = 100L)
+    // batch 0 on-distribution, batch 1 vocabulary-shifted junk
+    graft.streaming.StreamIngest.ingestDedupedBatch(
+      (100L to 104L).map(i => (i, s"quick brown fox $i over the lazy dog"))
+        .toDF("doc_id", "text"),
+      0L, dedupStore, sink, "doc_id", "text")
+    graft.streaming.StreamIngest.ingestDedupedBatch(
+      (200L to 204L).map(i => (i, s"zzz$i qqq$i www$i eee$i rrr$i ttt$i"))
+        .toDF("doc_id", "text"),
+      1L, dedupStore, sink, "doc_id", "text")
+    val report = Drift.ingestDriftReport(spark, sink, store, "text",
+        alarmAt = 0.5)
+      .collect()
+      .map(r => r.getAs[Any](0).toString.toLong ->
+        ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(report.keySet === Set(0L, 1L))
+    assert(!report(0L)._2,
+      s"on-distribution batch must not alarm: tv=${report(0L)._1}")
+    assert(report(1L)._2 && report(1L)._1 > 0.9,
+      s"disjoint-vocabulary batch must alarm hard: tv=${report(1L)._1}")
+    assert(report(0L)._1 < report(1L)._1)
+  }
 }
