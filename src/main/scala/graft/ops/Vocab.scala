@@ -269,6 +269,65 @@ object Vocab {
           (col("v_a") + col("v_b") - col("n_shared")).cast("double"))
   }
 
+  /** Zipf rank–frequency fit over the corpus unigram distribution — the
+    * one-row corpus-health profile (natural text sits near slope −1;
+    * boilerplate-flooded or deduplicated-to-death corpora bend away from
+    * it, so the slope is a cheap regression monitor next to the TV-drift
+    * panel). Least squares of ln(count) on ln(rank) over the top
+    * `topRanks` tokens (deterministic rank order: count desc, token asc).
+    *
+    * Engine-exact by the LM micro-ln discipline
+    * ([[LangModel.bigramNllScore]]): both engines quantize
+    * `round(ln(·)·10⁶)` to BIGINT micro-units (cross-libm flips need a
+    * value within ~1e-9 micro-units of a .5 boundary — the pinned-margin
+    * argument), every regression sum is then exact integer arithmetic in
+    * DECIMAL(38,0) (n·Σxy overflows int64 at topRanks=256), and slope /
+    * intercept are rendered by a fixed chain of IEEE divisions. The exact
+    * Σx/Σy BIGINTs ride along in the output so the oracle gates the
+    * integer core, not just the rendered doubles.
+    *
+    * Scale shape: one tokenize+explode, ONE hash aggregate to the count
+    * table, TakeOrderedAndProject for the top-R (no global sort), then a
+    * bounded R-row window and a 1-row aggregate — the corpus never
+    * shuffles twice.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topRanks: Int = 256): DataFrame = {
+    require(topRanks >= 2, s"topRanks=$topRanks needs at least 2 points")
+    val dec = "decimal(38,0)"
+    val counts = df.select(
+        explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_c").desc, col("_t").asc)
+    val pts = counts.orderBy(col("_c").desc, col("_t").asc).limit(topRanks)
+      .withColumn("_rank", row_number().over(w))
+      .select(
+        round(log(col("_rank").cast("double")) * 1000000.0).cast("long").as("_x"),
+        round(log(col("_c").cast("double")) * 1000000.0).cast("long").as("_y"))
+    val agg = pts.agg(
+      count(lit(1)).cast("long").as("n_ranks"),
+      sum(col("_x")).as("sum_x"),
+      sum(col("_y")).as("sum_y"),
+      sum((col("_x") * col("_y")).cast(dec)).as("_sxy"),
+      sum((col("_x") * col("_x")).cast(dec)).as("_sxx"))
+    val n = col("n_ranks").cast(dec)
+    agg
+      .withColumn("_slope_num",
+        n * col("_sxy") - col("sum_x").cast(dec) * col("sum_y").cast(dec))
+      .withColumn("_slope_den",
+        n * col("_sxx") - col("sum_x").cast(dec) * col("sum_x").cast(dec))
+      .withColumn("slope",
+        when(col("_slope_den") === 0, lit(null).cast("double"))
+          .otherwise(col("_slope_num").cast("double") / col("_slope_den").cast("double")))
+      .withColumn("intercept",
+        when(col("slope").isNull, lit(null).cast("double"))
+          .otherwise((col("sum_y").cast("double") / 1000000.0
+            - col("slope") * (col("sum_x").cast("double") / 1000000.0))
+            / col("n_ranks").cast("double")))
+      .select(col("n_ranks"), col("sum_x"), col("sum_y"),
+        col("slope"), col("intercept"))
+  }
+
   /** [[oovRate]] against the PERSISTED LM vocabulary
     * ([[RefStore.loadLmVocab]]) — incremental ingest scores each batch
     * without re-tokenizing the reference corpus. Same law, same oracle:

@@ -1101,6 +1101,45 @@ object Registry {
       |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean
       | FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Zipf rank–frequency fit ([[graft.ops.Vocab.zipfFit]]): least squares
+    * of ln(count) on ln(rank) over the top-256 tokens in micro-ln units
+    * (the LM quantization discipline) — regression sums exact in
+    * DECIMAL(38,0)/HUGEINT, slope/intercept one fixed IEEE chain each,
+    * and the exact Σx/Σy integers ride in the output so the oracle gates
+    * the integer core too.
+    */
+  def qZipfFit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.zipfFit(t(spark, dir, "documents"), "text")
+
+  val qZipfFitSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    s"""WITH tk AS (SELECT unnest($lowTok) AS t FROM documents),
+      | c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY t),
+      | r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rank
+      |   FROM c ORDER BY c DESC, t ASC LIMIT 256),
+      | p AS (SELECT
+      |   CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+      |   CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y FROM r),
+      | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+      |   CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |   SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |   SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx FROM p),
+      | s AS (SELECT n_ranks, sum_x, sum_y,
+      |   CASE WHEN CAST(n_ranks AS HUGEINT) * sxx
+      |          - CAST(sum_x AS HUGEINT) * CAST(sum_x AS HUGEINT) = 0 THEN NULL
+      |        ELSE CAST(CAST(n_ranks AS HUGEINT) * sxy
+      |          - CAST(sum_x AS HUGEINT) * CAST(sum_y AS HUGEINT) AS DOUBLE)
+      |          / CAST(CAST(n_ranks AS HUGEINT) * sxx
+      |          - CAST(sum_x AS HUGEINT) * CAST(sum_x AS HUGEINT) AS DOUBLE)
+      |   END AS slope FROM a)
+      | SELECT n_ranks, sum_x, sum_y, slope,
+      |  CASE WHEN slope IS NULL THEN NULL
+      |       ELSE (CAST(sum_y AS DOUBLE) / 1000000.0
+      |         - slope * (CAST(sum_x AS DOUBLE) / 1000000.0))
+      |         / CAST(n_ranks AS DOUBLE) END AS intercept
+      | FROM s""".stripMargin.replace("\n", " ")
+  }
+
   /** Pairwise source-vocabulary overlap
     * ([[graft.ops.Vocab.sourceVocabOverlap]]): distinct lowercased tokens
     * per source, exact intersection counts per source pair, Jaccard as
@@ -4385,6 +4424,7 @@ object Registry {
     "q_lm_store" -> (qLmStore _),
     "q_oov_rate" -> (qOovRate _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_zipf_fit" -> (qZipfFit _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_readability" -> (qReadability _),
     "q_semdedup_prune" -> (qSemdedupPrune _),
@@ -4534,6 +4574,7 @@ object Registry {
     "q_lm_store" -> qLmStoreSql,
     "q_oov_rate" -> qOovRateSql,
     "q_source_overlap" -> qSourceOverlapSql,
+    "q_zipf_fit" -> qZipfFitSql,
     "q_html_strip" -> qHtmlStripSql,
     "q_readability" -> qReadabilitySql,
     "q_semdedup_prune" -> qSemdedupPruneSql,

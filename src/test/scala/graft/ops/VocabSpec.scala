@@ -83,6 +83,40 @@ class VocabSpec extends SparkSpec {
     assert(enc === want)
   }
 
+  test("zipfFit: naive quantized replay, near -1 on a planted power law, degenerate single token NULL") {
+    import org.apache.spark.sql.functions.col
+    // planted frequencies ~ 1/rank: token t_r appears round(1200/r) times
+    val words = (1 to 40).flatMap(r =>
+      Seq.fill(math.round(1200.0 / r).toInt)(s"t$r"))
+    val rnd = new scala.util.Random(5L)
+    val shuffled = rnd.shuffle(words)
+    val docs = shuffled.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    val got = Vocab.zipfFit(docs, "text", topRanks = 40).head()
+    val (nR, sx, sy, slope, icept) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getDouble(3), got.getDouble(4))
+    assert(nR === 40L)
+    // naive replay of the exact law
+    val counts = words.groupBy(identity).map { case (w, xs) => (w, xs.size) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(40)
+    val pts = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(math.log((i + 1).toDouble) * 1e6),
+        math.round(math.log(c.toDouble) * 1e6)) }
+    assert(sx === pts.map(_._1).sum)
+    assert(sy === pts.map(_._2).sum)
+    val n = pts.size.toDouble
+    val (sxd, syd) = (pts.map(_._1.toDouble).sum, pts.map(_._2.toDouble).sum)
+    val sxy = pts.map(p => p._1.toDouble * p._2.toDouble).sum
+    val sxx = pts.map(p => p._1.toDouble * p._1.toDouble).sum
+    val wantSlope = (n * sxy - sxd * syd) / (n * sxx - sxd * sxd)
+    assert(math.abs(slope - wantSlope) < 1e-9, s"slope $slope vs $wantSlope")
+    assert(slope > -1.15 && slope < -0.85, s"planted 1/r corpus should fit near -1: $slope")
+    assert(!icept.isNaN)
+    // one distinct token: zero x-variance, slope undefined
+    val degen = Seq("same same same", "same").toDF("text")
+    val d = Vocab.zipfFit(degen, "text").select(col("slope"), col("intercept")).head()
+    assert(d.isNullAt(0) && d.isNullAt(1))
+  }
+
   test("OOV rate: hand counts, lowercase law, empty/NULL docs, every doc a row") {
     val vocab = Seq("the", "cat", "sat").toDF("tk")
     val docs = Seq(

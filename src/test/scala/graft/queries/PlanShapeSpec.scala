@@ -539,6 +539,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
+    val p = plan("q_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"count-table top-R degraded to a global sort:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
