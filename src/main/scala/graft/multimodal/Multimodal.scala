@@ -251,6 +251,46 @@ object Multimodal {
     graft.ops.Dedup.hammingPairsFromSig(
       imageDhashFrame(media), maxHamming, maxBucket, "imgdhash")
 
+  /** The dHash signature law tag the persisted image family is pinned to
+    * ([[graft.ops.RefStore.writeHashSig]]'s `sigLaw` meta) — bump on any
+    * change to [[Codec.dhash64]]'s grid or luma law.
+    */
+  val DhashLaw = "dhash-9x8-v1"
+
+  /** Commit a media batch's image dHashes to a [[graft.ops.RefStore]]
+    * signature store (create with `write = true` on the initial corpus,
+    * merge thereafter) — 8 persisted bytes per image, the incremental
+    * re-crawl guard's reference side. `leaseWaitMs` / `autoCompactAfter`
+    * as in the text families.
+    */
+  def commitImageDhash(media: Dataset[MediaRecord], storeDir: String,
+      write: Boolean = false, leaseWaitMs: Long = 0L,
+      autoCompactAfter: Int = 0): Unit = {
+    val sig = imageDhashFrame(media)
+    if (write) graft.ops.RefStore.writeHashSig(sig, storeDir, DhashLaw)
+    else graft.ops.RefStore.mergeHashSig(sig, storeDir, DhashLaw,
+      leaseWaitMs, autoCompactAfter)
+  }
+
+  /** Cross-corpus image near-dup dedup against the PERSISTED dHash store —
+    * the re-crawl guard for re-encoded or mildly recompressed copies of
+    * images earlier batches ingested: drop incoming image rows whose dHash
+    * is within `maxHamming` bits of ANY stored signature; return the
+    * SURVIVING media rows (non-image and undecodable rows survive — no
+    * signature, no candidate, the text-family contract). Batch N+1 reads
+    * 8 bytes per stored image, never the stored pixels.
+    */
+  def imageNearDupAgainstStored(media: Dataset[MediaRecord], storeDir: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): Dataset[MediaRecord] = {
+    implicit val enc = Encoders.product[MediaRecord]
+    val flagged = graft.ops.Dedup.hammingFlaggedAgainstSig(
+      imageDhashFrame(media),
+      graft.ops.RefStore.loadHashSig(media.sparkSession, storeDir, DhashLaw),
+      maxHamming, maxBucket, "imgagainst")
+    media.join(flagged, media("media_id") === flagged("_fid"), "left_anti")
+      .as[MediaRecord]
+  }
+
   /** Partition payload-bearing data for decode fan-out: range partition by id
     * targeting `targetRowsPerPartition` so each task holds a bounded byte
     * budget (payloads are large; row count is the proxy the optimizer sees).

@@ -581,16 +581,30 @@ object Dedup {
   private def simhashAgainstSig(incoming: DataFrame, refSig: DataFrame,
       idCol: String, textCol: String, maxHamming: Int,
       maxBucket: Int): DataFrame = {
-    val bi = simhashChunked(simhashFrame(incoming, idCol, textCol),
-      maxBucket, "shagainst_in")
+    val flagged = hammingFlaggedAgainstSig(
+      simhashFrame(incoming, idCol, textCol), refSig, maxHamming, maxBucket,
+      "shagainst")
+    incoming.join(flagged,
+        incoming(idCol).cast("long") === flagged("_fid"), "left_anti")
+  }
+
+  /** Incoming signature ids within `maxHamming` of ANY reference
+    * signature — the shared cross-corpus screen of text SimHash and image
+    * dHash ([[graft.multimodal.Multimodal.imageNearDupAgainstStored]]):
+    * both sides fan out to pigeonhole-chunk rows, candidates come from
+    * the (chunk, value) equi-join — never incoming × reference — and the
+    * exact `bit_count(xor)` verifies. Returns a 1-column `_fid` frame.
+    */
+  private[graft] def hammingFlaggedAgainstSig(inSig: DataFrame,
+      refSig: DataFrame, maxHamming: Int, maxBucket: Int,
+      tag: String): DataFrame = {
+    val bi = simhashChunked(inSig, maxBucket, s"${tag}_in")
     val br = simhashChunked(refSig.select(col("_id"), col("_sh")),
-      maxBucket, "shagainst_ref")
-    val flagged = bi.as("a").join(br.as("b"),
+      maxBucket, s"${tag}_ref")
+    bi.as("a").join(br.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch"))
       .filter(bit_count(col("a._sh").bitwiseXOR(col("b._sh"))) <= maxHamming)
       .select(col("a._id").as("_fid")).distinct()
-    incoming.join(flagged,
-        incoming(idCol).cast("long") === flagged("_fid"), "left_anti")
   }
 
   /** Cross-document chunk-level exact dedup (the CCNet line-dedup family,

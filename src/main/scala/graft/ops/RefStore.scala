@@ -429,6 +429,51 @@ object RefStore {
     artifactDf(spark, dir, SIMHASH).select(col("_id"), col("_sh")).distinct()
   }
 
+  // ---- generic 64-bit signature artifact (law-tagged) ----
+
+  private val HASHSIG = "hash_signatures"
+
+  /** Persist an arbitrary 64-bit signature frame (_id, _sh) under an
+    * explicit LAW TAG — the family image dHash persists through
+    * ([[graft.multimodal.Multimodal.commitImageDhash]], law
+    * `"dhash-9x8-v1"`) and any future Hamming-space fingerprint can share.
+    * Unlike [[writeSimhash]] the signature law lives with the CALLER, so
+    * `sigLaw` in meta is the cross-batch compatibility contract: merging
+    * or loading under a different law fails fast (the param-mismatch
+    * posture). Same idempotency as simhash — replays re-append
+    * byte-identical rows, consumers re-distinct.
+    */
+  def writeHashSig(sig: DataFrame, dir: String, law: String): Unit = {
+    val spark = sig.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "sigLaw" -> law))
+      sig.select(col("_id").cast("long"), col("_sh").cast("long"))
+        .write.mode("overwrite").parquet(path(dir, HASHSIG))
+    }
+  }
+
+  /** Append one batch's signatures under the SAME law tag.
+    * `leaseWaitMs` / `autoCompactAfter` as in [[mergeExact]].
+    */
+  def mergeHashSig(sig: DataFrame, dir: String, law: String,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = sig.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      require(readMeta(spark, dir).get("sigLaw").contains(law),
+        s"store $dir holds no '$law' signature artifact — writeHashSig first")
+      sig.select(col("_id").cast("long"), col("_sh").cast("long"))
+        .write.mode("append").parquet(path(dir, HASHSIG))
+      maybeAutoCompact(spark, dir, autoCompactAfter, HASHSIG)
+    }
+  }
+
+  /** The distinct signature frame, law-checked. */
+  def loadHashSig(spark: SparkSession, dir: String, law: String): DataFrame = {
+    require(readMeta(spark, dir).get("sigLaw").contains(law),
+      s"store $dir holds no '$law' signature artifact")
+    artifactDf(spark, dir, HASHSIG).select(col("_id"), col("_sh")).distinct()
+  }
+
   // ---- CDC chunk-hash artifact (sub-document dedup fingerprints) ----
 
   private val CDC_CHUNKS = "cdc_chunks"
@@ -1031,6 +1076,12 @@ object RefStore {
           sig.repartition(numFiles, col("_id"))
             .write.mode("overwrite").parquet(tmp))
       }
+      if (want(HASHSIG) && has(HASHSIG)) {
+        val sig = spark.read.parquet(path(dir, HASHSIG)).distinct()
+        swapArtifact(spark, dir, HASHSIG)(tmp =>
+          sig.repartition(numFiles, col("_id"))
+            .write.mode("overwrite").parquet(tmp))
+      }
       if (want(CDC_CHUNKS) && has(CDC_CHUNKS)) {
         val ch = spark.read.parquet(path(dir, CDC_CHUNKS))
           .select(col("chunk_hash")).distinct()
@@ -1112,9 +1163,9 @@ object RefStore {
   /** Every parquet artifact a store can hold — the compact-swap recovery
     * sweep at mutation entry walks this list.
     */
-  private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, CDC_CHUNKS,
-    LM_BIGRAMS, LM_VOCAB, TOKEN_COUNTS, CENTROIDS, IVF_CENTROIDS, IVF_ASSIGNED,
-    PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS)
+  private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, HASHSIG,
+    CDC_CHUNKS, LM_BIGRAMS, LM_VOCAB, TOKEN_COUNTS, CENTROIDS, IVF_CENTROIDS,
+    IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS)
 
   /** Commit units a family has accumulated since its last compaction: the
     * `batch=<id>/` subdir count for the per-batch commit families, else
@@ -1319,6 +1370,12 @@ object RefStore {
       val bad = ro(SIMHASH)
         .filter(col("_id").isNull || col("_sh").isNull).count()
       (bad == 0L, s"bad=$bad")
+    }
+    if (has(HASHSIG)) checked("hashsig", "signatures_non_null_and_law_tagged") {
+      val bad = ro(HASHSIG)
+        .filter(col("_id").isNull || col("_sh").isNull).count()
+      (meta.contains("sigLaw") && bad == 0L,
+        s"law=${meta.getOrElse("sigLaw", "MISSING")} bad=$bad")
     }
     if (has(CDC_CHUNKS)) checked("cdc", "chunk_hashes_are_md5_hex") {
       // the chunk hash IS the join key; a truncated copy or foreign

@@ -457,4 +457,56 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs((1L, 3L)) ===
       java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)).toLong)
   }
+
+  test("stored image guard: re-encoded/perturbed copies of stored pictures drop; unrelated and unhashable rows survive") {
+    import spark.implicits._
+    def gray(v: Int): (Int, Int, Int) = (v, v, v)
+    val px: (Int, Int) => (Int, Int, Int) = (x, _) => gray((x * 254) / 35)
+    val store = java.nio.file.Files.createTempDirectory("imgdhash-store").toString
+    // initial corpus: the PNG original
+    Multimodal.commitImageDhash(
+      Multimodal.asMedia(Seq((1L, MediaFixture.png(36, 16, px)))
+        .toDF("media_id", "payload"), "media_id", "payload", "image"),
+      store, write = true)
+    // merge a second committed image (and replay it — consumers re-distinct)
+    val second = Multimodal.asMedia(
+      Seq((2L, MediaFixture.png(36, 16, (x, y) => gray(((x + y) * 254) / 50))))
+        .toDF("media_id", "payload"), "media_id", "payload", "image")
+    Multimodal.commitImageDhash(second, store)
+    Multimodal.commitImageDhash(second, store)
+    // incoming batch: BMP re-encode of stored #1, perturbed copy of #1,
+    // an unrelated reverse gradient, a grid-deficient tiny image, audio
+    val incoming =
+      Multimodal.asMedia(Seq(
+          (10L, MediaFixture.bmp(36, 16, px)),
+          (11L, MediaFixture.png(36, 16, (x, y) =>
+            if (x >= 8 && x < 12 && y >= 4 && y < 6)
+              gray(math.min(254, (x * 254) / 35 + 60)) else px(x, y))),
+          (12L, MediaFixture.png(36, 16, (x, _) => gray(254 - (x * 254) / 35))),
+          (13L, MediaFixture.png(6, 6, (_, _) => gray(9))))
+          .toDF("media_id", "payload"), "media_id", "payload", "image")
+        .union(Multimodal.asMedia(
+          Seq((14L, MediaFixture.png(36, 16, px)))
+            .toDF("media_id", "payload"), "media_id", "payload", "audio"))
+    val survivors = Multimodal.imageNearDupAgainstStored(incoming, store)
+      .collect().map(_.media_id).toSet
+    assert(survivors === Set(12L, 13L, 14L),
+      s"re-encode and perturbed copy must drop, rest survive: $survivors")
+    // wrong-law merge fails fast (the param-mismatch posture)
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.RefStore.mergeHashSig(
+        Seq((99L, 0L)).toDF("_id", "_sh"), store, "some-other-law")
+    }
+    assert(err.getMessage.contains("some-other-law"))
+    // compact folds the replayed append; answers identical; fsck green
+    val before = graft.ops.RefStore.loadHashSig(spark, store, Multimodal.DhashLaw)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.RefStore.compact(spark, store)
+    val after = graft.ops.RefStore.loadHashSig(spark, store, Multimodal.DhashLaw)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before && after.map(_._1) === Set(1L, 2L))
+    val fsckBad = graft.ops.RefStore.fsck(spark, store)
+      .filter(!org.apache.spark.sql.functions.col("ok")).collect()
+    assert(fsckBad.isEmpty, s"fsck failures: ${fsckBad.mkString(";")}")
+  }
 }
