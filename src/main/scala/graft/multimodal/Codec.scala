@@ -309,6 +309,40 @@ object Codec {
     hist.map(_ / n)
   }
 
+  final case class AudioQa(
+      nSamples: Long, nClipped: Long, nSilent: Long, longestSilenceRun: Long,
+      sumSq: Long, dcSum: Long)
+
+  /** Audio batch-QA counters over decoded PCM — the "is this recording
+    * usable training audio" panel: rail-clipping (dead-compressed or
+    * overdriven sources), near-silence fraction and the longest silent
+    * run (dead segments, truncated recordings), plus the exact integer
+    * moments (Σs, Σs²) the caller renders RMS / DC offset from.
+    *
+    * Deterministic integer law: a sample clips iff it sits ON a 16-bit
+    * rail (32767 / −32768 — re-encoded lossy audio lands NEAR the rail,
+    * but near-rail thresholds vary by codec; the rail itself is
+    * codec-free), and is silent iff |s| ≤ `silenceThreshold` (default
+    * 327 ≈ 1% full scale). Σs² fits a Long to ~8.6 billion samples
+    * (~50 hours at 48 kHz) — a per-FILE bound, not a corpus bound.
+    */
+  def audioQa(a: Audio, silenceThreshold: Int = 327): AudioQa = {
+    var clipped = 0L; var silent = 0L; var run = 0L; var maxRun = 0L
+    var sumSq = 0L; var dc = 0L
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i).toLong
+      if (s == 32767L || s == -32768L) clipped += 1
+      if (math.abs(s) <= silenceThreshold) {
+        silent += 1; run += 1; if (run > maxRun) maxRun = run
+      } else run = 0
+      sumSq += s * s
+      dc += s
+      i += 1
+    }
+    AudioQa(a.samples.length.toLong, clipped, silent, maxRun, sumSq, dc)
+  }
+
   // --------------------------------------------------------------- video --
 
   /** Metadata from an ISO BMFF (MP4/MOV) container. */

@@ -291,6 +291,47 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Per-row audio QA panel over the REAL PCM decode ([[Codec.audioQa]]):
+    * one row per decodable audio payload with the exact integer counters
+    * (rail-clip count, near-silence count, longest silent run, Σs, Σs²)
+    * and the rendered fractions / RMS / DC offset a gate thresholds on —
+    * the audio sibling of the Gopher text panel. Non-audio kinds and
+    * undecodable payloads are dropped (no samples, no stats). One narrow
+    * object-boundary pass; counters, never samples, survive it.
+    */
+  def audioQaFrame(media: Dataset[MediaRecord],
+      silenceThreshold: Int = 327): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.kind != "audio") Iterator.empty
+        else Codec.decodeWav(m.payload).iterator.map { a =>
+          val q = Codec.audioQa(a, silenceThreshold)
+          (m.media_id, a.sampleRate, q.nSamples, q.nClipped, q.nSilent,
+            q.longestSilenceRun, q.sumSq, q.dcSum)
+        }
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "n_clipped", "n_silent",
+        "longest_silence", "sum_sq", "dc_sum")
+      .withColumn("clip_frac",
+        when(col("n_samples") > 0,
+          col("n_clipped").cast("double") / col("n_samples").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("silence_frac",
+        when(col("n_samples") > 0,
+          col("n_silent").cast("double") / col("n_samples").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("rms",
+        when(col("n_samples") > 0,
+          sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("dc_offset",
+        when(col("n_samples") > 0,
+          col("dc_sum").cast("double") / col("n_samples").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Partition payload-bearing data for decode fan-out: range partition by id
     * targeting `targetRowsPerPartition` so each task holds a bounded byte
     * budget (payloads are large; row count is the proxy the optimizer sees).

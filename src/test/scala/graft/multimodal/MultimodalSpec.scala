@@ -509,4 +509,49 @@ class MultimodalSpec extends SparkSpec {
       .filter(!org.apache.spark.sql.functions.col("ok")).collect()
     assert(fsckBad.isEmpty, s"fsck failures: ${fsckBad.mkString(";")}")
   }
+
+  test("audio QA: planted clipping/silence/square-wave WAVs produce exact hand counts") {
+    import spark.implicits._
+    // 1: pure silence (all zero) - fully silent, one run, zero energy
+    val silence = MediaFixture.wav(8000, Array.fill(100)(0.toShort))
+    // 2: full-rail square wave - every sample clipped, none silent,
+    //    sum_sq exact: 50*32767^2 + 50*32768^2
+    val square = MediaFixture.wav(8000,
+      Array.tabulate(100)(i => if (i % 2 == 0) 32767.toShort else (-32768).toShort))
+    // 3: mixed - 10 leading silent, then 80 at +1000, then 10 trailing
+    //    silent: silent=20, longest run=10, no clips
+    val mixed = MediaFixture.wav(16000,
+      (Array.fill(10)(0.toShort) ++ Array.fill(80)(1000.toShort)
+        ++ Array.fill(10)(0.toShort)))
+    val rows = Seq((1L, silence), (2L, square), (3L, mixed),
+      (4L, Array[Byte](9, 9, 9))) // undecodable: dropped
+    val media = Multimodal.asMedia(rows.toDF("media_id", "payload"),
+        "media_id", "payload", "audio")
+      .union(Multimodal.asMedia( // wrong kind: gated out
+        Seq((5L, silence)).toDF("media_id", "payload"),
+        "media_id", "payload", "image"))
+    val got = Multimodal.audioQaFrame(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val s1 = got(1L)
+    assert(s1.getAs[Long]("n_silent") === 100L &&
+      s1.getAs[Long]("longest_silence") === 100L &&
+      s1.getAs[Long]("sum_sq") === 0L &&
+      s1.getAs[Double]("silence_frac") === 1.0 &&
+      s1.getAs[Double]("rms") === 0.0)
+    val s2 = got(2L)
+    assert(s2.getAs[Long]("n_clipped") === 100L &&
+      s2.getAs[Double]("clip_frac") === 1.0 &&
+      s2.getAs[Long]("n_silent") === 0L)
+    assert(s2.getAs[Long]("sum_sq") ===
+      50L * 32767L * 32767L + 50L * 32768L * 32768L)
+    assert(s2.getAs[Long]("dc_sum") === 50L * 32767L - 50L * 32768L)
+    val s3 = got(3L)
+    assert(s3.getAs[Int]("sample_rate") === 16000 &&
+      s3.getAs[Long]("n_clipped") === 0L &&
+      s3.getAs[Long]("n_silent") === 20L &&
+      s3.getAs[Long]("longest_silence") === 10L &&
+      s3.getAs[Long]("sum_sq") === 80L * 1000L * 1000L &&
+      s3.getAs[Double]("dc_offset") === 800.0)
+  }
 }
