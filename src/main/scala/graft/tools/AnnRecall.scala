@@ -71,6 +71,48 @@ object AnnRecall {
           nprobe = np)))
     }
 
+    // JL random-projection sketch as an ANN prefilter, measured as a
+    // DIMENSION SWEEP: brute force in projected space alone, and the
+    // 100 TB shape - projected shortlist (5k candidates) + exact-cosine
+    // rerank. The uniform-cloud regime is JL's hostile case (neighbor
+    // gaps are tiny, distortion at low d swamps them - the LSH caveat
+    // above), so the artifact is the recall-vs-dimension CURVE: it must
+    // climb toward 1 as d grows, and rerank must dominate the bare
+    // sketch at every d.
+    graft.functions.CosineSimilarity.register(spark)
+    val qv = corpus.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("_qv"))
+    val cv = corpus.select(col("vec_id").cast("long").as("neighbor_id"),
+      col("embedding").as("_cv"))
+    val jlRecalls = Seq(8, 16, 32).map { d =>
+      val proj = Similarity.randomProjectFrame(corpus, "vec_id", "embedding", d)
+        .groupBy(col("vec_id"))
+        .agg(array_sort(collect_list(struct(col("j"), col("comp")))).as("_s"))
+        .select(col("vec_id"),
+          expr("transform(_s, x -> cast(x.comp as float))").as("embedding"))
+      val projQ = proj.filter(col("vec_id") < nQueries)
+      val bare = truthPairs(
+        Similarity.bruteForceTopK(proj, projQ, "vec_id", "embedding", k))
+      report(f"jl$d%-2d", bare)
+      val cand = Similarity.bruteForceTopK(proj, projQ, "vec_id", "embedding", 5 * k)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      val rerank = cand.join(broadcast(qv), Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .withColumn("_sim",
+          graft.functions.CosineSimilarity.cosine(col("_cv"), col("_qv")))
+        .withColumn("_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("_sim").desc, col("neighbor_id").asc)))
+        .filter(col("_rk") <= k)
+      val reranked = truthPairs(rerank)
+      report(f"jl$d%-2d+rerank", reranked)
+      require(truth.intersect(reranked).size >= truth.intersect(bare).size,
+        s"shortlist+rerank lost recall vs the bare sketch at d=$d")
+      truth.intersect(reranked).size
+    }
+    require(jlRecalls.last >= jlRecalls.head,
+      s"JL rerank recall must not DECAY as dimensions grow: $jlRecalls")
+
     // MMR diversification effect, measured: mean intra-list pairwise cosine
     // of the relevance top-k vs the MMR-reranked top-k from a 3k candidate
     // pool. MMR must trade a little relevance for measurably lower
