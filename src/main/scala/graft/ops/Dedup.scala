@@ -61,6 +61,57 @@ object Dedup {
     df.groupBy(TextFns.fingerprintMd5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dup_count"))
 
+  /** Duplicate-inflation report per stratum: how much of each source's
+    * apparent volume is exact-duplicate re-counting? The capacity-planning
+    * twin of [[exact]] — before a 100 TB dedup pass is scheduled, this is
+    * the report that says which sources pay for it ("src7 is 40% duplicate
+    * tokens") and what the corpus's true unique size is.
+    *
+    * Law (exact integers end to end): fingerprint = the [[exact]] content
+    * law; the KEEPER of a fingerprint group within a stratum is the min-id
+    * row (the [[exact]] survivor law); `n_dup_docs`/`dup_tokens` count the
+    * non-keeper rows and their token totals; `inflation` is the single
+    * derived double `n_tokens / uniq_tokens` (NULL when a stratum has no
+    * tokens). Duplication across strata is intentionally out of scope —
+    * each stratum is charged only for its OWN redundancy (cross-source
+    * dedup is [[exactAgainst]]'s job).
+    *
+    * Scale shape: one tokenize+fingerprint pass, one hash aggregate to
+    * (stratum, fingerprint) groups — map-side combined, shuffle carries
+    * one row per distinct content per stratum — then one aggregate to
+    * |strata| rows. No window over the corpus, no join.
+    *
+    * Output: (stratum, n_docs, n_uniq, n_dup_docs, n_tokens, uniq_tokens,
+    * dup_tokens, inflation), one row per stratum.
+    */
+  def dupInflation(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String): DataFrame = {
+    val perContent = df
+      .filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        TextFns.fingerprintMd5(col(textCol)).as("_fp"),
+        col(idCol).cast("long").as("_id"),
+        TextFns.tokenCount(col(textCol)).as("_tk"))
+      .groupBy(col("stratum"), col("_fp"))
+      .agg(count(lit(1)).as("_docs"),
+        sum(col("_tk")).as("_tks"),
+        // all copies share the fingerprint, hence the normalized text —
+        // token counts are equal across the group, so the keeper's token
+        // count is any member's; min is the deterministic pick
+        min(col("_tk")).as("_keep_tk"))
+    perContent
+      .groupBy(col("stratum"))
+      .agg(sum(col("_docs")).as("n_docs"),
+        count(lit(1)).as("n_uniq"),
+        sum(col("_docs") - 1L).as("n_dup_docs"),
+        sum(col("_tks")).as("n_tokens"),
+        sum(col("_keep_tk")).as("uniq_tokens"))
+      .withColumn("dup_tokens", col("n_tokens") - col("uniq_tokens"))
+      .withColumn("inflation",
+        when(col("uniq_tokens") > 0L,
+          col("n_tokens").cast("double") / col("uniq_tokens").cast("double")))
+  }
+
   /** Cross-corpus exact dedup: drop incoming documents whose normalized
     * content fingerprint (same law as [[exact]]) already exists in
     * `reference` — the incremental-ingest guard that keeps a new crawl

@@ -177,4 +177,50 @@ object Eval {
       .withColumn("confidence",
         col("conf_micro_sum").cast("double") / col("n").cast("double") / 1000000.0)
   }
+
+  /** Cohen's kappa (Cohen 1960): chance-corrected agreement between two
+    * categorical labelings of the same rows — the honest form of "my
+    * cheap classifier agrees with the reference labels 87% of the time"
+    * (raw agreement is inflated by class imbalance; kappa subtracts the
+    * agreement two INDEPENDENT raters with these marginals would reach by
+    * luck). The standard acceptance gate before a heuristic labeler (a
+    * lang-ID rule, a quality screen) replaces an expensive one at corpus
+    * scale.
+    *
+    * Law, exact to the last integer so engines agree bit-for-bit:
+    * `n`, `n_agree`, and `pe_num = Σ_k rowMarginal_k · colMarginal_k` are
+    * BIGINT; the only floating arithmetic is the final fixed chain
+    * `kappa = (po - pe) / (1 - pe)` with `po = n_agree/n`,
+    * `pe = pe_num/(n·n)` — identical parenthesization in the oracle.
+    * Rows where either label is NULL are excluded (no judgment). A
+    * degenerate table (`pe = 1`: both raters constant and equal) returns
+    * NULL kappa — undefined, not 0.
+    *
+    * Scale shape: one hash aggregate to the contingency table (≤ |A|·|B|
+    * rows — label vocabularies, not corpus), then driver-sized joins of
+    * its marginals; the corpus is read once.
+    */
+  def cohenKappa(df: DataFrame, labelACol: String, labelBCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelACol).isNotNull && col(labelBCol).isNotNull)
+      .select(col(labelACol).cast("string").as("_a"),
+        col(labelBCol).cast("string").as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_c"))
+    val rowM = cells.groupBy(col("_a")).agg(sum(col("_c")).as("_ra"))
+    val colM = cells.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+    val totals = cells.agg(
+      sum(col("_c")).as("n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L)).as("n_agree"))
+    val peNum = rowM.join(colM, col("_a") === col("_b"))
+      .agg(coalesce(sum(col("_ra") * col("_cb")), lit(0L)).as("pe_num"))
+    totals.crossJoin(peNum)
+      .withColumn("po", col("n_agree").cast("double") / col("n").cast("double"))
+      .withColumn("pe", col("pe_num").cast("double") /
+        (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(null).cast("double"))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+      .select(col("n"), col("n_agree"), col("pe_num"), col("po"), col("pe"),
+        col("kappa"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph importance scoring — the crawl-curation signal a web-scale
+  * training pipeline ranks hosts/pages by before sampling (the harmonic-
+  * centrality / PageRank prior in Common Crawl-derived corpora; Page et
+  * al. 1999). The reference has no graph operator; this extends the engine
+  * the same way [[Clusters]] does (SURVEY.md §8).
+  *
+  * The law is fixed-iteration power iteration in EXACT integer micro-units
+  * so every engine replays it bit-for-bit (the [[Importance]] quantization
+  * discipline — floats would drift across summation orders):
+  *
+  *   - ranks live in micro-units (init 1,000,000 per node);
+  *   - one round: `r'(v) = baseMicro + Σ_{u→v} (r(u) * dampNum) div
+  *     (dampDen * outdeg(u))` — integer floor division, so each term is a
+  *     Long and the Σ is order-independent;
+  *   - `baseMicro = (initMicro * (dampDen - dampNum)) div dampDen` (the
+  *     teleport share of one node's unit mass).
+  *
+  * Floor division leaks ≤1 micro-unit per edge per round out of the mass
+  * balance — irrelevant for RANKING (the law is deterministic, which is
+  * what the oracle pins), and bounded: ranks stay in
+  * [baseMicro, n·initMicro].
+  *
+  * Scale shape (100 TB): the working set is one (node, rank) row per
+  * vertex and the edge list with its out-degree riding along — both
+  * hash-partitioned on the join key, so each round is one shuffle join
+  * edges⋈ranks plus one hash aggregate by destination (partial aggregation
+  * applies: the Σ combines map-side). The edge frame is `localCheckpoint`ed
+  * ONCE (rounds re-read blocks, not lineage) and each round's rank frame is
+  * checkpointed and the previous round's blocks released — the
+  * [[Clusters]] owned-RDD discipline, so the driver holds plans, never
+  * data, and memory stays O(1) in rounds.
+  */
+object Graph {
+
+  /** Fixed-iteration integer PageRank over the DIRECTED edge frame
+    * `(srcCol, dstCol)`. Self-loops and NULL endpoints are dropped;
+    * parallel edges collapse (distinct) so out-degree is neighbor count.
+    * Dangling nodes (out-degree 0) contribute nothing and RECEIVE only if
+    * some edge points at them — symmetrize upstream (see
+    * [[symmetrized]]) when the undirected law is wanted, which also
+    * guarantees every node appears in the output.
+    *
+    * Output: (node, rank_micro) — one row per node that has at least one
+    * outgoing edge or received mass, ranks after exactly `iterations`
+    * rounds.
+    */
+  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
+      initMicro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // out-degree rides on the edge row so the per-round join is ranks-only
+    val (ewd, ewdOwned) = Clusters.ownedCheckpoint(e0.join(deg, "src"))
+    // every node: sources ∪ destinations (a sink still holds teleport mass)
+    val (nodes, nodesOwned) = Clusters.ownedCheckpoint(
+      e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node"))).distinct())
+    val baseMicro = (initMicro * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.withColumn("rank_micro", lit(initMicro))
+    var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    for (_ <- 1 to iterations) {
+      val contribs = ewd
+        .join(ranks, ewd("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr(s"(rank_micro * ${dampNum}L) div (${dampDen}L * outdeg)")
+            .as("_contrib"))
+        .groupBy(col("node")).agg(sum(col("_contrib")).as("_in"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(baseMicro) + coalesce(col("_in"), lit(0L))).as("rank_micro"))
+      val (cp, own) = Clusters.ownedCheckpoint(next)
+      Clusters.release(owned)
+      ranks = cp
+      owned = own
+    }
+    // localCheckpoint is eager: the final rank blocks are materialized, so
+    // the edge/node working-set blocks can drop now rather than at GC time
+    Clusters.release(ewdOwned ++ nodesOwned)
+    ranks
+  }
+
+  /** The undirected form of an edge list: both directions, distinct —
+    * every node then has out-degree ≥ 1, so [[pageRankMicro]] covers the
+    * whole vertex set and conserves (floor-truncated) mass.
+    */
+  def symmetrized(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+}

@@ -68,4 +68,49 @@ object Layout {
     df.write.format("parquet")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .mode("overwrite").saveAsTable(table)
+
+  /** Shard-balance report for a hash-sharding law: how evenly would the
+    * corpus land if written as `nShards` shards keyed on
+    * `md5(cast(id))`'s first two bytes? The question every layout
+    * decision answers BEFORE the 100 TB write — a skewed key (timestamp
+    * prefixes, auto-increment ranges) makes one writer task the
+    * straggler and one shard the hot spot, and the fix (salting, a
+    * different key) is cheap only before the data lands.
+    *
+    * The shard assignment is the [[Importance.bucketOf]] two-md5-byte law
+    * (engine-replayable; no engine-native hash). Exact integers
+    * throughout: per-shard row count and payload weight; `skew_ratio` is
+    * the one derived double — `n_rows · nShards / total` (1.0 = perfectly
+    * even), same fixed chain in the oracle.
+    *
+    * Scale shape: one hash aggregate by shard id (map-side combined,
+    * ≤ nShards groups), one broadcast of the 1-row total. The corpus is
+    * read once; no window, no sort until the ≤ nShards output rows.
+    *
+    * Output: (shard, n_rows, weight, skew_ratio) — one row per NON-EMPTY
+    * shard, ordered by shard.
+    */
+  def shardBalance(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int = 32): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in 1..65536 (two md5 bytes of range), got $nShards")
+    val perShard = df
+      .select(Importance.bucketOf(col(idCol).cast("string"), nShards)
+          .as("shard"),
+        col(weightCol).cast("long").as("_w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("_w")), lit(0L)).as("weight"))
+    // the total via an unpartitioned window over the ALREADY-AGGREGATED
+    // frame (≤ nShards rows, bounded by the 65536 require) — a scalar
+    // re-aggregate would scan the corpus a second time for one number
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    perShard
+      .withColumn("_total", sum(col("n_rows")).over(wAll))
+      .withColumn("skew_ratio",
+        (col("n_rows") * lit(nShards.toLong)).cast("double") /
+          col("_total").cast("double"))
+      .select(col("shard").cast("long").as("shard"), col("n_rows"),
+        col("weight"), col("skew_ratio"))
+  }
 }

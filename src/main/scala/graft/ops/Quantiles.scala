@@ -81,4 +81,91 @@ object Quantiles {
         least(greatest(col(valueCol), col("band_lo")), col("band_hi"))))
       .drop("_stratum")
   }
+
+  /** The EXACT discrete lower median per stratum: the value at ascending
+    * position `(n+1) div 2` — an actual data value, engine-independent
+    * (no interpolation, no sketch), the law both [[madOutliers]] passes
+    * share. One window sort per call (shuffle by stratum; per-stratum
+    * sort — the exact-median price; use [[stratumThresholds]] when sketch
+    * accuracy suffices at corpus scale).
+    */
+  private def lowerMedians(df: DataFrame, valueCol: String,
+      stratumCol: String, as: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(valueCol).asc)
+    df.filter(col(valueCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(stratumCol), col(valueCol),
+        row_number().over(w).as("_rn"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol)))
+          .as("_n"))
+      .filter(col("_rn") === expr("(_n + 1L) div 2L"))
+      .select(col(stratumCol), col(valueCol).as(as))
+  }
+
+  /** Robust per-stratum outlier report: median / MAD (median absolute
+    * deviation) flagging — the heavy-tail-safe alternative to z-scores for
+    * corpus metric QA (a handful of giant documents move a mean + stddev
+    * arbitrarily; they move the median/MAD not at all). The law is fully
+    * exact-integer: both medians are the DISCRETE lower median (value at
+    * ascending position `(n+1) div 2`), deviations are `abs(v - med)`
+    * BIGINTs, and a row is an outlier iff `dev > k · mad` — so any engine
+    * replays the report bit-for-bit, unlike sketch quantiles.
+    *
+    * Scale shape: two window sorts by stratum (one for each median) + one
+    * final hash aggregate — 3 shuffles of (stratum, value) pairs only. The
+    * medians are |strata|-row frames and broadcast back onto the corpus.
+    * A stratum whose values all equal the median has mad = 0: `dev > 0`
+    * then flags ANY deviation — the conventional razor (MAD breaks down,
+    * consistent in both engines).
+    *
+    * Output per stratum: (stratum, n, med, mad, n_outliers, outlier_frac).
+    */
+  def madOutliers(df: DataFrame, valueCol: String, stratumCol: String,
+      k: Long = 3L): DataFrame = {
+    require(k >= 0L, s"k must be >= 0, got $k")
+    val v = df.filter(col(valueCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(valueCol).cast("long").as("_v"))
+    val med = lowerMedians(v, "_v", "stratum", "med")
+    val withDev = v.join(broadcast(med), "stratum")
+      .withColumn("_dev", abs(col("_v") - col("med")))
+    val mad = lowerMedians(withDev, "_dev", "stratum", "mad")
+    withDev.join(broadcast(mad), "stratum")
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("_dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n").cast("double"))
+  }
+
+  /** Per-stratum percent-rank calibration: map a raw per-source score onto
+    * its WITHIN-SOURCE quantile scale, then bucket into deciles — the
+    * standard fix for mixing corpora whose quality scorers are not
+    * comparable across sources (a 0.6 from a clean source ≠ a 0.6 from a
+    * noisy one; the within-source rank IS comparable). `percent_rank` is
+    * rank-based ((rank-1)/(n-1), ties share), identical across engines;
+    * the decile is `least(floor(pr · 10), 9)` so pr = 1.0 lands in the top
+    * bucket.
+    *
+    * Output: one row per (stratum, decile) cell — n rows, min/max raw
+    * value — the calibration table a mixing job joins back against.
+    * Scale: one window sort by stratum + one hash aggregate.
+    */
+  def percentRankDeciles(df: DataFrame, valueCol: String,
+      stratumCol: String): DataFrame = {
+    df.filter(col(valueCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(valueCol).cast("long").as("_v"))
+      .withColumn("_pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum")).orderBy(col("_v").asc)))
+      .withColumn("decile",
+        least(floor(col("_pr") * 10.0), lit(9.0)).cast("long"))
+      .groupBy(col("stratum"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("_v")).as("min_v"),
+        max(col("_v")).as("max_v"))
+  }
 }

@@ -1238,4 +1238,61 @@ object Similarity {
       .withColumn("centroid_sim", col("_a._2"))
       .drop("_a")
   }
+
+  /** Reciprocal-rank-fusion hybrid retrieval (Cormack, Clarke & Büttcher,
+    * SIGIR 2009): fuse TWO rankings of the corpus per query — cosine
+    * similarity (direction) and euclidean distance (direction + magnitude,
+    * the unnormalized-retriever stand-in) — by summing each system's
+    * reciprocal rank. The law is exact-integer so any engine replays it:
+    * a system contributes `1000000 div (k0 + rank)` micro-units iff the
+    * candidate sits in its top `perSystemK`, else 0; fused rank orders by
+    * the summed micro-score (ties on id).
+    *
+    * One corpus pass per query batch: the pairwise sims/distances are
+    * computed once (queries broadcast — the small-side discipline), both
+    * per-system ranks are windows over that one frame, and only rows that
+    * made at least one shortlist survive to the fusion window. l2² is
+    * derived from the same three dot products as cosine
+    * (`(cc - 2·dot) + qq`, one fixed chain) so no second vector pass
+    * exists.
+    *
+    * Output: (query_id, neighbor_id, rk, rrf_micro, rk_cos, rk_l2) — ranks
+    * are NULL for the side that did not shortlist the candidate.
+    */
+  def rrfFuseTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, perSystemK: Int = 20, k0: Int = 60, k: Int = 10,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(perSystemK >= 1 && k >= 1 && k0 >= 0,
+      s"perSystemK=$perSystemK k=$k k0=$k0 out of range")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("neighbor_id"))
+    val wL2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_l2sq").asc, col("neighbor_id"))
+    val wFuse = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("neighbor_id"))
+    val dotQC = dot(col("_qv"), col("_cv"))
+    val dotCC = dot(col("_cv"), col("_cv"))
+    val dotQQ = dot(col("_qv"), col("_qv"))
+    c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("_dot", dotQC)
+      .withColumn("_sim", col("_dot") / (sqrt(dotQQ) * sqrt(dotCC)))
+      .withColumn("_l2sq", (dotCC - lit(2.0) * col("_dot")) + dotQQ)
+      .withColumn("_rkc", row_number().over(wCos))
+      .withColumn("_rkl", row_number().over(wL2))
+      .filter(col("_rkc") <= perSystemK || col("_rkl") <= perSystemK)
+      .withColumn("rrf_micro",
+        when(col("_rkc") <= perSystemK,
+            expr(s"1000000L div (${k0}L + _rkc)")).otherwise(lit(0L)) +
+        when(col("_rkl") <= perSystemK,
+            expr(s"1000000L div (${k0}L + _rkl)")).otherwise(lit(0L)))
+      .withColumn("rk", row_number().over(wFuse))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk").cast("long").as("rk"),
+        col("rrf_micro"),
+        when(col("_rkc") <= perSystemK, col("_rkc").cast("long")).as("rk_cos"),
+        when(col("_rkl") <= perSystemK, col("_rkl").cast("long")).as("rk_l2"))
+  }
 }

@@ -337,4 +337,58 @@ object Vocab {
       storeDir: String): DataFrame =
     oovRate(df, idCol, textCol,
       RefStore.loadLmVocab(df.sparkSession, storeDir))
+
+  /** Dunning log-likelihood keyness (Dunning, "Accurate Methods for the
+    * Statistics of Surprise and Coincidence", CL 1993): which tokens are
+    * statistically over/under-represented in a FOREGROUND slice vs the
+    * rest of the corpus — the standard corpus-comparison diagnostic a
+    * mixture designer reads before weighting a source, far more robust at
+    * low counts than a χ² or a bare frequency ratio.
+    *
+    * Law (engine-exact): occurrence counts `a` (foreground) / `b`
+    * (background) and totals `na`/`nb` are exact BIGINTs from the shared
+    * lowercased-token law; expected counts and the two ln terms are ONE
+    * fixed IEEE chain each (`e_a = ((a+b)·na)/n`, term = `a · ln(a/e_a)`,
+    * zero-count terms contribute 0 — the standard convention); the
+    * statistic is quantized to micro-units (`g2_micro = round(2·(ta+tb)
+    * ·1e6)` — the DSIR ln discipline). `enriched` (is the token OVER-
+    * represented in the foreground?) is decided by EXACT integer
+    * cross-multiplication `a·nb > b·na`, never by the float.
+    *
+    * Scale shape: one tokenize pass → one hash aggregate keyed by token
+    * with the foreground/background split as conditional sums (map-side
+    * combined), a broadcast of the 2-value totals row, and a top-k
+    * (TakeOrderedAndProject). No joins against the corpus.
+    *
+    * Output: top `k` by g2 desc (id-tiebreak on token):
+    * (token, a, b, g2_micro, enriched).
+    */
+  def keynessG2(df: DataFrame, textCol: String, foreground: org.apache.spark.sql.Column,
+      k: Int = 40): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val counts = df
+      .select(explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("token"),
+        foreground.cast("boolean").as("_fg"))
+      .filter(col("_fg").isNotNull)
+      .groupBy(col("token"))
+      .agg(sum(when(col("_fg"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("_fg"), 1L).otherwise(0L)).as("b"))
+    val totals = counts.agg(
+      coalesce(sum(col("a")), lit(0L)).as("_na"),
+      coalesce(sum(col("b")), lit(0L)).as("_nb"))
+    val n = (col("_na") + col("_nb")).cast("double")
+    val ea = ((col("a") + col("b")).cast("double") * col("_na").cast("double")) / n
+    val eb = ((col("a") + col("b")).cast("double") * col("_nb").cast("double")) / n
+    val ta = when(col("a") > 0L,
+      col("a").cast("double") * log(col("a").cast("double") / ea)).otherwise(lit(0.0))
+    val tb = when(col("b") > 0L,
+      col("b").cast("double") * log(col("b").cast("double") / eb)).otherwise(lit(0.0))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("g2_micro",
+        round((lit(2.0) * (ta + tb)) * 1000000.0).cast("long"))
+      .withColumn("enriched", col("a") * col("_nb") > col("b") * col("_na"))
+      .orderBy(col("g2_micro").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("a"), col("b"), col("g2_micro"), col("enriched"))
+  }
 }

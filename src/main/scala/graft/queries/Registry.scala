@@ -4300,6 +4300,291 @@ object Registry {
   }
 
   // ------------------------------------------------------------------------
+  // graph / fusion / robust-stats / corpus-comparison operators (round 10)
+  // ------------------------------------------------------------------------
+
+  /** Integer-law PageRank ([[graft.ops.Graph.pageRankMicro]]) over the
+    * supplier↔customer trade graph (lineitem⋈orders), symmetrized, 5
+    * rounds — the crawl-importance prior, replayed by the oracle as 5
+    * chained CTEs in the same exact integer arithmetic (floor-division
+    * contributions, micro-unit ranks), so every rank matches
+    * bit-for-bit. Node encoding: supplier = 2k, customer = 2k+1.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey").cast("long") * 2L).as("src"),
+        (col("o_custkey").cast("long") * 2L + 1L).as("dst"))
+    graft.ops.Graph.pageRankMicro(
+        graft.ops.Graph.symmetrized(edges, "src", "dst"), "src", "dst",
+        iterations = 5)
+      .select(
+        when(col("node") % 2L === 0L, lit("supplier")).otherwise(lit("customer"))
+          .as("node_kind"),
+        expr("node div 2L").as("node_key"),
+        col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node_kind"), col("node_key"))
+      .limit(25)
+  }
+
+  val qPagerankSql: String = {
+    // one power-iteration round as a CTE: every node of the symmetric
+    // graph receives mass, so the plain join-aggregate covers the node set
+    def round(prev: String, name: String) =
+      s"""$name AS (SELECT e.dst AS node,
+        | CAST(150000 + SUM((p.r * 85) // (100 * d.outdeg)) AS BIGINT) AS r
+        | FROM e JOIN deg d ON d.src = e.src JOIN $prev p ON p.node = e.src
+        | GROUP BY e.dst)""".stripMargin.replace("\n", " ")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
+      |   CAST(o_custkey AS BIGINT) * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      | e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      | deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+      | r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM e),
+      | ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")},
+      | ${round("r3", "r4")}, ${round("r4", "r5")}
+      | SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_kind,
+      |  node // 2 AS node_key, r AS rank_micro
+      | FROM r5 ORDER BY rank_micro DESC, node_kind, node_key LIMIT 25"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Reciprocal-rank-fusion hybrid retrieval
+    * ([[graft.ops.Similarity.rrfFuseTopK]]): cosine and euclidean
+    * rankings of the corpus fused by exact-integer reciprocal ranks
+    * (`1000000 div (60+rank)`, top-20 per system, top-10 fused). Both
+    * per-system rankings and the fusion replay in SQL bit-for-bit (the
+    * sims/distances are the same fixed IEEE chains as q_ann_cosine).
+    */
+  def qRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.rrfFuseTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        perSystemK = 20, k0 = 60, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  val qRrfFusionSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |   list_dot_product(qv, cv) AS dp, list_dot_product(cv, cv) AS cc,
+      |   list_dot_product(qv, qv) AS qq
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | s2 AS (SELECT query_id, neighbor_id, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   (cc - 2.0 * dp) + qq AS l2sq FROM s),
+      | r AS (SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rkc,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY l2sq ASC, neighbor_id) AS rkl
+      |  FROM s2),
+      | f AS (SELECT query_id, neighbor_id,
+      |   (CASE WHEN rkc <= 20 THEN 1000000 // (60 + rkc) ELSE 0 END
+      |    + CASE WHEN rkl <= 20 THEN 1000000 // (60 + rkl) ELSE 0 END) AS rrf_micro,
+      |   rkc, rkl FROM r WHERE rkc <= 20 OR rkl <= 20),
+      | tt AS (SELECT query_id, neighbor_id, rrf_micro, rkc, rkl,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id) AS rk
+      |  FROM f)
+      | SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+      |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
+      |  CASE WHEN rkc <= 20 THEN CAST(rkc AS BIGINT) END AS rk_cos,
+      |  CASE WHEN rkl <= 20 THEN CAST(rkl AS BIGINT) END AS rk_l2
+      | FROM tt WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+
+  /** Robust per-source outlier report ([[graft.ops.Quantiles.madOutliers]]):
+    * exact discrete lower medians, integer MAD, `dev > 3·mad` flags —
+    * every number but the final fraction is a BIGINT.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.madOutliers(
+        t(spark, dir, "documents"), "n_chars", "source", k = 3L)
+      .orderBy("stratum")
+
+  val qMadOutliersSql: String =
+    """WITH v AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | ranked AS (SELECT stratum, v,
+      |   row_number() OVER (PARTITION BY stratum ORDER BY v) AS rn,
+      |   COUNT(*) OVER (PARTITION BY stratum) AS n FROM v),
+      | med AS (SELECT stratum, v AS med FROM ranked WHERE rn = (n + 1) // 2),
+      | dev AS (SELECT v.stratum, abs(v.v - m.med) AS dev, m.med
+      |  FROM v JOIN med m USING (stratum)),
+      | rd AS (SELECT stratum, dev,
+      |   row_number() OVER (PARTITION BY stratum ORDER BY dev) AS rn,
+      |   COUNT(*) OVER (PARTITION BY stratum) AS n FROM dev),
+      | mad AS (SELECT stratum, dev AS mad FROM rd WHERE rn = (n + 1) // 2)
+      | SELECT d.stratum, CAST(COUNT(*) AS BIGINT) AS n, MIN(d.med) AS med,
+      |  MIN(m.mad) AS mad,
+      |  CAST(COUNT(CASE WHEN d.dev > 3 * m.mad THEN 1 END) AS BIGINT) AS n_outliers,
+      |  CAST(COUNT(CASE WHEN d.dev > 3 * m.mad THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+      | FROM dev d JOIN mad m USING (stratum) GROUP BY d.stratum
+      | ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  /** Per-source percent-rank calibration table
+    * ([[graft.ops.Quantiles.percentRankDeciles]]): within-source deciles
+    * of the raw score — the cross-source score-comparability fix.
+    */
+  def qScoreNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.percentRankDeciles(
+        t(spark, dir, "documents"), "n_chars", "source")
+      .orderBy("stratum", "decile")
+
+  val qScoreNormSql: String =
+    """WITH v AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | p AS (SELECT stratum, v,
+      |   percent_rank() OVER (PARTITION BY stratum ORDER BY v) AS pr FROM v),
+      | d AS (SELECT stratum, v,
+      |   CAST(least(floor(pr * 10.0), 9.0) AS BIGINT) AS decile FROM p)
+      | SELECT stratum, decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(v) AS min_v, MAX(v) AS max_v
+      | FROM d GROUP BY stratum, decile ORDER BY stratum, decile"""
+      .stripMargin.replace("\n", " ")
+
+  /** Cohen's kappa ([[graft.ops.Eval.cohenKappa]]) between the corpus's
+    * declared `lang` and the rule-based [[graft.functions.TextFns.langId]]
+    * prediction — the chance-corrected acceptance gate for the cheap
+    * classifier, exact-integer margins and one fixed float chain.
+    */
+  def qKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("lang"),
+        graft.functions.TextFns.langId(col("text")).as("lang_pred"))
+    graft.ops.Eval.cohenKappa(d, "lang", "lang_pred")
+  }
+
+  val qKappaSql: String = {
+    import graft.functions.TextFns._
+    val (en, de, es, fr) =
+      (hitsSql(enStopwords), hitsSql(deStopwords), hitsSql(esStopwords), hitsSql(frStopwords))
+    val predCase =
+      s"""CASE
+        | WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        | WHEN $en = 0 AND $de = 0 AND $es = 0 AND $fr = 0 THEN 'und'
+        | WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+        | WHEN $de >= $es AND $de >= $fr THEN 'de'
+        | WHEN $es >= $fr THEN 'es'
+        | ELSE 'fr' END""".stripMargin.replace("\n", " ")
+    s"""WITH pred AS (SELECT lang AS a, $predCase AS b FROM documents),
+      | flt AS (SELECT a, b FROM pred WHERE a IS NOT NULL AND b IS NOT NULL),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM flt GROUP BY a, b),
+      | tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |   CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree FROM cells),
+      | rm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a),
+      | cm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+      | pn AS (SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS pe_num
+      |  FROM rm JOIN cm ON rm.a = cm.b)
+      | SELECT n, n_agree, pe_num,
+      |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |  CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+      |  CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+      |   THEN NULL
+      |   ELSE (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |    / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |  END AS kappa
+      | FROM tot CROSS JOIN pn""".stripMargin.replace("\n", " ")
+  }
+
+  /** Dunning G² keyness ([[graft.ops.Vocab.keynessG2]]) of the `lang='en'`
+    * slice against the rest — top-40 over/under-represented tokens,
+    * micro-quantized statistic, exact-integer enrichment direction.
+    */
+  def qKeyness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.keynessG2(
+        t(spark, dir, "documents"), "text", col("lang") === "en", k = 40)
+      .orderBy(col("g2_micro").desc, col("token"))
+
+  val qKeynessSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    val ea = "((CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE)) / CAST(na + nb AS DOUBLE))"
+    val eb = "((CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE)) / CAST(na + nb AS DOUBLE))"
+    s"""WITH tk AS (SELECT lang = 'en' AS fg, unnest($lowTok) AS token FROM documents),
+      | c AS (SELECT token,
+      |   CAST(COUNT(CASE WHEN fg THEN 1 END) AS BIGINT) AS a,
+      |   CAST(COUNT(CASE WHEN NOT fg THEN 1 END) AS BIGINT) AS b
+      |  FROM tk WHERE fg IS NOT NULL GROUP BY token),
+      | t AS (SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) AS na,
+      |   CAST(COALESCE(SUM(b), 0) AS BIGINT) AS nb FROM c),
+      | g AS (SELECT token, a, b,
+      |   CAST(round((2.0 * (
+      |     (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / $ea) ELSE 0.0 END)
+      |     + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / $eb) ELSE 0.0 END)
+      |   )) * 1000000.0) AS BIGINT) AS g2_micro,
+      |   a * nb > b * na AS enriched
+      |  FROM c CROSS JOIN t)
+      | SELECT token, a, b, g2_micro, enriched FROM g
+      | ORDER BY g2_micro DESC, token LIMIT 40""".stripMargin.replace("\n", " ")
+  }
+
+  /** Hash-shard balance report ([[graft.ops.Layout.shardBalance]]) for the
+    * 32-shard layout of `documents` keyed on doc_id — the pre-write skew
+    * check, two-md5-byte law (the [[graft.ops.Importance.bucketOf]]
+    * bucket law on the id rendered as a string).
+    */
+  def qShardBalance(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.shardBalance(
+        t(spark, dir, "documents"), "doc_id", "n_chars", nShards = 32)
+      .orderBy("shard")
+
+  val qShardBalanceSql: String = {
+    def nib(pos: Int) =
+      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
+        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    s"""WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS m,
+      |   CAST(n_chars AS BIGINT) AS w FROM documents),
+      | b AS (SELECT (4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)}
+      |   + ${nib(4)}) % 32 AS shard, w FROM h),
+      | s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |   CAST(COALESCE(SUM(w), 0) AS BIGINT) AS weight FROM b GROUP BY shard),
+      | t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM s)
+      | SELECT CAST(shard AS BIGINT) AS shard, n_rows, weight,
+      |  CAST(n_rows * 32 AS DOUBLE) / CAST(t.total AS DOUBLE) AS skew_ratio
+      | FROM s CROSS JOIN t ORDER BY shard""".stripMargin.replace("\n", " ")
+  }
+
+  /** Duplicate-inflation report ([[graft.ops.Dedup.dupInflation]]) per
+    * source, over the corpus plus a re-crawl slice (every 5th document
+    * re-appears uppercased — an exact duplicate under the normalized
+    * fingerprint law): which sources' volume is duplicate re-counting,
+    * and by how much. Exact integers end to end.
+    */
+  def qDupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val recrawl = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        upper(col("text")).as("text"), col("source"))
+    graft.ops.Dedup.dupInflation(
+        docs.unionByName(recrawl), "doc_id", "text", "source")
+      .orderBy("stratum")
+  }
+
+  val qDupInflationSql: String =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, upper(text), source FROM documents
+      |  WHERE doc_id % 5 = 0),
+      | f AS (SELECT source AS stratum,
+      |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+      |   CAST(len(${tokensSqlOf("text")}) AS BIGINT) AS tk
+      |  FROM corpus WHERE source IS NOT NULL),
+      | pc AS (SELECT stratum, fp, CAST(COUNT(*) AS BIGINT) AS docs,
+      |   CAST(SUM(tk) AS BIGINT) AS tks, MIN(tk) AS keep_tk
+      |  FROM f GROUP BY stratum, fp)
+      | SELECT stratum, CAST(SUM(docs) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_uniq,
+      |  CAST(SUM(docs - 1) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(tks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(keep_tk) AS BIGINT) AS uniq_tokens,
+      |  CAST(SUM(tks) - SUM(keep_tk) AS BIGINT) AS dup_tokens,
+      |  CASE WHEN SUM(keep_tk) > 0 THEN
+      |   CAST(SUM(tks) AS DOUBLE) / CAST(SUM(keep_tk) AS DOUBLE) END AS inflation
+      | FROM pc GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4437,6 +4722,14 @@ object Registry {
     "q_line_shapes" -> (qLineShapes _),
     "q_script_mix" -> (qScriptMix _),
     "q_cdc_store" -> (qCdcStore _),
+    "q_pagerank" -> (qPagerank _),
+    "q_rrf_fusion" -> (qRrfFusion _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_score_norm" -> (qScoreNorm _),
+    "q_kappa" -> (qKappa _),
+    "q_keyness" -> (qKeyness _),
+    "q_shard_balance" -> (qShardBalance _),
+    "q_dup_inflation" -> (qDupInflation _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -4587,6 +4880,14 @@ object Registry {
     "q_line_shapes" -> qLineShapesSql,
     "q_script_mix" -> qScriptMixSql,
     "q_cdc_store" -> qCdcStoreSql,
+    "q_pagerank" -> qPagerankSql,
+    "q_rrf_fusion" -> qRrfFusionSql,
+    "q_mad_outliers" -> qMadOutliersSql,
+    "q_score_norm" -> qScoreNormSql,
+    "q_kappa" -> qKappaSql,
+    "q_keyness" -> qKeynessSql,
+    "q_shard_balance" -> qShardBalanceSql,
+    "q_dup_inflation" -> qDupInflationSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -389,4 +389,32 @@ class DedupSpec extends SparkSpec {
     // ("copy paste copy", "paste copy paste") — repeats count once
     assert(got(1L)._1 === 2L, s"distinct shingles for boilerplate: ${got(1L)}")
   }
+
+  test("dupInflation: per-stratum duplicate accounting under the normalized law") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello  World", "a"),   // dup of 2 under lower+ws-collapse
+      (2L, "hello world", "a"),
+      (3L, "unique one", "a"),
+      (4L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dupInflation(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))))
+      .toMap
+    // a: 3 docs, 2 distinct contents, 1 dup; 6 tokens total, 4 unique
+    assert(got("a") === ((3L, 2L, 1L, 6L, 4L, 2L, 1.5)))
+    assert(got("b") === ((1L, 1L, 0L, 3L, 3L, 0L, 1.0)))
+  }
+
+  test("dupInflation charges each stratum only for its OWN redundancy") {
+    import spark.implicits._
+    // same content in two strata: neither sees a duplicate
+    val docs = Seq((1L, "shared text", "a"), (2L, "shared text", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dupInflation(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 0L))
+  }
 }

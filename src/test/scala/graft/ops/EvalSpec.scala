@@ -137,4 +137,39 @@ class EvalSpec extends SparkSpec {
     val want = wins / (pos.size.toDouble * neg.size)
     assert(math.abs(got - want) < 1e-12, s"$got vs $want")
   }
+
+  test("cohenKappa reproduces the textbook 2×2 example exactly") {
+    import spark.implicits._
+    // 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes:
+    // n=50 agree=35 po=0.7; marginals A(25,25) B(30,20) → pe_num=1250 pe=0.5
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    val got = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").head
+    assert(got.getLong(0) === 50L)
+    assert(got.getLong(1) === 35L)
+    assert(got.getLong(2) === 1250L)
+    assert(got.getDouble(3) === 0.7)
+    assert(got.getDouble(4) === 0.5)
+    // same IEEE chain as the operator: (po - pe) / (1 - pe)
+    assert(got.getDouble(5) === (0.7 - 0.5) / (1.0 - 0.5))
+  }
+
+  test("cohenKappa: perfect agreement is 1, label-swapped raters go negative") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x"))
+    assert(Eval.cohenKappa(perfect.toDF("a", "b"), "a", "b")
+      .head.getDouble(5) === 1.0)
+    val inverted = Seq.fill(10)(("x", "y")) ++ Seq.fill(10)(("y", "x"))
+    assert(Eval.cohenKappa(inverted.toDF("a", "b"), "a", "b")
+      .head.getDouble(5) < 0.0)
+  }
+
+  test("cohenKappa: degenerate constant-equal raters yield NULL, NULL labels drop") {
+    import spark.implicits._
+    val const = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    assert(Eval.cohenKappa(const, "a", "b").head.isNullAt(5))
+    val withNulls = Seq((Some("x"), Some("x")), (None, Some("x")), (Some("y"), None))
+      .toDF("a", "b")
+    assert(Eval.cohenKappa(withNulls, "a", "b").head.getLong(0) === 1L)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iterations: Int,
+      symmetrize: Boolean = true): Map[Long, Long] = {
+    val e = edges.toDF("s", "d")
+    val in = if (symmetrize) Graph.symmetrized(e, "s", "d") else e
+    Graph.pageRankMicro(in,
+        if (symmetrize) "src" else "s", if (symmetrize) "dst" else "d",
+        iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path graph matches the hand-computed integer law, two rounds") {
+    // sym edges (1,2),(2,1),(2,3),(3,2); outdeg 1,2 / 2 / 1
+    // r1: 1 -> 150000+425000, 2 -> 150000+850000+850000, 3 like 1
+    // r2: 1 -> 150000+786250, 2 -> 150000+488750·2, 3 like 1
+    assert(ranksOf(Seq((1L, 2L), (2L, 3L)), iterations = 1) ===
+      Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    assert(ranksOf(Seq((1L, 2L), (2L, 3L)), iterations = 2) ===
+      Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L))
+  }
+
+  test("directed edge: the sink receives, the source keeps only teleport mass") {
+    assert(ranksOf(Seq((1L, 2L)), iterations = 1, symmetrize = false) ===
+      Map(1L -> 150000L, 2L -> 1000000L))
+  }
+
+  test("duplicate, reversed and self-loop edges collapse under symmetrization") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (7L, 7L))
+    // self-loop node 7 drops (no real edge); rest equals the clean path
+    assert(ranksOf(noisy, iterations = 2) ===
+      ranksOf(Seq((1L, 2L), (2L, 3L)), iterations = 2))
+  }
+
+  test("symmetric ranks are permutation-invariant and favor the hub") {
+    // star: hub 10 connected to 11..15 — hub must outrank every leaf, and
+    // all leaves tie by symmetry
+    val star = (11L to 15L).map(l => (10L, l))
+    val got = ranksOf(star, iterations = 5)
+    val leaves = (11L to 15L).map(got)
+    assert(leaves.distinct.size === 1, "symmetric leaves must tie exactly")
+    assert(got(10L) > leaves.head)
+  }
+
+  test("total mass stays within floor-truncation of the invariant sum") {
+    // mass conservation up to ≤1 micro lost per edge per round: the sum
+    // after any round stays in (n·init − rounds·edges, n·init]
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val got = ranksOf(edges, iterations = 5)
+    val total = got.values.sum
+    val n = 4L
+    val symEdgeCount = 10L // 5 undirected pairs, both directions
+    assert(total <= n * 1000000L)
+    assert(total > n * 1000000L - 5L * symEdgeCount * 2L)
+  }
+}

@@ -117,4 +117,40 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
     }
   }
+
+  test("shardBalance: totals, weights and skew ratios are exact") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, 10L)).toDF("id", "w")
+    val got = Layout.shardBalance(df, "id", "w", nShards = 8).collect()
+    assert(got.map(_.getLong(1)).sum === 200L, "row mass must be conserved")
+    assert(got.map(_.getLong(2)).sum === 2000L, "weight mass must be conserved")
+    got.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < 8L)
+      assert(r.getDouble(3) === r.getLong(1).toDouble * 8.0 / 200.0)
+    }
+    // md5 on 200 ids over 8 shards: every shard should be populated
+    assert(got.length === 8)
+  }
+
+  test("shardBalance shard assignment is the Importance.bucketOf md5 law") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 50L).map(i => (i, 1L)).toDF("id", "w")
+    val viaOp = Layout.shardBalance(df, "id", "w", nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = df
+      .select(Importance.bucketOf(col("id").cast("string"), 4).as("b"))
+      .groupBy("b").count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(viaOp === direct)
+  }
+
+  test("shardBalance: a NULL weight contributes rows but zero weight") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None)).toDF("id", "w")
+    val got = Layout.shardBalance(df, "id", "w", nShards = 1).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 2L)
+    assert(got.head.getLong(2) === 5L)
+  }
 }

@@ -110,4 +110,65 @@ class QuantilesSpec extends SparkSpec {
     assert(!p.contains("Window"), s"scale path must not rank:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  private def madOf(rows: Seq[(String, Long)]): Map[String, (Long, Long, Long, Long, Double)] = {
+    import spark.implicits._
+    Quantiles.madOutliers(rows.toDF("g", "v"), "v", "g")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+  }
+
+  test("madOutliers: lower medians, integer MAD, dev > 3·mad flags") {
+    val got = madOf(
+      Seq("a" -> 1L, "a" -> 2L, "a" -> 3L, "a" -> 4L, "a" -> 100L,
+        "b" -> 1L, "b" -> 2L, "b" -> 3L, "b" -> 10L))
+    // a: med = pos 3 of (1,2,3,4,100) = 3; devs sorted (0,1,1,2,97) → mad 1;
+    //    outlier iff dev > 3 → only 97
+    assert(got("a") === ((5L, 3L, 1L, 1L, 0.2)))
+    // b (even n): med = pos (4+1) div 2 = 2 of (1,2,3,10) = 2; devs sorted
+    //    (0,1,1,8) → mad pos 2 = 1; outlier 8 > 3
+    assert(got("b") === ((4L, 2L, 1L, 1L, 0.25)))
+  }
+
+  test("madOutliers: mad = 0 razor flags ANY deviation, constant stratum flags none") {
+    val got = madOf(
+      Seq("c" -> 5L, "c" -> 5L, "c" -> 5L,
+        "d" -> 5L, "d" -> 5L, "d" -> 5L, "d" -> 9L))
+    assert(got("c") === ((3L, 5L, 0L, 0L, 0.0)))
+    // d: med 5, devs (0,0,0,4) → mad pos 2 = 0; dev 4 > 0 flags
+    assert(got("d") === ((4L, 5L, 0L, 1L, 0.25)))
+  }
+
+  test("madOutliers excludes NULL values and NULL strata") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1L)), (Some("a"), Some(2L)), (Some("a"), Some(3L)),
+      (Some("a"), None), (None, Some(99L)))
+      .toDF("g", "v")
+    val got = Quantiles.madOutliers(df, "v", "g").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 3L) // n counts only the non-NULL a rows
+  }
+
+  test("percentRankDeciles: pr = 1 lands in decile 9, distinct values spread") {
+    import spark.implicits._
+    val df = (0L until 10L).map(("s", _)).toDF("g", "v")
+    val got = Quantiles.percentRankDeciles(df, "v", "g")
+      .orderBy("decile")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // pr = k/9 → deciles floor(10k/9) hit 0..8 once each except 8 twice? —
+    // k=8 → 8.88 → 8; k=9 → pr 1.0 → capped to 9
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(got.forall(_._2 == 1L))
+    assert(got.last === ((9L, 1L, 9L, 9L)))
+  }
+
+  test("percentRankDeciles: an all-tied stratum sits entirely in decile 0") {
+    import spark.implicits._
+    val df = Seq(("t", 7L), ("t", 7L), ("t", 7L)).toDF("g", "v")
+    val got = Quantiles.percentRankDeciles(df, "v", "g").collect()
+    assert(got.length === 1)
+    assert((got.head.getLong(1), got.head.getLong(2)) === ((0L, 3L)))
+  }
 }

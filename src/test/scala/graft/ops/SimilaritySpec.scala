@@ -622,4 +622,41 @@ class SimilaritySpec extends SparkSpec {
       .select("sim").as[Double].collect()
     assert(cross(0) === cross(1)) // cos(a,b) == cos(b,a)
   }
+
+  test("rrfFuseTopK: disagreeing systems fuse by the exact reciprocal-rank law") {
+    val corpus = Seq(
+      (1L, Array(3.0f, 0.0f)),   // cos rank 1 (exact direction), l2 rank 2
+      (2L, Array(1.0f, 0.1f)),   // cos rank 2, l2 rank 1 (closest point)
+      (3L, Array(0.0f, 5.0f)))   // rank 3 on both — off both shortlists
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.rrfFuseTopK(corpus, queries, "vec_id", "embedding",
+        perSystemK = 2, k0 = 60, k = 3)
+      .orderBy("rk").collect()
+    // both shortlisted candidates score 1000000/61 + 1000000/62 = 32522;
+    // the tie breaks on neighbor id; candidate 3 made neither shortlist
+    assert(got.length === 2)
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(got.map(_.getLong(3)).toSeq === Seq(32522L, 32522L))
+    assert((got(0).getLong(4), got(0).getLong(5)) === ((1L, 2L)))
+    assert((got(1).getLong(4), got(1).getLong(5)) === ((2L, 1L)))
+  }
+
+  test("rrfFuseTopK: a one-system candidate carries a NULL rank for the other") {
+    val corpus = Seq(
+      (1L, Array(4.0f, 0.0f)),
+      (2L, Array(0.5f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.rrfFuseTopK(corpus, queries, "vec_id", "embedding",
+        perSystemK = 1, k0 = 60, k = 2)
+      .orderBy("neighbor_id").collect()
+    // id 1 tops cosine only, id 2 tops l2 only: each contributes 1000000/61
+    assert(got.length === 2)
+    assert(got(0).getLong(4) === 1L)
+    assert(got(0).isNullAt(5), "cos-only candidate must carry NULL l2 rank")
+    assert(got(1).isNullAt(4))
+    assert(got(1).getLong(5) === 1L)
+    assert(got.map(_.getLong(3)).toSeq === Seq(16393L, 16393L))
+  }
 }

@@ -179,4 +179,33 @@ class VocabSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toList
     assert(stored === live)
   }
+
+  test("keynessG2: hand-computed statistic, exact enrichment direction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("apple apple banana", "en"), ("banana cherry cherry", "de"))
+      .toDF("text", "lang")
+    val got = Vocab.keynessG2(docs, "text", col("lang") === "en", k = 10)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // apple: a=2 b=0 na=nb=3 → e_a = 2·3/6 = 1 → G2 = 2·(2·ln 2) = 4 ln 2
+    val appleMicro = math.round(2.0 * (2.0 * math.log(2.0 / 1.0)) * 1000000.0)
+    assert(got("apple") === ((2L, 0L, appleMicro, true)))
+    // banana: a=1 b=1, both expectations 1 → both ln terms 0; 1·3 > 1·3 false
+    assert(got("banana") === ((1L, 1L, 0L, false)))
+    // cherry mirrors apple with the sides swapped: same G2, depleted
+    assert(got("cherry") === ((0L, 2L, appleMicro, false)))
+  }
+
+  test("keynessG2: top-k ordering is g2 desc with token tiebreak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("aa bb aa", true), ("bb cc cc", false))
+      .toDF("text", "fg")
+    val toks = Vocab.keynessG2(docs, "text", col("fg"), k = 2)
+      .collect().map(_.getString(0)).toSeq
+    // aa and cc tie on G2 (mirror counts) — token asc breaks it; bb (G2=0) cut
+    assert(toks === Seq("aa", "cc"))
+  }
 }

@@ -539,6 +539,82 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q_pagerank: rounds pre-execute to checkpointed blocks; the result is a bounded top-k scan") {
+    val p = plan("q_pagerank")
+    // the iteration loop ran eagerly under localCheckpoint — the returned
+    // frame must be a block scan + top-k, never a re-derivation of 5 rounds
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rank top-k degraded to a global sort:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"ranks must come from the checkpointed blocks:\n$p")
+    assert(!p.contains("Join"), s"post-iteration projection must not join:\n$p")
+  }
+
+  test("q_rrf_fusion: bounded query side broadcast; one corpus pass feeds both system windows") {
+    val p = plan("q_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query batch lost its broadcast:\n$p")
+    // the corpus parquet is scanned exactly once — l2 derives from the
+    // same dot products as cosine, so a second scan means the derivation
+    // regressed to a second vector pass
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"corpus+query scans grew beyond 2:\n$p")
+  }
+
+  test("q_mad_outliers: medians broadcast back; corpus never sort-merge-joins") {
+    val p = plan("q_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"median join lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_score_norm: one stratum window + one hash aggregate, no join") {
+    val p = plan("q_score_norm")
+    assert(!p.contains("Join"), s"calibration must not join:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_kappa: contingency via hash aggregates; only label-vocabulary frames join") {
+    val p = plan("q_kappa")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 2, s"more than the 1-row totals nested-loop:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_keyness: token counts one aggregate; totals broadcast; top-k bounded") {
+    val p = plan("q_keyness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"keyness top-k degraded to a global sort:\n$p")
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"only the 1-row totals may nested-loop:\n$p")
+  }
+
+  test("q_shard_balance: ONE corpus scan; total via the bounded post-aggregate window") {
+    val p = plan("q_shard_balance")
+    assert(!p.contains("Join"), s"balance report must not join:\n$p")
+    // the total must come from the ≤nShards aggregated frame, not a second
+    // corpus scan (the scalar-subquery shape this op replaced)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"corpus scanned $scans times:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"scan must prune to the id + weight columns:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_dup_inflation: two hash aggregates over pruned scans, no join, no window") {
+    val p = plan("q_dup_inflation")
+    assert(!p.contains("Join"), s"inflation report must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
