@@ -156,4 +156,106 @@ object Drift {
       (s, tv)
     }
   }
+
+  /** Per-stratum entropy + KL divergence to the REST of the corpus — the
+    * libm-bearing complement to [[tvDrift]] (whose scaladoc argues TV for
+    * the no-libm screen; KL is still what mixture design reads when the
+    * QUESTION is information-theoretic: "how many extra nats does encoding
+    * source s with the rest-of-corpus model cost?"). Made engine-exact by
+    * the DSIR discipline the tvDrift note anticipates: every per-token
+    * term is ONE fixed IEEE chain quantized to pico-units
+    * (`round(term · 1e12)` BIGINT), so the Σ is an exact integer sum —
+    * order-independent, hash-comparable.
+    *
+    * Law (lowercased-token law, the LM/vocab family): with c_st the
+    * stratum's count of token t, c_t the corpus count, N_s / N the totals
+    * and V the corpus vocabulary, add-one smoothing over the CORPUS
+    * vocabulary support gives p_t = (c_st+1)/(N_s+V) and rest-side
+    * q_t = ((c_t−c_st)+1)/((N−N_s)+V); then
+    * `entropy_pico = Σ round((−p·ln p)·1e12)` and
+    * `kl_pico = Σ round((p·(ln p − ln q))·1e12)`.
+    *
+    * Scale shape: one tokenize pass → one (stratum, token) hash aggregate;
+    * the smoothing support is strata × corpus-VOCABULARY (never the
+    * corpus) — a broadcast-nested-loop of the |strata|-row frame against
+    * the token count table, then one hash aggregate back to |strata| rows.
+    *
+    * Output: (stratum, n_toks, v, entropy_pico, kl_pico).
+    */
+  def sourceKlReport(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("_t"))
+    val cst = toks.groupBy(col("stratum"), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+    val ct = cst.groupBy(col("_t")).agg(sum(col("_c")).as("_ct"))
+    val ns = cst.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val glob = ct.agg(sum(col("_ct")).as("_n"), count(lit(1)).as("_v"))
+    val p = (col("_c") + 1L).cast("double") /
+      (col("_ns") + col("_v")).cast("double")
+    val q = ((col("_ct") - col("_c")) + 1L).cast("double") /
+      ((col("_n") - col("_ns")) + col("_v")).cast("double")
+    broadcast(ns).crossJoin(ct)
+      .join(cst, Seq("stratum", "_t"), "left")
+      .na.fill(0L, Seq("_c"))
+      .crossJoin(broadcast(glob))
+      .withColumn("_ent", round(((-p) * log(p)) * 1000000000000.0).cast("long"))
+      .withColumn("_kl", round((p * (log(p) - log(q))) * 1000000000000.0).cast("long"))
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n_toks"), first(col("_v")).as("v"),
+        sum(col("_ent")).as("entropy_pico"), sum(col("_kl")).as("kl_pico"))
+  }
+
+  /** Embedding-space centroid drift per group: the cosine between each
+    * group's mean embedding and the corpus mean — the SEMANTIC twin of
+    * [[tvDrift]]'s lexical screen (a source can keep its vocabulary while
+    * its content drifts; the centroid moves first). Engine-exact by the
+    * centroid-store discipline: components quantize to micro-units
+    * (`round(x·1e6)` BIGINT) and sum exactly per (group, dim); cosine is
+    * scale-invariant, so the SUM vectors stand in for the means and the
+    * statistic is one fixed float chain over three exact DECIMAL(38,0)
+    * dot products (products would pass 2^63 at corpus scale — the
+    * [[tvDrift]] overflow note).
+    *
+    * Note the corpus mean includes the group itself (the stable reference
+    * a dashboard wants — all groups compare against ONE vector; a
+    * leave-one-out variant is a different law).
+    *
+    * Scale shape: ONE posexplode pass → (group, dim) exact sums (|groups|·
+    * dim rows); the global per-dim vector is a window over that bounded
+    * frame and the vector count rides the dim-0 rows, so the corpus is
+    * scanned exactly once and nothing joins. One final |groups|-row
+    * aggregate. Output: (grp, n_vecs, centroid_cos).
+    */
+  def embedCentroidDrift(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val comp = df
+      .filter(col(groupCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0)
+      .select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .select(col("grp"), col("dim"),
+        round(col("_x").cast("double") * 1000000.0).cast("long").as("_m"))
+    // ONE derivation feeds everything downstream: the global per-dim sum
+    // comes from a window over the already-aggregated (grp, dim) frame
+    // (a groupBy twin would re-derive the whole lineage — a second corpus
+    // scan for one vector), and the vector count rides along as the dim-0
+    // row count (every kept vector has a dim 0)
+    val gsum = comp.groupBy(col("grp"), col("dim"))
+      .agg(sum(col("_m")).as("_gs"), count(lit(1)).as("_nd"))
+    val wDim = org.apache.spark.sql.expressions.Window.partitionBy(col("dim"))
+    gsum
+      .withColumn("_ts", sum(col("_gs")).over(wDim))
+      .groupBy(col("grp"))
+      .agg(max(when(col("dim") === 0, col("_nd"))).as("n_vecs"),
+        sum(col("_gs").cast(dec) * col("_ts").cast(dec)).as("_ab"),
+        sum(col("_gs").cast(dec) * col("_gs").cast(dec)).as("_aa"),
+        sum(col("_ts").cast(dec) * col("_ts").cast(dec)).as("_bb"))
+      .withColumn("centroid_cos",
+        col("_ab").cast("double") /
+          (sqrt(col("_aa").cast("double")) * sqrt(col("_bb").cast("double"))))
+      .select(col("grp"), col("n_vecs"), col("centroid_cos"))
+  }
 }

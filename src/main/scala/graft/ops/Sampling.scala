@@ -124,4 +124,42 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Deterministic WEIGHTED sample without replacement, exactly k rows:
+    * the Efraimidis–Spirakis one-pass reservoir law (Efraimidis &
+    * Spirakis, IPL 2006) with the family's hash-derived uniform in place
+    * of an RNG — the quality-weighted draw a curation pipeline uses when
+    * "sample 50k documents, preferring high-quality ones" must be
+    * reproducible across runs, partitionings, and engines.
+    *
+    * Law: u = (h + 0.5) / 65536 where h is the integer value of the first
+    * 4 hex digits of `md5(salt || id)` (strictly inside (0,1) — no ln(0));
+    * the E–S key is `u^(1/w)`, maximized, ranked here by the monotone
+    * twin `ln(u) / w` (one fixed IEEE chain from the exact integer h and
+    * the integer weight, so any engine replays the ranking bit-for-bit;
+    * ties break on id). A row's survival probability rises with its
+    * weight exactly as E–S proves; rows with NULL or non-positive weight
+    * are excluded (a zero weight must never be drawn, and the reciprocal
+    * law has no home for it).
+    *
+    * Scale shape: narrow per-row key computation + a global top-k —
+    * TakeOrderedAndProject, never a full sort. Output: the sampled rows'
+    * (id, weight, key_nano), key_nano = round(ln(u)/w · 1e9) riding along
+    * so downstream audits can re-check the draw.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4),
+      16, 10).cast("double")
+    val u = (h + 0.5) / 65536.0
+    val key = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol).cast("long") > 0L)
+      .select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"),
+        key.as("_key"))
+      .orderBy(col("_key").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("weight"),
+        round(col("_key") * 1000000000.0).cast("long").as("key_nano"))
+  }
 }

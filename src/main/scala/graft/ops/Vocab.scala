@@ -338,6 +338,52 @@ object Vocab {
     oovRate(df, idCol, textCol,
       RefStore.loadLmVocab(df.sparkSession, storeDir))
 
+  /** Tokenizer-fertility report per stratum: characters and subword
+    * pieces per whitespace token — the budgeting numbers a multilingual
+    * mixture needs BEFORE committing token counts (the same tokenizer
+    * yields very different pieces-per-word across languages; mT5's
+    * fertility tables are this report). Subwords follow the engine's
+    * ceil(codepoints/4) proxy law ([[TextFns.statsScala]], the
+    * q_text_stats n_subwords column), so the report composes with every
+    * other stats consumer; one object-boundary pass per document (the
+    * documented HOF-duplication trap is why this is NOT an expression
+    * tree), then one hash aggregate to |strata| rows.
+    *
+    * All counts are exact BIGINTs; the two `*_per_token` ratios are one
+    * double division each (NULL for a token-free stratum rather than a
+    * fake 0 — both engines' NULL law).
+    *
+    * Output: (stratum, n_docs, n_chars, n_tokens, n_subwords,
+    * chars_per_token, subwords_per_token).
+    */
+  def tokenFertility(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(textCol).cast("string").as("_text"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (stratum, text) =>
+        val s = TextFns.statsScala(text)
+        val chars = if (text == null) 0L
+          else text.codePointCount(0, text.length).toLong
+        (stratum, chars, s.nTokens, s.nSubwords)
+      })
+      .toDF("stratum", "_chars", "_toks", "_subw")
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_chars")).as("n_chars"),
+        sum(col("_toks")).as("n_tokens"),
+        sum(col("_subw")).as("n_subwords"))
+      .withColumn("chars_per_token",
+        when(col("n_tokens") > 0L,
+          col("n_chars").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("subwords_per_token",
+        when(col("n_tokens") > 0L,
+          col("n_subwords").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Dunning log-likelihood keyness (Dunning, "Accurate Methods for the
     * Statistics of Surprise and Coincidence", CL 1993): which tokens are
     * statistically over/under-represented in a FOREGROUND slice vs the

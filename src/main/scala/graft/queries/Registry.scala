@@ -4584,6 +4584,127 @@ object Registry {
       |   CAST(SUM(tks) AS DOUBLE) / CAST(SUM(keep_tk) AS DOUBLE) END AS inflation
       | FROM pc GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
 
+  /** Deterministic weighted sample without replacement
+    * ([[graft.ops.Sampling.weightedSample]]): Efraimidis–Spirakis keys
+    * from the md5-derived uniform, weight = n_chars, top-50 — the
+    * reproducible quality-preferring draw, oracle-replayed from the same
+    * exact hash integers and one ln chain.
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+        t(spark, dir, "documents"), "doc_id", "n_chars", k = 50)
+      .orderBy(col("key_nano").desc, col("id"))
+
+  val qWeightedSampleSql: String = {
+    def nib(pos: Int) =
+      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
+        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    s"""WITH h AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+      |   md5('graft' || CAST(doc_id AS VARCHAR)) AS m FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+      | k AS (SELECT id, weight,
+      |   ln((CAST(4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)}
+      |     + ${nib(4)} AS DOUBLE) + 0.5) / 65536.0)
+      |    / CAST(weight AS DOUBLE) AS key FROM h),
+      | top AS (SELECT id, weight, key FROM k ORDER BY key DESC, id LIMIT 50)
+      | SELECT id, weight, CAST(round(key * 1000000000.0) AS BIGINT) AS key_nano
+      | FROM top ORDER BY key_nano DESC, id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Per-source entropy + KL to the rest of the corpus
+    * ([[graft.ops.Drift.sourceKlReport]]): add-one smoothing over the
+    * corpus vocabulary, every term ln-quantized to pico-units before the
+    * exact integer Σ — the information-theoretic complement to
+    * q_tv_drift.
+    */
+  def qSourceKl(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.sourceKlReport(t(spark, dir, "documents"), "source", "text")
+      .orderBy("stratum")
+
+  val qSourceKlSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    val p = "(CAST(c + 1 AS DOUBLE) / CAST(ns + v AS DOUBLE))"
+    val q = "(CAST((ct - c) + 1 AS DOUBLE) / CAST((n - ns) + v AS DOUBLE))"
+    s"""WITH tk AS (SELECT source AS stratum, unnest($lowTok) AS t
+      |  FROM documents WHERE source IS NOT NULL),
+      | cst AS (SELECT stratum, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY 1, 2),
+      | ct AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM cst GROUP BY 1),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM cst GROUP BY 1),
+      | gl AS (SELECT CAST(SUM(ct) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM ct),
+      | sup AS (SELECT ns.stratum, ns.ns, ct.t, ct.ct,
+      |   COALESCE(cst.c, 0) AS c, gl.n, gl.v
+      |  FROM ns CROSS JOIN ct
+      |  LEFT JOIN cst ON cst.stratum = ns.stratum AND cst.t = ct.t
+      |  CROSS JOIN gl),
+      | terms AS (SELECT stratum, ns, v,
+      |   CAST(round(((-$p) * ln($p)) * 1000000000000.0) AS BIGINT) AS ent,
+      |   CAST(round(($p * (ln($p) - ln($q))) * 1000000000000.0) AS BIGINT) AS kl
+      |  FROM sup)
+      | SELECT stratum, MIN(ns) AS n_toks, MIN(v) AS v,
+      |  CAST(SUM(ent) AS BIGINT) AS entropy_pico,
+      |  CAST(SUM(kl) AS BIGINT) AS kl_pico
+      | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+  }
+
+  /** Embedding-centroid drift per label
+    * ([[graft.ops.Drift.embedCentroidDrift]]): cosine of each group's
+    * exact micro-summed centroid against the corpus centroid — the
+    * semantic drift screen, three HUGEINT dot products + one float chain.
+    */
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.embedCentroidDrift(
+        t(spark, dir, "embeddings"), "label", "embedding")
+      .select(col("grp").cast("long").as("grp"), col("n_vecs"),
+        col("centroid_cos"))
+      .orderBy("grp")
+
+  val qEmbedDriftSql: String =
+    """WITH e AS (SELECT label AS grp, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0),
+      | comp AS (SELECT grp, CAST(u.i - 1 AS BIGINT) AS dim,
+      |   CAST(round(v[u.i] * 1000000.0) AS BIGINT) AS m
+      |  FROM e, unnest(range(1, len(v) + 1)) u(i)),
+      | gsum AS (SELECT grp, dim, CAST(SUM(m) AS BIGINT) AS gs
+      |  FROM comp GROUP BY 1, 2),
+      | tsum AS (SELECT dim, CAST(SUM(gs) AS BIGINT) AS ts FROM gsum GROUP BY 1),
+      | ng AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM e GROUP BY 1),
+      | dots AS (SELECT grp,
+      |   SUM(CAST(gs AS HUGEINT) * CAST(ts AS HUGEINT)) AS ab,
+      |   SUM(CAST(gs AS HUGEINT) * CAST(gs AS HUGEINT)) AS aa,
+      |   SUM(CAST(ts AS HUGEINT) * CAST(ts AS HUGEINT)) AS bb
+      |  FROM gsum JOIN tsum USING (dim) GROUP BY grp)
+      | SELECT CAST(ng.grp AS BIGINT) AS grp, ng.n_vecs,
+      |  CAST(ab AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))
+      |   AS centroid_cos
+      | FROM ng JOIN dots USING (grp) ORDER BY grp""".stripMargin.replace("\n", " ")
+
+  /** Tokenizer fertility per language ([[graft.ops.Vocab.tokenFertility]]):
+    * chars and ceil(codepoints/4) subword pieces per whitespace token —
+    * the multilingual token-budget table, exact counts + two divisions.
+    */
+  def qTokFertility(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.tokenFertility(t(spark, dir, "documents"), "lang", "text")
+      .orderBy("stratum")
+
+  val qTokFertilitySql: String = {
+    val nSubw = s"COALESCE(CAST(list_sum(list_transform($tokensSql, " +
+      "tk -> CAST(ceil(CAST(length(tk) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT), 0)"
+    s"""SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
+      | CAST(SUM($nTokensSqlExpr) AS BIGINT) AS n_tokens,
+      | CAST(SUM($nSubw) AS BIGINT) AS n_subwords,
+      | CASE WHEN SUM($nTokensSqlExpr) > 0 THEN
+      |  CAST(SUM(COALESCE(length(text), 0)) AS DOUBLE)
+      |   / CAST(SUM($nTokensSqlExpr) AS DOUBLE) END AS chars_per_token,
+      | CASE WHEN SUM($nTokensSqlExpr) > 0 THEN
+      |  CAST(SUM($nSubw) AS DOUBLE)
+      |   / CAST(SUM($nTokensSqlExpr) AS DOUBLE) END AS subwords_per_token
+      | FROM documents WHERE lang IS NOT NULL
+      | GROUP BY lang ORDER BY stratum""".stripMargin.replace("\n", " ")
+  }
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -4730,6 +4851,10 @@ object Registry {
     "q_keyness" -> (qKeyness _),
     "q_shard_balance" -> (qShardBalance _),
     "q_dup_inflation" -> (qDupInflation _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_source_kl" -> (qSourceKl _),
+    "q_embed_drift" -> (qEmbedDrift _),
+    "q_tok_fertility" -> (qTokFertility _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -4888,6 +5013,10 @@ object Registry {
     "q_keyness" -> qKeynessSql,
     "q_shard_balance" -> qShardBalanceSql,
     "q_dup_inflation" -> qDupInflationSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
+    "q_source_kl" -> qSourceKlSql,
+    "q_embed_drift" -> qEmbedDriftSql,
+    "q_tok_fertility" -> qTokFertilitySql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -102,4 +102,78 @@ class DriftSpec extends SparkSpec {
       s"disjoint-vocabulary batch must alarm hard: tv=${report(1L)._1}")
     assert(report(0L)._1 < report(1L)._1)
   }
+
+  test("sourceKlReport matches a Scala replay of the smoothed pico law") {
+    import spark.implicits._
+    val docs = Seq(("A", "a a b"), ("B", "b c")).toDF("src", "text")
+    val got = Drift.sourceKlReport(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // replay: vocab {a,b,c} V=3 N=5; identical chain, HALF_UP pico rounding
+    def pico(x: Double): Long =
+      BigDecimal(x * 1000000000000.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    def report(cs: Map[String, Long], ns: Long): (Long, Long) = {
+      val ct = Map("a" -> 2L, "b" -> 2L, "c" -> 1L)
+      val (n, v) = (5L, 3L)
+      val terms = ct.keys.toSeq.sorted.map { t =>
+        val c = cs.getOrElse(t, 0L)
+        val p = (c + 1L).toDouble / (ns + v).toDouble
+        val q = ((ct(t) - c) + 1L).toDouble / ((n - ns) + v).toDouble
+        (pico((-p) * math.log(p)), pico(p * (math.log(p) - math.log(q))))
+      }
+      (terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    val (entA, klA) = report(Map("a" -> 2L, "b" -> 1L), 3L)
+    val (entB, klB) = report(Map("b" -> 1L, "c" -> 1L), 2L)
+    assert(got("A") === ((3L, 3L, entA, klA)))
+    assert(got("B") === ((2L, 3L, entB, klB)))
+  }
+
+  test("sourceKlReport: identical sources carry exactly zero KL") {
+    import spark.implicits._
+    // same text in both strata → (c_t − c_st)+1 over the rest mirrors the
+    // stratum's own smoothed p exactly, so every term is 0 BEFORE rounding
+    val docs = Seq(("A", "x y z z"), ("B", "x y z z")).toDF("src", "text")
+    val kl = Drift.sourceKlReport(docs, "src", "text")
+      .collect().map(r => r.getLong(4))
+    assert(kl.toSeq === Seq(0L, 0L))
+  }
+
+  test("sourceKlReport: a lone one-token source has zero entropy and zero KL") {
+    import spark.implicits._
+    val docs = Seq(("A", "x x x")).toDF("src", "text")
+    val r = Drift.sourceKlReport(docs, "src", "text").head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((3L, 1L, 0L, 0L)))
+  }
+
+  test("embedCentroidDrift: symmetric axis groups sit at cos 45° to the corpus mean") {
+    import spark.implicits._
+    val vecs = (1L to 10L).map(i => (i, 0, Array(1.0f, 0.0f))) ++
+      (11L to 20L).map(i => (i, 1, Array(0.0f, 1.0f)))
+    val got = Drift.embedCentroidDrift(vecs.toDF("id", "grp", "v"), "grp", "v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0)._1 === 10L && got(1)._1 === 10L)
+    assert(got(0)._2 === got(1)._2, "symmetric groups must land identically")
+    assert(math.abs(got(0)._2 - 1.0 / math.sqrt(2.0)) < 1e-9)
+  }
+
+  test("embedCentroidDrift: a single group coincides with the corpus centroid") {
+    import spark.implicits._
+    val vecs = (1L to 5L).map(i => (i, 7, Array(0.5f, 0.25f, -1.0f)))
+    val cos = Drift.embedCentroidDrift(vecs.toDF("id", "grp", "v"), "grp", "v")
+      .head.getDouble(2)
+    assert(cos > 0.999999999, s"self-cosine must be ~1, got $cos")
+  }
+
+  test("embedCentroidDrift excludes NULL groups and empty vectors") {
+    import spark.implicits._
+    val vecs = Seq((1L, Some(1), Array(1.0f)), (2L, None, Array(1.0f)),
+      (3L, Some(1), Array.empty[Float]))
+      .toDF("id", "grp", "v")
+    val got = Drift.embedCentroidDrift(vecs, "grp", "v").collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 1L)
+  }
 }

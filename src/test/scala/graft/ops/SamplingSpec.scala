@@ -110,4 +110,47 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byLang === Map("rare" -> 3L, "big" -> 5L))
   }
+
+  /** Scala replay of the Efraimidis–Spirakis key law — same md5 integer,
+    * same uniform, same ln chain as the operator.
+    */
+  private def esKey(id: Long, w: Long, salt: String = "graft"): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = graft.functions.TextFns.hexBytes(
+      md.digest((salt + id.toString).getBytes("UTF-8")))
+    val h = Integer.parseInt(hex.substring(0, 4), 16).toDouble
+    math.log((h + 0.5) / 65536.0) / w.toDouble
+  }
+
+  test("weightedSample reproduces the exact E-S draw of a Scala replay") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, 1L + (i % 7) * 100L))
+    val got = Sampling.weightedSample(rows.toDF("id", "w"), "id", "w", k = 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = rows.sortBy { case (id, w) => (-esKey(id, w), id) }
+      .take(25).map(_._1).toSet
+    assert(got === want)
+  }
+
+  test("weightedSample prefers heavy rows and stays deterministic") {
+    import spark.implicits._
+    val df = ((1L to 200L).map(i => (i, 1L)) ++
+      (201L to 220L).map(i => (i, 100000L))).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val heavy = a.count(_ > 200L)
+    assert(heavy >= 15, s"only $heavy of 20 picks were 100000x-weighted rows")
+    val b = Sampling.weightedSample(df, "id", "w", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("weightedSample excludes non-positive and NULL weights; k beyond n keeps all") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Some(-2L)), (4L, None),
+      (5L, Some(1L))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 5L))
+  }
 }

@@ -198,6 +198,30 @@ class VocabSpec extends SparkSpec {
     assert(got("cherry") === ((0L, 2L, appleMicro, false)))
   }
 
+  test("tokenFertility: exact counts and ratios on a hand-checked corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "hello world!"),      // 12 chars, 2 tokens, subw 2+2
+      ("en", "ab"),                // 2 chars, 1 token, subw 1
+      ("de", null.asInstanceOf[String]), // 0 everything, still a doc
+      (null.asInstanceOf[String], "dropped"))
+      .toDF("lang", "text")
+    val got = Vocab.tokenFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === Set("en", "de"))
+    assert(got("en") === ((2L, 14L, 3L, 5L)))
+    assert(got("de") === ((1L, 0L, 0L, 0L)))
+    val en = Vocab.tokenFertility(docs, "lang", "text")
+      .filter($"stratum" === "en").head
+    assert(en.getDouble(5) === 14.0 / 3.0)
+    assert(en.getDouble(6) === 5.0 / 3.0)
+    val de = Vocab.tokenFertility(docs, "lang", "text")
+      .filter($"stratum" === "de").head
+    assert(de.isNullAt(5) && de.isNullAt(6),
+      "token-free stratum must carry NULL ratios, not fake zeros")
+  }
+
   test("keynessG2: top-k ordering is g2 desc with token tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

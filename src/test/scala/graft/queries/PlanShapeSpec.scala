@@ -615,6 +615,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_weighted_sample: narrow key computation + bounded top-k, nothing else") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"E-S draw degraded to a global sort:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q_source_kl: smoothing support is strata x vocabulary, never the corpus") {
+    val p = plan("q_source_kl")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    // the |strata|-row frame and the 1-row totals broadcast; the token
+    // left-join is hash-keyed
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 2, s"vocabulary support degraded beyond the 2 bounded frames:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_embed_drift: ONE corpus scan; global centroid via the bounded post-aggregate window") {
+    val p = plan("q_embed_drift")
+    assert(!p.contains("Join"), s"drift must not join:\n$p")
+    // the global per-dim sums and the vector counts both derive from the
+    // single (grp, dim) aggregate — a second scan means a branch re-read
+    // the corpus for one number
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1, s"corpus scanned $scans times:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_tok_fertility: one object pass + one aggregate, no join, no window") {
+    val p = plan("q_tok_fertility")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    val objPasses = "SerializeFromObject".r.findAllIn(p).length
+    assert(objPasses == 1, s"fertility pass runs $objPasses times:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
