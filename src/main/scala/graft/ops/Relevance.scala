@@ -135,4 +135,63 @@ object Relevance {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BM25 for a BATCH of queries in one corpus pass — the production
+    * retrieval shape ([[bm25TopDocs]] serves one query; a curation job
+    * pulls topic subsets for hundreds at once, and re-scanning the corpus
+    * per query is the cost this exists to avoid). One tokenize over the
+    * UNION vocabulary, one tf aggregate, then a broadcast join against
+    * the tiny (query, term) frame fans each hit out to its queries.
+    *
+    * Scoring law: the same idf/norm chain as [[bm25TopDocs]], but each
+    * per-term contribution QUANTIZES to micro-units before a per-(query,
+    * doc) integer sum — orderless and batching-independent, so queries
+    * may have any number of terms (the single-query fold pins term order
+    * instead; both laws are engine-exact, they are different laws).
+    *
+    * Scale shape: the corpus-side shuffle carries only union-vocabulary
+    * hits; doc frequencies (≤ |vocab| rows) and the query map broadcast;
+    * per-query top-k is one rank window over scored candidates
+    * (WindowGroupLimit pushes the cut into the sort).
+    *
+    * Output: (query_name, doc_id, rk, score_micro).
+    */
+  def bm25TopDocsBatch(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.map(_._1).distinct.size == queries.size,
+      "query names must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2).distinct
+    val lens = df.select(col(idCol).as("doc_id"),
+      TextFns.tokenCount(col(textCol)).as("len"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("token"))
+      .filter(col("token").isInCollection(vocab))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("len")).as("s")).head()
+    val nDocs = stats.getLong(0)
+    val avgLen = stats.getLong(1).toDouble / nDocs.toDouble
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("term_df"))
+    val tfD = col("tf").cast("double")
+    val idf = ((lit(nDocs) - col("term_df")).cast("double") + lit(0.5)) /
+      (col("term_df").cast("double") + lit(0.5))
+    val norm = (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len").cast("double") / lit(avgLen))))
+    val qt = queries.flatMap { case (qn, ts) => ts.distinct.map(t => (qn, t)) }
+      .toDF("query_name", "token")
+    val w = Window.partitionBy("query_name")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    tf.join(broadcast(dfreq), "token")
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("token"),
+        round((idf * norm) * 1000000.0).cast("long").as("_cm"))
+      .join(broadcast(qt), "token")
+      .groupBy(col("query_name"), col("doc_id"))
+      .agg(sum(col("_cm")).as("score_micro"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_name"), col("doc_id"), col("rk"), col("score_micro"))
+  }
 }

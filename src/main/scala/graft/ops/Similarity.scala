@@ -1295,4 +1295,39 @@ object Similarity {
         when(col("_rkc") <= perSystemK, col("_rkc").cast("long")).as("rk_cos"),
         when(col("_rkl") <= perSystemK, col("_rkl").cast("long")).as("rk_l2"))
   }
+
+  /** Uniform random negatives per query — the EASY half of a contrastive
+    * training pair set ([[hardNegatives]] mines the near-misses; standard
+    * recipes mix k uniform negatives in as well, and "uniform" must still
+    * be a pure function of the pair or a re-run silently changes the
+    * training set — the [[Sampling]] determinism contract). The draw
+    * ranks candidates by `md5(salt ‖ query_id ‖ '_' ‖ candidate_id)` (the
+    * unit-separator guard against id-concat collisions), so any engine
+    * replays the exact pick.
+    *
+    * Same null-safe label law as [[hardNegatives]]: a candidate qualifies
+    * iff its label IS DISTINCT FROM the query's (NULL-label candidates
+    * are negatives for every labeled query; NULL-vs-NULL is same-label).
+    *
+    * Scale shape: the bounded query side broadcasts; candidates rank in
+    * one per-query window (WindowGroupLimit bounds state at k); the
+    * corpus never shuffles into the join.
+    *
+    * Output: (query_id, neighbor_id, rk).
+    */
+  def uniformNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      labelCol: String, k: Int, salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("_ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("_cl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_draw"), col("neighbor_id"))
+    c.join(broadcast(q), !(col("_cl") <=> col("_ql")))
+      .withColumn("_draw", md5(concat(lit(salt),
+        col("query_id").cast("string"), lit("_"),
+        col("neighbor_id").cast("string"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
 }

@@ -47,6 +47,26 @@ object Splits {
         .otherwise(lit("test")))
   }
 
+  /** [[withSplit]] keyed on a GROUP rather than the row id — the
+    * leakage-safe split law: every row of a group (near-duplicate
+    * cluster, source domain, conversation thread) lands in the SAME
+    * split, because splitting correlated rows across train/test leaks the
+    * test set into training (the group-wise split every honest eval
+    * protocol demands; hashing the group key is how it stays a pure
+    * function of the row). Same 13/2/1 nibble boundaries, same
+    * independence from the sampling key.
+    *
+    * Scale shape: a narrow per-row hash — no shuffle, no join, no state;
+    * group cardinality is irrelevant (nothing aggregates).
+    */
+  def withGroupSplit(df: DataFrame, groupCol: String): DataFrame = {
+    val nib = splitNibble(col(groupCol))
+    df.withColumn("split",
+      when(nib <= "c", lit("train"))
+        .when(nib <= "e", lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Adds `shard` (0 until nShards) and `pos` (1-based position within the
     * shard's deterministic order). Shard is a pure key-hash; position orders
     * by (fingerprint, key) inside a hash-partitioned window — fingerprint

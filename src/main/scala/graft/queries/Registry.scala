@@ -4705,6 +4705,96 @@ object Registry {
       | GROUP BY lang ORDER BY stratum""".stripMargin.replace("\n", " ")
   }
 
+  /** Group-disjoint train/val/test split ([[graft.ops.Splits.withGroupSplit]]):
+    * every document of a source lands in ONE split (the leakage-safe
+    * protocol) — verified as per-(source, split) counts, nibble law on the
+    * group key.
+    */
+  def qGroupSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Splits.withGroupSplit(t(spark, dir, "documents"), "source")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+
+  val qGroupSplitSql: String =
+    """SELECT source, CASE
+      |  WHEN substr(md5(source), 32, 1) <= 'c' THEN 'train'
+      |  WHEN substr(md5(source), 32, 1) <= 'e' THEN 'val'
+      |  ELSE 'test' END AS split,
+      | CAST(COUNT(*) AS BIGINT) AS n_docs
+      | FROM documents GROUP BY 1, 2 ORDER BY source, split"""
+      .stripMargin.replace("\n", " ")
+
+  /** Batched BM25 ([[graft.ops.Relevance.bm25TopDocsBatch]]): three
+    * queries scored in ONE corpus pass, per-term contributions
+    * micro-quantized before the orderless integer sum (the batch law),
+    * per-query top-5.
+    */
+  private val bm25BatchQueries: Seq[(String, Seq[String])] = Seq(
+    "qa" -> Seq("spark", "merge"),
+    "qb" -> Seq("vector", "window", "batch"),
+    "qc" -> Seq("table"))
+
+  def qBm25Batch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Relevance.bm25TopDocsBatch(
+        t(spark, dir, "documents"), "doc_id", "text", bm25BatchQueries, k = 5)
+      .orderBy("query_name", "rk")
+
+  val qBm25BatchSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val allTerms = bm25BatchQueries.flatMap(_._2).distinct
+    val inList = allTerms.map("'" + _ + "'").mkString(",")
+    val qtValues = bm25BatchQueries
+      .flatMap { case (qn, ts) => ts.distinct.map(t => s"('$qn','$t')") }
+      .mkString(",")
+    s"""WITH lens AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS len FROM documents),
+      | stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(len) AS BIGINT) AS sumlen FROM lens),
+      | toks AS (SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+      | tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |   WHERE token IN ($inList) GROUP BY 1, 2),
+      | dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS term_df FROM tf GROUP BY 1),
+      | c AS (SELECT tf.doc_id, tf.token, CAST(round((
+      |   ((CAST(s.n - dfq.term_df AS DOUBLE) + 0.5) / (CAST(dfq.term_df AS DOUBLE) + 0.5)) *
+      |   ((CAST(tf.tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE)) /
+      |    (CAST(tf.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE)
+      |      + CAST($b AS DOUBLE) * (CAST(l.len AS DOUBLE)
+      |        / (CAST(s.sumlen AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+      |   ) * 1000000.0) AS BIGINT) AS cm
+      |  FROM tf JOIN lens l USING (doc_id) CROSS JOIN stats s JOIN dfq USING (token)),
+      | qt(query_name, token) AS (SELECT * FROM (VALUES $qtValues) v(q, t)),
+      | p AS (SELECT qt.query_name, c.doc_id, CAST(SUM(c.cm) AS BIGINT) AS score_micro
+      |  FROM c JOIN qt USING (token) GROUP BY 1, 2),
+      | r AS (SELECT query_name, doc_id, score_micro,
+      |   row_number() OVER (PARTITION BY query_name
+      |     ORDER BY score_micro DESC, doc_id) AS rk FROM p)
+      | SELECT query_name, doc_id, CAST(rk AS BIGINT) AS rk, score_micro
+      | FROM r WHERE rk <= 5 ORDER BY query_name, rk""".stripMargin.replace("\n", " ")
+  }
+
+  /** Deterministic uniform negatives
+    * ([[graft.ops.Similarity.uniformNegatives]]): 5 label-distinct
+    * candidates per query drawn by the pair-hash law — the easy half of a
+    * contrastive pair set, exactly replayable.
+    */
+  def qUniformNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.ops.Similarity.uniformNegatives(
+        e, e.filter(col("vec_id") < 5), "vec_id", "label", k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val qUniformNegativesSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, label AS ql FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, label AS cl FROM embeddings),
+      | pairs AS (SELECT query_id, neighbor_id,
+      |   md5('graft' || CAST(query_id AS VARCHAR) || '_' || CAST(neighbor_id AS VARCHAR)) AS draw
+      |  FROM c, q WHERE cl IS DISTINCT FROM ql),
+      | r AS (SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY draw, neighbor_id) AS rk
+      |  FROM pairs)
+      | SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk
+      | FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -4855,6 +4945,9 @@ object Registry {
     "q_source_kl" -> (qSourceKl _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_tok_fertility" -> (qTokFertility _),
+    "q_group_split" -> (qGroupSplit _),
+    "q_bm25_batch" -> (qBm25Batch _),
+    "q_uniform_negatives" -> (qUniformNegatives _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5017,6 +5110,9 @@ object Registry {
     "q_source_kl" -> qSourceKlSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_tok_fertility" -> qTokFertilitySql,
+    "q_group_split" -> qGroupSplitSql,
+    "q_bm25_batch" -> qBm25BatchSql,
+    "q_uniform_negatives" -> qUniformNegativesSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -84,4 +84,58 @@ class RelevanceSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getDouble(1)))
     assert(tie(0)._2 === tie(1)._2 && tie(0)._1 === 1L)
   }
+
+  test("bm25TopDocsBatch matches a Scala replay of the micro-quantized batch law") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark merge spark"),
+      (2L, "spark table"),
+      (3L, "window window table"),
+      (4L, "nothing relevant here at all"))
+      .toDF("doc_id", "text")
+    val queries = Seq("qa" -> Seq("spark", "merge"), "qb" -> Seq("table", "window"))
+    val got = Relevance.bm25TopDocsBatch(corpus, "doc_id", "text", queries, k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // replay: identical idf/norm chain, HALF_UP micro rounding, integer sum
+    val texts = Map(1L -> "spark merge spark", 2L -> "spark table",
+      3L -> "window window table", 4L -> "nothing relevant here at all")
+    val lens = texts.map { case (d, t) => d -> t.split("\\s+").length.toLong }
+    val n = texts.size.toLong
+    val avg = lens.values.sum.toDouble / n.toDouble
+    def tf(d: Long, t: String) = texts(d).split("\\s+").count(_ == t).toLong
+    val vocab = queries.flatMap(_._2).distinct
+    def dfreq(t: String) = texts.keys.count(d => tf(d, t) > 0).toLong
+    def cm(d: Long, t: String): Long = {
+      val f = tf(d, t)
+      if (f == 0) 0L
+      else {
+        val idf = ((n - dfreq(t)).toDouble + 0.5) / (dfreq(t).toDouble + 0.5)
+        val norm = (f.toDouble * 2.2) /
+          (f.toDouble + 1.2 * (0.25 + 0.75 * (lens(d).toDouble / avg)))
+        BigDecimal((idf * norm) * 1000000.0)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    require(vocab.nonEmpty)
+    val want = (for {
+      (qn, ts) <- queries
+      d <- texts.keys if ts.exists(t => tf(d, t) > 0)
+    } yield (qn, d) -> ts.map(t => cm(d, t)).sum).toMap
+    val wantRanked = want.groupBy(_._1._1).flatMap { case (qn, scores) =>
+      scores.toSeq.sortBy { case ((_, d), s) => (-s, d) }.take(3).zipWithIndex
+        .map { case (((_, d), s), i) => (qn, d) -> ((i + 1L, s)) }
+    }
+    assert(got === wantRanked)
+  }
+
+  test("bm25TopDocsBatch: a term shared by two queries scores in both") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val got = Relevance.bm25TopDocsBatch(corpus, "doc_id", "text",
+        Seq("q1" -> Seq("alpha"), "q2" -> Seq("alpha", "gamma")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("q1", 1L), ("q2", 1L), ("q2", 2L)))
+  }
 }

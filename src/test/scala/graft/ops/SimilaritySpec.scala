@@ -659,4 +659,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1).getLong(5) === 1L)
     assert(got.map(_.getLong(3)).toSeq === Seq(16393L, 16393L))
   }
+
+  test("uniformNegatives: exact md5 draw, null-safe label law, bounded k") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Some(0)), (2L, Some(0)), (3L, Some(1)), (4L, Some(1)),
+      (5L, None.asInstanceOf[Option[Int]]))
+      .toDF("vec_id", "label")
+    val queries = corpus.filter($"vec_id" === 1L)
+    val got = Similarity.uniformNegatives(corpus, queries, "vec_id", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // candidates: 3, 4 (label 1) and 5 (NULL label — negative for a
+    // labeled query); 2 shares the label and 1 is the query itself
+    def draw(q: Long, c: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      graft.functions.TextFns.hexBytes(
+        md.digest(s"graft${q}_$c".getBytes("UTF-8")))
+    }
+    val want = Seq(3L, 4L, 5L).sortBy(c => (draw(1L, c), c)).take(2)
+      .zipWithIndex.map { case (c, i) => (c, i + 1L) }
+    assert(got.toSeq === want)
+  }
+
+  test("uniformNegatives: NULL-vs-NULL is same-label and never drawn") {
+    import spark.implicits._
+    val corpus = Seq((1L, None.asInstanceOf[Option[Int]]),
+      (2L, None.asInstanceOf[Option[Int]]), (3L, Some(9)))
+      .toDF("vec_id", "label")
+    val got = Similarity.uniformNegatives(
+        corpus, corpus.filter($"vec_id" === 1L), "vec_id", "label", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(got === Set(3L), "a NULL-label query must only draw labeled candidates")
+  }
 }

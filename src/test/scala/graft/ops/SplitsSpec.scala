@@ -86,4 +86,23 @@ class SplitsSpec extends SparkSpec {
     assert(!(inOrder sameElements inOrder.sorted),
       "fingerprint order coinciding with id order would mean no shuffle happened")
   }
+
+  test("withGroupSplit: every row of a group shares ONE split — no leakage") {
+    import spark.implicits._
+    val df = (0L until 600L).map(i => (i, s"grp${i % 60}")).toDF("id", "grp")
+    val out = Splits.withGroupSplit(df, "grp")
+    val perGroup = out.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.countDistinct($"split").as("ns"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.forall(_ === 1L), "a group straddling splits leaks eval data")
+    // the group's split equals the row-split of the group VALUE itself
+    val want = Splits.withSplit(
+        (0 until 60).map(g => Tuple1(s"grp$g")).toDF("grp"), "grp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = out.select("grp", "split").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === want)
+    // grp0..grp59 inhabit all three splits (13/2/1 law; checked offline)
+    assert(got.values.toSet === Set("train", "val", "test"))
+  }
 }

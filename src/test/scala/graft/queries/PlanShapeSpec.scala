@@ -655,6 +655,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_group_split: narrow hash projection + one aggregate — no join, no window") {
+    val p = plan("q_group_split")
+    assert(!p.contains("Join"), s"group split must not join:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("ReadSchema: struct<source:string>"),
+      s"scan must prune to the group column:\n$p")
+  }
+
+  test("q_bm25_batch: one corpus tf pass; dfreq + query map broadcast; per-query WindowGroupLimit") {
+    val p = plan("q_bm25_batch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"dfreq/query joins lost the broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k lost the rank pre-filter:\n$p")
+  }
+
+  test("q_uniform_negatives: bounded query broadcast; per-query WindowGroupLimit") {
+    val p = plan("q_uniform_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Broadcast"), s"query side lost its broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"draw ranking lost the rank pre-filter:\n$p")
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
