@@ -45,13 +45,24 @@ object Graph {
     * [[symmetrized]]) when the undirected law is wanted, which also
     * guarantees every node appears in the output.
     *
+    * `seeds` (None = classic PageRank) switches to the PERSONALIZED /
+    * TrustRank form (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04): the
+    * teleport mass lands ONLY on the seed set — init and per-round base
+    * are `initMicro`/`baseMicro` for seeds and 0 elsewhere — so rank
+    * becomes trust PROPAGATED from a whitelist through links, the
+    * crawl-curation prior that separates link-endorsed pages from
+    * spam-farm mass which classic PageRank credits equally. A node
+    * unreachable from the seeds holds rank exactly 0 (integer law — no
+    * epsilon residue).
+    *
     * Output: (node, rank_micro) — one row per node that has at least one
     * outgoing edge or received mass, ranks after exactly `iterations`
     * rounds.
     */
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
-      initMicro: Long = 1000000L): DataFrame = {
+      initMicro: Long = 1000000L, seeds: Option[DataFrame] = None,
+      seedCol: String = "node"): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
@@ -61,14 +72,33 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // out-degree rides on the edge row so the per-round join is ranks-only
-    val (ewd, ewdOwned) = Clusters.ownedCheckpoint(e0.join(deg, "src"))
-    // every node: sources ∪ destinations (a sink still holds teleport mass)
+    // out-degree rides on the edge row, and the edge frame checkpoints
+    // HASH-PARTITIONED ON src: localCheckpoint preserves the physical
+    // partitioning, so each round's edges⋈ranks satisfies the join's
+    // src-side distribution from the blocks — only the (bounded) rank
+    // frame moves per round, never the TB-scale edge list
+    val (ewd, ewdOwned) = Clusters.ownedCheckpoint(
+      e0.join(deg, "src").repartition(col("src")))
+    // every node: sources ∪ destinations (a sink still holds teleport
+    // mass); partitioned on node so the per-round contribution join
+    // co-locates with the groupBy(dst) output
     val (nodes, nodesOwned) = Clusters.ownedCheckpoint(
       e0.select(col("src").as("node"))
-        .unionByName(e0.select(col("dst").as("node"))).distinct())
+        .unionByName(e0.select(col("dst").as("node"))).distinct()
+        .repartition(col("node")))
     val baseMicro = (initMicro * (dampDen - dampNum)) / dampDen
-    var ranks = nodes.withColumn("rank_micro", lit(initMicro))
+    // seed flag rides the node frame: classic = every node is a seed
+    val nodesWithSeed = seeds match {
+      case None => nodes.withColumn("_seed", lit(true))
+      case Some(s) =>
+        val sf = s.select(col(seedCol).cast("long").as("node")).distinct()
+          .withColumn("_s", lit(true))
+        nodes.join(sf, Seq("node"), "left")
+          .select(col("node"), coalesce(col("_s"), lit(false)).as("_seed"))
+    }
+    val seedBase = when(col("_seed"), lit(baseMicro)).otherwise(lit(0L))
+    var ranks = nodesWithSeed.select(col("node"), col("_seed"),
+      when(col("_seed"), lit(initMicro)).otherwise(lit(0L)).as("rank_micro"))
     var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (_ <- 1 to iterations) {
       val contribs = ewd
@@ -77,10 +107,10 @@ object Graph {
           expr(s"(rank_micro * ${dampNum}L) div (${dampDen}L * outdeg)")
             .as("_contrib"))
         .groupBy(col("node")).agg(sum(col("_contrib")).as("_in"))
-      val next = nodes
+      val next = ranks.select(col("node"), col("_seed"))
         .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(baseMicro) + coalesce(col("_in"), lit(0L))).as("rank_micro"))
+        .select(col("node"), col("_seed"),
+          (seedBase + coalesce(col("_in"), lit(0L))).as("rank_micro"))
       val (cp, own) = Clusters.ownedCheckpoint(next)
       Clusters.release(owned)
       ranks = cp
@@ -89,7 +119,7 @@ object Graph {
     // localCheckpoint is eager: the final rank blocks are materialized, so
     // the edge/node working-set blocks can drop now rather than at GC time
     Clusters.release(ewdOwned ++ nodesOwned)
-    ranks
+    ranks.select(col("node"), col("rank_micro"))
   }
 
   /** The undirected form of an edge list: both directions, distinct —

@@ -4795,6 +4795,112 @@ object Registry {
       | SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk
       | FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
+  /** TrustRank ([[graft.ops.Graph.pageRankMicro]] with a seed set,
+    * Gyöngyi et al. VLDB'04): teleport mass lands only on the whitelist
+    * (suppliers 0..9) — rank becomes propagated trust. Same integer law,
+    * same 5-CTE oracle with a seeded base.
+    */
+  def qTrustrank(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey").cast("long") * 2L).as("src"),
+        (col("o_custkey").cast("long") * 2L + 1L).as("dst"))
+    val seeds = t(spark, dir, "supplier")
+      .filter(col("s_suppkey") < 10)
+      .select((col("s_suppkey").cast("long") * 2L).as("node"))
+    graft.ops.Graph.pageRankMicro(
+        graft.ops.Graph.symmetrized(edges, "src", "dst"), "src", "dst",
+        iterations = 5, seeds = Some(seeds))
+      .select(
+        when(col("node") % 2L === 0L, lit("supplier")).otherwise(lit("customer"))
+          .as("node_kind"),
+        expr("node div 2L").as("node_key"),
+        col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node_kind"), col("node_key"))
+      .limit(25)
+  }
+
+  val qTrustrankSql: String = {
+    val seedBase = "CASE WHEN e.dst % 2 = 0 AND e.dst // 2 < 10 THEN 150000 ELSE 0 END"
+    def round(prev: String, name: String) =
+      s"""$name AS (SELECT e.dst AS node,
+        | CAST($seedBase + COALESCE(SUM((p.r * 85) // (100 * d.outdeg)), 0) AS BIGINT) AS r
+        | FROM e JOIN deg d ON d.src = e.src JOIN $prev p ON p.node = e.src
+        | GROUP BY e.dst)""".stripMargin.replace("\n", " ")
+    s"""WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
+      |   CAST(o_custkey AS BIGINT) * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      | e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+      | deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+      | r0 AS (SELECT DISTINCT src AS node,
+      |   CAST(CASE WHEN src % 2 = 0 AND src // 2 < 10 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+      |  FROM e),
+      | ${round("r0", "r1")}, ${round("r1", "r2")}, ${round("r2", "r3")},
+      | ${round("r3", "r4")}, ${round("r4", "r5")}
+      | SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_kind,
+      |  node // 2 AS node_key, r AS rank_micro
+      | FROM r5 ORDER BY rank_micro DESC, node_kind, node_key LIMIT 25"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** T5-style span-corruption plan ([[graft.ops.Packing.maskSpans]]):
+    * stratified, hash-jittered, non-overlapping spanLen=3 spans covering
+    * ~15% of tokens — pure integer/md5 law, fully oracle-replayed.
+    */
+  def qMaskSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.maskSpans(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "span_idx")
+
+  val qMaskSpansSql: String = {
+    def nib(pos: Int) =
+      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
+        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    s"""WITH base AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      | sp AS (SELECT doc_id, n_tokens, (n_tokens * 15) // 300 AS n_spans FROM base),
+      | f AS (SELECT doc_id, n_tokens, n_spans, n_tokens // n_spans AS stratum
+      |  FROM sp WHERE n_spans >= 1),
+      | e AS (SELECT doc_id, n_tokens, n_spans, stratum,
+      |   unnest(range(0, n_spans)) AS span_idx FROM f),
+      | h AS (SELECT doc_id, n_tokens, n_spans, stratum, span_idx,
+      |   md5(CAST(doc_id AS VARCHAR) || '_' || CAST(span_idx AS VARCHAR)) AS m
+      |  FROM e)
+      | SELECT doc_id, n_tokens, n_spans, CAST(span_idx AS BIGINT) AS span_idx,
+      |  CAST(span_idx * stratum + (4096 * ${nib(1)} + 256 * ${nib(2)}
+      |    + 16 * ${nib(3)} + ${nib(4)}) % (stratum - 2) AS BIGINT) AS start_tok,
+      |  CAST(span_idx * stratum + (4096 * ${nib(1)} + 256 * ${nib(2)}
+      |    + 16 * ${nib(3)} + ${nib(4)}) % (stratum - 2) + 3 AS BIGINT) AS end_tok
+      | FROM h ORDER BY doc_id, span_idx""".stripMargin.replace("\n", " ")
+  }
+
+  /** GPT-style concat-and-chunk placement
+    * ([[graft.ops.Packing.concatChunks]]): deterministic shard streams
+    * (the shuffleShards permutation), running EOS-inclusive offsets, and
+    * each document's first/last 2048-token training sequence.
+    */
+  def qConcatChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.concatChunks(
+        t(spark, dir, "documents"), "doc_id", "text", seqLen = 2048L, nShards = 8)
+      .orderBy("shard", "pos")
+
+  val qConcatChunksSql: String =
+    s"""WITH lens AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      | k AS (SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS fp FROM lens),
+      | s AS (SELECT doc_id, n_tokens, fp,
+      |   CAST(ascii(substr(fp, 32, 1)) % 8 AS BIGINT) AS shard FROM k),
+      | p AS (SELECT doc_id, n_tokens, shard,
+      |   CAST(row_number() OVER (PARTITION BY shard ORDER BY fp, doc_id) AS BIGINT) AS pos,
+      |   CAST(COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY shard ORDER BY fp, doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM s)
+      | SELECT doc_id, shard, pos, n_tokens, start_off,
+      |  start_off // 2048 AS first_chunk,
+      |  (start_off + n_tokens) // 2048 AS last_chunk,
+      |  start_off // 2048 <> (start_off + n_tokens) // 2048 AS crosses
+      | FROM p ORDER BY shard, pos""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -4948,6 +5054,9 @@ object Registry {
     "q_group_split" -> (qGroupSplit _),
     "q_bm25_batch" -> (qBm25Batch _),
     "q_uniform_negatives" -> (qUniformNegatives _),
+    "q_trustrank" -> (qTrustrank _),
+    "q_mask_spans" -> (qMaskSpans _),
+    "q_concat_chunks" -> (qConcatChunks _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5113,6 +5222,9 @@ object Registry {
     "q_group_split" -> qGroupSplitSql,
     "q_bm25_batch" -> qBm25BatchSql,
     "q_uniform_negatives" -> qUniformNegativesSql,
+    "q_trustrank" -> qTrustrankSql,
+    "q_mask_spans" -> qMaskSpansSql,
+    "q_concat_chunks" -> qConcatChunksSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -47,6 +47,40 @@ class GraphSpec extends SparkSpec {
     assert(got(10L) > leaves.head)
   }
 
+  test("seeded (TrustRank) form: mass flows only from seeds; unreachable nodes hold exactly 0") {
+    import org.apache.spark.sql.functions.col
+    // two components: 1-2-3 path (seed 1) and isolated pair 10-11 (no seed)
+    val edges = Graph.symmetrized(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d"), "s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.pageRankMicro(edges, "src", "dst", iterations = 3,
+        seeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) === 0L && got(11L) === 0L,
+      s"nodes unreachable from the seed must hold exactly 0: $got")
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+    // hand-check round 1: r0 = (1e6, 0, 0); outdeg 1→{2}: 1, 2→{1,3}: 2, 3: 1
+    // r1(1) = 150000 + 0 (node 2 holds 0); r1(2) = 0 + 850000; r1(3) = 0
+    val oneRound = Graph.pageRankMicro(edges, "src", "dst", iterations = 1,
+        seeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound === Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L))
+  }
+
+  test("seeded form with every node a seed equals the classic form") {
+    import org.apache.spark.sql.functions.col
+    val edges = Graph.symmetrized(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d"), "s", "d")
+    val allNodes = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("node")
+    val classic = Graph.pageRankMicro(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeded = Graph.pageRankMicro(edges, "src", "dst", iterations = 3,
+        seeds = Some(allNodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(classic === seeded)
+  }
+
   test("total mass stays within floor-truncation of the invariant sum") {
     // mass conservation up to ≤1 micro lost per edge per round: the sum
     // after any round stays in (n·init − rounds·edges, n·init]

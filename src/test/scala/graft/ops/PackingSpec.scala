@@ -86,4 +86,64 @@ class PackingSpec extends SparkSpec {
     assert(got === (1L to 8L).map(i => i -> (i * 300) / 256).toMap,
       "the non-identifier column name must splice quoted, same div law")
   }
+
+  test("maskSpans: stratified spans never overlap, stay in range, cover ~15%") {
+    import spark.implicits._
+    // 100-token doc → n_spans = 100·15/300 = 5, strata of 20
+    val docs = Seq((7L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val got = Packing.maskSpans(docs, "id", "text")
+      .orderBy("span_idx").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.length === 5)
+    got.zipWithIndex.foreach { case ((idx, start, end), i) =>
+      assert(idx === i.toLong)
+      assert(end === start + 3L)
+      assert(start >= i * 20L && end <= (i + 1) * 20L,
+        s"span $idx [$start,$end) left its stratum [${i * 20}, ${(i + 1) * 20})")
+    }
+    // deterministic across invocations
+    val again = Packing.maskSpans(docs, "id", "text")
+      .orderBy("span_idx").collect().map(r => (r.getLong(4), r.getLong(5)))
+    assert(again.toSeq === got.map(t => (t._2, t._3)).toSeq)
+  }
+
+  test("maskSpans: short documents emit nothing; threshold sits at one full span") {
+    import spark.implicits._
+    // 19 tokens → 19·15/300 = 0 spans; 20 tokens → 1 span
+    val docs = Seq(
+      (1L, (1 to 19).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"b$i").mkString(" ")))
+      .toDF("id", "text")
+    val got = Packing.maskSpans(docs, "id", "text")
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(got === Seq(2L))
+  }
+
+  test("concatChunks: offsets tile each shard stream exactly, EOS included") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, (1 to (i % 5 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("id", "text")
+    val got = Packing.concatChunks(docs, "id", "text", seqLen = 8L, nShards = 4)
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    // per shard: start_off of pos 1 is 0, and each next start_off is the
+    // previous start_off + previous n_tokens + 1 (the EOS) — no gaps, no
+    // overlaps (the tiling law a dataloader depends on)
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._4 === 0L, s"shard $shard stream must start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, n1, o1, _, _, _), (_, _, _, o2, _, _, _)) =>
+          assert(o2 === o1 + n1 + 1L, s"shard $shard stream has a gap")
+        case _ =>
+      }
+    }
+    // chunk span law
+    got.foreach { case (_, _, n, off, first, last, crosses) =>
+      assert(first === off / 8L)
+      assert(last === (off + n) / 8L)
+      assert(crosses === (first != last))
+    }
+  }
 }

@@ -682,6 +682,32 @@ class PlanShapeSpec extends SparkSpec {
       s"draw ranking lost the rank pre-filter:\n$p")
   }
 
+  test("q_trustrank: like q_pagerank — checkpointed rounds, bounded top-k result") {
+    val p = plan("q_trustrank")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_mask_spans: narrow arithmetic + one explode — no shuffle but the output sort") {
+    val p = plan("q_mask_spans")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("Generate"), s"span sequence lost its explode:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1 && (exchanges == 0 || p.contains("rangepartitioning")),
+      s"masking grew a non-sort shuffle:\n$p")
+  }
+
+  test("q_concat_chunks: one shard shuffle + the per-shard ordered window, no join") {
+    val p = plan("q_concat_chunks")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"stream offsets must stay shard-parallel:\n$p")
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
