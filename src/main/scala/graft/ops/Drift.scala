@@ -207,6 +207,59 @@ object Drift {
         sum(col("_ent")).as("entropy_pico"), sum(col("_kl")).as("kl_pico"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance per stratum vs the rest
+    * of the corpus, over an integer metric column — the NUMERIC
+    * distribution-shift screen beside [[tvDrift]]'s lexical one (a source
+    * whose document-length distribution walks away from the corpus is
+    * drifting even when its vocabulary has not). KS needs no libm: the
+    * sup of |F_s − F_r| over a step function is attained at observed
+    * values, each |·| term is the exact integer cross-multiplication
+    * `|cum_s·n_r − cum_r·n_s|` (DECIMAL(38,0)/HUGEINT — counts past 2^31
+    * make the product pass 2^63, the [[tvDrift]] overflow note), and ONE
+    * double division renders the statistic.
+    *
+    * Scale shape: one hash aggregate to (stratum, value) counts — the
+    * support is strata × DISTINCT metric values, never the corpus — then
+    * two bounded windows (per-stratum cumulative, global-per-value
+    * cumulative) and a |strata|-row max aggregate.
+    *
+    * Output: (stratum, n, n_rest, ks) — strata with an empty rest side
+    * (single-stratum corpus) report NULL ks (undefined, not 0).
+    */
+  def ksDrift(df: DataFrame, stratumCol: String, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val ns = cnt.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val vals = cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val wAllCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+    val valsCum = vals.withColumn("_cumAll", sum(col("_cv")).over(wAllCum))
+      .select(col("_v"), col("_cumAll"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_v"))
+    val support = broadcast(ns).crossJoin(valsCum)
+      .join(cnt, Seq("stratum", "_v"), "left")
+      .na.fill(0L, Seq("_c"))
+      .withColumn("_cumS", sum(col("_c")).over(wS))
+    val totals = ns.agg(sum(col("_ns")).as("_n"))
+    support.crossJoin(broadcast(totals))
+      .withColumn("_cumR", col("_cumAll") - col("_cumS"))
+      .withColumn("_nr", col("_n") - col("_ns"))
+      .withColumn("_term",
+        abs(col("_cumS").cast(dec) * col("_nr").cast(dec) -
+          col("_cumR").cast(dec) * col("_ns").cast(dec)))
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n"), first(col("_nr")).as("n_rest"),
+        max(col("_term")).as("_num"))
+      .withColumn("ks",
+        when(col("n_rest") > 0L,
+          col("_num").cast("double") /
+            (col("n").cast(dec) * col("n_rest").cast(dec)).cast("double")))
+      .select(col("stratum"), col("n"), col("n_rest"), col("ks"))
+  }
+
   /** Embedding-space centroid drift per group: the cosine between each
     * group's mean embedding and the corpus mean — the SEMANTIC twin of
     * [[tvDrift]]'s lexical screen (a source can keep its vocabulary while

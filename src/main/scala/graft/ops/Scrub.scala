@@ -34,4 +34,36 @@ object Scrub {
   def emailCount(c: Column): Column = regexp_count(c, lit(emailPattern))
 
   def phoneCount(c: Column): Column = regexp_count(c, lit(phonePattern))
+
+  /** Per-stratum PII exposure report — the governance dashboard row set:
+    * which sources carry identifiable contact info, at what rate, BEFORE
+    * the corpus ships (per-document masking is [[maskPii]]; this is the
+    * aggregate that decides whether a source needs it at all, and audits
+    * the residue after). Exact integer counts from the same regex laws;
+    * the two rates are one double division each (docs-with-PII fraction,
+    * PII hits per 1000 docs — the compliance-reporting convention).
+    *
+    * Scale shape: one narrow regex-count pass + one hash aggregate to
+    * |strata| rows. No join, no window.
+    *
+    * Output: (stratum, n_docs, n_pii_docs, n_emails, n_phones, pii_frac,
+    * hits_per_1k).
+    */
+  def piiDensity(df: org.apache.spark.sql.DataFrame, stratumCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        emailCount(col(textCol)).cast("long").as("_e"),
+        phoneCount(col(textCol)).cast("long").as("_p"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_e") + col("_p") > 0L, 1L).otherwise(0L)).as("n_pii_docs"),
+        sum(col("_e")).as("n_emails"),
+        sum(col("_p")).as("n_phones"))
+      .withColumn("pii_frac",
+        col("n_pii_docs").cast("double") / col("n_docs").cast("double"))
+      .withColumn("hits_per_1k",
+        ((col("n_emails") + col("n_phones")) * 1000L).cast("double") /
+          col("n_docs").cast("double"))
+  }
 }

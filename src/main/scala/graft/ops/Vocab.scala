@@ -384,6 +384,52 @@ object Vocab {
           col("n_subwords").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** Token-frequency concentration per stratum: the Gini coefficient of
+    * each source's unigram distribution plus its top-10-token share — the
+    * boilerplate/templating smell test (a healthy natural-language source
+    * sits near Zipf; a log-dump or template farm concentrates its mass in
+    * a handful of tokens and the Gini spikes). Exact-integer law: counts
+    * sort ascending with the token as tiebreak (tie blocks contribute
+    * `c·Σi` regardless of internal order, so the statistic is
+    * permutation-safe), `Σ i·c_i` accumulates in DECIMAL(38,0)/HUGEINT
+    * (rank × count passes 2^63 at corpus scale), and the statistic is the
+    * standard `G = 2·Σ i·c_(i) / (v·N_s) − (v+1)/v` rendered by one fixed
+    * float chain.
+    *
+    * Scale shape: one tokenize pass → (stratum, token) hash aggregate;
+    * the window ranks each stratum's VOCABULARY (bounded), not its
+    * tokens; one |strata|-row final aggregate.
+    *
+    * Output: (stratum, v, n_toks, gini, top10_share).
+    */
+  def tokenGini(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("_t"))
+      .groupBy(col("stratum"), col("_t")).agg(count(lit(1)).as("_c"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_c").asc, col("_t").asc)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_c").desc, col("_t").asc)
+    cnt
+      .withColumn("_i", row_number().over(wAsc).cast("long"))
+      .withColumn("_rd", row_number().over(wDesc).cast("long"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("v"),
+        sum(col("_c")).as("n_toks"),
+        sum(col("_i").cast(dec) * col("_c").cast(dec)).as("_ic"),
+        sum(when(col("_rd") <= 10L, col("_c")).otherwise(0L)).as("_top10"))
+      .withColumn("gini",
+        lit(2.0) * col("_ic").cast("double") /
+          (col("v").cast(dec) * col("n_toks").cast(dec)).cast("double") -
+          (col("v") + 1L).cast("double") / col("v").cast("double"))
+      .withColumn("top10_share",
+        col("_top10").cast("double") / col("n_toks").cast("double"))
+      .select(col("stratum"), col("v"), col("n_toks"), col("gini"),
+        col("top10_share"))
+  }
+
   /** Dunning log-likelihood keyness (Dunning, "Accurate Methods for the
     * Statistics of Surprise and Coincidence", CL 1993): which tokens are
     * statistically over/under-represented in a FOREGROUND slice vs the

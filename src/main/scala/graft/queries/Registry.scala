@@ -4901,6 +4901,110 @@ object Registry {
       |  start_off // 2048 <> (start_off + n_tokens) // 2048 AS crosses
       | FROM p ORDER BY shard, pos""".stripMargin.replace("\n", " ")
 
+  /** Exact Kolmogorov–Smirnov drift ([[graft.ops.Drift.ksDrift]]): each
+    * source's document-length distribution vs the rest — integer
+    * cross-multiplied sup, one division, hash-oracled.
+    */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.ksDrift(t(spark, dir, "documents"), "source", "n_chars")
+      .orderBy("stratum")
+
+  val qKsDriftSql: String =
+    """WITH cnt AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v,
+      |   CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+      | vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cnt GROUP BY 1),
+      | vc AS (SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumall FROM vals),
+      | tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM ns),
+      | sup AS (SELECT ns.stratum, ns.ns, vc.v, vc.cumall,
+      |   COALESCE(cnt.c, 0) AS c, tot.n
+      |  FROM ns CROSS JOIN vc
+      |  LEFT JOIN cnt ON cnt.stratum = ns.stratum AND cnt.v = vc.v
+      |  CROSS JOIN tot),
+      | cum AS (SELECT stratum, ns, n, cumall,
+      |   CAST(SUM(c) OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS cums
+      |  FROM sup),
+      | terms AS (SELECT stratum, ns, n - ns AS nr,
+      |   abs(CAST(cums AS HUGEINT) * CAST(n - ns AS HUGEINT)
+      |     - CAST(cumall - cums AS HUGEINT) * CAST(ns AS HUGEINT)) AS term
+      |  FROM cum)
+      | SELECT stratum, MIN(ns) AS n, MIN(nr) AS n_rest,
+      |  CASE WHEN MIN(nr) > 0 THEN
+      |   CAST(MAX(term) AS DOUBLE)
+      |    / CAST(CAST(MIN(ns) AS HUGEINT) * CAST(MIN(nr) AS HUGEINT) AS DOUBLE)
+      |  END AS ks
+      | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  /** Token-frequency concentration ([[graft.ops.Vocab.tokenGini]]): Gini
+    * + top-10 share per source — the templating smell test, exact ranks
+    * and DECIMAL/HUGEINT rank×count sums.
+    */
+  def qTokenGini(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.tokenGini(t(spark, dir, "documents"), "source", "text")
+      .orderBy("stratum")
+
+  val qTokenGiniSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    s"""WITH cnt AS (SELECT stratum, t, CAST(COUNT(*) AS BIGINT) AS c FROM
+      |   (SELECT source AS stratum, unnest($lowTok) AS t FROM documents
+      |    WHERE source IS NOT NULL) GROUP BY 1, 2),
+      | rk AS (SELECT stratum, c,
+      |   CAST(row_number() OVER (PARTITION BY stratum ORDER BY c ASC, t ASC) AS BIGINT) AS i,
+      |   CAST(row_number() OVER (PARTITION BY stratum ORDER BY c DESC, t ASC) AS BIGINT) AS rd
+      |  FROM cnt),
+      | agg AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS v,
+      |   CAST(SUM(c) AS BIGINT) AS n_toks,
+      |   SUM(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS ic,
+      |   CAST(SUM(CASE WHEN rd <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10
+      |  FROM rk GROUP BY 1)
+      | SELECT stratum, v, n_toks,
+      |  2.0 * CAST(ic AS DOUBLE)
+      |    / CAST(CAST(v AS HUGEINT) * CAST(n_toks AS HUGEINT) AS DOUBLE)
+      |    - CAST(v + 1 AS DOUBLE) / CAST(v AS DOUBLE) AS gini,
+      |  CAST(top10 AS DOUBLE) / CAST(n_toks AS DOUBLE) AS top10_share
+      | FROM agg ORDER BY stratum""".stripMargin.replace("\n", " ")
+  }
+
+  /** PII exposure dashboard ([[graft.ops.Scrub.piiDensity]]) over the
+    * planted-PII corpus (the q_pii_scrub planting convention — every
+    * doc_id % 5 != 0 carries an injected email + phone): per-source doc
+    * and hit counts plus the two compliance rates.
+    */
+  def qPiiDensity(spark: SparkSession, dir: String): DataFrame = {
+    val planted = t(spark, dir, "documents").select(col("source"),
+      when(col("doc_id") % 5 === 0, col("text"))
+        .otherwise(concat(
+          lit("reach user"), col("doc_id").cast("string"), lit("@example.com or call "),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") * 7 % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") * 13 % 9000 + 1000).cast("string"), lit(" "), col("text")))
+        .as("text"))
+    graft.ops.Scrub.piiDensity(planted, "source", "text")
+      .orderBy("stratum")
+  }
+
+  val qPiiDensitySql: String =
+    """WITH c AS (SELECT source,
+      |  CASE WHEN doc_id % 5 = 0 THEN text ELSE
+      |   'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or call ' ||
+      |   CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+      |   CAST(doc_id * 7 % 900 + 100 AS VARCHAR) || '-' ||
+      |   CAST(doc_id * 13 % 9000 + 1000 AS VARCHAR) || ' ' || text END AS _c
+      | FROM documents WHERE source IS NOT NULL),
+      | h AS (SELECT source AS stratum,
+      |   CAST(len(regexp_extract_all(_c, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+      |   CAST(len(regexp_extract_all(_c, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS p
+      |  FROM c)
+      | SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(CASE WHEN e + p > 0 THEN 1 END) AS BIGINT) AS n_pii_docs,
+      |  CAST(SUM(e) AS BIGINT) AS n_emails, CAST(SUM(p) AS BIGINT) AS n_phones,
+      |  CAST(COUNT(CASE WHEN e + p > 0 THEN 1 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS pii_frac,
+      |  CAST((SUM(e) + SUM(p)) * 1000 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hits_per_1k
+      | FROM h GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -5057,6 +5161,9 @@ object Registry {
     "q_trustrank" -> (qTrustrank _),
     "q_mask_spans" -> (qMaskSpans _),
     "q_concat_chunks" -> (qConcatChunks _),
+    "q_ks_drift" -> (qKsDrift _),
+    "q_token_gini" -> (qTokenGini _),
+    "q_pii_density" -> (qPiiDensity _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5225,6 +5332,9 @@ object Registry {
     "q_trustrank" -> qTrustrankSql,
     "q_mask_spans" -> qMaskSpansSql,
     "q_concat_chunks" -> qConcatChunksSql,
+    "q_ks_drift" -> qKsDriftSql,
+    "q_token_gini" -> qTokenGiniSql,
+    "q_pii_density" -> qPiiDensitySql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -148,6 +148,42 @@ class DriftSpec extends SparkSpec {
       ((3L, 1L, 0L, 0L)))
   }
 
+  test("ksDrift: hand-checked sup, identical strata at exactly 0, lone stratum NULL") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {3,4,5}: F_A - F_B maxes at v=2 (2/3 - 0) and
+    // v=3 (3/3 - 1/3) → sup = 2/3
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 3L), ("B", 4L), ("B", 5L)).toDF("src", "v")
+    val got = Drift.ksDrift(df, "src", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got("A") - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(got("B") - 2.0 / 3.0) < 1e-15, "KS is symmetric")
+
+    val same = Seq(("A", 7L), ("A", 9L), ("B", 7L), ("B", 9L)).toDF("src", "v")
+    val zero = Drift.ksDrift(same, "src", "v")
+      .collect().map(_.getDouble(3))
+    assert(zero.forall(_ === 0.0), "identical distributions must sit at exactly 0")
+
+    val lone = Seq(("A", 1L), ("A", 2L)).toDF("src", "v")
+    val r = Drift.ksDrift(lone, "src", "v").head
+    assert(r.isNullAt(3), "an empty rest side is undefined, not 0")
+  }
+
+  test("ksDrift flags a shifted stratum harder than a matching one") {
+    import spark.implicits._
+    val base = (1L to 100L).map(v => ("ok", v)) ++
+      (1L to 100L).map(v => ("ref", v)) ++
+      (901L to 1000L).map(v => ("shifted", v))
+    val got = Drift.ksDrift(base.toDF("src", "v"), "src", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // shifted's support is disjoint from its whole rest side → exactly 1;
+    // ok's rest CONTAINS the shifted mass, so its sup is the shifted share
+    // of the rest (100/200 = 0.5) — and ref must mirror ok exactly
+    assert(got("shifted") === 1.0, s"disjoint support must max out: ${got("shifted")}")
+    assert(got("ok") === 0.5 && got("ok") === got("ref"))
+    assert(got("shifted") > got("ok"))
+  }
+
   test("embedCentroidDrift: symmetric axis groups sit at cos 45° to the corpus mean") {
     import spark.implicits._
     val vecs = (1L to 10L).map(i => (i, 0, Array(1.0f, 0.0f))) ++

@@ -43,4 +43,32 @@ class ScrubSpec extends SparkSpec {
     val once = scrub("a@b.co 555-123-4567")._1
     assert(scrub(once)._1 === once)
   }
+
+  test("piiDensity: exact per-stratum counts and the two compliance rates") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "mail me at x@y.com and also z@w.org"), // 2 emails
+      ("a", "call 555-123-4567"),                   // 1 phone
+      ("a", "clean text"),
+      ("b", "all clean here"),
+      (null.asInstanceOf[String], "dropped x@y.com"))
+      .toDF("src", "text")
+    val got = Scrub.piiDensity(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("a") === ((3L, 2L, 2L, 1L, 2.0 / 3.0, 3000.0 / 3.0)))
+    assert(got("b") === ((1L, 0L, 0L, 0L, 0.0, 0.0)))
+    assert(!got.contains(null))
+  }
+
+  test("piiDensity: masked residue reports zero exposure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dirty = Seq(("s", "contact a@b.co or 555-123-4567 today")).toDF("src", "text")
+    val masked = dirty.withColumn("text", Scrub.maskPii(col("text")))
+    val got = Scrub.piiDensity(masked, "src", "text").head
+    assert((got.getLong(2), got.getLong(3), got.getLong(4)) === ((0L, 0L, 0L)),
+      "the audit after maskPii must read clean")
+  }
 }

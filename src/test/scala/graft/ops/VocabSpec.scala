@@ -222,6 +222,33 @@ class VocabSpec extends SparkSpec {
       "token-free stratum must carry NULL ratios, not fake zeros")
   }
 
+  test("tokenGini: uniform distribution at 0, concentration pushes toward 1") {
+    import spark.implicits._
+    // uniform: 4 tokens × 3 occurrences each → G = 2·(1+2+3+4)·3/(4·12) − 5/4 = 0
+    val uniform = Seq(("u", "a b c d a b c d a b c d")).toDF("src", "text")
+    val gu = Vocab.tokenGini(uniform, "src", "text").head
+    assert(gu.getLong(1) === 4L && gu.getLong(2) === 12L)
+    assert(math.abs(gu.getDouble(3)) < 1e-15)
+    assert(gu.getDouble(4) === 1.0) // 4 tokens ≤ top-10: whole mass
+
+    // concentrated: one token 98 times, two once → near 2/3 for v=3
+    val conc = Seq(("c", (Seq.fill(98)("z") ++ Seq("q", "w")).mkString(" ")))
+      .toDF("src", "text")
+    val gc = Vocab.tokenGini(conc, "src", "text").head
+    // exact law: Σ i·c = 1·1 + 2·1 + 3·98 = 297; G = 2·297/(3·100) − 4/3
+    assert(gc.getDouble(3) === 2.0 * 297.0 / 300.0 - 4.0 / 3.0)
+    assert(gc.getDouble(3) > 0.6)
+  }
+
+  test("tokenGini: top10_share isolates the head of a long-tail stratum") {
+    import spark.implicits._
+    // 15 singleton tokens + one 85-count head → top10 = 85 + 9 singles
+    val text = (Seq.fill(85)("head") ++ (1 to 15).map(i => s"tail$i")).mkString(" ")
+    val g = Vocab.tokenGini(Seq(("s", text)).toDF("src", "text"), "src", "text").head
+    assert(g.getLong(1) === 16L && g.getLong(2) === 100L)
+    assert(g.getDouble(4) === 94.0 / 100.0)
+  }
+
   test("keynessG2: top-k ordering is g2 desc with token tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -708,6 +708,31 @@ class PlanShapeSpec extends SparkSpec {
       s"stream offsets must stay shard-parallel:\n$p")
   }
 
+  test("q_ks_drift: support is strata x distinct values; corpus aggregates once") {
+    val p = plan("q_ks_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 2, s"beyond the strata and 1-row-total frames nested-loop:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_token_gini: vocabulary-sized windows over one count aggregate, no join") {
+    val p = plan("q_token_gini")
+    assert(!p.contains("Join"), s"gini must not join:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_pii_density: narrow regex pass + one aggregate, pruned scan") {
+    val p = plan("q_pii_density")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"scan must prune to id+text+stratum:\n$p")
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
