@@ -19,8 +19,18 @@ object LogLevels {
   /** Raise the intentional-release RDD logger to ERROR. Call after the
     * SparkSession exists (Spark's log4j2 config is installed by then).
     */
-  def quietCheckpointRelease(): Unit =
+  def quietCheckpointRelease(): Unit = {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
+    // same posture for `WARN WindowExec: No Partition Defined` — several
+    // operators (shard-balance total, KS global cumulative, embed-drift
+    // global sums) use an unpartitioned window over an ALREADY-AGGREGATED
+    // bounded frame BY DESIGN (the alternative was a second corpus scan);
+    // PlanShapeSpec pins that no corpus-sized frame ever does this, so
+    // the per-query warning is pure driver-tail noise here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+  }
 }

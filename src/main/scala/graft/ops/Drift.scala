@@ -260,6 +260,59 @@ object Drift {
       .select(col("stratum"), col("n"), col("n_rest"), col("ks"))
   }
 
+  /** The (value, count) histogram of an integer metric — the commit unit
+    * of the [[RefStore.writeValueCounts]] family and the two-sample input
+    * of [[ksAgainstCounts]]. NULL values carry no distribution mass.
+    */
+  private[ops] def valueCounts(df: DataFrame, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+
+  /** Exact two-sample KS between two (value, count) histograms — the
+    * generic core [[ksDrift]] specializes (there: stratum vs rest within
+    * one frame) and [[ksAgainstStored]] feeds from a persisted baseline.
+    * Same integer law: cumulative counts over the UNION of observed
+    * values, each term `|cumA·n_b − cumB·n_a|` cross-multiplied in
+    * DECIMAL(38,0), one double division. Returns ONE row
+    * (n_batch, n_ref, ks); an empty side yields NULL ks.
+    */
+  def ksAgainstCounts(batchCounts: DataFrame, refCounts: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = batchCounts.select(col("_v"), col("_c").as("_ca"))
+    val b = refCounts.select(col("_v"), col("_c").as("_cb"))
+    val merged = a.join(b, Seq("_v"), "full_outer")
+      .na.fill(0L, Seq("_ca", "_cb"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    merged
+      .withColumn("_cumA", sum(col("_ca")).over(wCum))
+      .withColumn("_cumB", sum(col("_cb")).over(wCum))
+      .withColumn("_na", sum(col("_ca")).over(wAll))
+      .withColumn("_nb", sum(col("_cb")).over(wAll))
+      .withColumn("_term",
+        abs(col("_cumA").cast(dec) * col("_nb").cast(dec) -
+          col("_cumB").cast(dec) * col("_na").cast(dec)))
+      .agg(coalesce(min(col("_na")), lit(0L)).as("n_batch"),
+        coalesce(min(col("_nb")), lit(0L)).as("n_ref"),
+        max(col("_term")).as("_num"))
+      .withColumn("ks",
+        when(col("n_batch") > 0L && col("n_ref") > 0L,
+          col("_num").cast("double") /
+            (col("n_batch").cast(dec) * col("n_ref").cast(dec)).cast("double")))
+      .select(col("n_batch"), col("n_ref"), col("ks"))
+  }
+
+  /** [[ksAgainstCounts]] of an ingest batch against the PERSISTED corpus
+    * histogram ([[RefStore.loadValueCounts]]) — incremental numeric drift
+    * monitoring: the baseline commits once and grows by merges; each
+    * batch is histogrammed and scored without rescanning the corpus.
+    */
+  def ksAgainstStored(batch: DataFrame, valueCol: String,
+      storeDir: String): DataFrame =
+    ksAgainstCounts(valueCounts(batch, valueCol),
+      RefStore.loadValueCounts(batch.sparkSession, storeDir))
+
   /** Embedding-space centroid drift per group: the cosine between each
     * group's mean embedding and the corpus mean — the SEMANTIC twin of
     * [[tvDrift]]'s lexical screen (a source can keep its vocabulary while

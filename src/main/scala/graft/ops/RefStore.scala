@@ -671,6 +671,108 @@ object RefStore {
       .groupBy(col("_t")).agg(sum(col("_c")).as("c_t"))
   }
 
+  // ---- link-graph edge artifact (incremental crawl graph) ----
+
+  private val GRAPH_EDGES = "graph_edges"
+  private val GRAPH_LAW = "edges-long-pairs-v1"
+
+  /** Persist a link graph's directed edge list — the incremental side of
+    * [[Graph.pageRankMicro]]: each crawl batch contributes the edges it
+    * discovered, and ranking runs over the LOADED union instead of
+    * re-deriving the whole graph per run. A plain append family: the rank
+    * laws re-distinct edges anyway (parallel edges collapse by contract),
+    * so replay re-appends are invisible — the fingerprint-family
+    * idempotency mechanism.
+    */
+  def writeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      dir: String): Unit = {
+    val spark = edges.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "graphLaw" -> GRAPH_LAW))
+      edgeFrame(edges, srcCol, dstCol)
+        .write.mode("overwrite").parquet(path(dir, GRAPH_EDGES))
+    }
+  }
+
+  /** Append one batch's edges (fails fast on a dir that never saw
+    * [[writeEdges]]). `leaseWaitMs` / `autoCompactAfter` as in
+    * [[mergeExact]] — safe to auto-compact (re-distinct family).
+    */
+  def mergeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      dir: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = edges.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      require(readMeta(spark, dir).get("graphLaw").contains(GRAPH_LAW),
+        s"store $dir holds no edge artifact — writeEdges first")
+      edgeFrame(edges, srcCol, dstCol)
+        .write.mode("append").parquet(path(dir, GRAPH_EDGES))
+      maybeAutoCompact(spark, dir, autoCompactAfter, GRAPH_EDGES)
+    }
+  }
+
+  /** The distinct (src, dst) edge frame — feed it to
+    * [[Graph.pageRankMicro]] / [[Graph.symmetrized]]; batching is
+    * invisible because every consumer re-distincts.
+    */
+  def loadEdges(spark: SparkSession, dir: String): DataFrame = {
+    require(readMeta(spark, dir).get("graphLaw").contains(GRAPH_LAW),
+      s"store $dir holds no edge artifact")
+    artifactDf(spark, dir, GRAPH_EDGES)
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  private def edgeFrame(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+
+  // ---- value-count artifact (numeric drift baseline) ----
+
+  private val VALUE_COUNTS = "value_counts"
+  private val VALUES_LAW = "long-value-counts-v1"
+
+  /** Persist a corpus metric's value histogram — the numeric twin of the
+    * token-count drift baseline: [[Drift.ksAgainstStored]] scores each
+    * ingest batch's distribution against the persisted corpus without
+    * rescanning it. A COUNT family (`batch=<id>/` commit units — partial
+    * counts re-SUM exactly, retries overwrite their own dir).
+    */
+  def writeValueCounts(corpus: DataFrame, valueCol: String, dir: String): Unit = {
+    val spark = corpus.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "valuesLaw" -> VALUES_LAW))
+      Drift.valueCounts(corpus, valueCol)
+        .write.mode("overwrite").parquet(batchPath(dir, VALUE_COUNTS, "init"))
+    }
+  }
+
+  /** Commit one batch's value counts under `batch=<batchId>/`.
+    * `leaseWaitMs` / `autoCompactAfter` as in [[mergeExact]].
+    */
+  def mergeValueCounts(batch: DataFrame, valueCol: String, dir: String,
+      batchId: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      require(readMeta(spark, dir).get("valuesLaw").contains(VALUES_LAW),
+        s"store $dir holds no value-count artifact — writeValueCounts first")
+      Drift.valueCounts(batch, valueCol)
+        .write.mode("overwrite").parquet(batchPath(dir, VALUE_COUNTS, batchId))
+      maybeAutoCompact(spark, dir, autoCompactAfter, VALUE_COUNTS)
+    }
+  }
+
+  /** The re-summed (_v, _c) corpus histogram — batching-independent
+    * integer sums, the centroid law.
+    */
+  def loadValueCounts(spark: SparkSession, dir: String): DataFrame = {
+    require(readMeta(spark, dir).get("valuesLaw").contains(VALUES_LAW),
+      s"store $dir holds no value-count artifact (or a different law version)")
+    artifactDf(spark, dir, VALUE_COUNTS).drop("batch")
+      .groupBy(col("_v")).agg(sum(col("_c")).as("_c"))
+  }
+
   // ---- centroid artifact (semantic-dedup cluster accumulators) ----
 
   private val CENTROIDS = "centroids"
@@ -1141,6 +1243,21 @@ object RefStore {
           vv.repartition(numFiles, col("_tk"))
             .write.mode("overwrite").parquet(tmp))
       }
+      if (want(GRAPH_EDGES) && meta.contains("graphLaw") && has(GRAPH_EDGES)) {
+        val ed = spark.read.parquet(path(dir, GRAPH_EDGES))
+          .select(col("src"), col("dst")).distinct()
+        swapArtifact(spark, dir, GRAPH_EDGES)(tmp =>
+          ed.repartition(numFiles, col("src"))
+            .write.mode("overwrite").parquet(tmp))
+      }
+      if (want(VALUE_COUNTS) && meta.contains("valuesLaw") && has(VALUE_COUNTS)) {
+        val c = spark.read.parquet(path(dir, VALUE_COUNTS)).drop("batch")
+          .groupBy(col("_v")).agg(sum(col("_c")).as("_c"))
+        swapArtifact(spark, dir, VALUE_COUNTS)(tmp =>
+          c.repartition(numFiles, col("_v"))
+            .write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "batch=compacted").toString))
+      }
       if (want(TOKEN_COUNTS) && meta.contains("driftLaw") && has(TOKEN_COUNTS)) {
         val c = spark.read.parquet(path(dir, TOKEN_COUNTS)).drop("batch")
           .groupBy(col("_t")).agg(sum(col("_c")).as("_c"))
@@ -1165,7 +1282,8 @@ object RefStore {
     */
   private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, HASHSIG,
     CDC_CHUNKS, LM_BIGRAMS, LM_VOCAB, TOKEN_COUNTS, CENTROIDS, IVF_CENTROIDS,
-    IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS)
+    IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS,
+    GRAPH_EDGES, VALUE_COUNTS)
 
   /** Commit units a family has accumulated since its last compaction: the
     * `batch=<id>/` subdir count for the per-batch commit families, else
@@ -1410,6 +1528,18 @@ object RefStore {
       val bad = ro(TOKEN_COUNTS)
         .filter(col("_c").isNull || col("_c") < 1L || col("_t").isNull).count()
       (meta.get("driftLaw").nonEmpty && bad == 0L, s"bad=$bad")
+    }
+    if (has(GRAPH_EDGES)) checked("graph", "edges_non_null_no_selfloop_law") {
+      // self-loops are LEGAL store content (rank laws drop them at use);
+      // the fsck invariant is non-null long endpoints under the law tag
+      val bad = ro(GRAPH_EDGES)
+        .filter(col("src").isNull || col("dst").isNull).count()
+      (meta.get("graphLaw").nonEmpty && bad == 0L, s"bad=$bad")
+    }
+    if (has(VALUE_COUNTS)) checked("values", "value_counts_positive") {
+      val bad = ro(VALUE_COUNTS)
+        .filter(col("_c").isNull || col("_c") < 1L || col("_v").isNull).count()
+      (meta.get("valuesLaw").nonEmpty && bad == 0L, s"bad=$bad")
     }
     if (has(CENTROIDS)) checked("centroids", "positive_member_counts") {
       val bad = ro(CENTROIDS)

@@ -5005,6 +5005,85 @@ object Registry {
       |  CAST((SUM(e) + SUM(p)) * 1000 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hits_per_1k
       | FROM h GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
 
+  /** PERSISTED link graph ([[graft.ops.RefStore.writeEdges]] +
+    * loadEdges): the trade graph commits its edge list in two batches;
+    * ranking runs over the LOADED union — batching is invisible because
+    * edges re-distinct, so the ranks must hash-match the live q_pagerank
+    * law bit-for-bit.
+    */
+  def qPagerankStore(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey").cast("long") * 2L).as("src"),
+        (col("o_custkey").cast("long") * 2L + 1L).as("dst"))
+    val store = storeOnce(dir, "edgestore") { s =>
+      graft.ops.RefStore.writeEdges(
+        edges.filter(col("src") % 4L === 0L), "src", "dst", s)
+      // second commit OVERLAPS the first on purpose: the distinct law
+      // must absorb re-discovered edges (the crawl-batch reality)
+      graft.ops.RefStore.mergeEdges(edges, "src", "dst", s)
+    }
+    graft.ops.Graph.pageRankMicro(
+        graft.ops.Graph.symmetrized(
+          graft.ops.RefStore.loadEdges(spark, store), "src", "dst"),
+        "src", "dst", iterations = 5)
+      .select(
+        when(col("node") % 2L === 0L, lit("supplier")).otherwise(lit("customer"))
+          .as("node_kind"),
+        expr("node div 2L").as("node_key"),
+        col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node_kind"), col("node_key"))
+      .limit(25)
+  }
+
+  /** Same law as q_pagerank: edge batching is invisible to the distinct
+    * edge set.
+    */
+  lazy val qPagerankStoreSql: String = qPagerankSql
+
+  /** PERSISTED numeric drift baseline
+    * ([[graft.ops.RefStore.writeValueCounts]] +
+    * [[graft.ops.Drift.ksAgainstStored]]): the corpus commits its
+    * n_chars histogram in two batches; the en-slice batch scores its KS
+    * against the loaded baseline — re-summed counts are
+    * batching-invariant, so the statistic must match the oracle's direct
+    * two-sample computation exactly.
+    */
+  def qKsStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val store = storeOnce(dir, "valstore") { s =>
+      graft.ops.RefStore.writeValueCounts(
+        docs.filter(col("doc_id") % 2 === 0), "n_chars", s)
+      graft.ops.RefStore.mergeValueCounts(
+        docs.filter(col("doc_id") % 2 === 1), "n_chars", s, batchId = "b1")
+    }
+    graft.ops.Drift.ksAgainstStored(
+      docs.filter(col("lang") === "en"), "n_chars", store)
+  }
+
+  val qKsStoreSql: String =
+    """WITH a AS (SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS ca
+      |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+      | b AS (SELECT CAST(n_chars AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      | m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+      |   COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
+      | c AS (SELECT v, ca, cb,
+      |   CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |   CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+      |   CAST(SUM(ca) OVER () AS BIGINT) AS na,
+      |   CAST(SUM(cb) OVER () AS BIGINT) AS nb FROM m),
+      | t AS (SELECT na, nb,
+      |   abs(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)
+      |     - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) AS term FROM c)
+      | SELECT CAST(COALESCE(MIN(na), 0) AS BIGINT) AS n_batch,
+      |  CAST(COALESCE(MIN(nb), 0) AS BIGINT) AS n_ref,
+      |  CASE WHEN COALESCE(MIN(na), 0) > 0 AND COALESCE(MIN(nb), 0) > 0 THEN
+      |   CAST(MAX(term) AS DOUBLE)
+      |    / CAST(CAST(MIN(na) AS HUGEINT) * CAST(MIN(nb) AS HUGEINT) AS DOUBLE)
+      |  END AS ks FROM t""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -5164,6 +5243,8 @@ object Registry {
     "q_ks_drift" -> (qKsDrift _),
     "q_token_gini" -> (qTokenGini _),
     "q_pii_density" -> (qPiiDensity _),
+    "q_pagerank_store" -> (qPagerankStore _),
+    "q_ks_store" -> (qKsStore _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5335,6 +5416,8 @@ object Registry {
     "q_ks_drift" -> qKsDriftSql,
     "q_token_gini" -> qTokenGiniSql,
     "q_pii_density" -> qPiiDensitySql,
+    "q_pagerank_store" -> qPagerankStoreSql,
+    "q_ks_store" -> qKsStoreSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -662,6 +662,67 @@ class RefStoreSpec extends SparkSpec {
     assert(checks(("drift", "token_counts_positive")) === true)
   }
 
+  test("edge store: overlapping crawl batches ≡ the distinct graph; compact + fsck aware") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val dir = Files.createTempDirectory("refstore-edges").toString
+    RefStore.writeEdges(edges.filter($"s" === 1L), "s", "d", dir)
+    RefStore.mergeEdges(edges, "s", "d", dir) // overlaps the first commit
+    RefStore.mergeEdges(edges, "s", "d", dir) // replay: append family, re-distincted
+    def ranks(e: org.apache.spark.sql.DataFrame) =
+      Graph.pageRankMicro(Graph.symmetrized(e, "src", "dst"), "src", "dst", 3)
+        .as[(Long, Long)].collect().toMap
+    val stored = ranks(RefStore.loadEdges(spark, dir))
+    val live = ranks(edges.select($"s".as("src"), $"d".as("dst")))
+    assert(stored === live,
+      "ranking over the loaded union must equal the live distinct graph")
+    // law gate: a foreign dir fails fast
+    val plain = Files.createTempDirectory("refstore-edges-foreign").toString
+    RefStore.writeExact(batch1, "text", plain, expectedItems = 100L)
+    val err = intercept[IllegalArgumentException] {
+      RefStore.mergeEdges(edges, "s", "d", plain)
+    }
+    assert(err.getMessage.contains("no edge artifact"))
+    // compact folds the appended files; answers unchanged; fsck green
+    RefStore.compact(spark, dir, numFiles = 2)
+    assert(ranks(RefStore.loadEdges(spark, dir)) === stored)
+    val checks = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(checks(("graph", "edges_non_null_no_selfloop_law")) === true)
+  }
+
+  test("value-count store: batched histogram ≡ live two-sample KS; retry idempotent; compact + fsck aware") {
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L), (5L, 40L))
+      .toDF("doc_id", "n_chars")
+    val dir = Files.createTempDirectory("refstore-values").toString
+    RefStore.writeValueCounts(docs.filter($"doc_id" <= 2), "n_chars", dir)
+    RefStore.mergeValueCounts(docs.filter($"doc_id" > 2), "n_chars", dir, batchId = "b1")
+    RefStore.mergeValueCounts(docs.filter($"doc_id" > 2), "n_chars", dir, batchId = "b1") // retry
+    // a replayed APPEND would double batch b1: value 20 must count 2
+    val c20 = RefStore.loadValueCounts(spark, dir)
+      .filter($"_v" === 20L).select("_c").as[Long].collect()
+    assert(c20.toSeq === Seq(2L))
+    val batch = Seq((9L, 10L), (10L, 20L)).toDF("doc_id", "n_chars")
+    val got = Drift.ksAgainstStored(batch, "n_chars", dir).head
+    // hand KS: batch {10,20} vs ref {10,20,20,30,40}: sup at v=20:
+    // |2·5 − 3·2| = 4 → 4/10
+    assert((got.getLong(0), got.getLong(1)) === ((2L, 5L)))
+    assert(got.getDouble(2) === 0.4)
+    // compact folds the batch tree; the statistic is unchanged; fsck green
+    RefStore.compact(spark, dir, numFiles = 2)
+    val again = Drift.ksAgainstStored(batch, "n_chars", dir).head
+    assert(again.getDouble(2) === 0.4)
+    val checks = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(checks(("values", "value_counts_positive")) === true)
+    // law gate
+    val plain = Files.createTempDirectory("refstore-values-foreign").toString
+    RefStore.writeExact(batch1, "text", plain, expectedItems = 100L)
+    val err = intercept[IllegalArgumentException] {
+      RefStore.mergeValueCounts(docs, "n_chars", plain, batchId = "x")
+    }
+    assert(err.getMessage.contains("no value-count artifact"))
+  }
+
   test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
     val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
