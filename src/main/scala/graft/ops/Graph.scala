@@ -62,30 +62,31 @@ object Graph {
   def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
       initMicro: Long = 1000000L, seeds: Option[DataFrame] = None,
-      seedCol: String = "node"): DataFrame = {
+      seedCol: String = "node", checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive, got $checkpointEvery")
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // out-degree rides on the edge row, and the edge frame checkpoints
-    // HASH-PARTITIONED ON src: localCheckpoint preserves the physical
-    // partitioning, so each round's edges⋈ranks satisfies the join's
-    // src-side distribution from the blocks — only the (bounded) rank
-    // frame moves per round, never the TB-scale edge list
-    val (ewd, ewdOwned) = Clusters.ownedCheckpoint(
-      e0.join(deg, "src").repartition(col("src")))
-    // every node: sources ∪ destinations (a sink still holds teleport
-    // mass); partitioned on node so the per-round contribution join
-    // co-locates with the groupBy(dst) output
-    val (nodes, nodesOwned) = Clusters.ownedCheckpoint(
-      e0.select(col("src").as("node"))
-        .unionByName(e0.select(col("dst").as("node"))).distinct()
-        .repartition(col("node")))
+    // out-degree rides on the edge row. The rounds compose LAZILY into one
+    // plan: the edge subtree is plan-identical in every round, so Spark's
+    // exchange reuse shuffles the TB-scale edge list ONCE and every round
+    // reads the reused exchange — strictly better than a per-round
+    // checkpoint, which materializes blocks whose partitioning the scan
+    // does NOT preserve (measured: a checkpointed repartition re-exchanges
+    // under the join, GraphSpec pins the ReusedExchange shape instead).
+    // `checkpointEvery` bounds plan depth for LONG iteration counts: every
+    // k rounds the rank frame materializes (the Clusters owned-checkpoint
+    // discipline) and the next k rounds start from blocks.
+    val ewd = e0.join(deg, "src")
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node"))).distinct()
     val baseMicro = (initMicro * (dampDen - dampNum)) / dampDen
     // seed flag rides the node frame: classic = every node is a seed
     val nodesWithSeed = seeds match {
@@ -100,25 +101,24 @@ object Graph {
     var ranks = nodesWithSeed.select(col("node"), col("_seed"),
       when(col("_seed"), lit(initMicro)).otherwise(lit(0L)).as("rank_micro"))
     var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ewd
         .join(ranks, ewd("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr(s"(rank_micro * ${dampNum}L) div (${dampDen}L * outdeg)")
             .as("_contrib"))
         .groupBy(col("node")).agg(sum(col("_contrib")).as("_in"))
-      val next = ranks.select(col("node"), col("_seed"))
+      ranks = ranks.select(col("node"), col("_seed"))
         .join(contribs, Seq("node"), "left")
         .select(col("node"), col("_seed"),
           (seedBase + coalesce(col("_in"), lit(0L))).as("rank_micro"))
-      val (cp, own) = Clusters.ownedCheckpoint(next)
-      Clusters.release(owned)
-      ranks = cp
-      owned = own
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val (cp, own) = Clusters.ownedCheckpoint(ranks)
+        Clusters.release(owned)
+        ranks = cp
+        owned = own
+      }
     }
-    // localCheckpoint is eager: the final rank blocks are materialized, so
-    // the edge/node working-set blocks can drop now rather than at GC time
-    Clusters.release(ewdOwned ++ nodesOwned)
     ranks.select(col("node"), col("rank_micro"))
   }
 

@@ -81,6 +81,35 @@ class GraphSpec extends SparkSpec {
     assert(classic === seeded)
   }
 
+  test("rounds compose into ONE plan and AQE reuses the edge exchange across them") {
+    // the 100 TB property of the lazy round chain: the edge subtree is
+    // plan-identical in every round, so the TB-scale edge shuffle runs
+    // once and later rounds read the reused stage. (A per-round
+    // localCheckpoint was measured WORSE: the block scan does not
+    // preserve the hash partitioning, so every round re-exchanged the
+    // edges — this pin replaces that design.)
+    val edges = Graph.symmetrized(
+      (1L to 500L).map(i => (i, i % 97L + 1000L)).toDF("s", "d"), "s", "d")
+    val df = Graph.pageRankMicro(edges, "src", "dst", iterations = 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ShuffleQueryStage"),
+      s"rounds stopped sharing the edge exchange:\n${p.take(4000)}")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("checkpointEvery bounds plan depth without changing a single rank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    def run(every: Int) = ranksOf(edges, iterations = 6) ->
+      Graph.pageRankMicro(
+        Graph.symmetrized(edges.toDF("s", "d"), "s", "d"), "src", "dst",
+        iterations = 6, checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (lazy8, cp2) = run(2) // checkpoints after rounds 2 and 4
+    assert(lazy8 === cp2,
+      "materialization cadence must be invisible to the integer law")
+  }
+
   test("total mass stays within floor-truncation of the invariant sum") {
     // mass conservation up to ≤1 micro lost per edge per round: the sum
     // after any round stays in (n·init − rounds·edges, n·init]

@@ -539,15 +539,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("q_pagerank: rounds pre-execute to checkpointed blocks; the result is a bounded top-k scan") {
+  test("q_pagerank: one lazy plan, bounded top-k, edge exchange reused across rounds") {
     val p = plan("q_pagerank")
-    // the iteration loop ran eagerly under localCheckpoint — the returned
-    // frame must be a block scan + top-k, never a re-derivation of 5 rounds
     assert(p.contains("TakeOrderedAndProject"),
       s"rank top-k degraded to a global sort:\n$p")
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
-      s"ranks must come from the checkpointed blocks:\n$p")
-    assert(!p.contains("Join"), s"post-iteration projection must not join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val df = Registry.queries("q_pagerank")(spark, dir)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange") || ep.contains("ShuffleQueryStage"),
+      "AQE stopped reusing the edge exchange across the rank rounds")
   }
 
   test("q_rrf_fusion: bounded query side broadcast; one corpus pass feeds both system windows") {
@@ -682,11 +683,10 @@ class PlanShapeSpec extends SparkSpec {
       s"draw ranking lost the rank pre-filter:\n$p")
   }
 
-  test("q_trustrank: like q_pagerank — checkpointed rounds, bounded top-k result") {
+  test("q_trustrank: like q_pagerank — one lazy plan, bounded top-k, no cartesian") {
     val p = plan("q_trustrank")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_mask_spans: narrow arithmetic + one explode — no shuffle but the output sort") {
