@@ -160,6 +160,27 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] stored simhash planted check failed: ${e.getMessage}")
     }
+    // Compression-ratio gate: the deflate law is a zlib-implementation
+    // constant (rows-only query), so its REGRESSION check is the ordering
+    // invariant the signal exists for — looped/templated text must
+    // compress far below token-diverse text of the same length. Driver-
+    // side strings, no Spark job; a violated ordering means the deflate
+    // plumbing broke (wrong charset, truncated buffer, level drift) and
+    // the output is removed so the driver records the failure.
+    try {
+      val rep = ("spam spam spam " * 200).trim
+      val div = (0 until 200).map(i => s"w${i}x${i * 7}").mkString(" ")
+      val (_, _, repRatio) = graft.functions.TextFns.deflateScala(rep)
+      val (_, _, divRatio) = graft.functions.TextFns.deflateScala(div)
+      System.err.println(f"[verify] q_compress_ratio planted: repetitive " +
+        f"$repRatio%.3f vs diverse $divRatio%.3f (need rep < 0.5*div)")
+      if (!(repRatio < 0.5 * divRatio)) {
+        System.err.println("[verify] q_compress_ratio FAILED planted ordering — removing output")
+        rm(new java.io.File(s"$outDir/q_compress_ratio"))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] compress-ratio check failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
       .mkString("{", ",", "}")

@@ -574,4 +574,33 @@ object TextFns {
     }
     regexp_replace(regexp_replace(ent, "[ \\t\\r\\n\\f]+", " "), "^ +| +$", "")
   }
+
+  /** Deflate compression ratio of a document's UTF-8 bytes — the classic
+    * cheap redundancy signal (Gopher's repetition family and C4-era spam
+    * screens both lean on "machine-generated text compresses too well"):
+    * templated/looped content lands well under natural prose, random
+    * noise lands near (or above) 1. Level-6 zlib via `java.util.zip`
+    * (JDK-built-in, no dependency). The exact byte count is an
+    * IMPLEMENTATION constant of the zlib build, not a cross-engine law —
+    * so consumers treat the ratio as a monotone signal (unit-pinned
+    * orderings, Verify floor gate), never an oracle-hashed value.
+    *
+    * Returns (rawBytes, deflateBytes, ratio); NULL text → (0, 0, NaN kept
+    * out by the caller's guard — here (0,0,0.0) so aggregates stay sane).
+    */
+  def deflateScala(text: String): (Long, Long, Double) = {
+    if (text == null || text.isEmpty) (0L, 0L, 0.0)
+    else {
+      val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        (raw.length.toLong, out, out.toDouble / raw.length.toDouble)
+      } finally d.end()
+    }
+  }
 }

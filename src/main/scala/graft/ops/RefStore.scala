@@ -728,6 +728,77 @@ object RefStore {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
 
+  // ---- canonical-map artifact (dedup survivor remapping) ----
+
+  private val CANONICAL_MAP = "canonical_map"
+  private val CANON_LAW = "canon-min-closure-v1"
+
+  /** Persist the duplicate→survivor pair set dedup produces — the REMAP
+    * artifact an incremental pipeline applies at every later ingest
+    * (rewrite references to collapsed documents onto their canonical
+    * survivor). Batches append raw (dup_id, canon_id) pairs; the
+    * CLOSURE is a LOAD-time law, because cross-batch pairs chain (batch
+    * 1 learns B→A, batch 2 learns C→B: C's canonical is A) and no
+    * append-time state could keep that transitive without re-reading
+    * everything anyway. [[loadCanonicalMap]] closes the union with the
+    * [[Clusters.connectedComponents]] min-label law — so the map is
+    * exactly "every member points at its component minimum", idempotent
+    * under replay (re-appended pairs are re-distincted) and
+    * batching-invariant (components of a union don't depend on the
+    * split).
+    */
+  def writeCanonicalMap(pairs: DataFrame, dupCol: String, canonCol: String,
+      dir: String): Unit = {
+    val spark = pairs.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "canonLaw" -> CANON_LAW))
+      canonPairFrame(pairs, dupCol, canonCol)
+        .write.mode("overwrite").parquet(path(dir, CANONICAL_MAP))
+    }
+  }
+
+  /** Append one batch's pairs (fails fast on a dir that never saw
+    * [[writeCanonicalMap]]). `leaseWaitMs` / `autoCompactAfter` as in
+    * [[mergeExact]] — safe to auto-compact (re-distinct family).
+    */
+  def mergeCanonicalMap(pairs: DataFrame, dupCol: String, canonCol: String,
+      dir: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = pairs.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      require(readMeta(spark, dir).get("canonLaw").contains(CANON_LAW),
+        s"store $dir holds no canonical-map artifact — writeCanonicalMap first")
+      canonPairFrame(pairs, dupCol, canonCol)
+        .write.mode("append").parquet(path(dir, CANONICAL_MAP))
+      maybeAutoCompact(spark, dir, autoCompactAfter, CANONICAL_MAP)
+    }
+  }
+
+  /** The CLOSED map: (dup_id, canon_id) with canon_id = the minimum of
+    * the pair-connected component — one row per non-canonical member
+    * (canonical ids map to themselves implicitly and are omitted, so a
+    * left join + coalesce is the remap idiom). `maxIter` bounds the
+    * pointer-jumping closure; it throws rather than returning a partial
+    * map (the [[Clusters]] contract — a partial map would silently remap
+    * onto a non-survivor).
+    */
+  def loadCanonicalMap(spark: SparkSession, dir: String,
+      maxIter: Int = 32): DataFrame = {
+    require(readMeta(spark, dir).get("canonLaw").contains(CANON_LAW),
+      s"store $dir holds no canonical-map artifact")
+    Clusters.connectedComponents(
+        artifactDf(spark, dir, CANONICAL_MAP), "dup_id", "canon_id", maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("dup_id"), col("component").as("canon_id"))
+  }
+
+  private def canonPairFrame(pairs: DataFrame, dupCol: String,
+      canonCol: String): DataFrame =
+    pairs.select(col(dupCol).cast("long").as("dup_id"),
+        col(canonCol).cast("long").as("canon_id"))
+      .filter(col("dup_id").isNotNull && col("canon_id").isNotNull &&
+        col("dup_id") =!= col("canon_id"))
+      .distinct()
+
   // ---- value-count artifact (numeric drift baseline) ----
 
   private val VALUE_COUNTS = "value_counts"
@@ -1250,6 +1321,13 @@ object RefStore {
           ed.repartition(numFiles, col("src"))
             .write.mode("overwrite").parquet(tmp))
       }
+      if (want(CANONICAL_MAP) && meta.contains("canonLaw") && has(CANONICAL_MAP)) {
+        val cp = spark.read.parquet(path(dir, CANONICAL_MAP))
+          .select(col("dup_id"), col("canon_id")).distinct()
+        swapArtifact(spark, dir, CANONICAL_MAP)(tmp =>
+          cp.repartition(numFiles, col("dup_id"))
+            .write.mode("overwrite").parquet(tmp))
+      }
       if (want(VALUE_COUNTS) && meta.contains("valuesLaw") && has(VALUE_COUNTS)) {
         val c = spark.read.parquet(path(dir, VALUE_COUNTS)).drop("batch")
           .groupBy(col("_v")).agg(sum(col("_c")).as("_c"))
@@ -1283,7 +1361,7 @@ object RefStore {
   private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, HASHSIG,
     CDC_CHUNKS, LM_BIGRAMS, LM_VOCAB, TOKEN_COUNTS, CENTROIDS, IVF_CENTROIDS,
     IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS,
-    GRAPH_EDGES, VALUE_COUNTS)
+    GRAPH_EDGES, VALUE_COUNTS, CANONICAL_MAP)
 
   /** Commit units a family has accumulated since its last compaction: the
     * `batch=<id>/` subdir count for the per-batch commit families, else
@@ -1535,6 +1613,12 @@ object RefStore {
       val bad = ro(GRAPH_EDGES)
         .filter(col("src").isNull || col("dst").isNull).count()
       (meta.get("graphLaw").nonEmpty && bad == 0L, s"bad=$bad")
+    }
+    if (has(CANONICAL_MAP)) checked("canon", "pairs_non_null_no_selfmap") {
+      val bad = ro(CANONICAL_MAP)
+        .filter(col("dup_id").isNull || col("canon_id").isNull ||
+          col("dup_id") === col("canon_id")).count()
+      (meta.get("canonLaw").nonEmpty && bad == 0L, s"bad=$bad")
     }
     if (has(VALUE_COUNTS)) checked("values", "value_counts_positive") {
       val bad = ro(VALUE_COUNTS)

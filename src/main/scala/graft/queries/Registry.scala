@@ -5084,6 +5084,79 @@ object Registry {
       |    / CAST(CAST(MIN(na) AS HUGEINT) * CAST(MIN(nb) AS HUGEINT) AS DOUBLE)
       |  END AS ks FROM t""".stripMargin.replace("\n", " ")
 
+  /** Compression-ratio redundancy signal
+    * ([[graft.functions.TextFns.deflateScala]]): per-source deflate
+    * ratios — the "machine-generated text compresses too well" screen.
+    * The byte counts are zlib-implementation constants, NOT a
+    * cross-engine law, so this is a rows-only query; the ordering
+    * invariant (repetitive ≪ diverse) is floor-gated in `graft.Verify`
+    * and unit-pinned.
+    */
+  def qCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions(_.map { case (source, text) =>
+        val (raw, defl, _) = graft.functions.TextFns.deflateScala(text)
+        (source, raw, defl)
+      })
+      .toDF("stratum", "_raw", "_defl")
+      .filter(col("stratum").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_raw")).as("raw_bytes"),
+        sum(col("_defl")).as("deflate_bytes"))
+      .withColumn("mean_ratio",
+        when(col("raw_bytes") > 0L,
+          col("deflate_bytes").cast("double") / col("raw_bytes").cast("double")))
+      .orderBy("stratum")
+  }
+
+  /** PERSISTED canonical map ([[graft.ops.RefStore.writeCanonicalMap]] +
+    * loadCanonicalMap): dedup's dup→survivor pairs commit in two
+    * OVERLAPPING batches (re-learned pairs must be absorbed); the loaded
+    * map is the min-label closure, and remapping the re-crawled corpus
+    * must hash-match the direct min-per-fingerprint law — including any
+    * NATURAL exact duplicates the corpus already carries.
+    */
+  def qCanonicalRemap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          upper(col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(lit("  "), col("text")).as("text")))
+    val withFp = corpus.select(col("doc_id"),
+      graft.functions.TextFns.fingerprintMd5(col("text")).as("_fp"))
+    val mins = withFp.groupBy(col("_fp")).agg(min(col("doc_id")).as("_canon"))
+    val pairs = withFp.join(mins, "_fp")
+      .filter(col("doc_id") =!= col("_canon"))
+      .select(col("doc_id").as("dup_id"), col("_canon").as("canon_id"))
+    val store = storeOnce(dir, "canonstore") { s =>
+      graft.ops.RefStore.writeCanonicalMap(
+        pairs.filter(col("dup_id") % 2 === 0), "dup_id", "canon_id", s)
+      graft.ops.RefStore.mergeCanonicalMap(pairs, "dup_id", "canon_id", s)
+    }
+    val map = graft.ops.RefStore.loadCanonicalMap(spark, store)
+    corpus.join(map, col("doc_id") === col("dup_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val qCanonicalRemapSql: String =
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 5 = 0
+      | UNION ALL SELECT doc_id + 200000, '  ' || text FROM documents WHERE doc_id % 10 = 0),
+      | f AS (SELECT doc_id,
+      |   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM corpus)
+      | SELECT doc_id,
+      |  CAST(MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_id
+      | FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -5245,6 +5318,8 @@ object Registry {
     "q_pii_density" -> (qPiiDensity _),
     "q_pagerank_store" -> (qPagerankStore _),
     "q_ks_store" -> (qKsStore _),
+    "q_compress_ratio" -> (qCompressRatio _),
+    "q_canonical_remap" -> (qCanonicalRemap _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5418,6 +5493,7 @@ object Registry {
     "q_pii_density" -> qPiiDensitySql,
     "q_pagerank_store" -> qPagerankStoreSql,
     "q_ks_store" -> qKsStoreSql,
+    "q_canonical_remap" -> qCanonicalRemapSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -22,8 +22,11 @@ class EntrySpec extends SparkSpec {
     // graft.Verify enforces recall floors for every ANN row plus planted
     // floors for simhash, live AND stored. q_ann_pq graduated to a full
     // hash oracle via the exact-rerank contract (Registry.qAnnPq).
+    // q_compress_ratio: zlib byte counts are implementation constants, not
+    // a cross-engine law — Verify gates the ordering invariant instead.
     assert((q -- o) === Set("q_simhash_neardup", "q_simhash_store",
-      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_store", "q_ann_pq_store"),
+      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_store", "q_ann_pq_store",
+      "q_compress_ratio"),
       "rows-only queries drifted — add an oracle or update the rationale")
   }
 

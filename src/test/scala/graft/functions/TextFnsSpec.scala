@@ -284,4 +284,25 @@ class TextFnsSpec extends SparkSpec {
     assert(got(4L)._1 === "no close tag")
     assert(got(5L) === (("", 0L)))
   }
+
+  test("deflateScala: ratio orders repetitive < prose < noise; edge laws") {
+    val rep = ("lorem ipsum " * 500).trim
+    val prose = (0 until 500).map(i =>
+      s"sentence $i carries subject${i % 37} verb${i % 53} object${i * 13 % 97}")
+      .mkString(". ")
+    val rnd = new scala.util.Random(7)
+    val noise = Array.fill(6000)((rnd.nextInt(94) + 33).toChar).mkString
+    val r1 = TextFns.deflateScala(rep)._3
+    val r2 = TextFns.deflateScala(prose)._3
+    val r3 = TextFns.deflateScala(noise)._3
+    assert(r1 < 0.05, s"pure repetition must crush: $r1")
+    assert(r1 < r2 && r2 < r3, s"ordering broke: $r1 / $r2 / $r3")
+    assert(r3 > 0.7, s"high-entropy text must resist compression: $r3")
+    assert(TextFns.deflateScala(null) === ((0L, 0L, 0.0)))
+    assert(TextFns.deflateScala("") === ((0L, 0L, 0.0)))
+    // raw byte law is UTF-8: a 3-byte CJK char counts 3
+    assert(TextFns.deflateScala("中")._1 === 3L)
+    // deterministic within the JVM (the signal contract)
+    assert(TextFns.deflateScala(prose) === TextFns.deflateScala(prose))
+  }
 }

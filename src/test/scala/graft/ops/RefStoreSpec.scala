@@ -723,6 +723,37 @@ class RefStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("no value-count artifact"))
   }
 
+  test("canonical-map store: cross-batch chains close transitively to the min survivor") {
+    val dir = Files.createTempDirectory("refstore-canon").toString
+    // batch 1 learns B→A and D→C; batch 2 learns C→B: the chain
+    // D→C→B→A only exists across batches — load must close it
+    RefStore.writeCanonicalMap(
+      Seq((20L, 10L), (40L, 30L)).toDF("dup", "canon"), "dup", "canon", dir)
+    RefStore.mergeCanonicalMap(
+      Seq((30L, 20L)).toDF("dup", "canon"), "dup", "canon", dir)
+    RefStore.mergeCanonicalMap( // replay of batch 2 — append family absorbs
+      Seq((30L, 20L)).toDF("dup", "canon"), "dup", "canon", dir)
+    val map = RefStore.loadCanonicalMap(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(map === Map(20L -> 10L, 30L -> 10L, 40L -> 10L),
+      s"transitive closure must reach the chain minimum: $map")
+    // compact folds the appended pair files; the closed map is unchanged
+    RefStore.compact(spark, dir, numFiles = 2)
+    assert(RefStore.loadCanonicalMap(spark, dir)
+      .as[(Long, Long)].collect().toMap === map)
+    val checks = RefStore.fsck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(checks(("canon", "pairs_non_null_no_selfmap")) === true)
+    // law gate: a foreign dir fails fast
+    val plain = Files.createTempDirectory("refstore-canon-foreign").toString
+    RefStore.writeExact(batch1, "text", plain, expectedItems = 100L)
+    val err = intercept[IllegalArgumentException] {
+      RefStore.mergeCanonicalMap(
+        Seq((1L, 2L)).toDF("dup", "canon"), "dup", "canon", plain)
+    }
+    assert(err.getMessage.contains("no canonical-map artifact"))
+  }
+
   test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
     val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
