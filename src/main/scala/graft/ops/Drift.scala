@@ -221,7 +221,11 @@ object Drift {
     * Scale shape: one hash aggregate to (stratum, value) counts — the
     * support is strata × DISTINCT metric values, never the corpus — then
     * two bounded windows (per-stratum cumulative, global-per-value
-    * cumulative) and a |strata|-row max aggregate.
+    * cumulative) and a |strata|-row max aggregate. The global cumulative
+    * is an unpartitioned window, so "bounded" means the metric's VALUE
+    * DOMAIN: right for counts/lengths/scores with ≲10⁶ distinct values;
+    * quantize a continuous or unbounded-domain metric upstream (KS on a
+    * rounded metric is KS of the rounded distributions — still exact).
     *
     * Output: (stratum, n, n_rest, ks) — strata with an empty rest side
     * (single-stratum corpus) report NULL ks (undefined, not 0).

@@ -140,7 +140,10 @@ object Sampling {
     * ties break on id). A row's survival probability rises with its
     * weight exactly as E–S proves; rows with NULL or non-positive weight
     * are excluded (a zero weight must never be drawn, and the reciprocal
-    * law has no home for it).
+    * law has no home for it). Weights are INTEGER by law — the output
+    * column and the exclusion gate both cast through long, so fractional
+    * weights truncate (scale a fractional score to integer units
+    * upstream: micro-units keep six figures).
     *
     * Scale shape: narrow per-row key computation + a global top-k —
     * TakeOrderedAndProject, never a full sort. Output: the sampled rows'
@@ -153,7 +156,9 @@ object Sampling {
     val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4),
       16, 10).cast("double")
     val u = (h + 0.5) / 65536.0
-    val key = log(u) / col(weightCol).cast("double")
+    // the long cast IS the weight law (see scaladoc) — key, gate and
+    // output all read the same integer
+    val key = log(u) / col(weightCol).cast("long").cast("double")
     df.filter(col(weightCol).isNotNull && col(weightCol).cast("long") > 0L)
       .select(col(idCol).as("id"), col(weightCol).cast("long").as("weight"),
         key.as("_key"))

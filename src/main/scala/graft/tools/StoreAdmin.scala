@@ -47,7 +47,19 @@ object StoreAdmin {
         RefStore.mergeLmModel(b2, "text", d, batchId = "b2")
         RefStore.writeTokenCounts(b1, "text", d)
         RefStore.mergeTokenCounts(b2, "text", d, batchId = "b2")
-        println(s"=== demo store built at $d (exact + minhash + cdc + lm + drift, two batches) ===")
+        // the r10 families: crawl edges (append), value histogram (count),
+        // canonical map (append + load-time closure)
+        RefStore.writeEdges(Seq((1L, 2L)).toDF("s", "t"), "s", "t", d)
+        RefStore.mergeEdges(Seq((2L, 3L), (1L, 2L)).toDF("s", "t"), "s", "t", d)
+        RefStore.writeValueCounts(b1.selectExpr("length(text) AS n"), "n", d)
+        RefStore.mergeValueCounts(b2.selectExpr("length(text) AS n"), "n", d,
+          batchId = "b2")
+        RefStore.writeCanonicalMap(Seq((2L, 1L)).toDF("dup", "canon"),
+          "dup", "canon", d)
+        RefStore.mergeCanonicalMap(Seq((3L, 2L)).toDF("dup", "canon"),
+          "dup", "canon", d)
+        println(s"=== demo store built at $d (exact + minhash + cdc + lm + drift" +
+          " + edges + values + canon, two batches) ===")
         // one bucket: at demo scale the production default (8) would WRITE
         // more files than the two batches it folds
         (d, true, 1)
