@@ -799,6 +799,91 @@ object RefStore {
         col("dup_id") =!= col("canon_id"))
       .distinct()
 
+  // ---- fingerprint-owner artifact (dedup attribution registry) ----
+
+  private val FP_OWNER = "fp_owner"
+  private val OWNER_LAW = "fp-owner-v1"
+
+  /** Persist which document OWNS each content fingerprint — the
+    * attribution half of incremental exact dedup: the exact family's
+    * fingerprints answer "is this content already in the corpus?", this
+    * registry answers "WHICH document is it?", so a dropped duplicate can
+    * link to its absorber in the [[writeCanonicalMap]] family instead of
+    * vanishing without a trace. Append family (one (fp, owner_id) row per
+    * NEWLY-SEEN fingerprint per commit; replays re-append identical rows
+    * and every consumer re-distincts). Multiple owners for one
+    * fingerprint are LEGAL content (a retry window or an out-of-order
+    * batch may register two) — the canonical-map closure makes that
+    * harmless, because every duplicate links into the same component and
+    * the component minimum wins.
+    */
+  def writeFpOwners(owners: DataFrame, fpCol: String, ownerCol: String,
+      dir: String): Unit = {
+    val spark = owners.sparkSession
+    withLease(spark, dir) {
+      writeMeta(spark, dir, Map("version" -> "1", "ownerLaw" -> OWNER_LAW))
+      ownerFrame(owners, fpCol, ownerCol)
+        .write.mode("overwrite").parquet(path(dir, FP_OWNER))
+    }
+  }
+
+  /** Append one batch's newly-registered owners.
+    * `leaseWaitMs` / `autoCompactAfter` as in [[mergeExact]].
+    */
+  def mergeFpOwners(owners: DataFrame, fpCol: String, ownerCol: String,
+      dir: String, leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = owners.sparkSession
+    withLease(spark, dir, leaseWaitMs) {
+      require(readMeta(spark, dir).get("ownerLaw").contains(OWNER_LAW),
+        s"store $dir holds no fp-owner artifact — writeFpOwners first")
+      ownerFrame(owners, fpCol, ownerCol)
+        .write.mode("append").parquet(path(dir, FP_OWNER))
+      maybeAutoCompact(spark, dir, autoCompactAfter, FP_OWNER)
+    }
+  }
+
+  /** The distinct (fp, owner_id) registry. */
+  def loadFpOwners(spark: SparkSession, dir: String): DataFrame = {
+    require(readMeta(spark, dir).get("ownerLaw").contains(OWNER_LAW),
+      s"store $dir holds no fp-owner artifact")
+    artifactDf(spark, dir, FP_OWNER)
+      .select(col("fp"), col("owner_id")).distinct()
+  }
+
+  private def ownerFrame(owners: DataFrame, fpCol: String,
+      ownerCol: String): DataFrame =
+    owners.select(col(fpCol).cast("string").as("fp"),
+        col(ownerCol).cast("long").as("owner_id"))
+      .filter(col("fp").isNotNull && col("owner_id").isNotNull)
+      .distinct()
+
+  /** One-call bootstrap for the ATTRIBUTED dedup ingest loop
+    * ([[graft.streaming.StreamIngest.runAttributedDedupIngest]]): the
+    * three families it merges into (exact fingerprints + bloom, owner
+    * registry, canonical map), initialized from an optional starting
+    * corpus — or empty, the usual cold start. The starting corpus is
+    * assumed already deduped (run [[Dedup.exact]] first otherwise —
+    * internal duplicates would register parallel owners without
+    * canonical links). `expectedItems` sizes the bloom for the corpus
+    * the store will GROW to ([[writeExact]] note).
+    */
+  def initAttributedDedupStore(spark: SparkSession, dir: String,
+      idCol: String, textCol: String,
+      corpus: Option[DataFrame] = None,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    val start = corpus.getOrElse(
+      spark.range(0).selectExpr(s"id AS $idCol",
+        s"CAST(NULL AS STRING) AS $textCol"))
+    writeExact(start, textCol, dir, expectedItems, fpp)
+    writeFpOwners(
+      start.select(graft.functions.TextFns.fingerprintMd5(col(textCol)).as("fp"),
+        col(idCol).as("owner_id")),
+      "fp", "owner_id", dir)
+    writeCanonicalMap(
+      spark.range(0).selectExpr("id AS dup_id", "id AS canon_id"),
+      "dup_id", "canon_id", dir)
+  }
+
   // ---- value-count artifact (numeric drift baseline) ----
 
   private val VALUE_COUNTS = "value_counts"
@@ -1321,6 +1406,13 @@ object RefStore {
           ed.repartition(numFiles, col("src"))
             .write.mode("overwrite").parquet(tmp))
       }
+      if (want(FP_OWNER) && meta.contains("ownerLaw") && has(FP_OWNER)) {
+        val ow = spark.read.parquet(path(dir, FP_OWNER))
+          .select(col("fp"), col("owner_id")).distinct()
+        swapArtifact(spark, dir, FP_OWNER)(tmp =>
+          ow.repartition(numFiles, col("fp"))
+            .write.mode("overwrite").parquet(tmp))
+      }
       if (want(CANONICAL_MAP) && meta.contains("canonLaw") && has(CANONICAL_MAP)) {
         val cp = spark.read.parquet(path(dir, CANONICAL_MAP))
           .select(col("dup_id"), col("canon_id")).distinct()
@@ -1361,7 +1453,7 @@ object RefStore {
   private val allArtifacts = Seq(FINGERPRINTS, SIGNATURES, SIMHASH, HASHSIG,
     CDC_CHUNKS, LM_BIGRAMS, LM_VOCAB, TOKEN_COUNTS, CENTROIDS, IVF_CENTROIDS,
     IVF_ASSIGNED, PQ_BOOKS, PQ_ENCODED, POSTINGS, LENGTHS, DSIR_COUNTS,
-    GRAPH_EDGES, VALUE_COUNTS, CANONICAL_MAP)
+    GRAPH_EDGES, VALUE_COUNTS, CANONICAL_MAP, FP_OWNER)
 
   /** Commit units a family has accumulated since its last compaction: the
     * `batch=<id>/` subdir count for the per-batch commit families, else
@@ -1613,6 +1705,12 @@ object RefStore {
       val bad = ro(GRAPH_EDGES)
         .filter(col("src").isNull || col("dst").isNull).count()
       (meta.get("graphLaw").nonEmpty && bad == 0L, s"bad=$bad")
+    }
+    if (has(FP_OWNER)) checked("owner", "registry_non_null_md5_fp") {
+      val bad = ro(FP_OWNER)
+        .filter(col("fp").isNull || col("owner_id").isNull ||
+          !col("fp").rlike("^[0-9a-f]{32}$")).count()
+      (meta.get("ownerLaw").nonEmpty && bad == 0L, s"bad=$bad")
     }
     if (has(CANONICAL_MAP)) checked("canon", "pairs_non_null_no_selfmap") {
       val bad = ro(CANONICAL_MAP)

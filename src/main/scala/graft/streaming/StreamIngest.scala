@@ -485,6 +485,91 @@ object StreamIngest {
     * to the store, with the `_SUCCESS` + `_BATCH_FP` replay/collision
     * protocol of [[ingestDedupedBatch]]'s scaladoc.
     */
+  /** ATTRIBUTED exact-dedup ingest — [[runDedupedIngest]]'s guard plus the
+    * paper trail: every dropped duplicate links to the document that
+    * absorbed it, so downstream references remap instead of dangling.
+    * Per micro-batch:
+    *
+    *   1. self-dedup: min-id keeper per fingerprint (NULL-fp rows all
+    *      keep); in-batch duplicates pair (member → keeper);
+    *   2. attribution against the [[graft.ops.RefStore.loadFpOwners]]
+    *      registry: a keeper whose fingerprint is already OWNED drops and
+    *      pairs (keeper → min registered owner);
+    *   3. survivors land in the sink; their fingerprints merge into the
+    *      exact artifact, (fp → id) rows into the owner registry, and the
+    *      batch's pairs into the [[graft.ops.RefStore]] canonical map —
+    *      whose load-time closure is what makes multi-hop chains (batch
+    *      replays, out-of-order arrivals re-owning a fingerprint) resolve
+    *      to ONE survivor regardless of commit order.
+    *
+    * Replay law: the pairs parquet commits BESIDE the batch dir BEFORE the
+    * survivors (marker ⇒ pairs, the `_BATCH_FP` discipline), and every
+    * merge is append-family (re-distinct absorbs re-appends), so a
+    * replayed batch re-lands byte-identical state. Scale note: the
+    * attribution join is a hash equi-join against the (fp, owner)
+    * registry — the cost over the plain tier; use [[runDedupedIngest]]
+    * when nobody consumes the remap.
+    */
+  def runAttributedDedupIngest(stream: DataFrame, storeDir: String,
+      sinkDir: String, idCol: String, textCol: String, checkpointDir: String,
+      prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 300000L, autoCompactAfter: Int = 32): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestAttributedBatch(batch, id, storeDir, sinkDir, idCol, textCol,
+          prefilter, leaseWaitMs, autoCompactAfter); ()
+      }
+      .start()
+
+  private[graft] def ingestAttributedBatch(batch: DataFrame, id: Long,
+      storeDir: String, sinkDir: String, idCol: String, textCol: String,
+      prefilter: DataFrame => DataFrame = identity,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    // underscore-hidden from the sink's partition discovery (the
+    // _BATCH_FP convention) — a visible sibling dir would make the plain
+    // `read.parquet(sinkDir)` fail with CONFLICTING_DIRECTORY_STRUCTURES
+    val pairsDst = new org.apache.hadoop.fs.Path(sinkDir, f"_PAIRS-$id%06d")
+    ingestGuardedBatch(batch, id, sinkDir, idCol, textCol,
+      guard = { b0 =>
+        val b = prefilter(b0)
+        val fpc = graft.functions.TextFns.fingerprintMd5(col(textCol))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fpc).orderBy(col(idCol))
+        val marked = b.withColumn("_fp", fpc)
+          .withColumn("_rn", row_number().over(w))
+        val keepers = marked.filter(col("_rn") === 1 || col("_fp").isNull)
+        val inPairs = marked.filter(col("_rn") > 1 && col("_fp").isNotNull)
+          .join(keepers.select(col("_fp"), col(idCol).as("_keep")), "_fp")
+          .select(col(idCol).cast("long").as("dup_id"),
+            col("_keep").cast("long").as("canon_id"))
+        val ownerMin = graft.ops.RefStore.loadFpOwners(spark, storeDir)
+          .groupBy(col("fp")).agg(min(col("owner_id")).as("_owner"))
+        val hit = keepers.join(ownerMin, col("_fp") === col("fp"))
+        val crossPairs = hit.select(col(idCol).cast("long").as("dup_id"),
+          col("_owner").cast("long").as("canon_id"))
+        // pairs commit FIRST (marker ⇒ pairs, see scaladoc); overwritten
+        // whole on a retry, so a crash mid-write cannot double them
+        inPairs.unionByName(crossPairs)
+          .write.mode("overwrite").parquet(pairsDst.toString)
+        keepers.join(ownerMin, col("_fp") === col("fp"), "left_anti")
+          .drop("_fp", "_rn")
+      },
+      commit = { survivors =>
+        graft.ops.RefStore.mergeExact(survivors, textCol, storeDir,
+          leaseWaitMs, autoCompactAfter)
+        graft.ops.RefStore.mergeFpOwners(
+          survivors.select(
+            graft.functions.TextFns.fingerprintMd5(col(textCol)).as("fp"),
+            col(idCol).as("owner_id")),
+          "fp", "owner_id", storeDir, leaseWaitMs, autoCompactAfter)
+        graft.ops.RefStore.mergeCanonicalMap(
+          spark.read.parquet(pairsDst.toString), "dup_id", "canon_id",
+          storeDir, leaseWaitMs, autoCompactAfter)
+      })
+  }
+
   private def ingestGuardedBatch(batch: DataFrame, id: Long, sinkDir: String,
       idCol: String, textCol: String,
       guard: DataFrame => DataFrame,

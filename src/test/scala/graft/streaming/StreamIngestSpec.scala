@@ -611,4 +611,52 @@ class StreamIngestSpec extends SparkSpec {
     assert(ids() === Set(1L, 3L, 4L, 5L, 11L, 12L),
       "near-dup of the stored survivor must drop after replay")
   }
+
+  test("attributed dedup ingest: every drop links to its absorber; closure survives replay") {
+    import spark.implicits._
+    val store = tmp("graft-attr-store")
+    val sink = tmp("graft-attr-sink")
+    graft.ops.RefStore.initAttributedDedupStore(spark, store, "doc_id", "text",
+      expectedItems = 1000L)
+    // batch 0: in-batch dup (2 of 1 — case/whitespace variant), NULL text
+    val b1 = Seq((1L, "alpha content"), (2L, "Alpha  Content"),
+      (3L, "beta content"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    StreamIngest.ingestAttributedBatch(b1, 0L, store, sink, "doc_id", "text")
+    // batch 1: cross-store dup (10 of 1), fresh in-batch dup pair (12 of 11)
+    val b2 = Seq((10L, "ALPHA CONTENT"), (11L, "gamma content"),
+      (12L, "GAMMA content"))
+      .toDF("doc_id", "text")
+    StreamIngest.ingestAttributedBatch(b2, 1L, store, sink, "doc_id", "text")
+    def sinkIds() = spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().toSet
+    def canon() = graft.ops.RefStore.loadCanonicalMap(spark, store)
+      .as[(Long, Long)].collect().toMap
+    assert(sinkIds() === Set(1L, 3L, 4L, 11L))
+    assert(canon() === Map(2L -> 1L, 10L -> 1L, 12L -> 11L),
+      s"every dropped duplicate must link to its absorber: ${canon()}")
+    // replay of a committed batch: sink, registry and map all unchanged
+    StreamIngest.ingestAttributedBatch(b2, 1L, store, sink, "doc_id", "text")
+    assert(sinkIds() === Set(1L, 3L, 4L, 11L), "replay mutated the sink")
+    assert(canon() === Map(2L -> 1L, 10L -> 1L, 12L -> 11L),
+      "replay mutated the canonical map")
+    // batch 2 chains onto a batch-1 survivor: closure must land on 11
+    StreamIngest.ingestAttributedBatch(
+      Seq((20L, "gamma  content"), (21L, "delta content")).toDF("doc_id", "text"),
+      2L, store, sink, "doc_id", "text")
+    assert(canon() === Map(2L -> 1L, 10L -> 1L, 12L -> 11L, 20L -> 11L))
+    assert(sinkIds() === Set(1L, 3L, 4L, 11L, 21L))
+    // the remap idiom: every corpus id resolves to a surviving canonical
+    val all = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L)
+    val m = canon()
+    val resolved = all.map(id => m.getOrElse(id, id)).toSet
+    assert(resolved === Set(1L, 3L, 4L, 11L, 21L),
+      "remapping the full corpus must land exactly on the sink survivors")
+    // fsck stays green across all three families the loop maintains
+    val checks = graft.ops.RefStore.fsck(spark, store)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(checks(("owner", "registry_non_null_md5_fp")) === true)
+    assert(checks(("canon", "pairs_non_null_no_selfmap")) === true)
+    assert(checks(("exact", "bloom_superset_of_fingerprints")) === true)
+  }
 }
