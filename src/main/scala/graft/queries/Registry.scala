@@ -5157,6 +5157,51 @@ object Registry {
       |  CAST(MIN(doc_id) OVER (PARTITION BY fp) AS BIGINT) AS canonical_id
       | FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
+  /** Per-source quality SCORECARD — five independent corpus signals
+    * composed into the one dashboard row set an operator reads before
+    * weighting a source: lexical TV drift, numeric KS drift, token-Gini
+    * concentration + head share, KL-to-rest, and MAD outlier fraction.
+    * Engine side joins the five operator frames; the oracle embeds each
+    * signal's FULL existing SQL law as a subquery — so a drift in any
+    * component, or in the composition, breaks the hash (the
+    * q_curate_summary posture applied to monitoring).
+    */
+  def qSourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val nd = docs.filter(col("source").isNotNull)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tv = graft.ops.Drift.tvDrift(docs, "source", "text")
+      .select(col("source").as("_s1"), col("tv_drift"))
+    val ks = graft.ops.Drift.ksDrift(docs, "source", "n_chars")
+      .select(col("stratum").as("_s2"), col("ks"))
+    val g = graft.ops.Vocab.tokenGini(docs, "source", "text")
+      .select(col("stratum").as("_s3"), col("gini"), col("top10_share"))
+    val kl = graft.ops.Drift.sourceKlReport(docs, "source", "text")
+      .select(col("stratum").as("_s4"), col("kl_pico"))
+    val m = graft.ops.Quantiles.madOutliers(docs, "n_chars", "source")
+      .select(col("stratum").as("_s5"), col("outlier_frac"))
+    nd.join(tv, col("source") === col("_s1"))
+      .join(ks, col("source") === col("_s2"))
+      .join(g, col("source") === col("_s3"))
+      .join(kl, col("source") === col("_s4"))
+      .join(m, col("source") === col("_s5"))
+      .select(col("source"), col("n_docs"), col("tv_drift"), col("ks"),
+        col("gini"), col("top10_share"), col("kl_pico"), col("outlier_frac"))
+      .orderBy("source")
+  }
+
+  lazy val qSourceScorecardSql: String =
+    s"""SELECT d.source, d.n_docs, tv.tv_drift, ks.ks, g.gini,
+      |  g.top10_share, kl.kl_pico, m.outlier_frac
+      | FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      |   WHERE source IS NOT NULL GROUP BY 1) d
+      | JOIN ($qTvDriftSql) tv ON tv.source = d.source
+      | JOIN ($qKsDriftSql) ks ON ks.stratum = d.source
+      | JOIN ($qTokenGiniSql) g ON g.stratum = d.source
+      | JOIN ($qSourceKlSql) kl ON kl.stratum = d.source
+      | JOIN ($qMadOutliersSql) m ON m.stratum = d.source
+      | ORDER BY d.source""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -5320,6 +5365,7 @@ object Registry {
     "q_ks_store" -> (qKsStore _),
     "q_compress_ratio" -> (qCompressRatio _),
     "q_canonical_remap" -> (qCanonicalRemap _),
+    "q_source_scorecard" -> (qSourceScorecard _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5494,6 +5540,7 @@ object Registry {
     "q_pagerank_store" -> qPagerankStoreSql,
     "q_ks_store" -> qKsStoreSql,
     "q_canonical_remap" -> qCanonicalRemapSql,
+    "q_source_scorecard" -> qSourceScorecardSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force
