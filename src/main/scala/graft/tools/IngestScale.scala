@@ -86,6 +86,35 @@ object IngestScale {
       f"later batches each -$expectDrop) ===")
     println(f"=== wall per batch: ${times.map(t => f"$t%.2f").mkString(", ")} s; " +
       "replay no-op verified ===")
+
+    // ---- attributed leg: same batches, same survivor law, PLUS the
+    // exact absorber arithmetic — every planted dup d must map to the
+    // batch-(b-1) row whose content it repeats (id d − rows + 1), and
+    // nothing else may enter the canonical map
+    val store2 = java.nio.file.Files.createTempDirectory("ingestscale-attr").toString
+    val sink2 = java.nio.file.Files.createTempDirectory("ingestscale-attr-sink").toString
+    RefStore.initAttributedDedupStore(spark, store2, "doc_id", "text",
+      expectedItems = rows * 4)
+    val attrTimes = (0 to 2).map { b =>
+      timed(StreamIngest.ingestAttributedBatch(
+        batchDf(b), b.toLong, store2, sink2, "doc_id", "text"))
+    }
+    val attrCounts = (0 to 2).map { b =>
+      spark.read.parquet(sink2 + "/batch=%06d".format(b)).count()
+    }
+    require(attrCounts == counts,
+      s"attribution must not change the dedup law: $attrCounts vs $counts")
+    val cmap = RefStore.loadCanonicalMap(spark, store2)
+    val nPairs = cmap.count()
+    require(nPairs == 2L * expectDrop,
+      s"canonical map must hold exactly ${2L * expectDrop} links, got $nPairs")
+    val wrong = cmap
+      .filter(col("canon_id") =!= col("dup_id") - rows + 1L).count()
+    require(wrong == 0L,
+      s"$wrong links point at the wrong absorber (law: canon = dup − rows + 1)")
+    println(f"=== attributed leg: survivors identical; $nPairs links, " +
+      f"all exact; wall ${attrTimes.map(t => f"$t%.2f").mkString(", ")} s " +
+      f"(plain was ${times.map(t => f"$t%.2f").mkString(", ")}) ===")
     spark.stop()
   }
 }
