@@ -733,6 +733,47 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must prune to id+text+stratum:\n$p")
   }
 
+  test("q_pagerank_store: ranks read the stored edge scan, not a rebuilt trade join") {
+    val p = plan("q_pagerank_store")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graph_edges"),
+      s"stored edge scan missing — the graph was re-derived:\n$p")
+    // the lineitem⋈orders edge DERIVATION must be absent: only the store
+    // commit pays it, the query scans the artifact
+    assert(!p.contains("lineitem"),
+      s"query re-derived edges from the fact table:\n$p")
+  }
+
+  test("q_ks_store: baseline comes from the store scan; one batch histogram") {
+    val p = plan("q_ks_store")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("value_counts"),
+      s"stored histogram scan missing from the plan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_canonical_remap: remap is one left join against the closed map blocks") {
+    val p = plan("q_canonical_remap")
+    assert(!p.contains("CartesianProduct"), p)
+    // the closure ran at load (checkpointed blocks); the remap plan joins
+    // corpus⋈map — hash- or broadcast-keyed, never nested-loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ExistingRDD") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_source_scorecard: five signal frames join without a cartesian") {
+    val p = plan("q_source_scorecard")
+    assert(!p.contains("CartesianProduct"), p)
+    // the component laws carry their own bounded crossJoins (strata ×
+    // vocab supports, 1-row totals) — printed twice in the formatted
+    // tree; the cap documents "bounded frames only", not zero
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 10, s"a corpus-sized signal join degraded:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
