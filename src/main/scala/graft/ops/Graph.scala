@@ -84,9 +84,16 @@ object Graph {
     // `checkpointEvery` bounds plan depth for LONG iteration counts: every
     // k rounds the rank frame materializes (the Clusters owned-checkpoint
     // discipline) and the next k rounds start from blocks.
-    val ewd = e0.join(deg, "src")
-    val nodes = e0.select(col("src").as("node"))
-      .unionByName(e0.select(col("dst").as("node"))).distinct()
+    // the edge-with-degree and node frames materialize ONCE to blocks:
+    // every round's subtree then starts at a leaf scan (tiny analyzed
+    // plans — a fully lazy chain re-analyzes the whole derivation per
+    // round and measured ~50% slower end-to-end), while the rounds
+    // themselves stay lazy so the ONE edge exchange above the block scan
+    // is plan-identical across rounds and AQE reuses it
+    val (ewd, _) = Clusters.ownedCheckpoint(e0.join(deg, "src"))
+    val (nodes, _) = Clusters.ownedCheckpoint(
+      e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node"))).distinct())
     val baseMicro = (initMicro * (dampDen - dampNum)) / dampDen
     // seed flag rides the node frame: classic = every node is a seed
     val nodesWithSeed = seeds match {
