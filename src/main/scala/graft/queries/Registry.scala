@@ -5202,6 +5202,129 @@ object Registry {
       | JOIN ($qMadOutliersSql) m ON m.stratum = d.source
       | ORDER BY d.source""".stripMargin.replace("\n", " ")
 
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click AFTER it, the first purchase after THAT
+    * — strictly ordered (the funnel semantics dashboards mean, not mere
+    * event presence). Stage counts + two conversion fractions; all
+    * timestamp comparisons are exact micros on both engines.
+    */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def firstAfter(tpe: String, lower: DataFrame, lowerCol: String, as: String) =
+      ev.filter(col("event_type") === tpe)
+        .join(lower, "user_id")
+        .filter(col("ts") > col(lowerCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(as))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c.select(col("user_id"), col("t_click")),
+      "t_click", "t_purchase")
+    val nu = ev.select(countDistinct(col("user_id")).as("n_users"))
+    nu.crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .withColumn("view_to_click",
+        col("n_click").cast("double") / col("n_view").cast("double"))
+      .withColumn("click_to_purchase",
+        col("n_purchase").cast("double") / col("n_click").cast("double"))
+  }
+
+  val qEventFunnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      | c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      |  JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      | p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+      |  JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      | SELECT
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+      |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+      |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+      |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+      |  CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS view_to_click,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS click_to_purchase"""
+      .stripMargin.replace("\n", " ")
+
+  /** Weekly retention cohorts: users cohort by first-seen week (fixed
+    * origin 2024-01-01, integer micros div a week), the matrix counts
+    * users from cohort w active in week a ≥ w, and `retention` divides by
+    * the cohort size — the standard product-analytics triangle, exact
+    * integers end to end.
+    */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMicros = 604800000000L
+    val origin = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - ${origin}L) div ${weekMicros}L").as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val active = ev.select(col("user_id"), col("wk")).distinct()
+    val cells = active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("wk").as("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_week"), col("active_week"), col("n_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy("cohort_week", "active_week")
+  }
+
+  val qCohortRetentionSql: String =
+    """WITH w AS (SELECT user_id,
+      |   (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk FROM events),
+      | cohort AS (SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort_week
+      |  FROM w GROUP BY 1),
+      | active AS (SELECT DISTINCT user_id, CAST(wk AS BIGINT) AS wk FROM w),
+      | cells AS (SELECT c.cohort_week, a.wk AS active_week,
+      |   CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM active a JOIN cohort c USING (user_id) GROUP BY 1, 2),
+      | sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |  FROM cohort GROUP BY 1)
+      | SELECT cohort_week, active_week, n_users, cohort_size,
+      |  CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      | FROM cells JOIN sizes USING (cohort_week)
+      | ORDER BY cohort_week, active_week""".stripMargin.replace("\n", " ")
+
+  /** Exponentially-decayed engagement mass per user (λ = 0.1/day against
+    * the corpus max timestamp): each event contributes
+    * `round(exp(−0.1·Δdays)·1e6)` micro-units — per-term ln/exp
+    * quantization (the DSIR discipline), so the Σ is an exact integer and
+    * the top-20 ranking is engine-exact. The standard recency-weighted
+    * activity score.
+    */
+  def qDecayCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("_mx"))
+    ev.select(col("user_id"), unix_micros(col("ts")).as("_tm"))
+      .crossJoin(broadcast(mx))
+      .withColumn("_term",
+        round(exp(lit(-0.1) *
+          ((col("_mx") - col("_tm")).cast("double") / lit(86400000000.0)))
+          * 1000000.0).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_term")).as("decay_micro"))
+      .orderBy(col("decay_micro").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val qDecayCountsSql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+      | t AS (SELECT user_id,
+      |   CAST(round(exp(-0.1 * (CAST(mx.m - epoch_us(ts) AS DOUBLE)
+      |     / 86400000000.0)) * 1000000.0) AS BIGINT) AS term
+      |  FROM events CROSS JOIN mx)
+      | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(term) AS BIGINT) AS decay_micro
+      | FROM t GROUP BY 1 ORDER BY decay_micro DESC, user_id LIMIT 20"""
+      .stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -5366,6 +5489,9 @@ object Registry {
     "q_compress_ratio" -> (qCompressRatio _),
     "q_canonical_remap" -> (qCanonicalRemap _),
     "q_source_scorecard" -> (qSourceScorecard _),
+    "q_event_funnel" -> (qEventFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_decay_counts" -> (qDecayCounts _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5541,6 +5667,9 @@ object Registry {
     "q_ks_store" -> qKsStoreSql,
     "q_canonical_remap" -> qCanonicalRemapSql,
     "q_source_scorecard" -> qSourceScorecardSql,
+    "q_event_funnel" -> qEventFunnelSql,
+    "q_cohort_retention" -> qCohortRetentionSql,
+    "q_decay_counts" -> qDecayCountsSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

@@ -774,6 +774,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_event_funnel: stage joins keyed on the user; only 1-row stage counts nested-loop") {
+    val p = plan("q_event_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_cohort_retention: cohort/active joins hash-keyed, exact week arithmetic") {
+    val p = plan("q_cohort_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    // only user_id + ts reach the events reader
+    assert(p.contains("ReadSchema: struct<ts:"), p)
+  }
+
+  test("q_decay_counts: 1-row max broadcasts; top-k bounded") {
+    val p = plan("q_decay_counts")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"decay top-k degraded to a global sort:\n$p")
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"only the 1-row max may nested-loop:\n$p")
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
