@@ -26,9 +26,13 @@ object LogLevels {
     // same posture for `WARN WindowExec: No Partition Defined` — several
     // operators (shard-balance total, KS global cumulative, embed-drift
     // global sums) use an unpartitioned window over an ALREADY-AGGREGATED
-    // bounded frame BY DESIGN (the alternative was a second corpus scan);
-    // PlanShapeSpec pins that no corpus-sized frame ever does this, so
-    // the per-query warning is pure driver-tail noise here
+    // bounded frame BY DESIGN (the alternative was a second corpus scan).
+    // Tradeoff, stated plainly: the logger is per-class, so this silences
+    // the warning for EVERY query in these entry-point sessions — an
+    // accidental corpus-sized unpartitioned window would degrade without
+    // its runtime warning here. The guards that remain are PlanShapeSpec
+    // (every registry query) and the ingest no-SinglePartition pin; host
+    // applications keep the warning because the library never calls this.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)

@@ -68,9 +68,12 @@ object Dedup {
     * tokens") and what the corpus's true unique size is.
     *
     * Law (exact integers end to end): fingerprint = the [[exact]] content
-    * law; the KEEPER of a fingerprint group within a stratum is the min-id
-    * row (the [[exact]] survivor law); `n_dup_docs`/`dup_tokens` count the
-    * non-keeper rows and their token totals; `inflation` is the single
+    * law; one KEEPER per fingerprint group within a stratum (all copies
+    * share the normalized text, so every member carries the same token
+    * count and no id needs to pick one — WHICH row survives is
+    * [[exact]]'s job, this report only counts);
+    * `n_dup_docs`/`dup_tokens` count the non-keeper rows and their token
+    * totals; `inflation` is the single
     * derived double `n_tokens / uniq_tokens` (NULL when a stratum has no
     * tokens). Duplication across strata is intentionally out of scope —
     * each stratum is charged only for its OWN redundancy (cross-source
@@ -84,13 +87,12 @@ object Dedup {
     * Output: (stratum, n_docs, n_uniq, n_dup_docs, n_tokens, uniq_tokens,
     * dup_tokens, inflation), one row per stratum.
     */
-  def dupInflation(df: DataFrame, idCol: String, textCol: String,
+  def dupInflation(df: DataFrame, textCol: String,
       stratumCol: String): DataFrame = {
     val perContent = df
       .filter(col(stratumCol).isNotNull)
       .select(col(stratumCol).as("stratum"),
         TextFns.fingerprintMd5(col(textCol)).as("_fp"),
-        col(idCol).cast("long").as("_id"),
         TextFns.tokenCount(col(textCol)).as("_tk"))
       .groupBy(col("stratum"), col("_fp"))
       .agg(count(lit(1)).as("_docs"),

@@ -188,8 +188,10 @@ object Eval {
     * scale.
     *
     * Law, exact to the last integer so engines agree bit-for-bit:
-    * `n`, `n_agree`, and `pe_num = Σ_k rowMarginal_k · colMarginal_k` are
-    * BIGINT; the only floating arithmetic is the final fixed chain
+    * `n` and `n_agree` are BIGINT; `pe_num = Σ_k rowMarg_k · colMarg_k`
+    * accumulates in DECIMAL(38,0)/HUGEINT (marginal products reach n² —
+    * past 2^63 at corpus scale, the ksDrift overflow note) and renders as
+    * DOUBLE; the only other floating arithmetic is the final fixed chain
     * `kappa = (po - pe) / (1 - pe)` with `po = n_agree/n`,
     * `pe = pe_num/(n·n)` — identical parenthesization in the oracle.
     * Rows where either label is NULL are excluded (no judgment). A
@@ -211,8 +213,11 @@ object Eval {
     val totals = cells.agg(
       sum(col("_c")).as("n"),
       sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L)).as("n_agree"))
+    val dec = "decimal(38,0)"
     val peNum = rowM.join(colM, col("_a") === col("_b"))
-      .agg(coalesce(sum(col("_ra") * col("_cb")), lit(0L)).as("pe_num"))
+      .agg(coalesce(
+        sum(col("_ra").cast(dec) * col("_cb").cast(dec)).cast("double"),
+        lit(0.0)).as("pe_num"))
     totals.crossJoin(peNum)
       .withColumn("po", col("n_agree").cast("double") / col("n").cast("double"))
       .withColumn("pe", col("pe_num").cast("double") /

@@ -89,9 +89,10 @@ object Graph {
     // plans — a fully lazy chain re-analyzes the whole derivation per
     // round and measured ~50% slower end-to-end), while the rounds
     // themselves stay lazy so the ONE edge exchange above the block scan
-    // is plan-identical across rounds and AQE reuses it
-    val (ewd, _) = Clusters.ownedCheckpoint(e0.join(deg, "src"))
-    val (nodes, _) = Clusters.ownedCheckpoint(
+    // is plan-identical across rounds and AQE reuses it (the mechanism
+    // GraphSpec pins standalone)
+    val (ewd, ewdOwned) = Clusters.ownedCheckpoint(e0.join(deg, "src"))
+    val (nodes, nodesOwned) = Clusters.ownedCheckpoint(
       e0.select(col("src").as("node"))
         .unionByName(e0.select(col("dst").as("node"))).distinct())
     val baseMicro = (initMicro * (dampDen - dampNum)) / dampDen
@@ -126,7 +127,16 @@ object Graph {
         owned = own
       }
     }
-    ranks.select(col("node"), col("rank_micro"))
+    // the final ranks materialize eagerly (ONE job spanning the lazy
+    // rounds — this is where the exchange reuse pays) so the TB-scale
+    // edge/node working-set blocks release NOW, not at RDD GC time: a
+    // long-lived driver calling this per crawl batch must not accumulate
+    // graph copies in the block manager. The returned frame owns only
+    // its |V|-row blocks.
+    val (finalRanks, _) = Clusters.ownedCheckpoint(
+      ranks.select(col("node"), col("rank_micro")))
+    Clusters.release(owned ++ ewdOwned ++ nodesOwned)
+    finalRanks
   }
 
   /** The undirected form of an edge list: both directions, distinct —

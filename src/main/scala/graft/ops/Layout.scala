@@ -88,7 +88,8 @@ object Layout {
     * read once; no window, no sort until the ≤ nShards output rows.
     *
     * Output: (shard, n_rows, weight, skew_ratio) — one row per NON-EMPTY
-    * shard, ordered by shard.
+    * shard; row order is whatever the aggregate emits (order downstream
+    * when rendering — the Registry query does).
     */
   def shardBalance(df: DataFrame, idCol: String, weightCol: String,
       nShards: Int = 32): DataFrame = {

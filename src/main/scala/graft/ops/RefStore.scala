@@ -773,10 +773,20 @@ object RefStore {
     }
   }
 
-  /** The CLOSED map: (dup_id, canon_id) with canon_id = the minimum of
-    * the pair-connected component — one row per non-canonical member
+  /** The CLOSED map: (dup_id, canon_id), one row per non-canonical member
     * (canonical ids map to themselves implicitly and are omitted, so a
-    * left join + coalesce is the remap idiom). `maxIter` bounds the
+    * left join + coalesce is the remap idiom). The canonical of a
+    * component is its ROOT — the member that never appears on the dup
+    * side of any pair. Pairs are always oriented dup → absorber, and
+    * absorbers are the documents that actually SURVIVED, so the root is
+    * the one id it is safe to remap onto; a bare min-label would instead
+    * crown the smallest id even when that id was itself dropped (a
+    * later-ingested duplicate with a smaller id than the registered
+    * owner) and remapping would point at a document that is in no sink.
+    * Components with several roots (parallel owners of one fingerprint —
+    * legal, both survived) take the smallest root; a component with NO
+    * root (a pair cycle, impossible under the ingest loops but legal
+    * parquet) falls back to its min member. `maxIter` bounds the
     * pointer-jumping closure; it throws rather than returning a partial
     * map (the [[Clusters]] contract — a partial map would silently remap
     * onto a non-survivor).
@@ -785,10 +795,17 @@ object RefStore {
       maxIter: Int = 32): DataFrame = {
     require(readMeta(spark, dir).get("canonLaw").contains(CANON_LAW),
       s"store $dir holds no canonical-map artifact")
-    Clusters.connectedComponents(
-        artifactDf(spark, dir, CANONICAL_MAP), "dup_id", "canon_id", maxIter)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as("dup_id"), col("component").as("canon_id"))
+    val pairs = artifactDf(spark, dir, CANONICAL_MAP)
+      .select(col("dup_id"), col("canon_id")).distinct()
+    val comps = Clusters.connectedComponents(pairs, "dup_id", "canon_id", maxIter)
+    val dupSide = pairs.select(col("dup_id").as("_d")).distinct()
+    val roots = comps
+      .join(dupSide, comps("id") === dupSide("_d"), "left_anti")
+      .groupBy(col("component")).agg(min(col("id")).as("_root"))
+    comps.join(roots, Seq("component"), "left")
+      .withColumn("_canon", coalesce(col("_root"), col("component")))
+      .filter(col("id") =!= col("_canon"))
+      .select(col("id").as("dup_id"), col("_canon").as("canon_id"))
   }
 
   private def canonPairFrame(pairs: DataFrame, dupCol: String,

@@ -478,7 +478,11 @@ object Vocab {
     counts.crossJoin(broadcast(totals))
       .withColumn("g2_micro",
         round((lit(2.0) * (ta + tb)) * 1000000.0).cast("long"))
-      .withColumn("enriched", col("a") * col("_nb") > col("b") * col("_na"))
+      .withColumn("enriched",
+        // DECIMAL cross-mult: a·nb reaches count², past 2^63 at corpus
+        // scale (the ksDrift overflow discipline)
+        col("a").cast("decimal(38,0)") * col("_nb").cast("decimal(38,0)") >
+          col("b").cast("decimal(38,0)") * col("_na").cast("decimal(38,0)"))
       .orderBy(col("g2_micro").desc, col("token").asc)
       .limit(k)
       .select(col("token"), col("a"), col("b"), col("g2_micro"), col("enriched"))

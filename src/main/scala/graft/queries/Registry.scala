@@ -614,6 +614,15 @@ object Registry {
     s"(CASE WHEN $trimmed = '' THEN CAST([] AS VARCHAR[]) " +
       s"ELSE regexp_split_to_array($trimmed, '\\s+') END)"
   }
+  /** SQL integer value of hex nibble `pos` (1-based) of a column aliased
+    * `m` — ascii math, no hex-parse builtin; THE one rendering of the
+    * md5-nibble law every hash-bucket/jitter oracle shares (DSIR buckets,
+    * shard balance, E-S uniforms, mask-span offsets).
+    */
+  private def nibSql(pos: Int): String =
+    s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
+      s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+
   private val tokensSql = tokensSqlOf("text")
   private val lowerTokensSql = tokensSqlOf("lower(text)")
   private def hitsSql(words: Seq[String]) =
@@ -3042,12 +3051,9 @@ object Registry {
   val qDsirSelectSql: String = {
     // the two-md5-byte bucket law, nibble-by-nibble (ascii math like the
     // shuffle-shard oracle — no hex-parse builtin dependency)
-    def nib(pos: Int) =
-      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
-        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
     s"""WITH tok AS (SELECT doc_id, lang, unnest($tokensSql) AS tk FROM documents),
       | bk AS (SELECT doc_id, lang,
-      |   (4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)} + ${nib(4)}) % 256 AS b
+      |   (4096 * ${nibSql(1)} + 256 * ${nibSql(2)} + 16 * ${nibSql(3)} + ${nibSql(4)}) % 256 AS b
       |   FROM (SELECT doc_id, lang, md5(tk) AS m FROM tok)),
       | tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tn FROM bk WHERE lang = 'en' GROUP BY 1),
       | sc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS sn FROM bk GROUP BY 1),
@@ -4473,16 +4479,16 @@ object Registry {
       |   CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree FROM cells),
       | rm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a),
       | cm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY b),
-      | pn AS (SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS pe_num
-      |  FROM rm JOIN cm ON rm.a = cm.b)
+      | pn AS (SELECT CAST(COALESCE(SUM(CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)), 0)
+      |   AS DOUBLE) AS pe_num FROM rm JOIN cm ON rm.a = cm.b)
       | SELECT n, n_agree, pe_num,
       |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
-      |  CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
-      |  CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+      |  pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+      |  CASE WHEN pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
       |   THEN NULL
       |   ELSE (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
-      |     - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-      |    / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |     - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |    / (1.0 - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
       |  END AS kappa
       | FROM tot CROSS JOIN pn""".stripMargin.replace("\n", " ")
   }
@@ -4512,7 +4518,8 @@ object Registry {
       |     (CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / $ea) ELSE 0.0 END)
       |     + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / $eb) ELSE 0.0 END)
       |   )) * 1000000.0) AS BIGINT) AS g2_micro,
-      |   a * nb > b * na AS enriched
+      |   CAST(a AS HUGEINT) * CAST(nb AS HUGEINT)
+      |     > CAST(b AS HUGEINT) * CAST(na AS HUGEINT) AS enriched
       |  FROM c CROSS JOIN t)
       | SELECT token, a, b, g2_micro, enriched FROM g
       | ORDER BY g2_micro DESC, token LIMIT 40""".stripMargin.replace("\n", " ")
@@ -4529,13 +4536,10 @@ object Registry {
       .orderBy("shard")
 
   val qShardBalanceSql: String = {
-    def nib(pos: Int) =
-      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
-        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
     s"""WITH h AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS m,
       |   CAST(n_chars AS BIGINT) AS w FROM documents),
-      | b AS (SELECT (4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)}
-      |   + ${nib(4)}) % 32 AS shard, w FROM h),
+      | b AS (SELECT (4096 * ${nibSql(1)} + 256 * ${nibSql(2)} + 16 * ${nibSql(3)}
+      |   + ${nibSql(4)}) % 32 AS shard, w FROM h),
       | s AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |   CAST(COALESCE(SUM(w), 0) AS BIGINT) AS weight FROM b GROUP BY shard),
       | t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM s)
@@ -4557,7 +4561,7 @@ object Registry {
       .select((col("doc_id") + 100000L).as("doc_id"),
         upper(col("text")).as("text"), col("source"))
     graft.ops.Dedup.dupInflation(
-        docs.unionByName(recrawl), "doc_id", "text", "source")
+        docs.unionByName(recrawl), "text", "source")
       .orderBy("stratum")
   }
 
@@ -4596,15 +4600,12 @@ object Registry {
       .orderBy(col("key_nano").desc, col("id"))
 
   val qWeightedSampleSql: String = {
-    def nib(pos: Int) =
-      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
-        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
     s"""WITH h AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
       |   md5('graft' || CAST(doc_id AS VARCHAR)) AS m FROM documents
       |  WHERE n_chars IS NOT NULL AND n_chars > 0),
       | k AS (SELECT id, weight,
-      |   ln((CAST(4096 * ${nib(1)} + 256 * ${nib(2)} + 16 * ${nib(3)}
-      |     + ${nib(4)} AS DOUBLE) + 0.5) / 65536.0)
+      |   ln((CAST(4096 * ${nibSql(1)} + 256 * ${nibSql(2)} + 16 * ${nibSql(3)}
+      |     + ${nibSql(4)} AS DOUBLE) + 0.5) / 65536.0)
       |    / CAST(weight AS DOUBLE) AS key FROM h),
       | top AS (SELECT id, weight, key FROM k ORDER BY key DESC, id LIMIT 50)
       | SELECT id, weight, CAST(round(key * 1000000000.0) AS BIGINT) AS key_nano
@@ -4853,9 +4854,6 @@ object Registry {
       .orderBy("doc_id", "span_idx")
 
   val qMaskSpansSql: String = {
-    def nib(pos: Int) =
-      s"(ascii(substr(m, $pos, 1)) - CASE WHEN substr(m, $pos, 1) " +
-        s"BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
     s"""WITH base AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens
       |  FROM documents),
       | sp AS (SELECT doc_id, n_tokens, (n_tokens * 15) // 300 AS n_spans FROM base),
@@ -4867,10 +4865,10 @@ object Registry {
       |   md5(CAST(doc_id AS VARCHAR) || '_' || CAST(span_idx AS VARCHAR)) AS m
       |  FROM e)
       | SELECT doc_id, n_tokens, n_spans, CAST(span_idx AS BIGINT) AS span_idx,
-      |  CAST(span_idx * stratum + (4096 * ${nib(1)} + 256 * ${nib(2)}
-      |    + 16 * ${nib(3)} + ${nib(4)}) % (stratum - 2) AS BIGINT) AS start_tok,
-      |  CAST(span_idx * stratum + (4096 * ${nib(1)} + 256 * ${nib(2)}
-      |    + 16 * ${nib(3)} + ${nib(4)}) % (stratum - 2) + 3 AS BIGINT) AS end_tok
+      |  CAST(span_idx * stratum + (4096 * ${nibSql(1)} + 256 * ${nibSql(2)}
+      |    + 16 * ${nibSql(3)} + ${nibSql(4)}) % (stratum - 2) AS BIGINT) AS start_tok,
+      |  CAST(span_idx * stratum + (4096 * ${nibSql(1)} + 256 * ${nibSql(2)}
+      |    + 16 * ${nibSql(3)} + ${nibSql(4)}) % (stratum - 2) + 3 AS BIGINT) AS end_tok
       | FROM h ORDER BY doc_id, span_idx""".stripMargin.replace("\n", " ")
   }
 

@@ -398,7 +398,7 @@ class DedupSpec extends SparkSpec {
       (3L, "unique one", "a"),
       (4L, "x y z", "b"))
       .toDF("doc_id", "text", "source")
-    val got = Dedup.dupInflation(docs, "doc_id", "text", "source")
+    val got = Dedup.dupInflation(docs, "text", "source")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6), r.getDouble(7))))
@@ -413,7 +413,7 @@ class DedupSpec extends SparkSpec {
     // same content in two strata: neither sees a duplicate
     val docs = Seq((1L, "shared text", "a"), (2L, "shared text", "b"))
       .toDF("doc_id", "text", "source")
-    val got = Dedup.dupInflation(docs, "doc_id", "text", "source")
+    val got = Dedup.dupInflation(docs, "text", "source")
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got === Map("a" -> 0L, "b" -> 0L))
   }

@@ -147,7 +147,7 @@ class EvalSpec extends SparkSpec {
     val got = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").head
     assert(got.getLong(0) === 50L)
     assert(got.getLong(1) === 35L)
-    assert(got.getLong(2) === 1250L)
+    assert(got.getDouble(2) === 1250.0) // decimal-exact sum, double on the wire
     assert(got.getDouble(3) === 0.7)
     assert(got.getDouble(4) === 0.5)
     // same IEEE chain as the operator: (po - pe) / (1 - pe)

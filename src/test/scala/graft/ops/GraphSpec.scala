@@ -81,21 +81,38 @@ class GraphSpec extends SparkSpec {
     assert(classic === seeded)
   }
 
-  test("rounds compose into ONE plan and AQE reuses the edge exchange across them") {
-    // the 100 TB property of the lazy round chain: the edge subtree is
-    // plan-identical in every round, so the TB-scale edge shuffle runs
-    // once and later rounds read the reused stage. (A per-round
-    // localCheckpoint was measured WORSE: the block scan does not
-    // preserve the hash partitioning, so every round re-exchanged the
-    // edges — this pin replaces that design.)
-    val edges = Graph.symmetrized(
-      (1L to 500L).map(i => (i, i % 97L + 1000L)).toDF("s", "d"), "s", "d")
-    val df = Graph.pageRankMicro(edges, "src", "dst", iterations = 3)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("ReusedExchange") || p.contains("ShuffleQueryStage"),
-      s"rounds stopped sharing the edge exchange:\n${p.take(4000)}")
-    assert(!p.contains("CartesianProduct"), p.take(4000))
+  test("the round-chain mechanism: lazy joins over ONE checkpointed frame reuse its exchange") {
+    // the 100 TB property pageRankMicro's internal loop relies on (its
+    // own final plan materializes eagerly so the working set can release
+    // — not inspectable post-hoc): round subtrees over the same
+    // checkpointed leaf are plan-identical, so the leaf's shuffle runs
+    // once and later rounds read the reused stage. This pins the Spark
+    // mechanism with the operator's exact shape. (A per-round
+    // localCheckpoint was measured WORSE: block scans do not preserve
+    // hash partitioning, so every round re-exchanged the edges.)
+    import org.apache.spark.sql.functions._
+    val (ewd, owned) = Clusters.ownedCheckpoint(
+      spark.range(2000).select(col("id").as("src"),
+        ((col("id") + 7L) % 2000L).as("dst"), lit(1L).as("outdeg")))
+    try {
+      var ranks = spark.range(2000).select(col("id").as("node"),
+        lit(1000000L).as("rank_micro"))
+      for (_ <- 1 to 3) {
+        val contribs = ewd.join(ranks, ewd("src") === ranks("node"))
+          .select(col("dst").as("node"),
+            expr("(rank_micro * 85L) div (100L * outdeg)").as("_c"))
+          .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
+        ranks = ranks.select(col("node"))
+          .join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + coalesce(col("_in"), lit(0L))).as("rank_micro"))
+      }
+      ranks.collect()
+      val p = ranks.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"rounds stopped sharing the checkpointed frame's exchange:\n${p.take(4000)}")
+      assert(!p.contains("CartesianProduct"), p.take(4000))
+    } finally Clusters.release(owned)
   }
 
   test("checkpointEvery bounds plan depth without changing a single rank") {

@@ -754,6 +754,33 @@ class RefStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("no canonical-map artifact"))
   }
 
+  test("canonical-map closure crowns the ROOT (the absorber), never a dropped smaller id") {
+    val dir = Files.createTempDirectory("refstore-canon-root").toString
+    // doc 7 survived first; doc 5 (SMALLER id) arrived later as a
+    // duplicate and was dropped: pair 5→7. A min-label closure would
+    // invert this map (7→5, onto a document no sink holds); the root law
+    // must keep 5→7
+    RefStore.writeCanonicalMap(
+      Seq((5L, 7L)).toDF("dup", "canon"), "dup", "canon", dir)
+    val map = RefStore.loadCanonicalMap(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(map === Map(5L -> 7L),
+      s"the dropped smaller id must map to the surviving absorber: $map")
+    // a chain with an inverted link closes onto the chain's root too:
+    // 3→9 (9 survived), then 9's content re-learned under dup 2 → 2→9
+    RefStore.mergeCanonicalMap(
+      Seq((3L, 9L), (2L, 9L)).toDF("dup", "canon"), "dup", "canon", dir)
+    val map2 = RefStore.loadCanonicalMap(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(map2 === Map(5L -> 7L, 3L -> 9L, 2L -> 9L))
+    // degenerate cycle (hand-written parquet, no root): min member wins
+    RefStore.mergeCanonicalMap(
+      Seq((100L, 101L), (101L, 100L)).toDF("dup", "canon"), "dup", "canon", dir)
+    val map3 = RefStore.loadCanonicalMap(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(map3(101L) === 100L && !map3.contains(100L))
+  }
+
   test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
     val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)

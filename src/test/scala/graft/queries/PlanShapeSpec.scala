@@ -539,16 +539,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("q_pagerank: one lazy plan, bounded top-k, edge exchange reused across rounds") {
+  test("q_pagerank: rounds pre-execute in one reuse-heavy job; result is a bounded top-k scan") {
     val p = plan("q_pagerank")
+    // the iteration chain ran eagerly at the final materialization (so
+    // the working-set blocks could release) — the returned frame must be
+    // a block scan + top-k; the exchange-reuse mechanism the internal
+    // chain relies on is pinned standalone in GraphSpec
     assert(p.contains("TakeOrderedAndProject"),
       s"rank top-k degraded to a global sort:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
-    val df = Registry.queries("q_pagerank")(spark, dir)
-    df.collect()
-    val ep = df.queryExecution.executedPlan.toString
-    assert(ep.contains("ReusedExchange") || ep.contains("ShuffleQueryStage"),
-      "AQE stopped reusing the edge exchange across the rank rounds")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"ranks must come from the materialized blocks:\n$p")
+    assert(!p.contains("Join"), s"post-iteration projection must not join:\n$p")
   }
 
   test("q_rrf_fusion: bounded query side broadcast; one corpus pass feeds both system windows") {
@@ -683,10 +684,11 @@ class PlanShapeSpec extends SparkSpec {
       s"draw ranking lost the rank pre-filter:\n$p")
   }
 
-  test("q_trustrank: like q_pagerank — one lazy plan, bounded top-k, no cartesian") {
+  test("q_trustrank: like q_pagerank — materialized rounds, bounded top-k result") {
     val p = plan("q_trustrank")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("q_mask_spans: narrow arithmetic + one explode — no shuffle but the output sort") {

@@ -646,8 +646,17 @@ class StreamIngestSpec extends SparkSpec {
       2L, store, sink, "doc_id", "text")
     assert(canon() === Map(2L -> 1L, 10L -> 1L, 12L -> 11L, 20L -> 11L))
     assert(sinkIds() === Set(1L, 3L, 4L, 11L, 21L))
+    // out-of-order arrival: id 0 — SMALLER than survivor 1 — duplicates
+    // stored content; the closure's root law must link 0 → 1, never
+    // invert the component onto the dropped smaller id
+    StreamIngest.ingestAttributedBatch(
+      Seq((0L, "alpha CONTENT")).toDF("doc_id", "text"),
+      3L, store, sink, "doc_id", "text")
+    assert(canon() === Map(0L -> 1L, 2L -> 1L, 10L -> 1L, 12L -> 11L, 20L -> 11L),
+      s"a late smaller id must map TO the survivor: ${canon()}")
+    assert(sinkIds() === Set(1L, 3L, 4L, 11L, 21L))
     // the remap idiom: every corpus id resolves to a surviving canonical
-    val all = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L)
+    val all = Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L)
     val m = canon()
     val resolved = all.map(id => m.getOrElse(id, id)).toSet
     assert(resolved === Set(1L, 3L, 4L, 11L, 21L),
