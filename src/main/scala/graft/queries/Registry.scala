@@ -5323,6 +5323,77 @@ object Registry {
       | FROM t GROUP BY 1 ORDER BY decay_micro DESC, user_id LIMIT 20"""
       .stripMargin.replace("\n", " ")
 
+  /** Distinctive terms per source ([[graft.ops.Vocab.keynessByStratum]]):
+    * each source's top-3 enriched G² tokens vs the rest — the source
+    * fingerprint panel, same exact chain as q_keyness with a per-stratum
+    * rank window.
+    */
+  def qSourceKeyness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.keynessByStratum(
+        t(spark, dir, "documents"), "source", "text", kPerStratum = 3)
+      .orderBy("stratum", "rk")
+
+  val qSourceKeynessSql: String = {
+    val lowTok = tokensSqlOf("lower(text)")
+    val ea = "((CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE)) / CAST(na + nb AS DOUBLE))"
+    val eb = "((CAST(a + b AS DOUBLE) * CAST(nb AS DOUBLE)) / CAST(na + nb AS DOUBLE))"
+    s"""WITH tk AS (SELECT source AS stratum, unnest($lowTok) AS token
+      |  FROM documents WHERE source IS NOT NULL),
+      | cst AS (SELECT stratum, token, CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM tk GROUP BY 1, 2),
+      | ct AS (SELECT token, CAST(SUM(a) AS BIGINT) AS tot FROM cst GROUP BY 1),
+      | ns AS (SELECT stratum, CAST(SUM(a) AS BIGINT) AS na FROM cst GROUP BY 1),
+      | gl AS (SELECT CAST(SUM(tot) AS BIGINT) AS n FROM ct),
+      | j AS (SELECT cst.stratum, cst.token, cst.a, ct.tot - cst.a AS b,
+      |   ns.na, gl.n - ns.na AS nb
+      |  FROM cst JOIN ct USING (token) JOIN ns USING (stratum) CROSS JOIN gl),
+      | g AS (SELECT stratum, token, a, b,
+      |   CAST(round((2.0 * (
+      |     (CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) / $ea))
+      |     + (CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE) / $eb)
+      |        ELSE 0.0 END)
+      |   )) * 1000000.0) AS BIGINT) AS g2_micro,
+      |   CAST(a AS HUGEINT) * CAST(nb AS HUGEINT)
+      |     > CAST(b AS HUGEINT) * CAST(na AS HUGEINT) AS enr
+      |  FROM j),
+      | r AS (SELECT stratum, token, a, b, g2_micro,
+      |   row_number() OVER (PARTITION BY stratum
+      |     ORDER BY g2_micro DESC, token) AS rk
+      |  FROM g WHERE enr)
+      | SELECT stratum, CAST(rk AS BIGINT) AS rk, token, a, b, g2_micro
+      | FROM r WHERE rk <= 3 ORDER BY stratum, rk""".stripMargin.replace("\n", " ")
+  }
+
+  /** Daily error-rate trend over the event stream: per-day counts, the
+    * exact error fraction, and its 7-day trailing moving average (ROWS
+    * frame over the ordered day axis — the q_moving_window accumulation
+    * law) — the ops-monitoring staple.
+    */
+  def qErrorTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dayMicros = 86400000000L
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    t(spark, dir, "events")
+      .groupBy(expr(s"unix_micros(ts) div ${dayMicros}L").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("err_frac",
+        col("n_errors").cast("double") / col("n_events").cast("double"))
+      .withColumn("ma7", avg(col("err_frac")).over(w))
+      .orderBy("day")
+  }
+
+  val qErrorTrendSql: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |   CAST(COUNT(*) AS BIGINT) AS n_events,
+      |   CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors
+      |  FROM events GROUP BY 1)
+      | SELECT CAST(day AS BIGINT) AS day, n_events, n_errors,
+      |  CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS err_frac,
+      |  AVG(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+      |    OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+      | FROM d ORDER BY day""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -5490,6 +5561,8 @@ object Registry {
     "q_event_funnel" -> (qEventFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_decay_counts" -> (qDecayCounts _),
+    "q_source_keyness" -> (qSourceKeyness _),
+    "q_error_trend" -> (qErrorTrend _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5668,6 +5741,8 @@ object Registry {
     "q_event_funnel" -> qEventFunnelSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_decay_counts" -> qDecayCountsSql,
+    "q_source_keyness" -> qSourceKeynessSql,
+    "q_error_trend" -> qErrorTrendSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force

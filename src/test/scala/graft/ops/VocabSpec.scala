@@ -249,6 +249,32 @@ class VocabSpec extends SparkSpec {
     assert(g.getDouble(4) === 94.0 / 100.0)
   }
 
+  test("keynessByStratum: enriched-only per-stratum top terms, lone stratum yields nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("A", "apple apple apple shared shared"),
+      ("B", "banana banana banana shared shared"))
+      .toDF("src", "text")
+    val got = Vocab.keynessByStratum(docs, "src", "text", kPerStratum = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    // each stratum's rank-1 distinctive term is its own fruit; 'shared'
+    // is balanced (a·nb = b·na) — never enriched, never listed
+    assert(got(("A", 1L)) === "apple")
+    assert(got(("B", 1L)) === "banana")
+    assert(!got.values.toSet.contains("shared"))
+    // the per-stratum g2 for the fruit equals the two-class keynessG2 law
+    val direct = Vocab.keynessG2(docs, "text", col("src") === "A", k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val byStratum = Vocab.keynessByStratum(docs, "src", "text", 2)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(5)).toMap
+    assert(byStratum(("A", "apple")) === direct("apple"))
+
+    val lone = Seq(("only", "x y z")).toDF("src", "text")
+    assert(Vocab.keynessByStratum(lone, "src", "text").count() === 0L,
+      "a stratum with no rest side has no distinctive terms")
+  }
+
   test("keynessG2: top-k ordering is g2 desc with token tiebreak") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

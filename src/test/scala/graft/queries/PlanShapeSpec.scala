@@ -801,6 +801,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, s"only the 1-row max may nested-loop:\n$p")
   }
 
+  test("q_source_keyness: per-stratum WindowGroupLimit; totals broadcast") {
+    val p = plan("q_source_keyness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"),
+      s"per-stratum top-k lost the rank pre-filter:\n$p")
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"only the 1-row total may nested-loop:\n$p")
+  }
+
+  test("q_error_trend: one day aggregate + the bounded trailing window, no join") {
+    val p = plan("q_error_trend")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("ReadSchema: struct<ts:"), p)
+  }
+
   test("q_zipf_fit: top-R via TakeOrderedAndProject; only the bounded R-row frame hits the window") {
     val p = plan("q_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"),
