@@ -165,7 +165,10 @@ object CurateDemo {
     TrainExport.writeJsonl(
       sharded.select($"doc_id", $"lang", $"epoch", $"split", $"shard", $"pos"),
       outDir, partitionBy = Seq("split", "shard"))
-    val exported = spark.read.json(s"$outDir/split=train/*")
+    // read the partition dir directly (no glob): the glob form makes
+    // FileStreamSink's metadata probe log a harmless-but-alarming
+    // FileNotFoundException stack into the demo output
+    val exported = spark.read.json(s"$outDir/split=train")
     println(s"=== export: ${exported.count()} train rows across " +
       s"${sharded.select($"shard").distinct().count()} shards → $outDir ===")
 
