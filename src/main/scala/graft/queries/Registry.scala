@@ -5394,6 +5394,48 @@ object Registry {
       |    OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
       | FROM d ORDER BY day""".stripMargin.replace("\n", " ")
 
+  /** Herfindahl–Hirschman concentration of supplier revenue per nation:
+    * HHI = 10000·Σ share² — the market-concentration index, here the
+    * "is one supplier dominating this nation's volume" screen. Exact
+    * law: each line's discounted price quantizes to integer CENTS with
+    * `round(·)` (half-away-from-zero on both engines — a DECIMAL cast
+    * would round half-even in one engine and half-up in the other at
+    * product values), squares sum in DECIMAL(38,0)/HUGEINT, and the
+    * index renders by one fixed double chain `(10000·num) / (tot·tot)`.
+    */
+  def qHhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val s = t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val dec = "decimal(38,0)"
+    val cents = li.join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nation"), col("l_suppkey"))
+      .agg(sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        * 100.0).cast("long")).as("_c"))
+    cents.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("_c")).as("_tot"),
+        sum(col("_c").cast(dec) * col("_c").cast(dec)).as("_num"))
+      .withColumn("hhi",
+        (lit(10000.0) * col("_num").cast("double")) /
+          (col("_tot").cast("double") * col("_tot").cast("double")))
+      .select(col("nation").cast("long").as("nation"), col("n_suppliers"),
+        col("_tot").as("revenue_cents"), col("hhi"))
+      .orderBy("nation")
+  }
+
+  val qHhiConcentrationSql: String =
+    """WITH c AS (SELECT s.s_nationkey AS nation, l.l_suppkey,
+      |   CAST(SUM(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 100.0)
+      |     AS BIGINT)) AS BIGINT) AS c
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2)
+      | SELECT CAST(nation AS BIGINT) AS nation,
+      |  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |  CAST(SUM(c) AS BIGINT) AS revenue_cents,
+      |  (10000.0 * CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE))
+      |    / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS hhi
+      | FROM c GROUP BY nation ORDER BY nation""".stripMargin.replace("\n", " ")
+
   // ------------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------------
@@ -5563,6 +5605,7 @@ object Registry {
     "q_decay_counts" -> (qDecayCounts _),
     "q_source_keyness" -> (qSourceKeyness _),
     "q_error_trend" -> (qErrorTrend _),
+    "q_hhi_concentration" -> (qHhiConcentration _),
     "q_ann_pq" -> (qAnnPq _))
 
   val oracle: Map[String, String] = Map(
@@ -5743,6 +5786,7 @@ object Registry {
     "q_decay_counts" -> qDecayCountsSql,
     "q_source_keyness" -> qSourceKeynessSql,
     "q_error_trend" -> qErrorTrendSql,
+    "q_hhi_concentration" -> qHhiConcentrationSql,
     // the exact-rerank contract: with the shortlist sized to cover the true
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force
