@@ -77,7 +77,13 @@ object Dedup {
     * derived double `n_tokens / uniq_tokens` (NULL when a stratum has no
     * tokens). Duplication across strata is intentionally out of scope —
     * each stratum is charged only for its OWN redundancy (cross-source
-    * dedup is [[exactAgainst]]'s job).
+    * dedup is [[exactAgainst]]'s job). NULL-text rows carry a NULL
+    * fingerprint and are each their OWN unique keeper (never duplicates
+    * of each other) — the same "NULL fp ⇒ keeper" convention the
+    * attributed ingest loop applies
+    * ([[graft.streaming.StreamIngest.runAttributedDedupIngest]]); a
+    * grouped NULL key would instead collapse them into one phantom
+    * duplicate group and inflate `n_dup_docs`.
     *
     * Scale shape: one tokenize+fingerprint pass, one hash aggregate to
     * (stratum, fingerprint) groups — map-side combined, shuffle carries
@@ -89,11 +95,13 @@ object Dedup {
     */
   def dupInflation(df: DataFrame, textCol: String,
       stratumCol: String): DataFrame = {
-    val perContent = df
+    val base = df
       .filter(col(stratumCol).isNotNull)
       .select(col(stratumCol).as("stratum"),
         TextFns.fingerprintMd5(col(textCol)).as("_fp"),
         TextFns.tokenCount(col(textCol)).as("_tk"))
+    val perContent = base
+      .filter(col("_fp").isNotNull)
       .groupBy(col("stratum"), col("_fp"))
       .agg(count(lit(1)).as("_docs"),
         sum(col("_tk")).as("_tks"),
@@ -101,7 +109,14 @@ object Dedup {
         // token counts are equal across the group, so the keeper's token
         // count is any member's; min is the deterministic pick
         min(col("_tk")).as("_keep_tk"))
-    perContent
+      .select(col("stratum"), col("_docs"), col("_tks"), col("_keep_tk"))
+    // NULL-fp rows: one singleton keeper group per ROW (no grouping —
+    // absent content is not shared content)
+    val nullGroups = base
+      .filter(col("_fp").isNull)
+      .select(col("stratum"), lit(1L).as("_docs"),
+        col("_tk").as("_tks"), col("_tk").as("_keep_tk"))
+    perContent.unionByName(nullGroups)
       .groupBy(col("stratum"))
       .agg(sum(col("_docs")).as("n_docs"),
         count(lit(1)).as("n_uniq"),

@@ -226,18 +226,27 @@ object Drift {
     * DOMAIN: right for counts/lengths/scores with ≲10⁶ distinct values;
     * quantize a continuous or unbounded-domain metric upstream (KS on a
     * rounded metric is KS of the rounded distributions — still exact).
+    * That contract is ENFORCED, not just documented: `maxDistinctValues`
+    * (default 10⁶) is checked in-plan — a wider domain fails the job
+    * with a quantize-upstream message BEFORE the single-task sort runs,
+    * instead of silently funneling the support through one task. The
+    * guard costs one extra count over the (already shuffled, reused)
+    * support aggregate, not a second corpus scan.
     *
     * Output: (stratum, n, n_rest, ks) — strata with an empty rest side
     * (single-stratum corpus) report NULL ks (undefined, not 0).
     */
-  def ksDrift(df: DataFrame, stratumCol: String, valueCol: String): DataFrame = {
+  def ksDrift(df: DataFrame, stratumCol: String, valueCol: String,
+      maxDistinctValues: Long = 1000000L): DataFrame = {
     val dec = "decimal(38,0)"
     val cnt = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(stratumCol).as("stratum"),
         col(valueCol).cast("long").as("_v"))
       .agg(count(lit(1)).as("_c"))
     val ns = cnt.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
-    val vals = cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val vals = guardValueDomain(
+      cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv")),
+      maxDistinctValues, "ksDrift")
     val wAllCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
     val valsCum = vals.withColumn("_cumAll", sum(col("_cv")).over(wAllCum))
       .select(col("_v"), col("_cumAll"))
@@ -264,6 +273,32 @@ object Drift {
       .select(col("stratum"), col("n"), col("n_rest"), col("ks"))
   }
 
+  /** In-plan value-domain guard for the KS family's unpartitioned
+    * cumulative windows: fail the job with a quantize-upstream message
+    * when the support frame holds more than `maxDistinct` rows. The
+    * check stays IN the plan (a 1-row broadcast count + an `assert_true`
+    * filter) so no extra driver job runs and the support aggregate's
+    * exchange is reused, and it sits UPSTREAM of the window exchange so
+    * the failure fires before the single-task sort materializes. The
+    * companion WindowExec log filter ([[graft.LogLevels]]) silences only
+    * the known bounded-frame warning — this guard is what catches the
+    * unbounded case it would otherwise have flagged.
+    */
+  private def guardValueDomain(vals: DataFrame, maxDistinct: Long,
+      op: String): DataFrame = {
+    val nv = vals.agg(count(lit(1)).as("_nv"))
+    vals.crossJoin(broadcast(nv))
+      .filter(coalesce(
+        assert_true(col("_nv") <= maxDistinct,
+          lit(s"$op: metric value domain exceeds maxDistinctValues=$maxDistinct " +
+            "distinct values — the global cumulative window would sort the whole " +
+            "support in one task; quantize the metric upstream (KS of the rounded " +
+            "distributions is still exact) or raise the bound deliberately"))
+          .cast("boolean"),
+        lit(true)))
+      .drop("_nv")
+  }
+
   /** The (value, count) histogram of an integer metric — the commit unit
     * of the [[RefStore.writeValueCounts]] family and the two-sample input
     * of [[ksAgainstCounts]]. NULL values carry no distribution mass.
@@ -281,12 +316,15 @@ object Drift {
     * DECIMAL(38,0), one double division. Returns ONE row
     * (n_batch, n_ref, ks); an empty side yields NULL ks.
     */
-  def ksAgainstCounts(batchCounts: DataFrame, refCounts: DataFrame): DataFrame = {
+  def ksAgainstCounts(batchCounts: DataFrame, refCounts: DataFrame,
+      maxDistinctValues: Long = 1000000L): DataFrame = {
     val dec = "decimal(38,0)"
     val a = batchCounts.select(col("_v"), col("_c").as("_ca"))
     val b = refCounts.select(col("_v"), col("_c").as("_cb"))
-    val merged = a.join(b, Seq("_v"), "full_outer")
-      .na.fill(0L, Seq("_ca", "_cb"))
+    val merged = guardValueDomain(
+      a.join(b, Seq("_v"), "full_outer")
+        .na.fill(0L, Seq("_ca", "_cb")),
+      maxDistinctValues, "ksAgainstCounts")
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     merged

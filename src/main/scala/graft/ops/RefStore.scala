@@ -790,22 +790,68 @@ object RefStore {
     * pointer-jumping closure; it throws rather than returning a partial
     * map (the [[Clusters]] contract — a partial map would silently remap
     * onto a non-survivor).
+    *
+    * PARALLEL-OWNER caveat (consumer contract): a multi-root component
+    * means SEVERAL documents genuinely survived into sinks with the same
+    * content (a retry window or out-of-order batch registered two
+    * owners). The smallest root wins the map, so every LARGER root
+    * appears on the dup side even though its document still physically
+    * exists — a mapped id that is still present in a sink is a PENDING
+    * PHYSICAL MERGE, not a dangling reference. [[loadPendingMerges]]
+    * emits exactly those rows as the reconciliation worklist; until a
+    * pipeline deletes/merges them, consumers must treat such entries as
+    * "two live copies, canonical chosen" rather than "dup was dropped".
     */
   def loadCanonicalMap(spark: SparkSession, dir: String,
       maxIter: Int = 32): DataFrame = {
+    val (comps, rootsAll) = closedComponents(spark, dir, maxIter)
+    val roots = rootsAll
+      .groupBy(col("component")).agg(min(col("id")).as("_root"))
+    comps.join(roots, Seq("component"), "left")
+      .withColumn("_canon", coalesce(col("_root"), col("component")))
+      .filter(col("id") =!= col("_canon"))
+      .select(col("id").as("dup_id"), col("_canon").as("canon_id"))
+  }
+
+  /** Reconciliation worklist for multi-root components (parallel owners
+    * of one content fingerprint — every root genuinely SURVIVED into a
+    * sink, but [[loadCanonicalMap]] can crown only one): one row per
+    * LOSING root, (canon_id, pending_id), meaning "pending_id's document
+    * is still physically present in the corpus/sinks; merge or delete it
+    * onto canon_id, or treat its map entry as pending until then".
+    * Empty under the ingest loops' normal operation (they register one
+    * owner per fingerprint); non-empty exactly when a retry window or
+    * out-of-order batch registered parallel owners. Same closure, same
+    * `maxIter` contract as [[loadCanonicalMap]].
+    */
+  def loadPendingMerges(spark: SparkSession, dir: String,
+      maxIter: Int = 32): DataFrame = {
+    val (_, rootsAll) = closedComponents(spark, dir, maxIter)
+    val perComp = rootsAll
+      .groupBy(col("component"))
+      .agg(min(col("id")).as("_canon"), count(lit(1)).as("_nroots"))
+      .filter(col("_nroots") > 1L)
+    rootsAll.join(perComp, Seq("component"))
+      .filter(col("id") =!= col("_canon"))
+      .select(col("_canon").as("canon_id"), col("id").as("pending_id"))
+  }
+
+  /** Shared closure of the pair union: (member components, ALL roots) —
+    * a root is a member never on the dup side of any pair, i.e. a
+    * document that actually survived.
+    */
+  private def closedComponents(spark: SparkSession, dir: String,
+      maxIter: Int): (DataFrame, DataFrame) = {
     require(readMeta(spark, dir).get("canonLaw").contains(CANON_LAW),
       s"store $dir holds no canonical-map artifact")
     val pairs = artifactDf(spark, dir, CANONICAL_MAP)
       .select(col("dup_id"), col("canon_id")).distinct()
     val comps = Clusters.connectedComponents(pairs, "dup_id", "canon_id", maxIter)
     val dupSide = pairs.select(col("dup_id").as("_d")).distinct()
-    val roots = comps
+    val rootsAll = comps
       .join(dupSide, comps("id") === dupSide("_d"), "left_anti")
-      .groupBy(col("component")).agg(min(col("id")).as("_root"))
-    comps.join(roots, Seq("component"), "left")
-      .withColumn("_canon", coalesce(col("_root"), col("component")))
-      .filter(col("id") =!= col("_canon"))
-      .select(col("id").as("dup_id"), col("_canon").as("canon_id"))
+      .select(col("component"), col("id"))
+    (comps, rootsAll)
   }
 
   private def canonPairFrame(pairs: DataFrame, dupCol: String,

@@ -4575,9 +4575,12 @@ object Registry {
       |   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
       |   CAST(len(${tokensSqlOf("text")}) AS BIGINT) AS tk
       |  FROM corpus WHERE source IS NOT NULL),
-      | pc AS (SELECT stratum, fp, CAST(COUNT(*) AS BIGINT) AS docs,
+      | pc0 AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS docs,
       |   CAST(SUM(tk) AS BIGINT) AS tks, MIN(tk) AS keep_tk
-      |  FROM f GROUP BY stratum, fp)
+      |  FROM f WHERE fp IS NOT NULL GROUP BY stratum, fp),
+      | pc AS (SELECT stratum, docs, tks, keep_tk FROM pc0
+      |  UNION ALL
+      |  SELECT stratum, CAST(1 AS BIGINT), tk, tk FROM f WHERE fp IS NULL)
       | SELECT stratum, CAST(SUM(docs) AS BIGINT) AS n_docs,
       |  CAST(COUNT(*) AS BIGINT) AS n_uniq,
       |  CAST(SUM(docs - 1) AS BIGINT) AS n_dup_docs,
@@ -5249,17 +5252,25 @@ object Registry {
       .stripMargin.replace("\n", " ")
 
   /** Weekly retention cohorts: users cohort by first-seen week (fixed
-    * origin 2024-01-01, integer micros div a week), the matrix counts
-    * users from cohort w active in week a ≥ w, and `retention` divides by
-    * the cohort size — the standard product-analytics triangle, exact
-    * integers end to end.
+    * origin 2024-01-01, integer micros FLOOR-divided by a week), the
+    * matrix counts users from cohort w active in week a ≥ w, and
+    * `retention` divides by the cohort size — the standard
+    * product-analytics triangle, exact integers end to end. Week numbers
+    * use explicit floor division (`(d − pmod(d, w)) div w` — the pmod
+    * makes the numerator an exact multiple of w, so the engine's
+    * truncate-vs-floor division semantics cannot matter): Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so a bare `div`
+    * would diverge (and merge weeks −1 and 0) for any event BEFORE the
+    * origin — the law is engine-exact for all timestamps, not just the
+    * post-origin ones the fixture happens to hold.
     */
   def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekMicros = 604800000000L
     val origin = 1704067200000000L // 2024-01-01T00:00:00Z in micros
     val ev = t(spark, dir, "events")
       .select(col("user_id"),
-        expr(s"(unix_micros(ts) - ${origin}L) div ${weekMicros}L").as("wk"))
+        expr(s"(unix_micros(ts) - ${origin}L - pmod(unix_micros(ts) - ${origin}L, " +
+          s"${weekMicros}L)) div ${weekMicros}L").as("wk"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     val active = ev.select(col("user_id"), col("wk")).distinct()
     val cells = active.join(cohort, "user_id")
@@ -5276,7 +5287,9 @@ object Registry {
 
   val qCohortRetentionSql: String =
     """WITH w AS (SELECT user_id,
-      |   (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk FROM events),
+      |   (epoch_us(ts) - 1704067200000000
+      |    - ((((epoch_us(ts) - 1704067200000000) % 604800000000)
+      |        + 604800000000) % 604800000000)) // 604800000000 AS wk FROM events),
       | cohort AS (SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort_week
       |  FROM w GROUP BY 1),
       | active AS (SELECT DISTINCT user_id, CAST(wk AS BIGINT) AS wk FROM w),

@@ -417,4 +417,23 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got === Map("a" -> 0L, "b" -> 0L))
   }
+
+  test("dupInflation: NULL-text rows are each their OWN keeper, never dups of each other") {
+    import spark.implicits._
+    // three NULL texts in one stratum share a NULL fingerprint; a grouped
+    // NULL key would report 2 phantom dup docs — the law says 0 (the
+    // ingest-side "NULL fp ⇒ keeper" convention)
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "a"),
+      (2L, null.asInstanceOf[String], "a"),
+      (3L, null.asInstanceOf[String], "a"),
+      (4L, "real text", "a"), (5L, "real text", "a"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dupInflation(docs, "text", "source").collect().head
+    // (stratum, n_docs, n_uniq, n_dup_docs, n_tokens, uniq_tokens, dup_tokens)
+    assert(r.getLong(1) === 5L, "n_docs counts NULL rows")
+    assert(r.getLong(2) === 4L, "n_uniq: 3 NULL singletons + 1 real content")
+    assert(r.getLong(3) === 1L, "only the real-content copy is a dup")
+    assert(r.getLong(4) === 4L && r.getLong(5) === 2L && r.getLong(6) === 2L)
+  }
 }

@@ -203,6 +203,42 @@ class DriftSpec extends SparkSpec {
     assert(cos > 0.999999999, s"self-cosine must be ~1, got $cos")
   }
 
+  test("ksDrift value-domain guard fails a too-wide metric with a quantize message") {
+    import spark.implicits._
+    // 2000 distinct values vs a bound of 1000: the guard must fail the
+    // job (with the quantize-upstream message) instead of silently
+    // funneling the support through the unpartitioned cumulative window
+    val wide = (0L until 2000L).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toDF("src", "v")
+    val e = intercept[Exception] {
+      Drift.ksDrift(wide, "src", "v", maxDistinctValues = 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("quantize")),
+      s"expected the quantize-upstream guard message, got: ${messages(e)}")
+    // the SAME frame passes under the default bound — and quantizing the
+    // metric upstream (KS of the rounded distributions) passes the guard
+    assert(Drift.ksDrift(wide, "src", "v").count() === 2L)
+    val quantized = wide.selectExpr("src", "CAST(v div 10 AS BIGINT) AS v")
+    assert(Drift.ksDrift(quantized, "src", "v",
+      maxDistinctValues = 1000L).count() === 2L)
+  }
+
+  test("ksAgainstCounts shares the value-domain guard") {
+    import spark.implicits._
+    val a = (0L until 600L).map(v => (v, 1L)).toDF("_v", "_c")
+    val b = (500L until 1100L).map(v => (v, 1L)).toDF("_v", "_c")
+    // union support = 1100 distinct values > 1000 bound
+    val e = intercept[Exception] {
+      Drift.ksAgainstCounts(a, b, maxDistinctValues = 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("quantize")))
+    assert(Drift.ksAgainstCounts(a, b).count() === 1L)
+  }
+
   test("embedCentroidDrift excludes NULL groups and empty vectors") {
     import spark.implicits._
     val vecs = Seq((1L, Some(1), Array(1.0f)), (2L, None, Array(1.0f)),

@@ -781,6 +781,27 @@ class RefStoreSpec extends SparkSpec {
     assert(map3(101L) === 100L && !map3.contains(100L))
   }
 
+  test("loadPendingMerges: parallel owners surface as a reconciliation worklist") {
+    val dir = Files.createTempDirectory("refstore-canon-pending").toString
+    // one fingerprint, two registered owners 10 and 14 (both SURVIVED in
+    // sinks): dups 21→10 and 22→14 chain the roots into one component.
+    // The map crowns min-root 10, so 14 lands on the dup side even
+    // though its document still exists — the pending-merge row makes
+    // that explicit. A clean single-root chain (31→30) must emit nothing.
+    RefStore.writeCanonicalMap(
+      Seq((21L, 10L), (22L, 14L), (21L, 22L), (31L, 30L))
+        .toDF("dup", "canon"), "dup", "canon", dir)
+    val pending = RefStore.loadPendingMerges(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(pending === Set((10L, 14L)),
+      s"losing root 14 must be reported as pending onto canon 10: $pending")
+    // the map itself still maps EVERYTHING (incl. the losing root) onto 10
+    val map = RefStore.loadCanonicalMap(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(map(14L) === 10L && map(21L) === 10L && map(22L) === 10L)
+    assert(map(31L) === 30L && !map.contains(10L))
+  }
+
   test("simhash store: merge into a dir that never saw writeSimhash fails fast") {
     val dir = Files.createTempDirectory("refstore-simhash-foreign").toString
     RefStore.writeExact(batch1, "text", dir, expectedItems = 1000L)
