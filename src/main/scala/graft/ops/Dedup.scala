@@ -523,16 +523,30 @@ object Dedup {
 
   /** 64-bit SimHash of a document: sign-aggregate of per-token hash bits.
     * One pass over tokens with an array accumulator — narrow, codegen'd.
+    *
+    * TOKEN-HASH LAW (md5, SQL-replayable): the per-token hash is the
+    * FIRST 8 BYTES of md5(utf-8 token) read big-endian (== the first 16
+    * lowercase-hex chars), and "bit b" of the hash is `(h >>> (63−b)) &
+    * 1` — i.e. bit 3−(b mod 4) of hex nibble b div 4. Signature bit b is
+    * set iff the signed token-count at b is ≥ 0. md5 rather than
+    * xxhash/FNV deliberately: md5 is THE hash both engines share, so the
+    * whole signature — and therefore the near-dup pair set — replays
+    * exactly in the DuckDB oracle (the MinHash-banding / E–S-sampling
+    * md5 discipline applied to the signature step; r10 verdict task 1).
     */
   def simhash64(text: Column): Column = {
     val counts = aggregate(
       TextFns.tokens(text),
       array_repeat(lit(0L), 64),
       (acc, t) => {
-        val h = xxhash64(t)
+        val hex = md5(t.cast("binary"))
+        val h = call_function("shiftleft",
+            conv(substring(hex, 1, 8), 16, 10).cast("long"), lit(32))
+          .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
         zip_with(acc, sequence(lit(0L), lit(63L)),
           (a, b) => a + when(
-            call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) === 1L, 1L)
+            call_function("shiftrightunsigned", h, (lit(63L) - b).cast("int"))
+              .bitwiseAND(1L) === 1L, 1L)
             .otherwise(-1L))
       })
     aggregate(
@@ -542,16 +556,23 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Scala twin of [[simhash64]] (same shape of law, FNV token hashes) for
-    * the object-boundary pair search.
+  /** Scala twin of [[simhash64]] (SAME md5 token-hash law, bit for bit)
+    * for the object-boundary pair search. `md` is the caller's reusable
+    * digest (one per partition — per-row getInstance would allocate per
+    * row, the [[graft.ops.Importance]] note).
     */
-  private[ops] def simhash64Scala(text: String): Long = {
+  private[ops] def simhash64Scala(text: String,
+      md: java.security.MessageDigest): Long = {
     val counts = new Array[Int](64)
     TextFns.tokensScala(text).foreach { t =>
-      val h = fnv64(t)
+      md.reset()
+      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((h >>> (63 - b)) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
     }
@@ -560,6 +581,10 @@ object Dedup {
     while (b < 64) { if (counts(b) >= 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** Single-call convenience twin (tests / one-off probes). */
+  private[ops] def simhash64Scala(text: String): Long =
+    simhash64Scala(text, java.security.MessageDigest.getInstance("MD5"))
 
   /** SimHash near-duplicate pairs: bucket-join on 4×16-bit chunks (any pair
     * with Hamming distance ≤ 3 shares at least one chunk), verified with
@@ -598,7 +623,10 @@ object Dedup {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, simhash64Scala(if (t == null) "" else t)) })
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) => (id, simhash64Scala(if (t == null) "" else t, md)) }
+      }
       .toDF("_id", "_sh")
       .repartition(col("_id"))
   }

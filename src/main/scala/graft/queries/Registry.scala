@@ -2221,13 +2221,61 @@ object Registry {
       numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (Hamming ≤ 3) — xxhash64-based, no SQL oracle;
-    * driver records the rows-only check; planted-pair recall is unit-tested.
+  /** SimHash near-dup pairs (Hamming ≤ 3), FULLY hash-oracled since the
+    * signature law moved to md5 (r10 verdict task 1): the oracle replays
+    * every 64-bit signature nibble-for-nibble (token hash = first 16 md5
+    * hex chars, sign-aggregated per bit) and computes the EXACT all-pairs
+    * Hamming law, so the gate certifies both the signature arithmetic
+    * and that the engine's pigeonhole chunk-join (4×16-bit chunks — any
+    * pair within Hamming ≤ 3 shares one) loses no qualifying pair at
+    * this scale, the q_minhash_against discipline. Verify's planted
+    * recall-1.0 floor stays as the larger-sf ratchet.
     */
   def qSimhashNeardup(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  /** Shared SimHash signature CTE chain: one 64-bit signature per
+    * document, carried as two 32-bit halves (`hi`/`lo` BIGINTs — Hamming
+    * over the halves equals Hamming over the whole signature, and the
+    * halves dodge signed-64 overflow juggling in SQL). Replays
+    * [[graft.ops.Dedup.simhash64]]'s law exactly: token hash bit b = bit
+    * 3−(b mod 4) of md5-hex nibble b div 4 (ascii math, the [[nibSql]]
+    * discipline with a computed position); signature bit b set iff the
+    * signed ±1 count over tokens is ≥ 0 (so a token-free document is
+    * all-ones on both engines).
+    */
+  private val simhashSigsSql: String = {
+    val nibAt = "(ascii(substr(m, CAST(b // 4 + 1 AS INTEGER), 1)) " +
+      "- CASE WHEN substr(m, CAST(b // 4 + 1 AS INTEGER), 1) " +
+      "BETWEEN '0' AND '9' THEN 48 ELSE 87 END)"
+    s"""tok AS (SELECT doc_id, unnest($tokensSql) AS tk FROM documents),
+      | tb AS (SELECT doc_id, md5(tk) AS m,
+      |   unnest(generate_series(0, 63)) AS b FROM tok),
+      | cnts AS (SELECT doc_id, b,
+      |   SUM(CASE WHEN ($nibAt >> CAST(3 - (b % 4) AS INTEGER)) & 1 = 1
+      |     THEN 1 ELSE -1 END) AS cnt
+      |  FROM tb GROUP BY 1, 2),
+      | fullb AS (SELECT d.doc_id, gs.b, COALESCE(c.cnt, 0) AS cnt
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs
+      |  LEFT JOIN cnts c ON c.doc_id = d.doc_id AND c.b = gs.b),
+      | sigs AS (SELECT doc_id,
+      |   CAST(SUM(CASE WHEN cnt >= 0 AND b >= 32
+      |     THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hi,
+      |   CAST(SUM(CASE WHEN cnt >= 0 AND b < 32
+      |     THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS lo
+      |  FROM fullb GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+  }
+
+  val qSimhashNeardupSql: String =
+    s"""WITH $simhashSigsSql,
+      | p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+      |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+      | SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      | FROM p WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
   def qAnnCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -3915,10 +3963,13 @@ object Registry {
     * [[graft.ops.Dedup.simhashAgainstStored]]): the reference corpus
     * commits its 8-byte/doc signatures in two batches; the incoming split
     * screens against the LOADED frame (pigeonhole chunk join + exact
-    * Hamming verify) without re-hashing the reference. No SQL oracle (the
-    * FNV-64 signature law lives at an object boundary, same as the live
-    * q_simhash_neardup); gated by [[graft.Verify]]'s planted-recall floor
-    * through the STORED path.
+    * Hamming verify) without re-hashing the reference. Hash-oracled
+    * through the FULL store lifecycle since the md5 signature law: the
+    * oracle recomputes every signature from scratch and applies the exact
+    * against-law (any reference doc within Hamming ≤ 3), so a store that
+    * loses/garbles a signature row, or a chunk-join recall loss, fails
+    * the hash gate — plus [[graft.Verify]]'s planted-recall floor stays
+    * as the stored-path ratchet.
     */
   def qSimhashStore(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -3933,6 +3984,16 @@ object Registry {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }
+
+  val qSimhashStoreSql: String =
+    s"""WITH $simhashSigsSql,
+      | flg AS (SELECT DISTINCT i.doc_id FROM sigs i JOIN sigs r
+      |  ON i.doc_id % 9 >= 2 AND r.doc_id % 9 <= 1
+      |   AND bit_count(xor(i.hi, r.hi)) + bit_count(xor(i.lo, r.lo)) <= 3)
+      | SELECT doc_id, lang FROM documents d
+      | WHERE doc_id % 9 >= 2
+      |  AND NOT EXISTS (SELECT 1 FROM flg f WHERE f.doc_id = d.doc_id)
+      | ORDER BY doc_id""".stripMargin.replace("\n", " ")
 
   /** PERSISTED IVF index ([[graft.ops.RefStore.writeIvf]]/mergeIvf +
     * [[graft.ops.Similarity.ivfTopKStored]]): the index builds on half the
@@ -5804,8 +5865,14 @@ object Registry {
     // top-k (recall 1.0 measured at the gate's sf — see qAnnPq scaladoc),
     // PQ's reranked output IS the exact cosine top-k, so the brute-force
     // SQL adjudicates the full encode→ADC→shortlist→rerank pipeline
-    "q_ann_pq" -> qAnnCosineSql)
-    // q_simhash_neardup, q_ann_lsh, q_ann_ivf: intentionally no oracle
-    // (hash-derived/trained laws not expressible in ANSI SQL) → driver
+    "q_ann_pq" -> qAnnCosineSql,
+    // SimHash family: fully hash-oracled since the md5 signature law —
+    // the oracle replays every signature nibble-for-nibble and applies
+    // the exact Hamming law (also certifying the pigeonhole chunk-join's
+    // recall at this scale); Verify's planted floors stay as the ratchet
+    "q_simhash_neardup" -> qSimhashNeardupSql,
+    "q_simhash_store" -> qSimhashStoreSql)
+    // q_ann_ivf (+_store), q_ann_pq_store: intentionally no oracle
+    // (trained-centroid laws not expressible in ANSI SQL) → driver
     // rows-only check + unit tests + recall floors enforced by graft.Verify
 }

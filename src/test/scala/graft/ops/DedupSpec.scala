@@ -87,6 +87,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(6L)) > 12)
   }
 
+  test("simhash64: Column expression and Scala twin agree bit-for-bit (md5 law)") {
+    import spark.implicits._
+    val texts = Seq("hello world", "the quick brown fox jumps", "", "   ",
+      "a b a b a", "héllo ünïcode tøkens", "one")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === Dedup.simhash64Scala(t),
+        s"expression/Scala twin diverge on '$t'")
+    }
+    // token-free text: all counts 0 ⇒ all bits set, on both paths
+    assert(got(2L) === -1L && got(3L) === -1L)
+    // cross-engine constant (computed independently with python hashlib
+    // and replayed by the DuckDB oracle CTE): pins the md5 byte order,
+    // bit orientation and sign-aggregate law against silent drift
+    assert(got(0L) === 0x6fd4fe3dfc0e9ebeL, f"'hello world' sig ${got(0L)}%x")
+  }
+
   test("simhash pairs: surfaces near + permuted pairs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
