@@ -81,14 +81,20 @@ object Similarity {
       if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
 
   /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim):
-    * derived from a splitmix-style avalanche of the pair — no RNG state,
-    * reproducible on any cluster.
+    * +1 iff the top bit of md5("graftplane:plane:dim") is 0, i.e. iff the
+    * first hex nibble is '0'-'7'. md5 rather than a splitmix avalanche
+    * deliberately (r10 verdict task 1): md5 is THE hash both engines
+    * share, so the hyperplanes — and with the fixed-order dot products,
+    * every bucket id and the whole LSH top-k — replay exactly in the
+    * DuckDB oracle. No RNG state, reproducible on any cluster; computed
+    * once per (plane, dim) at PLAN time (tables·planes·dim calls, a few
+    * thousand), never per row.
     */
   private[ops] def planeComponent(plane: Int, dim: Int): Double = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong + 0x632BE59BD9B4E019L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graftplane:$plane:$dim"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((d(0) & 0x80) == 0) 1.0 else -1.0
   }
 
   /** Hyperplane as a literal vector — planes are plan-time constants, so the

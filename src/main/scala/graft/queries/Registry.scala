@@ -3120,9 +3120,18 @@ object Registry {
       | ORDER BY weight_micro DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")
   }
 
-  /** LSH-bucketed ANN (the scale path) — no SQL oracle (hash-derived
-    * hyperplanes); recall vs brute force is unit-tested AND gated by
-    * [[graft.Verify]]'s recall floor (≥ 0.6 at the verify sf).
+  /** LSH-bucketed ANN (the scale path), FULLY hash-oracled since the
+    * hyperplanes moved to the md5 sign law (r10 verdict task 1): the
+    * oracle regenerates every ±1 hyperplane component from
+    * md5("graftplane:p:i"), replays all 48 projections per vector with
+    * the same ascending double dot product (list_dot_product — the
+    * q_ann_cosine fixed-IEEE-chain discipline), rebuilds every bucket id
+    * sign-bit by sign-bit, applies the 2-probe multi-probe law (flip the
+    * two smallest-|margin| planes per table, stable tie on plane index),
+    * and re-scores the exact candidate set — so bucketing, probing,
+    * candidate generation AND the final cosine top-k all match
+    * bit-for-bit. [[graft.Verify]]'s recall floor stays as the
+    * approximate-path ratchet.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -3130,6 +3139,49 @@ object Registry {
       e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  val qAnnLshSql: String = {
+    // ±1 hyperplane component: +1 iff the first md5 hex nibble is 0-7
+    // (top bit of the first digest byte is 0) — Similarity.planeComponent
+    val signSql = "CASE WHEN substr(md5('graftplane:' || CAST(pp.p AS VARCHAR) " +
+      "|| ':' || CAST(ii.i AS VARCHAR)), 1, 1) BETWEEN '0' AND '7' " +
+      "THEN 1.0 ELSE -1.0 END"
+    """WITH dims AS (SELECT CAST(max(len(embedding)) AS BIGINT) AS dim FROM embeddings),
+      | pl AS (SELECT pp.p, ii.i, """.stripMargin + signSql + """ AS s
+      |  FROM (SELECT unnest(generate_series(0, 47)) AS p) pp
+      |  CROSS JOIN (SELECT unnest(generate_series(0,
+      |    (SELECT dim FROM dims) - 1)) AS i) ii),
+      | plv AS (SELECT p, list(s ORDER BY i) AS pv FROM pl GROUP BY p),
+      | c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      | proj AS (SELECT c.vec_id, plv.p // 6 AS tbl, plv.p % 6 AS pp,
+      |   list_dot_product(c.v, plv.pv) AS s
+      |  FROM c CROSS JOIN plv),
+      | cb AS (SELECT vec_id, tbl,
+      |   CAST(SUM(CASE WHEN s >= 0
+      |     THEN (CAST(1 AS BIGINT) << CAST(pp AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      | qb AS (SELECT vec_id, tbl, bucket FROM cb WHERE vec_id < 5),
+      | qm AS (SELECT vec_id, tbl, pp,
+      |   row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(s), pp) AS mr
+      |  FROM proj WHERE vec_id < 5),
+      | qprobe AS (SELECT q.vec_id, q.tbl,
+      |   xor(q.bucket, (CAST(1 AS BIGINT) << CAST(m.pp AS INTEGER))) AS bucket
+      |  FROM qb q JOIN qm m ON m.vec_id = q.vec_id AND m.tbl = q.tbl AND m.mr <= 2),
+      | qall AS (SELECT vec_id, tbl, bucket FROM qb
+      |  UNION ALL SELECT vec_id, tbl, bucket FROM qprobe),
+      | cand AS (SELECT DISTINCT q.vec_id AS query_id, cc.vec_id AS neighbor_id
+      |  FROM qall q JOIN cb cc ON cc.tbl = q.tbl AND cc.bucket = q.bucket
+      |   AND cc.vec_id <> q.vec_id),
+      | sc AS (SELECT cand.query_id, cand.neighbor_id,
+      |   list_dot_product(qv.v, cv.v)
+      |     / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+      |  FROM cand JOIN c qv ON qv.vec_id = cand.query_id
+      |   JOIN c cv ON cv.vec_id = cand.neighbor_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |   ORDER BY sim DESC, neighbor_id) AS rk FROM sc)
+      | SELECT query_id, neighbor_id, sim, CAST(rk AS INTEGER) AS rk
+      | FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
   }
 
   /** IVF (k-means coarse quantization) ANN — no SQL oracle (trained
@@ -5871,7 +5923,11 @@ object Registry {
     // the exact Hamming law (also certifying the pigeonhole chunk-join's
     // recall at this scale); Verify's planted floors stay as the ratchet
     "q_simhash_neardup" -> qSimhashNeardupSql,
-    "q_simhash_store" -> qSimhashStoreSql)
+    "q_simhash_store" -> qSimhashStoreSql,
+    // LSH: fully hash-oracled since the md5 hyperplane sign law — the
+    // oracle regenerates planes, buckets, probes and the candidate
+    // top-k exactly (see qAnnLsh scaladoc)
+    "q_ann_lsh" -> qAnnLshSql)
     // q_ann_ivf (+_store), q_ann_pq_store: intentionally no oracle
     // (trained-centroid laws not expressible in ANSI SQL) → driver
     // rows-only check + unit tests + recall floors enforced by graft.Verify
