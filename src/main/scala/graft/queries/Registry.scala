@@ -4076,9 +4076,16 @@ object Registry {
     * [[graft.ops.Similarity.pqTopKStored]]): codebooks train and half the
     * corpus encodes at COMMIT; the other half merges into the fixed
     * codebooks; the query batch runs only the compressed-domain ADC scan
-    * over the stored codes + exact rerank. No SQL oracle (trained
-    * codebooks); recall-floor-gated by [[graft.Verify]] like the other
-    * ANN rows.
+    * over the stored codes + exact rerank. Fully SQL-oracled via the
+    * SAME exact-rerank contract as [[qAnnPq]]: `shortlistFactor = 16`
+    * (160 of the sf0.01 corpus's 500 vectors) makes shortlist coverage
+    * of the true top-k a measured certainty through the STORED path too
+    * (recall@10 = 1.000 at sf0.01 even at the default factor 8 — the
+    * r10 Verify artifact), and the rerank re-scores with the same native
+    * cosine and tie law as brute force — so the brute-force SQL
+    * adjudicates the whole commit→load→ADC-scan→shortlist→rerank
+    * pipeline: a store that garbles a code row or codebook fails the
+    * hash gate. Verify's recall floor stays as the larger-sf ratchet.
     */
   def qAnnPqStore(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
@@ -4091,7 +4098,8 @@ object Registry {
         batchId = "b1")
     }
     graft.ops.Similarity.pqTopKStored(
-        e.filter(col("vec_id") < 5), store, "vec_id", "embedding", k = 10)
+        e.filter(col("vec_id") < 5), store, "vec_id", "embedding", k = 10,
+        shortlistFactor = 16)
       .withColumnRenamed("rank", "rk")
       .orderBy("query_id", "rk")
   }
@@ -5927,8 +5935,13 @@ object Registry {
     // LSH: fully hash-oracled since the md5 hyperplane sign law — the
     // oracle regenerates planes, buckets, probes and the candidate
     // top-k exactly (see qAnnLsh scaladoc)
-    "q_ann_lsh" -> qAnnLshSql)
-    // q_ann_ivf (+_store), q_ann_pq_store: intentionally no oracle
-    // (trained-centroid laws not expressible in ANSI SQL) → driver
-    // rows-only check + unit tests + recall floors enforced by graft.Verify
+    "q_ann_lsh" -> qAnnLshSql,
+    // PQ stored leg: the q_ann_pq exact-rerank contract through the
+    // store lifecycle (shortlistFactor 16 → measured-certain coverage,
+    // see qAnnPqStore scaladoc) — brute-force SQL adjudicates it
+    "q_ann_pq_store" -> qAnnCosineSql)
+    // q_ann_ivf, q_ann_ivf_store: intentionally no oracle (trained
+    // coarse-centroid laws decide WHICH cells are probed — not
+    // expressible in ANSI SQL, and no covering contract applies) →
+    // driver rows-only check + unit tests + recall floors in graft.Verify
 }
