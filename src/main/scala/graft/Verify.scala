@@ -167,14 +167,30 @@ object Verify {
     // side strings, no Spark job; a violated ordering means the deflate
     // plumbing broke (wrong charset, truncated buffer, level drift) and
     // the output is removed so the driver records the failure.
+    // THREE-point monotonicity with margins (r10 verdict task 7): the
+    // byte count is a zlib constant, but the ratio ORDERING across a
+    // looped / word-diverse / random-char triple is the signal the
+    // operator exists for. Margins are a ratchet pinned well under the
+    // measured values (repetitive ≈0.012, diverse ≈0.47, random ≈0.77
+    // at these lengths): a charset bug, truncated buffer, or level
+    // drift collapses at least one gap far past these bounds.
     try {
       val rep = ("spam spam spam " * 200).trim
       val div = (0 until 200).map(i => s"w${i}x${i * 7}").mkString(" ")
+      val rnd = { // xorshift-seeded printable chars: near-incompressible
+        var s = 0x9E3779B9L
+        (0 until 3000).map { _ =>
+          s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+          (33 + (math.abs(s) % 94)).toChar
+        }.mkString
+      }
       val (_, _, repRatio) = graft.functions.TextFns.deflateScala(rep)
       val (_, _, divRatio) = graft.functions.TextFns.deflateScala(div)
+      val (_, _, rndRatio) = graft.functions.TextFns.deflateScala(rnd)
       System.err.println(f"[verify] q_compress_ratio planted: repetitive " +
-        f"$repRatio%.3f vs diverse $divRatio%.3f (need rep < 0.5*div)")
-      if (!(repRatio < 0.5 * divRatio)) {
+        f"$repRatio%.3f < diverse $divRatio%.3f < random $rndRatio%.3f " +
+        "(need rep < 0.5*div AND div < 0.8*rand)")
+      if (!(repRatio < 0.5 * divRatio && divRatio < 0.8 * rndRatio)) {
         System.err.println("[verify] q_compress_ratio FAILED planted ordering — removing output")
         rm(new java.io.File(s"$outDir/q_compress_ratio"))
       }

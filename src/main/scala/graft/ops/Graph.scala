@@ -59,31 +59,42 @@ object Graph {
     * outgoing edge or received mass, ranks after exactly `iterations`
     * rounds.
     */
-  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
-      initMicro: Long = 1000000L, seeds: Option[DataFrame] = None,
-      seedCol: String = "node", checkpointEvery: Int = 8): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
-      s"damping $dampNum/$dampDen must lie in [0, 1]")
-    require(checkpointEvery >= 1,
-      s"checkpointEvery must be positive, got $checkpointEvery")
-    val e0 = edges
+  /** Prepared, block-materialized graph working set — the edge-with-
+    * degree and node frames every fixed-iteration ranking law reads.
+    * Build it ONCE with [[prepareWorkingSet]] when SEVERAL laws run over
+    * the same graph (classic + personalized PageRank over one crawl
+    * snapshot is the normal production shape): the edge normalization,
+    * degree aggregate and the two block materializations are paid once
+    * instead of per law. The caller owns the blocks — call [[release]]
+    * after the last ranking (rank outputs are themselves checkpointed,
+    * so they survive the release).
+    */
+  final class GraphWorkingSet private[graft] (
+      private[graft] val ewd: DataFrame,
+      private[graft] val nodes: DataFrame,
+      private[graft] val owned: Seq[org.apache.spark.rdd.RDD[_]]) {
+    def release(): Unit = Clusters.release(owned)
+  }
+
+  /** Normalize + materialize the graph working set: NULL/self-loop edges
+    * dropped, parallel edges collapsed (ONE distinct — with `symmetrize`
+    * the union of both directions feeds the same single distinct, so the
+    * undirected form costs no extra dedup shuffle over
+    * [[symmetrized]]-then-rank), out-degree riding on the edge row, and
+    * the node set derived from the already-materialized edge blocks
+    * (NOT from the raw edge derivation — that would re-run the caller's
+    * whole upstream join/scan a second time in the nodes job).
+    */
+  def prepareWorkingSet(edges: DataFrame, srcCol: String, dstCol: String,
+      symmetrize: Boolean = false): GraphWorkingSet = {
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct()
+    val e0 = (if (symmetrize)
+        raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      else raw).distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // out-degree rides on the edge row. The rounds compose LAZILY into one
-    // plan: the edge subtree is plan-identical in every round, so Spark's
-    // exchange reuse shuffles the TB-scale edge list ONCE and every round
-    // reads the reused exchange — strictly better than a per-round
-    // checkpoint, which materializes blocks whose partitioning the scan
-    // does NOT preserve (measured: a checkpointed repartition re-exchanges
-    // under the join, GraphSpec pins the ReusedExchange shape instead).
-    // `checkpointEvery` bounds plan depth for LONG iteration counts: every
-    // k rounds the rank frame materializes (the Clusters owned-checkpoint
-    // discipline) and the next k rounds start from blocks.
     // the edge-with-degree and node frames materialize ONCE to blocks:
     // every round's subtree then starts at a leaf scan (tiny analyzed
     // plans — a fully lazy chain re-analyzes the whole derivation per
@@ -93,8 +104,51 @@ object Graph {
     // GraphSpec pins standalone)
     val (ewd, ewdOwned) = Clusters.ownedCheckpoint(e0.join(deg, "src"))
     val (nodes, nodesOwned) = Clusters.ownedCheckpoint(
-      e0.select(col("src").as("node"))
-        .unionByName(e0.select(col("dst").as("node"))).distinct())
+      ewd.select(col("src").as("node"))
+        .unionByName(ewd.select(col("dst").as("node"))).distinct())
+    new GraphWorkingSet(ewd, nodes, ewdOwned ++ nodesOwned)
+  }
+
+  /** Edge-frame convenience form — prepares a private working set,
+    * ranks, releases. `symmetrize = true` folds [[symmetrized]] into the
+    * working-set build (one distinct instead of two dedup shuffles).
+    */
+  def pageRankMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
+      initMicro: Long = 1000000L, seeds: Option[DataFrame] = None,
+      seedCol: String = "node", checkpointEvery: Int = 8,
+      symmetrize: Boolean = false): DataFrame = {
+    val ws = prepareWorkingSet(edges, srcCol, dstCol, symmetrize)
+    try pageRankMicro(ws, iterations, dampNum, dampDen, initMicro, seeds,
+      seedCol, checkpointEvery)
+    finally ws.release()
+  }
+
+  /** Rank over a PREPARED working set (see [[GraphWorkingSet]]): only the
+    * `iterations` join-aggregate rounds and the final rank checkpoint
+    * run — the shareable-working-set form for multiple laws over one
+    * graph. The rounds compose LAZILY into one plan: the edge subtree is
+    * plan-identical in every round, so Spark's exchange reuse shuffles
+    * the TB-scale edge list ONCE and every round reads the reused
+    * exchange — strictly better than a per-round checkpoint, which
+    * materializes blocks whose partitioning the scan does NOT preserve
+    * (measured: a checkpointed repartition re-exchanges under the join,
+    * GraphSpec pins the ReusedExchange shape instead). `checkpointEvery`
+    * bounds plan depth for LONG iteration counts: every k rounds the
+    * rank frame materializes (the Clusters owned-checkpoint discipline)
+    * and the next k rounds start from blocks.
+    */
+  def pageRankMicro(ws: GraphWorkingSet,
+      iterations: Int, dampNum: Long, dampDen: Long,
+      initMicro: Long, seeds: Option[DataFrame],
+      seedCol: String, checkpointEvery: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive, got $checkpointEvery")
+    val ewd = ws.ewd
+    val nodes = ws.nodes
     val baseMicro = (initMicro * (dampDen - dampNum)) / dampDen
     // seed flag rides the node frame: classic = every node is a seed
     val nodesWithSeed = seeds match {
@@ -128,14 +182,15 @@ object Graph {
       }
     }
     // the final ranks materialize eagerly (ONE job spanning the lazy
-    // rounds — this is where the exchange reuse pays) so the TB-scale
-    // edge/node working-set blocks release NOW, not at RDD GC time: a
-    // long-lived driver calling this per crawl batch must not accumulate
-    // graph copies in the block manager. The returned frame owns only
-    // its |V|-row blocks.
+    // rounds — this is where the exchange reuse pays) so the per-round
+    // rank intermediates release NOW, not at RDD GC time (the working
+    // set's blocks belong to the caller — the edge-frame overload
+    // releases them right after this returns; a long-lived driver
+    // sharing one working set across laws releases once at the end).
+    // The returned frame owns only its |V|-row blocks.
     val (finalRanks, _) = Clusters.ownedCheckpoint(
       ranks.select(col("node"), col("rank_micro")))
-    Clusters.release(owned ++ ewdOwned ++ nodesOwned)
+    Clusters.release(owned)
     finalRanks
   }
 

@@ -127,6 +127,30 @@ class GraphSpec extends SparkSpec {
       "materialization cadence must be invisible to the integer law")
   }
 
+  test("shared working set: two laws over one prepare() equal their edge-form twins") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one prepared (symmetrized) working set feeds classic AND seeded law
+    val ws = Graph.prepareWorkingSet(e, "s", "d", symmetrize = true)
+    val classic = m(Graph.pageRankMicro(ws, 3, 85L, 100L, 1000000L, None,
+      "node", 8))
+    val seeded = m(Graph.pageRankMicro(ws, 3, 85L, 100L, 1000000L,
+      Some(seeds), "node", 8))
+    ws.release()
+    // edge-form twins: symmetrize=true folds the undirected form into
+    // the working-set build — must equal symmetrized()-then-rank
+    assert(classic === m(Graph.pageRankMicro(
+      Graph.symmetrized(e, "s", "d"), "src", "dst", iterations = 3)))
+    assert(classic === m(Graph.pageRankMicro(e, "s", "d",
+      iterations = 3, symmetrize = true)))
+    assert(seeded === m(Graph.pageRankMicro(e, "s", "d",
+      iterations = 3, seeds = Some(seeds), symmetrize = true)))
+    assert(seeded !== classic,
+      "seeded law must differ from classic on a non-trivial seed set")
+  }
+
   test("total mass stays within floor-truncation of the invariant sum") {
     // mass conservation up to ≤1 micro lost per edge per round: the sum
     // after any round stays in (n·init − rounds·edges, n·init]
