@@ -16,16 +16,16 @@ class EntrySpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o -- q}")
-    // rows-only rationale: hash-/model-derived laws (simhash chunks, LSH
-    // buckets, trained IVF centroids — per-call and persisted) not
-    // expressible in ANSI SQL; each carries planted-recall unit tests, and
-    // graft.Verify enforces recall floors for every ANN row plus planted
-    // floors for simhash, live AND stored. q_ann_pq graduated to a full
-    // hash oracle via the exact-rerank contract (Registry.qAnnPq).
-    // q_compress_ratio: zlib byte counts are implementation constants, not
-    // a cross-engine law — Verify gates the ordering invariant instead.
-    assert((q -- o) === Set("q_simhash_neardup", "q_simhash_store",
-      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_store", "q_ann_pq_store",
+    // rows-only rationale: only the TRAINED-centroid laws remain — IVF's
+    // coarse k-means decides WHICH cells are probed, which no covering
+    // contract can bypass and ANSI SQL cannot replay — plus
+    // q_compress_ratio (zlib byte counts are implementation constants;
+    // Verify gates the 3-point ordering invariant instead). The r11 md5
+    // disciplines graduated everything else: simhash (md5 token-hash
+    // signature law, both live and stored), q_ann_lsh (md5 hyperplane
+    // signs), q_ann_pq_store (exact-rerank contract at shortlistFactor
+    // 16). Verify keeps recall/planted floors for every ANN/simhash row.
+    assert((q -- o) === Set("q_ann_ivf", "q_ann_ivf_store",
       "q_compress_ratio"),
       "rows-only queries drifted — add an oracle or update the rationale")
   }
