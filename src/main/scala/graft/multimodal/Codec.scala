@@ -366,32 +366,43 @@ object Codec {
     * None on anything that does not parse as BMFF — the caller falls back,
     * never throws out of a task (same contract as [[decodeImage]]).
     */
+  /** Direct BMFF box children of [start, end): (type, contentStart,
+    * contentEnd) — the shared walker of [[probeMp4]] and
+    * [[mjpegMovFrames]]. Same defensive discipline as [[riffChildren]]:
+    * bounds checked against the parent, lying sizes stop the walk, box
+    * count capped.
+    */
+  private def bmffChildren(payload: Array[Byte], start: Int, end: Int)
+      : List[(String, Int, Int)] = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    def u32(off: Int): Long = bb.getInt(off) & 0xFFFFFFFFL
+    val buf = List.newBuilder[(String, Int, Int)]
+    var off = start
+    var n = 0
+    var bad = false
+    while (!bad && off + 8 <= end && n < 10000) {
+      val sz0 = u32(off)
+      val (hdr, sz): (Int, Long) =
+        if (sz0 == 1L && off + 16 <= end) (16, bb.getLong(off + 8))
+        else if (sz0 == 0L) (8, (end - off).toLong)
+        else (8, sz0)
+      if (sz < hdr || off + sz > end) bad = true // lying size: stop the walk
+      else {
+        buf += ((new String(payload, off + 4, 4, "ISO-8859-1"),
+          off + hdr, (off + sz).toInt))
+        off = (off + sz).toInt
+        n += 1
+      }
+    }
+    buf.result()
+  }
+
   def probeMp4(payload: Array[Byte]): Option[Mp4Meta] = try {
     if (payload.length < 16 || sniff(payload) != "mp4") return None
     val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
     def u32(off: Int): Long = bb.getInt(off) & 0xFFFFFFFFL
-    def typ(off: Int): String = new String(payload, off + 4, 4, "ISO-8859-1")
-    /** Direct children of [start, end): (type, contentStart, contentEnd). */
-    def children(start: Int, end: Int): List[(String, Int, Int)] = {
-      val buf = List.newBuilder[(String, Int, Int)]
-      var off = start
-      var n = 0
-      var bad = false
-      while (!bad && off + 8 <= end && n < 10000) {
-        val sz0 = u32(off)
-        val (hdr, sz): (Int, Long) =
-          if (sz0 == 1L && off + 16 <= end) (16, bb.getLong(off + 8))
-          else if (sz0 == 0L) (8, (end - off).toLong)
-          else (8, sz0)
-        if (sz < hdr || off + sz > end) bad = true // lying size: stop the walk
-        else {
-          buf += ((typ(off), off + hdr, (off + sz).toInt))
-          off = (off + sz).toInt
-          n += 1
-        }
-      }
-      buf.result()
-    }
+    def children(start: Int, end: Int): List[(String, Int, Int)] =
+      bmffChildren(payload, start, end)
     val top = children(0, payload.length)
     val brand = top.collectFirst { case ("ftyp", cs, ce) if ce - cs >= 4 =>
       new String(payload, cs, 4, "ISO-8859-1")
@@ -523,5 +534,131 @@ object Codec {
         case _ => Nil
       }.toIndexedSeq)
     frames.filter(f => f.nonEmpty && sniff(f.head) == "jpeg")
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------ MOV / QuickTime MJPEG --
+
+  /** MJPEG-in-MOV frame split result: the frame payloads in sample order
+    * plus the `stts`/`mdhd`-derived frame clock (µs per frame).
+    */
+  final case class MovMjpeg(frames: IndexedSeq[Array[Byte]], usPerFrame: Long)
+
+  /** The video frame payloads of an MJPEG QuickTime/MOV file — the OTHER
+    * common MJPEG container beside AVI ([[mjpegFrames]]): samples located
+    * through the `stbl` sample tables (`stsd` codec gate on
+    * jpeg/mjpa/MJPG, `stsz` sizes, `stsc` sample→chunk runs, `stco`/
+    * `co64` chunk offsets), each sample's bytes a complete JPEG image.
+    * The frame clock comes from `mdhd` timescale + the first `stts`
+    * delta. Same defensive walk discipline as [[probeMp4]]: every sample
+    * slice is bounds-checked against the payload, a lying table
+    * truncates the split at the last honest frame, counts are capped —
+    * and the split is refused entirely (None) unless the first sample
+    * actually sniffs as JPEG, so a compressed codec lying in `stsd`
+    * falls back to the [[graft.multimodal.Multimodal.FakeCodec]] seam
+    * instead of masquerading as decodable frames.
+    */
+  def mjpegMovFrames(payload: Array[Byte]): Option[MovMjpeg] = try {
+    if (payload.length < 16 || sniff(payload) != "mp4") return None
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    def u32(off: Int): Long = bb.getInt(off) & 0xFFFFFFFFL
+    val top = bmffChildren(payload, 0, payload.length)
+    val (moovS, moovE) = top.collectFirst { case ("moov", cs, ce) => (cs, ce) }
+      .getOrElse(return None)
+    val traks = bmffChildren(payload, moovS, moovE)
+      .collect { case ("trak", cs, ce) => (cs, ce) }
+    val maxSamples = 100000
+    val result = traks.iterator.flatMap { case (tcs, tce) =>
+      val mdia = bmffChildren(payload, tcs, tce)
+        .collectFirst { case ("mdia", a, b) => bmffChildren(payload, a, b) }
+        .getOrElse(Nil)
+      val timescale = mdia.collectFirst { case ("mdhd", a, b) => (a, b) }
+        .flatMap { case (a, b) =>
+          val v = payload(a) & 0xFF
+          if (v == 0 && b - a >= 16) Some(u32(a + 12))
+          else if (v == 1 && b - a >= 28) Some(u32(a + 20))
+          else None
+        }.getOrElse(0L)
+      val stbl = mdia
+        .collectFirst { case ("minf", a, b) => bmffChildren(payload, a, b) }
+        .getOrElse(Nil)
+        .collectFirst { case ("stbl", a, b) => bmffChildren(payload, a, b) }
+        .getOrElse(Nil)
+      val fmt = stbl.collectFirst { case ("stsd", a, b) if b - a >= 16 =>
+        new String(payload, a + 12, 4, "ISO-8859-1")
+      }.getOrElse("")
+      if (timescale <= 0 ||
+        !(fmt == "jpeg" || fmt == "mjpa" || fmt == "MJPG")) Iterator.empty
+      else {
+        // frame clock: first stts run's tick delta over the media timescale
+        val usPerFrame = stbl.collectFirst {
+          case ("stts", a, b) if b - a >= 16 && u32(a + 4) >= 1 =>
+            u32(a + 12) * 1000000L / timescale
+        }.getOrElse(0L)
+        // sample sizes: uniform, or the per-sample table (capped)
+        val sizes: IndexedSeq[Long] = stbl.collectFirst {
+          case ("stsz", a, b) if b - a >= 12 =>
+            val uniform = u32(a + 4)
+            val n = math.min(u32(a + 8), maxSamples.toLong).toInt
+            if (uniform > 0L) IndexedSeq.fill(n)(uniform)
+            else (0 until n).takeWhile(i => a + 12 + 4 * i + 4 <= b)
+              .map(i => u32(a + 12 + 4 * i))
+        }.getOrElse(IndexedSeq.empty)
+        // chunk offsets (stco u32 / co64 u64) and sample→chunk runs
+        val offsets: IndexedSeq[Long] = stbl.collectFirst {
+          case ("stco", a, b) if b - a >= 8 =>
+            val n = math.min(u32(a + 4), maxSamples.toLong).toInt
+            (0 until n).takeWhile(i => a + 8 + 4 * i + 4 <= b)
+              .map(i => u32(a + 8 + 4 * i))
+          case ("co64", a, b) if b - a >= 8 =>
+            val n = math.min(u32(a + 4), maxSamples.toLong).toInt
+            (0 until n).takeWhile(i => a + 8 + 8 * i + 8 <= b)
+              .map(i => bb.getLong(a + 8 + 8 * i))
+        }.getOrElse(IndexedSeq.empty)
+        val stscRuns: IndexedSeq[(Long, Long)] = stbl.collectFirst {
+          case ("stsc", a, b) if b - a >= 8 =>
+            val n = math.min(u32(a + 4), maxSamples.toLong).toInt
+            (0 until n).takeWhile(i => a + 8 + 12 * i + 12 <= b)
+              .map(i => (u32(a + 8 + 12 * i), u32(a + 8 + 12 * i + 4)))
+        }.getOrElse(IndexedSeq.empty)
+        if (sizes.isEmpty || offsets.isEmpty || stscRuns.isEmpty ||
+          usPerFrame <= 0) Iterator.empty
+        else {
+          // expand stsc runs to samples-per-chunk, walk chunks in order,
+          // slice each sample — any out-of-range slice truncates at the
+          // last honest frame (the lying-size discipline)
+          def samplesIn(chunk1: Long): Long = {
+            var spc = stscRuns.head._2
+            stscRuns.foreach { case (first, s) => if (first <= chunk1) spc = s }
+            spc
+          }
+          val frames = IndexedSeq.newBuilder[Array[Byte]]
+          var sample = 0
+          var honest = true
+          var c = 0
+          while (honest && c < offsets.length && sample < sizes.length) {
+            var off = offsets(c)
+            var s = 0L
+            val spc = samplesIn(c + 1L)
+            while (honest && s < spc && sample < sizes.length) {
+              val sz = sizes(sample)
+              if (off < 0 || sz <= 0 || off + sz > payload.length) honest = false
+              else {
+                frames += java.util.Arrays.copyOfRange(
+                  payload, off.toInt, (off + sz).toInt)
+                off += sz
+                sample += 1
+                s += 1
+              }
+            }
+            c += 1
+          }
+          val fs = frames.result()
+          if (fs.nonEmpty && sniff(fs.head) == "jpeg")
+            Iterator.single(MovMjpeg(fs, usPerFrame))
+          else Iterator.empty
+        }
+      }
+    }.take(1).toList.headOption
+    result
   } catch { case scala.util.control.NonFatal(_) => None }
 }

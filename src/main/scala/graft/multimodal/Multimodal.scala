@@ -65,13 +65,20 @@ object Multimodal {
       case "audio" => Codec.decodeWav(payload)
         .map(a => (a.channels, 0, Codec.audioFeatures(a), Some(Codec.audioDurationMs(a))))
       case "video" =>
-        // REAL container metadata (MP4 box walk: brand, duration, display
-        // dims — frame DECODE stays behind the FakeCodec feature seam), or
-        // REAL frames for MJPEG-in-AVI: the one container whose frames a
-        // dependency-free splitter hands to the existing JPEG decoder, so
-        // features come from actual first-frame pixels
+        // REAL container metadata (MP4/MOV box walk: brand, duration,
+        // display dims) and REAL frames for BOTH common MJPEG containers
+        // (AVI via mjpegFrames, QuickTime via mjpegMovFrames): each
+        // splits into complete JPEG images the existing decoder handles,
+        // so features come from actual first-frame pixels; compressed
+        // codecs keep the FakeCodec feature seam
         Codec.probeMp4(payload)
-          .map(m => (m.width, m.height, FakeCodec.decode(payload)._3, Some(m.durationMs)))
+          .map { m =>
+            val feats = Codec.mjpegMovFrames(payload)
+              .flatMap(_.frames.headOption).flatMap(Codec.decodeImage)
+              .map(Codec.imageFeatures)
+              .getOrElse(FakeCodec.decode(payload)._3)
+            (m.width, m.height, feats, Some(m.durationMs))
+          }
           .orElse(Codec.probeAvi(payload).map { a =>
             val feats = Codec.mjpegFrames(payload)
               .flatMap(_.headOption).flatMap(Codec.decodeImage)
@@ -163,15 +170,17 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: one output row per `everyMs` step
-    * across the duration. MJPEG-in-AVI payloads emit REAL frames — the
-    * container splits into complete JPEG images ([[Codec.mjpegFrames]]),
-    * each sampled timestamp maps to its frame index under the `avih`
-    * frame clock, and the emitted payload is the frame's actual JPEG
-    * bytes (decodable by [[Codec.decodeImage]] downstream). Every other
-    * container keeps the [[FakeCodec]] digest seam a JNI/ffmpeg codec
-    * drops into. Scale shape: flatMap parses each payload ONCE and emits
-    * all its sampled frames (narrow, no shuffle); memory is bounded by
-    * one row's payload + its frame slices — the decode-batching contract.
+    * across the duration. MJPEG payloads in BOTH common containers emit
+    * REAL frames — AVI splits into complete JPEG images under the `avih`
+    * frame clock ([[Codec.mjpegFrames]]), QuickTime/MOV through the
+    * `stbl` sample tables under the `mdhd`/`stts` clock
+    * ([[Codec.mjpegMovFrames]]) — each sampled timestamp maps to its
+    * frame index and the emitted payload is the frame's actual JPEG
+    * bytes (decodable by [[Codec.decodeImage]] downstream). Compressed
+    * codecs keep the [[FakeCodec]] digest seam a JNI/ffmpeg codec drops
+    * into. Scale shape: flatMap parses each payload ONCE and emits all
+    * its sampled frames (narrow, no shuffle); memory is bounded by one
+    * row's payload + its frame slices — the decode-batching contract.
     */
   /** Hard per-row emission cap for [[frameSample]]: header fields drive
     * the sampling loop, and a HOSTILE clock (avih claiming 2^31 frames at
@@ -193,19 +202,27 @@ object Multimodal {
       .flatMap { m =>
         def sampleTs(durMs: Long): Iterator[Long] =
           (0L to durMs by everyMs).iterator.take(cap)
-        val real = for {
-          meta <- Codec.probeAvi(m.payload)
-          frames <- Codec.mjpegFrames(m.payload)
-          if frames.nonEmpty && meta.usPerFrame > 0
-        } yield (meta, frames)
+        // (usPerFrame, header-claimed duration ms, frames) from either
+        // MJPEG container: AVI (avih clock) or MOV (mdhd/stts clock)
+        val real: Option[(Long, Long, IndexedSeq[Array[Byte]])] =
+          (for {
+            meta <- Codec.probeAvi(m.payload)
+            frames <- Codec.mjpegFrames(m.payload)
+            if frames.nonEmpty && meta.usPerFrame > 0
+          } yield (meta.usPerFrame, meta.durationMs, frames))
+          .orElse(for {
+            meta <- Codec.probeMp4(m.payload)
+            mv <- Codec.mjpegMovFrames(m.payload)
+            if mv.frames.nonEmpty && mv.usPerFrame > 0
+          } yield (mv.usPerFrame, meta.durationMs, mv.frames))
         real match {
-          case Some((meta, frames)) =>
+          case Some((usPerFrame, claimedDurMs, frames)) =>
             // duration bounded by the frames ACTUALLY in the stream, not
-            // the header's claimed count — an avih lying about nFrames
-            // must not stretch the clock past the real chunks
-            val honestDur = meta.usPerFrame * frames.length / 1000L
-            sampleTs(math.min(meta.durationMs, honestDur)).map { ts =>
-              val idx = math.min(frames.length - 1L, ts * 1000L / meta.usPerFrame).toInt
+            // the header's claimed count — an avih/mvhd lying about the
+            // stream length must not stretch the clock past real samples
+            val honestDur = usPerFrame * frames.length / 1000L
+            sampleTs(math.min(claimedDurMs, honestDur)).map { ts =>
+              val idx = math.min(frames.length - 1L, ts * 1000L / usPerFrame).toInt
               Frame(m.media_id, ts, frames(idx))
             }
           case None =>

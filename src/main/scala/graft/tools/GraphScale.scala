@@ -44,13 +44,22 @@ object GraphScale {
       ((col("id") + 1L) % n).as("dst"))
     val spokes = spark.range(n / 100).select(
       (col("id") * 100L).as("src"), lit(hub).as("dst"))
-    val edges = Graph.symmetrized(ring.unionByName(spokes), "src", "dst")
 
+    // phase split via the shared working set (the multi-law production
+    // shape): prepare pays the normalization/degree/materialization once,
+    // the rounds then measure pure join+aggregate cost — the per-phase
+    // numbers are what the 100 TB projection scales from
     val t0 = System.nanoTime()
-    val ranks = Graph.pageRankMicro(edges, "src", "dst", iterations = 5)
+    val ws = Graph.prepareWorkingSet(ring.unionByName(spokes), "src", "dst",
+      symmetrize = true)
+    val tPrep = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val ranks = Graph.pageRankMicro(ws, 5, 85L, 100L, 1000000L, None, "node", 8)
+    val tRounds = (System.nanoTime() - t1) / 1e9
+    ws.release()
+    val edges = Graph.symmetrized(ring.unionByName(spokes), "src", "dst")
     val top = ranks.orderBy(col("rank_micro").desc, col("node")).limit(3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val secs = (System.nanoTime() - t0) / 1e9
 
     // plain ring vertices (not spokes, not the hub) must tie exactly
     val plainStats = ranks
@@ -72,7 +81,7 @@ object GraphScale {
     val nNodes = n + 1L
 
     println(f"=== GraphScale: ${edges.count()}%d sym edges, $nNodes%d nodes, " +
-      f"5 rounds in $secs%.1f s ===")
+      f"prepare $tPrep%.1f s + 5 rounds $tRounds%.1f s ===")
     println(s"=== top-3: ${top.toSeq}; plain-vertex classes $distinctPlain; " +
       s"spoke min $spokeMin vs plain max $plainMax ===")
 

@@ -326,6 +326,85 @@ class MultimodalSpec extends SparkSpec {
     "RIFF".getBytes("ISO-8859-1") ++ le32(body.length.toLong) ++ body
   }
 
+  // ---- MJPEG-in-MOV (hand-built BMFF fixture, same JDK JPEG frames) ----
+
+  private def bmffBox(typ: String, body: Array[Byte]): Array[Byte] =
+    box(typ, body)
+
+  /** Minimal MJPEG QuickTime: ftyp('qt  ') mdat(frames) moov(mvhd
+    * trak(tkhd mdia(mdhd minf(stbl(stsd stts stsc stsz stco))))).
+    * Samples laid out in TWO chunks (2 + rest) so the stsc run table is
+    * genuinely exercised, not just a one-run degenerate.
+    */
+  private def mjpegMov(frames: Seq[Array[Byte]], timescale: Long = 1000L,
+      delta: Long = 100L, codec: String = "jpeg"): Array[Byte] = {
+    val ftyp = bmffBox("ftyp", "qt  ".getBytes("ISO-8859-1") ++ be32(0))
+    val mdat = bmffBox("mdat", frames.toArray.flatten)
+    val off1 = (ftyp.length + 8).toLong
+    val off2 = off1 + frames.take(2).map(_.length).sum
+    val dur = delta * frames.length
+    val mvhd = bmffBox("mvhd", new Array[Byte](12) ++ be32(timescale) ++ be32(dur))
+    val tkhd = bmffBox("tkhd",
+      new Array[Byte](76) ++ be32(32L << 16) ++ be32(24L << 16))
+    val mdhd = bmffBox("mdhd",
+      new Array[Byte](12) ++ be32(timescale) ++ be32(dur) ++ new Array[Byte](4))
+    val stsd = bmffBox("stsd", be32(0) ++ be32(1) ++
+      be32(16L) ++ codec.getBytes("ISO-8859-1") ++ new Array[Byte](8))
+    val stts = bmffBox("stts",
+      be32(0) ++ be32(1) ++ be32(frames.length.toLong) ++ be32(delta))
+    val stsc = bmffBox("stsc", be32(0) ++ be32(2) ++
+      be32(1) ++ be32(2) ++ be32(1) ++
+      be32(2) ++ be32(math.max(frames.length - 2, 1).toLong) ++ be32(1))
+    val stsz = bmffBox("stsz", be32(0) ++ be32(0) ++
+      be32(frames.length.toLong) ++
+      frames.toArray.flatMap(f => be32(f.length.toLong)))
+    val stco = bmffBox("stco", be32(0) ++ be32(2) ++ be32(off1) ++ be32(off2))
+    val stbl = bmffBox("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val trak = bmffBox("trak",
+      tkhd ++ bmffBox("mdia", mdhd ++ bmffBox("minf", stbl)))
+    ftyp ++ mdat ++ bmffBox("moov", mvhd ++ trak)
+  }
+
+  test("mov mjpeg split: sample tables locate frames bit-exact; stts clock; non-JPEG refused") {
+    val planted = Seq(jpegFrame(0xFF0000), jpegFrame(0x00FF00), jpegFrame(0x0000FF))
+    val mov = mjpegMov(planted) // timescale 1000, delta 100 → 10 fps, 300 ms
+    assert(Codec.sniff(mov) === "mp4")
+    // metadata through the ordinary BMFF probe: brand, duration, tkhd dims
+    assert(Codec.probeMp4(mov) === Some(Codec.Mp4Meta("qt  ", 300L, 32, 24)))
+    val got = Codec.mjpegMovFrames(mov).get
+    assert(got.usPerFrame === 100000L,
+      "frame clock must be stts delta over the mdhd timescale")
+    assert(got.frames.map(_.toSeq) === planted.map(_.toSeq),
+      "stsc/stsz/stco-located samples must be the planted JPEG bytes, bit-exactly")
+    assert(Codec.decodeImage(got.frames.head).get.width === 32)
+    // a compressed codec in stsd must refuse (fake seam, not masquerade)
+    assert(Codec.mjpegMovFrames(mjpegMov(planted, codec = "avc1")) === None)
+    // stsd claims jpeg but samples are not JPEG bytes: refuse on sniff
+    assert(Codec.mjpegMovFrames(
+      mjpegMov(Seq(Array[Byte](1, 2, 3, 4)))) === None)
+    // malformed payloads: None, never a throw
+    assert(Codec.mjpegMovFrames(mov.take(40)) === None)
+    assert(Codec.mjpegMovFrames(Array[Byte](1, 2, 3)) === None)
+  }
+
+  test("frameSample + features: MJPEG-in-MOV rows emit real frames under the stts clock") {
+    val planted = Seq(jpegFrame(0xFF0000), jpegFrame(0x00FF00), jpegFrame(0x0000FF))
+    val mov = mjpegMov(planted)
+    val media = Multimodal.asMedia(
+      Seq((80L, mov)).toDF("media_id", "payload"), "media_id", "payload", "video")
+    val frames = Multimodal.frameSample(media, everyMs = 100L).collect()
+      .sortBy(_.frame_ts_ms)
+    assert(frames.map(_.frame_ts_ms).toSeq === Seq(0L, 100L, 200L, 300L))
+    assert(frames.map(_.frame_payload.toSeq).toSeq ===
+      Seq(planted(0), planted(1), planted(2), planted(2)).map(_.toSeq),
+      "sampled MOV frames must be the planted JPEGs, bit-exactly, clamped at the tail")
+    val feats = Multimodal.decodeFeatures(media).head()
+    assert(feats.width === 32 && feats.height === 24)
+    assert(feats.features.toSeq ===
+      Codec.imageFeatures(Codec.decodeImage(planted.head).get).toSeq,
+      "MOV video features must be the real first-frame image features")
+  }
+
   test("avi probe + mjpeg split: meta from avih; frame chunks bit-exact; non-MJPEG refused") {
     val planted = Seq(jpegFrame(0xFF0000), jpegFrame(0x00FF00), jpegFrame(0x0000FF))
     val avi = mjpegAvi(planted, usPerFrame = 100000L) // 10 fps, 300 ms
