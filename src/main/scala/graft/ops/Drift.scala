@@ -273,6 +273,59 @@ object Drift {
       .select(col("stratum"), col("n"), col("n_rest"), col("ks"))
   }
 
+  /** Population Stability Index per stratum vs the rest of the corpus,
+    * over an integer metric binned by `binWidth` — THE industry-standard
+    * numeric drift screen beside [[ksDrift]]'s sup-law (PSI weights the
+    * whole distribution, KS only the worst point; monitoring stacks
+    * conventionally alarm at PSI > 0.1/0.25). Engine-exact by the
+    * [[sourceKlReport]] discipline: bins are explicit FLOOR division
+    * (`(v − pmod(v, w)) div w`, exact for negative metrics too — the
+    * cohort-week law), counts are exact integers, add-one smoothing over
+    * the OBSERVED bin support B gives p_b = (c_sb+1)/(N_s+B) and
+    * rest-side q_b = ((c_b−c_sb)+1)/((N−N_s)+B), and each term
+    * `round(((p−q)·(ln p − ln q))·1e12)` quantizes to picos BEFORE the
+    * sum — so `psi_pico` is an exact BIGINT both engines replay
+    * bit-for-bit. Terms are ≥ 0 (sign(p−q) == sign(ln p − ln q)), so the
+    * statistic is a true divergence; binning upstream of the law keeps
+    * the support bounded the same way [[ksDrift]]'s quantize-upstream
+    * contract does — B is observed bins, never the corpus.
+    *
+    * Scale shape: one narrow binning pass → one (stratum, bin) hash
+    * aggregate; the smoothing support is strata × observed bins (a
+    * broadcast-nested-loop of the |strata|-row frame against the bin
+    * count table), then one hash aggregate back to |strata| rows.
+    *
+    * Output: (stratum, n, n_rest, n_bins, psi_pico), one row per
+    * stratum with at least one non-NULL metric value.
+    */
+  def psiDrift(df: DataFrame, stratumCol: String, valueCol: String,
+      binWidth: Long = 100L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val vb = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        expr(s"(CAST($valueCol AS BIGINT) - pmod(CAST($valueCol AS BIGINT), " +
+          s"${binWidth}L)) div ${binWidth}L").as("_b"))
+    val csb = vb.groupBy(col("stratum"), col("_b")).agg(count(lit(1)).as("_c"))
+    val cb = csb.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+    val ns = csb.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val glob = cb.agg(sum(col("_cb")).as("_n"), count(lit(1)).as("_nb"))
+    val p = (col("_c") + 1L).cast("double") /
+      (col("_ns") + col("_nb")).cast("double")
+    val q = ((col("_cb") - col("_c")) + 1L).cast("double") /
+      ((col("_n") - col("_ns")) + col("_nb")).cast("double")
+    broadcast(ns).crossJoin(cb)
+      .join(csb, Seq("stratum", "_b"), "left")
+      .na.fill(0L, Seq("_c"))
+      .crossJoin(broadcast(glob))
+      .withColumn("_term",
+        round(((p - q) * (log(p) - log(q))) * 1000000000000.0).cast("long"))
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n"),
+        first(col("_n") - col("_ns")).as("n_rest"),
+        first(col("_nb")).as("n_bins"),
+        sum(col("_term")).as("psi_pico"))
+  }
+
   /** In-plan value-domain guard for the KS family's unpartitioned
     * cumulative windows: fail the job with a quantize-upstream message
     * when the support frame holds more than `maxDistinct` rows. The

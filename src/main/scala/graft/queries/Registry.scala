@@ -4760,6 +4760,45 @@ object Registry {
       | FROM top ORDER BY key_nano DESC, id""".stripMargin.replace("\n", " ")
   }
 
+  /** Population Stability Index per source over the n_chars length
+    * distribution ([[graft.ops.Drift.psiDrift]], 100-char bins): the
+    * industry-standard drift screen beside the KS sup-law — PSI weights
+    * the WHOLE distribution shift, with the conventional 0.1/0.25 alarm
+    * thresholds. Floor-division binning (exact for negative metrics, the
+    * cohort-week law), add-one smoothing over observed bins, every
+    * `(p−q)·(ln p − ln q)` term pico-quantized before the exact integer
+    * Σ — the oracle replays the whole law bit-for-bit.
+    */
+  def qPsiDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.psiDrift(t(spark, dir, "documents"), "source", "n_chars",
+      binWidth = 100L)
+      .orderBy("stratum")
+
+  val qPsiDriftSql: String = {
+    val p = "(CAST(c + 1 AS DOUBLE) / CAST(ns + nb AS DOUBLE))"
+    val q = "(CAST((cb - c) + 1 AS DOUBLE) / CAST((n - ns) + nb AS DOUBLE))"
+    s"""WITH vb AS (SELECT source AS stratum,
+      |   (CAST(n_chars AS BIGINT) - (((n_chars % 100) + 100) % 100)) // 100 AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | csb AS (SELECT stratum, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM vb GROUP BY 1, 2),
+      | cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM csb GROUP BY 1),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM csb GROUP BY 1),
+      | gl AS (SELECT CAST(SUM(cb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb
+      |  FROM cb),
+      | sup AS (SELECT ns.stratum, ns.ns, cb.b, cb.cb,
+      |   COALESCE(csb.c, 0) AS c, gl.n, gl.nb
+      |  FROM ns CROSS JOIN cb
+      |  LEFT JOIN csb ON csb.stratum = ns.stratum AND csb.b = cb.b
+      |  CROSS JOIN gl),
+      | terms AS (SELECT stratum, ns, n, nb,
+      |   CAST(round((($p - $q) * (ln($p) - ln($q))) * 1000000000000.0) AS BIGINT) AS term
+      |  FROM sup)
+      | SELECT stratum, MIN(ns) AS n, MIN(n - ns) AS n_rest, MIN(nb) AS n_bins,
+      |  CAST(SUM(term) AS BIGINT) AS psi_pico
+      | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+  }
+
   /** Per-source entropy + KL to the rest of the corpus
     * ([[graft.ops.Drift.sourceKlReport]]): add-one smoothing over the
     * corpus vocabulary, every term ln-quantized to pico-units before the
@@ -5756,6 +5795,7 @@ object Registry {
     "q_dup_inflation" -> (qDupInflation _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_source_kl" -> (qSourceKl _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_group_split" -> (qGroupSplit _),
@@ -5938,6 +5978,7 @@ object Registry {
     "q_dup_inflation" -> qDupInflationSql,
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_source_kl" -> qSourceKlSql,
+    "q_psi_drift" -> qPsiDriftSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_tok_fertility" -> qTokFertilitySql,
     "q_group_split" -> qGroupSplitSql,

@@ -203,6 +203,32 @@ class DriftSpec extends SparkSpec {
     assert(cos > 0.999999999, s"self-cosine must be ~1, got $cos")
   }
 
+  test("psiDrift: identical strata at exactly 0; shifted stratum alarms; floor bins") {
+    import spark.implicits._
+    // identical distributions: every bin has p == q ⇒ every pico term is
+    // EXACTLY 0 (not merely small) — the integer law admits no jitter
+    val same = Seq(("a", 0L), ("a", 50L), ("a", 150L),
+      ("b", 0L), ("b", 50L), ("b", 150L)).toDF("src", "v")
+    val zero = Drift.psiDrift(same, "src", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(zero === Map("a" -> 0L, "b" -> 0L))
+    // a stratum living in disjoint bins must alarm far above a matching one
+    val mixed = (Seq.fill(50)(("a", 10L)) ++ Seq.fill(50)(("b", 20L)) ++
+      Seq.fill(50)(("c", 5000L))).toDF("src", "v")
+    val psi = Drift.psiDrift(mixed, "src", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(psi("c") > psi("a") && psi("c") > 1000000000000L / 4,
+      s"disjoint-bin stratum must cross the 0.25 alarm: $psi")
+    // terms are a divergence: never negative, for every stratum
+    assert(psi.values.forall(_ >= 0L), s"psi must be >= 0: $psi")
+    // floor binning on negative metrics: -1 and -100 share bin -1,
+    // -101 opens bin -2 (truncating division would corrupt this)
+    val neg = Seq(("a", -1L), ("a", -100L), ("b", -101L)).toDF("src", "v")
+    val nb = Drift.psiDrift(neg, "src", "v").select("n_bins")
+      .head().getLong(0)
+    assert(nb === 2L, s"expected bins {-1, -2}, got n_bins=$nb")
+  }
+
   test("ksDrift value-domain guard fails a too-wide metric with a quantize message") {
     import spark.implicits._
     // 2000 distinct values vs a bound of 1000: the guard must fail the

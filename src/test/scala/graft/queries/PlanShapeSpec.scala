@@ -723,6 +723,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_psi_drift: smoothing support is strata x observed bins, never the corpus") {
+    val p = plan("q_psi_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+    // the |strata|-row frame and the 1-row totals broadcast; the bin
+    // left-join is hash-keyed — the q_source_kl shape over value bins
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 2, s"bin support degraded beyond the 2 bounded frames:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_token_gini: vocabulary-sized windows over one count aggregate, no join") {
     val p = plan("q_token_gini")
     assert(!p.contains("Join"), s"gini must not join:\n$p")
