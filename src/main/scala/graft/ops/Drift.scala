@@ -326,6 +326,50 @@ object Drift {
         sum(col("_term")).as("psi_pico"))
   }
 
+  /** Two-sample PSI between two (value, count) histograms, binned by
+    * `binWidth` — the [[psiDrift]] law with an EXPLICIT reference side
+    * (there: stratum vs rest within one frame; here: batch vs a separate
+    * corpus, e.g. a persisted baseline via [[psiAgainstStored]]). Same
+    * exact discipline: floor-division bins, add-one smoothing over the
+    * UNION of observed bins, per-term pico quantization before the
+    * integer Σ. Returns ONE row (n_batch, n_ref, n_bins, psi_pico).
+    */
+  def psiAgainstCounts(batchCounts: DataFrame, refCounts: DataFrame,
+      binWidth: Long = 100L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(c: DataFrame, as: String) =
+      c.select(expr(s"(_v - pmod(_v, ${binWidth}L)) div ${binWidth}L").as("_b"),
+          col("_c"))
+        .groupBy(col("_b")).agg(sum(col("_c")).as(as))
+    val merged = binned(batchCounts, "_ca")
+      .join(binned(refCounts, "_cb"), Seq("_b"), "full_outer")
+      .na.fill(0L, Seq("_ca", "_cb"))
+    val tot = merged.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"),
+      count(lit(1)).as("_nbins"))
+    val p = (col("_ca") + 1L).cast("double") /
+      (col("_na") + col("_nbins")).cast("double")
+    val q = (col("_cb") + 1L).cast("double") /
+      (col("_nb") + col("_nbins")).cast("double")
+    merged.crossJoin(broadcast(tot))
+      .withColumn("_term",
+        round(((p - q) * (log(p) - log(q))) * 1000000000000.0).cast("long"))
+      .agg(coalesce(min(col("_na")), lit(0L)).as("n_batch"),
+        coalesce(min(col("_nb")), lit(0L)).as("n_ref"),
+        coalesce(min(col("_nbins")), lit(0L)).as("n_bins"),
+        coalesce(sum(col("_term")), lit(0L)).as("psi_pico"))
+  }
+
+  /** [[psiAgainstCounts]] of an ingest batch against the PERSISTED corpus
+    * histogram ([[RefStore.loadValueCounts]] — the SAME commit family the
+    * KS baseline uses, so one stored histogram feeds both alarms): the
+    * baseline commits once and grows by merges; each batch is
+    * histogrammed and scored without rescanning the corpus.
+    */
+  def psiAgainstStored(batch: DataFrame, valueCol: String,
+      storeDir: String, binWidth: Long = 100L): DataFrame =
+    psiAgainstCounts(valueCounts(batch, valueCol),
+      RefStore.loadValueCounts(batch.sparkSession, storeDir), binWidth)
+
   /** In-plan value-domain guard for the KS family's unpartitioned
     * cumulative windows: fail the job with a quantize-upstream message
     * when the support frame holds more than `maxDistinct` rows. The

@@ -5251,14 +5251,58 @@ object Registry {
     */
   def qKsStore(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val store = storeOnce(dir, "valstore") { s =>
+    graft.ops.Drift.ksAgainstStored(
+      docs.filter(col("lang") === "en"), "n_chars", valueStore(spark, dir))
+  }
+
+  /** The shared n_chars histogram baseline of the two stored numeric
+    * drift alarms (KS + PSI) — ONE committed artifact feeds both, which
+    * is the operational point of the value-counts family.
+    */
+  private def valueStore(spark: SparkSession, dir: String): String = {
+    val docs = t(spark, dir, "documents")
+    storeOnce(dir, "valstore") { s =>
       graft.ops.RefStore.writeValueCounts(
         docs.filter(col("doc_id") % 2 === 0), "n_chars", s)
       graft.ops.RefStore.mergeValueCounts(
         docs.filter(col("doc_id") % 2 === 1), "n_chars", s, batchId = "b1")
     }
-    graft.ops.Drift.ksAgainstStored(
-      docs.filter(col("lang") === "en"), "n_chars", store)
+  }
+
+  /** PERSISTED-baseline PSI ([[graft.ops.Drift.psiAgainstStored]]) of the
+    * en slice against the SAME committed n_chars histogram q_ks_store
+    * scores against — one stored baseline, two alarms (sup-law + whole-
+    * distribution). The oracle recomputes the two-sample binned law
+    * directly from the tables, so commit/merge/load must be exactly
+    * batching-invariant for the pico hash to survive.
+    */
+  def qPsiStore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.ops.Drift.psiAgainstStored(
+      docs.filter(col("lang") === "en"), "n_chars", valueStore(spark, dir),
+      binWidth = 100L)
+  }
+
+  val qPsiStoreSql: String = {
+    val binOf = "(CAST(n_chars AS BIGINT) - (((n_chars % 100) + 100) % 100)) // 100"
+    val p = "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbins AS DOUBLE))"
+    val q = "(CAST(cb + 1 AS DOUBLE) / CAST(nb + nbins AS DOUBLE))"
+    s"""WITH a AS (SELECT $binOf AS b, CAST(COUNT(*) AS BIGINT) AS ca
+      |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+      | bb AS (SELECT $binOf AS b, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+      | m AS (SELECT COALESCE(a.b, bb.b) AS b, COALESCE(ca, 0) AS ca,
+      |   COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN bb ON a.b = bb.b),
+      | g AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+      |   CAST(COUNT(*) AS BIGINT) AS nbins FROM m),
+      | t AS (SELECT na, nb, nbins,
+      |   CAST(round((($p - $q) * (ln($p) - ln($q))) * 1000000000000.0) AS BIGINT) AS term
+      |  FROM m CROSS JOIN g)
+      | SELECT CAST(COALESCE(MIN(na), 0) AS BIGINT) AS n_batch,
+      |  CAST(COALESCE(MIN(nb), 0) AS BIGINT) AS n_ref,
+      |  CAST(COALESCE(MIN(nbins), 0) AS BIGINT) AS n_bins,
+      |  CAST(COALESCE(SUM(term), 0) AS BIGINT) AS psi_pico
+      | FROM t""".stripMargin.replace("\n", " ")
   }
 
   val qKsStoreSql: String =
@@ -5796,6 +5840,7 @@ object Registry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_source_kl" -> (qSourceKl _),
     "q_psi_drift" -> (qPsiDrift _),
+    "q_psi_store" -> (qPsiStore _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_group_split" -> (qGroupSplit _),
@@ -5979,6 +6024,7 @@ object Registry {
     "q_weighted_sample" -> qWeightedSampleSql,
     "q_source_kl" -> qSourceKlSql,
     "q_psi_drift" -> qPsiDriftSql,
+    "q_psi_store" -> qPsiStoreSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_tok_fertility" -> qTokFertilitySql,
     "q_group_split" -> qGroupSplitSql,

@@ -229,6 +229,18 @@ class DriftSpec extends SparkSpec {
     assert(nb === 2L, s"expected bins {-1, -2}, got n_bins=$nb")
   }
 
+  test("psiAgainstCounts: identical histograms at exactly 0; disjoint support alarms") {
+    import spark.implicits._
+    val a = Seq((10L, 5L), (150L, 3L)).toDF("_v", "_c")
+    val r = Drift.psiAgainstCounts(a, a).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((8L, 8L, 2L, 0L)), "identical histograms must score exactly 0")
+    val far = Seq((5000L, 8L)).toDF("_v", "_c")
+    val alarm = Drift.psiAgainstCounts(a, far).head.getLong(3)
+    assert(alarm > 1000000000000L / 4,
+      s"disjoint supports must cross the 0.25 alarm, got $alarm")
+  }
+
   test("ksDrift value-domain guard fails a too-wide metric with a quantize message") {
     import spark.implicits._
     // 2000 distinct values vs a bound of 1000: the guard must fail the
