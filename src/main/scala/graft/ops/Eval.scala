@@ -228,4 +228,63 @@ object Eval {
       .select(col("n"), col("n_agree"), col("pe_num"), col("po"), col("pe"),
         col("kappa"))
   }
+
+  /** Rank-Biased Overlap at depth k (Webber, Moffat & Zobel, TOIS'10)
+    * between two per-query rankings — the standard "how similar are two
+    * retrieval systems" score (top-weighted, handles non-conjoint lists):
+    * `RBO@k = (1−p) Σ_{d=1..k} p^(d−1) · |A_d ∩ B_d| / d`, with A_d/B_d
+    * the depth-d prefixes and persistence p (default 0.9 ≈ the top-10
+    * carrying ~86% of the weight).
+    *
+    * Engine-exact law: each prefix-overlap |A_d ∩ B_d| is an exact
+    * integer (count of items with rank_a ≤ d AND rank_b ≤ d — ranks are
+    * ints, no float enters membership); the per-depth weight is the one
+    * fixed double chain `(1−p)·exp((d−1)·ln p)` (exp/ln are the
+    * cross-engine-stable libm pair the decay/KL oracles already pin),
+    * and every term quantizes to picos BEFORE the integer Σ — so
+    * `rbo_pico` replays bit-for-bit in SQL.
+    *
+    * Scale shape: one hash join of the two rank frames on (query, item)
+    * — each side ≤ k rows per query by contract — then a
+    * matched-pairs × k-depths expansion (≤ k² rows per query, k=20 ⇒
+    * ≤400) and two hash aggregates. No window, no corpus pass.
+    *
+    * Input frames carry (queryCol, itemCol, rankCol) with rank 1-based
+    * and ≤ k (filter upstream; larger ranks are ignored here). Queries
+    * present in either frame report a row; a query with NO overlapping
+    * items scores 0 (disjoint lists — RBO's law, not a NULL).
+    *
+    * Output: (query_id, n_common, rbo_pico).
+    */
+  def rboAtK(a: DataFrame, b: DataFrame, queryCol: String, itemCol: String,
+      rankCol: String, k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"persistence p must lie in (0,1), got $p")
+    val spark = a.sparkSession
+    def side(df: DataFrame, as: String) = df
+      .select(col(queryCol).cast("long").as("query_id"),
+        col(itemCol).cast("long").as("_item"),
+        col(rankCol).cast("int").as(as))
+      .filter(col(as) >= 1 && col(as) <= k)
+    val matched = side(a, "_ra").join(side(b, "_rb"), Seq("query_id", "_item"))
+    val queries = side(a, "_ra").select(col("query_id"))
+      .unionByName(side(b, "_rb").select(col("query_id"))).distinct()
+    val depths = spark.range(1, k + 1L).select(col("id").cast("int").as("_d"))
+    val ov = queries.crossJoin(broadcast(depths))
+      .join(matched, Seq("query_id"), "left")
+      .groupBy(col("query_id"), col("_d"))
+      .agg(count(when(col("_ra") <= col("_d") && col("_rb") <= col("_d"),
+        lit(1))).as("_ov"))
+    val weight = (lit(1.0) - lit(p)) *
+      exp((col("_d") - 1).cast("double") * log(lit(p)))
+    ov.withColumn("_term",
+        round((weight * (col("_ov").cast("double") / col("_d").cast("double")))
+          * 1000000000000.0).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("_term")).as("rbo_pico"))
+      .join(matched.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common")), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("query_id"), col("n_common"), col("rbo_pico"))
+  }
 }

@@ -1302,6 +1302,40 @@ object Similarity {
         when(col("_rkl") <= perSystemK, col("_rkl").cast("long")).as("rk_l2"))
   }
 
+  /** Per-query cosine AND euclidean rankings of the corpus — the two
+    * systems [[rrfFuseTopK]] fuses, exposed as a rank frame for
+    * ranking-similarity evaluation ([[Eval.rboAtK]]): ONE broadcast-join
+    * corpus pass, the same fixed IEEE chains and tie laws as the fusion
+    * (sim desc / l2sq asc, neighbor id breaks ties). Output: (query_id,
+    * neighbor_id, rk_cos, rk_l2) for rows inside EITHER system's
+    * top-`perSystemK`; a rank outside its own system's cut reports NULL.
+    */
+  def systemRankings(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, perSystemK: Int = 20,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(perSystemK >= 1, s"perSystemK=$perSystemK out of range")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc, col("neighbor_id"))
+    val wL2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("_l2sq").asc, col("neighbor_id"))
+    val dotQC = dot(col("_qv"), col("_cv"))
+    val dotCC = dot(col("_cv"), col("_cv"))
+    val dotQQ = dot(col("_qv"), col("_qv"))
+    c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("_dot", dotQC)
+      .withColumn("_sim", col("_dot") / (sqrt(dotQQ) * sqrt(dotCC)))
+      .withColumn("_l2sq", (dotCC - lit(2.0) * col("_dot")) + dotQQ)
+      .withColumn("_rkc", row_number().over(wCos))
+      .withColumn("_rkl", row_number().over(wL2))
+      .filter(col("_rkc") <= perSystemK || col("_rkl") <= perSystemK)
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("_rkc") <= perSystemK, col("_rkc").cast("long")).as("rk_cos"),
+        when(col("_rkl") <= perSystemK, col("_rkl").cast("long")).as("rk_l2"))
+  }
+
   /** Uniform random negatives per query — the EASY half of a contrastive
     * training pair set ([[hardNegatives]] mines the near-misses; standard
     * recipes mix k uniform negatives in as well, and "uniform" must still

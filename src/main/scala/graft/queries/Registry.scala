@@ -4542,6 +4542,58 @@ object Registry {
       |  CASE WHEN rkl <= 20 THEN CAST(rkl AS BIGINT) END AS rk_l2
       | FROM tt WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin.replace("\n", " ")
 
+  /** Rank-Biased Overlap @20 (p=0.9) between the cosine and euclidean
+    * rankings of each query ([[graft.ops.Similarity.systemRankings]] +
+    * [[graft.ops.Eval.rboAtK]], Webber et al. TOIS'10) — "how much do
+    * the two systems RRF fuses actually agree", top-weighted. Exact
+    * prefix-overlap integers, ONE fixed `(1−p)·exp((d−1)·ln p)` double
+    * chain per depth (the decay/KL libm discipline), every term
+    * pico-quantized before the integer Σ — fully hash-oracled.
+    */
+  def qRboEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val r = graft.ops.Similarity.systemRankings(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", perSystemK = 20)
+    graft.ops.Eval.rboAtK(
+        r.filter(col("rk_cos").isNotNull)
+          .select(col("query_id"), col("neighbor_id"), col("rk_cos").as("rank")),
+        r.filter(col("rk_l2").isNotNull)
+          .select(col("query_id"), col("neighbor_id"), col("rk_l2").as("rank")),
+        "query_id", "neighbor_id", "rank", k = 20)
+      .orderBy("query_id")
+  }
+
+  val qRboEvalSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |   list_dot_product(qv, cv) AS dp, list_dot_product(cv, cv) AS cc,
+      |   list_dot_product(qv, qv) AS qq
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | s2 AS (SELECT query_id, neighbor_id, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   (cc - 2.0 * dp) + qq AS l2sq FROM s),
+      | r AS (SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rkc,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY l2sq ASC, neighbor_id) AS rkl
+      |  FROM s2),
+      | m AS (SELECT query_id, neighbor_id, rkc, rkl FROM r
+      |  WHERE rkc <= 20 AND rkl <= 20),
+      | dd AS (SELECT unnest(generate_series(1, 20)) AS d),
+      | ov AS (SELECT qs.query_id, dd.d,
+      |   CAST(COUNT(CASE WHEN m.rkc <= dd.d AND m.rkl <= dd.d THEN 1 END) AS BIGINT) AS ov
+      |  FROM (SELECT DISTINCT query_id FROM r) qs CROSS JOIN dd
+      |  LEFT JOIN m ON m.query_id = qs.query_id GROUP BY 1, 2),
+      | tt AS (SELECT query_id,
+      |   CAST(round((((1.0 - 0.9) * exp(CAST(d - 1 AS DOUBLE) * ln(0.9)))
+      |     * (CAST(ov AS DOUBLE) / CAST(d AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS term
+      |  FROM ov),
+      | nc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common FROM m GROUP BY 1)
+      | SELECT s3.query_id, COALESCE(nc.n_common, 0) AS n_common,
+      |  CAST(s3.rbo AS BIGINT) AS rbo_pico
+      | FROM (SELECT query_id, SUM(term) AS rbo FROM tt GROUP BY 1) s3
+      | LEFT JOIN nc ON nc.query_id = s3.query_id
+      | ORDER BY s3.query_id""".stripMargin.replace("\n", " ")
+
   /** Robust per-source outlier report ([[graft.ops.Quantiles.madOutliers]]):
     * exact discrete lower medians, integer MAD, `dev > 3·mad` flags —
     * every number but the final fraction is a BIGINT.
@@ -5831,6 +5883,7 @@ object Registry {
     "q_cdc_store" -> (qCdcStore _),
     "q_pagerank" -> (qPagerank _),
     "q_rrf_fusion" -> (qRrfFusion _),
+    "q_rbo_eval" -> (qRboEval _),
     "q_mad_outliers" -> (qMadOutliers _),
     "q_score_norm" -> (qScoreNorm _),
     "q_kappa" -> (qKappa _),
@@ -6015,6 +6068,7 @@ object Registry {
     "q_cdc_store" -> qCdcStoreSql,
     "q_pagerank" -> qPagerankSql,
     "q_rrf_fusion" -> qRrfFusionSql,
+    "q_rbo_eval" -> qRboEvalSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_score_norm" -> qScoreNormSql,
     "q_kappa" -> qKappaSql,

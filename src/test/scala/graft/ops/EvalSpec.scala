@@ -172,4 +172,36 @@ class EvalSpec extends SparkSpec {
       .toDF("a", "b")
     assert(Eval.cohenKappa(withNulls, "a", "b").head.getLong(0) === 1L)
   }
+
+  test("rboAtK: identical lists hit the closed form; disjoint score 0; reversal sits between") {
+    import spark.implicits._
+    val k = 5; val p = 0.9
+    def rank(items: Seq[Long], q: Long = 1L) =
+      items.zipWithIndex.map { case (it, i) => (q, it, i + 1) }
+        .toDF("q", "item", "rank")
+    // the EXACT expected integer replays the engine's per-term law
+    // (quantize-then-sum), not a float approximation of the closed form
+    def expectPico(ovAtDepth: Int => Int): Long =
+      (1 to k).map(d => math.round(
+        (((1.0 - p) * math.exp((d - 1).toDouble * math.log(p)))
+          * (ovAtDepth(d).toDouble / d.toDouble)) * 1e12)).sum
+    val a = rank(Seq(10L, 20L, 30L, 40L, 50L))
+    def score(x: org.apache.spark.sql.DataFrame,
+        y: org.apache.spark.sql.DataFrame): Long =
+      Eval.rboAtK(x, y, "q", "item", "rank", k).head.getLong(2)
+    // identical: overlap at depth d is exactly d → Σ = the 1−p^k form
+    val same = score(a, a)
+    assert(same === expectPico(d => d), s"identical-list pico $same")
+    assert(math.abs(same / 1e12 - (1.0 - math.pow(p, k))) < 1e-9)
+    // disjoint: overlap 0 everywhere — score EXACTLY 0, not NULL
+    val disjoint = score(a, rank(Seq(60L, 70L, 80L, 90L, 99L)))
+    assert(disjoint === 0L)
+    // full reversal: same membership, opposite order — overlap d at the
+    // tail but thinner prefixes: strictly between disjoint and identical
+    val rev = score(a, rank(Seq(50L, 40L, 30L, 20L, 10L)))
+    assert(rev > 0L && rev < same, s"reversal $rev vs identical $same")
+    // ranks beyond k are ignored by contract (no phantom overlap)
+    val long = rank(Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L))
+    assert(score(long, long) === same)
+  }
 }
