@@ -22,6 +22,10 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // the documents leg charges n_chars + 3 for its "v<k> " prefix —
+    // only exact while k stays single-digit
+    require(factor >= 1 && factor <= 10,
+      s"factor must lie in [1, 10] (single-digit copy prefixes), got $factor")
     val off = 100000000L // far past every sf0.1 key
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
