@@ -258,17 +258,43 @@ object Eval {
     */
   def rboAtK(a: DataFrame, b: DataFrame, queryCol: String, itemCol: String,
       rankCol: String, k: Int, p: Double = 0.9): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(p > 0.0 && p < 1.0, s"persistence p must lie in (0,1), got $p")
-    val spark = a.sparkSession
     def side(df: DataFrame, as: String) = df
       .select(col(queryCol).cast("long").as("query_id"),
         col(itemCol).cast("long").as("_item"),
         col(rankCol).cast("int").as(as))
-      .filter(col(as) >= 1 && col(as) <= k)
-    val matched = side(a, "_ra").join(side(b, "_rb"), Seq("query_id", "_item"))
-    val queries = side(a, "_ra").select(col("query_id"))
-      .unionByName(side(b, "_rb").select(col("query_id"))).distinct()
+    rboFromPaired(
+      side(a, "_ra").join(side(b, "_rb"), Seq("query_id", "_item"),
+        "full_outer"),
+      k, p)
+  }
+
+  /** [[rboAtK]] over ONE frame carrying BOTH systems' ranks per (query,
+    * item) — the [[graft.ops.Similarity.systemRankings]] shape, and the
+    * form to prefer when the two rankings come from one computation:
+    * the shared upstream appears once per plan consumer instead of once
+    * per side (a two-frame split of a common subtree doubles the
+    * broadcast/scan frames in the plan). NULL rank = item outside that
+    * system's list.
+    */
+  def rboAtKFromRankings(rankings: DataFrame, queryCol: String,
+      itemCol: String, rankACol: String, rankBCol: String, k: Int,
+      p: Double = 0.9): DataFrame =
+    rboFromPaired(
+      rankings.select(col(queryCol).cast("long").as("query_id"),
+        col(itemCol).cast("long").as("_item"),
+        col(rankACol).cast("int").as("_ra"),
+        col(rankBCol).cast("int").as("_rb")),
+      k, p)
+
+  /** Shared core over the paired frame (query_id, _item, _ra, _rb). */
+  private def rboFromPaired(paired: DataFrame, k: Int, p: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"persistence p must lie in (0,1), got $p")
+    val spark = paired.sparkSession
+    def in(c: Column) = c >= 1 && c <= k
+    val matched = paired.filter(in(col("_ra")) && in(col("_rb")))
+    val queries = paired.filter(in(col("_ra")) || in(col("_rb")))
+      .select(col("query_id")).distinct()
     val depths = spark.range(1, k + 1L).select(col("id").cast("int").as("_d"))
     val ov = queries.crossJoin(broadcast(depths))
       .join(matched, Seq("query_id"), "left")
@@ -281,10 +307,10 @@ object Eval {
         round((weight * (col("_ov").cast("double") / col("_d").cast("double")))
           * 1000000000000.0).cast("long"))
       .groupBy(col("query_id"))
-      .agg(sum(col("_term")).as("rbo_pico"))
-      .join(matched.groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_common")), Seq("query_id"), "left")
-      .na.fill(0L, Seq("n_common"))
+      // n_common IS the prefix overlap at depth k — no second aggregate
+      // or join over the match frame needed
+      .agg(max(when(col("_d") === k, col("_ov"))).as("n_common"),
+        sum(col("_term")).as("rbo_pico"))
       .select(col("query_id"), col("n_common"), col("rbo_pico"))
   }
 }

@@ -4554,12 +4554,8 @@ object Registry {
     val e = t(spark, dir, "embeddings")
     val r = graft.ops.Similarity.systemRankings(
       e, e.filter(col("vec_id") < 5), "vec_id", "embedding", perSystemK = 20)
-    graft.ops.Eval.rboAtK(
-        r.filter(col("rk_cos").isNotNull)
-          .select(col("query_id"), col("neighbor_id"), col("rk_cos").as("rank")),
-        r.filter(col("rk_l2").isNotNull)
-          .select(col("query_id"), col("neighbor_id"), col("rk_l2").as("rank")),
-        "query_id", "neighbor_id", "rank", k = 20)
+    graft.ops.Eval.rboAtKFromRankings(
+        r, "query_id", "neighbor_id", "rk_cos", "rk_l2", k = 20)
       .orderBy("query_id")
   }
 

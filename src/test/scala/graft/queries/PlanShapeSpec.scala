@@ -734,6 +734,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_rbo_eval: bounded depth expansion, query-keyed joins, no unpartitioned window") {
+    val p = plan("q_rbo_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    // every window partitions by query_id (the ranking windows) — no
+    // corpus-wide single-task sort anywhere
+    assert(!p.contains("windowspecdefinition()") &&
+      "windowspecdefinition\\(query_id".r.findAllIn(p).nonEmpty, p)
+    // the only nested-loop frames are the BROADCAST query batch against
+    // the corpus and the k-row depth table — the overlap join itself is
+    // keyed on query_id (partition-parallel at any query count)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 3, s"beyond the broadcast query-batch/depth frames:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("q_token_gini: vocabulary-sized windows over one count aggregate, no join") {
     val p = plan("q_token_gini")
     assert(!p.contains("Join"), s"gini must not join:\n$p")
