@@ -480,6 +480,75 @@ object StreamIngest {
         graft.ops.RefStore.mergeCdcChunks(survivors, idCol, textCol, storeDir,
           leaseWaitMs, autoCompactAfter))
 
+  /** DISTRIBUTION gate of the continuous ingest family — the BATCH-level
+    * drift alarm completing the tiers (content: exact/near-dup/chunk
+    * guards; distribution: this): each micro-batch scores its `valueCol`
+    * histogram against the PERSISTED corpus baseline
+    * ([[graft.ops.Drift.psiAgainstStored]] — the same value_counts
+    * artifact the KS baseline family uses) and is admitted ONLY while
+    * PSI stays under `maxPsiPico` (default 0.25, the conventional
+    * significant-shift alarm). Admitted batches land under
+    * `sinkDir/batch=<id>/` and merge their counts into the baseline —
+    * the corpus's definition of "normal" evolves with what it accepts;
+    * rejected batches land under `quarantineDir/batch=<id>/` (an
+    * operator worklist, NOT silently dropped data) and leave the
+    * baseline UNTOUCHED, so a poisoned crawl cannot drag "normal" toward
+    * itself batch by batch until its successors pass — the ratchet any
+    * self-updating gate needs.
+    *
+    * An EMPTY baseline admits everything (bootstrap: the first batches
+    * define normal — [[graft.ops.RefStore.writeValueCounts]] with an
+    * empty frame, or a real starting corpus, initializes the store).
+    * Replay law: BOTH candidate destinations for the batch id are
+    * cleared before the write and the write is batch-dir-scoped, so a
+    * replayed batch converges to exactly ONE copy — in whichever
+    * destination the CURRENT baseline dictates (a batch quarantined
+    * before the baseline grew may legally be admitted on a late replay;
+    * the cleared twin dir is what keeps that transition atomic-looking
+    * to consumers) — and the counts merge overwrites its own
+    * `batch=b<id>/` subdir, idempotent under replay (the
+    * [[graft.ops.RefStore.mergeValueCounts]] contract).
+    *
+    * Scale shape: the score is two hash aggregates over the batch and
+    * the loaded baseline histogram (value-domain-sized, never the
+    * corpus); the landing write is the batch itself. No driver state
+    * beyond the 1-row score.
+    */
+  def runDriftGatedIngest(stream: DataFrame, storeDir: String,
+      sinkDir: String, quarantineDir: String, valueCol: String,
+      checkpointDir: String, maxPsiPico: Long = 250000000000L,
+      binWidth: Long = 100L, leaseWaitMs: Long = 300000L,
+      autoCompactAfter: Int = 32): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestDriftGatedBatch(batch, id, storeDir, sinkDir, quarantineDir,
+          valueCol, maxPsiPico, binWidth, leaseWaitMs, autoCompactAfter); ()
+      }
+      .start()
+
+  private[graft] def ingestDriftGatedBatch(batch: DataFrame, id: Long,
+      storeDir: String, sinkDir: String, quarantineDir: String,
+      valueCol: String, maxPsiPico: Long, binWidth: Long,
+      leaseWaitMs: Long = 0L, autoCompactAfter: Int = 0): Unit = {
+    val score = graft.ops.Drift
+      .psiAgainstStored(batch, valueCol, storeDir, binWidth).head()
+    val accept = score.getLong(1) == 0L || score.getLong(3) <= maxPsiPico
+    def rmDir(p: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(new java.io.File(p))
+    }
+    rmDir(s"$sinkDir/batch=$id")
+    rmDir(s"$quarantineDir/batch=$id")
+    val dest = if (accept) s"$sinkDir/batch=$id" else s"$quarantineDir/batch=$id"
+    batch.write.mode("overwrite").parquet(dest)
+    if (accept)
+      graft.ops.RefStore.mergeValueCounts(batch, valueCol, storeDir,
+        batchId = s"b$id", leaseWaitMs, autoCompactAfter)
+  }
+
   /** The shared exactly-once micro-batch skeleton of the ingest loops:
     * guard → land survivors under `sinkDir/batch=<id>/` → commit survivors
     * to the store, with the `_SUCCESS` + `_BATCH_FP` replay/collision

@@ -668,4 +668,56 @@ class StreamIngestSpec extends SparkSpec {
     assert(checks(("canon", "pairs_non_null_no_selfmap")) === true)
     assert(checks(("exact", "bloom_superset_of_fingerprints")) === true)
   }
+
+  test("drift-gated ingest: in-distribution admits + grows baseline; shifted quarantines; replay converges") {
+    import spark.implicits._
+    val store = tmp("graft-driftgate-store")
+    val sink = tmp("graft-driftgate-sink")
+    val quarantine = tmp("graft-driftgate-q")
+    val src = tmp("graft-driftgate-src")
+    // baseline: lengths clustered around 100-500
+    val base = (1L to 200L).map(i => (i, 100L + (i % 5) * 100L))
+      .toDF("doc_id", "n_chars")
+    graft.ops.RefStore.writeValueCounts(base, "n_chars", store)
+    val baselineMass = graft.ops.RefStore.loadValueCounts(spark, store)
+      .agg(org.apache.spark.sql.functions.sum("_c")).head.getLong(0)
+    // batch 0: same distribution → admitted, baseline grows
+    val b1 = (1000L to 1099L).map(i => (i, 100L + (i % 5) * 100L))
+      .toDF("doc_id", "n_chars")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    val q = StreamIngest.runDriftGatedIngest(
+      spark.readStream.schema(b1.schema).parquet(src),
+      store, sink, quarantine, "n_chars", tmp("graft-driftgate-ckp"))
+    q.processAllAvailable()
+    // batch 1: wildly shifted lengths (50k+) → quarantined, baseline frozen
+    val b2 = (2000L to 2099L).map(i => (i, 50000L + (i % 5) * 1000L))
+      .toDF("doc_id", "n_chars")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    def ids(dir: String) = spark.read.parquet(dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids(sink) === (1000L to 1099L).toSet,
+      "the in-distribution batch must be the only admitted one")
+    assert(ids(quarantine) === (2000L to 2099L).toSet,
+      "the shifted batch must land in the quarantine worklist")
+    val massAfter = graft.ops.RefStore.loadValueCounts(spark, store)
+      .agg(org.apache.spark.sql.functions.sum("_c")).head.getLong(0)
+    assert(massAfter === baselineMass + 100L,
+      "baseline must absorb the admitted batch's counts and ONLY those")
+    // replay of the quarantined batch: still shifted → still quarantined,
+    // exactly ONE copy, counts still untouched
+    StreamIngest.ingestDriftGatedBatch(b2, 1L, store, sink, quarantine,
+      "n_chars", maxPsiPico = 250000000000L, binWidth = 100L)
+    assert(ids(quarantine) === (2000L to 2099L).toSet)
+    assert(graft.ops.RefStore.loadValueCounts(spark, store)
+      .agg(org.apache.spark.sql.functions.sum("_c")).head.getLong(0)
+      === baselineMass + 100L, "a quarantined replay must not grow the baseline")
+    // replay of the ADMITTED batch: counts merge is batch-scoped —
+    // re-running it must not double-count
+    StreamIngest.ingestDriftGatedBatch(b1, 0L, store, sink, quarantine,
+      "n_chars", maxPsiPico = 250000000000L, binWidth = 100L)
+    assert(graft.ops.RefStore.loadValueCounts(spark, store)
+      .agg(org.apache.spark.sql.functions.sum("_c")).head.getLong(0)
+      === baselineMass + 100L, "an admitted replay must be idempotent")
+  }
 }
