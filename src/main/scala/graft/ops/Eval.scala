@@ -229,6 +229,53 @@ object Eval {
         col("kappa"))
   }
 
+  /** ROUGE-N recall per row (Lin, 2004) — the summarization/compression
+    * eval staple: clipped n-gram overlap between a candidate text and
+    * its reference, `Σ_g min(count_cand(g), count_ref(g)) / Σ_g
+    * count_ref(g)`. Exact law: both gram multisets count as exact
+    * integers under the shared token law ([[graft.functions.TextFns
+    * .tokens]]; grams joined with single spaces), the clip is an integer
+    * `least`, and ONE double division renders the recall — so the whole
+    * statistic replays in SQL bit-for-bit. A reference with fewer than n
+    * tokens has no grams and reports NULL recall (undefined, not 0);
+    * candidate grams never seen in the reference contribute nothing (the
+    * LEFT join from the reference side IS the clip's zero branch).
+    *
+    * Scale shape: two narrow gram explosions → two (id, gram) hash
+    * aggregates → one hash join keyed on (id, gram) → one hash aggregate
+    * back to |rows|. No window, no driver state; gram support is per-row
+    * text length, never corpus vocabulary.
+    *
+    * Output: (idCol, n_ref_grams, n_overlap, rougeN_recall).
+    */
+  def rougeN(df: DataFrame, idCol: String, refCol: String, candCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(c: Column): Column = {
+      val toks = graft.functions.TextFns.tokens(c)
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def counts(c: Column, as: String) = df
+      .select(col(idCol).as("_id"), explode(grams(c)).as("_g"))
+      .groupBy(col("_id"), col("_g")).agg(count(lit(1)).as(as))
+    val joined = counts(col(refCol), "_cr")
+      .join(counts(col(candCol), "_cc"), Seq("_id", "_g"), "left")
+      .groupBy(col("_id"))
+      .agg(sum(col("_cr")).as("n_ref_grams"),
+        sum(least(col("_cr"), coalesce(col("_cc"), lit(0L)))).as("n_overlap"))
+    df.select(col(idCol)).distinct()
+      .join(joined, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_ref_grams"), lit(0L)).as("n_ref_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn(s"rouge${n}_recall",
+        when(col("n_ref_grams") > 0L,
+          col("n_overlap").cast("double") / col("n_ref_grams").cast("double")))
+  }
+
   /** Rank-Biased Overlap at depth k (Webber, Moffat & Zobel, TOIS'10)
     * between two per-query rankings — the standard "how similar are two
     * retrieval systems" score (top-weighted, handles non-conjoint lists):

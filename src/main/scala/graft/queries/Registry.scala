@@ -4847,6 +4847,42 @@ object Registry {
       | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
   }
 
+  /** ROUGE-2 recall of the LEAD-30-token baseline against each full
+    * document ([[graft.ops.Eval.rougeN]], Lin 2004) — the standard
+    * summarization-eval statistic over the standard lead baseline:
+    * exact clipped-bigram integer counts under the shared token law,
+    * one double division, short references (< 2 tokens) NULL by law.
+    */
+  def qRougeEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("ref"),
+        concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")),
+          1, 30)).as("cand"))
+    graft.ops.Eval.rougeN(docs, "doc_id", "ref", "cand", n = 2)
+      .orderBy("doc_id")
+  }
+
+  val qRougeEvalSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | base AS (SELECT doc_id, tk, list_slice(tk, 1, 30) AS ck FROM t),
+      | rg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |   i -> tk[i] || ' ' || tk[i+1])) AS g FROM base WHERE len(tk) >= 2),
+      | cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ck) - 1),
+      |   i -> ck[i] || ' ' || ck[i+1])) AS g FROM base WHERE len(ck) >= 2),
+      | rc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM rg GROUP BY 1, 2),
+      | cc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cn FROM cg GROUP BY 1, 2),
+      | j AS (SELECT rc.doc_id, CAST(SUM(cr) AS BIGINT) AS nref,
+      |   CAST(SUM(LEAST(cr, COALESCE(cc.cn, 0))) AS BIGINT) AS nov
+      |  FROM rc LEFT JOIN cc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+      |  GROUP BY 1)
+      | SELECT d.doc_id, COALESCE(j.nref, 0) AS n_ref_grams,
+      |  COALESCE(j.nov, 0) AS n_overlap,
+      |  CASE WHEN COALESCE(j.nref, 0) > 0
+      |   THEN CAST(COALESCE(j.nov, 0) AS DOUBLE) / CAST(j.nref AS DOUBLE)
+      |  END AS rouge2_recall
+      | FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id
+      | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
   /** Per-source entropy + KL to the rest of the corpus
     * ([[graft.ops.Drift.sourceKlReport]]): add-one smoothing over the
     * corpus vocabulary, every term ln-quantized to pico-units before the
@@ -5890,6 +5926,7 @@ object Registry {
     "q_source_kl" -> (qSourceKl _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_psi_store" -> (qPsiStore _),
+    "q_rouge_eval" -> (qRougeEval _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_tok_fertility" -> (qTokFertility _),
     "q_group_split" -> (qGroupSplit _),
@@ -6075,6 +6112,7 @@ object Registry {
     "q_source_kl" -> qSourceKlSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_psi_store" -> qPsiStoreSql,
+    "q_rouge_eval" -> qRougeEvalSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_tok_fertility" -> qTokFertilitySql,
     "q_group_split" -> qGroupSplitSql,

@@ -173,6 +173,28 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cohenKappa(withNulls, "a", "b").head.getLong(0) === 1L)
   }
 
+  test("rougeN: clipped-count law hand-checked; identical = 1; short reference NULL") {
+    import spark.implicits._
+    val rows = Seq(
+      // ref bigrams {a b: 2, b c: 1, c a: 1} (4 total); cand clips a b at 1
+      (1L, "a b c a b", "a b"),
+      (2L, "a b c a b", "a b c a b"),          // identical → recall 1
+      (3L, "x", "x"),                          // < 2 ref tokens → NULL
+      (4L, "p q r", "z z z z"),                // no shared grams → 0
+      (5L, "m n m n", "m n m n m n m n"))      // cand SURPLUS clips at ref counts
+      .toDF("doc_id", "ref", "cand")
+    val got = Eval.rougeN(rows, "doc_id", "ref", "cand", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got(1L) === ((4L, 1L, Some(0.25))))
+    assert(got(2L) === ((4L, 4L, Some(1.0))))
+    assert(got(3L) === ((0L, 0L, None)), "short reference must be NULL, not 0")
+    assert(got(4L) === ((2L, 0L, Some(0.0))))
+    // ref {m n: 2, n m: 1}; cand {m n: 4, n m: 3} → clipped 2 + 1 of 3
+    assert(got(5L) === ((3L, 3L, Some(1.0))))
+  }
+
   test("rboAtK: identical lists hit the closed form; disjoint score 0; reversal sits between") {
     import spark.implicits._
     val k = 5; val p = 0.9
