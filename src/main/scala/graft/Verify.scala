@@ -93,6 +93,84 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] ann recall check failed: ${e.getMessage}")
     }
+    // IVF EXACT restricted-brute-force gate (r11 verdict task 5): the IVF
+    // output's structural contract is stronger than a recall floor —
+    // given the trained quantizer, the output must equal EXACTLY the
+    // brute-force cosine top-k restricted to each query's probed cells
+    // (the PQ exact-rerank posture applied to IVF). The truth side here
+    // is a STRAIGHT-LINE driver implementation (no joins, no windows, no
+    // dedup) over the same centroids, so the whole Spark plumbing —
+    // probe-cell explode, broadcast candidate join, dedup, rank window —
+    // is checked for set equality of (query_id, neighbor_id, rk), not
+    // merely overlap. Determinism of the quantizer across the dump and
+    // this gate: trainIvfCentroids is seeded (takeSample seed=42,
+    // kmeans++ seed=42) AND per-plan cached, and both runs live in this
+    // one JVM/session. The 0.6 recall floor above stays as the secondary
+    // gate.
+    try {
+      import org.apache.spark.sql.functions.col
+      val S = graft.ops.Similarity
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val rows: Array[(Long, Array[Float])] = corpus
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val queries = rows.filter(_._1 < 5)
+      // truth restricted to probed cells, straight-line driver math
+      def restrictedTruth(cellOf: Map[Long, Int],
+          centroids: Array[(Int, Array[Double])], nprobe: Int,
+          k: Int): Set[(Long, Long, Long)] =
+        queries.flatMap { case (qid, qv) =>
+          val probed = S.nearestCells(centroids, qv, nprobe).toSet
+          rows.iterator
+            .filter { case (nid, _) =>
+              nid != qid && cellOf.get(nid).exists(probed.contains) }
+            .map { case (nid, nv) => (nid, S.cosineScala(qv, nv)) }
+            .toArray
+            .sortBy { case (nid, sim) => (-sim, nid) }
+            .take(k).zipWithIndex
+            .map { case ((nid, _), i) => (qid, nid, (i + 1).toLong) }
+        }.toSet
+      def gate(name: String, truth: Set[(Long, Long, Long)]): Unit = try {
+        val got = spark.read.parquet(s"$outDir/$name")
+          .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+            col("rk").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val ok = got == truth
+        System.err.println(s"[verify] $name restricted-brute-force equality: " +
+          s"${if (ok) "EXACT" else s"MISMATCH (got ${got.size}, truth ${truth.size}, " +
+            s"missing ${(truth -- got).size}, extra ${(got -- truth).size})"}")
+        if (!ok) {
+          System.err.println(s"[verify] $name FAILED restricted-BF equality — removing output")
+          rm(new java.io.File(s"$outDir/$name"))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name restricted-BF check failed: ${e.getMessage}")
+      }
+      // live leg: same trained quantizer as qAnnIvf (per-plan cache/seed),
+      // corpus-side cells recomputed straight-line on the driver
+      val liveCentroids = S.trainIvfCentroids(corpus, "embedding", 16, 100000)
+      val liveCells = rows.map { case (id, v) =>
+        id -> S.nearestCells(liveCentroids, v, 1).head }.toMap
+      gate("q_ann_ivf", restrictedTruth(liveCells, liveCentroids, nprobe = 4, k = 10))
+      // stored leg: rebuild the registry's exact store construction
+      // (train-on-even write + odd merge — deterministic, see above) and
+      // take the cells from the PERSISTED assignment the query path reads
+      val store = Files.createTempDirectory("verify-ivfstore").toString
+      try {
+        graft.ops.RefStore.writeIvf(
+          corpus.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", store)
+        graft.ops.RefStore.mergeIvf(
+          corpus.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", store,
+          batchId = "b1")
+        val (storedCentroids, assigned) = graft.ops.RefStore.loadIvf(spark, store)
+        val storedCells = assigned.select(col("neighbor_id").cast("long"), col("cell"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+        gate("q_ann_ivf_store",
+          restrictedTruth(storedCells, storedCentroids, nprobe = 8, k = 10))
+      } finally rm(new java.io.File(store))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] ivf restricted-BF gate failed: ${e.getMessage}")
+    }
     // SimHash planted-recall gate — the remaining rows-only output with no
     // driver-visible regression check. Identical texts yield identical
     // 64-bit signatures, so every planted exact-duplicate pair is

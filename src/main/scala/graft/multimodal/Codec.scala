@@ -625,7 +625,12 @@ object Codec {
         else {
           // expand stsc runs to samples-per-chunk, walk chunks in order,
           // slice each sample — any out-of-range slice truncates at the
-          // last honest frame (the lying-size discipline)
+          // last honest frame (the lying-size discipline). The sample
+          // tables are untrusted: offsets may describe overlapping
+          // extents, so the walk ALSO caps cumulative emitted bytes at
+          // payload.length — honest non-overlapping samples can never
+          // exceed it, and a hostile table that re-slices the payload
+          // 100k times truncates instead of allocating 100k copies
           def samplesIn(chunk1: Long): Long = {
             var spc = stscRuns.head._2
             stscRuns.foreach { case (first, s) => if (first <= chunk1) spc = s }
@@ -635,16 +640,19 @@ object Codec {
           var sample = 0
           var honest = true
           var c = 0
+          var emitted = 0L
           while (honest && c < offsets.length && sample < sizes.length) {
             var off = offsets(c)
             var s = 0L
             val spc = samplesIn(c + 1L)
             while (honest && s < spc && sample < sizes.length) {
               val sz = sizes(sample)
-              if (off < 0 || sz <= 0 || off + sz > payload.length) honest = false
+              if (off < 0 || sz <= 0 || off + sz > payload.length ||
+                emitted + sz > payload.length) honest = false
               else {
                 frames += java.util.Arrays.copyOfRange(
                   payload, off.toInt, (off + sz).toInt)
+                emitted += sz
                 off += sz
                 sample += 1
                 s += 1

@@ -521,28 +521,82 @@ object Dedup {
       numHashes, bands, threshold, maxBucket)
   }
 
+  /** The SimHash token-hash PROFILES (r11 verdict task 7): the signature
+    * law — sign-counting of per-token hash bits — is hash-agnostic, so
+    * the hash is pluggable behind one law structure:
+    *
+    *   - `"md5"` (default, the ORACLE profile): first 8 bytes of
+    *     md5(utf-8 token) read big-endian. md5 is THE hash both engines
+    *     share, so every signature — and therefore the near-dup pair
+    *     set — replays exactly in the DuckDB oracle. Every registry row
+    *     runs this profile (no honesty regression).
+    *   - `"xxhash64"` (the PRODUCTION profile): Spark's builtin
+    *     xxhash64 (XXH64, seed 42) — the codegen'd non-cryptographic
+    *     hash. At 100 TB a cryptographic digest per token over the whole
+    *     corpus is a real CPU tax paid only for oracle replayability
+    *     (the r11 verdict's adjudication); production dedup pipelines
+    *     flip this flag and keep the identical law/banding/verify shape.
+    *     Measured at sf0.1 (SignatureProfileBench): see round appendix.
+    *
+    * Both profiles share bit law `(h >>> (63−b)) & 1` and the ≥0 sign
+    * rule; profile equivalence-of-shape is pinned by DedupSpec (Scala
+    * twin ≡ expression twin per profile, planted recall holds on both).
+    */
+  val Md5Profile = "md5"
+  val XxProfile = "xxhash64"
+
+  /** Per-token 64-bit hasher for `profile` — ONE instance per partition
+    * (the closure owns the reusable digest; per-row getInstance would
+    * allocate per row, the [[graft.ops.Importance]] note).
+    */
+  private[ops] def tokenHasher(profile: String): String => Long = profile match {
+    case Md5Profile =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      t => {
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L; var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+        h
+      }
+    case XxProfile =>
+      t => {
+        val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      }
+    case other => sys.error(
+      s"unknown simhash profile '$other' (expected '$Md5Profile' or '$XxProfile')")
+  }
+
   /** 64-bit SimHash of a document: sign-aggregate of per-token hash bits.
     * One pass over tokens with an array accumulator — narrow, codegen'd.
     *
-    * TOKEN-HASH LAW (md5, SQL-replayable): the per-token hash is the
-    * FIRST 8 BYTES of md5(utf-8 token) read big-endian (== the first 16
-    * lowercase-hex chars), and "bit b" of the hash is `(h >>> (63−b)) &
-    * 1` — i.e. bit 3−(b mod 4) of hex nibble b div 4. Signature bit b is
-    * set iff the signed token-count at b is ≥ 0. md5 rather than
-    * xxhash/FNV deliberately: md5 is THE hash both engines share, so the
-    * whole signature — and therefore the near-dup pair set — replays
-    * exactly in the DuckDB oracle (the MinHash-banding / E–S-sampling
-    * md5 discipline applied to the signature step; r10 verdict task 1).
+    * TOKEN-HASH LAW (md5 profile, SQL-replayable): the per-token hash is
+    * the FIRST 8 BYTES of md5(utf-8 token) read big-endian (== the first
+    * 16 lowercase-hex chars), and "bit b" of the hash is `(h >>> (63−b))
+    * & 1` — i.e. bit 3−(b mod 4) of hex nibble b div 4. Signature bit b
+    * is set iff the signed token-count at b is ≥ 0 (the MinHash-banding /
+    * E–S-sampling md5 discipline applied to the signature step; r10
+    * verdict task 1). The xxhash64 profile swaps only the per-token hash
+    * (the builtin, seed 42) — see the profile scaladoc above.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column, profile: String = Md5Profile): Column = {
+    def tokenHashCol(t: Column): Column = profile match {
+      case Md5Profile =>
+        val hex = md5(t.cast("binary"))
+        call_function("shiftleft",
+            conv(substring(hex, 1, 8), 16, 10).cast("long"), lit(32))
+          .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+      case XxProfile => xxhash64(t)
+      case other => sys.error(
+        s"unknown simhash profile '$other' (expected '$Md5Profile' or '$XxProfile')")
+    }
     val counts = aggregate(
       TextFns.tokens(text),
       array_repeat(lit(0L), 64),
       (acc, t) => {
-        val hex = md5(t.cast("binary"))
-        val h = call_function("shiftleft",
-            conv(substring(hex, 1, 8), 16, 10).cast("long"), lit(32))
-          .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+        val h = tokenHashCol(t)
         zip_with(acc, sequence(lit(0L), lit(63L)),
           (a, b) => a + when(
             call_function("shiftrightunsigned", h, (lit(63L) - b).cast("int"))
@@ -556,20 +610,14 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Scala twin of [[simhash64]] (SAME md5 token-hash law, bit for bit)
-    * for the object-boundary pair search. `md` is the caller's reusable
-    * digest (one per partition — per-row getInstance would allocate per
-    * row, the [[graft.ops.Importance]] note).
+  /** Scala twin of [[simhash64]] (SAME token-hash law as the chosen
+    * profile, bit for bit) for the object-boundary pair search. `th` is
+    * the caller's per-partition [[tokenHasher]].
     */
-  private[ops] def simhash64Scala(text: String,
-      md: java.security.MessageDigest): Long = {
+  private[ops] def simhash64Scala(text: String, th: String => Long): Long = {
     val counts = new Array[Int](64)
     TextFns.tokensScala(text).foreach { t =>
-      md.reset()
-      val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      val h = th(t)
       var b = 0
       while (b < 64) {
         if (((h >>> (63 - b)) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -582,9 +630,9 @@ object Dedup {
     sig
   }
 
-  /** Single-call convenience twin (tests / one-off probes). */
+  /** Single-call convenience twin (tests / one-off probes), md5 profile. */
   private[ops] def simhash64Scala(text: String): Long =
-    simhash64Scala(text, java.security.MessageDigest.getInstance("MD5"))
+    simhash64Scala(text, tokenHasher(Md5Profile))
 
   /** SimHash near-duplicate pairs: bucket-join on 4×16-bit chunks (any pair
     * with Hamming distance ≤ 3 shares at least one chunk), verified with
@@ -592,8 +640,9 @@ object Dedup {
     * boundary (see [[shingleHashFrame]] for why not expression trees).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
-    hammingPairsFromSig(simhashFrame(df, idCol, textCol),
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      profile: String = Md5Profile): DataFrame =
+    hammingPairsFromSig(simhashFrame(df, idCol, textCol, profile),
       maxHamming, maxBucket, "simhash")
 
   /** Hamming-near pairs of ANY 64-bit signature frame (_id, _sh) — the
@@ -618,14 +667,14 @@ object Dedup {
     * persistable unit of the SimHash family ([[RefStore.writeSimhash]]).
     */
   private[graft] def simhashFrame(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, profile: String = Md5Profile): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("_id"), col(textCol).cast("string").as("_t"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, t) => (id, simhash64Scala(if (t == null) "" else t, md)) }
+        val th = tokenHasher(profile)
+        it.map { case (id, t) => (id, simhash64Scala(if (t == null) "" else t, th)) }
       }
       .toDF("_id", "_sh")
       .repartition(col("_id"))
@@ -657,9 +706,10 @@ object Dedup {
     * bucket collision cannot drop a document.
     */
   def simhashAgainst(incoming: DataFrame, reference: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
-    simhashAgainstSig(incoming, simhashFrame(reference, idCol, textCol),
-      idCol, textCol, maxHamming, maxBucket)
+      textCol: String, maxHamming: Int = 3, maxBucket: Int = 1000,
+      profile: String = Md5Profile): DataFrame =
+    simhashAgainstSig(incoming, simhashFrame(reference, idCol, textCol, profile),
+      idCol, textCol, maxHamming, maxBucket, profile)
 
   /** [[simhashAgainst]] against a PERSISTED [[RefStore]] signature frame:
     * batch N+1 reads the 8-byte-per-doc signatures earlier batches
@@ -672,14 +722,17 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     simhashAgainstSig(incoming,
       RefStore.loadSimhash(incoming.sparkSession, storeDir),
-      idCol, textCol, maxHamming, maxBucket)
+      idCol, textCol, maxHamming, maxBucket,
+      // signatures only compare under ONE law: the incoming side hashes
+      // with the PROFILE THE STORE COMMITTED (meta), never a caller flag
+      RefStore.simhashProfile(incoming.sparkSession, storeDir))
 
   private def simhashAgainstSig(incoming: DataFrame, refSig: DataFrame,
       idCol: String, textCol: String, maxHamming: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, profile: String = Md5Profile): DataFrame = {
     val flagged = hammingFlaggedAgainstSig(
-      simhashFrame(incoming, idCol, textCol), refSig, maxHamming, maxBucket,
-      "shagainst")
+      simhashFrame(incoming, idCol, textCol, profile), refSig, maxHamming,
+      maxBucket, "shagainst")
     incoming.join(flagged,
         incoming(idCol).cast("long") === flagged("_fid"), "left_anti")
   }

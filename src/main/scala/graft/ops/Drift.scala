@@ -323,7 +323,12 @@ object Drift {
       .agg(first(col("_ns")).as("n"),
         first(col("_n") - col("_ns")).as("n_rest"),
         first(col("_nb")).as("n_bins"),
-        sum(col("_term")).as("psi_pico"))
+        // a single-stratum corpus has NO rest distribution to drift
+        // from: the smoothed q collapses to uniform-over-bins and the
+        // score would look valid while measuring nothing — report NULL
+        // (with n_rest = 0 kept), the ksDrift empty-rest convention
+        when(first(col("_n") - col("_ns")) > 0L, sum(col("_term")))
+          .as("psi_pico"))
   }
 
   /** Two-sample PSI between two (value, count) histograms, binned by

@@ -388,20 +388,34 @@ object RefStore {
 
   /** Persist the [[Dedup.simhashFrame]] signatures of the starting corpus:
     * one (_id, _sh) row per document, 8 signature bytes each. The
-    * signature law (tokenizer + FNV-64 bit votes) is FIXED in code — the
-    * only query-time knob is the verify threshold `maxHamming`, so meta
-    * records just the family marker + bit width. Same idempotency
-    * mechanism as minhash: replay re-appends byte-identical rows and every
-    * consumer re-distincts.
+    * signature law (tokenizer + per-token-hash bit votes) is FIXED per
+    * store: the token-hash PROFILE ([[Dedup.Md5Profile]] oracle /
+    * [[Dedup.XxProfile]] production — r11 verdict task 7) commits to meta
+    * at write time, and every later merge and against-query hashes with
+    * THE STORE'S profile (signatures under different hashes never
+    * compare). The only query-time knob is the verify threshold
+    * `maxHamming`. Same idempotency mechanism as minhash: replay
+    * re-appends byte-identical rows and every consumer re-distincts.
     */
   def writeSimhash(reference: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, profile: String = Dedup.Md5Profile): Unit = {
     val spark = reference.sparkSession
     withLease(spark, dir) {
-      writeMeta(spark, dir, Map("version" -> "1", "simhashBits" -> "64"))
-      Dedup.simhashFrame(reference, idCol, textCol)
+      writeMeta(spark, dir, Map("version" -> "1", "simhashBits" -> "64",
+        "simhashProfile" -> profile))
+      Dedup.simhashFrame(reference, idCol, textCol, profile)
         .write.mode("overwrite").parquet(path(dir, SIMHASH))
     }
+  }
+
+  /** The token-hash profile this store's signatures committed under
+    * (md5 for pre-profile stores — the only law that existed then).
+    */
+  def simhashProfile(spark: SparkSession, dir: String): String = {
+    val meta = readMeta(spark, dir)
+    require(meta.contains("simhashBits"),
+      s"store $dir holds no simhash artifact")
+    meta.getOrElse("simhashProfile", Dedup.Md5Profile)
   }
 
   /** Append one batch's signatures (fails fast on a dir that never saw
@@ -414,7 +428,7 @@ object RefStore {
     withLease(spark, dir, leaseWaitMs) {
       require(readMeta(spark, dir).contains("simhashBits"),
         s"store $dir holds no simhash artifact — writeSimhash first")
-      Dedup.simhashFrame(batch, idCol, textCol)
+      Dedup.simhashFrame(batch, idCol, textCol, simhashProfile(spark, dir))
         .write.mode("append").parquet(path(dir, SIMHASH))
       maybeAutoCompact(spark, dir, autoCompactAfter, SIMHASH)
     }

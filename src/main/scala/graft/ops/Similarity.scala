@@ -48,18 +48,54 @@ object Similarity {
     graft.functions.CosineSimilarity.cosine(a, b)
   }
 
+  /** The ANN query-side boundedness bound: every ANN entry point either
+    * BROADCASTS the query frame ([[bruteForceTopK]], [[hardNegatives]],
+    * the MMR family, LSH/IVF probes) or materializes per-query driver
+    * state ([[pqTopK]]'s ADC lookup tables), so an unbounded query frame
+    * is a driver/executor OOM at 100 TB, not a slow query. The bound is
+    * ENFORCED (the [[Drift]] guardValueDomain posture — a contract in
+    * the plan, not a scaladoc note): session-configurable via
+    * `graft.ann.maxQueryRows`, raise it deliberately or batch your
+    * queries (chunk the query frame, union the per-chunk top-k — ranks
+    * are per-query, so the union IS the unbatched answer).
+    */
+  private[ops] def maxQueryRows(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("graft.ann.maxQueryRows", "4096").toInt
+
+  /** In-plan guard on a query frame about to be broadcast: a 1-row count
+    * crossed under the broadcast hint + `assert_true`, so the failure
+    * fires inside the job that would have broadcast the oversized frame
+    * (no extra driver job) with a batch-your-queries message.
+    */
+  private def guardQuerySide(q: DataFrame, op: String): DataFrame = {
+    val bound = maxQueryRows(q.sparkSession)
+    val nq = q.agg(count(lit(1)).as("_nq"))
+    q.crossJoin(broadcast(nq))
+      .filter(coalesce(
+        assert_true(col("_nq") <= bound,
+          lit(s"$op: query frame exceeds graft.ann.maxQueryRows=$bound rows — " +
+            "the query side is broadcast by design; batch your queries " +
+            "(chunk the query frame and union the per-chunk top-k) or raise " +
+            "the bound deliberately")).cast("boolean"),
+        lit(true)))
+      .drop("_nq")
+  }
+
   /** Shared broadcast-topk shape: corpus rows joined to the broadcast query
     * side under `cond` (built from the projected `_extra` query columns /
     * corpus columns), cosine-scored, per-query rank window, top k. Both
     * [[bruteForceTopK]] and [[hardNegatives]] are this with a different
     * join predicate — one definition so the tie law, broadcast hint and
-    * rank filter can never drift apart.
+    * rank filter can never drift apart. The query side carries the
+    * [[guardQuerySide]] boundedness assert.
     */
   private def broadcastTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       extraCols: Seq[(String, String)], cond: Column): DataFrame = {
-    val q = queries.select((Seq(col(idCol).as("query_id"), col(vecCol).as("_qv")) ++
-      extraCols.map { case (c0, a) => col(c0).as(s"_q$a") }): _*)
+    val q = guardQuerySide(
+      queries.select((Seq(col(idCol).as("query_id"), col(vecCol).as("_qv")) ++
+        extraCols.map { case (c0, a) => col(c0).as(s"_q$a") }): _*),
+      "broadcastTopK")
     val c = corpus.select((Seq(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")) ++
       extraCols.map { case (c0, a) => col(c0).as(s"_c$a") }): _*)
     val w = Window.partitionBy(col("query_id"))
@@ -203,8 +239,11 @@ object Similarity {
     // vs corpus) reaches the dedup/window exchanges downstream.
     val c = bucketSignatures(corpus, idCol, vecCol, "neighbor_id", "_cv",
       planes, tables, dim, shuffle = false)
-    val q = bucketSignatures(queries, idCol, vecCol, "query_id", "_qv",
-      planes, tables, dim, shuffle = false, probes = probes)
+    // the guard sits UPSTREAM of the signature explosion, so the bound
+    // counts queries (its contract), not query×table×probe rows
+    val q = bucketSignatures(guardQuerySide(queries, "lshTopK"), idCol,
+      vecCol, "query_id", "_qv", planes, tables, dim, shuffle = false,
+      probes = probes)
     val cand = c.join(broadcast(q),
         c("table") === q("table") && c("bucket") === q("bucket") &&
           col("neighbor_id") =!= col("query_id"))
@@ -389,7 +428,7 @@ object Similarity {
     ivfProbe(assigned, queries, idCol, vecCol, centroids, k, nprobe)
   }
 
-  private def nearestCells(centroids: Array[(Int, Array[Double])],
+  private[graft] def nearestCells(centroids: Array[(Int, Array[Double])],
       v: Array[Float], n: Int): Seq[Int] =
     centroids.map { case (i, c) =>
       var d = 0.0; var j = 0
@@ -415,7 +454,9 @@ object Similarity {
     // query batch is bounded → broadcast its probe cells; the corpus-side
     // cell assignment stays one narrow pass with no shuffle (the old
     // repartition(cell) only helped when both sides shuffled)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val q = guardQuerySide(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "ivfTopK")
       .withColumn("cell", explode(probeCells(col("_qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -571,8 +612,19 @@ object Similarity {
     // reorders the boundary, so recall lives in the shortlist size (cost is
     // per-partition heap size only; the rerank join stays tiny)
     val shortlistK = if (rerank) math.max(k, shortlistFactor * k) else k
+    // the collect happens at PLAN time on the driver, so the boundedness
+    // guard must fire BEFORE it: limit(bound+1) keeps the check itself
+    // bounded — at most bound+1 rows ever reach the driver, and one row
+    // over the bound fails with the batch-your-queries message instead
+    // of materializing a corpus-sized query frame + its ADC tables
+    val bound = maxQueryRows(spark)
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect()
+      .as[(Long, Array[Float])].limit(bound + 1).collect()
+    require(qRows.length <= bound,
+      s"pqScan: query frame exceeds graft.ann.maxQueryRows=$bound rows — " +
+        "per-query ADC lookup tables materialize on the driver; batch your " +
+        "queries (chunk the query frame and union the per-chunk top-k) or " +
+        "raise the bound deliberately")
     val tables: Array[(Long, Array[Array[Double]])] = qRows.map { case (qid, qv) =>
       val qn = normalized(qv)
       qid -> Array.tabulate(m) { j =>
@@ -1270,7 +1322,9 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     require(perSystemK >= 1 && k >= 1 && k0 >= 0,
       s"perSystemK=$perSystemK k=$k k0=$k0 out of range")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val q = guardQuerySide(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "rrfFuseTopK")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id"))
@@ -1314,7 +1368,9 @@ object Similarity {
       vecCol: String, perSystemK: Int = 20,
       excludeSelf: Boolean = true): DataFrame = {
     require(perSystemK >= 1, s"perSystemK=$perSystemK out of range")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val q = guardQuerySide(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")),
+      "systemRankings")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("_sim").desc, col("neighbor_id"))
@@ -1358,7 +1414,9 @@ object Similarity {
   def uniformNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       labelCol: String, k: Int, salt: String = "graft"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("_ql"))
+    val q = guardQuerySide(
+      queries.select(col(idCol).as("query_id"), col(labelCol).as("_ql")),
+      "uniformNegatives")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("_cl"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_draw"), col("neighbor_id"))

@@ -534,11 +534,15 @@ object StreamIngest {
     val score = graft.ops.Drift
       .psiAgainstStored(batch, valueCol, storeDir, binWidth).head()
     val accept = score.getLong(1) == 0L || score.getLong(3) <= maxPsiPico
+    // Hadoop-FS delete, not java.io.File: the clear-both-destinations
+    // replay law must hold wherever sinkDir/quarantineDir live (HDFS,
+    // S3A, local) — a local-only delete would silently no-op on a
+    // remote store and leave a replayed flip-flop batch in BOTH dirs.
     def rmDir(p: String): Unit = {
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
-      }
-      rec(new java.io.File(p))
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf())
+      fs.delete(path, true); ()
     }
     rmDir(s"$sinkDir/batch=$id")
     rmDir(s"$quarantineDir/batch=$id")
@@ -638,6 +642,118 @@ object StreamIngest {
           storeDir, leaseWaitMs, autoCompactAfter)
       })
   }
+
+  /** Reconciliation tier for the PENDING-MERGE worklist (r11 verdict
+    * task 6 — the consumer [[graft.ops.RefStore.loadPendingMerges]]'s
+    * contract promised): a multi-root canonical-map component means
+    * several documents with the SAME content genuinely survived into the
+    * sink (a retry window or out-of-order batch registered parallel
+    * owners). This tier discharges each worklist row (canon_id,
+    * pending_id):
+    *
+    *   1. PHYSICAL MERGE: every committed `batch=*` sink dir holding a
+    *      pending (losing-root) document is rewritten without it —
+    *      content is identical by the exact-fingerprint law, so deletion
+    *      IS the merge. Rewrites are marked-tmp swaps (the
+    *      [[graft.ops.RefStore]] compact discipline): a crash leaves
+    *      either the intact live dir or a marked-complete tmp that the
+    *      next run promotes — never a half-rewritten sink.
+    *   2. MAP UPDATE: the resolution pair (pending_id → canon_id)
+    *      appends to the canonical map. That puts the losing root on the
+    *      DUP side of the pair union, so it stops being a root — the
+    *      worklist row drains, while [[graft.ops.RefStore
+    *      .loadCanonicalMap]]'s output is unchanged (the pending id
+    *      already mapped to the component minimum). Consumers holding
+    *      the map see the same remap before and after; what changes is
+    *      that it is now TRUE that the dup was dropped.
+    *
+    * Idempotent under replay, in ANY crash prefix: pairs are an append
+    * family (re-appends re-distinct), deletion of an absent row is a
+    * no-op, and once the resolution pair lands the worklist is empty so
+    * the whole tier no-ops. Batch-dir immutability makes the sink
+    * rewrite safe against the ingest loop itself (a committed `_SUCCESS`
+    * dir is never rewritten by replay — [[ingestGuardedBatch]]); run ONE
+    * reconciler at a time per sink (the single-maintainer contract the
+    * unmarked-tmp GC assumes). The `_BATCH_FP` replay fingerprints hash
+    * the INPUT batch, not the survivors, so they stay valid.
+    *
+    * Returns the discharged worklist: (canon_id, pending_id,
+    * removed_rows) — removed_rows 0 when the losing root had already
+    * been physically removed (a crashed earlier run's phase 1).
+    */
+  def reconcilePendingMerges(spark: SparkSession, storeDir: String,
+      sinkDir: String, idCol: String, leaseWaitMs: Long = 300000L,
+      autoCompactAfter: Int = 0): DataFrame = {
+    import spark.implicits._
+    val hp = new org.apache.hadoop.fs.Path(sinkDir)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverReconcileTmps(f, sinkDir)
+    // the worklist is bounded by construction: one row per PARALLEL
+    // OWNER (retry-window artifacts), never corpus-sized
+    val pending = graft.ops.RefStore.loadPendingMerges(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (pending.isEmpty) return Seq.empty[(Long, Long, Long)]
+      .toDF("canon_id", "pending_id", "removed_rows")
+    val ids = pending.map(_._2).toSet
+    val removed = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val dirs = Option(f.globStatus(new org.apache.hadoop.fs.Path(sinkDir, "batch=*")))
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath)
+      .filter(d => f.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+    dirs.foreach { d =>
+      val live = spark.read.parquet(d.toString)
+      val inDir = live.filter(col(idCol).cast("long").isin(ids.toSeq: _*))
+        .groupBy(col(idCol).cast("long").as("_id")).count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (inDir.nonEmpty) {
+        inDir.foreach { case (id, n) => removed(id) += n }
+        val tmp = new org.apache.hadoop.fs.Path(sinkDir, s".${d.getName}.reconcile")
+        f.delete(tmp, true)
+        live.filter(!col(idCol).cast("long").isin(ids.toSeq: _*))
+          .write.mode("overwrite").parquet(tmp.toString)
+        f.create(new org.apache.hadoop.fs.Path(tmp, RECONCILE_DONE), true).close()
+        f.delete(d, true)
+        if (!f.rename(tmp, d) && !(f.exists(d) && !f.exists(tmp)))
+          throw new java.io.IOException(
+            s"reconcilePendingMerges: swap $tmp -> $d failed")
+        f.delete(new org.apache.hadoop.fs.Path(d, RECONCILE_DONE), false)
+      }
+    }
+    // phase 2 LAST: once this lands, the worklist is empty and every
+    // earlier phase is provably complete (a crash before this line
+    // re-runs both phases; deletion of the already-deleted is a no-op)
+    graft.ops.RefStore.mergeCanonicalMap(
+      pending.toSeq.toDF("canon_id", "dup_id"), "dup_id", "canon_id",
+      storeDir, leaseWaitMs, autoCompactAfter)
+    pending.toSeq.map { case (c, p) => (c, p, removed(p)) }
+      .toDF("canon_id", "pending_id", "removed_rows")
+  }
+
+  private val RECONCILE_DONE = "_RECONCILE_DONE"
+
+  /** Crash recovery for interrupted batch-dir swaps: a marked-complete
+    * tmp with NO live dir promotes (the crash hit the delete→rename
+    * window); a marked tmp BESIDE a live dir deletes (the live dir is
+    * intact — the rewrite simply redoes); an unmarked tmp is garbage
+    * (single-maintainer contract: no concurrent reconciler can be
+    * mid-write).
+    */
+  private def recoverReconcileTmps(f: org.apache.hadoop.fs.FileSystem,
+      sinkDir: String): Unit =
+    Option(f.globStatus(
+      new org.apache.hadoop.fs.Path(sinkDir, ".batch=*.reconcile")))
+      .getOrElse(Array.empty).foreach { st =>
+        val tmp = st.getPath
+        val marked = f.exists(new org.apache.hadoop.fs.Path(tmp, RECONCILE_DONE))
+        val live = new org.apache.hadoop.fs.Path(sinkDir,
+          tmp.getName.stripPrefix(".").stripSuffix(".reconcile"))
+        if (marked && !f.exists(live)) {
+          if (!f.rename(tmp, live) && !f.exists(live))
+            throw new java.io.IOException(
+              s"reconcilePendingMerges: recovering $tmp -> $live failed")
+          f.delete(new org.apache.hadoop.fs.Path(live, RECONCILE_DONE), false)
+          ()
+        } else { f.delete(tmp, true); () }
+      }
 
   private def ingestGuardedBatch(batch: DataFrame, id: Long, sinkDir: String,
       idCol: String, textCol: String,

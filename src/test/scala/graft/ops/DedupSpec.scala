@@ -107,6 +107,79 @@ class DedupSpec extends SparkSpec {
     assert(got(0L) === 0x6fd4fe3dfc0e9ebeL, f"'hello world' sig ${got(0L)}%x")
   }
 
+  test("simhash64 xxhash64 profile: twins agree, token hash IS the builtin, laws differ") {
+    import spark.implicits._
+    val texts = Seq("hello world", "the quick brown fox jumps", "", "   ",
+      "a b a b a", "héllo ünïcode tøkens", "one")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // equivalence of shape: expression twin ≡ Scala twin under the
+    // production profile, the exact law the md5 twin test pins
+    val got = df.select($"doc_id",
+        Dedup.simhash64($"text", Dedup.XxProfile).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val th = Dedup.tokenHasher(Dedup.XxProfile)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === Dedup.simhash64Scala(t, th),
+        s"xxhash64 expression/Scala twin diverge on '$t'")
+    }
+    // the Scala token hasher IS Spark's builtin xxhash64 (seed 42) — the
+    // property that makes the expression and object-boundary paths one law
+    val tokens = Seq("hello", "world", "tøkens", "a")
+    val builtin = tokens.toDF("t").select(xxhash64($"t")).as[Long].collect()
+    tokens.zip(builtin).foreach { case (t, h) =>
+      assert(th(t) === h, s"token hasher != builtin xxhash64 on '$t'")
+    }
+    // the two profiles are genuinely different hash laws (identical
+    // signatures would mean the flag is dead code)...
+    val md5Sigs = df.select($"doc_id", Dedup.simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(texts.indices.exists(i => got(i.toLong) != md5Sigs(i.toLong)))
+    // ...that agree exactly where the signature law forces agreement:
+    // token-free text (all counts 0 ⇒ all bits set) and identical texts
+    assert(got(2L) === -1L && got(3L) === -1L)
+  }
+
+  test("simhash profile: planted recall 1.0 holds on the production profile too") {
+    import spark.implicits._
+    val planted = (0 until 20).flatMap { p =>
+      val text = s"planted profile pair $p sharing identical content ${p * 13}"
+      Seq((100L + p, text), (200L + p, text))
+    } ++ (0 until 500).map(i => (1000L + i, s"unique filler $i variety ${i * 37}"))
+    val pdf = planted.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(pdf, "doc_id", "text",
+        profile = Dedup.XxProfile)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 20).foreach(p => assert(got.contains((100L + p, 200L + p)),
+      s"planted pair $p missed under xxhash64 profile"))
+  }
+
+  test("simhash store: profile commits to meta; merges and against use the store's law") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shprofile").toString
+    val ref = (0 until 30).map(p =>
+      (p.toLong, s"stored profile doc $p content ${p * 7}")).toDF("doc_id", "text")
+    RefStore.writeSimhash(ref.filter($"doc_id" < 15), "doc_id", "text", dir,
+      profile = Dedup.XxProfile)
+    RefStore.mergeSimhash(ref.filter($"doc_id" >= 15), "doc_id", "text", dir)
+    assert(RefStore.simhashProfile(spark, dir) === Dedup.XxProfile)
+    // every stored signature replays under the committed law (merge did
+    // NOT silently hash with md5)
+    val th = Dedup.tokenHasher(Dedup.XxProfile)
+    val stored = RefStore.loadSimhash(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    ref.as[(Long, String)].collect().foreach { case (id, t) =>
+      assert(stored(id) === Dedup.simhash64Scala(t, th))
+    }
+    // against-stored screens an identical incoming twin (Hamming 0)
+    // under the store's law with no profile argument from the caller
+    val incoming = Seq((500L, "stored profile doc 3 content 21"),
+      (501L, "genuinely new text never stored")).toDF("doc_id", "text")
+    val survivors = Dedup.simhashAgainstStored(incoming, dir, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(501L))
+  }
+
   test("simhash pairs: surfaces near + permuted pairs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
