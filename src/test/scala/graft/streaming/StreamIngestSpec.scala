@@ -669,6 +669,110 @@ class StreamIngestSpec extends SparkSpec {
     assert(checks(("exact", "bloom_superset_of_fingerprints")) === true)
   }
 
+  test("pending-merge reconciliation: losing root physically merges, worklist drains, replay converges") {
+    import spark.implicits._
+    val store = tmp("graft-recon-store")
+    val sink = tmp("graft-recon-sink")
+    graft.ops.RefStore.initAttributedDedupStore(spark, store, "doc_id", "text",
+      expectedItems = 1000L)
+    // batch 0 through the REAL loop: owner 1 registers "alpha content"
+    StreamIngest.ingestAttributedBatch(
+      Seq((1L, "alpha content"), (2L, "beta content")).toDF("doc_id", "text"),
+      0L, store, sink, "doc_id", "text")
+    // simulate the retry-window race the worklist exists for: a parallel
+    // loop landed doc 3 (same content) in its own committed batch dir and
+    // registered it as a second owner, and a dup (5) got attributed to
+    // EACH owner by the two racing attributions
+    val race = Seq((3L, "ALPHA CONTENT")).toDF("doc_id", "text")
+    race.write.parquet(s"$sink/batch=000001")
+    graft.ops.RefStore.mergeFpOwners(
+      race.select(graft.functions.TextFns.fingerprintMd5($"text").as("fp"),
+        $"doc_id".as("owner_id")), "fp", "owner_id", store)
+    graft.ops.RefStore.mergeCanonicalMap(
+      Seq((5L, 3L)).toDF("dup_id", "canon_id"), "dup_id", "canon_id", store)
+    graft.ops.RefStore.mergeCanonicalMap(
+      Seq((5L, 1L)).toDF("dup_id", "canon_id"), "dup_id", "canon_id", store)
+    def sinkIds() = spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().toSet
+    def canon() = graft.ops.RefStore.loadCanonicalMap(spark, store)
+      .as[(Long, Long)].collect().toMap
+    def worklist() = graft.ops.RefStore.loadPendingMerges(spark, store)
+      .as[(Long, Long)].collect().toSet
+    // pre-reconcile: component {1,3,5} has TWO roots — 1 wins the map,
+    // 3 is mapped yet still physically present (the pending contract)
+    assert(worklist() === Set((1L, 3L)))
+    assert(canon() === Map(5L -> 1L, 3L -> 1L))
+    assert(sinkIds() === Set(1L, 2L, 3L))
+    // reconcile: doc 3 physically merges (content-identical ⇒ deletion),
+    // the resolution pair drains the worklist, the MAP IS UNCHANGED
+    val report = StreamIngest.reconcilePendingMerges(spark, store, sink, "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(report === Set((1L, 3L, 1L)), s"report: $report")
+    assert(sinkIds() === Set(1L, 2L), "losing root must leave the sink")
+    assert(canon() === Map(5L -> 1L, 3L -> 1L),
+      "consumers' remap must be identical before and after reconciliation")
+    assert(worklist() === Set.empty, "worklist must drain")
+    // replay: a second run is a no-op on every surface
+    val replay = StreamIngest.reconcilePendingMerges(spark, store, sink, "doc_id")
+    assert(replay.count() === 0L)
+    assert(sinkIds() === Set(1L, 2L) && canon() === Map(5L -> 1L, 3L -> 1L))
+    // the loop keeps working against the reconciled store: a late copy of
+    // the merged content still drops and links to the surviving canonical
+    StreamIngest.ingestAttributedBatch(
+      Seq((7L, "alpha  CONTENT")).toDF("doc_id", "text"),
+      2L, store, sink, "doc_id", "text")
+    assert(sinkIds() === Set(1L, 2L))
+    assert(canon() === Map(5L -> 1L, 3L -> 1L, 7L -> 1L))
+  }
+
+  test("pending-merge reconciliation: crash prefixes converge (phase-1-only crash, interrupted swap)") {
+    import spark.implicits._
+    val store = tmp("graft-recon2-store")
+    val sink = tmp("graft-recon2-sink")
+    graft.ops.RefStore.initAttributedDedupStore(spark, store, "doc_id", "text",
+      expectedItems = 1000L)
+    StreamIngest.ingestAttributedBatch(
+      Seq((1L, "alpha content")).toDF("doc_id", "text"),
+      0L, store, sink, "doc_id", "text")
+    Seq((3L, "ALPHA CONTENT")).toDF("doc_id", "text")
+      .write.parquet(s"$sink/batch=000001")
+    graft.ops.RefStore.mergeCanonicalMap(
+      Seq((5L, 3L), (5L, 1L)).toDF("dup_id", "canon_id"),
+      "dup_id", "canon_id", store)
+    // CRASH PREFIX A — phase 1 completed (doc 3 already gone from the
+    // sink) but the crash hit before the map update: the rerun must still
+    // drain the worklist, reporting removed_rows = 0
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$sink/batch=000001")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(live.toString)
+    // CRASH PREFIX B on top: a marked-complete tmp from an interrupted
+    // swap of ANOTHER batch dir (delete→rename window) must promote, and
+    // an unmarked tmp must be collected as garbage
+    val orphanLive = new org.apache.hadoop.fs.Path(s"$sink/batch=000002")
+    val orphanTmp = new org.apache.hadoop.fs.Path(s"$sink/.batch=000002.reconcile")
+    Seq((9L, "gamma content")).toDF("doc_id", "text")
+      .write.parquet(orphanTmp.toString)
+    fs.create(new org.apache.hadoop.fs.Path(orphanTmp, "_RECONCILE_DONE"), true).close()
+    assert(!fs.exists(orphanLive))
+    val garbage = new org.apache.hadoop.fs.Path(s"$sink/.batch=000009.reconcile")
+    Seq((99L, "junk")).toDF("doc_id", "text").write.parquet(garbage.toString)
+    val report = StreamIngest.reconcilePendingMerges(spark, store, sink, "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(report === Set((1L, 3L, 0L)),
+      s"already-removed root must still discharge with removed_rows 0: $report")
+    assert(graft.ops.RefStore.loadPendingMerges(spark, store).count() === 0L)
+    assert(fs.exists(orphanLive) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(orphanLive, "_RECONCILE_DONE")),
+      "marked-complete tmp must promote to the live batch dir")
+    assert(!fs.exists(orphanTmp) && !fs.exists(garbage),
+      "tmps must not survive recovery")
+    val sinkIds = spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().toSet
+    assert(sinkIds === Set(1L, 9L))
+  }
+
   test("drift-gated ingest: in-distribution admits + grows baseline; shifted quarantines; replay converges") {
     import spark.implicits._
     val store = tmp("graft-driftgate-store")
