@@ -331,6 +331,57 @@ object Drift {
           .as("psi_pico"))
   }
 
+  /** Jensen-Shannon divergence per stratum vs the rest of the corpus over
+    * a binned integer metric — the SYMMETRIC, bounded companion of
+    * [[psiDrift]] (Lin, IEEE-IT '91): `JSD(p‖q) = ½KL(p‖m) + ½KL(q‖m)`
+    * with `m = (p+q)/2`, always in `[0, ln 2]`, finite even where one
+    * side has zero mass — the divergence monitoring stacks report when
+    * PSI's unbounded tail makes thresholds awkward (√JSD is a metric).
+    *
+    * Same engine-exact scaffold as [[psiDrift]]: floor-division bins,
+    * add-one smoothing over the OBSERVED support B, per-bin term
+    * `round((½·p·(ln(2p) − ln(p+q)) + ½·q·(ln(2q) − ln(p+q)))·1e12)`
+    * quantized to picos BEFORE the integer Σ — `jsd_pico` replays
+    * bit-for-bit in any engine. NULL on an empty rest side (the
+    * [[ksDrift]]/[[psiDrift]] convention).
+    *
+    * Scale shape: identical to [[psiDrift]] — one narrow binning pass,
+    * one (stratum, bin) hash aggregate, a |strata|×B broadcast-nested
+    * loop, one aggregate back to |strata| rows.
+    *
+    * Output: (stratum, n, n_rest, n_bins, jsd_pico).
+    */
+  def jsDrift(df: DataFrame, stratumCol: String, valueCol: String,
+      binWidth: Long = 100L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val vb = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        expr(s"(CAST($valueCol AS BIGINT) - pmod(CAST($valueCol AS BIGINT), " +
+          s"${binWidth}L)) div ${binWidth}L").as("_b"))
+    val csb = vb.groupBy(col("stratum"), col("_b")).agg(count(lit(1)).as("_c"))
+    val cb = csb.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+    val ns = csb.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val glob = cb.agg(sum(col("_cb")).as("_n"), count(lit(1)).as("_nb"))
+    val p = (col("_c") + 1L).cast("double") /
+      (col("_ns") + col("_nb")).cast("double")
+    val q = ((col("_cb") - col("_c")) + 1L).cast("double") /
+      ((col("_n") - col("_ns")) + col("_nb")).cast("double")
+    broadcast(ns).crossJoin(cb)
+      .join(csb, Seq("stratum", "_b"), "left")
+      .na.fill(0L, Seq("_c"))
+      .crossJoin(broadcast(glob))
+      .withColumn("_term",
+        round((lit(0.5) * (p * (log(lit(2.0) * p) - log(p + q))) +
+          lit(0.5) * (q * (log(lit(2.0) * q) - log(p + q))))
+          * 1000000000000.0).cast("long"))
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n"),
+        first(col("_n") - col("_ns")).as("n_rest"),
+        first(col("_nb")).as("n_bins"),
+        when(first(col("_n") - col("_ns")) > 0L, sum(col("_term")))
+          .as("jsd_pico"))
+  }
+
   /** Two-sample PSI between two (value, count) histograms, binned by
     * `binWidth` — the [[psiDrift]] law with an EXPLICIT reference side
     * (there: stratum vs rest within one frame; here: batch vs a separate

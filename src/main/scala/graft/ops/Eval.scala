@@ -303,6 +303,41 @@ object Eval {
     *
     * Output: (query_id, n_common, rbo_pico).
     */
+  /** Mean-reciprocal-rank components at k (Voorhees, TREC-8 '99 — THE
+    * known-item retrieval statistic): for each query, the rank of the
+    * FIRST relevant item within the top `k` of a ranked list, and its
+    * exact-integer reciprocal `rr_micro = 1000000 div rank` (0 when no
+    * relevant item makes the cut — MRR's convention, not a NULL; the
+    * mean over queries is then a trivial downstream aggregate of exact
+    * integers). Relevance is an explicit (query, item) pair frame — the
+    * label-match, clicked-result, or qrels form all reduce to it.
+    *
+    * Scale shape: the ranked frame filters to rank ≤ k upstream of a
+    * hash join with the relevance pairs (both sides bounded by
+    * queries×k), then one |queries|-row aggregate. No window, no corpus
+    * pass.
+    *
+    * Output: (query_id, n_rel_at_k, first_rel_rank, rr_micro) — one row
+    * per query present in the ranked frame.
+    */
+  def mrrAtK(ranked: DataFrame, rel: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val r = ranked.select(col(queryCol).cast("long").as("query_id"),
+        col(itemCol).cast("long").as("_item"),
+        col(rankCol).cast("long").as("_rk"))
+      .filter(col("_rk") <= k)
+    val rl = rel.select(col(queryCol).cast("long").as("query_id"),
+        col(itemCol).cast("long").as("_item"))
+      .distinct().withColumn("_rel", lit(1L))
+    r.join(rl, Seq("query_id", "_item"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("_rel"), lit(0L))).as("n_rel_at_k"),
+        min(when(col("_rel") === 1L, col("_rk"))).as("first_rel_rank"))
+      .withColumn("rr_micro",
+        coalesce(expr("1000000L div first_rel_rank"), lit(0L)))
+  }
+
   def rboAtK(a: DataFrame, b: DataFrame, queryCol: String, itemCol: String,
       rankCol: String, k: Int, p: Double = 0.9): DataFrame = {
     def side(df: DataFrame, as: String) = df

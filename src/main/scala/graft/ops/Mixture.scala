@@ -85,6 +85,49 @@ object Mixture {
     * windows here run over |domains| rows, the quantile-threshold posture.
     * Output: (domain, available, weight_micro, alloc_tokens, saturated).
     */
+  /** Temperature-scaled MIXING PROBABILITIES over per-stratum token mass —
+    * the standard multilingual/multi-source sampling law (Raffel et al.
+    * JMLR'20 §3.4.2 mC4 mixing; Conneau & Lample NeurIPS'19 §3.1):
+    * `p_s ∝ c_s^α` with temperature `α ∈ (0, 1]` flattening the head so
+    * low-resource sources are not starved (α = 1 is proportional, α → 0
+    * is uniform). This is the REPORT half of the lever —
+    * [[Sampling.temperatureSample]] applies the fixed α = 1/2 form to
+    * rows; training loaders consume THESE probabilities to draw batches.
+    *
+    * Law (cross-engine exact): `c_s` = Σ token count per stratum (exact
+    * BIGINT, the shared token law); `w_micro = round(exp(α·ln c_s)·1e6)`
+    * — ln/exp are the documented cross-engine-stable pair (the
+    * [[Importance]]/q_source_kl precedent) and the MICRO quantization
+    * happens BEFORE the normalizing sum, so the total is an exact
+    * integer (headroom: a 1e12-token source at α = 0.7 is ~2.5e14
+    * micro-units — no overflow at any realistic corpus);
+    * `p_ppb = round((w_micro / Σw_micro)·1e9)`, one double division of
+    * two exact integers. Zero-token and NULL strata: w 0 / excluded.
+    *
+    * Scale shape: one narrow tokenize pass → one |strata|-row hash
+    * aggregate; the normalizing total is a 1-row broadcast. Output:
+    * (stratum, n_tokens, w_micro, p_ppb).
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String, textCol: String,
+      alpha: Double = 0.7): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val c = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(graft.functions.TextFns.tokenCount(col(textCol))).as("n_tokens"))
+    val w = c.withColumn("w_micro",
+      when(col("n_tokens") > 0L,
+        round(exp(lit(alpha) * log(col("n_tokens").cast("double"))) * 1000000.0)
+          .cast("long"))
+        .otherwise(lit(0L)))
+    w.crossJoin(broadcast(w.agg(sum(col("w_micro")).as("_tw"))))
+      .withColumn("p_ppb",
+        when(col("_tw") > 0L,
+          round((col("w_micro").cast("double") / col("_tw").cast("double"))
+            * 1000000000.0).cast("long"))
+          .otherwise(lit(0L)))
+      .select(col("stratum"), col("n_tokens"), col("w_micro"), col("p_ppb"))
+  }
+
   def waterfillAllocations(stats: DataFrame, domainCol: String,
       availCol: String, weightMicroCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")

@@ -4899,6 +4899,112 @@ object Registry {
       | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
   }
 
+  /** Jensen-Shannon divergence per source over the n_chars distribution
+    * ([[graft.ops.Drift.jsDrift]], Lin '91, 100-char bins): PSI's
+    * symmetric bounded companion — always in [0, ln 2], √JSD a metric.
+    * Same exact scaffold (floor-division bins, add-one smoothing over
+    * observed support, per-bin pico quantization before the integer Σ),
+    * so the oracle replays the whole law bit-for-bit.
+    */
+  def qJsDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.jsDrift(t(spark, dir, "documents"), "source", "n_chars",
+      binWidth = 100L)
+      .orderBy("stratum")
+
+  val qJsDriftSql: String = {
+    val p = "(CAST(c + 1 AS DOUBLE) / CAST(ns + nb AS DOUBLE))"
+    val q = "(CAST((cb - c) + 1 AS DOUBLE) / CAST((n - ns) + nb AS DOUBLE))"
+    s"""WITH vb AS (SELECT source AS stratum,
+      |   (CAST(n_chars AS BIGINT) - (((n_chars % 100) + 100) % 100)) // 100 AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | csb AS (SELECT stratum, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM vb GROUP BY 1, 2),
+      | cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM csb GROUP BY 1),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM csb GROUP BY 1),
+      | gl AS (SELECT CAST(SUM(cb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb
+      |  FROM cb),
+      | sup AS (SELECT ns.stratum, ns.ns, cb.b, cb.cb,
+      |   COALESCE(csb.c, 0) AS c, gl.n, gl.nb
+      |  FROM ns CROSS JOIN cb
+      |  LEFT JOIN csb ON csb.stratum = ns.stratum AND csb.b = cb.b
+      |  CROSS JOIN gl),
+      | terms AS (SELECT stratum, ns, n, nb,
+      |   CAST(round((0.5 * ($p * (ln(2.0 * $p) - ln($p + $q)))
+      |     + 0.5 * ($q * (ln(2.0 * $q) - ln($p + $q)))) * 1000000000000.0) AS BIGINT) AS term
+      |  FROM sup)
+      | SELECT stratum, MIN(ns) AS n, MIN(n - ns) AS n_rest, MIN(nb) AS n_bins,
+      |  CASE WHEN MIN(n - ns) > 0 THEN CAST(SUM(term) AS BIGINT) END AS jsd_pico
+      | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+  }
+
+  /** Temperature-scaled source-mixing probabilities
+    * ([[graft.ops.Mixture.temperatureWeights]], α = 0.7 — the mC4/XLM
+    * multilingual mixing law p_s ∝ c_s^α over per-source token mass):
+    * the report a training loader consumes to draw batches. Exact token
+    * sums, micro-quantized exp(α·ln c) weights BEFORE the normalizing
+    * integer sum, ppb-quantized probabilities — fully hash-oracled.
+    */
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.temperatureWeights(
+      t(spark, dir, "documents"), "source", "text", alpha = 0.7)
+      .orderBy("stratum")
+
+  val qTemperatureMixSql: String =
+    s"""WITH c AS (SELECT source AS stratum,
+      |   CAST(SUM($nTokensSqlExpr) AS BIGINT) AS n_tokens
+      |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      | w AS (SELECT stratum, n_tokens,
+      |   CASE WHEN n_tokens > 0 THEN
+      |    CAST(round(exp(0.7 * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)
+      |   ELSE 0 END AS w_micro FROM c),
+      | t AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w)
+      | SELECT stratum, n_tokens, w_micro,
+      |  CASE WHEN tw > 0 THEN
+      |   CAST(round((CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE))
+      |     * 1000000000.0) AS BIGINT)
+      |  ELSE 0 END AS p_ppb
+      | FROM w CROSS JOIN t ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  /** Mean-reciprocal-rank components of cosine retrieval against
+    * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
+    * the first-relevant rank and its exact-integer reciprocal per query,
+    * over the [[graft.ops.Similarity.bruteForceTopK]] top-20 with the
+    * embeddings table's labels as qrels. The ranking replays in SQL via
+    * the q_ann_cosine fixed IEEE chain, so ranks — and therefore every
+    * reciprocal — hash-match.
+    */
+  def qMrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val ranked = graft.ops.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+    val lab = e.select(col("vec_id"), col("label"))
+    val rel = lab.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("_cl")),
+        col("_ql") === col("_cl") && col("query_id") =!= col("neighbor_id"))
+    graft.ops.Eval.mrrAtK(ranked, rel, "query_id", "neighbor_id", "rank",
+        k = 20)
+      .orderBy("query_id")
+  }
+
+  val qMrrEvalSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      |  FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl
+      |  FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id, ql, cl,
+      |   list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM s),
+      | top AS (SELECT query_id, CAST(rk AS BIGINT) AS rk,
+      |   CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel FROM r WHERE rk <= 20),
+      | agg AS (SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+      |   MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel_rank FROM top GROUP BY 1)
+      | SELECT query_id, n_rel_at_k, first_rel_rank,
+      |  COALESCE(1000000 // first_rel_rank, 0) AS rr_micro
+      | FROM agg ORDER BY query_id""".stripMargin.replace("\n", " ")
+
   /** ROUGE-2 recall of the LEAD-30-token baseline against each full
     * document ([[graft.ops.Eval.rougeN]], Lin 2004) — the standard
     * summarization-eval statistic over the standard lead baseline:
@@ -5980,6 +6086,9 @@ object Registry {
     "q_source_kl" -> (qSourceKl _),
     "q_psi_drift" -> (qPsiDrift _),
     "q_psi_store" -> (qPsiStore _),
+    "q_js_drift" -> (qJsDrift _),
+    "q_temperature_mix" -> (qTemperatureMix _),
+    "q_mrr_eval" -> (qMrrEval _),
     "q_rouge_eval" -> (qRougeEval _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_tok_fertility" -> (qTokFertility _),
@@ -6166,6 +6275,9 @@ object Registry {
     "q_source_kl" -> qSourceKlSql,
     "q_psi_drift" -> qPsiDriftSql,
     "q_psi_store" -> qPsiStoreSql,
+    "q_js_drift" -> qJsDriftSql,
+    "q_temperature_mix" -> qTemperatureMixSql,
+    "q_mrr_eval" -> qMrrEvalSql,
     "q_rouge_eval" -> qRougeEvalSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_tok_fertility" -> qTokFertilitySql,

@@ -286,4 +286,47 @@ class DriftSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got.head.getLong(1) === 1L)
   }
+
+  test("jsDrift: identical strata ~ 0, disjoint strata bounded by ln 2, single stratum NULL") {
+    // two strata with IDENTICAL value distributions: jsd ~ 0 (only the
+    // add-one smoothing asymmetry from unequal n remains; equal n here)
+    val same = ((1 to 200).map(i => ("a", (i % 10) * 100L)) ++
+      (1 to 200).map(i => ("b", (i % 10) * 100L)))
+      .toDF("src", "v")
+    val gotSame = Drift.jsDrift(same, "src", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(gotSame.values.forall(v => math.abs(v) < 1000000000L),
+      s"identical distributions must score ~0: $gotSame")
+    // disjoint value ranges: jsd near the ln2 ceiling, never above it
+    val ln2pico = math.round(math.log(2.0) * 1e12)
+    val disj = ((1 to 200).map(i => ("a", (i % 10) * 100L)) ++
+      (1 to 200).map(i => ("b", 100000L + (i % 10) * 100L)))
+      .toDF("src", "v")
+    val gotDisj = Drift.jsDrift(disj, "src", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    // 0.73·ln2 computed closed-form for this smoothing (20 bins, n=200 —
+    // add-one leaks ~9% mass onto the shared support); the floor sits
+    // under it, the ceiling is the theoretical bound
+    gotDisj.values.foreach { v =>
+      assert(v > (0.6 * ln2pico).toLong && v <= ln2pico + 20,
+        s"disjoint strata must sit near (<=) the ln2 bound: $v vs $ln2pico")
+    }
+    // a single-stratum corpus has no rest side: NULL score, n_rest 0
+    val single = (1 to 50).map(i => ("only", i * 100L)).toDF("src", "v")
+    val r = Drift.jsDrift(single, "src", "v").collect()
+    assert(r.length === 1 && r(0).getLong(2) === 0L && r(0).isNullAt(4))
+    // negative metric values bin exactly (floor division law)
+    val neg = ((1 to 100).map(i => ("a", -450L)) ++
+      (1 to 100).map(i => ("b", -450L))).toDF("src", "v")
+    assert(Drift.jsDrift(neg, "src", "v").collect()
+      .forall(r => math.abs(r.getLong(4)) < 1000000000L))
+  }
+
+  test("psiDrift: single-stratum corpus reports NULL psi (empty rest side)") {
+    val single = (1 to 50).map(i => ("only", i * 100L)).toDF("src", "v")
+    val r = Drift.psiDrift(single, "src", "v").collect()
+    assert(r.length === 1 && r(0).getLong(2) === 0L && r(0).isNullAt(4),
+      "a valid-looking finite score over uniform smoothing would measure nothing")
+  }
+
 }

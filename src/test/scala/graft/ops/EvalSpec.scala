@@ -226,4 +226,24 @@ class EvalSpec extends SparkSpec {
     val long = rank(Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L))
     assert(score(long, long) === same)
   }
+
+  test("mrrAtK: first-relevant rank, no-relevant 0, k cut, duplicate qrels") {
+    val ranked = Seq(
+      // q1: relevant at ranks 3 and 7 -> first 3, rr 333333
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 7L),
+      // q2: relevant ONLY past the k cut -> 0 by MRR's convention
+      (2L, 20L, 1L), (2L, 21L, 6L),
+      // q3: relevant at rank 1 -> rr exactly 1000000
+      (3L, 30L, 1L), (3L, 31L, 2L)).toDF("query_id", "item_id", "rk")
+    val rel = Seq((1L, 12L), (1L, 13L), (1L, 13L), // duplicate pair must not double-count
+      (2L, 21L), (3L, 30L)).toDF("query_id", "item_id")
+    val got = Eval.mrrAtK(ranked, rel, "query_id", "item_id", "rk", k = 5)
+      .orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    assert(got(0) === ((1L, 1L, 3L, 333333L)), s"q1: ${got(0)}")
+    assert(got(1) === ((2L, 0L, -1L, 0L)), s"q2: ${got(1)}")
+    assert(got(2) === ((3L, 1L, 1L, 1000000L)), s"q3: ${got(2)}")
+  }
+
 }

@@ -136,4 +136,35 @@ class MixtureSpec extends SparkSpec {
     val back = spark.read.json(s"$out/split=train/") // text source decompresses by extension
     assert(back.count() === withSplit.filter(col("split") === "train").count())
   }
+
+  test("temperatureWeights: alpha=1 proportional, alpha flattens, zero-token and NULL strata") {
+    import spark.implicits._
+    val rows = (1 to 90).map(i => ("big", "one two three four")) ++
+      (1 to 10).map(i => ("small", "one two three four")) ++
+      Seq(("empty", "   "), (null.asInstanceOf[String], "never counted"))
+    val df = rows.toDF("src", "text")
+    def weights(alpha: Double) = Mixture
+      .temperatureWeights(df, "src", "text", alpha)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // alpha = 1: p proportional to token mass (360 vs 40 tokens -> 0.9/0.1)
+    val p1 = weights(1.0)
+    assert(p1("big")._1 === 360L && p1("small")._1 === 40L)
+    assert(math.abs(p1("big")._3 - 900000000L) < 5L &&
+      math.abs(p1("small")._3 - 100000000L) < 5L, s"alpha=1: $p1")
+    // smaller alpha flattens the head: small stratum's share strictly grows
+    val p07 = weights(0.7)
+    val p03 = weights(0.3)
+    assert(p07("small")._3 > p1("small")._3 && p03("small")._3 > p07("small")._3,
+      s"flattening must be monotone in alpha: ${p1("small")._3} ${p07("small")._3} ${p03("small")._3}")
+    // zero-token stratum carries zero weight; NULL stratum is excluded
+    assert(p1("empty")._2 === 0L && p1("empty")._3 === 0L)
+    assert(!p1.contains(null))
+    // probabilities sum to ~1e9 (quantization residue only)
+    Seq(p1, p07, p03).foreach { m =>
+      val tot = m.values.map(_._3).sum
+      assert(math.abs(tot - 1000000000L) < 10L, s"sum $tot")
+    }
+  }
+
 }
