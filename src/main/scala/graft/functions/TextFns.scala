@@ -36,6 +36,25 @@ object TextFns {
   def punctCount(c: Column): Column =
     length(regexp_replace(c, "[^.!?,;:]", "")).cast("bigint")
 
+  /** U+FFFD replacement characters — the universal decode-failure marker
+    * (every charset transcoder emits it for unmappable bytes), so its
+    * count IS the mojibake screen a web-crawl ingest runs before text
+    * reaches training. Length-difference law (chars, not bytes) so the
+    * count replays in any engine; NULL text counts 0.
+    */
+  def replacementCharCount(c: Column): Column =
+    coalesce((length(c) - length(regexp_replace(c, "�", "")))
+      .cast("bigint"), lit(0L))
+
+  /** C0/DEL control characters excluding \t \n \r (the legitimate three)
+    * — binary-in-text contamination: PDF/zip fragments, terminal escapes,
+    * NUL-padded records. Same length-difference law as
+    * [[replacementCharCount]].
+    */
+  def controlCharCount(c: Column): Column =
+    coalesce((length(c) - length(regexp_replace(c,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("bigint"), lit(0L))
+
   /** BPE-ish subword count: tokens split further at letter/digit boundaries
     * and every 4 chars — a cheap, deterministic proxy for BPE token counts
     * (real tokenizers are model-specific; this gives a stable budget signal).

@@ -303,6 +303,77 @@ object Eval {
     *
     * Output: (query_id, n_common, rbo_pico).
     */
+  /** chrF character n-gram F-score (Popović, WMT'15) of a candidate
+    * against a reference — the tokenizer-free MT/summarization eval that
+    * complements [[rougeN]]'s token recall: whitespace is stripped, char
+    * n-grams of orders 1..`maxN` are counted with clipping, per-order
+    * precision/recall average into one F_β (β = 2 weights recall double,
+    * the chrF2 standard).
+    *
+    * Engine-exact law: per-order clipped matches / totals are exact
+    * integers; per-order `P_n = match/cand` and `R_n = match/ref` (0 on
+    * an empty denominator — an order with no grams contributes zero, the
+    * sacrebleu epsilon-free convention) quantize to picos BEFORE the
+    * cross-order integer Σ; the averaged `P = Σp/(maxN·1e12)` and `R`
+    * are then one fixed double chain into
+    * `F = (1+β²)·P·R / (β²·P + R)` (0 when the denominator is 0),
+    * quantized to `chrf_pico` — bit-replayable in SQL.
+    *
+    * Scale shape: the gram explosion is ≤ maxN rows per char — narrow,
+    * no corpus joins; two (id, n, gram) hash aggregates, one (id, n)
+    * join, one |docs|-row aggregate. Clipping joins ref-side grams only.
+    *
+    * Output: (id, sump_pico, sumr_pico, chrf_pico).
+    */
+  def chrF(df: DataFrame, idCol: String, refCol: String, candCol: String,
+      maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    require(beta > 0, s"beta must be positive, got $beta")
+    def strip(c: Column) =
+      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+    def gramCounts(c: Column, as: String) = df
+      .select(col(idCol).as("_id"), strip(c).as("_s"))
+      .select(col("_id"), explode(sequence(lit(1), lit(maxN))).as("_n"), col("_s"))
+      .filter(length(col("_s")) >= col("_n"))
+      .select(col("_id"), col("_n"), explode(
+        transform(sequence(lit(1), length(col("_s")) - col("_n") + lit(1)),
+          i => col("_s").substr(i, col("_n")))).as("_g"))
+      .groupBy(col("_id"), col("_n"), col("_g")).agg(count(lit(1)).as(as))
+    val ref = gramCounts(col(refCol), "_cr")
+    val cand = gramCounts(col(candCol), "_cc")
+    val perOrder = ref.join(cand, Seq("_id", "_n", "_g"), "left")
+      .groupBy(col("_id"), col("_n"))
+      .agg(sum(col("_cr")).as("_nr"),
+        sum(least(col("_cr"), coalesce(col("_cc"), lit(0L)))).as("_m"))
+      .join(cand.groupBy(col("_id"), col("_n")).agg(sum(col("_cc")).as("_nc")),
+        Seq("_id", "_n"), "full_outer")
+      .na.fill(0L, Seq("_nr", "_m", "_nc"))
+    val p = when(col("_nc") > 0L,
+      col("_m").cast("double") / col("_nc").cast("double")).otherwise(lit(0.0))
+    val r = when(col("_nr") > 0L,
+      col("_m").cast("double") / col("_nr").cast("double")).otherwise(lit(0.0))
+    val sums = perOrder
+      .withColumn("_p_pico", round(p * 1000000000000.0).cast("long"))
+      .withColumn("_r_pico", round(r * 1000000000000.0).cast("long"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_p_pico")).as("sump_pico"),
+        sum(col("_r_pico")).as("sumr_pico"))
+    val denom = maxN * 1000000000000.0
+    val b2 = beta * beta
+    val pAvg = col("sump_pico").cast("double") / lit(denom)
+    val rAvg = col("sumr_pico").cast("double") / lit(denom)
+    df.select(col(idCol)).distinct()
+      .join(sums, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("sump_pico"), lit(0L)).as("sump_pico"),
+        coalesce(col("sumr_pico"), lit(0L)).as("sumr_pico"))
+      .withColumn("chrf_pico",
+        when((lit(b2) * pAvg) + rAvg > 0.0,
+          round(((lit(1.0 + b2) * (pAvg * rAvg)) / ((lit(b2) * pAvg) + rAvg))
+            * 1000000000000.0).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** Mean-reciprocal-rank components at k (Voorhees, TREC-8 '99 — THE
     * known-item retrieval statistic): for each query, the rank of the
     * FIRST relevant item within the top `k` of a ranked list, and its

@@ -204,4 +204,35 @@ object Graph {
     e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
+
+  /** Degree distribution of the directed edge frame — the first report
+    * anyone runs on a crawl/link graph (the power-law sanity check that
+    * says whether ranking/partitioning assumptions hold, and the skew
+    * screen that finds the super-node before a join does): one row per
+    * (side, degree) with the node count at that degree, for both the out
+    * and in side. Parallel edges collapse and NULL/self-loop edges drop
+    * (the [[pageRankMicro]] normalization), so "degree" is distinct
+    * neighbor count.
+    *
+    * Exact integer law end to end — two hash aggregates per side
+    * (node → degree, degree → node count), no window, no sort beyond the
+    * presentation ORDER BY. Output rows are bounded by the number of
+    * DISTINCT degree values (≤ max-degree, in practice thousands at web
+    * scale), never by |V|.
+    *
+    * Output: (side 'out'|'in', deg, n_nodes).
+    */
+  def degreeDistribution(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    def side(keyCol: String, as: String) = e
+      .groupBy(col(keyCol).as("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .select(lit(as).as("side"), col("deg"), col("n_nodes"))
+    side("src", "out").unionByName(side("dst", "in"))
+  }
 }

@@ -4462,6 +4462,64 @@ object Registry {
         (col("o_custkey").cast("long") * 2L + 1L).as("dst"))
   }
 
+  /** Per-source encoding-artifact report
+    * ([[graft.functions.TextFns.replacementCharCount]] /
+    * [[graft.functions.TextFns.controlCharCount]]): U+FFFD decode-failure
+    * markers and C0/DEL control contamination — the mojibake/binary
+    * screen an ingest pipeline runs per source before text reaches
+    * training. Exact character-count laws (length difference), one hash
+    * aggregate; fully oracled (clean testdata legitimately reports
+    * zeros — the planted law lives in TextFnsSpec).
+    */
+  def qEncodingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val repl = graft.functions.TextFns.replacementCharCount(col("text"))
+    val ctrl = graft.functions.TextFns.controlCharCount(col("text"))
+    t(spark, dir, "documents")
+      .filter(col("source").isNotNull)
+      .groupBy(col("source").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(repl).as("n_repl"),
+        sum(ctrl).as("n_ctrl"),
+        sum(when(repl + ctrl > 0L, 1L).otherwise(0L)).as("n_affected"))
+      .orderBy("stratum")
+  }
+
+  val qEncodingQualitySql: String = {
+    val repl = "COALESCE(length(text) - length(regexp_replace(text, chr(65533), '', 'g')), 0)"
+    val ctrl = "COALESCE(length(text) - length(regexp_replace(text, " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')), 0)"
+    s"""SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM($repl) AS BIGINT) AS n_repl,
+      | CAST(SUM($ctrl) AS BIGINT) AS n_ctrl,
+      | CAST(SUM(CASE WHEN $repl + $ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected
+      | FROM documents WHERE source IS NOT NULL
+      | GROUP BY 1 ORDER BY stratum""".stripMargin.replace("\n", " ")
+  }
+
+  /** Degree distribution of the trade graph
+    * ([[graft.ops.Graph.degreeDistribution]]): one (side, degree,
+    * node-count) row per distinct degree value, both directions — the
+    * power-law sanity report and super-node skew screen. Exact integer
+    * law, fully hash-oracled.
+    */
+  def qDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.degreeDistribution(tradeEdges(spark, dir), "src", "dst")
+      .orderBy("side", "deg")
+
+  val qDegreeDistSql: String =
+    """WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
+      |   CAST(o_custkey AS BIGINT) * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      | outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      | ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      | h AS (SELECT 'out' AS side, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |  FROM outd GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'in' AS side, deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |  FROM ind GROUP BY 2)
+      | SELECT side, deg, n_nodes FROM h ORDER BY side, deg"""
+      .stripMargin.replace("\n", " ")
+
   /** Shared presentation of a rank frame: kind/key decode, top 25. */
   private def rankTop25(ranks: DataFrame): DataFrame =
     ranks.select(
@@ -4964,6 +5022,69 @@ object Registry {
       |     * 1000000000.0) AS BIGINT)
       |  ELSE 0 END AS p_ppb
       | FROM w CROSS JOIN t ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  /** chrF2 of the LEAD-30-token baseline against each full document
+    * ([[graft.ops.Eval.chrF]], Popović WMT'15) — the tokenizer-free
+    * eval beside ROUGE-2's token recall: whitespace-stripped char
+    * 1..6-grams, clipped counts, per-order P/R pico-quantized before the
+    * cross-order integer Σ, one fixed F_β=2 double chain.
+    */
+  def qChrfEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("ref"),
+        concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")),
+          1, 30)).as("cand"))
+    graft.ops.Eval.chrF(docs, "doc_id", "ref", "cand", maxN = 6, beta = 2.0)
+      .orderBy("doc_id")
+  }
+
+  val qChrfEvalSql: String = {
+    val pAvg = "(CAST(COALESCE(sump_pico, 0) AS DOUBLE) / 6000000000000.0)"
+    val rAvg = "(CAST(COALESCE(sumr_pico, 0) AS DOUBLE) / 6000000000000.0)"
+    s"""WITH base AS (SELECT doc_id,
+      |   regexp_replace(COALESCE(text, ''), '\\s+', '', 'g') AS rs,
+      |   regexp_replace(array_to_string(list_slice($tokensSql, 1, 30), ' '),
+      |     '\\s+', '', 'g') AS cs
+      |  FROM documents),
+      | ns AS (SELECT unnest(generate_series(1, 6)) AS n),
+      | rg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, length(rs) - n + 1), i -> substr(rs, i, n))) AS g
+      |  FROM base CROSS JOIN ns WHERE length(rs) >= n),
+      | cg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, length(cs) - n + 1), i -> substr(cs, i, n))) AS g
+      |  FROM base CROSS JOIN ns WHERE length(cs) >= n),
+      | rc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr
+      |  FROM rg GROUP BY 1, 2, 3),
+      | ccn AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cc
+      |  FROM cg GROUP BY 1, 2, 3),
+      | po AS (SELECT rc.doc_id, rc.n, CAST(SUM(cr) AS BIGINT) AS nr,
+      |   CAST(SUM(LEAST(cr, COALESCE(ccn.cc, 0))) AS BIGINT) AS m
+      |  FROM rc LEFT JOIN ccn ON ccn.doc_id = rc.doc_id AND ccn.n = rc.n
+      |    AND ccn.g = rc.g
+      |  GROUP BY 1, 2),
+      | ct AS (SELECT doc_id, n, CAST(SUM(cc) AS BIGINT) AS nc
+      |  FROM ccn GROUP BY 1, 2),
+      | fo AS (SELECT COALESCE(po.doc_id, ct.doc_id) AS doc_id,
+      |   COALESCE(po.nr, 0) AS nr, COALESCE(po.m, 0) AS m,
+      |   COALESCE(ct.nc, 0) AS nc
+      |  FROM po FULL OUTER JOIN ct ON ct.doc_id = po.doc_id AND ct.n = po.n),
+      | q AS (SELECT doc_id,
+      |   CAST(SUM(CAST(round((CASE WHEN nc > 0
+      |     THEN CAST(m AS DOUBLE) / CAST(nc AS DOUBLE) ELSE 0.0 END)
+      |     * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sump_pico,
+      |   CAST(SUM(CAST(round((CASE WHEN nr > 0
+      |     THEN CAST(m AS DOUBLE) / CAST(nr AS DOUBLE) ELSE 0.0 END)
+      |     * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sumr_pico
+      |  FROM fo GROUP BY 1)
+      | SELECT d.doc_id, COALESCE(sump_pico, 0) AS sump_pico,
+      |  COALESCE(sumr_pico, 0) AS sumr_pico,
+      |  CASE WHEN (4.0 * $pAvg) + $rAvg > 0.0
+      |   THEN CAST(round(((5.0 * ($pAvg * $rAvg)) / ((4.0 * $pAvg) + $rAvg))
+      |     * 1000000000000.0) AS BIGINT)
+      |   ELSE 0 END AS chrf_pico
+      | FROM (SELECT DISTINCT doc_id FROM documents) d
+      | LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
 
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
@@ -6089,6 +6210,9 @@ object Registry {
     "q_js_drift" -> (qJsDrift _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_mrr_eval" -> (qMrrEval _),
+    "q_chrf_eval" -> (qChrfEval _),
+    "q_degree_dist" -> (qDegreeDist _),
+    "q_encoding_quality" -> (qEncodingQuality _),
     "q_rouge_eval" -> (qRougeEval _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_tok_fertility" -> (qTokFertility _),
@@ -6278,6 +6402,9 @@ object Registry {
     "q_js_drift" -> qJsDriftSql,
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_mrr_eval" -> qMrrEvalSql,
+    "q_chrf_eval" -> qChrfEvalSql,
+    "q_degree_dist" -> qDegreeDistSql,
+    "q_encoding_quality" -> qEncodingQualitySql,
     "q_rouge_eval" -> qRougeEvalSql,
     "q_embed_drift" -> qEmbedDriftSql,
     "q_tok_fertility" -> qTokFertilitySql,

@@ -305,4 +305,25 @@ class TextFnsSpec extends SparkSpec {
     // deterministic within the JVM (the signal contract)
     assert(TextFns.deflateScala(prose) === TextFns.deflateScala(prose))
   }
+
+  test("encoding artifacts: replacement and control chars count exactly; tab/newline legitimate") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clean prose with no artifacts"),
+      (2L, "decode fail\uFFFDres he\uFFFDre\uFFFD"),          // 3 replacement chars
+      (3L, "nul\u0000 pad\u0000ded\u0007 bell"),               // 3 control chars
+      (4L, "tabs\tand\nnewlines\rare legitimate text"),        // the allowed three
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = rows.select($"id",
+        TextFns.replacementCharCount($"text").as("r"),
+        TextFns.controlCharCount($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((0L, 0L)))
+    assert(got(2L) === ((3L, 0L)))
+    assert(got(3L) === ((0L, 3L)))
+    assert(got(4L) === ((0L, 0L)), "tab/newline/CR must not count as contamination")
+    assert(got(5L) === ((0L, 0L)), "NULL text counts 0, not NULL")
+  }
+
 }

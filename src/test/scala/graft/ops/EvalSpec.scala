@@ -246,4 +246,30 @@ class EvalSpec extends SparkSpec {
     assert(got(2) === ((3L, 1L, 1L, 1000000L)), s"q3: ${got(2)}")
   }
 
+
+  test("chrF: identity scores ~1, disjoint 0, recall-weighting, empty sides total") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "abcdef ghij", "abcdef ghij"),   // identical -> F ~ 1
+      (2L, "abcdefgh", "zyxwvuts"),         // disjoint chars -> F = 0
+      (3L, "abcdefgh", "abcd"),             // prefix: R < 1, P high
+      (4L, "", "xyz"),                      // empty ref -> R=0 -> F=0
+      (5L, "abc", ""))                      // empty cand -> P=0, M=0 -> F=0
+      .toDF("id", "ref", "cand")
+    val got = Eval.chrF(rows, "id", "ref", "cand")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L)._3 === 1000000000000L, s"identity must score exactly 1: ${got(1L)}")
+    assert(got(2L)._3 === 0L)
+    assert(got(4L)._3 === 0L && got(5L)._3 === 0L)
+    // beta=2 weights recall: the truncated candidate scores closer to its
+    // recall than its precision
+    val (sump3, sumr3, f3) = got(3L)
+    assert(sumr3 < sump3, "truncation must cost recall, not precision")
+    assert(f3 > 0L && f3 < 1000000000000L)
+    val fAsD = f3.toDouble / 1e12
+    val p = sump3.toDouble / 6e12; val r = sumr3.toDouble / 6e12
+    assert(math.abs(fAsD - (5.0 * p * r) / (4.0 * p + r)) < 1e-9)
+  }
+
 }

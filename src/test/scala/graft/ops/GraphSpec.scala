@@ -162,4 +162,21 @@ class GraphSpec extends SparkSpec {
     assert(total <= n * 1000000L)
     assert(total > n * 1000000L - 5L * symEdgeCount * 2L)
   }
+
+  test("degreeDistribution: exact counts, parallel edges collapse, self-loops/NULLs drop") {
+    import spark.implicits._
+    // 1->2, 1->3, 1->3 (parallel), 2->3, 3->3 (self), NULL row
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 3L), (2L, 3L), (3L, 3L))
+      .toDF("s", "d")
+      .unionByName(Seq((Option.empty[Long], Option(9L))).toDF("s", "d"))
+    val got = Graph.degreeDistribution(e, "s", "d")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // out: node 1 deg 2, node 2 deg 1 -> {(out,2)->1, (out,1)->1}
+    // in:  node 2 deg 1, node 3 deg 2 -> {(in,1)->1, (in,2)->1}
+    assert(got === Map(("out", 2L) -> 1L, ("out", 1L) -> 1L,
+      ("in", 1L) -> 1L, ("in", 2L) -> 1L), s"got $got")
+    // row count bounded by distinct degrees, never |V|
+    assert(Graph.degreeDistribution(e, "s", "d").count() === 4L)
+  }
+
 }

@@ -560,9 +560,12 @@ class PlanShapeSpec extends SparkSpec {
       s"query batch lost its broadcast:\n$p")
     // the corpus parquet is scanned exactly once — l2 derives from the
     // same dot products as cosine, so a second scan means the derivation
-    // regressed to a second vector pass
+    // regressed to a second vector pass. The THIRD scan is the r12 ANN
+    // query-side boundedness guard's 1-row count of the PRUNED query
+    // filter (vec_id < 5) — query-side, bounded, deliberate; a 4th scan
+    // would mean the corpus side regressed
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans <= 2, s"corpus+query scans grew beyond 2:\n$p")
+    assert(scans <= 3, s"corpus scans grew beyond corpus+query+guard:\n$p")
   }
 
   test("q_mad_outliers: medians broadcast back; corpus never sort-merge-joins") {
@@ -742,10 +745,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition()") &&
       "windowspecdefinition\\(query_id".r.findAllIn(p).nonEmpty, p)
     // the only nested-loop frames are the BROADCAST query batch against
-    // the corpus and the k-row depth table — the overlap join itself is
-    // keyed on query_id (partition-parallel at any query count)
+    // the corpus, the k-row depth table, and (r12) the boundedness
+    // guard's 1-row query count — which, like the query-batch broadcast
+    // itself, appears once per plan consumer of the shared rankings
+    // subtree (2 here, the rboAtKFromRankings scaladoc's known shape).
+    // The overlap join itself stays keyed on query_id.
     val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-    assert(nested <= 3, s"beyond the broadcast query-batch/depth frames:\n$p")
+    assert(nested <= 5, s"beyond the broadcast query-batch/depth/guard frames:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
 
