@@ -374,6 +374,79 @@ object Eval {
           .otherwise(lit(0L)))
   }
 
+  /** BLEU (Papineni et al., ACL'02) of a candidate against a reference —
+    * the clipped token n-gram PRECISION complement to [[rougeN]]'s recall:
+    * per-order p_n = clipped matches / candidate grams for n = 1..`maxN`,
+    * geometric mean via Σ ln p_n, scaled by the brevity penalty
+    * `BP = min(1, exp(1 − r/c))`. Unsmoothed: any order with zero
+    * precision (or no candidate grams at all — a < maxN-token candidate)
+    * zeroes the score, the original corpus-BLEU convention applied
+    * per-segment.
+    *
+    * Engine-exact law: per-order clipped matches / totals are exact
+    * integers; p_n quantizes to picos, then `ln(p_pico/1e12)` quantizes
+    * to picos — BOTH per-order, BEFORE the cross-order integer Σ (the KL
+    * discipline; ln/exp are the cross-engine-stable libm pair) — and the
+    * final `BP · exp(Σ/(maxN·1e12))` is one fixed double chain, so
+    * `bleu_pico` replays bit-for-bit in SQL.
+    *
+    * Scale shape: per-order gram explosion (≤ maxN rows per token) → two
+    * (id, n, gram) hash aggregates → one hash join keyed on (id, n, gram)
+    * → one (id, n) aggregate → one |docs|-row aggregate. No window, no
+    * corpus-wide join; gram support is per-row text length.
+    *
+    * Output: (idCol, n_ref_tokens, n_cand_tokens, n_pos_orders,
+    * sumlog_pico, bleu_pico).
+    */
+  def bleu(df: DataFrame, idCol: String, refCol: String, candCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    import graft.functions.TextFns
+    def gramCounts(c: Column, as: String) = df
+      .select(col(idCol).as("_id"), TextFns.tokens(c).as("_tk"))
+      .select(col("_id"), explode(sequence(lit(1), lit(maxN))).as("_n"), col("_tk"))
+      .filter(size(col("_tk")) >= col("_n"))
+      .select(col("_id"), col("_n"), explode(
+        transform(sequence(lit(1), size(col("_tk")) - col("_n") + lit(1)),
+          i => concat_ws(" ", slice(col("_tk"), i, col("_n"))))).as("_g"))
+      .groupBy(col("_id"), col("_n"), col("_g")).agg(count(lit(1)).as(as))
+    val ref = gramCounts(col(refCol), "_cr")
+    val cand = gramCounts(col(candCol), "_cc")
+    val pPico = {
+      val p = col("_m").cast("double") / col("_nc").cast("double")
+      round(p * 1000000000000.0).cast("long")
+    }
+    val perOrder = cand.join(ref, Seq("_id", "_n", "_g"), "left")
+      .groupBy(col("_id"), col("_n"))
+      .agg(sum(col("_cc")).as("_nc"),
+        sum(least(col("_cc"), coalesce(col("_cr"), lit(0L)))).as("_m"))
+      .withColumn("_p_pico", pPico)
+      .withColumn("_l_pico",
+        when(col("_p_pico") > 0L,
+          round(log(col("_p_pico").cast("double") / lit(1000000000000.0))
+            * 1000000000000.0).cast("long"))
+          .otherwise(lit(0L)))
+    val sums = perOrder.groupBy(col("_id"))
+      .agg(sum(when(col("_p_pico") > 0L, 1L).otherwise(0L)).as("n_pos_orders"),
+        sum(col("_l_pico")).as("sumlog_pico"))
+    val lens = df.select(col(idCol),
+      TextFns.tokenCount(col(refCol)).as("n_ref_tokens"),
+      TextFns.tokenCount(col(candCol)).as("n_cand_tokens"))
+    val c = col("n_cand_tokens").cast("double")
+    val r = col("n_ref_tokens").cast("double")
+    val bp = when(col("n_cand_tokens") >= col("n_ref_tokens"), lit(1.0))
+      .otherwise(exp(lit(1.0) - r / c))
+    lens.join(sums, col(idCol) === col("_id"), "left")
+      .select(col(idCol), col("n_ref_tokens"), col("n_cand_tokens"),
+        coalesce(col("n_pos_orders"), lit(0L)).as("n_pos_orders"),
+        coalesce(col("sumlog_pico"), lit(0L)).as("sumlog_pico"))
+      .withColumn("bleu_pico",
+        when(col("n_pos_orders") === lit(maxN.toLong) && col("n_cand_tokens") > 0L,
+          round(bp * exp(col("sumlog_pico").cast("double")
+              / lit(maxN * 1000000000000.0)) * 1000000000000.0).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   /** Mean-reciprocal-rank components at k (Voorhees, TREC-8 '99 — THE
     * known-item retrieval statistic): for each query, the rank of the
     * FIRST relevant item within the top `k` of a ranked list, and its

@@ -235,4 +235,131 @@ object Graph {
       .select(lit(as).as("side"), col("deg"), col("n_nodes"))
     side("src", "out").unionByName(side("dst", "in"))
   }
+
+  /** The canonical undirected simple-graph form shared by
+    * [[triangleStats]] and [[assortativity]]: NULL endpoints and
+    * self-loops drop, parallel/reverse duplicates collapse onto
+    * (u, v) = (least, greatest), so every structural count downstream is
+    * over the SIMPLE graph.
+    */
+  private def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("_s"),
+      col(dstCol).cast("long").as("_d"))
+    e.filter(col("_s").isNotNull && col("_d").isNotNull && col("_s") =!= col("_d"))
+      .select(least(col("_s"), col("_d")).as("u"),
+        greatest(col("_s"), col("_d")).as("v"))
+      .distinct()
+  }
+
+  /** Undirected-graph degrees of the canonical edge frame: (node, deg). */
+  private def undirectedDegrees(canon: DataFrame): DataFrame =
+    canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Exact triangle count + global clustering coefficient of the
+    * undirected simple graph (the degree-ordered orientation of
+    * Suri & Vassilvitskii, WWW'11 — the MapReduce-era standard that
+    * bounds every node's oriented out-degree by O(√m), so the wedge
+    * self-join that would explode on a super-node under a naive
+    * orientation stays balanced at web scale): each edge orients from
+    * the (degree, id)-smaller endpoint to the larger, wedges (a→b, a→c)
+    * with b before c in that SAME total order close iff oriented edge
+    * (b→c) exists — every triangle counted exactly once.
+    *
+    * Exact integer law end to end: triangle and wedge counts are plain
+    * COUNTs (wedges = Σ deg·(deg−1)/2, an even product, exact integer
+    * division); the only double is the one fixed
+    * `3·T / W` chain behind `clustering_pico` (NULL when the graph has
+    * no wedges).
+    *
+    * Scale shape: one distinct (canonicalization), two hash aggregates
+    * (degrees, wedge sum), two broadcast-or-shuffle hash joins to attach
+    * degrees, one equi-join keyed on the wedge apex + one on the closing
+    * (b, c) pair. No window, no driver state; the apex join's fan-out is
+    * the O(√m) orientation bound, not the raw degree.
+    *
+    * Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering_pico).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = undirectedDegrees(canon)
+    val du = deg.select(col("node").as("u"), col("deg").as("_du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("_dv"))
+    val uFirst = (col("_du") < col("_dv")) ||
+      (col("_du") === col("_dv") && col("u") < col("v"))
+    val oriented = canon.join(du, "u").join(dv, "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"),
+        when(uFirst, col("_dv")).otherwise(col("_du")).as("degb"))
+    val e1 = oriented.select(col("a"), col("b").as("_b"), col("degb").as("_degb"))
+    val e2 = oriented.select(col("a"), col("b").as("_c"), col("degb").as("_degc"))
+    val wedge = e1.join(e2, Seq("a"))
+      .filter((col("_degb") < col("_degc")) ||
+        (col("_degb") === col("_degc") && col("_b") < col("_c")))
+      .select(col("_b"), col("_c"))
+    val closing = oriented.select(col("a").as("_b"), col("b").as("_c"))
+    val tri = wedge.join(closing, Seq("_b", "_c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodesEdges = canon.agg(count(lit(1)).as("n_edges"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("n_wedges"))
+    nodeStats.crossJoin(broadcast(nodesEdges)).crossJoin(broadcast(tri))
+      .withColumn("clustering_pico",
+        when(col("n_wedges") > 0L,
+          round((lit(3.0) * col("n_triangles").cast("double"))
+            / col("n_wedges").cast("double") * 1000000000000.0).cast("long")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("clustering_pico"))
+  }
+
+  /** Degree assortativity of the undirected simple graph (Newman, PRL'02
+    * — the one-number "do hubs link to hubs?" report; positive for
+    * social graphs, negative for web/biological ones, and the early
+    * warning that a crawl graph's super-nodes chain together into a
+    * skew-hostile core): the Pearson correlation of endpoint degrees
+    * over DIRECTED edge copies (each undirected edge counted both ways —
+    * Newman's symmetric estimator).
+    *
+    * Exact integer law: with M directed copies and endpoint degrees
+    * (j, k) per copy, the moments Σj, Σjk, Σj² are exact integers
+    * (products in DECIMAL(38,0) — a degree² sum over a 100 TB edge set
+    * outgrows BIGINT); the correlation is then ONE fixed double chain
+    * `(Σjk/M − (Σj/M)²) / (Σj²/M − (Σj/M)²)`, NULL for a
+    * degree-regular graph (denominator 0), quantized to picos.
+    *
+    * Scale shape: canonicalization + degree aggregate + two hash joins
+    * to attach endpoint degrees + one 1-row aggregate. No window, no
+    * driver state.
+    *
+    * Output: one row (m_directed, sum_deg, assort_pico).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = undirectedDegrees(canon)
+    val directed = canon.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(canon.select(col("v").as("x"), col("u").as("y")))
+    val withDegs = directed
+      .join(deg.select(col("node").as("x"), col("deg").as("j")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("k")), "y")
+    val sums = withDegs.agg(
+      count(lit(1)).as("m_directed"),
+      coalesce(sum(col("j")), lit(0L)).as("sum_deg"),
+      sum((col("j") * col("k")).cast("decimal(38,0)")).as("_sjk"),
+      sum((col("j") * col("j")).cast("decimal(38,0)")).as("_sjj"))
+    val mD = col("m_directed").cast("double")
+    val mean = col("sum_deg").cast("double") / mD
+    val num = col("_sjk").cast("double") / mD - mean * mean
+    val den = col("_sjj").cast("double") / mD - mean * mean
+    // nested when: ANSI division throws on a 0 divisor even for doubles,
+    // so den must never evaluate when m_directed = 0 (empty graph)
+    sums.withColumn("assort_pico",
+        when(col("m_directed") > 0L,
+          when(den =!= 0.0, round(num / den * 1000000000000.0).cast("long"))))
+      .select(col("m_directed"), col("sum_deg"), col("assort_pico"))
+  }
 }

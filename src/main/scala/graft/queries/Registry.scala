@@ -4520,6 +4520,104 @@ object Registry {
       | SELECT side, deg, n_nodes FROM h ORDER BY side, deg"""
       .stripMargin.replace("\n", " ")
 
+  /** Co-purchase part graph: parts are linked when some order contains
+    * both (the classic items-bought-together projection — unlike the
+    * bipartite [[tradeEdges]] it has odd cycles, so triangle/assortativity
+    * structure exists). Per-order fan-out is C(items, 2) with TPC-H's
+    * ≤ 7 items per order — a bounded expansion, never a corpus join.
+    */
+  private def coPartEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("_ok"), col("l_partkey").cast("long").as("_pk"))
+      .distinct()
+    val a = li.select(col("_ok"), col("_pk").as("_pa"))
+    val b = li.select(col("_ok"), col("_pk").as("_pb"))
+    a.join(b, Seq("_ok")).filter(col("_pa") < col("_pb"))
+      .select(col("_pa").as("src"), col("_pb").as("dst"))
+  }
+
+  private val coPartEdgesSql: String =
+    """SELECT a.pk AS s, b.pk AS d
+      | FROM (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+      |   FROM lineitem) a
+      | JOIN (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+      |   FROM lineitem) b ON b.ok = a.ok AND a.pk < b.pk""".stripMargin
+
+  /** Exact triangle census + global clustering of the co-purchase part
+    * graph ([[graft.ops.Graph.triangleStats]], Suri & Vassilvitskii
+    * WWW'11 degree-ordered orientation): the structural report behind
+    * community/cohesion screens, with every count an exact integer and
+    * the clustering coefficient one fixed 3T/W chain.
+    */
+  def qTriangleCount(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.triangleStats(coPartEdges(spark, dir), "src", "dst")
+
+  val qTriangleCountSql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |   (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+      |  GROUP BY 1),
+      | o AS (SELECT
+      |   CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+      |    THEN u ELSE v END AS a,
+      |   CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+      |    THEN v ELSE u END AS b,
+      |   CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+      |    THEN dv.deg ELSE du.deg END AS degb
+      |  FROM canon JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+      | tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM o e1 JOIN o e2 ON e2.a = e1.a
+      |    AND ((e1.degb < e2.degb) OR (e1.degb = e2.degb AND e1.b < e2.b))
+      |  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+      | ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM canon),
+      | ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |   CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+      | SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges > 0 THEN
+      |   CAST(round((3.0 * CAST(n_triangles AS DOUBLE))
+      |     / CAST(n_wedges AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |  END AS clustering_pico
+      | FROM ns CROSS JOIN ne CROSS JOIN tri""".stripMargin.replace("\n", " ")
+
+  /** Degree assortativity of the co-purchase part graph
+    * ([[graft.ops.Graph.assortativity]], Newman PRL'02): exact integer
+    * degree moments in DECIMAL(38,0), one fixed Pearson chain, NULL on a
+    * degree-regular graph.
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.assortativity(coPartEdges(spark, dir), "src", "dst")
+
+  val qAssortativitySql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |   (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+      |  GROUP BY 1),
+      | dir2 AS (SELECT u AS x, v AS y FROM canon
+      |  UNION ALL SELECT v AS x, u AS y FROM canon),
+      | wd AS (SELECT dj.deg AS j, dk.deg AS k FROM dir2
+      |  JOIN deg dj ON dj.node = x JOIN deg dk ON dk.node = y),
+      | s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_directed,
+      |   CAST(SUM(j) AS BIGINT) AS sum_deg,
+      |   CAST(SUM(CAST(j AS HUGEINT) * k) AS HUGEINT) AS sjk,
+      |   CAST(SUM(CAST(j AS HUGEINT) * j) AS HUGEINT) AS sjj FROM wd)
+      | SELECT m_directed, sum_deg,
+      |  CASE WHEN m_directed > 0 AND
+      |    (CAST(sjj AS DOUBLE) / CAST(m_directed AS DOUBLE)
+      |     - (CAST(sum_deg AS DOUBLE) / CAST(m_directed AS DOUBLE))
+      |       * (CAST(sum_deg AS DOUBLE) / CAST(m_directed AS DOUBLE))) <> 0.0
+      |   THEN CAST(round(
+      |    (CAST(sjk AS DOUBLE) / CAST(m_directed AS DOUBLE)
+      |     - (CAST(sum_deg AS DOUBLE) / CAST(m_directed AS DOUBLE))
+      |       * (CAST(sum_deg AS DOUBLE) / CAST(m_directed AS DOUBLE)))
+      |    / (CAST(sjj AS DOUBLE) / CAST(m_directed AS DOUBLE)
+      |     - (CAST(sum_deg AS DOUBLE) / CAST(m_directed AS DOUBLE))
+      |       * (CAST(sum_deg AS DOUBLE) / CAST(m_directed AS DOUBLE)))
+      |    * 1000000000000.0) AS BIGINT)
+      |  END AS assort_pico
+      | FROM s""".stripMargin.replace("\n", " ")
+
   /** Shared presentation of a rank frame: kind/key decode, top 25. */
   private def rankTop25(ranks: DataFrame): DataFrame =
     ranks.select(
@@ -5161,6 +5259,71 @@ object Registry {
       |  END AS rouge2_recall
       | FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id
       | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
+  /** BLEU-4 of the LEAD-30-token candidate against the token-16..60
+    * window as reference ([[graft.ops.Eval.bleu]], Papineni ACL'02) —
+    * clipped n-gram PRECISION beside ROUGE's recall, exercised on
+    * PARTIALLY overlapping windows so the clip, the zero-order gate and
+    * the brevity penalty all take both branches: per-order p_n and
+    * ln p_n pico-quantized before the cross-order integer Σ, one fixed
+    * BP·exp chain.
+    */
+  def qBleuEval(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(toks, 16, 45)).as("ref"),
+        concat_ws(" ", slice(toks, 1, 30)).as("cand"))
+    graft.ops.Eval.bleu(docs, "doc_id", "ref", "cand", maxN = 4)
+      .orderBy("doc_id")
+  }
+
+  val qBleuEvalSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | base AS (SELECT doc_id, list_slice(tk, 16, 60) AS rk,
+      |   list_slice(tk, 1, 30) AS ck FROM t),
+      | ns AS (SELECT unnest(generate_series(1, 4)) AS n),
+      | rg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, len(rk) - n + 1),
+      |   i -> array_to_string(list_slice(rk, i, i + n - 1), ' '))) AS g
+      |  FROM base CROSS JOIN ns WHERE len(rk) >= n),
+      | cg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, len(ck) - n + 1),
+      |   i -> array_to_string(list_slice(ck, i, i + n - 1), ' '))) AS g
+      |  FROM base CROSS JOIN ns WHERE len(ck) >= n),
+      | rc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr
+      |  FROM rg GROUP BY 1, 2, 3),
+      | ccn AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cc
+      |  FROM cg GROUP BY 1, 2, 3),
+      | po AS (SELECT ccn.doc_id, ccn.n, CAST(SUM(ccn.cc) AS BIGINT) AS nc,
+      |   CAST(SUM(LEAST(ccn.cc, COALESCE(rc.cr, 0))) AS BIGINT) AS m
+      |  FROM ccn LEFT JOIN rc ON rc.doc_id = ccn.doc_id AND rc.n = ccn.n
+      |    AND rc.g = ccn.g
+      |  GROUP BY 1, 2),
+      | pq AS (SELECT doc_id, n, CAST(round((CAST(m AS DOUBLE)
+      |     / CAST(nc AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS p_pico
+      |  FROM po),
+      | lq AS (SELECT doc_id, p_pico, CASE WHEN p_pico > 0
+      |   THEN CAST(round(ln(CAST(p_pico AS DOUBLE) / 1000000000000.0)
+      |     * 1000000000000.0) AS BIGINT) ELSE 0 END AS l_pico FROM pq),
+      | s AS (SELECT doc_id,
+      |   CAST(SUM(CASE WHEN p_pico > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |     AS n_pos_orders,
+      |   CAST(SUM(l_pico) AS BIGINT) AS sumlog_pico FROM lq GROUP BY 1),
+      | lens AS (SELECT doc_id, CAST(len(rk) AS BIGINT) AS n_ref_tokens,
+      |   CAST(len(ck) AS BIGINT) AS n_cand_tokens FROM base)
+      | SELECT lens.doc_id, n_ref_tokens, n_cand_tokens,
+      |  COALESCE(n_pos_orders, 0) AS n_pos_orders,
+      |  COALESCE(sumlog_pico, 0) AS sumlog_pico,
+      |  CASE WHEN COALESCE(n_pos_orders, 0) = 4 AND n_cand_tokens > 0
+      |   THEN CAST(round((CASE WHEN n_cand_tokens >= n_ref_tokens THEN 1.0
+      |     ELSE exp(1.0 - CAST(n_ref_tokens AS DOUBLE)
+      |       / CAST(n_cand_tokens AS DOUBLE)) END)
+      |     * exp(CAST(sumlog_pico AS DOUBLE) / 4000000000000.0)
+      |     * 1000000000000.0) AS BIGINT)
+      |   ELSE 0 END AS bleu_pico
+      | FROM lens LEFT JOIN s ON s.doc_id = lens.doc_id
+      | ORDER BY lens.doc_id""".stripMargin.replace("\n", " ")
 
   /** Per-source entropy + KL to the rest of the corpus
     * ([[graft.ops.Drift.sourceKlReport]]): add-one smoothing over the
@@ -6211,6 +6374,9 @@ object Registry {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_mrr_eval" -> (qMrrEval _),
     "q_chrf_eval" -> (qChrfEval _),
+    "q_bleu_eval" -> (qBleuEval _),
+    "q_triangle_count" -> (qTriangleCount _),
+    "q_assortativity" -> (qAssortativity _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_encoding_quality" -> (qEncodingQuality _),
     "q_rouge_eval" -> (qRougeEval _),
@@ -6403,6 +6569,9 @@ object Registry {
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_mrr_eval" -> qMrrEvalSql,
     "q_chrf_eval" -> qChrfEvalSql,
+    "q_bleu_eval" -> qBleuEvalSql,
+    "q_triangle_count" -> qTriangleCountSql,
+    "q_assortativity" -> qAssortativitySql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_encoding_quality" -> qEncodingQualitySql,
     "q_rouge_eval" -> qRougeEvalSql,

@@ -272,4 +272,29 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(fAsD - (5.0 * p * r) / (4.0 * p + r)) < 1e-9)
   }
 
+  test("bleu: identity 1, brevity penalty exact, clip + zero-order gate, short/empty candidates 0") {
+    val rows = Seq(
+      (1L, "a b c d e", "a b c d e"),   // identical -> BLEU exactly 1
+      (2L, "a b c d e f", "a b c d"),   // all p_n = 1, BP = exp(1 - 6/4)
+      (3L, "a b c d", "a a b c"),       // clip kills one unigram, p4 = 0
+      (4L, "a b c d e", "a b"),         // < 4 tokens: order 3,4 absent
+      (5L, "a b c d", ""))              // empty candidate
+      .toDF("id", "ref", "cand")
+    val got = Eval.bleu(rows, "id", "ref", "cand")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    assert(got(1L) === ((5L, 5L, 4L, 1000000000000L)))
+    // BP path: sumlog = 0, bleu = exp(-0.5) quantized
+    assert(got(2L) === ((6L, 4L, 4L,
+      math.round(math.exp(-0.5) * 1e12))))
+    // unigram clip: a appears twice in cand, once in ref -> p1 = 3/4;
+    // 4-gram "a a b c" misses -> p4 = 0 -> unsmoothed gate zeroes it
+    val (_, _, pos3, b3) = got(3L)
+    assert(pos3 === 3L && b3 === 0L)
+    // a 2-token candidate has no 3/4-grams at all -> gate fires
+    val (_, _, pos4, b4) = got(4L)
+    assert(pos4 === 2L && b4 === 0L)
+    assert(got(5L) === ((4L, 0L, 0L, 0L)))
+  }
+
 }

@@ -179,4 +179,54 @@ class GraphSpec extends SparkSpec {
     assert(Graph.degreeDistribution(e, "s", "d").count() === 4L)
   }
 
+  test("triangleStats: planted triangle census; dup/reverse/self-loop edges collapse") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on 1 + isolated edge 5-6, contaminated
+    // with a parallel duplicate, a reverse duplicate and a self-loop
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 3L), (1L, 4L),
+      (5L, 6L), (3L, 3L)).toDF("s", "d")
+    val r = Graph.triangleStats(e, "s", "d").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(0) === 6L, "n_nodes")
+    assert(row.getLong(1) === 5L, "n_edges")
+    // degrees: 1:3, 2:2, 3:2, 4:1, 5:1, 6:1 -> wedges 3+1+1 = 5
+    assert(row.getLong(2) === 5L, "n_wedges")
+    assert(row.getLong(3) === 1L, "n_triangles")
+    // clustering = 3*1/5 = 0.6 exactly
+    assert(row.getLong(4) === 600000000000L, "clustering_pico")
+  }
+
+  test("triangleStats: K4 counts all four triangles; empty graph reports zeros with NULL coefficient") {
+    import spark.implicits._
+    val k4 = (for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (i.toLong, j.toLong))
+      .toDF("s", "d")
+    val row = Graph.triangleStats(k4, "s", "d").collect().head
+    assert(row.getLong(3) === 4L, "K4 has C(4,3)=4 triangles")
+    assert(row.getLong(2) === 12L, "K4 wedges: 4 nodes * C(3,2)")
+    assert(row.getLong(4) === 1000000000000L, "K4 clustering is exactly 1")
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val z = Graph.triangleStats(empty, "s", "d").collect().head
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)) ===
+      ((0L, 0L, 0L, 0L)))
+    assert(z.isNullAt(4), "no wedges -> NULL coefficient, not a fake 0")
+  }
+
+  test("assortativity: star is exactly -1, regular cycle is NULL, empty is NULL") {
+    import spark.implicits._
+    // S3 star: center 0, leaves 1..3; Newman's r = -1 for any star
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val s = Graph.assortativity(star, "s", "d").collect().head
+    assert(s.getLong(0) === 6L, "m_directed = 2|E|")
+    assert(s.getLong(1) === 12L, "sum of endpoint degrees over copies")
+    assert(s.getLong(2) === -1000000000000L, "star assortativity is exactly -1")
+    // C4 cycle: degree-regular -> zero variance -> NULL by law
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val c = Graph.assortativity(cyc, "s", "d").collect().head
+    assert(c.isNullAt(2), "regular graph has undefined assortativity")
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val z = Graph.assortativity(empty, "s", "d").collect().head
+    assert(z.getLong(0) === 0L && z.getLong(1) === 0L && z.isNullAt(2))
+  }
+
 }
