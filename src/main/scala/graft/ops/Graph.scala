@@ -316,6 +316,189 @@ object Graph {
         col("n_triangles"), col("clustering_pico"))
   }
 
+  /** Community labels by synchronous label propagation (Raghavan, Albert
+    * & Kumara, Phys. Rev. E '07 — the near-linear community detector a
+    * crawl pipeline runs where connected components is too coarse: a
+    * single bridge edge merges two components but NOT two LPA
+    * communities) over the undirected simple graph, made DETERMINISTIC
+    * by two standard choices: the node's own label joins the vote
+    * (self-inclusion — kills the 2-cycle oscillation synchronous LPA
+    * exhibits on bipartite subgraphs) and ties break to the SMALLEST
+    * label. Labels init to the node id; exactly `rounds` rounds run.
+    *
+    * Exact law: one round is vote-count (exact integers) then per-node
+    * argmax by (count desc, label asc) — no floats anywhere, so any
+    * engine replays the labels bit-for-bit.
+    *
+    * Scale shape: per round ONE shuffle join (neighbor labels) + ONE
+    * hash aggregate pair (vote count, argmax-as-max-of-struct — no
+    * window, which would funnel a super-node's votes into one task
+    * before reducing). The directed edge frame materializes once to
+    * blocks; label frames checkpoint every `checkpointEvery` rounds
+    * (the [[Clusters]] owned-RDD discipline).
+    *
+    * Output: (node, label) — one row per non-isolated node.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4, checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive, got $checkpointEvery")
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val (dir2, edgeOwned) = Clusters.ownedCheckpoint(
+      canon.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(canon.select(col("v").as("x"), col("u").as("y"))))
+    var labels = dir2.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    for (i <- 1 to rounds) {
+      val neighborVotes = dir2
+        .join(labels.select(col("node").as("y"), col("label")), "y")
+        .select(col("x").as("node"), col("label"))
+      // argmax by (count desc, label asc) as ONE max-of-struct aggregate:
+      // label ids are non-negative (canonical node ids), so negation is a
+      // safe order-reversal
+      labels = neighborVotes.unionByName(labels)
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("_c").as("_c"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("node"), (-col("_m._nl")).as("label"))
+      if (i % checkpointEvery == 0 && i < rounds) {
+        val (cp, own) = Clusters.ownedCheckpoint(labels)
+        Clusters.release(owned)
+        labels = cp
+        owned = own
+      }
+    }
+    val (finalLabels, _) = Clusters.ownedCheckpoint(labels)
+    Clusters.release(owned ++ edgeOwned)
+    finalLabels
+  }
+
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks '03 —
+    * THE classic common-neighbor score, weighting each shared neighbor z
+    * by 1/ln(deg z) so rare bridges count more than hubs) over the
+    * undirected simple graph: top-`k` NON-adjacent pairs by score.
+    *
+    * Exact law: every per-apex term `1/ln(deg z)` quantizes to picos
+    * BEFORE the integer Σ (the KL/RBO discipline; deg z ≥ 2 for any
+    * wedge apex, so ln > 0), the Σ runs in DECIMAL(38,0) (a pair under
+    * millions of shared neighbors outgrows BIGINT at web scale), and
+    * the boundary orders by (aa_pico desc, u, v) — deterministic.
+    *
+    * `maxApexDegree` is the skew guard: a super-hub apex contributes
+    * C(deg, 2) pair rows for a term worth only 1/ln(deg) — the standard
+    * practice (and this engine's capBuckets posture) is to DROP apexes
+    * above the cap rather than let one node quadratically dominate the
+    * shuffle. The cap is part of the law (deterministic, replayed by the
+    * oracle), not sampling.
+    *
+    * Scale shape: degree aggregate + one hash join to attach apex
+    * degrees + one self-join keyed on the apex (fan-out bounded by the
+    * cap) + one hash aggregate + one anti-join against the edge set +
+    * top-k (TakeOrdered, no global sort materialization).
+    *
+    * Output: (u, v, common_neighbors, aa_pico) — top `k`.
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int = 25, maxApexDegree: Long = 256L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxApexDegree >= 2L,
+      s"maxApexDegree must be >= 2, got $maxApexDegree")
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val deg = undirectedDegrees(canon)
+    val dir2 = canon.select(col("u").as("z"), col("v").as("n"))
+      .unionByName(canon.select(col("v").as("z"), col("u").as("n")))
+    val apex = dir2.join(
+      deg.filter(col("deg") <= maxApexDegree)
+        .select(col("node").as("z"), col("deg")), "z")
+    val a1 = apex.select(col("z"), col("n").as("_u"), col("deg"))
+    val a2 = apex.select(col("z"), col("n").as("_v"))
+    val pairs = a1.join(a2, Seq("z")).filter(col("_u") < col("_v"))
+      .withColumn("_t",
+        round(lit(1.0e12) / log(col("deg").cast("double"))).cast("long"))
+    val scored = pairs.groupBy(col("_u"), col("_v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("_t").cast("decimal(38,0)")).as("aa_pico"))
+    scored.join(canon,
+        scored("_u") === canon("u") && scored("_v") === canon("v"), "left_anti")
+      .select(col("_u").as("u"), col("_v").as("v"),
+        col("common_neighbors"), col("aa_pico"))
+      .orderBy(col("aa_pico").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  /** Fixed-iteration integer HITS (Kleinberg, JACM'99 — hubs &
+    * authorities, THE ranking law for bipartite endorsement graphs
+    * where PageRank's single score conflates the two roles) over the
+    * DIRECTED simple edge frame: `rounds` rounds of
+    * `auth'(v) = Σ_{u→v} hub(u)` then `hub'(u) = Σ_{u→v} auth'(v)`
+    * (the standard auth-first update), each side max-normalized to
+    * micro-units.
+    *
+    * Exact law: the Σs are exact integer sums of micro scores; the only
+    * double per side per round is the ONE fixed normalization chain
+    * `round(raw / max_raw · 1e6)` — scale-invariant for RANKING, and
+    * bit-replayable by any engine. A side whose raw mass is all zero
+    * (e.g. hubs of a sink-only node set) holds exactly 0.
+    *
+    * Scale shape: per round two shuffle joins (edges⋈scores keyed src
+    * then dst) + two hash aggregates + two 1-row broadcast maxima (the
+    * scalar-total pattern) + two |V|-row left joins. Edge and node
+    * frames materialize once to blocks; rounds compose lazily so the
+    * edge exchange is plan-identical and AQE reuses it (the
+    * [[pageRankMicro]] mechanism), with score checkpoints every
+    * `checkpointEvery` rounds bounding plan depth.
+    *
+    * Output: (node, auth_micro, hub_micro) — one row per node.
+    */
+  def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 5, checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive, got $checkpointEvery")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val (ed, edOwned) = Clusters.ownedCheckpoint(e0)
+    val (nodes, nodesOwned) = Clusters.ownedCheckpoint(
+      ed.select(col("src").as("node"))
+        .unionByName(ed.select(col("dst").as("node"))).distinct())
+    def normalized(raw: DataFrame, rawCol: String, as: String): DataFrame = {
+      val mx = raw.agg(max(col(rawCol)).as("_mx"))
+      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
+        .select(col("node"),
+          when(col("_mx") > 0L,
+            round(coalesce(col(rawCol), lit(0L)).cast("double")
+              / col("_mx").cast("double") * 1000000.0).cast("long"))
+            .otherwise(lit(0L)).as(as))
+    }
+    var scores = nodes.select(col("node"),
+      lit(1000000L).as("auth_micro"), lit(1000000L).as("hub_micro"))
+    var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    for (i <- 1 to rounds) {
+      val rawA = ed
+        .join(scores.select(col("node").as("src"), col("hub_micro")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub_micro")).as("_ra"))
+      val authN = normalized(rawA, "_ra", "auth_micro")
+      val rawH = ed
+        .join(authN.select(col("node").as("dst"), col("auth_micro")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth_micro")).as("_rh"))
+      scores = authN.join(normalized(rawH, "_rh", "hub_micro"), Seq("node"))
+      if (i % checkpointEvery == 0 && i < rounds) {
+        val (cp, own) = Clusters.ownedCheckpoint(scores)
+        Clusters.release(owned)
+        scores = cp
+        owned = own
+      }
+    }
+    val (finalScores, _) = Clusters.ownedCheckpoint(scores)
+    Clusters.release(owned ++ edOwned ++ nodesOwned)
+    finalScores
+  }
+
   /** Degree assortativity of the undirected simple graph (Newman, PRL'02
     * — the one-number "do hubs link to hubs?" report; positive for
     * social graphs, negative for web/biological ones, and the early

@@ -4618,6 +4618,132 @@ object Registry {
       |  END AS assort_pico
       | FROM s""".stripMargin.replace("\n", " ")
 
+  /** Label-propagation communities of the co-purchase part graph
+    * ([[graft.ops.Graph.labelPropagation]], Raghavan et al. '07; 4
+    * synchronous self-inclusive min-tie-break rounds — the community
+    * screen that separates what connected components merges: a single
+    * bridge edge joins components but not LPA communities), reported as
+    * the community-SIZE distribution so output is bounded by distinct
+    * sizes, never |V|. Every label decision is an exact integer argmax
+    * the oracle replays round by round.
+    */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(coPartEdges(spark, dir), "src", "dst",
+        rounds = 4)
+      .groupBy(col("label")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("_n").as("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+
+  val qLabelPropSql: String = {
+    def rnd(prev: String, v: String, c: String, l: String) =
+      s"""$v AS (SELECT d.x AS node, p.label FROM dir2 d JOIN $prev p ON p.node = d.y
+        |  UNION ALL SELECT node, label FROM $prev),
+        | $c AS (SELECT node, label, CAST(COUNT(*) AS BIGINT) AS c FROM $v GROUP BY 1, 2),
+        | $l AS (SELECT node, label FROM (SELECT node, label,
+        |   row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |  FROM $c) WHERE rn = 1)""".stripMargin.replace("\n", " ")
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | dir2 AS (SELECT u AS x, v AS y FROM canon
+      |  UNION ALL SELECT v AS x, u AS y FROM canon),
+      | l0 AS (SELECT DISTINCT x AS node, x AS label FROM dir2),
+      | ${rnd("l0", "v1", "c1", "l1")}, ${rnd("l1", "v2", "c2", "l2")},
+      | ${rnd("l2", "v3", "c3", "l3")}, ${rnd("l3", "v4", "c4", "l4")},
+      | sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM l4 GROUP BY 1)
+      | SELECT n AS community_size, CAST(COUNT(*) AS BIGINT) AS n_communities
+      | FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+  }
+
+  /** Adamic–Adar link prediction on the co-purchase part graph
+    * ([[graft.ops.Graph.adamicAdar]], Adamic & Adar '03): top-25
+    * non-adjacent pairs by Σ 1/ln(deg z) over shared neighbors, apexes
+    * capped at degree 256 (the deterministic skew guard), every term
+    * pico-quantized before the DECIMAL(38,0) Σ.
+    */
+  def qAdamicAdar(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.adamicAdar(coPartEdges(spark, dir), "src", "dst",
+      k = 25, maxApexDegree = 256L)
+
+  val qAdamicAdarSql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |   (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+      |  GROUP BY 1),
+      | dir2 AS (SELECT u AS z, v AS n FROM canon
+      |  UNION ALL SELECT v AS z, u AS n FROM canon),
+      | apex AS (SELECT d.z, d.n, g.deg FROM dir2 d
+      |  JOIN deg g ON g.node = d.z WHERE g.deg <= 256),
+      | pr AS (SELECT a1.n AS u, a2.n AS v, a1.deg
+      |  FROM apex a1 JOIN apex a2 ON a2.z = a1.z AND a1.n < a2.n),
+      | tm AS (SELECT u, v, CAST(round(1000000000000.0
+      |    / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS term FROM pr),
+      | sc AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+      |   CAST(SUM(term) AS HUGEINT) AS aa_pico FROM tm GROUP BY 1, 2),
+      | ne AS (SELECT sc.u, sc.v, sc.common_neighbors, sc.aa_pico FROM sc
+      |  LEFT JOIN canon c ON c.u = sc.u AND c.v = sc.v WHERE c.u IS NULL)
+      | SELECT u, v, common_neighbors, aa_pico FROM ne
+      | ORDER BY aa_pico DESC, u, v LIMIT 25""".stripMargin.replace("\n", " ")
+
+  /** Fixed-iteration integer HITS over the directed supplier→customer
+    * trade graph ([[graft.ops.Graph.hitsMicro]], Kleinberg JACM'99; 5
+    * auth-first rounds, max-normalized micro-units): on this bipartite
+    * endorsement graph hubs are exactly the suppliers and authorities
+    * the customers — the two-role ranking PageRank's single score
+    * conflates. Integer Σs, one fixed normalization chain per side per
+    * round; top 25 by authority.
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.hitsMicro(tradeEdges(spark, dir), "src", "dst",
+        rounds = 5)
+      .select(
+        when(col("node") % 2L === 0L, lit("supplier")).otherwise(lit("customer"))
+          .as("node_kind"),
+        expr("node div 2L").as("node_key"),
+        col("auth_micro"), col("hub_micro"))
+      .orderBy(col("auth_micro").desc, col("node_kind"), col("node_key"))
+      .limit(25)
+
+  val qHitsSql: String = {
+    // every per-round CTE is MATERIALIZED: a plain (inlined) CTE chain
+    // would re-expand the whole upstream tree at each of its ~3
+    // references per round — exponential in rounds, and DuckDB actually
+    // runs out of file handles re-scanning the base parquet ~3^10 times
+    def rnd(prevH: String, i: Int) =
+      s"""ra$i AS MATERIALIZED (SELECT e.dst AS node,
+        |   CAST(SUM(p.hub) AS BIGINT) AS r
+        |  FROM e JOIN $prevH p ON p.node = e.src GROUP BY 1),
+        | ma$i AS (SELECT MAX(r) AS m FROM ra$i),
+        | a$i AS MATERIALIZED (SELECT n.node, CASE WHEN ma.m > 0
+        |   THEN CAST(round(CAST(COALESCE(x.r, 0) AS DOUBLE)
+        |     / CAST(ma.m AS DOUBLE) * 1000000.0) AS BIGINT)
+        |   ELSE 0 END AS auth
+        |  FROM nodes n CROSS JOIN ma$i ma LEFT JOIN ra$i x ON x.node = n.node),
+        | rh$i AS MATERIALIZED (SELECT e.src AS node,
+        |   CAST(SUM(a.auth) AS BIGINT) AS r
+        |  FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+        | mh$i AS (SELECT MAX(r) AS m FROM rh$i),
+        | h$i AS MATERIALIZED (SELECT n.node, CASE WHEN mh.m > 0
+        |   THEN CAST(round(CAST(COALESCE(x.r, 0) AS DOUBLE)
+        |     / CAST(mh.m AS DOUBLE) * 1000000.0) AS BIGINT)
+        |   ELSE 0 END AS hub
+        |  FROM nodes n CROSS JOIN mh$i mh LEFT JOIN rh$i x ON x.node = n.node)"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) * 2 AS src,
+      |   CAST(o_custkey AS BIGINT) * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      | nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      | h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+      | ${rnd("h0", 1)}, ${rnd("h1", 2)}, ${rnd("h2", 3)},
+      | ${rnd("h3", 4)}, ${rnd("h4", 5)}
+      | SELECT CASE WHEN a5.node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS node_kind,
+      |  a5.node // 2 AS node_key, a5.auth AS auth_micro, h5.hub AS hub_micro
+      | FROM a5 JOIN h5 ON h5.node = a5.node
+      | ORDER BY auth_micro DESC, node_kind, node_key LIMIT 25"""
+      .stripMargin.replace("\n", " ")
+  }
+
   /** Shared presentation of a rank frame: kind/key decode, top 25. */
   private def rankTop25(ranks: DataFrame): DataFrame =
     ranks.select(
@@ -6377,6 +6503,9 @@ object Registry {
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
+    "q_label_prop" -> (qLabelProp _),
+    "q_adamic_adar" -> (qAdamicAdar _),
+    "q_hits" -> (qHits _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_encoding_quality" -> (qEncodingQuality _),
     "q_rouge_eval" -> (qRougeEval _),
@@ -6572,6 +6701,9 @@ object Registry {
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,
+    "q_label_prop" -> qLabelPropSql,
+    "q_adamic_adar" -> qAdamicAdarSql,
+    "q_hits" -> qHitsSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_encoding_quality" -> qEncodingQualitySql,
     "q_rouge_eval" -> qRougeEvalSql,

@@ -212,6 +212,69 @@ class GraphSpec extends SparkSpec {
     assert(z.isNullAt(4), "no wedges -> NULL coefficient, not a fake 0")
   }
 
+  test("labelPropagation: bridged cliques stay separate communities; P2 converges via self-vote; star collapses to center") {
+    import spark.implicits._
+    // two K3s joined by a bridge 3-4: connected components would merge
+    // them, LPA must not
+    val bridged = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s", "d")
+    val lbl = Graph.labelPropagation(bridged, "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(1L) === lbl(2L) && lbl(2L) === lbl(3L))
+    assert(lbl(4L) === lbl(5L) && lbl(5L) === lbl(6L))
+    assert(lbl(1L) !== lbl(4L), "the bridge must not merge the cliques")
+    // a single edge oscillates under plain synchronous LPA; the
+    // self-inclusive vote converges both endpoints to the min label
+    val p2 = Seq((7L, 9L)).toDF("s", "d")
+    val l2 = Graph.labelPropagation(p2, "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 === Map(7L -> 7L, 9L -> 7L))
+    // star: everyone adopts the center's (minimal) label in one round
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val ls = Graph.labelPropagation(star, "s", "d", rounds = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(ls === Set(0L))
+  }
+
+  test("adamicAdar: path/square hand-scores, edge exclusion, apex-degree cap") {
+    import spark.implicits._
+    val invLn2 = math.round(1.0e12 / math.log(2.0))
+    // path 1-2-3: only (1,3) shares a neighbor (apex 2, deg 2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = Graph.adamicAdar(path, "s", "d").collect()
+    assert(p.length === 1)
+    assert((p.head.getLong(0), p.head.getLong(1), p.head.getLong(2),
+      p.head.getDecimal(3).longValueExact()) === ((1L, 3L, 1L, invLn2)))
+    // square 1-2-3-4: diagonals (1,3) and (2,4) each via TWO deg-2 apexes
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val q = Graph.adamicAdar(sq, "s", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDecimal(3).longValueExact()))).toMap
+    assert(q === Map((1L, 3L) -> ((2L, 2 * invLn2)),
+      (2L, 4L) -> ((2L, 2 * invLn2))))
+    // star: the only shared-neighbor apex is the center — above the cap
+    // it contributes nothing
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    assert(Graph.adamicAdar(star, "s", "d", maxApexDegree = 2L).count() === 0L)
+    assert(Graph.adamicAdar(star, "s", "d").count() === 3L)
+  }
+
+  test("hitsMicro: bipartite hand-computed rounds; sinks hold hub 0; empty sides stay 0") {
+    import spark.implicits._
+    // s1 -> {c1, c2}, s2 -> {c1}; suppliers 10/20, customers 31/32
+    val e = Seq((10L, 31L), (10L, 32L), (20L, 31L)).toDF("s", "d")
+    val got = Graph.hitsMicro(e, "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // round 1: rawA c1=2e6, c2=1e6 -> auth 1e6 / 500000; rawH s1=1.5e6,
+    // s2=1e6 -> hub 1e6 / 666667
+    // round 2: rawA c1=1666667, c2=1e6 -> auth 1e6 / 600000;
+    // rawH s1=1.6e6, s2=1e6 -> hub 1e6 / 625000
+    assert(got(31L) === ((1000000L, 0L)), "c1: top authority, sink hub 0")
+    assert(got(32L) === ((600000L, 0L)))
+    assert(got(10L) === ((0L, 1000000L)), "s1: top hub, source auth 0")
+    assert(got(20L) === ((0L, 625000L)))
+  }
+
   test("assortativity: star is exactly -1, regular cycle is NULL, empty is NULL") {
     import spark.implicits._
     // S3 star: center 0, leaves 1..3; Newman's r = -1 for any star
