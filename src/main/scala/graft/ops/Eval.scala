@@ -447,6 +447,71 @@ object Eval {
           .otherwise(lit(0L)))
   }
 
+  /** Spearman rank correlation between two integer metrics (Spearman
+    * 1904; tie-corrected form = Pearson over AVERAGE ranks) — the
+    * monotone-association companion to the Pearson panel in
+    * q_metric_corr: rank correlation survives the heavy-tailed metric
+    * distributions (lengths, counts) that wreck Pearson.
+    *
+    * Exact law: ranks come from per-VALUE frequency tables — doubled
+    * average rank `2·(#smaller) + count + 1` is an exact integer even
+    * under ties, and scale-invariance of correlation makes doubling
+    * free — so all moments are exact DECIMAL(38,0) sums; ρ is then ONE
+    * fixed double chain `cov/(√vx·√vy)` over the mean-centered moments
+    * (the assortativity discipline), NULL when either side is constant.
+    *
+    * Scale shape: NO corpus-wide window — the global sort a naive rank
+    * would need is replaced by two hash aggregates to per-value
+    * frequency tables (bounded by DISTINCT metric values, not corpus
+    * rows), one bounded cumulative window over each table, and two
+    * broadcast joins back. One |corpus|-row aggregate for the moments.
+    *
+    * Output: one row (n, nx_distinct, ny_distinct, rho_pico).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val d = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+    def rankTable(c: String, as: String) = {
+      val f = d.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_cnt"))
+      val w = Window.orderBy(col("_v"))
+      f.withColumn("_cumul", sum(col("_cnt")).over(w))
+        .select(col("_v"),
+          (lit(2L) * (col("_cumul") - col("_cnt")) + col("_cnt") + lit(1L))
+            .as(as))
+    }
+    val rx = rankTable("_x", "_r2x")
+    val ry = rankTable("_y", "_r2y")
+    val ranked = d
+      .join(broadcast(rx), d("_x") === rx("_v")).drop("_v")
+      .join(broadcast(ry), d("_y") === ry("_v")).drop("_v")
+    val s = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("_r2x").cast(dec)).as("_sx"),
+      sum(col("_r2y").cast(dec)).as("_sy"),
+      sum(col("_r2x").cast(dec) * col("_r2x").cast(dec)).as("_sxx"),
+      sum(col("_r2y").cast(dec) * col("_r2y").cast(dec)).as("_syy"),
+      sum(col("_r2x").cast(dec) * col("_r2y").cast(dec)).as("_sxy"))
+    val nD = col("n").cast("double")
+    val mx = col("_sx").cast("double") / nD
+    val my = col("_sy").cast("double") / nD
+    val cov = col("_sxy").cast("double") / nD - mx * my
+    val vx = col("_sxx").cast("double") / nD - mx * mx
+    val vy = col("_syy").cast("double") / nD - my * my
+    val ndx = rx.agg(count(lit(1)).as("nx_distinct"))
+    val ndy = ry.agg(count(lit(1)).as("ny_distinct"))
+    s.crossJoin(broadcast(ndx)).crossJoin(broadcast(ndy))
+      .withColumn("rho_pico",
+        // nested when: vx/vy must not evaluate on an empty frame (ANSI)
+        when(col("n") > 0L,
+          when(vx =!= 0.0 && vy =!= 0.0,
+            round(cov / (sqrt(vx) * sqrt(vy)) * 1000000000000.0)
+              .cast("long"))))
+      .select(col("n"), col("nx_distinct"), col("ny_distinct"),
+        col("rho_pico"))
+  }
+
   /** Mean-reciprocal-rank components at k (Voorhees, TREC-8 '99 — THE
     * known-item retrieval statistic): for each query, the rank of the
     * FIRST relevant item within the top `k` of a ranked list, and its

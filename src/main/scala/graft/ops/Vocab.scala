@@ -57,6 +57,49 @@ object Vocab {
       .groupBy("word").agg(count(lit(1)).as("n"))
   }
 
+  /** Per-stratum vocabulary-coverage report from the frequency-of-
+    * frequencies tail (Good, Biometrika '53; Chao, Scand. J. Stat '84):
+    * the "have we scraped enough of this source?" screen. The
+    * Good–Turing unseen-mass estimate is `n₁/N` (singleton share — the
+    * probability the NEXT token is a new type), so `coverage = 1 − n₁/N`;
+    * Chao1 estimates total vocabulary `V + n₁(n₁−1)/(2(n₂+1))`
+    * (bias-corrected form, defined even with no doubletons). A stratum
+    * with high unseen mass is under-sampled; one whose Chao1 ≈ observed
+    * vocabulary is saturated — the curation signal for where the next
+    * crawl budget goes.
+    *
+    * Exact law: token counts, V, n₁, n₂ are exact integers (two hash
+    * aggregates); coverage and Chao1 are each ONE fixed double chain
+    * quantized (pico / micro).
+    *
+    * Scale shape: explode → (stratum, token) hash aggregate (map-side
+    * partial combine) → |strata|-row aggregate. No window, no driver
+    * state.
+    *
+    * Output: (stratum, n_tokens, vocab, n1, n2, coverage_pico,
+    * chao1_micro) — one row per stratum with ≥1 token.
+    */
+  def coverageReport(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val tc = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        explode(TextFns.tokens(col(textCol))).as("_tok"))
+      .groupBy(col("stratum"), col("_tok")).agg(count(lit(1)).as("_c"))
+    tc.groupBy(col("stratum"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .withColumn("coverage_pico",
+        round((lit(1.0) - col("n1").cast("double") / col("n_tokens").cast("double"))
+          * 1000000000000.0).cast("long"))
+      .withColumn("chao1_micro",
+        round((col("vocab").cast("double")
+          + (col("n1").cast("double") * (col("n1").cast("double") - 1.0))
+            / (lit(2.0) * (col("n2").cast("double") + 1.0)))
+          * 1000000.0).cast("long"))
+  }
+
   /** Train BPE merges (Sennrich et al., ACL'16) — the scale-correct shape:
     * the corpus reduces to its word-frequency table distributed-side (one
     * aggregate), the top `maxVocabRows` rows by frequency (ties on word)

@@ -5219,6 +5219,137 @@ object Registry {
       | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
   }
 
+  /** 1-Wasserstein drift of each source's n_chars distribution vs the
+    * rest ([[graft.ops.Drift.wasserstein1]], same 100-char bins as
+    * PSI/JS): the distance-aware companion — reports HOW FAR (in chars)
+    * the length mass moved, not just that it moved. Exact
+    * DECIMAL(38,0) CDF-difference integrals, one fixed double chain.
+    */
+  def qW1Drift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.wasserstein1(t(spark, dir, "documents"), "source",
+        "n_chars", binWidth = 100L)
+      .orderBy("stratum")
+
+  val qW1DriftSql: String =
+    s"""WITH vb AS (SELECT source AS stratum,
+      |   (CAST(n_chars AS BIGINT) - (((n_chars % 100) + 100) % 100)) // 100 AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | csb AS (SELECT stratum, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM vb GROUP BY 1, 2),
+      | cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM csb GROUP BY 1),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM csb GROUP BY 1),
+      | gl AS (SELECT CAST(SUM(cb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb
+      |  FROM cb),
+      | sup AS (SELECT ns.stratum, ns.ns, cb.b, cb.cb,
+      |   COALESCE(csb.c, 0) AS c, gl.n, gl.nb
+      |  FROM ns CROSS JOIN cb
+      |  LEFT JOIN csb ON csb.stratum = ns.stratum AND csb.b = cb.b
+      |  CROSS JOIN gl),
+      | cum AS (SELECT stratum, ns, n, nb, b,
+      |   SUM(c) OVER (PARTITION BY stratum ORDER BY b) AS cum_s,
+      |   SUM(cb - c) OVER (PARTITION BY stratum ORDER BY b) AS cum_r,
+      |   LEAD(b) OVER (PARTITION BY stratum ORDER BY b) AS next_b
+      |  FROM sup),
+      | terms AS (SELECT stratum, ns, n, nb,
+      |   CASE WHEN next_b IS NOT NULL THEN
+      |     abs(CAST(cum_s AS HUGEINT) * (n - ns) - CAST(cum_r AS HUGEINT) * ns)
+      |       * (next_b - b) * 100
+      |   ELSE CAST(0 AS HUGEINT) END AS term
+      |  FROM cum)
+      | SELECT stratum, MIN(ns) AS n, MIN(n - ns) AS n_rest, MIN(nb) AS n_bins,
+      |  CASE WHEN MIN(n - ns) > 0 THEN
+      |   CAST(round(CAST(SUM(term) AS DOUBLE)
+      |     / (CAST(MIN(ns) AS DOUBLE) * CAST(MIN(n - ns) AS DOUBLE))
+      |     * 1000000.0) AS BIGINT)
+      |  END AS w1_micro
+      | FROM terms GROUP BY stratum ORDER BY stratum"""
+      .stripMargin.replace("\n", " ")
+
+  /** Per-source vocabulary-coverage report
+    * ([[graft.ops.Vocab.coverageReport]], Good '53 + Chao '84): the
+    * Good–Turing unseen-mass estimate (1 − n₁/N) and the Chao1 total-
+    * vocabulary estimate from the singleton/doubleton tail — the
+    * "have we scraped enough of this source?" curation screen. Exact
+    * integer frequency-of-frequencies, one fixed double chain each.
+    */
+  def qCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.coverageReport(t(spark, dir, "documents"), "source", "text")
+      .orderBy("stratum")
+
+  val qCoverageSql: String =
+    s"""WITH tok AS (SELECT source AS stratum, unnest($tokensSql) AS t
+      |  FROM documents WHERE source IS NOT NULL),
+      | tc AS (SELECT stratum, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      | agg AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |   CAST(COUNT(*) AS BIGINT) AS vocab,
+      |   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM tc GROUP BY 1)
+      | SELECT stratum, n_tokens, vocab, n1, n2,
+      |  CAST(round((1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+      |    * 1000000000000.0) AS BIGINT) AS coverage_pico,
+      |  CAST(round((CAST(vocab AS DOUBLE)
+      |    + (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+      |      / (2.0 * (CAST(n2 AS DOUBLE) + 1.0))) * 1000000.0) AS BIGINT)
+      |   AS chao1_micro
+      | FROM agg ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  /** Spearman rank correlation between document length and token count
+    * ([[graft.ops.Eval.spearman]]): the monotone-association companion
+    * to q_metric_corr's Pearson panel, tie-corrected via exact doubled
+    * average ranks from per-value frequency tables (no corpus-wide
+    * sort). NULL-text docs count as 0 tokens (the tokens(NULL) = []
+    * engine law).
+    */
+  def qSpearmanCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.spearman(
+      t(spark, dir, "documents")
+        .select(col("n_chars"),
+          graft.functions.TextFns.tokenCount(col("text")).as("n_tokens")),
+      "n_chars", "n_tokens")
+
+  val qSpearmanCorrSql: String =
+    s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x, $nTokensSqlExpr AS y
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      | fx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      | fy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      | rx AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2
+      |  FROM fx),
+      | ry AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2
+      |  FROM fy),
+      | rk AS (SELECT rx.r2 AS r2x, ry.r2 AS r2y FROM d
+      |  JOIN rx ON rx.v = d.x JOIN ry ON ry.v = d.y),
+      | s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(SUM(CAST(r2x AS HUGEINT)) AS HUGEINT) AS sx,
+      |   CAST(SUM(CAST(r2y AS HUGEINT)) AS HUGEINT) AS sy,
+      |   CAST(SUM(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT) AS sxx,
+      |   CAST(SUM(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT) AS syy,
+      |   CAST(SUM(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT) AS sxy FROM rk),
+      | nd AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fx) AS nx_distinct,
+      |   (SELECT CAST(COUNT(*) AS BIGINT) FROM fy) AS ny_distinct)
+      | SELECT n, nx_distinct, ny_distinct,
+      |  CASE WHEN n > 0 AND
+      |    (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) <> 0.0 AND
+      |    (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) <> 0.0
+      |   THEN CAST(round(
+      |    (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |     * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    * 1000000000000.0) AS BIGINT)
+      |  END AS rho_pico
+      | FROM s CROSS JOIN nd""".stripMargin.replace("\n", " ")
+
   /** Temperature-scaled source-mixing probabilities
     * ([[graft.ops.Mixture.temperatureWeights]], α = 0.7 — the mC4/XLM
     * multilingual mixing law p_s ∝ c_s^α over per-source token mass):
@@ -6506,6 +6637,9 @@ object Registry {
     "q_label_prop" -> (qLabelProp _),
     "q_adamic_adar" -> (qAdamicAdar _),
     "q_hits" -> (qHits _),
+    "q_w1_drift" -> (qW1Drift _),
+    "q_coverage" -> (qCoverage _),
+    "q_spearman_corr" -> (qSpearmanCorr _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_encoding_quality" -> (qEncodingQuality _),
     "q_rouge_eval" -> (qRougeEval _),
@@ -6704,6 +6838,9 @@ object Registry {
     "q_label_prop" -> qLabelPropSql,
     "q_adamic_adar" -> qAdamicAdarSql,
     "q_hits" -> qHitsSql,
+    "q_w1_drift" -> qW1DriftSql,
+    "q_coverage" -> qCoverageSql,
+    "q_spearman_corr" -> qSpearmanCorrSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_encoding_quality" -> qEncodingQualitySql,
     "q_rouge_eval" -> qRougeEvalSql,

@@ -329,4 +329,34 @@ class DriftSpec extends SparkSpec {
       "a valid-looking finite score over uniform smoothing would measure nothing")
   }
 
+  test("wasserstein1: exact transport costs hand-checked, gap-aware bins, NULL on single stratum") {
+    // a = {0,0}, b = {2,2} at binWidth 1: every unit of mass moves 2
+    val shifted = Seq(("a", 0L), ("a", 0L), ("b", 2L), ("b", 2L)).toDF("src", "v")
+    val g1 = Drift.wasserstein1(shifted, "src", "v", binWidth = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(g1 === Map("a" -> 2000000L, "b" -> 2000000L))
+    // a = {0} vs rest = {1,1,3}: optimal cost 2/3*1 + 1/3*3 = 5/3 —
+    // exercises the gap multiplier (no mass at bin 2)
+    val skew = Seq(("a", 0L), ("r", 1L), ("r", 1L), ("r", 3L)).toDF("src", "v")
+    val g2 = Drift.wasserstein1(skew, "src", "v", binWidth = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(g2("a") === math.round(5.0 / 3.0 * 1e6))
+    // identical distributions: exactly 0 (no smoothing residue — W1 is
+    // exact where PSI/JS carry the add-one asymmetry)
+    val same = ((1 to 100).map(i => ("a", (i % 7) * 100L)) ++
+      (1 to 100).map(i => ("b", (i % 7) * 100L))).toDF("src", "v")
+    assert(Drift.wasserstein1(same, "src", "v").collect()
+      .forall(_.getLong(4) === 0L))
+    // binWidth scales the reported units: same shape, 100x the distance
+    val g3 = Drift.wasserstein1(
+      Seq(("a", 0L), ("b", 200L), ("b", 200L), ("a", 0L)).toDF("src", "v"),
+      "src", "v", binWidth = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(g3 === Map("a" -> 200000000L, "b" -> 200000000L))
+    // single stratum: NULL (ksDrift convention)
+    val single = (1 to 50).map(i => ("only", i * 100L)).toDF("src", "v")
+    val r = Drift.wasserstein1(single, "src", "v").collect()
+    assert(r.length === 1 && r(0).getLong(2) === 0L && r(0).isNullAt(4))
+  }
+
 }

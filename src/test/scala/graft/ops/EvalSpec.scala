@@ -297,4 +297,28 @@ class EvalSpec extends SparkSpec {
     assert(got(5L) === ((4L, 0L, 0L, 0L)))
   }
 
+  test("spearman: monotone 1, inverse -1, rank-invariance to nonlinearity, tie law, constant NULL") {
+    def rho(rows: Seq[(Long, Long)]): Option[Long] = {
+      val r = Eval.spearman(rows.toDF("x", "y"), "x", "y").collect().head
+      if (r.isNullAt(3)) None else Some(r.getLong(3))
+    }
+    assert(rho(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+      === Some(1000000000000L))
+    assert(rho(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)))
+      === Some(-1000000000000L))
+    // rank correlation sees through monotone nonlinearity (x vs x^2)
+    assert(rho(Seq((1L, 1L), (2L, 4L), (3L, 9L))) === Some(1000000000000L))
+    // tied x values share an average rank; identical tie structure -> 1
+    assert(rho(Seq((1L, 5L), (1L, 5L), (2L, 9L))) === Some(1000000000000L))
+    // hand case: y-permutation (30,10,20) of ranked x -> rho = -1/2
+    val g = rho(Seq((1L, 30L), (2L, 10L), (3L, 20L))).get
+    assert(math.abs(g + 500000000000L) <= 5L, s"expected ~-0.5, got $g")
+    // constant side: zero variance -> NULL by law
+    assert(rho(Seq((1L, 7L), (2L, 7L), (3L, 7L))) === None)
+    // distinct-value counts ride along
+    val row = Eval.spearman(Seq((1L, 5L), (1L, 5L), (2L, 9L)).toDF("x", "y"),
+      "x", "y").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 2L, 2L)))
+  }
+
 }

@@ -285,4 +285,22 @@ class VocabSpec extends SparkSpec {
     // aa and cc tie on G2 (mirror counts) — token asc breaks it; bb (G2=0) cut
     assert(toks === Seq("aa", "cc"))
   }
+
+  test("coverageReport: Good-Turing and Chao1 hand-checked; saturated stratum covers fully; NULLs drop") {
+    val docs = Seq(
+      ("a", "x x y z"),                        // N=4 V=3 n1=2 n2=1
+      ("b", "w w w"),                          // N=3 V=1 n1=0 n2=0
+      ("a", null.asInstanceOf[String]),        // tokens(NULL) = [] — no rows
+      (null.asInstanceOf[String], "ignored"))  // NULL stratum drops
+      .toDF("src", "text")
+    val got = Vocab.coverageReport(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // a: coverage 1 - 2/4 = 0.5; chao1 = 3 + 2*1/(2*(1+1)) = 3.5
+    assert(got("a") === ((4L, 3L, 2L, 1L, 500000000000L, 3500000L)))
+    // b: no singletons -> unseen mass 0, chao1 = observed vocab exactly
+    assert(got("b") === ((3L, 1L, 0L, 0L, 1000000000000L, 1000000L)))
+    assert(got.size === 2)
+  }
 }
