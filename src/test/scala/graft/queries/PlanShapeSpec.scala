@@ -862,6 +862,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_label_prop: argmax is a max-of-struct aggregate — no window, no cartesian") {
+    // a per-node window would funnel a super-node's votes into one task
+    // BEFORE reducing (the AnnGuard rationale); the shape must stay
+    // join + two hash aggregates per round
+    val p = plan("q_label_prop")
+    assert(!p.contains("Window"), s"LPA vote argmax degraded to a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_adamic_adar: keyed apex join + top-k, no cartesian, no window") {
+    val p = plan("q_adamic_adar")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k degraded to a global sort:\n$p")
+  }
+
+  test("q_hits: presentation reads the checkpointed score blocks; top-k bounded") {
+    // the rounds' broadcast maxima live INSIDE hitsMicro's checkpointed
+    // computation (GraphSpec pins their arithmetic); the returned plan
+    // must be exactly a top-k over the |V|-row block scan — anything
+    // deeper means the score frame lost its materialization and the
+    // rounds would re-run per consumer
+    val p = plan("q_hits")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 degraded to a global sort:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q_hits presentation no longer reads checkpointed blocks:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_w1_drift: cumulative window is stratum-partitioned over the bounded bin grid") {
+    val p = plan("q_w1_drift")
+    assert(p.contains("windowspecdefinition(stratum"),
+      s"W1 cumulative window lost its stratum partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_spearman_corr: rank tables broadcast back onto the corpus; no corpus-wide window") {
+    val p = plan("q_spearman_corr")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank-table join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only windows run over the per-VALUE frequency tables (bounded),
+    // partitioned by nothing BY DESIGN — but the corpus itself must reach
+    // them only as an aggregate, never sorted whole: the rank tables sit
+    // under HashAggregate subtrees
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("ingest path: no single-partition exchange, no un-partitioned window") {
     // the full default pipeline (scan → coerce → enrich → upsert → parents)
     // must stay shuffle-parallel end to end: a SinglePartition exchange means
