@@ -428,6 +428,63 @@ object Graph {
       .limit(k)
   }
 
+  /** Coreness (k-core number) estimate by iterated neighborhood H-index
+    * (Lü, Zhou, Zhang & Stanley, Nature Comms '16: h⁰ = degree,
+    * hⁿ⁺¹(v) = H-index of v's neighbors' hⁿ, and the sequence converges
+    * EXACTLY to coreness) over the undirected simple graph — the
+    * degeneracy screen that finds the dense engagement core / link-farm
+    * nucleus that plain degree can't see (a super-node of pendant spam
+    * has huge degree and coreness 1). Fixed `rounds` rounds — an
+    * ANYTIME upper bound that is exact once the graph's convergence
+    * depth is reached (small for real graphs; the spec pins exact
+    * convergence on planted cores).
+    *
+    * Exact integer law end to end: the per-node H-index is
+    * `max over distinct neighbor-values v of min(v, #neighbors ≥ v)` —
+    * counts and mins only, no floats anywhere, bit-replayable.
+    *
+    * Scale shape: per round one shuffle join (neighbor values) + one
+    * (node, value) hash aggregate + a cumulative window over the
+    * per-node DISTINCT-value table (bounded by O(√m) distinct coreness
+    * values, never by a super-node's raw degree) + one hash aggregate.
+    * Edge frame materializes once; value frames checkpoint every
+    * `checkpointEvery` rounds.
+    *
+    * Output: (node, coreness) — one row per non-isolated node.
+    */
+  def corenessEstimate(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4, checkpointEvery: Int = 8): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive, got $checkpointEvery")
+    import org.apache.spark.sql.expressions.Window
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val (dir2, edgeOwned) = Clusters.ownedCheckpoint(
+      canon.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(canon.select(col("v").as("x"), col("u").as("y"))))
+    var cur = dir2.groupBy(col("x").as("node")).agg(count(lit(1)).as("c"))
+    var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    val w = Window.partitionBy(col("node")).orderBy(col("c").desc)
+    for (i <- 1 to rounds) {
+      val nv = dir2.join(cur.select(col("node").as("y"), col("c")), "y")
+        .select(col("x").as("node"), col("c"))
+      cur = nv.groupBy(col("node"), col("c")).agg(count(lit(1)).as("_k"))
+        .withColumn("_cge", sum(col("_k")).over(w))
+        .groupBy(col("node"))
+        .agg(max(least(col("c"), col("_cge"))).as("c"))
+      if (i % checkpointEvery == 0 && i < rounds) {
+        val (cp, own) = Clusters.ownedCheckpoint(cur)
+        Clusters.release(owned)
+        cur = cp
+        owned = own
+      }
+    }
+    val (finalCore, _) = Clusters.ownedCheckpoint(
+      cur.select(col("node"), col("c").as("coreness")))
+    Clusters.release(owned ++ edgeOwned)
+    finalCore
+  }
+
   /** Fixed-iteration integer HITS (Kleinberg, JACM'99 — hubs &
     * authorities, THE ranking law for bipartite endorsement graphs
     * where PageRank's single score conflates the two roles) over the

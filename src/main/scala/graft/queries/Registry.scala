@@ -5350,6 +5350,85 @@ object Registry {
       |  END AS rho_pico
       | FROM s CROSS JOIN nd""".stripMargin.replace("\n", " ")
 
+  /** Coreness distribution of the co-purchase part graph
+    * ([[graft.ops.Graph.corenessEstimate]], Lü et al. Nature Comms '16
+    * iterated H-index, 4 rounds): the degeneracy screen — how deep the
+    * densest nested core goes, which degree alone can't see (a pendant-
+    * spam super-node has huge degree and coreness 1). All-integer law;
+    * output bounded by distinct coreness values.
+    */
+  def qCoreness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.corenessEstimate(coPartEdges(spark, dir), "src", "dst",
+        rounds = 4)
+      .groupBy(col("coreness")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("coreness")
+
+  val qCorenessSql: String = {
+    def rnd(prev: String, i: Int) =
+      s"""n$i AS (SELECT d.x AS node, p.c FROM dir2 d JOIN $prev p ON p.node = d.y),
+        | k$i AS (SELECT node, c, CAST(COUNT(*) AS BIGINT) AS k FROM n$i GROUP BY 1, 2),
+        | g$i AS (SELECT node, c, SUM(k) OVER (PARTITION BY node ORDER BY c DESC) AS cge
+        |  FROM k$i),
+        | c$i AS (SELECT node, CAST(MAX(LEAST(c, cge)) AS BIGINT) AS c
+        |  FROM g$i GROUP BY 1)""".stripMargin.replace("\n", " ")
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | dir2 AS MATERIALIZED (SELECT u AS x, v AS y FROM canon
+      |  UNION ALL SELECT v AS x, u AS y FROM canon),
+      | c0 AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS c FROM dir2 GROUP BY 1),
+      | ${rnd("c0", 1)}, ${rnd("c1", 2)}, ${rnd("c2", 3)}, ${rnd("c3", 4)}
+      | SELECT c AS coreness, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      | FROM c4 GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")
+  }
+
+  /** Hourly burstiness (Fano factor — variance/mean of per-hour event
+    * counts over OBSERVED hours; index of dispersion, the classic
+    * Poisson-departure screen: ≈1 Poisson, ≫1 bursty/flash-crowd,
+    * ≪1 metronomic/bot) per event type — the traffic-shape report an
+    * ingest scheduler reads. Exact integer hour bins (floor-division
+    * law) and count moments in DECIMAL(38,0); ONE fixed double chain.
+    */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val dec = "decimal(38,0)"
+    val hb = t(spark, dir, "events")
+      .filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${hourUs}L))" +
+          s" div ${hourUs}L").as("_h"))
+    val nD = col("n_hours").cast("double")
+    val mean = col("n_events").cast("double") / nD
+    val vr = col("_ss").cast("double") / nD - mean * mean
+    hb.groupBy(col("event_type"), col("_h")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("_c")).as("n_events"),
+        sum(col("_c").cast(dec) * col("_c").cast(dec)).as("_ss"))
+      .withColumn("fano_micro",
+        round(vr / mean * 1000000.0).cast("long"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        col("fano_micro"))
+      .orderBy("event_type")
+  }
+
+  val qBurstinessSql: String = {
+    val us = 3600000000L
+    s"""WITH hb AS (SELECT event_type,
+      |   (epoch_us(ts) - (((epoch_us(ts) % $us) + $us) % $us)) // $us AS h
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      | c AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM hb GROUP BY 1, 2),
+      | a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |   CAST(SUM(c) AS BIGINT) AS n_events,
+      |   CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss FROM c GROUP BY 1)
+      | SELECT event_type, n_hours, n_events,
+      |  CAST(round((CAST(ss AS DOUBLE) / CAST(n_hours AS DOUBLE)
+      |    - (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |      * (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+      |   / (CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |   * 1000000.0) AS BIGINT) AS fano_micro
+      | FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
+
   /** Temperature-scaled source-mixing probabilities
     * ([[graft.ops.Mixture.temperatureWeights]], α = 0.7 — the mC4/XLM
     * multilingual mixing law p_s ∝ c_s^α over per-source token mass):
@@ -6640,6 +6719,8 @@ object Registry {
     "q_w1_drift" -> (qW1Drift _),
     "q_coverage" -> (qCoverage _),
     "q_spearman_corr" -> (qSpearmanCorr _),
+    "q_coreness" -> (qCoreness _),
+    "q_burstiness" -> (qBurstiness _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_encoding_quality" -> (qEncodingQuality _),
     "q_rouge_eval" -> (qRougeEval _),
@@ -6841,6 +6922,8 @@ object Registry {
     "q_w1_drift" -> qW1DriftSql,
     "q_coverage" -> qCoverageSql,
     "q_spearman_corr" -> qSpearmanCorrSql,
+    "q_coreness" -> qCorenessSql,
+    "q_burstiness" -> qBurstinessSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_encoding_quality" -> qEncodingQualitySql,
     "q_rouge_eval" -> qRougeEvalSql,

@@ -259,6 +259,29 @@ class GraphSpec extends SparkSpec {
     assert(Graph.adamicAdar(star, "s", "d").count() === 3L)
   }
 
+  test("corenessEstimate: converges exactly to planted core numbers; super-hub of pendants stays coreness 1") {
+    import spark.implicits._
+    // K4 on 1-4 with pendant 5: core numbers {3,3,3,3,1}
+    val k4p = ((for (i <- 1 to 4; j <- 1 to 4 if i < j)
+      yield (i.toLong, j.toLong)) :+ ((1L, 5L))).toDF("s", "d")
+    val g1 = Graph.corenessEstimate(k4p, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    // triangle 1-2-3 with tail 3-4-5: degree says node 4 matters (deg 2),
+    // coreness says it peels: {2,2,2,1,1}
+    val triTail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val g2 = Graph.corenessEstimate(triTail, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // the degree-vs-coreness separation: a star hub has deg 40 and
+    // coreness 1 — the pendant-spam super-node degree can't expose
+    val star = (1L to 40L).map(i => (0L, i)).toDF("s", "d")
+    val g3 = Graph.corenessEstimate(star, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g3.values.forall(_ === 1L), s"star coreness must be all 1: $g3")
+  }
+
   test("hitsMicro: bipartite hand-computed rounds; sinks hold hub 0; empty sides stay 0") {
     import spark.implicits._
     // s1 -> {c1, c2}, s2 -> {c1}; suppliers 10/20, customers 31/32
