@@ -4658,12 +4658,18 @@ object Registry {
   /** Adamic–Adar link prediction on the co-purchase part graph
     * ([[graft.ops.Graph.adamicAdar]], Adamic & Adar '03): top-25
     * non-adjacent pairs by Σ 1/ln(deg z) over shared neighbors, apexes
-    * capped at degree 256 (the deterministic skew guard), every term
-    * pico-quantized before the DECIMAL(38,0) Σ.
+    * capped at degree 64, every term pico-quantized before the
+    * DECIMAL(38,0) Σ. The cap is the aggressive-hub-exclusion
+    * configuration, chosen for the DENSE co-purchase projection: pair
+    * volume is Σ C(min(deg,cap),2) per apex, and the sf1 sweep measured
+    * cap 256 at 203 s (a ~650M-row pair shuffle whose heap churn also
+    * inflated every later text query ~3× in the shared bench JVM) vs
+    * ~16× less volume at 64 — a hub that ubiquitous carries a
+    * near-zero 1/ln(deg) term anyway.
     */
   def qAdamicAdar(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.adamicAdar(coPartEdges(spark, dir), "src", "dst",
-      k = 25, maxApexDegree = 256L)
+      k = 25, maxApexDegree = 64L)
 
   val qAdamicAdarSql: String =
     s"""WITH raw AS ($coPartEdgesSql),
@@ -4674,7 +4680,7 @@ object Registry {
       | dir2 AS (SELECT u AS z, v AS n FROM canon
       |  UNION ALL SELECT v AS z, u AS n FROM canon),
       | apex AS (SELECT d.z, d.n, g.deg FROM dir2 d
-      |  JOIN deg g ON g.node = d.z WHERE g.deg <= 256),
+      |  JOIN deg g ON g.node = d.z WHERE g.deg <= 64),
       | pr AS (SELECT a1.n AS u, a2.n AS v, a1.deg
       |  FROM apex a1 JOIN apex a2 ON a2.z = a1.z AND a1.n < a2.n),
       | tm AS (SELECT u, v, CAST(round(1000000000000.0
