@@ -447,6 +447,71 @@ object Eval {
           .otherwise(lit(0L)))
   }
 
+  /** Per-group confusion-matrix report at the group's MEAN-score
+    * threshold: exact TP/FP/FN/TN counts plus F1 and the Matthews
+    * correlation coefficient (Matthews, BBA 1975 — the balance-robust
+    * single number reviewers ask for when F1's positive-class bias
+    * misleads on skewed data). The classifier-quality screen beside
+    * [[aucByGroup]]'s threshold-free ranking view.
+    *
+    * Exact law: scores sum in DECIMAL(18,2) (a double Σ is summation-
+    * order-dependent — the q_rolling_hour discipline), the threshold is
+    * ONE `sum/n` double chain, predictions are exact comparisons, and
+    * the four cells are exact integer counts. F1 uses the direct
+    * integer identity `2·TP / (2·TP + FP + FN)` — one double chain, no
+    * chained quantization. MCC's numerator `TP·TN − FP·FN` is exact
+    * DECIMAL(38,0) (n² outgrows 2^53 doubles at corpus scale); the
+    * denominator is the pinned factored form `√(TP+FP)·√(TP+FN)·
+    * √(TN+FP)·√(TN+FN)` (the product of the four sums would overflow
+    * where the factored square roots cannot), NULL when any margin is
+    * zero (degenerate matrix, MCC undefined).
+    *
+    * Scale shape: one (group) hash aggregate for thresholds, broadcast
+    * back onto the corpus (the domain_sample posture), one (group)
+    * hash aggregate for the cells. No window, no driver state.
+    *
+    * Output: (group, tp, fp, fn, tn, f1_pico, mcc_pico).
+    */
+  def confusionReport(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val b = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        col(scoreCol).cast("decimal(18,2)").as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+    val m = b.groupBy(col("_g"))
+      .agg(sum(col("_s")).cast("decimal(18,2)").as("_ss"),
+        count(lit(1)).as("_n"))
+    val pred = col("_s").cast("double") >=
+      col("_ss").cast("double") / col("_n").cast("double")
+    val cells = b.join(broadcast(m), Seq("_g"))
+      .select(col("_g"), pred.as("_p"), col("_y"))
+      .groupBy(col("_g"))
+      .agg(sum(when(col("_p") && col("_y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_p") && !col("_y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("_p") && col("_y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("_p") && !col("_y"), 1L).otherwise(0L)).as("tn"))
+    val mccNum = (col("tp").cast(dec) * col("tn").cast(dec)
+      - col("fp").cast(dec) * col("fn").cast(dec)).cast("double")
+    val mccDen = sqrt((col("tp") + col("fp")).cast("double")) *
+      sqrt((col("tp") + col("fn")).cast("double")) *
+      sqrt((col("tn") + col("fp")).cast("double")) *
+      sqrt((col("tn") + col("fn")).cast("double"))
+    cells
+      .withColumn("f1_pico",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          round(lit(2.0) * col("tp")
+            / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")
+            * 1000000000000.0).cast("long")))
+      .withColumn("mcc_pico",
+        when(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L &&
+            col("tn") + col("fp") > 0L && col("tn") + col("fn") > 0L,
+          round(mccNum / mccDen * 1000000000000.0).cast("long")))
+      .select(col("_g").as("group"), col("tp"), col("fp"), col("fn"),
+        col("tn"), col("f1_pico"), col("mcc_pico"))
+  }
+
   /** Spearman rank correlation between two integer metrics (Spearman
     * 1904; tie-corrected form = Pearson over AVERAGE ranks) — the
     * monotone-association companion to the Pearson panel in

@@ -5374,6 +5374,50 @@ object Registry {
       |  END AS rho_pico
       | FROM s CROSS JOIN nd""".stripMargin.replace("\n", " ")
 
+  /** Per-event-type confusion report at the type's mean-value threshold
+    * ([[graft.ops.Eval.confusionReport]]): TP/FP/FN/TN, F1 and Matthews
+    * correlation for the q_auc_eval label (user_id % 3 = 0) — the
+    * thresholded companion to AUC's ranking view, with MCC as the
+    * skew-robust single number. Exact DECIMAL score sums, exact cells,
+    * two fixed double chains.
+    */
+  def qConfusionEval(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.confusionReport(
+        t(spark, dir, "events")
+          .withColumn("label", col("user_id") % 3 === 0),
+        "value", "label", "event_type")
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type")
+
+  val qConfusionEvalSql: String =
+    """WITH b AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS s,
+      |   (user_id % 3 = 0) AS y FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+      |   AND event_type IS NOT NULL),
+      | m AS (SELECT g, CAST(SUM(s) AS DECIMAL(18,2)) AS ss,
+      |   CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      | p AS (SELECT b.g, b.y,
+      |   (CAST(b.s AS DOUBLE) >= CAST(m.ss AS DOUBLE) / CAST(m.n AS DOUBLE))
+      |    AS pred
+      |  FROM b JOIN m ON m.g = b.g),
+      | c AS (SELECT g,
+      |   CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |   CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |   CAST(SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |   CAST(SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM p GROUP BY 1)
+      | SELECT g AS event_type, tp, fp, fn, tn,
+      |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+      |   CAST(round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE)
+      |     * 1000000000000.0) AS BIGINT) END AS f1_pico,
+      |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+      |   THEN CAST(round(
+      |    CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+      |    / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+      |     * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))
+      |    * 1000000000000.0) AS BIGINT) END AS mcc_pico
+      | FROM c ORDER BY event_type""".stripMargin.replace("\n", " ")
+
   /** Coreness distribution of the co-purchase part graph
     * ([[graft.ops.Graph.corenessEstimate]], Lü et al. Nature Comms '16
     * iterated H-index, 4 rounds): the degeneracy screen — how deep the
@@ -6745,6 +6789,7 @@ object Registry {
     "q_spearman_corr" -> (qSpearmanCorr _),
     "q_coreness" -> (qCoreness _),
     "q_burstiness" -> (qBurstiness _),
+    "q_confusion_eval" -> (qConfusionEval _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_encoding_quality" -> (qEncodingQuality _),
     "q_rouge_eval" -> (qRougeEval _),
@@ -6948,6 +6993,7 @@ object Registry {
     "q_spearman_corr" -> qSpearmanCorrSql,
     "q_coreness" -> qCorenessSql,
     "q_burstiness" -> qBurstinessSql,
+    "q_confusion_eval" -> qConfusionEvalSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_encoding_quality" -> qEncodingQualitySql,
     "q_rouge_eval" -> qRougeEvalSql,

@@ -297,6 +297,30 @@ class EvalSpec extends SparkSpec {
     assert(got(5L) === ((4L, 0L, 0L, 0L)))
   }
 
+  test("confusionReport: hand-computed cells at the mean threshold; perfect F1/MCC; degenerate NULL MCC") {
+    val rows = Seq(
+      // a: mean 2.5 -> pred {3,4}; tp=1 (3,T), fp=1 (4,F), fn=1 (1,T),
+      // tn=1 (2,F) -> F1 = 2/(2+1+1) = 0.5, MCC = 0
+      ("a", 1.0, true), ("a", 2.0, false), ("a", 3.0, true), ("a", 4.0, false),
+      // b: perfectly separated -> F1 = MCC = 1
+      ("b", 1.0, false), ("b", 2.0, false), ("b", 3.0, true), ("b", 4.0, true),
+      // c: all positives -> tn = fp = 0 margins -> MCC NULL, F1 defined
+      ("c", 1.0, true), ("c", 3.0, true))
+      .toDF("g", "score", "label")
+    val got = Eval.confusionReport(rows, "score", "label", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+    assert(got("a") === ((1L, 1L, 1L, 1L, 500000000000L, 0L)))
+    assert(got("b") === ((2L, 0L, 0L, 2L, 1000000000000L, 1000000000000L)))
+    // c: mean 2 -> pred {3}; tp=1, fn=1 -> F1 = 2/(2+0+1)
+    val (tp, fp, fn, tn, f1, mcc) = got("c")
+    assert((tp, fp, fn, tn) === ((1L, 0L, 1L, 0L)))
+    assert(f1 === math.round(2.0 / 3.0 * 1e12))
+    assert(mcc === Long.MinValue, "degenerate matrix must report NULL MCC")
+  }
+
   test("spearman: monotone 1, inverse -1, rank-invariance to nonlinearity, tie law, constant NULL") {
     def rho(rows: Seq[(Long, Long)]): Option[Long] = {
       val r = Eval.spearman(rows.toDF("x", "y"), "x", "y").collect().head
