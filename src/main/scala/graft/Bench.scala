@@ -10,7 +10,8 @@ object Bench {
     * (BenchLineSpec pins this against the live registry). Values format
     * with Locale.ROOT — a de_DE/fr_FR default locale would render 0.43
     * as "0,43", malformed JSON, and the driver's json.load would lose
-    * the round. Full precision goes to BENCH_FULL.json alongside.
+    * the round. Full precision goes to the artifact path (arg 1 /
+    * SPARK_GRAFT_BENCH_OUT, default target/BENCH_FULL.json).
     */
   private[graft] def renderLine(results: Map[String, Double], sfName: String): String = {
     val total = results.values.filter(_ >= 0).sum
@@ -73,6 +74,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // full-precision artifact path (r12 verdict task 3a): the default
+    // deliberately lands in target/, NOT the repo root — the repo-root
+    // BENCH_FULL.json is a COMMITTED baseline, and a routine (possibly
+    // load-polluted) run writing the cwd silently overwrote it in r12.
+    // Publishing a new baseline is now an explicit act: pass the path as
+    // arg 1 (or SPARK_GRAFT_BENCH_OUT).
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("target/BENCH_FULL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -125,8 +135,19 @@ object Bench {
     // hashed in front of it. Sorted order keeps cross-round per-query
     // ratios neighborhood-stable.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes = (1 to 2).map { _ =>
-      names.map { case (name, fn) =>
+    // pass 2 runs in REVERSED order (r12 verdict task 3b): with both
+    // passes ascending, the alphabetically-early family (q_adamic_adar,
+    // the whole q_ann_*) sits at the head of BOTH runs, so one loaded
+    // minute at process start inflates both attempts of exactly those
+    // rows and min() can't discard it — the r12 driver artifact read the
+    // ANN family ×5-7.5 precisely that way. Reversing pass 2 puts every
+    // query's two attempts at mirrored run positions: sustained head-of-
+    // run load lands on different queries per pass and min() drops it.
+    // Still fully deterministic, so cross-round per-query neighborhoods
+    // stay stable (the r12 sorted-order rationale).
+    val passOrders = Seq(names, names.reverse)
+    val passes = passOrders.map { order =>
+      order.map { case (name, fn) =>
         // each attempt tries independently: a flake on pass 2 must not
         // discard pass 1's valid measurement
         name -> (try {
@@ -147,9 +168,13 @@ object Bench {
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
-    catch { case _: Throwable => () }
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p,
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+      System.err.println(s"[bench] full-precision artifact: $outPath")
+    } catch { case _: Throwable => () }
     println(line)
     spark.stop()
   }

@@ -28,6 +28,44 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Digest of the ENGINE BINARY this dump runs (r12 verdict task 1): the
+    * r12 driver artifact recorded a q_adamic_adar rows-match/hash-FAIL that
+    * did not reproduce on a clean build — the signature of an engine/oracle
+    * version skew (a stale incremental build's engine classes against a
+    * freshly dumped oracle_sql.json, or two Verify runs' artifacts mixed).
+    * The dump and the oracle come from ONE JVM, so the skew can only enter
+    * through WHICH classes that JVM loaded; hashing every graft `.class`
+    * file on the live classpath (sorted by relative path, bytes + names)
+    * pins exactly that. Two dumps that disagree under EQUAL fingerprints
+    * are a real law divergence; unequal fingerprints name the stale build.
+    * Returns (sha256-hex, class-file count, newest class mtime ISO-8601).
+    */
+  private[graft] def buildFingerprint(): (String, Int, String) = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(
+      SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    var n = 0
+    var newest = 0L
+    def feed(rel: String, p: java.nio.file.Path): Unit = {
+      md.update(rel.getBytes("UTF-8"))
+      md.update(Files.readAllBytes(p))
+      n += 1
+      newest = math.max(newest, Files.getLastModifiedTime(p).toMillis)
+    }
+    if (Files.isDirectory(root)) {
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".class"))
+        .map(p => (root.relativize(p).toString, p)).toSeq
+        .sortBy(_._1)
+        .foreach { case (rel, p) => feed(rel, p) }
+      finally s.close()
+    } else feed(root.getFileName.toString, root) // packaged-jar deployment
+    val hex = md.digest().map(b => f"$b%02x").mkString
+    (hex, n, java.time.Instant.ofEpochMilli(newest).toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,6 +81,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     LogLevels.quietCheckpointRelease()
     new java.io.File(outDir).mkdirs()
+    // fingerprint FIRST, before any query runs: a crashed dump still
+    // records which engine produced whatever landed
+    try {
+      val (fp, nClasses, newestMtime) = buildFingerprint()
+      System.err.println(
+        s"[verify] build fingerprint sha256=$fp classes=$nClasses newest=$newestMtime")
+      Files.writeString(Paths.get(s"$outDir/build_fingerprint.json"),
+        s"""{"classes_sha256":"$fp","n_class_files":$nClasses,""" +
+          s""""newest_class_mtime":"$newestMtime"}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] build fingerprint failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

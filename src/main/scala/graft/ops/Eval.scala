@@ -329,8 +329,11 @@ object Eval {
       maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     require(beta > 0, s"beta must be positive, got $beta")
+    // explicit whitespace class, NOT \s: Java's \s includes U+000B
+    // (vertical tab) while DuckDB/RE2's does not — the oracle pins the
+    // identical class, so a \x0B in a document strips the same both sides
     def strip(c: Column) =
-      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+      regexp_replace(coalesce(c, lit("")), "[ \\t\\n\\x0B\\f\\r]+", "")
     def gramCounts(c: Column, as: String) = df
       .select(col(idCol).as("_id"), strip(c).as("_s"))
       .select(col("_id"), explode(sequence(lit(1), lit(maxN))).as("_n"), col("_s"))

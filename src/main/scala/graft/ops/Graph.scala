@@ -258,6 +258,47 @@ object Graph {
       .unionByName(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
+  /** Both directed copies of the canonical edge frame: (x, y) with each
+    * undirected edge appearing once per direction — the neighbor-join
+    * frame the round-based laws (LPA, coreness) and the apex expansions
+    * (Adamic–Adar) read. A narrow union, no shuffle: over a
+    * block-materialized `canon` it costs two columnar scans.
+    */
+  private def bothDirections(canon: DataFrame): DataFrame =
+    canon.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(canon.select(col("v").as("x"), col("u").as("y")))
+
+  /** Prepared, block-materialized UNDIRECTED working set — the canonical
+    * simple-graph edge frame and its degree table, shared by every
+    * structural law over one graph snapshot ([[triangleStats]],
+    * [[assortativity]], [[labelPropagation]], [[adamicAdar]],
+    * [[corenessEstimate]]). The [[GraphWorkingSet]] posture applied to
+    * the undirected family: the canonicalization distinct and the degree
+    * aggregate — one shuffle each — are paid ONCE instead of once per
+    * law (six structural queries over one co-purchase graph re-ran both
+    * per query before r13). The caller owns the blocks: release() after
+    * the last law (law outputs are themselves checkpointed or tiny).
+    */
+  final class UndirectedWorkingSet private[graft] (
+      private[graft] val canon: DataFrame,
+      private[graft] val deg: DataFrame,
+      private[graft] val owned: Seq[org.apache.spark.rdd.RDD[_]]) {
+    def release(): Unit = Clusters.release(owned)
+  }
+
+  /** Canonicalize + materialize the undirected working set: one distinct
+    * (idempotent over an already-canonical frame), one degree aggregate,
+    * two block materializations. Every structural law then starts at a
+    * leaf block scan.
+    */
+  def prepareUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): UndirectedWorkingSet = {
+    val (canon, o1) = Clusters.ownedCheckpoint(
+      canonicalUndirected(edges, srcCol, dstCol))
+    val (deg, o2) = Clusters.ownedCheckpoint(undirectedDegrees(canon))
+    new UndirectedWorkingSet(canon, deg, o1 ++ o2)
+  }
+
   /** Exact triangle count + global clustering coefficient of the
     * undirected simple graph (the degree-ordered orientation of
     * Suri & Vassilvitskii, WWW'11 — the MapReduce-era standard that
@@ -286,7 +327,16 @@ object Graph {
   def triangleStats(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val canon = canonicalUndirected(edges, srcCol, dstCol)
-    val deg = undirectedDegrees(canon)
+    triangleStatsCore(canon, undirectedDegrees(canon))
+  }
+
+  /** [[triangleStats]] over a prepared [[UndirectedWorkingSet]] —
+    * canonicalization and degrees come from the shared blocks.
+    */
+  def triangleStats(g: UndirectedWorkingSet): DataFrame =
+    triangleStatsCore(g.canon, g.deg)
+
+  private def triangleStatsCore(canon: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("deg").as("_du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("_dv"))
     val uFirst = (col("_du") < col("_dv")) ||
@@ -305,8 +355,16 @@ object Graph {
     val tri = wedge.join(closing, Seq("_b", "_c"))
       .agg(count(lit(1)).as("n_triangles"))
     val nodesEdges = canon.agg(count(lit(1)).as("n_edges"))
+    // the wedge Σ runs in DECIMAL(38,0) like assortativity's degree-moment
+    // sums: a web-scale graph's Σ deg·(deg−1)/2 outgrows BIGINT (one
+    // deg-10⁹ hub alone contributes ~5·10¹⁷), and under ANSI mode a
+    // BIGINT overflow would throw mid-query — inconsistent with the
+    // exact-integer-law contract. The PER-NODE term stays a long
+    // (overflows only past deg ≈ 3·10⁹ distinct neighbors, beyond any
+    // real vertex); the oracle mirrors with a HUGEINT Σ.
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
-      coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("n_wedges"))
+      coalesce(sum(expr("cast((deg * (deg - 1)) div 2 as decimal(38,0))")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("n_wedges"))
     nodeStats.crossJoin(broadcast(nodesEdges)).crossJoin(broadcast(tri))
       .withColumn("clustering_pico",
         when(col("n_wedges") > 0L,
@@ -341,13 +399,30 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 4, checkpointEvery: Int = 8): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val (dir2, edgeOwned) = Clusters.ownedCheckpoint(bothDirections(canon))
+    try lpaCore(dir2, rounds, checkpointEvery)
+    finally Clusters.release(edgeOwned)
+  }
+
+  /** [[labelPropagation]] over a prepared [[UndirectedWorkingSet]]: the
+    * neighbor frame is a narrow union over the shared canonical blocks —
+    * no per-law canonicalization distinct and no extra materialization
+    * (each round's join re-scans the blocks, which is cheap; the blocks
+    * belong to the working set's owner).
+    */
+  def labelPropagation(g: UndirectedWorkingSet, rounds: Int,
+      checkpointEvery: Int): DataFrame =
+    lpaCore(bothDirections(g.canon), rounds, checkpointEvery)
+
+  def labelPropagation(g: UndirectedWorkingSet, rounds: Int): DataFrame =
+    labelPropagation(g, rounds, checkpointEvery = 8)
+
+  private def lpaCore(dir2: DataFrame, rounds: Int,
+      checkpointEvery: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be positive, got $checkpointEvery")
-    val canon = canonicalUndirected(edges, srcCol, dstCol)
-    val (dir2, edgeOwned) = Clusters.ownedCheckpoint(
-      canon.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(canon.select(col("v").as("x"), col("u").as("y"))))
     var labels = dir2.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
@@ -355,14 +430,18 @@ object Graph {
       val neighborVotes = dir2
         .join(labels.select(col("node").as("y"), col("label")), "y")
         .select(col("x").as("node"), col("label"))
-      // argmax by (count desc, label asc) as ONE max-of-struct aggregate:
-      // label ids are non-negative (canonical node ids), so negation is a
-      // safe order-reversal
+      // argmax by (count desc, label asc) as ONE max-of-struct aggregate.
+      // The label order-reversal is bitwise NOT, not arithmetic negation:
+      // ~x = -x-1 reverses the signed-long total order for EVERY value
+      // (x < y ⟺ ~x > ~y) with no overflow, whereas -Long.MinValue throws
+      // under ANSI — node ids come from a raw cast("long") of caller
+      // columns, so the full signed domain must be safe
       labels = neighborVotes.unionByName(labels)
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("_c"))
         .groupBy(col("node"))
-        .agg(max(struct(col("_c").as("_c"), (-col("label")).as("_nl"))).as("_m"))
-        .select(col("node"), (-col("_m._nl")).as("label"))
+        .agg(max(struct(col("_c").as("_c"),
+          bitwise_not(col("label")).as("_nl"))).as("_m"))
+        .select(col("node"), bitwise_not(col("_m._nl")).as("label"))
       if (i % checkpointEvery == 0 && i < rounds) {
         val (cp, own) = Clusters.ownedCheckpoint(labels)
         Clusters.release(owned)
@@ -371,7 +450,7 @@ object Graph {
       }
     }
     val (finalLabels, _) = Clusters.ownedCheckpoint(labels)
-    Clusters.release(owned ++ edgeOwned)
+    Clusters.release(owned)
     finalLabels
   }
 
@@ -402,11 +481,36 @@ object Graph {
     */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int = 25, maxApexDegree: Long = 256L): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    adamicAdarCore(canon, undirectedDegrees(canon), k, maxApexDegree)
+  }
+
+  /** [[adamicAdar]] over a prepared [[UndirectedWorkingSet]]. */
+  def adamicAdar(g: UndirectedWorkingSet, k: Int,
+      maxApexDegree: Long): DataFrame =
+    adamicAdarCore(g.canon, g.deg, k, maxApexDegree)
+
+  /** The UN-limited scored frame behind [[adamicAdar]] — every
+    * non-adjacent pair with its score, no top-k: the tie-plateau audit's
+    * probe surface (how many pairs share the boundary score), and the
+    * full-ranking form for callers that filter rather than take-k.
+    */
+  def adamicAdarScored(g: UndirectedWorkingSet,
+      maxApexDegree: Long): DataFrame =
+    adamicAdarScoredCore(g.canon, g.deg, maxApexDegree)
+
+  private def adamicAdarCore(canon: DataFrame, deg: DataFrame, k: Int,
+      maxApexDegree: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    adamicAdarScoredCore(canon, deg, maxApexDegree)
+      .orderBy(col("aa_pico").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  private def adamicAdarScoredCore(canon: DataFrame, deg: DataFrame,
+      maxApexDegree: Long): DataFrame = {
     require(maxApexDegree >= 2L,
       s"maxApexDegree must be >= 2, got $maxApexDegree")
-    val canon = canonicalUndirected(edges, srcCol, dstCol)
-    val deg = undirectedDegrees(canon)
     val dir2 = canon.select(col("u").as("z"), col("v").as("n"))
       .unionByName(canon.select(col("v").as("z"), col("u").as("n")))
     val apex = dir2.join(
@@ -424,8 +528,6 @@ object Graph {
         scored("_u") === canon("u") && scored("_v") === canon("v"), "left_anti")
       .select(col("_u").as("u"), col("_v").as("v"),
         col("common_neighbors"), col("aa_pico"))
-      .orderBy(col("aa_pico").desc, col("u"), col("v"))
-      .limit(k)
   }
 
   /** Coreness (k-core number) estimate by iterated neighborhood H-index
@@ -454,15 +556,33 @@ object Graph {
     */
   def corenessEstimate(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 4, checkpointEvery: Int = 8): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val (dir2, edgeOwned) = Clusters.ownedCheckpoint(bothDirections(canon))
+    val init = dir2.groupBy(col("x").as("node")).agg(count(lit(1)).as("c"))
+    try corenessCore(dir2, init, rounds, checkpointEvery)
+    finally Clusters.release(edgeOwned)
+  }
+
+  /** [[corenessEstimate]] over a prepared [[UndirectedWorkingSet]]: the
+    * neighbor frame unions over the shared canonical blocks and h⁰ (the
+    * degree) comes straight from the shared degree table — no per-law
+    * canonicalization distinct, no init aggregate.
+    */
+  def corenessEstimate(g: UndirectedWorkingSet, rounds: Int,
+      checkpointEvery: Int): DataFrame =
+    corenessCore(bothDirections(g.canon),
+      g.deg.select(col("node"), col("deg").as("c")), rounds, checkpointEvery)
+
+  def corenessEstimate(g: UndirectedWorkingSet, rounds: Int): DataFrame =
+    corenessEstimate(g, rounds, checkpointEvery = 8)
+
+  private def corenessCore(dir2: DataFrame, init: DataFrame, rounds: Int,
+      checkpointEvery: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be positive, got $checkpointEvery")
     import org.apache.spark.sql.expressions.Window
-    val canon = canonicalUndirected(edges, srcCol, dstCol)
-    val (dir2, edgeOwned) = Clusters.ownedCheckpoint(
-      canon.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(canon.select(col("v").as("x"), col("u").as("y"))))
-    var cur = dir2.groupBy(col("x").as("node")).agg(count(lit(1)).as("c"))
+    var cur = init
     var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     val w = Window.partitionBy(col("node")).orderBy(col("c").desc)
     for (i <- 1 to rounds) {
@@ -481,7 +601,7 @@ object Graph {
     }
     val (finalCore, _) = Clusters.ownedCheckpoint(
       cur.select(col("node"), col("c").as("coreness")))
-    Clusters.release(owned ++ edgeOwned)
+    Clusters.release(owned)
     finalCore
   }
 
@@ -580,10 +700,15 @@ object Graph {
   def assortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val canon = canonicalUndirected(edges, srcCol, dstCol)
-    val deg = undirectedDegrees(canon)
-    val directed = canon.select(col("u").as("x"), col("v").as("y"))
-      .unionByName(canon.select(col("v").as("x"), col("u").as("y")))
-    val withDegs = directed
+    assortativityCore(canon, undirectedDegrees(canon))
+  }
+
+  /** [[assortativity]] over a prepared [[UndirectedWorkingSet]]. */
+  def assortativity(g: UndirectedWorkingSet): DataFrame =
+    assortativityCore(g.canon, g.deg)
+
+  private def assortativityCore(canon: DataFrame, deg: DataFrame): DataFrame = {
+    val withDegs = bothDirections(canon)
       .join(deg.select(col("node").as("x"), col("deg").as("j")), "x")
       .join(deg.select(col("node").as("y"), col("deg").as("k")), "y")
     val sums = withDegs.agg(

@@ -110,6 +110,22 @@ object Vocab {
     * pair repeats. Returns the ordered merge list — merge RANK is the
     * encoder's priority.
     *
+    * DRIVER-LOOP BOUND (the pqScan-style explicit contract): the
+    * corpus-size-dependent work is exactly ONE distributed aggregate —
+    * 100 TB of text costs one shuffle regardless of `numMerges`. The
+    * driver loop is then O(`numMerges` × Σ_top-rows |word symbols|) CPU
+    * ≤ O(numMerges × maxVocabRows × max word length) and
+    * O(maxVocabRows × max word length) memory — both functions of the
+    * CONFIGURATION, not the data scale (defaults: 100k rows ≈ a few MB;
+    * the [[graft.tools.BpeScale]] probe pins the cap's bite and the
+    * loop's linear growth). Training demanding vocab past ~10⁶ rows is
+    * where the distributed form (per-round (pair, weight) aggregation
+    * over an exploded symbol table — one shuffle per merge) becomes the
+    * right shape; at any practical `maxVocabRows` the driver loop wins
+    * because rounds are shuffle-free. Words OUTSIDE the top rows never
+    * influence merges — the standard frequency-truncation BPE trade, and
+    * part of the law (deterministic, cap included).
+    *
     * Symbols are the word's Unicode codepoints (surrogate-safe) with
     * `</w>` appended to the final symbol, the classic end-of-word marker
     * that keeps "low" vs "low-as-prefix" distinct.

@@ -2072,7 +2072,15 @@ object Registry {
     * object boundary, then one hash-aggregate shuffle + TakeOrderedAndProject
     * — the vocabulary-stats pass a tokenizer-training pipeline runs.
     */
-  def qVocabTop(spark: SparkSession, dir: String): DataFrame = {
+  def qVocabTop(spark: SparkSession, dir: String): DataFrame =
+    vocabDocFreq(spark, dir)
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(25)
+
+  /** Full (token, doc_freq) table behind [[qVocabTop]] — also the plateau
+    * probe's surface.
+    */
+  private def vocabDocFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("_id"), col("text").cast("string").as("_t"))
@@ -2082,8 +2090,6 @@ object Registry {
       }
       .toDF("token")
       .groupBy("token").agg(count(lit(1)).as("doc_freq"))
-      .orderBy(col("doc_freq").desc, col("token"))
-      .limit(25)
   }
 
   val qVocabTopSql: String =
@@ -4527,32 +4533,41 @@ object Registry {
     * ≤ 7 items per order — a bounded expansion, never a corpus join.
     *
     * SHARED per-dir (the tradeWorkingSet posture, session-validated):
-    * SIX structural queries (triangles, assortativity, communities,
-    * link prediction, coreness) read this graph, so the self-join and
-    * the canonical distinct are paid by whichever runs first and the
-    * rest start from the checkpointed (src, dst) blocks. Emitted
-    * already-canonical (src < dst, deduped) — each op's internal
-    * canonicalization is then an idempotent cheap distinct, and no
-    * consumer reads edge multiplicity.
+    * FIVE structural queries (triangles, assortativity, communities,
+    * link prediction, coreness) read this graph through ONE prepared
+    * [[graft.ops.Graph.UndirectedWorkingSet]] — the order-pair
+    * self-join, the canonical distinct AND the degree aggregate are all
+    * paid by whichever query runs first; every later consumer starts at
+    * the checkpointed (u, v) / (node, deg) block scans (before r13 each
+    * consumer re-ran its own canonicalization distinct + degree
+    * aggregate over the shared edge blocks — six redundant shuffles per
+    * bench sweep of the same already-canonical frame). Single-maintainer
+    * contract: see [[cachedRanks]].
     */
-  private val cachedCoPart =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val cachedCoPart = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ops.Graph.UndirectedWorkingSet]()
 
-  private def coPartEdges(spark: SparkSession, dir: String): DataFrame =
+  private def coPartGraph(spark: SparkSession,
+      dir: String): graft.ops.Graph.UndirectedWorkingSet =
     cachedCoPart.compute(dir, (_, old) =>
-      if (old != null && (old.sparkSession eq spark)) old
+      if (old != null && (old.canon.sparkSession eq spark)) old
       else {
-        if (old != null) releaseBlocks(old)
+        if (old != null)
+          try old.release()
+          catch { case scala.util.control.NonFatal(_) => () }
         val li = t(spark, dir, "lineitem")
           .select(col("l_orderkey").as("_ok"),
             col("l_partkey").cast("long").as("_pk"))
           .distinct()
         val a = li.select(col("_ok"), col("_pk").as("_pa"))
         val b = li.select(col("_ok"), col("_pk").as("_pb"))
-        a.join(b, Seq("_ok")).filter(col("_pa") < col("_pb"))
-          .select(col("_pa").as("src"), col("_pb").as("dst"))
-          .distinct()
-          .localCheckpoint()
+        // pairs feed prepareUndirected UN-deduped: its canonical distinct
+        // is the one dedup shuffle (the _pa < _pb orientation already
+        // matches the (least, greatest) law)
+        graft.ops.Graph.prepareUndirected(
+          a.join(b, Seq("_ok")).filter(col("_pa") < col("_pb"))
+            .select(col("_pa").as("src"), col("_pb").as("dst")),
+          "src", "dst")
       })
 
   private val coPartEdgesSql: String =
@@ -4569,7 +4584,7 @@ object Registry {
     * the clustering coefficient one fixed 3T/W chain.
     */
   def qTriangleCount(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.triangleStats(coPartEdges(spark, dir), "src", "dst")
+    graft.ops.Graph.triangleStats(coPartGraph(spark, dir))
 
   val qTriangleCountSql: String =
     s"""WITH raw AS ($coPartEdgesSql),
@@ -4591,7 +4606,7 @@ object Registry {
       |  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
       | ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM canon),
       | ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-      |   CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |   CAST(SUM((deg * (deg - 1)) // 2) AS HUGEINT) AS n_wedges FROM deg)
       | SELECT n_nodes, n_edges, n_wedges, n_triangles,
       |  CASE WHEN n_wedges > 0 THEN
       |   CAST(round((3.0 * CAST(n_triangles AS DOUBLE))
@@ -4605,7 +4620,7 @@ object Registry {
     * degree-regular graph.
     */
   def qAssortativity(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.assortativity(coPartEdges(spark, dir), "src", "dst")
+    graft.ops.Graph.assortativity(coPartGraph(spark, dir))
 
   val qAssortativitySql: String =
     s"""WITH raw AS ($coPartEdgesSql),
@@ -4647,8 +4662,7 @@ object Registry {
     * the oracle replays round by round.
     */
   def qLabelProp(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.labelPropagation(coPartEdges(spark, dir), "src", "dst",
-        rounds = 4)
+    graft.ops.Graph.labelPropagation(coPartGraph(spark, dir), rounds = 4)
       .groupBy(col("label")).agg(count(lit(1)).as("_n"))
       .groupBy(col("_n").as("community_size"))
       .agg(count(lit(1)).as("n_communities"))
@@ -4686,8 +4700,8 @@ object Registry {
     * 1/ln(deg) term anyway.
     */
   def qAdamicAdar(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.adamicAdar(coPartEdges(spark, dir), "src", "dst",
-      k = 25, maxApexDegree = 64L)
+    graft.ops.Graph.adamicAdar(coPartGraph(spark, dir), k = 25,
+      maxApexDegree = 64L)
 
   val qAdamicAdarSql: String =
     s"""WITH raw AS ($coPartEdgesSql),
@@ -4719,6 +4733,14 @@ object Registry {
     * round; top 25 by authority.
     */
   def qHits(spark: SparkSession, dir: String): DataFrame =
+    hitsDecoded(spark, dir)
+      .orderBy(col("auth_micro").desc, col("node_kind"), col("node_key"))
+      .limit(25)
+
+  /** Full decoded HITS score table behind [[qHits]] — also the plateau
+    * probe's surface.
+    */
+  private def hitsDecoded(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.hitsMicro(tradeEdges(spark, dir), "src", "dst",
         rounds = 5)
       .select(
@@ -4726,8 +4748,6 @@ object Registry {
           .as("node_kind"),
         expr("node div 2L").as("node_key"),
         col("auth_micro"), col("hub_micro"))
-      .orderBy(col("auth_micro").desc, col("node_kind"), col("node_key"))
-      .limit(25)
 
   val qHitsSql: String = {
     // every per-round CTE is MATERIALIZED: a plain (inlined) CTE chain
@@ -4768,15 +4788,61 @@ object Registry {
       .stripMargin.replace("\n", " ")
   }
 
+  /** Shared presentation of a rank frame: kind/key decode (no top-k —
+    * the plateau probes read this full form).
+    */
+  private def rankDecoded(ranks: DataFrame): DataFrame =
+    ranks.select(
+      when(col("node") % 2L === 0L, lit("supplier")).otherwise(lit("customer"))
+        .as("node_kind"),
+      expr("node div 2L").as("node_key"),
+      col("rank_micro"))
+
   /** Shared presentation of a rank frame: kind/key decode, top 25. */
   private def rankTop25(ranks: DataFrame): DataFrame =
-    ranks.select(
-        when(col("node") % 2L === 0L, lit("supplier")).otherwise(lit("customer"))
-          .as("node_kind"),
-        expr("node div 2L").as("node_key"),
-        col("rank_micro"))
+    rankDecoded(ranks)
       .orderBy(col("rank_micro").desc, col("node_kind"), col("node_key"))
       .limit(25)
+
+  /** Tie-plateau probe surfaces (r12 verdict task 5): for each top-k
+    * registry row, the UN-limited scored frame it takes its k from, the
+    * score column, and k. A top-k boundary that falls INSIDE an
+    * equal-score plateau (many rows sharing the k-th score) is
+    * deterministic only because the ORDER BY carries a unique tiebreak
+    * suffix — maximally sensitive to any future law/engine drift, so
+    * [[graft.tools.PlateauAudit]] reports each row's boundary-plateau
+    * size and asserts the tiebreak determinism (identical rows across
+    * independent runs). The frames reuse the exact query laws
+    * (pre-limit splits of the query bodies), so the probe measures the
+    * surface the gate hashes. q_adamic_adar is the known case: at
+    * sf0.01 its top-25 boundary cuts an 853-row single-common-neighbor
+    * plateau (r12 adjudication).
+    */
+  private[graft] def topKPlateauProbes(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame, String, Int)] = Seq(
+    ("q_top_statuses",
+      Analytic.statusSummary(
+        ordersAsTransfer(spark, dir, statusCol = "o_orderpriority")),
+      "record_count", 3),
+    ("q_vocab_top", vocabDocFreq(spark, dir), "doc_freq", 25),
+    ("q_decay_counts", decayMass(spark, dir), "decay_micro", 20),
+    ("q_pagerank",
+      rankDecoded(graft.ops.Graph.pageRankMicro(tradeWorkingSet(spark, dir),
+        iterations = 5, dampNum = 85L, dampDen = 100L, initMicro = 1000000L,
+        seeds = None, seedCol = "node", checkpointEvery = 8)),
+      "rank_micro", 25),
+    ("q_trustrank",
+      rankDecoded(graft.ops.Graph.pageRankMicro(tradeWorkingSet(spark, dir),
+        iterations = 5, dampNum = 85L, dampDen = 100L, initMicro = 1000000L,
+        seeds = Some(t(spark, dir, "supplier")
+          .filter(col("s_suppkey") < 10)
+          .select((col("s_suppkey").cast("long") * 2L).as("node"))),
+        seedCol = "node", checkpointEvery = 8)),
+      "rank_micro", 25),
+    ("q_hits", hitsDecoded(spark, dir), "auth_micro", 25),
+    ("q_adamic_adar",
+      graft.ops.Graph.adamicAdarScored(coPartGraph(spark, dir), 64L),
+      "aa_pico", 25))
 
   /** Per-JVM rank-result cache (the stored graph leg's reuse — the
     * [[storeOnce]] posture applied to the rank computation; see
@@ -4786,6 +4852,18 @@ object Registry {
     * different (possibly-stopped) session recomputes instead of reading
     * dead blocks, and the replaced entry's blocks release eagerly
     * rather than lingering to RDD GC on a long-lived driver.
+    *
+    * SINGLE-MAINTAINER CONTRACT (this applies to every per-dir cache in
+    * this object — [[cachedRanks]], [[cachedWorkingSets]],
+    * [[cachedCoPart]]): the eager release assumes one registry consumer
+    * at a time per (dir, kind) — the Verify/Bench shape. localCheckpoint
+    * TRUNCATES lineage, so a concurrent consumer still reading a
+    * replaced entry's blocks (e.g. a second thread mid-collect on the
+    * old rank frame) would fail unrecoverably when its blocks release;
+    * Spark jobs also run inside the ConcurrentHashMap compute-bin lock
+    * here, serializing same-key builds. A concurrent-driver deployment
+    * must either disable the eager release (let RDD GC reclaim) or defer
+    * it one generation (release the entry replaced two passes ago).
     */
   private val cachedRanks =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
@@ -5426,8 +5504,7 @@ object Registry {
     * output bounded by distinct coreness values.
     */
   def qCoreness(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.corenessEstimate(coPartEdges(spark, dir), "src", "dst",
-        rounds = 4)
+    graft.ops.Graph.corenessEstimate(coPartGraph(spark, dir), rounds = 4)
       .groupBy(col("coreness")).agg(count(lit(1)).as("n_nodes"))
       .orderBy("coreness")
 
@@ -5544,9 +5621,9 @@ object Registry {
     val pAvg = "(CAST(COALESCE(sump_pico, 0) AS DOUBLE) / 6000000000000.0)"
     val rAvg = "(CAST(COALESCE(sumr_pico, 0) AS DOUBLE) / 6000000000000.0)"
     s"""WITH base AS (SELECT doc_id,
-      |   regexp_replace(COALESCE(text, ''), '\\s+', '', 'g') AS rs,
+      |   regexp_replace(COALESCE(text, ''), '[ \\t\\n\\x0B\\f\\r]+', '', 'g') AS rs,
       |   regexp_replace(array_to_string(list_slice($tokensSql, 1, 30), ' '),
-      |     '\\s+', '', 'g') AS cs
+      |     '[ \\t\\n\\x0B\\f\\r]+', '', 'g') AS cs
       |  FROM documents),
       | ns AS (SELECT unnest(generate_series(1, 6)) AS n),
       | rg AS (SELECT doc_id, n, unnest(list_transform(
@@ -6484,7 +6561,15 @@ object Registry {
     * the top-20 ranking is engine-exact. The standard recency-weighted
     * activity score.
     */
-  def qDecayCounts(spark: SparkSession, dir: String): DataFrame = {
+  def qDecayCounts(spark: SparkSession, dir: String): DataFrame =
+    decayMass(spark, dir)
+      .orderBy(col("decay_micro").desc, col("user_id"))
+      .limit(20)
+
+  /** Full per-user decay-mass table behind [[qDecayCounts]] — also the
+    * plateau probe's surface.
+    */
+  private def decayMass(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val mx = ev.agg(max(unix_micros(col("ts"))).as("_mx"))
     ev.select(col("user_id"), unix_micros(col("ts")).as("_tm"))
@@ -6495,8 +6580,6 @@ object Registry {
           * 1000000.0).cast("long"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("_term")).as("decay_micro"))
-      .orderBy(col("decay_micro").desc, col("user_id"))
-      .limit(20)
   }
 
   val qDecayCountsSql: String =

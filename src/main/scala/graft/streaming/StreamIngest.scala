@@ -708,7 +708,12 @@ object StreamIngest {
         inDir.foreach { case (id, n) => removed(id) += n }
         val tmp = new org.apache.hadoop.fs.Path(sinkDir, s".${d.getName}.reconcile")
         f.delete(tmp, true)
-        live.filter(!col(idCol).cast("long").isin(ids.toSeq: _*))
+        // null-safe keep predicate: `!isin` evaluates to NULL (dropped) for
+        // a NULL id, so a null-id row in a rewritten dir would be silently
+        // lost — null ids are never pending (the worklist ids are longs),
+        // so they must survive the rewrite verbatim
+        live.filter(col(idCol).isNull ||
+            !col(idCol).cast("long").isin(ids.toSeq: _*))
           .write.mode("overwrite").parquet(tmp.toString)
         f.create(new org.apache.hadoop.fs.Path(tmp, RECONCILE_DONE), true).close()
         f.delete(d, true)

@@ -2,33 +2,69 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Equal-load adjudication probe (r11 verdict task 2): q_minhash_store and
-  * q_dedup_clusters drifted ×1.67-1.70 vs the r10 artifact while their code
-  * was untouched, stable across both r11 bench runs — too stable to wave
-  * off as noise, too load-confounded to call a regression. This probe
-  * measures JUST the suspects against in-family calibration queries whose
-  * code also didn't change, best-of-N on one warmed JVM, so the box factor
-  * divides out: if suspect ratio ≈ calibration ratio, the drift was load;
-  * if it persists above, bisect.
+/** Equal-load adjudication probe (r11 verdict task 2, generalized per r12
+  * verdict task 2): when a round's driver bench artifact shows a query
+  * family drifting vs the committed baseline while its code is untouched,
+  * this tool separates LOAD from REGRESSION. It measures the SUSPECT
+  * queries against a fixed CALIBRATION set (stable queries whose code also
+  * didn't change), best-of-N on one warmed JVM, so the box factor divides
+  * out: suspect ratio ≈ calibration ratio ⇒ the drift was load; a ratio
+  * that persists above the envelope ⇒ bisect.
   *
-  * Usage: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain
-  * graft.tools.Adjudicate [reps]` — prints per-query best-of-reps seconds
-  * plus the r10-committed reference values inline for the ratio table.
+  * Usage:
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *   runMain graft.tools.Adjudicate [suspectsCsv] [reps] [refJson]
+  * }}}
+  *  - `suspectsCsv` — comma-separated registry query names to adjudicate
+  *    (default: the r11 pair `q_minhash_store,q_dedup_clusters`);
+  *  - `reps` — best-of-N repetitions (default 5);
+  *  - `refJson` — committed full-precision bench artifact holding the
+  *    reference seconds (default `BENCH_FULL.json`, the repo-root
+  *    committed baseline; any file in the `{"queries":{"q_x":sec,…}}`
+  *    shape works).
+  *
+  * The r12 round needed exactly this (ANN family + coreness read ×2-7.5
+  * in a polluted driver run) and the hard-coded r11 suspect list couldn't
+  * target them without a code edit.
   */
 object Adjudicate {
-  // r10 committed BENCH_FULL.json values (sf0.1, cpus=32) — the baseline
-  // the drift was measured against
-  private val r10: Map[String, Double] = Map(
-    "q_minhash_store" -> 1.126,
-    "q_dedup_clusters" -> 2.273,
-    "q_minhash_neardup" -> 1.223,
-    "q_cluster_survivors" -> 2.533,
-    "q_dedup_exact" -> 0.548,
-    "q_ngram_jaccard" -> 0.732,
-    "q_status_summary" -> 0.155)
+
+  /** Calibration queries: cheap-to-moderate, code-stable, spanning scan /
+    * agg / join / pair-join / iterative shapes so the median ratio tracks
+    * the box, not one workload class. Suspects are excluded from their
+    * own calibration automatically.
+    */
+  private val calibrationSet = Seq("q_status_summary", "q_dedup_exact",
+    "q_ngram_jaccard", "q_minhash_neardup", "q_cluster_survivors")
+
+  /** Minimal extractor for the BENCH_FULL artifact shape: top-level or
+    * nested `"q_name":<number>` pairs. Good enough for the committed
+    * artifact this tool reads; no JSON library exists offline.
+    */
+  private[tools] def parseRef(json: String): Map[String, Double] =
+    "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
 
   def main(args: Array[String]): Unit = {
-    val reps = args.lift(0).map(_.toInt).getOrElse(5)
+    val suspects = args.lift(0)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q_minhash_store", "q_dedup_clusters"))
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val refPath = args.lift(2).getOrElse("BENCH_FULL.json")
+    val unknown = suspects.filterNot(graft.queries.Registry.queries.contains)
+    require(unknown.isEmpty, s"unknown registry queries: ${unknown.mkString(",")}")
+    val ref = parseRef(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(refPath)))
+    val missingRef = suspects.filterNot(ref.contains)
+    require(missingRef.isEmpty,
+      s"$refPath has no reference value for: ${missingRef.mkString(",")}")
+    val calib = calibrationSet.filterNot(suspects.contains).filter(ref.contains)
+    require(calib.nonEmpty, s"no calibration query has a value in $refPath")
+    val names = calib ++ suspects
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -40,11 +76,9 @@ object Adjudicate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.LogLevels.quietCheckpointRelease()
-    val names = Seq("q_status_summary", "q_dedup_exact", "q_ngram_jaccard",
-      "q_minhash_neardup", "q_cluster_survivors",
-      "q_minhash_store", "q_dedup_clusters")
     // same warmup discipline as Bench: JVM/codegen first-touch, page-in
-    // every table, one un-timed store-commit pass
+    // every table, one un-timed pass over the measured queries (which
+    // also commits any _store query's artifact once per JVM)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     new java.io.File(sfDir).listFiles()
       .filter(_.getName.endsWith(".parquet"))
@@ -63,19 +97,17 @@ object Adjudicate {
         n -> dt
       }.toMap
     }
-    println("=== adjudication (best-of-" + reps + ", sf=" + sfDir + ") ===")
+    println(s"=== adjudication (best-of-$reps, sf=$sfDir, ref=$refPath) ===")
     val best = names.map(n => n -> results.map(_(n)).min).toMap
     names.foreach { n =>
-      val ratio = best(n) / r10(n)
-      println(f"$n%-22s best ${best(n)}%.3f s   r10 ${r10(n)}%.3f s   ratio $ratio%.2f")
+      val ratio = best(n) / ref(n)
+      println(f"$n%-22s best ${best(n)}%.3f s   ref ${ref(n)}%.3f s   ratio $ratio%.2f")
     }
-    val calib = Seq("q_status_summary", "q_dedup_exact", "q_ngram_jaccard",
-      "q_minhash_neardup", "q_cluster_survivors")
-    val calibRatios = calib.map(n => best(n) / r10(n)).sorted
+    val calibRatios = calib.map(n => best(n) / ref(n)).sorted
     val boxFactor = calibRatios(calibRatios.size / 2)
     println(f"calibration box factor (median of ${calib.size}): $boxFactor%.2f")
-    Seq("q_minhash_store", "q_dedup_clusters").foreach { n =>
-      val adj = best(n) / r10(n) / boxFactor
+    suspects.foreach { n =>
+      val adj = best(n) / ref(n) / boxFactor
       println(f"$n%-22s box-corrected ratio $adj%.2f " +
         (if (adj <= 1.2) "(within envelope — load)" else "(PERSISTS — bisect)"))
     }

@@ -191,7 +191,7 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(0) === 6L, "n_nodes")
     assert(row.getLong(1) === 5L, "n_edges")
     // degrees: 1:3, 2:2, 3:2, 4:1, 5:1, 6:1 -> wedges 3+1+1 = 5
-    assert(row.getLong(2) === 5L, "n_wedges")
+    assert(row.getDecimal(2).longValueExact === 5L, "n_wedges (DECIMAL(38,0) Σ)")
     assert(row.getLong(3) === 1L, "n_triangles")
     // clustering = 3*1/5 = 0.6 exactly
     assert(row.getLong(4) === 600000000000L, "clustering_pico")
@@ -203,11 +203,11 @@ class GraphSpec extends SparkSpec {
       .toDF("s", "d")
     val row = Graph.triangleStats(k4, "s", "d").collect().head
     assert(row.getLong(3) === 4L, "K4 has C(4,3)=4 triangles")
-    assert(row.getLong(2) === 12L, "K4 wedges: 4 nodes * C(3,2)")
+    assert(row.getDecimal(2).longValueExact === 12L, "K4 wedges: 4 nodes * C(3,2)")
     assert(row.getLong(4) === 1000000000000L, "K4 clustering is exactly 1")
     val empty = Seq.empty[(Long, Long)].toDF("s", "d")
     val z = Graph.triangleStats(empty, "s", "d").collect().head
-    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)) ===
+    assert((z.getLong(0), z.getLong(1), z.getDecimal(2).longValueExact, z.getLong(3)) ===
       ((0L, 0L, 0L, 0L)))
     assert(z.isNullAt(4), "no wedges -> NULL coefficient, not a fake 0")
   }
@@ -257,6 +257,24 @@ class GraphSpec extends SparkSpec {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
     assert(Graph.adamicAdar(star, "s", "d", maxApexDegree = 2L).count() === 0L)
     assert(Graph.adamicAdar(star, "s", "d").count() === 3L)
+  }
+
+  test("adamicAdar: a top-k boundary INSIDE an equal-score plateau is deterministic by the (score desc, u, v) tiebreak") {
+    import spark.implicits._
+    // 12-leaf star: every leaf pair shares exactly the center (deg 12), so
+    // ALL C(12,2) = 66 scored pairs sit on ONE plateau — k = 10 cuts
+    // inside it, the registry's q_adamic_adar shape at sf0.01 (853-row
+    // boundary plateau, r12 adjudication) in miniature. The law must
+    // return the lexicographically-first k pairs, identically every run.
+    val star12 = (1 to 12).map(i => (0L, i.toLong)).toDF("s", "d")
+    val expect = (for (u <- 1L to 12L; v <- (u + 1) to 12L) yield (u, v))
+      .sorted.take(10)
+    (1 to 2).foreach { _ =>
+      val got = Graph.adamicAdar(star12, "s", "d", k = 10).collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === expect)
+      // the plateau premise: every returned score is the same pico value
+      assert(got.map(_.getDecimal(3).longValueExact()).distinct.length === 1)
+    }
   }
 
   test("corenessEstimate: converges exactly to planted core numbers; super-hub of pendants stays coreness 1") {

@@ -83,6 +83,29 @@ class VocabSpec extends SparkSpec {
     assert(enc === want)
   }
 
+  test("BPE: maxVocabRows cap is part of the law — words outside the top rows never influence merges") {
+    // three high-frequency words (aa×50, ab×49, ba×48) + 60 DISTINCT
+    // one-off words each containing the adjacent pair z,q: uncapped, the
+    // (z,q) weight 60 dominates every top-word pair (max 50) and must be
+    // the first merge; capped at the top 3 rows, the one-off words are
+    // outside the trained vocabulary and (z,q) must never be merged —
+    // the documented driver-loop bound is a LAW, not best-effort.
+    val docs = Seq(
+      (Seq.fill(50)("aa") ++ Seq.fill(49)("ab") ++ Seq.fill(48)("ba"))
+        .mkString(" "),
+      // varying digit suffixes keep (z,q) the UNIQUE weight-60 pair (a
+      // constant 3rd letter would tie it with (q,·) and lose the
+      // lexicographic tiebreak)
+      (0 until 60).map(i => s"zq$i").mkString(" ")).toDF("text")
+    val uncapped = Vocab.trainBpeMerges(docs, "text", numMerges = 1)
+    assert(uncapped.head === (("z", "q")), s"uncapped first: ${uncapped.head}")
+    val capped = Vocab.trainBpeMerges(docs, "text", numMerges = 30,
+      maxVocabRows = 3)
+    assert(!capped.contains(("z", "q")),
+      s"capped merges leaked a beyond-cap pair: $capped")
+    assert(capped.head === (("a", "a</w>")), s"capped first: ${capped.head}")
+  }
+
   test("zipfFit: naive quantized replay, near -1 on a planted power law, degenerate single token NULL") {
     import org.apache.spark.sql.functions.col
     // planted frequencies ~ 1/rank: token t_r appears round(1200/r) times
