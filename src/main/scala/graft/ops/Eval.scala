@@ -672,4 +672,99 @@ object Eval {
         sum(col("_term")).as("rbo_pico"))
       .select(col("query_id"), col("n_common"), col("rbo_pico"))
   }
+
+  /** Kendall's τ (Kendall, Biometrika '38) between two per-query rankings
+    * restricted to their COMMON top-`k` items — the pairwise-concordance
+    * complement to [[rboAtKFromRankings]]'s prefix overlap (RBO weights
+    * WHERE lists agree; τ asks whether they ORDER the shared items the
+    * same way). Items ranked in both systems within top-k enter; pairs
+    * (i, j) are concordant when both systems order them alike,
+    * discordant otherwise. Ranks are row_numbers (no within-system
+    * ties), so plain τ = (C − D) / (n(n−1)/2) applies.
+    *
+    * Exact law: C, D, n are exact integers; τ is ONE fixed double chain
+    * quantized to picos; NULL for queries with fewer than 2 common items
+    * (undefined — visible NULL, not a fake 0).
+    *
+    * Scale shape: the pair expansion is a self-join keyed on the query
+    * with fan-out ≤ C(k, 2) per query — bounded by CONFIGURATION, never
+    * by corpus size (the per-query-bounded posture of the RBO/NDCG
+    * family; a corpus-level τ would be the O(n²) trap). One hash
+    * aggregate after.
+    *
+    * Output: (query_id, n_common, concordant, discordant, tau_pico).
+    */
+  def kendallTauFromRankings(rankings: DataFrame, queryCol: String,
+      itemCol: String, rankACol: String, rankBCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val paired = rankings.select(
+        col(queryCol).cast("long").as("query_id"),
+        col(itemCol).cast("long").as("_item"),
+        col(rankACol).cast("int").as("_ra"),
+        col(rankBCol).cast("int").as("_rb"))
+      .filter(col("_ra").isNotNull && col("_rb").isNotNull &&
+        col("_ra") <= k && col("_rb") <= k)
+    val l = paired.select(col("query_id"), col("_item").as("_i"),
+      col("_ra").as("_rai"), col("_rb").as("_rbi"))
+    val r = paired.select(col("query_id"), col("_item").as("_j"),
+      col("_ra").as("_raj"), col("_rb").as("_rbj"))
+    // DIAGONAL-INCLUSIVE self-join (i <= j): the i = j rows carry
+    // n_common, so ONE aggregate serves all three counters and the
+    // shared-rankings subtree has exactly two plan consumers (the
+    // rboAtKFromRankings known shape) instead of three — a query with a
+    // single common item still reports (n_common 1, 0, 0, NULL τ)
+    val pairs = l.join(r, Seq("query_id")).filter(col("_i") <= col("_j"))
+      .select(col("query_id"), (col("_i") === col("_j")).as("_diag"),
+        (((col("_rai") < col("_raj")) && (col("_rbi") < col("_rbj"))) ||
+          ((col("_rai") > col("_raj")) && (col("_rbi") > col("_rbj"))))
+          .as("_conc"))
+    pairs.groupBy(col("query_id"))
+      .agg(sum(when(col("_diag"), 1L).otherwise(0L)).as("n_common"),
+        sum(when(!col("_diag") && col("_conc"), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(!col("_diag") && !col("_conc"), 1L).otherwise(0L))
+          .as("discordant"))
+      .withColumn("tau_pico",
+        when(col("n_common") >= 2L,
+          round((col("concordant") - col("discordant")).cast("double")
+            / ((col("n_common") * (col("n_common") - 1L)).cast("double")
+              / lit(2.0)) * 1000000000000.0).cast("long")))
+  }
+
+  /** Character error rate (the ASR/OCR eval staple: Levenshtein edits per
+    * reference character) of a candidate against a reference, over
+    * ASCII-normalized fixed-length prefixes. Two dialect traps are
+    * designed out as part of the LAW: non-ASCII strips BEFORE the
+    * distance (Spark's levenshtein counts codepoints, DuckDB's counts
+    * BYTES — on pure ASCII they agree exactly), and the comparison runs
+    * on `prefixLen`-char prefixes (edit distance is O(len²) per row — a
+    * capped prefix keeps per-row cost a CONSTANT at 100 TB, the pqScan
+    * boundedness posture applied to a quadratic string kernel).
+    *
+    * Exact law: the edit count and prefix length are exact integers;
+    * `cer_pico = round(edits / ref_chars · 1e12)` is one fixed double
+    * chain, NULL when the reference prefix is empty.
+    *
+    * Scale shape: one narrow projection — no join, no window, no shuffle
+    * beyond the caller's. Codegen'd builtins only.
+    *
+    * Output: (idCol, ref_chars, edit_dist, cer_pico).
+    */
+  def cerAtPrefix(df: DataFrame, idCol: String, refCol: String,
+      candCol: String, prefixLen: Int = 256): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    def prep(c: Column) = substring(
+      regexp_replace(coalesce(c, lit("")), "[^\\x00-\\x7F]", ""),
+      1, prefixLen)
+    df.select(col(idCol), prep(col(refCol)).as("_r"), prep(col(candCol)).as("_c"))
+      .select(col(idCol),
+        length(col("_r")).cast("long").as("ref_chars"),
+        levenshtein(col("_r"), col("_c")).cast("long").as("edit_dist"))
+      .withColumn("cer_pico",
+        when(col("ref_chars") > 0L,
+          round(col("edit_dist").cast("double")
+            / col("ref_chars").cast("double") * 1000000000000.0)
+            .cast("long")))
+  }
 }

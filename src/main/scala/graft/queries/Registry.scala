@@ -5665,6 +5665,91 @@ object Registry {
       | LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
+  /** Character error rate ([[graft.ops.Eval.cerAtPrefix]] — Levenshtein
+    * edits per reference character, the ASR/OCR eval staple) of the
+    * 30-token-head candidate against the full text, over ASCII-normalized
+    * 256-char prefixes. Both dialect traps are part of the law: non-ASCII
+    * strips first (Spark levenshtein counts codepoints, DuckDB counts
+    * bytes — equal on pure ASCII) and the prefix cap bounds the O(len²)
+    * DP per row. Exact integer edits; one fixed pico chain.
+    */
+  def qCerEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("ref"),
+        concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")),
+          1, 30)).as("cand"))
+    graft.ops.Eval.cerAtPrefix(docs, "doc_id", "ref", "cand", prefixLen = 256)
+      .orderBy("doc_id")
+  }
+
+  val qCerEvalSql: String = {
+    val strip = (c: String) =>
+      s"substr(regexp_replace(COALESCE($c, ''), '[^\\x00-\\x7F]', '', 'g'), 1, 256)"
+    s"""WITH base AS (SELECT doc_id, ${strip("text")} AS r,
+      |   ${strip(s"array_to_string(list_slice($tokensSql, 1, 30), ' ')")} AS c
+      |  FROM documents)
+      | SELECT doc_id, CAST(length(r) AS BIGINT) AS ref_chars,
+      |  CAST(levenshtein(r, c) AS BIGINT) AS edit_dist,
+      |  CASE WHEN length(r) > 0 THEN
+      |   CAST(round(CAST(levenshtein(r, c) AS DOUBLE)
+      |     / CAST(length(r) AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |  END AS cer_pico
+      | FROM base ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Kendall's τ between the cosine and L2 rankings over their common
+    * top-20 ([[graft.ops.Eval.kendallTauFromRankings]], Kendall '38):
+    * the pairwise-concordance complement to q_rbo_eval's prefix overlap
+    * — same [[graft.ops.Similarity.systemRankings]] frame, asking
+    * whether the two systems ORDER the shared items alike. Exact
+    * concordant/discordant integers, pair fan-out ≤ C(20,2) per query,
+    * one fixed pico chain; fully hash-oracled (the rankings replay via
+    * the q_rbo_eval fixed IEEE chain).
+    */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val r = graft.ops.Similarity.systemRankings(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", perSystemK = 20)
+    graft.ops.Eval.kendallTauFromRankings(
+        r, "query_id", "neighbor_id", "rk_cos", "rk_l2", k = 20)
+      .orderBy("query_id")
+  }
+
+  val qKendallTauSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |   list_dot_product(qv, cv) AS dp, list_dot_product(cv, cv) AS cc,
+      |   list_dot_product(qv, qv) AS qq
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | s2 AS (SELECT query_id, neighbor_id, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   (cc - 2.0 * dp) + qq AS l2sq FROM s),
+      | r AS (SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rkc,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY l2sq ASC, neighbor_id) AS rkl
+      |  FROM s2),
+      | m AS (SELECT query_id, neighbor_id, rkc, rkl FROM r
+      |  WHERE rkc <= 20 AND rkl <= 20),
+      | nc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common FROM m GROUP BY 1),
+      | pr AS (SELECT a.query_id,
+      |   CAST(SUM(CASE WHEN (a.rkc < b.rkc AND a.rkl < b.rkl)
+      |     OR (a.rkc > b.rkc AND a.rkl > b.rkl) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |   CAST(SUM(CASE WHEN (a.rkc < b.rkc AND a.rkl < b.rkl)
+      |     OR (a.rkc > b.rkc AND a.rkl > b.rkl) THEN 0 ELSE 1 END) AS BIGINT) AS discordant
+      |  FROM m a JOIN m b ON b.query_id = a.query_id
+      |    AND a.neighbor_id < b.neighbor_id
+      |  GROUP BY 1)
+      | SELECT nc.query_id, nc.n_common,
+      |  COALESCE(pr.concordant, 0) AS concordant,
+      |  COALESCE(pr.discordant, 0) AS discordant,
+      |  CASE WHEN nc.n_common >= 2 THEN
+      |   CAST(round(CAST(COALESCE(pr.concordant, 0) - COALESCE(pr.discordant, 0) AS DOUBLE)
+      |     / (CAST(nc.n_common * (nc.n_common - 1) AS DOUBLE) / 2.0)
+      |     * 1000000000000.0) AS BIGINT)
+      |  END AS tau_pico
+      | FROM nc LEFT JOIN pr ON pr.query_id = nc.query_id
+      | ORDER BY nc.query_id""".stripMargin.replace("\n", " ")
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -6861,6 +6946,8 @@ object Registry {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_mrr_eval" -> (qMrrEval _),
     "q_chrf_eval" -> (qChrfEval _),
+    "q_cer_eval" -> (qCerEval _),
+    "q_kendall_tau" -> (qKendallTau _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7065,6 +7152,8 @@ object Registry {
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_mrr_eval" -> qMrrEvalSql,
     "q_chrf_eval" -> qChrfEvalSql,
+    "q_cer_eval" -> qCerEvalSql,
+    "q_kendall_tau" -> qKendallTauSql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

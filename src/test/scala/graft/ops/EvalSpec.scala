@@ -345,4 +345,49 @@ class EvalSpec extends SparkSpec {
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) === ((3L, 2L, 2L)))
   }
 
+  test("kendallTau: identical +1, reversed -1, hand-scored mix, <2 common NULL, rank>k excluded") {
+    // q1: identical orders → all C(3,2)=3 pairs concordant, tau 1
+    // q2: reversed → all discordant, tau -1
+    // q3: ranks A (1,2,3) vs B (1,3,2): pairs (i,j),(i,k) concordant,
+    //     (j,k) discordant → tau = (2-1)/3
+    // q4: one common item → NULL tau
+    // q5: an item with rank > k on one side must not enter
+    val rows = Seq(
+      (1L, 10L, 1, 1), (1L, 11L, 2, 2), (1L, 12L, 3, 3),
+      (2L, 10L, 1, 3), (2L, 11L, 2, 2), (2L, 12L, 3, 1),
+      (3L, 10L, 1, 1), (3L, 11L, 2, 3), (3L, 12L, 3, 2),
+      (4L, 10L, 1, 1),
+      (5L, 10L, 1, 1), (5L, 11L, 2, 2), (5L, 12L, 3, 99))
+      .toDF("q", "item", "ra", "rb")
+    val got = Eval.kendallTauFromRankings(rows, "q", "item", "ra", "rb", k = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) === ((3L, 3L, 0L, Some(1000000000000L))))
+    assert(got(2L) === ((3L, 0L, 3L, Some(-1000000000000L))))
+    assert(got(3L) === ((3L, 2L, 1L, Some(333333333333L))))
+    assert(got(4L) === ((1L, 0L, 0L, None)))
+    // q5: item 12's rb=99 > k drops it; the remaining 2 agree → tau 1
+    assert(got(5L) === ((2L, 1L, 0L, Some(1000000000000L))))
+  }
+
+  test("cerAtPrefix: hand-scored edits, identity 0, empty-ref NULL, non-ASCII strip, prefix cap") {
+    val rows = Seq(
+      (1L, "kitten", "sitting"),   // classic distance 3 over 6 ref chars
+      (2L, "same text", "same text"), // identity → 0
+      (3L, "", "anything"),        // empty ref → NULL cer
+      (4L, "héllo", "hello"),      // é strips BOTH sides → hllo vs hello: 1 edit / 4
+      (5L, "a" * 300, "a" * 300 + "zzz")) // cap at 256: suffix past the prefix invisible
+      .toDF("id", "ref", "cand")
+    val got = Eval.cerAtPrefix(rows, "id", "ref", "cand", prefixLen = 256)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) === ((6L, 3L, Some(500000000000L))))
+    assert(got(2L) === ((9L, 0L, Some(0L))))
+    assert(got(3L) === ((0L, 8L, None)))
+    assert(got(4L) === ((4L, 1L, Some(250000000000L))))
+    assert(got(5L) === ((256L, 0L, Some(0L))))
+  }
+
 }

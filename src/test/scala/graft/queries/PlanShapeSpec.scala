@@ -901,6 +901,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_kendall_tau: pair expansion keyed on query_id, bounded by the broadcast query batch") {
+    val p = plan("q_kendall_tau")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ranking windows partition by query_id — never a corpus-wide sort
+    assert(!p.contains("windowspecdefinition()") &&
+      "windowspecdefinition\\(query_id".r.findAllIn(p).nonEmpty, p)
+    // nested-loop frames: only the broadcast query batch against the
+    // corpus plus the boundedness guard's 1-row count, once per consumer
+    // of the shared rankings subtree (the q_rbo_eval known shape). The
+    // C(k,2) pair self-join itself must stay keyed on query_id.
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 5, s"beyond the broadcast query-batch/guard frames:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_cer_eval: one narrow codegen'd projection — no join, no window, no shuffle beyond the sort") {
+    val p = plan("q_cer_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("q_spearman_corr: rank tables broadcast back onto the corpus; no corpus-wide window") {
     val p = plan("q_spearman_corr")
     assert(p.contains("BroadcastHashJoin"),
