@@ -40,7 +40,7 @@ object Verify {
     * are a real law divergence; unequal fingerprints name the stale build.
     * Returns (sha256-hex, class-file count, newest class mtime ISO-8601).
     */
-  private[graft] def buildFingerprint(): (String, Int, String) = {
+  private[graft] def buildFingerprint(): (String, Int, String, String) = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(
       SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
@@ -61,9 +61,27 @@ object Verify {
         .sortBy(_._1)
         .foreach { case (rel, p) => feed(rel, p) }
       finally s.close()
-    } else feed(root.getFileName.toString, root) // packaged-jar deployment
+    } else {
+      // packaged-jar deployment (sbt runMain runs from a freshly-built
+      // temp jar): hash the CLASS ENTRIES, sorted by name — hashing the
+      // jar file whole would fold in zip timestamps and make two
+      // packagings of IDENTICAL classes fingerprint differently (a false
+      // "skew" on every run); newest-mtime falls back to the jar's own.
+      val jar = new java.util.jar.JarFile(root.toFile)
+      try jar.entries().asScala.toSeq
+        .filter(e => !e.isDirectory && e.getName.endsWith(".class"))
+        .sortBy(_.getName)
+        .foreach { e =>
+          md.update(e.getName.getBytes("UTF-8"))
+          val in = jar.getInputStream(e)
+          try md.update(in.readAllBytes()) finally in.close()
+          n += 1
+        }
+      finally jar.close()
+      newest = Files.getLastModifiedTime(root).toMillis
+    }
     val hex = md.digest().map(b => f"$b%02x").mkString
-    (hex, n, java.time.Instant.ofEpochMilli(newest).toString)
+    (hex, n, java.time.Instant.ofEpochMilli(newest).toString, root.toString)
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,12 +102,13 @@ object Verify {
     // fingerprint FIRST, before any query runs: a crashed dump still
     // records which engine produced whatever landed
     try {
-      val (fp, nClasses, newestMtime) = buildFingerprint()
-      System.err.println(
-        s"[verify] build fingerprint sha256=$fp classes=$nClasses newest=$newestMtime")
+      val (fp, nClasses, newestMtime, root) = buildFingerprint()
+      System.err.println(s"[verify] build fingerprint sha256=$fp " +
+        s"classes=$nClasses newest=$newestMtime root=$root")
       Files.writeString(Paths.get(s"$outDir/build_fingerprint.json"),
         s"""{"classes_sha256":"$fp","n_class_files":$nClasses,""" +
-          s""""newest_class_mtime":"$newestMtime"}""")
+          s""""newest_class_mtime":"$newestMtime",""" +
+          s""""classpath_root":${jsonEscape(root)}}""")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] build fingerprint failed: ${e.getMessage}")
     }
