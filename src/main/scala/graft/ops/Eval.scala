@@ -732,6 +732,45 @@ object Eval {
               / lit(2.0)) * 1000000000000.0).cast("long")))
   }
 
+  /** Unbiased pass@k (Chen et al., arXiv 2107.03374 — THE code/agent
+    * benchmark estimator: the probability that at least one of k random
+    * draws from a task's n attempts succeeds,
+    * `1 − C(n−c, k)/C(n, k)`, which is unbiased where the naive
+    * "best-of-first-k" is not). Attempts with a NULL success flag are
+    * excluded (no truth — the AUC discipline).
+    *
+    * Exact law: n and c are exact integers; the binomial RATIO evaluates
+    * as the k-term product `Π (n−c−i)/(n−i)` — one FIXED left-associated
+    * double chain (never the factorials, which overflow anything), so
+    * the oracle replays it term for term. Tasks with n < k report NULL
+    * (the estimator is undefined — visible NULL, not a fake value);
+    * n − c < k short-circuits to exactly 1 (C(n−c,k) = 0).
+    *
+    * Scale shape: ONE hash aggregate over the attempts (map-side
+    * combine), then a narrow projection. No join, no window.
+    *
+    * Output: (task_id, n_attempts, n_correct, pass_at_k_pico).
+    */
+  def passAtK(attempts: DataFrame, taskCol: String, successCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = attempts.filter(col(successCol).isNotNull)
+      .groupBy(col(taskCol).as("task_id"))
+      .agg(count(lit(1)).as("n_attempts"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val nD = col("n_attempts").cast("double")
+    val fD = (col("n_attempts") - col("n_correct")).cast("double")
+    val prod = (0 until k)
+      .map(i => (fD - lit(i.toDouble)) / (nD - lit(i.toDouble)))
+      .reduce(_ * _)
+    g.withColumn("pass_at_k_pico",
+      when(col("n_attempts") >= k.toLong,
+        when(col("n_attempts") - col("n_correct") < k.toLong,
+          lit(1000000000000L))
+          .otherwise(round((lit(1.0) - prod) * 1000000000000.0).cast("long"))))
+  }
+
   /** Character error rate (the ASR/OCR eval staple: Levenshtein edits per
     * reference character) of a candidate against a reference, over
     * ASCII-normalized fixed-length prefixes. Two dialect traps are

@@ -5750,6 +5750,61 @@ object Registry {
       | FROM nc LEFT JOIN pr ON pr.query_id = nc.query_id
       | ORDER BY nc.query_id""".stripMargin.replace("\n", " ")
 
+  /** Unbiased pass@5 per user-task over purchase outcomes
+    * ([[graft.ops.Eval.passAtK]], Chen et al. '21): the code/agent
+    * benchmark estimator `1 − C(n−c,5)/C(n,5)` with the binomial ratio
+    * as one fixed left-associated 5-term double chain — exact n/c
+    * integers, NULL below 5 attempts, exactly 1 when fewer than 5
+    * failures exist. One hash aggregate; fully hash-oracled.
+    */
+  def qPassAtK(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.passAtK(
+        t(spark, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select(col("user_id"), (col("event_type") === "purchase").as("ok")),
+        "user_id", "ok", k = 5)
+      .orderBy("task_id")
+
+  val qPassAtKSql: String = {
+    val prod = (0 until 5).map(i =>
+      s"((CAST(n_attempts - n_correct AS DOUBLE) - $i.0)" +
+        s" / (CAST(n_attempts AS DOUBLE) - $i.0))").mkString(" * ")
+    s"""WITH a AS (SELECT user_id AS task_id,
+      |   CAST(COUNT(*) AS BIGINT) AS n_attempts,
+      |   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1)
+      | SELECT task_id, n_attempts, n_correct,
+      |  CASE WHEN n_attempts >= 5 THEN
+      |   CASE WHEN n_attempts - n_correct < 5 THEN 1000000000000
+      |    ELSE CAST(round((1.0 - ($prod)) * 1000000000000.0) AS BIGINT) END
+      |  END AS pass_at_k_pico
+      | FROM a ORDER BY task_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** k-anonymity release screen over the customer quasi-identifiers
+    * (nation, market segment) ([[graft.ops.Privacy.kAnonymityCells]],
+    * Sweeney '02): every equivalence class smaller than k = 10 is
+    * flagged re-identifiable. Exact integer cell counts, output bounded
+    * by distinct QI combinations; NULLs form their own class on both
+    * engines.
+    */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.kAnonymityCells(
+        t(spark, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation_key"),
+            col("c_mktsegment").as("segment")),
+        Seq("nation_key", "segment"), k = 10L)
+      .orderBy("nation_key", "segment")
+
+  val qKAnonymitySql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+      |  c_mktsegment AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  COUNT(*) < 10 AS at_risk
+      | FROM customer GROUP BY 1, 2 ORDER BY nation_key, segment"""
+      .stripMargin.replace("\n", " ")
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -6948,6 +7003,8 @@ object Registry {
     "q_chrf_eval" -> (qChrfEval _),
     "q_cer_eval" -> (qCerEval _),
     "q_kendall_tau" -> (qKendallTau _),
+    "q_pass_at_k" -> (qPassAtK _),
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7154,6 +7211,8 @@ object Registry {
     "q_chrf_eval" -> qChrfEvalSql,
     "q_cer_eval" -> qCerEvalSql,
     "q_kendall_tau" -> qKendallTauSql,
+    "q_pass_at_k" -> qPassAtKSql,
+    "q_k_anonymity" -> qKAnonymitySql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

@@ -371,6 +371,30 @@ class EvalSpec extends SparkSpec {
     assert(got(5L) === ((2L, 1L, 0L, Some(1000000000000L))))
   }
 
+  test("passAtK: hand-computed C(n-c,k)/C(n,k) cases, all-fail 0, few-fail 1, n<k NULL, NULL-flag exclusion") {
+    // t1: n=6, c=1, k=5 → 1 − C(5,5)/C(6,5) = 1 − 1/6 = 5/6
+    // t2: n=5, c=0 → 1 − C(5,5)/C(5,5) = 0 (all fail)
+    // t3: n=5, c=1 → n−c=4 < k → exactly 1
+    // t4: n=4 < k → NULL (undefined)
+    // t5: 5 valid attempts + one NULL flag — NULL rows carry no truth
+    val rows =
+      (Seq.fill(5)((1L, Some(false))) :+ ((1L, Some(true)))) ++
+      Seq.fill(5)((2L, Some(false))) ++
+      (Seq.fill(4)((3L, Some(false))) :+ ((3L, Some(true)))) ++
+      Seq.fill(4)((4L, Some(false))) ++
+      (Seq.fill(5)((5L, Some(false))) :+ ((5L, Option.empty[Boolean])))
+    val df = rows.toDF("task", "ok")
+    val got = Eval.passAtK(df, "task", "ok", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) === ((6L, 1L, Some(833333333333L)))) // round(5/6 · 1e12)
+    assert(got(2L) === ((5L, 0L, Some(0L))))
+    assert(got(3L) === ((5L, 1L, Some(1000000000000L))))
+    assert(got(4L) === ((4L, 0L, None)))
+    assert(got(5L) === ((5L, 0L, Some(0L))), "NULL flag row must not count")
+  }
+
   test("cerAtPrefix: hand-scored edits, identity 0, empty-ref NULL, non-ASCII strip, prefix cap") {
     val rows = Seq(
       (1L, "kitten", "sitting"),   // classic distance 3 over 6 ref chars

@@ -924,6 +924,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("q_pass_at_k and q_k_anonymity: ONE hash aggregate each — no join, no window") {
+    Seq("q_pass_at_k", "q_k_anonymity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+        !p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+      assert(!p.contains("windowspecdefinition"), s"$q:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
   test("q_spearman_corr: rank tables broadcast back onto the corpus; no corpus-wide window") {
     val p = plan("q_spearman_corr")
     assert(p.contains("BroadcastHashJoin"),
