@@ -39,4 +39,36 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("at_risk", col("n_rows") < k)
   }
+
+  /** Distinct l-diversity cell report (Machanavajjhala et al., ICDE '06
+    * — the attack k-anonymity misses: a k-sized cell whose SENSITIVE
+    * attribute is homogeneous still discloses it; every member of a
+    * 50-person cell that is all 'oncology' has their diagnosis leaked):
+    * per QI equivalence class, the distinct count of the sensitive
+    * column, flagged when below `l`. NULL sensitive values are excluded
+    * from the distinct count (they assert no value — COUNT(DISTINCT)
+    * law, identical in the oracle); NULL QI values form their own class
+    * as in [[kAnonymityCells]].
+    *
+    * Exact law: cell size and distinct-sensitive counts are exact
+    * integers; `at_risk` is strict `< l`. Output bounded by distinct QI
+    * combinations.
+    *
+    * Scale shape: one hash aggregate with a distinct-count (Spark
+    * expands to the standard two-phase partial aggregate). No join, no
+    * window.
+    *
+    * Output: (qi columns…, n_rows, n_sensitive, at_risk).
+    */
+  def lDiversityCells(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 1L, s"l must be >= 1, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
 }

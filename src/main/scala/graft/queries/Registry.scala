@@ -5805,6 +5805,78 @@ object Registry {
       | FROM customer GROUP BY 1, 2 ORDER BY nation_key, segment"""
       .stripMargin.replace("\n", " ")
 
+  /** Distinct l-diversity screen over customers: QI = nation, sensitive
+    * = market segment ([[graft.ops.Privacy.lDiversityCells]],
+    * Machanavajjhala et al. '06): the homogeneity attack k-anonymity
+    * misses — a big cell whose sensitive attribute has fewer than l = 3
+    * distinct values still discloses it. Exact integer counts; NULL
+    * sensitive values excluded from the distinct count on both engines.
+    */
+  def qLDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.lDiversityCells(
+        t(spark, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation_key"),
+            col("c_mktsegment").as("segment")),
+        Seq("nation_key"), "segment", l = 3L)
+      .orderBy("nation_key")
+
+  val qLDiversitySql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+      |  COUNT(DISTINCT c_mktsegment) < 3 AS at_risk
+      | FROM customer GROUP BY 1 ORDER BY nation_key"""
+      .stripMargin.replace("\n", " ")
+
+  /** Hourly autocorrelogram of event traffic at lags 1..24
+    * ([[graft.ops.Timeseries.binnedAcf]]): the seasonality /
+    * self-similarity screen beside q_burstiness's dispersion — daily
+    * periodicity shows as a lag-24 peak, a scheduled bot as near-1 at
+    * its period. Dense-grid law (missing hours are 0), every moment and
+    * cross term an exact integer, the ratio multiplied through by N² so
+    * ONE double division ends the chain.
+    */
+  def qAcfHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.binnedAcf(t(spark, dir, "events"), "ts", maxLag = 24)
+
+  val qAcfHourlySql: String = {
+    val us = 3600000000L
+    // all-integer numerator/denominator in HUGEINT (the engine's
+    // DECIMAL(38,0) twin): num = N^2*C - N*S1*(2*S1-hd-tl) + (N-L)*S1^2,
+    // den = N^2*S2 - N*S1^2 — exact, so term order is free; the single
+    // double division is the only float
+    s"""WITH hb AS (SELECT (epoch_us(ts) - (((epoch_us(ts) % $us) + $us) % $us)) // $us AS h
+      |  FROM events WHERE ts IS NOT NULL),
+      | o AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS y FROM hb GROUP BY 1),
+      | st AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax,
+      |   CAST(SUM(y) AS HUGEINT) AS s1,
+      |   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2 FROM o),
+      | lg AS (SELECT CAST(unnest(generate_series(1, 24)) AS BIGINT) AS lag),
+      | cl AS (SELECT lag, CAST(SUM(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS clv
+      |  FROM o a CROSS JOIN lg JOIN o b ON b.h = a.h + lag GROUP BY 1),
+      | ht AS (SELECT lag,
+      |   CAST(SUM(CASE WHEN a.h < st.hmin + lag THEN a.y ELSE 0 END) AS HUGEINT) AS hd,
+      |   CAST(SUM(CASE WHEN a.h > st.hmax - lag THEN a.y ELSE 0 END) AS HUGEINT) AS tl
+      |  FROM o a CROSS JOIN lg CROSS JOIN st GROUP BY 1)
+      | SELECT lg.lag AS lag,
+      |  CASE WHEN (st.hmax - st.hmin + 1) > lg.lag
+      |   THEN (st.hmax - st.hmin + 1) - lg.lag ELSE 0 END AS n_pairs,
+      |  CASE WHEN (st.hmax - st.hmin + 1) > lg.lag AND
+      |    (CAST(st.hmax - st.hmin + 1 AS HUGEINT) * (st.hmax - st.hmin + 1) * st.s2
+      |     - (st.hmax - st.hmin + 1) * st.s1 * st.s1) <> 0
+      |   THEN CAST(round(CAST(
+      |     CAST(st.hmax - st.hmin + 1 AS HUGEINT) * (st.hmax - st.hmin + 1) * COALESCE(cl.clv, 0)
+      |     - (st.hmax - st.hmin + 1) * st.s1 * (2 * st.s1 - COALESCE(ht.hd, 0) - COALESCE(ht.tl, 0))
+      |     + ((st.hmax - st.hmin + 1) - lg.lag) * st.s1 * st.s1
+      |    AS DOUBLE) / CAST(
+      |     CAST(st.hmax - st.hmin + 1 AS HUGEINT) * (st.hmax - st.hmin + 1) * st.s2
+      |     - (st.hmax - st.hmin + 1) * st.s1 * st.s1
+      |    AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |  END AS acf_pico
+      | FROM lg LEFT JOIN cl ON cl.lag = lg.lag LEFT JOIN ht ON ht.lag = lg.lag
+      | CROSS JOIN st ORDER BY lag""".stripMargin.replace("\n", " ")
+  }
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -7005,6 +7077,8 @@ object Registry {
     "q_kendall_tau" -> (qKendallTau _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_l_diversity" -> (qLDiversity _),
+    "q_acf_hourly" -> (qAcfHourly _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7213,6 +7287,8 @@ object Registry {
     "q_kendall_tau" -> qKendallTauSql,
     "q_pass_at_k" -> qPassAtKSql,
     "q_k_anonymity" -> qKAnonymitySql,
+    "q_l_diversity" -> qLDiversitySql,
+    "q_acf_hourly" -> qAcfHourlySql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

@@ -26,6 +26,26 @@ class PrivacySpec extends SparkSpec {
     assert(got((None, "A")) === ((2L, true)), "NULL QI groups as its own class")
   }
 
+  test("lDiversityCells: homogeneous big cell flagged, NULL sensitive excluded, QI/sensitive overlap rejected") {
+    // (US): 3 rows, all segment A → k-anonymous at 3 but 1-diverse → risky
+    // (DE): 2 rows, segments A/B → 2-diverse → safe at l=2
+    // (FR): 2 rows, one NULL sensitive → distinct count 1 → risky
+    val rows = Seq(
+      ("US", Some("A")), ("US", Some("A")), ("US", Some("A")),
+      ("DE", Some("A")), ("DE", Some("B")),
+      ("FR", Some("A")), ("FR", Option.empty[String]))
+      .toDF("nation", "segment")
+    val got = Privacy.lDiversityCells(rows, Seq("nation"), "segment", l = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("US") === ((3L, 1L, true)), "homogeneous cell is the l-diversity attack")
+    assert(got("DE") === ((2L, 2L, false)))
+    assert(got("FR") === ((2L, 1L, true)), "NULL sensitive asserts no value")
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversityCells(rows, Seq("segment"), "segment", l = 2L)
+    }
+  }
+
   test("kAnonymityCells: k=1 flags nothing; invalid arguments rejected") {
     val rows = Seq(("x", 1L), ("y", 2L)).toDF("q", "v")
     assert(Privacy.kAnonymityCells(rows, Seq("q"), k = 1L)

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TimeseriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsAtHour(h: Long) = new java.sql.Timestamp(h * 3600L * 1000L)
+
+  test("binnedAcf: hand-computed alternating series (gaps are zeros), lag>grid NULL, pair counts") {
+    // events at hours 0, 2, 4 (2 each) → dense grid y = [2,0,2,0,2],
+    // N = 5, S1 = 6, S2 = 12
+    val ev = Seq(0L, 0L, 2L, 2L, 4L, 4L).map(tsAtHour).toDF("ts")
+    val got = Timeseries.binnedAcf(ev, "ts", maxLag = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    // lag 1: num = 25·0 − 5·6·(12−2−2) + 4·36 = −96, den = 25·12 − 5·36
+    // = 120 → −0.8 exactly
+    assert(got(1L) === ((4L, Some(-800000000000L))))
+    // lag 2: C₂ = 8, head = tail = 2 → num = 200 − 240 + 108 = 68 →
+    // 68/120 = 0.5666… (the period-2 peak)
+    assert(got(2L) === ((3L, Some(566666666667L))))
+    // lag 4: C₄ = 4, head = 4, tail = 4 → num = 100 − 120 + 36 = 16 →
+    // 16/120 = 0.1333…
+    assert(got(4L) === ((1L, Some(133333333333L))))
+    // lags at/past the grid length: no pairs, visible NULL
+    assert(got(5L) === ((0L, None)))
+    assert(got(6L) === ((0L, None)))
+  }
+
+  test("binnedAcf: constant series has undefined ACF (NULL, not a fake 1); NULL ts excluded") {
+    val ev = ((0L to 3L).map(tsAtHour).map(Option(_)) :+
+      Option.empty[java.sql.Timestamp]).toDF("ts")
+    val got = Timeseries.binnedAcf(ev, "ts", maxLag = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1L) === ((3L, None)), "den = 0 on a constant grid")
+    assert(got(2L) === ((2L, None)))
+  }
+}

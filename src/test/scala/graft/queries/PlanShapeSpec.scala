@@ -924,8 +924,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("levenshtein"), p)
   }
 
-  test("q_pass_at_k and q_k_anonymity: ONE hash aggregate each — no join, no window") {
-    Seq("q_pass_at_k", "q_k_anonymity").foreach { q =>
+  test("q_acf_hourly: moments broadcast; cross-term join keyed on the shifted bin; no window") {
+    val p = plan("q_acf_hourly")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // the only nested-loop frames are the broadcast 24-row lag table and
+    // the broadcast 1-row moment frame; the C_L join itself is hash-keyed
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 4, s"beyond the lag/moment broadcasts:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_pass_at_k, q_k_anonymity, q_l_diversity: ONE hash aggregate each — no join, no window") {
+    Seq("q_pass_at_k", "q_k_anonymity", "q_l_diversity").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
         !p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
