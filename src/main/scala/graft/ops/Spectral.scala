@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed spectral structure of an embedding corpus — the principal
+  * direction a curation pipeline whitens against, monitors for collapse
+  * (one dominant component ⇒ the embedder is degenerating), and uses to
+  * explain centroid drift. The reference has no analog; this extends the
+  * engine the same way [[Similarity]] does (SURVEY.md §8).
+  *
+  * Everything follows the engine's exact-integer discipline: components
+  * micro-quantize BEFORE any Σ (the [[Similarity.embeddingDimStats]]
+  * law), the covariance multiplies through by n² so every matrix cell is
+  * an exact integer, and the power iteration is the [[Graph.hitsMicro]]
+  * round shape — exact integer matrix-vector products with ONE fixed
+  * max-abs normalization chain per round — so any engine replays the
+  * loadings bit-for-bit.
+  */
+object Spectral {
+
+  /** Top principal component of the vector column by `rounds` of power
+    * iteration over the exact n²-scaled covariance matrix, plus the
+    * Rayleigh explained-variance share.
+    *
+    * Law, step by step (all replayable in SQL):
+    *   - rows with a NULL vector or any non-finite component drop (they
+    *     assert no direction);
+    *   - components quantize to micro-units `q = round(x·1e6)` (long);
+    *   - second moments `M_ij = Σ_docs q_i·q_j` and means `m_i = Σ q_i`
+    *     aggregate exactly (DECIMAL(38,0)); the n²-scaled covariance is
+    *     the exact integer `C_ij = n·M_ij − m_i·m_j`;
+    *   - `v⁰ = e₀` (1e6 at dim 0); one round is the exact integer
+    *     matrix-vector product `w_j = Σ_i C_ij·v_i` followed by max-abs
+    *     micro normalization `v'_j = round(w_j / max|w| · 1e6)` — the
+    *     hitsMicro chain (0 when the product is all zero);
+    *   - sign convention: if the loading at the smallest dim with a
+    *     nonzero loading is negative, all loadings flip (eigenvectors
+    *     are sign-ambiguous; the law pins one);
+    *   - `eigen_share_pico = round(vᵀCv / (vᵀv · trace C) · 1e12)` — the
+    *     Rayleigh quotient's share of total variance, one fixed double
+    *     chain over three exact integers (NULL for a zero trace).
+    *
+    * Scale shape: the per-row d² pair expansion (the standard Gram-matrix
+    * shuffle, bounded by CONFIGURATION — d², not data) feeds one hash
+    * aggregate into a d²-row matrix frame; every round is a broadcast-
+    * joinable d²⋈d join + one d-row aggregate + a 1-row max broadcast.
+    * The corpus is read ONCE; no driver state beyond plans.
+    *
+    * Output: (dim, loading_micro, eigen_share_pico) — one row per vector
+    * dimension.
+    *
+    * Domain bound (explicit, the pqScan posture): with micro-quantized
+    * unit-scale components, the Rayleigh quad form peaks at
+    * ~n²·q⁴·d² ≈ 10³⁶ around n = 3·10⁸ rows — the DECIMAL(38,0) edge.
+    * The spectral probe is a DIAGNOSTIC: past that, run it over a
+    * deterministic sample (q_fixed_sample / hash-mod), which is how PCA
+    * probes run on 100 TB corpora anyway; the law itself never needs the
+    * full corpus to be meaningful.
+    */
+  def topComponentMicro(df: DataFrame, idCol: String, vecCol: String,
+      rounds: Int = 12): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dec = "decimal(38,0)"
+    val clean = df
+      .filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), x => isnan(x.cast("double"))))
+      .select(col(idCol).as("_doc"), col(vecCol).as("_v"))
+    val ex = clean.select(col("_doc"), posexplode(col("_v")))
+      .select(col("_doc"), col("pos").cast("long").as("i"),
+        round(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+    // exact moments: one corpus aggregate for the means, one d²-bounded
+    // pair aggregate for the second moments (per-doc self-join keyed on
+    // the doc — fan-out d² per row, configuration-bounded)
+    val (moments, momentsOwned) = Clusters.ownedCheckpoint(
+      ex.join(ex.select(col("_doc"), col("i").as("j"), col("q").as("r")),
+          Seq("_doc"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum((col("q") * col("r")).cast(dec)).as("_m")))
+    val meansN = ex.groupBy(col("i"))
+      .agg(sum(col("q")).as("_mi"))
+      .crossJoin(broadcast(clean.agg(count(lit(1)).as("_n"))))
+    // C_ij = n·M_ij − m_i·m_j — exact integers, materialized once; the
+    // rounds then start from block scans (the GraphWorkingSet posture)
+    val (cMat, cOwned) = Clusters.ownedCheckpoint(
+      moments
+        .join(meansN.select(col("i"), col("_mi"), col("_n")), "i")
+        .join(meansN.select(col("i").as("j"), col("_mi").as("_mj")), "j")
+        .select(col("i"), col("j"),
+          (col("_n").cast(dec) * col("_m") -
+            col("_mi").cast(dec) * col("_mj").cast(dec)).as("c")))
+    Clusters.release(momentsOwned)
+    var v = cMat.select(col("i").as("dim")).distinct()
+      .select(col("dim"),
+        when(col("dim") === 0L, lit(1000000L)).otherwise(lit(0L)).as("v"))
+    var vOwned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    for (_ <- 1 to rounds) {
+      val w = cMat.join(v.select(col("dim").as("i"), col("v")), "i")
+        .groupBy(col("j").as("dim"))
+        .agg(sum(col("c") * col("v").cast(dec)).as("_w"))
+      // each round's d-row vector materializes to blocks: the round plan
+      // references w TWICE (directly and through the 1-row max), so a
+      // fully lazy composition would double in size per round — the
+      // hitsMicro checkpoint discipline, here at checkpointEvery = 1
+      // because the frame is d rows
+      val mx = w.agg(max(abs(col("_w"))).as("_mx"))
+      val (cp, own) = Clusters.ownedCheckpoint(
+        w.crossJoin(broadcast(mx))
+          .select(col("dim"),
+            when(col("_mx") > lit(java.math.BigDecimal.ZERO).cast(dec),
+              round(col("_w").cast("double") / col("_mx").cast("double")
+                * 1000000.0).cast("long"))
+              .otherwise(lit(0L)).as("v")))
+      Clusters.release(vOwned)
+      v = cp
+      vOwned = own
+    }
+    // sign convention: flip so the smallest nonzero-loading dim is positive
+    val signRef = v.agg(min(when(col("v") =!= 0L, col("dim"))).as("_sd"))
+    val signed = v.crossJoin(broadcast(
+        v.crossJoin(broadcast(signRef))
+          .filter(col("dim") === col("_sd"))
+          .select(when(col("v") < 0L, lit(-1L)).otherwise(lit(1L)).as("_sg"))))
+      .select(col("dim"), (col("v") * col("_sg")).as("loading_micro"))
+    // Rayleigh share: vᵀCv / (vᵀv · trace C), all three exact integers
+    val quad = cMat
+      .join(signed.select(col("dim").as("i"), col("loading_micro").as("_vi")), "i")
+      .join(signed.select(col("dim").as("j"), col("loading_micro").as("_vj")), "j")
+      .agg(sum(col("c") * col("_vi").cast(dec) * col("_vj").cast(dec)).as("_num"))
+    val vv = signed.agg(sum((col("loading_micro") * col("loading_micro"))
+      .cast(dec)).as("_den"))
+    val tr = cMat.filter(col("i") === col("j")).agg(sum(col("c")).as("_tr"))
+    val out = signed.crossJoin(broadcast(quad)).crossJoin(broadcast(vv))
+      .crossJoin(broadcast(tr))
+      .select(col("dim"), col("loading_micro"),
+        when(col("_tr") > lit(java.math.BigDecimal.ZERO).cast(dec) &&
+            col("_den") > lit(java.math.BigDecimal.ZERO).cast(dec),
+          round(col("_num").cast("double") / col("_den").cast("double")
+            / col("_tr").cast("double") * 1000000000000.0).cast("long"))
+          .as("eigen_share_pico"))
+    val (res, _) = Clusters.ownedCheckpoint(out)
+    Clusters.release(vOwned ++ cOwned)
+    res
+  }
+}

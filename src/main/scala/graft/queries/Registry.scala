@@ -5877,6 +5877,69 @@ object Registry {
       | CROSS JOIN st ORDER BY lag""".stripMargin.replace("\n", " ")
   }
 
+  /** Top principal component of the embedding corpus by integer-law
+    * power iteration ([[graft.ops.Spectral.topComponentMicro]], 12
+    * rounds): micro-quantized components, exact n²-scaled covariance in
+    * DECIMAL(38,0)/HUGEINT, hitsMicro-style max-abs normalization per
+    * round, Rayleigh explained-variance share — the embedding-collapse /
+    * whitening diagnostic. The oracle replays all 12 rounds as
+    * materialized CTEs over the same exact integers.
+    */
+  def qTopComponent(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Spectral.topComponentMicro(
+        t(spark, dir, "embeddings"), "vec_id", "embedding", rounds = 12)
+      .orderBy("dim")
+
+  val qTopComponentSql: String = {
+    def rnd(prev: String, i: Int) =
+      s"""w$i AS MATERIALIZED (SELECT c.j AS dim,
+        |   CAST(SUM(c.c * p.v) AS HUGEINT) AS w
+        |  FROM cm c JOIN $prev p ON p.dim = c.i GROUP BY 1),
+        | m$i AS (SELECT MAX(ABS(w)) AS mx FROM w$i),
+        | v$i AS MATERIALIZED (SELECT dim, CASE WHEN mx > 0
+        |   THEN CAST(round(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)
+        |     * 1000000.0) AS BIGINT)
+        |   ELSE 0 END AS v FROM w$i CROSS JOIN m$i)"""
+        .stripMargin.replace("\n", " ")
+    val rounds = (1 to 12).map(i => rnd(s"v${i - 1}", i)).mkString(", ")
+    s"""WITH clean AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |   AND len(list_filter(embedding::DOUBLE[], x -> isnan(x))) = 0),
+      | ex AS (SELECT vec_id AS doc, i - 1 AS i,
+      |   CAST(round(e[i] * 1000000.0) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i
+      |    FROM clean)),
+      | mm AS (SELECT a.i, b.i AS j,
+      |   CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS m
+      |  FROM ex a JOIN ex b ON b.doc = a.doc GROUP BY 1, 2),
+      | mn AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS mi FROM ex GROUP BY 1),
+      | nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM clean),
+      | cm AS MATERIALIZED (SELECT mm.i, mm.j, nn.n * mm.m - mi.mi * mj.mi AS c
+      |  FROM mm CROSS JOIN nn
+      |  JOIN mn mi ON mi.i = mm.i JOIN mn mj ON mj.i = mm.j),
+      | v0 AS (SELECT DISTINCT i AS dim,
+      |   CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS v FROM ex),
+      | $rounds,
+      | sd AS (SELECT MIN(CASE WHEN v <> 0 THEN dim END) AS sd FROM v12),
+      | sg AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+      |  FROM v12 CROSS JOIN sd WHERE dim = sd),
+      | sv AS (SELECT dim, CAST(v * sg AS BIGINT) AS loading_micro
+      |  FROM v12 CROSS JOIN sg),
+      | qd AS (SELECT CAST(SUM(c.c * a.loading_micro * b.loading_micro)
+      |    AS HUGEINT) AS num
+      |  FROM cm c JOIN sv a ON a.dim = c.i JOIN sv b ON b.dim = c.j),
+      | dv AS (SELECT CAST(SUM(CAST(loading_micro AS HUGEINT) * loading_micro)
+      |    AS HUGEINT) AS den FROM sv),
+      | tr AS (SELECT CAST(SUM(c) AS HUGEINT) AS tr FROM cm WHERE i = j)
+      | SELECT sv.dim, sv.loading_micro,
+      |  CASE WHEN tr.tr > 0 AND dv.den > 0
+      |   THEN CAST(round(CAST(qd.num AS DOUBLE) / CAST(dv.den AS DOUBLE)
+      |     / CAST(tr.tr AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |  END AS eigen_share_pico
+      | FROM sv CROSS JOIN qd CROSS JOIN dv CROSS JOIN tr
+      | ORDER BY dim""".stripMargin.replace("\n", " ")
+  }
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -7079,6 +7142,7 @@ object Registry {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_l_diversity" -> (qLDiversity _),
     "q_acf_hourly" -> (qAcfHourly _),
+    "q_top_component" -> (qTopComponent _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7289,6 +7353,7 @@ object Registry {
     "q_k_anonymity" -> qKAnonymitySql,
     "q_l_diversity" -> qLDiversitySql,
     "q_acf_hourly" -> qAcfHourlySql,
+    "q_top_component" -> qTopComponentSql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topComponentMicro: exact rank-1 corpus recovers the planted direction with share exactly 1") {
+    // docs = t·(0.6, 0.8) for t ∈ {1, 2, −1}: the covariance is exactly
+    // rank 1, so the top component is ±(0.6, 0.8) — max-abs micro form
+    // (750000, 1000000) with the smallest-dim-positive sign law — and
+    // the Rayleigh share is exactly 1
+    val docs = Seq(
+      (1L, Seq(0.6f, 0.8f)),
+      (2L, Seq(1.2f, 1.6f)),
+      (3L, Seq(-0.6f, -0.8f)))
+      .toDF("id", "vec")
+    val got = Spectral.topComponentMicro(docs, "id", "vec", rounds = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(0L) === ((750000L, Some(1000000000000L))))
+    assert(got(1L) === ((1000000L, Some(1000000000000L))))
+  }
+
+  test("topComponentMicro: axis-aligned clusters pick the high-variance axis; share = var share; bad vectors drop") {
+    // (±3, 0) and (0, ±1): diagonal covariance diag ∝ (18, 2) → top
+    // component e₀, share = 18/20 = 0.9 exactly. A NULL vector and a
+    // NaN-carrying vector must not perturb anything.
+    val docs = Seq(
+      (1L, Some(Seq(3.0f, 0.0f))),
+      (2L, Some(Seq(-3.0f, 0.0f))),
+      (3L, Some(Seq(0.0f, 1.0f))),
+      (4L, Some(Seq(0.0f, -1.0f))),
+      (5L, Option.empty[Seq[Float]]),
+      (6L, Some(Seq(Float.NaN, 1.0f))))
+      .toDF("id", "vec")
+    val got = Spectral.topComponentMicro(docs, "id", "vec", rounds = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(0L) === ((1000000L, Some(900000000000L))))
+    assert(got(1L) === ((0L, Some(900000000000L))))
+  }
+
+  test("topComponentMicro: sign law — a direction whose natural iterate is negative on dim 0 flips") {
+    // docs along (−0.8, 0.6): power iteration from e₀ converges to the
+    // eigvec with some sign; the law pins loading at the smallest
+    // nonzero dim POSITIVE → (1000000, −750000)
+    val docs = Seq(
+      (1L, Seq(-0.8f, 0.6f)),
+      (2L, Seq(1.6f, -1.2f)),
+      (3L, Seq(0.8f, -0.6f)))
+      .toDF("id", "vec")
+    val got = Spectral.topComponentMicro(docs, "id", "vec", rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1000000L, 1L -> -750000L))
+  }
+}

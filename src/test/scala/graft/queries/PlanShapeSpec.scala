@@ -935,6 +935,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("q_top_component: Gram expansion keyed on the doc; rounds read checkpointed d²-blocks; no window") {
+    val p = plan("q_top_component")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // the output frame is the final checkpointed d-row result — every
+    // iteration round already ran at checkpoint time, so the executed
+    // plan must be a block scan, not a 12-round join tree
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("q_pass_at_k, q_k_anonymity, q_l_diversity: ONE hash aggregate each — no join, no window") {
     Seq("q_pass_at_k", "q_k_anonymity", "q_l_diversity").foreach { q =>
       val p = plan(q)
