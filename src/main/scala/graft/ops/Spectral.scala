@@ -19,6 +19,82 @@ import org.apache.spark.sql.functions._
   */
 object Spectral {
 
+  /** Effective rank (participation ratio) of the embedding covariance —
+    * the one-number collapse metric `(Σλ)² / Σλ² = tr(C)² / tr(C²)`
+    * (Gao et al., "participation ratio"; equals d for isotropic
+    * embeddings, →1 as a single direction swallows the variance) —
+    * computed WITHOUT any eigendecomposition: `tr(C²) = Σ_ij C_ij²`,
+    * so the whole metric is one more aggregate over the exact covariance
+    * cells of [[topComponentMicro]]'s law.
+    *
+    * Exact law: C_ij as in [[topComponentMicro]] (exact integers). The
+    * square sum would outgrow ANY fixed decimal (C² ~ 10⁶⁰ at modest
+    * corpora), so each cell first becomes the dimensionless ratio
+    * `round((C_ij/tr C)² · 1e12)` — ONE fixed double chain per cell,
+    * quantized BEFORE the Σ (the KL/RBO discipline; the Σ of d² pico
+    * terms fits a long) — and `pr_micro = round(1e18 / Σ)`.
+    *
+    * Scale shape: the same configuration-bounded Gram expansion + one
+    * d²-row aggregate; no iteration, no window, no driver state.
+    *
+    * Output: one row (n_rows, n_dims, pr_micro) — NULL pr for a
+    * degenerate (zero-trace) corpus.
+    */
+  def effectiveRankMicro(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (cMat, n) = covarianceCells(df, idCol, vecCol)
+    val tr = cMat.filter(col("i") === col("j")).agg(sum(col("c")).as("_tr"))
+    // the square is an explicit self-multiply, NOT pow(x, 2): libm pow
+    // is a cross-engine last-ulp trap; an IEEE multiply is not
+    val ratio = col("c").cast("double") / col("_tr").cast("double")
+    val terms = cMat.crossJoin(broadcast(tr))
+      .select(col("i"),
+        when(col("_tr") > lit(java.math.BigDecimal.ZERO).cast(dec),
+          round((ratio * ratio) * 1000000000000.0).cast("long")).as("_t"))
+    terms.agg(
+        countDistinct(col("i")).as("n_dims"),
+        sum(col("_t")).as("_s"))
+      .crossJoin(broadcast(n))
+      .select(col("n_rows"), col("n_dims"),
+        when(col("_s") > 0L,
+          round(lit(1.0e18) / col("_s").cast("double")).cast("long"))
+          .as("pr_micro"))
+  }
+
+  /** Shared exact covariance cells: (d²-row frame (i, j, c), 1-row
+    * (n_rows)) — the [[topComponentMicro]] law's first half, reused by
+    * [[effectiveRankMicro]]. NOT checkpointed — single-pass callers
+    * compose it lazily; the iterating caller checkpoints itself.
+    */
+  private def covarianceCells(df: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
+    val dec = "decimal(38,0)"
+    val clean = df
+      .filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), x => isnan(x.cast("double"))))
+      .select(col(idCol).as("_doc"), col(vecCol).as("_v"))
+    val ex = clean.select(col("_doc"), posexplode(col("_v")))
+      .select(col("_doc"), col("pos").cast("long").as("i"),
+        round(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+    val moments = ex
+      .join(ex.select(col("_doc"), col("i").as("j"), col("q").as("r")),
+        Seq("_doc"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("q") * col("r")).cast(dec)).as("_m"))
+    val nFrame = clean.agg(count(lit(1)).as("n_rows"))
+    val meansN = ex.groupBy(col("i"))
+      .agg(sum(col("q")).as("_mi"))
+      .crossJoin(broadcast(nFrame.select(col("n_rows").as("_n"))))
+    val cMat = moments
+      .join(meansN.select(col("i"), col("_mi"), col("_n")), "i")
+      .join(meansN.select(col("i").as("j"), col("_mi").as("_mj")), "j")
+      .select(col("i"), col("j"),
+        (col("_n").cast(dec) * col("_m") -
+          col("_mi").cast(dec) * col("_mj").cast(dec)).as("c"))
+    (cMat, nFrame)
+  }
+
   /** Top principal component of the vector column by `rounds` of power
     * iteration over the exact n²-scaled covariance matrix, plus the
     * Rayleigh explained-variance share.
@@ -62,34 +138,11 @@ object Spectral {
       rounds: Int = 12): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val dec = "decimal(38,0)"
-    val clean = df
-      .filter(col(vecCol).isNotNull &&
-        !exists(col(vecCol), x => isnan(x.cast("double"))))
-      .select(col(idCol).as("_doc"), col(vecCol).as("_v"))
-    val ex = clean.select(col("_doc"), posexplode(col("_v")))
-      .select(col("_doc"), col("pos").cast("long").as("i"),
-        round(col("col").cast("double") * 1000000.0).cast("long").as("q"))
-    // exact moments: one corpus aggregate for the means, one d²-bounded
-    // pair aggregate for the second moments (per-doc self-join keyed on
-    // the doc — fan-out d² per row, configuration-bounded)
-    val (moments, momentsOwned) = Clusters.ownedCheckpoint(
-      ex.join(ex.select(col("_doc"), col("i").as("j"), col("q").as("r")),
-          Seq("_doc"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum((col("q") * col("r")).cast(dec)).as("_m")))
-    val meansN = ex.groupBy(col("i"))
-      .agg(sum(col("q")).as("_mi"))
-      .crossJoin(broadcast(clean.agg(count(lit(1)).as("_n"))))
-    // C_ij = n·M_ij − m_i·m_j — exact integers, materialized once; the
-    // rounds then start from block scans (the GraphWorkingSet posture)
+    // C_ij = n·M_ij − m_i·m_j — exact integers via the shared
+    // [[covarianceCells]] law, materialized ONCE; the rounds then start
+    // from block scans (the GraphWorkingSet posture)
     val (cMat, cOwned) = Clusters.ownedCheckpoint(
-      moments
-        .join(meansN.select(col("i"), col("_mi"), col("_n")), "i")
-        .join(meansN.select(col("i").as("j"), col("_mi").as("_mj")), "j")
-        .select(col("i"), col("j"),
-          (col("_n").cast(dec) * col("_m") -
-            col("_mi").cast(dec) * col("_mj").cast(dec)).as("c")))
-    Clusters.release(momentsOwned)
+      covarianceCells(df, idCol, vecCol)._1)
     var v = cMat.select(col("i").as("dim")).distinct()
       .select(col("dim"),
         when(col("dim") === 0L, lit(1000000L)).otherwise(lit(0L)).as("v"))

@@ -5940,6 +5940,47 @@ object Registry {
       | ORDER BY dim""".stripMargin.replace("\n", " ")
   }
 
+  /** Effective rank (participation ratio) of the embedding covariance
+    * ([[graft.ops.Spectral.effectiveRankMicro]]): tr(C)²/tr(C²) — the
+    * one-number embedding-collapse metric (d when isotropic, →1 when one
+    * direction swallows the variance), with each covariance cell's
+    * dimensionless square pico-quantized before the Σ so no fixed
+    * decimal ever has to hold C². No eigendecomposition, no iteration.
+    */
+  def qEffectiveRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Spectral.effectiveRankMicro(
+      t(spark, dir, "embeddings"), "vec_id", "embedding")
+
+  val qEffectiveRankSql: String =
+    """WITH clean AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |   AND len(list_filter(embedding::DOUBLE[], x -> isnan(x))) = 0),
+      | ex AS (SELECT vec_id AS doc, i - 1 AS i,
+      |   CAST(round(e[i] * 1000000.0) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i
+      |    FROM clean)),
+      | mm AS (SELECT a.i, b.i AS j,
+      |   CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS m
+      |  FROM ex a JOIN ex b ON b.doc = a.doc GROUP BY 1, 2),
+      | mn AS (SELECT i, CAST(SUM(q) AS HUGEINT) AS mi FROM ex GROUP BY 1),
+      | nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM clean),
+      | cm AS (SELECT mm.i, mm.j, nn.n * mm.m - mi.mi * mj.mi AS c
+      |  FROM mm CROSS JOIN nn
+      |  JOIN mn mi ON mi.i = mm.i JOIN mn mj ON mj.i = mm.j),
+      | tr AS (SELECT CAST(SUM(c) AS HUGEINT) AS tr FROM cm WHERE i = j),
+      | tm AS (SELECT i, CASE WHEN tr.tr > 0 THEN CAST(round(
+      |    ((CAST(c AS DOUBLE) / CAST(tr.tr AS DOUBLE))
+      |     * (CAST(c AS DOUBLE) / CAST(tr.tr AS DOUBLE)))
+      |    * 1000000000000.0) AS BIGINT) END AS t
+      |  FROM cm CROSS JOIN tr),
+      | ag AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n_dims,
+      |   CAST(SUM(t) AS BIGINT) AS s FROM tm)
+      | SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS n_rows,
+      |  n_dims,
+      |  CASE WHEN s > 0 THEN CAST(round(1.0e18 / CAST(s AS DOUBLE)) AS BIGINT)
+      |  END AS pr_micro
+      | FROM ag""".stripMargin.replace("\n", " ")
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -7143,6 +7184,7 @@ object Registry {
     "q_l_diversity" -> (qLDiversity _),
     "q_acf_hourly" -> (qAcfHourly _),
     "q_top_component" -> (qTopComponent _),
+    "q_effective_rank" -> (qEffectiveRank _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7354,6 +7396,7 @@ object Registry {
     "q_l_diversity" -> qLDiversitySql,
     "q_acf_hourly" -> qAcfHourlySql,
     "q_top_component" -> qTopComponentSql,
+    "q_effective_rank" -> qEffectiveRankSql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

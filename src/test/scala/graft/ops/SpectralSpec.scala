@@ -41,6 +41,22 @@ class SpectralSpec extends SparkSpec {
     assert(got(1L) === ((0L, Some(900000000000L))))
   }
 
+  test("effectiveRankMicro: isotropic 2-dim corpus reports PR exactly 2; rank-1 corpus exactly 1") {
+    // (±1, 0), (0, ±1): C ∝ diag(2, 2)·n → λ equal → PR = 2 exactly
+    val iso = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f)))
+      .toDF("id", "vec")
+    val r1 = Spectral.effectiveRankMicro(iso, "id", "vec").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((4L, 2L, 2000000L)))
+    // rank-1 corpus: one eigenvalue → PR = 1 exactly
+    val rank1 = Seq(
+      (1L, Seq(0.6f, 0.8f)), (2L, Seq(1.2f, 1.6f)), (3L, Seq(-0.6f, -0.8f)))
+      .toDF("id", "vec")
+    val r2 = Spectral.effectiveRankMicro(rank1, "id", "vec").collect().head
+    assert((r2.getLong(1), r2.getLong(2)) === ((2L, 1000000L)))
+  }
+
   test("topComponentMicro: sign law — a direction whose natural iterate is negative on dim 0 flips") {
     // docs along (−0.8, 0.6): power iteration from e₀ converges to the
     // eigvec with some sign; the law pins loading at the smallest
