@@ -147,26 +147,29 @@ object Spectral {
       .select(col("dim"),
         when(col("dim") === 0L, lit(1000000L)).otherwise(lit(0L)).as("v"))
     var vOwned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val w = cMat.join(v.select(col("dim").as("i"), col("v")), "i")
         .groupBy(col("j").as("dim"))
         .agg(sum(col("c") * col("v").cast(dec)).as("_w"))
-      // each round's d-row vector materializes to blocks: the round plan
-      // references w TWICE (directly and through the 1-row max), so a
-      // fully lazy composition would double in size per round — the
-      // hitsMicro checkpoint discipline, here at checkpointEvery = 1
-      // because the frame is d rows
       val mx = w.agg(max(abs(col("_w"))).as("_mx"))
-      val (cp, own) = Clusters.ownedCheckpoint(
-        w.crossJoin(broadcast(mx))
-          .select(col("dim"),
-            when(col("_mx") > lit(java.math.BigDecimal.ZERO).cast(dec),
-              round(col("_w").cast("double") / col("_mx").cast("double")
-                * 1000000.0).cast("long"))
-              .otherwise(lit(0L)).as("v")))
-      Clusters.release(vOwned)
-      v = cp
-      vOwned = own
+      v = w.crossJoin(broadcast(mx))
+        .select(col("dim"),
+          when(col("_mx") > lit(java.math.BigDecimal.ZERO).cast(dec),
+            round(col("_w").cast("double") / col("_mx").cast("double")
+              * 1000000.0).cast("long"))
+            .otherwise(lit(0L)).as("v"))
+      // the round plan references w TWICE (directly and through the
+      // 1-row max), so a fully lazy composition would double per round —
+      // the hitsMicro checkpoint discipline. Every 2 rounds bounds the
+      // uncollapsed subtree at ×4 while halving the materialization
+      // jobs (the frame is d rows; job LAUNCH overhead dominates, the
+      // r13 sweep measured ~0.2 s per materialization)
+      if (r % 2 == 0 || r == rounds) {
+        val (cp, own) = Clusters.ownedCheckpoint(v)
+        Clusters.release(vOwned)
+        v = cp
+        vOwned = own
+      }
     }
     // sign convention: flip so the smallest nonzero-loading dim is positive
     val signRef = v.agg(min(when(col("v") =!= 0L, col("dim"))).as("_sd"))
