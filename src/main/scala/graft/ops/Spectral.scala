@@ -62,6 +62,56 @@ object Spectral {
           .as("pr_micro"))
   }
 
+  /** Per-document embedding outlier score: the diagonal-Mahalanobis
+    * Σ_d z²_d over micro-quantized components — the screen that surfaces
+    * corrupted embeddings, wrong-model rows and adversarial inserts
+    * before they poison centroids or ANN training. Top `k` documents by
+    * score.
+    *
+    * Exact law: with per-dim integer moments (n, m_d = Σq, S2_d = Σq²),
+    * the z-square is the exact-integer ratio
+    * `z²_d = (n·q_d − m_d)² / (n·S2_d − m_d²)` (both sides DECIMAL(38,0)
+    * — variance·n² and deviation²·n² — so no mean ever divides early);
+    * each dim's ratio quantizes to micros in ONE fixed double chain
+    * BEFORE the Σ over dims (the KL/RBO discipline; d terms, fits a
+    * long). A zero-variance dim contributes exactly 0 (no signal, not a
+    * NaN). Boundary orders by (outlier_micro desc, id) — deterministic.
+    *
+    * Scale shape: ONE corpus pass for the moments (d-row result,
+    * broadcast back), one narrow per-row rescan for the scores, top-k
+    * via TakeOrdered. No corpus-sized join or window.
+    *
+    * Output: (idCol, outlier_micro) — top `k`.
+    */
+  def zOutliersMicro(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 25): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val clean = df
+      .filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), x => isnan(x.cast("double"))))
+      .select(col(idCol).as("_doc"), col(vecCol).as("_v"))
+    val ex = clean.select(col("_doc"), posexplode(col("_v")))
+      .select(col("_doc"), col("pos").cast("long").as("i"),
+        round(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+    val stats = ex.groupBy(col("i"))
+      .agg(count(lit(1)).as("_n"), sum(col("q")).as("_m"),
+        sum((col("q") * col("q")).cast(dec)).as("_s2"))
+      .select(col("i"), col("_n"), col("_m"),
+        (col("_n").cast(dec) * col("_s2") -
+          col("_m").cast(dec) * col("_m").cast(dec)).as("_den"))
+    val devN = col("_n").cast(dec) * col("q").cast(dec) - col("_m").cast(dec)
+    val term = when(col("_den") > lit(java.math.BigDecimal.ZERO).cast(dec),
+      round((devN * devN).cast("double") / col("_den").cast("double")
+        * 1000000.0).cast("long")).otherwise(lit(0L))
+    ex.join(broadcast(stats), "i")
+      .select(col("_doc"), term.as("_t"))
+      .groupBy(col("_doc").as(idCol))
+      .agg(sum(col("_t")).as("outlier_micro"))
+      .orderBy(col("outlier_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Shared exact covariance cells: (d²-row frame (i, j, c), 1-row
     * (n_rows)) — the [[topComponentMicro]] law's first half, reused by
     * [[effectiveRankMicro]]. NOT checkpointed — single-pass callers

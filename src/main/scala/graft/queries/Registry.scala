@@ -5981,6 +5981,40 @@ object Registry {
       |  END AS pr_micro
       | FROM ag""".stripMargin.replace("\n", " ")
 
+  /** Top-25 embedding outliers by diagonal-Mahalanobis z-square sum
+    * ([[graft.ops.Spectral.zOutliersMicro]]): the corrupted-embedding /
+    * wrong-model / adversarial-insert screen. Exact-integer z² ratios
+    * (deviation²·n² over variance·n²), per-dim micro quantization before
+    * the Σ, zero-variance dims contribute exactly 0.
+    */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Spectral.zOutliersMicro(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", k = 25)
+
+  val qEmbedOutliersSql: String =
+    """WITH clean AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |  WHERE embedding IS NOT NULL
+      |   AND len(list_filter(embedding::DOUBLE[], x -> isnan(x))) = 0),
+      | ex AS (SELECT vec_id AS doc, i - 1 AS i,
+      |   CAST(round(e[i] * 1000000.0) AS BIGINT) AS q
+      |  FROM (SELECT vec_id, e, unnest(generate_series(1, len(e))) AS i
+      |    FROM clean)),
+      | st AS (SELECT i, CAST(COUNT(*) AS HUGEINT) AS n,
+      |   CAST(SUM(q) AS HUGEINT) AS m,
+      |   CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2 FROM ex GROUP BY 1),
+      | tm AS (SELECT ex.doc,
+      |   CASE WHEN (st.n * st.s2 - st.m * st.m) > 0
+      |    THEN CAST(round(
+      |      CAST((st.n * ex.q - st.m) * (st.n * ex.q - st.m) AS DOUBLE)
+      |      / CAST(st.n * st.s2 - st.m * st.m AS DOUBLE)
+      |      * 1000000.0) AS BIGINT)
+      |    ELSE 0 END AS t
+      |  FROM ex JOIN st ON st.i = ex.i)
+      | SELECT doc AS vec_id, CAST(SUM(t) AS BIGINT) AS outlier_micro
+      | FROM tm GROUP BY 1
+      | ORDER BY outlier_micro DESC, vec_id LIMIT 25"""
+      .stripMargin.replace("\n", " ")
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -7185,6 +7219,7 @@ object Registry {
     "q_acf_hourly" -> (qAcfHourly _),
     "q_top_component" -> (qTopComponent _),
     "q_effective_rank" -> (qEffectiveRank _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7397,6 +7432,7 @@ object Registry {
     "q_acf_hourly" -> qAcfHourlySql,
     "q_top_component" -> qTopComponentSql,
     "q_effective_rank" -> qEffectiveRankSql,
+    "q_embed_outliers" -> qEmbedOutliersSql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

@@ -57,6 +57,23 @@ class SpectralSpec extends SparkSpec {
     assert((r2.getLong(1), r2.getLong(2)) === ((2L, 1000000L)))
   }
 
+  test("zOutliersMicro: planted outlier ranks first with hand-exact score; zero-variance dims contribute 0") {
+    // dim 0: values (1, −1, 0, 0, 0) — planted doc 1 is the +1;
+    // dim 1: CONSTANT 2.0 everywhere — zero variance, must add exactly 0
+    // moments dim 0 (micro): n=5, m=0, S2=2e12 → den = 1e13·... per-doc
+    // z² = (5q)²/(5·2e12) = 25q²/1e13; q=±1e6 → 2.5 exactly → 2500000
+    val docs = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(-1.0f, 2.0f)), (3L, Seq(0.0f, 2.0f)),
+      (4L, Seq(0.0f, 2.0f)), (5L, Seq(0.0f, 2.0f)))
+      .toDF("id", "vec")
+    val got = Spectral.zOutliersMicro(docs, "id", "vec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ties break by id: the two |q|=1e6 docs lead, zeros follow
+    assert(got.take(2).toSeq === Seq((1L, 2500000L), (2L, 2500000L)))
+    assert(got.drop(2).map(_._2).forall(_ === 0L),
+      "zero-deviation docs score exactly 0 (constant dim contributes nothing)")
+  }
+
   test("topComponentMicro: sign law — a direction whose natural iterate is negative on dim 0 flips") {
     // docs along (−0.8, 0.6): power iteration from e₀ converges to the
     // eigvec with some sign; the law pins loading at the smallest

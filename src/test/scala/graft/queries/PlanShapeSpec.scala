@@ -945,6 +945,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p)
   }
 
+  test("q_embed_outliers: d-row moments broadcast back onto the corpus; bounded top-k; no window") {
+    val p = plan("q_embed_outliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastHashJoin"), "moments must broadcast:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort:\n" + p)
+  }
+
   test("q_pass_at_k, q_k_anonymity, q_l_diversity: ONE hash aggregate each — no join, no window") {
     Seq("q_pass_at_k", "q_k_anonymity", "q_l_diversity").foreach { q =>
       val p = plan(q)
