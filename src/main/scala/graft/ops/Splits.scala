@@ -109,4 +109,42 @@ object Splits {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("_fp")
   }
+
+  /** Cross-split exact-duplicate leakage audit — the eval-integrity
+    * check every honest benchmark protocol runs BEFORE trusting a score:
+    * a row-level split (hashing the row id) sends two copies of the same
+    * content to train and eval independently, so the model is graded on
+    * text it memorized. This report counts exactly that: per content
+    * fingerprint ([[graft.functions.TextFns.fingerprintMd5]] — the
+    * q_dedup_exact law), how many fingerprints span BOTH the train side
+    * and the eval side (anything ≠ 'train'), and how many eval rows are
+    * thereby contaminated.
+    *
+    * Exact law: pure integer counts over one fingerprint hash aggregate;
+    * NULL texts fingerprint as a NULL group (NULL content can't leak
+    * itself — it groups alone and counts like any family).
+    *
+    * Scale shape: one hash aggregate keyed on the fingerprint (map-side
+    * combine) + one 1-row report. No join, no window.
+    *
+    * Output: one row (n_train_rows, n_eval_rows, n_fingerprints,
+    * n_leaked_fingerprints, n_leaked_eval_rows).
+    */
+  def leakageReport(df: DataFrame, textCol: String,
+      splitCol: String): DataFrame = {
+    val perFp = df
+      .select(graft.functions.TextFns.fingerprintMd5(col(textCol)).as("_fp"),
+        col(splitCol).as("_s"))
+      .groupBy(col("_fp"))
+      .agg(sum(when(col("_s") === "train", 1L).otherwise(0L)).as("_ntr"),
+        sum(when(col("_s") =!= "train", 1L).otherwise(0L)).as("_nev"))
+    perFp.agg(
+      coalesce(sum(col("_ntr")), lit(0L)).as("n_train_rows"),
+      coalesce(sum(col("_nev")), lit(0L)).as("n_eval_rows"),
+      count(lit(1)).as("n_fingerprints"),
+      coalesce(sum(when(col("_ntr") > 0L && col("_nev") > 0L, 1L)
+        .otherwise(0L)), lit(0L)).as("n_leaked_fingerprints"),
+      coalesce(sum(when(col("_ntr") > 0L && col("_nev") > 0L, col("_nev"))
+        .otherwise(0L)), lit(0L)).as("n_leaked_eval_rows"))
+  }
 }

@@ -6015,6 +6015,57 @@ object Registry {
       | ORDER BY outlier_micro DESC, vec_id LIMIT 25"""
       .stripMargin.replace("\n", " ")
 
+  /** Cross-split exact-duplicate leakage audit
+    * ([[graft.ops.Splits.leakageReport]]) under BOTH split laws in one
+    * report: the row-id hash split (duplicate content splits
+    * independently — the leak every memorization-inflated benchmark
+    * score traces back to) vs the content-fingerprint group split
+    * ([[graft.ops.Splits.withGroupSplit]] keyed on the q_dedup_exact
+    * fingerprint), which is leak-free BY CONSTRUCTION — the by_content
+    * row pins n_leaked = 0 as an algebraic identity, not a data
+    * accident. Pure integer counts; fully hash-oracled.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    // NULL texts drop on BOTH sides: a NULL asserts no content, and the
+    // two engines' NULL-vs-nibble comparisons would otherwise bucket it
+    // differently (engine CASE falls through to 'test', SQL CASE to
+    // neither side)
+    val docs = t(spark, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val byId = graft.ops.Splits.leakageReport(
+        graft.ops.Splits.withSplit(docs, "doc_id"), "text", "split")
+      .select(lit("by_id").as("split_law"), col("*"))
+    val withFp = docs.withColumn("_k",
+      graft.functions.TextFns.fingerprintMd5(col("text")))
+    val byContent = graft.ops.Splits.leakageReport(
+        graft.ops.Splits.withGroupSplit(withFp, "_k"), "text", "split")
+      .select(lit("by_content").as("split_law"), col("*"))
+    byId.unionByName(byContent).orderBy("split_law")
+  }
+
+  val qSplitLeakageSql: String = {
+    val fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    def leg(law: String, nib: String) =
+      s"""SELECT '$law' AS split_law,
+        | CAST(SUM(ntr) AS BIGINT) AS n_train_rows,
+        | CAST(SUM(nev) AS BIGINT) AS n_eval_rows,
+        | CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+        | CAST(SUM(CASE WHEN ntr > 0 AND nev > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_leaked_fingerprints,
+        | CAST(SUM(CASE WHEN ntr > 0 AND nev > 0 THEN nev ELSE 0 END) AS BIGINT)
+        |  AS n_leaked_eval_rows
+        | FROM (SELECT f,
+        |   CAST(SUM(CASE WHEN $nib <= 'c' THEN 1 ELSE 0 END) AS BIGINT) AS ntr,
+        |   CAST(SUM(CASE WHEN $nib > 'c' THEN 1 ELSE 0 END) AS BIGINT) AS nev
+        |  FROM fps GROUP BY f)""".stripMargin.replace("\n", " ")
+    s"""WITH fps AS (SELECT doc_id, $fp AS f FROM documents WHERE text IS NOT NULL)
+      | ${leg("by_id", "substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)")}
+      | UNION ALL
+      | ${leg("by_content", "substr(md5(f), 32, 1)")}
+      | ORDER BY split_law""".stripMargin.replace("\n", " ")
+  }
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -7220,6 +7271,7 @@ object Registry {
     "q_top_component" -> (qTopComponent _),
     "q_effective_rank" -> (qEffectiveRank _),
     "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7433,6 +7485,7 @@ object Registry {
     "q_top_component" -> qTopComponentSql,
     "q_effective_rank" -> qEffectiveRankSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
+    "q_split_leakage" -> qSplitLeakageSql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

@@ -105,4 +105,37 @@ class SplitsSpec extends SparkSpec {
     // grp0..grp59 inhabit all three splits (13/2/1 law; checked offline)
     assert(got.values.toSet === Set("train", "val", "test"))
   }
+
+  test("leakageReport: planted duplicate straddling the id-split boundary is caught; content-keyed split is leak-free by construction") {
+    import spark.implicits._
+    // md5 last-nibble law: ids 1,2,3 land in train, ids 16,24 in test —
+    // so one duplicated text planted at ids (1, 16) leaks under the
+    // row-id split. Unique filler at 2, 3, 24.
+    val docs = Seq(
+      (1L, "the planted duplicate text"),
+      (16L, "the planted duplicate text"),
+      (2L, "unique filler alpha"),
+      (3L, "unique filler beta"),
+      (24L, "unique filler gamma"))
+      .toDF("doc_id", "text")
+    val byId = Splits.leakageReport(
+      Splits.withSplit(docs, "doc_id"), "text", "split").collect().head
+    assert((byId.getLong(0), byId.getLong(1), byId.getLong(2),
+      byId.getLong(3), byId.getLong(4)) === ((3L, 2L, 4L, 1L, 1L)),
+      "one fingerprint spans train and eval; one eval row contaminated")
+    // same corpus under the content-keyed group split: zero leaks, as an
+    // algebraic identity (every copy of a fingerprint gets ONE split)
+    val withFp = docs.withColumn("_k",
+      graft.functions.TextFns.fingerprintMd5($"text"))
+    val byContent = Splits.leakageReport(
+      Splits.withGroupSplit(withFp, "_k"), "text", "split").collect().head
+    assert(byContent.getLong(3) === 0L && byContent.getLong(4) === 0L)
+    assert(byContent.getLong(2) === 4L, "4 distinct fingerprints either way")
+    // whitespace/case variants are the SAME fingerprint (the dedup law)
+    val variants = Seq((1L, "Hello  World"), (16L, "hello world "))
+      .toDF("doc_id", "text")
+    val v = Splits.leakageReport(
+      Splits.withSplit(variants, "doc_id"), "text", "split").collect().head
+    assert(v.getLong(3) === 1L, "normalized variants leak as one family")
+  }
 }
