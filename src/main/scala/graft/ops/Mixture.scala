@@ -171,4 +171,41 @@ object Mixture {
       (col("_u").isNull || col("_rn") < col("_u")).as("saturated"))
     solved.unionByName(excluded)
   }
+
+  /** Class-imbalance report with effective-number-of-samples reweights
+    * (Cui et al., CVPR '19 — the class-balanced-loss weighting: marginal
+    * samples of a big class overlap, so its EFFECTIVE count is
+    * `EN = (1 − β^n)/(1 − β)`, saturating at 1/(1−β); weighting by 1/EN
+    * beats 1/n, which over-inflates rare classes). The label-balance
+    * screen a fine-tuning mix runs before training.
+    *
+    * Exact law: n is an exact integer; `β^n = exp(n·ln β)` and the EN
+    * chain quantize per label (micro) — the decay/DSIR ln/exp
+    * discipline; the inverse quantizes to picos FROM the quantized EN
+    * (`round(1e18/en_micro)`, both engines dividing the same exact
+    * integers); weights normalize by the exact integer Σ of inverses in
+    * one final fixed division.
+    *
+    * Scale shape: one hash aggregate (map-side combine) to the
+    * |labels|-row table, a 1-row Σ broadcast back — no window, no
+    * corpus-sized join. NULL labels drop (they assert no class).
+    *
+    * Output: (label, n, en_micro, weight_pico) — weights sum to ~1e12.
+    */
+  def classBalance(df: DataFrame, labelCol: String,
+      beta: Double = 0.999): DataFrame = {
+    require(beta > 0.0 && beta < 1.0, s"beta must lie in (0,1), got $beta")
+    val counts = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val en = counts.withColumn("en_micro",
+        round((lit(1.0) - exp(col("n").cast("double") * math.log(beta)))
+          / lit(1.0 - beta) * 1000000.0).cast("long"))
+      .withColumn("_inv",
+        round(lit(1.0e18) / col("en_micro").cast("double")).cast("long"))
+    en.crossJoin(broadcast(en.agg(sum(col("_inv")).as("_tot"))))
+      .select(col("label"), col("n"), col("en_micro"),
+        round(col("_inv").cast("double") / col("_tot").cast("double")
+          * 1000000000000.0).cast("long").as("weight_pico"))
+  }
 }

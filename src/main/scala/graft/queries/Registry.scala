@@ -6066,6 +6066,33 @@ object Registry {
       | ORDER BY split_law""".stripMargin.replace("\n", " ")
   }
 
+  /** Class-imbalance report over embedding labels with
+    * effective-number-of-samples reweights
+    * ([[graft.ops.Mixture.classBalance]], Cui et al. CVPR '19, β=0.999):
+    * the label-balance screen a fine-tuning mix runs before training —
+    * EN = (1−β^n)/(1−β) per class, inverse-EN weights normalized by the
+    * exact integer Σ. ln/exp per-label fixed chains, quantized before
+    * every Σ.
+    */
+  def qClassBalance(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.classBalance(
+        t(spark, dir, "embeddings"), "label", beta = 0.999)
+      .orderBy("label")
+
+  val qClassBalanceSql: String =
+    s"""WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+      | e AS (SELECT label, n, CAST(round(
+      |    (1.0 - exp(CAST(n AS DOUBLE) * ${math.log(0.999)}))
+      |    / ${1.0 - 0.999} * 1000000.0) AS BIGINT) AS en_micro FROM c),
+      | i AS (SELECT label, n, en_micro,
+      |   CAST(round(1.0e18 / CAST(en_micro AS DOUBLE)) AS BIGINT) AS inv FROM e),
+      | t AS (SELECT CAST(SUM(inv) AS BIGINT) AS tot FROM i)
+      | SELECT label, n, en_micro,
+      |  CAST(round(CAST(inv AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    * 1000000000000.0) AS BIGINT) AS weight_pico
+      | FROM i CROSS JOIN t ORDER BY label""".stripMargin.replace("\n", " ")
+
   /** Mean-reciprocal-rank components of cosine retrieval against
     * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
     * the first-relevant rank and its exact-integer reciprocal per query,
@@ -7272,6 +7299,7 @@ object Registry {
     "q_effective_rank" -> (qEffectiveRank _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_split_leakage" -> (qSplitLeakage _),
+    "q_class_balance" -> (qClassBalance _),
     "q_bleu_eval" -> (qBleuEval _),
     "q_triangle_count" -> (qTriangleCount _),
     "q_assortativity" -> (qAssortativity _),
@@ -7486,6 +7514,7 @@ object Registry {
     "q_effective_rank" -> qEffectiveRankSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_split_leakage" -> qSplitLeakageSql,
+    "q_class_balance" -> qClassBalanceSql,
     "q_bleu_eval" -> qBleuEvalSql,
     "q_triangle_count" -> qTriangleCountSql,
     "q_assortativity" -> qAssortativitySql,

@@ -167,4 +167,29 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+
+  test("classBalance: EN saturates with class size, inverse-EN weights favor rare classes and sum to 1, NULL labels drop") {
+    import spark.implicits._
+    // classes: a x1, b x10, c x100 (+ null labels that must not count)
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(10)("b") ++ Seq.fill(100)("c"))
+      .map(Option(_)) ++ Seq.fill(5)(Option.empty[String])
+    val df = rows.toDF("label")
+    val got = Mixture.classBalance(df, "label", beta = 0.9)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === Set("a", "b", "c"), "NULL labels dropped")
+    val (na, ena, wa) = got("a"); val (nb, enb, wb) = got("b")
+    val (nc, enc, wc) = got("c")
+    assert((na, nb, nc) === ((1L, 10L, 100L)))
+    // hand values at beta=0.9 (1-ulp tolerance on the exp chain):
+    // EN(1)=1, EN(10)=(1-0.9^10)/0.1 = 6.5132..., EN(100) = 9.99973...
+    assert(math.abs(ena - 1000000L) <= 1)
+    assert(math.abs(enb - 6513216L) <= 1)
+    assert(math.abs(enc - 9999734L) <= 1)
+    // monotone saturation and rare-class-favoring weights
+    assert(ena < enb && enb < enc)
+    assert(wa > wb && wb > wc)
+    // weights sum to 1e12 within per-label rounding
+    assert(math.abs((wa + wb + wc) - 1000000000000L) <= 3)
+  }
 }
