@@ -86,6 +86,16 @@ object Spectral {
   def zOutliersMicro(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 25): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    zOutlierScores(df, idCol, vecCol)
+      .orderBy(col("outlier_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The UN-limited per-document score frame behind [[zOutliersMicro]] —
+    * the tie-plateau audit's probe surface.
+    */
+  def zOutlierScores(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val clean = df
       .filter(col(vecCol).isNotNull &&
@@ -108,8 +118,6 @@ object Spectral {
       .select(col("_doc"), term.as("_t"))
       .groupBy(col("_doc").as(idCol))
       .agg(sum(col("_t")).as("outlier_micro"))
-      .orderBy(col("outlier_micro").desc, col(idCol))
-      .limit(k)
   }
 
   /** Shared exact covariance cells: (d²-row frame (i, j, c), 1-row

@@ -4842,7 +4842,11 @@ object Registry {
     ("q_hits", hitsDecoded(spark, dir), "auth_micro", 25),
     ("q_adamic_adar",
       graft.ops.Graph.adamicAdarScored(coPartGraph(spark, dir), 64L),
-      "aa_pico", 25))
+      "aa_pico", 25),
+    ("q_embed_outliers",
+      graft.ops.Spectral.zOutlierScores(
+        t(spark, dir, "embeddings"), "vec_id", "embedding"),
+      "outlier_micro", 25))
 
   /** Per-JVM rank-result cache (the stored graph leg's reuse — the
     * [[storeOnce]] posture applied to the rank computation; see
