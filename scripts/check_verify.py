@@ -42,6 +42,20 @@ def main(sf_dir, out_dir):
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # cross-reader render guard (r13 root cause): the driver reads
+            # the engine parquet with a DIFFERENT reader than this script's
+            # DuckDB scan, and e.g. parquet DECIMAL renders `N` under
+            # pyarrow but `N.0` under a DuckDB float64 read — identical
+            # values, divergent hashes. Hash the pyarrow rendering too so a
+            # local green can't hide a driver-side mismatch.
+            import pyarrow.parquet as pq
+            pa_got = pq.read_table(f"{out_dir}/{name}").to_pandas()
+            if value_hash(pa_got) != value_hash(got):
+                failures.append((name, "READER-DIVERGENT rendering: pyarrow "
+                                 "and duckdb hash this parquet differently "
+                                 "(non-portable output type, e.g. DECIMAL)"))
+                print(f"READER-DIVERGENT {name}")
+                continue
             want = con.execute(sql).df()
             gs, ws = sorted(got.columns), sorted(want.columns)
             if gs != ws:

@@ -362,6 +362,14 @@ object Graph {
     // exact-integer-law contract. The PER-NODE term stays a long
     // (overflows only past deg ≈ 3·10⁹ distinct neighbors, beyond any
     // real vertex); the oracle mirrors with a HUGEINT Σ.
+    //
+    // The OUTPUT column is cast back to BIGINT: a DECIMAL(38,0) output
+    // schema is not hash-portable (parquet decimal renders `N` under a
+    // pyarrow read but `N.0` under a DuckDB→float64 read — the r12/r13
+    // driver-gate hash mismatches on exactly the two decimal-output
+    // rows), and the registry's output law is portable primitive types
+    // only (EntrySpec pins it). The cast narrows only past 9.2·10¹⁸
+    // total wedges — the Σ stays overflow-safe in DECIMAL until then.
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("cast((deg * (deg - 1)) div 2 as decimal(38,0))")),
         lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("n_wedges"))
@@ -370,7 +378,8 @@ object Graph {
         when(col("n_wedges") > 0L,
           round((lit(3.0) * col("n_triangles").cast("double"))
             / col("n_wedges").cast("double") * 1000000000000.0).cast("long")))
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+      .select(col("n_nodes"), col("n_edges"),
+        col("n_wedges").cast("long").as("n_wedges"),
         col("n_triangles"), col("clustering_pico"))
   }
 
@@ -524,10 +533,72 @@ object Graph {
     val scored = pairs.groupBy(col("_u"), col("_v"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum(col("_t").cast("decimal(38,0)")).as("aa_pico"))
+    // output cast BIGINT: the Σ runs in DECIMAL(38,0) (overflow-safe),
+    // but a decimal OUTPUT column is not hash-portable across parquet
+    // readers (pyarrow `N` vs DuckDB-float `N.0` — the r12/r13 driver
+    // hash mismatches); BIGINT holds any pair under ~6.4M common
+    // neighbors (max term 1/ln 2 ≈ 1.443·10¹² picos)
     scored.join(canon,
         scored("_u") === canon("u") && scored("_v") === canon("v"), "left_anti")
       .select(col("_u").as("u"), col("_v").as("v"),
-        col("common_neighbors"), col("aa_pico"))
+        col("common_neighbors"), col("aa_pico").cast("long").as("aa_pico"))
+  }
+
+  /** The three classic common-neighbor link-prediction laws BESIDE
+    * Adamic–Adar, in one pass over the shared pair expansion — the
+    * side-by-side scorecard a link-prediction evaluation reads (Liben-
+    * Nowell & Kleinberg CIKM'03 is the canonical survey of exactly this
+    * trio vs AA):
+    *
+    *   - Resource Allocation (Zhou, Lü & Zhang, Eur. Phys. J. B '09):
+    *     Σ over shared neighbors z of 1/deg(z) — AA's sharper sibling
+    *     (penalizes hubs linearly, not logarithmically). PURE integer
+    *     law: each term is `10¹² div deg(z)` (exact integral division,
+    *     no transcendental anywhere), Σ in DECIMAL(38,0).
+    *   - Jaccard over neighborhoods: |Γu ∩ Γv| / |Γu ∪ Γv|, as
+    *     `(cn·10¹²) div (deg u + deg v − cn)` — exact integral division
+    *     in DECIMAL(38,0), output long.
+    *   - Preferential attachment: deg(u)·deg(v) — plain BIGINT product
+    *     (overflows only past ~3·10⁹ × 3·10⁹ degrees).
+    *
+    * Same scaffold and skew posture as [[adamicAdar]]: apexes above
+    * `maxApexDegree` DROP before the pair self-join (the cap is part of
+    * the law — it bounds `common_neighbors` and the RA Σ, which the
+    * oracle replays; deg(u)/deg(v) in the Jaccard/PA terms stay the FULL
+    * degrees from the degree table), scored pairs anti-join the edge set
+    * so only NON-adjacent pairs emerge.
+    *
+    * Output: (u, v, common_neighbors, ra_pico, jaccard_pico, pa_score) —
+    * every scored non-adjacent pair; callers order/limit.
+    */
+  def linkPredictionScored(g: UndirectedWorkingSet,
+      maxApexDegree: Long): DataFrame = {
+    require(maxApexDegree >= 2L,
+      s"maxApexDegree must be >= 2, got $maxApexDegree")
+    val canon = g.canon
+    val deg = g.deg
+    val dir2 = canon.select(col("u").as("z"), col("v").as("n"))
+      .unionByName(canon.select(col("v").as("z"), col("u").as("n")))
+    val apex = dir2.join(
+      deg.filter(col("deg") <= maxApexDegree)
+        .select(col("node").as("z"), col("deg")), "z")
+    val a1 = apex.select(col("z"), col("n").as("_u"), col("deg"))
+    val a2 = apex.select(col("z"), col("n").as("_v"))
+    val scored = a1.join(a2, Seq("z")).filter(col("_u") < col("_v"))
+      .withColumn("_ra", expr("cast(1000000000000 as bigint) div deg"))
+      .groupBy(col("_u"), col("_v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("_ra").cast("decimal(38,0)")).as("_ras"))
+    val nonAdj = scored.join(canon,
+      scored("_u") === canon("u") && scored("_v") === canon("v"), "left_anti")
+    nonAdj
+      .join(deg.select(col("node").as("_u"), col("deg").as("_du")), "_u")
+      .join(deg.select(col("node").as("_v"), col("deg").as("_dv")), "_v")
+      .select(col("_u").as("u"), col("_v").as("v"), col("common_neighbors"),
+        col("_ras").cast("long").as("ra_pico"),
+        expr("cast((cast(common_neighbors as decimal(38,0)) * 1000000000000)" +
+          " div (_du + _dv - common_neighbors) as bigint)").as("jaccard_pico"),
+        (col("_du") * col("_dv")).as("pa_score"))
   }
 
   /** Coreness (k-core number) estimate by iterated neighborhood H-index

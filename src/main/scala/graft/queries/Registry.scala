@@ -4607,7 +4607,7 @@ object Registry {
       | ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM canon),
       | ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
       |   CAST(SUM((deg * (deg - 1)) // 2) AS HUGEINT) AS n_wedges FROM deg)
-      | SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      | SELECT n_nodes, n_edges, CAST(n_wedges AS BIGINT) AS n_wedges, n_triangles,
       |  CASE WHEN n_wedges > 0 THEN
       |   CAST(round((3.0 * CAST(n_triangles AS DOUBLE))
       |     / CAST(n_wedges AS DOUBLE) * 1000000000000.0) AS BIGINT)
@@ -4721,7 +4721,7 @@ object Registry {
       |   CAST(SUM(term) AS HUGEINT) AS aa_pico FROM tm GROUP BY 1, 2),
       | ne AS (SELECT sc.u, sc.v, sc.common_neighbors, sc.aa_pico FROM sc
       |  LEFT JOIN canon c ON c.u = sc.u AND c.v = sc.v WHERE c.u IS NULL)
-      | SELECT u, v, common_neighbors, aa_pico FROM ne
+      | SELECT u, v, common_neighbors, CAST(aa_pico AS BIGINT) AS aa_pico FROM ne
       | ORDER BY aa_pico DESC, u, v LIMIT 25""".stripMargin.replace("\n", " ")
 
   /** Fixed-iteration integer HITS over the directed supplier→customer

@@ -30,9 +30,31 @@ class EntrySpec extends SparkSpec {
       "rows-only queries drifted — add an oracle or update the rationale")
   }
 
-  test("every query runs on sf0.001") {
+  test("every query runs on sf0.001 and its output schema is hash-portable") {
+    // HASH-PORTABILITY LAW (root cause of the r12/r13 driver-gate AA /
+    // triangle hash mismatches): the driver hashes string renderings of
+    // the engine parquet and the DuckDB oracle result, read through
+    // DIFFERENT readers — a parquet DECIMAL renders `N` under pyarrow
+    // but `N.0` under a DuckDB float64 read, so identical values hash
+    // apart. Output schemas therefore carry only types every reader
+    // renders identically: integral, double, string, boolean, date,
+    // timestamp. DECIMAL stays an INTERNAL Σ type only (cast to long at
+    // the output projection); arrays/structs/maps/binary are likewise
+    // reader-dependent renderings and must be presented as primitives.
+    import org.apache.spark.sql.types._
+    def portable(dt: DataType): Boolean = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: DoubleType | _: FloatType | _: StringType | _: BooleanType |
+           _: DateType | _: TimestampType => true
+      case _ => false
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, "/root/testdata/sf0.001").count()
+      val df = fn(spark, "/root/testdata/sf0.001")
+      val bad = df.schema.fields.filterNot(f => portable(f.dataType))
+      assert(bad.isEmpty,
+        s"$name emits non-hash-portable output columns: " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+      val n = df.count()
       assert(n >= 0, name) // near-dup pair sets may legitimately be empty
     }
   }

@@ -191,7 +191,7 @@ class GraphSpec extends SparkSpec {
     assert(row.getLong(0) === 6L, "n_nodes")
     assert(row.getLong(1) === 5L, "n_edges")
     // degrees: 1:3, 2:2, 3:2, 4:1, 5:1, 6:1 -> wedges 3+1+1 = 5
-    assert(row.getDecimal(2).longValueExact === 5L, "n_wedges (DECIMAL(38,0) Σ)")
+    assert(row.getLong(2) === 5L, "n_wedges (DECIMAL(38,0) Σ, BIGINT output)")
     assert(row.getLong(3) === 1L, "n_triangles")
     // clustering = 3*1/5 = 0.6 exactly
     assert(row.getLong(4) === 600000000000L, "clustering_pico")
@@ -203,11 +203,11 @@ class GraphSpec extends SparkSpec {
       .toDF("s", "d")
     val row = Graph.triangleStats(k4, "s", "d").collect().head
     assert(row.getLong(3) === 4L, "K4 has C(4,3)=4 triangles")
-    assert(row.getDecimal(2).longValueExact === 12L, "K4 wedges: 4 nodes * C(3,2)")
+    assert(row.getLong(2) === 12L, "K4 wedges: 4 nodes * C(3,2)")
     assert(row.getLong(4) === 1000000000000L, "K4 clustering is exactly 1")
     val empty = Seq.empty[(Long, Long)].toDF("s", "d")
     val z = Graph.triangleStats(empty, "s", "d").collect().head
-    assert((z.getLong(0), z.getLong(1), z.getDecimal(2).longValueExact, z.getLong(3)) ===
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)) ===
       ((0L, 0L, 0L, 0L)))
     assert(z.isNullAt(4), "no wedges -> NULL coefficient, not a fake 0")
   }
@@ -244,12 +244,12 @@ class GraphSpec extends SparkSpec {
     val p = Graph.adamicAdar(path, "s", "d").collect()
     assert(p.length === 1)
     assert((p.head.getLong(0), p.head.getLong(1), p.head.getLong(2),
-      p.head.getDecimal(3).longValueExact()) === ((1L, 3L, 1L, invLn2)))
+      p.head.getLong(3)) === ((1L, 3L, 1L, invLn2)))
     // square 1-2-3-4: diagonals (1,3) and (2,4) each via TWO deg-2 apexes
     val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
     val q = Graph.adamicAdar(sq, "s", "d").collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getDecimal(3).longValueExact()))).toMap
+        ((r.getLong(2), r.getLong(3)))).toMap
     assert(q === Map((1L, 3L) -> ((2L, 2 * invLn2)),
       (2L, 4L) -> ((2L, 2 * invLn2))))
     // star: the only shared-neighbor apex is the center — above the cap
@@ -273,7 +273,7 @@ class GraphSpec extends SparkSpec {
       val got = Graph.adamicAdar(star12, "s", "d", k = 10).collect()
       assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === expect)
       // the plateau premise: every returned score is the same pico value
-      assert(got.map(_.getDecimal(3).longValueExact()).distinct.length === 1)
+      assert(got.map(_.getLong(3)).distinct.length === 1)
     }
   }
 
