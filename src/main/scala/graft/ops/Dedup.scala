@@ -401,6 +401,39 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the asymmetric complement of
+    * [[ngramJaccardPairs]] (Broder's containment from the original
+    * resemblance paper, SEQUENCES '97): overlap = |A∩B| / min(|A|,|B|),
+    * the law that catches QUOTE INCLUSION — a short document wholly
+    * embedded in a long one scores overlap ≈ 1 while its Jaccard
+    * |A∩B|/|A∪B| stays far below any dedup threshold (the long doc's
+    * extra shingles swamp the union). A training-data pipeline needs
+    * both: Jaccard finds edited copies, containment finds wrapped or
+    * concatenated ones.
+    *
+    * Same inverted-index scaffold and cost shape as the Jaccard form
+    * (one shingle pass, one self-join on the shingle key, one pair hash
+    * aggregate); `containment` is shared/min(na,nb) in ONE double
+    * division. Output: (id_a, id_b, shared, na, nb, containment) for
+    * pairs at or above `threshold`, id_a < id_b.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
+      .withColumn("_n", size(col("_sh")).cast("bigint"))
+    val ex = sh.select(col("_id"), col("_n"), explode(col("_sh")).as("_s"))
+      .repartition(col("_s"))
+    ex.as("a").join(ex.as("b"),
+        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("a._n")).as("na"),
+        first(col("b._n")).as("nb"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "na", "nb", "containment")
+  }
+
   /** Cross-corpus NEAR-dup dedup — the fuzzy sibling of [[exactAgainst]]:
     * drop incoming documents whose word-n-gram Jaccard with ANY reference
     * document is ≥ `threshold` (the incremental-crawl guard against

@@ -1954,6 +1954,25 @@ object Registry {
       | FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.8
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Asymmetric n-gram containment pairs
+    * ([[graft.ops.Dedup.ngramContainmentPairs]], Broder '97 overlap
+    * |A∩B|/min(|A|,|B|)): the quote-inclusion detector Jaccard misses —
+    * a short document wholly embedded in a long one scores ≈1 here while
+    * the union swamps its Jaccard. Same inverted-index scaffold as
+    * q_ngram_jaccard; one double division per pair.
+    */
+  def qContainment(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramContainmentPairs(t(spark, dir, "documents"),
+      "doc_id", "text", shingleSize = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b")
+
+  val qContainmentSql: String =
+    s"""WITH $ngramPairCtes
+      | SELECT id_a, id_b, shared, na, nb,
+      |  CAST(shared AS DOUBLE)/least(na, nb) AS containment
+      | FROM pairs WHERE CAST(shared AS DOUBLE)/least(na, nb) >= 0.9
+      | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** Near-dup cluster assignment: connected components over the verified
     * exact-Jaccard pair graph — the survivor-selection step of a dedup
     * pipeline (keep one doc per cluster). The oracle computes the same
@@ -4724,6 +4743,43 @@ object Registry {
       | SELECT u, v, common_neighbors, CAST(aa_pico AS BIGINT) AS aa_pico FROM ne
       | ORDER BY aa_pico DESC, u, v LIMIT 25""".stripMargin.replace("\n", " ")
 
+  /** The Resource-Allocation / neighborhood-Jaccard / preferential-
+    * attachment link-prediction scorecard on the co-purchase part graph
+    * ([[graft.ops.Graph.linkPredictionScored]]; Liben-Nowell & Kleinberg
+    * CIKM'03's classic trio beside q_adamic_adar): top-25 non-adjacent
+    * pairs by RA. Same apex cap 64 and shared working set as AA; RA and
+    * Jaccard are PURE integral-division pico laws (no transcendental),
+    * PA a plain BIGINT degree product.
+    */
+  def qLinkPredict(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.linkPredictionScored(coPartGraph(spark, dir), 64L)
+      .orderBy(col("ra_pico").desc, col("u"), col("v"))
+      .limit(25)
+
+  val qLinkPredictSql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |   (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+      |  GROUP BY 1),
+      | dir2 AS (SELECT u AS z, v AS n FROM canon
+      |  UNION ALL SELECT v AS z, u AS n FROM canon),
+      | apex AS (SELECT d.z, d.n, g.deg FROM dir2 d
+      |  JOIN deg g ON g.node = d.z WHERE g.deg <= 64),
+      | sc AS (SELECT a1.n AS u, a2.n AS v,
+      |   CAST(COUNT(*) AS BIGINT) AS cn,
+      |   CAST(SUM(1000000000000 // a1.deg) AS HUGEINT) AS ra
+      |  FROM apex a1 JOIN apex a2 ON a2.z = a1.z AND a1.n < a2.n GROUP BY 1, 2),
+      | ne AS (SELECT sc.u, sc.v, sc.cn, sc.ra FROM sc
+      |  LEFT JOIN canon c ON c.u = sc.u AND c.v = sc.v WHERE c.u IS NULL),
+      | j AS (SELECT ne.u, ne.v, ne.cn, ne.ra, du.deg AS du, dv.deg AS dv
+      |  FROM ne JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v)
+      | SELECT u, v, cn AS common_neighbors, CAST(ra AS BIGINT) AS ra_pico,
+      |  CAST((CAST(cn AS HUGEINT) * 1000000000000) // (du + dv - cn) AS BIGINT)
+      |   AS jaccard_pico,
+      |  CAST(du * dv AS BIGINT) AS pa_score
+      | FROM j ORDER BY ra_pico DESC, u, v LIMIT 25""".stripMargin.replace("\n", " ")
+
   /** Fixed-iteration integer HITS over the directed supplier→customer
     * trade graph ([[graft.ops.Graph.hitsMicro]], Kleinberg JACM'99; 5
     * auth-first rounds, max-normalized micro-units): on this bipartite
@@ -4843,6 +4899,9 @@ object Registry {
     ("q_adamic_adar",
       graft.ops.Graph.adamicAdarScored(coPartGraph(spark, dir), 64L),
       "aa_pico", 25),
+    ("q_link_predict",
+      graft.ops.Graph.linkPredictionScored(coPartGraph(spark, dir), 64L),
+      "ra_pico", 25),
     ("q_embed_outliers",
       graft.ops.Spectral.zOutlierScores(
         t(spark, dir, "embeddings"), "vec_id", "embedding"),
@@ -5879,6 +5938,42 @@ object Registry {
       |  END AS acf_pico
       | FROM lg LEFT JOIN cl ON cl.lag = lg.lag LEFT JOIN ht ON ht.lag = lg.lag
       | CROSS JOIN st ORDER BY lag""".stripMargin.replace("\n", " ")
+  }
+
+  /** CUSUM changepoint of hourly event volume
+    * ([[graft.ops.Timeseries.cusumChangepoint]], Page '54): the dense-
+    * grid bin where cumulative deviation from the global mean peaks —
+    * WHEN traffic shifted, beside q_acf_hourly's "does it repeat" and
+    * the drift family's "did the histogram move". The N-scaled CUSUM is
+    * exact integers end to end; gap extrema are evaluated at gap
+    * endpoints (the CUSUM is linear across missing bins), so the dense
+    * grid is never materialized.
+    */
+  def qCusumChange(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.cusumChangepoint(t(spark, dir, "events"), "ts")
+
+  val qCusumChangeSql: String = {
+    val us = 3600000000L
+    s"""WITH hb AS (SELECT (epoch_us(ts) - (((epoch_us(ts) % $us) + $us) % $us)) // $us AS h
+      |  FROM events WHERE ts IS NOT NULL),
+      | o AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS y FROM hb GROUP BY 1),
+      | st AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax,
+      |   CAST(SUM(y) AS HUGEINT) AS yt FROM o),
+      | pre AS (SELECT h, CAST(SUM(y) OVER (ORDER BY h) AS HUGEINT) AS p,
+      |   lead(h) OVER (ORDER BY h) AS hn FROM o),
+      | cand AS (
+      |  SELECT h AS b, CAST(st.hmax - st.hmin + 1 AS HUGEINT) * p
+      |    - (h - st.hmin + 1) * st.yt AS s FROM pre CROSS JOIN st
+      |  UNION ALL
+      |  SELECT hn - 1 AS b, CAST(st.hmax - st.hmin + 1 AS HUGEINT) * p
+      |    - (hn - 1 - st.hmin + 1) * st.yt AS s
+      |  FROM pre CROSS JOIN st WHERE hn IS NOT NULL AND hn > h + 1),
+      | best AS (SELECT b, s FROM cand ORDER BY ABS(s) DESC, b ASC LIMIT 1)
+      | SELECT make_timestamp(b * $us) AS change_ts,
+      |  CAST(s AS BIGINT) AS cusum_scaled,
+      |  CAST(st.hmax - st.hmin + 1 AS BIGINT) AS n_bins,
+      |  CAST(st.yt AS BIGINT) AS total_events
+      | FROM best CROSS JOIN st WHERE st.yt > 0""".stripMargin.replace("\n", " ")
   }
 
   /** Top principal component of the embedding corpus by integer-law
@@ -7309,6 +7404,9 @@ object Registry {
     "q_assortativity" -> (qAssortativity _),
     "q_label_prop" -> (qLabelProp _),
     "q_adamic_adar" -> (qAdamicAdar _),
+    "q_link_predict" -> (qLinkPredict _),
+    "q_cusum_change" -> (qCusumChange _),
+    "q_containment" -> (qContainment _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
     "q_coverage" -> (qCoverage _),
@@ -7524,6 +7622,9 @@ object Registry {
     "q_assortativity" -> qAssortativitySql,
     "q_label_prop" -> qLabelPropSql,
     "q_adamic_adar" -> qAdamicAdarSql,
+    "q_link_predict" -> qLinkPredictSql,
+    "q_cusum_change" -> qCusumChangeSql,
+    "q_containment" -> qContainmentSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,
     "q_coverage" -> qCoverageSql,

@@ -34,6 +34,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // permutation: no shared 3-grams
   }
 
+  test("ngram containment: a wholly-embedded quote scores 1.0 where Jaccard misses it") {
+    // doc 2 embeds doc 1's full text inside unrelated framing: every one
+    // of doc 1's 3-grams recurs in doc 2, so overlap = shared/min = 1.0,
+    // while jaccard = 4/17 ≈ 0.24 stays far under any dedup threshold
+    val quote = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words here then alpha beta gamma delta epsilon zeta and a " +
+        "long unrelated tail of many extra tokens follows afterwards"),
+      (3L, "completely different content with no shared trigrams at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(quote, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert((r.getLong(2), r.getLong(3)) === ((4L, 4L)), "shared = na = 4")
+    assert(r.getDouble(5) === 1.0)
+    // the same pair under the Jaccard law: below threshold (the miss)
+    assert(Dedup.ngramJaccardPairs(quote, "doc_id", "text", 3, 0.5)
+      .count() === 0L)
+  }
+
   test("minhash LSH: same verified pairs as exact ngram pass") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)

@@ -277,6 +277,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("linkPredictionScored: path/square hand-scores, full-degree Jaccard/PA beside the capped pair law") {
+    import spark.implicits._
+    def scores(edges: Seq[(Long, Long)], cap: Long = 256L) = {
+      val ws = Graph.prepareUndirected(edges.toDF("s", "d"), "s", "d")
+      try Graph.linkPredictionScored(ws, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      finally ws.release()
+    }
+    // path 1-2-3: pair (1,3), apex 2 (deg 2): ra = 1e12 div 2; deg(1) =
+    // deg(3) = 1 → jaccard = 1/(1+1−1) = 1 exactly; pa = 1·1
+    assert(scores(Seq((1L, 2L), (2L, 3L))) ===
+      Map((1L, 3L) -> ((1L, 500000000000L, 1000000000000L, 1L))))
+    // square 1-2-3-4: diagonal (1,3) via apexes 2 and 4 (deg 2 each):
+    // ra = 2·(1e12 div 2) = 1e12; jaccard = 2/(2+2−2) = 1; pa = 4
+    val sq = scores(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(sq === Map((1L, 3L) -> ((2L, 1000000000000L, 1000000000000L, 4L)),
+      (2L, 4L) -> ((2L, 1000000000000L, 1000000000000L, 4L))))
+    // star: center above the cap contributes nothing (AA's cap law)
+    assert(scores(Seq((0L, 1L), (0L, 2L), (0L, 3L)), cap = 2L).isEmpty)
+    // kite 1-2-3 + 2-4: pair (1,3) apex 2 has FULL deg 3 (the capped
+    // pair law) → ra = 1e12 div 3 = 333333333333 (truncating integral
+    // division, not round — 0.333… would round to …33 anyway; deg 6
+    // would differ: div → 166666666666, round → …67)
+    val kite = scores(Seq((1L, 2L), (2L, 3L), (2L, 4L)))
+    assert(kite((1L, 3L)) === ((1L, 333333333333L, 1000000000000L, 1L)))
+  }
+
   test("corenessEstimate: converges exactly to planted core numbers; super-hub of pendants stays coreness 1") {
     import spark.implicits._
     // K4 on 1-4 with pendant 5: core numbers {3,3,3,3,1}

@@ -37,4 +37,33 @@ class TimeseriesSpec extends SparkSpec {
     assert(got(1L) === ((3L, None)), "den = 0 on a constant grid")
     assert(got(2L) === ((2L, None)))
   }
+
+  test("cusumChangepoint: hand-computed mean-shift peak; NULL ts excluded; empty input = no rows") {
+    // hours 0,1,2 carry 3 events each, hours 3,4,5 carry 1 each:
+    // y = [3,3,3,1,1,1], N = 6, Y = 12; s_scaled(t) = 6·P(t) − (t+1)·12
+    // = [6, 12, 18, 12, 6, 0] — peak 18 at hour 2 (the shift boundary)
+    val ev = (Seq.fill(3)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(3)(2L) ++
+      Seq(3L, 4L, 5L)).map(tsAtHour).map(Option(_))
+    val got = Timeseries.cusumChangepoint(
+      (ev :+ Option.empty[java.sql.Timestamp]).toDF("ts"), "ts").collect()
+    assert(got.length === 1)
+    assert(got.head.getTimestamp(0) === tsAtHour(2L))
+    assert((got.head.getLong(1), got.head.getLong(2), got.head.getLong(3)) ===
+      ((18L, 6L, 12L)))
+    assert(Timeseries.cusumChangepoint(
+      Seq.empty[Option[java.sql.Timestamp]].toDF("ts"), "ts").count() === 0L)
+  }
+
+  test("cusumChangepoint: gap extrema are caught at gap endpoints; |s| ties break to the earliest bin") {
+    // 6 events at hour 0, 6 at hour 5: N = 6, Y = 12; observed candidates
+    // s(0) = 6·6 − 12 = +24, s(5) = 0; the gap candidate at bin 4 is
+    // 6·6 − 5·12 = −24 (the trough an observed-bins-only law would miss).
+    // |24| ties |−24| → earliest bin (0, +24) wins deterministically.
+    val ev = (Seq.fill(6)(0L) ++ Seq.fill(6)(5L)).map(tsAtHour).toDF("ts")
+    val got = Timeseries.cusumChangepoint(ev, "ts").collect()
+    assert(got.length === 1)
+    assert(got.head.getTimestamp(0) === tsAtHour(0L))
+    assert((got.head.getLong(1), got.head.getLong(2), got.head.getLong(3)) ===
+      ((24L, 6L, 12L)))
+  }
 }
