@@ -71,4 +71,68 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("at_risk", col("n_sensitive") < l)
   }
+
+  /** t-closeness cell report (Li, Li & Venkatasubramanian, ICDE '07 —
+    * the attack l-diversity misses: a cell can hold l distinct sensitive
+    * values yet be SKEWED far from the corpus — 99% 'oncology' in a cell
+    * vs 2% globally discloses plenty): per QI equivalence class, the
+    * Earth-Mover's Distance between the class's sensitive-value
+    * distribution and the global one, flagged when above `tPico`. For a
+    * categorical attribute under unit ground distance the EMD is exactly
+    * the total-variation distance ½·Σ_v |p_v − q_v| (the paper's own
+    * categorical reduction).
+    *
+    * Exact law: with cell size n_c, corpus size N, per-(cell, value)
+    * count n_cv and per-value total N_v, the distance scaled by 2·n_c·N
+    * is the exact integer
+    *
+    *   d = Σ_{v in cell} |N·n_cv − n_c·N_v|  +  n_c·(N − Σ_{v in cell} N_v)
+    *
+    * (the second term folds in every value ABSENT from the cell, whose
+    * |N·0 − n_c·N_v| would otherwise need a dense cell×value join);
+    * `emd_pico = round(d / (2·n_c·N) · 10¹²)` is ONE double division,
+    * and `at_risk` compares PICOS to `tPico` — integer comparison, no
+    * threshold-boundary float hazard. NULL sensitive values assert no
+    * value and drop from both distributions (the l-diversity
+    * COUNT(DISTINCT) posture); a cell that is entirely NULL-sensitive
+    * has no distribution and emits no row.
+    *
+    * Scale shape: ONE row-level hash aggregate to (QI, value) counts
+    * (map-side combine); everything after runs on that bounded table —
+    * per-cell and per-value re-aggregates, a broadcast-sized value-total
+    * join, one per-cell Σ in DECIMAL(38,0). No window, no driver state.
+    *
+    * Output: (qi columns…, n_rows, emd_pico, at_risk).
+    */
+  def tClosenessCells(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tPico: Long): DataFrame = {
+    require(qiCols.nonEmpty, "at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(tPico >= 0L, s"tPico must be >= 0, got $tPico")
+    val dec = "decimal(38,0)"
+    val qi = qiCols.map(col)
+    val cv = df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(qi :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_ncv"))
+    val cells = cv.groupBy(qi: _*).agg(sum(col("_ncv")).as("_nc"))
+    val vals = cv.groupBy(col("_v")).agg(sum(col("_ncv")).as("_nv"))
+    val total = cv.agg(sum(col("_ncv")).as("_n"))
+    val present = cv
+      .join(cells, qiCols)
+      .join(broadcast(vals), "_v")
+      .crossJoin(broadcast(total))
+      .groupBy(qi: _*)
+      .agg(sum(abs(col("_n").cast(dec) * col("_ncv")
+          - col("_nc").cast(dec) * col("_nv"))).as("_dpres"),
+        sum(col("_nv")).as("_nvpres"))
+    present.join(cells, qiCols).crossJoin(broadcast(total))
+      .select(qi ++ Seq(
+        col("_nc").as("n_rows"),
+        round((col("_dpres") + col("_nc").cast(dec)
+            * (col("_n") - col("_nvpres")).cast(dec)).cast("double")
+          / (lit(2.0) * col("_nc").cast("double") * col("_n").cast("double"))
+          * 1000000000000.0).cast("long").as("emd_pico")): _*)
+      .withColumn("at_risk", col("emd_pico") > tPico)
+  }
 }

@@ -5891,6 +5891,47 @@ object Registry {
       | FROM customer GROUP BY 1 ORDER BY nation_key"""
       .stripMargin.replace("\n", " ")
 
+  /** t-closeness release screen over customers: QI = nation, sensitive
+    * = market segment ([[graft.ops.Privacy.tClosenessCells]], Li et al.
+    * ICDE '07): the skew attack l-diversity misses — a diverse cell
+    * whose sensitive distribution sits far from the corpus's still
+    * discloses. Categorical EMD = TV distance, exact integers scaled by
+    * 2·n_c·N, ONE double division to picos, integer threshold compare
+    * (t = 0.2 → 200000000000 picos).
+    */
+  def qTCloseness(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Privacy.tClosenessCells(
+        t(spark, dir, "customer")
+          .select(col("c_nationkey").cast("long").as("nation_key"),
+            col("c_mktsegment").as("segment")),
+        Seq("nation_key"), "segment", tPico = 200000000000L)
+      .orderBy("nation_key")
+
+  val qTClosenessSql: String =
+    """WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS qi,
+      |   c_mktsegment AS v FROM customer WHERE c_mktsegment IS NOT NULL),
+      | cv AS (SELECT qi, v, CAST(COUNT(*) AS BIGINT) AS ncv
+      |  FROM base GROUP BY 1, 2),
+      | c AS (SELECT qi, CAST(SUM(ncv) AS BIGINT) AS nc FROM cv GROUP BY 1),
+      | g AS (SELECT v, CAST(SUM(ncv) AS BIGINT) AS nv FROM cv GROUP BY 1),
+      | tot AS (SELECT CAST(SUM(ncv) AS BIGINT) AS n FROM cv),
+      | pres AS (SELECT cv.qi,
+      |   CAST(SUM(ABS(CAST(tot.n AS HUGEINT) * cv.ncv
+      |     - CAST(c.nc AS HUGEINT) * g.nv)) AS HUGEINT) AS dpres,
+      |   CAST(SUM(g.nv) AS BIGINT) AS nvpres
+      |  FROM cv JOIN c ON c.qi = cv.qi JOIN g ON g.v = cv.v
+      |  CROSS JOIN tot GROUP BY 1)
+      | SELECT c.qi AS nation_key, c.nc AS n_rows,
+      |  CAST(round(CAST(pres.dpres
+      |     + CAST(c.nc AS HUGEINT) * (tot.n - pres.nvpres) AS DOUBLE)
+      |    / (2.0 * c.nc * tot.n) * 1000000000000.0) AS BIGINT) AS emd_pico,
+      |  CAST(round(CAST(pres.dpres
+      |     + CAST(c.nc AS HUGEINT) * (tot.n - pres.nvpres) AS DOUBLE)
+      |    / (2.0 * c.nc * tot.n) * 1000000000000.0) AS BIGINT)
+      |   > 200000000000 AS at_risk
+      | FROM pres JOIN c ON c.qi = pres.qi CROSS JOIN tot
+      | ORDER BY nation_key""".stripMargin.replace("\n", " ")
+
   /** Hourly autocorrelogram of event traffic at lags 1..24
     * ([[graft.ops.Timeseries.binnedAcf]]): the seasonality /
     * self-similarity screen beside q_burstiness's dispersion — daily
@@ -7407,6 +7448,7 @@ object Registry {
     "q_link_predict" -> (qLinkPredict _),
     "q_cusum_change" -> (qCusumChange _),
     "q_containment" -> (qContainment _),
+    "q_t_closeness" -> (qTCloseness _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
     "q_coverage" -> (qCoverage _),
@@ -7625,6 +7667,7 @@ object Registry {
     "q_link_predict" -> qLinkPredictSql,
     "q_cusum_change" -> qCusumChangeSql,
     "q_containment" -> qContainmentSql,
+    "q_t_closeness" -> qTClosenessSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,
     "q_coverage" -> qCoverageSql,

@@ -46,6 +46,35 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("tClosenessCells: hand-computed categorical EMD; exact-t boundary is NOT at risk (strict >); NULLs drop") {
+    // cells: a = (x2, y1, z1), b = (x2, y2, z2), c = (z5 + one NULL).
+    // Non-null corpus: Nx=4, Ny=3, Nz=8, N=15.
+    //   a (nc=4): d = |30−16| + |15−12| + |15−32| = 34 → 34/120 = 0.28333…
+    //   b (nc=6): d = |30−24| + |30−18| + |30−48| = 36 → 36/180 = 0.2 EXACTLY
+    //   c (nc=5): present z only: |75−40| + 5·(15−8) = 70 → 70/150 = 0.4666…
+    // at t = 0.2 the boundary cell b must NOT flag (strict pico compare).
+    val rows = (Seq.fill(2)(("a", Some("x"))) ++ Seq(("a", Some("y")), ("a", Some("z"))) ++
+      Seq.fill(2)(("b", Some("x"))) ++ Seq.fill(2)(("b", Some("y"))) ++
+      Seq.fill(2)(("b", Some("z"))) ++
+      Seq.fill(5)(("c", Some("z"))) :+ (("c", Option.empty[String])))
+      .toDF("qi", "v")
+    val got = Privacy.tClosenessCells(rows, Seq("qi"), "v",
+        tPico = 200000000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "a" -> ((4L, 283333333333L, true)),
+      "b" -> ((6L, 200000000000L, false)),
+      "c" -> ((5L, 466666666667L, true))))
+    // an all-NULL-sensitive cell has no distribution: no row
+    val withEmpty = rows.union(Seq(("d", Option.empty[String])).toDF("qi", "v"))
+    assert(Privacy.tClosenessCells(withEmpty, Seq("qi"), "v", 0L)
+      .filter($"qi" === "d").count() === 0L)
+    intercept[IllegalArgumentException] {
+      Privacy.tClosenessCells(rows, Seq("v"), "v", 0L)
+    }
+  }
+
   test("kAnonymityCells: k=1 flags nothing; invalid arguments rejected") {
     val rows = Seq(("x", 1L), ("y", 2L)).toDF("q", "v")
     assert(Privacy.kAnonymityCells(rows, Seq("q"), k = 1L)
