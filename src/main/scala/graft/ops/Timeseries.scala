@@ -128,40 +128,55 @@ object Timeseries {
     require(binMicros >= 1L, s"binMicros must be >= 1, got $binMicros")
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
+    // ONE row-level pass: the bin hash aggregate is the only thing that
+    // touches the events; min/max/total ride the SAME single-partition
+    // sort as the prefix sum (unbounded-frame window aggregates over the
+    // bounded observed-bin table) instead of a second scan + crossJoin,
+    // and the gap candidates come from an explode instead of a union —
+    // the plan scans the corpus exactly once
     val o = events.filter(col(tsCol).isNotNull)
       .select(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
         s"${binMicros}L)) div ${binMicros}L").as("_h"))
       .groupBy(col("_h")).agg(count(lit(1)).as("_y"))
-    val w = Window.orderBy(col("_h"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pre = o.select(col("_h"), col("_y"),
-      sum(col("_y").cast(dec)).over(w).as("_p"),
-      lead(col("_h"), 1).over(Window.orderBy(col("_h"))).as("_hn"))
-    val stats = o.agg(min(col("_h")).as("_hmin"), max(col("_h")).as("_hmax"),
-      coalesce(sum(col("_y")), lit(0L)).as("_yt"))
-    val g = pre.crossJoin(broadcast(stats))
+    val ord = Window.orderBy(col("_h"))
+    val wPre = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val pre = o.select(col("_h"),
+      sum(col("_y").cast(dec)).over(wPre).as("_p"),
+      lead(col("_h"), 1).over(ord).as("_hn"),
+      min(col("_h")).over(wAll).as("_hmin"),
+      max(col("_h")).over(wAll).as("_hmax"),
+      sum(col("_y")).over(wAll).as("_yt"))
     val n = (col("_hmax") - col("_hmin") + lit(1L)).cast(dec)
     val yt = col("_yt").cast(dec)
     def sAt(bin: Column) =
       n * col("_p") - (bin - col("_hmin") + lit(1L)).cast(dec) * yt
     // candidates: each observed bin, plus (next observed − 1) across gaps
-    val cand = g.select(col("_h").as("_b"), sAt(col("_h")).as("_s"))
-      .unionByName(g.filter(col("_hn").isNotNull && col("_hn") > col("_h") + 1L)
-        .select((col("_hn") - 1L).as("_b"), sAt(col("_hn") - 1L).as("_s")))
+    // (NULL second struct when there is no gap — dropped by the filter)
+    val cand = pre.select(col("_hmin"), col("_hmax"), col("_yt"),
+        explode(array(
+          struct(col("_h").as("_b"), sAt(col("_h")).as("_s")),
+          when(col("_hn").isNotNull && col("_hn") > col("_h") + 1L,
+            struct((col("_hn") - 1L).as("_b"),
+              sAt(col("_hn") - 1L).as("_s"))))).as("_c"))
+      .filter(col("_c._b").isNotNull)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
-    val best = cand
-      .select(col("_b"), col("_s"),
-        when(col("_s") < zero, -col("_s")).otherwise(col("_s")).as("_abs"))
+    cand
+      .select(col("_c._b").as("_b"), col("_c._s").as("_s"),
+        when(col("_c._s") < zero, -col("_c._s")).otherwise(col("_c._s"))
+          .as("_abs"),
+        col("_hmin"), col("_hmax"), col("_yt"))
       .agg(max(struct(col("_abs").as("_abs"),
-        bitwise_not(col("_b")).as("_nb"), col("_s").as("_s"))).as("_m"))
-      .select(bitwise_not(col("_m._nb")).as("_b"),
-        col("_m._s").cast("long").as("cusum_scaled"))
-    best.crossJoin(broadcast(stats))
-      .filter(col("_yt") > 0L)
+        bitwise_not(col("_b")).as("_nb"), col("_s").as("_s"),
+        (col("_hmax") - col("_hmin") + lit(1L)).as("_n"),
+        col("_yt").as("_t"))).as("_m"))
+      .filter(col("_m").isNotNull)
       .select(
-        expr(s"timestamp_micros(_b * ${binMicros}L)").as("change_ts"),
-        col("cusum_scaled"),
-        (col("_hmax") - col("_hmin") + lit(1L)).as("n_bins"),
-        col("_yt").as("total_events"))
+        expr(s"timestamp_micros((~ _m._nb) * ${binMicros}L)")
+          .as("change_ts"),
+        col("_m._s").cast("long").as("cusum_scaled"),
+        col("_m._n").as("n_bins"),
+        col("_m._t").as("total_events"))
   }
 }
