@@ -97,10 +97,13 @@ object Privacy {
     * COUNT(DISTINCT) posture); a cell that is entirely NULL-sensitive
     * has no distribution and emits no row.
     *
-    * Scale shape: ONE row-level hash aggregate to (QI, value) counts
-    * (map-side combine); everything after runs on that bounded table —
-    * per-cell and per-value re-aggregates, a broadcast-sized value-total
-    * join, one per-cell Σ in DECIMAL(38,0). No window, no driver state.
+    * Scale shape: TWO column-pruned corpus passes — the (QI, value)
+    * hash aggregate (map-side combine) and the 1-row non-null count —
+    * and everything after runs on the bounded (QI, value) table: the
+    * per-value and per-cell totals are WINDOW sums over it (partitioned,
+    * never a global funnel; a join-based formulation re-scanned the
+    * corpus once per derived total), and the per-cell Σ reuses the
+    * QI window's exchange. No driver state.
     *
     * Output: (qi columns…, n_rows, emd_pico, at_risk).
     */
@@ -110,23 +113,25 @@ object Privacy {
     require(!qiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
     require(tPico >= 0L, s"tPico must be >= 0, got $tPico")
+    import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     val qi = qiCols.map(col)
-    val cv = df.filter(col(sensitiveCol).isNotNull)
-      .groupBy(qi :+ col(sensitiveCol).as("_v"): _*)
-      .agg(count(lit(1)).as("_ncv"))
-    val cells = cv.groupBy(qi: _*).agg(sum(col("_ncv")).as("_nc"))
-    val vals = cv.groupBy(col("_v")).agg(sum(col("_ncv")).as("_nv"))
-    val total = cv.agg(sum(col("_ncv")).as("_n"))
-    val present = cv
-      .join(cells, qiCols)
-      .join(broadcast(vals), "_v")
-      .crossJoin(broadcast(total))
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select(qi :+ col(sensitiveCol).as("_v"): _*)
+    val cv = base.groupBy(qi :+ col("_v"): _*).agg(count(lit(1)).as("_ncv"))
+    // value totals first, cell totals second: the QI window's exchange is
+    // then the LAST partitioning, so the final groupBy(qi) reuses it
+    val enriched = cv
+      .withColumn("_nv", sum(col("_ncv")).over(Window.partitionBy(col("_v"))))
+      .withColumn("_nc", sum(col("_ncv")).over(Window.partitionBy(qi: _*)))
+    val total = base.agg(count(lit(1)).as("_n"))
+    enriched.crossJoin(broadcast(total))
       .groupBy(qi: _*)
-      .agg(sum(abs(col("_n").cast(dec) * col("_ncv")
+      .agg(max(col("_nc")).as("_nc"),
+        sum(abs(col("_n").cast(dec) * col("_ncv")
           - col("_nc").cast(dec) * col("_nv"))).as("_dpres"),
-        sum(col("_nv")).as("_nvpres"))
-    present.join(cells, qiCols).crossJoin(broadcast(total))
+        sum(col("_nv")).as("_nvpres"),
+        max(col("_n")).as("_n"))
       .select(qi ++ Seq(
         col("_nc").as("n_rows"),
         round((col("_dpres") + col("_nc").cast(dec)
