@@ -544,6 +544,72 @@ object Graph {
         col("common_neighbors"), col("aa_pico").cast("long").as("aa_pico"))
   }
 
+  /** Per-node local clustering coefficients, top-`k` (Watts & Strogatz,
+    * Nature '98: lcc(v) = triangles through v / C(deg v, 2) — the
+    * per-node companion of [[triangleStats]]'s global census; the nodes
+    * whose neighborhoods are near-cliques are the tight communities /
+    * coordinated rings a global coefficient averages away).
+    *
+    * Law: triangles enumerate ONCE under the same degree-ordered
+    * orientation as [[triangleStats]] (each exactly once), then every
+    * triangle credits its three corners (one explode); per-node counts
+    * are exact integers, and `lcc_pico = round(2·t / (deg·(deg−1)) ·
+    * 10¹²)` is ONE fixed double chain. Nodes with deg < 2 have no wedge
+    * and are excluded from the ranking (an undefined lcc, not a 0).
+    * Top-k orders by (lcc_pico desc, node) — total and deterministic;
+    * small cliques all score exactly 10¹², so the k-boundary commonly
+    * sits inside a 1.0-plateau (the tie-plateau probe covers this row).
+    *
+    * Scale shape: the [[triangleStatsCore]] joins (wedge fan-out bounded
+    * by the O(√m) orientation), one explode, one (node) hash aggregate,
+    * one join to attach degrees, TakeOrdered top-k. The per-node
+    * deg·(deg−1) product stays a long (overflows only past ~3·10⁹
+    * distinct neighbors).
+    *
+    * Output: (node, deg, n_triangles, lcc_pico) — top `k`.
+    */
+  def localClustering(g: UndirectedWorkingSet, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    localClusteringScored(g)
+      .orderBy(col("lcc_pico").desc, col("node"))
+      .limit(k)
+  }
+
+  /** The UN-limited scored frame behind [[localClustering]] — every
+    * deg ≥ 2 node with its coefficient, no top-k: the tie-plateau
+    * audit's probe surface (1.0-plateaus are the norm — every small
+    * clique's members score exactly 10¹²).
+    */
+  def localClusteringScored(g: UndirectedWorkingSet): DataFrame = {
+    val canon = g.canon
+    val deg = g.deg
+    val du = deg.select(col("node").as("u"), col("deg").as("_du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("_dv"))
+    val uFirst = (col("_du") < col("_dv")) ||
+      (col("_du") === col("_dv") && col("u") < col("v"))
+    val oriented = canon.join(du, "u").join(dv, "v")
+      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"),
+        when(uFirst, col("_dv")).otherwise(col("_du")).as("degb"))
+    val e1 = oriented.select(col("a"), col("b").as("_b"), col("degb").as("_degb"))
+    val e2 = oriented.select(col("a"), col("b").as("_c"), col("degb").as("_degc"))
+    val wedge = e1.join(e2, Seq("a"))
+      .filter((col("_degb") < col("_degc")) ||
+        (col("_degb") === col("_degc") && col("_b") < col("_c")))
+      .select(col("a"), col("_b"), col("_c"))
+    val closing = oriented.select(col("a").as("_b"), col("b").as("_c"))
+    val perNode = wedge.join(closing, Seq("_b", "_c"))
+      .select(explode(array(col("a"), col("_b"), col("_c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("_t"))
+    deg.filter(col("deg") >= 2L)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("_t"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("_t"), lit(0L)).cast("double")
+          / (col("deg") * (col("deg") - 1L)).cast("double")
+          * 1000000000000.0).cast("long").as("lcc_pico"))
+  }
+
   /** The three classic common-neighbor link-prediction laws BESIDE
     * Adamic–Adar, in one pass over the shared pair expansion — the
     * side-by-side scorecard a link-prediction evaluation reads (Liben-

@@ -4633,6 +4633,45 @@ object Registry {
       |  END AS clustering_pico
       | FROM ns CROSS JOIN ne CROSS JOIN tri""".stripMargin.replace("\n", " ")
 
+  /** Top-25 local clustering coefficients on the co-purchase part graph
+    * ([[graft.ops.Graph.localClustering]], Watts & Strogatz '98): the
+    * per-node companion of q_triangle_count — near-clique neighborhoods
+    * the global coefficient averages away. Triangles enumerate once
+    * under the shared degree-ordered orientation, each credits its
+    * three corners, ONE fixed double chain to picos; deg < 2 nodes are
+    * unrankable and excluded.
+    */
+  def qLocalClustering(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.localClustering(coPartGraph(spark, dir), k = 25)
+
+  val qLocalClusteringSql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |   (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+      |  GROUP BY 1),
+      | o AS (SELECT
+      |   CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+      |    THEN u ELSE v END AS a,
+      |   CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+      |    THEN v ELSE u END AS b,
+      |   CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+      |    THEN dv.deg ELSE du.deg END AS degb
+      |  FROM canon JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+      | tri3 AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      |  FROM o e1 JOIN o e2 ON e2.a = e1.a
+      |    AND ((e1.degb < e2.degb) OR (e1.degb = e2.degb AND e1.b < e2.b))
+      |  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+      | corners AS (SELECT a AS node FROM tri3
+      |  UNION ALL SELECT b FROM tri3 UNION ALL SELECT c FROM tri3),
+      | pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY 1)
+      | SELECT d.node, d.deg, COALESCE(pn.t, 0) AS n_triangles,
+      |  CAST(round(2.0 * CAST(COALESCE(pn.t, 0) AS DOUBLE)
+      |    / CAST(d.deg * (d.deg - 1) AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |   AS lcc_pico
+      | FROM deg d LEFT JOIN pn ON pn.node = d.node WHERE d.deg >= 2
+      | ORDER BY lcc_pico DESC, d.node LIMIT 25""".stripMargin.replace("\n", " ")
+
   /** Degree assortativity of the co-purchase part graph
     * ([[graft.ops.Graph.assortativity]], Newman PRL'02): exact integer
     * degree moments in DECIMAL(38,0), one fixed Pearson chain, NULL on a
@@ -4902,6 +4941,9 @@ object Registry {
     ("q_link_predict",
       graft.ops.Graph.linkPredictionScored(coPartGraph(spark, dir), 64L),
       "ra_pico", 25),
+    ("q_local_clustering",
+      graft.ops.Graph.localClusteringScored(coPartGraph(spark, dir)),
+      "lcc_pico", 25),
     ("q_embed_outliers",
       graft.ops.Spectral.zOutlierScores(
         t(spark, dir, "embeddings"), "vec_id", "embedding"),
@@ -7449,6 +7491,7 @@ object Registry {
     "q_cusum_change" -> (qCusumChange _),
     "q_containment" -> (qContainment _),
     "q_t_closeness" -> (qTCloseness _),
+    "q_local_clustering" -> (qLocalClustering _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
     "q_coverage" -> (qCoverage _),
@@ -7668,6 +7711,7 @@ object Registry {
     "q_cusum_change" -> qCusumChangeSql,
     "q_containment" -> qContainmentSql,
     "q_t_closeness" -> qTClosenessSql,
+    "q_local_clustering" -> qLocalClusteringSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,
     "q_coverage" -> qCoverageSql,

@@ -277,6 +277,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("localClustering: K4+pendant hand-law; deg<2 excluded; open wedge scores 0; tiebreak by node") {
+    import spark.implicits._
+    // K4 on 1-4 with pendant 5 on 1: per-node triangles 3 each in the K4;
+    // lcc(1) = 3/C(4,2) = 0.5 (the pendant dilutes), lcc(2..4) = 3/3 = 1,
+    // node 5 (deg 1) unrankable
+    val k4p = ((for (i <- 1 to 4; j <- 1 to 4 if i < j)
+      yield (i.toLong, j.toLong)) :+ ((1L, 5L))).toDF("s", "d")
+    val ws = Graph.prepareUndirected(k4p, "s", "d")
+    val got = try Graph.localClustering(ws, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    finally ws.release()
+    assert(got.toSeq === Seq(
+      (2L, 3L, 3L, 1000000000000L), (3L, 3L, 3L, 1000000000000L),
+      (4L, 3L, 3L, 1000000000000L), (1L, 4L, 3L, 500000000000L)),
+      "1.0-plateau orders by node; pendant node 5 excluded")
+    // open path 1-2-3: apex 2 has deg 2, a wedge, and NO triangle → 0
+    val path = Graph.prepareUndirected(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d")
+    val p = try Graph.localClustering(path, k = 5).collect()
+    finally path.release()
+    assert(p.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((2L, 0L)))
+  }
+
   test("linkPredictionScored: path/square hand-scores, full-degree Jaccard/PA beside the capped pair law") {
     import spark.implicits._
     def scores(edges: Seq[(Long, Long)], cap: Long = 256L) = {
