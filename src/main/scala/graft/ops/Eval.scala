@@ -806,4 +806,69 @@ object Eval {
             / col("ref_chars").cast("double") * 1000000000000.0)
             .cast("long")))
   }
+
+  /** Rank-based two-sample effect size — Mann–Whitney U ('47) and
+    * Cliff's delta ('93) in one pass: the DISTRIBUTION-FREE "are these
+    * two groups drawn alike?" screen (is shard A's length profile the
+    * same as shard B's? did the new pipeline shift quality scores?)
+    * that t-test-style mean comparisons get wrong on the heavy-tailed,
+    * outlier-ridden distributions corpus metrics actually have.
+    *
+    * Exact law — never the O(n·m) pairwise join: one frequency table
+    * per distinct value ((value, n_a, n_b) — ONE corpus hash aggregate),
+    * then the greater/less/tie pair counts come from cumulative-B
+    * window sums over the VALUE table:
+    *
+    *   gt = Σ_v n_a(v)·#B(< v),  lt = Σ_v n_a(v)·#B(> v),
+    *   ties = Σ_v n_a(v)·n_b(v)
+    *
+    * all in DECIMAL(38,0); `u2_statistic = 2·gt + ties` is the DOUBLED
+    * Mann–Whitney U (kept integral instead of U's ·0.5 tie term);
+    * `cliffs_delta_pico = round((gt−lt)/(n_a·n_b)·10¹²)` is ONE double
+    * division, NULL when either group is empty. NULL values and NULL
+    * group flags assert nothing and drop.
+    *
+    * Scale shape: one column-pruned corpus aggregate (map-side combine);
+    * the window runs single-partition over the DISTINCT-VALUE table
+    * (the cusum/binnedAcf posture — bounded by distinct metric values,
+    * never rows), one 1-row aggregate ends it. Outputs stay BIGINT
+    * (pair counts overflow only past n_a·n_b ≈ 9.2·10¹⁸ — two 3·10⁹-row
+    * groups).
+    *
+    * Output: ONE row (n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
+    * u2_statistic, cliffs_delta_pico).
+    */
+  def rankEffect(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val freq = df
+      .filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+      .groupBy(col(valueCol).as("_v"))
+      .agg(sum(when(col(isACol), 1L).otherwise(0L)).as("_na"),
+        sum(when(col(isACol), 0L).otherwise(1L)).as("_nb"))
+    val ord = Window.orderBy(col("_v"))
+    val below = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val above = ord.rowsBetween(1, Window.unboundedFollowing)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val w = freq.select(col("_na"), col("_nb"),
+      coalesce(sum(col("_nb").cast(dec)).over(below), zero).as("_bb"),
+      coalesce(sum(col("_nb").cast(dec)).over(above), zero).as("_ba"))
+    w.agg(
+        coalesce(sum(col("_na")), lit(0L)).as("n_a"),
+        coalesce(sum(col("_nb")), lit(0L)).as("n_b"),
+        coalesce(sum(col("_na").cast(dec) * col("_bb")), zero).as("_gt"),
+        coalesce(sum(col("_na").cast(dec) * col("_ba")), zero).as("_lt"),
+        coalesce(sum(col("_na").cast(dec) * col("_nb").cast(dec)), zero)
+          .as("_ties"))
+      .select(col("n_a"), col("n_b"),
+        col("_gt").cast("long").as("gt_pairs"),
+        col("_lt").cast("long").as("lt_pairs"),
+        col("_ties").cast("long").as("tie_pairs"),
+        (lit(2L).cast(dec) * col("_gt") + col("_ties")).cast("long")
+          .as("u2_statistic"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round((col("_gt") - col("_lt")).cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double"))
+            * 1000000000000.0).cast("long")).as("cliffs_delta_pico"))
+  }
 }

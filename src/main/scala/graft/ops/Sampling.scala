@@ -150,6 +150,104 @@ object Sampling {
     * (id, weight, key_nano), key_nano = round(ln(u)/w · 1e9) riding along
     * so downstream audits can re-check the draw.
     */
+  /** The Poisson(1) CDF thresholds for the bootstrap weight draw —
+    * JVM-computed once and inlined into BOTH the engine expression and
+    * the oracle SQL (the class-balance ln β / NDCG discount-table
+    * discipline: a shared constant, not two independent libm chains).
+    * P(0)=e⁻¹, then cumulative /k! terms; weights cap at 5 (P > 5 is
+    * 1−0.9994 — the truncation is part of the law).
+    */
+  private[graft] val poissonCdf: Array[Double] = {
+    val e1 = math.exp(-1.0)
+    val terms = Array(1.0, 1.0, 0.5, 1.0 / 6.0, 1.0 / 24.0)
+    terms.scanLeft(0.0)(_ + _).tail.map(_ * e1)
+  }
+
+  /** The CDF quantized onto the family's 16-bit md5 grid: weight k is
+    * drawn iff h ≤ thresholds(k) (h the integer value of the first 4
+    * md5 hex digits; `(h+0.5)/65536 < cdf(k)` ⟺ `h < 65536·cdf(k) −
+    * 0.5`). The LAW is this integer table — both engines compare plain
+    * integers, so no float-literal parsing or libm chain can diverge.
+    */
+  private[graft] val poissonHThresholds: Array[Long] =
+    poissonCdf.map(c => (65536.0 * c - 0.5).floor.toLong)
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean of
+    * a corpus metric (Poisson bootstrap: each replica reweights every
+    * row by an independent Poisson(1) count — the single-pass,
+    * partition-agnostic bootstrap used at web scale where the classic
+    * multinomial resample is impossible; Chamandy et al., 'Estimating
+    * Uncertainty for Massive Data Streams', Google TR '12): B replica
+    * means from ONE corpus pass, the CI read off their order statistics
+    * (2nd and (B−1)-th — central ~93.75% at B = 32).
+    *
+    * Exact, engine-replayable law: the per-(replica, row) weight draws
+    * from the family's md5 integer (h = first 4 hex digits of
+    * md5(salt || rep || ':' || id)) against the FIXED integer
+    * thresholds of [[poissonHThresholds]] (the Poisson(1) CDF quantized
+    * onto the 16-bit grid — inlined identically on both engines, pure
+    * integer compares, weights 0..5); replica sums run Σw·x in
+    * DECIMAL(38,0) and Σw in BIGINT; each replica mean quantizes to
+    * micros in ONE double division; the pseudo-replica rep = −1 carries
+    * weight 1 everywhere and IS the point estimate (no second corpus
+    * pass). Replicas that draw an all-zero weight vector have no mean
+    * and drop from the ranking (n_replicas reports the effective
+    * count) — vanishing probability beyond toy corpora.
+    *
+    * Scale shape: one column-pruned scan fanned out ×(B+1) by an
+    * explode BEFORE the hash aggregate (map-side combine folds each
+    * partition to B+1 partial rows — the corpus is READ once; CPU cost
+    * is linear in B by construction), then a (B+1)-row window. No
+    * driver state.
+    *
+    * Output: ONE row (n_rows, n_replicas, mean_micro, boot_lo_micro,
+    * boot_hi_micro); no rows on an empty input.
+    */
+  def poissonBootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+      replicas: Int = 32, salt: String = "graft"): DataFrame = {
+    require(replicas >= 4, s"need >= 4 replicas for order stats, got $replicas")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val t = poissonHThresholds
+    val h = conv(substring(md5(concat(lit(salt), col("_rep").cast("string"),
+      lit(":"), col(idCol).cast("string"))), 1, 4), 16, 10).cast("long")
+    val w = when(col("_rep") === -1, lit(1L)).otherwise(
+      when(h <= t(0), 0L).when(h <= t(1), 1L).when(h <= t(2), 2L)
+        .when(h <= t(3), 3L).when(h <= t(4), 4L).otherwise(5L))
+    val per = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(valueCol).cast("long").as("_x"),
+        explode(array((-1 to (replicas - 1)).map(r => lit(r)): _*)).as("_rep"))
+      .withColumn("_w", w)
+      .groupBy(col("_rep"))
+      .agg(sum((col("_w") * col("_x")).cast(dec)).as("_swx"),
+        sum(col("_w")).as("_sw"), count(lit(1)).as("_n"))
+      .select(col("_rep"), col("_n"),
+        when(col("_sw") > 0L,
+          round(col("_swx").cast("double") / col("_sw").cast("double")
+            * 1000000.0).cast("long")).as("_mean"))
+    // rank the real replicas' means ascending AND descending (lo = 2nd
+    // smallest, hi = 2nd largest); rep −1 and degenerate no-mean
+    // replicas sort AFTER every ranked row so rank 2 is always a real
+    // replica once n_replicas ≥ 3
+    val unranked = col("_rep") === -1 || col("_mean").isNull
+    val ranked = per
+      .withColumn("_unr", unranked)
+      .withColumn("_rn", row_number().over(Window.orderBy(
+        col("_unr"), col("_mean").asc_nulls_last, col("_rep"))))
+      .withColumn("_rnd", row_number().over(Window.orderBy(
+        col("_unr"), col("_mean").desc_nulls_last, col("_rep").desc)))
+    ranked.agg(
+        max(when(col("_rep") === -1, col("_n"))).as("n_rows"),
+        sum(when(!col("_unr"), 1L).otherwise(0L)).as("n_replicas"),
+        max(when(col("_rep") === -1, col("_mean"))).as("mean_micro"),
+        max(when(!col("_unr") && col("_rn") === 2, col("_mean"))).as("_lo"),
+        max(when(!col("_unr") && col("_rnd") === 2, col("_mean"))).as("_hi"))
+      .filter(col("n_rows").isNotNull)
+      .select(col("n_rows"), col("n_replicas"), col("mean_micro"),
+        when(col("n_replicas") >= 3L, col("_lo")).as("boot_lo_micro"),
+        when(col("n_replicas") >= 3L, col("_hi")).as("boot_hi_micro"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "graft"): DataFrame = {
     require(k > 0, "k must be positive")

@@ -6059,6 +6059,101 @@ object Registry {
       | FROM best CROSS JOIN st WHERE st.yt > 0""".stripMargin.replace("\n", " ")
   }
 
+  /** Deterministic Poisson-bootstrap CI for mean document length
+    * ([[graft.ops.Sampling.poissonBootstrapCi]], Chamandy et al. '12;
+    * 32 replicas): the uncertainty bar every corpus-metric dashboard
+    * needs, single-pass and engine-replayable — md5-integer Poisson(1)
+    * weight draws against a fixed integer threshold table, exact
+    * DECIMAL Σs, one double division per replica, CI from the (2nd,
+    * 31st) order statistics. rep −1 carries weight 1 and IS the point
+    * estimate (no second corpus pass).
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.poissonBootstrapCi(
+      t(spark, dir, "documents"), "doc_id", "n_chars", replicas = 32)
+
+  val qBootstrapCiSql: String = {
+    val t = graft.ops.Sampling.poissonHThresholds
+    s"""WITH reps AS (SELECT CAST(unnest(generate_series(-1, 31)) AS BIGINT) AS rep),
+      | base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x FROM documents
+      |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+      | hd AS (SELECT rep, x,
+      |   md5('graft' || CAST(rep AS VARCHAR) || ':' || CAST(id AS VARCHAR)) AS m
+      |  FROM base CROSS JOIN reps),
+      | hv AS (SELECT rep, x,
+      |   CAST(4096 * ${nibSql(1)} + 256 * ${nibSql(2)} + 16 * ${nibSql(3)}
+      |     + ${nibSql(4)} AS BIGINT) AS h FROM hd),
+      | wts AS (SELECT rep, x, CASE WHEN rep = -1 THEN 1
+      |   WHEN h <= ${t(0)} THEN 0 WHEN h <= ${t(1)} THEN 1
+      |   WHEN h <= ${t(2)} THEN 2 WHEN h <= ${t(3)} THEN 3
+      |   WHEN h <= ${t(4)} THEN 4 ELSE 5 END AS w FROM hv),
+      | per AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(SUM(CAST(w AS HUGEINT) * x) AS HUGEINT) AS swx,
+      |   CAST(SUM(w) AS BIGINT) AS sw FROM wts GROUP BY 1),
+      | mm AS (SELECT rep, n, CASE WHEN sw > 0 THEN
+      |   CAST(round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 1000000.0)
+      |     AS BIGINT) END AS mean FROM per),
+      | rk AS (SELECT rep, n, mean, (rep = -1 OR mean IS NULL) AS unr,
+      |   row_number() OVER (ORDER BY (rep = -1 OR mean IS NULL),
+      |     mean ASC NULLS LAST, rep) AS rn,
+      |   row_number() OVER (ORDER BY (rep = -1 OR mean IS NULL),
+      |     mean DESC NULLS LAST, rep DESC) AS rnd FROM mm)
+      | SELECT MAX(CASE WHEN rep = -1 THEN n END) AS n_rows,
+      |  CAST(SUM(CASE WHEN NOT unr THEN 1 ELSE 0 END) AS BIGINT) AS n_replicas,
+      |  MAX(CASE WHEN rep = -1 THEN mean END) AS mean_micro,
+      |  CASE WHEN SUM(CASE WHEN NOT unr THEN 1 ELSE 0 END) >= 3 THEN
+      |   MAX(CASE WHEN NOT unr AND rn = 2 THEN mean END) END AS boot_lo_micro,
+      |  CASE WHEN SUM(CASE WHEN NOT unr THEN 1 ELSE 0 END) >= 3 THEN
+      |   MAX(CASE WHEN NOT unr AND rnd = 2 THEN mean END) END AS boot_hi_micro
+      | FROM rk HAVING MAX(CASE WHEN rep = -1 THEN n END) IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Mann–Whitney U + Cliff's delta between the two ingest shards'
+    * document-length distributions ([[graft.ops.Eval.rankEffect]];
+    * groups = doc_id parity — the A/B pipeline-comparison shape): the
+    * distribution-free two-sample screen over heavy-tailed corpus
+    * metrics. Exact pair counts from per-value frequency tables (never
+    * the O(n·m) pairwise join); doubled-U stays integral; one double
+    * division for the delta.
+    */
+  def qRankEffect(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.rankEffect(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"),
+          (col("doc_id") % 2 === 0).as("is_a")),
+      "len", "is_a")
+
+  val qRankEffectSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v,
+      |   (doc_id % 2 = 0) AS fa FROM documents
+      |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+      | f AS (SELECT v,
+      |   CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |   CAST(SUM(CASE WHEN fa THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      |  FROM base GROUP BY 1),
+      | w AS (SELECT na, nb,
+      |   COALESCE(CAST(SUM(nb) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT),
+      |    0) AS bb,
+      |   COALESCE(CAST(SUM(nb) OVER (ORDER BY v
+      |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS HUGEINT),
+      |    0) AS ba
+      |  FROM f),
+      | s AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+      |   CAST(SUM(nb) AS BIGINT) AS n_b,
+      |   CAST(SUM(CAST(na AS HUGEINT) * bb) AS HUGEINT) AS gt,
+      |   CAST(SUM(CAST(na AS HUGEINT) * ba) AS HUGEINT) AS lt,
+      |   CAST(SUM(CAST(na AS HUGEINT) * nb) AS HUGEINT) AS ties FROM w)
+      | SELECT n_a, n_b, CAST(gt AS BIGINT) AS gt_pairs,
+      |  CAST(lt AS BIGINT) AS lt_pairs, CAST(ties AS BIGINT) AS tie_pairs,
+      |  CAST(2 * gt + ties AS BIGINT) AS u2_statistic,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |   CAST(round(CAST(gt - lt AS DOUBLE)
+      |     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |     * 1000000000000.0) AS BIGINT) END AS cliffs_delta_pico
+      | FROM s""".stripMargin.replace("\n", " ")
+
   /** Top principal component of the embedding corpus by integer-law
     * power iteration ([[graft.ops.Spectral.topComponentMicro]], 12
     * rounds): micro-quantized components, exact n²-scaled covariance in
@@ -7492,6 +7587,8 @@ object Registry {
     "q_containment" -> (qContainment _),
     "q_t_closeness" -> (qTCloseness _),
     "q_local_clustering" -> (qLocalClustering _),
+    "q_rank_effect" -> (qRankEffect _),
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
     "q_coverage" -> (qCoverage _),
@@ -7712,6 +7809,8 @@ object Registry {
     "q_containment" -> qContainmentSql,
     "q_t_closeness" -> qTClosenessSql,
     "q_local_clustering" -> qLocalClusteringSql,
+    "q_rank_effect" -> qRankEffectSql,
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,
     "q_coverage" -> qCoverageSql,

@@ -414,4 +414,24 @@ class EvalSpec extends SparkSpec {
     assert(got(5L) === ((256L, 0L, Some(0L))))
   }
 
+  test("rankEffect: hand-computed pair counts with ties; empty group yields NULL delta; NULLs drop") {
+    import spark.implicits._
+    // A = {1, 2, 2}, B = {2, 3}: pairs (a, b) → gt 0, lt 4, ties 2
+    // (2a×2b twice); u2 = 2·0 + 2 = 2; delta = (0−4)/6 = −0.666…
+    val rows = Seq[(Option[Long], Option[Boolean])](
+      (Some(1L), Some(true)), (Some(2L), Some(true)), (Some(2L), Some(true)),
+      (Some(2L), Some(false)), (Some(3L), Some(false)),
+      (Some(99L), None), (None, Some(true)))
+      .toDF("v", "fa")
+    val r = Eval.rankEffect(rows, "v", "fa").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((3L, 2L, 0L, 4L, 2L, 2L)))
+    assert(r.getLong(6) === -666666666667L,
+      "delta rounds away from zero on both engines")
+    // one-sided input: counts exact, delta undefined (visible NULL)
+    val oneSided = Eval.rankEffect(
+      Seq((5L, true), (7L, true)).toDF("v", "fa"), "v", "fa").collect().head
+    assert((oneSided.getLong(0), oneSided.getLong(1)) === ((2L, 0L)))
+    assert(oneSided.isNullAt(6))
+  }
 }

@@ -153,4 +153,27 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 5L))
   }
+
+  test("poissonBootstrapCi: exact point mean, run-to-run determinism, ordered CI, empty input") {
+    import spark.implicits._
+    // 100 rows of value = id (1..100): point mean = 50.5 exactly
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "x")
+    val r1 = Sampling.poissonBootstrapCi(df, "id", "x", replicas = 32)
+      .collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ===
+      ((100L, 32L, 50500000L)))
+    assert(r1.getLong(3) <= r1.getLong(4), "lo <= hi")
+    assert(r1.getLong(3) < 50500000L && r1.getLong(4) > 50500000L,
+      "a symmetric-ish bootstrap brackets the point estimate on this corpus")
+    val r2 = Sampling.poissonBootstrapCi(df, "id", "x", replicas = 32)
+      .collect().head
+    assert(r1 === r2, "the md5 draw law is partition- and run-independent")
+    // empty input: no rows, not a NULL-filled row
+    assert(Sampling.poissonBootstrapCi(
+      Seq.empty[(Long, Long)].toDF("id", "x"), "id", "x").count() === 0L)
+    // the quantized threshold table is strictly increasing inside the grid
+    val t = Sampling.poissonHThresholds
+    assert(t.toSeq === t.toSeq.sorted && t.distinct.length === t.length)
+    assert(t.last < 65535L, "weight 5 must remain drawable")
+  }
 }
