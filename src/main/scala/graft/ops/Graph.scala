@@ -336,7 +336,24 @@ object Graph {
   def triangleStats(g: UndirectedWorkingSet): DataFrame =
     triangleStatsCore(g.canon, g.deg)
 
-  private def triangleStatsCore(canon: DataFrame, deg: DataFrame): DataFrame = {
+  /** One row per triangle (a, b, c) of the undirected simple graph,
+    * under the [[triangleStats]] degree-ordered orientation — each
+    * triangle exactly once. The shared enumeration behind the global
+    * census AND the per-node coefficients: a caller running both should
+    * materialize this frame once (the Registry pins it per directory
+    * next to the working set) instead of paying the wedge join twice.
+    */
+  def triangleFrame(g: UndirectedWorkingSet): DataFrame =
+    triangleFrameCore(g.canon, g.deg)
+
+  /** [[triangleFrame]] CHECKPOINTED to blocks, for callers pinning it
+    * across several consuming laws (the Registry's per-dir cache); the
+    * caller owns the blocks (release via the frame's LogicalRDD leaves).
+    */
+  def triangleFrameMaterialized(g: UndirectedWorkingSet): DataFrame =
+    Clusters.ownedCheckpoint(triangleFrameCore(g.canon, g.deg))._1
+
+  private def triangleFrameCore(canon: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("deg").as("_du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("_dv"))
     val uFirst = (col("_du") < col("_dv")) ||
@@ -350,10 +367,25 @@ object Graph {
     val wedge = e1.join(e2, Seq("a"))
       .filter((col("_degb") < col("_degc")) ||
         (col("_degb") === col("_degc") && col("_b") < col("_c")))
-      .select(col("_b"), col("_c"))
+      .select(col("a"), col("_b"), col("_c"))
     val closing = oriented.select(col("a").as("_b"), col("b").as("_c"))
-    val tri = wedge.join(closing, Seq("_b", "_c"))
-      .agg(count(lit(1)).as("n_triangles"))
+    wedge.join(closing, Seq("_b", "_c"))
+      .select(col("a"), col("_b").as("b"), col("_c").as("c"))
+  }
+
+  /** [[triangleStats]] over an ALREADY-ENUMERATED triangle frame (from
+    * [[triangleFrame]], possibly checkpointed and shared with
+    * [[localClustering]]) — only the counts and the wedge Σ run.
+    */
+  def triangleStats(g: UndirectedWorkingSet, triangles: DataFrame): DataFrame =
+    triangleStatsFromTri(g.canon, g.deg, triangles)
+
+  private def triangleStatsCore(canon: DataFrame, deg: DataFrame): DataFrame =
+    triangleStatsFromTri(canon, deg, triangleFrameCore(canon, deg))
+
+  private def triangleStatsFromTri(canon: DataFrame, deg: DataFrame,
+      triangles: DataFrame): DataFrame = {
+    val tri = triangles.agg(count(lit(1)).as("n_triangles"))
     val nodesEdges = canon.agg(count(lit(1)).as("n_edges"))
     // the wedge Σ runs in DECIMAL(38,0) like assortativity's degree-moment
     // sums: a web-scale graph's Σ deg·(deg−1)/2 outgrows BIGINT (one
@@ -568,38 +600,31 @@ object Graph {
     *
     * Output: (node, deg, n_triangles, lcc_pico) — top `k`.
     */
-  def localClustering(g: UndirectedWorkingSet, k: Int): DataFrame = {
+  def localClustering(g: UndirectedWorkingSet, k: Int): DataFrame =
+    localClustering(g, triangleFrameCore(g.canon, g.deg), k)
+
+  /** [[localClustering]] over a shared [[triangleFrame]]. */
+  def localClustering(g: UndirectedWorkingSet, triangles: DataFrame,
+      k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    localClusteringScored(g)
+    localClusteringScored(g, triangles)
       .orderBy(col("lcc_pico").desc, col("node"))
       .limit(k)
   }
+
+  def localClusteringScored(g: UndirectedWorkingSet): DataFrame =
+    localClusteringScored(g, triangleFrameCore(g.canon, g.deg))
 
   /** The UN-limited scored frame behind [[localClustering]] — every
     * deg ≥ 2 node with its coefficient, no top-k: the tie-plateau
     * audit's probe surface (1.0-plateaus are the norm — every small
     * clique's members score exactly 10¹²).
     */
-  def localClusteringScored(g: UndirectedWorkingSet): DataFrame = {
-    val canon = g.canon
+  def localClusteringScored(g: UndirectedWorkingSet,
+      triangles: DataFrame): DataFrame = {
     val deg = g.deg
-    val du = deg.select(col("node").as("u"), col("deg").as("_du"))
-    val dv = deg.select(col("node").as("v"), col("deg").as("_dv"))
-    val uFirst = (col("_du") < col("_dv")) ||
-      (col("_du") === col("_dv") && col("u") < col("v"))
-    val oriented = canon.join(du, "u").join(dv, "v")
-      .select(when(uFirst, col("u")).otherwise(col("v")).as("a"),
-        when(uFirst, col("v")).otherwise(col("u")).as("b"),
-        when(uFirst, col("_dv")).otherwise(col("_du")).as("degb"))
-    val e1 = oriented.select(col("a"), col("b").as("_b"), col("degb").as("_degb"))
-    val e2 = oriented.select(col("a"), col("b").as("_c"), col("degb").as("_degc"))
-    val wedge = e1.join(e2, Seq("a"))
-      .filter((col("_degb") < col("_degc")) ||
-        (col("_degb") === col("_degc") && col("_b") < col("_c")))
-      .select(col("a"), col("_b"), col("_c"))
-    val closing = oriented.select(col("a").as("_b"), col("b").as("_c"))
-    val perNode = wedge.join(closing, Seq("_b", "_c"))
-      .select(explode(array(col("a"), col("_b"), col("_c"))).as("node"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("_t"))
     deg.filter(col("deg") >= 2L)
       .join(perNode, Seq("node"), "left")

@@ -4589,6 +4589,25 @@ object Registry {
           "src", "dst")
       })
 
+  /** Per-dir pin of the CHECKPOINTED co-purchase triangle frame
+    * ([[graft.ops.Graph.triangleFrame]]) — the [[cachedCoPart]] posture
+    * applied to the triangle enumeration: q_triangle_count and
+    * q_local_clustering both read it, so the wedge self-join (the
+    * dominant cost of both, ~6.4–6.7 s each at sf0.1) runs once per
+    * (session, dir) instead of once per query. Same single-maintainer
+    * contract as [[cachedRanks]].
+    */
+  private val cachedCoTri =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def coPartTriangles(spark: SparkSession, dir: String): DataFrame =
+    cachedCoTri.compute(dir, (_, old) =>
+      if (old != null && (old.sparkSession eq spark)) old
+      else {
+        if (old != null) releaseBlocks(old)
+        graft.ops.Graph.triangleFrameMaterialized(coPartGraph(spark, dir))
+      })
+
   private val coPartEdgesSql: String =
     """SELECT a.pk AS s, b.pk AS d
       | FROM (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
@@ -4603,7 +4622,8 @@ object Registry {
     * the clustering coefficient one fixed 3T/W chain.
     */
   def qTriangleCount(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.triangleStats(coPartGraph(spark, dir))
+    graft.ops.Graph.triangleStats(coPartGraph(spark, dir),
+      coPartTriangles(spark, dir))
 
   val qTriangleCountSql: String =
     s"""WITH raw AS ($coPartEdgesSql),
@@ -4642,7 +4662,8 @@ object Registry {
     * unrankable and excluded.
     */
   def qLocalClustering(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.localClustering(coPartGraph(spark, dir), k = 25)
+    graft.ops.Graph.localClustering(coPartGraph(spark, dir),
+      coPartTriangles(spark, dir), k = 25)
 
   val qLocalClusteringSql: String =
     s"""WITH raw AS ($coPartEdgesSql),
@@ -4942,7 +4963,8 @@ object Registry {
       graft.ops.Graph.linkPredictionScored(coPartGraph(spark, dir), 64L),
       "ra_pico", 25),
     ("q_local_clustering",
-      graft.ops.Graph.localClusteringScored(coPartGraph(spark, dir)),
+      graft.ops.Graph.localClusteringScored(coPartGraph(spark, dir),
+        coPartTriangles(spark, dir)),
       "lcc_pico", 25),
     ("q_embed_outliers",
       graft.ops.Spectral.zOutlierScores(
