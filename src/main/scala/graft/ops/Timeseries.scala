@@ -123,6 +123,79 @@ object Timeseries {
     * the signed N-scaled value there, `n_bins` the DENSE grid length.
     * No rows when the input has no non-NULL timestamps.
     */
+  /** Per-user event-type transition counts — the first-order Markov
+    * matrix of the event stream (the session-structure screen beside
+    * [[binnedAcf]]'s periodicity: which action follows which, the
+    * empirical transition kernel a bot's fixed script or a broken
+    * funnel shows up in immediately).
+    *
+    * Law: events order per user by (ts, idCol) — the idCol suffix makes
+    * the order total under timestamp ties — NULL-type and NULL-ts rows
+    * assert nothing and drop BEFORE pairing (a transition never spans
+    * an excluded row); counts are exact integers and
+    * `prob_micro = round(n / row_total · 10⁶)` is one double division
+    * per cell.
+    *
+    * Scale shape: one per-user window (partitioned by user — never
+    * global), one (from, to) hash aggregate, one from-total window over
+    * the CELL table (bounded by |types|², never events).
+    *
+    * Output: (from_type, to_type, n_pairs, row_total, prob_micro), one
+    * row per observed transition.
+    */
+  def markovTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull && col(idCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(perUser))
+      .filter(col("to_type").isNotNull)
+    val cells = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    cells
+      .withColumn("row_total",
+        sum(col("n_pairs")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob_micro",
+        round(col("n_pairs").cast("double") / col("row_total").cast("double")
+          * 1000000.0).cast("long"))
+  }
+
+  /** First-order entropy rate of the event stream, from the SAME
+    * transition law as [[markovTransitions]]: H(next | prev) =
+    * Σ_ab p(ab)·log₂(c_a / c_ab) — the predictability one-number (a
+    * scripted bot's stream approaches 0 bits; organic traffic sits
+    * high). Per-cell terms quantize to picos BEFORE the integer Σ (the
+    * KL/RBO discipline: `n_ab · round(log₂(c_a/c_ab)·10¹²)` — exact
+    * integers into DECIMAL(38,0)), then ONE double division by the
+    * transition total.
+    *
+    * Output: ONE row (n_transitions, n_states, entropy_rate_pico) —
+    * no rows on an input with no transitions.
+    */
+  def entropyRate(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = markovTransitions(events, userCol, tsCol, typeCol, idCol)
+    cells
+      .select(col("from_type"), col("n_pairs"),
+        (col("n_pairs").cast(dec) *
+          round(log2(col("row_total").cast("double")
+              / col("n_pairs").cast("double")) * 1000000000000.0)
+            .cast("long").cast(dec)).as("_term"))
+      .agg(sum(col("n_pairs")).as("n_transitions"),
+        countDistinct(col("from_type")).as("n_states"),
+        sum(col("_term")).as("_ts"))
+      .filter(col("n_transitions").isNotNull)
+      .select(col("n_transitions"), col("n_states"),
+        round(col("_ts").cast("double") / col("n_transitions").cast("double"))
+          .cast("long").as("entropy_rate_pico"))
+  }
+
   def cusumChangepoint(events: DataFrame, tsCol: String,
       binMicros: Long = 3600L * 1000000L): DataFrame = {
     require(binMicros >= 1L, s"binMicros must be >= 1, got $binMicros")

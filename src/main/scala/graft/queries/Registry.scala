@@ -6081,6 +6081,60 @@ object Registry {
       | FROM best CROSS JOIN st WHERE st.yt > 0""".stripMargin.replace("\n", " ")
   }
 
+  /** Event-type Markov transition matrix per user stream
+    * ([[graft.ops.Timeseries.markovTransitions]]): the empirical
+    * transition kernel — which action follows which — with exact pair
+    * counts ordered totally by (ts, event_id) and one double division
+    * per cell. Bot scripts and broken funnels show as degenerate rows.
+    */
+  def qMarkovTransition(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.markovTransitions(t(spark, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+
+  private val markovCellCtes: String =
+    """p AS (SELECT event_type AS ft,
+      |   lead(event_type) OVER (PARTITION BY user_id
+      |     ORDER BY ts, event_id) AS tt
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |   AND event_type IS NOT NULL AND event_id IS NOT NULL),
+      | c AS (SELECT ft AS from_type, tt AS to_type,
+      |   CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM p WHERE tt IS NOT NULL GROUP BY 1, 2),
+      | r AS (SELECT from_type, to_type, n_pairs,
+      |   CAST(SUM(n_pairs) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS row_total FROM c)""".stripMargin
+
+  val qMarkovTransitionSql: String =
+    s"""WITH $markovCellCtes
+      | SELECT from_type, to_type, n_pairs, row_total,
+      |  CAST(round(CAST(n_pairs AS DOUBLE) / CAST(row_total AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS prob_micro
+      | FROM r ORDER BY from_type, to_type""".stripMargin.replace("\n", " ")
+
+  /** First-order entropy rate of the event stream
+    * ([[graft.ops.Timeseries.entropyRate]]): H(next | prev) over the
+    * same transition law — the predictability one-number (scripted
+    * replay → 0 bits). Per-cell log₂ terms pico-quantized before the
+    * DECIMAL Σ, one closing double division.
+    */
+  def qEntropyRate(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.entropyRate(t(spark, dir, "events"),
+      "user_id", "ts", "event_type", "event_id")
+
+  val qEntropyRateSql: String =
+    s"""WITH $markovCellCtes,
+      | tm AS (SELECT n_pairs, from_type,
+      |   CAST(n_pairs AS HUGEINT) * CAST(round(
+      |     log2(CAST(row_total AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+      |     * 1000000000000.0) AS BIGINT) AS term FROM r)
+      | SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_transitions,
+      |  CAST(COUNT(DISTINCT from_type) AS BIGINT) AS n_states,
+      |  CAST(round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(n_pairs) AS DOUBLE))
+      |   AS BIGINT) AS entropy_rate_pico
+      | FROM tm HAVING SUM(n_pairs) IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+
   /** Deterministic Poisson-bootstrap CI for mean document length
     * ([[graft.ops.Sampling.poissonBootstrapCi]], Chamandy et al. '12;
     * 32 replicas): the uncertainty bar every corpus-metric dashboard
@@ -7611,6 +7665,8 @@ object Registry {
     "q_local_clustering" -> (qLocalClustering _),
     "q_rank_effect" -> (qRankEffect _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_markov_transition" -> (qMarkovTransition _),
+    "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
     "q_coverage" -> (qCoverage _),
@@ -7833,6 +7889,8 @@ object Registry {
     "q_local_clustering" -> qLocalClusteringSql,
     "q_rank_effect" -> qRankEffectSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
+    "q_markov_transition" -> qMarkovTransitionSql,
+    "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,
     "q_coverage" -> qCoverageSql,

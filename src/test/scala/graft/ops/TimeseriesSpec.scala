@@ -54,6 +54,39 @@ class TimeseriesSpec extends SparkSpec {
       Seq.empty[Option[java.sql.Timestamp]].toDF("ts"), "ts").count() === 0L)
   }
 
+  test("markovTransitions + entropyRate: hand-computed kernel; ts ties break on event_id; NULL-type rows drop") {
+    import java.sql.Timestamp
+    val t0 = new Timestamp(1000L)
+    val t1 = new Timestamp(2000L)
+    // user 1: A→B→A→B (the 3rd/4th share a ts — event_id orders them);
+    // user 2: A→A; a NULL-type row for user 2 drops BEFORE pairing
+    val ev = Seq(
+      (1L, t0, 10L, Option("A")), (1L, new Timestamp(1500L), 11L, Option("B")),
+      (1L, t1, 12L, Option("A")), (1L, t1, 13L, Option("B")),
+      (2L, t0, 20L, Option("A")), (2L, t1, 22L, Option("A")),
+      (2L, new Timestamp(1500L), 21L, Option.empty[String]))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val cells = Timeseries.markovTransitions(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(cells === Map(
+      ("A", "B") -> ((2L, 3L, 666667L)),
+      ("A", "A") -> ((1L, 3L, 333333L)),
+      ("B", "A") -> ((1L, 1L, 1000000L))))
+    // H = (2·round(log2(3/2)·1e12) + round(log2(3)·1e12) + 0) / 4
+    val h = Timeseries.entropyRate(ev, "user_id", "ts",
+      "event_type", "event_id").collect().head
+    assert((h.getLong(0), h.getLong(1)) === ((4L, 2L)))
+    val expect = math.round((2.0 * math.round(math.log(1.5) / math.log(2.0)
+      * 1e12) + math.round(math.log(3.0) / math.log(2.0) * 1e12)) / 4.0)
+    assert(h.getLong(2) === expect)
+    // no transitions at all (every user has one event): no rows
+    assert(Timeseries.entropyRate(
+      Seq((1L, t0, 1L, Option("A"))).toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_type", "event_id").count() === 0L)
+  }
+
   test("cusumChangepoint: gap extrema are caught at gap endpoints; |s| ties break to the earliest bin") {
     // 6 events at hour 0, 6 at hour 5: N = 6, Y = 12; observed candidates
     // s(0) = 6·6 − 12 = +24, s(5) = 0; the gap candidate at bin 4 is
