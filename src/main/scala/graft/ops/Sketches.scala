@@ -115,4 +115,46 @@ object Sketches {
       }
     }.toDF(stratumCol, "token", "est_count", "n_tokens")
   }
+
+  /** KMV (K-Minimum-Values) distinct-count sketch over a column's
+    * DISTINCT md5 images (Bar-Yossef, Jayram, Kumar, Sivakumar &
+    * Trevisan, RANDOM '02 — the order-statistics distinct estimator
+    * beside [[countMin]]'s frequency sketch: keep the k smallest hash
+    * values; if the k-th smallest of n uniform points sits at u, then
+    * n ≈ (k−1)/u): the cardinality screen that costs ONE top-k instead
+    * of a full COUNT(DISTINCT) shuffle at corpus scale.
+    *
+    * Exact, engine-replayable law: items hash to md5 hex (fixed 32
+    * chars, so LEXICOGRAPHIC order IS numeric order — the k-th smallest
+    * is a string min-k any engine agrees on); u reads the first 15 hex
+    * digits (60 bits) of the k-th hash as an integer over 2⁶⁰, and
+    * `est_distinct = round((k−1) / (h_k / 2⁶⁰))` is one fixed double
+    * chain. Exact below k: when fewer than k distinct hashes exist the
+    * estimator is the EXACT distinct count (n_kept, no estimation).
+    * NULL items assert nothing and drop.
+    *
+    * Scale shape: one narrow hash projection + distinct + TakeOrdered k
+    * (never a global sort); the k-row frame ends in a 1-row aggregate.
+    *
+    * Output: ONE row (k, n_kept, kth_hash, est_distinct).
+    */
+  def kmvDistinct(df: DataFrame, itemCol: Column, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashes = df.select(itemCol.cast("string").as("_i"))
+      .filter(col("_i").isNotNull)
+      .select(md5(concat(lit(salt), col("_i"))).as("_h"))
+      .distinct()
+      .orderBy(col("_h"))
+      .limit(k)
+    hashes
+      .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("kth_hash"))
+      .filter(col("n_kept") > 0L)
+      .select(lit(k.toLong).as("k"), col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          round(lit((k - 1).toDouble)
+            / (conv(substring(col("kth_hash"), 1, 15), 16, 10)
+                .cast("double") / lit(1152921504606846976.0)))
+            .cast("long")).as("est_distinct"))
+  }
 }

@@ -6081,6 +6081,43 @@ object Registry {
       | FROM best CROSS JOIN st WHERE st.yt > 0""".stripMargin.replace("\n", " ")
   }
 
+  /** KMV distinct-cardinality estimate of the order–part interaction
+    * set ([[graft.ops.Sketches.kmvDistinct]], Bar-Yossef et al. '02,
+    * k = 256): the order-statistics cardinality sketch — one top-k of
+    * md5 images instead of a corpus-wide COUNT(DISTINCT) shuffle over
+    * the fact table. The estimate is a deterministic function of the
+    * item set (fixed-width hex sorts numerically), so it hash-oracles
+    * exactly; ~60k true distinct at sf0.01 exercises the ESTIMATOR
+    * path (the exact-below-k path is spec-pinned).
+    */
+  def qKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvDistinct(
+      t(spark, dir, "lineitem")
+        .select(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_partkey").cast("string")).as("pair")),
+      col("pair"), k = 256)
+
+  val qKmvDistinctSql: String = {
+    // first 15 hex nibbles of column m as a BIGINT polynomial (16^14 max
+    // term ≈ 7.2·10¹⁶ — safely inside BIGINT)
+    val poly = (1 to 15).map(i =>
+      s"CAST(${1L << (4 * (15 - i))} AS BIGINT) * ${nibSql(i)}")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT CAST(l_orderkey AS VARCHAR) || ':'
+      |   || CAST(l_partkey AS VARCHAR) AS tok FROM lineitem),
+      | h AS (SELECT DISTINCT md5('graft' || tok) AS m FROM toks
+      |  WHERE tok IS NOT NULL),
+      | kk AS (SELECT m FROM h ORDER BY m LIMIT 256),
+      | agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(m) AS m
+      |  FROM kk),
+      | pv AS (SELECT n_kept, m, CAST($poly AS BIGINT) AS hv FROM agg)
+      | SELECT CAST(256 AS BIGINT) AS k, n_kept, m AS kth_hash,
+      |  CASE WHEN n_kept < 256 THEN n_kept ELSE
+      |   CAST(round(255.0 / (CAST(hv AS DOUBLE) / 1152921504606846976.0))
+      |    AS BIGINT) END AS est_distinct
+      | FROM pv WHERE n_kept > 0""".stripMargin.replace("\n", " ")
+  }
+
   /** Event-type Markov transition matrix per user stream
     * ([[graft.ops.Timeseries.markovTransitions]]): the empirical
     * transition kernel — which action follows which — with exact pair
@@ -7666,6 +7703,7 @@ object Registry {
     "q_rank_effect" -> (qRankEffect _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_markov_transition" -> (qMarkovTransition _),
+    "q_kmv_distinct" -> (qKmvDistinct _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
@@ -7890,6 +7928,7 @@ object Registry {
     "q_rank_effect" -> qRankEffectSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_markov_transition" -> qMarkovTransitionSql,
+    "q_kmv_distinct" -> qKmvDistinctSql,
     "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,

@@ -54,4 +54,26 @@ class SketchesSpec extends SparkSpec {
       assert(est <= truth(p) + cap, s"$p: overshoot ${est - truth(p)} > $cap")
     }
   }
+
+  test("kmvDistinct: exact below k, duplicate-invariant, deterministic, estimate near truth at k=256") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // below k: the estimator IS the exact distinct count
+    val small = (1L to 10L).toDF("x")
+    val s = Sketches.kmvDistinct(small, col("x"), k = 16).collect().head
+    assert((s.getLong(1), s.getLong(3)) === ((10L, 10L)))
+    // 5000 distinct values, k = 256: σ ≈ 1/√k ≈ 6.3% — accept ±25% (4σ)
+    val big = (1L to 5000L).toDF("x")
+    val b1 = Sketches.kmvDistinct(big, col("x"), k = 256).collect().head
+    assert(b1.getLong(1) === 256L)
+    val est = b1.getLong(3)
+    assert(est > 3750L && est < 6250L, s"estimate $est far from 5000")
+    // the law sees the DISTINCT set: tripling every row changes nothing
+    val trip = big.union(big).union(big)
+    val b2 = Sketches.kmvDistinct(trip, col("x"), k = 256).collect().head
+    assert(b2 === b1)
+    // empty input: no rows
+    assert(Sketches.kmvDistinct(Seq.empty[Long].toDF("x"), col("x"), 16)
+      .count() === 0L)
+  }
 }
