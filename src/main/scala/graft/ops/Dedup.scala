@@ -434,6 +434,41 @@ object Dedup {
       .select("id_a", "id_b", "shared", "na", "nb", "containment")
   }
 
+  /** Corpus-internal duplicate n-gram mass — the one-number boilerplate
+    * screen (Lee et al., 'Deduplicating Training Data Makes Language
+    * Models Better', ACL '22 measures exactly this surface): of all
+    * (document, distinct-n-gram) incidences, the fraction whose n-gram
+    * also appears in ANOTHER document. High mass = shared headers,
+    * templates, quoted chains — memorization fuel that per-document
+    * dedup (Jaccard/containment PAIRS) prices pair-by-pair while this
+    * prices the whole corpus at aggregate cost.
+    *
+    * Exact law: per-document DISTINCT n-grams (the shingle frame), one
+    * per-n-gram document-frequency aggregate, then
+    * `dup_mass_pico = round(Σ_{df≥2} df / Σ df · 10¹²)` — exact integer
+    * sums, ONE double division. No pair join anywhere: cost is two hash
+    * aggregates over the exploded shingle stream.
+    *
+    * Output: ONE row (n_distinct_ngrams, total_doc_ngrams,
+    * dup_doc_ngrams, dup_mass_pico); no rows when the corpus has no
+    * n-grams.
+    */
+  def ngramDupMass(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5): DataFrame = {
+    val freq = shingleHashFrame(df, idCol, textCol, shingleSize)
+      .select(explode(col("_sh")).as("_s"))
+      .groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    freq.agg(count(lit(1)).as("n_distinct_ngrams"),
+        coalesce(sum(col("_df")), lit(0L)).as("total_doc_ngrams"),
+        coalesce(sum(when(col("_df") >= 2L, col("_df")).otherwise(0L)),
+          lit(0L)).as("dup_doc_ngrams"))
+      .filter(col("n_distinct_ngrams") > 0L)
+      .withColumn("dup_mass_pico",
+        round(col("dup_doc_ngrams").cast("double")
+          / col("total_doc_ngrams").cast("double") * 1000000000000.0)
+          .cast("long"))
+  }
+
   /** Cross-corpus NEAR-dup dedup — the fuzzy sibling of [[exactAgainst]]:
     * drop incoming documents whose word-n-gram Jaccard with ANY reference
     * document is ≥ `threshold` (the incremental-crawl guard against

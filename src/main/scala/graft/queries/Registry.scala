@@ -1973,6 +1973,36 @@ object Registry {
       | FROM pairs WHERE CAST(shared AS DOUBLE)/least(na, nb) >= 0.9
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Corpus-internal duplicate 5-gram mass
+    * ([[graft.ops.Dedup.ngramDupMass]], the Lee et al. ACL'22
+    * boilerplate surface): the fraction of (doc, distinct-5-gram)
+    * incidences shared with another document — the whole-corpus
+    * memorization-fuel number beside the pairwise dedup laws, at two
+    * hash aggregates of cost.
+    */
+  def qNgramDupMass(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramDupMass(t(spark, dir, "documents"),
+      "doc_id", "text", shingleSize = 5)
+
+  val qNgramDupMassSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | sh AS (SELECT doc_id,
+      |   list_distinct(list_transform(generate_series(1, len(tk) - 4),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+      |      || tk[i+3] || ' ' || tk[i+4])) AS shingles
+      |  FROM toks WHERE len(tk) >= 5),
+      | ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      | f AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY 1),
+      | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+      |   CAST(COALESCE(SUM(df), 0) AS BIGINT) AS total_doc_ngrams,
+      |   CAST(COALESCE(SUM(CASE WHEN df >= 2 THEN df ELSE 0 END), 0)
+      |    AS BIGINT) AS dup_doc_ngrams FROM f)
+      | SELECT n_distinct_ngrams, total_doc_ngrams, dup_doc_ngrams,
+      |  CAST(round(CAST(dup_doc_ngrams AS DOUBLE)
+      |    / CAST(total_doc_ngrams AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |   AS dup_mass_pico
+      | FROM a WHERE n_distinct_ngrams > 0""".stripMargin.replace("\n", " ")
+
   /** Near-dup cluster assignment: connected components over the verified
     * exact-Jaccard pair graph — the survivor-selection step of a dedup
     * pipeline (keep one doc per cluster). The oracle computes the same
@@ -7704,6 +7734,7 @@ object Registry {
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_markov_transition" -> (qMarkovTransition _),
     "q_kmv_distinct" -> (qKmvDistinct _),
+    "q_ngram_dup_mass" -> (qNgramDupMass _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
@@ -7929,6 +7960,7 @@ object Registry {
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_markov_transition" -> qMarkovTransitionSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
+    "q_ngram_dup_mass" -> qNgramDupMassSql,
     "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,

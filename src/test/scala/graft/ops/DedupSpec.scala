@@ -56,6 +56,23 @@ class DedupSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("ngramDupMass: hand-computed boilerplate mass; intra-doc repeats don't count; empty corpus = no rows") {
+    // doc 1 and 2 share exactly "a b c d e"; doc 3's 5-gram repeats
+    // WITHIN the doc only (distinct-per-doc law: df = 1, not duplicated)
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e x"),
+      (3L, "z z z z z z z z z z")
+    ).toDF("doc_id", "text")
+    val r = Dedup.ngramDupMass(corpus, "doc_id", "text", shingleSize = 5)
+      .collect().head
+    // df: {a b c d e: 2, b c d e f: 1, b c d e x: 1, z...z: 1}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 5L, 2L, 400000000000L)))
+    val empty = Seq((1L, "too short")).toDF("doc_id", "text")
+    assert(Dedup.ngramDupMass(empty, "doc_id", "text", 5).count() === 0L)
+  }
+
   test("minhash LSH: same verified pairs as exact ngram pass") {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
       numHashes = 64, bands = 16, shingleSize = 3, threshold = 0.5)
