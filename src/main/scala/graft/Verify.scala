@@ -113,9 +113,27 @@ object Verify {
       System.err.println(s"[verify] build fingerprint failed: ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // HASH-PORTABILITY GATE at the dump boundary (defense in depth
+        // beside EntrySpec and check_verify.py's cross-reader hash): the
+        // driver's comparator reads this parquet with a DIFFERENT reader
+        // than the oracle result, and non-primitive types render
+        // divergently (a DECIMAL output caused the r12/r13 q_adamic_adar
+        // / q_triangle_count hash mismatches). Refuse to dump rather
+        // than hand the driver a file that hashes wrong.
+        import org.apache.spark.sql.types._
+        val bad = df.schema.fields.filterNot(_.dataType match {
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+               _: DoubleType | _: FloatType | _: StringType |
+               _: BooleanType | _: DateType | _: TimestampType => true
+          case _ => false
+        })
+        require(bad.isEmpty, "non-hash-portable output columns: " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", "))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
