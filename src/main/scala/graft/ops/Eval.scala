@@ -838,6 +838,72 @@ object Eval {
     * Output: ONE row (n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
     * u2_statistic, cliffs_delta_pico).
     */
+  /** Pearson χ² independence test + Cramér's V between two categorical
+    * columns (Pearson 1900 / Cramér '46) — the contingency screen every
+    * pipeline dashboard wants ("is the event mix time-of-day
+    * dependent?", "is language independent of source?") with effect
+    * size, not just a statistic.
+    *
+    * Exact law: with cell counts n_ij, row totals r_i, column totals
+    * c_j and N, each PRESENT cell's term
+    * `(N·n_ij − r_i·c_j)² / (N·r_i·c_j)` quantizes to picos before the
+    * integer Σ; ABSENT cells (n_ij = 0, term = r_i·c_j/N²·N = r_i·c_j/N)
+    * fold in arithmetically — Σ_all r_i·c_j/N = N exactly, so
+    *
+    *   chi2_pico = Σ_present round(term·10¹²) + N·10¹²
+    *               − Σ_present round(r_i·c_j/N · 10¹²)
+    *
+    * (the t-closeness absent-value discipline: never a dense row×col
+    * frame). Cramér's V = √(χ² / (N·(min(R,C)−1))) — IEEE sqrt is
+    * correctly rounded, so the one sqrt is engine-stable; NULL when
+    * either dimension is single-valued (V undefined). NULL category
+    * values assert nothing and drop.
+    *
+    * Scale shape: one column-pruned corpus hash aggregate to cells,
+    * row/column totals as partitioned window sums over the bounded
+    * R×C cell table, one 1-row Σ. No joins, no driver state.
+    *
+    * Output: ONE row (n_rows, n_a, n_b, chi2_pico, cramers_v_pico);
+    * no rows on an empty input.
+    */
+  def chi2Independence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val wA = Window.partitionBy(col("_a"))
+    val wB = Window.partitionBy(col("_b"))
+    val wAll = Window.partitionBy()
+    val en = cells
+      .withColumn("_r", sum(col("_n")).over(wA))
+      .withColumn("_c", sum(col("_n")).over(wB))
+      .withColumn("_t", sum(col("_n")).over(wAll))
+      .withColumn("_na", size(collect_set(col("_a")).over(wAll)).cast("long"))
+      .withColumn("_nb", size(collect_set(col("_b")).over(wAll)).cast("long"))
+    val dev = col("_t").cast(dec) * col("_n") - col("_r").cast(dec) * col("_c")
+    val term = round((dev * dev).cast("double")
+      / (col("_t").cast("double") * col("_r").cast("double")
+        * col("_c").cast("double")) * 1.0e12).cast("long")
+    val absent = round((col("_r").cast("double") * col("_c").cast("double")
+      / col("_t").cast("double")) * 1.0e12).cast("long")
+    val agg = en
+      .select(col("_t"), col("_na"), col("_nb"),
+        term.cast(dec).as("_term"), absent.cast(dec).as("_abs"))
+      .groupBy(col("_t"), col("_na"), col("_nb"))
+      .agg(sum(col("_term")).as("_sp"), sum(col("_abs")).as("_sa"))
+      .select(col("_t").as("n_rows"), col("_na").as("n_a"),
+        col("_nb").as("n_b"),
+        (col("_sp") + col("_t").cast(dec) * lit(1000000000000L).cast(dec)
+          - col("_sa")).cast("long").as("chi2_pico"))
+    agg.select(col("n_rows"), col("n_a"), col("n_b"), col("chi2_pico"),
+      when(least(col("n_a"), col("n_b")) >= 2L,
+        round(sqrt(col("chi2_pico").cast("double") / 1.0e12
+          / (col("n_rows").cast("double")
+            * (least(col("n_a"), col("n_b")) - 1L).cast("double")))
+          * 1.0e12).cast("long")).as("cramers_v_pico"))
+  }
+
   def rankEffect(df: DataFrame, valueCol: String,
       isACol: String): DataFrame = {
     val dec = "decimal(38,0)"

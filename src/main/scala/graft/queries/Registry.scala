@@ -6148,6 +6148,52 @@ object Registry {
       | FROM pv WHERE n_kept > 0""".stripMargin.replace("\n", " ")
   }
 
+  /** Pearson χ² independence + Cramér's V between event type and hour
+    * of day ([[graft.ops.Eval.chi2Independence]]): is the event mix
+    * time-of-day dependent, and by how much? Per-cell terms
+    * pico-quantized before the integer Σ, absent cells folded in
+    * arithmetically (Σ_all r·c/N = N), the one sqrt is IEEE-exact.
+    */
+  def qChi2Independence(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.chi2Independence(
+      t(spark, dir, "events")
+        .select(col("event_type").as("etype"),
+          hour(col("ts")).cast("long").as("hod")),
+      "etype", "hod")
+
+  val qChi2IndependenceSql: String =
+    """WITH base AS (SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2),
+      | en AS (SELECT a, b, n,
+      |   CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS r,
+      |   CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS c,
+      |   CAST(SUM(n) OVER () AS BIGINT) AS t FROM cells),
+      | dims AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+      |   CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+      | s AS (SELECT MAX(t) AS t,
+      |   CAST(SUM(CAST(round(
+      |     CAST((CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |       * (CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+      |     / (CAST(t AS DOUBLE) * r * c) * 1e12) AS BIGINT)) AS HUGEINT)
+      |    AS sp,
+      |   CAST(SUM(CAST(round(
+      |     (CAST(r AS DOUBLE) * c / t) * 1e12) AS BIGINT)) AS HUGEINT)
+      |    AS sa
+      |  FROM en)
+      | SELECT s.t AS n_rows, dims.na AS n_a, dims.nb AS n_b,
+      |  CAST(sp + CAST(s.t AS HUGEINT) * 1000000000000 - sa AS BIGINT)
+      |   AS chi2_pico,
+      |  CASE WHEN least(dims.na, dims.nb) >= 2 THEN
+      |   CAST(round(sqrt(
+      |     (CAST(sp + CAST(s.t AS HUGEINT) * 1000000000000 - sa AS DOUBLE)
+      |       / 1e12)
+      |     / (CAST(s.t AS DOUBLE) * (least(dims.na, dims.nb) - 1)))
+      |    * 1e12) AS BIGINT) END AS cramers_v_pico
+      | FROM s CROSS JOIN dims WHERE s.t IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+
   /** Event-type Markov transition matrix per user stream
     * ([[graft.ops.Timeseries.markovTransitions]]): the empirical
     * transition kernel — which action follows which — with exact pair
@@ -7735,6 +7781,7 @@ object Registry {
     "q_markov_transition" -> (qMarkovTransition _),
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_ngram_dup_mass" -> (qNgramDupMass _),
+    "q_chi2_independence" -> (qChi2Independence _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
@@ -7961,6 +8008,7 @@ object Registry {
     "q_markov_transition" -> qMarkovTransitionSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_ngram_dup_mass" -> qNgramDupMassSql,
+    "q_chi2_independence" -> qChi2IndependenceSql,
     "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,

@@ -414,6 +414,30 @@ class EvalSpec extends SparkSpec {
     assert(got(5L) === ((256L, 0L, Some(0L))))
   }
 
+  test("chi2Independence: hand-computed 2x2 with an absent cell; exact V; single-valued dim NULLs V; empty = no rows") {
+    import spark.implicits._
+    // counts: (x,0)=10, (x,1)=0 ABSENT, (y,0)=10, (y,1)=10 → E = {6.67,
+    // 3.33, 13.33, 6.67} → chi2 = 7.5 exactly, V = sqrt(7.5/30) = 0.5
+    val rows = (Seq.fill(10)(("x", 0L)) ++ Seq.fill(10)(("y", 0L)) ++
+      Seq.fill(10)(("y", 1L))).toDF("a", "b")
+    val r = Eval.chi2Independence(rows, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((30L, 2L, 2L)))
+    assert(r.getLong(3) === 7500000000000L, "chi2 = 7.5 exactly")
+    assert(r.getLong(4) === 500000000000L, "V = 0.5 exactly")
+    // independent table: chi2 exactly 0
+    val indep = (Seq.fill(4)(("x", 0L)) ++ Seq.fill(2)(("x", 1L)) ++
+      Seq.fill(8)(("y", 0L)) ++ Seq.fill(4)(("y", 1L))).toDF("a", "b")
+    val i = Eval.chi2Independence(indep, "a", "b").collect().head
+    assert((i.getLong(3), i.getLong(4)) === ((0L, 0L)))
+    // one-column dim: V undefined (NULL), chi2 still 0
+    val mono = Seq(("x", 0L), ("y", 0L)).toDF("a", "b")
+    val m = Eval.chi2Independence(mono, "a", "b").collect().head
+    assert(m.getLong(3) === 0L)
+    assert(m.isNullAt(4))
+    assert(Eval.chi2Independence(
+      Seq.empty[(String, Long)].toDF("a", "b"), "a", "b").count() === 0L)
+  }
+
   test("rankEffect: hand-computed pair counts with ties; empty group yields NULL delta; NULLs drop") {
     import spark.implicits._
     // A = {1, 2, 2}, B = {2, 3}: pairs (a, b) → gt 0, lt 4, ties 2
