@@ -62,6 +62,81 @@ object Collocations {
   }
 
   /** Naive replay of the whole law for property tests. */
+  /** Market-basket association rules — support / confidence / lift over
+    * (basket, item) pairs (Agrawal, Imieliński & Swami, SIGMOD '93: the
+    * co-purchase screen behind "customers who bought A also bought B",
+    * and the basket-space sibling of [[pmiTop]]'s word co-occurrence):
+    * top-`k` item PAIRS by lift among pairs co-occurring in at least
+    * `minCo` baskets.
+    *
+    * Exact law: distinct (basket, item) incidences; baskets with more
+    * than `maxBasket` items DROP before the pair self-join (the
+    * Adamic–Adar apex-cap posture — one degenerate mega-basket
+    * contributes C(items, 2) pair rows of no analytical value; the cap
+    * is part of the law, replayed by the oracle). Item counts n_a come
+    * from the SURVIVING baskets, so support/confidence/lift stay
+    * internally consistent. Counts are exact integers;
+    * `support_micro = round(co/N·10⁶)`,
+    * `conf_ab_micro = round(co/n_a·10⁶)`,
+    * `lift_pico = round(N·co/(n_a·n_b)·10¹²)` are one double chain
+    * each. Ordering (lift_pico desc, item_a, item_b) is total.
+    *
+    * Scale shape: one distinct, one basket-size aggregate + cap filter,
+    * one equi-join on the basket key (fan-out ≤ C(maxBasket, 2) per
+    * basket), hash aggregates, TakeOrdered top-k.
+    *
+    * Output: (item_a, item_b, co_baskets, n_a, n_b, support_micro,
+    * conf_ab_micro, lift_pico) — top `k`.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 25, minCo: Long = 3L, maxBasket: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    associationRulesScored(df, basketCol, itemCol, minCo, maxBasket)
+      .orderBy(col("lift_pico").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** The UN-limited scored frame behind [[associationRules]] — every
+    * min-support pair with its metrics, no top-k (the tie-plateau
+    * audit's probe surface).
+    */
+  def associationRulesScored(df: DataFrame, basketCol: String,
+      itemCol: String, minCo: Long, maxBasket: Int): DataFrame = {
+    require(minCo >= 1L && maxBasket >= 2,
+      s"bad arguments: minCo=$minCo maxBasket=$maxBasket")
+    val bi = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("_bk"), col(itemCol).cast("long").as("_it"))
+      .distinct()
+    val kept = bi.join(
+      bi.groupBy(col("_bk")).agg(count(lit(1)).as("_sz"))
+        .filter(col("_sz") <= maxBasket)
+        .select(col("_bk")), "_bk")
+    val nB = kept.select(col("_bk")).distinct()
+      .agg(count(lit(1)).as("_n"))
+    val itemCnt = kept.groupBy(col("_it")).agg(count(lit(1)).as("_cnt"))
+    val a = kept.select(col("_bk"), col("_it").as("item_a"))
+    val b = kept.select(col("_bk"), col("_it").as("item_b"))
+    val co = a.join(b, Seq("_bk")).filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("co_baskets"))
+      .filter(col("co_baskets") >= minCo)
+    co
+      .join(itemCnt.select(col("_it").as("item_a"), col("_cnt").as("n_a")),
+        "item_a")
+      .join(itemCnt.select(col("_it").as("item_b"), col("_cnt").as("n_b")),
+        "item_b")
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("co_baskets"),
+        col("n_a"), col("n_b"),
+        round(col("co_baskets").cast("double") / col("_n").cast("double")
+          * 1000000.0).cast("long").as("support_micro"),
+        round(col("co_baskets").cast("double") / col("n_a").cast("double")
+          * 1000000.0).cast("long").as("conf_ab_micro"),
+        round(col("_n").cast("double") * col("co_baskets").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))
+          * 1000000000000.0).cast("long").as("lift_pico"))
+  }
+
   private[ops] def pmiNaive(texts: Seq[String], minCount: Long)
       : Map[(String, String), (Long, Long)] = {
     val low = texts.map(t =>

@@ -4999,7 +4999,14 @@ object Registry {
     ("q_embed_outliers",
       graft.ops.Spectral.zOutlierScores(
         t(spark, dir, "embeddings"), "vec_id", "embedding"),
-      "outlier_micro", 25))
+      "outlier_micro", 25),
+    ("q_assoc_rules",
+      graft.ops.Collocations.associationRulesScored(
+        t(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").cast("long").as("item")),
+        "basket", "item", minCo = 3L, maxBasket = 64),
+      "lift_pico", 25))
 
   /** Per-JVM rank-result cache (the stored graph leg's reuse — the
     * [[storeOnce]] posture applied to the rank computation; see
@@ -6147,6 +6154,46 @@ object Registry {
       |    AS BIGINT) END AS est_distinct
       | FROM pv WHERE n_kept > 0""".stripMargin.replace("\n", " ")
   }
+
+  /** Market-basket association rules over order baskets
+    * ([[graft.ops.Collocations.associationRules]], Agrawal et al. '93):
+    * top-25 part pairs by lift at min-support 3 baskets, basket cap 64
+    * (the AA apex-cap posture). Exact counts, one double chain per
+    * metric, total (lift desc, a, b) order.
+    */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Collocations.associationRules(
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"),
+          col("l_partkey").cast("long").as("item")),
+      "basket", "item", k = 25, minCo = 3L, maxBasket = 64)
+
+  val qAssocRulesSql: String =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS bk,
+      |   CAST(l_partkey AS BIGINT) AS it FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      | kept AS (SELECT bi.bk, bi.it FROM bi JOIN (
+      |   SELECT bk FROM bi GROUP BY 1 HAVING COUNT(*) <= 64) s
+      |  ON s.bk = bi.bk),
+      | nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM kept),
+      | ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM kept GROUP BY 1),
+      | co AS (SELECT a.it AS item_a, b.it AS item_b,
+      |   CAST(COUNT(*) AS BIGINT) AS co_baskets
+      |  FROM kept a JOIN kept b ON b.bk = a.bk AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      | SELECT item_a, item_b, co_baskets, ca.cnt AS n_a, cb.cnt AS n_b,
+      |  CAST(round(CAST(co_baskets AS DOUBLE) / CAST(nb.n AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS support_micro,
+      |  CAST(round(CAST(co_baskets AS DOUBLE) / CAST(ca.cnt AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS conf_ab_micro,
+      |  CAST(round(CAST(nb.n AS DOUBLE) * CAST(co_baskets AS DOUBLE)
+      |    / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))
+      |    * 1000000000000.0) AS BIGINT) AS lift_pico
+      | FROM co JOIN ic ca ON ca.it = co.item_a
+      | JOIN ic cb ON cb.it = co.item_b CROSS JOIN nb
+      | ORDER BY lift_pico DESC, item_a, item_b LIMIT 25"""
+      .stripMargin.replace("\n", " ")
 
   /** Pearson χ² independence + Cramér's V between event type and hour
     * of day ([[graft.ops.Eval.chi2Independence]]): is the event mix
@@ -7782,6 +7829,7 @@ object Registry {
     "q_kmv_distinct" -> (qKmvDistinct _),
     "q_ngram_dup_mass" -> (qNgramDupMass _),
     "q_chi2_independence" -> (qChi2Independence _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
@@ -8009,6 +8057,7 @@ object Registry {
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_ngram_dup_mass" -> qNgramDupMassSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
+    "q_assoc_rules" -> qAssocRulesSql,
     "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,

@@ -78,4 +78,32 @@ class CollocationsSpec extends SparkSpec {
     assert(margin > 1e-6,
       f"boundary margin $margin%.3e too thin over ${tuples.size} tuples")
   }
+
+  test("associationRules: hand support/confidence/lift; min-support prunes; basket cap bites counts AND pairs") {
+    import spark.implicits._
+    // baskets: {1,2,3}, {1,2}, {1,2,4}, {3,4} → co(1,2)=3, all others 1
+    val base = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L), (4L, 3L), (4L, 4L))
+      .toDF("basket", "item")
+    val got = Collocations.associationRules(base, "basket", "item",
+      k = 10, minCo = 2L, maxBasket = 64).collect()
+    assert(got.length === 1, "only (1,2) reaches min-support 2")
+    val r = got.head
+    // support 3/4, conf 3/3, lift 4·3/(3·3) = 1.333…
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((1L, 2L, 3L, 3L, 3L, 750000L, 1000000L, 1333333333333L)))
+    // a 5-item mega-basket containing {1,2}: under cap 4 it DROPS —
+    // co(1,2) and the item counts stay at the 4-basket values; at cap 64
+    // it counts (co = 4, n = 4, and N = 5 changes every metric)
+    val withMega = base.union(Seq((5L, 1L), (5L, 2L), (5L, 10L),
+      (5L, 11L), (5L, 12L)).toDF("basket", "item"))
+    val capped = Collocations.associationRules(withMega, "basket", "item",
+      k = 10, minCo = 2L, maxBasket = 4).collect().head
+    assert((capped.getLong(2), capped.getLong(3)) === ((3L, 3L)),
+      "capped mega-basket must not contribute to counts")
+    val uncapped = Collocations.associationRules(withMega, "basket", "item",
+      k = 10, minCo = 2L, maxBasket = 64).collect().head
+    assert((uncapped.getLong(2), uncapped.getLong(3)) === ((4L, 4L)))
+  }
 }
