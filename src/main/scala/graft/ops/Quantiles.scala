@@ -168,4 +168,62 @@ object Quantiles {
         min(col("_v")).as("min_v"),
         max(col("_v")).as("max_v"))
   }
+
+  /** Hill tail-index estimator (Hill, Ann. Stat. '75) over a positive
+    * metric's upper order statistics — the heavy-tail exponent a corpus
+    * sizing decision reads (α ≈ 1 means a few giant documents dominate
+    * total bytes; α > 2 means the mean is stable): with the top k+1
+    * values x₁ ≥ … ≥ x_{k+1} (ties broken by `idCol` — a TOTAL order,
+    * so the boundary inside a value plateau is deterministic),
+    *
+    *   1/α̂ = (1/k)·Σ_{i≤k} ln(x_i / x_{k+1})
+    *
+    * Law: per-term `round(ln(x_i/x_{k+1})·10¹²)` quantizes BEFORE the
+    * integer Σ (the KL discipline); the mean and the final inversion
+    * `alpha_milli = round(k·10¹⁵ / Σ)` are each one double step. NULL
+    * alpha when the top k+1 values are all equal (Σ = 0 — no tail
+    * information, visible NULL) — and no rows when fewer than k+1
+    * positive values exist (the estimator is undefined, not zero).
+    * Non-positive and NULL values drop (ln needs x > 0).
+    *
+    * Scale shape: one TakeOrdered (k+1) — never a global sort — then a
+    * (k+1)-row local aggregate.
+    *
+    * Output: ONE row (k, x_tail, sum_ln_excess_pico, alpha_milli).
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
+      k: Int = 100): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val top = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0L &&
+        col(idCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_x"), col(idCol).as("_id"))
+      .orderBy(col("_x").desc, col("_id"))
+      .limit(k + 1)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy(col("_x").desc, col("_id"))
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val withTail = top
+      .withColumn("_xt", min(col("_x")).over(all))
+      .withColumn("_m", count(lit(1)).over(all))
+      .withColumn("_rn", row_number().over(ord))
+    withTail
+      // k EXCESS terms over x_{k+1} require k+1 values to exist — with
+      // only k the tail row would join its own excess set (a 0 term and
+      // a silently-biased estimate) instead of being the reference
+      .filter(col("_m") === (k + 1).toLong && col("_rn") <= k)
+      .select(col("_xt"),
+        round(log(col("_x").cast("double") / col("_xt").cast("double"))
+          * 1.0e12).cast("long").as("_t"))
+      .agg(count(lit(1)).as("_n"), max(col("_xt")).as("x_tail"),
+        sum(col("_t")).as("sum_ln_excess_pico"))
+      .filter(col("_n") === k.toLong)
+      .select(lit(k.toLong).as("k"), col("x_tail"),
+        col("sum_ln_excess_pico"),
+        when(col("sum_ln_excess_pico") > 0L,
+          round(lit(k.toDouble) * 1.0e15
+            / col("sum_ln_excess_pico").cast("double")).cast("long"))
+          .as("alpha_milli"))
+  }
 }

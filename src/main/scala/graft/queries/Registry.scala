@@ -6155,6 +6155,33 @@ object Registry {
       | FROM pv WHERE n_kept > 0""".stripMargin.replace("\n", " ")
   }
 
+  /** Hill tail-index of the document-length distribution
+    * ([[graft.ops.Quantiles.hillTailIndex]], Hill '75, k = 100): the
+    * heavy-tail exponent a corpus sizing decision reads — α ≈ 1 means a
+    * few giant documents carry the bytes. One TakeOrdered(k+1), per-term
+    * ln-excess picos before the integer Σ, NULL α on a flat top.
+    */
+  def qTailIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.hillTailIndex(
+      t(spark, dir, "documents"), "n_chars", "doc_id", k = 100)
+
+  val qTailIndexSql: String =
+    """WITH tp AS (SELECT CAST(n_chars AS BIGINT) AS x, doc_id AS id
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      |   AND doc_id IS NOT NULL ORDER BY x DESC, id LIMIT 101),
+      | w AS (SELECT x, MIN(x) OVER () AS xt, COUNT(*) OVER () AS m,
+      |   row_number() OVER (ORDER BY x DESC, id) AS rn FROM tp),
+      | tm AS (SELECT xt, CAST(round(ln(CAST(x AS DOUBLE)
+      |     / CAST(xt AS DOUBLE)) * 1e12) AS BIGINT) AS tv
+      |  FROM w WHERE m = 101 AND rn <= 100),
+      | a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(xt) AS x_tail,
+      |   CAST(SUM(tv) AS BIGINT) AS s FROM tm)
+      | SELECT CAST(100 AS BIGINT) AS k, x_tail, s AS sum_ln_excess_pico,
+      |  CASE WHEN s > 0 THEN
+      |   CAST(round(100.0 * 1e15 / CAST(s AS DOUBLE)) AS BIGINT)
+      |  END AS alpha_milli
+      | FROM a WHERE n = 100""".stripMargin.replace("\n", " ")
+
   /** Market-basket association rules over order baskets
     * ([[graft.ops.Collocations.associationRules]], Agrawal et al. '93):
     * top-25 part pairs by lift at min-support 3 baskets, basket cap 64
@@ -7830,6 +7857,7 @@ object Registry {
     "q_ngram_dup_mass" -> (qNgramDupMass _),
     "q_chi2_independence" -> (qChi2Independence _),
     "q_assoc_rules" -> (qAssocRules _),
+    "q_tail_index" -> (qTailIndex _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
@@ -8058,6 +8086,7 @@ object Registry {
     "q_ngram_dup_mass" -> qNgramDupMassSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_assoc_rules" -> qAssocRulesSql,
+    "q_tail_index" -> qTailIndexSql,
     "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,

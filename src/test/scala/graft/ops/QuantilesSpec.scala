@@ -171,4 +171,23 @@ class QuantilesSpec extends SparkSpec {
     assert(got.length === 1)
     assert((got.head.getLong(1), got.head.getLong(2)) === ((0L, 3L)))
   }
+
+  test("hillTailIndex: hand ln-excess terms; flat top NULLs alpha; k+1 values required; non-positive drop") {
+    import spark.implicits._
+    // top-3 of {8, 4, 2, 1, 0, -3}: x_tail = 2, terms ln(4) + ln(2)
+    val df = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L), (5L, 0L),
+      (6L, -3L)).toDF("id", "v")
+    val r = Quantiles.hillTailIndex(df, "v", "id", k = 2).collect().head
+    val s = math.round(math.log(4.0) * 1e12) + math.round(math.log(2.0) * 1e12)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, s)))
+    assert(r.getLong(3) === math.round(2.0 * 1e15 / s))
+    // flat top: no tail information — visible NULL, not a fake alpha
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("id", "v")
+    val f = Quantiles.hillTailIndex(flat, "v", "id", k = 2).collect().head
+    assert(f.getLong(2) === 0L)
+    assert(f.isNullAt(3))
+    // only k positive values: estimator undefined — no rows
+    val short = Seq((1L, 9L), (2L, 3L)).toDF("id", "v")
+    assert(Quantiles.hillTailIndex(short, "v", "id", k = 2).count() === 0L)
+  }
 }
