@@ -191,6 +191,76 @@ object Quantiles {
     *
     * Output: ONE row (k, x_tail, sum_ln_excess_pico, alpha_milli).
     */
+  /** Lorenz concentration deciles of a non-negative metric (Lorenz '05,
+    * the curve behind the Gini the engine already reports): rank the
+    * rows ascending by value, cut into 10 equal-count deciles, and
+    * report each decile's exact metric mass and cumulative share — "the
+    * top 10% of documents carry X% of the bytes", the corpus-skew
+    * picture one number can't draw.
+    *
+    * Scale-safe law — NEVER a global row sort/ntile (a corpus-sized
+    * single-partition window): ranks come from the VALUE-FREQUENCY
+    * table (v, c_v) with cumulative counts over distinct values (the
+    * rankEffect posture), decile boundaries are the exact integers
+    * b_d = ⌊d·N/10⌋, and a value straddling a boundary splits by rank
+    * overlap `max(0, min(hi_v, b_d) − max(lo_v, b_{d−1}))` — ties
+    * share a value's rank range, so the cut inside a tie run is
+    * deterministic BY CONSTRUCTION (no id tiebreak needed: which
+    * specific tied rows land each side is unobservable in sums).
+    * Masses are exact integer Σs in DECIMAL(38,0);
+    * `cum_share_micro = round(cum/total·10⁶)` is one double division
+    * per decile row. NULL and negative values drop (a Lorenz curve is
+    * defined over a non-negative mass).
+    *
+    * Scale shape: one corpus hash aggregate to the value table, windows
+    * + a 10-row broadcast crossJoin over that bounded table, a ≤10-row
+    * final frame. Output: (decile, n_rows, mass, cum_mass,
+    * cum_share_micro) — 10 rows (empty deciles drop when N < 10; none
+    * on an empty input).
+    */
+  def lorenzDeciles(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val freq = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0L)
+      .select(col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val ord = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = freq.select(col("_v"), col("_c"),
+      sum(col("_c")).over(ord).as("_hi"),
+      sum(col("_c")).over(all).as("_n"))
+      .withColumn("_lo", col("_hi") - col("_c"))
+    val deciles = spark.range(1, 11).select(col("id").as("decile"))
+    val cells = ranked.crossJoin(broadcast(deciles))
+      .withColumn("_bd", expr("(decile * _n) div 10"))
+      .withColumn("_bp", expr("((decile - 1) * _n) div 10"))
+      .withColumn("_k",
+        greatest(lit(0L), least(col("_hi"), col("_bd"))
+          - greatest(col("_lo"), col("_bp"))))
+      .filter(col("_k") > 0L)
+    val perDecile = cells.groupBy(col("decile"))
+      .agg(sum(col("_k")).as("n_rows"),
+        sum((col("_k") * col("_v")).cast(dec)).as("mass"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDecile
+      .withColumn("_cum", sum(col("mass")).over(wCum))
+      .withColumn("_tot", sum(col("mass")).over(wTot))
+      .select(col("decile"), col("n_rows"),
+        col("mass").cast("long").as("mass"),
+        col("_cum").cast("long").as("cum_mass"),
+        when(col("_tot") > lit(java.math.BigDecimal.ZERO).cast(dec),
+          round(col("_cum").cast("double") / col("_tot").cast("double")
+            * 1000000.0).cast("long")).as("cum_share_micro"))
+      .orderBy(col("decile"))
+  }
+
   def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
       k: Int = 100): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

@@ -6182,6 +6182,40 @@ object Registry {
       |  END AS alpha_milli
       | FROM a WHERE n = 100""".stripMargin.replace("\n", " ")
 
+  /** Lorenz concentration deciles of document length
+    * ([[graft.ops.Quantiles.lorenzDeciles]]): "the top 10% of documents
+    * carry X% of the bytes" — the curve behind q_token_gini's one
+    * number. Ranks from the VALUE-FREQUENCY table (never a global row
+    * sort), boundary-straddling values split by exact rank overlap.
+    */
+  def qLorenzDeciles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.lorenzDeciles(t(spark, dir, "documents"), "n_chars")
+
+  val qLorenzDecilesSql: String =
+    """WITH f AS (SELECT CAST(n_chars AS BIGINT) AS v,
+      |   CAST(COUNT(*) AS BIGINT) AS c FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1),
+      | r AS (SELECT v, c,
+      |   CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+      |   CAST(SUM(c) OVER () AS BIGINT) AS n FROM f),
+      | cells AS (SELECT d.decile, r.v,
+      |   greatest(0, least(r.hi, (d.decile * r.n) // 10)
+      |     - greatest(r.hi - r.c, ((d.decile - 1) * r.n) // 10)) AS k
+      |  FROM r CROSS JOIN (SELECT CAST(unnest(generate_series(1, 10))
+      |    AS BIGINT) AS decile) d),
+      | pd AS (SELECT decile, CAST(SUM(k) AS BIGINT) AS n_rows,
+      |   CAST(SUM(CAST(k AS HUGEINT) * v) AS HUGEINT) AS mass
+      |  FROM cells WHERE k > 0 GROUP BY 1),
+      | cm AS (SELECT decile, n_rows, mass,
+      |   CAST(SUM(mass) OVER (ORDER BY decile) AS HUGEINT) AS cum,
+      |   CAST(SUM(mass) OVER () AS HUGEINT) AS tot FROM pd)
+      | SELECT decile, n_rows, CAST(mass AS BIGINT) AS mass,
+      |  CAST(cum AS BIGINT) AS cum_mass,
+      |  CASE WHEN tot > 0 THEN CAST(round(CAST(cum AS DOUBLE)
+      |    / CAST(tot AS DOUBLE) * 1000000.0) AS BIGINT)
+      |  END AS cum_share_micro
+      | FROM cm ORDER BY decile""".stripMargin.replace("\n", " ")
+
   /** Market-basket association rules over order baskets
     * ([[graft.ops.Collocations.associationRules]], Agrawal et al. '93):
     * top-25 part pairs by lift at min-support 3 baskets, basket cap 64
@@ -7858,6 +7892,7 @@ object Registry {
     "q_chi2_independence" -> (qChi2Independence _),
     "q_assoc_rules" -> (qAssocRules _),
     "q_tail_index" -> (qTailIndex _),
+    "q_lorenz_deciles" -> (qLorenzDeciles _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
@@ -8087,6 +8122,7 @@ object Registry {
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_assoc_rules" -> qAssocRulesSql,
     "q_tail_index" -> qTailIndexSql,
+    "q_lorenz_deciles" -> qLorenzDecilesSql,
     "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,

@@ -172,6 +172,28 @@ class QuantilesSpec extends SparkSpec {
     assert((got.head.getLong(1), got.head.getLong(2)) === ((0L, 3L)))
   }
 
+  test("lorenzDeciles: hand rank-overlap splits; constant corpus splits ties evenly; empty = no rows") {
+    import spark.implicits._
+    // values [1,1,2,6], N=4: boundaries floor(4d/10) put one row each in
+    // deciles 3, 5, 8, 10 → masses 1,1,2,6, cumulative shares .1/.2/.4/1
+    val df = Seq(1L, 1L, 2L, 6L).toDF("v")
+    val got = Quantiles.lorenzDeciles(df, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got === Map(
+      3L -> ((1L, 1L, 1L, 100000L)), 5L -> ((1L, 1L, 2L, 200000L)),
+      8L -> ((1L, 2L, 4L, 400000L)), 10L -> ((1L, 6L, 10L, 1000000L))))
+    // a fully-tied corpus: the tie run splits across deciles by rank
+    // overlap — no id tiebreak needed, sums are partition-independent
+    val ties = Seq.fill(5)(5L).toDF("v")
+    val t = Quantiles.lorenzDeciles(ties, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(t.toSeq === Seq((2L, 1L, 200000L), (4L, 1L, 400000L),
+      (6L, 1L, 600000L), (8L, 1L, 800000L), (10L, 1L, 1000000L)))
+    assert(Quantiles.lorenzDeciles(
+      Seq.empty[Long].toDF("v"), "v").count() === 0L)
+  }
+
   test("hillTailIndex: hand ln-excess terms; flat top NULLs alpha; k+1 values required; non-positive drop") {
     import spark.implicits._
     // top-3 of {8, 4, 2, 1, 0, -3}: x_tail = 2, terms ln(4) + ln(2)
