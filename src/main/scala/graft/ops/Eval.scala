@@ -904,6 +904,54 @@ object Eval {
           * 1.0e12).cast("long")).as("cramers_v_pico"))
   }
 
+  /** Mutual information between two categorical columns (nats, pico
+    * precision) — the information-theoretic companion of
+    * [[chi2Independence]]: how many nats knowing one column gives about
+    * the other (0 = independent; the dependence STRENGTH where χ²
+    * gives significance).
+    *
+    * Exact law: MI = Σ_ij (n_ij/N)·ln(N·n_ij / (r_i·c_j)) over PRESENT
+    * cells only (absent cells contribute exactly 0 — no folding
+    * needed); each cell's log factor quantizes to picos and multiplies
+    * the exact integer n_ij BEFORE the DECIMAL(38,0) Σ (the
+    * entropy-rate discipline), and `mi_pico = round(Σ / N)` is one
+    * double division. NULL values drop.
+    *
+    * Scale shape: identical to [[chi2Independence]] — one corpus hash
+    * aggregate, partitioned window totals over the bounded cell table,
+    * one 1-row Σ.
+    *
+    * Output: ONE row (n_rows, n_a, n_b, mi_pico); no rows on empty.
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val wA = Window.partitionBy(col("_a"))
+    val wB = Window.partitionBy(col("_b"))
+    val wAll = Window.partitionBy()
+    val en = cells
+      .withColumn("_r", sum(col("_n")).over(wA))
+      .withColumn("_c", sum(col("_n")).over(wB))
+      .withColumn("_t", sum(col("_n")).over(wAll))
+      .withColumn("_na", size(collect_set(col("_a")).over(wAll)).cast("long"))
+      .withColumn("_nb", size(collect_set(col("_b")).over(wAll)).cast("long"))
+    val factor = round(log((col("_t").cast("double") * col("_n").cast("double"))
+      / (col("_r").cast("double") * col("_c").cast("double")))
+      * 1.0e12).cast("long")
+    en
+      .select(col("_t"), col("_na"), col("_nb"),
+        (col("_n").cast(dec) * factor.cast(dec)).as("_term"))
+      .groupBy(col("_t"), col("_na"), col("_nb"))
+      .agg(sum(col("_term")).as("_s"))
+      .select(col("_t").as("n_rows"), col("_na").as("n_a"),
+        col("_nb").as("n_b"),
+        round(col("_s").cast("double") / col("_t").cast("double"))
+          .cast("long").as("mi_pico"))
+  }
+
   def rankEffect(df: DataFrame, valueCol: String,
       isACol: String): DataFrame = {
     val dec = "decimal(38,0)"

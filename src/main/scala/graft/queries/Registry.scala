@@ -6302,6 +6302,43 @@ object Registry {
       | FROM s CROSS JOIN dims WHERE s.t IS NOT NULL"""
       .stripMargin.replace("\n", " ")
 
+  /** Mutual information between document source and length bucket
+    * ([[graft.ops.Eval.mutualInformation]], 100-char bins — the PSI bin
+    * law): how many nats the source tells you about document length —
+    * the dependence STRENGTH beside q_chi2_independence's significance.
+    * Per-cell log factors pico-quantized before the DECIMAL Σ; absent
+    * cells contribute exactly 0 by the law.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.mutualInformation(
+      t(spark, dir, "documents")
+        .select(col("source"),
+          expr("cast(n_chars as bigint) div 100").as("len_bin")),
+      "source", "len_bin")
+
+  val qMutualInfoSql: String =
+    """WITH base AS (SELECT source AS a, CAST(n_chars AS BIGINT) // 100 AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2),
+      | en AS (SELECT a, b, n,
+      |   CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS r,
+      |   CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS c,
+      |   CAST(SUM(n) OVER () AS BIGINT) AS t FROM cells),
+      | dims AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+      |   CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+      | s AS (SELECT MAX(t) AS t,
+      |   CAST(SUM(CAST(n AS HUGEINT) * CAST(round(ln(
+      |     (CAST(t AS DOUBLE) * CAST(n AS DOUBLE))
+      |     / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) * 1e12) AS BIGINT))
+      |    AS HUGEINT) AS sm
+      |  FROM en)
+      | SELECT s.t AS n_rows, dims.na AS n_a, dims.nb AS n_b,
+      |  CAST(round(CAST(sm AS DOUBLE) / CAST(s.t AS DOUBLE)) AS BIGINT)
+      |   AS mi_pico
+      | FROM s CROSS JOIN dims WHERE s.t IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+
   /** Event-type Markov transition matrix per user stream
     * ([[graft.ops.Timeseries.markovTransitions]]): the empirical
     * transition kernel — which action follows which — with exact pair
@@ -7893,6 +7930,7 @@ object Registry {
     "q_assoc_rules" -> (qAssocRules _),
     "q_tail_index" -> (qTailIndex _),
     "q_lorenz_deciles" -> (qLorenzDeciles _),
+    "q_mutual_info" -> (qMutualInfo _),
     "q_entropy_rate" -> (qEntropyRate _),
     "q_hits" -> (qHits _),
     "q_w1_drift" -> (qW1Drift _),
@@ -8123,6 +8161,7 @@ object Registry {
     "q_assoc_rules" -> qAssocRulesSql,
     "q_tail_index" -> qTailIndexSql,
     "q_lorenz_deciles" -> qLorenzDecilesSql,
+    "q_mutual_info" -> qMutualInfoSql,
     "q_entropy_rate" -> qEntropyRateSql,
     "q_hits" -> qHitsSql,
     "q_w1_drift" -> qW1DriftSql,

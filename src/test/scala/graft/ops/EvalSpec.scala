@@ -438,6 +438,22 @@ class EvalSpec extends SparkSpec {
       Seq.empty[(String, Long)].toDF("a", "b"), "a", "b").count() === 0L)
   }
 
+  test("mutualInformation: perfect balanced dependence is exactly ln 2; independence is exactly 0; empty = no rows") {
+    import spark.implicits._
+    val dep = (Seq.fill(5)(("x", 0L)) ++ Seq.fill(5)(("y", 1L)))
+      .toDF("a", "b")
+    val d = Eval.mutualInformation(dep, "a", "b").collect().head
+    assert((d.getLong(0), d.getLong(1), d.getLong(2)) === ((10L, 2L, 2L)))
+    assert(d.getLong(3) === math.round(math.log(2.0) * 1e12),
+      "balanced perfect dependence carries exactly ln 2 nats")
+    val indep = (Seq.fill(4)(("x", 0L)) ++ Seq.fill(2)(("x", 1L)) ++
+      Seq.fill(8)(("y", 0L)) ++ Seq.fill(4)(("y", 1L))).toDF("a", "b")
+    assert(Eval.mutualInformation(indep, "a", "b").collect()
+      .head.getLong(3) === 0L)
+    assert(Eval.mutualInformation(
+      Seq.empty[(String, Long)].toDF("a", "b"), "a", "b").count() === 0L)
+  }
+
   test("rankEffect: hand-computed pair counts with ties; empty group yields NULL delta; NULLs drop") {
     import spark.implicits._
     // A = {1, 2, 2}, B = {2, 3}: pairs (a, b) → gt 0, lt 4, ties 2
