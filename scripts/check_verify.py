@@ -10,6 +10,7 @@ over column-name-sorted, row-sorted string renderings.
 """
 import json, sys, hashlib
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -48,7 +49,6 @@ def main(sf_dir, out_dir):
             # pyarrow but `N.0` under a DuckDB float64 read — identical
             # values, divergent hashes. Hash the pyarrow rendering too so a
             # local green can't hide a driver-side mismatch.
-            import pyarrow.parquet as pq
             pa_got = pq.read_table(f"{out_dir}/{name}").to_pandas()
             if value_hash(pa_got) != value_hash(got):
                 failures.append((name, "READER-DIVERGENT rendering: pyarrow "

@@ -61,7 +61,6 @@ object Collocations {
       .limit(k)
   }
 
-  /** Naive replay of the whole law for property tests. */
   /** Market-basket association rules — support / confidence / lift over
     * (basket, item) pairs (Agrawal, Imieliński & Swami, SIGMOD '93: the
     * co-purchase screen behind "customers who bought A also bought B",
@@ -104,8 +103,12 @@ object Collocations {
       itemCol: String, minCo: Long, maxBasket: Int): DataFrame = {
     require(minCo >= 1L && maxBasket >= 2,
       s"bad arguments: minCo=$minCo maxBasket=$maxBasket")
-    val bi = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+    val bi = df.filter(col(basketCol).isNotNull)
       .select(col(basketCol).as("_bk"), col(itemCol).cast("long").as("_it"))
+      // filter the CAST result: a non-castable string item would otherwise
+      // become NULL here and still count toward basket size and n_a/n_b
+      // despite never forming a pair (the oracle's numeric-only assumption)
+      .filter(col("_it").isNotNull)
       .distinct()
     val kept = bi.join(
       bi.groupBy(col("_bk")).agg(count(lit(1)).as("_sz"))
@@ -137,6 +140,7 @@ object Collocations {
           * 1000000000000.0).cast("long").as("lift_pico"))
   }
 
+  /** Naive replay of the whole law for property tests. */
   private[ops] def pmiNaive(texts: Seq[String], minCount: Long)
       : Map[(String, String), (Long, Long)] = {
     val low = texts.map(t =>

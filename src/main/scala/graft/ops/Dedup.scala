@@ -18,8 +18,11 @@ import graft.functions.TextFns
   *   - SimHash: narrow 64-bit signature, bucket-join on 16-bit chunks
   *     (pairs within Hamming distance k share a chunk for k ≤ 3 by
   *     pigeonhole), verify with bit_count(xor).
-  *   - n-gram Jaccard: explode distinct shingles, join on shingle, count
-  *     shared per pair — exact, for bounded corpora or as the verify stage.
+  *   - n-gram Jaccard/containment: explode distinct shingles, join on
+  *     shingle with a per-shingle document-frequency cap (df > maxDf ⇒
+  *     shingle dropped as a candidate generator, surfaced in an observe
+  *     metric), then EXACT verification of candidates against the full
+  *     shingle sets — values exact, the cap affects recall only.
   *
   * Skew note: a degenerate band bucket (e.g. empty-text signature) would
   * quadratically blow up the bucket join; `maxBucket` caps candidate
@@ -378,28 +381,77 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard pairs via shingle inverted index: candidates are
-    * pairs sharing ≥1 shingle; jaccard computed from shared/na/nb counts.
-    * Exact but candidate count grows with shingle collision rate — use LSH
-    * above when the corpus is web-scale.
+  /** Shared scaffold of the exact n-gram pair laws: df-capped candidate
+    * generation + EXACT verification against the full shingle sets.
+    *
+    * The cap (the [[capBuckets]] no-silent-caps posture, per-shingle
+    * instead of per-bucket): a shingle present in more than `maxDf`
+    * documents is dropped as a candidate GENERATOR — one boilerplate
+    * 3-gram in d documents would otherwise land d rows on ONE shuffle
+    * key and emit d² join rows from one task, the only quadratic-by-skew
+    * shape these laws ever had. Dropped shingles surface in a
+    * `graft_capped_ngramdf_<n>` observe metric (dropped_rows = their
+    * summed document frequency, capped_buckets = how many shingles).
+    *
+    * Verification keeps emitted VALUES exact: candidate pairs join back
+    * to the full per-doc shingle sets and shared = |A∩B| counts EVERY
+    * shingle, capped ones included. The cap affects RECALL only — a pair
+    * whose every shared shingle is hot (df > maxDf on all of them) is
+    * not emitted; that is the law, and the oracle replays the same cap.
+    *
+    * Returns (id_a, id_b, shared, na, nb), id_a < id_b, one row per
+    * candidate pair (threshold filters apply downstream).
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+  private def cappedNgramPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
       .withColumn("_n", size(col("_sh")).cast("bigint"))
     // (no size>0 filter: explode of an empty array emits nothing anyway, and
     // an explicit filter would be pushed — with inferred monster predicates —
     // below the object boundary's parents by the optimizer)
-    val ex = sh.select(col("_id"), col("_n"), explode(col("_sh")).as("_s"))
-      .repartition(col("_s")) // pre-shuffle on the join key; both sides reuse this exchange
-    ex.as("a").join(ex.as("b"), col("a._s") === col("b._s") && col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .agg(count(lit(1)).as("_shared"), first(col("a._n")).as("_na"), first(col("b._n")).as("_nb"))
+    val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    // per-shingle document frequency (shingles are distinct per doc, so
+    // count == df); the aggregate shuffles one row per distinct shingle —
+    // a hot key costs O(df) to COUNT, never O(df²)
+    val kept = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+      .observe(s"graft_capped_ngramdf_${capSeq.incrementAndGet()}",
+        sum(when(col("_df") > maxDf, col("_df")).otherwise(0L))
+          .as("dropped_rows"),
+        sum(when(col("_df") > maxDf, 1L).otherwise(0L)).as("capped_buckets"))
+      .filter(col("_df") <= maxDf)
+      .select(col("_s"))
+    // candidate index: only low-df shingles generate pairs — per-key join
+    // output is bounded by maxDf²; both self-join sides reuse the exchange
+    val cidx = ex.join(kept, "_s").repartition(col("_s"))
+    val cand = cidx.as("a").join(cidx.as("b"),
+        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha"),
+        col("_n").as("na")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shb"),
+        col("_n").as("nb")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("_sha"), col("_shb"))).cast("long"))
+      .select("id_a", "id_b", "shared", "na", "nb")
+  }
+
+  /** Exact n-gram Jaccard pairs via df-capped shingle inverted index
+    * ([[cappedNgramPairs]]): candidates are pairs sharing ≥1 shingle with
+    * document frequency ≤ `maxDf`; jaccard is EXACT (shared counts every
+    * shingle, capped included). Use LSH above when the corpus is
+    * web-scale; this is the audit-scale exact law.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 64): DataFrame =
+    cappedNgramPairs(df, idCol, textCol, shingleSize, maxDf)
       .withColumn("jaccard",
-        col("_shared").cast("double") / (col("_na") + col("_nb") - col("_shared")))
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Exact n-gram CONTAINMENT pairs — the asymmetric complement of
     * [[ngramJaccardPairs]] (Broder's containment from the original
@@ -411,28 +463,21 @@ object Dedup {
     * both: Jaccard finds edited copies, containment finds wrapped or
     * concatenated ones.
     *
-    * Same inverted-index scaffold and cost shape as the Jaccard form
-    * (one shingle pass, one self-join on the shingle key, one pair hash
-    * aggregate); `containment` is shared/min(na,nb) in ONE double
-    * division. Output: (id_a, id_b, shared, na, nb, containment) for
-    * pairs at or above `threshold`, id_a < id_b.
+    * Same df-capped inverted-index scaffold as the Jaccard form
+    * ([[cappedNgramPairs]]: capped candidate generation, EXACT
+    * verification against the full shingle sets); `containment` is
+    * shared/min(na,nb) in ONE double division. Output: (id_a, id_b,
+    * shared, na, nb, containment) for pairs at or above `threshold`,
+    * id_a < id_b.
     */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.9): DataFrame = {
-    val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
-      .withColumn("_n", size(col("_sh")).cast("bigint"))
-    val ex = sh.select(col("_id"), col("_n"), explode(col("_sh")).as("_s"))
-      .repartition(col("_s"))
-    ex.as("a").join(ex.as("b"),
-        col("a._s") === col("b._s") && col("a._id") < col("b._id"))
-      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .agg(count(lit(1)).as("shared"), first(col("a._n")).as("na"),
-        first(col("b._n")).as("nb"))
+      shingleSize: Int = 3, threshold: Double = 0.9,
+      maxDf: Int = 64): DataFrame =
+    cappedNgramPairs(df, idCol, textCol, shingleSize, maxDf)
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "shared", "na", "nb", "containment")
-  }
 
   /** Corpus-internal duplicate n-gram mass — the one-number boilerplate
     * screen (Lee et al., 'Deduplicating Training Data Makes Language

@@ -531,20 +531,20 @@ object Eval {
     * Scale shape: NO corpus-wide window — the global sort a naive rank
     * would need is replaced by two hash aggregates to per-value
     * frequency tables (bounded by DISTINCT metric values, not corpus
-    * rows), one bounded cumulative window over each table, and two
-    * broadcast joins back. One |corpus|-row aggregate for the moments.
+    * rows), a DISTRIBUTED two-pass prefix sum over each table
+    * ([[PrefixSum.inclusive]] — never a single-task sort even when the
+    * distinct set grows with the corpus), and two broadcast joins back.
+    * One |corpus|-row aggregate for the moments.
     *
     * Output: one row (n, nx_distinct, ny_distinct, rho_pico).
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
     val d = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
     def rankTable(c: String, as: String) = {
       val f = d.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_cnt"))
-      val w = Window.orderBy(col("_v"))
-      f.withColumn("_cumul", sum(col("_cnt")).over(w))
+      PrefixSum.inclusive(f, "_v", col("_cnt"), "_cumul")
         .select(col("_v"),
           (lit(2L) * (col("_cumul") - col("_cnt")) + col("_cnt") + lit(1L))
             .as(as))
@@ -807,37 +807,6 @@ object Eval {
             .cast("long")))
   }
 
-  /** Rank-based two-sample effect size — Mann–Whitney U ('47) and
-    * Cliff's delta ('93) in one pass: the DISTRIBUTION-FREE "are these
-    * two groups drawn alike?" screen (is shard A's length profile the
-    * same as shard B's? did the new pipeline shift quality scores?)
-    * that t-test-style mean comparisons get wrong on the heavy-tailed,
-    * outlier-ridden distributions corpus metrics actually have.
-    *
-    * Exact law — never the O(n·m) pairwise join: one frequency table
-    * per distinct value ((value, n_a, n_b) — ONE corpus hash aggregate),
-    * then the greater/less/tie pair counts come from cumulative-B
-    * window sums over the VALUE table:
-    *
-    *   gt = Σ_v n_a(v)·#B(< v),  lt = Σ_v n_a(v)·#B(> v),
-    *   ties = Σ_v n_a(v)·n_b(v)
-    *
-    * all in DECIMAL(38,0); `u2_statistic = 2·gt + ties` is the DOUBLED
-    * Mann–Whitney U (kept integral instead of U's ·0.5 tie term);
-    * `cliffs_delta_pico = round((gt−lt)/(n_a·n_b)·10¹²)` is ONE double
-    * division, NULL when either group is empty. NULL values and NULL
-    * group flags assert nothing and drop.
-    *
-    * Scale shape: one column-pruned corpus aggregate (map-side combine);
-    * the window runs single-partition over the DISTINCT-VALUE table
-    * (the cusum/binnedAcf posture — bounded by distinct metric values,
-    * never rows), one 1-row aggregate ends it. Outputs stay BIGINT
-    * (pair counts overflow only past n_a·n_b ≈ 9.2·10¹⁸ — two 3·10⁹-row
-    * groups).
-    *
-    * Output: ONE row (n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
-    * u2_statistic, cliffs_delta_pico).
-    */
   /** Pearson χ² independence test + Cramér's V between two categorical
     * columns (Pearson 1900 / Cramér '46) — the contingency screen every
     * pipeline dashboard wants ("is the event mix time-of-day
@@ -952,6 +921,38 @@ object Eval {
           .cast("long").as("mi_pico"))
   }
 
+  /** Rank-based two-sample effect size — Mann–Whitney U ('47) and
+    * Cliff's delta ('93) in one pass: the DISTRIBUTION-FREE "are these
+    * two groups drawn alike?" screen (is shard A's length profile the
+    * same as shard B's? did the new pipeline shift quality scores?)
+    * that t-test-style mean comparisons get wrong on the heavy-tailed,
+    * outlier-ridden distributions corpus metrics actually have.
+    *
+    * Exact law — never the O(n·m) pairwise join: one frequency table
+    * per distinct value ((value, n_a, n_b) — ONE corpus hash aggregate),
+    * then the greater/less/tie pair counts come from cumulative-B
+    * window sums over the VALUE table:
+    *
+    *   gt = Σ_v n_a(v)·#B(< v),  lt = Σ_v n_a(v)·#B(> v),
+    *   ties = Σ_v n_a(v)·n_b(v)
+    *
+    * all in DECIMAL(38,0); `u2_statistic = 2·gt + ties` is the DOUBLED
+    * Mann–Whitney U (kept integral instead of U's ·0.5 tie term);
+    * `cliffs_delta_pico = round((gt−lt)/(n_a·n_b)·10¹²)` is ONE double
+    * division, NULL when either group is empty. NULL values and NULL
+    * group flags assert nothing and drop.
+    *
+    * Scale shape: one column-pruned corpus aggregate (map-side combine);
+    * the cumulative-B sums run as a DISTRIBUTED two-pass prefix sum over
+    * the DISTINCT-VALUE table ([[PrefixSum.inclusive]] — range-partition,
+    * per-partition partials, broadcast offsets; never a single-task
+    * sort), one 1-row aggregate ends it. Outputs stay BIGINT (pair
+    * counts overflow only past n_a·n_b ≈ 9.2·10¹⁸ — two 3·10⁹-row
+    * groups).
+    *
+    * Output: ONE row (n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
+    * u2_statistic, cliffs_delta_pico).
+    */
   def rankEffect(df: DataFrame, valueCol: String,
       isACol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -960,13 +961,15 @@ object Eval {
       .groupBy(col(valueCol).as("_v"))
       .agg(sum(when(col(isACol), 1L).otherwise(0L)).as("_na"),
         sum(when(col(isACol), 0L).otherwise(1L)).as("_nb"))
-    val ord = Window.orderBy(col("_v"))
-    val below = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val above = ord.rowsBetween(1, Window.unboundedFollowing)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
-    val w = freq.select(col("_na"), col("_nb"),
-      coalesce(sum(col("_nb").cast(dec)).over(below), zero).as("_bb"),
-      coalesce(sum(col("_nb").cast(dec)).over(above), zero).as("_ba"))
+    // #B(< v) from ONE distributed inclusive prefix sum; #B(> v) is the
+    // 1-row broadcast B total minus the inclusive sum
+    val totB = freq.agg(coalesce(sum(col("_nb")), lit(0L)).cast(dec).as("_tb"))
+    val w = PrefixSum.inclusive(freq, "_v", col("_nb").cast(dec), "_hi")
+      .crossJoin(broadcast(totB))
+      .select(col("_na"), col("_nb"),
+        (col("_hi") - col("_nb").cast(dec)).cast(dec).as("_bb"),
+        (col("_tb") - col("_hi")).cast(dec).as("_ba"))
     w.agg(
         coalesce(sum(col("_na")), lit(0L)).as("n_a"),
         coalesce(sum(col("_nb")), lit(0L)).as("n_b"),

@@ -169,28 +169,6 @@ object Quantiles {
         max(col("_v")).as("max_v"))
   }
 
-  /** Hill tail-index estimator (Hill, Ann. Stat. '75) over a positive
-    * metric's upper order statistics — the heavy-tail exponent a corpus
-    * sizing decision reads (α ≈ 1 means a few giant documents dominate
-    * total bytes; α > 2 means the mean is stable): with the top k+1
-    * values x₁ ≥ … ≥ x_{k+1} (ties broken by `idCol` — a TOTAL order,
-    * so the boundary inside a value plateau is deterministic),
-    *
-    *   1/α̂ = (1/k)·Σ_{i≤k} ln(x_i / x_{k+1})
-    *
-    * Law: per-term `round(ln(x_i/x_{k+1})·10¹²)` quantizes BEFORE the
-    * integer Σ (the KL discipline); the mean and the final inversion
-    * `alpha_milli = round(k·10¹⁵ / Σ)` are each one double step. NULL
-    * alpha when the top k+1 values are all equal (Σ = 0 — no tail
-    * information, visible NULL) — and no rows when fewer than k+1
-    * positive values exist (the estimator is undefined, not zero).
-    * Non-positive and NULL values drop (ln needs x > 0).
-    *
-    * Scale shape: one TakeOrdered (k+1) — never a global sort — then a
-    * (k+1)-row local aggregate.
-    *
-    * Output: ONE row (k, x_tail, sum_ln_excess_pico, alpha_milli).
-    */
   /** Lorenz concentration deciles of a non-negative metric (Lorenz '05,
     * the curve behind the Gini the engine already reports): rank the
     * rows ascending by value, cut into 10 equal-count deciles, and
@@ -212,9 +190,11 @@ object Quantiles {
     * per decile row. NULL and negative values drop (a Lorenz curve is
     * defined over a non-negative mass).
     *
-    * Scale shape: one corpus hash aggregate to the value table, windows
-    * + a 10-row broadcast crossJoin over that bounded table, a ≤10-row
-    * final frame. Output: (decile, n_rows, mass, cum_mass,
+    * Scale shape: one corpus hash aggregate to the value table, a
+    * DISTRIBUTED two-pass prefix sum over it ([[PrefixSum.inclusive]] —
+    * never a single-task sort even when the distinct set grows with the
+    * corpus) + a 10-row broadcast crossJoin, a ≤10-row final frame.
+    * Output: (decile, n_rows, mass, cum_mass,
     * cum_share_micro) — 10 rows (empty deciles drop when N < 10; none
     * on an empty input).
     */
@@ -226,13 +206,11 @@ object Quantiles {
       .filter(col(valueCol).isNotNull && col(valueCol) >= 0L)
       .select(col(valueCol).cast("long").as("_v"))
       .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
-    val ord = Window.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = freq.select(col("_v"), col("_c"),
-      sum(col("_c")).over(ord).as("_hi"),
-      sum(col("_c")).over(all).as("_n"))
+    // cumulative counts via a DISTRIBUTED prefix sum over the value table
+    // (never a single-task sort); N is a 1-row broadcast total
+    val tot = freq.agg(coalesce(sum(col("_c")), lit(0L)).as("_n"))
+    val ranked = PrefixSum.inclusive(freq, "_v", col("_c"), "_hi")
+      .crossJoin(broadcast(tot))
       .withColumn("_lo", col("_hi") - col("_c"))
     val deciles = spark.range(1, 11).select(col("id").as("decile"))
     val cells = ranked.crossJoin(broadcast(deciles))
@@ -261,6 +239,28 @@ object Quantiles {
       .orderBy(col("decile"))
   }
 
+  /** Hill tail-index estimator (Hill, Ann. Stat. '75) over a positive
+    * metric's upper order statistics — the heavy-tail exponent a corpus
+    * sizing decision reads (α ≈ 1 means a few giant documents dominate
+    * total bytes; α > 2 means the mean is stable): with the top k+1
+    * values x₁ ≥ … ≥ x_{k+1} (ties broken by `idCol` — a TOTAL order,
+    * so the boundary inside a value plateau is deterministic),
+    *
+    *   1/α̂ = (1/k)·Σ_{i≤k} ln(x_i / x_{k+1})
+    *
+    * Law: per-term `round(ln(x_i/x_{k+1})·10¹²)` quantizes BEFORE the
+    * integer Σ (the KL discipline); the mean and the final inversion
+    * `alpha_milli = round(k·10¹⁵ / Σ)` are each one double step. NULL
+    * alpha when the top k+1 values are all equal (Σ = 0 — no tail
+    * information, visible NULL) — and no rows when fewer than k+1
+    * positive values exist (the estimator is undefined, not zero).
+    * Non-positive and NULL values drop (ln needs x > 0).
+    *
+    * Scale shape: one TakeOrdered (k+1) — never a global sort — then a
+    * (k+1)-row local aggregate.
+    *
+    * Output: ONE row (k, x_tail, sum_ln_excess_pico, alpha_milli).
+    */
   def hillTailIndex(df: DataFrame, valueCol: String, idCol: String,
       k: Int = 100): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

@@ -131,7 +131,11 @@ object Sketches {
     * `est_distinct = round((k−1) / (h_k / 2⁶⁰))` is one fixed double
     * chain. Exact below k: when fewer than k distinct hashes exist the
     * estimator is the EXACT distinct count (n_kept, no estimation).
-    * NULL items assert nothing and drop.
+    * NULL items assert nothing and drop. Degenerate-hash guard: if the
+    * k-th smallest hash's first 15 hex digits are ALL zero (u = 0, a
+    * ~2⁻⁶⁰-per-corpus event) the division would yield Infinity — the
+    * estimate is NULL instead (visible, engine-portable), mirrored in
+    * the oracle.
     *
     * Scale shape: one narrow hash projection + distinct + TakeOrdered k
     * (never a global sort); the k-row frame ends in a 1-row aggregate.
@@ -147,14 +151,15 @@ object Sketches {
       .distinct()
       .orderBy(col("_h"))
       .limit(k)
+    val hk = conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("double")
     hashes
       .agg(count(lit(1)).as("n_kept"), max(col("_h")).as("kth_hash"))
       .filter(col("n_kept") > 0L)
       .select(lit(k.toLong).as("k"), col("n_kept"), col("kth_hash"),
-        when(col("n_kept") < k, col("n_kept")).otherwise(
-          round(lit((k - 1).toDouble)
-            / (conv(substring(col("kth_hash"), 1, 15), 16, 10)
-                .cast("double") / lit(1152921504606846976.0)))
-            .cast("long")).as("est_distinct"))
+        when(col("n_kept") < k, col("n_kept"))
+          .when(hk > 0.0,
+            round(lit((k - 1).toDouble) / (hk / lit(1152921504606846976.0)))
+              .cast("long"))
+          .as("est_distinct"))
   }
 }

@@ -89,40 +89,6 @@ object Timeseries {
       .orderBy(col("lag"))
   }
 
-  /** CUSUM changepoint estimate over the per-bin event-count series (Page,
-    * Biometrika '54 — the classic mean-shift detector; argmax |CUSUM| is
-    * the standard single-changepoint location estimator): the bin where
-    * the cumulative deviation from the global mean peaks — the screen
-    * that finds WHEN ingest volume shifted, complementing [[Drift]]'s
-    * "did the distribution move" and [[binnedAcf]]'s "does it repeat".
-    *
-    * The law runs over the DENSE bin grid [min bin, max bin] with missing
-    * bins as 0 (the [[binnedAcf]] grid law), exactly and WITHOUT
-    * materializing the grid: with N grid bins and total events Y, the
-    * grid CUSUM at bin t is S(t) = Σ_{i≤t} y_i − (t−tmin+1)·Y/N, scaled
-    * by N to stay integral:
-    *
-    *   s_scaled(t) = N·P(t) − (t−tmin+1)·Y     (P = inclusive prefix sum)
-    *
-    * Between observed bins S moves LINEARLY (slope −Y/N < 0), so over any
-    * gap the extrema sit at the gap's endpoints: it suffices to evaluate
-    * every OBSERVED bin and, per gap, the bin just before the next
-    * observed one — ≤ 2× observed bins candidate rows, each an exact
-    * DECIMAL(38,0) value. The argmax orders by (|s| desc, bin asc) —
-    * total and deterministic.
-    *
-    * Scale shape: one bin hash aggregate over the events (map-side
-    * combine), then ONE window pass over the observed-bin table (bounded
-    * by observed bins, never events — the [[binnedAcf]] posture), one
-    * 1-row argmax aggregate. Output scaled values cast BIGINT (the
-    * hash-portability law; exact while N·Y < 9.2·10¹⁸ — e.g. a decade of
-    * hourly bins times 10¹³ events overflows first at 8.8·10¹⁸).
-    *
-    * Output: ONE row (change_ts, cusum_scaled, n_bins, total_events) —
-    * `change_ts` the dense-grid bin where |CUSUM| peaks, `cusum_scaled`
-    * the signed N-scaled value there, `n_bins` the DENSE grid length.
-    * No rows when the input has no non-NULL timestamps.
-    */
   /** Per-user event-type transition counts — the first-order Markov
     * matrix of the event stream (the session-structure screen beside
     * [[binnedAcf]]'s periodicity: which action follows which, the
@@ -196,6 +162,40 @@ object Timeseries {
           .cast("long").as("entropy_rate_pico"))
   }
 
+  /** CUSUM changepoint estimate over the per-bin event-count series (Page,
+    * Biometrika '54 — the classic mean-shift detector; argmax |CUSUM| is
+    * the standard single-changepoint location estimator): the bin where
+    * the cumulative deviation from the global mean peaks — the screen
+    * that finds WHEN ingest volume shifted, complementing [[Drift]]'s
+    * "did the distribution move" and [[binnedAcf]]'s "does it repeat".
+    *
+    * The law runs over the DENSE bin grid [min bin, max bin] with missing
+    * bins as 0 (the [[binnedAcf]] grid law), exactly and WITHOUT
+    * materializing the grid: with N grid bins and total events Y, the
+    * grid CUSUM at bin t is S(t) = Σ_{i≤t} y_i − (t−tmin+1)·Y/N, scaled
+    * by N to stay integral:
+    *
+    *   s_scaled(t) = N·P(t) − (t−tmin+1)·Y     (P = inclusive prefix sum)
+    *
+    * Between observed bins S moves LINEARLY (slope −Y/N < 0), so over any
+    * gap the extrema sit at the gap's endpoints: it suffices to evaluate
+    * every OBSERVED bin and, per gap, the bin just before the next
+    * observed one — ≤ 2× observed bins candidate rows, each an exact
+    * DECIMAL(38,0) value. The argmax orders by (|s| desc, bin asc) —
+    * total and deterministic.
+    *
+    * Scale shape: one bin hash aggregate over the events (map-side
+    * combine), then ONE window pass over the observed-bin table (bounded
+    * by observed bins, never events — the [[binnedAcf]] posture), one
+    * 1-row argmax aggregate. Output scaled values cast BIGINT (the
+    * hash-portability law; exact while N·Y < 9.2·10¹⁸ — e.g. a decade of
+    * hourly bins times 10¹³ events overflows first at 8.8·10¹⁸).
+    *
+    * Output: ONE row (change_ts, cusum_scaled, n_bins, total_events) —
+    * `change_ts` the dense-grid bin where |CUSUM| peaks, `cusum_scaled`
+    * the signed N-scaled value there, `n_bins` the DENSE grid length.
+    * No rows when the input has no non-NULL timestamps.
+    */
   def cusumChangepoint(events: DataFrame, tsCol: String,
       binMicros: Long = 3600L * 1000000L): DataFrame = {
     require(binMicros >= 1L, s"binMicros must be >= 1, got $binMicros")

@@ -1931,10 +1931,42 @@ object Registry {
       .orderBy("id_a", "id_b")
 
   /** Shared CTE chain producing the exact word-3-gram pair candidates
-    * (`pairs(id_a, id_b, shared, na, nb)`) — composed by both the Jaccard
-    * pair oracle and the dedup-clusters closure oracle.
+    * (`pairs(id_a, id_b, shared, na, nb)`) — composed by the Jaccard pair
+    * oracle, the containment oracle, and the dedup-clusters closure
+    * oracle. Replays the engine's df-capped law
+    * ([[graft.ops.Dedup.ngramJaccardPairs]]): a shingle in more than 64
+    * documents is dropped as a candidate GENERATOR (`keptsh`), while
+    * `shared`/`na`/`nb` verify against the FULL shingle sets
+    * (`list_intersect`) — values exact, the cap affects recall only.
     */
   private val ngramPairCtes: String =
+    s"""toks AS (
+      | SELECT doc_id, $tokensSql AS tk FROM documents
+      |), sh AS (
+      | SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingles
+      | FROM toks WHERE len(tk) >= 3
+      |), ex AS (
+      | SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0
+      |), keptsh AS (
+      | SELECT s FROM ex GROUP BY s HAVING count(*) <= 64
+      |), cand AS (
+      | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM ex a JOIN keptsh k ON a.s = k.s
+      |   JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |), pairs AS (
+      | SELECT c.id_a, c.id_b,
+      |   len(list_intersect(sa.shingles, sb.shingles)) AS shared,
+      |   len(sa.shingles) AS na, len(sb.shingles) AS nb
+      | FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+      |   JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin
+
+  /** The UNCAPPED pair chain — the q_minhash_neardup oracle only: the LSH
+    * path does not implement the exact-law df cap (its skew guard is
+    * [[graft.ops.Dedup.capBuckets]] on band buckets), so its oracle must
+    * not either.
+    */
+  private val ngramPairCtesUncapped: String =
     s"""toks AS (
       | SELECT doc_id, $tokensSql AS tk FROM documents
       |), sh AS (
@@ -1950,6 +1982,12 @@ object Registry {
 
   val qNgramJaccardSql: String =
     s"""WITH $ngramPairCtes
+      | SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jaccard
+      | FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.8
+      | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+  val qMinhashNeardupSql: String =
+    s"""WITH $ngramPairCtesUncapped
       | SELECT id_a, id_b, CAST(shared AS DOUBLE)/(na+nb-shared) AS jaccard
       | FROM pairs WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.8
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
@@ -6149,7 +6187,7 @@ object Registry {
       |  FROM kk),
       | pv AS (SELECT n_kept, m, CAST($poly AS BIGINT) AS hv FROM agg)
       | SELECT CAST(256 AS BIGINT) AS k, n_kept, m AS kth_hash,
-      |  CASE WHEN n_kept < 256 THEN n_kept ELSE
+      |  CASE WHEN n_kept < 256 THEN n_kept WHEN hv > 0 THEN
       |   CAST(round(255.0 / (CAST(hv AS DOUBLE) / 1152921504606846976.0))
       |    AS BIGINT) END AS est_distinct
       | FROM pv WHERE n_kept > 0""".stripMargin.replace("\n", " ")
@@ -8034,7 +8072,7 @@ object Registry {
     "q_domain_sample" -> qDomainSampleSql,
     "q_bm25_search" -> qBm25SearchSql,
     "q_bm25_store" -> qBm25StoreSql,
-    "q_minhash_neardup" -> qNgramJaccardSql, // same verified pair set (see scaladoc)
+    "q_minhash_neardup" -> qMinhashNeardupSql, // uncapped chain (see scaladoc)
     "q_ann_cosine" -> qAnnCosineSql,
     "q_mmr_select" -> qMmrSelectSql,
     "q_embed_quant" -> qEmbedQuantSql,

@@ -568,4 +568,49 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(3) === 1L, "only the real-content copy is a dup")
     assert(r.getLong(4) === 4L && r.getLong(5) === 2L && r.getLong(6) === 2L)
   }
+
+  // planted stop-shingle corpus for the df-cap law: 100 docs share exactly
+  // ONE boilerplate trigram ("common boiler plate" — the adjacent unique
+  // tokens keep every other shingle doc-private), and docs 1000/1001 are
+  // identical 5-shingle texts whose FIRST shingle is rare (df = 2) while
+  // their LAST is the hot boilerplate one (df = 102)
+  private lazy val stopShingleDocs = {
+    val boiler = (0L until 100L).map(i =>
+      (i, s"common boiler plate u${i}a u${i}b"))
+    val pair = Seq(
+      (1000L, "rare gem stone marker common boiler plate"),
+      (1001L, "rare gem stone marker common boiler plate"))
+    (boiler ++ pair).toDF("doc_id", "text")
+  }
+
+  test("ngram df cap: a hot shingle stops generating candidates; found pairs stay value-exact") {
+    // capped law (maxDf = 64): the boilerplate trigram (df = 102) is
+    // dropped as a candidate generator, so the 100 boiler docs — whose
+    // ONLY shared shingle is hot — emit NO pair even at threshold 0.1;
+    // docs 1000/1001 pair via their rare shingles, and their jaccard is
+    // 1.0 EXACTLY: the verify stage counts the capped hot shingle too
+    val capped = Dedup.ngramJaccardPairs(stopShingleDocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.1, maxDf = 64).collect()
+    assert(capped.length === 1)
+    assert((capped.head.getLong(0), capped.head.getLong(1)) === ((1000L, 1001L)))
+    assert(capped.head.getDouble(2) === 1.0,
+      "shared must count the hot shingle: values exact, recall capped")
+    // cap lifted (maxDf ≥ 102): every hot-shingle pair appears —
+    // C(100,2) = 4950 boiler-boiler (jaccard 1/5), 200 boiler×planted
+    // (jaccard 1/7), + the planted pair
+    val uncapped = Dedup.ngramJaccardPairs(stopShingleDocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.1, maxDf = 1000)
+    assert(uncapped.count() === 5151L)
+  }
+
+  test("ngram df cap: containment law shares the capped scaffold") {
+    val got = Dedup.ngramContainmentPairs(stopShingleDocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.9, maxDf = 64).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1000L, 1001L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((5L, 5L, 5L)),
+      "shared/na/nb verify against FULL sets (hot shingle included)")
+    assert(r.getDouble(5) === 1.0)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inclusive matches the single-task window exactly (long weights, gaps, negatives)") {
+    // 10k distinct keys with gaps and negative keys; weights vary — test
+    // session runs 4 shuffle partitions, so the range split is exercised
+    val df = spark.range(10000)
+      .select((col("id") * 7 - 35000).as("k"), (col("id") % 97 + 1).as("w"))
+    val got = PrefixSum.inclusive(df, "k", col("w"), "cum")
+      .select(col("k"), col("cum"))
+    val ref = df.withColumn("cum",
+      sum(col("w")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("cum"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    assert(got.count() === 10000L)
+  }
+
+  test("inclusive matches under decimal(38,0) weights") {
+    val dec = "decimal(38,0)"
+    val df = spark.range(500).select(col("id").as("k"),
+      (col("id") * col("id")).cast(dec).as("w"))
+    val got = PrefixSum.inclusive(df, "k", col("w"), "cum")
+      .select(col("k"), col("cum"))
+    val ref = df.withColumn("cum",
+      sum(col("w")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("cum"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("inclusive: empty input and single row") {
+    val empty = spark.range(0).select(col("id").as("k"), lit(1L).as("w"))
+    assert(PrefixSum.inclusive(empty, "k", col("w"), "cum").count() === 0L)
+    val one = spark.range(1).select(col("id").as("k"), lit(7L).as("w"))
+    val r = PrefixSum.inclusive(one, "k", col("w"), "cum").collect().head
+    assert(r.getAs[Long]("cum") === 7L)
+  }
+
+  test("no corpus-sized single-partition window in the executed plan") {
+    // the point of the rewrite: every window in the plan is either
+    // partitioned by the materialized pid or runs over the bounded
+    // per-partition totals table (whose input is an aggregate, ≤ nParts
+    // rows). Assert the plan has a window partitioned by _ps_pid.
+    val df = spark.range(1000).select(col("id").as("k"), lit(1L).as("w"))
+    val plan = PrefixSum.inclusive(df, "k", col("w"), "cum")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_ps_pid"), "pid-partitioned window missing:\n" + plan)
+  }
+}
