@@ -1,0 +1,806 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExcelSerial
+import graft.model.PathOps
+import graft.ops.{Hierarchy, Parents, Upsert}
+import graft.views.Analytic
+
+/** Evaluation statistics: ranking metrics, agreement, text-overlap scores, correlation and independence tests.
+  *
+  * Split from the monolithic `Registry` object (round 15): members are
+  * unchanged; `Registry` mixes every family trait in, so the public
+  * surface (`Registry.queries` / `Registry.oracle` / each q* member) is
+  * identical. Cross-family helpers are `private[queries]`; vals are lazy
+  * so trait-linearization order can never null-init a shared fragment.
+  */
+trait EvalQueries { self: RegistryAll =>
+
+  /** Calibration reliability bins ([[graft.ops.Eval.calibrationBins]]):
+    * every vector scored by anchored cosine to vec 0 mapped to [0,1],
+    * truth = shares the anchor's label — is the scorer's confidence
+    * honest, bin by bin? Exact laws end to end: the engine-wide cosine
+    * kernel, (cos+1)/2 in fixed op order, clamped floor bins,
+    * micro-quantized confidence sums, one double division per output
+    * ratio.
+    */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.functions.CosineSimilarity.register(spark)
+    val anchor = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("_av"), col("label").as("_al"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(
+        ((graft.functions.CosineSimilarity.cosine(col("embedding"), col("_av"))
+          + lit(1.0)) / lit(2.0)).as("score"),
+        (col("label") === col("_al")).as("is_pos"))
+    graft.ops.Eval.calibrationBins(scored, "score", "is_pos", nBins = 10)
+      .orderBy("bin")
+  }
+
+  lazy val qCalibrationSql: String =
+    """WITH a AS (SELECT embedding::DOUBLE[] AS av, label AS al FROM embeddings WHERE vec_id = 0),
+      | s AS (SELECT (list_dot_product(v, av)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(av, av))) + 1.0) / 2.0 AS score,
+      |    (e.label = a.al) AS y
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id <> 0) e, a),
+      | b AS (SELECT least(9, greatest(0, CAST(floor(score * 10) AS BIGINT))) AS bin,
+      |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m, y FROM s
+      |  WHERE score IS NOT NULL AND isfinite(score) AND y IS NOT NULL)
+      | SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+      |  CAST(SUM(m) AS BIGINT) AS conf_micro_sum,
+      |  CAST(COUNT(CASE WHEN y THEN 1 END) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS accuracy,
+      |  CAST(SUM(m) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1000000.0 AS confidence
+      | FROM b GROUP BY bin ORDER BY bin""".stripMargin.replace("\n", " ")
+
+  /** Retrieval-quality evaluation ([[graft.ops.Eval.ndcgAtK]]): NDCG@10 /
+    * recall@10 / first-relevant-rank of brute-force cosine retrieval where
+    * a neighbor is relevant iff it shares the query's label. The ranking
+    * eval is bit-exact because the discount table is a JVM-computed
+    * integer literal embedded on BOTH engine sides (no engine `log2` in
+    * the law) and DCG/IDCG are exact BIGINT sums; ndcg/recall are single
+    * divisions of exact integers.
+    */
+  def qNdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.functions.CosineSimilarity.register(spark)
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("_qv"),
+      col("label").as("_ql")).filter(col("qid") < 5)
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("_cv"),
+      col("label").as("_cl"))
+    val pairs = c.join(broadcast(q), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        graft.functions.CosineSimilarity.cosine(col("_cv"), col("_qv")).as("_sim"),
+        (col("_cl") === col("_ql")).cast("int").as("_rel"))
+    graft.ops.Eval.ndcgAtK(pairs, "qid", "cid", "_sim", "_rel", k = 10)
+      .withColumnRenamed("qid", "query_id")
+      .orderBy("query_id")
+  }
+
+  lazy val qNdcgEvalSql: String = {
+    val dlist = graft.ops.Eval.ndcgDiscountsMicro(10).mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+      |   FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+      | s0 AS (SELECT qid, cid,
+      |   list_dot_product(cv, qv)/(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv))) AS sim,
+      |   CAST(CAST(cl = ql AS INTEGER) AS DOUBLE) AS rel
+      |  FROM c, q WHERE cid <> qid),
+      | s AS (SELECT * FROM s0 WHERE sim IS NOT NULL AND rel IS NOT NULL
+      |   AND abs(rel) <= 9.0e12 AND NOT isnan(sim)),
+      | r AS (SELECT *,
+      |   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rm,
+      |   row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS ri FROM s),
+      | a AS (SELECT qid AS query_id,
+      |   CAST(SUM(CASE WHEN rm <= 10 THEN CAST(round(rel * ($dlist[rm])) AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_micro,
+      |   CAST(SUM(CASE WHEN ri <= 10 THEN CAST(round(rel * ($dlist[ri])) AS BIGINT) ELSE 0 END) AS BIGINT) AS idcg_micro,
+      |   CAST(COUNT(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS rel_total,
+      |   CAST(COUNT(CASE WHEN rel > 0 AND rm <= 10 THEN 1 END) AS BIGINT) AS rel_at_k,
+      |   CAST(MIN(CASE WHEN rel > 0 THEN rm END) AS BIGINT) AS first_rel_rank
+      |  FROM r GROUP BY qid)
+      | SELECT query_id, dcg_micro, idcg_micro, rel_total, rel_at_k, first_rel_rank,
+      |  CASE WHEN idcg_micro > 0 THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE) END AS ndcg,
+      |  CASE WHEN rel_total > 0 THEN CAST(rel_at_k AS DOUBLE) / CAST(rel_total AS DOUBLE) END AS recall_at_k
+      | FROM a ORDER BY query_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Exact Mann-Whitney AUC per event type ([[graft.ops.Eval.aucByGroup]]):
+    * how well `value` separates a deterministic synthetic label
+    * (user_id % 3 = 0 — a stand-in for "passed human review"). Average
+    * ranks on ties, NULL scores/labels excluded, degenerate groups NULL —
+    * the oracle replays the identical rank algebra, DOUBLE throughout
+    * (rank sums are exact integers + halves, so no decimal-rounding trap).
+    */
+  def qAucEval(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.aucByGroup(
+      t(spark, dir, "events")
+        .withColumn("label", col("user_id") % 3 === 0),
+      "value", "label", "event_type")
+      .select(col("event_type"), col("n_pos"), col("n_neg"),
+        round(col("auc"), 10).as("auc"))
+      .orderBy("event_type")
+
+  lazy val qAucEvalSql: String =
+    """WITH b AS (SELECT event_type AS _g, value AS _s,
+      |   (user_id % 3 = 0) AS _y FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      | r AS (SELECT _g, _y,
+      |   rank() OVER (PARTITION BY _g ORDER BY _s)
+      |     + (COUNT(*) OVER (PARTITION BY _g, _s) - 1) / 2.0 AS _avg_rank
+      |  FROM b),
+      | a AS (SELECT _g AS event_type,
+      |   COUNT(CASE WHEN _y THEN 1 END) AS n_pos,
+      |   COUNT(CASE WHEN NOT _y THEN 1 END) AS n_neg,
+      |   SUM(CASE WHEN _y THEN _avg_rank END) AS _rpos
+      |  FROM r GROUP BY 1)
+      | SELECT event_type, n_pos, n_neg,
+      |  round(CASE WHEN n_pos > 0 AND n_neg > 0
+      |   THEN (_rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) END, 10) AS auc
+      | FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")
+
+  /** Rank-Biased Overlap @20 (p=0.9) between the cosine and euclidean
+    * rankings of each query ([[graft.ops.Similarity.systemRankings]] +
+    * [[graft.ops.Eval.rboAtK]], Webber et al. TOIS'10) — "how much do
+    * the two systems RRF fuses actually agree", top-weighted. Exact
+    * prefix-overlap integers, ONE fixed `(1−p)·exp((d−1)·ln p)` double
+    * chain per depth (the decay/KL libm discipline), every term
+    * pico-quantized before the integer Σ — fully hash-oracled.
+    */
+  def qRboEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val r = graft.ops.Similarity.systemRankings(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", perSystemK = 20)
+    graft.ops.Eval.rboAtKFromRankings(
+        r, "query_id", "neighbor_id", "rk_cos", "rk_l2", k = 20)
+      .orderBy("query_id")
+  }
+
+  lazy val qRboEvalSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |   list_dot_product(qv, cv) AS dp, list_dot_product(cv, cv) AS cc,
+      |   list_dot_product(qv, qv) AS qq
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | s2 AS (SELECT query_id, neighbor_id, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   (cc - 2.0 * dp) + qq AS l2sq FROM s),
+      | r AS (SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rkc,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY l2sq ASC, neighbor_id) AS rkl
+      |  FROM s2),
+      | m AS (SELECT query_id, neighbor_id, rkc, rkl FROM r
+      |  WHERE rkc <= 20 AND rkl <= 20),
+      | dd AS (SELECT unnest(generate_series(1, 20)) AS d),
+      | ov AS (SELECT qs.query_id, dd.d,
+      |   CAST(COUNT(CASE WHEN m.rkc <= dd.d AND m.rkl <= dd.d THEN 1 END) AS BIGINT) AS ov
+      |  FROM (SELECT DISTINCT query_id FROM r) qs CROSS JOIN dd
+      |  LEFT JOIN m ON m.query_id = qs.query_id GROUP BY 1, 2),
+      | tt AS (SELECT query_id,
+      |   CAST(round((((1.0 - 0.9) * exp(CAST(d - 1 AS DOUBLE) * ln(0.9)))
+      |     * (CAST(ov AS DOUBLE) / CAST(d AS DOUBLE))) * 1000000000000.0) AS BIGINT) AS term
+      |  FROM ov),
+      | nc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common FROM m GROUP BY 1)
+      | SELECT s3.query_id, COALESCE(nc.n_common, 0) AS n_common,
+      |  CAST(s3.rbo AS BIGINT) AS rbo_pico
+      | FROM (SELECT query_id, SUM(term) AS rbo FROM tt GROUP BY 1) s3
+      | LEFT JOIN nc ON nc.query_id = s3.query_id
+      | ORDER BY s3.query_id""".stripMargin.replace("\n", " ")
+
+  /** Per-source percent-rank calibration table
+    * ([[graft.ops.Quantiles.percentRankDeciles]]): within-source deciles
+    * of the raw score — the cross-source score-comparability fix.
+    */
+  def qScoreNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.percentRankDeciles(
+        t(spark, dir, "documents"), "n_chars", "source")
+      .orderBy("stratum", "decile")
+
+  lazy val qScoreNormSql: String =
+    """WITH v AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | p AS (SELECT stratum, v,
+      |   percent_rank() OVER (PARTITION BY stratum ORDER BY v) AS pr FROM v),
+      | d AS (SELECT stratum, v,
+      |   CAST(least(floor(pr * 10.0), 9.0) AS BIGINT) AS decile FROM p)
+      | SELECT stratum, decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(v) AS min_v, MAX(v) AS max_v
+      | FROM d GROUP BY stratum, decile ORDER BY stratum, decile"""
+      .stripMargin.replace("\n", " ")
+
+  /** Cohen's kappa ([[graft.ops.Eval.cohenKappa]]) between the corpus's
+    * declared `lang` and the rule-based [[graft.functions.TextFns.langId]]
+    * prediction — the chance-corrected acceptance gate for the cheap
+    * classifier, exact-integer margins and one fixed float chain.
+    */
+  def qKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("lang"),
+        graft.functions.TextFns.langId(col("text")).as("lang_pred"))
+    graft.ops.Eval.cohenKappa(d, "lang", "lang_pred")
+  }
+
+  lazy val qKappaSql: String = {
+    import graft.functions.TextFns._
+    val (en, de, es, fr) =
+      (hitsSql(enStopwords), hitsSql(deStopwords), hitsSql(esStopwords), hitsSql(frStopwords))
+    val predCase =
+      s"""CASE
+        | WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+        | WHEN $en = 0 AND $de = 0 AND $es = 0 AND $fr = 0 THEN 'und'
+        | WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+        | WHEN $de >= $es AND $de >= $fr THEN 'de'
+        | WHEN $es >= $fr THEN 'es'
+        | ELSE 'fr' END""".stripMargin.replace("\n", " ")
+    s"""WITH pred AS (SELECT lang AS a, $predCase AS b FROM documents),
+      | flt AS (SELECT a, b FROM pred WHERE a IS NOT NULL AND b IS NOT NULL),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM flt GROUP BY a, b),
+      | tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |   CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree FROM cells),
+      | rm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a),
+      | cm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+      | pn AS (SELECT CAST(COALESCE(SUM(CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)), 0)
+      |   AS DOUBLE) AS pe_num FROM rm JOIN cm ON rm.a = cm.b)
+      | SELECT n, n_agree, pe_num,
+      |  CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+      |  pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+      |  CASE WHEN pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+      |   THEN NULL
+      |   ELSE (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |    / (1.0 - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |  END AS kappa
+      | FROM tot CROSS JOIN pn""".stripMargin.replace("\n", " ")
+  }
+
+  /** Spearman rank correlation between document length and token count
+    * ([[graft.ops.Eval.spearman]]): the monotone-association companion
+    * to q_metric_corr's Pearson panel, tie-corrected via exact doubled
+    * average ranks from per-value frequency tables (no corpus-wide
+    * sort). NULL-text docs count as 0 tokens (the tokens(NULL) = []
+    * engine law).
+    */
+  def qSpearmanCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.spearman(
+      t(spark, dir, "documents")
+        .select(col("n_chars"),
+          graft.functions.TextFns.tokenCount(col("text")).as("n_tokens")),
+      "n_chars", "n_tokens")
+
+  lazy val qSpearmanCorrSql: String =
+    s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x, $nTokensSqlExpr AS y
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      | fx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      | fy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1),
+      | rx AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2
+      |  FROM fx),
+      | ry AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS r2
+      |  FROM fy),
+      | rk AS (SELECT rx.r2 AS r2x, ry.r2 AS r2y FROM d
+      |  JOIN rx ON rx.v = d.x JOIN ry ON ry.v = d.y),
+      | s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(SUM(CAST(r2x AS HUGEINT)) AS HUGEINT) AS sx,
+      |   CAST(SUM(CAST(r2y AS HUGEINT)) AS HUGEINT) AS sy,
+      |   CAST(SUM(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT) AS sxx,
+      |   CAST(SUM(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT) AS syy,
+      |   CAST(SUM(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT) AS sxy FROM rk),
+      | nd AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fx) AS nx_distinct,
+      |   (SELECT CAST(COUNT(*) AS BIGINT) FROM fy) AS ny_distinct)
+      | SELECT n, nx_distinct, ny_distinct,
+      |  CASE WHEN n > 0 AND
+      |    (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) <> 0.0 AND
+      |    (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) <> 0.0
+      |   THEN CAST(round(
+      |    (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |     * sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    * 1000000000000.0) AS BIGINT)
+      |  END AS rho_pico
+      | FROM s CROSS JOIN nd""".stripMargin.replace("\n", " ")
+
+  /** Per-event-type confusion report at the type's mean-value threshold
+    * ([[graft.ops.Eval.confusionReport]]): TP/FP/FN/TN, F1 and Matthews
+    * correlation for the q_auc_eval label (user_id % 3 = 0) — the
+    * thresholded companion to AUC's ranking view, with MCC as the
+    * skew-robust single number. Exact DECIMAL score sums, exact cells,
+    * two fixed double chains.
+    */
+  def qConfusionEval(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.confusionReport(
+        t(spark, dir, "events")
+          .withColumn("label", col("user_id") % 3 === 0),
+        "value", "label", "event_type")
+      .withColumnRenamed("group", "event_type")
+      .orderBy("event_type")
+
+  lazy val qConfusionEvalSql: String =
+    """WITH b AS (SELECT event_type AS g, CAST(value AS DECIMAL(18,2)) AS s,
+      |   (user_id % 3 = 0) AS y FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+      |   AND event_type IS NOT NULL),
+      | m AS (SELECT g, CAST(SUM(s) AS DECIMAL(18,2)) AS ss,
+      |   CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      | p AS (SELECT b.g, b.y,
+      |   (CAST(b.s AS DOUBLE) >= CAST(m.ss AS DOUBLE) / CAST(m.n AS DOUBLE))
+      |    AS pred
+      |  FROM b JOIN m ON m.g = b.g),
+      | c AS (SELECT g,
+      |   CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |   CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |   CAST(SUM(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |   CAST(SUM(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM p GROUP BY 1)
+      | SELECT g AS event_type, tp, fp, fn, tn,
+      |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+      |   CAST(round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE)
+      |     * 1000000000000.0) AS BIGINT) END AS f1_pico,
+      |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+      |   THEN CAST(round(
+      |    CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+      |    / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+      |     * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE)))
+      |    * 1000000000000.0) AS BIGINT) END AS mcc_pico
+      | FROM c ORDER BY event_type""".stripMargin.replace("\n", " ")
+
+  /** chrF2 of the LEAD-30-token baseline against each full document
+    * ([[graft.ops.Eval.chrF]], Popović WMT'15) — the tokenizer-free
+    * eval beside ROUGE-2's token recall: whitespace-stripped char
+    * 1..6-grams, clipped counts, per-order P/R pico-quantized before the
+    * cross-order integer Σ, one fixed F_β=2 double chain.
+    */
+  def qChrfEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("ref"),
+        concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")),
+          1, 30)).as("cand"))
+    graft.ops.Eval.chrF(docs, "doc_id", "ref", "cand", maxN = 6, beta = 2.0)
+      .orderBy("doc_id")
+  }
+
+  lazy val qChrfEvalSql: String = {
+    val pAvg = "(CAST(COALESCE(sump_pico, 0) AS DOUBLE) / 6000000000000.0)"
+    val rAvg = "(CAST(COALESCE(sumr_pico, 0) AS DOUBLE) / 6000000000000.0)"
+    s"""WITH base AS (SELECT doc_id,
+      |   regexp_replace(COALESCE(text, ''), '[ \\t\\n\\x0B\\f\\r]+', '', 'g') AS rs,
+      |   regexp_replace(array_to_string(list_slice($tokensSql, 1, 30), ' '),
+      |     '[ \\t\\n\\x0B\\f\\r]+', '', 'g') AS cs
+      |  FROM documents),
+      | ns AS (SELECT unnest(generate_series(1, 6)) AS n),
+      | rg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, length(rs) - n + 1), i -> substr(rs, i, n))) AS g
+      |  FROM base CROSS JOIN ns WHERE length(rs) >= n),
+      | cg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, length(cs) - n + 1), i -> substr(cs, i, n))) AS g
+      |  FROM base CROSS JOIN ns WHERE length(cs) >= n),
+      | rc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr
+      |  FROM rg GROUP BY 1, 2, 3),
+      | ccn AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cc
+      |  FROM cg GROUP BY 1, 2, 3),
+      | po AS (SELECT rc.doc_id, rc.n, CAST(SUM(cr) AS BIGINT) AS nr,
+      |   CAST(SUM(LEAST(cr, COALESCE(ccn.cc, 0))) AS BIGINT) AS m
+      |  FROM rc LEFT JOIN ccn ON ccn.doc_id = rc.doc_id AND ccn.n = rc.n
+      |    AND ccn.g = rc.g
+      |  GROUP BY 1, 2),
+      | ct AS (SELECT doc_id, n, CAST(SUM(cc) AS BIGINT) AS nc
+      |  FROM ccn GROUP BY 1, 2),
+      | fo AS (SELECT COALESCE(po.doc_id, ct.doc_id) AS doc_id,
+      |   COALESCE(po.nr, 0) AS nr, COALESCE(po.m, 0) AS m,
+      |   COALESCE(ct.nc, 0) AS nc
+      |  FROM po FULL OUTER JOIN ct ON ct.doc_id = po.doc_id AND ct.n = po.n),
+      | q AS (SELECT doc_id,
+      |   CAST(SUM(CAST(round((CASE WHEN nc > 0
+      |     THEN CAST(m AS DOUBLE) / CAST(nc AS DOUBLE) ELSE 0.0 END)
+      |     * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sump_pico,
+      |   CAST(SUM(CAST(round((CASE WHEN nr > 0
+      |     THEN CAST(m AS DOUBLE) / CAST(nr AS DOUBLE) ELSE 0.0 END)
+      |     * 1000000000000.0) AS BIGINT)) AS BIGINT) AS sumr_pico
+      |  FROM fo GROUP BY 1)
+      | SELECT d.doc_id, COALESCE(sump_pico, 0) AS sump_pico,
+      |  COALESCE(sumr_pico, 0) AS sumr_pico,
+      |  CASE WHEN (4.0 * $pAvg) + $rAvg > 0.0
+      |   THEN CAST(round(((5.0 * ($pAvg * $rAvg)) / ((4.0 * $pAvg) + $rAvg))
+      |     * 1000000000000.0) AS BIGINT)
+      |   ELSE 0 END AS chrf_pico
+      | FROM (SELECT DISTINCT doc_id FROM documents) d
+      | LEFT JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Character error rate ([[graft.ops.Eval.cerAtPrefix]] — Levenshtein
+    * edits per reference character, the ASR/OCR eval staple) of the
+    * 30-token-head candidate against the full text, over ASCII-normalized
+    * 256-char prefixes. Both dialect traps are part of the law: non-ASCII
+    * strips first (Spark levenshtein counts codepoints, DuckDB counts
+    * bytes — equal on pure ASCII) and the prefix cap bounds the O(len²)
+    * DP per row. Exact integer edits; one fixed pico chain.
+    */
+  def qCerEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("ref"),
+        concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")),
+          1, 30)).as("cand"))
+    graft.ops.Eval.cerAtPrefix(docs, "doc_id", "ref", "cand", prefixLen = 256)
+      .orderBy("doc_id")
+  }
+
+  lazy val qCerEvalSql: String = {
+    val strip = (c: String) =>
+      s"substr(regexp_replace(COALESCE($c, ''), '[^\\x00-\\x7F]', '', 'g'), 1, 256)"
+    s"""WITH base AS (SELECT doc_id, ${strip("text")} AS r,
+      |   ${strip(s"array_to_string(list_slice($tokensSql, 1, 30), ' ')")} AS c
+      |  FROM documents)
+      | SELECT doc_id, CAST(length(r) AS BIGINT) AS ref_chars,
+      |  CAST(levenshtein(r, c) AS BIGINT) AS edit_dist,
+      |  CASE WHEN length(r) > 0 THEN
+      |   CAST(round(CAST(levenshtein(r, c) AS DOUBLE)
+      |     / CAST(length(r) AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |  END AS cer_pico
+      | FROM base ORDER BY doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Kendall's τ between the cosine and L2 rankings over their common
+    * top-20 ([[graft.ops.Eval.kendallTauFromRankings]], Kendall '38):
+    * the pairwise-concordance complement to q_rbo_eval's prefix overlap
+    * — same [[graft.ops.Similarity.systemRankings]] frame, asking
+    * whether the two systems ORDER the shared items alike. Exact
+    * concordant/discordant integers, pair fan-out ≤ C(20,2) per query,
+    * one fixed pico chain; fully hash-oracled (the rankings replay via
+    * the q_rbo_eval fixed IEEE chain).
+    */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val r = graft.ops.Similarity.systemRankings(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", perSystemK = 20)
+    graft.ops.Eval.kendallTauFromRankings(
+        r, "query_id", "neighbor_id", "rk_cos", "rk_l2", k = 20)
+      .orderBy("query_id")
+  }
+
+  lazy val qKendallTauSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id,
+      |   list_dot_product(qv, cv) AS dp, list_dot_product(cv, cv) AS cc,
+      |   list_dot_product(qv, qv) AS qq
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | s2 AS (SELECT query_id, neighbor_id, dp / (sqrt(qq) * sqrt(cc)) AS sim,
+      |   (cc - 2.0 * dp) + qq AS l2sq FROM s),
+      | r AS (SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rkc,
+      |   row_number() OVER (PARTITION BY query_id ORDER BY l2sq ASC, neighbor_id) AS rkl
+      |  FROM s2),
+      | m AS (SELECT query_id, neighbor_id, rkc, rkl FROM r
+      |  WHERE rkc <= 20 AND rkl <= 20),
+      | nc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common FROM m GROUP BY 1),
+      | pr AS (SELECT a.query_id,
+      |   CAST(SUM(CASE WHEN (a.rkc < b.rkc AND a.rkl < b.rkl)
+      |     OR (a.rkc > b.rkc AND a.rkl > b.rkl) THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+      |   CAST(SUM(CASE WHEN (a.rkc < b.rkc AND a.rkl < b.rkl)
+      |     OR (a.rkc > b.rkc AND a.rkl > b.rkl) THEN 0 ELSE 1 END) AS BIGINT) AS discordant
+      |  FROM m a JOIN m b ON b.query_id = a.query_id
+      |    AND a.neighbor_id < b.neighbor_id
+      |  GROUP BY 1)
+      | SELECT nc.query_id, nc.n_common,
+      |  COALESCE(pr.concordant, 0) AS concordant,
+      |  COALESCE(pr.discordant, 0) AS discordant,
+      |  CASE WHEN nc.n_common >= 2 THEN
+      |   CAST(round(CAST(COALESCE(pr.concordant, 0) - COALESCE(pr.discordant, 0) AS DOUBLE)
+      |     / (CAST(nc.n_common * (nc.n_common - 1) AS DOUBLE) / 2.0)
+      |     * 1000000000000.0) AS BIGINT)
+      |  END AS tau_pico
+      | FROM nc LEFT JOIN pr ON pr.query_id = nc.query_id
+      | ORDER BY nc.query_id""".stripMargin.replace("\n", " ")
+
+  /** Unbiased pass@5 per user-task over purchase outcomes
+    * ([[graft.ops.Eval.passAtK]], Chen et al. '21): the code/agent
+    * benchmark estimator `1 − C(n−c,5)/C(n,5)` with the binomial ratio
+    * as one fixed left-associated 5-term double chain — exact n/c
+    * integers, NULL below 5 attempts, exactly 1 when fewer than 5
+    * failures exist. One hash aggregate; fully hash-oracled.
+    */
+  def qPassAtK(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.passAtK(
+        t(spark, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+          .select(col("user_id"), (col("event_type") === "purchase").as("ok")),
+        "user_id", "ok", k = 5)
+      .orderBy("task_id")
+
+  lazy val qPassAtKSql: String = {
+    val prod = (0 until 5).map(i =>
+      s"((CAST(n_attempts - n_correct AS DOUBLE) - $i.0)" +
+        s" / (CAST(n_attempts AS DOUBLE) - $i.0))").mkString(" * ")
+    s"""WITH a AS (SELECT user_id AS task_id,
+      |   CAST(COUNT(*) AS BIGINT) AS n_attempts,
+      |   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1)
+      | SELECT task_id, n_attempts, n_correct,
+      |  CASE WHEN n_attempts >= 5 THEN
+      |   CASE WHEN n_attempts - n_correct < 5 THEN 1000000000000
+      |    ELSE CAST(round((1.0 - ($prod)) * 1000000000000.0) AS BIGINT) END
+      |  END AS pass_at_k_pico
+      | FROM a ORDER BY task_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** Pearson χ² independence + Cramér's V between event type and hour
+    * of day ([[graft.ops.Eval.chi2Independence]]): is the event mix
+    * time-of-day dependent, and by how much? Per-cell terms
+    * pico-quantized before the integer Σ, absent cells folded in
+    * arithmetically (Σ_all r·c/N = N), the one sqrt is IEEE-exact.
+    */
+  def qChi2Independence(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.chi2Independence(
+      t(spark, dir, "events")
+        .select(col("event_type").as("etype"),
+          hour(col("ts")).cast("long").as("hod")),
+      "etype", "hod")
+
+  lazy val qChi2IndependenceSql: String =
+    """WITH base AS (SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2),
+      | en AS (SELECT a, b, n,
+      |   CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS r,
+      |   CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS c,
+      |   CAST(SUM(n) OVER () AS BIGINT) AS t FROM cells),
+      | dims AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+      |   CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+      | s AS (SELECT MAX(t) AS t,
+      |   CAST(SUM(CAST(round(
+      |     CAST((CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |       * (CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+      |     / (CAST(t AS DOUBLE) * r * c) * 1e12) AS BIGINT)) AS HUGEINT)
+      |    AS sp,
+      |   CAST(SUM(CAST(round(
+      |     (CAST(r AS DOUBLE) * c / t) * 1e12) AS BIGINT)) AS HUGEINT)
+      |    AS sa
+      |  FROM en)
+      | SELECT s.t AS n_rows, dims.na AS n_a, dims.nb AS n_b,
+      |  CAST(sp + CAST(s.t AS HUGEINT) * 1000000000000 - sa AS BIGINT)
+      |   AS chi2_pico,
+      |  CASE WHEN least(dims.na, dims.nb) >= 2 THEN
+      |   CAST(round(sqrt(
+      |     (CAST(sp + CAST(s.t AS HUGEINT) * 1000000000000 - sa AS DOUBLE)
+      |       / 1e12)
+      |     / (CAST(s.t AS DOUBLE) * (least(dims.na, dims.nb) - 1)))
+      |    * 1e12) AS BIGINT) END AS cramers_v_pico
+      | FROM s CROSS JOIN dims WHERE s.t IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+
+  /** Mutual information between document source and length bucket
+    * ([[graft.ops.Eval.mutualInformation]], 100-char bins — the PSI bin
+    * law): how many nats the source tells you about document length —
+    * the dependence STRENGTH beside q_chi2_independence's significance.
+    * Per-cell log factors pico-quantized before the DECIMAL Σ; absent
+    * cells contribute exactly 0 by the law.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.mutualInformation(
+      t(spark, dir, "documents")
+        .select(col("source"),
+          expr("cast(n_chars as bigint) div 100").as("len_bin")),
+      "source", "len_bin")
+
+  lazy val qMutualInfoSql: String =
+    """WITH base AS (SELECT source AS a, CAST(n_chars AS BIGINT) // 100 AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2),
+      | en AS (SELECT a, b, n,
+      |   CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS r,
+      |   CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS c,
+      |   CAST(SUM(n) OVER () AS BIGINT) AS t FROM cells),
+      | dims AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+      |   CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+      | s AS (SELECT MAX(t) AS t,
+      |   CAST(SUM(CAST(n AS HUGEINT) * CAST(round(ln(
+      |     (CAST(t AS DOUBLE) * CAST(n AS DOUBLE))
+      |     / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) * 1e12) AS BIGINT))
+      |    AS HUGEINT) AS sm
+      |  FROM en)
+      | SELECT s.t AS n_rows, dims.na AS n_a, dims.nb AS n_b,
+      |  CAST(round(CAST(sm AS DOUBLE) / CAST(s.t AS DOUBLE)) AS BIGINT)
+      |   AS mi_pico
+      | FROM s CROSS JOIN dims WHERE s.t IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+
+  /** Mann–Whitney U + Cliff's delta between the two ingest shards'
+    * document-length distributions ([[graft.ops.Eval.rankEffect]];
+    * groups = doc_id parity — the A/B pipeline-comparison shape): the
+    * distribution-free two-sample screen over heavy-tailed corpus
+    * metrics. Exact pair counts from per-value frequency tables (never
+    * the O(n·m) pairwise join); doubled-U stays integral; one double
+    * division for the delta.
+    */
+  def qRankEffect(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.rankEffect(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"),
+          (col("doc_id") % 2 === 0).as("is_a")),
+      "len", "is_a")
+
+  lazy val qRankEffectSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v,
+      |   (doc_id % 2 = 0) AS fa FROM documents
+      |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+      | f AS (SELECT v,
+      |   CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |   CAST(SUM(CASE WHEN fa THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      |  FROM base GROUP BY 1),
+      | w AS (SELECT na, nb,
+      |   COALESCE(CAST(SUM(nb) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS HUGEINT),
+      |    0) AS bb,
+      |   COALESCE(CAST(SUM(nb) OVER (ORDER BY v
+      |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS HUGEINT),
+      |    0) AS ba
+      |  FROM f),
+      | s AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+      |   CAST(SUM(nb) AS BIGINT) AS n_b,
+      |   CAST(SUM(CAST(na AS HUGEINT) * bb) AS HUGEINT) AS gt,
+      |   CAST(SUM(CAST(na AS HUGEINT) * ba) AS HUGEINT) AS lt,
+      |   CAST(SUM(CAST(na AS HUGEINT) * nb) AS HUGEINT) AS ties FROM w)
+      | SELECT n_a, n_b, CAST(gt AS BIGINT) AS gt_pairs,
+      |  CAST(lt AS BIGINT) AS lt_pairs, CAST(ties AS BIGINT) AS tie_pairs,
+      |  CAST(2 * gt + ties AS BIGINT) AS u2_statistic,
+      |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+      |   CAST(round(CAST(gt - lt AS DOUBLE)
+      |     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |     * 1000000000000.0) AS BIGINT) END AS cliffs_delta_pico
+      | FROM s""".stripMargin.replace("\n", " ")
+
+  /** Mean-reciprocal-rank components of cosine retrieval against
+    * same-label relevance ([[graft.ops.Eval.mrrAtK]], Voorhees TREC-8):
+    * the first-relevant rank and its exact-integer reciprocal per query,
+    * over the [[graft.ops.Similarity.bruteForceTopK]] top-20 with the
+    * embeddings table's labels as qrels. The ranking replays in SQL via
+    * the q_ann_cosine fixed IEEE chain, so ranks — and therefore every
+    * reciprocal — hash-match.
+    */
+  def qMrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val ranked = graft.ops.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+    val lab = e.select(col("vec_id"), col("label"))
+    val rel = lab.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("_cl")),
+        col("_ql") === col("_cl") && col("query_id") =!= col("neighbor_id"))
+    graft.ops.Eval.mrrAtK(ranked, rel, "query_id", "neighbor_id", "rank",
+        k = 20)
+      .orderBy("query_id")
+  }
+
+  lazy val qMrrEvalSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      |  FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl
+      |  FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id, ql, cl,
+      |   list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM s),
+      | top AS (SELECT query_id, CAST(rk AS BIGINT) AS rk,
+      |   CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel FROM r WHERE rk <= 20),
+      | agg AS (SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+      |   MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel_rank FROM top GROUP BY 1)
+      | SELECT query_id, n_rel_at_k, first_rel_rank,
+      |  COALESCE(1000000 // first_rel_rank, 0) AS rr_micro
+      | FROM agg ORDER BY query_id""".stripMargin.replace("\n", " ")
+
+  /** ROUGE-2 recall of the LEAD-30-token baseline against each full
+    * document ([[graft.ops.Eval.rougeN]], Lin 2004) — the standard
+    * summarization-eval statistic over the standard lead baseline:
+    * exact clipped-bigram integer counts under the shared token law,
+    * one double division, short references (< 2 tokens) NULL by law.
+    */
+  def qRougeEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text").as("ref"),
+        concat_ws(" ", slice(graft.functions.TextFns.tokens(col("text")),
+          1, 30)).as("cand"))
+    graft.ops.Eval.rougeN(docs, "doc_id", "ref", "cand", n = 2)
+      .orderBy("doc_id")
+  }
+
+  lazy val qRougeEvalSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | base AS (SELECT doc_id, tk, list_slice(tk, 1, 30) AS ck FROM t),
+      | rg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+      |   i -> tk[i] || ' ' || tk[i+1])) AS g FROM base WHERE len(tk) >= 2),
+      | cg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ck) - 1),
+      |   i -> ck[i] || ' ' || ck[i+1])) AS g FROM base WHERE len(ck) >= 2),
+      | rc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cr FROM rg GROUP BY 1, 2),
+      | cc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cn FROM cg GROUP BY 1, 2),
+      | j AS (SELECT rc.doc_id, CAST(SUM(cr) AS BIGINT) AS nref,
+      |   CAST(SUM(LEAST(cr, COALESCE(cc.cn, 0))) AS BIGINT) AS nov
+      |  FROM rc LEFT JOIN cc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+      |  GROUP BY 1)
+      | SELECT d.doc_id, COALESCE(j.nref, 0) AS n_ref_grams,
+      |  COALESCE(j.nov, 0) AS n_overlap,
+      |  CASE WHEN COALESCE(j.nref, 0) > 0
+      |   THEN CAST(COALESCE(j.nov, 0) AS DOUBLE) / CAST(j.nref AS DOUBLE)
+      |  END AS rouge2_recall
+      | FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id
+      | ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+
+  /** BLEU-4 of the LEAD-30-token candidate against the token-16..60
+    * window as reference ([[graft.ops.Eval.bleu]], Papineni ACL'02) —
+    * clipped n-gram PRECISION beside ROUGE's recall, exercised on
+    * PARTIALLY overlapping windows so the clip, the zero-order gate and
+    * the brevity penalty all take both branches: per-order p_n and
+    * ln p_n pico-quantized before the cross-order integer Σ, one fixed
+    * BP·exp chain.
+    */
+  def qBleuEval(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(toks, 16, 45)).as("ref"),
+        concat_ws(" ", slice(toks, 1, 30)).as("cand"))
+    graft.ops.Eval.bleu(docs, "doc_id", "ref", "cand", maxN = 4)
+      .orderBy("doc_id")
+  }
+
+  lazy val qBleuEvalSql: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+      | base AS (SELECT doc_id, list_slice(tk, 16, 60) AS rk,
+      |   list_slice(tk, 1, 30) AS ck FROM t),
+      | ns AS (SELECT unnest(generate_series(1, 4)) AS n),
+      | rg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, len(rk) - n + 1),
+      |   i -> array_to_string(list_slice(rk, i, i + n - 1), ' '))) AS g
+      |  FROM base CROSS JOIN ns WHERE len(rk) >= n),
+      | cg AS (SELECT doc_id, n, unnest(list_transform(
+      |   generate_series(1, len(ck) - n + 1),
+      |   i -> array_to_string(list_slice(ck, i, i + n - 1), ' '))) AS g
+      |  FROM base CROSS JOIN ns WHERE len(ck) >= n),
+      | rc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cr
+      |  FROM rg GROUP BY 1, 2, 3),
+      | ccn AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cc
+      |  FROM cg GROUP BY 1, 2, 3),
+      | po AS (SELECT ccn.doc_id, ccn.n, CAST(SUM(ccn.cc) AS BIGINT) AS nc,
+      |   CAST(SUM(LEAST(ccn.cc, COALESCE(rc.cr, 0))) AS BIGINT) AS m
+      |  FROM ccn LEFT JOIN rc ON rc.doc_id = ccn.doc_id AND rc.n = ccn.n
+      |    AND rc.g = ccn.g
+      |  GROUP BY 1, 2),
+      | pq AS (SELECT doc_id, n, CAST(round((CAST(m AS DOUBLE)
+      |     / CAST(nc AS DOUBLE)) * 1000000000000.0) AS BIGINT) AS p_pico
+      |  FROM po),
+      | lq AS (SELECT doc_id, p_pico, CASE WHEN p_pico > 0
+      |   THEN CAST(round(ln(CAST(p_pico AS DOUBLE) / 1000000000000.0)
+      |     * 1000000000000.0) AS BIGINT) ELSE 0 END AS l_pico FROM pq),
+      | s AS (SELECT doc_id,
+      |   CAST(SUM(CASE WHEN p_pico > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |     AS n_pos_orders,
+      |   CAST(SUM(l_pico) AS BIGINT) AS sumlog_pico FROM lq GROUP BY 1),
+      | lens AS (SELECT doc_id, CAST(len(rk) AS BIGINT) AS n_ref_tokens,
+      |   CAST(len(ck) AS BIGINT) AS n_cand_tokens FROM base)
+      | SELECT lens.doc_id, n_ref_tokens, n_cand_tokens,
+      |  COALESCE(n_pos_orders, 0) AS n_pos_orders,
+      |  COALESCE(sumlog_pico, 0) AS sumlog_pico,
+      |  CASE WHEN COALESCE(n_pos_orders, 0) = 4 AND n_cand_tokens > 0
+      |   THEN CAST(round((CASE WHEN n_cand_tokens >= n_ref_tokens THEN 1.0
+      |     ELSE exp(1.0 - CAST(n_ref_tokens AS DOUBLE)
+      |       / CAST(n_cand_tokens AS DOUBLE)) END)
+      |     * exp(CAST(sumlog_pico AS DOUBLE) / 4000000000000.0)
+      |     * 1000000000000.0) AS BIGINT)
+      |   ELSE 0 END AS bleu_pico
+      | FROM lens LEFT JOIN s ON s.doc_id = lens.doc_id
+      | ORDER BY lens.doc_id""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExcelSerial
+import graft.model.PathOps
+import graft.ops.{Hierarchy, Parents, Upsert}
+import graft.views.Analytic
+
+/** Event-stream laws: sessions, windows, ACF, CUSUM, Markov kernels, funnels, retention, decay.
+  *
+  * Split from the monolithic `Registry` object (round 15): members are
+  * unchanged; `Registry` mixes every family trait in, so the public
+  * surface (`Registry.queries` / `Registry.oracle` / each q* member) is
+  * identical. Cross-family helpers are `private[queries]`; vals are lazy
+  * so trait-linearization order can never null-init a shared fragment.
+  */
+trait TimeseriesQueries { self: RegistryAll =>
+
+  // Event-time tumbling window aggregate (batch semantics == streaming agg)
+  def qEventWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-exact sum, DOUBLE on the wire (driver comparator can't
+        // hash Decimal consistently — see qLineitemAgg note)
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  lazy val qEventWindowsSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      | FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", " ")
+
+  // Gap-based session windows (30 min): the oracle derives sessions
+  // independently via gaps-and-islands (lag + cumulative break-sum), so this
+  // cross-checks Spark's session_window semantics, not just our arithmetic.
+  // Session break law: a gap ≥ the duration starts a new session (Spark's
+  // window is half-open [start, last+gap)).
+  def qUserSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamIngest.userSessions(t(spark, dir, "events"), gap = "30 minutes")
+      .orderBy("user_id", "session_start")
+
+  lazy val qUserSessionsSql: String =
+    """WITH g AS (
+      | SELECT user_id, event_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      | SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      | SELECT min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  user_id, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      | FROM s GROUP BY user_id, sid
+      | ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")
+
+  /** Per-user lag/lead event features: microsecond gap since the previous
+    * event plus neighboring event types — the feature-engineering window
+    * pattern (sessionization inputs, inter-arrival models). Gaps are exact
+    * integer micros (`unix_micros` vs DuckDB `epoch_us`), never interval or
+    * float arithmetic, so the law is engine-independent. The window is
+    * hash-partitioned by user — no global sort.
+    */
+  def qEventDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  lazy val qEventDeltasSql: String =
+    """SELECT user_id, event_id, ts,
+      | epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+      | lag(event_type) OVER w AS prev_type,
+      | lead(event_type) OVER w AS next_type
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      | ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+
+  /** RANGE-frame rolling aggregate: per-user trailing 1-HOUR event total —
+    * the time-based sibling of [[qMovingWindow]]'s ROWS frame (a RANGE frame
+    * bounds by ordering VALUE, so co-timed events aggregate together no
+    * matter how many there are). The frame is defined on exact integer
+    * micros (`unix_micros` / `epoch_us`), not intervals, so the boundary
+    * arithmetic is engine-identical; sums stay decimal-exact and ship as
+    * DOUBLE.
+    */
+  def qRollingHour(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-(hourUs - 1), 0) // inclusive trailing hour: (ts-1h, ts]
+    t(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("decimal(18,2)").cast("double").as("hour_total"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  lazy val qRollingHourSql: String =
+    """SELECT user_id, event_id, ts,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS hour_total,
+      | COUNT(*) OVER w AS hour_n
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      | ORDER BY user_id, event_id""".stripMargin.replace("\n", " ")
+
+  /** Hourly autocorrelogram of event traffic at lags 1..24
+    * ([[graft.ops.Timeseries.binnedAcf]]): the seasonality /
+    * self-similarity screen beside q_burstiness's dispersion — daily
+    * periodicity shows as a lag-24 peak, a scheduled bot as near-1 at
+    * its period. Dense-grid law (missing hours are 0), every moment and
+    * cross term an exact integer, the ratio multiplied through by N² so
+    * ONE double division ends the chain.
+    */
+  def qAcfHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.binnedAcf(t(spark, dir, "events"), "ts", maxLag = 24)
+
+  lazy val qAcfHourlySql: String = {
+    val us = 3600000000L
+    // all-integer numerator/denominator in HUGEINT (the engine's
+    // DECIMAL(38,0) twin): num = N^2*C - N*S1*(2*S1-hd-tl) + (N-L)*S1^2,
+    // den = N^2*S2 - N*S1^2 — exact, so term order is free; the single
+    // double division is the only float
+    s"""WITH hb AS (SELECT (epoch_us(ts) - (((epoch_us(ts) % $us) + $us) % $us)) // $us AS h
+      |  FROM events WHERE ts IS NOT NULL),
+      | o AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS y FROM hb GROUP BY 1),
+      | st AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax,
+      |   CAST(SUM(y) AS HUGEINT) AS s1,
+      |   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2 FROM o),
+      | lg AS (SELECT CAST(unnest(generate_series(1, 24)) AS BIGINT) AS lag),
+      | cl AS (SELECT lag, CAST(SUM(CAST(a.y AS HUGEINT) * b.y) AS HUGEINT) AS clv
+      |  FROM o a CROSS JOIN lg JOIN o b ON b.h = a.h + lag GROUP BY 1),
+      | ht AS (SELECT lag,
+      |   CAST(SUM(CASE WHEN a.h < st.hmin + lag THEN a.y ELSE 0 END) AS HUGEINT) AS hd,
+      |   CAST(SUM(CASE WHEN a.h > st.hmax - lag THEN a.y ELSE 0 END) AS HUGEINT) AS tl
+      |  FROM o a CROSS JOIN lg CROSS JOIN st GROUP BY 1)
+      | SELECT lg.lag AS lag,
+      |  CASE WHEN (st.hmax - st.hmin + 1) > lg.lag
+      |   THEN (st.hmax - st.hmin + 1) - lg.lag ELSE 0 END AS n_pairs,
+      |  CASE WHEN (st.hmax - st.hmin + 1) > lg.lag AND
+      |    (CAST(st.hmax - st.hmin + 1 AS HUGEINT) * (st.hmax - st.hmin + 1) * st.s2
+      |     - (st.hmax - st.hmin + 1) * st.s1 * st.s1) <> 0
+      |   THEN CAST(round(CAST(
+      |     CAST(st.hmax - st.hmin + 1 AS HUGEINT) * (st.hmax - st.hmin + 1) * COALESCE(cl.clv, 0)
+      |     - (st.hmax - st.hmin + 1) * st.s1 * (2 * st.s1 - COALESCE(ht.hd, 0) - COALESCE(ht.tl, 0))
+      |     + ((st.hmax - st.hmin + 1) - lg.lag) * st.s1 * st.s1
+      |    AS DOUBLE) / CAST(
+      |     CAST(st.hmax - st.hmin + 1 AS HUGEINT) * (st.hmax - st.hmin + 1) * st.s2
+      |     - (st.hmax - st.hmin + 1) * st.s1 * st.s1
+      |    AS DOUBLE) * 1000000000000.0) AS BIGINT)
+      |  END AS acf_pico
+      | FROM lg LEFT JOIN cl ON cl.lag = lg.lag LEFT JOIN ht ON ht.lag = lg.lag
+      | CROSS JOIN st ORDER BY lag""".stripMargin.replace("\n", " ")
+  }
+
+  /** CUSUM changepoint of hourly event volume
+    * ([[graft.ops.Timeseries.cusumChangepoint]], Page '54): the dense-
+    * grid bin where cumulative deviation from the global mean peaks —
+    * WHEN traffic shifted, beside q_acf_hourly's "does it repeat" and
+    * the drift family's "did the histogram move". The N-scaled CUSUM is
+    * exact integers end to end; gap extrema are evaluated at gap
+    * endpoints (the CUSUM is linear across missing bins), so the dense
+    * grid is never materialized.
+    */
+  def qCusumChange(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.cusumChangepoint(t(spark, dir, "events"), "ts")
+
+  lazy val qCusumChangeSql: String = {
+    val us = 3600000000L
+    s"""WITH hb AS (SELECT (epoch_us(ts) - (((epoch_us(ts) % $us) + $us) % $us)) // $us AS h
+      |  FROM events WHERE ts IS NOT NULL),
+      | o AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS y FROM hb GROUP BY 1),
+      | st AS (SELECT MIN(h) AS hmin, MAX(h) AS hmax,
+      |   CAST(SUM(y) AS HUGEINT) AS yt FROM o),
+      | pre AS (SELECT h, CAST(SUM(y) OVER (ORDER BY h) AS HUGEINT) AS p,
+      |   lead(h) OVER (ORDER BY h) AS hn FROM o),
+      | cand AS (
+      |  SELECT h AS b, CAST(st.hmax - st.hmin + 1 AS HUGEINT) * p
+      |    - (h - st.hmin + 1) * st.yt AS s FROM pre CROSS JOIN st
+      |  UNION ALL
+      |  SELECT hn - 1 AS b, CAST(st.hmax - st.hmin + 1 AS HUGEINT) * p
+      |    - (hn - 1 - st.hmin + 1) * st.yt AS s
+      |  FROM pre CROSS JOIN st WHERE hn IS NOT NULL AND hn > h + 1),
+      | best AS (SELECT b, s FROM cand ORDER BY ABS(s) DESC, b ASC LIMIT 1)
+      | SELECT make_timestamp(b * $us) AS change_ts,
+      |  CAST(s AS BIGINT) AS cusum_scaled,
+      |  CAST(st.hmax - st.hmin + 1 AS BIGINT) AS n_bins,
+      |  CAST(st.yt AS BIGINT) AS total_events
+      | FROM best CROSS JOIN st WHERE st.yt > 0""".stripMargin.replace("\n", " ")
+  }
+
+  /** Event-type Markov transition matrix per user stream
+    * ([[graft.ops.Timeseries.markovTransitions]]): the empirical
+    * transition kernel — which action follows which — with exact pair
+    * counts ordered totally by (ts, event_id) and one double division
+    * per cell. Bot scripts and broken funnels show as degenerate rows.
+    */
+  def qMarkovTransition(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.markovTransitions(t(spark, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+
+  private[queries] lazy val markovCellCtes: String =
+    """p AS (SELECT event_type AS ft,
+      |   lead(event_type) OVER (PARTITION BY user_id
+      |     ORDER BY ts, event_id) AS tt
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |   AND event_type IS NOT NULL AND event_id IS NOT NULL),
+      | c AS (SELECT ft AS from_type, tt AS to_type,
+      |   CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM p WHERE tt IS NOT NULL GROUP BY 1, 2),
+      | r AS (SELECT from_type, to_type, n_pairs,
+      |   CAST(SUM(n_pairs) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS row_total FROM c)""".stripMargin
+
+  lazy val qMarkovTransitionSql: String =
+    s"""WITH $markovCellCtes
+      | SELECT from_type, to_type, n_pairs, row_total,
+      |  CAST(round(CAST(n_pairs AS DOUBLE) / CAST(row_total AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS prob_micro
+      | FROM r ORDER BY from_type, to_type""".stripMargin.replace("\n", " ")
+
+  /** First-order entropy rate of the event stream
+    * ([[graft.ops.Timeseries.entropyRate]]): H(next | prev) over the
+    * same transition law — the predictability one-number (scripted
+    * replay → 0 bits). Per-cell log₂ terms pico-quantized before the
+    * DECIMAL Σ, one closing double division.
+    */
+  def qEntropyRate(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.entropyRate(t(spark, dir, "events"),
+      "user_id", "ts", "event_type", "event_id")
+
+  lazy val qEntropyRateSql: String =
+    s"""WITH $markovCellCtes,
+      | tm AS (SELECT n_pairs, from_type,
+      |   CAST(n_pairs AS HUGEINT) * CAST(round(
+      |     log2(CAST(row_total AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+      |     * 1000000000000.0) AS BIGINT) AS term FROM r)
+      | SELECT CAST(SUM(n_pairs) AS BIGINT) AS n_transitions,
+      |  CAST(COUNT(DISTINCT from_type) AS BIGINT) AS n_states,
+      |  CAST(round(CAST(SUM(term) AS DOUBLE) / CAST(SUM(n_pairs) AS DOUBLE))
+      |   AS BIGINT) AS entropy_rate_pico
+      | FROM tm HAVING SUM(n_pairs) IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * first view, the first click AFTER it, the first purchase after THAT
+    * — strictly ordered (the funnel semantics dashboards mean, not mere
+    * event presence). Stage counts + two conversion fractions; all
+    * timestamp comparisons are exact micros on both engines.
+    */
+  def qEventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def firstAfter(tpe: String, lower: DataFrame, lowerCol: String, as: String) =
+      ev.filter(col("event_type") === tpe)
+        .join(lower, "user_id")
+        .filter(col("ts") > col(lowerCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(as))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c.select(col("user_id"), col("t_click")),
+      "t_click", "t_purchase")
+    val nu = ev.select(countDistinct(col("user_id")).as("n_users"))
+    nu.crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .withColumn("view_to_click",
+        col("n_click").cast("double") / col("n_view").cast("double"))
+      .withColumn("click_to_purchase",
+        col("n_purchase").cast("double") / col("n_click").cast("double"))
+  }
+
+  lazy val qEventFunnelSql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      | c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+      |  JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      | p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+      |  JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      | SELECT
+      |  CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_users,
+      |  CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+      |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click,
+      |  CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+      |  CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS view_to_click,
+      |  CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+      |    / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS click_to_purchase"""
+      .stripMargin.replace("\n", " ")
+
+  /** Weekly retention cohorts: users cohort by first-seen week (fixed
+    * origin 2024-01-01, integer micros FLOOR-divided by a week), the
+    * matrix counts users from cohort w active in week a ≥ w, and
+    * `retention` divides by the cohort size — the standard
+    * product-analytics triangle, exact integers end to end. Week numbers
+    * use explicit floor division (`(d − pmod(d, w)) div w` — the pmod
+    * makes the numerator an exact multiple of w, so the engine's
+    * truncate-vs-floor division semantics cannot matter): Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so a bare `div`
+    * would diverge (and merge weeks −1 and 0) for any event BEFORE the
+    * origin — the law is engine-exact for all timestamps, not just the
+    * post-origin ones the fixture happens to hold.
+    */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMicros = 604800000000L
+    val origin = 1704067200000000L // 2024-01-01T00:00:00Z in micros
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - ${origin}L - pmod(unix_micros(ts) - ${origin}L, " +
+          s"${weekMicros}L)) div ${weekMicros}L").as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    val active = ev.select(col("user_id"), col("wk")).distinct()
+    val cells = active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("wk").as("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = cohort.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_week"), col("active_week"), col("n_users"),
+        col("cohort_size"), col("retention"))
+      .orderBy("cohort_week", "active_week")
+  }
+
+  lazy val qCohortRetentionSql: String =
+    """WITH w AS (SELECT user_id,
+      |   (epoch_us(ts) - 1704067200000000
+      |    - ((((epoch_us(ts) - 1704067200000000) % 604800000000)
+      |        + 604800000000) % 604800000000)) // 604800000000 AS wk FROM events),
+      | cohort AS (SELECT user_id, CAST(MIN(wk) AS BIGINT) AS cohort_week
+      |  FROM w GROUP BY 1),
+      | active AS (SELECT DISTINCT user_id, CAST(wk AS BIGINT) AS wk FROM w),
+      | cells AS (SELECT c.cohort_week, a.wk AS active_week,
+      |   CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM active a JOIN cohort c USING (user_id) GROUP BY 1, 2),
+      | sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |  FROM cohort GROUP BY 1)
+      | SELECT cohort_week, active_week, n_users, cohort_size,
+      |  CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      | FROM cells JOIN sizes USING (cohort_week)
+      | ORDER BY cohort_week, active_week""".stripMargin.replace("\n", " ")
+
+  /** Exponentially-decayed engagement mass per user (λ = 0.1/day against
+    * the corpus max timestamp): each event contributes
+    * `round(exp(−0.1·Δdays)·1e6)` micro-units — per-term ln/exp
+    * quantization (the DSIR discipline), so the Σ is an exact integer and
+    * the top-20 ranking is engine-exact. The standard recency-weighted
+    * activity score.
+    */
+  def qDecayCounts(spark: SparkSession, dir: String): DataFrame =
+    decayMass(spark, dir)
+      .orderBy(col("decay_micro").desc, col("user_id"))
+      .limit(20)
+
+  /** Full per-user decay-mass table behind [[qDecayCounts]] — also the
+    * plateau probe's surface.
+    */
+  private[queries] def decayMass(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val mx = ev.agg(max(unix_micros(col("ts"))).as("_mx"))
+    ev.select(col("user_id"), unix_micros(col("ts")).as("_tm"))
+      .crossJoin(broadcast(mx))
+      .withColumn("_term",
+        round(exp(lit(-0.1) *
+          ((col("_mx") - col("_tm")).cast("double") / lit(86400000000.0)))
+          * 1000000.0).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_term")).as("decay_micro"))
+  }
+
+  lazy val qDecayCountsSql: String =
+    """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+      | t AS (SELECT user_id,
+      |   CAST(round(exp(-0.1 * (CAST(mx.m - epoch_us(ts) AS DOUBLE)
+      |     / 86400000000.0)) * 1000000.0) AS BIGINT) AS term
+      |  FROM events CROSS JOIN mx)
+      | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(term) AS BIGINT) AS decay_micro
+      | FROM t GROUP BY 1 ORDER BY decay_micro DESC, user_id LIMIT 20"""
+      .stripMargin.replace("\n", " ")
+
+  /** Daily error-rate trend over the event stream: per-day counts, the
+    * exact error fraction, and its 7-day trailing moving average (ROWS
+    * frame over the ordered day axis — the q_moving_window accumulation
+    * law) — the ops-monitoring staple.
+    */
+  def qErrorTrend(spark: SparkSession, dir: String): DataFrame = {
+    val dayMicros = 86400000000L
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    t(spark, dir, "events")
+      .groupBy(expr(s"unix_micros(ts) div ${dayMicros}L").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .withColumn("err_frac",
+        col("n_errors").cast("double") / col("n_events").cast("double"))
+      .withColumn("ma7", avg(col("err_frac")).over(w))
+      .orderBy("day")
+  }
+
+  lazy val qErrorTrendSql: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |   CAST(COUNT(*) AS BIGINT) AS n_events,
+      |   CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors
+      |  FROM events GROUP BY 1)
+      | SELECT CAST(day AS BIGINT) AS day, n_events, n_errors,
+      |  CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS err_frac,
+      |  AVG(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
+      |    OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+      | FROM d ORDER BY day""".stripMargin.replace("\n", " ")
+}
