@@ -626,4 +626,98 @@ object Drift {
           (sqrt(col("_aa").cast("double")) * sqrt(col("_bb").cast("double"))))
       .select(col("grp"), col("n_vecs"), col("centroid_cos"))
   }
+
+  /** Benford first-significant-digit screen (Newcomb 1881 / Benford '38:
+    * naturally-grown magnitudes have P(d) = log₁₀(1 + 1/d)) over a
+    * positive numeric column — the fabricated-data / synthetic-artifact
+    * detector an ingest pipeline runs on amounts and counts (uniform
+    * generators, truncation bugs, and copy-paste rows all bend the
+    * first-digit curve).
+    *
+    * Engine-portable law: the value FLOORS to an integer first
+    * (`floor` — never a raw double→int cast: Spark truncates where
+    * DuckDB rounds), values < 1 drop, and the first digit reads from the
+    * integer's decimal STRING (both engines render integers
+    * identically — no log10-at-a-power-boundary hazard).
+    * `share_pico = round(n_d/N·10¹²)` and
+    * `benford_pico = round(log₁₀(1+1/d)·10¹²)` are one double chain
+    * each; `dev_pico` is their exact integer difference.
+    *
+    * Scale shape: one narrow projection + one 9-row hash aggregate
+    * (map-side combined); a 1-row total broadcasts back.
+    *
+    * Output: (digit, n_values, share_pico, benford_pico, dev_pico) —
+    * ≤ 9 rows ordered by digit.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df.filter(col(valueCol).isNotNull && col(valueCol) >= 1.0)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_values"))
+    val tot = d.agg(sum(col("n_values")).as("_n"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_values"),
+        round(col("n_values").cast("double") / col("_n").cast("double")
+          * 1.0e12).cast("long").as("share_pico"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          * 1.0e12).cast("long").as("benford_pico"))
+      .withColumn("dev_pico", col("share_pico") - col("benford_pico"))
+      .orderBy(col("digit"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence MATRIX between strata over a
+    * binned integer metric — the all-pairs companion of [[jsDrift]]'s
+    * stratum-vs-rest screen: "which sources look like each other"
+    * feeds mixture design and near-duplicate SOURCE detection, where
+    * the pooled-rest form only says "this one is odd".
+    *
+    * Law (the [[jsDrift]] add-one smoothing, support = the CORPUS
+    * observed-bin set so every pair shares one support): per pair
+    * (a, b) and bin, p = (c_a+1)/(n_a+B), q = (c_b+1)/(n_b+B), and the
+    * per-bin JS term quantizes to picos before the integer Σ. Pairs
+    * order (src_a < src_b), output ordering total.
+    *
+    * Scale shape: ONE corpus binning pass + (stratum, bin) hash
+    * aggregate; everything after runs on the bounded |strata|²·B cell
+    * grid (strata and bins both bounded — the [[psiDrift]] support
+    * contract), built by a broadcast cross of the two bounded tables.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_bins, jsd_pico) — one row per
+    * unordered stratum pair.
+    */
+  def jsMatrix(df: DataFrame, stratumCol: String, valueCol: String,
+      binWidth: Long = 100L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val vb = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratumCol).as("_s"),
+        expr(s"(CAST($valueCol AS BIGINT) - pmod(CAST($valueCol AS BIGINT), " +
+          s"${binWidth}L)) div ${binWidth}L").as("_b"))
+    val csb = vb.groupBy(col("_s"), col("_b")).agg(count(lit(1)).as("_c"))
+    val bins = csb.select(col("_b")).distinct()
+    val nb = bins.agg(count(lit(1)).as("_nb"))
+    val ns = csb.groupBy(col("_s")).agg(sum(col("_c")).as("_n"))
+    val pairs = ns.select(col("_s").as("src_a"), col("_n").as("n_a"))
+      .crossJoin(ns.select(col("_s").as("src_b"), col("_n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    val cells = pairs.crossJoin(broadcast(bins))
+      .join(csb.select(col("_s").as("src_a"), col("_b"), col("_c").as("_ca")),
+        Seq("src_a", "_b"), "left")
+      .join(csb.select(col("_s").as("src_b"), col("_b"), col("_c").as("_cb")),
+        Seq("src_b", "_b"), "left")
+      .na.fill(0L, Seq("_ca", "_cb"))
+      .crossJoin(broadcast(nb))
+    val p = (col("_ca") + 1L).cast("double") /
+      (col("n_a") + col("_nb")).cast("double")
+    val q = (col("_cb") + 1L).cast("double") /
+      (col("n_b") + col("_nb")).cast("double")
+    cells
+      .withColumn("_term",
+        round((lit(0.5) * (p * (log(lit(2.0) * p) - log(p + q))) +
+          lit(0.5) * (q * (log(lit(2.0) * q) - log(p + q))))
+          * 1000000000000.0).cast("long"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("_nb")).as("n_bins"), sum(col("_term")).as("jsd_pico"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

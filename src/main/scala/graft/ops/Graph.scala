@@ -635,6 +635,101 @@ object Graph {
           * 1000000000000.0).cast("long").as("lcc_pico"))
   }
 
+  /** Per-edge triangle support — the peeling quantity of k-truss
+    * decomposition (Cohen, NSA TR '08: the k-truss is the subgraph where
+    * every edge closes ≥ k−2 triangles; support is the number it closes)
+    * over the shared [[triangleFrame]]: the EDGE-level density screen
+    * beside [[localClustering]]'s node view — a bridge between dense
+    * communities has high-degree endpoints but support ≈ 0, while a
+    * within-clique edge supports |clique|−2 triangles.
+    *
+    * Exact integer law: each enumerated triangle (a,b,c) charges its
+    * three edges once; edges are canonicalized (u < v — the triangle
+    * frame is DEGREE-ordered, not id-ordered); edges closing no triangle
+    * carry support 0 via a left join from the canonical edge set.
+    * Ordering (support desc, u, v) is total.
+    *
+    * Scale shape: one 3-way explode of the (already-enumerated,
+    * checkpointed) triangle frame, one (u,v) hash aggregate, one
+    * left join onto the canonical edges, TakeOrdered top-k — no new
+    * wedge join (the whole point of the shared frame).
+    *
+    * Output: (u, v, support) — top `k`.
+    */
+  def edgeTriangleSupport(g: UndirectedWorkingSet, triangles: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sides = triangles.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .unionByName(triangles.select(least(col("a"), col("c")).as("u"),
+        greatest(col("a"), col("c")).as("v")))
+      .unionByName(triangles.select(least(col("b"), col("c")).as("u"),
+        greatest(col("b"), col("c")).as("v")))
+    val sup = sides.groupBy(col("u"), col("v")).agg(count(lit(1)).as("_s"))
+    g.canon.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("_s"), lit(0L)).as("support"))
+      .orderBy(col("support").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  /** Modularity of a NODE-ATTRIBUTE partition of the undirected simple
+    * graph (Newman & Girvan, Phys. Rev. E '04): per community c,
+    *
+    *   Q_c = e_c/m − (d_c/(2m))²
+    *
+    * with e_c = edges inside c, d_c = summed degree of c's nodes, m =
+    * total edges — "does this attribute explain the graph's wiring?"
+    * (Q ≈ 0 ⇒ the attribute is wiring-independent; the label-propagation
+    * communities are the discovered twin of this declared partition).
+    *
+    * Law: labels join onto both endpoints; an edge counts toward e_c only
+    * when BOTH endpoints carry label c; unlabeled (NULL-label) nodes
+    * contribute to m and to nothing else (the standard treatment).
+    * `q_pico = round(Q_c·10¹²)` is one double chain per community row;
+    * the `__total` row carries the EXACT integer Σ of the per-community
+    * picos (replayable, no re-rounding).
+    *
+    * Scale shape: two broadcast-sized label joins onto the canonical edge
+    * frame (the label table is |nodes of interest|, here a dimension),
+    * hash aggregates over the bounded community table, a 1-row total.
+    *
+    * Output: (label, n_nodes, e_in, d_sum, q_pico) — one row per
+    * community plus a `__total` row with the sums, ordered by label
+    * (total ordering; `__total`'s position follows ASCII label case).
+    */
+  def partitionModularity(g: UndirectedWorkingSet,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lab = labels.filter(col(nodeCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(nodeCol).cast("long").as("_n"), col(labelCol).as("_l"))
+      .groupBy(col("_n")).agg(min(col("_l")).as("_l")) // one label per node
+    val m = g.canon.agg(count(lit(1)).as("_m"))
+    val eIn = g.canon
+      .join(lab.select(col("_n").as("u"), col("_l").as("_lu")), Seq("u"))
+      .join(lab.select(col("_n").as("v"), col("_l").as("_lv")), Seq("v"))
+      .filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val dSum = g.deg.join(lab.select(col("_n").as("node"), col("_l")), "node")
+      .groupBy(col("_l").as("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+    val per = dSum.join(eIn, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        round((coalesce(col("e_in"), lit(0L)).cast("double")
+            / col("_m").cast("double")
+          - (col("d_sum").cast("double") / (lit(2.0) * col("_m").cast("double")))
+            * (col("d_sum").cast("double") / (lit(2.0) * col("_m").cast("double"))))
+          * 1000000000000.0).cast("long").as("q_pico"))
+    val total = per.agg(sum(col("n_nodes")).as("n_nodes"),
+        sum(col("e_in")).as("e_in"), sum(col("d_sum")).as("d_sum"),
+        sum(col("q_pico").cast(dec)).cast("long").as("q_pico"))
+      .filter(col("n_nodes").isNotNull)
+      .select(lit("__total").as("label"), col("n_nodes"), col("e_in"),
+        col("d_sum"), col("q_pico"))
+    per.unionByName(total).orderBy(col("label"))
+  }
+
   /** The three classic common-neighbor link-prediction laws BESIDE
     * Adamic–Adar, in one pass over the shared pair expansion — the
     * side-by-side scorecard a link-prediction evaluation reads (Liben-

@@ -296,4 +296,105 @@ object Quantiles {
             / col("sum_ln_excess_pico").cast("double")).cast("long"))
           .as("alpha_milli"))
   }
+
+  /** Theil T inequality index with its between/within decomposition
+    * (Theil '67 — the ADDITIVELY DECOMPOSABLE inequality measure the
+    * Gini can't give): T = Σᵢ (xᵢ/X)·ln(xᵢ/μ) over a positive mass
+    * column, and per stratum g the exact split
+    *
+    *   T = T_between + Σ_g (X_g/X)·T_g,
+    *   T_between = Σ_g (X_g/X)·ln((X_g/X)/(n_g/n))
+    *
+    * — "how much of the corpus's byte concentration is BETWEEN sources
+    * vs inside them", the report that tells a mixture-reweighting pass
+    * whether balancing sources even helps (Lorenz/Gini draw the curve;
+    * Theil names the culprit).
+    *
+    * Exact law (the Lorenz/rankEffect value-table posture): per-stratum
+    * value-frequency tables (v, c) — never a corpus sort; each present
+    * value's term quantizes ln BEFORE the integer Σ,
+    * `Σ_v c·v·round(ln(v·n_g/X_g)·10¹²)` in DECIMAL(38,0), and
+    * `theil_pico = round(Σ / X_g)` is ONE double division. Per-stratum
+    * rows carry scope = the stratum; three summary rows carry scopes
+    * `__all` (the pooled corpus law), `__between` (the between-strata
+    * law over the |strata|-row totals table), and `__within`
+    * (Σ_g (X_g/X)·T_g over the same quantized per-stratum picos — so
+    * between + within reproduces __all up to quantization, which the
+    * spec pins). Zero/negative/NULL masses and NULL strata drop (ln
+    * needs x > 0).
+    *
+    * Scale shape: ONE corpus hash aggregate to (stratum, value) cells,
+    * hash aggregates over the bounded cell/stratum tables, a ≤3-row
+    * union of 1-row aggregates. No windows, no joins beyond broadcast
+    * 1-row totals.
+    *
+    * Output: (scope, n_rows, mass, theil_pico), strata first
+    * (alphabetical), then __all/__between/__within.
+    */
+  def theilIndex(df: DataFrame, valueCol: String,
+      stratumCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(stratumCol).isNotNull && col(valueCol).isNotNull &&
+        col(valueCol) > 0L)
+      .select(col(stratumCol).as("scope"), col(valueCol).cast("long").as("_v"))
+      .groupBy(col("scope"), col("_v")).agg(count(lit(1)).as("_c"))
+    val strata = cells.groupBy(col("scope"))
+      .agg(sum(col("_c")).as("_n"), sum(col("_c").cast(dec) * col("_v")).as("_x"))
+    // per-stratum T_g: Σ_v c·v·Q(ln(v·n_g/X_g)), one division by X_g
+    val perCell = cells.join(strata, "scope")
+      .select(col("scope"), col("_n"), col("_x"),
+        (col("_c").cast(dec) * col("_v") *
+          round(log(col("_v").cast("double") * col("_n").cast("double")
+            / col("_x").cast("double")) * 1.0e12).cast("long").cast(dec))
+          .as("_t"))
+    val perStratum = perCell.groupBy(col("scope"))
+      .agg(max(col("_n")).as("n_rows"), max(col("_x")).as("_mass"),
+        sum(col("_t")).as("_ts"))
+      .select(col("scope"), col("n_rows"), col("_mass"),
+        round(col("_ts").cast("double") / col("_mass").cast("double"))
+          .cast("long").as("theil_pico"))
+    // pooled __all: same law over the stratum-free value table
+    val allCells = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_c"))
+    val allTot = allCells.agg(sum(col("_c")).as("_n"),
+      sum(col("_c").cast(dec) * col("_v")).as("_x"))
+    val allRow = allCells.crossJoin(broadcast(allTot))
+      .select(col("_n"), col("_x"),
+        (col("_c").cast(dec) * col("_v") *
+          round(log(col("_v").cast("double") * col("_n").cast("double")
+            / col("_x").cast("double")) * 1.0e12).cast("long").cast(dec))
+          .as("_t"))
+      .groupBy(col("_n"), col("_x")).agg(sum(col("_t")).as("_ts"))
+      .select(lit("__all").as("scope"), col("_n").as("n_rows"),
+        col("_x").as("_mass"),
+        round(col("_ts").cast("double") / col("_x").cast("double"))
+          .cast("long").as("theil_pico"))
+    // __between over the |strata|-row totals: Σ_g X_g·Q(ln(X_g·n/(X·n_g)))/X
+    val between = strata.crossJoin(broadcast(allTot
+        .select(col("_n").as("_na"), col("_x").as("_xa"))))
+      .select(col("_na"), col("_xa"),
+        (col("_x") * round(log(col("_x").cast("double")
+            * col("_na").cast("double")
+            / (col("_xa").cast("double") * col("_n").cast("double")))
+          * 1.0e12).cast("long").cast(dec)).as("_t"))
+      .groupBy(col("_na"), col("_xa")).agg(sum(col("_t")).as("_ts"))
+      .select(lit("__between").as("scope"), col("_na").as("n_rows"),
+        col("_xa").as("_mass"),
+        round(col("_ts").cast("double") / col("_xa").cast("double"))
+          .cast("long").as("theil_pico"))
+    // __within: Σ_g X_g·T_g_pico / X over the quantized per-stratum picos
+    val within = perStratum.crossJoin(broadcast(allTot
+        .select(col("_n").as("_na"), col("_x").as("_xa"))))
+      .select(col("_na"), col("_xa"),
+        (col("_mass") * col("theil_pico").cast(dec)).as("_t"))
+      .groupBy(col("_na"), col("_xa")).agg(sum(col("_t")).as("_ts"))
+      .select(lit("__within").as("scope"), col("_na").as("n_rows"),
+        col("_xa").as("_mass"),
+        round(col("_ts").cast("double") / col("_xa").cast("double"))
+          .cast("long").as("theil_pico"))
+    perStratum.unionByName(allRow).unionByName(between).unionByName(within)
+      .select(col("scope"), col("n_rows"), col("_mass").cast("long").as("mass"),
+        col("theil_pico"))
+      .orderBy(col("scope"))
+  }
 }

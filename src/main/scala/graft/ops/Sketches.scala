@@ -162,4 +162,69 @@ object Sketches {
               .cast("long"))
           .as("est_distinct"))
   }
+
+  /** Pairwise set-similarity matrix from per-stratum BOTTOM-K sketches
+    * (Broder SEQUENCES '97 / Cohen–Kaplan PODS '07: with S_k(A) the k
+    * smallest hash images of A, Ĵ(A,B) = |S_k(A∪B) ∩ S_k(A) ∩ S_k(B)|/k
+    * is an unbiased Jaccard estimator): "which sources share a
+    * vocabulary" at SKETCH cost — each stratum is represented by k
+    * hashes, so the pair stage never touches the corpus (the
+    * [[kmvDistinct]] posture, pairwise).
+    *
+    * Exact, engine-replayable law: items hash to md5 hex (fixed-width —
+    * lexicographic IS numeric order, every engine agrees); per stratum
+    * the k smallest DISTINCT hashes survive (a partitioned row_number,
+    * bounded by per-stratum distinct items); per pair, the k smallest of
+    * the sketch UNION vote, and a voter counts as shared iff it sits in
+    * BOTH sketches — which is EXACT membership (h among the union's
+    * bottom-k and h ∈ A ⇒ h among A's bottom-k, since A ⊆ A∪B).
+    * `est_jaccard_micro = round(shared/k_used·10⁶)`, k_used =
+    * min(k, |union|) — exact (not an estimate) when a pair has fewer
+    * than k distinct hashes. NULL strata/items drop.
+    *
+    * Scale shape: one item pass → one distinct → one PARTITIONED
+    * window (per-stratum, vocab-bounded); the pair stage runs on the
+    * |strata|·k sketch table (broadcast-sized) — |strata|²·k cells, no
+    * corpus contact.
+    *
+    * Output: (src_a, src_b, k_used, shared, est_jaccard_micro) — one
+    * row per unordered stratum pair, ordered (src_a, src_b).
+    */
+  def bottomKSimilarity(df: DataFrame, stratumCol: String, itemCol: Column,
+      k: Int = 256, salt: String = "graft"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("_s"), itemCol.cast("string").as("_i"))
+      .filter(col("_i").isNotNull)
+      .select(col("_s"), md5(concat(lit(salt), col("_i"))).as("_h"))
+      .distinct()
+    val wS = Window.partitionBy(col("_s")).orderBy(col("_h"))
+    val sk = hashes.withColumn("_rn", row_number().over(wS))
+      .filter(col("_rn") <= k).select(col("_s"), col("_h"))
+    val strata = sk.select(col("_s")).distinct()
+    val pairs = strata.select(col("_s").as("src_a"))
+      .crossJoin(strata.select(col("_s").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // union sketch per pair: each pair's rows are the distinct hashes of
+    // S_k(a) ∪ S_k(b), flagged for two-sided membership
+    val uni = pairs.join(sk.select(col("_s").as("src_a"), col("_h")),
+        Seq("src_a")).select(col("src_a"), col("src_b"), col("_h"),
+        lit(1L).as("_ina"), lit(0L).as("_inb"))
+      .unionByName(pairs.join(sk.select(col("_s").as("src_b"), col("_h")),
+        Seq("src_b")).select(col("src_a"), col("src_b"), col("_h"),
+        lit(0L).as("_ina"), lit(1L).as("_inb")))
+      .groupBy(col("src_a"), col("src_b"), col("_h"))
+      .agg(max(col("_ina")).as("_ina"), max(col("_inb")).as("_inb"))
+    val wP = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("_h"))
+    uni.withColumn("_rn", row_number().over(wP))
+      .filter(col("_rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("_ina") * col("_inb")).as("shared"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("shared"),
+        round(col("shared").cast("double") / col("k_used").cast("double")
+          * 1.0e6).cast("long").as("est_jaccard_micro"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

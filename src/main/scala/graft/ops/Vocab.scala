@@ -598,4 +598,82 @@ object Vocab {
       .limit(k)
       .select(col("token"), col("a"), col("b"), col("g2_micro"), col("enriched"))
   }
+
+  /** Heaps'-law fit of vocabulary growth (Heaps '78 / Herdan '60:
+    * V(n) ≈ K·n^β, β ≈ 0.5 for natural language) over DOUBLING id
+    * prefixes of the corpus: prefix j is the documents with id < 2^j,
+    * contributing one (tokens n_j, distinct tokens V_j) point, and
+    * β/ln K come from the exact least-squares line through the
+    * (ln n_j, ln V_j) points — the vocabulary-scaling exponent a
+    * tokenizer-budget decision reads ("double the corpus ⇒ ×2^β the
+    * vocab"), and a synthetic-text tell (template generators flatten β).
+    * Doubling prefixes make the design WELL-CONDITIONED by construction
+    * (ln n spans ~ln N — a per-stratum variant with equal-sized strata
+    * puts all x within micro-noise of each other and the slope becomes
+    * catastrophic-cancellation garbage; measured before this law was
+    * chosen).
+    *
+    * Exact law: per point x = round(ln n_j·10⁶), y = round(ln V_j·10⁶)
+    * (micro-quantized BEFORE the sums — the KL discipline; micros keep
+    * Σx·Σxy products inside DECIMAL(38,0)); the normal-equation sums
+    * Σx, Σy, Σxx, Σxy are exact integers, and
+    * `beta_micro = round((k·Σxy − Σx·Σy)/(k·Σxx − Σx²)·10⁶)`,
+    * `lnk_micro = round((Σy − β·Σx)/k)` (β the unrounded double ratio)
+    * are one double chain each. NULL β on a degenerate design
+    * (denominator 0). Empty prefixes (no tokens) drop; NULL ids drop.
+    *
+    * Scale shape: one tokenize pass; V_j from per-token FIRST-id
+    * aggregates crossed with the ≤63-row broadcast cutoff table; n_j
+    * from per-doc token counts crossed the same way (a ≤63× bounded
+    * fan-out of two BOUNDED tables, never of raw text); one 1-row
+    * normal-equation aggregate. No windows.
+    *
+    * Output: ONE row (n_points, beta_micro, lnk_micro).
+    */
+  def heapsLawFit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), col(textCol).as("_txt"))
+    val maxId = base.agg(max(col("_id")).as("_mx"))
+    val cutoffs = base.sparkSession.range(0, 63)
+      .select(expr("CAST(1 AS BIGINT) << CAST(id AS INT)").as("_p"))
+      .crossJoin(broadcast(maxId))
+      .filter(col("_p") <= col("_mx") + 1L)
+      .select(col("_p"))
+    val docTok = base
+      .select(col("_id"), TextFns.tokenCount(col("_txt")).as("_tk"))
+    val nPer = docTok.crossJoin(broadcast(cutoffs))
+      .filter(col("_id") < col("_p"))
+      .groupBy(col("_p")).agg(sum(col("_tk")).as("_n"))
+    val tokFirst = base
+      .select(col("_id"), explode(TextFns.tokens(col("_txt"))).as("_t"))
+      .groupBy(col("_t")).agg(min(col("_id")).as("_f"))
+    val vPer = tokFirst.crossJoin(broadcast(cutoffs))
+      .filter(col("_f") < col("_p"))
+      .groupBy(col("_p")).agg(count(lit(1)).as("_v"))
+    val pts = nPer.join(vPer, "_p")
+      .filter(col("_n") > 0L)
+      .select(round(log(col("_n").cast("double")) * 1.0e6).cast("long").as("_x"),
+        round(log(col("_v").cast("double")) * 1.0e6).cast("long").as("_y"))
+    val s = pts.agg(count(lit(1)).as("n_points"),
+      sum(col("_x").cast(dec)).as("_sx"), sum(col("_y").cast(dec)).as("_sy"),
+      sum(col("_x").cast(dec) * col("_x").cast(dec)).as("_sxx"),
+      sum(col("_x").cast(dec) * col("_y").cast(dec)).as("_sxy"))
+      .filter(col("n_points") >= 2L)
+    val kD = col("n_points").cast("double")
+    // parenthesized: a leading `-` on a continuation line would otherwise
+    // close the statement at the newline (semicolon inference) and leave
+    // num = sxy·k with a dangling unary-minus expression
+    val num = (col("_sxy").cast("double") * kD
+      - col("_sx").cast("double") * col("_sy").cast("double"))
+    val den = (col("_sxx").cast("double") * kD
+      - col("_sx").cast("double") * col("_sx").cast("double"))
+    val beta = num / den
+    s.select(col("n_points"),
+      when(den =!= 0.0, round(beta * 1.0e6).cast("long")).as("beta_micro"),
+      when(den =!= 0.0,
+        round((col("_sy").cast("double") - beta * col("_sx").cast("double"))
+          / kD).cast("long")).as("lnk_micro"))
+  }
 }

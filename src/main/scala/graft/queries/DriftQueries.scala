@@ -679,4 +679,165 @@ trait DriftQueries { self: RegistryAll =>
       |  (10000.0 * CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE))
       |    / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS hhi
       | FROM c GROUP BY nation ORDER BY nation""".stripMargin.replace("\n", " ")
+
+  /** Theil T inequality of document bytes by source
+    * ([[graft.ops.Quantiles.theilIndex]], Theil '67) with the
+    * between/within decomposition — the report that says whether byte
+    * concentration lives BETWEEN sources (reweighting helps) or inside
+    * them (it can't). Value-table scaffold, ln quantized to picos
+    * before the integer Σ, one division per row.
+    */
+  def qTheilIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.theilIndex(t(spark, dir, "documents"),
+      "n_chars", "source")
+
+  lazy val qTheilIndexSql: String =
+    """WITH cells AS (SELECT source AS scope, CAST(n_chars AS BIGINT) AS v,
+      |   CAST(count(*) AS BIGINT) AS c FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+      |  GROUP BY 1, 2),
+      | st AS (SELECT scope, CAST(SUM(c) AS BIGINT) AS n,
+      |   CAST(SUM(CAST(c AS HUGEINT) * v) AS HUGEINT) AS x FROM cells GROUP BY 1),
+      | per AS (SELECT cells.scope, MAX(st.n) AS n_rows, MAX(st.x) AS mass,
+      |   CAST(round(CAST(SUM(CAST(c AS HUGEINT) * v *
+      |     CAST(round(ln(CAST(v AS DOUBLE) * CAST(st.n AS DOUBLE)
+      |       / CAST(st.x AS DOUBLE)) * 1e12) AS BIGINT)) AS DOUBLE)
+      |    / CAST(MAX(st.x) AS DOUBLE)) AS BIGINT) AS theil_pico
+      |  FROM cells JOIN st USING (scope) GROUP BY cells.scope),
+      | acells AS (SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM cells GROUP BY 1),
+      | atot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |   CAST(SUM(CAST(c AS HUGEINT) * v) AS HUGEINT) AS x FROM acells),
+      | arow AS (SELECT '__all' AS scope, MAX(atot.n) AS n_rows,
+      |   MAX(atot.x) AS mass,
+      |   CAST(round(CAST(SUM(CAST(c AS HUGEINT) * v *
+      |     CAST(round(ln(CAST(v AS DOUBLE) * CAST(atot.n AS DOUBLE)
+      |       / CAST(atot.x AS DOUBLE)) * 1e12) AS BIGINT)) AS DOUBLE)
+      |    / CAST(MAX(atot.x) AS DOUBLE)) AS BIGINT) AS theil_pico
+      |  FROM acells CROSS JOIN atot),
+      | btw AS (SELECT '__between' AS scope, MAX(atot.n) AS n_rows,
+      |   MAX(atot.x) AS mass,
+      |   CAST(round(CAST(SUM(st.x *
+      |     CAST(round(ln(CAST(st.x AS DOUBLE) * CAST(atot.n AS DOUBLE)
+      |       / (CAST(atot.x AS DOUBLE) * CAST(st.n AS DOUBLE))) * 1e12)
+      |      AS BIGINT)) AS DOUBLE)
+      |    / CAST(MAX(atot.x) AS DOUBLE)) AS BIGINT) AS theil_pico
+      |  FROM st CROSS JOIN atot),
+      | wth AS (SELECT '__within' AS scope, MAX(atot.n) AS n_rows,
+      |   MAX(atot.x) AS mass,
+      |   CAST(round(CAST(SUM(per.mass * CAST(per.theil_pico AS HUGEINT))
+      |      AS DOUBLE)
+      |    / CAST(MAX(atot.x) AS DOUBLE)) AS BIGINT) AS theil_pico
+      |  FROM per CROSS JOIN atot)
+      | SELECT scope, n_rows, CAST(mass AS BIGINT) AS mass, theil_pico
+      | FROM (SELECT * FROM per UNION ALL SELECT * FROM arow
+      |   UNION ALL SELECT * FROM btw UNION ALL SELECT * FROM wth)
+      | ORDER BY scope""".stripMargin.replace("\n", " ")
+
+  /** Benford first-digit screen over lineitem extended prices
+    * ([[graft.ops.Drift.benfordDigits]], Newcomb 1881 / Benford '38):
+    * the fabricated-data detector. First digit reads from the FLOORED
+    * integer's decimal string — no raw double→int cast (Spark truncates
+    * where DuckDB rounds), no log10-at-a-boundary hazard.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.benfordDigits(t(spark, dir, "lineitem"),
+      "l_extendedprice")
+
+  lazy val qBenfordSql: String =
+    """WITH v AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS n
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1.0),
+      | d AS (SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |   CAST(count(*) AS BIGINT) AS n_values FROM v GROUP BY 1),
+      | t AS (SELECT CAST(SUM(n_values) AS BIGINT) AS nt FROM d),
+      | s AS (SELECT digit, n_values,
+      |   CAST(round(CAST(n_values AS DOUBLE) / CAST(nt AS DOUBLE) * 1e12)
+      |    AS BIGINT) AS share_pico,
+      |   CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e12)
+      |    AS BIGINT) AS benford_pico
+      |  FROM d CROSS JOIN t)
+      | SELECT digit, n_values, share_pico, benford_pico,
+      |  share_pico - benford_pico AS dev_pico
+      | FROM s ORDER BY digit""".stripMargin.replace("\n", " ")
+
+  /** Pairwise Jensen–Shannon matrix between sources over binned document
+    * lengths ([[graft.ops.Drift.jsMatrix]]): "which sources look alike"
+    * for mixture design — the all-pairs companion of q_js_drift's
+    * one-vs-rest. Add-one smoothing on the shared corpus-bin support,
+    * per-cell picos before the integer Σ.
+    */
+  def qJsMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.jsMatrix(t(spark, dir, "documents"),
+      "source", "n_chars", binWidth = 100L)
+
+  lazy val qJsMatrixSql: String =
+    """WITH vb AS (SELECT source AS s,
+      |   (CAST(n_chars AS BIGINT) - (CAST(n_chars AS BIGINT) % 100)) // 100
+      |     AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | csb AS (SELECT s, b, CAST(count(*) AS BIGINT) AS c FROM vb GROUP BY 1, 2),
+      | bins AS (SELECT DISTINCT b FROM csb),
+      | nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bins),
+      | ns AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM csb GROUP BY 1),
+      | cells AS (SELECT pa.s AS src_a, pb.s AS src_b, pa.n AS n_a, pb.n AS n_b,
+      |   bins.b, COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb, nbt.nb
+      |  FROM ns pa JOIN ns pb ON pa.s < pb.s
+      |  CROSS JOIN bins CROSS JOIN nbt
+      |  LEFT JOIN csb ca ON ca.s = pa.s AND ca.b = bins.b
+      |  LEFT JOIN csb cb ON cb.s = pb.s AND cb.b = bins.b),
+      | terms AS (SELECT src_a, src_b, n_a, n_b, nb,
+      |   CAST(round((0.5 * (((ca + 1) / CAST(n_a + nb AS DOUBLE)) *
+      |      (ln(2.0 * ((ca + 1) / CAST(n_a + nb AS DOUBLE)))
+      |       - ln(((ca + 1) / CAST(n_a + nb AS DOUBLE))
+      |         + ((cb + 1) / CAST(n_b + nb AS DOUBLE)))))
+      |    + 0.5 * (((cb + 1) / CAST(n_b + nb AS DOUBLE)) *
+      |      (ln(2.0 * ((cb + 1) / CAST(n_b + nb AS DOUBLE)))
+      |       - ln(((ca + 1) / CAST(n_a + nb AS DOUBLE))
+      |         + ((cb + 1) / CAST(n_b + nb AS DOUBLE))))))
+      |    * 1000000000000.0) AS BIGINT) AS term
+      |  FROM cells)
+      | SELECT src_a, src_b, n_a, n_b, nb AS n_bins,
+      |  CAST(SUM(term) AS BIGINT) AS jsd_pico
+      | FROM terms GROUP BY 1, 2, 3, 4, 5
+      | ORDER BY src_a, src_b""".stripMargin.replace("\n", " ")
+
+  /** Pairwise source vocabulary similarity from bottom-k sketches
+    * ([[graft.ops.Sketches.bottomKSimilarity]], Broder '97 bottom-k
+    * Jaccard estimator, k = 64): each source is 64 md5 images, the pair
+    * stage never touches the corpus. md5 is engine-replayable, so the
+    * ESTIMATE itself hash-oracles exactly (the q_kmv_distinct posture,
+    * pairwise).
+    */
+  def qBottomkSim(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.bottomKSimilarity(
+      t(spark, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("tok")),
+      "source", col("tok"), k = 64)
+
+  lazy val qBottomkSimSql: String =
+    s"""WITH toks AS (SELECT source AS s, unnest($tokensSql) AS t
+      |  FROM documents WHERE source IS NOT NULL),
+      | h AS (SELECT DISTINCT s, md5('graft' || t) AS h FROM toks
+      |  WHERE t IS NOT NULL),
+      | sk AS (SELECT s, h FROM (SELECT s, h,
+      |    row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM h)
+      |  WHERE rn <= 64),
+      | st AS (SELECT DISTINCT s FROM sk),
+      | pairs AS (SELECT a.s AS sa, b.s AS sb FROM st a JOIN st b ON a.s < b.s),
+      | uni AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+      |   SELECT p.sa, p.sb, k.h, 1 AS ina, 0 AS inb FROM pairs p
+      |    JOIN sk k ON k.s = p.sa
+      |   UNION ALL
+      |   SELECT p.sa, p.sb, k.h, 0, 1 FROM pairs p JOIN sk k ON k.s = p.sb)
+      |  GROUP BY 1, 2, 3),
+      | vote AS (SELECT sa, sb, h, ina, inb,
+      |   row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uni)
+      | SELECT sa AS src_a, sb AS src_b, CAST(count(*) AS BIGINT) AS k_used,
+      |  CAST(SUM(ina * inb) AS BIGINT) AS shared,
+      |  CAST(round(CAST(SUM(ina * inb) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+      |   AS est_jaccard_micro
+      | FROM vote WHERE rn <= 64 GROUP BY sa, sb
+      | ORDER BY src_a, src_b""".stripMargin.replace("\n", " ")
 }

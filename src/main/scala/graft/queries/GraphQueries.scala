@@ -797,4 +797,66 @@ trait GraphQueries { self: RegistryAll =>
     * edge set.
     */
   lazy val qPagerankStoreSql: String = qPagerankSql
+
+  /** Per-edge triangle support over the shared co-purchase triangle
+    * frame ([[graft.ops.Graph.edgeTriangleSupport]], the k-truss peeling
+    * quantity — Cohen '08): the EDGE-density screen beside
+    * q_local_clustering's node view; reads the per-dir checkpointed
+    * [[coPartTriangles]] pin, so no new wedge join.
+    */
+  def qEdgeSupport(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.edgeTriangleSupport(coPartGraph(spark, dir),
+      coPartTriangles(spark, dir), k = 25)
+
+  lazy val qEdgeSupportSql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM canon e1 JOIN canon e2 ON e2.u = e1.v
+      |  JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v),
+      | sides AS (SELECT a AS u, b AS v FROM tri
+      |  UNION ALL SELECT b, c FROM tri UNION ALL SELECT a, c FROM tri),
+      | sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM sides
+      |  GROUP BY 1, 2)
+      | SELECT c.u, c.v, CAST(COALESCE(sup.s, 0) AS BIGINT) AS support
+      | FROM canon c LEFT JOIN sup ON sup.u = c.u AND sup.v = c.v
+      | ORDER BY support DESC, c.u, c.v LIMIT 25""".stripMargin.replace("\n", " ")
+
+  /** Modularity of the brand partition of the co-purchase graph
+    * ([[graft.ops.Graph.partitionModularity]], Newman–Girvan '04):
+    * does p_brand explain the wiring? Per-brand Q terms in picos plus
+    * the exact-integer `__total` Σ.
+    */
+  def qModularity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.partitionModularity(coPartGraph(spark, dir),
+      t(spark, dir, "part"), "p_partkey", "p_brand")
+
+  lazy val qModularitySql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |   (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+      |  GROUP BY 1),
+      | lab AS (SELECT CAST(p_partkey AS BIGINT) AS n, MIN(p_brand) AS l
+      |  FROM part WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+      |  GROUP BY 1),
+      | m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+      | ein AS (SELECT la.l AS label, CAST(count(*) AS BIGINT) AS e_in
+      |  FROM canon c JOIN lab la ON la.n = c.u JOIN lab lb ON lb.n = c.v
+      |  WHERE la.l = lb.l GROUP BY 1),
+      | ds AS (SELECT lab.l AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+      |   CAST(SUM(deg) AS BIGINT) AS d_sum
+      |  FROM deg JOIN lab ON lab.n = deg.node GROUP BY 1),
+      | per AS (SELECT ds.label, ds.n_nodes,
+      |   CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, ds.d_sum,
+      |   CAST(round((CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+      |     - (CAST(ds.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+      |       * (CAST(ds.d_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))))
+      |    * 1000000000000.0) AS BIGINT) AS q_pico
+      |  FROM ds LEFT JOIN ein ON ein.label = ds.label CROSS JOIN m),
+      | tot AS (SELECT '__total' AS label, CAST(SUM(n_nodes) AS BIGINT),
+      |   CAST(SUM(e_in) AS BIGINT), CAST(SUM(d_sum) AS BIGINT),
+      |   CAST(SUM(CAST(q_pico AS HUGEINT)) AS BIGINT) FROM per)
+      | SELECT * FROM (SELECT * FROM per UNION ALL SELECT * FROM tot)
+      | ORDER BY label""".stripMargin.replace("\n", " ")
 }

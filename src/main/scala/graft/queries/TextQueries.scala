@@ -1392,4 +1392,62 @@ trait TextQueries { self: RegistryAll =>
       | SELECT stratum, CAST(rk AS BIGINT) AS rk, token, a, b, g2_micro
       | FROM r WHERE rk <= 3 ORDER BY stratum, rk""".stripMargin.replace("\n", " ")
   }
+
+  /** Heaps'-law vocabulary-growth fit over doubling doc-id prefixes
+    * ([[graft.ops.Vocab.heapsLawFit]], Heaps '78): β from the exact
+    * least-squares line through (ln tokens, ln vocab) points at prefix
+    * cutoffs 2^j — the vocabulary-scaling exponent beside q_zipf_fit's
+    * frequency exponent. Micro-quantized logs before the exact
+    * normal-equation sums; one double chain per coefficient. Doubling
+    * prefixes keep the design well-conditioned (equal-sized strata
+    * would put all x within micro-noise — cancellation garbage).
+    */
+  def qHeapsLaw(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.heapsLawFit(t(spark, dir, "documents"),
+      "doc_id", "text")
+
+  lazy val qHeapsLawSql: String =
+    s"""WITH mx AS (SELECT MAX(CAST(doc_id AS BIGINT)) AS m FROM documents
+      |  WHERE doc_id IS NOT NULL),
+      | cut AS (SELECT CAST(1 AS BIGINT) << j AS p
+      |  FROM generate_series(0, 62) t(j) CROSS JOIN mx
+      |  WHERE (CAST(1 AS BIGINT) << j) <= m + 1),
+      | dt AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |   CAST(len($tokensSql) AS BIGINT) AS tk
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      | np AS (SELECT p, CAST(SUM(tk) AS BIGINT) AS n
+      |  FROM dt CROSS JOIN cut WHERE id < p GROUP BY 1),
+      | tf AS (SELECT t, MIN(id) AS f FROM (
+      |   SELECT CAST(doc_id AS BIGINT) AS id, unnest($tokensSql) AS t
+      |   FROM documents WHERE doc_id IS NOT NULL) GROUP BY 1),
+      | vp AS (SELECT p, CAST(count(*) AS BIGINT) AS v
+      |  FROM tf CROSS JOIN cut WHERE f < p GROUP BY 1),
+      | pts AS (SELECT
+      |   CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |   CAST(round(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM np JOIN vp USING (p) WHERE n > 0),
+      | ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |   CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |   CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM pts)
+      | SELECT k AS n_points,
+      |  CASE WHEN CAST(sxx AS DOUBLE) * CAST(k AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+      |   CAST(round((CAST(sxy AS DOUBLE) * CAST(k AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |     / (CAST(sxx AS DOUBLE) * CAST(k AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) AS BIGINT)
+      |  END AS beta_micro,
+      |  CASE WHEN CAST(sxx AS DOUBLE) * CAST(k AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+      |   CAST(round((CAST(sy AS DOUBLE)
+      |      - ((CAST(sxy AS DOUBLE) * CAST(k AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / (CAST(sxx AS DOUBLE) * CAST(k AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |       * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) AS BIGINT)
+      |  END AS lnk_micro
+      | FROM ag WHERE k >= 2""".stripMargin.replace("\n", " ")
 }

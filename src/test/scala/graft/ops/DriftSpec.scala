@@ -2,6 +2,8 @@ package graft.ops
 
 import org.scalacheck.{Gen, rng}
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** TV-drift law: the engine's split-sum exact-integer formulation against
@@ -357,6 +359,35 @@ class DriftSpec extends SparkSpec {
     val single = (1 to 50).map(i => ("only", i * 100L)).toDF("src", "v")
     val r = Drift.wasserstein1(single, "src", "v").collect()
     assert(r.length === 1 && r(0).getLong(2) === 0L && r(0).isNullAt(4))
+  }
+
+  test("benfordDigits: digits from the floored integer string; sub-1 and NULL drop") {
+    import spark.implicits._
+    // 199.9 floors to 199 → digit 1 (a double→int CAST would round to 200
+    // in DuckDB → digit 2: the law floors explicitly); 0.5 and NULL drop
+    val vals = Seq(Some(199.9), Some(23.0), Some(2.1), Some(987.0),
+      Some(0.5), None).toDF("v")
+    val got = Drift.benfordDigits(vals, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 9L -> 1L))
+    val one = Drift.benfordDigits(vals, "v")
+      .filter(col("digit") === 1L).collect().head
+    assert(one.getLong(2) === 250000000000L, "share 1/4 in picos")
+    assert(one.getLong(3) === math.round(math.log10(2.0) * 1e12))
+    assert(one.getLong(4) === one.getLong(2) - one.getLong(3))
+  }
+
+  test("jsMatrix: identical strata diverge 0; disjoint strata diverge > 0; total order") {
+    import spark.implicits._
+    val docs = (1 to 40).flatMap { i =>
+      Seq(("a", i * 100L), ("b", i * 100L), // identical distributions
+        ("c", 100000L + i * 100L)) // far-off support
+    }.toDF("src", "v")
+    val m = Drift.jsMatrix(docs, "src", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    assert(m(("a", "b")) === 0L, "identical distributions: every term ln(1)=0")
+    assert(m(("a", "c")) > 0L && m(("b", "c")) > 0L)
+    assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
 }

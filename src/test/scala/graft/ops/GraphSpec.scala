@@ -384,4 +384,59 @@ class GraphSpec extends SparkSpec {
     assert(z.getLong(0) === 0L && z.getLong(1) === 0L && z.isNullAt(2))
   }
 
+  test("edgeTriangleSupport: K4 edges support 2, pendant edge supports 0") {
+    import spark.implicits._
+    // K4 on 1..4 (every edge in exactly 2 triangles) + pendant 4-5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val g = Graph.prepareUndirected(edges, "s", "d")
+    try {
+      val tri = Graph.triangleFrame(g)
+      val got = Graph.edgeTriangleSupport(g, tri, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got((4L, 5L)) === 0L, "pendant edge closes no triangle")
+      assert(got.filterNot(_._1 == ((4L, 5L))).values.toSet === Set(2L),
+        "every K4 edge sits in exactly 2 triangles")
+      assert(got.size === 7)
+    } finally g.release()
+  }
+
+  test("partitionModularity: two disjoint triangles split by label; hand-exact Q") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle A
+      (11L, 12L), (12L, 13L), (11L, 13L)) // triangle B
+      .toDF("s", "d")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (11L, "B"), (12L, "B"), (13L, "B")).toDF("n", "l")
+    val g = Graph.prepareUndirected(edges, "s", "d")
+    try {
+      val rows = Graph.partitionModularity(g, labels, "n", "l").collect()
+      val m = rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // per community: e_c=3, d_c=6, m=6 → Q_c = 3/6 − (6/12)² = 0.25
+      assert(m("A") === ((3L, 3L, 6L, 250000000000L)))
+      assert(m("B") === ((3L, 3L, 6L, 250000000000L)))
+      assert(m("__total") === ((6L, 6L, 12L, 500000000000L)))
+      // ASCII: uppercase labels sort before '_', lowercase after
+      assert(rows.last.getString(0) === "__total")
+    } finally g.release()
+  }
+
+  test("partitionModularity: a cross-label bridge counts toward m and degrees only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 11L), // bridge 3-11
+      (11L, 12L), (12L, 13L), (11L, 13L)).toDF("s", "d")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (11L, "B"), (12L, "B"), (13L, "B")).toDF("n", "l")
+    val g = Graph.prepareUndirected(edges, "s", "d")
+    try {
+      val m = Graph.partitionModularity(g, labels, "n", "l")
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+      // m=7; each side: e_c=3, d_c=7 → Q_c = 3/7 − (7/14)² = 3/7 − 1/4
+      val want = math.round((3.0 / 7.0 - 0.25) * 1e12)
+      assert(m("A") === want && m("B") === want)
+      assert(m("__total") === 2L * want)
+    } finally g.release()
+  }
+
 }

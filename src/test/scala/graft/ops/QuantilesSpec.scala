@@ -212,4 +212,33 @@ class QuantilesSpec extends SparkSpec {
     val short = Seq((1L, 9L), (2L, 3L)).toDF("id", "v")
     assert(Quantiles.hillTailIndex(short, "v", "id", k = 2).count() === 0L)
   }
+
+  test("theilIndex: perfect equality is 0 everywhere; decomposition reproduces __all") {
+    // equal masses in equal strata: every ln term is ln(1) = 0
+    val eq = Seq(("a", 10L), ("a", 10L), ("b", 10L), ("b", 10L))
+      .toDF("src", "v")
+    val req = Quantiles.theilIndex(eq, "v", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(req === Map("a" -> 0L, "b" -> 0L, "__all" -> 0L,
+      "__between" -> 0L, "__within" -> 0L))
+    // skewed: stratum a carries 4x stratum b's mass per row; within each
+    // stratum values are equal, so ALL inequality is between strata
+    val sk = Seq(("a", 400L), ("a", 400L), ("b", 100L), ("b", 100L))
+      .toDF("src", "v")
+    val m = Quantiles.theilIndex(sk, "v", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m("a") === 0L && m("b") === 0L && m("__within") === 0L)
+    // T_between = 0.8·ln(1.6) + 0.2·ln(0.4) = exact hand value in picos
+    val want = math.round((0.8 * math.log(1.6) + 0.2 * math.log(0.4)) * 1e12)
+    assert(math.abs(m("__between") - want) <= 5L,
+      s"between ${m("__between")} vs hand $want")
+    assert(math.abs(m("__all") - (m("__between") + m("__within"))) <= 5L,
+      "decomposition must reproduce __all up to quantization")
+    // zero/negative masses drop; NULL stratum drops
+    val dirty = Seq(("a", 0L), ("a", -5L), ("a", 10L), (null, 10L))
+      .toDF("src", "v")
+    val d = Quantiles.theilIndex(dirty, "v", "src")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(d.toMap.apply("a") === 1L, "only the positive-mass row survives")
+  }
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class SketchesSpec extends SparkSpec {
@@ -75,5 +77,39 @@ class SketchesSpec extends SparkSpec {
     // empty input: no rows
     assert(Sketches.kmvDistinct(Seq.empty[Long].toDF("x"), col("x"), 16)
       .count() === 0L)
+  }
+
+  test("bottomKSimilarity: exact below k (identical 1e6, disjoint 0, half-overlap), estimate near truth above k") {
+    // below k the union sketch holds EVERYTHING → the estimator is the
+    // exact Jaccard of the item sets
+    val small = Seq(("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "x"), ("b", "y"), ("b", "z"), // identical to a
+      ("c", "y"), ("c", "z"), ("c", "w"), // |∩ a| = 2, |∪| = 4
+      ("d", "p"), ("d", "q")) // disjoint from all
+      .toDF("src", "item")
+    val got = Sketches.bottomKSimilarity(small, "src", col("item"), k = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("a", "b")) === ((3L, 3L, 1000000L)))
+    assert(got(("a", "c")) === ((4L, 2L, 500000L)))
+    assert(got(("a", "d")) === ((5L, 0L, 0L)))
+    assert(got.size === 6)
+    // above k: planted 50% overlap of 2000-item sets, k = 256 → estimate
+    // within ~3σ ≈ 0.1 of the true 1/3 Jaccard
+    val big = (0 until 2000).flatMap(i =>
+      Seq(("p", s"s$i"), ("q", s"t$i"))) ++
+      (0 until 2000).map(i => ("p", s"c$i")) ++
+      (0 until 2000).map(i => ("q", s"c$i"))
+    val est = Sketches.bottomKSimilarity(big.toDF("src", "item"),
+      "src", col("item"), k = 256)
+      .collect().head.getLong(4)
+    assert(math.abs(est - 333333L) < 100000L,
+      s"bottom-k estimate $est vs true 333333")
+    // duplicate incidences can't move the sketch (distinct law)
+    val dup = Sketches.bottomKSimilarity(
+      small.unionByName(small), "src", col("item"), k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(dup(("a", "c")) === 500000L)
   }
 }

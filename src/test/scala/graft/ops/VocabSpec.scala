@@ -326,4 +326,22 @@ class VocabSpec extends SparkSpec {
     assert(got("b") === ((3L, 1L, 0L, 0L, 1000000000000L, 1000000L)))
     assert(got.size === 2)
   }
+
+  test("heapsLawFit: planted growth laws hit beta exactly") {
+    import spark.implicits._
+    // every doc is ONE globally-unique token → V(n) = n exactly → every
+    // point has x = y → beta = 1, lnK = 0 (quantized EXACTLY: same longs)
+    val unique = (0L until 64L).map(i => (i, s"tok$i")).toDF("doc_id", "text")
+    val r1 = Vocab.heapsLawFit(unique, "doc_id", "text").collect().head
+    assert(r1.getLong(0) === 7L, "prefixes 1,2,4,...,64")
+    assert(r1.getLong(1) === 1000000L && r1.getLong(2) === 0L)
+    // every doc is the SAME token → V = 1, ln V = 0 → beta = 0, lnK = 0
+    val flat = (0L until 64L).map(i => (i, "same")).toDF("doc_id", "text")
+    val r2 = Vocab.heapsLawFit(flat, "doc_id", "text").collect().head
+    assert(r2.getLong(1) === 0L && r2.getLong(2) === 0L)
+    // degenerate design (single point): NULL coefficients never emit —
+    // one doc gives one prefix, filtered by the n_points >= 2 law
+    val single = Seq((0L, "a b c")).toDF("doc_id", "text")
+    assert(Vocab.heapsLawFit(single, "doc_id", "text").count() === 0L)
+  }
 }
