@@ -399,36 +399,79 @@ object Dedup {
     * whose every shared shingle is hot (df > maxDf on all of them) is
     * not emitted; that is the law, and the oracle replays the same cap.
     *
+    * `keepUpperBound(smax, na, nb)` prunes candidates BEFORE the array
+    * verify using the provable bound shared ≤ shared_kept +
+    * min(ndrop_a, ndrop_b): callers pass their measure's threshold test
+    * (both measures are increasing in shared, so pruning on the bound
+    * never drops a qualifying pair). Where nothing was dropped the bound
+    * is exact and the verify stage touches only the final pairs — the
+    * clean-corpus fast path costs what the uncapped law did.
+    *
     * Returns (id_a, id_b, shared, na, nb), id_a < id_b, one row per
-    * candidate pair (threshold filters apply downstream).
+    * surviving candidate pair (exact threshold filters still apply
+    * downstream).
     */
   private def cappedNgramPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxDf: Int): DataFrame = {
+      shingleSize: Int, maxDf: Int,
+      keepUpperBound: (Column, Column, Column) => Column): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
+    // numHashes = 1: these laws read only the shingle sets — the default
+    // 64-lane minhash signature would be computed and thrown away
+    val sh = shingleHashFrame(df, idCol, textCol, shingleSize, numHashes = 1)
       .withColumn("_n", size(col("_sh")).cast("bigint"))
     // (no size>0 filter: explode of an empty array emits nothing anyway, and
     // an explicit filter would be pushed — with inferred monster predicates —
     // below the object boundary's parents by the optimizer)
+    // ONE exchange serves the whole candidate stage: the df aggregate, the
+    // anti join, and both self-join sides all consume this repartition
     val ex = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+      .repartition(col("_s"))
     // per-shingle document frequency (shingles are distinct per doc, so
-    // count == df); the aggregate shuffles one row per distinct shingle —
-    // a hot key costs O(df) to COUNT, never O(df²)
-    val kept = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    // count == df) — computed ON the exchange, no second shuffle; a hot
+    // key costs O(df) to COUNT, never O(df²)
+    val dropped = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
       .observe(s"graft_capped_ngramdf_${capSeq.incrementAndGet()}",
         sum(when(col("_df") > maxDf, col("_df")).otherwise(0L))
           .as("dropped_rows"),
         sum(when(col("_df") > maxDf, 1L).otherwise(0L)).as("capped_buckets"))
-      .filter(col("_df") <= maxDf)
+      .filter(col("_df") > maxDf)
       .select(col("_s"))
     // candidate index: only low-df shingles generate pairs — per-key join
-    // output is bounded by maxDf²; both self-join sides reuse the exchange
-    val cidx = ex.join(kept, "_s").repartition(col("_s"))
+    // output is bounded by maxDf². The exclusion is an ANTI join against
+    // the DROPPED set (≤ incidences/maxDf rows, usually tiny — AQE
+    // broadcasts it and the index side stays partitioned; a pathological
+    // corpus of mostly-hot shingles degrades to a shuffled anti join,
+    // still never a skewed pair join), not an equi join against the
+    // large kept side.
+    val cidx = ex.join(dropped, Seq("_s"), "left_anti")
+    // per-doc kept-shingle counts → ndrop = n − nkept feeds the prune bound
+    val docStats = sh.select(col("_id"), col("_n"))
+      .join(cidx.groupBy(col("_id")).agg(count(lit(1)).as("_nk")),
+        Seq("_id"), "left")
+      .select(col("_id"), col("_n"),
+        (col("_n") - coalesce(col("_nk"), lit(0L))).as("_nd"))
+    // candidate pairs with their KEPT-shared counts (narrow rows — the
+    // full-set array verify below only runs on pairs that survive the
+    // upper-bound prune, never on the raw candidate stream)
     val cand = cidx.as("a").join(cidx.as("b"),
         col("a._s") === col("b._s") && col("a._id") < col("b._id"))
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
-    cand
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("_sk"))
+    // PROVABLE upper bound: shared ≤ shared_kept + min(ndrop_a, ndrop_b)
+    // (a dropped shingle can add to shared only if BOTH docs hold it), and
+    // both pair measures are increasing in shared — so any pair whose
+    // bound misses the threshold can be pruned without an array look.
+    // Where nothing was dropped the bound IS the exact shared count and
+    // the verify stage touches only the final pairs.
+    val bounded = cand
+      .join(docStats.select(col("_id").as("id_a"), col("_n").as("na"),
+        col("_nd").as("_da")), "id_a")
+      .join(docStats.select(col("_id").as("id_b"), col("_n").as("nb"),
+        col("_nd").as("_db")), "id_b")
+      .withColumn("_smax", col("_sk") + least(col("_da"), col("_db")))
+    val survivors = bounded.filter(keepUpperBound(col("_smax"), col("na"),
+      col("nb")))
+    survivors.select(col("id_a"), col("id_b"))
       .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha"),
         col("_n").as("na")), "id_a")
       .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shb"),
@@ -447,7 +490,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
       maxDf: Int = 64): DataFrame =
-    cappedNgramPairs(df, idCol, textCol, shingleSize, maxDf)
+    cappedNgramPairs(df, idCol, textCol, shingleSize, maxDf,
+      (smax, na, nb) =>
+        smax.cast("double") / (na + nb - smax) >= threshold)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("jaccard") >= threshold)
@@ -473,7 +518,8 @@ object Dedup {
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.9,
       maxDf: Int = 64): DataFrame =
-    cappedNgramPairs(df, idCol, textCol, shingleSize, maxDf)
+    cappedNgramPairs(df, idCol, textCol, shingleSize, maxDf,
+      (smax, na, nb) => smax.cast("double") / least(na, nb) >= threshold)
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
