@@ -953,6 +953,121 @@ object Eval {
     * Output: ONE row (n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
     * u2_statistic, cliffs_delta_pico).
     */
+  /** Theil's uncertainty coefficient — NORMALIZED, asymmetric dependence
+    * between two categorical columns (Theil '70: U(a|b) = MI/H(a), the
+    * fraction of a's entropy that knowing b removes) — the companion
+    * [[mutualInformation]]'s raw nats need for cross-pair comparison,
+    * and DIRECTIONAL where Cramér's V is not ("source predicts lang
+    * almost fully; lang barely narrows source").
+    *
+    * Exact law: the cell scaffold of [[mutualInformation]]; marginal
+    * entropies from the bounded row/column-total tables with per-value
+    * `r·Q(ln(N/r))` pico terms summed in DECIMAL before ONE division
+    * (the entropy-rate discipline); `u_ab_micro = round(mi/h_a·10⁶)` is
+    * a division of two ALREADY-QUANTIZED longs — engine-trivial. NULL U
+    * when the conditioned side is constant (H = 0). NULL values drop.
+    *
+    * Scale shape: one corpus hash aggregate to cells, two bounded
+    * marginal aggregates, 1-row joins. No windows.
+    *
+    * Output: ONE row (n_rows, n_a, n_b, h_a_pico, h_b_pico, mi_pico,
+    * u_ab_micro, u_ba_micro); no rows on empty input.
+    */
+  def uncertaintyCoefficient(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val rows = cells.groupBy(col("_a")).agg(sum(col("_n")).as("_r"))
+    val cols = cells.groupBy(col("_b")).agg(sum(col("_n")).as("_c"))
+    val tot = cells.agg(sum(col("_n")).as("_t"))
+    def entropyPico(m: DataFrame, cnt: String) = m.crossJoin(broadcast(tot))
+      .select(col("_t"),
+        (col(cnt).cast(dec) *
+          round(log(col("_t").cast("double") / col(cnt).cast("double"))
+            * 1.0e12).cast("long").cast(dec)).as("_e"))
+      .groupBy(col("_t"))
+      .agg(count(lit(1)).as("_k"), sum(col("_e")).as("_es"))
+      .select(col("_k"),
+        round(col("_es").cast("double") / col("_t").cast("double"))
+          .cast("long").as("_h"))
+    val ha = entropyPico(rows, "_r")
+      .select(col("_k").as("n_a"), col("_h").as("h_a_pico"))
+    val hb = entropyPico(cols, "_c")
+      .select(col("_k").as("n_b"), col("_h").as("h_b_pico"))
+    val mi = cells
+      .join(rows, "_a").join(cols, "_b").crossJoin(broadcast(tot))
+      .select(col("_t"),
+        (col("_n").cast(dec) *
+          round(log((col("_t").cast("double") * col("_n").cast("double"))
+            / (col("_r").cast("double") * col("_c").cast("double")))
+            * 1.0e12).cast("long").cast(dec)).as("_m"))
+      .groupBy(col("_t")).agg(sum(col("_m")).as("_ms"))
+      .select(col("_t").as("n_rows"),
+        round(col("_ms").cast("double") / col("_t").cast("double"))
+          .cast("long").as("mi_pico"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .select(col("n_rows"), col("n_a"), col("n_b"),
+        col("h_a_pico"), col("h_b_pico"), col("mi_pico"),
+        when(col("h_a_pico") > 0L,
+          round(col("mi_pico").cast("double") / col("h_a_pico").cast("double")
+            * 1.0e6).cast("long")).as("u_ab_micro"),
+        when(col("h_b_pico") > 0L,
+          round(col("mi_pico").cast("double") / col("h_b_pico").cast("double")
+            * 1.0e6).cast("long")).as("u_ba_micro"))
+  }
+
+  /** Per-group conversion risk ratio with Wilson 95% bounds (Wilson
+    * JASA '27 — the small-sample-safe proportion interval) vs the rest
+    * of the corpus: the segment-screen behind "does THIS source/type
+    * convert differently?", with uncertainty bars a raw rate can't give.
+    *
+    * Exact law: counts are exact integers; `rate_micro = round(s/n·10⁶)`;
+    * `rr_micro = round((s_g/n_g)/(s_r/n_r)·10⁶)` (NULL when the rest has
+    * no successes or either side is empty); the Wilson bounds are one
+    * fixed double chain with z = 1.96 and ONE IEEE sqrt (correctly
+    * rounded, engine-stable):
+    *
+    *   center = (p + z²/2n)/(1 + z²/n),
+    *   half   = (z/(1 + z²/n))·√(p(1−p)/n + z²/4n²).
+    *
+    * NULL successCol rows assert nothing and drop.
+    *
+    * Scale shape: ONE corpus hash aggregate (map-side combined) + a
+    * 1-row broadcast total. No windows, no joins.
+    *
+    * Output: (grp, n, successes, rate_micro, rr_micro, wilson_lo_micro,
+    * wilson_hi_micro), one row per group, ordered by grp.
+    */
+  def riskRatioByGroup(df: DataFrame, groupCol: String,
+      successCol: String): DataFrame = {
+    val z = 1.96
+    val per = df.filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("successes"))
+    val tot = per.agg(sum(col("n")).as("_tn"), sum(col("successes")).as("_ts"))
+    val nD = col("n").cast("double")
+    val p = col("successes").cast("double") / nD
+    val z2n = lit(z * z) / nD
+    val center = (p + z2n / lit(2.0)) / (lit(1.0) + z2n)
+    val half = (lit(z) / (lit(1.0) + z2n)) *
+      sqrt(p * (lit(1.0) - p) / nD + lit(z * z) / (lit(4.0) * nD * nD))
+    val restN = (col("_tn") - col("n")).cast("double")
+    val restS = (col("_ts") - col("successes")).cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("successes"),
+        round(p * 1.0e6).cast("long").as("rate_micro"),
+        when(col("_tn") > col("n") && col("_ts") > col("successes"),
+          round((p / (restS / restN)) * 1.0e6).cast("long")).as("rr_micro"),
+        round(greatest(lit(0.0), center - half) * 1.0e6).cast("long")
+          .as("wilson_lo_micro"),
+        round(least(lit(1.0), center + half) * 1.0e6).cast("long")
+          .as("wilson_hi_micro"))
+      .orderBy(col("grp"))
+  }
+
   def rankEffect(df: DataFrame, valueCol: String,
       isACol: String): DataFrame = {
     val dec = "decimal(38,0)"

@@ -114,4 +114,40 @@ object Layout {
       .select(col("shard").cast("long").as("shard"), col("n_rows"),
         col("weight"), col("skew_ratio"))
   }
+
+  /** Ingestion-continuity audit over an id column: which id-range
+    * buckets are missing members — the "did a shard of the crawl
+    * silently drop?" screen a monotone-id pipeline runs after every
+    * bulk load (a hole of exactly one loader-batch width names the
+    * failed task).
+    *
+    * Exact law over the DISTINCT id set (duplicates are [[graft.ops.Dedup]]'s
+    * problem, not this audit's): bucket = id div `bucketSize`; per
+    * bucket, `missing = (max − min + 1) − n_ids` counts the holes
+    * STRICTLY INSIDE the bucket's observed span (edge buckets' open
+    * flanks are unobservable without an external manifest — by law they
+    * do not count). Top `k` buckets by (missing desc, bucket) — a total
+    * order.
+    *
+    * Scale shape: one distinct + one bucket hash aggregate (map-side
+    * combined), TakeOrdered top-k. NO corpus-order window anywhere —
+    * the classic lag-over-ids gap scan is a single-task sort at 100 TB;
+    * the bucket law is embarrassingly parallel.
+    *
+    * Output: (bucket, n_ids, min_id, max_id, missing) — top `k`.
+    */
+  def idGapReport(df: DataFrame, idCol: String, bucketSize: Long = 10000L,
+      k: Int = 25): DataFrame = {
+    require(bucketSize >= 2L, s"bucketSize must be >= 2, got $bucketSize")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id")).distinct()
+      .groupBy(expr(s"_id div ${bucketSize}L").as("bucket"))
+      .agg(count(lit(1)).as("n_ids"), min(col("_id")).as("min_id"),
+        max(col("_id")).as("max_id"))
+      .select(col("bucket"), col("n_ids"), col("min_id"), col("max_id"),
+        (col("max_id") - col("min_id") + 1L - col("n_ids")).as("missing"))
+      .orderBy(col("missing").desc, col("bucket"))
+      .limit(k)
+  }
 }

@@ -1428,4 +1428,48 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
+
+  /** Embedding-space isotropy screen: the cosine distribution of a
+    * DETERMINISTIC linear pair sample — Ethayarajh EMNLP '19 measures
+    * exactly this surface ("how anisotropic are the representations":
+    * random-pair cosine should center near 0 for a healthy space; a
+    * collapsed encoder pushes the whole histogram toward 1, and that
+    * failure is invisible to any per-vector stat).
+    *
+    * Law: vector v pairs with vector v+`shift` (ids that exist on both
+    * sides — a deterministic O(n) pair sample, never all-pairs); cosine
+    * is the shared `graft_cosine` kernel (sequential-fold dots, IEEE
+    * bit-stable across engines); bins are `floor(cos·halfBins)` clamped
+    * to [−halfBins, halfBins−1] (cos = 1.0 lands in the top bin);
+    * non-finite cosines (zero-norm vectors) drop, counted nowhere.
+    * `share_micro = round(n/total·10⁶)` per bin.
+    *
+    * Scale shape: ONE self-equi-join on the shifted id (hash join, no
+    * broadcast needed — both sides are the corpus), one ≤2·halfBins-row
+    * hash aggregate + broadcast total.
+    *
+    * Output: (bin, n_pairs, share_micro), ordered by bin.
+    */
+  def cosineHistogram(df: DataFrame, idCol: String, vecCol: String,
+      shift: Long = 1009L, halfBins: Int = 10): DataFrame = {
+    require(shift >= 1L, s"shift must be >= 1, got $shift")
+    require(halfBins >= 1, s"halfBins must be >= 1, got $halfBins")
+    val e = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+    val cosCol = nativeCosine(e, col("_va"), col("_vb"))
+    val binned = e.select(col("_id"), col("_v").as("_va"))
+      .join(e.select((col("_id") - shift).as("_id"), col("_v").as("_vb")),
+        "_id")
+      .select(cosCol.as("_cos"))
+      .filter(!isnan(col("_cos")) && col("_cos").isNotNull)
+      .select(least(greatest(floor(col("_cos") * halfBins),
+        lit(-halfBins.toLong)), lit(halfBins.toLong - 1L))
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    binned.crossJoin(broadcast(binned.agg(sum(col("n_pairs")).as("_t"))))
+      .select(col("bin"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("_t").cast("double")
+          * 1.0e6).cast("long").as("share_micro"))
+      .orderBy(col("bin"))
+  }
 }

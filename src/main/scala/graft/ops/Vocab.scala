@@ -599,6 +599,54 @@ object Vocab {
       .select(col("token"), col("a"), col("b"), col("g2_micro"), col("enriched"))
   }
 
+  /** Per-stratum lexical diversity profile — the three classic indices
+    * at once (Hill '73 frames them as one family): vocabulary richness
+    * q0 = |distinct tokens|, Shannon entropy H = Σ p·ln(1/p) (nats,
+    * pico), and the inverse Simpson concentration N²/Σc² (milli;
+    * Hill's q=2 — "how many EQUALLY-COMMON tokens would look like
+    * this"). Richness counts types, entropy weighs the torso, inverse
+    * Simpson the head — a template-generated source shows high q0 with
+    * collapsed q2 while natural text keeps them proportionate.
+    *
+    * Exact law: per-token terms `c·Q(ln(N/c))` quantize BEFORE the
+    * DECIMAL Σ (the entropy-rate discipline), `shannon_pico =
+    * round(Σ/N)` is one division; inverse Simpson is one division of
+    * exact integer sums `round(N²/Σc²·1000)`. NULL strata drop;
+    * token-free strata emit nothing.
+    *
+    * Scale shape: one tokenize pass → one (stratum, token) hash
+    * aggregate (map-side combined) → one |strata|-row aggregate. No
+    * windows, no joins.
+    *
+    * Output: (stratum, n_tokens, vocab_q0, shannon_pico,
+    * inv_simpson_milli), ordered by stratum.
+    */
+  def diversityProfile(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        explode(TextFns.tokens(col(textCol))).as("_t"))
+      .groupBy(col("stratum"), col("_t")).agg(count(lit(1)).as("_c"))
+    val ns = counts.groupBy(col("stratum")).agg(sum(col("_c")).as("_n"))
+    counts.join(ns, "stratum")
+      .select(col("stratum"), col("_n"), col("_c"),
+        (col("_c").cast(dec) *
+          round(log(col("_n").cast("double") / col("_c").cast("double"))
+            * 1.0e12).cast("long").cast(dec)).as("_e"),
+        (col("_c").cast(dec) * col("_c").cast(dec)).as("_c2"))
+      .groupBy(col("stratum"))
+      .agg(max(col("_n")).as("n_tokens"), count(lit(1)).as("vocab_q0"),
+        sum(col("_e")).as("_es"), sum(col("_c2")).as("_s2"))
+      .select(col("stratum"), col("n_tokens"), col("vocab_q0"),
+        round(col("_es").cast("double") / col("n_tokens").cast("double"))
+          .cast("long").as("shannon_pico"),
+        round(col("n_tokens").cast("double") * col("n_tokens").cast("double")
+          / col("_s2").cast("double") * 1000.0).cast("long")
+          .as("inv_simpson_milli"))
+      .orderBy(col("stratum"))
+  }
+
   /** Heaps'-law fit of vocabulary growth (Heaps '78 / Herdan '60:
     * V(n) ≈ K·n^β, β ≈ 0.5 for natural language) over DOUBLING id
     * prefixes of the corpus: prefix j is the documents with id < 2^j,

@@ -803,4 +803,89 @@ trait EvalQueries { self: RegistryAll =>
       |   ELSE 0 END AS bleu_pico
       | FROM lens LEFT JOIN s ON s.doc_id = lens.doc_id
       | ORDER BY lens.doc_id""".stripMargin.replace("\n", " ")
+
+  /** Theil's uncertainty coefficient between source and length bucket
+    * ([[graft.ops.Eval.uncertaintyCoefficient]], Theil '70): the
+    * NORMALIZED, directional form of q_mutual_info — U(a|b) = MI/H(a),
+    * the fraction of a's entropy knowing b removes. Same cell scaffold;
+    * marginal entropies pico-quantized per value before the DECIMAL Σ;
+    * the coefficient is a division of two already-quantized longs.
+    */
+  def qUncertaintyCoef(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.uncertaintyCoefficient(
+      t(spark, dir, "documents")
+        .select(col("source"),
+          expr("cast(n_chars as bigint) div 100").as("len_bin")),
+      "source", "len_bin")
+
+  lazy val qUncertaintyCoefSql: String =
+    """WITH base AS (SELECT source AS a, CAST(n_chars AS BIGINT) // 100 AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2),
+      | rw AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+      | cl AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+      | tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells),
+      | ha AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+      |   CAST(round(CAST(SUM(CAST(r AS HUGEINT) *
+      |     CAST(round(ln(CAST(tt.t AS DOUBLE) / CAST(r AS DOUBLE)) * 1e12)
+      |      AS BIGINT)) AS DOUBLE) / CAST(MAX(tt.t) AS DOUBLE)) AS BIGINT)
+      |    AS h_a FROM rw CROSS JOIN tt),
+      | hb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+      |   CAST(round(CAST(SUM(CAST(c AS HUGEINT) *
+      |     CAST(round(ln(CAST(tt.t AS DOUBLE) / CAST(c AS DOUBLE)) * 1e12)
+      |      AS BIGINT)) AS DOUBLE) / CAST(MAX(tt.t) AS DOUBLE)) AS BIGINT)
+      |    AS h_b FROM cl CROSS JOIN tt),
+      | mi AS (SELECT MAX(tt.t) AS n_rows,
+      |   CAST(round(CAST(SUM(CAST(n AS HUGEINT) *
+      |     CAST(round(ln((CAST(tt.t AS DOUBLE) * CAST(n AS DOUBLE))
+      |       / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))) * 1e12) AS BIGINT))
+      |      AS DOUBLE) / CAST(MAX(tt.t) AS DOUBLE)) AS BIGINT) AS mi
+      |  FROM cells JOIN rw USING (a) JOIN cl USING (b) CROSS JOIN tt)
+      | SELECT n_rows, n_a, n_b, h_a AS h_a_pico, h_b AS h_b_pico,
+      |  mi AS mi_pico,
+      |  CASE WHEN h_a > 0 THEN CAST(round(CAST(mi AS DOUBLE)
+      |    / CAST(h_a AS DOUBLE) * 1e6) AS BIGINT) END AS u_ab_micro,
+      |  CASE WHEN h_b > 0 THEN CAST(round(CAST(mi AS DOUBLE)
+      |    / CAST(h_b AS DOUBLE) * 1e6) AS BIGINT) END AS u_ba_micro
+      | FROM mi CROSS JOIN ha CROSS JOIN hb
+      | WHERE n_rows IS NOT NULL""".stripMargin.replace("\n", " ")
+
+  /** Per-event-type conversion risk ratio with Wilson 95% bounds
+    * ([[graft.ops.Eval.riskRatioByGroup]], Wilson '27): does this type
+    * clear value ≥ 100 more often than the rest? — exact counts, one
+    * fixed double chain per bound (a single IEEE sqrt).
+    */
+  def qRiskRatio(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.riskRatioByGroup(
+      t(spark, dir, "events")
+        .withColumn("hit", col("value") >= 100.0),
+      "event_type", "hit")
+
+  lazy val qRiskRatioSql: String =
+    """WITH per AS (SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS successes
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1),
+      | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+      |   CAST(SUM(successes) AS BIGINT) AS ts FROM per),
+      | w AS (SELECT grp, n, successes, tn, ts,
+      |   CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |   (1.96 * 1.96) / CAST(n AS DOUBLE) AS z2n
+      |  FROM per CROSS JOIN tot)
+      | SELECT grp, n, successes,
+      |  CAST(round(p * 1e6) AS BIGINT) AS rate_micro,
+      |  CASE WHEN tn > n AND ts > successes THEN
+      |   CAST(round((p / (CAST(ts - successes AS DOUBLE)
+      |     / CAST(tn - n AS DOUBLE))) * 1e6) AS BIGINT) END AS rr_micro,
+      |  CAST(round(GREATEST(0.0, (p + z2n / 2.0) / (1.0 + z2n)
+      |    - (1.96 / (1.0 + z2n)) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+      |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |   * 1e6) AS BIGINT) AS wilson_lo_micro,
+      |  CAST(round(LEAST(1.0, (p + z2n / 2.0) / (1.0 + z2n)
+      |    + (1.96 / (1.0 + z2n)) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+      |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+      |   * 1e6) AS BIGINT) AS wilson_hi_micro
+      | FROM w ORDER BY grp""".stripMargin.replace("\n", " ")
 }

@@ -556,4 +556,25 @@ trait RelationalQueries { self: RegistryAll =>
       | SELECT event_type, quartile, COUNT(*) AS n,
       |  min(value) AS lo, max(value) AS hi
       | FROM q GROUP BY 1, 2 ORDER BY event_type, quartile""".stripMargin.replace("\n", " ")
+
+  /** Ingestion-continuity audit over order keys
+    * ([[graft.ops.Layout.idGapReport]]): which 1000-wide id-range
+    * buckets are missing members — TPC-H order keys are sparse by
+    * construction, so the report has real holes to rank. NO
+    * corpus-order window (the classic lag-over-ids scan is a
+    * single-task sort at 100 TB) — one distinct, one bucket hash
+    * aggregate, TakeOrdered.
+    */
+  def qIdGaps(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.idGapReport(t(spark, dir, "orders"),
+      "o_orderkey", bucketSize = 1000L, k = 25)
+
+  lazy val qIdGapsSql: String =
+    """WITH ids AS (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS id
+      |  FROM orders WHERE o_orderkey IS NOT NULL),
+      | b AS (SELECT id // 1000 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |   MIN(id) AS min_id, MAX(id) AS max_id FROM ids GROUP BY 1)
+      | SELECT bucket, n_ids, min_id, max_id,
+      |  max_id - min_id + 1 - n_ids AS missing
+      | FROM b ORDER BY missing DESC, bucket LIMIT 25""".stripMargin.replace("\n", " ")
 }

@@ -661,4 +661,34 @@ trait SimilarityQueries { self: RegistryAll =>
       |  CAST(ab AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE)))
       |   AS centroid_cos
       | FROM ng JOIN dots USING (grp) ORDER BY grp""".stripMargin.replace("\n", " ")
+
+  /** Embedding-space isotropy screen
+    * ([[graft.ops.Similarity.cosineHistogram]], the Ethayarajh EMNLP'19
+    * surface): cosine histogram of the deterministic (v, v+1009) pair
+    * sample — a collapsed encoder pushes the whole histogram toward 1,
+    * invisible to per-vector stats. The shared `graft_cosine` kernel is
+    * bit-stable against DuckDB's `list_dot_product` chain (the
+    * q_ann_cosine law), so the HISTOGRAM hash-oracles exactly.
+    */
+  def qCosHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.cosineHistogram(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", shift = 1009L, halfBins = 10)
+
+  lazy val qCosHistogramSql: String =
+    """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+      |   embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id IS NOT NULL),
+      | p AS (SELECT a.v AS va, b.v AS vb FROM e a
+      |  JOIN e b ON b.id = a.id + 1009),
+      | c AS (SELECT list_dot_product(va, vb)
+      |   / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+      |   AS cs FROM p),
+      | bn AS (SELECT CAST(LEAST(GREATEST(floor(cs * 10), -10), 9) AS BIGINT)
+      |   AS bin FROM c WHERE cs IS NOT NULL AND NOT isnan(cs)),
+      | g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM bn GROUP BY 1),
+      | t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM g)
+      | SELECT bin, n_pairs,
+      |  CAST(round(CAST(n_pairs AS DOUBLE) / CAST(t.t AS DOUBLE) * 1e6)
+      |   AS BIGINT) AS share_micro
+      | FROM g CROSS JOIN t ORDER BY bin""".stripMargin.replace("\n", " ")
 }

@@ -1450,4 +1450,35 @@ trait TextQueries { self: RegistryAll =>
       |       * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) AS BIGINT)
       |  END AS lnk_micro
       | FROM ag WHERE k >= 2""".stripMargin.replace("\n", " ")
+
+  /** Per-source lexical diversity profile
+    * ([[graft.ops.Vocab.diversityProfile]], Hill '73's q=0/1/2 family):
+    * vocabulary richness, Shannon entropy (pico), inverse Simpson
+    * (milli) side by side — template-generated text shows high richness
+    * with collapsed inverse-Simpson. Per-token entropy terms
+    * pico-quantized before the exact Σ; Simpson one division of exact
+    * integer sums.
+    */
+  def qDiversityProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.diversityProfile(t(spark, dir, "documents"),
+      "source", "text")
+
+  lazy val qDiversityProfileSql: String =
+    s"""WITH toks AS (SELECT source AS stratum, unnest($tokensSql) AS t
+      |  FROM documents WHERE source IS NOT NULL),
+      | cnt AS (SELECT stratum, t, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1, 2),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS n
+      |  FROM cnt GROUP BY 1)
+      | SELECT cnt.stratum, MAX(ns.n) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab_q0,
+      |  CAST(round(CAST(SUM(CAST(c AS HUGEINT) *
+      |    CAST(round(ln(CAST(ns.n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e12)
+      |     AS BIGINT)) AS DOUBLE) / CAST(MAX(ns.n) AS DOUBLE)) AS BIGINT)
+      |   AS shannon_pico,
+      |  CAST(round(CAST(MAX(ns.n) AS DOUBLE) * CAST(MAX(ns.n) AS DOUBLE)
+      |    / CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) * 1000.0) AS BIGINT)
+      |   AS inv_simpson_milli
+      | FROM cnt JOIN ns USING (stratum) GROUP BY cnt.stratum
+      | ORDER BY stratum""".stripMargin.replace("\n", " ")
 }

@@ -474,4 +474,48 @@ class EvalSpec extends SparkSpec {
     assert((oneSided.getLong(0), oneSided.getLong(1)) === ((2L, 0L)))
     assert(oneSided.isNullAt(6))
   }
+  test("uncertaintyCoefficient: bijection = 1.0 both ways, independence = 0, constant side NULL") {
+    import spark.implicits._
+    // a <-> b bijection: MI = H(a) = H(b) (same quantized sums) -> U = 1e6
+    val bij = Seq(("x", 1L), ("y", 2L), ("x", 1L), ("y", 2L), ("z", 3L))
+      .toDF("a", "b")
+    val r1 = Eval.uncertaintyCoefficient(bij, "a", "b").collect().head
+    assert(r1.getLong(6) === 1000000L && r1.getLong(7) === 1000000L)
+    assert(r1.getLong(3) === r1.getLong(5), "H(a) = MI under bijection")
+    // balanced independence: every cell n/4 -> MI terms ln(1) = 0
+    val ind = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L)).toDF("a", "b")
+    val r2 = Eval.uncertaintyCoefficient(ind, "a", "b").collect().head
+    assert(r2.getLong(5) === 0L && r2.getLong(6) === 0L && r2.getLong(7) === 0L)
+    // constant a: H(a) = 0 -> u_ab NULL (visible, not a division blowup)
+    val const = Seq(("x", 1L), ("x", 2L)).toDF("a", "b")
+    val r3 = Eval.uncertaintyCoefficient(const, "a", "b").collect().head
+    assert(r3.isNullAt(6) && r3.getLong(7) === 0L)
+  }
+
+  test("riskRatioByGroup: hand-exact ratio, Scala Wilson replay, lone group NULL rr") {
+    import spark.implicits._
+    val df = Seq(("x", true), ("x", true), ("x", false), ("x", false),
+      ("y", true), ("y", false), ("y", false), ("y", false))
+      .toDF("grp", "hit")
+    val got = Eval.riskRatioByGroup(df, "grp", "hit")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(got("x")._4 === 2000000L, "0.5 vs rest 0.25 -> rr 2.0")
+    assert(got("y")._4 === 500000L)
+    // Wilson replay for x: n=4, s=2, p=0.5
+    def wilson(n: Double, p: Double): (Long, Long) = {
+      val z = 1.96
+      val z2n = z * z / n
+      val center = (p + z2n / 2.0) / (1.0 + z2n)
+      val half = (z / (1.0 + z2n)) *
+        math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      (math.round(math.max(0.0, center - half) * 1e6),
+        math.round(math.min(1.0, center + half) * 1e6))
+    }
+    assert((got("x")._5, got("x")._6) === wilson(4.0, 0.5))
+    // a lone group has no rest: rr NULL
+    val lone = Seq(("only", true), ("only", false)).toDF("grp", "hit")
+    assert(Eval.riskRatioByGroup(lone, "grp", "hit").collect().head.isNullAt(4))
+  }
 }

@@ -153,4 +153,16 @@ class LayoutSpec extends SparkSpec {
     assert(got.head.getLong(1) === 2L)
     assert(got.head.getLong(2) === 5L)
   }
+  test("idGapReport: holes inside the observed span count, open flanks don't, duplicates collapse") {
+    import spark.implicits._
+    // bucket 0 (ids 0,1,2,5,9): span 10, missing 5; bucket 2 (20..24):
+    // contiguous, missing 0 (the 25..29 flank is unobservable by law)
+    val ids = Seq(0L, 1L, 2L, 5L, 9L, 9L, 20L, 21L, 22L, 23L, 24L).toDF("id")
+    val got = Layout.idGapReport(ids, "id", bucketSize = 10L, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) === ((5L, 0L, 9L, 5L)))
+    assert(got(2L) === ((5L, 20L, 24L, 0L)))
+    assert(got.size === 2)
+  }
 }

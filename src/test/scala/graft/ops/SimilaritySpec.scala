@@ -691,4 +691,20 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(got === Set(3L), "a NULL-label query must only draw labeled candidates")
   }
+  test("cosineHistogram: planted identical/orthogonal/opposite pairs land in their bins; NaN drops") {
+    import spark.implicits._
+    // shift=10: pairs (0,10) identical -> bin 9; (1,11) orthogonal -> bin 0;
+    // (2,12) opposite -> clamped bin -10; (3,13) zero-norm -> NaN, dropped
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (10L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (12L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f)), (13L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineHistogram(vecs, "vec_id", "embedding",
+      shift = 10L, halfBins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(9L -> ((1L, 333333L)), 0L -> ((1L, 333333L)),
+      -10L -> ((1L, 333333L))))
+  }
 }

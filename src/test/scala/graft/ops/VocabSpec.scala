@@ -344,4 +344,16 @@ class VocabSpec extends SparkSpec {
     val single = Seq((0L, "a b c")).toDF("doc_id", "text")
     assert(Vocab.heapsLawFit(single, "doc_id", "text").count() === 0L)
   }
+  test("diversityProfile: uniform vocab hand-exact, constant token degenerate") {
+    import spark.implicits._
+    val docs = Seq(("u", "a b c d"), ("c", "same same same same"))
+      .toDF("src", "text")
+    val got = Vocab.diversityProfile(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // uniform: H = ln 4 exactly (one quantized term per token), 1/Simpson = 4
+    assert(got("u") === ((4L, 4L, math.round(math.log(4.0) * 1e12), 4000L)))
+    // constant: single type -> H = 0, 1/Simpson = 1
+    assert(got("c") === ((4L, 1L, 0L, 1000L)))
+  }
 }
