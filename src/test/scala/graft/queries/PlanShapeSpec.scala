@@ -989,4 +989,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"ingest plan funnels through one partition:\n$p")
   }
+
+  test("q_ngram_jaccard: df-capped law — anti-join guard present, no cartesian, no corpus-order window") {
+    val p = plan("q_ngram_jaccard")
+    // the dropped-shingle exclusion must stay an ANTI join (the skew cap's
+    // plan witness), the pair stage an equi join (never a cartesian), and
+    // no window may impose a global corpus order
+    assert(p.contains("LeftAnti"), s"df-cap anti join missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.toLowerCase.contains("windowexec") ||
+      !p.contains("SinglePartition"),
+      s"corpus-order window in the pair law:\n$p")
+  }
+
+  test("q_rank_effect / q_lorenz_deciles: the value-table prefix sum is pid-partitioned, never a single-task sort") {
+    Seq("q_rank_effect", "q_lorenz_deciles").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("_ps_pid"),
+        s"$q lost the distributed prefix-sum shape:\n$p")
+    }
+  }
 }
