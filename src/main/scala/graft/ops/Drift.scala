@@ -219,36 +219,31 @@ object Drift {
     * double division renders the statistic.
     *
     * Scale shape: one hash aggregate to (stratum, value) counts — the
-    * support is strata × DISTINCT metric values, never the corpus — then
-    * two bounded windows (per-stratum cumulative, global-per-value
-    * cumulative) and a |strata|-row max aggregate. The global cumulative
-    * is an unpartitioned window, so "bounded" means the metric's VALUE
-    * DOMAIN: right for counts/lengths/scores with ≲10⁶ distinct values;
-    * quantize a continuous or unbounded-domain metric upstream (KS on a
-    * rounded metric is KS of the rounded distributions — still exact).
-    * That contract is ENFORCED, not just documented: `maxDistinctValues`
-    * (default 10⁶) is checked in-plan — a wider domain fails the job
-    * with a quantize-upstream message BEFORE the single-task sort runs,
-    * instead of silently funneling the support through one task. The
-    * guard costs one extra count over the (already shuffled, reused)
-    * support aggregate, not a second corpus scan.
+    * support is strata × DISTINCT metric values, never the corpus. The
+    * global-per-value cumulative runs on [[PrefixSum.inclusive]]
+    * (range-repartition → pid-partitioned window → ≤shuffle.partitions-
+    * row offsets broadcast), so an arbitrarily wide value domain
+    * distributes instead of funneling one task — the r15 guard
+    * (`maxDistinctValues` + in-plan assert) is RETIRED; quantizing a
+    * continuous metric upstream remains a sound cost lever (KS of the
+    * rounded distributions is still exact) but is no longer a
+    * correctness ceiling. The remaining per-stratum cumulative window
+    * partitions by stratum: each stratum's support sorts in its own
+    * task, parallel across strata (the [[wasserstein1]] posture).
     *
     * Output: (stratum, n, n_rest, ks) — strata with an empty rest side
     * (single-stratum corpus) report NULL ks (undefined, not 0).
     */
-  def ksDrift(df: DataFrame, stratumCol: String, valueCol: String,
-      maxDistinctValues: Long = 1000000L): DataFrame = {
+  def ksDrift(df: DataFrame, stratumCol: String,
+      valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val cnt = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(stratumCol).as("stratum"),
         col(valueCol).cast("long").as("_v"))
       .agg(count(lit(1)).as("_c"))
     val ns = cnt.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
-    val vals = guardValueDomain(
-      cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv")),
-      maxDistinctValues, "ksDrift")
-    val wAllCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
-    val valsCum = vals.withColumn("_cumAll", sum(col("_cv")).over(wAllCum))
+    val vals = cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val valsCum = PrefixSum.inclusive(vals, "_v", col("_cv"), "_cumAll")
       .select(col("_v"), col("_cumAll"))
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stratum")).orderBy(col("_v"))
@@ -493,31 +488,14 @@ object Drift {
     psiAgainstCounts(valueCounts(batch, valueCol),
       RefStore.loadValueCounts(batch.sparkSession, storeDir), binWidth)
 
-  /** In-plan value-domain guard for the KS family's unpartitioned
-    * cumulative windows: fail the job with a quantize-upstream message
-    * when the support frame holds more than `maxDistinct` rows. The
-    * check stays IN the plan (a 1-row broadcast count + an `assert_true`
-    * filter) so no extra driver job runs and the support aggregate's
-    * exchange is reused, and it sits UPSTREAM of the window exchange so
-    * the failure fires before the single-task sort materializes. The
-    * companion WindowExec log filter ([[graft.LogLevels]]) silences only
-    * the known bounded-frame warning — this guard is what catches the
-    * unbounded case it would otherwise have flagged.
-    */
-  private def guardValueDomain(vals: DataFrame, maxDistinct: Long,
-      op: String): DataFrame = {
-    val nv = vals.agg(count(lit(1)).as("_nv"))
-    vals.crossJoin(broadcast(nv))
-      .filter(coalesce(
-        assert_true(col("_nv") <= maxDistinct,
-          lit(s"$op: metric value domain exceeds maxDistinctValues=$maxDistinct " +
-            "distinct values — the global cumulative window would sort the whole " +
-            "support in one task; quantize the metric upstream (KS of the rounded " +
-            "distributions is still exact) or raise the bound deliberately"))
-          .cast("boolean"),
-        lit(true)))
-      .drop("_nv")
-  }
+  // The r15 `guardValueDomain` in-plan assert (quantize-upstream failure
+  // at >10⁶ distinct values) lived here until round 16: it protected the
+  // KS family's UNPARTITIONED cumulative windows from silently funneling
+  // a wide value domain through one task. Both windows now run on
+  // [[PrefixSum.inclusive]] (distributed, bounded by configuration), so
+  // the ceiling — and the guard — are gone. The reusable posture survives
+  // as [[Guards.boundedDomain]] for ops whose global order is inherent
+  // (e.g. [[Mixture.waterfillAllocations]]'s waterline sort).
 
   /** The (value, count) histogram of an integer metric — the commit unit
     * of the [[RefStore.writeValueCounts]] family and the two-sample input
@@ -535,23 +513,25 @@ object Drift {
     * values, each term `|cumA·n_b − cumB·n_a|` cross-multiplied in
     * DECIMAL(38,0), one double division. Returns ONE row
     * (n_batch, n_ref, ks); an empty side yields NULL ks.
+    *
+    * Scale shape: BOTH cumulatives and BOTH grand totals ride one
+    * [[PrefixSum.inclusiveAll]] pass (single range shuffle; totals come
+    * off the bounded per-partition-totals table, so the histogram
+    * lineage — a corpus aggregate in [[ksAgainstStored]] — is derived
+    * exactly once). The r15 value-domain guard is retired ([[ksDrift]]
+    * note): a wide merged support distributes instead of failing.
     */
-  def ksAgainstCounts(batchCounts: DataFrame, refCounts: DataFrame,
-      maxDistinctValues: Long = 1000000L): DataFrame = {
+  def ksAgainstCounts(batchCounts: DataFrame,
+      refCounts: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val a = batchCounts.select(col("_v"), col("_c").as("_ca"))
     val b = refCounts.select(col("_v"), col("_c").as("_cb"))
-    val merged = guardValueDomain(
-      a.join(b, Seq("_v"), "full_outer")
-        .na.fill(0L, Seq("_ca", "_cb")),
-      maxDistinctValues, "ksAgainstCounts")
-    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    merged
-      .withColumn("_cumA", sum(col("_ca")).over(wCum))
-      .withColumn("_cumB", sum(col("_cb")).over(wCum))
-      .withColumn("_na", sum(col("_ca")).over(wAll))
-      .withColumn("_nb", sum(col("_cb")).over(wAll))
+    val merged = a.join(b, Seq("_v"), "full_outer")
+      .na.fill(0L, Seq("_ca", "_cb"))
+    PrefixSum.inclusiveAll(merged, "_v",
+        Seq(col("_ca") -> "_cumA", col("_cb") -> "_cumB"), withTotals = true)
+      .withColumnRenamed("_cumA_total", "_na")
+      .withColumnRenamed("_cumB_total", "_nb")
       .withColumn("_term",
         abs(col("_cumA").cast(dec) * col("_nb").cast(dec) -
           col("_cumB").cast(dec) * col("_na").cast(dec)))

@@ -53,38 +53,6 @@ object Mixture {
       .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
       .drop("_stratum", "epochs")
 
-  /** Token-budget waterfilling: given per-domain AVAILABLE token counts and
-    * target mixture weights, allocate a total `budget` proportionally to
-    * the weights, capping each domain at its availability and
-    * redistributing the overflow to the uncapped domains — the standard
-    * "fill to the water line" mixture solver a 100 TB pretraining run uses
-    * to turn (weights, budget) into per-domain sampling quotas.
-    *
-    * The algorithm sorts domains by saturation ratio `avail/weight`
-    * ascending, finds the first domain the rising water line does NOT
-    * cap, and splits: capped domains contribute `avail`, uncapped get
-    * `floor((budget - Σ capped avail) · w_d / Σ uncapped w)`.
-    *
-    * ENGINE-EXACT by construction: weights are integer micro-units,
-    * saturation tests compare cross-multiplied products — carried in
-    * DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB, because
-    * budget·weight products overflow BIGINT right at the documented
-    * scale (2.5e13 tokens × 1e6 micro-weights ≈ 2.5e19 > 2^63) — and
-    * allocations are integer floor divisions (`DIV`/`//`, never `/`:
-    * Spark's Divide on integral types routes through DOUBLE, exact only
-    * to 2^53). The ONLY double is the sort ratio, a single IEEE division
-    * identical in every engine. Σ alloc ≤ budget with a sub-|domains|
-    * token shortfall from the floors (documented, standard).
-    *
-    * Non-positive weights (w ≤ 0 = "domain present but excluded") take no
-    * part in the waterline: they allocate 0 unsaturated, and cannot
-    * divide-by-zero the solve.
-    *
-    * Input: one row per domain (a BOUNDED stats frame — the per-domain
-    * aggregate upstream is where the data-sized work happened); the
-    * windows here run over |domains| rows, the quantile-threshold posture.
-    * Output: (domain, available, weight_micro, alloc_tokens, saturated).
-    */
   /** Temperature-scaled MIXING PROBABILITIES over per-stratum token mass —
     * the standard multilingual/multi-source sampling law (Raffel et al.
     * JMLR'20 §3.4.2 mC4 mixing; Conneau & Lample NeurIPS'19 §3.1):
@@ -128,14 +96,64 @@ object Mixture {
       .select(col("stratum"), col("n_tokens"), col("w_micro"), col("p_ppb"))
   }
 
+  /** Token-budget waterfilling: given per-domain AVAILABLE token counts and
+    * target mixture weights, allocate a total `budget` proportionally to
+    * the weights, capping each domain at its availability and
+    * redistributing the overflow to the uncapped domains — the standard
+    * "fill to the water line" mixture solver a 100 TB pretraining run uses
+    * to turn (weights, budget) into per-domain sampling quotas.
+    *
+    * The algorithm sorts domains by saturation ratio `avail/weight`
+    * ascending, finds the first domain the rising water line does NOT
+    * cap, and splits: capped domains contribute `avail`, uncapped get
+    * `floor((budget - Σ capped avail) · w_d / Σ uncapped w)`.
+    *
+    * ENGINE-EXACT by construction: weights are integer micro-units,
+    * saturation tests compare cross-multiplied products — carried in
+    * DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB, because
+    * budget·weight products overflow BIGINT right at the documented
+    * scale (2.5e13 tokens × 1e6 micro-weights ≈ 2.5e19 > 2^63) — and
+    * allocations are integer floor divisions (`DIV`/`//`, never `/`:
+    * Spark's Divide on integral types routes through DOUBLE, exact only
+    * to 2^53). The ONLY double is the sort ratio, a single IEEE division
+    * identical in every engine. Σ alloc ≤ budget with a sub-|domains|
+    * token shortfall from the floors (documented, standard).
+    *
+    * Non-positive weights (w ≤ 0 = "domain present but excluded") take no
+    * part in the waterline: they allocate 0 unsaturated, and cannot
+    * divide-by-zero the solve.
+    *
+    * Input: one row per domain (a BOUNDED stats frame — the per-domain
+    * aggregate upstream is where the data-sized work happened); the
+    * windows here run over |domains| rows, the quantile-threshold
+    * posture, and the bound is ENFORCED in-plan (`maxDomains`, default
+    * 10⁶, via [[Guards.boundedDomain]]) — see the note at the window
+    * below. Output: (domain, available, weight_micro, alloc_tokens,
+    * saturated).
+    */
   def waterfillAllocations(stats: DataFrame, domainCol: String,
-      availCol: String, weightMicroCol: String, budget: Long): DataFrame = {
+      availCol: String, weightMicroCol: String, budget: Long,
+      maxDomains: Long = 1000000L): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"
-    val base = stats.select(col(domainCol).as("domain"),
-      col(availCol).cast("long").as("available"),
-      col(weightMicroCol).cast("long").as("weight_micro"))
+    // water-filling needs ONE totally ordered pass over the domain table
+    // (the waterline is a global property of the saturation-sorted
+    // sequence — prefix sums alone can't place it without the order), and
+    // "domain" is a data-growing key: a web-scale corpus has 10⁶–10⁸
+    // registrable domains. The in-plan bound (Guards.boundedDomain, the
+    // retired KS-guard posture) makes the contract ENFORCED: a stats
+    // frame past `maxDomains` fails with an aggregate-upstream message
+    // before the single-task sort runs — group the long tail into a
+    // catch-all stratum upstream (allocation to a catch-all is the
+    // standard mixture practice) or raise the bound deliberately.
+    val base = Guards.boundedDomain(
+      stats.select(col(domainCol).as("domain"),
+        col(availCol).cast("long").as("available"),
+        col(weightMicroCol).cast("long").as("weight_micro")),
+      maxDomains, "waterfillAllocations",
+      "aggregate tail domains into a catch-all stratum upstream or raise " +
+        "maxDomains deliberately")
     val solve = base.filter(col("weight_micro") > 0)
     val excluded = base.filter(!(col("weight_micro") > 0))
       .select(col("domain"), col("available"), col("weight_micro"),

@@ -39,25 +39,64 @@ object PrefixSum {
     * inputs).
     */
   def inclusive(df: DataFrame, orderCol: String, weight: Column,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    inclusiveAll(df, orderCol, Seq(weight -> out))
+
+  /** [[inclusive]] for SEVERAL weights over ONE key order, sharing a
+    * single range shuffle (two independent `inclusive` calls would
+    * range-repartition the frame twice), plus — when `withTotals` —
+    * each weight's GRAND total appended as `<out>_total`. The totals
+    * ride the same ≤`spark.sql.shuffle.partitions`-row per-partition
+    * totals table the offsets come from (one more bounded window over
+    * it, one shared broadcast back), so a consumer needing cumulative ×
+    * total per row (the KS cross-multiplication) gets both in ONE pass
+    * over the input lineage — no second corpus-deriving aggregate, no
+    * unpartitioned window over the data-sized frame.
+    */
+  def inclusiveAll(df: DataFrame, orderCol: String,
+      weights: Seq[(Column, String)], withTotals: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "inclusiveAll needs at least one weight")
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val parts = df.repartitionByRange(nParts, col(orderCol))
       .withColumn("_ps_pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("_ps_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parts.withColumn("_ps_local", sum(weight).over(wLocal))
-    // per-partition totals: ≤ nParts rows, so the single-partition window
-    // below is bounded by configuration, not data
+    val local = weights.zipWithIndex.foldLeft(parts) {
+      case (acc, ((w, _), i)) => acc.withColumn(s"_ps_local$i", sum(w).over(wLocal))
+    }
+    // per-partition totals: ≤ nParts rows, so the single-partition windows
+    // below are bounded by configuration, not data
     val wOff = Window.orderBy(col("_ps_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("_ps_pid"))
-      .agg(sum(weight).as("_ps_tot"))
-      .withColumn("_ps_off", sum(col("_ps_tot")).over(wOff))
-      .select(col("_ps_pid"), col("_ps_off"))
-    local.join(broadcast(offsets), Seq("_ps_pid"))
-      .withColumn(out,
-        when(col("_ps_off").isNull, col("_ps_local"))
-          .otherwise(col("_ps_local") + col("_ps_off")))
-      .drop("_ps_pid", "_ps_local")
+    val wAll = Window.orderBy(col("_ps_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val totsAgg = local.groupBy(col("_ps_pid"))
+      .agg(sum(weights.head._1).as("_ps_tot0"),
+        weights.zipWithIndex.tail.map { case ((w, _), i) =>
+          sum(w).as(s"_ps_tot$i") }: _*)
+    val offsets0 = weights.indices.foldLeft(totsAgg) { (acc, i) =>
+      acc.withColumn(s"_ps_off$i", sum(col(s"_ps_tot$i")).over(wOff))
+    }
+    val offsets = (if (withTotals)
+      weights.indices.foldLeft(offsets0) { (acc, i) =>
+        acc.withColumn(s"_ps_grand$i", sum(col(s"_ps_tot$i")).over(wAll))
+      } else offsets0)
+      .select(col("_ps_pid") +:
+        (weights.indices.map(i => col(s"_ps_off$i")) ++
+          (if (withTotals) weights.indices.map(i => col(s"_ps_grand$i"))
+           else Nil)): _*)
+    val joined = local.join(broadcast(offsets), Seq("_ps_pid"))
+    val named = weights.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        val cum = acc.withColumn(out,
+          when(col(s"_ps_off$i").isNull, col(s"_ps_local$i"))
+            .otherwise(col(s"_ps_local$i") + col(s"_ps_off$i")))
+        if (withTotals) cum.withColumn(s"${out}_total", col(s"_ps_grand$i"))
+        else cum
+    }
+    named.drop("_ps_pid" +:
+      weights.indices.flatMap(i =>
+        Seq(s"_ps_local$i", s"_ps_off$i") ++
+          (if (withTotals) Seq(s"_ps_grand$i") else Nil)): _*)
   }
 }

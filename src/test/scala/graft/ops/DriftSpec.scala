@@ -243,40 +243,39 @@ class DriftSpec extends SparkSpec {
       s"disjoint supports must cross the 0.25 alarm, got $alarm")
   }
 
-  test("ksDrift value-domain guard fails a too-wide metric with a quantize message") {
+  test("ksDrift: wide value domains distribute (no guard, exact closed form, _ps_pid shape)") {
     import spark.implicits._
-    // 2000 distinct values vs a bound of 1000: the guard must fail the
-    // job (with the quantize-upstream message) instead of silently
-    // funneling the support through the unpartitioned cumulative window
+    // 2000 distinct values — past the RETIRED r15 guard's old 10⁶ ceiling
+    // scaled down, this now distributes via PrefixSum instead of failing
+    // or funneling. Closed form: evens→a, odds→b, 1000 each; after any
+    // even value cum_a leads cum_b by exactly 1, so the sup numerator is
+    // 1·1000 and ks = 1000/(1000·1000) = 0.001 for both strata.
     val wide = (0L until 2000L).map(i => (if (i % 2 == 0) "a" else "b", i))
       .toDF("src", "v")
-    val e = intercept[Exception] {
-      Drift.ksDrift(wide, "src", "v", maxDistinctValues = 1000L).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("quantize")),
-      s"expected the quantize-upstream guard message, got: ${messages(e)}")
-    // the SAME frame passes under the default bound — and quantizing the
-    // metric upstream (KS of the rounded distributions) passes the guard
-    assert(Drift.ksDrift(wide, "src", "v").count() === 2L)
-    val quantized = wide.selectExpr("src", "CAST(v div 10 AS BIGINT) AS v")
-    assert(Drift.ksDrift(quantized, "src", "v",
-      maxDistinctValues = 1000L).count() === 2L)
+    val got = Drift.ksDrift(wide, "src", "v")
+    val rows = got.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("a", "b"))
+    assert(rows("a") === ((1000L, 1000L, 0.001)))
+    assert(rows("b") === ((1000L, 1000L, 0.001)))
+    // the global cumulative must carry the distributed prefix-sum shape
+    assert(got.queryExecution.executedPlan.toString.contains("_ps_pid"),
+      "ksDrift's global cumulative lost the distributed prefix-sum shape")
   }
 
-  test("ksAgainstCounts shares the value-domain guard") {
+  test("ksAgainstCounts: wide merged supports distribute; totals ride the prefix pass") {
     import spark.implicits._
     val a = (0L until 600L).map(v => (v, 1L)).toDF("_v", "_c")
     val b = (500L until 1100L).map(v => (v, 1L)).toDF("_v", "_c")
-    // union support = 1100 distinct values > 1000 bound
-    val e = intercept[Exception] {
-      Drift.ksAgainstCounts(a, b, maxDistinctValues = 1000L).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("quantize")))
-    assert(Drift.ksAgainstCounts(a, b).count() === 1L)
+    // union support = 1100 distinct values (past the retired guard's
+    // scaled-down bound) — distributes. Closed form: at v=499 cumA=500,
+    // cumB=0 → ks = 500·600/(600·600) = 5/6.
+    val r = Drift.ksAgainstCounts(a, b).head
+    assert(r.getLong(0) === 600L && r.getLong(1) === 600L)
+    assert(math.abs(r.getDouble(2) - 5.0 / 6.0) < 1e-12)
+    assert(Drift.ksAgainstCounts(a, b).queryExecution.executedPlan
+      .toString.contains("_ps_pid"),
+      "ksAgainstCounts lost the distributed prefix-sum shape")
   }
 
   test("embedCentroidDrift excludes NULL groups and empty vectors") {

@@ -101,6 +101,27 @@ class MixtureSpec extends SparkSpec {
     assert(r5.values.sum === 25000000000000L)
   }
 
+  test("waterfillAllocations: domain bound is ENFORCED in-plan (Guards.boundedDomain)") {
+    import spark.implicits._
+    // 50 domains vs a bound of 40: the guard must fail the job with the
+    // aggregate-upstream message BEFORE the waterline's single-task sort
+    val many = (0 until 50).map(i => (f"d$i%02d", 100L + i, 1L))
+      .toDF("domain", "avail", "w")
+    val e = intercept[Exception] {
+      Mixture.waterfillAllocations(many, "domain", "avail", "w",
+        budget = 1000L, maxDomains = 40L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("catch-all")),
+      s"expected the aggregate-upstream guard message, got: ${messages(e)}")
+    // the same frame passes under the default bound, law intact
+    val ok = Mixture.waterfillAllocations(many, "domain", "avail", "w",
+      budget = 1000L)
+    assert(ok.count() === 50L)
+    assert(ok.agg(sum("alloc_tokens")).head.getLong(0) <= 1000L)
+  }
+
   test("waterfillAllocations: invariants hold on random stats") {
     import spark.implicits._
     val rnd = new scala.util.Random(41L)

@@ -44,6 +44,35 @@ class PrefixSumSpec extends SparkSpec {
     assert(r.getAs[Long]("cum") === 7L)
   }
 
+  test("inclusiveAll: two weights share one range pass; totals are exact grand sums") {
+    // the KS shape: two cumulatives + both grand totals in one pass
+    val df = spark.range(5000)
+      .select(col("id").as("k"), (col("id") % 13 + 1).as("wa"),
+        (col("id") % 7).as("wb"))
+    val got = PrefixSum.inclusiveAll(df, "k",
+      Seq(col("wa") -> "ca", col("wb") -> "cb"), withTotals = true)
+    val wRef = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("ca", sum(col("wa")).over(wRef))
+      .withColumn("cb", sum(col("wb")).over(wRef))
+    val cmp = got.select("k", "ca", "cb")
+    val refCmp = ref.select("k", "ca", "cb")
+    assert(cmp.exceptAll(refCmp).isEmpty && refCmp.exceptAll(cmp).isEmpty)
+    // grand totals: identical on every row, equal to the plain aggregate
+    val tots = got.select("ca_total", "cb_total").distinct().collect()
+    assert(tots.length === 1)
+    val expect = df.agg(sum("wa"), sum("wb")).head
+    assert(tots.head.getLong(0) === expect.getLong(0))
+    assert(tots.head.getLong(1) === expect.getLong(1))
+    // ONE range shuffle at runtime: the offsets/totals branch re-prints
+    // the range exchange in the static adaptive plan, but AQE reuses it
+    // (the q_kmeans_refine / q_rake_phrases executed-plan precedent) —
+    // two separate inclusive calls would carry two LIVE range exchanges
+    got.collect()
+    assert(got.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "AQE stopped reusing the range exchange across the offsets branch")
+  }
+
   test("no corpus-sized single-partition window in the executed plan") {
     // the point of the rewrite: every window in the plan is either
     // partitioned by the materialized pid or runs over the bounded

@@ -713,17 +713,25 @@ class PlanShapeSpec extends SparkSpec {
       s"stream offsets must stay shard-parallel:\n$p")
   }
 
-  test("q_ks_drift: support is strata x distinct values; corpus aggregates once") {
+  test("q_ks_drift: support is strata x distinct values; global cumulative is pid-partitioned") {
     val p = plan("q_ks_drift")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
     val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
-    // three 1-row/|strata|-row broadcast frames ride the support: the
-    // per-stratum counts, the corpus total, and the value-domain guard's
-    // 1-row distinct count (Drift.guardValueDomain — the quantize-upstream
-    // assert in front of the unpartitioned cumulative window)
-    assert(nested <= 3, s"beyond the strata, 1-row-total and guard frames nested-loop:\n$p")
+    // two 1-row/|strata|-row broadcast frames ride the support: the
+    // per-stratum counts and the corpus total (the r15 guard's third
+    // frame is retired — the cumulative now distributes via PrefixSum)
+    assert(nested <= 2, s"beyond the strata and 1-row-total frames nested-loop:\n$p")
     assert(p.contains("HashAggregate"), p)
+    assert(p.contains("_ps_pid"),
+      s"q_ks_drift's global cumulative lost the distributed prefix-sum shape:\n$p")
+  }
+
+  test("q_ks_store: stored-baseline KS rides the distributed prefix sum") {
+    val p = plan("q_ks_store")
+    assert(p.contains("_ps_pid"),
+      s"q_ks_store lost the distributed prefix-sum shape:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_psi_drift: smoothing support is strata x observed bins, never the corpus") {
@@ -990,20 +998,24 @@ class PlanShapeSpec extends SparkSpec {
       s"ingest plan funnels through one partition:\n$p")
   }
 
-  test("q_ngram_jaccard: df-capped law — anti-join guard present, no cartesian, no corpus-order window") {
-    val p = plan("q_ngram_jaccard")
-    // the dropped-shingle exclusion must stay an ANTI join (the skew cap's
-    // plan witness), the pair stage an equi join (never a cartesian), and
-    // no window may impose a global corpus order
-    assert(p.contains("LeftAnti"), s"df-cap anti join missing:\n$p")
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.toLowerCase.contains("windowexec") ||
-      !p.contains("SinglePartition"),
-      s"corpus-order window in the pair law:\n$p")
+  test("q_ngram_jaccard / q_containment: df-capped law — anti-join guard present, no cartesian, no corpus-order window") {
+    // q_containment shares q_ngram_jaccard's capped scaffold
+    // (Dedup.cappedNgramPairs) — both siblings carry the same witness
+    for (name <- Seq("q_ngram_jaccard", "q_containment")) {
+      val p = plan(name)
+      // the dropped-shingle exclusion must stay an ANTI join (the skew cap's
+      // plan witness), the pair stage an equi join (never a cartesian), and
+      // no window may impose a global corpus order
+      assert(p.contains("LeftAnti"), s"$name df-cap anti join missing:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.toLowerCase.contains("windowexec") ||
+        !p.contains("SinglePartition"),
+        s"$name: corpus-order window in the pair law:\n$p")
+    }
   }
 
-  test("q_rank_effect / q_lorenz_deciles: the value-table prefix sum is pid-partitioned, never a single-task sort") {
-    Seq("q_rank_effect", "q_lorenz_deciles").foreach { q =>
+  test("q_rank_effect / q_lorenz_deciles / q_spearman_corr: the value-table prefix sum is pid-partitioned, never a single-task sort") {
+    Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
