@@ -2,6 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** Lower median: deterministic for even run counts, and conservative
+    * in the direction that matters (never reports slower than the middle
+    * of the measured distribution). The per-query scalar the stdout line
+    * and the artifact's `median` field both carry.
+    */
+  private[graft] def medianOf(ts: Seq[Double]): Double = {
+    require(ts.nonEmpty, "medianOf needs at least one sample")
+    val s = ts.sorted
+    s((s.size - 1) / 2)
+  }
+
   /** The driver-facing stdout line. It must fit the driver's 2000-char
     * capture window or per-query timings silently vanish from review (r5
     * lost 16 of 82 queries to truncation): precision degrades
@@ -106,7 +117,7 @@ object Bench {
         }
     } catch { case _: Throwable => () }
     // store-lifecycle queries commit their artifact once per JVM
-    // (Registry.storeOnce) — run each once now so BOTH timed passes
+    // (Registry.storeOnce) — run each once now so ALL timed passes
     // measure only the stored-path probe. The commit half is a write
     // workload whose box-load spread (r8: 1.14 s vs 3.37 s for identical
     // code) would otherwise drown the probe signal the bench exists to
@@ -117,17 +128,23 @@ object Bench {
         System.err.println(s"[bench] warmup commit for $n failed: ${e.getMessage}")
       }
     }
-    // best-of-2: one GC pause / IO stall on a shared box showed up as a
-    // 22 s outlier on a 1.7 s query in r2 — min of two runs measures the
-    // plan, not the weather. The two attempts run as ROUND-ROBIN PASSES
-    // over the whole registry (pass 1 all queries, then pass 2), not
+    // MEDIAN-of-N (default 3, SPARK_GRAFT_BENCH_PASSES): r12/r14/r15 all
+    // spent verdict space adjudicating 10-15% box-load drift between the
+    // committed baseline and the driver's own run — best-of-2 min()
+    // discarded TRANSIENT stalls but still tracked sustained load, and
+    // carried no spread signal to tell the two apart. The median is the
+    // load-robust central estimate (one slow pass of three cannot move
+    // it), and the artifact keeps per-query {median, min, max, runs} so a
+    // round-over-round delta can be read against the measured spread
+    // instead of re-litigated. Attempts run as ROUND-ROBIN PASSES over
+    // the whole registry (pass 1 all queries, then pass 2, ...), not
     // back-to-back per query: transient box load lasting a few seconds
-    // then lands on ONE attempt of several queries (min discards it)
-    // instead of BOTH attempts of whichever query it straddled — the r7
-    // driver artifact inflated the iterative multi-job queries ~1.3×
-    // exactly that way. A failed query must be visible in the output, not
-    // timed as success: report -1 so the driver can distinguish failure
-    // from a fast run.
+    // then lands on ONE attempt of several queries instead of ALL
+    // attempts of whichever query it straddled — the r7 driver artifact
+    // inflated the iterative multi-job queries ~1.3× exactly that way.
+    // A failed query must be visible in the output, not timed as
+    // success: report -1 so the driver can distinguish failure from a
+    // fast run.
     // run order is SORTED, not HashMap order: map order reshuffles every
     // time a key is added, which silently changes each query's upstream
     // JVM neighborhood between rounds — the r12 sf1 sweep measured the
@@ -135,21 +152,24 @@ object Bench {
     // hashed in front of it. Sorted order keeps cross-round per-query
     // ratios neighborhood-stable.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // pass 2 runs in REVERSED order (r12 verdict task 3b): with both
-    // passes ascending, the alphabetically-early family (q_adamic_adar,
-    // the whole q_ann_*) sits at the head of BOTH runs, so one loaded
-    // minute at process start inflates both attempts of exactly those
-    // rows and min() can't discard it — the r12 driver artifact read the
-    // ANN family ×5-7.5 precisely that way. Reversing pass 2 puts every
-    // query's two attempts at mirrored run positions: sustained head-of-
-    // run load lands on different queries per pass and min() drops it.
-    // Still fully deterministic, so cross-round per-query neighborhoods
-    // stay stable (the r12 sorted-order rationale).
-    val passOrders = Seq(names, names.reverse)
+    // pass 2 runs REVERSED, pass 3 rotated by half (r12 verdict task 3b,
+    // extended): with every pass ascending, the alphabetically-early
+    // family sits at the head of EVERY run, so one loaded minute at
+    // process start inflates all attempts of exactly those rows — the
+    // r12 driver artifact read the ANN family ×5-7.5 precisely that way.
+    // Mirrored/offset positions land sustained head-of-run load on
+    // different queries per pass, where the median drops it. Still fully
+    // deterministic, so cross-round per-query neighborhoods stay stable.
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    val half = names.size / 2
+    val baseOrders = Seq(names, names.reverse,
+      names.drop(half) ++ names.take(half))
+    val passOrders = (0 until nPasses).map(i => baseOrders(i % baseOrders.size))
     val passes = passOrders.map { order =>
       order.map { case (name, fn) =>
-        // each attempt tries independently: a flake on pass 2 must not
-        // discard pass 1's valid measurement
+        // each attempt tries independently: a flake on one pass must not
+        // discard another's valid measurement
         name -> (try {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -160,19 +180,26 @@ object Bench {
         })
       }.toMap
     }
-    val results = names.map { case (name, _) =>
-      val times = passes.flatMap(_.apply(name))
-      name -> (if (times.isEmpty) -1.0 else times.min)
+    val stats = names.map { case (name, _) =>
+      name -> passes.flatMap(_.apply(name))
+    }
+    val results = stats.map { case (name, times) =>
+      name -> (if (times.isEmpty) -1.0 else medianOf(times))
     }.toMap
     val line = renderLine(results, new java.io.File(sfDir).getName)
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val full = stats.map { case (k, times) =>
+      val v =
+        if (times.isEmpty) """{"median":-1,"min":-1,"max":-1,"runs":0}"""
+        else s"""{"median":${medianOf(times)},"min":${times.min},""" +
+          s""""max":${times.max},"runs":${times.size}}"""
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$nPasses,"sf":"$sfDir"}""")
       System.err.println(s"[bench] full-precision artifact: $outPath")
     } catch { case _: Throwable => () }
     println(line)

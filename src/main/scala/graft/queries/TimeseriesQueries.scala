@@ -61,6 +61,59 @@ trait TimeseriesQueries { self: RegistryAll =>
       | FROM s GROUP BY user_id, sid
       | ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")
 
+  /** Event-time range-join attribution ([[graft.streaming.StreamIngest
+    * .correlatedEvents]] run on BATCH frames — the analyzer's
+    * EliminateEventTimeWatermark drops the watermark nodes, leaving the
+    * identical join plan): every view attributed to same-user purchases
+    * inside the following 60 minutes. This row is the DuckDB-ORACLED
+    * anchor of the stream-stream join tier — StreamIngestSpec asserts the
+    * STREAMING emission equals exactly this frame, so the watermarked
+    * state-store path is transitively hash-gated. Timestamp arithmetic is
+    * exact integer micros on both engines (timestamp + INTERVAL).
+    *
+    * Scale shape: user-keyed equi join with a range residual — shuffles
+    * on user_id, never a time-cross product; at stream scale the range
+    * condition is what bounds the state store (the operator's scaladoc).
+    */
+  def qEventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.streaming.StreamIngest.correlatedEvents(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), rangeMinutes = 60)
+      .orderBy("user_id", "l_event", "r_event")
+  }
+
+  lazy val qEventAttributionSql: String =
+    """SELECT a.user_id, a.event_id AS l_event, a.event_type AS l_type,
+      |  b.event_id AS r_event, b.event_type AS r_type,
+      |  a.ts AS l_ts, b.ts AS r_ts
+      | FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+      |  AND a.event_id <> b.event_id
+      | WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+      | ORDER BY a.user_id, l_event, r_event""".stripMargin.replace("\n", " ")
+
+  /** Per-user lifetime totals — the DuckDB-oracled BATCH ANCHOR of the
+    * `mapGroupsWithState` running-totals operator
+    * ([[graft.streaming.StreamIngest.runningUserTotals]]): the stream's
+    * final state per user must converge to exactly this aggregate
+    * (StreamIngestSpec pins the equivalence), which is what makes the
+    * custom-state path hash-gated rather than spec-only. Sum discipline:
+    * decimal-exact Σ, DOUBLE on the wire (the qEventWindows note).
+    */
+  def qUserTotals(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("double").as("total_value"))
+      .orderBy("user_id")
+
+  lazy val qUserTotalsSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+      | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
+
   /** Per-user lag/lead event features: microsecond gap since the previous
     * event plus neighboring event types — the feature-engineering window
     * pattern (sessionization inputs, inter-arrival models). Gaps are exact

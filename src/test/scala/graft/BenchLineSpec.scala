@@ -69,4 +69,14 @@ class BenchLineSpec extends AnyFunSuite {
       assert(line.endsWith(""","sf":"sf0.1"}"""))
     } finally java.util.Locale.setDefault(default)
   }
+
+  test("medianOf: lower median, load-robust (one slow pass of three cannot move it)") {
+    assert(Bench.medianOf(Seq(5.0)) === 5.0)
+    // one 22 s stall among three normal runs — the r16 rationale
+    assert(Bench.medianOf(Seq(1.7, 22.0, 1.8)) === 1.8)
+    // even count: LOWER median (deterministic, conservative)
+    assert(Bench.medianOf(Seq(4.0, 2.0)) === 2.0)
+    assert(Bench.medianOf(Seq(3.0, 1.0, 4.0, 2.0)) === 2.0)
+    intercept[IllegalArgumentException](Bench.medianOf(Nil))
+  }
 }

@@ -209,13 +209,23 @@ class StreamIngestSpec extends SparkSpec {
     val q = StreamIngest.runningUserTotals(spark, stream).writeStream
       .outputMode("update").format("memory").queryName("state_out").start()
     q.processAllAvailable(); q.stop()
-    // single batch → latest update per user == full batch aggregate
+    // single batch → latest update per user == the ORACLED registry
+    // anchor (q_user_totals): the custom-state path converges to a
+    // DuckDB-gated frame, not just a local re-aggregate. Counts match
+    // exactly; the value total within float tolerance (the state fold
+    // accumulates raw doubles in arrival order, the anchor sums
+    // decimal-exact — ulp-level drift is inherent to the double fold)
     val got = spark.table("state_out")
-      .groupBy("user_id").agg(max("n_events").as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val want = events.groupBy("user_id").count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === want)
+      .groupBy("user_id").agg(max("n_events").as("n"),
+        max("total_value").as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = Registry.qUserTotals(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (u, (n, v)) =>
+      assert(n === want(u)._1, s"user $u count")
+      assert(math.abs(v - want(u)._2) < 1e-6, s"user $u total: $v vs ${want(u)._2}")
+    }
   }
 
   test("stream-stream range join: attribution matches the identical batch join") {
@@ -231,10 +241,11 @@ class StreamIngestSpec extends SparkSpec {
     val q = StreamIngest.correlatedEvents(lStream, rStream).writeStream
       .outputMode("append").format("memory").queryName("ss_join_out").start()
     q.processAllAvailable(); q.stop()
-    val got = spark.table("ss_join_out")
-      .select("l_event", "r_event").collect().map(_.toSeq).toSet
-    val want = StreamIngest.correlatedEvents(views, buys) // same plan, batch frames
-      .select("l_event", "r_event").collect().map(_.toSeq).toSet
+    // anchor on the ORACLED registry row (q_event_attribution), full rows:
+    // the watermarked state-store emission is transitively DuckDB-gated
+    val got = spark.table("ss_join_out").collect().map(_.toSeq).toSet
+    val want = Registry.qEventAttribution(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
     assert(got === want, s"stream join emitted ${got.size} pairs, batch ${want.size}")
     assert(want.nonEmpty, "fixture should produce at least one attribution pair")
   }
