@@ -525,6 +525,30 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "shared", "na", "nb", "containment")
 
+  /** Exact n-gram Sørensen–Dice pairs ('48) — the third face of the
+    * capped shingle family beside [[ngramJaccardPairs]] (union-relative)
+    * and [[ngramContainmentPairs]] (min-relative): dice =
+    * 2|A∩B|/(|A|+|B|) weights the INTERSECTION twice, so it sits between
+    * the two (dice = 2j/(1+j) monotone in Jaccard but tighter near 1 —
+    * the threshold vocabulary most near-dup literature quotes, and the
+    * one that composes with per-document size priors). Same
+    * [[cappedNgramPairs]] scaffold: df-capped candidates, EXACT values
+    * against the full shingle sets; the prune bound is valid because
+    * dice is increasing in shared (2·smax/(na+nb) ≥ 2·shared/(na+nb)).
+    * Output: (id_a, id_b, shared, na, nb, dice) at or above `threshold`,
+    * id_a < id_b.
+    */
+  def ngramDicePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.85,
+      maxDf: Int = 64): DataFrame =
+    cappedNgramPairs(df, idCol, textCol, shingleSize, maxDf,
+      (smax, na, nb) =>
+        smax.cast("double") * 2.0 / (na + nb) >= threshold)
+      .withColumn("dice",
+        col("shared").cast("double") * 2.0 / (col("na") + col("nb")))
+      .filter(col("dice") >= threshold)
+      .select("id_a", "id_b", "shared", "na", "nb", "dice")
+
   /** Corpus-internal duplicate n-gram mass — the one-number boilerplate
     * screen (Lee et al., 'Deduplicating Training Data Makes Language
     * Models Better', ACL '22 measures exactly this surface): of all

@@ -1103,4 +1103,282 @@ object Eval {
             / (col("n_a").cast("double") * col("n_b").cast("double"))
             * 1000000000000.0).cast("long")).as("cliffs_delta_pico"))
   }
+
+  /** Kruskal–Wallis H ('52) — the k-group generalization of
+    * [[rankEffect]]'s Mann–Whitney screen: "do these k shards/sources
+    * draw their metric from the same distribution?" without the
+    * normality assumption a one-way ANOVA needs (corpus metrics are
+    * heavy-tailed; rank tests are the honest default).
+    *
+    * Exact law, never a corpus-order sort: one (value, group) hash
+    * aggregate, one value-frequency table, ONE distributed inclusive
+    * prefix sum ([[PrefixSum.inclusive]] — the range-repartition →
+    * pid-window → bounded-offsets shape) giving every distinct value its
+    * DOUBLED midrank `2·cum(v) − n_v + 1` (integral, so ranks stay
+    * exact under ties), then a per-group rank-sum aggregate over the ≤
+    * k-row group table. With R2_g = Σ_v n_vg·midrank2(v) (so R_g =
+    * R2_g/2):
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *     = 3/(N(N+1)) · Σ_g R2_g²/n_g − 3(N+1)
+    *
+    * quantized the [[chi2Independence]] way: each group's term is ONE
+    * pinned double chain rounded to pico, summed exactly in DECIMAL;
+    * the −3(N+1) lands as an exact integer pico. Tie correction
+    * divides by C = 1 − Σ_v(n_v³−n_v)/(N³−N) (NULL when every value
+    * ties — C = 0 leaves H undefined).
+    *
+    * Output (1 row): (n_rows, k_groups, h_pico, h_tiecorr_pico).
+    */
+  def kruskalWallis(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vg = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(valueCol).as("_v"), col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_nvg"))
+    val fv = vg.groupBy(col("_v")).agg(sum(col("_nvg")).as("_nv"))
+    val mr = PrefixSum.inclusive(fv, "_v", col("_nv"), "_cum")
+      .select(col("_v"), col("_nv"),
+        (lit(2L) * col("_cum") - col("_nv") + lit(1L)).as("_mr2"))
+    val gr = vg.join(mr.select(col("_v"), col("_mr2")), "_v")
+      .groupBy(col("_g"))
+      .agg(sum(col("_nvg").cast(dec) * col("_mr2").cast(dec)).as("_r2"),
+        sum(col("_nvg")).as("_ng"))
+    // tie mass reads the plain value table, NOT the prefix-sum branch —
+    // no reason to pay the range shuffle twice for a scalar
+    val ties = fv.agg(coalesce(sum(col("_nv").cast(dec) * col("_nv").cast(dec)
+        * col("_nv").cast(dec) - col("_nv").cast(dec)),
+      lit(java.math.BigDecimal.ZERO).cast(dec)).as("_tie"))
+    val tot = gr.agg(sum(col("_ng")).as("_n"), count(lit(1)).as("_k"))
+    val nD = col("_n").cast("double")
+    val term = round(
+      col("_r2").cast("double") * col("_r2").cast("double") * lit(3.0)
+        / (nD * (nD + lit(1.0)) * col("_ng").cast("double"))
+        * lit(1.0e12)).cast("long")
+    val s = gr.crossJoin(broadcast(tot))
+      .select(col("_n"), col("_k"), term.cast(dec).as("_t"))
+      .groupBy(col("_n"), col("_k")).agg(sum(col("_t")).as("_st"))
+    val hPico = (col("_st") - (lit(3L).cast(dec) * (col("_n").cast(dec)
+      + lit(1L).cast(dec)) * lit(1000000000000L).cast(dec))).cast("long")
+    val c = lit(1.0) - col("_tie").cast("double") / (nD * nD * nD - nD)
+    s.crossJoin(broadcast(ties))
+      .select(col("_n").as("n_rows"), col("_k").as("k_groups"),
+        hPico.as("h_pico"),
+        when(c > 0.0, round(hPico.cast("double") / c).cast("long"))
+          .as("h_tiecorr_pico"))
+  }
+
+  /** One-way ANOVA F (Fisher '25) — the mean-comparison companion of
+    * [[kruskalWallis]]: does the group explain variance in the metric?
+    * Reported with eta² (SSB/SST), the share of total variance the
+    * grouping explains — the effect size the F alone hides.
+    *
+    * Exact law: per-group (n_g, Σx, Σx²) in ONE hash aggregate with
+    * DECIMAL sums; each group's Σx_g²/n_g is one pinned double chain
+    * rounded to MICRO and summed exactly (the [[chi2Independence]]
+    * per-cell discipline), the grand term likewise; then
+    * SSB = A − S²/N, SSW = Q − A and F = (SSB/(k−1))/(SSW/(N−k)) is one
+    * double chain pico-rounded. NULL when k < 2, N ≤ k, or SSW = 0.
+    *
+    * Scale shape: one corpus aggregate → ≤ k-row table → 1 row. Values
+    * must be integral (the DECIMAL-sum exactness contract).
+    */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val per = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(count(lit(1)).as("_ng"),
+        sum(v.cast(dec)).as("_s"),
+        sum(v.cast(dec) * v.cast(dec)).as("_q"))
+    val gterm = round(col("_s").cast("double") * col("_s").cast("double")
+      / col("_ng").cast("double") * lit(1.0e6)).cast("long")
+    val agg = per
+      .select(col("_ng"), col("_s"), col("_q"), gterm.cast(dec).as("_t"))
+      .agg(sum(col("_ng")).as("_n"), count(lit(1)).as("_k"),
+        sum(col("_s")).as("_ss"), sum(col("_q")).as("_qq"),
+        sum(col("_t")).as("_a"))
+    val grand = round(col("_ss").cast("double") * col("_ss").cast("double")
+      / col("_n").cast("double") * lit(1.0e6)).cast("long")
+    val w = agg.select(col("_n"), col("_k"),
+      (col("_a") - grand.cast(dec)).as("_ssb"),
+      (col("_qq") * lit(1000000L).cast(dec) - col("_a")).as("_ssw"))
+    val f = (col("_ssb").cast("double") / (col("_k") - lit(1L)).cast("double")
+      / (col("_ssw").cast("double") / (col("_n") - col("_k")).cast("double")))
+    val eta = (col("_ssb").cast("double")
+      / (col("_ssb") + col("_ssw")).cast("double"))
+    w.select(col("_n").as("n_rows"), col("_k").as("k_groups"),
+      when(col("_k") >= 2L && col("_n") > col("_k") &&
+        col("_ssw") > lit(java.math.BigDecimal.ZERO).cast(dec),
+        round(f * lit(1.0e12)).cast("long")).as("f_pico"),
+      when(col("_ssb") + col("_ssw") > lit(java.math.BigDecimal.ZERO).cast(dec),
+        round(eta * lit(1.0e12)).cast("long")).as("eta2_pico"))
+  }
+
+  /** Welch's unequal-variance t ('47) with Welch–Satterthwaite df and
+    * Cohen's d — the two-group mean test that does NOT assume equal
+    * variances (the Student's-t trap on corpus metrics, where one
+    * source's variance dwarfs another's).
+    *
+    * Exact law: one aggregate gives (n, Σx, Σx²) per side in DECIMAL;
+    * means, sample variances, t, df and d are each ONE pinned double
+    * chain (variance via (Q − S²/n)/(n−1), the same op order in the
+    * oracle). NULL t/df when either side has n < 2 or both variances
+    * are 0; NULL d when the pooled variance is 0.
+    *
+    * Output (1 row): (n_a, n_b, t_pico, df_micro, cohen_d_pico).
+    */
+  def welchTTest(df: DataFrame, valueCol: String, isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val v = col(valueCol).cast("long")
+    val agg = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+      .agg(
+        sum(when(col(isACol), 1L).otherwise(0L)).as("_n1"),
+        sum(when(col(isACol), v.cast(dec))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(dec))).as("_s1"),
+        sum(when(col(isACol), v.cast(dec) * v.cast(dec))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(dec))).as("_q1"),
+        sum(when(col(isACol), 0L).otherwise(1L)).as("_n2"),
+        sum(when(col(isACol), lit(java.math.BigDecimal.ZERO).cast(dec))
+          .otherwise(v.cast(dec))).as("_s2"),
+        sum(when(col(isACol), lit(java.math.BigDecimal.ZERO).cast(dec))
+          .otherwise(v.cast(dec) * v.cast(dec))).as("_q2"))
+    // every denominator is clamped to its valid-regime value (greatest /
+    // when guards): under ANSI, common-subexpression elimination hoists
+    // these divisions ABOVE the output when() guards, so a degenerate
+    // group (n < 2, zero variance) would throw DIVIDE_BY_ZERO instead of
+    // yielding the guarded NULL. In the valid regime (both n ≥ 2,
+    // positive variance) each clamp is the identity, so the pinned
+    // double chains — and the oracle — are unchanged.
+    def nD(c: String) = col(c).cast("double")
+    def nSafe(c: String) = greatest(nD(c), lit(1.0))
+    def dfSafe(c: String) = greatest(nD(c) - lit(1.0), lit(1.0))
+    def mean(s: String, n: String) = col(s).cast("double") / nSafe(n)
+    def vr(q: String, s: String, n: String) =
+      (col(q).cast("double") - col(s).cast("double") * col(s).cast("double")
+        / nSafe(n)) / dfSafe(n)
+    val m1 = mean("_s1", "_n1"); val m2 = mean("_s2", "_n2")
+    val v1 = vr("_q1", "_s1", "_n1"); val v2 = vr("_q2", "_s2", "_n2")
+    val a1 = v1 / nSafe("_n1"); val a2 = v2 / nSafe("_n2")
+    val se2 = a1 + a2
+    val t = (m1 - m2) / sqrt(when(se2 > 0.0, se2).otherwise(lit(1.0)))
+    val dfDen = a1 * a1 / dfSafe("_n1") + a2 * a2 / dfSafe("_n2")
+    val dfWS = se2 * se2 / when(dfDen > 0.0, dfDen).otherwise(lit(1.0))
+    val sp2 = (((nD("_n1") - lit(1.0)) * v1 + (nD("_n2") - lit(1.0)) * v2)
+      / greatest(nD("_n1") + nD("_n2") - lit(2.0), lit(1.0)))
+    val ok = col("_n1") >= 2L && col("_n2") >= 2L
+    agg.select(col("_n1").as("n_a"), col("_n2").as("n_b"),
+      when(ok && se2 > 0.0, round(t * lit(1.0e12)).cast("long")).as("t_pico"),
+      when(ok && se2 > 0.0, round(dfWS * lit(1.0e6)).cast("long"))
+        .as("df_micro"),
+      when(ok && sp2 > 0.0,
+        round((m1 - m2) / sqrt(when(sp2 > 0.0, sp2).otherwise(lit(1.0)))
+          * lit(1.0e12)).cast("long")).as("cohen_d_pico"))
+  }
+
+  /** Cochran–Armitage trend test ('54/'55) — is a binary outcome's rate
+    * MONOTONE in an ordered exposure? The dose–response screen: does
+    * pass-rate fall as documents get longer, does dup-rate rise with
+    * crawl depth. χ² only says "rates differ somewhere"; this scores
+    * the ordered trend with 1 df.
+    *
+    * Exact integer law: per ordered level s (the level's own integral
+    * score — the standard linear scores): n_s, y_s; with
+    * T1 = Σ s·y_s, T2 = Σ s·n_s, T3 = Σ s²·n_s,
+    *
+    *   U = N·T1 − Y·T2   (N·× the classic T = Σ s(y_s − n_s·Ȳ))
+    *   z² = N·U² / (Y·(N−Y)·(N·T3 − T2²))
+    *
+    * — everything up to the final division is exact DECIMAL; z² is ONE
+    * pinned double chain pico-rounded, `trend_sign` the exact sign of
+    * U. NULL when the denominator is 0 (all-success, all-failure or a
+    * single level).
+    *
+    * Output (1 row): (n_rows, k_levels, z2_pico, trend_sign).
+    */
+  def cochranArmitageTrend(df: DataFrame, scoreCol: String,
+      successCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = col("_s").cast(dec)
+    val per = df.filter(col(scoreCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("_s"))
+      .agg(count(lit(1)).as("_ns"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("_ys"))
+    val agg = per.agg(
+      sum(col("_ns")).as("_n"), count(lit(1)).as("_k"),
+      sum(col("_ys")).as("_y"),
+      sum(s * col("_ys").cast(dec)).as("_t1"),
+      sum(s * col("_ns").cast(dec)).as("_t2"),
+      sum(s * s * col("_ns").cast(dec)).as("_t3"))
+    val u = col("_n").cast(dec) * col("_t1") - col("_y").cast(dec) * col("_t2")
+    val den = (col("_y").cast(dec) * (col("_n") - col("_y")).cast(dec)
+      * (col("_n").cast(dec) * col("_t3") - col("_t2") * col("_t2")))
+    val z2 = (col("_n").cast("double") * col("_u").cast("double")
+      * col("_u").cast("double") / col("_den").cast("double"))
+    agg.select(col("_n"), col("_k"), u.as("_u"), den.as("_den"))
+      .select(col("_n").as("n_rows"), col("_k").as("k_levels"),
+        when(col("_den") > lit(java.math.BigDecimal.ZERO).cast(dec),
+          round(z2 * lit(1.0e12)).cast("long")).as("z2_pico"),
+        signum(col("_u").cast("double")).cast("long").as("trend_sign"))
+  }
+
+  /** lcm(1..k) — the common denominator that makes [[mapAtK]]'s
+    * precision sum EXACT in integers (every P(i) = cum_i/i scaled by
+    * L/i is integral). k ≤ 40 keeps L·k·cum within DECIMAL(38,0).
+    */
+  def lcmTo(k: Int): Long = {
+    require(k >= 1 && k <= 40, s"k must be in [1, 40], got $k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** Mean average precision at k (the TREC AP law) over a pre-ranked
+    * candidate frame — the rank-sensitive retrieval metric beside
+    * [[ndcgAtK]] (graded gain) and [[mrrAtK]] (first hit only): AP
+    * rewards putting EVERY relevant item early,
+    *
+    *   AP@k = Σ_{i≤k, rel_i} P(i) / min(R, k),  P(i) = (#rel ≤ i)/i
+    *
+    * with R the query's TOTAL relevant count (not just top-k) — the
+    * standard denominator that penalizes relevant items the ranker
+    * never surfaced.
+    *
+    * Exact law: each P(i) is rational with denominator i ≤ k, so the
+    * numerator Σ rel_i·cum_i·(L/i) with L = [[lcmTo]](k) is an EXACT
+    * integer (one partitioned ≤k-row window per query, no double
+    * accumulation); `ap_micro = round(numer/L/min(R,k)·10⁶)` is one
+    * double chain. Queries with R = 0 report NULL.
+    *
+    * Output: (queryCol, n_rel_at_k, n_rel_total, ap_micro), one row per
+    * query in `ranked`, ordered by query.
+    */
+  def mapAtK(ranked: DataFrame, rel: DataFrame, queryCol: String,
+      itemCol: String, rankCol: String, k: Int): DataFrame = {
+    val L = lcmTo(k)
+    val dec = "decimal(38,0)"
+    val relSet = rel.select(col(queryCol), col(itemCol)).distinct()
+      .withColumn("_rel", lit(1L))
+    val relTot = relSet.groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel_total"))
+    val w = Window.partitionBy(col(queryCol)).orderBy(col(rankCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val top = ranked.filter(col(rankCol) <= k)
+      .join(relSet, Seq(queryCol, itemCol), "left")
+      .select(col(queryCol), col(rankCol),
+        coalesce(col("_rel"), lit(0L)).as("_r"))
+      .withColumn("_cum", sum(col("_r")).over(w))
+    val perQ = top.groupBy(col(queryCol))
+      .agg(sum(col("_r")).as("n_rel_at_k"),
+        sum(col("_r").cast(dec) * col("_cum").cast(dec)
+          * (lit(L.toDouble) / col(rankCol).cast("double")).cast("long")
+            .cast(dec)).as("_numer"))
+    perQ.join(relTot, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel_at_k"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"),
+        when(coalesce(col("n_rel_total"), lit(0L)) > 0L,
+          round(col("_numer").cast("double") / lit(L.toDouble)
+            / least(col("n_rel_total"), lit(k.toLong)).cast("double")
+            * lit(1.0e6)).cast("long")).as("ap_micro"))
+      .orderBy(col(queryCol))
+  }
 }

@@ -136,4 +136,84 @@ object Keyphrase {
       (p, (ws.length.toLong, occ.size.toLong, score))
     }
   }
+
+  /** TextRank keywords (Mihalcea & Tarau, EMNLP '04) — the GRAPH
+    * keyword signal beside RAKE's degree/frequency one: words are nodes,
+    * co-occurrence within a `window`-token span is an edge, and the
+    * weighted PageRank of the co-occurrence graph ranks the words. RAKE
+    * scores a word by its own phrase statistics; TextRank scores it by
+    * the importance of its NEIGHBORS — the difference that surfaces hub
+    * terms glue words cling to.
+    *
+    * Law (shared verbatim with the SQL oracle):
+    *  - words are [[TextFns.tokens]] of `lower(text)`; co-occurrence
+    *    pairs are (t(i), t(i+o)) for offsets o = 1..window — ONE narrow
+    *    object-boundary pass, never a positions self-join;
+    *  - the graph is restricted to the top-`vocabK` words by (count
+    *    desc, word asc) — the bounded-node cap that makes the rank
+    *    rounds broadcast-sized regardless of corpus scale (the capBuckets
+    *    posture, applied to nodes);
+    *  - edges are UNORDERED (least, greatest) pairs of distinct in-vocab
+    *    words, weighted by co-occurrence count; ranks run `iterations`
+    *    rounds of the integer-micro weighted PageRank law
+    *    ([[Graph.pageRankMicro]]'s `div` discipline, weights replacing
+    *    out-degree): contrib = (rank·dampNum·w) div (dampDen·strength) —
+    *    exact integer arithmetic, no float accumulation order to
+    *    disagree on.
+    *
+    * Scale shape: one narrow pair pass + one token pass (hash
+    * aggregates), a TakeOrdered vocab cap, then all rounds run on
+    * ≤ vocabK-node / ≤ vocabK²-edge frames.
+    *
+    * Output: top `k` (word, rank_micro), ordered (rank_micro desc, word).
+    */
+  def textRank(df: DataFrame, textCol: String, vocabK: Int = 100,
+      window: Int = 2, iterations: Int = 5, dampNum: Long = 85L,
+      dampDen: Long = 100L, k: Int = 25): DataFrame = {
+    require(vocabK >= 2 && window >= 1 && iterations >= 1 && k >= 1,
+      s"bad arguments: vocabK=$vocabK window=$window " +
+        s"iterations=$iterations k=$k")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lowered = df.select(lower(col(textCol).cast("string")).as("_t"))
+      .as[String]
+    val pairs = lowered.mapPartitions(_.flatMap { t =>
+      val toks = TextFns.tokensScala(t)
+      (1 to window).iterator.flatMap(o =>
+        (0 until toks.length - o).iterator.map(i => (toks(i), toks(i + o))))
+    }).toDF("_w1", "_w2")
+    val vocab = lowered.mapPartitions(_.flatMap(TextFns.tokensScala))
+      .toDF("_w")
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w").asc).limit(vocabK)
+      .select(col("_w"))
+    val und = pairs.filter(col("_w1") =!= col("_w2"))
+      .join(broadcast(vocab.withColumnRenamed("_w", "_w1")), "_w1")
+      .join(broadcast(vocab.withColumnRenamed("_w", "_w2")), "_w2")
+      .select(least(col("_w1"), col("_w2")).as("_a"),
+        greatest(col("_w1"), col("_w2")).as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_wt"))
+    val edges = und.select(col("_a").as("_src"), col("_b").as("_dst"), col("_wt"))
+      .unionByName(und.select(col("_b").as("_src"), col("_a").as("_dst"),
+        col("_wt")))
+    val strength = edges.groupBy(col("_src")).agg(sum(col("_wt")).as("_str"))
+    val ewd = edges.join(strength, "_src")
+    val nodes = strength.select(col("_src").as("word"))
+    val initMicro = 1000000L
+    val base = (initMicro * (dampDen - dampNum)) / dampDen
+    var ranks = nodes.select(col("word"), lit(initMicro).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      val contribs = ewd.join(ranks, ewd("_src") === ranks("word"))
+        .select(col("_dst").as("word"),
+          expr(s"(rank_micro * ${dampNum}L * _wt) div (${dampDen}L * _str)")
+            .as("_in"))
+        .groupBy(col("word")).agg(sum(col("_in")).as("_sum"))
+      ranks = nodes.join(contribs, Seq("word"), "left")
+        .select(col("word"),
+          (lit(base) + coalesce(col("_sum"), lit(0L))).as("rank_micro"))
+    }
+    ranks.orderBy(col("rank_micro").desc, col("word")).limit(k)
+  }
 }

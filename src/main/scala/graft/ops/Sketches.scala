@@ -227,4 +227,75 @@ object Sketches {
           * 1.0e6).cast("long").as("est_jaccard_micro"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** HyperLogLog distinct-count sketch (Flajolet–Fuchs–Gandouet–Meunier,
+    * AofA '07) — the FIXED-memory companion of [[kmvDistinct]]: m = 2^p
+    * registers regardless of cardinality (KMV keeps k hashes; HLL keeps
+    * 2^p 5-bit maxima), mergeable by element-wise max, ~1.04/√m relative
+    * error. The law every engine can replay EXACTLY:
+    *
+    *  - h = the first 8 md5 hex nibbles of the salted item → a 32-bit
+    *    integer (the md5-image discipline of every sketch row here);
+    *  - register index = top p bits, ρ = position of the first 1-bit in
+    *    the remaining w = 32−p bits (w+1 when they are all zero),
+    *    computed as `w + 1 − bitlen(rest)` with bitlen = length of the
+    *    binary rendering — integer string ops, no log;
+    *  - per register M_j = max ρ; the harmonic denominator Σ 2^(−M_j)
+    *    (absent registers count M = 0) is kept as the EXACT integer
+    *    `bits = Σ 2^(40 − M_j)` (M_j ≤ w+1 ≤ 40, so every term is
+    *    integral and the sum is order-independent);
+    *  - raw = α_m·m²·2^40/bits with α_m = 0.7213/(1 + 1.079/m);
+    *    small-range: raw ≤ 2.5m with empty registers → linear counting
+    *    m·ln(m/zeros); large-range (raw > 2^32/30): −2^32·ln(1 − raw/2^32).
+    *    Each branch is ONE pinned double chain, milli-rounded.
+    *
+    * Scale shape: one narrow hash pass → ≤m-row register aggregate →
+    * 1 row. NULL items drop.
+    *
+    * Output (1 row): (m, used_registers, zero_registers, harmonic_bits,
+    * raw_est_milli, est_milli).
+    */
+  /** α_m·m²·2⁴⁰ — [[hllDistinct]]'s raw-estimate numerator, exposed so
+    * the SQL oracle interpolates the BIT-IDENTICAL double constant the
+    * engine folds (one Scala expression, one literal in both plans).
+    */
+  def hllRawNumerator(p: Int): Double = {
+    val m = (1L << p).toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m * (1L << 40).toDouble
+  }
+
+  def hllDistinct(df: DataFrame, itemCol: Column, p: Int = 8,
+      salt: String = "graft"): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1L << p
+    val w = 32 - p
+    val restMod = 1L << w
+    val h = df.select(itemCol.cast("string").as("_i"))
+      .filter(col("_i").isNotNull)
+      .select(conv(substring(md5(concat(lit(salt), col("_i"))), 1, 8), 16, 10)
+        .cast("long").as("_h"))
+    val rest = col("_h") % lit(restMod)
+    val rho = when(rest === 0L, lit((w + 1).toLong))
+      .otherwise(lit((w + 1).toLong) - length(bin(rest)).cast("long"))
+    val regs = h
+      .select(expr(s"_h div ${restMod}L").as("_b"), rho.as("_rho"))
+      .groupBy(col("_b")).agg(max(col("_rho")).as("_m"))
+    val agg = regs.agg(count(lit(1)).as("used_registers"),
+      sum(pow(lit(2.0), lit(40.0) - col("_m").cast("double")).cast("long"))
+        .as("_bits_used"))
+    val zeros = lit(m) - col("used_registers")
+    // absent registers carry M = 0 → 2^40 each
+    val bits = col("_bits_used") + zeros * lit(1L << 40)
+    val raw = lit(hllRawNumerator(p)) / bits.cast("double")
+    val two32 = 4294967296.0
+    val est = when(raw <= lit(2.5 * m.toDouble) && zeros > 0L,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .when(raw > lit(two32 / 30.0),
+        lit(-two32) * log(lit(1.0) - raw / lit(two32)))
+      .otherwise(raw)
+    agg.select(lit(m).as("m"), col("used_registers"),
+      zeros.as("zero_registers"), bits.as("harmonic_bits"),
+      round(raw * lit(1000.0)).cast("long").as("raw_est_milli"),
+      round(est * lit(1000.0)).cast("long").as("est_milli"))
+  }
 }

@@ -252,4 +252,74 @@ object Timeseries {
         col("_m._n").as("n_bins"),
         col("_m._t").as("total_events"))
   }
+
+  /** Permutation entropy (Bandt & Pompe, PRL '02) — ordinal-pattern
+    * complexity of the per-stream value series: each consecutive triple
+    * maps to its order pattern (one of 3! = 6), and the Shannon entropy
+    * of the pattern distribution, normalized by ln 6, scores the stream
+    * in [0, 1] — ~0 for monotone/scripted value streams, ~1 for
+    * white-noise ones. The standard "is this telemetry organic"
+    * complexity screen: it sees ORDER structure that [[binnedAcf]]'s
+    * linear correlations miss, and is invariant to any monotone
+    * transform of the values.
+    *
+    * Exact law: triples are (x₀, x₁, x₂) = (value, lead₁, lead₂)
+    * within a (user, event_type) stream ordered by (ts, event_id);
+    * each element's pattern rank counts strictly-smaller peers plus
+    * EQUAL peers at earlier positions (the Bandt–Pompe stable
+    * tie-break), so the pattern code r₀·9 + r₁·3 + r₂ is pure integer
+    * comparisons; entropy per event_type follows the [[entropyRate]]
+    * pico discipline (per-cell `c·round(ln(n/c)·10¹²)` in DECIMAL, one
+    * double division), `pe_micro = round(h_pico / ln6 / 10⁶)` with the
+    * SAME ln 6 literal injected into both engines.
+    *
+    * Scale shape: one lead window per (user, type) stream — bounded by
+    * the per-stream event count, the [[markovTransitions]] posture —
+    * then a ≤ 6·|types|-cell aggregate.
+    *
+    * Output: (event_type, n_triples, n_patterns, h_pico, pe_micro),
+    * one row per event_type with ≥ 1 triple, ordered by event_type.
+    */
+  def permutationEntropy(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val perStream = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col(tsCol), col(idCol))
+    val tri = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull && col(typeCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(typeCol).as("event_type"), col(userCol), col(tsCol),
+        col(idCol), col(valueCol).as("_x0"))
+      .withColumn("_x1", lead(col("_x0"), 1).over(perStream))
+      .withColumn("_x2", lead(col("_x0"), 2).over(perStream))
+      .filter(col("_x1").isNotNull && col("_x2").isNotNull)
+    def i(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    val r0 = i(col("_x1") < col("_x0")) + i(col("_x2") < col("_x0"))
+    val r1 = i(col("_x0") <= col("_x1")) + i(col("_x2") < col("_x1"))
+    val r2 = i(col("_x0") <= col("_x2")) + i(col("_x1") <= col("_x2"))
+    val cells = tri
+      .select(col("event_type"), (r0 * 9L + r1 * 3L + r2).as("_pat"))
+      .groupBy(col("event_type"), col("_pat"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(col("event_type"))))
+    val lnSix = math.log(6.0)
+    cells
+      .select(col("event_type"), col("_n"),
+        (col("_c").cast(dec) *
+          round(log(col("_n").cast("double") / col("_c").cast("double"))
+            * 1000000000000.0).cast("long").cast(dec)).as("_term"))
+      .groupBy(col("event_type"))
+      .agg(max(col("_n")).as("n_triples"), count(lit(1)).as("n_patterns"),
+        sum(col("_term")).as("_ts"))
+      .select(col("event_type"), col("n_triples"), col("n_patterns"),
+        round(col("_ts").cast("double") / col("n_triples").cast("double"))
+          .cast("long").as("h_pico"))
+      .withColumn("pe_micro",
+        round(col("h_pico").cast("double") / lit(lnSix) / 1.0e6)
+          .cast("long"))
+      .orderBy(col("event_type"))
+  }
 }

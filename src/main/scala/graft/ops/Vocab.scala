@@ -724,4 +724,48 @@ object Vocab {
         round((col("_sy").cast("double") - beta * col("_sx").cast("double"))
           / kD).cast("long")).as("lnk_micro"))
   }
+
+  /** Good–Turing frequency-of-frequencies table (Good, Biometrika '53)
+    * — the vocabulary's OCCUPANCY spectrum: N_r = how many types occur
+    * exactly r times. It answers the question every LM-data curator
+    * asks of a new corpus: how much probability mass belongs to words
+    * we have NOT seen (p₀ = N₁/N, the Good–Turing unseen estimate —
+    * hapax share of tokens), and what the smoothed count r* =
+    * (r+1)·N_{r+1}/N_r of a rank-r word should be. A heavy-hapax
+    * corpus (high p₀) is under-crawled or noisy; r* ≪ r at low r is
+    * the smoothing LM perplexity estimates need.
+    *
+    * Exact law: one token-count aggregate ([[wordFreq]]'s law), one
+    * frequency-of-frequencies aggregate (bounded by DISTINCT count
+    * values — the fv-table posture), a self-join on r+1 over that
+    * bounded table for r*, and the corpus token total as a 1-row
+    * broadcast. `r_star_micro = round((r+1)·N_{r+1}/N_r·10⁶)` and
+    * `mass_ppm = round(r·N_r/N·10⁶)` are each ONE double chain over
+    * exact integers; r* is NULL when N_{r+1} = 0 (the unsmoothable
+    * tail Gale & Sampson '95 interpolate past — out of scope for the
+    * exact table).
+    *
+    * Output: (r, n_types, mass_ppm, r_star_micro) for the `maxR`
+    * smallest r values, ordered by r.
+    */
+  def goodTuring(df: DataFrame, textCol: String, maxR: Int = 15): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    val counts = df.select(
+        explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val fof = counts.groupBy(col("_c").as("r"))
+      .agg(count(lit(1)).as("n_types"))
+    val tot = fof.agg(sum(col("r") * col("n_types")).as("_n"))
+    val nxt = fof.select((col("r") - 1L).as("r"), col("n_types").as("_nr1"))
+    fof.join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_types"),
+        round(col("r").cast("double") * col("n_types").cast("double")
+          / col("_n").cast("double") * lit(1.0e6)).cast("long").as("mass_ppm"),
+        when(col("_nr1").isNotNull,
+          round((col("r") + lit(1L)).cast("double") * col("_nr1").cast("double")
+            / col("n_types").cast("double") * lit(1.0e6)).cast("long"))
+          .as("r_star_micro"))
+      .orderBy(col("r")).limit(maxR)
+  }
 }

@@ -303,6 +303,25 @@ trait DedupQueries { self: RegistryAll =>
       | FROM pairs WHERE CAST(shared AS DOUBLE)/least(na, nb) >= 0.9
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Sørensen–Dice n-gram pairs ([[graft.ops.Dedup.ngramDicePairs]],
+    * Sørensen '48 / Dice '45: 2|A∩B|/(|A|+|B|)) — the third face of the
+    * capped shingle family: intersection-doubled, between Jaccard's
+    * union-relative and containment's min-relative views. Same
+    * df-capped scaffold and shared oracle CTE chain; one double chain
+    * per pair.
+    */
+  def qDiceNgram(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramDicePairs(t(spark, dir, "documents"),
+      "doc_id", "text", shingleSize = 3, threshold = 0.85)
+      .orderBy("id_a", "id_b")
+
+  lazy val qDiceNgramSql: String =
+    s"""WITH $ngramPairCtes
+      | SELECT id_a, id_b, shared, na, nb,
+      |  CAST(shared AS DOUBLE)*2.0/(na+nb) AS dice
+      | FROM pairs WHERE CAST(shared AS DOUBLE)*2.0/(na+nb) >= 0.85
+      | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** Corpus-internal duplicate 5-gram mass
     * ([[graft.ops.Dedup.ngramDupMass]], the Lee et al. ACL'22
     * boilerplate surface): the fraction of (doc, distinct-5-gram)

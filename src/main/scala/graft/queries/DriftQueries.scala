@@ -418,6 +418,57 @@ trait DriftQueries { self: RegistryAll =>
       | FROM pv WHERE n_kept > 0""".stripMargin.replace("\n", " ")
   }
 
+  /** HyperLogLog distinct estimate of the same order–part interaction
+    * set ([[graft.ops.Sketches.hllDistinct]], Flajolet et al. '07,
+    * m = 256 registers): the FIXED-memory companion of q_kmv_distinct —
+    * same md5-image discipline, the register/ρ law in exact integer
+    * string ops, the harmonic denominator as an exact BIGINT, one
+    * pinned double chain per estimate (the raw-numerator constant is
+    * interpolated from the engine's own fold). ~60k true distinct puts
+    * it on the RAW estimator branch; the linear-counting and all-zero
+    * branches are spec-pinned.
+    */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllDistinct(
+      t(spark, dir, "lineitem")
+        .select(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_partkey").cast("string")).as("pair")),
+      col("pair"), p = 8)
+
+  lazy val qHllDistinctSql: String = {
+    val poly8 = (1 to 8).map(i =>
+      s"CAST(${1L << (4 * (8 - i))} AS BIGINT) * ${nibSql(i)}")
+      .mkString(" + ")
+    val rawNum = graft.ops.Sketches.hllRawNumerator(8)
+    val largeCut = 4294967296.0 / 30.0
+    s"""WITH toks AS (SELECT CAST(l_orderkey AS VARCHAR) || ':'
+      |   || CAST(l_partkey AS VARCHAR) AS tok FROM lineitem),
+      | h AS (SELECT md5('graft' || tok) AS m FROM toks
+      |  WHERE tok IS NOT NULL),
+      | hv AS (SELECT CAST($poly8 AS BIGINT) AS v FROM h),
+      | rr AS (SELECT v // 16777216 AS b, v % 16777216 AS rest FROM hv),
+      | rho AS (SELECT b, CASE WHEN rest = 0 THEN 25
+      |    ELSE 25 - length(bin(rest)) END AS r FROM rr),
+      | regs AS (SELECT b, CAST(MAX(r) AS BIGINT) AS mr FROM rho GROUP BY 1),
+      | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS used,
+      |   CAST(SUM(CAST(2**(40.0 - CAST(mr AS DOUBLE)) AS BIGINT))
+      |     AS BIGINT) AS bits_used FROM regs),
+      | w AS (SELECT used, 256 - used AS zeros,
+      |   bits_used + (256 - used) * 1099511627776 AS bits FROM ag),
+      | e AS (SELECT used, zeros, bits,
+      |   $rawNum / CAST(bits AS DOUBLE) AS raw FROM w)
+      | SELECT CAST(256 AS BIGINT) AS m, used AS used_registers,
+      |  CAST(zeros AS BIGINT) AS zero_registers,
+      |  CAST(bits AS BIGINT) AS harmonic_bits,
+      |  CAST(round(raw * 1000.0) AS BIGINT) AS raw_est_milli,
+      |  CAST(round((CASE WHEN raw <= 640.0 AND zeros > 0
+      |    THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+      |    WHEN raw > $largeCut
+      |    THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+      |    ELSE raw END) * 1000.0) AS BIGINT) AS est_milli
+      | FROM e""".stripMargin.replace("\n", " ")
+  }
+
   /** Hill tail-index of the document-length distribution
     * ([[graft.ops.Quantiles.hillTailIndex]], Hill '75, k = 100): the
     * heavy-tail exponent a corpus sizing decision reads — α ≈ 1 means a

@@ -888,4 +888,241 @@ trait EvalQueries { self: RegistryAll =>
       |      + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
       |   * 1e6) AS BIGINT) AS wilson_hi_micro
       | FROM w ORDER BY grp""".stripMargin.replace("\n", " ")
+
+  /** Kruskal–Wallis H across sources ([[graft.ops.Eval.kruskalWallis]],
+    * '52): do the k sources draw doc length from one distribution? The
+    * k-group rank test on the distributed prefix-sum midranks — the
+    * q_rank_effect law generalized past two groups.
+    */
+  def qKruskalWallis(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.kruskalWallis(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qKruskalWallisSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v, source AS g
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | vg AS (SELECT v, g, CAST(COUNT(*) AS BIGINT) AS nvg
+      |  FROM base GROUP BY 1, 2),
+      | fv AS (SELECT v, CAST(SUM(nvg) AS BIGINT) AS nv FROM vg GROUP BY 1),
+      | mr AS (SELECT v, nv,
+      |   2 * CAST(SUM(nv) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |     - nv + 1 AS mr2 FROM fv),
+      | gr AS (SELECT g,
+      |   CAST(SUM(CAST(nvg AS HUGEINT) * CAST(mr2 AS HUGEINT)) AS HUGEINT)
+      |     AS r2,
+      |   CAST(SUM(nvg) AS BIGINT) AS ng
+      |  FROM vg JOIN mr USING (v) GROUP BY 1),
+      | tie AS (SELECT CAST(SUM(CAST(nv AS HUGEINT) * CAST(nv AS HUGEINT)
+      |     * CAST(nv AS HUGEINT) - CAST(nv AS HUGEINT)) AS HUGEINT) AS tn
+      |  FROM fv),
+      | tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+      |   CAST(COUNT(*) AS BIGINT) AS k FROM gr),
+      | terms AS (SELECT n, k,
+      |   CAST(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) * 3.0
+      |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+      |       * CAST(ng AS DOUBLE)) * 1.0e12) AS BIGINT) AS HUGEINT) AS t
+      |  FROM gr CROSS JOIN tot),
+      | s AS (SELECT n, k, CAST(SUM(t) AS HUGEINT) AS st
+      |  FROM terms GROUP BY 1, 2),
+      | h AS (SELECT n, k,
+      |   CAST(st - 3 * (CAST(n AS HUGEINT) + 1) * 1000000000000 AS BIGINT)
+      |     AS hp,
+      |   1.0 - CAST(tn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c
+      |  FROM s CROSS JOIN tie)
+      | SELECT n AS n_rows, k AS k_groups, hp AS h_pico,
+      |  CASE WHEN c > 0.0
+      |   THEN CAST(round(CAST(hp AS DOUBLE) / c) AS BIGINT) END
+      |   AS h_tiecorr_pico
+      | FROM h""".stripMargin.replace("\n", " ")
+
+  /** One-way ANOVA F across sources ([[graft.ops.Eval.anovaF]], Fisher
+    * '25) with eta² effect size — the mean-variance companion of
+    * q_kruskal_wallis over the same (length, source) design.
+    */
+  def qAnovaF(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.anovaF(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qAnovaFSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v, source AS g
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+      |   CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+      |   CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT) AS q
+      |  FROM base GROUP BY 1),
+      | ag AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+      |   CAST(COUNT(*) AS BIGINT) AS k,
+      |   CAST(SUM(s) AS HUGEINT) AS ss, CAST(SUM(q) AS HUGEINT) AS qq,
+      |   CAST(SUM(CAST(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |     / CAST(ng AS DOUBLE) * 1.0e6) AS BIGINT) AS HUGEINT)) AS HUGEINT)
+      |     AS a
+      |  FROM per),
+      | w AS (SELECT n, k,
+      |   a - CAST(CAST(round(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+      |     / CAST(n AS DOUBLE) * 1.0e6) AS BIGINT) AS HUGEINT) AS ssb,
+      |   qq * 1000000 - a AS ssw FROM ag)
+      | SELECT n AS n_rows, k AS k_groups,
+      |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+      |   CAST(round(CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+      |     / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1.0e12)
+      |    AS BIGINT) END AS f_pico,
+      |  CASE WHEN ssb + ssw > 0 THEN
+      |   CAST(round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE)
+      |     * 1.0e12) AS BIGINT) END AS eta2_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
+  /** Welch's unequal-variance t with Welch–Satterthwaite df and Cohen's
+    * d ([[graft.ops.Eval.welchTTest]]): are English docs longer than
+    * the rest? — exact DECIMAL moment sums, each statistic one pinned
+    * double chain.
+    */
+  def qWelchTtest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.welchTTest(
+      t(spark, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("n_chars").cast("long").as("len"),
+          (col("lang") === "en").as("is_en")),
+      "len", "is_en")
+
+  lazy val qWelchTtestSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS fa
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      | ag AS (SELECT
+      |   CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   CAST(SUM(CASE WHEN fa THEN CAST(v AS HUGEINT) ELSE 0 END)
+      |     AS HUGEINT) AS s1,
+      |   CAST(SUM(CASE WHEN fa THEN CAST(v AS HUGEINT) * CAST(v AS HUGEINT)
+      |     ELSE 0 END) AS HUGEINT) AS q1,
+      |   CAST(SUM(CASE WHEN fa THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+      |   CAST(SUM(CASE WHEN fa THEN 0 ELSE CAST(v AS HUGEINT) END)
+      |     AS HUGEINT) AS s2,
+      |   CAST(SUM(CASE WHEN fa THEN 0 ELSE CAST(v AS HUGEINT)
+      |     * CAST(v AS HUGEINT) END) AS HUGEINT) AS q2
+      |  FROM base),
+      | w AS (SELECT n1, n2,
+      |   CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+      |   CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |   (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |     / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+      |   (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+      |  FROM ag),
+      | w2 AS (SELECT n1, n2, m1, m2, v1, v2,
+      |   v1 / CAST(n1 AS DOUBLE) AS a1, v2 / CAST(n2 AS DOUBLE) AS a2
+      |  FROM w)
+      | SELECT n1 AS n_a, n2 AS n_b,
+      |  CASE WHEN n1 >= 2 AND n2 >= 2 AND a1 + a2 > 0.0 THEN
+      |   CAST(round((m1 - m2) / sqrt(a1 + a2) * 1.0e12) AS BIGINT) END
+      |   AS t_pico,
+      |  CASE WHEN n1 >= 2 AND n2 >= 2 AND a1 + a2 > 0.0 THEN
+      |   CAST(round((a1 + a2) * (a1 + a2)
+      |     / (a1 * a1 / (CAST(n1 AS DOUBLE) - 1.0)
+      |       + a2 * a2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1.0e6) AS BIGINT)
+      |   END AS df_micro,
+      |  CASE WHEN n1 >= 2 AND n2 >= 2
+      |    AND ((CAST(n1 AS DOUBLE) - 1.0) * v1
+      |      + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+      |     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0) > 0.0 THEN
+      |   CAST(round((m1 - m2) / sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1
+      |     + (CAST(n2 AS DOUBLE) - 1.0) * v2)
+      |     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) * 1.0e12)
+      |    AS BIGINT) END AS cohen_d_pico
+      | FROM w2""".stripMargin.replace("\n", " ")
+
+  /** Cochran–Armitage trend ([[graft.ops.Eval.cochranArmitageTrend]]):
+    * does the English rate TREND across ordered length buckets? —
+    * exact-integer contrasts, one double chain for z².
+    */
+  def qTrendTest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.cochranArmitageTrend(
+      t(spark, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(expr("least(n_chars div 250, 4)").as("lvl"),
+          (col("lang") === "en").as("hit")),
+      "lvl", "hit")
+
+  lazy val qTrendTestSql: String =
+    """WITH base AS (SELECT least(CAST(n_chars AS BIGINT) // 250, 4) AS s,
+      |   (lang = 'en') AS hit
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      | per AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ns,
+      |   CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS ys
+      |  FROM base GROUP BY 1),
+      | ag AS (SELECT CAST(SUM(ns) AS BIGINT) AS n,
+      |   CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ys) AS BIGINT) AS y,
+      |   CAST(SUM(CAST(s AS HUGEINT) * ys) AS HUGEINT) AS t1,
+      |   CAST(SUM(CAST(s AS HUGEINT) * ns) AS HUGEINT) AS t2,
+      |   CAST(SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT) * ns) AS HUGEINT)
+      |     AS t3
+      |  FROM per),
+      | w AS (SELECT n, k,
+      |   CAST(n AS HUGEINT) * t1 - CAST(y AS HUGEINT) * t2 AS u,
+      |   CAST(y AS HUGEINT) * CAST(n - y AS HUGEINT)
+      |     * (CAST(n AS HUGEINT) * t3 - t2 * t2) AS den
+      |  FROM ag)
+      | SELECT n AS n_rows, k AS k_levels,
+      |  CASE WHEN den > 0 THEN
+      |   CAST(round(CAST(n AS DOUBLE) * CAST(u AS DOUBLE)
+      |     * CAST(u AS DOUBLE) / CAST(den AS DOUBLE) * 1.0e12) AS BIGINT)
+      |   END AS z2_pico,
+      |  CASE WHEN u > 0 THEN 1 WHEN u < 0 THEN -1 ELSE 0 END AS trend_sign
+      | FROM w""".stripMargin.replace("\n", " ")
+
+  /** Mean average precision at 20 ([[graft.ops.Eval.mapAtK]], the TREC
+    * AP law) over the q_mrr_eval retrieval design (brute-force cosine
+    * ranking, label-match relevance): AP's exact-integer numerator via
+    * the lcm(1..20) common denominator, one double chain per query.
+    */
+  def qMapEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val ranked = graft.ops.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+    val lab = e.select(col("vec_id"), col("label"))
+    val rel = lab.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("_ql"))
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("_cl")),
+        col("_ql") === col("_cl") && col("query_id") =!= col("neighbor_id"))
+    graft.ops.Eval.mapAtK(ranked, rel, "query_id", "neighbor_id", "rank",
+      k = 20)
+  }
+
+  lazy val qMapEvalSql: String = {
+    val L = graft.ops.Eval.lcmTo(20)
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      |  FROM embeddings WHERE vec_id < 5),
+      | c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS cl
+      |  FROM embeddings),
+      | s AS (SELECT query_id, neighbor_id, ql, cl,
+      |   list_dot_product(qv, cv)/(sqrt(list_dot_product(qv, qv))*sqrt(list_dot_product(cv, cv))) AS sim
+      |  FROM c, q WHERE neighbor_id <> query_id),
+      | r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      |  FROM s),
+      | top AS (SELECT query_id, CAST(rk AS BIGINT) AS rk,
+      |   CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel FROM r WHERE rk <= 20),
+      | cum AS (SELECT query_id, rk, rel,
+      |   CAST(SUM(rel) OVER (PARTITION BY query_id ORDER BY rk
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr
+      |  FROM top),
+      | relt AS (SELECT a.vec_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_total
+      |  FROM embeddings a JOIN embeddings b
+      |   ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < 5 GROUP BY 1),
+      | perq AS (SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+      |   CAST(SUM(CAST(rel AS HUGEINT) * cr * ($L // rk)) AS HUGEINT) AS numer
+      |  FROM cum GROUP BY 1)
+      | SELECT p.query_id, p.n_rel_at_k,
+      |  COALESCE(t.n_rel_total, 0) AS n_rel_total,
+      |  CASE WHEN COALESCE(t.n_rel_total, 0) > 0 THEN
+      |   CAST(round(CAST(numer AS DOUBLE) / $L.0
+      |     / CAST(LEAST(t.n_rel_total, 20) AS DOUBLE) * 1.0e6) AS BIGINT)
+      |   END AS ap_micro
+      | FROM perq p LEFT JOIN relt t USING (query_id)
+      | ORDER BY query_id""".stripMargin.replace("\n", " ")
+  }
 }

@@ -1481,4 +1481,77 @@ trait TextQueries { self: RegistryAll =>
       |   AS inv_simpson_milli
       | FROM cnt JOIN ns USING (stratum) GROUP BY cnt.stratum
       | ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  /** Good–Turing frequency-of-frequencies ([[graft.ops.Vocab.goodTuring]],
+    * Good '53): the occupancy spectrum N_r with each rank's hapax mass
+    * share and smoothed count r* = (r+1)·N_{r+1}/N_r — the unseen-mass
+    * table (p₀ = the r = 1 row's mass_ppm) every LM-data curator reads
+    * first on a new corpus.
+    */
+  def qGoodTuring(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.goodTuring(t(spark, dir, "documents"), "text",
+      maxR = 15)
+
+  lazy val qGoodTuringSql: String =
+    s"""WITH t AS (SELECT $lowerTokensSql AS tks FROM documents),
+      | cnt AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(tks) AS u FROM t) GROUP BY 1),
+      | fof AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_types
+      |  FROM cnt GROUP BY 1),
+      | tot AS (SELECT CAST(SUM(r * n_types) AS BIGINT) AS n FROM fof),
+      | nxt AS (SELECT r - 1 AS r, n_types AS nr1 FROM fof)
+      | SELECT f.r, f.n_types,
+      |  CAST(round(CAST(f.r AS DOUBLE) * CAST(f.n_types AS DOUBLE)
+      |    / CAST(tot.n AS DOUBLE) * 1.0e6) AS BIGINT) AS mass_ppm,
+      |  CASE WHEN x.nr1 IS NOT NULL THEN
+      |   CAST(round(CAST(f.r + 1 AS DOUBLE) * CAST(x.nr1 AS DOUBLE)
+      |     / CAST(f.n_types AS DOUBLE) * 1.0e6) AS BIGINT) END
+      |   AS r_star_micro
+      | FROM fof f LEFT JOIN nxt x USING (r) CROSS JOIN tot
+      | ORDER BY r LIMIT 15""".stripMargin.replace("\n", " ")
+
+  /** TextRank keywords ([[graft.ops.Keyphrase.textRank]], Mihalcea &
+    * Tarau '04): weighted integer-micro PageRank over the window-2
+    * co-occurrence graph of the top-100 words — the graph keyword
+    * signal beside q_rake_phrases' degree/frequency one, unrolled to
+    * the same 5-round power iteration the q_pagerank oracle replays.
+    */
+  def qTextrank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Keyphrase.textRank(t(spark, dir, "documents"), "text",
+      vocabK = 100, window = 2, iterations = 5, k = 25)
+
+  lazy val qTextrankSql: String = {
+    val rounds = (1 to 5).map { i =>
+      val prev = if (i == 1) "n0" else s"r${i - 1}"
+      s""" r$i AS (SELECT n.word, 150000 + COALESCE(s.i, 0) AS rk
+        |  FROM (SELECT src AS word FROM st) n
+        |  LEFT JOIN (SELECT e.dst AS word,
+        |    CAST(SUM((r.rk * 85 * e.wt) // (100 * e.str)) AS BIGINT) AS i
+        |   FROM e JOIN $prev r ON r.word = e.src GROUP BY 1) s
+        |  USING (word)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH t AS (SELECT $lowerTokensSql AS tks FROM documents),
+      | pr AS (
+      |  SELECT tks[i] AS w1, tks[i + 1] AS w2
+      |   FROM (SELECT tks, unnest(range(1, len(tks))) AS i FROM t)
+      |  UNION ALL
+      |  SELECT tks[i] AS w1, tks[i + 2] AS w2
+      |   FROM (SELECT tks, unnest(range(1, len(tks) - 1)) AS i FROM t)),
+      | uni AS (SELECT u AS w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT unnest(tks) AS u FROM t) GROUP BY 1),
+      | voc AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 100),
+      | und AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+      |   CAST(COUNT(*) AS BIGINT) AS wt
+      |  FROM pr JOIN voc v1 ON v1.w = pr.w1 JOIN voc v2 ON v2.w = pr.w2
+      |  WHERE w1 <> w2 GROUP BY 1, 2),
+      | ed AS (SELECT a AS src, b AS dst, wt FROM und
+      |  UNION ALL SELECT b AS src, a AS dst, wt FROM und),
+      | st AS (SELECT src, CAST(SUM(wt) AS BIGINT) AS str FROM ed GROUP BY 1),
+      | e AS (SELECT ed.src, ed.dst, ed.wt, st.str FROM ed JOIN st USING (src)),
+      | n0 AS (SELECT src AS word, CAST(1000000 AS BIGINT) AS rk FROM st),
+      |$rounds
+      | fin AS (SELECT word, rk FROM r5)
+      | SELECT word, CAST(rk AS BIGINT) AS rank_micro FROM fin
+      | ORDER BY rank_micro DESC, word LIMIT 25""".stripMargin.replace("\n", " ")
+  }
 }

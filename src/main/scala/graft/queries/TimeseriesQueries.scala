@@ -478,4 +478,53 @@ trait TimeseriesQueries { self: RegistryAll =>
       |  AVG(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE))
       |    OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
       | FROM d ORDER BY day""".stripMargin.replace("\n", " ")
+
+  /** Permutation entropy per event_type
+    * ([[graft.ops.Timeseries.permutationEntropy]], Bandt & Pompe '02):
+    * ordinal-pattern complexity of the per-(user, type) value streams —
+    * the "is this telemetry organic" screen that sees order structure
+    * q_acf_hourly's linear correlations miss. Pattern codes are pure
+    * integer comparisons; entropy follows the q_entropy_rate pico
+    * discipline with the ln 6 normalizer interpolated from the
+    * engine's own constant.
+    */
+  def qPermEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.permutationEntropy(t(spark, dir, "events"),
+      "user_id", "ts", "value", "event_type", "event_id")
+
+  lazy val qPermEntropySql: String = {
+    val lnSix = math.log(6.0)
+    s"""WITH base AS (SELECT event_type, value AS x0,
+      |   lead(value, 1) OVER w AS x1, lead(value, 2) OVER w AS x2
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      |   AND event_type IS NOT NULL AND event_id IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+      | tri AS (SELECT event_type,
+      |   ((CASE WHEN x1 < x0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x2 < x0 THEN 1 ELSE 0 END)) * 9
+      |   + ((CASE WHEN x0 <= x1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END)) * 3
+      |   + (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END)
+      |   + (CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS pat
+      |  FROM base WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+      | cells AS (SELECT event_type, pat, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tri GROUP BY 1, 2),
+      | wn AS (SELECT event_type, c,
+      |   CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM cells),
+      | terms AS (SELECT event_type, n, CAST(c AS HUGEINT)
+      |   * CAST(round(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+      |     * 1000000000000.0) AS BIGINT) AS term FROM wn),
+      | ag AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_triples,
+      |   CAST(COUNT(*) AS BIGINT) AS n_patterns,
+      |   CAST(SUM(term) AS HUGEINT) AS tsum FROM terms GROUP BY 1),
+      | h AS (SELECT event_type, n_triples, n_patterns,
+      |   CAST(round(CAST(tsum AS DOUBLE) / CAST(n_triples AS DOUBLE))
+      |    AS BIGINT) AS h_pico FROM ag)
+      | SELECT event_type, n_triples, n_patterns, h_pico,
+      |  CAST(round(CAST(h_pico AS DOUBLE) / $lnSix / 1000000.0) AS BIGINT)
+      |   AS pe_micro
+      | FROM h ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
 }

@@ -613,4 +613,29 @@ class DedupSpec extends SparkSpec {
       "shared/na/nb verify against FULL sets (hot shingle included)")
     assert(r.getDouble(5) === 1.0)
   }
+
+  test("ngram dice: exact 2s/(na+nb) value, threshold boundary, capped scaffold") {
+    import spark.implicits._
+    // 4 shingles each, 3 shared → dice = 6/8 = 0.75, jaccard 3/5 = 0.6
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.ngramDicePairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.7).collect()
+    assert(hit.length === 1)
+    val r = hit.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 4L, 4L)))
+    assert(r.getDouble(5) === 0.75)
+    // the default 0.85 threshold excludes the same pair (prune bound is
+    // monotone in shared, so the candidate never reaches the output)
+    assert(Dedup.ngramDicePairs(docs, "doc_id", "text",
+      shingleSize = 3).count() === 0L)
+    // the planted stop-shingle corpus: identical docs survive the cap
+    // with dice exactly 1.0 over FULL sets
+    val capped = Dedup.ngramDicePairs(stopShingleDocs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.85, maxDf = 64).collect()
+    assert(capped.length === 1)
+    assert((capped.head.getLong(0), capped.head.getLong(1)) === ((1000L, 1001L)))
+    assert(capped.head.getDouble(5) === 1.0)
+  }
 }

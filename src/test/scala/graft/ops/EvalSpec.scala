@@ -518,4 +518,101 @@ class EvalSpec extends SparkSpec {
     val lone = Seq(("only", true), ("only", false)).toDF("grp", "hit")
     assert(Eval.riskRatioByGroup(lone, "grp", "hit").collect().head.isNullAt(4))
   }
+
+  test("kruskalWallis: hand-checked H, tie correction, all-tied NULL") {
+    // no ties: a={1,2}, b={3,4} → ranks 1..4, R_a=3, R_b=7,
+    // H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 2.4; C = 1
+    val noTies = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r1 = Eval.kruskalWallis(noTies, "v", "g").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) === ((4L, 2L)))
+    assert(r1.getLong(2) === 2400000000000L)
+    assert(r1.getLong(3) === 2400000000000L)
+    // ties: a={1,1}, b={1,2} → midranks 2,2,2,4, H = 0.6;
+    // C = 1 − 24/60 = 0.6 → H/C = 1
+    val ties = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val r2 = Eval.kruskalWallis(ties, "v", "g").collect().head
+    assert(r2.getLong(2) === 600000000000L)
+    assert(r2.getLong(3) === 1000000000000L)
+    // every value tied: H = 0 and C = 0 → corrected form undefined
+    val allTied = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    val r3 = Eval.kruskalWallis(allTied, "v", "g").collect().head
+    assert(r3.getLong(2) === 0L)
+    assert(r3.isNullAt(3))
+  }
+
+  test("anovaF: hand-checked F and eta², zero-SSW and single-group NULLs") {
+    // a={1,2,3}, b={4,5,6}: SSB = 13.5, SSW = 4 → F = 13.5, η² = 27/35
+    val two = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r1 = Eval.anovaF(two, "v", "g").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) === ((6L, 2L)))
+    assert(r1.getLong(2) === 13500000000000L)
+    assert(r1.getLong(3) === math.round(13.5 / 17.5 * 1e12))
+    // zero within-group variance: F undefined, η² = 1
+    val sep = Seq(("a", 2L), ("a", 2L), ("b", 3L), ("b", 3L)).toDF("g", "v")
+    val r2 = Eval.anovaF(sep, "v", "g").collect().head
+    assert(r2.isNullAt(2))
+    assert(r2.getLong(3) === 1000000000000L)
+    // one group: k − 1 = 0 → both NULL (SST = SSW)
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r3 = Eval.anovaF(one, "v", "g").collect().head
+    assert(r3.isNullAt(2))
+  }
+
+  test("welchTTest: clean two-group fixture, degenerate n < 2 NULLs") {
+    // A={0,2} (m=1, s²=2), B={1,3} (m=2, s²=2): se² = 2,
+    // t = d = −1/√2, df = 4/(1+1) = 2
+    val df0 = Seq((0L, true), (2L, true), (1L, false), (3L, false))
+      .toDF("v", "fa")
+    val r = Eval.welchTTest(df0, "v", "fa").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getLong(2) === math.round(-1.0 / math.sqrt(2.0) * 1e12))
+    assert(r.getLong(3) === 2000000L)
+    assert(r.getLong(4) === math.round(-1.0 / math.sqrt(2.0) * 1e12))
+    // one side a singleton: variance undefined → all NULL
+    val tiny = Seq((1L, true), (2L, false), (3L, false)).toDF("v", "fa")
+    val r2 = Eval.welchTTest(tiny, "v", "fa").collect().head
+    assert(r2.isNullAt(2) && r2.isNullAt(3) && r2.isNullAt(4))
+  }
+
+  test("cochranArmitageTrend: hand-checked z², sign, degenerate NULL") {
+    // levels 0,1,2 with (n,y) = (2,0),(2,1),(2,2): U = 12,
+    // den = 3·3·(60−36) = 216, z² = 6·144/216 = 4
+    val up = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true)).toDF("s", "hit")
+    val r1 = Eval.cochranArmitageTrend(up, "s", "hit").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) === ((6L, 3L)))
+    assert(r1.getLong(2) === 4000000000000L)
+    assert(r1.getLong(3) === 1L)
+    // reversed outcome → same z², opposite sign
+    val down = up.select(org.apache.spark.sql.functions.col("s"),
+      (!org.apache.spark.sql.functions.col("hit")).as("hit"))
+    val r2 = Eval.cochranArmitageTrend(down, "s", "hit").collect().head
+    assert(r2.getLong(2) === 4000000000000L)
+    assert(r2.getLong(3) === -1L)
+    // all-success: Y(N−Y) = 0 → z² NULL, sign 0
+    val flat = Seq((0L, true), (1L, true)).toDF("s", "hit")
+    val r3 = Eval.cochranArmitageTrend(flat, "s", "hit").collect().head
+    assert(r3.isNullAt(2))
+    assert(r3.getLong(3) === 0L)
+  }
+
+  test("mapAtK: exact lcm numerator, total-relevant denominator, no-rel NULL") {
+    // q=1 top-4 rel pattern [1,0,1,0], R = 3 (one relevant never ranked):
+    // AP@4 = (1 + 2/3)/3 = 5/9
+    val ranked = Seq((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), (1L, 14L, 4),
+      (2L, 11L, 1), (2L, 12L, 2)).toDF("q", "item", "rank")
+    val rel = Seq((1L, 11L), (1L, 13L), (1L, 99L)).toDF("q", "item")
+    val got = Eval.mapAtK(ranked, rel, "q", "item", "rank", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((2L, 3L, Some(math.round(5.0 / 9.0 * 1e6)))))
+    // q=2 has no relevant items at all → NULL AP
+    assert(got(2L) === ((0L, 0L, None)))
+    // lcm sanity: the exact-integer denominator the law rests on
+    assert(Eval.lcmTo(4) === 12L)
+    assert(Eval.lcmTo(20) === 232792560L)
+  }
 }

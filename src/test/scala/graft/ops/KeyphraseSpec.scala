@@ -75,4 +75,28 @@ class KeyphraseSpec extends SparkSpec {
       assert(got === want, s"corpus $i: $texts")
     }
   }
+
+  test("textRank: symmetric 2-node graph is stationary at init; hub outranks leaves; vocab cap bounds the node set") {
+    import spark.implicits._
+    // x–y alternation: one undirected edge, each node's whole strength
+    // flows to the other → rank = 150000 + 850000·(w/w) = 1000000 every
+    // round (the stationary point of the integer law)
+    val alt = Seq("x y x y x y").toDF("text")
+    val rAlt = Keyphrase.textRank(alt, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rAlt === Map("x" -> 1000000L, "y" -> 1000000L))
+    // star-ish corpus: the hub co-occurs with every leaf
+    val star = Seq("h a h b h c", "h a h b h c").toDF("text")
+    val rows = Keyphrase.textRank(star, "text").collect()
+    assert(rows.map(_.getString(0)).toSet === Set("h", "a", "b", "c"))
+    assert(rows.head.getString(0) === "h",
+      "the hub must carry the top TextRank")
+    assert(rows.head.getLong(1) > rows.last.getLong(1))
+    // vocabK caps the graph: only the top-2 words by (count desc, word)
+    // survive as nodes
+    val capped = Keyphrase.textRank(
+      Seq("p q p q r s").toDF("text"), "text", vocabK = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(capped === Set("p", "q"))
+  }
 }

@@ -112,4 +112,50 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
     assert(dup(("a", "c")) === 500000L)
   }
+
+  test("hllDistinct: naive md5 replay (registers, bits, both branches), duplicate-invariant, accuracy at 20k") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // full law replay: the small fixture lands on the LINEAR-COUNTING
+    // branch (zeros > 0, raw ≤ 640), the exact path the sf-corpus rows
+    // never exercise
+    val items = (1 to 50).map(i => s"it$i")
+    val regs = scala.collection.mutable.Map.empty[Long, Long]
+    items.foreach { it =>
+      val h = java.lang.Long.parseLong(md5hex("graft" + it).take(8), 16)
+      val b = h >> 24
+      val rest = h & 0xFFFFFFL
+      val rho = if (rest == 0L) 25L
+        else 25L - (64L - java.lang.Long.numberOfLeadingZeros(rest))
+      regs(b) = math.max(regs.getOrElse(b, 0L), rho)
+    }
+    val zeros = 256L - regs.size
+    val bits = regs.values.map(m => 1L << (40 - m)).sum + zeros * (1L << 40)
+    val raw = Sketches.hllRawNumerator(8) / bits.toDouble
+    val est = if (raw <= 640.0 && zeros > 0) 256.0 * math.log(256.0 / zeros)
+      else raw
+    val r = Sketches.hllDistinct(items.toDF("item"), col("item"), p = 8)
+      .collect().head
+    assert(r.getLong(0) === 256L)
+    assert((r.getLong(1), r.getLong(2)) === ((regs.size.toLong, zeros)))
+    assert(r.getLong(3) === bits)
+    assert(r.getLong(4) === math.round(raw * 1000.0))
+    assert(r.getLong(5) === math.round(est * 1000.0))
+    assert(zeros > 0 && raw <= 640.0, "fixture must exercise linear counting")
+    // duplicates can't move a max-of-ρ register file
+    val r2 = Sketches.hllDistinct(
+      (items ++ items ++ items).toDF("item"), col("item"), p = 8)
+      .collect().head
+    assert((r2.getLong(3), r2.getLong(5)) === ((bits, r.getLong(5))))
+    // raw-branch accuracy: 20k distinct, expected rel-error ~1.04/√256
+    val big = Sketches.hllDistinct(
+      (1 to 20000).map(i => s"v$i").toDF("item"), col("item"), p = 8)
+      .collect().head
+    assert(big.getLong(2) === 0L, "20k items should fill all 256 registers")
+    val e = big.getLong(5) / 1000.0
+    assert(math.abs(e - 20000.0) / 20000.0 < 0.15,
+      s"HLL estimate $e too far from 20000")
+  }
 }

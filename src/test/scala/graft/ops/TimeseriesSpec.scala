@@ -99,4 +99,35 @@ class TimeseriesSpec extends SparkSpec {
     assert((got.head.getLong(1), got.head.getLong(2), got.head.getLong(3)) ===
       ((24L, 6L, 12L)))
   }
+
+  test("permutationEntropy: monotone stream = 0, two-pattern stream = ln 2, stable tie-break, stream isolation") {
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, typ: String, sec: Long, v: Double) =
+      (id, new Timestamp(sec * 1000L), user, typ, v)
+    def run(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+      Timeseries.permutationEntropy(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "user_id", "ts", "value", "event_type", "event_id")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+    // strictly increasing: every triple is the SAME pattern → H = 0
+    val mono = run((1L to 5L).map(i => ev(i, 1L, "up", i, i.toDouble)))
+    assert(mono("up") === ((3L, 1L, 0L, 0L)))
+    // all-equal values: the positional tie-break makes ties ONE pattern
+    // (the same one as strictly-increasing), not an arbitrary split
+    val flat = run((1L to 4L).map(i => ev(i, 1L, "fl", i, 7.0)))
+    assert(flat("fl") === ((2L, 1L, 0L, 0L)))
+    // 1,3,2,4 → two triples, two distinct patterns → H = ln 2,
+    // pe = ln2/ln6
+    val mix = run(Seq(ev(1, 1, "mx", 1, 1.0), ev(2, 1, "mx", 2, 3.0),
+      ev(3, 1, "mx", 3, 2.0), ev(4, 1, "mx", 4, 4.0)))
+    val hPico = 2L * math.round(math.log(2.0) * 1e12) / 2L
+    assert(mix("mx") === ((2L, 2L, hPico,
+      math.round(hPico.toDouble / math.log(6.0) / 1e6))))
+    // triples never straddle users or types: two 2-event streams → no rows
+    val split = run(Seq(ev(1, 1, "s", 1, 1.0), ev(2, 1, "s", 2, 2.0),
+      ev(3, 2, "s", 3, 3.0), ev(4, 2, "s", 4, 4.0)))
+    assert(!split.contains("s"))
+  }
 }

@@ -356,4 +356,23 @@ class VocabSpec extends SparkSpec {
     // constant: single type -> H = 0, 1/Simpson = 1
     assert(got("c") === ((4L, 1L, 0L, 1000L)))
   }
+
+  test("goodTuring: hand-checked occupancy spectrum, unsmoothable tail NULL, case folding") {
+    import spark.implicits._
+    // "A a a b b c": counts a:3 b:2 c:1 → N_1=N_2=N_3=1, N=6
+    val df0 = Seq("A a a b b", "c").toDF("text")
+    val rows = Vocab.goodTuring(df0, "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    // p0 = N1/N = 1/6; r* = (r+1)·N_{r+1}/N_r
+    assert(rows(1L) === ((1L, math.round(1.0 / 6.0 * 1e6), Some(2000000L))))
+    assert(rows(2L) === ((1L, math.round(2.0 / 6.0 * 1e6), Some(3000000L))))
+    assert(rows(3L) === ((1L, 500000L, None)), "no N_4: tail r* undefined")
+    // maxR truncation keeps the SMALLEST ranks (the mass head)
+    val many = Seq.tabulate(30)(i => ("w" + i + " ") * (i + 1)).toDF("text")
+    val rs = Vocab.goodTuring(many, "text", maxR = 5).collect().map(_.getLong(0))
+    assert(rs.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
