@@ -268,6 +268,62 @@ object Drift {
       .select(col("stratum"), col("n"), col("n_rest"), col("ks"))
   }
 
+  /** Exact two-sample Cramér–von Mises statistic per stratum vs the rest
+    * (Anderson '62 two-sample form) — the WHOLE-CURVE companion of
+    * [[ksDrift]]'s sup law: KS reads only the worst point of
+    * |F_s − F_r|; CvM integrates the squared gap over the pooled
+    * sample, so a distribution that deviates a little EVERYWHERE (the
+    * slow-drift failure mode a sup misses) scores. Same support, same
+    * scaffold, same quantize-upstream cost lever:
+    *
+    *   T = Σ_v c_v·(cum_s·n_r − cum_r·n_s)² / (n_s·n_r·N²)
+    *
+    * with c_v the pooled count at distinct value v — the classic
+    * ω² = (n·m/N²)·Σ(F−G)² with the tie-weighted sum over the pooled
+    * points, cleared of fractions: every factor is an exact
+    * DECIMAL(38,0) integer and ONE double division renders T.
+    *
+    * Scale shape: identical to [[ksDrift]] — one (stratum, value) hash
+    * aggregate, the global cumulative on [[PrefixSum.inclusive]], one
+    * per-stratum partitioned window, bounded by strata × distinct
+    * values. Output: (stratum, n, n_rest, cvm); single-stratum corpora
+    * report NULL.
+    */
+  def cvmDrift(df: DataFrame, stratumCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val ns = cnt.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val vals = cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val valsCum = PrefixSum.inclusive(vals, "_v", col("_cv"), "_cumAll")
+      .select(col("_v"), col("_cv"), col("_cumAll"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_v"))
+    val support = broadcast(ns).crossJoin(valsCum)
+      .join(cnt, Seq("stratum", "_v"), "left")
+      .na.fill(0L, Seq("_c"))
+      .withColumn("_cumS", sum(col("_c")).over(wS))
+    val totals = ns.agg(sum(col("_ns")).as("_n"))
+    val d = (col("_cumS").cast(dec) * col("_nr").cast(dec) -
+      col("_cumR").cast(dec) * col("_ns").cast(dec))
+    support.crossJoin(broadcast(totals))
+      .withColumn("_cumR", col("_cumAll") - col("_cumS"))
+      .withColumn("_nr", col("_n") - col("_ns"))
+      .withColumn("_t", col("_cv").cast(dec) * d * d)
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n"), first(col("_nr")).as("n_rest"),
+        first(col("_n")).as("_nt"), sum(col("_t")).as("_num"))
+      .withColumn("cvm",
+        when(col("n_rest") > 0L,
+          col("_num").cast("double") /
+            (col("n").cast(dec) * col("n_rest").cast(dec)
+              * col("_nt").cast(dec) * col("_nt").cast(dec)).cast("double")))
+      .select(col("stratum"), col("n"), col("n_rest"), col("cvm"))
+  }
+
   /** Population Stability Index per stratum vs the rest of the corpus,
     * over an integer metric binned by `binWidth` — THE industry-standard
     * numeric drift screen beside [[ksDrift]]'s sup-law (PSI weights the

@@ -1381,4 +1381,69 @@ object Eval {
             * lit(1.0e6)).cast("long")).as("ap_micro"))
       .orderBy(col(queryCol))
   }
+
+  /** Brier score with the Murphy '73 decomposition — the PROPER scoring
+    * rule behind [[calibrationBins]]'s reliability table, split into the
+    * three numbers that say WHY a probabilistic screen is good or bad:
+    * reliability (how far bin confidence sits from bin accuracy — the
+    * miscalibration penalty), resolution (how far bin accuracies spread
+    * from the base rate — the discrimination credit), and uncertainty
+    * (the base rate's intrinsic variance, the no-skill floor). Brier ≈
+    * REL − RES + UNC up to binning/quantization.
+    *
+    * Exact law: forecasts micro-quantize (`floor(s·10⁶ + 0.5)`, the
+    * [[calibrationBins]] discipline), so the Brier numerator
+    * Σ(f_micro − o·10⁶)² is an EXACT integer; REL/RES terms are per-bin
+    * pinned double chains pico-rounded BEFORE the exact Σ (the
+    * [[chi2Independence]] discipline); each output is one final double
+    * division. Same clamped-floor bins as [[calibrationBins]].
+    *
+    * Output (1 row): (n_rows, n_bins, brier_pico, reliability_pico,
+    * resolution_pico, uncertainty_pico); no rows on empty input.
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val dec = "decimal(38,0)"
+    val base = df
+      .select(col(scoreCol).cast("double").as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+      .filter(col("_s").isNotNull && !isnan(col("_s")) &&
+        abs(col("_s")) < lit(Double.PositiveInfinity) && col("_y").isNotNull)
+      .select(
+        least(lit(nBins.toLong - 1), greatest(lit(0L),
+          floor(col("_s") * nBins).cast("long"))).as("_b"),
+        floor(col("_s") * 1000000.0 + 0.5).cast("long").as("_m"),
+        when(col("_y"), 1L).otherwise(0L).as("_o"))
+    val bins = base.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_o")).as("_p"),
+        sum(col("_m")).as("_sm"),
+        sum(((col("_m") - col("_o") * lit(1000000L))
+          * (col("_m") - col("_o") * lit(1000000L))).cast(dec)).as("_bsq"))
+    val glob = bins.agg(sum(col("_n")).as("_nt"), sum(col("_p")).as("_pt"))
+      .filter(col("_nt") > 0L)
+    val nD = col("_n").cast("double")
+    val fb = col("_sm").cast("double") / nD / lit(1000000.0)
+    val ob = col("_p").cast("double") / nD
+    val obar = col("_pt").cast("double") / col("_nt").cast("double")
+    val relTerm = round(nD * (fb - ob) * (fb - ob) * lit(1.0e12)).cast("long")
+    val resTerm = round(nD * (ob - obar) * (ob - obar) * lit(1.0e12))
+      .cast("long")
+    bins.crossJoin(broadcast(glob))
+      .select(col("_nt"), col("_pt"), col("_bsq"),
+        relTerm.cast(dec).as("_rel"), resTerm.cast(dec).as("_res"))
+      .groupBy(col("_nt"), col("_pt"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("_bsq")).as("_sq"),
+        sum(col("_rel")).as("_srel"), sum(col("_res")).as("_sres"))
+      .select(col("_nt").as("n_rows"), col("n_bins"),
+        round(col("_sq").cast("double") / col("_nt").cast("double"))
+          .cast("long").as("brier_pico"),
+        round(col("_srel").cast("double") / col("_nt").cast("double"))
+          .cast("long").as("reliability_pico"),
+        round(col("_sres").cast("double") / col("_nt").cast("double"))
+          .cast("long").as("resolution_pico"),
+        round((col("_pt").cast("double") / col("_nt").cast("double"))
+          * (lit(1.0) - col("_pt").cast("double") / col("_nt").cast("double"))
+          * lit(1.0e12)).cast("long").as("uncertainty_pico"))
+  }
 }

@@ -768,4 +768,73 @@ object Vocab {
           .as("r_star_micro"))
       .orderBy(col("r")).limit(maxR)
   }
+
+  /** Burrows' Delta (Burrows, LLC '02) — the stylometric distance between
+    * sources: z-score each source's usage RATE of the corpus's top-K
+    * words against the across-source distribution of that word's rate,
+    * then Δ(a, b) = mean_w |z_wa − z_wb|. The authorship-attribution
+    * classic, and for a training corpus the "are these two crawls the
+    * same REGISTER" screen that vocabulary-overlap measures
+    * (q_source_overlap's Jaccard, q_js_matrix's divergence) miss —
+    * Delta reads function-word STYLE, not content.
+    *
+    * Exact law: rates micro-quantize per (word, source) cell
+    * (`round(c·10⁶/N_s)`) over the FULL K×S grid (a source that never
+    * uses a word is a 0-rate cell, not a missing one); per-word moment
+    * sums T1 = Σ_s r, T2 = Σ_s r² are exact integers, so
+    * z = (S·r − T1)/√(S·T2 − T1²) is one pinned double chain (the
+    * population-σ form, fractions cleared); words with zero across-source
+    * variance drop (they carry no style signal and an undefined z); the
+    * pair stage quantizes each |z_a − z_b| to nanos BEFORE the exact Σ.
+    *
+    * Scale shape: one token pass → (stratum, word) hash aggregate; the
+    * grid, moments and S² pair stage live on ≤ K×S / ≤ K×S² cells —
+    * bounded by configuration (the [[Drift.jsMatrix]] posture), never
+    * the corpus.
+    *
+    * Output: (src_a, src_b, n_words, delta_micro) per unordered source
+    * pair, ordered (src_a, src_b).
+    */
+  def burrowsDelta(df: DataFrame, stratumCol: String, textCol: String,
+      topK: Int = 25): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val dec = "decimal(38,0)"
+    val tok = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("_s"),
+        explode(TextFns.tokens(lower(col(textCol).cast("string")))).as("_w"))
+    val cws = tok.groupBy(col("_s"), col("_w")).agg(count(lit(1)).as("_c"))
+    val ns = cws.groupBy(col("_s")).agg(sum(col("_c")).as("_ns"))
+    val top = tok.groupBy(col("_w")).agg(count(lit(1)).as("_cw"))
+      .orderBy(col("_cw").desc, col("_w").asc).limit(topK)
+      .select(col("_w"))
+    val grid = broadcast(top).crossJoin(ns)
+      .join(cws, Seq("_s", "_w"), "left")
+      .na.fill(0L, Seq("_c"))
+      .select(col("_s"), col("_w"),
+        round(col("_c").cast("double") / col("_ns").cast("double")
+          * lit(1.0e6)).cast("long").as("_r"))
+    val stats = grid.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_k"), sum(col("_r").cast(dec)).as("_t1"),
+        sum(col("_r").cast(dec) * col("_r").cast(dec)).as("_t2"))
+      .withColumn("_den",
+        col("_k").cast(dec) * col("_t2") - col("_t1") * col("_t1"))
+      .filter(col("_den") > lit(java.math.BigDecimal.ZERO).cast(dec))
+    val z = grid.join(broadcast(stats), "_w")
+      .select(col("_s"), col("_w"),
+        ((col("_k").cast("double") * col("_r").cast("double")
+          - col("_t1").cast("double")) / sqrt(col("_den").cast("double")))
+          .as("_z"))
+    val a = z.select(col("_w"), col("_s").as("src_a"), col("_z").as("_za"))
+    val b = z.select(col("_w"), col("_s").as("src_b"), col("_z").as("_zb"))
+    a.join(b, Seq("_w")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(abs(col("_za") - col("_zb")) * lit(1.0e9)).cast("long")
+          .as("_d"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_words"), sum(col("_d").cast(dec)).as("_sd"))
+      .select(col("src_a"), col("src_b"), col("n_words"),
+        round(col("_sd").cast("double") / col("n_words").cast("double")
+          / lit(1000.0)).cast("long").as("delta_micro"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -998,10 +998,10 @@ class PlanShapeSpec extends SparkSpec {
       s"ingest plan funnels through one partition:\n$p")
   }
 
-  test("q_ngram_jaccard / q_containment: df-capped law — anti-join guard present, no cartesian, no corpus-order window") {
-    // q_containment shares q_ngram_jaccard's capped scaffold
-    // (Dedup.cappedNgramPairs) — both siblings carry the same witness
-    for (name <- Seq("q_ngram_jaccard", "q_containment")) {
+  test("q_ngram_jaccard / q_containment / q_dice_ngram: df-capped law — anti-join guard present, no cartesian, no corpus-order window") {
+    // q_containment and q_dice_ngram share q_ngram_jaccard's capped
+    // scaffold (Dedup.cappedNgramPairs) — all siblings carry the witness
+    for (name <- Seq("q_ngram_jaccard", "q_containment", "q_dice_ngram")) {
       val p = plan(name)
       // the dropped-shingle exclusion must stay an ANTI join (the skew cap's
       // plan witness), the pair stage an equi join (never a cartesian), and
@@ -1014,11 +1014,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_rank_effect / q_lorenz_deciles / q_spearman_corr: the value-table prefix sum is pid-partitioned, never a single-task sort") {
-    Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr").foreach { q =>
+  test("q_rank_effect / q_lorenz_deciles / q_spearman_corr / q_kruskal_wallis: the value-table prefix sum is pid-partitioned, never a single-task sort") {
+    Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr",
+      "q_kruskal_wallis").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
+    }
+  }
+
+  test("q_textrank: vocab cap broadcasts onto the pair stream; rank rounds never cartesian") {
+    val p = plan("q_textrank")
+    // the top-vocabK node cap is the scale contract: both vocab joins
+    // must broadcast (the corpus-sized pair stream stays in place), and
+    // no round may degrade to a cartesian
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_textrank vocab joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_textrank top-k must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q_hll_distinct / q_good_turing / q_perm_entropy: bounded aggregates, no corpus-order window, no cartesian beyond bounded broadcasts") {
+    for (name <- Seq("q_hll_distinct", "q_good_turing", "q_perm_entropy")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate"), name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.toLowerCase.contains("windowexec") ||
+        !p.contains("SinglePartition"),
+        s"$name: corpus-order window:\n$p")
     }
   }
 }
