@@ -1004,14 +1004,27 @@ object Graph {
     * Output: (k, n_nodes, n_edges, phi), one row per threshold,
     * ordered by k.
     */
-  def richClub(g: UndirectedWorkingSet): DataFrame = {
-    val dhist = g.deg.groupBy(col("deg")).agg(count(lit(1)).as("_nd"))
-    val ehist = g.canon
-      .join(g.deg.select(col("node").as("u"), col("deg").as("_du")), "u")
-      .join(g.deg.select(col("node").as("v"), col("deg").as("_dv")), "v")
+  def richClub(g: UndirectedWorkingSet): DataFrame =
+    richClubCore(g.canon, g.deg)
+
+  /** Edge-frame convenience form of [[richClub]] — like
+    * [[assortativity]]'s, it derives canon/degrees WITHOUT the working
+    * set's checkpoints (the returned frame stays lazy; releasing blocks
+    * under it would fail at collect time).
+    */
+  def richClub(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    richClubCore(canon, undirectedDegrees(canon))
+  }
+
+  private def richClubCore(canon: DataFrame, deg: DataFrame): DataFrame = {
+    val dhist = deg.groupBy(col("deg")).agg(count(lit(1)).as("_nd"))
+    val ehist = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("_du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("_dv")), "v")
       .select(least(col("_du"), col("_dv")).as("_mind"))
       .groupBy(col("_mind")).agg(count(lit(1)).as("_ne"))
-    val ks = g.deg.agg(max(col("deg")).as("_md"))
+    val ks = deg.agg(max(col("deg")).as("_md"))
       .select(explode(sequence(lit(0), lit(62))).as("_i"), col("_md"))
       .select(pow(lit(2.0), col("_i")).cast("long").as("k"), col("_md"))
       .filter(col("k") <= col("_md"))
@@ -1031,12 +1044,6 @@ object Graph {
             / (col("n_nodes").cast("double")
               * (col("n_nodes").cast("double") - 1.0))))
       .orderBy(col("k"))
-  }
-
-  /** Edge-frame convenience form of [[richClub]]. */
-  def richClub(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val g = prepareUndirected(edges, srcCol, dstCol)
-    try richClub(g) finally g.release()
   }
 
   /** Directed-graph reciprocity (Garlaschelli & Loffredo '04's r): the

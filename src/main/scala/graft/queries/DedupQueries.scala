@@ -322,6 +322,44 @@ trait DedupQueries { self: RegistryAll =>
       | FROM pairs WHERE CAST(shared AS DOUBLE)*2.0/(na+nb) >= 0.85
       | ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Winnowing fingerprints ([[graft.ops.Dedup.winnowFingerprints]],
+    * Schleimer–Wilkerson–Aiken SIGMOD '03 — MOSS): rightmost-minimum
+    * 5-gram md5 hashes over windows of 4, the position-aware local
+    * fingerprint set with the shared-substring guarantee. The full
+    * selection law (window minima, rightmost ties, full windows only)
+    * replays in SQL over the same md5-polynomial hash images.
+    */
+  def qWinnowFp(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.winnowFingerprints(t(spark, dir, "documents"),
+      "doc_id", "text", k = 5, w = 4)
+      .orderBy("doc_id", "pos")
+
+  lazy val qWinnowFpSql: String = {
+    val poly15 = (1 to 15).map(i =>
+      s"CAST(${1L << (4 * (15 - i))} AS BIGINT) * ${nibSql(i)}")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $lowerTokensSql AS tks FROM documents),
+      | g AS (SELECT doc_id, i,
+      |   md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+      |       || ' ' || tk[i+4]) AS m
+      |  FROM (SELECT doc_id, tks AS tk, unnest(range(1, len(tks) - 3)) AS i
+      |   FROM t WHERE len(tks) >= 8)),
+      | p AS (SELECT doc_id, i, CAST($poly15 AS BIGINT) AS h FROM g),
+      | wm AS (SELECT doc_id, i AS j, MIN(h) OVER win AS mh,
+      |   COUNT(*) OVER win AS cnt FROM p
+      |  WINDOW win AS (PARTITION BY doc_id ORDER BY i
+      |   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+      | wins AS (SELECT doc_id, j, mh FROM wm WHERE cnt = 4),
+      | sel AS (SELECT w.doc_id, w.j, MAX(p.i) AS pos
+      |  FROM wins w JOIN p ON p.doc_id = w.doc_id
+      |   AND p.i BETWEEN w.j AND w.j + 3 AND p.h = w.mh
+      |  GROUP BY 1, 2),
+      | fp AS (SELECT DISTINCT s.doc_id, s.pos, p.h AS fp_hash
+      |  FROM sel s JOIN p ON p.doc_id = s.doc_id AND p.i = s.pos)
+      | SELECT doc_id, CAST(pos AS BIGINT) AS pos, fp_hash
+      | FROM fp ORDER BY doc_id, pos""".stripMargin.replace("\n", " ")
+  }
+
   /** Corpus-internal duplicate 5-gram mass
     * ([[graft.ops.Dedup.ngramDupMass]], the Lee et al. ACL'22
     * boilerplate surface): the fraction of (doc, distinct-5-gram)

@@ -603,6 +603,49 @@ trait DriftQueries { self: RegistryAll =>
       |  END AS ks
       | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
 
+  /** Cramér–von Mises distance per source vs the rest
+    * ([[graft.ops.Drift.cvmDrift]], Anderson '62): the whole-curve
+    * companion of q_ks_drift — the squared CDF gap integrated over the
+    * pooled sample, so slow everywhere-drift scores where the sup law
+    * sees only the worst point. Same support, same distributed
+    * prefix-sum cumulative, exact integers until one division.
+    */
+  def qCvmDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.cvmDrift(t(spark, dir, "documents"), "source", "n_chars")
+      .orderBy("stratum")
+
+  lazy val qCvmDriftSql: String =
+    """WITH cnt AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v,
+      |   CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+      | vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cnt GROUP BY 1),
+      | vc AS (SELECT v, cv, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumall FROM vals),
+      | tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM ns),
+      | sup AS (SELECT ns.stratum, ns.ns, vc.v, vc.cv, vc.cumall,
+      |   COALESCE(cnt.c, 0) AS c, tot.n
+      |  FROM ns CROSS JOIN vc
+      |  LEFT JOIN cnt ON cnt.stratum = ns.stratum AND cnt.v = vc.v
+      |  CROSS JOIN tot),
+      | cum AS (SELECT stratum, ns, n, cv, cumall,
+      |   CAST(SUM(c) OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS cums
+      |  FROM sup),
+      | terms AS (SELECT stratum, ns, n, n - ns AS nr,
+      |   CAST(cv AS HUGEINT)
+      |    * (CAST(cums AS HUGEINT) * CAST(n - ns AS HUGEINT)
+      |       - CAST(cumall - cums AS HUGEINT) * CAST(ns AS HUGEINT))
+      |    * (CAST(cums AS HUGEINT) * CAST(n - ns AS HUGEINT)
+      |       - CAST(cumall - cums AS HUGEINT) * CAST(ns AS HUGEINT)) AS t
+      |  FROM cum)
+      | SELECT stratum, MIN(ns) AS n, MIN(nr) AS n_rest,
+      |  CASE WHEN MIN(nr) > 0 THEN
+      |   CAST(SUM(t) AS DOUBLE)
+      |    / CAST(CAST(MIN(ns) AS HUGEINT) * CAST(MIN(nr) AS HUGEINT)
+      |       * CAST(MIN(n) AS HUGEINT) * CAST(MIN(n) AS HUGEINT) AS DOUBLE)
+      |  END AS cvm
+      | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+
   /** PERSISTED numeric drift baseline
     * ([[graft.ops.RefStore.writeValueCounts]] +
     * [[graft.ops.Drift.ksAgainstStored]]): the corpus commits its

@@ -1125,4 +1125,71 @@ trait EvalQueries { self: RegistryAll =>
       | FROM perq p LEFT JOIN relt t USING (query_id)
       | ORDER BY query_id""".stripMargin.replace("\n", " ")
   }
+
+  /** Brier score + Murphy decomposition
+    * ([[graft.ops.Eval.brierDecomposition]]) over the q_calibration
+    * scoring design (anchored cosine → [0,1], truth = label match):
+    * reliability / resolution / uncertainty say WHY the screen scores
+    * what it does. Exact integer Brier numerator; per-bin pico terms
+    * before exact sums.
+    */
+  def qBrierDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    graft.functions.CosineSimilarity.register(spark)
+    val anchor = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("_av"), col("label").as("_al"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(
+        ((graft.functions.CosineSimilarity.cosine(col("embedding"), col("_av"))
+          + lit(1.0)) / lit(2.0)).as("score"),
+        (col("label") === col("_al")).as("is_pos"))
+    graft.ops.Eval.brierDecomposition(scored, "score", "is_pos", nBins = 10)
+  }
+
+  lazy val qBrierDecompSql: String =
+    """WITH a AS (SELECT embedding::DOUBLE[] AS av, label AS al FROM embeddings WHERE vec_id = 0),
+      | s AS (SELECT (list_dot_product(v, av)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(av, av))) + 1.0) / 2.0 AS score,
+      |    (e.label = a.al) AS y
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id <> 0) e, a),
+      | base AS (SELECT least(9, greatest(0, CAST(floor(score * 10) AS BIGINT))) AS b,
+      |    CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS m,
+      |    CASE WHEN y THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS o
+      |  FROM s WHERE score IS NOT NULL AND isfinite(score) AND y IS NOT NULL),
+      | bins AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(SUM(o) AS BIGINT) AS p, CAST(SUM(m) AS BIGINT) AS sm,
+      |   CAST(SUM(CAST((m - o * 1000000) AS HUGEINT)
+      |     * (m - o * 1000000)) AS HUGEINT) AS bsq
+      |  FROM base GROUP BY 1),
+      | gtot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+      |   CAST(SUM(p) AS BIGINT) AS pt FROM bins),
+      | terms AS (SELECT nt, pt, bsq,
+      |   CAST(CAST(round(CAST(n AS DOUBLE)
+      |     * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+      |        - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+      |     * (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+      |        - CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+      |     * 1.0e12) AS BIGINT) AS HUGEINT) AS rel,
+      |   CAST(CAST(round(CAST(n AS DOUBLE)
+      |     * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |     * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |     * 1.0e12) AS BIGINT) AS HUGEINT) AS res
+      |  FROM bins CROSS JOIN gtot WHERE nt > 0),
+      | ag AS (SELECT nt, pt, CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |   CAST(SUM(bsq) AS HUGEINT) AS sq, CAST(SUM(rel) AS HUGEINT) AS srel,
+      |   CAST(SUM(res) AS HUGEINT) AS sres
+      |  FROM terms GROUP BY 1, 2)
+      | SELECT nt AS n_rows, n_bins,
+      |  CAST(round(CAST(sq AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+      |   AS brier_pico,
+      |  CAST(round(CAST(srel AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+      |   AS reliability_pico,
+      |  CAST(round(CAST(sres AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT)
+      |   AS resolution_pico,
+      |  CAST(round((CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+      |    * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e12)
+      |   AS BIGINT) AS uncertainty_pico
+      | FROM ag""".stripMargin.replace("\n", " ")
 }

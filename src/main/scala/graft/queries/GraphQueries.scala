@@ -263,6 +263,81 @@ trait GraphQueries { self: RegistryAll =>
       |  END AS assort_pico
       | FROM s""".stripMargin.replace("\n", " ")
 
+  /** Rich-club profile of the co-purchase part graph
+    * ([[graft.ops.Graph.richClub]], Zhou & Mondragón '04): among parts
+    * of degree above each doubling threshold, the realized fraction of
+    * possible co-purchase ties — do the hub parts wire to each other?
+    * Histogram-cost exact law over the SHARED undirected working set;
+    * φ is one double chain per ≤63 threshold rows.
+    */
+  def qRichClub(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.richClub(coPartGraph(spark, dir))
+
+  lazy val qRichClubSql: String =
+    s"""WITH raw AS ($coPartEdgesSql),
+      | canon AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw),
+      | deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |   (SELECT u AS node FROM canon UNION ALL SELECT v AS node FROM canon)
+      |  GROUP BY 1),
+      | dh AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS nd FROM deg GROUP BY 1),
+      | eh AS (SELECT LEAST(du.deg, dv.deg) AS mind,
+      |   CAST(COUNT(*) AS BIGINT) AS ne
+      |  FROM canon JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+      |  GROUP BY 1),
+      | mdt AS (SELECT MAX(deg) AS maxd FROM deg),
+      | ks AS (SELECT CAST(2**i AS BIGINT) AS k
+      |  FROM (SELECT unnest(range(0, 63)) AS i) CROSS JOIN mdt
+      |  WHERE CAST(2**i AS BIGINT) <= maxd),
+      | nk AS (SELECT k, CAST(SUM(nd) AS BIGINT) AS n_nodes
+      |  FROM dh CROSS JOIN ks WHERE deg > k GROUP BY 1),
+      | ek AS (SELECT k, CAST(SUM(ne) AS BIGINT) AS n_edges
+      |  FROM eh CROSS JOIN ks WHERE mind > k GROUP BY 1)
+      | SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+      |  COALESCE(ek.n_edges, 0) AS n_edges,
+      |  CASE WHEN COALESCE(nk.n_nodes, 0) >= 2 THEN
+      |   CAST(COALESCE(ek.n_edges, 0) AS DOUBLE) * 2.0
+      |    / (CAST(nk.n_nodes AS DOUBLE) * (CAST(nk.n_nodes AS DOUBLE) - 1.0))
+      |  END AS phi
+      | FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+      | ORDER BY k""".stripMargin.replace("\n", " ")
+
+  /** Reciprocity of the directed trade-interaction graph
+    * ([[graft.ops.Graph.reciprocity]], Garlaschelli & Loffredo '04):
+    * customer→supplier edges for even order keys, supplier→customer for
+    * odd — what fraction of interactions are mutual? One distinct, one
+    * hash semi-join against the reversed frame, one division.
+    */
+  def qReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2L).as("_c"),
+        (col("l_suppkey").cast("long") * 2L + 1L).as("_s"),
+        (col("l_orderkey") % 2 === 0).as("_fwd"))
+    val e = j.select(
+      when(col("_fwd"), col("_c")).otherwise(col("_s")).as("src"),
+      when(col("_fwd"), col("_s")).otherwise(col("_c")).as("dst"))
+    graft.ops.Graph.reciprocity(e, "src", "dst")
+  }
+
+  lazy val qReciprocitySql: String =
+    """WITH j AS (SELECT CAST(o_custkey AS BIGINT) * 2 AS c,
+      |   CAST(l_suppkey AS BIGINT) * 2 + 1 AS s,
+      |   (l_orderkey % 2 = 0) AS fwd
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      | e AS (SELECT DISTINCT CASE WHEN fwd THEN c ELSE s END AS src,
+      |   CASE WHEN fwd THEN s ELSE c END AS dst FROM j),
+      | m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual FROM e a
+      |  WHERE EXISTS (SELECT 1 FROM e b
+      |   WHERE b.src = a.dst AND b.dst = a.src)),
+      | tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+      | SELECT n_edges, n_mutual,
+      |  CASE WHEN n_edges > 0 THEN
+      |   CAST(n_mutual AS DOUBLE) / CAST(n_edges AS DOUBLE)
+      |  END AS reciprocity
+      | FROM tt CROSS JOIN m""".stripMargin.replace("\n", " ")
+
   /** Label-propagation communities of the co-purchase part graph
     * ([[graft.ops.Graph.labelPropagation]], Raghavan et al. '07; 4
     * synchronous self-inclusive min-tie-break rounds — the community

@@ -1554,4 +1554,50 @@ trait TextQueries { self: RegistryAll =>
       | SELECT word, CAST(rk AS BIGINT) AS rank_micro FROM fin
       | ORDER BY rank_micro DESC, word LIMIT 25""".stripMargin.replace("\n", " ")
   }
+
+  /** Burrows' Delta between sources ([[graft.ops.Vocab.burrowsDelta]],
+    * Burrows LLC '02): mean |z-score gap| over the corpus top-25 words'
+    * usage rates — the STYLE distance (function-word register) beside
+    * q_source_overlap's vocabulary and q_js_matrix's distribution
+    * views. Micro-quantized rates over the full K×S grid, exact moment
+    * sums, one pinned double chain per z, nano-quantized gaps before
+    * the exact pair sum.
+    */
+  def qBurrowsDelta(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.burrowsDelta(t(spark, dir, "documents"),
+      "source", "text", topK = 25)
+
+  lazy val qBurrowsDeltaSql: String =
+    s"""WITH tok AS (SELECT source AS s, unnest($lowerTokensSql) AS w
+      |  FROM documents WHERE source IS NOT NULL),
+      | cws AS (SELECT s, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      | ns AS (SELECT s, CAST(SUM(c) AS BIGINT) AS nst FROM cws GROUP BY 1),
+      | top AS (SELECT w FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+      |   FROM tok GROUP BY 1) ORDER BY cw DESC, w LIMIT 25),
+      | grid AS (SELECT ns.s, top.w,
+      |   CAST(round(CAST(COALESCE(cws.c, 0) AS DOUBLE)
+      |     / CAST(ns.nst AS DOUBLE) * 1.0e6) AS BIGINT) AS r
+      |  FROM top CROSS JOIN ns
+      |  LEFT JOIN cws ON cws.s = ns.s AND cws.w = top.w),
+      | st AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+      |   CAST(SUM(CAST(r AS HUGEINT)) AS HUGEINT) AS t1,
+      |   CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS t2
+      |  FROM grid GROUP BY 1),
+      | stv AS (SELECT w, k, t1,
+      |   CAST(k AS HUGEINT) * t2 - t1 * t1 AS den FROM st
+      |  WHERE CAST(k AS HUGEINT) * t2 - t1 * t1 > 0),
+      | z AS (SELECT g.s, g.w,
+      |   (CAST(v.k AS DOUBLE) * CAST(g.r AS DOUBLE) - CAST(v.t1 AS DOUBLE))
+      |    / sqrt(CAST(v.den AS DOUBLE)) AS z
+      |  FROM grid g JOIN stv v USING (w)),
+      | pr AS (SELECT a.s AS src_a, b.s AS src_b,
+      |   CAST(round(abs(a.z - b.z) * 1.0e9) AS BIGINT) AS d
+      |  FROM z a JOIN z b ON a.w = b.w AND a.s < b.s),
+      | ag AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |   CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) AS sd FROM pr GROUP BY 1, 2)
+      | SELECT src_a, src_b, n_words,
+      |  CAST(round(CAST(sd AS DOUBLE) / CAST(n_words AS DOUBLE) / 1000.0)
+      |   AS BIGINT) AS delta_micro
+      | FROM ag ORDER BY src_a, src_b""".stripMargin.replace("\n", " ")
 }

@@ -638,4 +638,55 @@ class DedupSpec extends SparkSpec {
     assert((capped.head.getLong(0), capped.head.getLong(1)) === ((1000L, 1001L)))
     assert(capped.head.getDouble(5) === 1.0)
   }
+
+  test("winnowFingerprints: brute-force window replay, substring guarantee, short-doc empty, density") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // independent replay: per-window scan with rightmost-min ties (the
+    // engine runs a ring loop — different code path, same law)
+    def naive(text: String): Set[(Long, Long)] = {
+      val toks = TextFns.tokensScala(text.toLowerCase(java.util.Locale.ROOT))
+      val m = toks.length - k + 1
+      if (m < w) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 until m).map { i =>
+        val hex = md.digest(toks.slice(i, i + k).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+      (0 to m - w).map { j =>
+        val win = (j until j + w)
+        val mn = win.map(hs).min
+        val pos = win.filter(p => hs(p) == mn).max
+        ((pos + 1).toLong, hs(pos))
+      }.toSet
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and runs far away today",
+      "every corpus needs a second document with plenty of distinct words " +
+        "to fingerprint reliably across windows",
+      "short doc")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (id, a) =>
+        id -> a.map(x => (x._2, x._3)).toSet }
+    assert(got(0L) === naive(texts(0)))
+    assert(got(1L) === naive(texts(1)))
+    assert(!got.contains(2L), "docs shorter than w+k-1 tokens emit nothing")
+    // the SIGMOD '03 guarantee: a shared run of ≥ w+k−1 words shares a
+    // selected fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val pair = Seq((10L, s"unique lead tokens here $shared"),
+      (11L, s"$shared and a different tail entirely now")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(pair, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val h10 = fps.filter(_._1 == 10L).map(_._2).toSet
+    val h11 = fps.filter(_._1 == 11L).map(_._2).toSet
+    assert((h10 & h11).nonEmpty, "shared 8-word run must share a fingerprint")
+    // density: distinct positions per doc ≈ 2m/(w+1), never more than m−w+1
+    val n0 = got(0L).size
+    assert(n0 >= 1 && n0 <= texts(0).split(" ").length - k + 1 - w + 1)
+  }
 }

@@ -389,4 +389,23 @@ class DriftSpec extends SparkSpec {
     assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("cvmDrift: hand-computed disjoint-support statistic, identical strata 0, single stratum NULL") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}: D_v = cumS·n_r − cumR·n_s over v = 1..4 is
+    // (2, 4, 2, 0) for a → T = (4+16+4+0)/(2·2·4²) = 24/64
+    val df0 = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("s", "v")
+    val m = Drift.cvmDrift(df0, "s", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(m("a") === 24.0 / 64.0)
+    // symmetry: the rest-of-corpus view of b is a's mirror — same T
+    assert(m("b") === 24.0 / 64.0)
+    // identical distributions: every CDF gap is 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("s", "v")
+    val ms = Drift.cvmDrift(same, "s", "v").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ms("a") === 0.0 && ms("b") === 0.0)
+    // single stratum: empty rest side → NULL, not 0
+    val lone = Seq(("a", 1L), ("a", 2L)).toDF("s", "v")
+    assert(Drift.cvmDrift(lone, "s", "v").collect().head.isNullAt(3))
+  }
 }

@@ -615,4 +615,23 @@ class EvalSpec extends SparkSpec {
     assert(Eval.lcmTo(4) === 12L)
     assert(Eval.lcmTo(20) === 232792560L)
   }
+
+  test("brierDecomposition: hand-exact Murphy identity on a clean fixture; empty input no rows") {
+    // two bins: score 0.1 (never true) ×2, score 0.9 (always true) ×2
+    // Brier = 0.01; REL = 0.01 (each bin off by 0.1); RES = 0.25
+    // (bin accuracies 0/1 vs base rate 0.5); UNC = 0.25 — the identity
+    // Brier = REL − RES + UNC holds exactly here
+    val rows = Seq((0.1, false), (0.1, false), (0.9, true), (0.9, true))
+      .toDF("s", "y")
+    val r = Eval.brierDecomposition(rows, "s", "y").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)))
+    assert(r.getLong(2) === 10000000000L)
+    assert(r.getLong(3) === 10000000000L)
+    assert(r.getLong(4) === 250000000000L)
+    assert(r.getLong(5) === 250000000000L)
+    assert(r.getLong(2) === r.getLong(3) - r.getLong(4) + r.getLong(5))
+    // NaN/NULL rows drop; empty input emits NO row (not a NULL row)
+    val empty = Seq((Double.NaN, true)).toDF("s", "y")
+    assert(Eval.brierDecomposition(empty, "s", "y").count() === 0L)
+  }
 }

@@ -439,4 +439,32 @@ class GraphSpec extends SparkSpec {
     } finally g.release()
   }
 
+  test("richClub: K4 + pendant hand-exact profile; sub-2 club NULL phi") {
+    // K4 on 1..4 (deg 3,3,3 and 4 for the pendant anchor) + pendant 5-1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    val rows = Graph.richClub(edges, "src", "dst").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // thresholds 1, 2, 4 (≤ max degree 4)
+    assert(rows.keySet === Set(1L, 2L, 4L))
+    // deg > 1: the K4 nodes; all 6 K4 edges have min-endpoint degree 3;
+    // the pendant edge (min deg 1) is outside the club → φ = 12/12 = 1
+    assert(rows(1L) === ((4L, 6L, Some(1.0))))
+    assert(rows(2L) === ((4L, 6L, Some(1.0))))
+    // deg > 4: empty club — φ undefined, not 0
+    assert(rows(4L) === ((0L, 0L, None)))
+  }
+
+  test("reciprocity: mutual fraction exact; self-loops and duplicates drop; empty NULL") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (4L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e, "src", "dst").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 2.0 / 3.0)
+    val none = Graph.reciprocity(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+      .collect().head
+    assert(none.getLong(0) === 0L && none.isNullAt(2))
+  }
 }

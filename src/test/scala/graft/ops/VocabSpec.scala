@@ -375,4 +375,39 @@ class VocabSpec extends SparkSpec {
     val rs = Vocab.goodTuring(many, "text", maxR = 5).collect().map(_.getLong(0))
     assert(rs.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("burrowsDelta: identical styles 0, mirrored styles hand-replayed, zero-variance words drop") {
+    import spark.implicits._
+    // a and b share one distribution; c mirrors it → Δ(a,b) = 0 and
+    // Δ(a,c) = Δ(b,c) > 0
+    val docs = Seq(
+      ("a", "x x y"), ("b", "x x y"), ("c", "x y y"))
+      .toDF("source", "text")
+    val got = Vocab.burrowsDelta(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b"))._2 === 0L)
+    assert(got(("a", "c")) === got(("b", "c")))
+    // independent replay of the ("a","c") pair: rates micro-quantized,
+    // population-σ z over the 3 sources, nano-quantized gaps
+    val rx = Map("a" -> 666667L, "b" -> 666667L, "c" -> 333333L)
+    val ry = Map("a" -> 333333L, "b" -> 333333L, "c" -> 666667L)
+    def delta(r: Map[String, Long], s1: String, s2: String): Double = {
+      val k = 3L
+      val t1 = r.values.sum
+      val t2 = r.values.map(v => BigInt(v) * v).sum
+      val den = (BigInt(k) * t2 - BigInt(t1) * t1).toDouble
+      def z(s: String) = (k.toDouble * r(s) - t1.toDouble) / math.sqrt(den)
+      math.round(math.abs(z(s1) - z(s2)) * 1e9).toDouble
+    }
+    val want = math.round(
+      (delta(rx, "a", "c") + delta(ry, "a", "c")) / 2.0 / 1000.0)
+    assert(got(("a", "c")) === ((2L, want)))
+    // a word at IDENTICAL rates everywhere has zero variance → it drops
+    // from n_words instead of yielding a 0/0 z
+    val flat = Seq(("a", "w"), ("b", "w"), ("c", "w")).toDF("source", "text")
+    assert(Vocab.burrowsDelta(flat, "source", "text")
+      .collect().forall(_.getLong(2) === 0L))
+  }
 }

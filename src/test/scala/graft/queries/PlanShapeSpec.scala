@@ -1023,6 +1023,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_cvm_drift: the whole-curve law shares the KS prefix-sum shape") {
+    val p = plan("q_cvm_drift")
+    assert(p.contains("_ps_pid"),
+      s"q_cvm_drift's global cumulative lost the distributed prefix-sum shape:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_rich_club / q_reciprocity / q_winnow_fp / q_burrows_delta / q_brier_decomp: histogram/semi-join/object-pass shapes, no cartesian, no corpus-order window") {
+    for (name <- Seq("q_rich_club", "q_reciprocity", "q_winnow_fp",
+      "q_burrows_delta", "q_brier_decomp")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.toLowerCase.contains("windowexec") ||
+        !p.contains("SinglePartition"),
+        s"$name: corpus-order window:\n$p")
+    }
+    // reciprocity's mutual count must stay a SEMI join, never a pair blowup
+    assert(plan("q_reciprocity").contains("LeftSemi"),
+      "q_reciprocity lost its semi-join mutual count")
+  }
+
   test("q_textrank: vocab cap broadcasts onto the pair stream; rank rounds never cartesian") {
     val p = plan("q_textrank")
     // the top-vocabK node cap is the scale contract: both vocab joins
