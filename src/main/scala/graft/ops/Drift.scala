@@ -324,6 +324,78 @@ object Drift {
       .select(col("stratum"), col("n"), col("n_rest"), col("cvm"))
   }
 
+  /** Two-sample Anderson–Darling statistic per stratum vs the rest
+    * (Pettitt, Biometrika '76) — the TAIL-weighted member of the
+    * [[ksDrift]]/[[cvmDrift]] family: each pooled point's squared CDF
+    * gap is weighted by 1/(F_pool·(1−F_pool)), so divergence in the
+    * distribution's TAILS (where F(1−F) → 0) scores hardest — the
+    * screen for a source whose extremes drift while its bulk holds
+    * (truncation, clipping, outlier injection).
+    *
+    * Law over distinct values (ties weighted by pooled count c_v; the
+    * last pooled value drops — F(1−F) = 0 there, per the classic
+    * N−1-term sum):
+    *
+    *   A² = (1/(n_s·n_r)) Σ_{v: cum(v)<N} c_v·D_v² / (cum(v)·(N−cum(v)))
+    *
+    * with D_v = cum_s·n_r − cum_r·n_s (the shared integer
+    * cross-multiplication). Per-value terms are ONE pinned double chain
+    * micro-quantized BEFORE the exact DECIMAL Σ (unlike [[cvmDrift]]
+    * the per-value denominators can't clear to a common integer), so
+    * `ad_micro` is an exact BIGINT both engines replay. Same scaffold:
+    * one (stratum, value) aggregate, [[PrefixSum.inclusive]] cumulative,
+    * per-stratum partitioned window. Single-stratum corpora → NULL.
+    *
+    * Output: (stratum, n, n_rest, ad_micro).
+    */
+  def adDrift(df: DataFrame, stratumCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val ns = cnt.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val vals = cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val valsCum = PrefixSum.inclusive(vals, "_v", col("_cv"), "_cumAll")
+      .select(col("_v"), col("_cv"), col("_cumAll"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_v"))
+    val support = broadcast(ns).crossJoin(valsCum)
+      .join(cnt, Seq("stratum", "_v"), "left")
+      .na.fill(0L, Seq("_c"))
+      .withColumn("_cumS", sum(col("_c")).over(wS))
+    val totals = ns.agg(sum(col("_ns")).as("_n"))
+    val d = (col("_cumS").cast(dec) * col("_nr").cast(dec) -
+      col("_cumR").cast(dec) * col("_ns").cast(dec))
+    val nD = col("_n").cast("double")
+    // greatest(·, 1) clamps: at the excluded last value (and for an
+    // empty rest side) the raw denominators are 0 and ANSI's hoisted
+    // division would throw before the when() guard; in the kept regime
+    // (cumAll < N, nr > 0) both clamps are the identity, so the pinned
+    // chain — and the oracle, which guards with a lazy CASE — match.
+    val termMicro = round(
+      col("_cv").cast("double") * col("_d").cast("double")
+        * col("_d").cast("double")
+        / greatest(col("_cumAll").cast("double")
+          * (nD - col("_cumAll").cast("double")), lit(1.0))
+        / greatest(col("_ns").cast("double") * col("_nr").cast("double"),
+          lit(1.0))
+        * lit(1.0e6)).cast("long")
+    support.crossJoin(broadcast(totals))
+      .withColumn("_cumR", col("_cumAll") - col("_cumS"))
+      .withColumn("_nr", col("_n") - col("_ns"))
+      .withColumn("_d", d)
+      .withColumn("_t",
+        when(col("_cumAll") < col("_n") && col("_nr") > 0L,
+          termMicro).otherwise(lit(0L)))
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n"), first(col("_nr")).as("n_rest"),
+        sum(col("_t").cast(dec)).as("_sum"))
+      .select(col("stratum"), col("n"), col("n_rest"),
+        when(col("n_rest") > 0L, col("_sum").cast("long")).as("ad_micro"))
+  }
+
   /** Population Stability Index per stratum vs the rest of the corpus,
     * over an integer metric binned by `binWidth` — THE industry-standard
     * numeric drift screen beside [[ksDrift]]'s sup-law (PSI weights the

@@ -1446,4 +1446,85 @@ object Eval {
           * (lit(1.0) - col("_pt").cast("double") / col("_nt").cast("double"))
           * lit(1.0e12)).cast("long").as("uncertainty_pico"))
   }
+
+  /** Fleiss' kappa ('71) — chance-corrected agreement among n raters
+    * per item, the MULTI-rater generalization of [[cohenKappa]]: before
+    * an ensemble of cheap heuristic labelers (lang rules, length
+    * screens, quality gates) votes on a corpus, how much do they agree
+    * beyond what their marginals force? The standard acceptance gate on
+    * a labeling COMMITTEE.
+    *
+    * Exact law: ratings are (item, category) incidences; items with a
+    * rating count ≠ `nRaters` DROP (Fleiss assumes a fixed panel — a
+    * NULL-labeled item would silently shift every P_i otherwise, so the
+    * law names the exclusion). With S2 = Σ_i Σ_j n_ij² and category
+    * totals c_j (all exact DECIMAL):
+    *
+    *   P̄  = (S2 − N·n) / (N·n·(n−1))
+    *   P̄e = Σ_j c_j² / (N·n)²
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * one pinned double chain; NULL κ when P̄e = 1 (every rater constant
+    * and equal — agreement undefined, not perfect).
+    *
+    * Scale shape: one (item, category) hash aggregate → one per-item
+    * aggregate (+ the qualifying-count filter) → bounded category
+    * totals → 1 row.
+    *
+    * Output (1 row): (n_items, n_raters, k_categories, kappa_pico).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+      nRaters: Int): DataFrame = {
+    require(nRaters >= 2, s"nRaters must be >= 2, got $nRaters")
+    val dec = "decimal(38,0)"
+    val nij = df.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("_i"), col(categoryCol).as("_j"))
+      .agg(count(lit(1)).as("_n"))
+    val perItem = nij.groupBy(col("_i"))
+      .agg(sum(col("_n")).as("_ri"),
+        sum(col("_n").cast(dec) * col("_n").cast(dec)).as("_s2i"))
+      .filter(col("_ri") === nRaters.toLong)
+    val items = perItem.agg(count(lit(1)).as("_ni"), sum(col("_s2i")).as("_s2"))
+    val cj = nij.join(perItem.select(col("_i")), "_i")
+      .groupBy(col("_j")).agg(sum(col("_n")).as("_cj"))
+    val cats = cj.agg(count(lit(1)).as("_k"),
+      sum(col("_cj").cast(dec) * col("_cj").cast(dec)).as("_cj2"))
+    val n = lit(nRaters.toLong)
+    val niD = col("_ni").cast("double")
+    val po = ((col("_s2").cast("double") - niD * n.cast("double"))
+      / (niD * n.cast("double") * (n.cast("double") - lit(1.0))))
+    val pe = (col("_cj2").cast("double")
+      / (niD * n.cast("double") * (niD * n.cast("double"))))
+    items.crossJoin(broadcast(cats))
+      .filter(col("_ni") > 0L)
+      .select(col("_ni").as("n_items"), n.as("n_raters"),
+        col("_k").as("k_categories"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe) * lit(1.0e12))
+          .cast("long")).as("kappa_pico"))
+  }
+
+  /** McNemar's test ('47) — do two PAIRED binary labelers disagree
+    * asymmetrically? On the same items, only the discordant cells
+    * matter: χ² = (n₀₁ − n₁₀)²/(n₀₁ + n₁₀), 1 df. The before/after
+    * screen for a filter change: same corpus, old vs new gate —
+    * accuracy deltas hide direction; McNemar reads it.
+    *
+    * Exact integer counts, one double chain; NULL χ² when the labelers
+    * never disagree (0/0 — identical gates, not evidence of anything).
+    *
+    * Output (1 row): (n_items, n01, n10, chi2_pico).
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("boolean").as("_a"),
+        col(bCol).cast("boolean").as("_b"))
+    val agg = base.agg(count(lit(1)).as("n_items"),
+      sum(when(!col("_a") && col("_b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(col("_a") && !col("_b"), 1L).otherwise(0L)).as("n10"))
+    val diff = (col("n01") - col("n10")).cast("double")
+    agg.select(col("n_items"), col("n01"), col("n10"),
+      when(col("n01") + col("n10") > 0L,
+        round(diff * diff / (col("n01") + col("n10")).cast("double")
+          * lit(1.0e12)).cast("long")).as("chi2_pico"))
+  }
 }

@@ -397,4 +397,36 @@ object Quantiles {
         col("theil_pico"))
       .orderBy(col("scope"))
   }
+
+  /** Decile QQ table between two slices of one metric — the
+    * distribution-comparison DIAGNOSTIC behind the drift statistics: a
+    * KS/CvM/AD number says the slices differ; the QQ gaps say WHERE
+    * (a positive gap at q90 but not q50 = the A side is longer-tailed,
+    * not shifted). One row per inner decile with both exact
+    * interpolated quantiles (the `percentile`/`quantile_cont` parity
+    * the percentile rows pin) and their gap.
+    *
+    * Scale shape: ONE aggregate computes both sides' 9-point quantile
+    * arrays (conditional inputs, NULLs ignored by `percentile`), then a
+    * 9-row explode — no window, no join.
+    *
+    * Output: (q_centi, v_a, v_b, gap = v_a − v_b), ordered by q_centi;
+    * a side with no rows yields NULL quantiles (and NULL gaps).
+    */
+  def qqTable(df: DataFrame, valueCol: String, isACol: String): DataFrame = {
+    val arr = (1 to 9).map(i => s"${i / 10.0}").mkString("array(", ", ", ")")
+    val base = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+    base.agg(
+        expr(s"percentile(CASE WHEN $isACol THEN $valueCol END, $arr)")
+          .as("_qa"),
+        expr(s"percentile(CASE WHEN NOT $isACol THEN $valueCol END, $arr)")
+          .as("_qb"))
+      .select(explode(sequence(lit(1), lit(9))).as("_i"),
+        col("_qa"), col("_qb"))
+      .select((col("_i") * 10L).cast("long").as("q_centi"),
+        element_at(col("_qa"), col("_i")).as("v_a"),
+        element_at(col("_qb"), col("_i")).as("v_b"))
+      .withColumn("gap", col("v_a") - col("v_b"))
+      .orderBy(col("q_centi"))
+  }
 }

@@ -322,4 +322,82 @@ object Timeseries {
           .cast("long"))
       .orderBy(col("event_type"))
   }
+
+  /** Wald–Wolfowitz runs test ('40) per event_type — is the
+    * above/below-median pattern of each stream RANDOM, or does it
+    * clump (regime persistence) / alternate (oscillation)? The
+    * randomness screen beside [[permutationEntropy]]'s complexity one:
+    * a scripted load generator clumps (few long runs, z ≪ 0); a
+    * ping-pong retry loop alternates (z ≫ 0).
+    *
+    * Law: binarize by the event_type's exact interpolated MEDIAN (the
+    * `percentile`/`quantile_cont` parity law; x = value > median);
+    * runs count per (user, type) stream ordered by (ts, event_id);
+    * streams with both classes present qualify, and because runs in
+    * DISJOINT streams are independent the per-type null model is the
+    * exact sum of the per-stream moments:
+    *
+    *   μ_s = 2·n₁n₂/n + 1,   σ²_s = 2n₁n₂(2n₁n₂−n) / (n²(n−1))
+    *
+    * each micro-quantized BEFORE the exact DECIMAL Σ (the pico
+    * discipline), then ONE double chain renders
+    * z = (R − Σμ)/√(Σσ²). NULL z when no stream qualifies or the
+    * variance sum is 0.
+    *
+    * Scale shape: one bounded per-type median aggregate (broadcast
+    * back), one lag window per (user, type) stream — the
+    * [[markovTransitions]] posture — then bounded per-type aggregates.
+    *
+    * Output: (event_type, n_streams, n_runs, mu_sum_micro,
+    * var_sum_micro, z_pico), one row per type with ≥ 1 qualifying
+    * stream, ordered by event_type.
+    */
+  def runsTest(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+      col(valueCol).isNotNull && col(typeCol).isNotNull &&
+      col(idCol).isNotNull)
+    val med = base.groupBy(col(typeCol).as("event_type"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val perStream = Window.partitionBy(col("_u"), col("event_type"))
+      .orderBy(col("_ts"), col("_id"))
+    val flagged = base
+      .select(col(typeCol).as("event_type"), col(userCol).as("_u"),
+        col(tsCol).as("_ts"), col(idCol).as("_id"), col(valueCol).as("_v"))
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("_x", col("_v") > col("_med"))
+      .withColumn("_prev", lag(col("_x"), 1).over(perStream))
+    val streams = flagged.groupBy(col("event_type"), col("_u"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_x"), 1L).otherwise(0L)).as("_n1"),
+        (lit(1L) + sum(when(col("_prev").isNotNull &&
+          (col("_x") =!= col("_prev")), 1L).otherwise(0L))).as("_r"))
+      .withColumn("_n2", col("_n") - col("_n1"))
+      .filter(col("_n1") > 0L && col("_n2") > 0L)
+    def d(c: String) = col(c).cast("double")
+    val muMicro = round((lit(2.0) * d("_n1") * d("_n2") / d("_n") + lit(1.0))
+      * lit(1.0e6)).cast("long")
+    val varMicro = round(lit(2.0) * d("_n1") * d("_n2")
+      * (lit(2.0) * d("_n1") * d("_n2") - d("_n"))
+      / (d("_n") * d("_n") * (d("_n") - lit(1.0))) * lit(1.0e6)).cast("long")
+    val perType = streams
+      .select(col("event_type"), col("_r"),
+        muMicro.cast(dec).as("_mu"), varMicro.cast(dec).as("_var"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_streams"), sum(col("_r")).as("n_runs"),
+        sum(col("_mu")).cast("long").as("mu_sum_micro"),
+        sum(col("_var")).cast("long").as("var_sum_micro"))
+    // the when(>0) clamp keeps ANSI's hoisted division off a 0 variance
+    val sigma = sqrt(when(col("var_sum_micro") > 0L, col("var_sum_micro"))
+      .otherwise(lit(1000000L)).cast("double") / lit(1.0e6))
+    perType.select(col("event_type"), col("n_streams"), col("n_runs"),
+        col("mu_sum_micro"), col("var_sum_micro"),
+        when(col("var_sum_micro") > 0L,
+          round((col("n_runs").cast("double")
+            - col("mu_sum_micro").cast("double") / lit(1.0e6)) / sigma
+            * lit(1.0e12)).cast("long")).as("z_pico"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -646,6 +646,78 @@ trait DriftQueries { self: RegistryAll =>
       |  END AS cvm
       | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
 
+  /** Anderson–Darling distance per source vs the rest
+    * ([[graft.ops.Drift.adDrift]], Pettitt '76): the tail-weighted
+    * member of the KS/CvM family — 1/(F(1−F)) weights make extreme-
+    * value drift score hardest. Per-value micro terms before the exact
+    * Σ; same prefix-sum scaffold.
+    */
+  def qAdDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.adDrift(t(spark, dir, "documents"), "source", "n_chars")
+      .orderBy("stratum")
+
+  lazy val qAdDriftSql: String =
+    """WITH cnt AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v,
+      |   CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+      | vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cnt GROUP BY 1),
+      | vc AS (SELECT v, cv, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumall FROM vals),
+      | tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM ns),
+      | sup AS (SELECT ns.stratum, ns.ns, vc.v, vc.cv, vc.cumall,
+      |   COALESCE(cnt.c, 0) AS c, tot.n
+      |  FROM ns CROSS JOIN vc
+      |  LEFT JOIN cnt ON cnt.stratum = ns.stratum AND cnt.v = vc.v
+      |  CROSS JOIN tot),
+      | cum AS (SELECT stratum, ns, n, cv, cumall,
+      |   CAST(SUM(c) OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS cums
+      |  FROM sup),
+      | terms AS (SELECT stratum, ns, n - ns AS nr,
+      |   CASE WHEN cumall < n AND n - ns > 0 THEN
+      |    CAST(round(CAST(cv AS DOUBLE)
+      |     * CAST(CAST(cums AS HUGEINT) * CAST(n - ns AS HUGEINT)
+      |        - CAST(cumall - cums AS HUGEINT) * CAST(ns AS HUGEINT) AS DOUBLE)
+      |     * CAST(CAST(cums AS HUGEINT) * CAST(n - ns AS HUGEINT)
+      |        - CAST(cumall - cums AS HUGEINT) * CAST(ns AS HUGEINT) AS DOUBLE)
+      |     / greatest(CAST(cumall AS DOUBLE)
+      |        * (CAST(n AS DOUBLE) - CAST(cumall AS DOUBLE)), 1.0)
+      |     / greatest(CAST(ns AS DOUBLE) * CAST(n - ns AS DOUBLE), 1.0)
+      |     * 1.0e6) AS BIGINT)
+      |   ELSE 0 END AS t
+      |  FROM cum)
+      | SELECT stratum, MIN(ns) AS n, MIN(nr) AS n_rest,
+      |  CASE WHEN MIN(nr) > 0 THEN
+      |   CAST(SUM(CAST(t AS HUGEINT)) AS BIGINT) END AS ad_micro
+      | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+
+  /** Decile QQ table: English vs the rest over document length
+    * ([[graft.ops.Quantiles.qqTable]]): WHERE the distributions differ
+    * — the diagnostic behind the q_ks/q_cvm/q_ad one-numbers. One
+    * aggregate, both sides' exact interpolated deciles, 9 rows.
+    */
+  def qQqDeciles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.qqTable(
+      t(spark, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select(col("n_chars").cast("long").as("v"),
+          (col("lang") === "en").as("fa")),
+      "v", "fa")
+
+  lazy val qQqDecilesSql: String = {
+    val probs = (1 to 9).map(i => s"${i / 10.0}").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS fa
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      | agg AS (SELECT
+      |   quantile_cont(CASE WHEN fa THEN v END, $probs) AS qa,
+      |   quantile_cont(CASE WHEN NOT fa THEN v END, $probs) AS qb
+      |  FROM base),
+      | idx AS (SELECT unnest(range(1, 10)) AS i, qa, qb FROM agg)
+      | SELECT CAST(i * 10 AS BIGINT) AS q_centi, qa[i] AS v_a, qb[i] AS v_b,
+      |  qa[i] - qb[i] AS gap
+      | FROM idx ORDER BY q_centi""".stripMargin.replace("\n", " ")
+  }
+
   /** PERSISTED numeric drift baseline
     * ([[graft.ops.RefStore.writeValueCounts]] +
     * [[graft.ops.Drift.ksAgainstStored]]): the corpus commits its

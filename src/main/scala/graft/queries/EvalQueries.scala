@@ -1192,4 +1192,83 @@ trait EvalQueries { self: RegistryAll =>
       |    * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)) * 1.0e12)
       |   AS BIGINT) AS uncertainty_pico
       | FROM ag""".stripMargin.replace("\n", " ")
+
+  /** Fleiss' kappa ([[graft.ops.Eval.fleissKappa]], '71) over a
+    * three-heuristic labeling committee (lang = en, length > 250,
+    * even length) — how much does the panel agree beyond chance?
+    * Exact S2/c_j² sums, one pinned double chain.
+    */
+  def qFleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("nc"))
+    val r = d.select(col("doc_id").as("item"),
+        (col("lang") === "en").cast("long").as("cat"))
+      .unionByName(d.select(col("doc_id").as("item"),
+        (col("nc") > 250L).cast("long").as("cat")))
+      .unionByName(d.select(col("doc_id").as("item"),
+        (col("nc") % 2 === 0).cast("long").as("cat")))
+    graft.ops.Eval.fleissKappa(r, "item", "cat", nRaters = 3)
+  }
+
+  lazy val qFleissKappaSql: String =
+    """WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS nc
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      | r AS (SELECT doc_id AS item,
+      |   CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS cat FROM d
+      |  UNION ALL SELECT doc_id,
+      |   CAST(CASE WHEN nc > 250 THEN 1 ELSE 0 END AS BIGINT) FROM d
+      |  UNION ALL SELECT doc_id,
+      |   CAST(CASE WHEN nc % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) FROM d),
+      | nij AS (SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM r GROUP BY 1, 2),
+      | pi AS (SELECT item, CAST(SUM(n) AS BIGINT) AS ri,
+      |   CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2i
+      |  FROM nij GROUP BY 1),
+      | ok AS (SELECT item, s2i FROM pi WHERE ri = 3),
+      | it AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni,
+      |   CAST(SUM(s2i) AS HUGEINT) AS s2 FROM ok),
+      | cj AS (SELECT nij.cat, CAST(SUM(nij.n) AS BIGINT) AS cjv
+      |  FROM nij JOIN ok USING (item) GROUP BY 1),
+      | ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |   CAST(SUM(CAST(cjv AS HUGEINT) * cjv) AS HUGEINT) AS cj2 FROM cj)
+      | SELECT ni AS n_items, CAST(3 AS BIGINT) AS n_raters,
+      |  k AS k_categories,
+      |  CASE WHEN CAST(cj2 AS DOUBLE)
+      |    / (CAST(ni AS DOUBLE) * 3.0 * (CAST(ni AS DOUBLE) * 3.0)) < 1.0
+      |   THEN CAST(round(
+      |    ((CAST(s2 AS DOUBLE) - CAST(ni AS DOUBLE) * 3.0)
+      |      / (CAST(ni AS DOUBLE) * 3.0 * (3.0 - 1.0))
+      |     - CAST(cj2 AS DOUBLE)
+      |      / (CAST(ni AS DOUBLE) * 3.0 * (CAST(ni AS DOUBLE) * 3.0)))
+      |    / (1.0 - CAST(cj2 AS DOUBLE)
+      |      / (CAST(ni AS DOUBLE) * 3.0 * (CAST(ni AS DOUBLE) * 3.0)))
+      |    * 1.0e12) AS BIGINT) END AS kappa_pico
+      | FROM it CROSS JOIN ct WHERE ni > 0""".stripMargin.replace("\n", " ")
+
+  /** McNemar's paired test ([[graft.ops.Eval.mcnemar]], '47): do the
+    * length gate and the English gate disagree ASYMMETRICALLY on the
+    * same documents? Discordant cells only; one double chain.
+    */
+  def qMcnemar(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.mcnemar(
+      t(spark, dir, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("n_chars") > 250).as("ga"),
+          (col("lang") === "en").as("gb")),
+      "ga", "gb")
+
+  lazy val qMcnemarSql: String =
+    """WITH base AS (SELECT (n_chars > 250) AS a, (lang = 'en') AS b
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+      |   CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |   CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10
+      |  FROM base)
+      | SELECT n_items, n01, n10,
+      |  CASE WHEN n01 + n10 > 0 THEN
+      |   CAST(round(CAST(n01 - n10 AS DOUBLE) * CAST(n01 - n10 AS DOUBLE)
+      |     / CAST(n01 + n10 AS DOUBLE) * 1.0e12) AS BIGINT) END AS chi2_pico
+      | FROM ag""".stripMargin.replace("\n", " ")
 }

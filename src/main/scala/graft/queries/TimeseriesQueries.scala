@@ -527,4 +527,54 @@ trait TimeseriesQueries { self: RegistryAll =>
       |   AS pe_micro
       | FROM h ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
+
+  /** Wald–Wolfowitz runs test per event_type
+    * ([[graft.ops.Timeseries.runsTest]]): is each stream's
+    * above/below-median pattern random, or does it clump/alternate?
+    * Per-stream exact moments summed (independent streams), one double
+    * chain for z.
+    */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.runsTest(t(spark, dir, "events"),
+      "user_id", "ts", "value", "event_type", "event_id")
+
+  lazy val qRunsTestSql: String =
+    """WITH base AS (SELECT event_type, user_id, ts, event_id, value
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |   AND value IS NOT NULL AND event_type IS NOT NULL
+      |   AND event_id IS NOT NULL),
+      | med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM base GROUP BY 1),
+      | fl AS (SELECT b.event_type, b.user_id, (b.value > m.med) AS x,
+      |   lag(b.value > m.med) OVER (PARTITION BY b.user_id, b.event_type
+      |    ORDER BY b.ts, b.event_id) AS prev
+      |  FROM base b JOIN med m USING (event_type)),
+      | st AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(SUM(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |   1 + CAST(SUM(CASE WHEN prev IS NOT NULL AND x <> prev
+      |     THEN 1 ELSE 0 END) AS BIGINT) AS r
+      |  FROM fl GROUP BY 1, 2),
+      | q AS (SELECT event_type, n, n1, n - n1 AS n2, r FROM st
+      |  WHERE n1 > 0 AND n - n1 > 0),
+      | mm AS (SELECT event_type, r,
+      |   CAST(round((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |     / CAST(n AS DOUBLE) + 1.0) * 1.0e6) AS BIGINT) AS mu,
+      |   CAST(round(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |     * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        - CAST(n AS DOUBLE))
+      |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        * (CAST(n AS DOUBLE) - 1.0)) * 1.0e6) AS BIGINT) AS vv
+      |  FROM q),
+      | ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_streams,
+      |   CAST(SUM(r) AS BIGINT) AS n_runs,
+      |   CAST(SUM(CAST(mu AS HUGEINT)) AS BIGINT) AS mu_sum_micro,
+      |   CAST(SUM(CAST(vv AS HUGEINT)) AS BIGINT) AS var_sum_micro
+      |  FROM mm GROUP BY 1)
+      | SELECT event_type, n_streams, n_runs, mu_sum_micro, var_sum_micro,
+      |  CASE WHEN var_sum_micro > 0 THEN
+      |   CAST(round((CAST(n_runs AS DOUBLE)
+      |     - CAST(mu_sum_micro AS DOUBLE) / 1.0e6)
+      |    / sqrt(CAST(var_sum_micro AS DOUBLE) / 1.0e6) * 1.0e12) AS BIGINT)
+      |  END AS z_pico
+      | FROM ag ORDER BY event_type""".stripMargin.replace("\n", " ")
 }

@@ -408,4 +408,21 @@ class DriftSpec extends SparkSpec {
     val lone = Seq(("a", 1L), ("a", 2L)).toDF("s", "v")
     assert(Drift.cvmDrift(lone, "s", "v").collect().head.isNullAt(3))
   }
+
+  test("adDrift: hand-computed tail-weighted terms, last-value exclusion, identical 0, lone NULL") {
+    import spark.implicits._
+    // a = {1,2}, b = {3,4}: |D| over v = 1..3 is (2, 4, 2); terms
+    // c·D²/(cum·(N−cum))/(n_s·n_r) = 4/(1·3)/4, 16/(2·2)/4, 4/(3·1)/4
+    // = 1/3 + 1 + 1/3 micro-rounded; v = 4 (cum = N) drops
+    val df0 = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("s", "v")
+    val m = Drift.adDrift(df0, "s", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m("a") === 333333L + 1000000L + 333333L)
+    assert(m("b") === m("a"), "rest-of-corpus mirror carries the same |D|")
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("s", "v")
+    assert(Drift.adDrift(same, "s", "v").collect()
+      .forall(_.getLong(3) === 0L))
+    val lone = Seq(("a", 1L), ("a", 2L)).toDF("s", "v")
+    assert(Drift.adDrift(lone, "s", "v").collect().head.isNullAt(3))
+  }
 }

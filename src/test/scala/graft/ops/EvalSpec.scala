@@ -634,4 +634,35 @@ class EvalSpec extends SparkSpec {
     val empty = Seq((Double.NaN, true)).toDF("s", "y")
     assert(Eval.brierDecomposition(empty, "s", "y").count() === 0L)
   }
+
+  test("fleissKappa: perfect agreement 1, degenerate constant NULL, off-panel items drop") {
+    // 3 raters unanimous per item, two categories across items:
+    // P̄ = 1, P̄e = 0.5 → κ = 1
+    val perfect = (1L to 2L).flatMap(i => Seq.fill(3)((i, 0L))) ++
+      (3L to 4L).flatMap(i => Seq.fill(3)((i, 1L)))
+    val r1 = Eval.fleissKappa(perfect.toDF("item", "cat"), "item", "cat", 3)
+      .collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) === ((4L, 3L, 2L)))
+    assert(r1.getLong(3) === 1000000000000L)
+    // every rating the same single category: P̄e = 1 → κ undefined
+    val const = (1L to 4L).flatMap(i => Seq.fill(3)((i, 0L)))
+    assert(Eval.fleissKappa(const.toDF("item", "cat"), "item", "cat", 3)
+      .collect().head.isNullAt(3))
+    // an item with only 2 ratings is OFF the fixed panel and drops
+    val partial = perfect ++ Seq((9L, 0L), (9L, 1L))
+    val r2 = Eval.fleissKappa(partial.toDF("item", "cat"), "item", "cat", 3)
+      .collect().head
+    assert(r2.getLong(0) === 4L)
+    assert(r2.getLong(3) === 1000000000000L)
+  }
+
+  test("mcnemar: discordant-cell chi2 exact, concordant-only NULL") {
+    val rows = Seq((false, true), (false, true), (false, true),
+      (true, false), (true, true), (false, false)).toDF("a", "b")
+    val r = Eval.mcnemar(rows, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 3L, 1L)))
+    assert(r.getLong(3) === 1000000000000L) // (3−1)²/4 = 1
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Eval.mcnemar(agree, "a", "b").collect().head.isNullAt(3))
+  }
 }

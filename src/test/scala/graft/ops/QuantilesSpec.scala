@@ -241,4 +241,25 @@ class QuantilesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(d.toMap.apply("a") === 1L, "only the positive-mass row survives")
   }
+
+  test("qqTable: scaled-slice linearity, monotone deciles, one-sided-empty NULLs") {
+    // B is A doubled: quantile interpolation is linear in the order
+    // statistics, so v_b must equal 2·v_a BIT-exactly at every decile
+    val df0 = Seq((0L, true), (10L, true), (0L, false), (20L, false))
+      .toDF("v", "fa")
+    val rows = Quantiles.qqTable(df0, "v", "fa").collect()
+    assert(rows.length === 9)
+    assert(rows.map(_.getLong(0)).toSeq === (1 to 9).map(_ * 10L))
+    rows.foreach { r =>
+      assert(r.getDouble(2) === 2.0 * r.getDouble(1))
+      assert(r.getDouble(3) === r.getDouble(1) - r.getDouble(2))
+    }
+    val va = rows.map(_.getDouble(1))
+    assert(va.zip(va.tail).forall { case (x, y) => x <= y },
+      "deciles must be monotone")
+    // a side with no rows: percentile over all-NULL input → NULL quantiles
+    val oneSided = Seq((1L, true), (2L, true)).toDF("v", "fa")
+    val r1 = Quantiles.qqTable(oneSided, "v", "fa").collect()
+    assert(r1.forall(r => !r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
+  }
 }

@@ -130,4 +130,38 @@ class TimeseriesSpec extends SparkSpec {
       ev(3, 2, "s", 3, 3.0), ev(4, 2, "s", 4, 4.0)))
     assert(!split.contains("s"))
   }
+
+  test("runsTest: hand-computed alternating and clumped streams, one-class streams drop") {
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, typ: String, sec: Long, v: Double) =
+      (id, new Timestamp(sec * 1000L), user, typ, v)
+    def run(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+      Timeseries.runsTest(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "user_id", "ts", "value", "event_type", "event_id")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    // {1,9,1,9,1}: median 1, x = FTFTF → R = 5, n1 = 2, n2 = 3:
+    // μ = 2·6/5 + 1 = 3.4, σ² = 12·7/100 = 0.84
+    val alt = run(Seq(ev(1, 1, "a", 1, 1.0), ev(2, 1, "a", 2, 9.0),
+      ev(3, 1, "a", 3, 1.0), ev(4, 1, "a", 4, 9.0), ev(5, 1, "a", 5, 1.0)))
+    val zAlt = math.round((5.0 - 3400000L.toDouble / 1.0e6)
+      / math.sqrt(840000L.toDouble / 1.0e6) * 1.0e12)
+    assert(alt("a") === ((1L, 5L, 3400000L, 840000L, Some(zAlt))))
+    // {1,1,9,9}: median 5, x = FFTT → R = 2, μ = 3, σ² = 2/3
+    val clump = run(Seq(ev(1, 1, "c", 1, 1.0), ev(2, 1, "c", 2, 1.0),
+      ev(3, 1, "c", 3, 9.0), ev(4, 1, "c", 4, 9.0)))
+    val zClump = math.round((2.0 - 3000000L.toDouble / 1.0e6)
+      / math.sqrt(666667L.toDouble / 1.0e6) * 1.0e12)
+    assert(clump("c") === ((1L, 2L, 3000000L, 666667L, Some(zClump))))
+    assert(zAlt > 0 && zClump < 0,
+      "alternation reads positive, clumping negative")
+    // a stream entirely above/below its type median never qualifies:
+    // {5,5,5} has n1 = 0 (median 5, strict >) → the type emits no row
+    val flat = run(Seq(ev(1, 1, "f", 1, 5.0), ev(2, 1, "f", 2, 5.0),
+      ev(3, 1, "f", 3, 5.0)))
+    assert(!flat.contains("f"))
+  }
 }

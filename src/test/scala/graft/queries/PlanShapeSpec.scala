@@ -1023,11 +1023,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_cvm_drift: the whole-curve law shares the KS prefix-sum shape") {
-    val p = plan("q_cvm_drift")
-    assert(p.contains("_ps_pid"),
-      s"q_cvm_drift's global cumulative lost the distributed prefix-sum shape:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+  test("q_cvm_drift / q_ad_drift: the whole-curve laws share the KS prefix-sum shape") {
+    for (name <- Seq("q_cvm_drift", "q_ad_drift")) {
+      val p = plan(name)
+      assert(p.contains("_ps_pid"),
+        s"$name's global cumulative lost the distributed prefix-sum shape:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q_qq_deciles / q_fleiss_kappa / q_mcnemar / q_runs_test: aggregate shapes, no cartesian beyond bounded broadcasts, no corpus-order window") {
+    for (name <- Seq("q_qq_deciles", "q_fleiss_kappa", "q_mcnemar",
+      "q_runs_test")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"), name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.toLowerCase.contains("windowexec") ||
+        !p.contains("SinglePartition"),
+        s"$name: corpus-order window:\n$p")
+    }
   }
 
   test("q_rich_club / q_reciprocity / q_winnow_fp / q_burrows_delta / q_brier_decomp: histogram/semi-join/object-pass shapes, no cartesian, no corpus-order window") {
