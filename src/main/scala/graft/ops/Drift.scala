@@ -454,6 +454,56 @@ object Drift {
           .as("psi_pico"))
   }
 
+  /** Bhattacharyya coefficient + Hellinger distance per stratum vs the
+    * rest (Bhattacharyya '43; Hellinger H = √(1 − BC)) over the binned
+    * metric — the OVERLAP view of the [[psiDrift]]/[[jsDrift]] family:
+    * BC = Σ√(p_b·q_b) reads how much of the two distributions' mass
+    * coincides (1 = identical, → 0 = disjoint), and H is a true
+    * bounded METRIC on distributions — the form threshold policies and
+    * triangle-inequality arguments want.
+    *
+    * Same engine-exact scaffold as [[psiDrift]]: floor-division bins,
+    * add-one smoothing over the observed support B, per-bin term
+    * `round(√(p·q)·10¹²)` quantized to picos BEFORE the integer Σ;
+    * `hellinger_pico` is one further pinned chain
+    * `round(√(max(1 − BC, 0))·10¹²)` off the summed coefficient. NULL
+    * on an empty rest side (the family convention).
+    *
+    * Output: (stratum, n, n_rest, n_bins, bc_pico, hellinger_pico).
+    */
+  def bhattacharyyaDrift(df: DataFrame, stratumCol: String,
+      valueCol: String, binWidth: Long = 100L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val vb = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        expr(s"(CAST($valueCol AS BIGINT) - pmod(CAST($valueCol AS BIGINT), " +
+          s"${binWidth}L)) div ${binWidth}L").as("_b"))
+    val csb = vb.groupBy(col("stratum"), col("_b")).agg(count(lit(1)).as("_c"))
+    val cb = csb.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+    val ns = csb.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val glob = cb.agg(sum(col("_cb")).as("_n"), count(lit(1)).as("_nb"))
+    val p = (col("_c") + 1L).cast("double") /
+      (col("_ns") + col("_nb")).cast("double")
+    val q = ((col("_cb") - col("_c")) + 1L).cast("double") /
+      ((col("_n") - col("_ns")) + col("_nb")).cast("double")
+    broadcast(ns).crossJoin(cb)
+      .join(csb, Seq("stratum", "_b"), "left")
+      .na.fill(0L, Seq("_c"))
+      .crossJoin(broadcast(glob))
+      .withColumn("_term", round(sqrt(p * q) * 1000000000000.0).cast("long"))
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n"),
+        first(col("_n") - col("_ns")).as("n_rest"),
+        first(col("_nb")).as("n_bins"),
+        when(first(col("_n") - col("_ns")) > 0L, sum(col("_term")))
+          .as("bc_pico"))
+      .withColumn("hellinger_pico",
+        when(col("bc_pico").isNotNull,
+          round(sqrt(greatest(lit(1.0)
+            - col("bc_pico").cast("double") / lit(1.0e12), lit(0.0)))
+            * lit(1.0e12)).cast("long")))
+  }
+
   /** Jensen-Shannon divergence per stratum vs the rest of the corpus over
     * a binned integer metric — the SYMMETRIC, bounded companion of
     * [[psiDrift]] (Lin, IEEE-IT '91): `JSD(p‖q) = ½KL(p‖m) + ½KL(q‖m)`

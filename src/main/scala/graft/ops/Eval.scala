@@ -1527,4 +1527,35 @@ object Eval {
         round(diff * diff / (col("n01") + col("n10")).cast("double")
           * lit(1.0e12)).cast("long")).as("chi2_pico"))
   }
+
+  /** Brown–Forsythe test ('74; the robust Levene) — do the groups have
+    * the same SPREAD? [[anovaF]] compares means and ASSUMES equal
+    * variances; this is the check of that assumption (and the
+    * volatility screen in its own right: a source whose length
+    * variance balloons is degrading even at a stable mean). The law is
+    * a one-way ANOVA on absolute deviations from each group's MEDIAN —
+    * the median (not mean) center is what makes it robust.
+    *
+    * Exactness: the interpolated median of integers is a half-integer,
+    * so |x − med| doubles to the exact INTEGER |2x − 2med| — and F is
+    * scale-invariant (SSB and SSW both scale by 4), so running
+    * [[anovaF]]'s exact-DECIMAL machinery on the doubled deviations IS
+    * the Brown–Forsythe statistic, no quantization anywhere before
+    * the final chains.
+    *
+    * Scale shape: one bounded per-group median aggregate broadcast
+    * back + the [[anovaF]] aggregate. Output = [[anovaF]]'s:
+    * (n_rows, k_groups, f_pico, eta2_pico).
+    */
+  def brownForsythe(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val med = base.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val z = base.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol),
+        abs(col(valueCol).cast("double") * lit(2.0) - col("_med") * lit(2.0))
+          .cast("long").as("_z2"))
+    anovaF(z, "_z2", groupCol)
+  }
 }

@@ -400,4 +400,46 @@ object Timeseries {
             * lit(1.0e12)).cast("long")).as("z_pico"))
       .orderBy(col("event_type"))
   }
+
+  /** Theil–Sen robust trend of the daily event-count series (Theil '50 /
+    * Sen '68): the median of all pairwise slopes, with the median
+    * residual intercept — the volume-trend estimate one anomalous day
+    * cannot move (an OLS slope through daily counts is owned by its
+    * biggest outage/spike; the breakdown point here is ~29%). The
+    * robust companion of [[cusumChangepoint]]'s "when did it shift".
+    *
+    * Exact law: daily counts from floor-division bins (one corpus hash
+    * aggregate — the bounded day grid); slopes over all C(d, 2) day
+    * pairs of the OBSERVED-day table (bounded BY LAW: pairs of days,
+    * never events — the self-join is a broadcast over the day table);
+    * slope and intercept are exact interpolated medians
+    * (`percentile`/`quantile_cont` parity) of identically-computed
+    * doubles. No rows when fewer than 2 observed days.
+    *
+    * Output (1 row): (n_days, n_pairs, slope_per_day, intercept).
+    */
+  def theilSenDaily(events: DataFrame, tsCol: String,
+      binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val d = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"unix_micros($tsCol) div ${binMicros}L").as("_x"))
+      .agg(count(lit(1)).as("_y"))
+    val a = d.select(col("_x").as("_xa"), col("_y").as("_ya"))
+    val b = d.select(col("_x").as("_xb"), col("_y").as("_yb"))
+    val slopes = a.join(b, col("_xb") > col("_xa"))
+      .select(((col("_yb") - col("_ya")).cast("double")
+        / (col("_xb") - col("_xa")).cast("double")).as("_s"))
+    val fit = slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(_s, 0.5)").as("slope_per_day"))
+      .filter(col("n_pairs") > 0L)
+    val days = d.agg(count(lit(1)).as("n_days"))
+    d.crossJoin(broadcast(fit)).crossJoin(broadcast(days))
+      .select(col("n_days"), col("n_pairs"), col("slope_per_day"),
+        (col("_y").cast("double")
+          - col("slope_per_day") * col("_x").cast("double")).as("_r"))
+      .groupBy(col("n_days"), col("n_pairs"), col("slope_per_day"))
+      .agg(expr("percentile(_r, 0.5)").as("intercept"))
+      .select(col("n_days"), col("n_pairs"), col("slope_per_day"),
+        col("intercept"))
+  }
 }

@@ -267,6 +267,48 @@ trait DriftQueries { self: RegistryAll =>
       | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
   }
 
+  /** Bhattacharyya coefficient + Hellinger distance per source
+    * ([[graft.ops.Drift.bhattacharyyaDrift]], '43): the mass-OVERLAP
+    * view of the PSI/JS family, with Hellinger the bounded metric form.
+    * Same smoothing scaffold, √(p·q) terms pico-quantized pre-Σ.
+    */
+  def qBhattacharyya(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.bhattacharyyaDrift(t(spark, dir, "documents"),
+      "source", "n_chars", binWidth = 100L)
+      .orderBy("stratum")
+
+  lazy val qBhattacharyyaSql: String = {
+    val p = "(CAST(c + 1 AS DOUBLE) / CAST(ns + nb AS DOUBLE))"
+    val q = "(CAST((cb - c) + 1 AS DOUBLE) / CAST((n - ns) + nb AS DOUBLE))"
+    s"""WITH vb AS (SELECT source AS stratum,
+      |   (CAST(n_chars AS BIGINT) - (((n_chars % 100) + 100) % 100)) // 100 AS b
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+      | csb AS (SELECT stratum, b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM vb GROUP BY 1, 2),
+      | cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM csb GROUP BY 1),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM csb GROUP BY 1),
+      | gl AS (SELECT CAST(SUM(cb) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb
+      |  FROM cb),
+      | sup AS (SELECT ns.stratum, ns.ns, cb.b, cb.cb,
+      |   COALESCE(csb.c, 0) AS c, gl.n, gl.nb
+      |  FROM ns CROSS JOIN cb
+      |  LEFT JOIN csb ON csb.stratum = ns.stratum AND csb.b = cb.b
+      |  CROSS JOIN gl),
+      | terms AS (SELECT stratum, ns, n, nb,
+      |   CAST(round(sqrt($p * $q) * 1000000000000.0) AS BIGINT) AS term
+      |  FROM sup),
+      | ag AS (SELECT stratum, MIN(ns) AS n, MIN(n - ns) AS n_rest,
+      |   MIN(nb) AS n_bins,
+      |   CASE WHEN MIN(n - ns) > 0 THEN CAST(SUM(term) AS BIGINT) END
+      |    AS bc_pico
+      |  FROM terms GROUP BY stratum)
+      | SELECT stratum, n, n_rest, n_bins, bc_pico,
+      |  CASE WHEN bc_pico IS NOT NULL THEN
+      |   CAST(round(sqrt(greatest(1.0 - CAST(bc_pico AS DOUBLE) / 1.0e12,
+      |     0.0)) * 1.0e12) AS BIGINT) END AS hellinger_pico
+      | FROM ag ORDER BY stratum""".stripMargin.replace("\n", " ")
+  }
+
   /** Jensen-Shannon divergence per source over the n_chars distribution
     * ([[graft.ops.Drift.jsDrift]], Lin '91, 100-char bins): PSI's
     * symmetric bounded companion — always in [0, ln 2], √JSD a metric.

@@ -1271,4 +1271,47 @@ trait EvalQueries { self: RegistryAll =>
       |   CAST(round(CAST(n01 - n10 AS DOUBLE) * CAST(n01 - n10 AS DOUBLE)
       |     / CAST(n01 + n10 AS DOUBLE) * 1.0e12) AS BIGINT) END AS chi2_pico
       | FROM ag""".stripMargin.replace("\n", " ")
+
+  /** Brown–Forsythe spread test across sources
+    * ([[graft.ops.Eval.brownForsythe]], '74): q_anova_f's
+    * equal-variance assumption, checked — ANOVA on exact integer
+    * doubled deviations |2x − 2·median| (F is scale-invariant).
+    */
+  def qBrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.brownForsythe(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qBrownForsytheSql: String =
+    """WITH base0 AS (SELECT CAST(n_chars AS BIGINT) AS v0, source AS g
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | med AS (SELECT g, quantile_cont(v0, 0.5) AS md FROM base0 GROUP BY 1),
+      | base AS (SELECT b.g,
+      |   CAST(abs(CAST(v0 AS DOUBLE) * 2.0 - md * 2.0) AS BIGINT) AS v
+      |  FROM base0 b JOIN med USING (g)),
+      | per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+      |   CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+      |   CAST(SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS HUGEINT) AS q
+      |  FROM base GROUP BY 1),
+      | ag AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+      |   CAST(COUNT(*) AS BIGINT) AS k,
+      |   CAST(SUM(s) AS HUGEINT) AS ss, CAST(SUM(q) AS HUGEINT) AS qq,
+      |   CAST(SUM(CAST(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |     / CAST(ng AS DOUBLE) * 1.0e6) AS BIGINT) AS HUGEINT)) AS HUGEINT)
+      |     AS a
+      |  FROM per),
+      | w AS (SELECT n, k,
+      |   a - CAST(CAST(round(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+      |     / CAST(n AS DOUBLE) * 1.0e6) AS BIGINT) AS HUGEINT) AS ssb,
+      |   qq * 1000000 - a AS ssw FROM ag)
+      | SELECT n AS n_rows, k AS k_groups,
+      |  CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+      |   CAST(round(CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+      |     / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1.0e12)
+      |    AS BIGINT) END AS f_pico,
+      |  CASE WHEN ssb + ssw > 0 THEN
+      |   CAST(round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE)
+      |     * 1.0e12) AS BIGINT) END AS eta2_pico
+      | FROM w""".stripMargin.replace("\n", " ")
 }

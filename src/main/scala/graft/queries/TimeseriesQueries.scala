@@ -577,4 +577,29 @@ trait TimeseriesQueries { self: RegistryAll =>
       |    / sqrt(CAST(var_sum_micro AS DOUBLE) / 1.0e6) * 1.0e12) AS BIGINT)
       |  END AS z_pico
       | FROM ag ORDER BY event_type""".stripMargin.replace("\n", " ")
+
+  /** Theil–Sen robust daily-volume trend
+    * ([[graft.ops.Timeseries.theilSenDaily]]): the median pairwise
+    * slope over the bounded observed-day table with the median-residual
+    * intercept — the trend one outage day cannot own.
+    */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.theilSenDaily(t(spark, dir, "events"), "ts")
+
+  lazy val qTheilSenSql: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS x,
+      |   CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      | s AS (SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+      |   AS sl FROM d a JOIN d b ON b.x > a.x),
+      | f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |   quantile_cont(sl, 0.5) AS slope_per_day FROM s
+      |  HAVING COUNT(*) > 0),
+      | nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+      | r AS (SELECT n_days, n_pairs, slope_per_day,
+      |   CAST(y AS DOUBLE) - slope_per_day * CAST(x AS DOUBLE) AS res
+      |  FROM d CROSS JOIN f CROSS JOIN nd)
+      | SELECT n_days, n_pairs, slope_per_day,
+      |  quantile_cont(res, 0.5) AS intercept
+      | FROM r GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
 }

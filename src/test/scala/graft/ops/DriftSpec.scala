@@ -425,4 +425,31 @@ class DriftSpec extends SparkSpec {
     val lone = Seq(("a", 1L), ("a", 2L)).toDF("s", "v")
     assert(Drift.adDrift(lone, "s", "v").collect().head.isNullAt(3))
   }
+
+  test("bhattacharyyaDrift: hand-exact disjoint-bin overlap, identical ≈ 1, lone NULL") {
+    import spark.implicits._
+    // a in bin 0, b in bin 1 (2 docs each): smoothed p = (3/4, 1/4),
+    // q = (1/4, 3/4) → BC = 2·√(3/16), H = √(1 − BC)
+    val df0 = Seq(("a", 10L), ("a", 20L), ("b", 110L), ("b", 120L))
+      .toDF("s", "v")
+    val term = math.round(math.sqrt(0.75 * 0.25) * 1e12)
+    val bc = 2L * term
+    val hell = math.round(math.sqrt(math.max(1.0 - bc.toDouble / 1e12, 0.0))
+      * 1e12)
+    val m = Drift.bhattacharyyaDrift(df0, "s", "v", binWidth = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(m("a") === ((bc, hell)))
+    assert(m("b") === ((bc, hell)), "the rest-side view is symmetric here")
+    // identical strata: p = q per bin → BC = Σp = 1 up to per-bin
+    // rounding (≤ half an ulp-of-pico per bin)
+    val same = Seq(("a", 10L), ("a", 110L), ("b", 10L), ("b", 110L))
+      .toDF("s", "v")
+    val ms = Drift.bhattacharyyaDrift(same, "s", "v", binWidth = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ms.values.forall(v => math.abs(v - 1000000000000L) <= 2L))
+    val lone = Seq(("a", 10L)).toDF("s", "v")
+    val rl = Drift.bhattacharyyaDrift(lone, "s", "v").collect().head
+    assert(rl.isNullAt(4) && rl.isNullAt(5))
+  }
 }

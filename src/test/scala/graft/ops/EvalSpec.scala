@@ -665,4 +665,20 @@ class EvalSpec extends SparkSpec {
     val agree = Seq((true, true), (false, false)).toDF("a", "b")
     assert(Eval.mcnemar(agree, "a", "b").collect().head.isNullAt(3))
   }
+
+  test("brownForsythe: hand-exact F on doubled median deviations; equal spreads NULL") {
+    // a = {0,2,4} (med 2 → |2x−4| = 4,0,4), b = {10,20,30} (med 20 →
+    // 20,0,20): ANOVA on the deviations gives F = 2.4615…
+    val df0 = Seq(("a", 0L), ("a", 2L), ("a", 4L),
+      ("b", 10L), ("b", 20L), ("b", 30L)).toDF("g", "v")
+    val r = Eval.brownForsythe(df0, "v", "g").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((6L, 2L)))
+    val ssb = 170666666.0; val ssw = 277333334.0
+    assert(r.getLong(2) === math.round(ssb / 1.0 / (ssw / 4.0) * 1e12))
+    // identical spreads: every deviation equal → SSW = SSB = 0 → NULLs
+    val flat = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
+      .toDF("g", "v")
+    val r2 = Eval.brownForsythe(flat, "v", "g").collect().head
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+  }
 }

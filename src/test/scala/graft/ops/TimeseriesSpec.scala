@@ -164,4 +164,26 @@ class TimeseriesSpec extends SparkSpec {
       ev(3, 1, "f", 3, 5.0)))
     assert(!flat.contains("f"))
   }
+
+  test("theilSenDaily: outlier day cannot move the median slope; exact intercept") {
+    import java.sql.Timestamp
+    // daily counts 10,12,14,16,100: 6 of 10 pairwise slopes are exactly
+    // 2 → median slope 2; residuals y − 2x = 10×4 and 92 → intercept 10
+    val counts = Seq(10, 12, 14, 16, 100)
+    val rows = counts.zipWithIndex.flatMap { case (y, day) =>
+      (0 until y).map { i =>
+        (day.toLong * 1000 + i,
+          new Timestamp((day.toLong * 86400L + i) * 1000L),
+          1L, "e", 1.0)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Timeseries.theilSenDaily(rows, "ts").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((5L, 10L)))
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === 10.0)
+    // fewer than 2 observed days: no pairs, no row
+    val one = Seq((1L, new Timestamp(1000L), 1L, "e", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Timeseries.theilSenDaily(one, "ts").count() === 0L)
+  }
 }

@@ -1032,9 +1032,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_qq_deciles / q_fleiss_kappa / q_mcnemar / q_runs_test: aggregate shapes, no cartesian beyond bounded broadcasts, no corpus-order window") {
+  test("q_qq_deciles / q_fleiss_kappa / q_mcnemar / q_runs_test / q_brown_forsythe / q_bhattacharyya / q_theil_sen: aggregate shapes, no cartesian beyond bounded broadcasts, no corpus-order window") {
+    // q_theil_sen's day-pair range join runs as a nested loop over the
+    // BOUNDED observed-day table (pairs of days, never events) — the
+    // bounded-by-law posture; it must still never be a CartesianProduct
     for (name <- Seq("q_qq_deciles", "q_fleiss_kappa", "q_mcnemar",
-      "q_runs_test")) {
+      "q_runs_test", "q_brown_forsythe", "q_bhattacharyya",
+      "q_theil_sen")) {
       val p = plan(name)
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"), name)
       assert(!p.contains("CartesianProduct"), name)
