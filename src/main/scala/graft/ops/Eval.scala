@@ -1178,7 +1178,9 @@ object Eval {
     * rounded to MICRO and summed exactly (the [[chi2Independence]]
     * per-cell discipline), the grand term likewise; then
     * SSB = A − S²/N, SSW = Q − A and F = (SSB/(k−1))/(SSW/(N−k)) is one
-    * double chain pico-rounded. NULL when k < 2, N ≤ k, or SSW = 0.
+    * double chain pico-rounded. F is NULL when k < 2, N ≤ k, or
+    * SSW = 0; eta² is NULL when k < 2 (SSB is identically 0 with no
+    * grouping — 0 would misread as "explains nothing") or SST = 0.
     *
     * Scale shape: one corpus aggregate → ≤ k-row table → 1 row. Values
     * must be integral (the DECIMAL-sum exactness contract).
@@ -1211,7 +1213,8 @@ object Eval {
       when(col("_k") >= 2L && col("_n") > col("_k") &&
         col("_ssw") > lit(java.math.BigDecimal.ZERO).cast(dec),
         round(f * lit(1.0e12)).cast("long")).as("f_pico"),
-      when(col("_ssb") + col("_ssw") > lit(java.math.BigDecimal.ZERO).cast(dec),
+      when(col("_k") >= 2L &&
+        col("_ssb") + col("_ssw") > lit(java.math.BigDecimal.ZERO).cast(dec),
         round(eta * lit(1.0e12)).cast("long")).as("eta2_pico"))
   }
 

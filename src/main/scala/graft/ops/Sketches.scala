@@ -280,9 +280,13 @@ object Sketches {
     val regs = h
       .select(expr(s"_h div ${restMod}L").as("_b"), rho.as("_rho"))
       .groupBy(col("_b")).agg(max(col("_rho")).as("_m"))
+    // coalesce: an empty corpus has zero register rows, so the sum is
+    // NULL — the documented law ("absent registers carry M = 0") needs
+    // bits to fall through to m·2^40 and linear counting to est = 0.
     val agg = regs.agg(count(lit(1)).as("used_registers"),
-      sum(pow(lit(2.0), lit(40.0) - col("_m").cast("double")).cast("long"))
-        .as("_bits_used"))
+      coalesce(
+        sum(pow(lit(2.0), lit(40.0) - col("_m").cast("double")).cast("long")),
+        lit(0L)).as("_bits_used"))
     val zeros = lit(m) - col("used_registers")
     // absent registers carry M = 0 → 2^40 each
     val bits = col("_bits_used") + zeros * lit(1L << 40)

@@ -408,8 +408,11 @@ object Timeseries {
     * biggest outage/spike; the breakdown point here is ~29%). The
     * robust companion of [[cusumChangepoint]]'s "when did it shift".
     *
-    * Exact law: daily counts from floor-division bins (one corpus hash
-    * aggregate — the bounded day grid); slopes over all C(d, 2) day
+    * Exact law: daily counts from floor-division bins (the file's
+    * `(x − pmod(x, b)) div b` law — DuckDB `//` floors while Spark
+    * `div` truncates toward zero, so pre-1970 timestamps bin
+    * identically engine-vs-oracle only under the pmod form); one
+    * corpus hash aggregate — the bounded day grid; slopes over all C(d, 2) day
     * pairs of the OBSERVED-day table (bounded BY LAW: pairs of days,
     * never events — the self-join is a broadcast over the day table);
     * slope and intercept are exact interpolated medians
@@ -422,7 +425,8 @@ object Timeseries {
       binMicros: Long = 86400L * 1000000L): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
     val d = events.filter(col(tsCol).isNotNull)
-      .groupBy(expr(s"unix_micros($tsCol) div ${binMicros}L").as("_x"))
+      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_x"))
       .agg(count(lit(1)).as("_y"))
     val a = d.select(col("_x").as("_xa"), col("_y").as("_ya"))
     val b = d.select(col("_x").as("_xb"), col("_y").as("_yb"))

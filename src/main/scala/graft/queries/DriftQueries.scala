@@ -493,8 +493,8 @@ trait DriftQueries { self: RegistryAll =>
       |    ELSE 25 - length(bin(rest)) END AS r FROM rr),
       | regs AS (SELECT b, CAST(MAX(r) AS BIGINT) AS mr FROM rho GROUP BY 1),
       | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS used,
-      |   CAST(SUM(CAST(2**(40.0 - CAST(mr AS DOUBLE)) AS BIGINT))
-      |     AS BIGINT) AS bits_used FROM regs),
+      |   COALESCE(CAST(SUM(CAST(2**(40.0 - CAST(mr AS DOUBLE)) AS BIGINT))
+      |     AS BIGINT), 0) AS bits_used FROM regs),
       | w AS (SELECT used, 256 - used AS zeros,
       |   bits_used + (256 - used) * 1099511627776 AS bits FROM ag),
       | e AS (SELECT used, zeros, bits,

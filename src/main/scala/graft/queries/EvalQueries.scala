@@ -972,7 +972,7 @@ trait EvalQueries { self: RegistryAll =>
       |   CAST(round(CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)
       |     / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1.0e12)
       |    AS BIGINT) END AS f_pico,
-      |  CASE WHEN ssb + ssw > 0 THEN
+      |  CASE WHEN k >= 2 AND ssb + ssw > 0 THEN
       |   CAST(round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE)
       |     * 1.0e12) AS BIGINT) END AS eta2_pico
       | FROM w""".stripMargin.replace("\n", " ")
@@ -1310,7 +1310,7 @@ trait EvalQueries { self: RegistryAll =>
       |   CAST(round(CAST(ssb AS DOUBLE) / CAST(k - 1 AS DOUBLE)
       |     / (CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1.0e12)
       |    AS BIGINT) END AS f_pico,
-      |  CASE WHEN ssb + ssw > 0 THEN
+      |  CASE WHEN k >= 2 AND ssb + ssw > 0 THEN
       |   CAST(round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE)
       |     * 1.0e12) AS BIGINT) END AS eta2_pico
       | FROM w""".stripMargin.replace("\n", " ")

@@ -453,15 +453,29 @@ trait TimeseriesQueries { self: RegistryAll =>
     * exact error fraction, and its 7-day trailing moving average (ROWS
     * frame over the ordered day axis — the q_moving_window accumulation
     * law) — the ops-monitoring staple.
+    *
+    * The unpartitioned `Window.orderBy(day)` is BOUNDED BY LAW: its
+    * input is the per-day aggregate, so it grows with the TIME SPAN of
+    * the stream (10⁵ days ≈ 274 years), never with event volume — and
+    * that bound is ENFORCED in-plan via [[graft.ops.Guards.boundedDomain]]
+    * upstream of the window, the waterfill posture. Day bins use the
+    * file's `(x − pmod(x, b)) div b` floor law (DuckDB `//` parity for
+    * pre-1970 timestamps).
     */
   def qErrorTrend(spark: SparkSession, dir: String): DataFrame = {
     val dayMicros = 86400000000L
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
       .rowsBetween(-6, 0)
-    t(spark, dir, "events")
-      .groupBy(expr(s"unix_micros(ts) div ${dayMicros}L").as("day"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+    graft.ops.Guards.boundedDomain(
+      t(spark, dir, "events")
+        .groupBy(expr(s"(unix_micros(ts) - pmod(unix_micros(ts), " +
+          s"${dayMicros}L)) div ${dayMicros}L").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors")),
+      maxRows = 100000L, op = "qErrorTrend",
+      hint = "the day axis grew past 274 years — aggregate to a coarser " +
+        "time grain before the moving average")
       .withColumn("err_frac",
         col("n_errors").cast("double") / col("n_events").cast("double"))
       .withColumn("ma7", avg(col("err_frac")).over(w))

@@ -854,9 +854,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(nested <= 1, s"only the 1-row total may nested-loop:\n$p")
   }
 
-  test("q_error_trend: one day aggregate + the bounded trailing window, no join") {
+  test("q_error_trend: one day aggregate + guarded bounded trailing window") {
     val p = plan("q_error_trend")
-    assert(!p.contains("Join"), p)
+    // the only join is the Guards.boundedDomain 1-row broadcast attach —
+    // the day-axis window's input bound is ENFORCED in-plan
+    assert(p.contains("_guard_n") && p.contains("raise_error"),
+      s"day-axis window lost its boundedDomain guard:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     assert(p.contains("HashAggregate"), p)
     assert(p.contains("Window"), p)
     assert(p.contains("ReadSchema: struct<ts:"), p)
