@@ -1078,6 +1078,21 @@ class PlanShapeSpec extends SparkSpec {
       s"q_textrank top-k must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q_anova_f / q_welch_ttest / q_trend_test / q_map_eval: one-pass moment/rank aggregates, no cartesian, no corpus-order window") {
+    // all four reduce the corpus in ONE hash aggregate (DECIMAL moment
+    // sums / bounded dose or query tables); anything joining rows to
+    // rows or imposing a global order would break the scale contract
+    for (name <- Seq("q_anova_f", "q_welch_ttest", "q_trend_test",
+      "q_map_eval")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"), name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.toLowerCase.contains("windowexec") ||
+        !p.contains("SinglePartition"),
+        s"$name: corpus-order window:\n$p")
+    }
+  }
+
   test("q_hll_distinct / q_good_turing / q_perm_entropy: bounded aggregates, no corpus-order window, no cartesian beyond bounded broadcasts") {
     for (name <- Seq("q_hll_distinct", "q_good_turing", "q_perm_entropy")) {
       val p = plan(name)
