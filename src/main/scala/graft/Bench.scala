@@ -162,6 +162,22 @@ object Bench {
     // deterministic, so cross-round per-query neighborhoods stay stable.
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    // DISCARDED warm-up pass (default 1, SPARK_GRAFT_BENCH_WARMUP): the
+    // table pre-touch above faults pages in, but each query's OWN codegen
+    // compile + JIT tiering still lands on its first attempt — r16's
+    // committed spread had q_adamic_adar max 5.41 s vs median 2.57 purely
+    // from that first-touch cost surviving into the 3-run min/max. One
+    // untimed pass over the sorted order moves every query to steady
+    // state before measurement; failures are swallowed here (the timed
+    // passes report them as -1 where the driver can see them).
+    val nWarmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP")
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(1)
+    for (_ <- 0 until nWarmup; (name, fn) <- names) {
+      try { fn(spark, sfDir).count(); () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+    }
     val half = names.size / 2
     val baseOrders = Seq(names, names.reverse,
       names.drop(half) ++ names.take(half))
@@ -199,7 +215,7 @@ object Bench {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$nPasses,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$nPasses,"warmup":$nWarmup,"sf":"$sfDir"}""")
       System.err.println(s"[bench] full-precision artifact: $outPath")
     } catch { case _: Throwable => () }
     println(line)

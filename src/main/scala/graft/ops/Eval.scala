@@ -580,6 +580,116 @@ object Eval {
         col("rho_pico"))
   }
 
+  /** Kendall's τ-b between a BOUNDED-domain ordinal column and an
+    * arbitrary orderable metric (Kendall '38; the tie-corrected τ-b of
+    * Kendall '45) — [[spearman]]'s pair-concordance sibling: ρ reads
+    * rank covariance, τ-b reads the exact fraction of pairs that agree
+    * in direction, the statistic that survives any monotone transform
+    * and heavy ties on the ordinal axis.
+    *
+    * Exact distributed law — the classic computation is a single-task
+    * merge-sort inversion count; this one never materializes a pair:
+    *
+    *  1. joint value-frequency table grouped by the METRIC (one corpus
+    *     hash aggregate) with one count column per ordinal class; the
+    *     class set is a driver-side bounded collect ≤ `maxClasses`
+    *     (the q_dynamic_status_views posture — the ordinal axis is the
+    *     op's bounded-by-contract dimension, enforced with a hard
+    *     require);
+    *  2. per-class cumulative counts in metric order ride ONE
+    *     [[PrefixSum.inclusiveAll]] pass — m weights share a single
+    *     range shuffle, grand totals ride the same bounded totals
+    *     table (`withTotals`), never a single-task sort;
+    *  3. every discordance-relevant pair is counted exactly once at
+    *     its HIGHER class j against lower classes j′ < j:
+    *       C = Σ_y Σ_j c_j(y) · Σ_{j′<j} (cum_{j′}(y) − c_{j′}(y))
+    *       D = Σ_y Σ_j c_j(y) · Σ_{j′<j} (tot_{j′} − cum_{j′}(y))
+    *     with all products in DECIMAL(38,0);
+    *  4. tie masses are exact integers: 2·n1 = Σ_j tot_j(tot_j−1)
+    *     (class ties), 2·n2 = Σ_y m_y(m_y−1) (metric ties),
+    *     2·n0 = n(n−1) — each halved by an exact integral division
+    *     (consecutive-integer products are even);
+    *  5. τ-b = (C−D)/√((n0−n1)(n0−n2)) is ONE pinned double chain over
+    *     the output integers, pico-rounded; NULL when either variance
+    *     factor is 0 (a constant axis carries no order information).
+    *
+    * Scale shape: corpus hash aggregate → metric-value table (grows
+    * with DISTINCT metric values — the lorenz/rankEffect posture) →
+    * one distributed prefix-sum pass → 1 row. Pair masses are BIGINT
+    * in the output: defined while n(n−1)/2 < 2⁶³ (n < 4.3·10⁹ rows).
+    *
+    * Output (1 row): (n_rows, k_classes, tie_x_pairs, tie_y_pairs,
+    * concordant, discordant, taub_pico).
+    */
+  def kendallTauB(df: DataFrame, classCol: String, valueCol: String,
+      maxClasses: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(classCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(classCol).as("_x"), col(valueCol).as("_y"))
+    // bounded driver-side class collect: TakeOrdered(maxClasses+1), so an
+    // unbounded class axis fails the require, never floods the driver
+    val cls = base.select(col("_x")).distinct()
+      .orderBy(col("_x")).limit(maxClasses + 1).collect().map(_.get(0))
+    require(cls.nonEmpty, "kendallTauB: no non-null (class, value) rows")
+    require(cls.length <= maxClasses,
+      s"kendallTauB: class column exceeds $maxClasses distinct values — " +
+        "the per-class cumulative law needs a bounded ordinal axis; " +
+        "bin the column or raise maxClasses")
+    val m = cls.length
+    val yt = base.groupBy(col("_y")).agg(
+      sum(when(col("_x") === lit(cls(0)), 1L).otherwise(0L)).as("_c0"),
+      (1 until m).map(j =>
+        sum(when(col("_x") === lit(cls(j)), 1L).otherwise(0L)).as(s"_c$j")): _*)
+    val ps = PrefixSum.inclusiveAll(yt, "_y",
+      (0 until m).map(j => (col(s"_c$j"), s"_cum$j")), withTotals = true)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    // one fold builds C and D terms plus the running lower-class masses
+    // (strictly-below-in-metric and strictly-above-in-metric)
+    val (concE, discE, _, _) = (0 until m)
+      .foldLeft((zero, zero, zero, zero)) {
+        case ((c0, d0, lowLt, lowGt), j) =>
+          val cj = col(s"_c$j").cast(dec)
+          val cumj = col(s"_cum$j").cast(dec)
+          val totj = col(s"_cum${j}_total").cast(dec)
+          (c0 + cj * lowLt, d0 + cj * lowGt,
+            lowLt + (cumj - cj), lowGt + (totj - cumj))
+      }
+    val myE = (0 until m).map(j => col(s"_c$j")).reduce(_ + _)
+    val agg = ps
+      .select((Seq(concE.as("_conc"), discE.as("_disc"), myE.as("_my")) ++
+        (0 until m).map(j => col(s"_cum${j}_total"))): _*)
+      .agg(coalesce(sum(col("_my")), lit(0L)).as("_n"),
+        (Seq(coalesce(sum(col("_conc")), zero).as("_cs"),
+          coalesce(sum(col("_disc")), zero).as("_ds"),
+          coalesce(sum(col("_my").cast(dec) * (col("_my") - lit(1L)).cast(dec)),
+            zero).as("_t2x2")) ++
+          (0 until m).map(j => max(col(s"_cum${j}_total")).as(s"_tot$j"))): _*)
+    val t1x2 = (0 until m).map(j =>
+      coalesce(col(s"_tot$j"), lit(0L)).cast(dec)
+        * (coalesce(col(s"_tot$j"), lit(0L)) - lit(1L)).cast(dec))
+      .reduce(_ + _)
+    val staged = agg.withColumn("_t1x2", t1x2)
+      .select(col("_n").as("n_rows"), lit(m).cast("long").as("k_classes"),
+        expr("CAST((CAST(_n AS DECIMAL(38,0)) * CAST(_n - 1 AS DECIMAL(38,0)))" +
+          " div 2 AS BIGINT)").as("_n0"),
+        expr("CAST(_t1x2 div 2 AS BIGINT)").as("tie_x_pairs"),
+        expr("CAST(_t2x2 div 2 AS BIGINT)").as("tie_y_pairs"),
+        col("_cs").cast("long").as("concordant"),
+        col("_ds").cast("long").as("discordant"))
+    staged.select(col("n_rows"), col("k_classes"), col("tie_x_pairs"),
+      col("tie_y_pairs"), col("concordant"), col("discordant"),
+      // greatest(·, 1): identity whenever the when() fires — keeps a
+      // CSE-hoisted division off 0/0 → NaN → ANSI long-cast failure
+      when(col("_n0") - col("tie_x_pairs") > 0L &&
+        col("_n0") - col("tie_y_pairs") > 0L,
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt(greatest(col("_n0") - col("tie_x_pairs"), lit(1L))
+              .cast("double")
+            * greatest(col("_n0") - col("tie_y_pairs"), lit(1L))
+              .cast("double"))
+          * lit(1.0e12)).cast("long")).as("taub_pico"))
+  }
+
   /** Mean-reciprocal-rank components at k (Voorhees, TREC-8 '99 — THE
     * known-item retrieval statistic): for each query, the rank of the
     * FIRST relevant item within the top `k` of a ranked list, and its

@@ -239,6 +239,64 @@ object Quantiles {
       .orderBy(col("decile"))
   }
 
+  /** Gini coefficient of a non-negative metric (Gini '12) — the single
+    * number summarizing [[lorenzDeciles]]'s curve: 0 when every row
+    * carries equal mass, →1 when a vanishing fraction carries it all.
+    * The corpus-skew headline ("how unequal are document sizes") that
+    * the decile curve draws in full.
+    *
+    * Exact law: value-frequency table (one corpus hash aggregate);
+    * ranks 1..n ascending by value via the DISTRIBUTED prefix sum
+    * ([[PrefixSum.inclusive]] — never a single-task sort). A tied block
+    * at value v with count c occupies ranks lo+1..hi, whose doubled
+    * rank sum is hi(hi+1) − lo(lo+1) regardless of internal order
+    * (permutation-safe, no division); 2R = Σ_v v·(hi(hi+1) − lo(lo+1))
+    * accumulates in DECIMAL(38,0). Then the standard rank form
+    *
+    *   G = (2·Σᵢ rank_i·x_i − (n+1)·Σx) / (n·Σx) = (2R − (n+1)S)/(nS)
+    *
+    * is ONE double division, pico-rounded. NULL gini when n = 0 or
+    * S = 0 (the curve is undefined over zero mass). NULL and negative
+    * values drop (the Lorenz/Gini law is over a non-negative mass).
+    *
+    * Scale shape: corpus hash aggregate → value table (grows with
+    * DISTINCT values — the lorenz posture) → one distributed prefix-sum
+    * pass → 1 row. Doubled rank mass is BIGINT in the output: defined
+    * while 2R < 2⁶³ (n·max_rank·v — document-length corpora sit far
+    * inside; the internal sum stays DECIMAL regardless).
+    *
+    * Output (1 row): (n_rows, sum_value, two_rank_mass, gini_pico).
+    */
+  def gini(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val freq = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0L)
+      .select(col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val ranked = PrefixSum.inclusive(freq, "_v", col("_c"), "_hi")
+      .withColumn("_lo", col("_hi") - col("_c"))
+    val twoRank = col("_v").cast(dec) *
+      (col("_hi").cast(dec) * (col("_hi") + lit(1L)).cast(dec)
+        - col("_lo").cast(dec) * (col("_lo") + lit(1L)).cast(dec))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    ranked
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("_v").cast(dec) * col("_c").cast(dec)), zero).as("_s"),
+        coalesce(sum(twoRank), zero).as("_r2"))
+      .select(col("n_rows"),
+        col("_s").cast("long").as("sum_value"),
+        col("_r2").cast("long").as("two_rank_mass"),
+        // greatest(·, 1): identity whenever the when() fires (n ≥ 1 and
+        // S ≥ 1 there) — keeps a CSE-hoisted division off 0/0 → NaN →
+        // ANSI long-cast failure
+        when(col("n_rows") > 0L && col("_s") > zero,
+          round((col("_r2") - (col("n_rows") + lit(1L)).cast(dec) * col("_s"))
+            .cast("double")
+            / greatest(col("n_rows").cast(dec) * col("_s"),
+              lit(java.math.BigDecimal.ONE).cast(dec)).cast("double")
+            * lit(1.0e12)).cast("long")).as("gini_pico"))
+  }
+
   /** Hill tail-index estimator (Hill, Ann. Stat. '75) over a positive
     * metric's upper order statistics — the heavy-tail exponent a corpus
     * sizing decision reads (α ≈ 1 means a few giant documents dominate

@@ -446,4 +446,58 @@ object Timeseries {
       .select(col("n_days"), col("n_pairs"), col("slope_per_day"),
         col("intercept"))
   }
+
+  /** Mann–Kendall trend test of the daily event-count series (Mann '45 /
+    * Kendall '75) — [[theilSenDaily]]'s significance companion: the
+    * slope says HOW FAST volume drifts, S and its normal score say
+    * whether the monotone trend is real or noise. The nonparametric
+    * test one outlier day cannot own (it reads only sign comparisons).
+    *
+    * Exact law: daily counts from the file's `(x − pmod(x, b)) div b`
+    * floor bins (one corpus hash aggregate — the bounded day grid);
+    *
+    *   S = Σ_{i<j} sgn(y_j − y_i)  over all C(d, 2) ordered day pairs
+    *
+    * (bounded BY LAW: pairs of days, never events — the theilSenDaily
+    * broadcast pair join). Tie-corrected variance stays EXACT integer:
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tied-count runs;
+    * the continuity-corrected z = (S ∓ 1)/√(var18/18) is one pinned
+    * double chain, pico-rounded (0 when S = 0, the test's convention;
+    * NULL when var18 = 0 — fewer than 2 days or all counts equal, no
+    * trend information).
+    *
+    * Output (1 row): (n_days, s_stat, var_s18, z_pico).
+    */
+  def mannKendallDaily(events: DataFrame, tsCol: String,
+      binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val d = events.filter(col(tsCol).isNotNull)
+      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_x"))
+      .agg(count(lit(1)).as("_y"))
+    val a = d.select(col("_x").as("_xa"), col("_y").as("_ya"))
+    val b = d.select(col("_x").as("_xb"), col("_y").as("_yb"))
+    val s = a.join(b, col("_xb") > col("_xa"))
+      .agg(coalesce(sum(
+        when(col("_yb") > col("_ya"), 1L)
+          .when(col("_yb") < col("_ya"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val n = d.agg(count(lit(1)).as("n_days"))
+    val ties = d.groupBy(col("_y")).agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - lit(1L))
+        * (lit(2L) * col("_t") + lit(5L))), lit(0L)).as("_tt"))
+    val var18 = col("n_days") * (col("n_days") - lit(1L)) *
+      (lit(2L) * col("n_days") + lit(5L)) - col("_tt")
+    val zNum = when(col("s_stat") > 0L, (col("s_stat") - lit(1L)).cast("double"))
+      .when(col("s_stat") < 0L, (col("s_stat") + lit(1L)).cast("double"))
+      .otherwise(lit(0.0))
+    n.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"), var18.as("var_s18"),
+        // greatest(·, 1): identity whenever the when() fires (var18 ≥ 1
+        // there) — keeps a CSE-hoisted division off 0/0 → NaN → ANSI
+        // long-cast failure (Timeseries.scala:22's clamp discipline)
+        when(var18 > 0L,
+          round(zNum / sqrt(greatest(var18, lit(1L)).cast("double")
+            / lit(18.0)) * lit(1.0e12)).cast("long")).as("z_pico"))
+  }
 }

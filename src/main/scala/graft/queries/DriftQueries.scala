@@ -572,6 +572,36 @@ trait DriftQueries { self: RegistryAll =>
       |  END AS cum_share_micro
       | FROM cm ORDER BY decile""".stripMargin.replace("\n", " ")
 
+  /** Gini coefficient of document length ([[graft.ops.Quantiles.gini]]):
+    * q_lorenz_deciles' curve as its single headline number, computed
+    * over the same value-frequency table and distributed prefix sum —
+    * doubled tied-block rank masses keep the law division-free until
+    * one final pico-rounded double chain.
+    */
+  def qLengthGini(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.gini(t(spark, dir, "documents"), "n_chars")
+
+  lazy val qLengthGiniSql: String =
+    """WITH f AS (SELECT CAST(n_chars AS BIGINT) AS v,
+      |   CAST(COUNT(*) AS BIGINT) AS c FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1),
+      | r AS (SELECT v, c,
+      |   CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS hi FROM f),
+      | t AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS n,
+      |   COALESCE(CAST(SUM(CAST(v AS HUGEINT) * CAST(c AS HUGEINT))
+      |     AS HUGEINT), 0) AS s,
+      |   COALESCE(CAST(SUM(CAST(v AS HUGEINT)
+      |     * (CAST(hi AS HUGEINT) * (hi + 1)
+      |       - CAST(hi - c AS HUGEINT) * (hi - c + 1))) AS HUGEINT), 0) AS r2
+      |  FROM r)
+      | SELECT n AS n_rows, CAST(s AS BIGINT) AS sum_value,
+      |  CAST(r2 AS BIGINT) AS two_rank_mass,
+      |  CASE WHEN n > 0 AND s > 0 THEN
+      |   CAST(round(CAST(r2 - (n + 1) * s AS DOUBLE)
+      |    / CAST(n * s AS DOUBLE) * 1.0e12) AS BIGINT)
+      |  END AS gini_pico
+      | FROM t""".stripMargin.replace("\n", " ")
+
   /** Per-source entropy + KL to the rest of the corpus
     * ([[graft.ops.Drift.sourceKlReport]]): add-one smoothing over the
     * corpus vocabulary, every term ln-quantized to pico-units before the

@@ -1035,6 +1035,57 @@ trait EvalQueries { self: RegistryAll =>
       |    AS BIGINT) END AS cohen_d_pico
       | FROM w2""".stripMargin.replace("\n", " ")
 
+  /** Kendall's τ-b between discount class and extended price
+    * ([[graft.ops.Eval.kendallTauB]]): do pricier line items carry
+    * deeper discounts? — the exact pair-concordance statistic computed
+    * WITHOUT a single-task inversion sort: per-class cumulative counts
+    * over the price order ride one multi-weight distributed prefix sum;
+    * every concordant/discordant pair is counted once at its higher
+    * class. q_spearman_corr's tie-robust sibling.
+    */
+  def qTaubCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.kendallTauB(
+      t(spark, dir, "lineitem"), "l_discount", "l_extendedprice")
+
+  lazy val qTaubCorrSql: String =
+    """WITH base AS (SELECT l_discount AS x, l_extendedprice AS y
+      |  FROM lineitem
+      |  WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+      | cells AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS f
+      |  FROM base GROUP BY 1, 2),
+      | xs AS (SELECT DISTINCT x FROM cells),
+      | ys AS (SELECT DISTINCT y FROM cells),
+      | grid AS (SELECT xs.x AS x, ys.y AS y, COALESCE(c.f, 0) AS f
+      |  FROM xs CROSS JOIN ys
+      |  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y),
+      | cum AS (SELECT x, y, f,
+      |   SUM(f) OVER (PARTITION BY x ORDER BY y
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+      |   SUM(f) OVER (PARTITION BY x) AS tot FROM grid),
+      | cd AS (SELECT COALESCE(SUM(a.f * (b.cle - b.f)), 0) AS conc,
+      |   COALESCE(SUM(a.f * (b.tot - b.cle)), 0) AS disc
+      |  FROM cells a JOIN cum b ON b.y = a.y AND b.x < a.x),
+      | yt AS (SELECT y, SUM(f) AS my FROM cells GROUP BY 1),
+      | xt AS (SELECT x, SUM(f) AS mx FROM cells GROUP BY 1),
+      | nn AS (SELECT COALESCE(CAST(SUM(f) AS HUGEINT), 0) AS n FROM cells),
+      | t1 AS (SELECT COALESCE(SUM(mx * (mx - 1)), 0) // 2 AS v FROM xt),
+      | t2 AS (SELECT COALESCE(SUM(my * (my - 1)), 0) // 2 AS v FROM yt),
+      | kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+      | w AS (SELECT CAST(n AS BIGINT) AS n_rows, k AS k_classes,
+      |   CAST(n * (n - 1) // 2 AS BIGINT) AS n0,
+      |   CAST(t1.v AS BIGINT) AS tie_x_pairs,
+      |   CAST(t2.v AS BIGINT) AS tie_y_pairs,
+      |   CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant
+      |  FROM nn, kk, t1, t2, cd)
+      | SELECT n_rows, k_classes, tie_x_pairs, tie_y_pairs, concordant,
+      |  discordant,
+      |  CASE WHEN n0 - tie_x_pairs > 0 AND n0 - tie_y_pairs > 0 THEN
+      |   CAST(round(CAST(concordant - discordant AS DOUBLE)
+      |    / sqrt(CAST(n0 - tie_x_pairs AS DOUBLE)
+      |      * CAST(n0 - tie_y_pairs AS DOUBLE)) * 1.0e12) AS BIGINT)
+      |  END AS taub_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
   /** Cochran–Armitage trend ([[graft.ops.Eval.cochranArmitageTrend]]):
     * does the English rate TREND across ordered length buckets? —
     * exact-integer contrasts, one double chain for z².

@@ -616,4 +616,34 @@ trait TimeseriesQueries { self: RegistryAll =>
       | SELECT n_days, n_pairs, slope_per_day,
       |  quantile_cont(res, 0.5) AS intercept
       | FROM r GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
+
+  /** Mann–Kendall trend test of daily event volume
+    * ([[graft.ops.Timeseries.mannKendallDaily]]): is q_theil_sen's
+    * slope a real monotone trend or noise? — sign-pair statistic S over
+    * the bounded observed-day table, exact tie-corrected 18·Var(S), one
+    * continuity-corrected z chain.
+    */
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.mannKendallDaily(t(spark, dir, "events"), "ts")
+
+  lazy val qMannKendallSql: String =
+    """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS x,
+      |   CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      | p AS (SELECT COALESCE(CAST(SUM(CASE WHEN b.y > a.y THEN 1
+      |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT), 0) AS s
+      |  FROM d a JOIN d b ON b.x > a.x),
+      | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+      | t AS (SELECT COALESCE(CAST(SUM(c * (c - 1) * (2 * c + 5))
+      |    AS BIGINT), 0) AS tt
+      |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY y)),
+      | w AS (SELECT nd, s, nd * (nd - 1) * (2 * nd + 5) - tt AS v18
+      |  FROM n, p, t)
+      | SELECT nd AS n_days, s AS s_stat, v18 AS var_s18,
+      |  CASE WHEN v18 > 0 THEN
+      |   CAST(round((CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+      |     WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END)
+      |    / sqrt(CAST(v18 AS DOUBLE) / 18.0) * 1.0e12) AS BIGINT)
+      |  END AS z_pico
+      | FROM w""".stripMargin.replace("\n", " ")
 }

@@ -554,10 +554,59 @@ class EvalSpec extends SparkSpec {
     val r2 = Eval.anovaF(sep, "v", "g").collect().head
     assert(r2.isNullAt(2))
     assert(r2.getLong(3) === 1000000000000L)
-    // one group: k − 1 = 0 → both NULL (SST = SSW)
+    // one group: k − 1 = 0 → both NULL (SST = SSW; η² = 0 would misread
+    // as "grouping explains nothing" when there is no grouping)
     val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
     val r3 = Eval.anovaF(one, "v", "g").collect().head
     assert(r3.isNullAt(2))
+    assert(r3.isNullAt(3))
+  }
+
+  test("kendallTauB: brute-force parity on a tied random frame") {
+    val rnd = new scala.util.Random(17L)
+    val rows = (1 to 200).map(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong))
+    val r = Eval.kendallTauB(rows.toDF("x", "y"), "x", "y").collect().head
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- rows.indices; j <- i + 1 until rows.size) {
+      val sx = java.lang.Long.signum(rows(j)._1 - rows(i)._1)
+      val sy = java.lang.Long.signum(rows(j)._2 - rows(i)._2)
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx != 0 && sy != 0) { if (sx == sy) conc += 1 else disc += 1 }
+    }
+    val n = rows.size.toLong
+    val n0 = n * (n - 1) / 2
+    assert((r.getLong(0), r.getLong(1)) === ((n, 4L)))
+    assert((r.getLong(2), r.getLong(3)) === ((tx, ty)))
+    assert((r.getLong(4), r.getLong(5)) === ((conc, disc)))
+    assert(r.getLong(6) === math.round((conc - disc).toDouble
+      / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble) * 1e12))
+  }
+
+  test("kendallTauB: monotone 1, inverse -1, degenerate NULLs, class cap") {
+    // clean monotone / inverse over 3 classes
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Eval.kendallTauB(up, "x", "y").collect().head
+      .getLong(6) === 1000000000000L)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(Eval.kendallTauB(down, "x", "y").collect().head
+      .getLong(6) === -1000000000000L)
+    // a single class: every pair is an x tie → n0 − n1 = 0 → NULL
+    val oneClass = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("x", "y")
+    val r1 = Eval.kendallTauB(oneClass, "x", "y").collect().head
+    assert((r1.getLong(4), r1.getLong(5)) === ((0L, 0L)))
+    assert(r1.isNullAt(6))
+    // a constant metric: every pair is a y tie → NULL
+    val constY = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    assert(Eval.kendallTauB(constY, "x", "y").collect().head.isNullAt(6))
+    // the ordinal axis is bounded BY CONTRACT: 65 classes at the default
+    // cap must fail the require, not flood the per-class column law
+    val wide = (1 to 65).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Eval.kendallTauB(wide, "x", "y")
+    }
+    assert(e.getMessage.contains("bounded ordinal axis"))
   }
 
   test("welchTTest: clean two-group fixture, degenerate n < 2 NULLs") {

@@ -262,4 +262,24 @@ class QuantilesSpec extends SparkSpec {
     val r1 = Quantiles.qqTable(oneSided, "v", "fa").collect()
     assert(r1.forall(r => !r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("gini: hand-checked rank law, tie block, equal mass 0, empty NULL") {
+    // (1,2,3,4): R = Σ i·xᵢ = 30 → G = (60 − 5·10)/(4·10) = 0.25
+    val r = Quantiles.gini(Seq(1L, 2L, 3L, 4L).toDF("v"), "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 10L, 60L)))
+    assert(r.getLong(3) === 250000000000L)
+    // tie block (1,1,2): 2R = 1·(2·3 − 0) + 2·(3·4 − 2·3) = 18 →
+    // G = (18 − 4·4)/(3·4) = 1/6 — permutation-safe inside the tie
+    val r2 = Quantiles.gini(Seq(1L, 1L, 2L).toDF("v"), "v").collect().head
+    assert((r2.getLong(1), r2.getLong(2)) === ((4L, 18L)))
+    assert(r2.getLong(3) === math.round(1.0 / 6.0 * 1e12))
+    // equal values: perfect equality → exactly 0
+    assert(Quantiles.gini(Seq(5L, 5L, 5L).toDF("v"), "v").collect().head
+      .getLong(3) === 0L)
+    // NULLs and negatives drop; empty mass → NULL gini, zero counts
+    val dirty = Seq(Some(-3L), None, Some(-1L)).toDF("v")
+    val r3 = Quantiles.gini(dirty, "v").collect().head
+    assert((r3.getLong(0), r3.getLong(1)) === ((0L, 0L)))
+    assert(r3.isNullAt(3))
+  }
 }

@@ -186,4 +186,37 @@ class TimeseriesSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(Timeseries.theilSenDaily(one, "ts").count() === 0L)
   }
+
+  test("mannKendallDaily: exact S, tie-corrected variance, continuity z, degenerate NULL") {
+    import java.sql.Timestamp
+    def daily(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (y, day) => (0 until y).map { i =>
+        (day.toLong * 1000 + i,
+          new Timestamp((day.toLong * 86400L + i) * 1000L), 1L, "e", 1.0)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // strictly increasing counts over 5 days: S = C(5,2) = 10, no ties →
+    // var18 = 5·4·15 = 300, z = (10 − 1)/√(300/18)
+    val r = Timeseries.mannKendallDaily(daily(Seq(10, 12, 14, 16, 100)), "ts")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 10L, 300L)))
+    assert(r.getLong(3) === math.round(9.0 / math.sqrt(300.0 / 18.0) * 1e12))
+    // one tied pair of counts (10,10,12): S = 2, tie run t = 2 →
+    // var18 = 3·2·11 − 2·1·9 = 48
+    val r2 = Timeseries.mannKendallDaily(daily(Seq(10, 10, 12)), "ts")
+      .collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((3L, 2L, 48L)))
+    assert(r2.getLong(3) === math.round(1.0 / math.sqrt(48.0 / 18.0) * 1e12))
+    // decreasing trend: the continuity correction flips to S + 1;
+    // no ties → var18 = 3·2·11 = 66
+    val r3 = Timeseries.mannKendallDaily(daily(Seq(12, 11, 10)), "ts")
+      .collect().head
+    assert((r3.getLong(1), r3.getLong(2)) === ((-3L, 66L)))
+    assert(r3.getLong(3) === math.round(-2.0 / math.sqrt(66.0 / 18.0) * 1e12))
+    // all days tied: var18 = 0 → z NULL (no trend information)
+    val r4 = Timeseries.mannKendallDaily(daily(Seq(7, 7, 7)), "ts")
+      .collect().head
+    assert((r4.getLong(1), r4.getLong(2)) === ((0L, 0L)))
+    assert(r4.isNullAt(3))
+  }
 }

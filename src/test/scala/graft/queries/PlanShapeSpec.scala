@@ -1018,12 +1018,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_rank_effect / q_lorenz_deciles / q_spearman_corr / q_kruskal_wallis: the value-table prefix sum is pid-partitioned, never a single-task sort") {
+  test("q_rank_effect / q_lorenz_deciles / q_spearman_corr / q_kruskal_wallis / q_taub_corr / q_length_gini: the value-table prefix sum is pid-partitioned, never a single-task sort") {
     Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr",
-      "q_kruskal_wallis").foreach { q =>
+      "q_kruskal_wallis", "q_taub_corr", "q_length_gini").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
     }
   }
 
@@ -1042,7 +1043,7 @@ class PlanShapeSpec extends SparkSpec {
     // bounded-by-law posture; it must still never be a CartesianProduct
     for (name <- Seq("q_qq_deciles", "q_fleiss_kappa", "q_mcnemar",
       "q_runs_test", "q_brown_forsythe", "q_bhattacharyya",
-      "q_theil_sen")) {
+      "q_theil_sen", "q_mann_kendall")) {
       val p = plan(name)
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"), name)
       assert(!p.contains("CartesianProduct"), name)
