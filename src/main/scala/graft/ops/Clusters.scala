@@ -48,7 +48,7 @@ object Clusters {
     * immune: the just-checkpointed frame's only leaf is the RDD this call
     * made.
     */
-  private[ops] def ownedCheckpoint(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+  private[graft] def ownedCheckpoint(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
     val cp = df.localCheckpoint()
     val own = cp.queryExecution.analyzed.collectLeaves().collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
@@ -60,7 +60,7 @@ object Clusters {
     * created; without this, every round's checkpoint frames linger until RDD
     * garbage collection, which can lag on a long-lived driver.
     */
-  private[ops] def release(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(false))
+  private[graft] def release(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(false))
 
   /** Components of the undirected graph given by `edges(srcCol, dstCol)`.
     * Returns one row per vertex: (id, component) where component is the

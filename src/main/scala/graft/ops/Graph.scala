@@ -429,17 +429,23 @@ object Graph {
     * argmax by (count desc, label asc) — no floats anywhere, so any
     * engine replays the labels bit-for-bit.
     *
-    * Scale shape: per round ONE shuffle join (neighbor labels) + ONE
-    * hash aggregate pair (vote count, argmax-as-max-of-struct — no
-    * window, which would funnel a super-node's votes into one task
-    * before reducing). The directed edge frame materializes once to
-    * blocks; label frames checkpoint every `checkpointEvery` rounds
-    * (the [[Clusters]] owned-RDD discipline).
+    * Scale shape: per round ONE shuffle join (neighbor labels; round 1
+    * skips it — the identity label map makes the votes the edge frame
+    * itself) + ONE hash aggregate pair (vote count, argmax-as-max-of-
+    * struct — no window, which would funnel a super-node's votes into
+    * one task before reducing). The directed edge frame materializes
+    * once to blocks; label frames checkpoint every `checkpointEvery`
+    * rounds (the [[Clusters]] owned-RDD discipline). Default cadence 1:
+    * the label frame is |V| rows and referenced TWICE per round (join +
+    * self-inclusion union), so lazy composition doubles the subtree per
+    * round — per-round materialization measured 7.7 s → 4.1 s at
+    * sf0.1/32t (r17 audit); [[pageRankMicro]]'s linear single-reference
+    * chain keeps the lazy posture instead.
     *
     * Output: (node, label) — one row per non-isolated node.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int = 4, checkpointEvery: Int = 8): DataFrame = {
+      rounds: Int = 4, checkpointEvery: Int = 1): DataFrame = {
     val canon = canonicalUndirected(edges, srcCol, dstCol)
     val (dir2, edgeOwned) = Clusters.ownedCheckpoint(bothDirections(canon))
     try lpaCore(dir2, rounds, checkpointEvery)
@@ -457,7 +463,7 @@ object Graph {
     lpaCore(bothDirections(g.canon), rounds, checkpointEvery)
 
   def labelPropagation(g: UndirectedWorkingSet, rounds: Int): DataFrame =
-    labelPropagation(g, rounds, checkpointEvery = 8)
+    labelPropagation(g, rounds, checkpointEvery = 1)
 
   private def lpaCore(dir2: DataFrame, rounds: Int,
       checkpointEvery: Int): DataFrame = {
@@ -468,9 +474,14 @@ object Graph {
       .select(col("node"), col("node").as("label"))
     var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (i <- 1 to rounds) {
-      val neighborVotes = dir2
-        .join(labels.select(col("node").as("y"), col("label")), "y")
-        .select(col("x").as("node"), col("label"))
+      // round 1 joins against the IDENTITY label map (labels init to the
+      // node id), so the votes are the edge frame itself — the join is
+      // value-transparent and skipped (r17 constants audit)
+      val neighborVotes =
+        if (i == 1) dir2.select(col("x").as("node"), col("y").as("label"))
+        else dir2
+          .join(labels.select(col("node").as("y"), col("label")), "y")
+          .select(col("x").as("node"), col("label"))
       // argmax by (count desc, label asc) as ONE max-of-struct aggregate.
       // The label order-reversal is bitwise NOT, not arithmetic negation:
       // ~x = -x-1 reverses the signed-long total order for EVERY value
@@ -807,12 +818,14 @@ object Graph {
     * per-node DISTINCT-value table (bounded by O(√m) distinct coreness
     * values, never by a super-node's raw degree) + one hash aggregate.
     * Edge frame materializes once; value frames checkpoint every
-    * `checkpointEvery` rounds.
+    * `checkpointEvery` rounds — default cadence 1 (the LPA rationale:
+    * the |V|-row value frame feeds both the per-round join and the
+    * window chain; measured 5.7 s → 3.9 s at sf0.1/32t, r17 audit).
     *
     * Output: (node, coreness) — one row per non-isolated node.
     */
   def corenessEstimate(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int = 4, checkpointEvery: Int = 8): DataFrame = {
+      rounds: Int = 4, checkpointEvery: Int = 1): DataFrame = {
     val canon = canonicalUndirected(edges, srcCol, dstCol)
     val (dir2, edgeOwned) = Clusters.ownedCheckpoint(bothDirections(canon))
     val init = dir2.groupBy(col("x").as("node")).agg(count(lit(1)).as("c"))
@@ -831,7 +844,7 @@ object Graph {
       g.deg.select(col("node"), col("deg").as("c")), rounds, checkpointEvery)
 
   def corenessEstimate(g: UndirectedWorkingSet, rounds: Int): DataFrame =
-    corenessEstimate(g, rounds, checkpointEvery = 8)
+    corenessEstimate(g, rounds, checkpointEvery = 1)
 
   private def corenessCore(dir2: DataFrame, init: DataFrame, rounds: Int,
       checkpointEvery: Int): DataFrame = {
@@ -876,21 +889,26 @@ object Graph {
     * bit-replayable by any engine. A side whose raw mass is all zero
     * (e.g. hubs of a sink-only node set) holds exactly 0.
     *
-    * Scale shape: per round two shuffle joins (edges⋈scores keyed src
-    * then dst) + two hash aggregates + two 1-row broadcast maxima (the
-    * scalar-total pattern) + two |V|-row left joins. Edge and node
-    * frames materialize once to blocks; rounds compose lazily so the
-    * edge exchange is plan-identical and AQE reuses it (the
-    * [[pageRankMicro]] mechanism), with score checkpoints every
-    * `checkpointEvery` rounds bounding plan depth.
+    * Scale shape (r17 constants audit): auth and hub iterate as
+    * SEPARATE SPARSE frames — a node absent from a side's raw sum
+    * contributes exactly 0 to the next round's Σ, so the per-round
+    * |V|-row densifying left joins and the per-round auth⋈hub zip the
+    * original form carried are VALUE-TRANSPARENT and run only once, at
+    * the end (two left joins against the node frame). Per round that
+    * leaves exactly: two edge⋈score joins (AQE broadcasts the score
+    * side while it fits) + two hash aggregates + two 1-row broadcast
+    * maxima. Edge and node frames materialize once to blocks; rounds
+    * materialize per round (default cadence 1): each side's normalized
+    * frame is |V| rows and referenced TWICE downstream (the max
+    * broadcast + the next join), so lazy composition doubles the
+    * subtree per round — per-round materialization measured
+    * 7.8 s → 5.6 s at sf0.1/32t (r17 audit; cadence 2 was 7.8, 3 was
+    * 9.3 — the growth is real and monotone).
     *
     * Output: (node, auth_micro, hub_micro) — one row per node.
     */
   def hitsMicro(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int = 5, checkpointEvery: Int = 2): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    require(checkpointEvery >= 1,
-      s"checkpointEvery must be positive, got $checkpointEvery")
+      rounds: Int = 5, checkpointEvery: Int = 1): DataFrame = {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -900,36 +918,71 @@ object Graph {
     val (nodes, nodesOwned) = Clusters.ownedCheckpoint(
       ed.select(col("src").as("node"))
         .unionByName(ed.select(col("dst").as("node"))).distinct())
+    try hitsMicroPrepared(ed, nodes, rounds, checkpointEvery)
+    finally Clusters.release(edOwned ++ nodesOwned)
+  }
+
+  /** [[hitsMicro]] over PREPARED frames: `ed(src, dst)` must be the
+    * NULL-free, self-loop-free, DISTINCT directed edge frame and
+    * `nodes(node)` its node set, both already block-materialized (the
+    * shareable-working-set form — a per-dir cache pays the edge
+    * normalization once across bench passes, the [[pageRankMicro]]
+    * working-set posture).
+    */
+  def hitsMicroPrepared(ed: DataFrame, nodes: DataFrame,
+      rounds: Int = 5, checkpointEvery: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be positive, got $checkpointEvery")
+    // sparse normalization: rows absent from `raw` hold an implicit 0 —
+    // identical sums and maxima to the dense form (zeros never move a Σ
+    // of positives nor a max over them); densified only at the end
     def normalized(raw: DataFrame, rawCol: String, as: String): DataFrame = {
       val mx = raw.agg(max(col(rawCol)).as("_mx"))
-      nodes.join(raw, Seq("node"), "left").crossJoin(broadcast(mx))
+      raw.crossJoin(broadcast(mx))
         .select(col("node"),
           when(col("_mx") > 0L,
-            round(coalesce(col(rawCol), lit(0L)).cast("double")
+            round(col(rawCol).cast("double")
               / col("_mx").cast("double") * 1000000.0).cast("long"))
             .otherwise(lit(0L)).as(as))
     }
-    var scores = nodes.select(col("node"),
-      lit(1000000L).as("auth_micro"), lit(1000000L).as("hub_micro"))
+    var auth = nodes.select(col("node"), lit(1000000L).as("auth_micro"))
+    var hub = nodes.select(col("node"), lit(1000000L).as("hub_micro"))
     var owned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
     for (i <- 1 to rounds) {
+      val cut = i % checkpointEvery == 0 && i < rounds
       val rawA = ed
-        .join(scores.select(col("node").as("src"), col("hub_micro")), "src")
+        .join(hub.select(col("node").as("src"), col("hub_micro")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("hub_micro")).as("_ra"))
-      val authN = normalized(rawA, "_ra", "auth_micro")
+      auth = normalized(rawA, "_ra", "auth_micro")
+      // checkpoint auth BEFORE hub derives from it: hub's materialization
+      // then reads auth's blocks instead of re-executing its whole round
+      // chain (ordering measured — the naive both-at-the-end cut paid the
+      // auth subtree twice per cadence)
+      var ownRound: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+      if (cut) {
+        val (cpA, ownA) = Clusters.ownedCheckpoint(auth)
+        auth = cpA
+        ownRound = ownA
+      }
       val rawH = ed
-        .join(authN.select(col("node").as("dst"), col("auth_micro")), "dst")
+        .join(auth.select(col("node").as("dst"), col("auth_micro")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth_micro")).as("_rh"))
-      scores = authN.join(normalized(rawH, "_rh", "hub_micro"), Seq("node"))
-      if (i % checkpointEvery == 0 && i < rounds) {
-        val (cp, own) = Clusters.ownedCheckpoint(scores)
+      hub = normalized(rawH, "_rh", "hub_micro")
+      if (cut) {
+        val (cpH, ownH) = Clusters.ownedCheckpoint(hub)
         Clusters.release(owned)
-        scores = cp
-        owned = own
+        hub = cpH
+        owned = ownRound ++ ownH
       }
     }
-    val (finalScores, _) = Clusters.ownedCheckpoint(scores)
-    Clusters.release(owned ++ edOwned ++ nodesOwned)
+    // densify once: every node reports, absent side scores read 0
+    val (finalScores, _) = Clusters.ownedCheckpoint(
+      nodes.join(auth, Seq("node"), "left").join(hub, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("auth_micro"), lit(0L)).as("auth_micro"),
+          coalesce(col("hub_micro"), lit(0L)).as("hub_micro")))
+    Clusters.release(owned)
     finalScores
   }
 

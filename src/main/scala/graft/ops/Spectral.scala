@@ -177,9 +177,15 @@ object Spectral {
     *
     * Scale shape: the per-row d² pair expansion (the standard Gram-matrix
     * shuffle, bounded by CONFIGURATION — d², not data) feeds one hash
-    * aggregate into a d²-row matrix frame; every round is a broadcast-
-    * joinable d²⋈d join + one d-row aggregate + a 1-row max broadcast.
-    * The corpus is read ONCE; no driver state beyond plans.
+    * aggregate into a d²-row matrix frame, collected ONCE to the driver
+    * (d² cells — the bounded-collect posture of the DSIR threshold
+    * tables); the power rounds then run driver-side in exact BigInt/
+    * HALF_UP arithmetic, bit-identical to the in-plan law they replace.
+    * The corpus is read ONCE; the iteration is O(d²·rounds) driver
+    * FLOPs. Before the r17 constants audit each round was a distributed
+    * d²⋈d join + d-row aggregate + 1-row broadcast — 12 jobs of pure
+    * launch overhead on a 16-row frame (~6 s of the old 7.8 s at
+    * sf0.1, flat at ANY corpus size since only d bounds the frame).
     *
     * Output: (dim, loading_micro, eigen_share_pico) — one row per vector
     * dimension.
@@ -192,68 +198,104 @@ object Spectral {
     * probes run on 100 TB corpora anyway; the law itself never needs the
     * full corpus to be meaningful.
     */
+  /** The [[covarianceCells]] law collected to the driver, computed from
+    * an UPPER-TRIANGLE array outer product: per row the d(d+1)/2
+    * products come straight out of the vector (no self-join shuffle,
+    * half the multiplies), the second moments and per-dim mean sums
+    * aggregate exactly, and C_ij = n·M_ij − m_i·m_j assembles in BigInt
+    * driver-side with the lower triangle mirrored (C is symmetric BY
+    * LAW). Bit-identical cells to the joined form — same micro
+    * quantization, same exact-integer sums.
+    */
+  private def covarianceLocal(df: DataFrame, idCol: String,
+      vecCol: String): Array[(Long, Long, BigInt)] = {
+    val dec = "decimal(38,0)"
+    val clean = df
+      .filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), x => isnan(x.cast("double"))))
+      .select(col(idCol).as("_doc"), col(vecCol).as("_v"))
+    val q = clean.select(expr(
+      "transform(_v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) " +
+        "AS BIGINT))").as("_q"))
+    val upper = q.select(explode(expr(
+      "flatten(transform(sequence(0, size(_q) - 1), i -> " +
+        "transform(sequence(i, size(_q) - 1), j -> " +
+        "struct(CAST(i AS BIGINT) AS pi, CAST(j AS BIGINT) AS pj, " +
+        "_q[i] * _q[j] AS pp))))")).as("s"))
+      .select(col("s.pi").as("i"), col("s.pj").as("j"), col("s.pp").as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p").cast(dec)).as("_m"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigInt(r.getDecimal(2).toBigIntegerExact)))
+    val mn = q.select(posexplode(col("_q")))
+      .groupBy(col("pos").cast("long").as("i"))
+      .agg(count(lit(1)).as("_n"), sum(col("col")).as("_mi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val n = mn.values.headOption.map(v => BigInt(v._1)).getOrElse(BigInt(0))
+    upper.flatMap { case (i, j, m) =>
+      val c = n * m - BigInt(mn(i)._2) * BigInt(mn(j)._2)
+      if (i == j) Seq((i, j, c)) else Seq((i, j, c), (j, i, c))
+    }
+  }
+
   def topComponentMicro(df: DataFrame, idCol: String, vecCol: String,
       rounds: Int = 12): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val dec = "decimal(38,0)"
-    // C_ij = n·M_ij − m_i·m_j — exact integers via the shared
-    // [[covarianceCells]] law, materialized ONCE; the rounds then start
-    // from block scans (the GraphWorkingSet posture)
-    val (cMat, cOwned) = Clusters.ownedCheckpoint(
-      covarianceCells(df, idCol, vecCol)._1)
-    var v = cMat.select(col("i").as("dim")).distinct()
-      .select(col("dim"),
-        when(col("dim") === 0L, lit(1000000L)).otherwise(lit(0L)).as("v"))
-    var vOwned: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    for (r <- 1 to rounds) {
-      val w = cMat.join(v.select(col("dim").as("i"), col("v")), "i")
-        .groupBy(col("j").as("dim"))
-        .agg(sum(col("c") * col("v").cast(dec)).as("_w"))
-      val mx = w.agg(max(abs(col("_w"))).as("_mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("dim"),
-          when(col("_mx") > lit(java.math.BigDecimal.ZERO).cast(dec),
-            round(col("_w").cast("double") / col("_mx").cast("double")
-              * 1000000.0).cast("long"))
-            .otherwise(lit(0L)).as("v"))
-      // the round plan references w TWICE (directly and through the
-      // 1-row max), so a fully lazy composition would double per round —
-      // the hitsMicro checkpoint discipline. Every 2 rounds bounds the
-      // uncollapsed subtree at ×4 while halving the materialization
-      // jobs (the frame is d rows; job LAUNCH overhead dominates, the
-      // r13 sweep measured ~0.2 s per materialization)
-      if (r % 2 == 0 || r == rounds) {
-        val (cp, own) = Clusters.ownedCheckpoint(v)
-        Clusters.release(vOwned)
-        v = cp
-        vOwned = own
-      }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    // C_ij = n·M_ij − m_i·m_j — exact integers, bounded by the vector
+    // width (d² cells — the bounded-collect posture of the DSIR
+    // threshold tables), from the upper-triangle one-pass form
+    val cells = covarianceLocal(df, idCol, vecCol)
+    val dims = cells.map(_._1).distinct.sorted.toSeq
+    // Spark's round() on a double goes through BigDecimal.valueOf
+    // (shortest-decimal) HALF_UP — replay that path exactly, not
+    // new BigDecimal(d) (exact-binary), which differs on display ties
+    def roundSpark(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+    // v⁰ = e₀; each round is the exact BigInt matvec + the identical
+    // max-abs micro normalization chain (decimal→double of the same
+    // exact integers → the same nearest doubles → the same HALF_UP)
+    var v: Map[Long, Long] =
+      dims.map(d => d -> (if (d == 0L) 1000000L else 0L)).toMap
+    for (_ <- 1 to rounds) {
+      val w = scala.collection.mutable.Map[Long, BigInt](
+        dims.map(_ -> BigInt(0)): _*)
+      cells.foreach { case (i, j, c) => w(j) += c * v(i) }
+      val mx = if (w.isEmpty) BigInt(0) else w.values.map(_.abs).max
+      v = if (mx <= 0) dims.map(_ -> 0L).toMap
+      else dims.map(d =>
+        d -> roundSpark(w(d).toDouble / mx.toDouble * 1000000.0)).toMap
     }
-    // sign convention: flip so the smallest nonzero-loading dim is positive
-    val signRef = v.agg(min(when(col("v") =!= 0L, col("dim"))).as("_sd"))
-    val signed = v.crossJoin(broadcast(
-        v.crossJoin(broadcast(signRef))
-          .filter(col("dim") === col("_sd"))
-          .select(when(col("v") < 0L, lit(-1L)).otherwise(lit(1L)).as("_sg"))))
-      .select(col("dim"), (col("v") * col("_sg")).as("loading_micro"))
-    // Rayleigh share: vᵀCv / (vᵀv · trace C), all three exact integers
-    val quad = cMat
-      .join(signed.select(col("dim").as("i"), col("loading_micro").as("_vi")), "i")
-      .join(signed.select(col("dim").as("j"), col("loading_micro").as("_vj")), "j")
-      .agg(sum(col("c") * col("_vi").cast(dec) * col("_vj").cast(dec)).as("_num"))
-    val vv = signed.agg(sum((col("loading_micro") * col("loading_micro"))
-      .cast(dec)).as("_den"))
-    val tr = cMat.filter(col("i") === col("j")).agg(sum(col("c")).as("_tr"))
-    val out = signed.crossJoin(broadcast(quad)).crossJoin(broadcast(vv))
-      .crossJoin(broadcast(tr))
-      .select(col("dim"), col("loading_micro"),
-        when(col("_tr") > lit(java.math.BigDecimal.ZERO).cast(dec) &&
-            col("_den") > lit(java.math.BigDecimal.ZERO).cast(dec),
-          round(col("_num").cast("double") / col("_den").cast("double")
-            / col("_tr").cast("double") * 1000000000000.0).cast("long"))
-          .as("eigen_share_pico"))
-    val (res, _) = Clusters.ownedCheckpoint(out)
-    Clusters.release(vOwned ++ cOwned)
-    res
+    val schema = StructType(Seq(
+      StructField("dim", LongType, nullable = false),
+      StructField("loading_micro", LongType, nullable = false),
+      StructField("eigen_share_pico", LongType, nullable = true)))
+    // sign convention: flip so the smallest nonzero-loading dim is
+    // positive; an all-zero iterate has no sign reference and yields the
+    // empty frame (the in-plan law's filter-against-NULL behavior)
+    val nonzero = dims.filter(d => v(d) != 0L)
+    if (dims.isEmpty || nonzero.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](), schema)
+    val sg = if (v(nonzero.min) < 0L) -1L else 1L
+    val load = dims.map(d => d -> v(d) * sg).toMap
+    // Rayleigh share: vᵀCv / (vᵀv · trace C), all three exact integers,
+    // one double chain in the in-plan operand order
+    val num = cells.map { case (i, j, c) => c * load(i) * load(j) }.sum
+    val den = dims.map(d => BigInt(load(d)) * BigInt(load(d))).sum
+    val tr = cells.collect { case (i, j, c) if i == j => c }
+      .foldLeft(BigInt(0))(_ + _)
+    val share: java.lang.Long =
+      if (tr > 0 && den > 0)
+        java.lang.Long.valueOf(roundSpark(
+          num.toDouble / den.toDouble / tr.toDouble * 1000000000000.0))
+      else null
+    spark.createDataFrame(
+      dims.map(d => Row(d, load(d), share)).asJava, schema)
   }
 }

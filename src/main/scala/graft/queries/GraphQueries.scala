@@ -460,12 +460,37 @@ trait GraphQueries { self: RegistryAll =>
       .orderBy(col("auth_micro").desc, col("node_kind"), col("node_key"))
       .limit(25)
 
+  /** Per-dir pin of the DIRECTED trade edge blocks for HITS (the
+    * cachedCoPart posture): the bipartite node encoding makes the
+    * directed frame a narrow FILTER of the shared symmetric working
+    * set's edge blocks — suppliers are even, so `src % 2 = 0` keeps
+    * exactly the distinct supplier→customer edges [[tradeEdges]] yields
+    * (the symmetrization only added the mirrored odd-src copies) — and
+    * the node set is the same. One filtered materialization per dir
+    * instead of a join+distinct+checkpoint per bench pass.
+    */
+  private[queries] lazy val cachedHitsEdges = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Seq[org.apache.spark.rdd.RDD[_]])]()
+
+  private[queries] def hitsEdges(spark: SparkSession, dir: String): DataFrame =
+    cachedHitsEdges.compute(dir, (_, old) =>
+      if (old != null && (old._1.sparkSession eq spark)) old
+      else {
+        if (old != null)
+          try graft.ops.Clusters.release(old._2)
+          catch { case scala.util.control.NonFatal(_) => () }
+        val ws = tradeWorkingSet(spark, dir)
+        graft.ops.Clusters.ownedCheckpoint(
+          ws.ewd.filter(col("src") % 2L === 0L)
+            .select(col("src"), col("dst")))
+      })._1
+
   /** Full decoded HITS score table behind [[qHits]] — also the plateau
     * probe's surface.
     */
   private[queries] def hitsDecoded(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.hitsMicro(tradeEdges(spark, dir), "src", "dst",
-        rounds = 5)
+    graft.ops.Graph.hitsMicroPrepared(hitsEdges(spark, dir),
+        tradeWorkingSet(spark, dir).nodes, rounds = 5)
       .select(
         when(col("node") % 2L === 0L, lit("supplier")).otherwise(lit("customer"))
           .as("node_kind"),

@@ -947,14 +947,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q_top_component: Gram expansion keyed on the doc; rounds read checkpointed d²-blocks; no window") {
+  test("q_top_component: covariance collected once, rounds driver-side; presentation is a local d-row frame") {
     val p = plan("q_top_component")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("windowspecdefinition"), p)
-    // the output frame is the final checkpointed d-row result — every
-    // iteration round already ran at checkpoint time, so the executed
-    // plan must be a block scan, not a 12-round join tree
-    assert(p.contains("Scan ExistingRDD"), p)
+    // the corpus pass (upper-triangle Gram aggregate) runs at collect
+    // time inside topComponentMicro; the 12 power rounds are exact
+    // driver-side BigInt arithmetic over the d²-cell matrix (bounded by
+    // the vector width), so the returned plan must be a local d-row
+    // frame — a 12-round join tree here means the iteration fell back
+    // into the plan
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("q_embed_outliers: d-row moments broadcast back onto the corpus; bounded top-k; no window") {
