@@ -268,6 +268,60 @@ object Drift {
       .select(col("stratum"), col("n"), col("n_rest"), col("ks"))
   }
 
+  /** Exact two-sample Kuiper statistic per stratum vs the rest (Kuiper
+    * '60) — [[ksDrift]]'s tail-sensitive sibling: KS reads sup|F_s−F_r|,
+    * Kuiper reads V = sup(F_s−F_r) + sup(F_r−F_s), so a stratum whose
+    * distribution is SHIFTED IN SPREAD (one tail above, the other
+    * below — the median-preserving drift KS half-sees) scores both
+    * excursions. Same support, same scaffold, same exact integers: the
+    * signed term cum_s·n_r − cum_r·n_s maxes twice (once negated — both
+    * sups are ≥ 0 since the term ends at 0), and V divides once by
+    * n_s·n_r. NULL when the rest is empty.
+    *
+    * Scale shape: identical to [[ksDrift]] — one (stratum, value) hash
+    * aggregate, the pooled cumulative on the distributed prefix sum,
+    * per-stratum windows over each stratum's observed values, one
+    * |strata|-row output.
+    *
+    * Output: (stratum, n, n_rest, d_plus, d_minus, kuiper) — d_plus /
+    * d_minus are the exact integer numerators (×n_s·n_r).
+    */
+  def kuiperDrift(df: DataFrame, stratumCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cnt = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val ns = cnt.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val vals = cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
+    val valsCum = PrefixSum.inclusive(vals, "_v", col("_cv"), "_cumAll")
+      .select(col("_v"), col("_cumAll"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("_v"))
+    val support = broadcast(ns).crossJoin(valsCum)
+      .join(cnt, Seq("stratum", "_v"), "left")
+      .na.fill(0L, Seq("_c"))
+      .withColumn("_cumS", sum(col("_c")).over(wS))
+    val totals = ns.agg(sum(col("_ns")).as("_n"))
+    support.crossJoin(broadcast(totals))
+      .withColumn("_cumR", col("_cumAll") - col("_cumS"))
+      .withColumn("_nr", col("_n") - col("_ns"))
+      .withColumn("_term",
+        col("_cumS").cast(dec) * col("_nr").cast(dec) -
+          col("_cumR").cast(dec) * col("_ns").cast(dec))
+      .groupBy(col("stratum"))
+      .agg(first(col("_ns")).as("n"), first(col("_nr")).as("n_rest"),
+        max(col("_term")).as("_dp"), max(negate(col("_term"))).as("_dm"))
+      .select(col("stratum"), col("n"), col("n_rest"),
+        col("_dp").cast("long").as("d_plus"),
+        col("_dm").cast("long").as("d_minus"),
+        when(col("n_rest") > 0L,
+          (col("_dp") + col("_dm")).cast("double") /
+            (col("n").cast(dec) * col("n_rest").cast(dec)).cast("double"))
+          .as("kuiper"))
+  }
+
   /** Exact two-sample Cramér–von Mises statistic per stratum vs the rest
     * (Anderson '62 two-sample form) — the WHOLE-CURVE companion of
     * [[ksDrift]]'s sup law: KS reads only the worst point of

@@ -623,6 +623,47 @@ object Eval {
     */
   def kendallTauB(df: DataFrame, classCol: String, valueCol: String,
       maxClasses: Int = 64): DataFrame = {
+    val (agg, m, _) = classCumulants(df, classCol, valueCol, maxClasses,
+      "kendallTauB")
+    val staged = agg
+      .select(col("_n").as("n_rows"), lit(m).cast("long").as("k_classes"),
+        expr("CAST((CAST(_n AS DECIMAL(38,0)) * CAST(_n - 1 AS DECIMAL(38,0)))" +
+          " div 2 AS BIGINT)").as("_n0"),
+        expr("CAST(_t1x2 div 2 AS BIGINT)").as("tie_x_pairs"),
+        expr("CAST(_vt2 div 2 AS BIGINT)").as("tie_y_pairs"),
+        col("_cs").cast("long").as("concordant"),
+        col("_ds").cast("long").as("discordant"))
+    staged.select(col("n_rows"), col("k_classes"), col("tie_x_pairs"),
+      col("tie_y_pairs"), col("concordant"), col("discordant"),
+      // greatest(·, 1): identity whenever the when() fires — keeps a
+      // CSE-hoisted division off 0/0 → NaN → ANSI long-cast failure
+      when(col("_n0") - col("tie_x_pairs") > 0L &&
+        col("_n0") - col("tie_y_pairs") > 0L,
+        round((col("concordant") - col("discordant")).cast("double")
+          / sqrt(greatest(col("_n0") - col("tie_x_pairs"), lit(1L))
+              .cast("double")
+            * greatest(col("_n0") - col("tie_y_pairs"), lit(1L))
+              .cast("double"))
+          * lit(1.0e12)).cast("long")).as("taub_pico"))
+  }
+
+  /** Shared 1-row cumulant frame of the (bounded ordinal class × metric)
+    * pair design behind [[kendallTauB]], [[jonckheereTerpstra]] and
+    * [[cliffsDelta]] — the joint value-frequency scaffold with one
+    * [[PrefixSum.inclusiveAll]] pass (kendallTauB's law steps 1–3),
+    * aggregated once to every exact cumulant the three laws read:
+    *
+    *   _n   total rows;  _cs / _ds  concordant / discordant pair sums;
+    *   _vt2 = Σ_y m(m−1), _vt3 = Σ_y m(m−1)(m−2),
+    *   _vt25 = Σ_y m(m−1)(2m+5)   — metric tie-run moments;
+    *   _ct2 = Σ_cells c(c−1)       — joint (class, metric) tie mass;
+    *   _t1x2 = Σ_j tot_j(tot_j−1)  and _tot0.._tot{m−1} per-class totals.
+    *
+    * Returns (frame, m, classes-in-ascending-order).
+    */
+  private def classCumulants(df: DataFrame, classCol: String,
+      valueCol: String, maxClasses: Int,
+      op: String): (DataFrame, Int, Array[Any]) = {
     val dec = "decimal(38,0)"
     val base = df.filter(col(classCol).isNotNull && col(valueCol).isNotNull)
       .select(col(classCol).as("_x"), col(valueCol).as("_y"))
@@ -630,9 +671,9 @@ object Eval {
     // unbounded class axis fails the require, never floods the driver
     val cls = base.select(col("_x")).distinct()
       .orderBy(col("_x")).limit(maxClasses + 1).collect().map(_.get(0))
-    require(cls.nonEmpty, "kendallTauB: no non-null (class, value) rows")
+    require(cls.nonEmpty, s"$op: no non-null (class, value) rows")
     require(cls.length <= maxClasses,
-      s"kendallTauB: class column exceeds $maxClasses distinct values — " +
+      s"$op: class column exceeds $maxClasses distinct values — " +
         "the per-class cumulative law needs a bounded ordinal axis; " +
         "bin the column or raise maxClasses")
     val m = cls.length
@@ -655,39 +696,144 @@ object Eval {
             lowLt + (cumj - cj), lowGt + (totj - cumj))
       }
     val myE = (0 until m).map(j => col(s"_c$j")).reduce(_ + _)
+    val cellT2 = (0 until m).map(j =>
+      col(s"_c$j").cast(dec) * (col(s"_c$j") - lit(1L)).cast(dec))
+      .reduce(_ + _)
+    val myD = col("_my").cast(dec)
     val agg = ps
-      .select((Seq(concE.as("_conc"), discE.as("_disc"), myE.as("_my")) ++
+      .select((Seq(concE.as("_conc"), discE.as("_disc"), myE.as("_my"),
+        cellT2.as("_cell2")) ++
         (0 until m).map(j => col(s"_cum${j}_total"))): _*)
       .agg(coalesce(sum(col("_my")), lit(0L)).as("_n"),
         (Seq(coalesce(sum(col("_conc")), zero).as("_cs"),
           coalesce(sum(col("_disc")), zero).as("_ds"),
-          coalesce(sum(col("_my").cast(dec) * (col("_my") - lit(1L)).cast(dec)),
-            zero).as("_t2x2")) ++
+          coalesce(sum(myD * (col("_my") - lit(1L)).cast(dec)), zero)
+            .as("_vt2"),
+          coalesce(sum(myD * (col("_my") - lit(1L)).cast(dec)
+            * (col("_my") - lit(2L)).cast(dec)), zero).as("_vt3"),
+          coalesce(sum(myD * (col("_my") - lit(1L)).cast(dec)
+            * (lit(2L) * col("_my") + lit(5L)).cast(dec)), zero).as("_vt25"),
+          coalesce(sum(col("_cell2")), zero).as("_ct2")) ++
           (0 until m).map(j => max(col(s"_cum${j}_total")).as(s"_tot$j"))): _*)
     val t1x2 = (0 until m).map(j =>
       coalesce(col(s"_tot$j"), lit(0L)).cast(dec)
         * (coalesce(col(s"_tot$j"), lit(0L)) - lit(1L)).cast(dec))
       .reduce(_ + _)
-    val staged = agg.withColumn("_t1x2", t1x2)
-      .select(col("_n").as("n_rows"), lit(m).cast("long").as("k_classes"),
-        expr("CAST((CAST(_n AS DECIMAL(38,0)) * CAST(_n - 1 AS DECIMAL(38,0)))" +
-          " div 2 AS BIGINT)").as("_n0"),
-        expr("CAST(_t1x2 div 2 AS BIGINT)").as("tie_x_pairs"),
-        expr("CAST(_t2x2 div 2 AS BIGINT)").as("tie_y_pairs"),
-        col("_cs").cast("long").as("concordant"),
-        col("_ds").cast("long").as("discordant"))
-    staged.select(col("n_rows"), col("k_classes"), col("tie_x_pairs"),
-      col("tie_y_pairs"), col("concordant"), col("discordant"),
-      // greatest(·, 1): identity whenever the when() fires — keeps a
-      // CSE-hoisted division off 0/0 → NaN → ANSI long-cast failure
-      when(col("_n0") - col("tie_x_pairs") > 0L &&
-        col("_n0") - col("tie_y_pairs") > 0L,
-        round((col("concordant") - col("discordant")).cast("double")
-          / sqrt(greatest(col("_n0") - col("tie_x_pairs"), lit(1L))
-              .cast("double")
-            * greatest(col("_n0") - col("tie_y_pairs"), lit(1L))
-              .cast("double"))
-          * lit(1.0e12)).cast("long")).as("taub_pico"))
+    (agg.withColumn("_t1x2", t1x2), m, cls)
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative trend test (Terpstra '52 /
+    * Jonckheere '54) — [[kendallTauB]]'s hypothesis-test twin: does the
+    * metric TREND monotonically across the ordered classes? Reads the
+    * SAME cumulant frame: the JT statistic is exactly the concordant
+    * pair count (Σ over class pairs of Mann–Whitney counts), with
+    * cross-class metric ties worth ½ (the Hollander–Wolfe tie form).
+    *
+    * Exact law, all integers until one double chain: with strict pairs
+    * C, doubled cross-class tie mass TC2 = Σ_y m(m−1) − Σ_cells c(c−1),
+    * class totals tot_j and N rows,
+    *
+    *   4·(J* − E)  =  4C + TC2 − (N² − Σ tot_j²)
+    *   72·Var has the standard three tie-corrected components:
+    *     A  = N(N−1)(2N+5) − Σ_j tot(tot−1)(2tot+5) − Σ_y t(t−1)(2t+5)
+    *     Var = A/72 + (Σ_j tot(tot−1)(tot−2))·(Σ_y t(t−1)(t−2))
+    *                    / (36·N(N−1)(N−2))
+    *               + (Σ_j tot(tot−1))·(Σ_y t(t−1)) / (8·N(N−1))
+    *   z = (J* − E)/√Var — one pinned double chain, pico-rounded;
+    *   NULL when N < 3 or Var ≤ 0 (no trend information).
+    *
+    * Scale shape: identical to [[kendallTauB]] (one corpus aggregate,
+    * one distributed prefix-sum pass, 1 row out). BIGINT pair-mass
+    * bound as there.
+    *
+    * Output (1 row): (n_rows, k_classes, strict_pairs, cross_tie_pairs,
+    * e4, var_micro, z_pico) — e4 = N² − Σ tot² is 4× the null mean.
+    */
+  def jonckheereTerpstra(df: DataFrame, classCol: String, valueCol: String,
+      maxClasses: Int = 64): DataFrame = {
+    val (agg, m, _) = classCumulants(df, classCol, valueCol, maxClasses,
+      "jonckheereTerpstra")
+    val dec = "decimal(38,0)"
+    val s2 = (0 until m).map(j =>
+      coalesce(col(s"_tot$j"), lit(0L)).cast(dec)
+        * coalesce(col(s"_tot$j"), lit(0L)).cast(dec)).reduce(_ + _)
+    val t25 = (0 until m).map { j =>
+      val t = coalesce(col(s"_tot$j"), lit(0L))
+      t.cast(dec) * (t - lit(1L)).cast(dec) *
+        (lit(2L) * t + lit(5L)).cast(dec)
+    }.reduce(_ + _)
+    val t3 = (0 until m).map { j =>
+      val t = coalesce(col(s"_tot$j"), lit(0L))
+      t.cast(dec) * (t - lit(1L)).cast(dec) * (t - lit(2L)).cast(dec)
+    }.reduce(_ + _)
+    val staged = agg.select(
+      col("_n").as("n_rows"), lit(m).cast("long").as("k_classes"),
+      col("_cs").cast("long").as("strict_pairs"),
+      expr("CAST((_vt2 - _ct2) div 2 AS BIGINT)").as("cross_tie_pairs"),
+      (col("_n").cast(dec) * col("_n").cast(dec) - s2).cast("long").as("e4"),
+      (col("_n").cast(dec) * (col("_n") - lit(1L)).cast(dec)
+        * (lit(2L) * col("_n") + lit(5L)).cast(dec) - t25 - col("_vt25"))
+        .cast("double").as("_a"),
+      t3.cast("double").as("_b1"), col("_vt3").cast("double").as("_b2"),
+      col("_t1x2").cast("double").as("_g2"), col("_vt2").cast("double").as("_d2"),
+      col("_n").cast("double").as("_nd"))
+    // greatest clamps: identity whenever the when() fires (N ≥ 3 there)
+    val nd = col("_nd")
+    val n1 = greatest(nd - lit(1.0), lit(1.0))
+    val n2g = greatest(nd - lit(2.0), lit(1.0))
+    val varE = col("_a") / lit(72.0) +
+      col("_b1") * col("_b2") / (lit(36.0) * greatest(nd, lit(1.0)) * n1 * n2g) +
+      col("_g2") * col("_d2") / (lit(8.0) * greatest(nd, lit(1.0)) * n1)
+    val zNum4 = (lit(4L).cast(dec) * col("strict_pairs").cast(dec)
+      + lit(2L).cast(dec) * col("cross_tie_pairs").cast(dec)
+      - col("e4").cast(dec)).cast("double")
+    staged.select(col("n_rows"), col("k_classes"), col("strict_pairs"),
+      col("cross_tie_pairs"), col("e4"),
+      when(col("n_rows") >= 3L, round(varE * lit(1.0e6)).cast("long"))
+        .as("var_micro"),
+      when(col("n_rows") >= 3L && varE > 0.0,
+        round(zNum4 / lit(4.0) / sqrt(greatest(varE, lit(1.0e-300)))
+          * lit(1.0e12)).cast("long")).as("z_pico"))
+  }
+
+  /** Cliff's delta (Cliff '93) — the two-group ordinal effect size:
+    * δ = (#(a > b) − #(a < b)) / (n_a·n_b) over all cross pairs, the
+    * distribution-free companion of [[welchTTest]]'s Cohen's d (reads
+    * ONLY order, so it survives skew and outliers that own a mean).
+    * Rides the [[kendallTauB]] cumulant scaffold with the boolean group
+    * as the two-class ordinal axis: concordant = pairs where the `true`
+    * group's value is higher.
+    *
+    * Exact law: gt/lt/tie pair counts are exact integers off the shared
+    * cumulants (ties = (Σ_y m(m−1) − Σ_cells c(c−1))/2, all cross-group
+    * by construction at m = 2); δ is ONE pico-rounded double chain.
+    * NULL δ when either group is empty. A single-group input reports
+    * that group's count with zero pairs.
+    *
+    * Output (1 row): (n_a, n_b, gt_pairs, lt_pairs, tie_pairs,
+    * delta_pico) — a = rows where `isACol` is true.
+    */
+  def cliffsDelta(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val (agg, m, cls) = classCumulants(
+      df.select(col(isACol).cast("boolean").as("_grp"), col(valueCol)),
+      "_grp", valueCol, maxClasses = 2, "cliffsDelta")
+    // classes sort ascending: false < true — the concordant count is
+    // "higher class (true) holds the higher value", i.e. #(a > b)
+    val aIdx = cls.indexOf(true)
+    val nA = if (aIdx >= 0) coalesce(col(s"_tot$aIdx"), lit(0L)) else lit(0L)
+    val nB = if (cls.indexOf(false) >= 0)
+      coalesce(col(s"_tot${cls.indexOf(false)}"), lit(0L)) else lit(0L)
+    val gt = if (m == 2) col("_cs").cast("long") else lit(0L)
+    val lt = if (m == 2) col("_ds").cast("long") else lit(0L)
+    val dec = "decimal(38,0)"
+    agg.select(nA.as("n_a"), nB.as("n_b"), gt.as("gt_pairs"), lt.as("lt_pairs"),
+      expr("CAST((_vt2 - _ct2) div 2 AS BIGINT)").as("tie_pairs"),
+      when(nA > 0L && nB > 0L,
+        round((gt - lt).cast("double")
+          / greatest(nA.cast(dec) * nB.cast(dec),
+            lit(java.math.BigDecimal.ONE).cast(dec)).cast("double")
+          * lit(1.0e12)).cast("long")).as("delta_pico"))
   }
 
   /** Mean-reciprocal-rank components at k (Voorhees, TREC-8 '99 — THE

@@ -675,6 +675,45 @@ trait DriftQueries { self: RegistryAll =>
       |  END AS ks
       | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
 
+  /** Kuiper drift per source vs the rest
+    * ([[graft.ops.Drift.kuiperDrift]]): q_ks_drift's tail-sensitive
+    * sibling — V = D⁺ + D⁻ over the same pooled support, catching the
+    * spread-shift drift whose two excursions a single sup half-sees.
+    */
+  def qKuiperDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.kuiperDrift(t(spark, dir, "documents"), "source", "n_chars")
+      .orderBy("stratum")
+
+  lazy val qKuiperDriftSql: String =
+    """WITH cnt AS (SELECT source AS stratum, CAST(n_chars AS BIGINT) AS v,
+      |   CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2),
+      | ns AS (SELECT stratum, CAST(SUM(c) AS BIGINT) AS ns FROM cnt GROUP BY 1),
+      | vals AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM cnt GROUP BY 1),
+      | vc AS (SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumall FROM vals),
+      | tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS n FROM ns),
+      | sup AS (SELECT ns.stratum, ns.ns, vc.v, vc.cumall,
+      |   COALESCE(cnt.c, 0) AS c, tot.n
+      |  FROM ns CROSS JOIN vc
+      |  LEFT JOIN cnt ON cnt.stratum = ns.stratum AND cnt.v = vc.v
+      |  CROSS JOIN tot),
+      | cum AS (SELECT stratum, ns, n, cumall,
+      |   CAST(SUM(c) OVER (PARTITION BY stratum ORDER BY v) AS BIGINT) AS cums
+      |  FROM sup),
+      | terms AS (SELECT stratum, ns, n - ns AS nr,
+      |   CAST(cums AS HUGEINT) * CAST(n - ns AS HUGEINT)
+      |     - CAST(cumall - cums AS HUGEINT) * CAST(ns AS HUGEINT) AS term
+      |  FROM cum)
+      | SELECT stratum, MIN(ns) AS n, MIN(nr) AS n_rest,
+      |  CAST(MAX(term) AS BIGINT) AS d_plus,
+      |  CAST(MAX(-term) AS BIGINT) AS d_minus,
+      |  CASE WHEN MIN(nr) > 0 THEN
+      |   CAST(MAX(term) + MAX(-term) AS DOUBLE)
+      |    / CAST(CAST(MIN(ns) AS HUGEINT) * CAST(MIN(nr) AS HUGEINT) AS DOUBLE)
+      |  END AS kuiper
+      | FROM terms GROUP BY stratum ORDER BY stratum""".stripMargin.replace("\n", " ")
+
   /** Cramér–von Mises distance per source vs the rest
     * ([[graft.ops.Drift.cvmDrift]], Anderson '62): the whole-curve
     * companion of q_ks_drift — the squared CDF gap integrated over the

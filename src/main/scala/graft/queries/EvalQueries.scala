@@ -1086,6 +1086,106 @@ trait EvalQueries { self: RegistryAll =>
       |  END AS taub_pico
       | FROM w""".stripMargin.replace("\n", " ")
 
+  /** Jonckheere–Terpstra ordered trend of extended price across
+    * discount classes ([[graft.ops.Eval.jonckheereTerpstra]]):
+    * q_taub_corr's hypothesis-test twin on the same cumulant scaffold —
+    * strict concordant pairs + half tie credit against the exact
+    * tie-corrected null variance.
+    */
+  def qJonckheere(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.jonckheereTerpstra(
+      t(spark, dir, "lineitem"), "l_discount", "l_extendedprice")
+
+  lazy val qJonckheereSql: String =
+    """WITH base AS (SELECT l_discount AS x, l_extendedprice AS y
+      |  FROM lineitem
+      |  WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+      | cells AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS f
+      |  FROM base GROUP BY 1, 2),
+      | xs AS (SELECT DISTINCT x FROM cells),
+      | ys AS (SELECT DISTINCT y FROM cells),
+      | grid AS (SELECT xs.x AS x, ys.y AS y, COALESCE(c.f, 0) AS f
+      |  FROM xs CROSS JOIN ys
+      |  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y),
+      | cum AS (SELECT x, y, f,
+      |   SUM(f) OVER (PARTITION BY x ORDER BY y
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+      |  FROM grid),
+      | cd AS (SELECT COALESCE(SUM(a.f * (b.cle - b.f)), 0) AS conc
+      |  FROM cells a JOIN cum b ON b.y = a.y AND b.x < a.x),
+      | yt AS (SELECT y, SUM(f) AS my FROM cells GROUP BY 1),
+      | xt AS (SELECT x, SUM(f) AS mx FROM cells GROUP BY 1),
+      | nn AS (SELECT COALESCE(CAST(SUM(f) AS HUGEINT), 0) AS n FROM cells),
+      | kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+      | vt AS (SELECT COALESCE(SUM(my * (my - 1)), 0) AS vt2,
+      |   COALESCE(SUM(my * (my - 1) * (my - 2)), 0) AS vt3,
+      |   COALESCE(SUM(my * (my - 1) * (2 * my + 5)), 0) AS vt25 FROM yt),
+      | ct AS (SELECT COALESCE(SUM(f * (f - 1)), 0) AS ct2 FROM cells),
+      | xt2 AS (SELECT COALESCE(SUM(mx * mx), 0) AS s2,
+      |   COALESCE(SUM(mx * (mx - 1)), 0) AS g2,
+      |   COALESCE(SUM(mx * (mx - 1) * (mx - 2)), 0) AS g3,
+      |   COALESCE(SUM(mx * (mx - 1) * (2 * mx + 5)), 0) AS g25 FROM xt),
+      | w AS (SELECT CAST(n AS BIGINT) AS n_rows, k AS k_classes,
+      |   CAST(conc AS BIGINT) AS strict_pairs,
+      |   CAST((vt2 - ct2) // 2 AS BIGINT) AS cross_tie_pairs,
+      |   CAST(n * n - s2 AS BIGINT) AS e4,
+      |   CAST(n * (n - 1) * (2 * n + 5) - g25 - vt25 AS DOUBLE) AS a,
+      |   CAST(g3 AS DOUBLE) AS b1, CAST(vt3 AS DOUBLE) AS b2,
+      |   CAST(g2 AS DOUBLE) AS gg2, CAST(vt2 AS DOUBLE) AS d2,
+      |   CAST(n AS DOUBLE) AS nd
+      |  FROM nn, kk, cd, vt, ct, xt2),
+      | v AS (SELECT n_rows, k_classes, strict_pairs, cross_tie_pairs, e4,
+      |   a / 72.0 + b1 * b2 / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+      |    + gg2 * d2 / (8.0 * nd * (nd - 1.0)) AS vr
+      |  FROM w)
+      | SELECT n_rows, k_classes, strict_pairs, cross_tie_pairs, e4,
+      |  CASE WHEN n_rows >= 3 THEN CAST(round(vr * 1.0e6) AS BIGINT)
+      |  END AS var_micro,
+      |  CASE WHEN n_rows >= 3 AND vr > 0.0 THEN
+      |   CAST(round(CAST(4 * CAST(strict_pairs AS HUGEINT)
+      |     + 2 * CAST(cross_tie_pairs AS HUGEINT) - e4 AS DOUBLE)
+      |    / 4.0 / sqrt(vr) * 1.0e12) AS BIGINT)
+      |  END AS z_pico
+      | FROM v""".stripMargin.replace("\n", " ")
+
+  /** Cliff's delta of English vs non-English document length
+    * ([[graft.ops.Eval.cliffsDelta]]): the ordinal effect size on the
+    * q_welch_ttest design — what FRACTION of cross pairs have the
+    * English doc longer, minus the reverse; order-only, so the skewed
+    * length tail cannot own it.
+    */
+  def qCliffsDelta(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.cliffsDelta(
+      t(spark, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("n_chars").cast("long").as("len"),
+          (col("lang") === "en").as("is_en")),
+      "len", "is_en")
+
+  lazy val qCliffsDeltaSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS g
+      |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+      | bt AS (SELECT v,
+      |   COALESCE(SUM(CASE WHEN g THEN 1 ELSE 0 END), 0) AS fa,
+      |   COALESCE(SUM(CASE WHEN g THEN 0 ELSE 1 END), 0) AS fb
+      |  FROM base GROUP BY 1),
+      | cumb AS (SELECT v, CAST(fa AS HUGEINT) AS fa, CAST(fb AS HUGEINT) AS fb,
+      |   CAST(SUM(fb) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cbe,
+      |   CAST(SUM(fb) OVER () AS HUGEINT) AS tb FROM bt),
+      | cd AS (SELECT COALESCE(SUM(fa), 0) AS na, COALESCE(MIN(tb), 0) AS nb,
+      |   COALESCE(SUM(fa * (cbe - fb)), 0) AS gt,
+      |   COALESCE(SUM(fa * (tb - cbe)), 0) AS lt,
+      |   COALESCE(SUM(fa * fb), 0) AS tie FROM cumb)
+      | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(gt AS BIGINT) AS gt_pairs, CAST(lt AS BIGINT) AS lt_pairs,
+      |  CAST(tie AS BIGINT) AS tie_pairs,
+      |  CASE WHEN na > 0 AND nb > 0 THEN
+      |   CAST(round(CAST(CAST(gt AS BIGINT) - CAST(lt AS BIGINT) AS DOUBLE)
+      |    / CAST(na * nb AS DOUBLE) * 1.0e12) AS BIGINT)
+      |  END AS delta_pico
+      | FROM cd""".stripMargin.replace("\n", " ")
+
   /** Cochran–Armitage trend ([[graft.ops.Eval.cochranArmitageTrend]]):
     * does the English rate TREND across ordered length buckets? —
     * exact-integer contrasts, one double chain for z².

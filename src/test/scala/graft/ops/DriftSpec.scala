@@ -171,6 +171,36 @@ class DriftSpec extends SparkSpec {
     assert(r.isNullAt(3), "an empty rest side is undefined, not 0")
   }
 
+  test("kuiperDrift: V = D+ + D-, sees the spread shift KS half-sees, lone stratum NULL") {
+    import spark.implicits._
+    // A = {1,4} BRACKETS B = {2,3}: F_A−F_B = +1/2 at v=1, −1/2 at v=3 →
+    // D+ = D− = 1/2, V = 1 while KS reads only 1/2
+    val spread = Seq(("A", 1L), ("A", 4L), ("B", 2L), ("B", 3L))
+      .toDF("src", "v")
+    val kr = Drift.kuiperDrift(spread, "src", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(kr("A") === ((2L, 2L, 1.0)))
+    assert(kr("B") === ((2L, 2L, 1.0)), "Kuiper is symmetric")
+    val ks = Drift.ksDrift(spread, "src", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ks("A") === 0.5, "the sup law sees only one excursion")
+    // a pure shift has one excursion: D− = 0 and V = KS
+    val shift = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("src", "v")
+    val k2 = Drift.kuiperDrift(shift, "src", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(k2("A") === ((4L, 0L, 1.0)))
+    assert(k2("B") === ((0L, 4L, 1.0)))
+    // identical strata sit at exactly 0; a lone stratum is NULL
+    val same = Seq(("A", 7L), ("A", 9L), ("B", 7L), ("B", 9L)).toDF("src", "v")
+    assert(Drift.kuiperDrift(same, "src", "v").collect()
+      .forall(_.getDouble(5) === 0.0))
+    val lone = Seq(("A", 1L), ("A", 2L)).toDF("src", "v")
+    assert(Drift.kuiperDrift(lone, "src", "v").head.isNullAt(5))
+  }
+
   test("ksDrift flags a shifted stratum harder than a matching one") {
     import spark.implicits._
     val base = (1L to 100L).map(v => ("ok", v)) ++

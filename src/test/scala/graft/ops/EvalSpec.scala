@@ -584,6 +584,57 @@ class EvalSpec extends SparkSpec {
       / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble) * 1e12))
   }
 
+  test("jonckheereTerpstra: hand-checked clean and tied designs, degenerate NULLs") {
+    // a={1,2}, b={3,4}: C = 4, no ties, N = 4 → J − E = 2,
+    // Var = A/72 = (4·3·13 − 2·18)/72 = 120/72
+    val clean = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)).toDF("g", "v")
+    val r = Eval.jonckheereTerpstra(clean, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((4L, 0L, 8L)))
+    assert(r.getLong(5) === math.round(120.0 / 72.0 * 1e6))
+    assert(r.getLong(6) === math.round(2.0 / math.sqrt(120.0 / 72.0) * 1e12))
+    // a={1,1}, b={1,2}: C = 2, one cross-tied value pair ⇒ J* = 3,
+    // E = 2; A = 156 − 36 − 66 = 54, B-term 0 (g3 = 0),
+    // C-term = 4·6/(8·4·3) = 0.25 → Var = 54/72 + 0.25 = 1 → z = 1
+    val tied = Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 2L)).toDF("g", "v")
+    val r2 = Eval.jonckheereTerpstra(tied, "g", "v").collect().head
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) === ((2L, 2L, 8L)))
+    assert(r2.getLong(5) === 1000000L)
+    assert(r2.getLong(6) === 1000000000000L)
+    // all values equal across 3 singleton classes: Var = 0 → z NULL
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("g", "v")
+    val r3 = Eval.jonckheereTerpstra(const, "g", "v").collect().head
+    assert(r3.getLong(5) === 0L)
+    assert(r3.isNullAt(6))
+    // N < 3: variance undefined → both NULL
+    val tiny = Seq((1L, 1L), (2L, 2L)).toDF("g", "v")
+    val r4 = Eval.jonckheereTerpstra(tiny, "g", "v").collect().head
+    assert(r4.isNullAt(5) && r4.isNullAt(6))
+  }
+
+  test("cliffsDelta: separation, mix, ties, one-sided NULL") {
+    // a={3,4} all above b={1,2}: δ = 1
+    val sep = Seq((3L, true), (4L, true), (1L, false), (2L, false))
+      .toDF("v", "fa")
+    val r = Eval.cliffsDelta(sep, "v", "fa").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((4L, 0L, 0L)))
+    assert(r.getLong(5) === 1000000000000L)
+    // a={1,3} straddles b={2}: gt = lt = 1 → δ = 0
+    val mix = Seq((1L, true), (3L, true), (2L, false)).toDF("v", "fa")
+    assert(Eval.cliffsDelta(mix, "v", "fa").collect().head.getLong(5) === 0L)
+    // full tie: one cross pair, equal → δ = 0 with tie_pairs = 1
+    val tie = Seq((2L, true), (2L, false)).toDF("v", "fa")
+    val r2 = Eval.cliffsDelta(tie, "v", "fa").collect().head
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) === ((0L, 0L, 1L)))
+    assert(r2.getLong(5) === 0L)
+    // one empty group: no pairs, δ NULL
+    val one = Seq((1L, true), (2L, true)).toDF("v", "fa")
+    val r3 = Eval.cliffsDelta(one, "v", "fa").collect().head
+    assert((r3.getLong(0), r3.getLong(1)) === ((2L, 0L)))
+    assert(r3.isNullAt(5))
+  }
+
   test("kendallTauB: monotone 1, inverse -1, degenerate NULLs, class cap") {
     // clean monotone / inverse over 3 classes
     val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")

@@ -1024,7 +1024,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_rank_effect / q_lorenz_deciles / q_spearman_corr / q_kruskal_wallis / q_taub_corr / q_length_gini: the value-table prefix sum is pid-partitioned, never a single-task sort") {
     Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr",
-      "q_kruskal_wallis", "q_taub_corr", "q_length_gini").foreach { q =>
+      "q_kruskal_wallis", "q_taub_corr", "q_length_gini", "q_jonckheere",
+      "q_cliffs_delta").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
@@ -1032,8 +1033,8 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_cvm_drift / q_ad_drift: the whole-curve laws share the KS prefix-sum shape") {
-    for (name <- Seq("q_cvm_drift", "q_ad_drift")) {
+  test("q_cvm_drift / q_ad_drift / q_kuiper_drift: the whole-curve laws share the KS prefix-sum shape") {
+    for (name <- Seq("q_cvm_drift", "q_ad_drift", "q_kuiper_drift")) {
       val p = plan(name)
       assert(p.contains("_ps_pid"),
         s"$name's global cumulative lost the distributed prefix-sum shape:\n$p")
