@@ -722,6 +722,49 @@ object Eval {
     (agg.withColumn("_t1x2", t1x2), m, cls)
   }
 
+  /** Goodman–Kruskal γ ('54) and both Somers' d asymmetries ('62) — the
+    * remaining classical ordinal-association family off the SAME
+    * cumulant frame as [[kendallTauB]]: γ = (C−D)/(C+D) ignores ties
+    * entirely (the "among pairs that order at all, how many agree"
+    * reading); Somers' d conditions on one axis — d_y|x = (C−D)/(n₀−n₁)
+    * penalizes ties in the DEPENDENT metric only (the
+    * predictor-evaluation form), d_x|y the converse.
+    *
+    * Exact law: all three are one pico-rounded double chain over the
+    * exact integers the scaffold already carries; NULL where the
+    * denominator is 0 (no orderable pairs / a constant axis). Scale
+    * shape and BIGINT bounds exactly as [[kendallTauB]].
+    *
+    * Output (1 row): (n_rows, k_classes, concordant, discordant,
+    * gamma_pico, somers_dyx_pico, somers_dxy_pico).
+    */
+  def ordinalAssociation(df: DataFrame, classCol: String, valueCol: String,
+      maxClasses: Int = 64): DataFrame = {
+    val (agg, m, _) = classCumulants(df, classCol, valueCol, maxClasses,
+      "ordinalAssociation")
+    val staged = agg
+      .select(col("_n").as("n_rows"), lit(m).cast("long").as("k_classes"),
+        expr("CAST((CAST(_n AS DECIMAL(38,0)) * CAST(_n - 1 AS DECIMAL(38,0)))" +
+          " div 2 AS BIGINT)").as("_n0"),
+        expr("CAST(_t1x2 div 2 AS BIGINT)").as("_n1"),
+        expr("CAST(_vt2 div 2 AS BIGINT)").as("_n2"),
+        col("_cs").cast("long").as("concordant"),
+        col("_ds").cast("long").as("discordant"))
+    val cd = (col("concordant") - col("discordant")).cast("double")
+    // greatest(·, 1): identity whenever the matching when() fires
+    def ratio(den: Column): Column =
+      round(cd / greatest(den, lit(1L)).cast("double") * lit(1.0e12))
+        .cast("long")
+    staged.select(col("n_rows"), col("k_classes"), col("concordant"),
+      col("discordant"),
+      when(col("concordant") + col("discordant") > 0L,
+        ratio(col("concordant") + col("discordant"))).as("gamma_pico"),
+      when(col("_n0") - col("_n1") > 0L,
+        ratio(col("_n0") - col("_n1"))).as("somers_dyx_pico"),
+      when(col("_n0") - col("_n2") > 0L,
+        ratio(col("_n0") - col("_n2"))).as("somers_dxy_pico"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative trend test (Terpstra '52 /
     * Jonckheere '54) — [[kendallTauB]]'s hypothesis-test twin: does the
     * metric TREND monotonically across the ordered classes? Reads the

@@ -1148,6 +1148,59 @@ trait EvalQueries { self: RegistryAll =>
       |  END AS z_pico
       | FROM v""".stripMargin.replace("\n", " ")
 
+  /** Goodman–Kruskal γ + both Somers' d asymmetries over the discount ×
+    * price design ([[graft.ops.Eval.ordinalAssociation]]): the
+    * remaining classical ordinal-association statistics, one cumulant
+    * scaffold with q_taub_corr / q_jonckheere.
+    */
+  def qGammaSomers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.ordinalAssociation(
+      t(spark, dir, "lineitem"), "l_discount", "l_extendedprice")
+
+  lazy val qGammaSomersSql: String =
+    """WITH base AS (SELECT l_discount AS x, l_extendedprice AS y
+      |  FROM lineitem
+      |  WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+      | cells AS (SELECT x, y, CAST(COUNT(*) AS HUGEINT) AS f
+      |  FROM base GROUP BY 1, 2),
+      | xs AS (SELECT DISTINCT x FROM cells),
+      | ys AS (SELECT DISTINCT y FROM cells),
+      | grid AS (SELECT xs.x AS x, ys.y AS y, COALESCE(c.f, 0) AS f
+      |  FROM xs CROSS JOIN ys
+      |  LEFT JOIN cells c ON c.x = xs.x AND c.y = ys.y),
+      | cum AS (SELECT x, y, f,
+      |   SUM(f) OVER (PARTITION BY x ORDER BY y
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle,
+      |   SUM(f) OVER (PARTITION BY x) AS tot FROM grid),
+      | cd AS (SELECT COALESCE(SUM(a.f * (b.cle - b.f)), 0) AS conc,
+      |   COALESCE(SUM(a.f * (b.tot - b.cle)), 0) AS disc
+      |  FROM cells a JOIN cum b ON b.y = a.y AND b.x < a.x),
+      | yt AS (SELECT y, SUM(f) AS my FROM cells GROUP BY 1),
+      | xt AS (SELECT x, SUM(f) AS mx FROM cells GROUP BY 1),
+      | nn AS (SELECT COALESCE(CAST(SUM(f) AS HUGEINT), 0) AS n FROM cells),
+      | t1 AS (SELECT COALESCE(SUM(mx * (mx - 1)), 0) // 2 AS v FROM xt),
+      | t2 AS (SELECT COALESCE(SUM(my * (my - 1)), 0) // 2 AS v FROM yt),
+      | kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+      | w AS (SELECT CAST(n AS BIGINT) AS n_rows, k AS k_classes,
+      |   CAST(n * (n - 1) // 2 AS BIGINT) AS n0,
+      |   CAST(t1.v AS BIGINT) AS n1, CAST(t2.v AS BIGINT) AS n2,
+      |   CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant
+      |  FROM nn, kk, t1, t2, cd)
+      | SELECT n_rows, k_classes, concordant, discordant,
+      |  CASE WHEN concordant + discordant > 0 THEN
+      |   CAST(round(CAST(concordant - discordant AS DOUBLE)
+      |    / CAST(concordant + discordant AS DOUBLE) * 1.0e12) AS BIGINT)
+      |  END AS gamma_pico,
+      |  CASE WHEN n0 - n1 > 0 THEN
+      |   CAST(round(CAST(concordant - discordant AS DOUBLE)
+      |    / CAST(n0 - n1 AS DOUBLE) * 1.0e12) AS BIGINT)
+      |  END AS somers_dyx_pico,
+      |  CASE WHEN n0 - n2 > 0 THEN
+      |   CAST(round(CAST(concordant - discordant AS DOUBLE)
+      |    / CAST(n0 - n2 AS DOUBLE) * 1.0e12) AS BIGINT)
+      |  END AS somers_dxy_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
   /** Cliff's delta of English vs non-English document length
     * ([[graft.ops.Eval.cliffsDelta]]): the ordinal effect size on the
     * q_welch_ttest design — what FRACTION of cross pairs have the

@@ -584,6 +584,41 @@ class EvalSpec extends SparkSpec {
       / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble) * 1e12))
   }
 
+  test("ordinalAssociation: brute-force gamma/Somers parity, degenerate NULLs") {
+    val rnd = new scala.util.Random(29L)
+    val rows = (1 to 150).map(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(15).toLong))
+    val r = Eval.ordinalAssociation(rows.toDF("x", "y"), "x", "y")
+      .collect().head
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- rows.indices; j <- i + 1 until rows.size) {
+      val sx = java.lang.Long.signum(rows(j)._1 - rows(i)._1)
+      val sy = java.lang.Long.signum(rows(j)._2 - rows(i)._2)
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx != 0 && sy != 0) { if (sx == sy) conc += 1 else disc += 1 }
+    }
+    val n0 = rows.size.toLong * (rows.size - 1) / 2
+    assert((r.getLong(2), r.getLong(3)) === ((conc, disc)))
+    assert(r.getLong(4) === math.round(
+      (conc - disc).toDouble / (conc + disc).toDouble * 1e12))
+    assert(r.getLong(5) === math.round(
+      (conc - disc).toDouble / (n0 - tx).toDouble * 1e12))
+    assert(r.getLong(6) === math.round(
+      (conc - disc).toDouble / (n0 - ty).toDouble * 1e12))
+    // clean monotone: all three read exactly 1
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    val r2 = Eval.ordinalAssociation(up, "x", "y").collect().head
+    assert((r2.getLong(4), r2.getLong(5), r2.getLong(6)) ===
+      ((1000000000000L, 1000000000000L, 1000000000000L)))
+    // fully tied metric: no orderable pairs → gamma and d_x|y NULL,
+    // d_y|x = 0 (pairs order in x but never in y)
+    val constY = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val r3 = Eval.ordinalAssociation(constY, "x", "y").collect().head
+    assert(r3.isNullAt(4) && r3.isNullAt(6))
+    assert(r3.getLong(5) === 0L)
+  }
+
   test("jonckheereTerpstra: hand-checked clean and tied designs, degenerate NULLs") {
     // a={1,2}, b={3,4}: C = 4, no ties, N = 4 → J − E = 2,
     // Var = A/72 = (4·3·13 − 2·18)/72 = 120/72
