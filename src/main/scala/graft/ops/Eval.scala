@@ -1172,6 +1172,49 @@ object Eval {
           * 1.0e12).cast("long")).as("cramers_v_pico"))
   }
 
+  /** Mood's median test ('50) — the k-group location test that reads
+    * ONLY above-median counts, the maximally outlier-proof (and
+    * maximally blunt) member of the location family: where
+    * [[kruskalWallis]] ranks everything, Mood asks one question per
+    * row — above the pooled median or not — and hands the resulting
+    * k×2 table to [[chi2Independence]]. The composition IS the law.
+    *
+    * Exact law: the pooled LOWER median (the value at rank
+    * ⌈n/2⌉ = (n+1) div 2 — exact-integer, no interpolation, so the
+    * split replays in any engine) comes from the value-frequency table
+    * via the DISTRIBUTED prefix sum ([[PrefixSum.inclusive]] — never a
+    * single-task sort) as the smallest value whose cumulative count
+    * reaches the rank; rows flag `above = v > median`; the χ² and
+    * Cramér's V over (group × above) are [[chi2Independence]]'s exact
+    * per-cell law verbatim. Empty input yields the empty frame.
+    *
+    * Scale shape: one corpus hash aggregate → value table → prefix-sum
+    * pass → 1-row median broadcast back onto the corpus → the bounded
+    * (groups × 2)-cell χ² aggregate. No window over data, no driver
+    * state.
+    *
+    * Output (1 row): (n_rows, n_groups, n_sides, median_value,
+    * chi2_pico, cramers_v_pico).
+    */
+  def moodMedianTest(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val d = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val freq = d.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val tot = freq.agg(coalesce(sum(col("_c")), lit(0L)).as("_n"))
+    val med = PrefixSum.inclusive(freq, "_v", col("_c"), "_cum")
+      .crossJoin(broadcast(tot))
+      .filter(col("_cum") >= expr("(_n + 1) div 2"))
+      .agg(min(col("_v")).as("median_value"))
+    val flagged = d.crossJoin(broadcast(med))
+      .select(col("_g"), (col("_v") > col("median_value")).as("_above"))
+    chi2Independence(flagged, "_g", "_above")
+      .crossJoin(broadcast(med))
+      .select(col("n_rows"), col("n_a").as("n_groups"),
+        col("n_b").as("n_sides"), col("median_value"),
+        col("chi2_pico"), col("cramers_v_pico"))
+  }
+
   /** Mutual information between two categorical columns (nats, pico
     * precision) — the information-theoretic companion of
     * [[chi2Independence]]: how many nats knowing one column gives about

@@ -581,6 +581,57 @@ trait EvalQueries { self: RegistryAll =>
       | FROM s CROSS JOIN dims WHERE s.t IS NOT NULL"""
       .stripMargin.replace("\n", " ")
 
+  /** Mood's median test of document length across sources
+    * ([[graft.ops.Eval.moodMedianTest]]): the blunt outlier-proof
+    * member of the q_kruskal_wallis location family — exact pooled
+    * lower median off the distributed prefix sum, then
+    * chi2Independence's per-cell law over (source × above-median).
+    */
+  def qMoodMedian(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.moodMedianTest(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qMoodMedianSql: String =
+    """WITH d AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | f AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+      | r AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+      |   CAST(SUM(c) OVER () AS BIGINT) AS n FROM f),
+      | m AS (SELECT MIN(v) AS med FROM r WHERE cum >= (n + 1) // 2),
+      | base AS (SELECT d.g AS a, d.v > m.med AS b FROM d, m),
+      | cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2),
+      | en AS (SELECT a, b, n,
+      |   CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS r,
+      |   CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS c,
+      |   CAST(SUM(n) OVER () AS BIGINT) AS t FROM cells),
+      | dims AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+      |   CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+      | s AS (SELECT MAX(t) AS t,
+      |   CAST(SUM(CAST(round(
+      |     CAST((CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+      |       * (CAST(t AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+      |     / (CAST(t AS DOUBLE) * r * c) * 1e12) AS BIGINT)) AS HUGEINT)
+      |    AS sp,
+      |   CAST(SUM(CAST(round(
+      |     (CAST(r AS DOUBLE) * c / t) * 1e12) AS BIGINT)) AS HUGEINT)
+      |    AS sa
+      |  FROM en)
+      | SELECT s.t AS n_rows, dims.na AS n_groups, dims.nb AS n_sides,
+      |  m.med AS median_value,
+      |  CAST(sp + CAST(s.t AS HUGEINT) * 1000000000000 - sa AS BIGINT)
+      |   AS chi2_pico,
+      |  CASE WHEN least(dims.na, dims.nb) >= 2 THEN
+      |   CAST(round(sqrt(
+      |     (CAST(sp + CAST(s.t AS HUGEINT) * 1000000000000 - sa AS DOUBLE)
+      |       / 1e12)
+      |     / (CAST(s.t AS DOUBLE) * (least(dims.na, dims.nb) - 1)))
+      |    * 1e12) AS BIGINT) END AS cramers_v_pico
+      | FROM s CROSS JOIN dims CROSS JOIN m WHERE s.t IS NOT NULL"""
+      .stripMargin.replace("\n", " ")
+
   /** Mutual information between document source and length bucket
     * ([[graft.ops.Eval.mutualInformation]], 100-char bins — the PSI bin
     * law): how many nats the source tells you about document length —

@@ -584,6 +584,26 @@ class EvalSpec extends SparkSpec {
       / math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble) * 1e12))
   }
 
+  test("moodMedianTest: exact lower median, separated chi2, degenerate one-side table") {
+    // a = {1,2,3} all ≤ median 3 < b = {10,11,12}: perfect separation →
+    // the 2×2 table is [3,0;0,3], χ² = 6, Cramér's V = 1
+    val sep = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 11L), ("b", 12L)).toDF("g", "v")
+    val r = Eval.moodMedianTest(sep, "v", "g").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 2L, 2L)))
+    assert(r.getLong(3) === 3L)
+    assert(r.getLong(4) === 6000000000000L)
+    assert(r.getLong(5) === 1000000000000L)
+    // even count: the LOWER median (rank (n+1) div 2 = 2) is 2
+    val even = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    assert(Eval.moodMedianTest(even, "v", "g").collect().head.getLong(3) === 2L)
+    // all values equal: one side only → χ² exactly 0, V NULL
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val r2 = Eval.moodMedianTest(const, "v", "g").collect().head
+    assert((r2.getLong(2), r2.getLong(4)) === ((1L, 0L)))
+    assert(r2.isNullAt(5))
+  }
+
   test("ordinalAssociation: brute-force gamma/Somers parity, degenerate NULLs") {
     val rnd = new scala.util.Random(29L)
     val rows = (1 to 150).map(_ =>

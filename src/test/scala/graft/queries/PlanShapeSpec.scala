@@ -1025,7 +1025,7 @@ class PlanShapeSpec extends SparkSpec {
   test("q_rank_effect / q_lorenz_deciles / q_spearman_corr / q_kruskal_wallis / q_taub_corr / q_length_gini: the value-table prefix sum is pid-partitioned, never a single-task sort") {
     Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr",
       "q_kruskal_wallis", "q_taub_corr", "q_length_gini", "q_jonckheere",
-      "q_cliffs_delta", "q_gamma_somers").foreach { q =>
+      "q_cliffs_delta", "q_gamma_somers", "q_mood_median").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
