@@ -24,6 +24,26 @@ object Bench {
     * the round. Full precision goes to the artifact path (arg 1 /
     * SPARK_GRAFT_BENCH_OUT, default target/BENCH_FULL.json).
     */
+  /** 1-minute loadavg from /proc/loadavg; -1.0 where unreadable. */
+  private def loadAvg1(): Double =
+    try java.nio.file.Files
+      .readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Aggregate steal jiffies (field 8 of /proc/stat's `cpu` line — time
+    * the hypervisor ran someone else while this guest was runnable);
+    * -1 where unreadable or absent.
+    */
+  private def stealJiffies(): Long =
+    try {
+      val cpu = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat"))
+        .stream.filter(_.startsWith("cpu ")).findFirst.orElse("")
+      val f = cpu.trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
   private[graft] def renderLine(results: Map[String, Double], sfName: String): String = {
     val total = results.values.filter(_ >= 0).sum
     def render(dec: Int): String = {
@@ -172,9 +192,12 @@ object Bench {
     // passes report them as -1 where the driver can see them).
     val nWarmup = sys.env.get("SPARK_GRAFT_BENCH_WARMUP")
       .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(1)
+    // NonFatal only: a fatal JVM error (OOM, StackOverflow) poisons the
+    // process — timed passes after it would publish misleading baselines,
+    // so let it propagate and kill the run instead.
     for (_ <- 0 until nWarmup; (name, fn) <- names) {
       try { fn(spark, sfDir).count(); () }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
     }
@@ -182,8 +205,16 @@ object Bench {
     val baseOrders = Seq(names, names.reverse,
       names.drop(half) ++ names.take(half))
     val passOrders = (0 until nPasses).map(i => baseOrders(i % baseOrders.size))
+    // per-pass host-load index (r17 verdict task 3): 1-min loadavg at
+    // pass start/end plus the steal-jiffies delta over the pass, so a
+    // sweep that reads 30% hot is mechanically separable into host load
+    // vs code regression (the r17 189.8/272.8/206.7 same-code spread
+    // cost a verdict real analysis time). Best-effort: a non-Linux /proc
+    // yields -1 fields, never a failed bench.
+    val passLoads = scala.collection.mutable.ArrayBuffer[String]()
     val passes = passOrders.map { order =>
-      order.map { case (name, fn) =>
+      val (l0, s0) = (loadAvg1(), stealJiffies())
+      val res = order.map { case (name, fn) =>
         // each attempt tries independently: a flake on one pass must not
         // discard another's valid measurement
         name -> (try {
@@ -195,6 +226,11 @@ object Bench {
           None
         })
       }.toMap
+      val (l1, s1) = (loadAvg1(), stealJiffies())
+      val sd = if (s0 >= 0L && s1 >= 0L) (s1 - s0).toString else "-1"
+      passLoads +=
+        s"""{"load1_start":$l0,"load1_end":$l1,"steal_jiffies":$sd}"""
+      res
     }
     val stats = names.map { case (name, _) =>
       name -> passes.flatMap(_.apply(name))
@@ -215,7 +251,7 @@ object Bench {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$nPasses,"warmup":$nWarmup,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"passes":$nPasses,"warmup":$nWarmup,"pass_load":[${passLoads.mkString(",")}],"sf":"$sfDir"}""")
       System.err.println(s"[bench] full-precision artifact: $outPath")
     } catch { case _: Throwable => () }
     println(line)

@@ -285,15 +285,28 @@ object Drift {
     *
     * Output: (stratum, n, n_rest, d_plus, d_minus, kuiper) — d_plus /
     * d_minus are the exact integer numerators (×n_s·n_r).
+    *
+    * BOUNDED-STRATA LAW (enforced, not assumed): the support crossJoin
+    * replicates the pooled value table once per stratum, so the plan is
+    * bounded only if the stratum axis is. A TakeOrdered(maxStrata+1)
+    * probe makes an unbounded axis fail the require before the
+    * crossJoin ever runs — the [[graft.ops.Eval]] classCumulants
+    * discipline.
     */
   def kuiperDrift(df: DataFrame, stratumCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxStrata: Int = 64): DataFrame = {
     val dec = "decimal(38,0)"
     val cnt = df.filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(stratumCol).as("stratum"),
         col(valueCol).cast("long").as("_v"))
       .agg(count(lit(1)).as("_c"))
     val ns = cnt.groupBy(col("stratum")).agg(sum(col("_c")).as("_ns"))
+    val probe = ns.select(col("stratum"))
+      .orderBy(col("stratum")).limit(maxStrata + 1).collect()
+    require(probe.length <= maxStrata,
+      s"kuiperDrift: stratum column exceeds $maxStrata distinct values — " +
+        "the per-stratum support crossJoin needs a bounded stratum axis; " +
+        "bin the column or raise maxStrata")
     val vals = cnt.groupBy(col("_v")).agg(sum(col("_c")).as("_cv"))
     val valsCum = PrefixSum.inclusive(vals, "_v", col("_cv"), "_cumAll")
       .select(col("_v"), col("_cumAll"))

@@ -232,7 +232,11 @@ object Spectral {
       .agg(count(lit(1)).as("_n"), sum(col("col")).as("_mi"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
-    val n = mn.values.headOption.map(v => BigInt(v._1)).getOrElse(BigInt(0))
+    // n is the CLEAN-FRAME row count — the covarianceCells n_rows law.
+    // Per-position counts (mn's _n) equal it only for uniform-width
+    // vectors; ragged rows would make a headOption pick nondeterministic
+    // and diverge from the distributed form, so count the frame itself.
+    val n = BigInt(q.count())
     upper.flatMap { case (i, j, m) =>
       val c = n * m - BigInt(mn(i)._2) * BigInt(mn(j)._2)
       if (i == j) Seq((i, j, c)) else Seq((i, j, c), (j, i, c))

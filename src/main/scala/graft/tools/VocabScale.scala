@@ -44,11 +44,13 @@ object VocabScale {
           ", ' ')"),
         expr(s"array_join(array_repeat('zz', $reps), ' ')")).as("text"))
 
-  /** Spark's round() is HALF_UP on doubles; math.round is not (it
-    * half-up's toward +∞) — replay with the same BigDecimal law.
+  /** Spark's round() on a double goes through BigDecimal.valueOf
+    * (shortest-decimal) HALF_UP — replay that exact path, NOT
+    * `new BigDecimal(x)` (exact-binary), which differs on display
+    * ties (the Spectral.roundSpark trap, `ops/Spectral.scala`).
     */
   private def roundHalfUp(x: Double): Long =
-    new java.math.BigDecimal(x)
+    java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
 
   /** The operator's own law on the closed-form points: doubling

@@ -201,6 +201,20 @@ class DriftSpec extends SparkSpec {
     assert(Drift.kuiperDrift(lone, "src", "v").head.isNullAt(5))
   }
 
+  test("kuiperDrift: bounded-strata require fails an over-limit axis") {
+    import spark.implicits._
+    // 5 strata over a cap of 4 must fail BEFORE the support crossJoin;
+    // at the cap it runs — the TakeOrdered probe is exact, not fuzzy
+    val five = (0 until 5).flatMap(s =>
+      Seq((s"s$s", 1L), (s"s$s", 2L))).toDF("src", "v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.kuiperDrift(five, "src", "v", maxStrata = 4).collect()
+    }
+    assert(e.getMessage.contains("exceeds 4 distinct values"))
+    assert(Drift.kuiperDrift(five, "src", "v", maxStrata = 5)
+      .count() === 5L)
+  }
+
   test("ksDrift flags a shifted stratum harder than a matching one") {
     import spark.implicits._
     val base = (1L to 100L).map(v => ("ok", v)) ++
