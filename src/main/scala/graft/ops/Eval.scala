@@ -1193,6 +1193,12 @@ object Eval {
     * (groups × 2)-cell χ² aggregate. No window over data, no driver
     * state.
     *
+    * INTEGRAL-VALUE CONTRACT (the gini/anovaF discipline): valueCol is
+    * cast to long with Spark semantics (truncation toward zero). A
+    * non-integral value column would diverge from an oracle whose
+    * CAST(... AS BIGINT) rounds to nearest (DuckDB) — callers must
+    * pass an integral column (the wired q_mood_median uses n_chars).
+    *
     * Output (1 row): (n_rows, n_groups, n_sides, median_value,
     * chi2_pico, cramers_v_pico).
     */
@@ -1558,6 +1564,273 @@ object Eval {
       when(col("_k") >= 2L &&
         col("_ssb") + col("_ssw") > lit(java.math.BigDecimal.ZERO).cast(dec),
         round(eta * lit(1.0e12)).cast("long")).as("eta2_pico"))
+  }
+
+  /** Ansari–Bradley two-sample scale test ('60) — the rank-DISPERSION
+    * member the location family ([[moodMedianTest]], [[welchTTest]],
+    * [[cliffsDelta]]) lacks: are group A's values more CONCENTRATED
+    * around the pooled centre than the rest's? Scores fold the pooled
+    * ranking from both ends — a_r = min(r, N+1−r) — so the centre
+    * scores high and both tails low; W_A = Σ_A a is LARGE when A is
+    * the tighter group (z > 0 reads "A less dispersed").
+    *
+    * Exact law on the value-frequency table (never per-row ranks): a
+    * tied run occupying pooled ranks b+1..b+m has score sum S =
+    * Σ min(r, N+1−r) over that rank interval — a closed piecewise-
+    * triangular form in exact integers; the run's per-observation
+    * midscore quantizes ONCE as score_micro = (2·S·10⁶ + m) div (2·m)
+    * (HALF_UP in pure integer division — replays verbatim in any
+    * engine), and W_A, the total score mass, and the squared mass are
+    * exact DECIMAL(38,0) sums of those integers. The tie-aware normal
+    * moments read the SAME quantized scores (Hollander–Wolfe form):
+    * E = n_A·T/N, Var = n_A·n_B·(N·Q − T²)/(N²(N−1)) with T = Σ m·s,
+    * Q = Σ m·s²; z = (W_A − E)/√Var is ONE pinned double chain. NULL z
+    * when either side is empty, N < 2, or Var ≤ 0.
+    *
+    * Scale shape: one (value) hash aggregate → one
+    * [[PrefixSum.inclusive]] pass (with totals — no second
+    * corpus-deriving branch) → a bounded 1-row aggregate. No window
+    * over data, no per-row rank materialization. INTEGRAL-VALUE
+    * CONTRACT as [[moodMedianTest]]; DECIMAL(38,0) domain holds the Q
+    * sum exact through N ≈ 4·10⁸ rows (past that, sample first — the
+    * [[graft.ops.Spectral]] posture).
+    *
+    * Output (1 row): (n_a, n_b, w_a_micro, e_w_micro, z_pico).
+    */
+  def ansariBradley(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"),
+        col(isACol).cast("boolean").as("_a"))
+    val bt = base.groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_fa"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_fb"))
+      .withColumn("_m", col("_fa") + col("_fb"))
+    val cum = PrefixSum.inclusiveAll(bt, "_v", Seq(col("_m") -> "_cum"),
+      withTotals = true)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    // the run occupies pooled ranks l..u; scores fold at t = (N+1) div 2:
+    // r ≤ t scores r, r > t scores N+1−r — two triangular-number spans
+    // (x(x+1) is even, so every `div 2` below is exact)
+    val staged = cum.select(col("_fa"), col("_fb"), col("_m"),
+      (col("_cum") - col("_m") + lit(1L)).as("_l"), col("_cum").as("_u"),
+      expr("(_cum_total + 1) div 2").as("_tf"),
+      col("_cum_total").as("_nn"))
+    val scored = staged
+      .withColumn("_lou", least(col("_u"), col("_tf")))
+      .withColumn("_hil", greatest(col("_l"), col("_tf") + lit(1L)))
+      .withColumn("_s",
+        when(col("_l") <= col("_lou"), expr(
+          s"(CAST(_lou AS $dec) * (_lou + 1)) div 2" +
+            s" - (CAST(_l - 1 AS $dec) * _l) div 2").cast(dec))
+          .otherwise(zero) +
+        when(col("_hil") <= col("_u"), expr(
+          s"CAST(CAST(_nn + 1 AS $dec) * (_u - _hil + 1) AS $dec)") -
+          expr(s"(CAST(_u AS $dec) * (_u + 1)) div 2" +
+            s" - (CAST(_hil - 1 AS $dec) * _hil) div 2").cast(dec))
+          .otherwise(zero))
+      .withColumn("_sm", expr(
+        s"CAST((2 * CAST(_s AS $dec) * 1000000 + _m) div (2 * _m)" +
+          " AS BIGINT)"))
+    val agg = scored.agg(
+      coalesce(sum(col("_fa")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_fb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_fa").cast(dec) * col("_sm").cast(dec)), zero)
+        .as("_w"),
+      coalesce(sum(col("_m").cast(dec) * col("_sm").cast(dec)), zero)
+        .as("_t"),
+      coalesce(sum(col("_m").cast(dec) * col("_sm").cast(dec)
+        * col("_sm").cast(dec)), zero).as("_q"))
+    // greatest clamps: identity whenever the matching when() fires
+    val nD = greatest(col("n_a") + col("n_b"), lit(1L)).cast("double")
+    val eW = col("n_a").cast("double") * col("_t").cast("double") / nD
+    val varW = col("n_a").cast("double") * col("n_b").cast("double") *
+      (nD * col("_q").cast("double") -
+        col("_t").cast("double") * col("_t").cast("double")) /
+      (nD * nD * greatest(col("n_a") + col("n_b") - lit(1L), lit(1L))
+        .cast("double"))
+    agg.select(col("n_a"), col("n_b"), col("_w").cast("long").as("w_a_micro"),
+      when(col("n_a") + col("n_b") > 0L, round(eW).cast("long"))
+        .as("e_w_micro"),
+      when(col("n_a") > 0L && col("n_b") > 0L &&
+        col("n_a") + col("n_b") >= 2L && varW > 0.0,
+        round((col("_w").cast("double") - eW)
+          / sqrt(greatest(varW, lit(1.0e-300))) * lit(1.0e12)).cast("long"))
+        .as("z_pico"))
+  }
+
+  /** Brunner–Munzel heteroscedastic rank test (Biometrical J. '00) —
+    * [[cliffsDelta]]'s inferential sibling: tests H₀: P(A < B) + ½P(=)
+    * = ½ WITHOUT the equal-variance/equal-shape assumption the
+    * Wilcoxon–Mann–Whitney null needs (the Behrens–Fisher situation in
+    * ranks). Reported with the common-language effect p̂ itself.
+    *
+    * Exact law on the two-class value-frequency table: pooled and
+    * within-group midranks are half-integers, so their doubled forms
+    * p2 = 2·cum − m + 1 and a2 = 2·cumA − fa + 1 are exact integers off
+    * ONE [[PrefixSum.inclusiveAll]] pass (both class weights share the
+    * range shuffle — the [[kendallTauB]] cumulant discipline); each
+    * group's rank-variance cumulant folds the per-value terms X = p2 −
+    * a2 into V = n·Σf·X² − 2K·Σf·X + K² with K = ΣR2 − n(n+1), all
+    * DECIMAL(38,0), where S² = V/(4n(n−1)) is the paper's variance
+    * estimator. Then
+    *
+    *   p̂ = (R̄_B − R̄_A)/N + ½,
+    *   W = n_A·n_B·(R̄_B − R̄_A) / (N·√(V_A/(n_A−1) + V_B/(n_B−1)))
+    *
+    * are each ONE pinned double chain, pico-rounded (W > 0 reads "B
+    * tends larger"). NULL W when either side has n < 2 or the variance
+    * sum is ≤ 0; NULL p̂ when either side is empty.
+    *
+    * Scale shape: one (value, class) hash aggregate → one shared
+    * prefix-sum pass → a bounded 1-row aggregate. INTEGRAL-VALUE
+    * CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_a, n_b, r2sum_a, r2sum_b, p_hat_pico, w_pico).
+    */
+  def brunnerMunzel(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"),
+        col(isACol).cast("boolean").as("_a"))
+    val bt = base.groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_fa"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_fb"))
+    val cum = PrefixSum.inclusiveAll(bt, "_v",
+      Seq(col("_fa") -> "_ca", col("_fb") -> "_cb"), withTotals = true)
+      .withColumn("_m", col("_fa") + col("_fb"))
+      .withColumn("_p2",
+        lit(2L) * (col("_ca") + col("_cb")) - col("_m") + lit(1L))
+      .withColumn("_xa", col("_p2") - (lit(2L) * col("_ca") - col("_fa")
+        + lit(1L)))
+      .withColumn("_xb", col("_p2") - (lit(2L) * col("_cb") - col("_fb")
+        + lit(1L)))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg = cum.agg(
+      coalesce(max(col("_ca_total")), lit(0L)).as("n_a"),
+      coalesce(max(col("_cb_total")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_fa").cast(dec) * col("_p2").cast(dec)), zero)
+        .as("_sra"),
+      coalesce(sum(col("_fb").cast(dec) * col("_p2").cast(dec)), zero)
+        .as("_srb"),
+      coalesce(sum(col("_fa").cast(dec) * col("_xa").cast(dec)), zero)
+        .as("_sxa"),
+      coalesce(sum(col("_fb").cast(dec) * col("_xb").cast(dec)), zero)
+        .as("_sxb"),
+      coalesce(sum(col("_fa").cast(dec) * col("_xa").cast(dec)
+        * col("_xa").cast(dec)), zero).as("_qxa"),
+      coalesce(sum(col("_fb").cast(dec) * col("_xb").cast(dec)
+        * col("_xb").cast(dec)), zero).as("_qxb"))
+    val ka = col("_sra") - col("n_a").cast(dec) *
+      (col("n_a") + lit(1L)).cast(dec)
+    val kb = col("_srb") - col("n_b").cast(dec) *
+      (col("n_b") + lit(1L)).cast(dec)
+    val va = col("n_a").cast(dec) * col("_qxa") -
+      lit(2L).cast(dec) * ka * col("_sxa") + ka * ka
+    val vb = col("n_b").cast(dec) * col("_qxb") -
+      lit(2L).cast(dec) * kb * col("_sxb") + kb * kb
+    // greatest clamps: identity whenever the matching when() fires
+    val naD = greatest(col("n_a"), lit(1L)).cast("double")
+    val nbD = greatest(col("n_b"), lit(1L)).cast("double")
+    val nD = greatest(col("n_a") + col("n_b"), lit(1L)).cast("double")
+    val diff = col("_srb").cast("double") / nbD -
+      col("_sra").cast("double") / naD
+    val varSum = va.cast("double") / greatest(col("n_a") - lit(1L), lit(1L))
+      .cast("double") +
+      vb.cast("double") / greatest(col("n_b") - lit(1L), lit(1L))
+        .cast("double")
+    agg.select(col("n_a"), col("n_b"),
+      col("_sra").cast("long").as("r2sum_a"),
+      col("_srb").cast("long").as("r2sum_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L,
+        round((diff / (lit(2.0) * nD) + lit(0.5)) * lit(1.0e12))
+          .cast("long")).as("p_hat_pico"),
+      when(col("n_a") >= 2L && col("n_b") >= 2L && varSum > 0.0,
+        round(naD * nbD * diff
+          / (nD * sqrt(greatest(varSum, lit(1.0e-300)))) * lit(1.0e12))
+          .cast("long")).as("w_pico"))
+  }
+
+  /** Page's L trend test for ordered alternatives in a complete block
+    * design (Page, JASA '63) — the WITHIN-BLOCK companion of
+    * [[jonckheereTerpstra]]: JT pools all observations, so a strong
+    * block effect (customers who simply spend more everywhere) drowns
+    * the trend; Page ranks the k ordered treatments WITHIN each block
+    * first, so every block votes on the ORDER alone, and
+    * L = Σ_j j·R_j accumulates those votes against the monotone
+    * alternative.
+    *
+    * Exact law: the bounded ascending class collect fixes scores 1..k
+    * (the [[kendallTauB]] classCumulants discipline — TakeOrdered
+    * probe, hard require); replicated (block, class) cells reduce by
+    * SUM (the one-observation-per-cell contract); blocks missing any
+    * class DROP (Page's design needs complete blocks — documented, not
+    * silent: n_blocks is in the output); within-block midranks are
+    * half-integers off min-rank + tie count, so 2·midrank = 2·rank +
+    * ties − 1 is exact, and L2 = Σ score·midrank2 = 2L is an exact
+    * DECIMAL sum. Against the no-tie null moments (Hollander–Wolfe):
+    * E[2L] = n·k(k+1)²/2 and Var[2L] = n·k²(k+1)²(k−1)/36, z = (L2 −
+    * E2)/√Var2 is ONE pinned double chain (ties enter L via midranks;
+    * the variance keeps the classical no-tie form — the standard
+    * practical treatment). NULL z when n = 0 or k < 3 (the test is
+    * tabulated for k ≥ 3).
+    *
+    * Scale shape: one (block, class) hash aggregate → the
+    * completeness semi-filter (a hash join on block) → per-BLOCK
+    * windows over ≤ k-row partitions (bounded by configuration — never
+    * an unpartitioned window) → a 1-row aggregate. INTEGRAL-VALUE
+    * CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_blocks, k_classes, l2, e_l2, z_pico).
+    */
+  def pageTrendL(df: DataFrame, blockCol: String, classCol: String,
+      valueCol: String, maxClasses: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(blockCol).isNotNull && col(classCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(blockCol).as("_b"), col(classCol).as("_x"),
+        col(valueCol).cast("long").as("_y"))
+    val cls = base.select(col("_x")).distinct()
+      .orderBy(col("_x")).limit(maxClasses + 1).collect().map(_.get(0))
+    require(cls.nonEmpty, "pageTrendL: no non-null (block, class, value) rows")
+    require(cls.length <= maxClasses,
+      s"pageTrendL: class column exceeds $maxClasses distinct values — " +
+        "the within-block ranking law needs a bounded ordinal axis; " +
+        "bin the column or raise maxClasses")
+    val k = cls.length
+    val score = coalesce(
+      (0 until k).map(j => when(col("_x") === lit(cls(j)),
+        lit((j + 1).toLong))): _*)
+    val cells = base.withColumn("_s", score)
+      .groupBy(col("_b"), col("_s")).agg(sum(col("_y")).as("_cell"))
+    val complete = cells.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_kc")).filter(col("_kc") === lit(k.toLong))
+      .select(col("_b"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_cell"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b"), col("_cell"))
+    val ranked = cells.join(complete, Seq("_b"), "left_semi")
+      .withColumn("_mr2", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTie) - lit(1L))
+    val agg = ranked.agg(
+      expr(s"coalesce(count(1), 0L) div ${k}L").as("n_blocks"),
+      coalesce(sum(col("_s").cast(dec) * col("_mr2").cast(dec)),
+        lit(java.math.BigDecimal.ZERO).cast(dec)).as("_l2"))
+    // E[2L] = n·k(k+1)²/2 — k(k+1)² is always even, so the div is exact
+    val e2i = expr(s"CAST((CAST(n_blocks AS $dec) * " +
+      s"${k.toLong * (k + 1) * (k + 1)}L) div 2 AS $dec)")
+    val var2 = col("n_blocks").cast("double") *
+      lit(k.toDouble * k * (k + 1) * (k + 1) * (k - 1) / 36.0)
+    agg.select(col("n_blocks"), lit(k.toLong).as("k_classes"),
+      col("_l2").cast("long").as("l2"),
+      e2i.cast("long").as("e_l2"),
+      when(col("n_blocks") >= 1L && lit(k) >= 3 && var2 > 0.0,
+        round((col("_l2") - e2i).cast("double")
+          / sqrt(greatest(var2, lit(1.0e-300))) * lit(1.0e12)).cast("long"))
+        .as("z_pico"))
   }
 
   /** Welch's unequal-variance t ('47) with Welch–Satterthwaite df and

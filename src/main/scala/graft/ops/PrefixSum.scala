@@ -57,8 +57,20 @@ object PrefixSum {
       weights: Seq[(Column, String)], withTotals: Boolean = false): DataFrame = {
     require(weights.nonEmpty, "inclusiveAll needs at least one weight")
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // LAZY localCheckpoint — the law's soundness depends on it, not just
+    // perf: the ranged frame feeds BOTH the per-row window branch and
+    // the per-partition offsets branch. RangePartitioning SAMPLES its
+    // boundaries per physical instantiation, so if the optimizer ever
+    // fails to reuse the exchange between the two branches (observed
+    // under AQE with a projected aggregate upstream), the branches
+    // disagree on pid assignment near boundaries and the joined offsets
+    // silently corrupt the cumulative. One materialized RDD = one
+    // boundary set, by construction. Lazy (eager=false) so plan-only
+    // consumers never trigger a job; both branches share the first
+    // action's materialization.
     val parts = df.repartitionByRange(nParts, col(orderCol))
       .withColumn("_ps_pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy(col("_ps_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = weights.zipWithIndex.foldLeft(parts) {

@@ -1252,6 +1252,168 @@ trait EvalQueries { self: RegistryAll =>
       |  END AS somers_dxy_pico
       | FROM w""".stripMargin.replace("\n", " ")
 
+  /** Ansari–Bradley scale test of purchase vs non-purchase event values
+    * ([[graft.ops.Eval.ansariBradley]]): do purchase amounts sit more
+    * CONCENTRATED around the pooled centre than other event values? —
+    * the rank-dispersion member of the location family (folded scores
+    * off the value-table prefix sum, tie midscores quantized once as
+    * exact integer division).
+    */
+  def qAnsariBradley(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.ansariBradley(
+      t(spark, dir, "events")
+        .select(floor(col("value") * lit(100.0)).as("cents"),
+          (col("event_type") === "purchase").as("is_p")),
+      "cents", "is_p")
+
+  lazy val qAnsariBradleySql: String =
+    """WITH base AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS v,
+      |   (event_type = 'purchase') AS a
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      | bt AS (SELECT v,
+      |   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS fa,
+      |   CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS fb
+      |  FROM base GROUP BY 1),
+      | cumt AS (SELECT fa, fb, fa + fb AS m,
+      |   SUM(fa + fb) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   SUM(fa + fb) OVER () AS nn FROM bt),
+      | sc AS (SELECT fa, fb, m, nn, cum - m + 1 AS l, cum AS u,
+      |   (nn + 1) // 2 AS tf FROM cumt),
+      | s2 AS (SELECT fa, fb, m,
+      |   (CASE WHEN l <= least(u, tf) THEN
+      |      (least(u, tf) * (least(u, tf) + 1)) // 2 - ((l - 1) * l) // 2
+      |    ELSE 0 END
+      |   + CASE WHEN greatest(l, tf + 1) <= u THEN
+      |      (nn + 1) * (u - greatest(l, tf + 1) + 1)
+      |      - ((u * (u + 1)) // 2
+      |         - ((greatest(l, tf + 1) - 1) * greatest(l, tf + 1)) // 2)
+      |    ELSE 0 END) AS s FROM sc),
+      | sm AS (SELECT fa, fb, m,
+      |   (2 * s * 1000000 + m) // (2 * m) AS sm FROM s2),
+      | ag AS (SELECT COALESCE(SUM(fa), 0) AS na, COALESCE(SUM(fb), 0) AS nb,
+      |   COALESCE(SUM(fa * sm), 0) AS w, COALESCE(SUM(m * sm), 0) AS t,
+      |   COALESCE(SUM(m * sm * sm), 0) AS q FROM sm),
+      | wd AS (SELECT na, nb, w, CAST(na + nb AS DOUBLE) AS nd,
+      |   CAST(na AS DOUBLE) * CAST(t AS DOUBLE) / CAST(na + nb AS DOUBLE)
+      |     AS ew,
+      |   CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |     * (CAST(na + nb AS DOUBLE) * CAST(q AS DOUBLE)
+      |        - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+      |     / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+      |        * CAST(na + nb - 1 AS DOUBLE)) AS vr
+      |  FROM ag)
+      | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(w AS BIGINT) AS w_a_micro,
+      |  CASE WHEN na + nb > 0 THEN CAST(round(ew) AS BIGINT) END
+      |    AS e_w_micro,
+      |  CASE WHEN na > 0 AND nb > 0 AND na + nb >= 2 AND vr > 0.0 THEN
+      |   CAST(round((CAST(w AS DOUBLE) - ew) / sqrt(vr) * 1.0e12)
+      |     AS BIGINT) END AS z_pico
+      | FROM wd""".stripMargin.replace("\n", " ")
+
+  /** Brunner–Munzel test of returned vs kept line-item quantities
+    * ([[graft.ops.Eval.brunnerMunzel]]): does the returned flag shift
+    * the quantity distribution, WITHOUT assuming equal variances or
+    * shapes? — q_cliffs_delta's inferential sibling, with the
+    * common-language effect p̂ itself in the output.
+    */
+  def qBrunnerMunzel(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.brunnerMunzel(
+      t(spark, dir, "lineitem")
+        .select(floor(col("l_quantity")).as("qty"),
+          (col("l_returnflag") === "R").as("is_r")),
+      "qty", "is_r")
+
+  lazy val qBrunnerMunzelSql: String =
+    """WITH base AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
+      |   (l_returnflag = 'R') AS a
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+      | bt AS (SELECT v,
+      |   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS fa,
+      |   CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS fb
+      |  FROM base GROUP BY 1),
+      | cumt AS (SELECT fa, fb, fa + fb AS m,
+      |   SUM(fa) OVER w AS ca, SUM(fb) OVER w AS cb,
+      |   SUM(fa) OVER () AS na, SUM(fb) OVER () AS nb
+      |  FROM bt WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      | terms AS (SELECT fa, fb, na, nb,
+      |   2 * (ca + cb) - m + 1 AS p2,
+      |   (2 * (ca + cb) - m + 1) - (2 * ca - fa + 1) AS xa,
+      |   (2 * (ca + cb) - m + 1) - (2 * cb - fb + 1) AS xb FROM cumt),
+      | ag AS (SELECT COALESCE(MAX(na), 0) AS na, COALESCE(MAX(nb), 0) AS nb,
+      |   COALESCE(SUM(fa * p2), 0) AS sra, COALESCE(SUM(fb * p2), 0) AS srb,
+      |   COALESCE(SUM(fa * xa), 0) AS sxa, COALESCE(SUM(fb * xb), 0) AS sxb,
+      |   COALESCE(SUM(fa * xa * xa), 0) AS qxa,
+      |   COALESCE(SUM(fb * xb * xb), 0) AS qxb FROM terms),
+      | kv AS (SELECT na, nb, sra, srb,
+      |   na * qxa - 2 * (sra - na * (na + 1)) * sxa
+      |     + (sra - na * (na + 1)) * (sra - na * (na + 1)) AS va,
+      |   nb * qxb - 2 * (srb - nb * (nb + 1)) * sxb
+      |     + (srb - nb * (nb + 1)) * (srb - nb * (nb + 1)) AS vb FROM ag),
+      | dd AS (SELECT na, nb, sra, srb,
+      |   CAST(srb AS DOUBLE) / CAST(nb AS DOUBLE)
+      |     - CAST(sra AS DOUBLE) / CAST(na AS DOUBLE) AS diff,
+      |   CAST(va AS DOUBLE) / CAST(na - 1 AS DOUBLE)
+      |     + CAST(vb AS DOUBLE) / CAST(nb - 1 AS DOUBLE) AS vs,
+      |   CAST(na + nb AS DOUBLE) AS nd FROM kv)
+      | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(sra AS BIGINT) AS r2sum_a, CAST(srb AS BIGINT) AS r2sum_b,
+      |  CASE WHEN na > 0 AND nb > 0 THEN
+      |   CAST(round((diff / (2.0 * nd) + 0.5) * 1.0e12) AS BIGINT) END
+      |   AS p_hat_pico,
+      |  CASE WHEN na >= 2 AND nb >= 2 AND vs > 0.0 THEN
+      |   CAST(round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * diff
+      |     / (nd * sqrt(vs)) * 1.0e12) AS BIGINT) END AS w_pico
+      | FROM dd""".stripMargin.replace("\n", " ")
+
+  /** Page's L trend of order value across priority classes within each
+    * customer ([[graft.ops.Eval.pageTrendL]]): q_jonckheere's
+    * within-block companion — every customer with orders in ALL five
+    * priorities votes on the ORDER of their own per-priority spend, so
+    * the customer-level spend effect can't drown the trend.
+    */
+  def qPageTrend(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.pageTrendL(
+      t(spark, dir, "orders")
+        .select(col("o_custkey").as("blk"),
+          col("o_orderpriority").as("cls"),
+          floor(col("o_totalprice")).as("spend")),
+      "blk", "cls", "spend")
+
+  lazy val qPageTrendSql: String =
+    """WITH base AS (SELECT o_custkey AS b, o_orderpriority AS x,
+      |   CAST(floor(o_totalprice) AS BIGINT) AS y
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      | xs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS s
+      |  FROM (SELECT DISTINCT x FROM base)),
+      | kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+      | cells AS (SELECT b, s, SUM(y) AS cell
+      |  FROM base JOIN xs USING (x) GROUP BY 1, 2),
+      | comp AS (SELECT b FROM cells GROUP BY b
+      |  HAVING COUNT(*) = (SELECT k FROM kk)),
+      | ranked AS (SELECT c.b, c.s,
+      |   2 * RANK() OVER (PARTITION BY c.b ORDER BY c.cell)
+      |    + COUNT(*) OVER (PARTITION BY c.b, c.cell) - 1 AS mr2
+      |  FROM cells c JOIN comp USING (b)),
+      | ag AS (SELECT COUNT(*) // (SELECT k FROM kk) AS n_blocks,
+      |   COALESCE(SUM(CAST(s AS HUGEINT) * mr2), 0) AS l2 FROM ranked),
+      | w AS (SELECT n_blocks, kk.k AS k, l2,
+      |   (CAST(n_blocks AS HUGEINT) * kk.k * (kk.k + 1) * (kk.k + 1)) // 2
+      |     AS e2
+      |  FROM ag, kk)
+      | SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(k AS BIGINT) AS k_classes, CAST(l2 AS BIGINT) AS l2,
+      |  CAST(e2 AS BIGINT) AS e_l2,
+      |  CASE WHEN n_blocks >= 1 AND k >= 3 THEN
+      |   CAST(round(CAST(l2 - e2 AS DOUBLE)
+      |    / sqrt(CAST(n_blocks AS DOUBLE) * k * k * (k + 1) * (k + 1)
+      |       * (k - 1) / 36.0) * 1.0e12) AS BIGINT) END AS z_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
   /** Cliff's delta of English vs non-English document length
     * ([[graft.ops.Eval.cliffsDelta]]): the ordinal effect size on the
     * q_welch_ttest design — what FRACTION of cross pairs have the

@@ -836,4 +836,86 @@ class EvalSpec extends SparkSpec {
     val r2 = Eval.brownForsythe(flat, "v", "g").collect().head
     assert(r2.isNullAt(2) && r2.isNullAt(3))
   }
+
+  test("ansariBradley: folded scores, tie midscores, signs, degenerate NULLs") {
+    // A = {1,4} brackets B = {2,3}: scores 1,2,2,1 → W_A = 2, E = 3,
+    // Var = 1/3 → z = −√3 (A is the DISPERSED side → below-mean score)
+    val sep = Seq((1L, true), (4L, true), (2L, false), (3L, false))
+      .toDF("v", "fa")
+    val r = Eval.ansariBradley(sep, "v", "fa").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getLong(2) === 2000000L)
+    assert(r.getLong(3) === 3000000L)
+    assert(r.getLong(4) === -1732050807569L)
+    // mirrored: A = {2,2} tight inside B = {1,3} — the tied run at v=2
+    // spans ranks {2,3} with score sum 4 → midscore 2 exactly; z = +√3
+    val tight = Seq((2L, true), (2L, true), (1L, false), (3L, false))
+      .toDF("v", "fa")
+    val r2 = Eval.ansariBradley(tight, "v", "fa").collect().head
+    assert(r2.getLong(2) === 4000000L)
+    assert(r2.getLong(4) === 1732050807569L)
+    // all values tied: Var = 0 → z NULL, W still reported
+    val flat2 = Seq((5L, true), (5L, false)).toDF("v", "fa")
+    val r3 = Eval.ansariBradley(flat2, "v", "fa").collect().head
+    assert(r3.getLong(2) === 1000000L && r3.isNullAt(4))
+    // a lone side: z NULL
+    val lone = Seq((1L, true), (2L, true)).toDF("v", "fa")
+    assert(Eval.ansariBradley(lone, "v", "fa").collect().head.isNullAt(4))
+  }
+
+  test("brunnerMunzel: Brunner–Munzel '00 worked example, exact rank sums, degenerate NULLs") {
+    // the canonical BM example (n_A=14, n_B=11, heavy cross ties):
+    // W = 3.1374674823029505, p̂ = 0.7889610389610390 — checked against
+    // an independent per-observation midrank computation
+    val a = Seq(1L, 2L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 2L, 4L, 1L, 1L)
+    val b = Seq(3L, 3L, 4L, 3L, 1L, 2L, 3L, 1L, 1L, 5L, 4L)
+    val df = (a.map(_ -> true) ++ b.map(_ -> false)).toDF("v", "fa")
+    val r = Eval.brunnerMunzel(df, "v", "fa").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((14L, 11L)))
+    assert((r.getLong(2), r.getLong(3)) === ((275L, 375L)))
+    assert(r.getLong(4) === 788961038961L)
+    assert(r.getLong(5) === 3137467482303L)
+    // identical singletons: variance cumulants are 0 → W NULL, p̂ = ½
+    val flat = Seq((7L, true), (7L, true), (7L, false), (7L, false))
+      .toDF("v", "fa")
+    val r2 = Eval.brunnerMunzel(flat, "v", "fa").collect().head
+    assert(r2.getLong(4) === 500000000000L && r2.isNullAt(5))
+    // n < 2 on a side: W NULL even with spread
+    val small = Seq((1L, true), (2L, false), (3L, false)).toDF("v", "fa")
+    assert(Eval.brunnerMunzel(small, "v", "fa").collect().head.isNullAt(5))
+  }
+
+  test("pageTrendL: perfect trend, within-block ties, incomplete blocks drop, k guards") {
+    // 3 complete blocks, perfect 1<2<3 trend: L = 42 → L2 = 84, E2 = 72,
+    // Var2 = 24 → z = √6
+    val perfect = (1 to 3).flatMap(bk => Seq(
+      (s"b$bk", "c1", 10L), (s"b$bk", "c2", 20L), (s"b$bk", "c3", 30L)))
+      .toDF("blk", "cls", "v")
+    val r = Eval.pageTrendL(perfect, "blk", "cls", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) === ((84L, 72L)))
+    assert(r.getLong(4) === 2449489742783L)
+    // an incomplete block (missing c3) must drop, not skew
+    val withIncomplete = perfect.union(
+      Seq(("bX", "c1", 99L), ("bX", "c2", 1L)).toDF("blk", "cls", "v"))
+    val r2 = Eval.pageTrendL(withIncomplete, "blk", "cls", "v")
+      .collect().head
+    assert((r2.getLong(0), r2.getLong(2)) === ((3L, 84L)))
+    // within-block tie: cells (5,5,7) → midranks2 (3,3,6) →
+    // block L2 = 1·3 + 2·3 + 3·6 = 27; replicated cells SUM first
+    val tied = Seq(("b1", "c1", 5L), ("b1", "c2", 3L), ("b1", "c2", 2L),
+      ("b1", "c3", 7L)).toDF("blk", "cls", "v")
+    val r3 = Eval.pageTrendL(tied, "blk", "cls", "v").collect().head
+    assert((r3.getLong(0), r3.getLong(2)) === ((1L, 27L)))
+    // k = 2: L2 computes but z is NULL (tabulated for k ≥ 3)
+    val two = Seq(("b1", "c1", 1L), ("b1", "c2", 2L)).toDF("blk", "cls", "v")
+    assert(Eval.pageTrendL(two, "blk", "cls", "v").collect().head.isNullAt(4))
+    // over-limit class axis fails the require before any ranking
+    val wide = (0 until 5).map(j => ("b1", s"c$j", j.toLong))
+      .toDF("blk", "cls", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.pageTrendL(wide, "blk", "cls", "v", maxClasses = 4).collect()
+    }
+    assert(e.getMessage.contains("exceeds 4 distinct values"))
+  }
 }

@@ -64,13 +64,19 @@ class PrefixSumSpec extends SparkSpec {
     val expect = df.agg(sum("wa"), sum("wb")).head
     assert(tots.head.getLong(0) === expect.getLong(0))
     assert(tots.head.getLong(1) === expect.getLong(1))
-    // ONE range shuffle at runtime: the offsets/totals branch re-prints
-    // the range exchange in the static adaptive plan, but AQE reuses it
-    // (the q_kmeans_refine / q_rake_phrases executed-plan precedent) —
-    // two separate inclusive calls would carry two LIVE range exchanges
+    // ONE range shuffle at runtime — now BY CONSTRUCTION, not by AQE
+    // heuristic: the ranged+pid frame is localCheckpointed, so both the
+    // window branch and the offsets branch read the SAME materialized
+    // RDD (one boundary set; un-reused range exchanges can sample
+    // DIFFERENT boundaries and corrupt the joined offsets — the
+    // q_ansari_bradley r18 incident). The executed plan must show the
+    // checkpoint scan and NO live range exchange in either branch.
     got.collect()
-    assert(got.queryExecution.executedPlan.toString.contains("ReusedExchange"),
-      "AQE stopped reusing the range exchange across the offsets branch")
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"),
+      s"prefix-sum support no longer the checkpointed frame:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"a live range exchange re-appeared above the checkpoint:\n$p")
   }
 
   test("no corpus-sized single-partition window in the executed plan") {

@@ -794,9 +794,18 @@ class PlanShapeSpec extends SparkSpec {
   test("q_ks_store: baseline comes from the store scan; one batch histogram") {
     val p = plan("q_ks_store")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("value_counts"),
-      s"stored histogram scan missing from the plan:\n$p")
+    // the stored-histogram scan runs inside the prefix-sum support's
+    // one-time checkpoint materialization, so the FINAL plan shows the
+    // checkpointed RDD, not the parquet scan — assert the support rides
+    // the checkpoint, and pin the store scan on the loader frame itself
+    // (the oracle pins that the VALUES come from the committed baseline)
+    assert(p.contains("ExistingRDD"),
+      s"prefix-sum support no longer the checkpointed frame:\n$p")
     assert(p.contains("HashAggregate"), p)
+    val loader = graft.ops.RefStore.loadValueCounts(spark,
+      Registry.valueStore(spark, dir))
+    assert(loader.queryExecution.executedPlan.toString.contains("value_counts"),
+      "stored histogram loader lost the value_counts scan")
   }
 
   test("q_canonical_remap: remap is one left join against the closed map blocks") {
@@ -1025,12 +1034,25 @@ class PlanShapeSpec extends SparkSpec {
   test("q_rank_effect / q_lorenz_deciles / q_spearman_corr / q_kruskal_wallis / q_taub_corr / q_length_gini: the value-table prefix sum is pid-partitioned, never a single-task sort") {
     Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr",
       "q_kruskal_wallis", "q_taub_corr", "q_length_gini", "q_jonckheere",
-      "q_cliffs_delta", "q_gamma_somers", "q_mood_median").foreach { q =>
+      "q_cliffs_delta", "q_gamma_somers", "q_mood_median",
+      "q_ansari_bradley", "q_brunner_munzel").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
       assert(!p.contains("CartesianProduct"), q)
     }
+  }
+
+  test("q_page_trend: per-BLOCK windows only, semi-join completeness filter, no cartesian") {
+    val p = plan("q_page_trend")
+    // the within-block ranking must never collapse to a corpus-order
+    // window (partitions are ≤ k rows by construction)
+    assert(!p.toLowerCase.contains("windowexec") ||
+      !p.contains("SinglePartition"),
+      s"q_page_trend: unpartitioned window in the block-ranking law:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"q_page_trend lost the complete-block semi filter:\n$p")
+    assert(!p.contains("CartesianProduct"), "q_page_trend")
   }
 
   test("q_cvm_drift / q_ad_drift / q_kuiper_drift: the whole-curve laws share the KS prefix-sum shape") {
