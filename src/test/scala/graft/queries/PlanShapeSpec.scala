@@ -1131,4 +1131,51 @@ class PlanShapeSpec extends SparkSpec {
         s"$name: corpus-order window:\n$p")
     }
   }
+
+  /** Spark jobs launched while building AND collecting the named query,
+    * isolated by job group. statusTracker drains the listener bus
+    * asynchronously — poll until the count is stable.
+    */
+  private def jobCount(name: String): Int = {
+    val sc = spark.sparkContext
+    val group = s"jobpin-$name"
+    sc.setJobGroup(group, group)
+    try Registry.queries(name)(spark, dir).collect()
+    finally sc.clearJobGroup()
+    var last = -1
+    var cur = sc.statusTracker.getJobIdsForGroup(group).length
+    while (cur != last) {
+      last = cur
+      Thread.sleep(300)
+      cur = sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    cur
+  }
+
+  test("q_top_component: power rounds run DRIVER-SIDE — bounded job count") {
+    // the r17 audit replaced 12 distributed power-iteration jobs over a
+    // 16-row frame with exact BigInt rounds over the once-collected
+    // covariance cells; the whole query is the covariance/moment collects
+    // plus the final 1-frame collect. A re-distributed power loop would
+    // add ~12 jobs — pin the ceiling well below that.
+    // measured 10 on this config (covariance + moment + count collects,
+    // AQE stage jobs included); the re-distributed loop adds 12 more
+    val n = jobCount("q_top_component")
+    assert(n <= 14,
+      s"q_top_component spawned $n jobs — the distributed power-round pattern is back")
+  }
+
+  test("q_hits: cadence-1 per-round checkpoints stay — job count floor and ceiling") {
+    // the r17 audit pinned per-round materialization (auth THEN hub each
+    // round, 5 rounds) + the final densify checkpoint: a lazy-composition
+    // regression collapses the run to a handful of jobs (and re-doubles
+    // the per-round subtree, measured 5.6 -> 7.8 s), while a per-round
+    // densify would roughly double per-round work. Pin the band.
+    // measured 82 on this config (11 checkpoints x ~7 AQE stage jobs);
+    // the band is deliberately wide — it guards the ORDER of magnitude,
+    // not the exact schedule
+    val n = jobCount("q_hits")
+    assert(n >= 30, s"q_hits ran only $n jobs — per-round checkpoints lost")
+    assert(n <= 140, s"q_hits spawned $n jobs — per-round work multiplied")
+  }
 }
