@@ -1788,15 +1788,47 @@ object Eval {
   def pageTrendL(df: DataFrame, blockCol: String, classCol: String,
       valueCol: String, maxClasses: Int = 64): DataFrame = {
     val dec = "decimal(38,0)"
+    val (ranked, k) = blockRanks(df, blockCol, classCol, valueCol,
+      maxClasses, "pageTrendL")
+    val agg = ranked.agg(
+      expr(s"coalesce(count(1), 0L) div ${k}L").as("n_blocks"),
+      coalesce(sum(col("_s").cast(dec) * col("_mr2").cast(dec)),
+        lit(java.math.BigDecimal.ZERO).cast(dec)).as("_l2"))
+    // E[2L] = n·k(k+1)²/2 — k(k+1)² is always even, so the div is exact
+    val e2i = expr(s"CAST((CAST(n_blocks AS $dec) * " +
+      s"${k.toLong * (k + 1) * (k + 1)}L) div 2 AS $dec)")
+    val var2 = col("n_blocks").cast("double") *
+      lit(k.toDouble * k * (k + 1) * (k + 1) * (k - 1) / 36.0)
+    agg.select(col("n_blocks"), lit(k.toLong).as("k_classes"),
+      col("_l2").cast("long").as("l2"),
+      e2i.cast("long").as("e_l2"),
+      when(col("n_blocks") >= 1L && lit(k) >= 3 && var2 > 0.0,
+        round((col("_l2") - e2i).cast("double")
+          / sqrt(greatest(var2, lit(1.0e-300))) * lit(1.0e12)).cast("long"))
+        .as("z_pico"))
+  }
+
+  /** Shared complete-block within-block midrank scaffold of the
+    * block-design family ([[pageTrendL]], [[friedmanKendallW]]): bounded
+    * ascending class collect (scores 1..k — TakeOrdered probe, hard
+    * require), replicated (block, class) cells reduced by SUM, blocks
+    * missing any class dropped via a semi-join, and doubled within-block
+    * midranks (2·midrank = 2·min-rank + ties − 1, exact integers) from
+    * per-BLOCK windows over ≤ k-row partitions. Returns (ranked frame
+    * with (_b, _s, _cell, _mr2), k).
+    */
+  private def blockRanks(df: DataFrame, blockCol: String, classCol: String,
+      valueCol: String, maxClasses: Int,
+      op: String): (DataFrame, Int) = {
     val base = df.filter(col(blockCol).isNotNull && col(classCol).isNotNull
         && col(valueCol).isNotNull)
       .select(col(blockCol).as("_b"), col(classCol).as("_x"),
         col(valueCol).cast("long").as("_y"))
     val cls = base.select(col("_x")).distinct()
       .orderBy(col("_x")).limit(maxClasses + 1).collect().map(_.get(0))
-    require(cls.nonEmpty, "pageTrendL: no non-null (block, class, value) rows")
+    require(cls.nonEmpty, s"$op: no non-null (block, class, value) rows")
     require(cls.length <= maxClasses,
-      s"pageTrendL: class column exceeds $maxClasses distinct values — " +
+      s"$op: class column exceeds $maxClasses distinct values — " +
         "the within-block ranking law needs a bounded ordinal axis; " +
         "bin the column or raise maxClasses")
     val k = cls.length
@@ -1815,21 +1847,219 @@ object Eval {
     val ranked = cells.join(complete, Seq("_b"), "left_semi")
       .withColumn("_mr2", lit(2L) * rank().over(wRank).cast("long")
         + count(lit(1)).over(wTie) - lit(1L))
-    val agg = ranked.agg(
-      expr(s"coalesce(count(1), 0L) div ${k}L").as("n_blocks"),
-      coalesce(sum(col("_s").cast(dec) * col("_mr2").cast(dec)),
-        lit(java.math.BigDecimal.ZERO).cast(dec)).as("_l2"))
-    // E[2L] = n·k(k+1)²/2 — k(k+1)² is always even, so the div is exact
-    val e2i = expr(s"CAST((CAST(n_blocks AS $dec) * " +
-      s"${k.toLong * (k + 1) * (k + 1)}L) div 2 AS $dec)")
-    val var2 = col("n_blocks").cast("double") *
-      lit(k.toDouble * k * (k + 1) * (k + 1) * (k - 1) / 36.0)
+    (ranked, k)
+  }
+
+  /** Friedman's rank test for complete block designs (Friedman, JASA
+    * '37) with Kendall's coefficient of concordance W ('39) —
+    * [[pageTrendL]]'s UNORDERED sibling: does the class matter AT ALL
+    * within blocks (any permutation alternative), where Page asks for a
+    * monotone trend? W rescales the same statistic to [0, 1] agreement
+    * ("how unanimously do blocks rank the classes the same way").
+    *
+    * Exact law on the shared [[pageTrendL]] block-rank scaffold
+    * (doubled midranks, SUM cells, complete blocks only), in Conover's
+    * tie-corrected form — all ×4-scaled terms exact integers:
+    *
+    *   S4 = Σ_j (R2_j − n(k+1))²   (R2_j = Σ_blocks mr2 of class j)
+    *   A4 = Σ_cells mr2²,  C4 = n·k·(k+1)²
+    *   χ² = (k−1)·S4 / (A4 − C4)    [ties: A4 < nk(k+1)(2k+1)/... ]
+    *   W  = χ² / (n·(k−1))          (the standard identity, which IS
+    *                                 the tie-corrected W)
+    *
+    * One pinned double chain each, pico-rounded; NULL both when
+    * A4 = C4 (every block fully tied — no ranking information) or
+    * n = 0 or k < 2.
+    *
+    * Scale shape: the scaffold's one (block, class) aggregate +
+    * semi-filter + per-block windows, then a ≤ k-row per-class
+    * aggregate and a 1-row fold. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Output (1 row): (n_blocks, k_classes, s4, a4, chi2_pico, w_pico).
+    */
+  def friedmanKendallW(df: DataFrame, blockCol: String, classCol: String,
+      valueCol: String, maxClasses: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (ranked, k) = blockRanks(df, blockCol, classCol, valueCol,
+      maxClasses, "friedmanKendallW")
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    // per-class rank sums: a ≤ k-row frame (bounded by configuration)
+    val perClass = ranked.groupBy(col("_s"))
+      .agg(sum(col("_mr2").cast(dec)).as("_r2"),
+        sum(col("_mr2").cast(dec) * col("_mr2").cast(dec)).as("_q2"),
+        count(lit(1)).as("_nb"))
+    val agg = perClass.agg(
+      expr(s"coalesce(CAST(max(_nb) AS BIGINT), 0L)").as("n_blocks"),
+      coalesce(sum(col("_q2")), zero).as("_a4"),
+      coalesce(sum(col("_r2")), zero).as("_sr"),
+      coalesce(sum(col("_r2") * col("_r2")), zero).as("_srr"))
+    // Σ(R2_j − n(k+1))² = ΣR2² − 2n(k+1)ΣR2 + k·n²(k+1)²; with
+    // ΣR2 = n·k·(k+1) (midrank mass is invariant) this folds to
+    // ΣR2² − k·n²(k+1)² — exact integers
+    val nD = col("n_blocks").cast(dec)
+    val s4 = col("_srr") - lit(k.toLong).cast(dec) * nD * nD *
+      lit(((k + 1).toLong * (k + 1))).cast(dec)
+    val c4 = nD * lit(k.toLong * (k + 1) * (k + 1)).cast(dec)
+    val denom = col("_a4") - c4
+    val chi2 = lit((k - 1).toDouble) * s4.cast("double") /
+      greatest(denom.cast("double"), lit(1.0e-300))
     agg.select(col("n_blocks"), lit(k.toLong).as("k_classes"),
-      col("_l2").cast("long").as("l2"),
-      e2i.cast("long").as("e_l2"),
-      when(col("n_blocks") >= 1L && lit(k) >= 3 && var2 > 0.0,
-        round((col("_l2") - e2i).cast("double")
-          / sqrt(greatest(var2, lit(1.0e-300))) * lit(1.0e12)).cast("long"))
+      s4.cast("long").as("s4"), col("_a4").cast("long").as("a4"),
+      when(col("n_blocks") >= 1L && lit(k) >= 2 && denom > zero,
+        round(chi2 * lit(1.0e12)).cast("long")).as("chi2_pico"),
+      when(col("n_blocks") >= 1L && lit(k) >= 2 && denom > zero,
+        round(chi2 / (col("n_blocks").cast("double") * lit((k - 1).toDouble))
+          * lit(1.0e12)).cast("long")).as("w_pico"))
+  }
+
+  /** Cuzick's Wilcoxon-type trend test across ordered groups (Cuzick,
+    * Stat. Med. '85) — the POOLED-rank companion of [[pageTrendL]]
+    * (no block structure needed) and the k-group generalization of the
+    * rank-sum trend [[jonckheereTerpstra]] reads pairwise: T = Σ l_i·r_i
+    * with group scores l = 1..k and pooled midranks r.
+    *
+    * Exact law: doubled midranks off the value-frequency table's ONE
+    * [[PrefixSum.inclusive]] pass give T2 = Σ l·mr2 exactly;
+    * E[T2] = (Σ_i l_i)·(N+1) is exact (midrank mass is tie-invariant);
+    * the permutation variance of a linear rank statistic,
+    *
+    *   Var[T2] = (Σ(l−l̄)²)·(Σ(mr2−m̄r2)²)/(N−1)
+    *           = (Sll − Sl²/N)·(Saa4 − N(N+1)²)/(N−1),
+    *
+    * reads four exact integer cumulants (Sl, Sll, Saa4, N) — midrank
+    * ties need no separate correction, the midranks themselves carry
+    * it. z = (T2 − E[T2])/√Var[T2] is ONE pinned double chain,
+    * pico-rounded; NULL when N < 2 or Var ≤ 0 (a single class or all
+    * values tied).
+    *
+    * Scale shape: one (class, value) hash aggregate folded to bounded
+    * per-class count columns (the [[kendallTauB]] classCumulants
+    * discipline — TakeOrdered probe, hard require), one prefix-sum
+    * pass, a 1-row aggregate. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Output (1 row): (n_rows, k_classes, t2, e_t2, z_pico).
+    */
+  def cuzickTrend(df: DataFrame, classCol: String, valueCol: String,
+      maxClasses: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(classCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(classCol).as("_x"), col(valueCol).cast("long").as("_v"))
+    val cls = base.select(col("_x")).distinct()
+      .orderBy(col("_x")).limit(maxClasses + 1).collect().map(_.get(0))
+    require(cls.nonEmpty, "cuzickTrend: no non-null (class, value) rows")
+    require(cls.length <= maxClasses,
+      s"cuzickTrend: class column exceeds $maxClasses distinct values — " +
+        "the per-class cumulative law needs a bounded ordinal axis; " +
+        "bin the column or raise maxClasses")
+    val k = cls.length
+    val vt = base.groupBy(col("_v")).agg(
+      sum(when(col("_x") === lit(cls(0)), 1L).otherwise(0L)).as("_c0"),
+      (1 until k).map(j =>
+        sum(when(col("_x") === lit(cls(j)), 1L).otherwise(0L))
+          .as(s"_c$j")): _*)
+    val m = (0 until k).map(j => col(s"_c$j")).reduce(_ + _)
+    val cum = PrefixSum.inclusiveAll(vt.withColumn("_m", m), "_v",
+      Seq(col("_m") -> "_cum"), withTotals = true)
+      .withColumn("_mr2",
+        lit(2L) * col("_cum") - col("_m") + lit(1L))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val lw = (0 until k).map(j =>
+      col(s"_c$j") * lit((j + 1).toLong)).reduce(_ + _)
+    val lw2 = (0 until k).map(j =>
+      col(s"_c$j") * lit(((j + 1).toLong * (j + 1)))).reduce(_ + _)
+    val agg = cum.agg(
+      coalesce(max(col("_cum_total")), lit(0L)).as("n_rows"),
+      coalesce(sum(lw.cast(dec)), zero).as("_sl"),
+      coalesce(sum(lw2.cast(dec)), zero).as("_sll"),
+      coalesce(sum(lw.cast(dec) * col("_mr2").cast(dec)), zero).as("_t2"),
+      coalesce(sum(col("_m").cast(dec) * col("_mr2").cast(dec)
+        * col("_mr2").cast(dec)), zero).as("_saa4"))
+    // greatest clamps: identity whenever the matching when() fires
+    val nD = greatest(col("n_rows"), lit(1L)).cast("double")
+    val n1 = greatest(col("n_rows") - lit(1L), lit(1L)).cast("double")
+    val e2 = col("_sl") * (col("n_rows").cast(dec) + lit(1L).cast(dec))
+    val sll = col("_sll").cast("double") -
+      col("_sl").cast("double") * col("_sl").cast("double") / nD
+    val saa = col("_saa4").cast("double") -
+      nD * (col("n_rows").cast("double") + lit(1.0)) *
+        (col("n_rows").cast("double") + lit(1.0))
+    val varT = sll * saa / n1
+    agg.select(col("n_rows"), lit(k.toLong).as("k_classes"),
+      col("_t2").cast("long").as("t2"), e2.cast("long").as("e_t2"),
+      when(col("n_rows") >= 2L && varT > 0.0,
+        round((col("_t2") - e2).cast("double")
+          / sqrt(greatest(varT, lit(1.0e-300))) * lit(1.0e12)).cast("long"))
+        .as("z_pico"))
+  }
+
+  /** Mood's squared-rank scale test (Mood '54) — [[ansariBradley]]'s
+    * quadratic-score sibling with the OPPOSITE sign convention: scores
+    * a = (mr2 − (N+1))² = 4·(r − (N+1)/2)² grow in the TAILS, so
+    * T = Σ_A a is LARGE when group A is MORE dispersed (z > 0 reads "A
+    * wider" — AB's folded scores read the converse). Quadratic scores
+    * weight far-tail excursions harder than AB's linear fold, the
+    * variance-sensitive member of the scale pair.
+    *
+    * Exact law: doubled pooled midranks off the value-table prefix sum
+    * make every score an exact integer (×4 scale); T4 = Σ_A a and the
+    * permutation moments of the linear rank statistic,
+    *
+    *   E[T4] = n_A·(Σa)/N,
+    *   Var[T4] = n_A·n_B·(Σ(a−ā)²) / (N·(N−1)),
+    *
+    * read exact integer cumulants (Σa, Σa² in DECIMAL(38,0) — a² is
+    * N⁴-scale, the domain bound is N ≈ 10⁷ rows; past that, sample
+    * first). One pinned double chain for z; NULL when either side is
+    * empty, N < 2, or Var ≤ 0.
+    *
+    * Scale shape: one (value) hash aggregate with both class weights →
+    * one shared prefix-sum pass → a 1-row aggregate. INTEGRAL-VALUE
+    * CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_a, n_b, t4, e_t4_micro, z_pico).
+    */
+  def moodScaleTest(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"),
+        col(isACol).cast("boolean").as("_a"))
+    val bt = base.groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_fa"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_fb"))
+      .withColumn("_m", col("_fa") + col("_fb"))
+    val cum = PrefixSum.inclusiveAll(bt, "_v", Seq(col("_m") -> "_cum"),
+      withTotals = true)
+      .withColumn("_mr2", lit(2L) * col("_cum") - col("_m") + lit(1L))
+      .withColumn("_ad", (col("_mr2") - (col("_cum_total") + lit(1L)))
+        .cast(dec))
+      .withColumn("_a4", col("_ad") * col("_ad"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg = cum.agg(
+      coalesce(sum(col("_fa")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_fb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_fa").cast(dec) * col("_a4")), zero).as("_t4"),
+      coalesce(sum(col("_m").cast(dec) * col("_a4")), zero).as("_sa"),
+      coalesce(sum(col("_m").cast(dec) * col("_a4") * col("_a4")), zero)
+        .as("_saa"))
+    // greatest clamps: identity whenever the matching when() fires
+    val nD = greatest(col("n_a") + col("n_b"), lit(1L)).cast("double")
+    val n1 = greatest(col("n_a") + col("n_b") - lit(1L), lit(1L))
+      .cast("double")
+    val eT = col("n_a").cast("double") * col("_sa").cast("double") / nD
+    val ssq = col("_saa").cast("double") -
+      col("_sa").cast("double") * col("_sa").cast("double") / nD
+    val varT = col("n_a").cast("double") * col("n_b").cast("double") *
+      ssq / (nD * n1)
+    agg.select(col("n_a"), col("n_b"), col("_t4").cast("long").as("t4"),
+      when(col("n_a") + col("n_b") > 0L,
+        round(eT * lit(1.0e6)).cast("long")).as("e_t4_micro"),
+      when(col("n_a") > 0L && col("n_b") > 0L &&
+        col("n_a") + col("n_b") >= 2L && varT > 0.0,
+        round((col("_t4").cast("double") - eT)
+          / sqrt(greatest(varT, lit(1.0e-300))) * lit(1.0e12)).cast("long"))
         .as("z_pico"))
   }
 

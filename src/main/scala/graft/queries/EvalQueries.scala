@@ -1414,6 +1414,155 @@ trait EvalQueries { self: RegistryAll =>
       |       * (k - 1) / 36.0) * 1.0e12) AS BIGINT) END AS z_pico
       | FROM w""".stripMargin.replace("\n", " ")
 
+  /** Friedman χ² + Kendall's W over the q_page_trend block design
+    * ([[graft.ops.Eval.friedmanKendallW]]): does priority matter AT ALL
+    * to a customer's per-priority spend (any-permutation alternative),
+    * and how unanimously do customers rank the priorities the same way —
+    * the unordered sibling of q_page_trend on the same scaffold.
+    */
+  def qFriedmanW(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.friedmanKendallW(
+      t(spark, dir, "orders")
+        .select(col("o_custkey").as("blk"),
+          col("o_orderpriority").as("cls"),
+          floor(col("o_totalprice")).as("spend")),
+      "blk", "cls", "spend")
+
+  lazy val qFriedmanWSql: String =
+    """WITH base AS (SELECT o_custkey AS b, o_orderpriority AS x,
+      |   CAST(floor(o_totalprice) AS BIGINT) AS y
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      | xs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS s
+      |  FROM (SELECT DISTINCT x FROM base)),
+      | kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+      | cells AS (SELECT b, s, SUM(y) AS cell
+      |  FROM base JOIN xs USING (x) GROUP BY 1, 2),
+      | comp AS (SELECT b FROM cells GROUP BY b
+      |  HAVING COUNT(*) = (SELECT k FROM kk)),
+      | ranked AS (SELECT c.b, c.s,
+      |   2 * RANK() OVER (PARTITION BY c.b ORDER BY c.cell)
+      |    + COUNT(*) OVER (PARTITION BY c.b, c.cell) - 1 AS mr2
+      |  FROM cells c JOIN comp USING (b)),
+      | pc AS (SELECT s, CAST(SUM(mr2) AS HUGEINT) AS r2,
+      |   CAST(SUM(CAST(mr2 AS HUGEINT) * mr2) AS HUGEINT) AS q2,
+      |   COUNT(*) AS nb FROM ranked GROUP BY 1),
+      | ag AS (SELECT COALESCE(CAST(MAX(nb) AS BIGINT), 0) AS n,
+      |   COALESCE(SUM(q2), 0) AS a4, COALESCE(SUM(r2 * r2), 0) AS srr
+      |  FROM pc),
+      | w AS (SELECT n, kk.k AS k, a4,
+      |   srr - kk.k * CAST(n AS HUGEINT) * n * (kk.k + 1) * (kk.k + 1)
+      |     AS s4,
+      |   a4 - CAST(n AS HUGEINT) * kk.k * (kk.k + 1) * (kk.k + 1) AS den
+      |  FROM ag, kk)
+      | SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_classes,
+      |  CAST(s4 AS BIGINT) AS s4, CAST(a4 AS BIGINT) AS a4,
+      |  CASE WHEN n >= 1 AND k >= 2 AND den > 0 THEN
+      |   CAST(round(CAST(k - 1 AS DOUBLE) * CAST(s4 AS DOUBLE)
+      |    / CAST(den AS DOUBLE) * 1.0e12) AS BIGINT) END AS chi2_pico,
+      |  CASE WHEN n >= 1 AND k >= 2 AND den > 0 THEN
+      |   CAST(round(CAST(k - 1 AS DOUBLE) * CAST(s4 AS DOUBLE)
+      |    / CAST(den AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)) * 1.0e12)
+      |    AS BIGINT) END AS w_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
+  /** Cuzick's trend of extended price across quantity brackets
+    * ([[graft.ops.Eval.cuzickTrend]]): does price trend monotonically
+    * across the five l_quantity bands? — the pooled-midrank trend
+    * statistic, a distinct design from q_jonckheere's discount classes.
+    */
+  def qCuzickTrend(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.cuzickTrend(
+      t(spark, dir, "lineitem")
+        .select(expr("least(CAST(floor(l_quantity) AS BIGINT) div 10, 4L)")
+          .as("qband"),
+          floor(col("l_extendedprice")).as("price")),
+      "qband", "price")
+
+  lazy val qCuzickTrendSql: String =
+    """WITH base AS (SELECT
+      |   least(CAST(floor(l_quantity) AS BIGINT) // 10, 4) AS x,
+      |   CAST(floor(l_extendedprice) AS BIGINT) AS v
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      | xs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS l
+      |  FROM (SELECT DISTINCT x FROM base)),
+      | kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+      | sc AS (SELECT l, v FROM base JOIN xs USING (x)),
+      | vt AS (SELECT v, CAST(SUM(l) AS HUGEINT) AS lw,
+      |   CAST(SUM(CAST(l AS HUGEINT) * l) AS HUGEINT) AS lw2,
+      |   CAST(COUNT(*) AS HUGEINT) AS m FROM sc GROUP BY 1),
+      | cumt AS (SELECT lw, lw2, m,
+      |   2 * SUM(m) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1
+      |     AS mr2,
+      |   SUM(m) OVER () AS nn FROM vt),
+      | ag AS (SELECT COALESCE(MAX(nn), 0) AS n, COALESCE(SUM(lw), 0) AS sl,
+      |   COALESCE(SUM(lw2), 0) AS sll, COALESCE(SUM(lw * mr2), 0) AS t2,
+      |   COALESCE(SUM(m * mr2 * mr2), 0) AS saa4 FROM cumt),
+      | dd AS (SELECT n, kk.k AS k, t2, sl * (n + 1) AS e2,
+      |   (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+      |      / CAST(n AS DOUBLE))
+      |   * (CAST(saa4 AS DOUBLE) - CAST(n AS DOUBLE)
+      |      * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0))
+      |   / CAST(n - 1 AS DOUBLE) AS vr
+      |  FROM ag, kk)
+      | SELECT CAST(n AS BIGINT) AS n_rows, k AS k_classes,
+      |  CAST(t2 AS BIGINT) AS t2, CAST(e2 AS BIGINT) AS e_t2,
+      |  CASE WHEN n >= 2 AND vr > 0.0 THEN
+      |   CAST(round(CAST(t2 - e2 AS DOUBLE) / sqrt(vr) * 1.0e12)
+      |     AS BIGINT) END AS z_pico
+      | FROM dd""".stripMargin.replace("\n", " ")
+
+  /** Mood's squared-rank scale test of English vs non-English document
+    * length ([[graft.ops.Eval.moodScaleTest]]): is the en length
+    * distribution WIDER than the rest's? — the variance-sensitive
+    * member of the scale pair (q_ansari_bradley weights the centre;
+    * this weights the tails), on the q_welch_ttest design.
+    */
+  def qMoodScale(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.moodScaleTest(
+      t(spark, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .select(col("n_chars").cast("long").as("len"),
+          (col("lang") === "en").as("is_en")),
+      "len", "is_en")
+
+  lazy val qMoodScaleSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS a
+      |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+      | bt AS (SELECT v,
+      |   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS fa,
+      |   CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS fb
+      |  FROM base GROUP BY 1),
+      | cumt AS (SELECT fa, fb, fa + fb AS m,
+      |   2 * SUM(fa + fb) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - (fa + fb) + 1 AS mr2,
+      |   SUM(fa + fb) OVER () AS nn FROM bt),
+      | sc AS (SELECT fa, fb, m,
+      |   (mr2 - (nn + 1)) * (mr2 - (nn + 1)) AS a4 FROM cumt),
+      | ag AS (SELECT COALESCE(SUM(fa), 0) AS na, COALESCE(SUM(fb), 0) AS nb,
+      |   COALESCE(SUM(fa * a4), 0) AS t4, COALESCE(SUM(m * a4), 0) AS sa,
+      |   COALESCE(SUM(m * a4 * a4), 0) AS saa FROM sc),
+      | dd AS (SELECT na, nb, t4,
+      |   CAST(na AS DOUBLE) * CAST(sa AS DOUBLE)
+      |     / CAST(na + nb AS DOUBLE) AS et,
+      |   CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |    * (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+      |       / CAST(na + nb AS DOUBLE))
+      |    / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)) AS vr
+      |  FROM ag)
+      | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(t4 AS BIGINT) AS t4,
+      |  CASE WHEN na + nb > 0 THEN CAST(round(et * 1.0e6) AS BIGINT) END
+      |    AS e_t4_micro,
+      |  CASE WHEN na > 0 AND nb > 0 AND na + nb >= 2 AND vr > 0.0 THEN
+      |   CAST(round((CAST(t4 AS DOUBLE) - et) / sqrt(vr) * 1.0e12)
+      |     AS BIGINT) END AS z_pico
+      | FROM dd""".stripMargin.replace("\n", " ")
+
   /** Cliff's delta of English vs non-English document length
     * ([[graft.ops.Eval.cliffsDelta]]): the ordinal effect size on the
     * q_welch_ttest design — what FRACTION of cross pairs have the

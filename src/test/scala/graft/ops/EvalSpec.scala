@@ -918,4 +918,71 @@ class EvalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exceeds 4 distinct values"))
   }
+
+  test("friedmanKendallW: perfect agreement, single tied block, all-tied NULL") {
+    // 3 blocks in perfect agreement: classic χ²_F = 6, W = 1
+    val perfect = (1 to 3).flatMap(bk => Seq(
+      (s"b$bk", "c1", 10L), (s"b$bk", "c2", 20L), (s"b$bk", "c3", 30L)))
+      .toDF("blk", "cls", "v")
+    val r = Eval.friedmanKendallW(perfect, "blk", "cls", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) === ((72L, 168L)))
+    assert(r.getLong(4) === 6000000000000L)
+    assert(r.getLong(5) === 1000000000000L)
+    // one block with a tie (5,5,7): mr2 = (3,3,6) → S4 = 6, A4 = 54,
+    // C4 = 48 → χ² = 2·6/6 = 2, W = 2/(1·2) = 1
+    val tied = Seq(("b1", "c1", 5L), ("b1", "c2", 5L), ("b1", "c3", 7L))
+      .toDF("blk", "cls", "v")
+    val r2 = Eval.friedmanKendallW(tied, "blk", "cls", "v").collect().head
+    assert((r2.getLong(2), r2.getLong(3)) === ((6L, 54L)))
+    assert(r2.getLong(4) === 2000000000000L)
+    // every block fully tied: A4 = C4 → no ranking information → NULLs
+    val flat = Seq(("b1", "c1", 5L), ("b1", "c2", 5L), ("b1", "c3", 5L))
+      .toDF("blk", "cls", "v")
+    val r3 = Eval.friedmanKendallW(flat, "blk", "cls", "v").collect().head
+    assert(r3.isNullAt(4) && r3.isNullAt(5))
+  }
+
+  test("cuzickTrend: perfect trend, ties through midranks, degenerate NULLs") {
+    // classes c1<c2<c3, one obs each, values increasing: T2 = 28,
+    // E2 = 24, Var = 8 → z = √2
+    val up = Seq(("c1", 1L), ("c2", 2L), ("c3", 3L)).toDF("cls", "v")
+    val r = Eval.cuzickTrend(up, "cls", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) === ((28L, 24L)))
+    assert(r.getLong(4) === 1414213562373L)
+    // ties ride the midranks: c1 = {1,1}, c2 = {1,2} → T2 = 32,
+    // E2 = 30, Var = 4 → z = 1
+    val ties = Seq(("c1", 1L), ("c1", 1L), ("c2", 1L), ("c2", 2L))
+      .toDF("cls", "v")
+    val r2 = Eval.cuzickTrend(ties, "cls", "v").collect().head
+    assert((r2.getLong(2), r2.getLong(3)) === ((32L, 30L)))
+    assert(r2.getLong(4) === 1000000000000L)
+    // all values tied: Var = 0 → NULL; single class likewise
+    val flat = Seq(("c1", 7L), ("c2", 7L)).toDF("cls", "v")
+    assert(Eval.cuzickTrend(flat, "cls", "v").collect().head.isNullAt(4))
+    val one = Seq(("c1", 1L), ("c1", 2L)).toDF("cls", "v")
+    assert(Eval.cuzickTrend(one, "cls", "v").collect().head.isNullAt(4))
+  }
+
+  test("moodScaleTest: quadratic scores flag the dispersed side positive, degenerate NULLs") {
+    // A = {1,4} brackets B = {2,3}: scores (9,1,1,9) → T4 = 18, E = 10,
+    // Var = 64/3 → z = +√3 — the SIGN CONTRAST with ansariBradley,
+    // whose folded scores read the same data at −√3
+    val sep = Seq((1L, true), (4L, true), (2L, false), (3L, false))
+      .toDF("v", "fa")
+    val r = Eval.moodScaleTest(sep, "v", "fa").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getLong(2) === 18L)
+    assert(r.getLong(3) === 10000000L)
+    assert(r.getLong(4) === 1732050807569L)
+    val ab = Eval.ansariBradley(sep, "v", "fa").collect().head
+    assert(ab.getLong(4) === -r.getLong(4), "AB and Mood-scale must mirror")
+    // all tied: Var = 0 → NULL z
+    val flat = Seq((5L, true), (5L, false)).toDF("v", "fa")
+    assert(Eval.moodScaleTest(flat, "v", "fa").collect().head.isNullAt(4))
+    // lone side: NULL z
+    val lone = Seq((1L, true), (2L, true)).toDF("v", "fa")
+    assert(Eval.moodScaleTest(lone, "v", "fa").collect().head.isNullAt(4))
+  }
 }

@@ -1035,7 +1035,8 @@ class PlanShapeSpec extends SparkSpec {
     Seq("q_rank_effect", "q_lorenz_deciles", "q_spearman_corr",
       "q_kruskal_wallis", "q_taub_corr", "q_length_gini", "q_jonckheere",
       "q_cliffs_delta", "q_gamma_somers", "q_mood_median",
-      "q_ansari_bradley", "q_brunner_munzel").foreach { q =>
+      "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
+      "q_mood_scale").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
@@ -1043,16 +1044,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_page_trend: per-BLOCK windows only, semi-join completeness filter, no cartesian") {
-    val p = plan("q_page_trend")
-    // the within-block ranking must never collapse to a corpus-order
-    // window (partitions are ≤ k rows by construction)
-    assert(!p.toLowerCase.contains("windowexec") ||
-      !p.contains("SinglePartition"),
-      s"q_page_trend: unpartitioned window in the block-ranking law:\n$p")
-    assert(p.contains("LeftSemi"),
-      s"q_page_trend lost the complete-block semi filter:\n$p")
-    assert(!p.contains("CartesianProduct"), "q_page_trend")
+  test("q_page_trend / q_friedman_w: per-BLOCK windows only, semi-join completeness filter, no cartesian") {
+    for (name <- Seq("q_page_trend", "q_friedman_w")) {
+      val p = plan(name)
+      // the within-block ranking must never collapse to a corpus-order
+      // window (partitions are ≤ k rows by construction)
+      assert(!p.toLowerCase.contains("windowexec") ||
+        !p.contains("SinglePartition"),
+        s"$name: unpartitioned window in the block-ranking law:\n$p")
+      assert(p.contains("LeftSemi"),
+        s"$name lost the complete-block semi filter:\n$p")
+      assert(!p.contains("CartesianProduct"), name)
+    }
   }
 
   test("q_cvm_drift / q_ad_drift / q_kuiper_drift: the whole-curve laws share the KS prefix-sum shape") {
