@@ -1994,6 +1994,169 @@ object Eval {
         .as("z_pico"))
   }
 
+  /** Quade's weighted-block rank test (Quade, JASA '79) — the member of
+    * the complete-block family ([[friedmanKendallW]], [[pageTrendL]])
+    * that lets blocks with a LARGER within-block spread vote harder:
+    * blocks are ranked by their cell RANGE across the design, and each
+    * block's within-block rank deviations are weighted by that range
+    * rank — a treatment effect visible only in high-variation blocks
+    * survives dilution by flat blocks.
+    *
+    * Exact law on the shared [[pageTrendL]] scaffold plus ONE
+    * [[PrefixSum.inclusive]] pass over the block-range frequency table
+    * (ranges of 100 TB of blocks never sort in one task): with doubled
+    * within-block midranks mr2, doubled cross-block range midranks Q2,
+    * and S4 = Q2·(mr2 − (k+1)) (×4-scaled, exact integers),
+    *
+    *   A16 = Σ S4²,  B16n = Σ_j (Σ_blocks S4)²,
+    *   T3 = (n−1)·B16n / (n·A16 − B16n)
+    *
+    * — the classic (n−1)·B/(A−B) cleared of fractions. One pinned
+    * double chain, pico-rounded; NULL when n < 2 or the denominator is
+    * ≤ 0 (every block fully tied). A fully-tied block contributes 0 to
+    * every term regardless of its range rank (mr2 = k+1 exactly).
+    *
+    * Scale shape: the block scaffold's aggregate + semi-filter +
+    * per-block windows, a |blocks|-row range aggregate, one distributed
+    * prefix-sum pass over DISTINCT range values, a hash join back, one
+    * 1-row fold. INTEGRAL-VALUE CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_blocks, k_classes, a16, b16n, t3_pico).
+    */
+  def quadeTest(df: DataFrame, blockCol: String, classCol: String,
+      valueCol: String, maxClasses: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val (ranked, k) = blockRanks(df, blockCol, classCol, valueCol,
+      maxClasses, "quadeTest")
+    val ranges = ranked.groupBy(col("_b"))
+      .agg((max(col("_cell")) - min(col("_cell"))).as("_rng"))
+    val rt = ranges.groupBy(col("_rng")).agg(count(lit(1)).as("_rc"))
+    val rq = PrefixSum.inclusive(rt, "_rng", col("_rc"), "_rcum")
+      .select(col("_rng"),
+        (lit(2L) * col("_rcum") - col("_rc") + lit(1L)).as("_q2"))
+    val weighted = ranked
+      .join(ranges.join(rq, "_rng").select(col("_b"), col("_q2")), "_b")
+      .withColumn("_s4",
+        col("_q2") * (col("_mr2") - lit((k + 1).toLong)))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val perClass = weighted.groupBy(col("_s"))
+      .agg(sum(col("_s4").cast(dec)).as("_sb"),
+        sum(col("_s4").cast(dec) * col("_s4").cast(dec)).as("_qb"),
+        count(lit(1)).as("_nb"))
+    val agg = perClass.agg(
+      coalesce(max(col("_nb")), lit(0L)).as("n_blocks"),
+      coalesce(sum(col("_qb")), zero).as("_a16"),
+      coalesce(sum(col("_sb") * col("_sb")), zero).as("_b16n"))
+    val denom = col("n_blocks").cast(dec) * col("_a16") - col("_b16n")
+    val t3 = (col("n_blocks") - lit(1L)).cast("double") *
+      col("_b16n").cast("double") /
+      greatest(denom.cast("double"), lit(1.0e-300))
+    agg.select(col("n_blocks"), lit(k.toLong).as("k_classes"),
+      col("_a16").cast("long").as("a16"),
+      col("_b16n").cast("long").as("b16n"),
+      when(col("n_blocks") >= 2L && denom > zero,
+        round(t3 * lit(1.0e12)).cast("long")).as("t3_pico"))
+  }
+
+  /** Dunn's post-hoc test (Dunn, Technometrics '64) — the pairwise
+    * follow-up to [[kruskalWallis]]: which group PAIRS differ, once the
+    * omnibus H says something does. For every pair (i, j) of groups,
+    *
+    *   z_ij = (R̄_i − R̄_j) / √(σ²·(1/n_i + 1/n_j)),
+    *   σ² = N(N+1)/12 − ΣT/(12(N−1)),  ΣT = Σ_values (m³ − m)
+    *
+    * with pooled midranks and the standard tie correction.
+    *
+    * Exact law: per-group doubled midrank sums R2_j, group sizes, N and
+    * the tie mass are exact integers off the value-frequency table's
+    * ONE [[PrefixSum.inclusive]] pass (the [[cuzickTrend]] scaffold);
+    * the k(k−1)/2 pair z's are then one pinned double chain each,
+    * computed DRIVER-SIDE over the once-collected ≤(2k+2)-cumulant row
+    * (bounded by configuration — the [[graft.ops.Spectral]] posture;
+    * never a distributed job per pair) and quantized HALF_UP via the
+    * BigDecimal.valueOf path Spark's round takes. NULL z when σ² ≤ 0
+    * (every value tied). Group values render as strings in the output
+    * (the pair frame's portable key form).
+    *
+    * Scale shape: one (value, group) aggregate folded to bounded
+    * per-group count columns, one prefix-sum pass, ONE 1-row collect,
+    * ≤ 2016 local rows out. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Output: (group_a, group_b, n_a, n_b, r2sum_a, r2sum_b, z_pico),
+    * ordered (group_a, group_b), one row per unordered pair.
+    */
+  def dunnTest(df: DataFrame, valueCol: String, groupCol: String,
+      maxGroups: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val cls = base.select(col("_g")).distinct()
+      .orderBy(col("_g")).limit(maxGroups + 1).collect().map(_.get(0))
+    require(cls.nonEmpty, "dunnTest: no non-null (group, value) rows")
+    require(cls.length <= maxGroups,
+      s"dunnTest: group column exceeds $maxGroups distinct values — " +
+        "the pairwise z table needs a bounded group axis; " +
+        "bin the column or raise maxGroups")
+    val k = cls.length
+    val vt = base.groupBy(col("_v")).agg(
+      sum(when(col("_g") === lit(cls(0)), 1L).otherwise(0L)).as("_c0"),
+      (1 until k).map(j =>
+        sum(when(col("_g") === lit(cls(j)), 1L).otherwise(0L))
+          .as(s"_c$j")): _*)
+    val m = (0 until k).map(j => col(s"_c$j")).reduce(_ + _)
+    val cum = PrefixSum.inclusiveAll(vt.withColumn("_m", m), "_v",
+      Seq(col("_m") -> "_cum"), withTotals = true)
+      .withColumn("_mr2", lit(2L) * col("_cum") - col("_m") + lit(1L))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val aggCols = Seq(coalesce(max(col("_cum_total")), lit(0L)).as("_n"),
+      coalesce(sum(col("_m").cast(dec) * col("_m").cast(dec)
+        * col("_m").cast(dec) - col("_m").cast(dec)), zero).as("_tie")) ++
+      (0 until k).flatMap(j => Seq(
+        coalesce(sum(col(s"_c$j")), lit(0L)).as(s"_n$j"),
+        coalesce(sum(col(s"_c$j").cast(dec) * col("_mr2").cast(dec)),
+          zero).as(s"_r$j")))
+    val agg = cum.agg(aggCols.head, aggCols.tail: _*)
+    val row = agg.collect().head
+    val nAll = row.getAs[Long]("_n")
+    val tieD = BigInt(row.getAs[java.math.BigDecimal]("_tie")
+      .toBigIntegerExact).toDouble
+    val nj = (0 until k).map(j => row.getAs[Long](s"_n$j"))
+    val r2 = (0 until k).map(j => BigInt(
+      row.getAs[java.math.BigDecimal](s"_r$j").toBigIntegerExact))
+    val nd = nAll.toDouble
+    // the same pinned chain the oracle replays
+    val sig = nd * (nd + 1.0) / 12.0 - tieD / (12.0 * (nd - 1.0))
+    def roundSpark(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val out = for {
+      i <- 0 until k; j <- (i + 1) until k
+    } yield {
+      val zOpt = if (nAll >= 2 && sig > 0.0) {
+        val diff = r2(i).toDouble / (2.0 * nj(i)) -
+          r2(j).toDouble / (2.0 * nj(j))
+        val z = diff / math.sqrt(sig * (1.0 / nj(i) + 1.0 / nj(j)))
+        java.lang.Long.valueOf(roundSpark(z * 1.0e12))
+      } else null
+      Row(String.valueOf(cls(i)), String.valueOf(cls(j)), nj(i), nj(j),
+        r2(i).toLong, r2(j).toLong, zOpt)
+    }
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("group_a", StringType, nullable = false),
+      StructField("group_b", StringType, nullable = false),
+      StructField("n_a", LongType, nullable = false),
+      StructField("n_b", LongType, nullable = false),
+      StructField("r2sum_a", LongType, nullable = false),
+      StructField("r2sum_b", LongType, nullable = false),
+      StructField("z_pico", LongType, nullable = true))))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Mood's squared-rank scale test (Mood '54) — [[ansariBradley]]'s
     * quadratic-score sibling with the OPPOSITE sign convention: scores
     * a = (mr2 − (N+1))² = 4·(r − (N+1)/2)² grow in the TAILS, so

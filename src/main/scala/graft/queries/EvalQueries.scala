@@ -1515,6 +1515,100 @@ trait EvalQueries { self: RegistryAll =>
       |     AS BIGINT) END AS z_pico
       | FROM dd""".stripMargin.replace("\n", " ")
 
+  /** Dunn's post-hoc pairwise z over the q_kruskal_wallis design
+    * ([[graft.ops.Eval.dunnTest]]): which SOURCE PAIRS differ in
+    * document length, once the omnibus H fires — 190 tie-corrected
+    * pairwise comparisons off one pooled-midrank pass.
+    */
+  def qDunnPosthoc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.dunnTest(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qDunnPosthocSql: String =
+    """WITH base AS (SELECT CAST(n_chars AS BIGINT) AS v, source AS g
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | vt AS (SELECT v, g, CAST(COUNT(*) AS HUGEINT) AS c
+      |  FROM base GROUP BY 1, 2),
+      | mt AS (SELECT v, CAST(SUM(c) AS HUGEINT) AS m FROM vt GROUP BY 1),
+      | cumt AS (SELECT v,
+      |   2 * SUM(m) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1
+      |     AS mr2 FROM mt),
+      | nn AS (SELECT COALESCE(CAST(SUM(m) AS HUGEINT), 0) AS n,
+      |   COALESCE(CAST(SUM(m * m * m - m) AS HUGEINT), 0) AS tie FROM mt),
+      | pc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+      |   CAST(SUM(c * mr2) AS HUGEINT) AS r2
+      |  FROM vt JOIN cumt USING (v) GROUP BY 1),
+      | pairs AS (SELECT a.g AS ga, b.g AS gb, a.ng AS na, b.ng AS nb,
+      |   a.r2 AS r2a, b.r2 AS r2b
+      |  FROM pc a JOIN pc b ON a.g < b.g),
+      | zz AS (SELECT ga, gb, na, nb, r2a, r2b,
+      |   CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+      |    - CAST(tie AS DOUBLE) / (12.0 * (CAST(n AS DOUBLE) - 1.0)) AS sig,
+      |   CAST(n AS BIGINT) AS n
+      |  FROM pairs, nn)
+      | SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+      |  CAST(r2a AS BIGINT) AS r2sum_a, CAST(r2b AS BIGINT) AS r2sum_b,
+      |  CASE WHEN n >= 2 AND sig > 0.0 THEN
+      |   CAST(round((CAST(r2a AS DOUBLE) / (2.0 * na)
+      |     - CAST(r2b AS DOUBLE) / (2.0 * nb))
+      |    / sqrt(sig * (1.0 / na + 1.0 / nb)) * 1.0e12) AS BIGINT)
+      |  END AS z_pico
+      | FROM zz ORDER BY 1, 2""".stripMargin.replace("\n", " ")
+
+  /** Quade's weighted-block rank test on the q_page_trend design
+    * ([[graft.ops.Eval.quadeTest]]): customers whose per-priority spends
+    * SPREAD wider vote harder — the weighted sibling of q_friedman_w,
+    * with the block-range ranking riding the distributed prefix sum.
+    */
+  def qQuade(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.quadeTest(
+      t(spark, dir, "orders")
+        .select(col("o_custkey").as("blk"),
+          col("o_orderpriority").as("cls"),
+          floor(col("o_totalprice")).as("spend")),
+      "blk", "cls", "spend")
+
+  lazy val qQuadeSql: String =
+    """WITH base AS (SELECT o_custkey AS b, o_orderpriority AS x,
+      |   CAST(floor(o_totalprice) AS BIGINT) AS y
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      | xs AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS s
+      |  FROM (SELECT DISTINCT x FROM base)),
+      | kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM xs),
+      | cells AS (SELECT b, s, SUM(y) AS cell
+      |  FROM base JOIN xs USING (x) GROUP BY 1, 2),
+      | comp AS (SELECT b FROM cells GROUP BY b
+      |  HAVING COUNT(*) = (SELECT k FROM kk)),
+      | ranked AS (SELECT c.b, c.s, c.cell,
+      |   2 * RANK() OVER (PARTITION BY c.b ORDER BY c.cell)
+      |    + COUNT(*) OVER (PARTITION BY c.b, c.cell) - 1 AS mr2
+      |  FROM cells c JOIN comp USING (b)),
+      | rng AS (SELECT b, MAX(cell) - MIN(cell) AS rg
+      |  FROM ranked GROUP BY 1),
+      | rrk AS (SELECT b, 2 * RANK() OVER (ORDER BY rg)
+      |   + COUNT(*) OVER (PARTITION BY rg) - 1 AS q2 FROM rng),
+      | wgt AS (SELECT r.s,
+      |   CAST(q2 AS HUGEINT) * (mr2 - (kk.k + 1)) AS s4
+      |  FROM ranked r JOIN rrk USING (b), kk),
+      | pc AS (SELECT s, CAST(SUM(s4) AS HUGEINT) AS sb,
+      |   CAST(SUM(s4 * s4) AS HUGEINT) AS qb, COUNT(*) AS nb
+      |  FROM wgt GROUP BY 1),
+      | ag AS (SELECT COALESCE(CAST(MAX(nb) AS BIGINT), 0) AS n,
+      |   COALESCE(SUM(qb), 0) AS a16, COALESCE(SUM(sb * sb), 0) AS b16n
+      |  FROM pc),
+      | w AS (SELECT n, kk.k AS k, a16, b16n,
+      |   CAST(n AS HUGEINT) * a16 - b16n AS den FROM ag, kk)
+      | SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_classes,
+      |  CAST(a16 AS BIGINT) AS a16, CAST(b16n AS BIGINT) AS b16n,
+      |  CASE WHEN n >= 2 AND den > 0 THEN
+      |   CAST(round(CAST(n - 1 AS DOUBLE) * CAST(b16n AS DOUBLE)
+      |    / CAST(den AS DOUBLE) * 1.0e12) AS BIGINT) END AS t3_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
   /** Mood's squared-rank scale test of English vs non-English document
     * length ([[graft.ops.Eval.moodScaleTest]]): is the en length
     * distribution WIDER than the rest's? — the variance-sensitive

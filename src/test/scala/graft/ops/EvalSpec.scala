@@ -965,6 +965,64 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cuzickTrend(one, "cls", "v").collect().head.isNullAt(4))
   }
 
+  test("dunnTest: pairwise z off pooled midranks, tie correction, all-tied NULL, require") {
+    // a = {1,2}, b = {3,4}: mr2 = (2,4,6,8), R2 = (6,14), σ² = 5/3 →
+    // z_ab = −2/√(5/3) = −1.5491933384829668
+    val two = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val r = Eval.dunnTest(two, "v", "g").collect()
+    assert(r.length === 1)
+    assert((r.head.getString(0), r.head.getString(1)) === (("a", "b")))
+    assert((r.head.getLong(2), r.head.getLong(3)) === ((2L, 2L)))
+    assert((r.head.getLong(4), r.head.getLong(5)) === ((6L, 14L)))
+    assert(r.head.getLong(6) === -1549193338483L)
+    // three groups with cross ties: c = {1, 4} joins — midranks shift,
+    // tie mass ΣT = 12 enters σ²; all three pairs present and ordered
+    val three = two.union(Seq(("c", 1L), ("c", 4L)).toDF("g", "v"))
+    val r3 = Eval.dunnTest(three, "v", "g").collect()
+    assert(r3.map(x => (x.getString(0), x.getString(1))).toSeq ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val byPair = r3.map(x => (x.getString(0), x.getString(1)) ->
+      ((x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    // R2_a = 9, R2_b = 19, R2_c = 14; σ² = 3.5 − 12/60 = 3.3
+    assert(byPair(("a", "b"))._1 === 9L && byPair(("a", "b"))._2 === 19L)
+    val sig = 6.0 * 7.0 / 12.0 - 12.0 / (12.0 * 5.0)
+    val zAb = (9.0 / 4.0 - 19.0 / 4.0) / math.sqrt(sig * (0.5 + 0.5))
+    assert(byPair(("a", "b"))._3 ===
+      java.math.BigDecimal.valueOf(zAb * 1.0e12)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    // every value tied: σ² folds to exactly 0 → NULL z
+    val flat = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    assert(Eval.dunnTest(flat, "v", "g").collect().head.isNullAt(6))
+    // over-limit group axis fails the require
+    val wide = (0 until 5).map(j => (s"g$j", j.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.dunnTest(wide, "v", "g", maxGroups = 4).collect()
+    }
+    assert(e.getMessage.contains("exceeds 4 distinct values"))
+  }
+
+  test("quadeTest: range-weighted blocks, hand-checked T3, tied-flat NULL") {
+    // b1 = (1,2) range 1, b2 = (3,7) range 4: Q2 = (2,4),
+    // S4 = (−2,+2,−4,+4) → A16 = 40, B16n = 72, T3 = 1·72/(2·40−72) = 9
+    val df = Seq(("b1", "c1", 1L), ("b1", "c2", 2L),
+      ("b2", "c1", 3L), ("b2", "c2", 7L)).toDF("blk", "cls", "v")
+    val r = Eval.quadeTest(df, "blk", "cls", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert((r.getLong(2), r.getLong(3)) === ((40L, 72L)))
+    assert(r.getLong(4) === 9000000000000L)
+    // fully-tied blocks contribute exactly 0 everywhere → NULL T3
+    val flat = Seq(("b1", "c1", 5L), ("b1", "c2", 5L),
+      ("b2", "c1", 8L), ("b2", "c2", 8L)).toDF("blk", "cls", "v")
+    val r2 = Eval.quadeTest(flat, "blk", "cls", "v").collect().head
+    assert((r2.getLong(2), r2.getLong(3)) === ((0L, 0L)))
+    assert(r2.isNullAt(4))
+    // an incomplete block drops via the shared scaffold
+    val withInc = df.union(Seq(("bX", "c1", 99L)).toDF("blk", "cls", "v"))
+    assert(Eval.quadeTest(withInc, "blk", "cls", "v").collect()
+      .head.getLong(0) === 2L)
+  }
+
   test("moodScaleTest: quadratic scores flag the dispersed side positive, degenerate NULLs") {
     // A = {1,4} brackets B = {2,3}: scores (9,1,1,9) → T4 = 18, E = 10,
     // Var = 64/3 → z = +√3 — the SIGN CONTRAST with ansariBradley,

@@ -1036,7 +1036,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_kruskal_wallis", "q_taub_corr", "q_length_gini", "q_jonckheere",
       "q_cliffs_delta", "q_gamma_somers", "q_mood_median",
       "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
-      "q_mood_scale").foreach { q =>
+      "q_mood_scale", "q_quade").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
@@ -1044,8 +1044,8 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q_page_trend / q_friedman_w: per-BLOCK windows only, semi-join completeness filter, no cartesian") {
-    for (name <- Seq("q_page_trend", "q_friedman_w")) {
+  test("q_page_trend / q_friedman_w / q_quade: per-BLOCK windows only, semi-join completeness filter, no cartesian") {
+    for (name <- Seq("q_page_trend", "q_friedman_w", "q_quade")) {
       val p = plan(name)
       // the within-block ranking must never collapse to a corpus-order
       // window (partitions are ≤ k rows by construction)
