@@ -468,6 +468,77 @@ object Timeseries {
     *
     * Output (1 row): (n_days, s_stat, var_s18, z_pico).
     */
+  /** Pettitt's rank-based change-point test (Pettitt, Appl. Stat. '79)
+    * — WHEN did the distribution shift, where [[mannKendallDaily]] asks
+    * only WHETHER it trends: K = max_t |U_t| over every candidate split
+    * after bin t, with U_t = Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i) — the
+    * Mann–Whitney statistic of "first t bins vs the rest", maximized
+    * over t. The corpus-drift monitor's "which day did the corpus
+    * change" report.
+    *
+    * Exact law — the pair double-sum REDUCES to ranks (within-split
+    * pairs cancel by antisymmetry, so Σ_{i≤t} over ALL j equals the
+    * j>t sum): with pooled doubled midranks mr2 off the value table's
+    * [[graft.ops.PrefixSum]] pass, per-bin rank masses Σmr2 and counts
+    * cumulate over bins in a SECOND distributed prefix-sum pass
+    * (observed bins are unbounded by contract — never a one-task
+    * sort), and
+    *
+    *   U_t = n_t·(N+1) − Σ_{bins ≤ t} mr2   (exact integers),
+    *
+    * midrank ties carrying their own correction. K = max|U_t|; the
+    * change bin is the EARLIEST bin attaining it (the last bin of the
+    * first segment, U_T = 0 by construction); the standard
+    * approximation p ≈ min(1, 2·exp(−6K²/(N³+N²))) is one pinned
+    * double chain, pico-rounded. NULL p when N < 2.
+    *
+    * Scale shape: two hash aggregates (value table, (bin, value)
+    * cells), two prefix-sum passes, one 1-row fold with a 1-row max
+    * broadcast. INTEGRAL-VALUE CONTRACT as
+    * [[graft.ops.Eval.moodMedianTest]].
+    *
+    * Output (1 row): (n_rows, n_bins, k_stat, change_bin, p_pico).
+    */
+  def pettittDaily(events: DataFrame, tsCol: String, valueCol: String,
+      binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val dec = "decimal(38,0)"
+    val base = events.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_t"),
+        col(valueCol).cast("long").as("_v"))
+    val vt = base.groupBy(col("_v")).agg(count(lit(1)).as("_m"))
+    val mr = graft.ops.PrefixSum.inclusive(vt, "_v", col("_m"), "_cum")
+      .select(col("_v"),
+        (lit(2L) * col("_cum") - col("_m") + lit(1L)).as("_mr2"))
+    val cells = base.groupBy(col("_t"), col("_v")).agg(count(lit(1)).as("_c"))
+    val perBin = cells.join(mr, "_v").groupBy(col("_t"))
+      .agg(sum(col("_c")).as("_nb"),
+        sum(col("_c").cast(dec) * col("_mr2").cast(dec)).as("_sr2"))
+    val cum = graft.ops.PrefixSum.inclusiveAll(perBin, "_t",
+      Seq(col("_nb") -> "_cn", col("_sr2") -> "_csr"), withTotals = true)
+    val u = cum.select(col("_t"),
+      (col("_cn").cast(dec) * (col("_cn_total") + lit(1L)).cast(dec)
+        - col("_csr")).as("_u"),
+      col("_cn_total").as("_n"))
+    val kMax = u.agg(max(abs(col("_u"))).as("_k"))
+    val agg = u.crossJoin(broadcast(kMax))
+      .agg(coalesce(max(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_bins"),
+        coalesce(max(col("_k")),
+          lit(java.math.BigDecimal.ZERO).cast(dec)).as("_kst"),
+        min(when(abs(col("_u")) === col("_k"), col("_t")))
+          .as("change_bin"))
+    // greatest clamps: identity whenever the matching when() fires
+    val nD = greatest(col("n_rows"), lit(1L)).cast("double")
+    val kD = col("_kst").cast("double")
+    val p = lit(2.0) * exp(lit(-6.0) * kD * kD / (nD * nD * nD + nD * nD))
+    agg.select(col("n_rows"), col("n_bins"),
+      col("_kst").cast("long").as("k_stat"), col("change_bin"),
+      when(col("n_rows") >= 2L,
+        round(least(lit(1.0), p) * lit(1.0e12)).cast("long")).as("p_pico"))
+  }
+
   def mannKendallDaily(events: DataFrame, tsCol: String,
       binMicros: Long = 86400L * 1000000L): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")

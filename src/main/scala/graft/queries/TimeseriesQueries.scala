@@ -617,6 +617,54 @@ trait TimeseriesQueries { self: RegistryAll =>
       |  quantile_cont(res, 0.5) AS intercept
       | FROM r GROUP BY 1, 2, 3""".stripMargin.replace("\n", " ")
 
+  /** Pettitt change-point test over daily event values
+    * ([[graft.ops.Timeseries.pettittDaily]]): WHICH day did the event-
+    * value distribution shift — q_mann_kendall's change-point
+    * companion, the max-over-splits Mann–Whitney off two prefix-sum
+    * passes (pooled value midranks, then the bin cumulative).
+    */
+  def qPettitt(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.pettittDaily(
+      t(spark, dir, "events")
+        .select(col("ts"), floor(col("value") * lit(100.0)).as("cents")),
+      "ts", "cents")
+
+  lazy val qPettittSql: String =
+    """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS t,
+      |   CAST(floor(value * 100.0) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      | vt AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS m
+      |  FROM base GROUP BY 1),
+      | mr AS (SELECT v, 2 * SUM(m) OVER (ORDER BY v
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1 AS mr2
+      |  FROM vt),
+      | cells AS (SELECT t, v, CAST(COUNT(*) AS HUGEINT) AS c
+      |  FROM base GROUP BY 1, 2),
+      | pb AS (SELECT t, CAST(SUM(c) AS HUGEINT) AS nb,
+      |   CAST(SUM(c * mr2) AS HUGEINT) AS sr2
+      |  FROM cells JOIN mr USING (v) GROUP BY 1),
+      | cumb AS (SELECT t, SUM(nb) OVER w AS cn, SUM(sr2) OVER w AS csr,
+      |   SUM(nb) OVER () AS n
+      |  FROM pb WINDOW w AS (ORDER BY t
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      | u AS (SELECT t, cn * (n + 1) - csr AS uu, n FROM cumb),
+      | kx AS (SELECT COALESCE(MAX(abs(uu)), 0) AS k FROM u),
+      | ag AS (SELECT COALESCE(CAST(MAX(n) AS BIGINT), 0) AS n_rows,
+      |   CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |   COALESCE(CAST(MAX(kx.k) AS BIGINT), 0) AS k_stat,
+      |   MIN(CASE WHEN abs(uu) = kx.k THEN t END) AS change_bin
+      |  FROM u, kx)
+      | SELECT n_rows, n_bins, k_stat,
+      |  CAST(change_bin AS BIGINT) AS change_bin,
+      |  CASE WHEN n_rows >= 2 THEN
+      |   CAST(round(least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+      |    * CAST(k_stat AS DOUBLE)
+      |    / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+      |       * CAST(n_rows AS DOUBLE)
+      |       + CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))))
+      |    * 1.0e12) AS BIGINT) END AS p_pico
+      | FROM ag""".stripMargin.replace("\n", " ")
+
   /** Mann–Kendall trend test of daily event volume
     * ([[graft.ops.Timeseries.mannKendallDaily]]): is q_theil_sen's
     * slope a real monotone trend or noise? — sign-pair statistic S over

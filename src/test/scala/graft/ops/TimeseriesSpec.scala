@@ -219,4 +219,30 @@ class TimeseriesSpec extends SparkSpec {
     assert((r4.getLong(1), r4.getLong(2)) === ((0L, 0L)))
     assert(r4.isNullAt(3))
   }
+
+  test("pettittDaily: hand-checked split statistic, earliest argmax, flat-series K=0") {
+    def tsAtDay(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // two days of small values then two of large: U = (3,4,3,0) → K = 4
+    // at day 1 (the last bin of the first segment); p = min(1, 2e^{-1.2})
+    val shift = Seq((tsAtDay(0), 1L), (tsAtDay(1), 2L),
+      (tsAtDay(2), 10L), (tsAtDay(3), 11L)).toDF("ts", "v")
+    val r = Timeseries.pettittDaily(shift, "ts", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 4L)))
+    assert(r.getLong(2) === 4L)
+    assert(r.getLong(3) === 1L)
+    val pExp = math.min(1.0, 2.0 * math.exp(-6.0 * 16.0 / (64.0 + 16.0)))
+    assert(r.getLong(4) === java.math.BigDecimal.valueOf(pExp * 1.0e12)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    // a flat series has U_t = 0 everywhere: K = 0, p capped at 1
+    val flat = Seq((tsAtDay(0), 5L), (tsAtDay(1), 5L), (tsAtDay(2), 5L))
+      .toDF("ts", "v")
+    val r2 = Timeseries.pettittDaily(flat, "ts", "v").collect().head
+    assert(r2.getLong(2) === 0L && r2.getLong(4) === 1000000000000L)
+    // monotone single-obs days: the reduction matches the direct
+    // double sum (U_1 = 2, U_2 = 2, U_3 = 0)
+    val up = Seq((tsAtDay(0), 10L), (tsAtDay(1), 20L), (tsAtDay(2), 30L))
+      .toDF("ts", "v")
+    val r3 = Timeseries.pettittDaily(up, "ts", "v").collect().head
+    assert(r3.getLong(2) === 2L && r3.getLong(3) === 0L)
+  }
 }
