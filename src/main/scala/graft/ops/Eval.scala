@@ -1994,6 +1994,118 @@ object Eval {
         .as("z_pico"))
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon '45) — the PAIRED member the
+    * two-sample rank family ([[brunnerMunzel]], [[ansariBradley]])
+    * lacks: each unit is its own control, so between-unit variation
+    * (the customer-level spend effect) cancels in the difference before
+    * any ranking happens. Zero differences drop (Wilcoxon's
+    * convention); W⁺ sums the |d|-ranks of the positive differences.
+    *
+    * Exact law: differences d = a − b in exact integers; the
+    * value-frequency table of |d| rides ONE [[PrefixSum.inclusive]]
+    * pass with positive/negative counts as columns, so doubled
+    * midranks give W2⁺ = 2W⁺ exactly; the tie-corrected null moments,
+    *
+    *   E[W2⁺] = n'(n'+1)/2,
+    *   12·Var[W2⁺] = 2n'(n'+1)(2n'+1) − Σ_runs (m³ − m),
+    *
+    * stay exact integers (n' = nonzero pairs). z = (W2⁺ − E)/√(var12/12)
+    * is ONE pinned double chain, pico-rounded; NULL when n' < 1 or
+    * Var ≤ 0 (every |d| in one tied run of both signs... Var = 0 only
+    * at n' = 0).
+    *
+    * Scale shape: one paired projection → one |d| hash aggregate → one
+    * prefix-sum pass → a 1-row fold. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]] (both sides cast to long).
+    *
+    * Output (1 row): (n_pairs, n_nonzero, w2_plus, e2, var12, z_pico).
+    */
+  def signedRankTest(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((col(aCol).cast("long") - col(bCol).cast("long")).as("_d"))
+    val nPairs = base.agg(count(lit(1)).as("n_pairs"))
+    val vt = base.filter(col("_d") =!= 0L)
+      .groupBy(abs(col("_d")).as("_v"))
+      .agg(sum(when(col("_d") > 0L, 1L).otherwise(0L)).as("_fp"),
+        count(lit(1)).as("_m"))
+    val cum = PrefixSum.inclusiveAll(vt, "_v", Seq(col("_m") -> "_cum"),
+      withTotals = true)
+      .withColumn("_mr2", lit(2L) * col("_cum") - col("_m") + lit(1L))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg = cum.agg(
+      coalesce(max(col("_cum_total")), lit(0L)).as("n_nonzero"),
+      coalesce(sum(col("_fp").cast(dec) * col("_mr2").cast(dec)), zero)
+        .as("_w2"),
+      coalesce(sum(col("_m").cast(dec) * col("_m").cast(dec)
+        * col("_m").cast(dec) - col("_m").cast(dec)), zero).as("_tie"))
+    val n = col("n_nonzero").cast(dec)
+    val e2 = expr(s"CAST((CAST(n_nonzero AS $dec) * (n_nonzero + 1))" +
+      s" div 2 AS $dec)")
+    val var12 = lit(2L).cast(dec) * n * (n + lit(1L).cast(dec)) *
+      (lit(2L).cast(dec) * n + lit(1L).cast(dec)) - col("_tie")
+    val zD = (col("_w2") - e2).cast("double") /
+      sqrt(greatest(var12.cast("double") / lit(12.0), lit(1.0e-300)))
+    agg.crossJoin(broadcast(nPairs))
+      .select(col("n_pairs"), col("n_nonzero"),
+        col("_w2").cast("long").as("w2_plus"), e2.cast("long").as("e2"),
+        var12.cast("long").as("var12"),
+        when(col("n_nonzero") >= 1L &&
+          var12 > zero, round(zD * lit(1.0e12)).cast("long")).as("z_pico"))
+  }
+
+  /** Cochran's Q test (Cochran '50) — the BINARY complete-block member
+    * of the family ([[friedmanKendallW]] with 0/1 cells): do the k
+    * treatments differ in hit RATE when every block (user) is its own
+    * control? The input is the HITS frame — one row per (block, class)
+    * with a hit; absent cells are exact 0s, and all-zero blocks are
+    * provably invisible to Q (they move no term), so the hits-only
+    * contract IS the complete law.
+    *
+    * Exact law: with column totals C_j, block row-sums R_b, grand total
+    * T and k classes,
+    *
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_b²)
+    *
+    * — every factor an exact DECIMAL(38,0) integer, ONE double chain
+    * pico-rounded. NULL when the denominator is ≤ 0 (T = 0, or every
+    * block hit all k classes — no discordance to test).
+    *
+    * Scale shape: two hash aggregates (per-class, per-block) + two
+    * 1-row folds joined by a broadcast — no window, no driver state,
+    * blocks unbounded.
+    *
+    * Output (1 row): (n_blocks, k_classes, t_hits, q_pico).
+    */
+  def cochranQ(df: DataFrame, blockCol: String,
+      classCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(blockCol).isNotNull && col(classCol).isNotNull)
+      .select(col(blockCol).as("_b"), col(classCol).as("_x")).distinct()
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val perClass = base.groupBy(col("_x")).agg(count(lit(1)).as("_cj"))
+      .agg(count(lit(1)).as("_k"),
+        coalesce(sum(col("_cj")), lit(0L)).as("_t"),
+        coalesce(sum(col("_cj").cast(dec) * col("_cj").cast(dec)), zero)
+          .as("_cc"))
+    val perBlock = base.groupBy(col("_b")).agg(count(lit(1)).as("_rb"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(col("_rb").cast(dec) * col("_rb").cast(dec)), zero)
+          .as("_rr"))
+    val j = perBlock.crossJoin(broadcast(perClass))
+    val kD = col("_k").cast(dec)
+    val num = (col("_k") - lit(1L)).cast(dec) *
+      (kD * col("_cc") - col("_t").cast(dec) * col("_t").cast(dec))
+    val den = kD * col("_t").cast(dec) - col("_rr")
+    j.select(col("n_blocks"), col("_k").as("k_classes"),
+      col("_t").as("t_hits"),
+      when(den > zero,
+        round(num.cast("double") /
+          greatest(den.cast("double"), lit(1.0e-300)) * lit(1.0e12))
+          .cast("long")).as("q_pico"))
+  }
+
   /** Quade's weighted-block rank test (Quade, JASA '79) — the member of
     * the complete-block family ([[friedmanKendallW]], [[pageTrendL]])
     * that lets blocks with a LARGER within-block spread vote harder:

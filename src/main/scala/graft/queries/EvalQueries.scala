@@ -1515,6 +1515,102 @@ trait EvalQueries { self: RegistryAll =>
       |     AS BIGINT) END AS z_pico
       | FROM dd""".stripMargin.replace("\n", " ")
 
+  /** Wilcoxon signed-rank of per-customer spend, early vs late half of
+    * the order history ([[graft.ops.Eval.signedRankTest]]): did
+    * customers who ordered in BOTH halves shift their spend? — each
+    * customer is their own control, so the customer-level spend effect
+    * cancels in the difference before ranking.
+    */
+  def qSignedRank(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-05-01 00:00:00").cast("timestamp")
+    val per = t(spark, dir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < cut,
+          floor(col("o_totalprice"))).otherwise(0L)).as("early_spend"),
+        sum(when(col("o_orderdate") >= cut,
+          floor(col("o_totalprice"))).otherwise(0L)).as("late_spend"),
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("_ne"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("_nl"))
+      .filter(col("_ne") > 0L && col("_nl") > 0L)
+    graft.ops.Eval.signedRankTest(per, "early_spend", "late_spend")
+  }
+
+  lazy val qSignedRankSql: String =
+    """WITH per AS (SELECT o_custkey,
+      |   SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-05-01'
+      |    THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS a,
+      |   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-05-01'
+      |    THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS b,
+      |   SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-05-01'
+      |    THEN 1 ELSE 0 END) AS ne,
+      |   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-05-01'
+      |    THEN 1 ELSE 0 END) AS nl
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      |  GROUP BY 1 HAVING ne > 0 AND nl > 0),
+      | dd AS (SELECT a - b AS d FROM per),
+      | np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM dd),
+      | vt AS (SELECT abs(d) AS v,
+      |   CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS HUGEINT) AS fp,
+      |   CAST(COUNT(*) AS HUGEINT) AS m
+      |  FROM dd WHERE d <> 0 GROUP BY 1),
+      | cumt AS (SELECT fp, m,
+      |   2 * SUM(m) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1
+      |     AS mr2,
+      |   SUM(m) OVER () AS nn FROM vt),
+      | ag AS (SELECT COALESCE(MAX(nn), 0) AS n,
+      |   COALESCE(SUM(fp * mr2), 0) AS w2,
+      |   COALESCE(SUM(m * m * m - m), 0) AS tie FROM cumt),
+      | w AS (SELECT n, w2, (n * (n + 1)) // 2 AS e2,
+      |   2 * n * (n + 1) * (2 * n + 1) - tie AS var12 FROM ag)
+      | SELECT np.n_pairs, CAST(n AS BIGINT) AS n_nonzero,
+      |  CAST(w2 AS BIGINT) AS w2_plus, CAST(e2 AS BIGINT) AS e2,
+      |  CAST(var12 AS BIGINT) AS var12,
+      |  CASE WHEN n >= 1 AND var12 > 0 THEN
+      |   CAST(round(CAST(w2 - e2 AS DOUBLE)
+      |    / sqrt(CAST(var12 AS DOUBLE) / 12.0) * 1.0e12) AS BIGINT)
+      |  END AS z_pico
+      | FROM w, np""".stripMargin.replace("\n", " ")
+
+  /** Cochran's Q over user × event-type engagement
+    * ([[graft.ops.Eval.cochranQ]]): do the five event types differ in
+    * the rate of ENGAGED users (≥5 events of that type), with every
+    * user as their own control? — the binary complete-block member of
+    * the q_friedman_w family.
+    */
+  def qCochranQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.cochranQ(
+      t(spark, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") >= 5L)
+        .select(col("user_id").as("blk"), col("event_type").as("cls")),
+      "blk", "cls")
+
+  lazy val qCochranQSql: String =
+    """WITH hits AS (SELECT user_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      | pc AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS cj
+      |  FROM hits GROUP BY 1),
+      | ac AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |   COALESCE(CAST(SUM(cj) AS HUGEINT), 0) AS t,
+      |   COALESCE(SUM(cj * cj), 0) AS cc FROM pc),
+      | pb AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS rb
+      |  FROM hits GROUP BY 1),
+      | ab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |   COALESCE(SUM(rb * rb), 0) AS rr FROM pb),
+      | w AS (SELECT n_blocks, k, CAST(t AS BIGINT) AS t_hits,
+      |   (k - 1) * (k * cc - t * t) AS num, k * t - rr AS den
+      |  FROM ab, ac)
+      | SELECT n_blocks, k AS k_classes, t_hits,
+      |  CASE WHEN den > 0 THEN
+      |   CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1.0e12)
+      |     AS BIGINT) END AS q_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
   /** Dunn's post-hoc pairwise z over the q_kruskal_wallis design
     * ([[graft.ops.Eval.dunnTest]]): which SOURCE PAIRS differ in
     * document length, once the omnibus H fires — 190 tie-corrected

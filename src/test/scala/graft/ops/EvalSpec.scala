@@ -965,6 +965,47 @@ class EvalSpec extends SparkSpec {
     assert(Eval.cuzickTrend(one, "cls", "v").collect().head.isNullAt(4))
   }
 
+  test("signedRankTest: hand-exact W+, tie correction, zero-diff drop, degenerate NULL") {
+    // d = (1,2,3): W2+ = 12, E2 = 6, var12 = 168 → z = 6/√14
+    val up = Seq((2L, 1L), (4L, 2L), (6L, 3L)).toDF("a", "b")
+    val r = Eval.signedRankTest(up, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((12L, 6L, 168L)))
+    assert(r.getLong(5) === 1603567451475L)
+    // d = (1, −1, 2): the |d| = 1 run ties across signs — W2+ = 9,
+    // tie mass 6 → var12 = 162, z = 3/√13.5
+    val mixed = Seq((5L, 4L), (4L, 5L), (7L, 5L)).toDF("a", "b")
+    val r2 = Eval.signedRankTest(mixed, "a", "b").collect().head
+    assert((r2.getLong(2), r2.getLong(4)) === ((9L, 162L)))
+    assert(r2.getLong(5) === 816496580928L)
+    // zero differences drop from the ranking but count as pairs
+    val withZero = mixed.union(Seq((3L, 3L)).toDF("a", "b"))
+    val r3 = Eval.signedRankTest(withZero, "a", "b").collect().head
+    assert((r3.getLong(0), r3.getLong(1)) === ((4L, 3L)))
+    assert(r3.getLong(2) === 9L)
+    // all pairs equal: nothing to rank → NULL z
+    val flat = Seq((3L, 3L), (9L, 9L)).toDF("a", "b")
+    val r4 = Eval.signedRankTest(flat, "a", "b").collect().head
+    assert(r4.getLong(1) === 0L && r4.isNullAt(5))
+  }
+
+  test("cochranQ: hand-exact Q, all-hit NULL, duplicate hits collapse") {
+    // u1{A}, u2{A,B}, u3{A,B,C}: C = (3,2,1), R = (1,2,3), T = 6 → Q = 3
+    val hits = Seq(("u1", "A"), ("u2", "A"), ("u2", "B"),
+      ("u3", "A"), ("u3", "B"), ("u3", "C")).toDF("blk", "cls")
+    val r = Eval.cochranQ(hits, "blk", "cls").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 3L, 6L)))
+    assert(r.getLong(3) === 3000000000000L)
+    // a duplicate hit row is the same hit
+    val dup = hits.union(Seq(("u1", "A")).toDF("blk", "cls"))
+    assert(Eval.cochranQ(dup, "blk", "cls").collect().head.getLong(3)
+      === 3000000000000L)
+    // every block hit every class: no discordance → NULL
+    val full = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "B"))
+      .toDF("blk", "cls")
+    assert(Eval.cochranQ(full, "blk", "cls").collect().head.isNullAt(3))
+  }
+
   test("dunnTest: pairwise z off pooled midranks, tie correction, all-tied NULL, require") {
     // a = {1,2}, b = {3,4}: mr2 = (2,4,6,8), R2 = (6,14), σ² = 5/3 →
     // z_ab = −2/√(5/3) = −1.5491933384829668

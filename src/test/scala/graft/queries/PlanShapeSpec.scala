@@ -1036,7 +1036,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_kruskal_wallis", "q_taub_corr", "q_length_gini", "q_jonckheere",
       "q_cliffs_delta", "q_gamma_somers", "q_mood_median",
       "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
-      "q_mood_scale", "q_quade", "q_pettitt").foreach { q =>
+      "q_mood_scale", "q_quade", "q_pettitt",
+      "q_signed_rank").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
