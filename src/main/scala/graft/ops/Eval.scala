@@ -2163,9 +2163,13 @@ object Eval {
     val t3 = (col("n_blocks") - lit(1L)).cast("double") *
       col("_b16n").cast("double") /
       greatest(denom.cast("double"), lit(1.0e-300))
+    // the ×16 cumulants are O(n⁴) — range ranks grow with the block
+    // count — so the diagnostic columns surface as DOUBLES (a BIGINT
+    // cast would THROW under ANSI past ~55k blocks; the statistic's own
+    // chain reads the exact DECIMAL internals either way)
     agg.select(col("n_blocks"), lit(k.toLong).as("k_classes"),
-      col("_a16").cast("long").as("a16"),
-      col("_b16n").cast("long").as("b16n"),
+      col("_a16").cast("double").as("a16"),
+      col("_b16n").cast("double").as("b16n"),
       when(col("n_blocks") >= 2L && denom > zero,
         round(t3 * lit(1.0e12)).cast("long")).as("t3_pico"))
   }

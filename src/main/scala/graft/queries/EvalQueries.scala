@@ -1699,7 +1699,7 @@ trait EvalQueries { self: RegistryAll =>
       | w AS (SELECT n, kk.k AS k, a16, b16n,
       |   CAST(n AS HUGEINT) * a16 - b16n AS den FROM ag, kk)
       | SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k_classes,
-      |  CAST(a16 AS BIGINT) AS a16, CAST(b16n AS BIGINT) AS b16n,
+      |  CAST(a16 AS DOUBLE) AS a16, CAST(b16n AS DOUBLE) AS b16n,
       |  CASE WHEN n >= 2 AND den > 0 THEN
       |   CAST(round(CAST(n - 1 AS DOUBLE) * CAST(b16n AS DOUBLE)
       |    / CAST(den AS DOUBLE) * 1.0e12) AS BIGINT) END AS t3_pico

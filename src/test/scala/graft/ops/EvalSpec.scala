@@ -1050,13 +1050,13 @@ class EvalSpec extends SparkSpec {
       ("b2", "c1", 3L), ("b2", "c2", 7L)).toDF("blk", "cls", "v")
     val r = Eval.quadeTest(df, "blk", "cls", "v").collect().head
     assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
-    assert((r.getLong(2), r.getLong(3)) === ((40L, 72L)))
+    assert((r.getDouble(2), r.getDouble(3)) === ((40.0, 72.0)))
     assert(r.getLong(4) === 9000000000000L)
     // fully-tied blocks contribute exactly 0 everywhere → NULL T3
     val flat = Seq(("b1", "c1", 5L), ("b1", "c2", 5L),
       ("b2", "c1", 8L), ("b2", "c2", 8L)).toDF("blk", "cls", "v")
     val r2 = Eval.quadeTest(flat, "blk", "cls", "v").collect().head
-    assert((r2.getLong(2), r2.getLong(3)) === ((0L, 0L)))
+    assert((r2.getDouble(2), r2.getDouble(3)) === ((0.0, 0.0)))
     assert(r2.isNullAt(4))
     // an incomplete block drops via the shared scaffold
     val withInc = df.union(Seq(("bX", "c1", 99L)).toDF("blk", "cls", "v"))
