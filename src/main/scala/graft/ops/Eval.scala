@@ -1593,7 +1593,9 @@ object Eval {
     * over data, no per-row rank materialization. INTEGRAL-VALUE
     * CONTRACT as [[moodMedianTest]]; DECIMAL(38,0) domain holds the Q
     * sum exact through N ≈ 4·10⁸ rows (past that, sample first — the
-    * [[graft.ops.Spectral]] posture).
+    * [[graft.ops.Spectral]] posture). The w/e diagnostic columns are
+    * DOUBLES (the [[quadeTest]] posture — a BIGINT cast would throw
+    * under ANSI past N ≈ 10⁷); z reads the exact DECIMAL internals.
     *
     * Output (1 row): (n_a, n_b, w_a_micro, e_w_micro, z_pico).
     */
@@ -1650,9 +1652,13 @@ object Eval {
         col("_t").cast("double") * col("_t").cast("double")) /
       (nD * nD * greatest(col("n_a") + col("n_b") - lit(1L), lit(1L))
         .cast("double"))
-    agg.select(col("n_a"), col("n_b"), col("_w").cast("long").as("w_a_micro"),
-      when(col("n_a") + col("n_b") > 0L, round(eW).cast("long"))
-        .as("e_w_micro"),
+    // w/e are ≈ n_A·(N/4)·10⁶ — a BIGINT cast would THROW under ANSI
+    // past N ≈ 10⁷ pooled rows, 40× below the DECIMAL domain, so the
+    // diagnostic columns surface as DOUBLES (the quadeTest posture);
+    // the z chain reads the exact DECIMAL internals either way
+    agg.select(col("n_a"), col("n_b"),
+      col("_w").cast("double").as("w_a_micro"),
+      when(col("n_a") + col("n_b") > 0L, round(eW)).as("e_w_micro"),
       when(col("n_a") > 0L && col("n_b") > 0L &&
         col("n_a") + col("n_b") >= 2L && varW > 0.0,
         round((col("_w").cast("double") - eW)
@@ -2009,7 +2015,9 @@ object Eval {
     *   E[W2⁺] = n'(n'+1)/2,
     *   12·Var[W2⁺] = 2n'(n'+1)(2n'+1) − Σ_runs (m³ − m),
     *
-    * stay exact integers (n' = nonzero pairs). z = (W2⁺ − E)/√(var12/12)
+    * stay exact integers (n' = nonzero pairs); the var12 DIAGNOSTIC
+    * column surfaces as a double ([[quadeTest]] posture — ≈ 4n'³
+    * overflows a BIGINT cast past n' ≈ 1.3M). z = (W2⁺ − E)/√(var12/12)
     * is ONE pinned double chain, pico-rounded; NULL when n' < 1 or
     * Var ≤ 0 (every |d| in one tied run of both signs... Var = 0 only
     * at n' = 0).
@@ -2050,7 +2058,10 @@ object Eval {
     agg.crossJoin(broadcast(nPairs))
       .select(col("n_pairs"), col("n_nonzero"),
         col("_w2").cast("long").as("w2_plus"), e2.cast("long").as("e2"),
-        var12.cast("long").as("var12"),
+        // var12 ≈ 4n'³ — a BIGINT cast would THROW under ANSI past
+        // n' ≈ 1.3M nonzero pairs, so the diagnostic surfaces as a
+        // DOUBLE (the quadeTest posture); z reads the DECIMAL internals
+        var12.cast("double").as("var12"),
         when(col("n_nonzero") >= 1L &&
           var12 > zero, round(zD * lit(1.0e12)).cast("long")).as("z_pico"))
   }
@@ -2191,8 +2202,12 @@ object Eval {
     * (bounded by configuration — the [[graft.ops.Spectral]] posture;
     * never a distributed job per pair) and quantized HALF_UP via the
     * BigDecimal.valueOf path Spark's round takes. NULL z when σ² ≤ 0
-    * (every value tied). Group values render as strings in the output
-    * (the pair frame's portable key form).
+    * (every value tied). STRING-KEY CONTRACT: group values render as
+    * strings in the output and the (group_a, group_b) order is
+    * LEXICOGRAPHIC over those strings — an oracle pairing groups with
+    * native comparison diverges for numeric group columns (e.g. 2 vs
+    * 10); feed a string group column, or pre-format numerics so the
+    * two orders agree.
     *
     * Scale shape: one (value, group) aggregate folded to bounded
     * per-group count columns, one prefix-sum pass, ONE 1-row collect,
@@ -2244,9 +2259,13 @@ object Eval {
     val nd = nAll.toDouble
     // the same pinned chain the oracle replays
     val sig = nd * (nd + 1.0) / 12.0 - tieD / (12.0 * (nd - 1.0))
+    // .doubleValue.toLong, NOT .longValue: the faithful replay of
+    // Spark's round(x).cast(long) past ~2^53 truncates the ROUNDED
+    // DOUBLE (the Spectral.scala / BlockRankScale replay law —
+    // valueOf's shortest-decimal digits diverge in the last ulps)
     def roundSpark(x: Double): Long =
       java.math.BigDecimal.valueOf(x)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
@@ -2291,7 +2310,9 @@ object Eval {
     * read exact integer cumulants (Σa, Σa² in DECIMAL(38,0) — a² is
     * N⁴-scale, the domain bound is N ≈ 10⁷ rows; past that, sample
     * first). One pinned double chain for z; NULL when either side is
-    * empty, N < 2, or Var ≤ 0.
+    * empty, N < 2, or Var ≤ 0. The t4/e diagnostic columns are DOUBLES
+    * ([[quadeTest]] posture — t4 ≈ n_A·N²/3 overflows a BIGINT cast
+    * near N ≈ 4·10⁶, below the DECIMAL bound).
     *
     * Scale shape: one (value) hash aggregate with both class weights →
     * one shared prefix-sum pass → a 1-row aggregate. INTEGRAL-VALUE
@@ -2332,9 +2353,12 @@ object Eval {
       col("_sa").cast("double") * col("_sa").cast("double") / nD
     val varT = col("n_a").cast("double") * col("n_b").cast("double") *
       ssq / (nD * n1)
-    agg.select(col("n_a"), col("n_b"), col("_t4").cast("long").as("t4"),
+    // t4 ≈ n_A·N²/3 — a BIGINT cast would THROW under ANSI near
+    // N ≈ 4·10⁶, below the DECIMAL Σa² bound, so t4/e surface as
+    // DOUBLES (the quadeTest posture); z reads the DECIMAL internals
+    agg.select(col("n_a"), col("n_b"), col("_t4").cast("double").as("t4"),
       when(col("n_a") + col("n_b") > 0L,
-        round(eT * lit(1.0e6)).cast("long")).as("e_t4_micro"),
+        round(eT * lit(1.0e6))).as("e_t4_micro"),
       when(col("n_a") > 0L && col("n_b") > 0L &&
         col("n_a") + col("n_b") >= 2L && varT > 0.0,
         round((col("_t4").cast("double") - eT)

@@ -459,7 +459,11 @@ object Timeseries {
     *   S = Σ_{i<j} sgn(y_j − y_i)  over all C(d, 2) ordered day pairs
     *
     * (bounded BY LAW: pairs of days, never events — the theilSenDaily
-    * broadcast pair join). Tie-corrected variance stays EXACT integer:
+    * broadcast pair join — and since r19 ENFORCED in-plan via
+    * [[Guards.boundedDomain]] at 3·10⁴ days ≈ 82 years — ≤ 4.5·10⁸
+    * pairs; past that, aggregate to a coarser grain first: the pair
+    * join is O(days²) and the qErrorTrend posture says fail loudly
+    * BEFORE it materializes). Tie-corrected variance stays EXACT integer:
     * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over tied-count runs;
     * the continuity-corrected z = (S ∓ 1)/√(var18/18) is one pinned
     * double chain, pico-rounded (0 when S = 0, the test's convention;
@@ -542,10 +546,14 @@ object Timeseries {
   def mannKendallDaily(events: DataFrame, tsCol: String,
       binMicros: Long = 86400L * 1000000L): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")
-    val d = events.filter(col(tsCol).isNotNull)
-      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
-        s"${binMicros}L)) div ${binMicros}L").as("_x"))
-      .agg(count(lit(1)).as("_y"))
+    val d = Guards.boundedDomain(
+      events.filter(col(tsCol).isNotNull)
+        .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+          s"${binMicros}L)) div ${binMicros}L").as("_x"))
+        .agg(count(lit(1)).as("_y")),
+      maxRows = 30000L, op = "mannKendallDaily",
+      hint = "the bin axis grew past 82 years of daily bins (the day-pair " +
+        "join is O(days^2)) — aggregate to a coarser time grain first")
     val a = d.select(col("_x").as("_xa"), col("_y").as("_ya"))
     val b = d.select(col("_x").as("_xb"), col("_y").as("_yb"))
     val s = a.join(b, col("_xb") > col("_xa"))

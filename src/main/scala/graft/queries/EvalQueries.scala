@@ -1304,8 +1304,8 @@ trait EvalQueries { self: RegistryAll =>
       |        * CAST(na + nb - 1 AS DOUBLE)) AS vr
       |  FROM ag)
       | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-      |  CAST(w AS BIGINT) AS w_a_micro,
-      |  CASE WHEN na + nb > 0 THEN CAST(round(ew) AS BIGINT) END
+      |  CAST(w AS DOUBLE) AS w_a_micro,
+      |  CASE WHEN na + nb > 0 THEN round(ew) END
       |    AS e_w_micro,
       |  CASE WHEN na > 0 AND nb > 0 AND na + nb >= 2 AND vr > 0.0 THEN
       |   CAST(round((CAST(w AS DOUBLE) - ew) / sqrt(vr) * 1.0e12)
@@ -1568,7 +1568,7 @@ trait EvalQueries { self: RegistryAll =>
       |   2 * n * (n + 1) * (2 * n + 1) - tie AS var12 FROM ag)
       | SELECT np.n_pairs, CAST(n AS BIGINT) AS n_nonzero,
       |  CAST(w2 AS BIGINT) AS w2_plus, CAST(e2 AS BIGINT) AS e2,
-      |  CAST(var12 AS BIGINT) AS var12,
+      |  CAST(var12 AS DOUBLE) AS var12,
       |  CASE WHEN n >= 1 AND var12 > 0 THEN
       |   CAST(round(CAST(w2 - e2 AS DOUBLE)
       |    / sqrt(CAST(var12 AS DOUBLE) / 12.0) * 1.0e12) AS BIGINT)
@@ -1745,8 +1745,8 @@ trait EvalQueries { self: RegistryAll =>
       |    / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE)) AS vr
       |  FROM ag)
       | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-      |  CAST(t4 AS BIGINT) AS t4,
-      |  CASE WHEN na + nb > 0 THEN CAST(round(et * 1.0e6) AS BIGINT) END
+      |  CAST(t4 AS DOUBLE) AS t4,
+      |  CASE WHEN na + nb > 0 THEN round(et * 1.0e6) END
       |    AS e_t4_micro,
       |  CASE WHEN na > 0 AND nb > 0 AND na + nb >= 2 AND vr > 0.0 THEN
       |   CAST(round((CAST(t4 AS DOUBLE) - et) / sqrt(vr) * 1.0e12)

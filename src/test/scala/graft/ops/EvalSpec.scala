@@ -844,20 +844,21 @@ class EvalSpec extends SparkSpec {
       .toDF("v", "fa")
     val r = Eval.ansariBradley(sep, "v", "fa").collect().head
     assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
-    assert(r.getLong(2) === 2000000L)
-    assert(r.getLong(3) === 3000000L)
+    // w/e diagnostics surface as doubles (ANSI-safe past N ≈ 10⁷)
+    assert(r.getDouble(2) === 2000000.0)
+    assert(r.getDouble(3) === 3000000.0)
     assert(r.getLong(4) === -1732050807569L)
     // mirrored: A = {2,2} tight inside B = {1,3} — the tied run at v=2
     // spans ranks {2,3} with score sum 4 → midscore 2 exactly; z = +√3
     val tight = Seq((2L, true), (2L, true), (1L, false), (3L, false))
       .toDF("v", "fa")
     val r2 = Eval.ansariBradley(tight, "v", "fa").collect().head
-    assert(r2.getLong(2) === 4000000L)
+    assert(r2.getDouble(2) === 4000000.0)
     assert(r2.getLong(4) === 1732050807569L)
     // all values tied: Var = 0 → z NULL, W still reported
     val flat2 = Seq((5L, true), (5L, false)).toDF("v", "fa")
     val r3 = Eval.ansariBradley(flat2, "v", "fa").collect().head
-    assert(r3.getLong(2) === 1000000L && r3.isNullAt(4))
+    assert(r3.getDouble(2) === 1000000.0 && r3.isNullAt(4))
     // a lone side: z NULL
     val lone = Seq((1L, true), (2L, true)).toDF("v", "fa")
     assert(Eval.ansariBradley(lone, "v", "fa").collect().head.isNullAt(4))
@@ -970,13 +971,15 @@ class EvalSpec extends SparkSpec {
     val up = Seq((2L, 1L), (4L, 2L), (6L, 3L)).toDF("a", "b")
     val r = Eval.signedRankTest(up, "a", "b").collect().head
     assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
-    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((12L, 6L, 168L)))
+    assert((r.getLong(2), r.getLong(3)) === ((12L, 6L)))
+    // var12 ≈ 4n'³ surfaces as a double (ANSI-safe past n' ≈ 1.3M)
+    assert(r.getDouble(4) === 168.0)
     assert(r.getLong(5) === 1603567451475L)
     // d = (1, −1, 2): the |d| = 1 run ties across signs — W2+ = 9,
     // tie mass 6 → var12 = 162, z = 3/√13.5
     val mixed = Seq((5L, 4L), (4L, 5L), (7L, 5L)).toDF("a", "b")
     val r2 = Eval.signedRankTest(mixed, "a", "b").collect().head
-    assert((r2.getLong(2), r2.getLong(4)) === ((9L, 162L)))
+    assert((r2.getLong(2), r2.getDouble(4)) === ((9L, 162.0)))
     assert(r2.getLong(5) === 816496580928L)
     // zero differences drop from the ranking but count as pairs
     val withZero = mixed.union(Seq((3L, 3L)).toDF("a", "b"))
@@ -1072,8 +1075,9 @@ class EvalSpec extends SparkSpec {
       .toDF("v", "fa")
     val r = Eval.moodScaleTest(sep, "v", "fa").collect().head
     assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
-    assert(r.getLong(2) === 18L)
-    assert(r.getLong(3) === 10000000L)
+    // t4/e diagnostics surface as doubles (ANSI-safe past N ≈ 4·10⁶)
+    assert(r.getDouble(2) === 18.0)
+    assert(r.getDouble(3) === 10000000.0)
     assert(r.getLong(4) === 1732050807569L)
     val ab = Eval.ansariBradley(sep, "v", "fa").collect().head
     assert(ab.getLong(4) === -r.getLong(4), "AB and Mood-scale must mirror")

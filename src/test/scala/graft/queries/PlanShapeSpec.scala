@@ -1049,9 +1049,14 @@ class PlanShapeSpec extends SparkSpec {
     for (name <- Seq("q_page_trend", "q_friedman_w", "q_quade")) {
       val p = plan(name)
       // the within-block ranking must never collapse to a corpus-order
-      // window (partitions are ≤ k rows by construction)
-      assert(!p.toLowerCase.contains("windowexec") ||
-        !p.contains("SinglePartition"),
+      // window (partitions are ≤ k rows by construction): every Window
+      // node line must carry a partition key — the block key or the
+      // prefix-sum pid (the old windowexec-token disjunct was
+      // vacuously true: physical plans print "Window", never
+      // "WindowExec")
+      val winLines = p.linesIterator.filter(_.contains("Window [")).toList
+      assert(winLines.nonEmpty && winLines.forall(l =>
+        l.contains("_b#") || l.contains("_ps_pid")),
         s"$name: unpartitioned window in the block-ranking law:\n$p")
       assert(p.contains("LeftSemi"),
         s"$name lost the complete-block semi filter:\n$p")
