@@ -1602,39 +1602,8 @@ object Eval {
   def ansariBradley(df: DataFrame, valueCol: String,
       isACol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val base = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
-      .select(col(valueCol).cast("long").as("_v"),
-        col(isACol).cast("boolean").as("_a"))
-    val bt = base.groupBy(col("_v"))
-      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_fa"),
-        sum(when(col("_a"), 0L).otherwise(1L)).as("_fb"))
-      .withColumn("_m", col("_fa") + col("_fb"))
-    val cum = PrefixSum.inclusiveAll(bt, "_v", Seq(col("_m") -> "_cum"),
-      withTotals = true)
+    val scored = abScored(df, valueCol, isACol)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
-    // the run occupies pooled ranks l..u; scores fold at t = (N+1) div 2:
-    // r ≤ t scores r, r > t scores N+1−r — two triangular-number spans
-    // (x(x+1) is even, so every `div 2` below is exact)
-    val staged = cum.select(col("_fa"), col("_fb"), col("_m"),
-      (col("_cum") - col("_m") + lit(1L)).as("_l"), col("_cum").as("_u"),
-      expr("(_cum_total + 1) div 2").as("_tf"),
-      col("_cum_total").as("_nn"))
-    val scored = staged
-      .withColumn("_lou", least(col("_u"), col("_tf")))
-      .withColumn("_hil", greatest(col("_l"), col("_tf") + lit(1L)))
-      .withColumn("_s",
-        when(col("_l") <= col("_lou"), expr(
-          s"(CAST(_lou AS $dec) * (_lou + 1)) div 2" +
-            s" - (CAST(_l - 1 AS $dec) * _l) div 2").cast(dec))
-          .otherwise(zero) +
-        when(col("_hil") <= col("_u"), expr(
-          s"CAST(CAST(_nn + 1 AS $dec) * (_u - _hil + 1) AS $dec)") -
-          expr(s"(CAST(_u AS $dec) * (_u + 1)) div 2" +
-            s" - (CAST(_hil - 1 AS $dec) * _hil) div 2").cast(dec))
-          .otherwise(zero))
-      .withColumn("_sm", expr(
-        s"CAST((2 * CAST(_s AS $dec) * 1000000 + _m) div (2 * _m)" +
-          " AS BIGINT)"))
     val agg = scored.agg(
       coalesce(sum(col("_fa")), lit(0L)).as("n_a"),
       coalesce(sum(col("_fb")), lit(0L)).as("n_b"),
@@ -1664,6 +1633,127 @@ object Eval {
         round((col("_w").cast("double") - eW)
           / sqrt(greatest(varW, lit(1.0e-300))) * lit(1.0e12)).cast("long"))
         .as("z_pico"))
+  }
+
+  /** Shared value-table scoring frame of [[ansariBradley]] and
+    * [[lepageTest]]: one (value) hash aggregate with both class
+    * weights, ONE [[PrefixSum.inclusiveAll]] pass, the folded AB run
+    * scores in exact closed triangular form with the per-observation
+    * midscore quantized once as (2S·10⁶ + m) div (2m), plus the
+    * doubled pooled midranks (_mr2) the Wilcoxon leg reads. Columns:
+    * (_fa, _fb, _m, _nn, _sm, _mr2, …).
+    */
+  private def abScored(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"),
+        col(isACol).cast("boolean").as("_a"))
+    val bt = base.groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_fa"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_fb"))
+      .withColumn("_m", col("_fa") + col("_fb"))
+    val cum = PrefixSum.inclusiveAll(bt, "_v", Seq(col("_m") -> "_cum"),
+      withTotals = true)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    // the run occupies pooled ranks l..u; scores fold at t = (N+1) div 2:
+    // r ≤ t scores r, r > t scores N+1−r — two triangular-number spans
+    // (x(x+1) is even, so every `div 2` below is exact)
+    val staged = cum.select(col("_fa"), col("_fb"), col("_m"),
+      (col("_cum") - col("_m") + lit(1L)).as("_l"), col("_cum").as("_u"),
+      expr("(_cum_total + 1) div 2").as("_tf"),
+      col("_cum_total").as("_nn"),
+      (lit(2L) * col("_cum") - col("_m") + lit(1L)).as("_mr2"))
+    staged
+      .withColumn("_lou", least(col("_u"), col("_tf")))
+      .withColumn("_hil", greatest(col("_l"), col("_tf") + lit(1L)))
+      .withColumn("_s",
+        when(col("_l") <= col("_lou"), expr(
+          s"(CAST(_lou AS $dec) * (_lou + 1)) div 2" +
+            s" - (CAST(_l - 1 AS $dec) * _l) div 2").cast(dec))
+          .otherwise(zero) +
+        when(col("_hil") <= col("_u"), expr(
+          s"CAST(CAST(_nn + 1 AS $dec) * (_u - _hil + 1) AS $dec)") -
+          expr(s"(CAST(_u AS $dec) * (_u + 1)) div 2" +
+            s" - (CAST(_hil - 1 AS $dec) * _hil) div 2").cast(dec))
+          .otherwise(zero))
+      .withColumn("_sm", expr(
+        s"CAST((2 * CAST(_s AS $dec) * 1000000 + _m) div (2 * _m)" +
+          " AS BIGINT)"))
+  }
+
+  /** Lepage's combined location-scale test (Lepage, Biometrika '71):
+    * L = z_W² + z_AB² — the Wilcoxon rank-sum z (location) and the
+    * [[ansariBradley]] z (scale) are asymptotically independent under
+    * H₀, so their squares sum to a χ² with 2 df: ONE test that fires
+    * when the second sample moved OR spread, the standard screen when
+    * either alternative matters (a corpus swap can do both at once).
+    *
+    * Exact law on the shared [[ansariBradley]] scoring frame (ONE
+    * value-table prefix-sum pass carries both legs): the Wilcoxon leg
+    * reads doubled pooled midranks — W2 = Σ_A fa·mr2, E[W2] =
+    * n_A(N+1), and the tie-corrected
+    *
+    *   Var[W2] = n_A·n_B·((N+1)·N·(N−1) − Σ(m³−m)) / (3·N·(N−1))
+    *
+    * off exact integer cumulants; the AB leg reads the quantized
+    * midscores exactly as [[ansariBradley]] does. Each z is ONE pinned
+    * double chain; L = z_W² + z_AB². NULL z_W/z_AB/L when the matching
+    * variance is ≤ 0 or a side is empty (L needs BOTH).
+    *
+    * Scale shape: identical to [[ansariBradley]] — one hash aggregate,
+    * one prefix-sum pass, a 1-row fold. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Output (1 row): (n_a, n_b, w2_a, zw_pico, zab_pico, l_pico).
+    */
+  def lepageTest(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scored = abScored(df, valueCol, isACol)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg = scored.agg(
+      coalesce(sum(col("_fa")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_fb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("_fa").cast(dec) * col("_mr2").cast(dec)), zero)
+        .as("_w2"),
+      coalesce(sum(col("_m").cast(dec) * col("_m").cast(dec)
+        * col("_m").cast(dec) - col("_m").cast(dec)), zero).as("_tie"),
+      coalesce(sum(col("_fa").cast(dec) * col("_sm").cast(dec)), zero)
+        .as("_w"),
+      coalesce(sum(col("_m").cast(dec) * col("_sm").cast(dec)), zero)
+        .as("_t"),
+      coalesce(sum(col("_m").cast(dec) * col("_sm").cast(dec)
+        * col("_sm").cast(dec)), zero).as("_q"))
+    // greatest clamps: identity whenever the matching when() fires
+    val nD = greatest(col("n_a") + col("n_b"), lit(1L)).cast("double")
+    val n1 = greatest(col("n_a") + col("n_b") - lit(1L), lit(1L))
+      .cast("double")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val e2w = naD * (nD + lit(1.0))
+    val varW = naD * nbD * ((nD + lit(1.0)) * nD * (nD - lit(1.0)) -
+      col("_tie").cast("double")) / (lit(3.0) * nD * (nD - lit(1.0)))
+    val zw = (col("_w2").cast("double") - e2w) /
+      sqrt(greatest(varW, lit(1.0e-300)))
+    val eAb = naD * col("_t").cast("double") / nD
+    val varAb = naD * nbD *
+      (nD * col("_q").cast("double") -
+        col("_t").cast("double") * col("_t").cast("double")) /
+      (nD * nD * n1)
+    val zab = (col("_w").cast("double") - eAb) /
+      sqrt(greatest(varAb, lit(1.0e-300)))
+    val both = col("n_a") > 0L && col("n_b") > 0L &&
+      col("n_a") + col("n_b") >= 2L
+    agg.select(col("n_a"), col("n_b"),
+      col("_w2").cast("long").as("w2_a"),
+      when(both && varW > 0.0, round(zw * lit(1.0e12)).cast("long"))
+        .as("zw_pico"),
+      when(both && varAb > 0.0, round(zab * lit(1.0e12)).cast("long"))
+        .as("zab_pico"),
+      when(both && varW > 0.0 && varAb > 0.0,
+        round((zw * zw + zab * zab) * lit(1.0e12)).cast("long"))
+        .as("l_pico"))
   }
 
   /** Brunner–Munzel heteroscedastic rank test (Biometrical J. '00) —
@@ -2183,6 +2273,292 @@ object Eval {
       col("_b16n").cast("double").as("b16n"),
       when(col("n_blocks") >= 2L && denom > zero,
         round(t3 * lit(1.0e12)).cast("long")).as("t3_pico"))
+  }
+
+  /** Durbin's rank test for balanced incomplete block designs (Durbin
+    * '51, in Conover's tie-corrected form, Practical Nonparametric
+    * Statistics ch. 6) — the member of the complete-block family
+    * ([[friedmanKendallW]], [[pageTrendL]], [[quadeTest]]) for designs
+    * where each block holds only k of the t treatments: blocks rank
+    * just the cells they HAVE, so the incomplete blocks the complete
+    * scaffold DROPS (blockRanks' semi-join) carry their full
+    * information here.
+    *
+    * Exact law with doubled within-block midranks mr2 (SUM cells, the
+    * one-observation-per-cell contract; ranks among the PRESENT cells
+    * only):
+    *
+    *   S4 = Σ_j (R2_j − r(k+1))²,  A4 = Σ_cells mr2²,  C4 = b·k(k+1)²
+    *   T1 = (t−1)·S4 / (A4 − C4)                       (χ², t−1 df)
+    *   T2 = T1/(t−1) · (b(k−1) − t + 1)/(b(k−1) − T1)  (Conover's F)
+    *
+    * — all ×4-scaled terms exact integers; for the COMPLETE design
+    * (k = t, r = b) T1 is bit-for-bit the tie-corrected Friedman χ²
+    * (same pinned double chain). The BIB contract — every block the
+    * same size k, every treatment the same replication r — is ENFORCED
+    * IN-PLAN (assert_true over a broadcast 1-row design summary, the
+    * [[Guards.boundedDomain]] posture: a non-BIB frame fails the job
+    * with an actionable message instead of silently reporting a
+    * misdefined statistic; for general missingness use
+    * [[skillingsMack]]). Pairwise balance (λ constant) is the design's
+    * responsibility — the χ²/F approximations assume it, the
+    * arithmetic never reads it. NULL t1/t2 when A4 ≤ C4 (every block
+    * fully tied) or b = 0; NULL t2 additionally when b(k−1) ≤ T1.
+    * PICO-LONG DOMAIN (the family convention — friedmanKendallW's
+    * chi2_pico shares it): |T1|, |T2| < 9.2·10⁶ or the ANSI BIGINT
+    * cast fails loudly; T2 DIVERGES as T1 approaches its b(k−1)
+    * ceiling (near-perfect discrimination — the probe-measured cliff),
+    * so expect that failure mode on pathologically clean designs.
+    *
+    * Scale shape: one (block, treatment) hash aggregate → per-BLOCK
+    * windows over ≤ k-row partitions → a per-treatment aggregate → a
+    * 1-row fold with one broadcast design row. The treatment axis
+    * needs NO bounded collect (unordered — every stage distributes),
+    * unlike the ordinal-score family. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Output (1 row): (n_blocks, n_treatments, k_per_block, r_reps,
+    * s4, a4, t1_pico, t2_pico).
+    */
+  def durbinTest(df: DataFrame, blockCol: String, classCol: String,
+      valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(blockCol).isNotNull && col(classCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(blockCol).as("_b"), col(classCol).as("_x"),
+        col(valueCol).cast("long").as("_y"))
+    val cells = base.groupBy(col("_b"), col("_x"))
+      .agg(sum(col("_y")).as("_cell"))
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_cell"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b"), col("_cell"))
+    val ranked = cells
+      .withColumn("_kb", count(lit(1)).over(wBlk))
+      .withColumn("_mr2", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTie) - lit(1L))
+    // 1-row design summary, broadcast under every per-treatment row
+    val design = ranked.agg(count(lit(1)).as("_nc"),
+      min(col("_kb")).as("_kmin"), max(col("_kb")).as("_kmax"),
+      coalesce(sum(col("_mr2").cast(dec) * col("_mr2").cast(dec)),
+        lit(java.math.BigDecimal.ZERO).cast(dec)).as("_a4"))
+    val perTreat = ranked.groupBy(col("_x"))
+      .agg(count(lit(1)).as("_r"),
+        sum(col("_mr2").cast(dec)).as("_r2"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val dev = col("_r2") -
+      col("_r").cast(dec) * (col("_kmax") + lit(1L)).cast(dec)
+    val agg = perTreat.crossJoin(broadcast(design))
+      .agg(count(lit(1)).as("_t"),
+        min(col("_r")).as("_rmin"), max(col("_r")).as("_rmax"),
+        coalesce(sum(dev * dev), zero).as("_s4"),
+        max(col("_nc")).as("_nc"), max(col("_kmin")).as("_kmin"),
+        max(col("_kmax")).as("_kmax"), max(col("_a4")).as("_a4"))
+      // the BIB contract, enforced in-plan (the Guards posture)
+      .filter(coalesce(assert_true(col("_kmin") === col("_kmax"),
+        lit("durbinTest: blocks have unequal sizes — Durbin's BIB " +
+          "contract needs every block to hold the same number k of " +
+          "treatments; use skillingsMack for general missing data"))
+        .cast("boolean"), lit(true)))
+      .filter(coalesce(assert_true(col("_rmin") === col("_rmax"),
+        lit("durbinTest: treatments have unequal replication — Durbin's " +
+          "BIB contract needs every treatment in the same number r of " +
+          "blocks; use skillingsMack for general missing data"))
+        .cast("boolean"), lit(true)))
+    val b = expr("_nc div _kmax")
+    val c4 = b.cast(dec) * col("_kmax").cast(dec) *
+      ((col("_kmax") + lit(1L)) * (col("_kmax") + lit(1L))).cast(dec)
+    val denom = col("_a4") - c4
+    // same op order as friedmanKendallW's chain: ((t−1)·s4)/denom
+    val t1 = (col("_t") - lit(1L)).cast("double") *
+      col("_s4").cast("double") /
+      greatest(denom.cast("double"), lit(1.0e-300))
+    val bk1 = b.cast("double") * (col("_kmax") - lit(1L)).cast("double")
+    val t2 = t1 / greatest((col("_t") - lit(1L)).cast("double"), lit(1.0)) *
+      (bk1 - col("_t").cast("double") + lit(1.0)) /
+      greatest(bk1 - t1, lit(1.0e-300))
+    agg.select(
+      coalesce(b, lit(0L)).as("n_blocks"), col("_t").as("n_treatments"),
+      coalesce(col("_kmax"), lit(0L)).as("k_per_block"),
+      coalesce(col("_rmax"), lit(0L)).as("r_reps"),
+      col("_s4").cast("long").as("s4"), col("_a4").cast("long").as("a4"),
+      when(col("_t") >= 2L && denom > zero,
+        round(t1 * lit(1.0e12)).cast("long")).as("t1_pico"),
+      when(col("_t") >= 2L && denom > zero && bk1 - t1 > 0.0,
+        round(t2 * lit(1.0e12)).cast("long")).as("t2_pico"))
+  }
+
+  /** Skillings–Mack test for block designs with GENERAL missing data
+    * (Skillings & Mack, Technometrics '81) — where [[durbinTest]]
+    * demands balance (equal k, equal r), this takes blocks exactly as
+    * they come: any block sizes, any missingness pattern, every block
+    * with ≥ 2 present cells votes.
+    *
+    * Law: within each kept block, doubled midranks mr2 over the
+    * PRESENT cells; the doubled centered rank d = mr2 − (k_b+1) scales
+    * by the block-size weight √(12/(k_b+1)), QUANTIZED ONCE per block
+    * size as c_micro = round(√(12/(k_b+1))·10⁶) (k_b is an integer ≤
+    * t, so c_micro takes ≤ t distinct values and replays verbatim in
+    * any engine — the [[ansariBradley]] midscore-quantization
+    * posture). The adjusted treatment sums A2m_j = Σ c_micro·d are
+    * then EXACT integers (A_j = A2m_j/(2·10⁶)), and
+    *
+    *   SM = A' Σ⁻ A,   Σ_jj = Σ_{blocks ∋ j} (k_b − 1),
+    *                   Σ_jl = −#(blocks ∋ both j,l)
+    *
+    * with Σ⁻ a generalized inverse. When the design is PAIRWISE
+    * BALANCED (all co-occurrence counts one λ, all diagonals equal —
+    * e.g. any BIB design, or a complete design, where SM reduces to
+    * the tie-corrected Friedman χ²), Σ = λt(I − J/t) and the statistic
+    * collapses to the closed chain SM = ΣA2m²/(λ·t·4·10¹²) — ONE
+    * pinned double chain over an exact integer Σ-of-squares,
+    * oracle-replayable. Otherwise SM solves (Σ+J)x = A by Gaussian
+    * elimination with partial pivoting DRIVER-SIDE over the
+    * once-collected ≤t-row cumulant table and ≤t(t−1)/2-row
+    * co-occurrence table (bounded by configuration — the
+    * [[dunnTest]]/[[graft.ops.Spectral]] posture; A ⊥ 1 makes the
+    * J-shift exact for connected designs). NULL sm when t < 2, or the
+    * design is DISCONNECTED (a pivot vanishes — no common ranking
+    * scale links the components), or λ·t = 0.
+    *
+    * Scale shape: one (block, treatment) hash aggregate → per-BLOCK
+    * windows over ≤ t-row partitions → one bounded per-treatment
+    * aggregate + one bounded pair aggregate (blocks UNBOUNDED — only
+    * the treatment axis collects, hard require ≤ maxClasses with a
+    * TakeOrdered probe). INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Output (1 row): (n_blocks, n_treatments, balanced, ssq_a2,
+    * sm_pico); ssq_a2 is a double diagnostic ([[quadeTest]] posture).
+    */
+  def skillingsMack(df: DataFrame, blockCol: String, classCol: String,
+      valueCol: String, maxClasses: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val base = df.filter(col(blockCol).isNotNull && col(classCol).isNotNull
+        && col(valueCol).isNotNull)
+      .select(col(blockCol).as("_b"), col(classCol).as("_x"),
+        col(valueCol).cast("long").as("_y"))
+    val cls = base.select(col("_x")).distinct()
+      .orderBy(col("_x")).limit(maxClasses + 1).collect().map(_.get(0))
+    require(cls.length <= maxClasses,
+      s"skillingsMack: treatment column exceeds $maxClasses distinct " +
+        "values — the driver-side covariance solve needs a bounded " +
+        "treatment axis; bin the column or raise maxClasses")
+    val cells = base.groupBy(col("_b"), col("_x"))
+      .agg(sum(col("_y")).as("_cell"))
+    val wBlk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("_cell"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b"), col("_cell"))
+    // singleton blocks carry no within-block comparison — dropped by
+    // the test's definition (their d ≡ 0 anyway; k_b ≥ 2 keeps the
+    // c_micro law off k_b = 1's degenerate weight)
+    val sized = cells.withColumn("_kb", count(lit(1)).over(wBlk))
+      .filter(col("_kb") >= 2L)
+    val ranked = sized
+      .withColumn("_mr2", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTie) - lit(1L))
+      .withColumn("_d", col("_mr2") - (col("_kb") + lit(1L)))
+      .withColumn("_cm", round(sqrt(lit(12.0) /
+        (col("_kb") + lit(1L)).cast("double")) * lit(1.0e6)).cast("long"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    // bounded collects: ≤ t cumulant rows, ≤ t(t−1)/2 pair rows, 1 size row
+    val ptRows = ranked.groupBy(col("_x"))
+      .agg(coalesce(sum(col("_cm").cast(dec) * col("_d").cast(dec)), zero)
+        .as("_a2m"),
+        coalesce(sum(col("_kb") - lit(1L)), lit(0L)).as("_v"))
+      .collect()
+    val pairRows = sized.select(col("_b"), col("_x").as("_xa"))
+      .join(sized.select(col("_b"), col("_x").as("_xb")), "_b")
+      .filter(col("_xa") < col("_xb"))
+      .groupBy(col("_xa"), col("_xb")).agg(count(lit(1)).as("_c"))
+      .collect()
+    val nBlocks = sized.groupBy(col("_b")).agg(first(col("_kb")))
+      .count()
+    // driver-side over the bounded tables (the dunnTest posture)
+    val treatments = ptRows.map(_.get(0)).sortBy(String.valueOf(_))
+    val t = treatments.length
+    val idx = treatments.zipWithIndex.toMap
+    val a2m = Array.fill(t)(BigInt(0))
+    val diag = Array.fill(t)(0L)
+    ptRows.foreach { r =>
+      val i = idx(r.get(0))
+      a2m(i) = BigInt(r.getAs[java.math.BigDecimal]("_a2m")
+        .toBigIntegerExact)
+      diag(i) = r.getAs[Long]("_v")
+    }
+    val cooc = Array.ofDim[Long](t, t)
+    pairRows.foreach { r =>
+      val (i, j) = (idx(r.get(0)), idx(r.get(1)))
+      cooc(i)(j) = r.getAs[Long]("_c"); cooc(j)(i) = r.getAs[Long]("_c")
+    }
+    val offs = for { i <- 0 until t; j <- (i + 1) until t }
+      yield cooc(i)(j)
+    val balanced = t >= 2 && offs.nonEmpty && offs.forall(_ == offs.head) &&
+      offs.head > 0L && diag.forall(_ == diag.head)
+    val ssq = a2m.map(a => a * a).sum
+    val smOpt: Option[Double] =
+      if (t < 2) None
+      else if (balanced) {
+        // Σ = λt(I − J/t): SM = ΣA² /(λt) = ΣA2m² /(λ·t·4·10¹²)
+        Some(ssq.toDouble /
+          (offs.head.toDouble * t.toDouble * 4.0e12))
+      } else {
+        // general design: solve (Σ + J)x = A, SM = A·x — Gaussian
+        // elimination with partial pivoting (first-max tie-break:
+        // deterministic), zero pivot ⇒ disconnected ⇒ None
+        val aV = a2m.map(_.toDouble / 2.0e6)
+        val m = Array.tabulate(t, t + 1) { (i, j) =>
+          if (j == t) aV(i)
+          else if (i == j) diag(i).toDouble + 1.0
+          else -cooc(i)(j).toDouble + 1.0
+        }
+        val scale = math.max(1.0, m.map(_.map(math.abs).max).max)
+        var singular = false
+        for (c <- 0 until t if !singular) {
+          val p = (c until t).maxBy(r => math.abs(m(r)(c)))
+          if (math.abs(m(p)(c)) < 1.0e-9 * scale) singular = true
+          else {
+            val tmp = m(c); m(c) = m(p); m(p) = tmp
+            for (r <- c + 1 until t) {
+              val f = m(r)(c) / m(c)(c)
+              for (j <- c to t) m(r)(j) = m(r)(j) - f * m(c)(j)
+            }
+          }
+        }
+        if (singular) None
+        else {
+          val x = Array.fill(t)(0.0)
+          for (c <- (t - 1) to 0 by -1) {
+            var s = m(c)(t)
+            for (j <- c + 1 until t) s = s - m(c)(j) * x(j)
+            x(c) = s / m(c)(c)
+          }
+          var sm = 0.0
+          for (i <- 0 until t) sm = sm + aV(i) * x(i)
+          Some(sm)
+        }
+      }
+    def roundReplay(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue.toLong
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val out = Seq(Row(nBlocks, t.toLong, balanced, ssq.toDouble,
+      smOpt.map(s => java.lang.Long.valueOf(roundReplay(s * 1.0e12)))
+        .orNull))
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("n_blocks", LongType, nullable = false),
+      StructField("n_treatments", LongType, nullable = false),
+      StructField("balanced", BooleanType, nullable = false),
+      StructField("ssq_a2", DoubleType, nullable = false),
+      StructField("sm_pico", LongType, nullable = true))))
   }
 
   /** Dunn's post-hoc test (Dunn, Technometrics '64) — the pairwise

@@ -543,6 +543,81 @@ object Timeseries {
         round(least(lit(1.0), p) * lit(1.0e12)).cast("long")).as("p_pico"))
   }
 
+  /** Buishand range change-point screens (Buishand, J. Hydrology '82)
+    * — [[pettittDaily]]'s CUMULATIVE-DEVIATION companion: Pettitt asks
+    * WHEN the value distribution shifted via rank double-sums; this
+    * reads the per-bin series' partial sums directly — S_k =
+    * Σ_{t≤k}(y_t − ȳ) — and reports both the rescaled RANGE
+    * R/√T = (max S − min S)/(s√T) (a shift ANYWHERE bulges the
+    * cumulative away from zero) and the rescaled max excursion
+    * Q/√T = max|S_k|/(s√T), with the earliest bin attaining the max
+    * excursion as the change candidate. Mean-level shifts that rank
+    * tests dilute (a small persistent drift) accumulate linearly here.
+    *
+    * Exact law off ONE [[graft.ops.PrefixSum]] pass over the per-bin
+    * totals (bins unbounded by contract — never a one-task sort):
+    * T·S_k = T·C_k − k·C_T is an EXACT integer (C = cumulative bin
+    * sums, k = bin index off the same pass), so the max/min/argmax
+    * fold reads exact DECIMAL(38,0); s² = (Σy² − C_T²/T)/(T−1) off
+    * exact cumulants, and R/√T, Q/√T are ONE pinned double chain each,
+    * pico-rounded. NULL both when T < 2 or s² ≤ 0 (a constant series —
+    * no deviation scale). The ts_max/ts_min diagnostics surface as
+    * DOUBLES (T·C-scale — the [[graft.ops.Eval.quadeTest]] posture).
+    *
+    * Scale shape: one bin hash aggregate → one two-weight prefix-sum
+    * pass → a 1-row fold with a 1-row max broadcast. INTEGRAL-VALUE
+    * CONTRACT as [[graft.ops.Eval.moodMedianTest]].
+    *
+    * Output (1 row): (n_bins, ts_max, ts_min, change_bin, rb_pico,
+    * qb_pico).
+    */
+  def buishandDaily(events: DataFrame, tsCol: String, valueCol: String,
+      binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val dec = "decimal(38,0)"
+    val perBin = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_t"))
+      .agg(sum(col(valueCol).cast("long")).as("_y"))
+    val cum = graft.ops.PrefixSum.inclusiveAll(perBin, "_t",
+      Seq(col("_y") -> "_cy", lit(1L) -> "_ck"), withTotals = true)
+    val ts = cum.select(col("_t"), col("_y"),
+      (col("_ck_total").cast(dec) * col("_cy").cast(dec)
+        - col("_ck").cast(dec) * col("_cy_total").cast(dec)).as("_ts"),
+      col("_ck_total").as("_tn"), col("_cy_total").as("_cyt"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val mx = ts.agg(
+      coalesce(max(col("_ts")), zero).as("_tsmax"),
+      coalesce(min(col("_ts")), zero).as("_tsmin"))
+    val km = greatest(abs(col("_tsmax")), abs(col("_tsmin")))
+    val agg = ts.crossJoin(broadcast(mx)).agg(
+      coalesce(max(col("_tn")), lit(0L)).as("n_bins"),
+      coalesce(max(col("_cyt")), lit(0L)).as("_cy"),
+      coalesce(sum(col("_y").cast(dec) * col("_y").cast(dec)), zero)
+        .as("_qy"),
+      max(col("_tsmax")).as("_tsmax"), max(col("_tsmin")).as("_tsmin"),
+      min(when(abs(col("_ts")) === km, col("_t"))).as("change_bin"))
+    // greatest clamps: identity whenever the matching when() fires
+    val tD = greatest(col("n_bins"), lit(1L)).cast("double")
+    val t1D = greatest(col("n_bins") - lit(1L), lit(1L)).cast("double")
+    val sVar = (col("_qy").cast("double") -
+      col("_cy").cast("double") * col("_cy").cast("double") / tD) / t1D
+    val sden = sqrt(greatest(sVar, lit(1.0e-300))) * sqrt(tD)
+    // _ts is the ×T-scaled partial sum: one /T recovers S_k, then /s√T
+    val rb = (col("_tsmax") - col("_tsmin")).cast("double") / tD / sden
+    val qb = greatest(abs(col("_tsmax")), abs(col("_tsmin")))
+      .cast("double") / tD / sden
+    agg.select(col("n_bins"),
+      col("_tsmax").cast("double").as("ts_max"),
+      col("_tsmin").cast("double").as("ts_min"),
+      col("change_bin"),
+      when(col("n_bins") >= 2L && sVar > 0.0,
+        round(rb * lit(1.0e12)).cast("long")).as("rb_pico"),
+      when(col("n_bins") >= 2L && sVar > 0.0,
+        round(qb * lit(1.0e12)).cast("long")).as("qb_pico"))
+  }
+
   def mannKendallDaily(events: DataFrame, tsCol: String,
       binMicros: Long = 86400L * 1000000L): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")

@@ -1611,6 +1611,222 @@ trait EvalQueries { self: RegistryAll =>
       |     AS BIGINT) END AS q_pico
       | FROM w""".stripMargin.replace("\n", " ")
 
+  /** Lepage's combined location-scale χ² of returned vs kept line-item
+    * extended price ([[graft.ops.Eval.lepageTest]]): did the returned
+    * population move OR spread? — z_W² + z_AB² off the ONE shared
+    * value-table prefix-sum pass, the either-alternative screen
+    * (q_brunner_munzel asks location-ish, q_ansari_bradley scale; this
+    * fires on both).
+    */
+  def qLepage(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.lepageTest(
+      t(spark, dir, "lineitem")
+        .select(floor(col("l_extendedprice")).as("price"),
+          (col("l_returnflag") === "R").as("is_r")),
+      "price", "is_r")
+
+  lazy val qLepageSql: String =
+    """WITH base AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v,
+      |   (l_returnflag = 'R') AS a
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+      | bt AS (SELECT v,
+      |   CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS fa,
+      |   CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS HUGEINT) AS fb
+      |  FROM base GROUP BY 1),
+      | cumt AS (SELECT fa, fb, fa + fb AS m,
+      |   SUM(fa + fb) OVER (ORDER BY v
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |   SUM(fa + fb) OVER () AS nn FROM bt),
+      | sc AS (SELECT fa, fb, m, nn, cum - m + 1 AS l, cum AS u,
+      |   (nn + 1) // 2 AS tf, 2 * cum - m + 1 AS mr2 FROM cumt),
+      | s2 AS (SELECT fa, fb, m, mr2,
+      |   (CASE WHEN l <= least(u, tf) THEN
+      |      (least(u, tf) * (least(u, tf) + 1)) // 2 - ((l - 1) * l) // 2
+      |    ELSE 0 END
+      |   + CASE WHEN greatest(l, tf + 1) <= u THEN
+      |      (nn + 1) * (u - greatest(l, tf + 1) + 1)
+      |      - ((u * (u + 1)) // 2
+      |         - ((greatest(l, tf + 1) - 1) * greatest(l, tf + 1)) // 2)
+      |    ELSE 0 END) AS s FROM sc),
+      | sm AS (SELECT fa, fb, m, mr2,
+      |   (2 * s * 1000000 + m) // (2 * m) AS sm FROM s2),
+      | ag AS (SELECT COALESCE(SUM(fa), 0) AS na, COALESCE(SUM(fb), 0) AS nb,
+      |   COALESCE(SUM(fa * mr2), 0) AS w2,
+      |   COALESCE(SUM(m * m * m - m), 0) AS tie,
+      |   COALESCE(SUM(fa * sm), 0) AS w, COALESCE(SUM(m * sm), 0) AS t,
+      |   COALESCE(SUM(m * sm * sm), 0) AS q FROM sm),
+      | zd AS (SELECT na, nb, w2,
+      |   (CAST(w2 AS DOUBLE) - CAST(na AS DOUBLE)
+      |      * (CAST(na + nb AS DOUBLE) + 1.0))
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |      * ((CAST(na + nb AS DOUBLE) + 1.0) * CAST(na + nb AS DOUBLE)
+      |         * (CAST(na + nb AS DOUBLE) - 1.0) - CAST(tie AS DOUBLE))
+      |      / (3.0 * CAST(na + nb AS DOUBLE)
+      |         * (CAST(na + nb AS DOUBLE) - 1.0))) AS zw,
+      |   (CAST(w AS DOUBLE) - CAST(na AS DOUBLE) * CAST(t AS DOUBLE)
+      |      / CAST(na + nb AS DOUBLE))
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |      * (CAST(na + nb AS DOUBLE) * CAST(q AS DOUBLE)
+      |         - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+      |      / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+      |         * CAST(na + nb - 1 AS DOUBLE))) AS zab,
+      |   CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |    * ((CAST(na + nb AS DOUBLE) + 1.0) * CAST(na + nb AS DOUBLE)
+      |       * (CAST(na + nb AS DOUBLE) - 1.0) - CAST(tie AS DOUBLE))
+      |    / (3.0 * CAST(na + nb AS DOUBLE)
+      |       * (CAST(na + nb AS DOUBLE) - 1.0)) AS vw,
+      |   CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |    * (CAST(na + nb AS DOUBLE) * CAST(q AS DOUBLE)
+      |       - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+      |    / (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+      |       * CAST(na + nb - 1 AS DOUBLE)) AS vab
+      |  FROM ag)
+      | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(w2 AS BIGINT) AS w2_a,
+      |  CASE WHEN na > 0 AND nb > 0 AND na + nb >= 2 AND vw > 0.0 THEN
+      |   CAST(round(zw * 1.0e12) AS BIGINT) END AS zw_pico,
+      |  CASE WHEN na > 0 AND nb > 0 AND na + nb >= 2 AND vab > 0.0 THEN
+      |   CAST(round(zab * 1.0e12) AS BIGINT) END AS zab_pico,
+      |  CASE WHEN na > 0 AND nb > 0 AND na + nb >= 2 AND vw > 0.0
+      |    AND vab > 0.0 THEN
+      |   CAST(round((zw * zw + zab * zab) * 1.0e12) AS BIGINT)
+      |  END AS l_pico
+      | FROM zd""".stripMargin.replace("\n", " ")
+
+  /** Rotating one-priority-out incomplete design over the complete
+    * 5-priority customer blocks: blocks ranked by custkey (the
+    * distributed [[graft.ops.PrefixSum]] — never a one-task sort over
+    * the block axis), truncated to a multiple of 5, block rank i
+    * dropping priority ((i−1) mod 5)+1 — a BIB design (t=5, k=4,
+    * r=4b/5, λ=3b/5) constructed deterministically from organic data;
+    * the shared input of q_durbin and q_skillings_mack.
+    */
+  private def rotatingIncomplete(spark: SparkSession,
+      dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderpriority").isNotNull
+        && col("o_totalprice").isNotNull)
+      .select(col("o_custkey").as("blk"), col("o_orderpriority").as("cls"),
+        floor(col("o_totalprice")).as("spend"),
+        expr("CAST(substring(o_orderpriority, 1, 1) AS INT)").as("sidx"))
+    val complete = base.groupBy(col("blk"))
+      .agg(countDistinct(col("cls")).as("_nd"))
+      .filter(col("_nd") === 5L).select(col("blk"))
+    val keep = graft.ops.PrefixSum.inclusiveAll(complete, "blk",
+      Seq(lit(1L) -> "_rk"), withTotals = true)
+      .filter(col("_rk") <= lit(5L) * expr("_rk_total div 5"))
+      .select(col("blk"),
+        (pmod(col("_rk") - lit(1L), lit(5L)) + lit(1L)).as("_dropi"))
+    base.join(keep, "blk")
+      .filter(col("sidx").cast("long") =!= col("_dropi"))
+      .select(col("blk"), col("cls"), col("spend"))
+  }
+
+  /** The rotating-one-out construction + the op law, shared verbatim by
+    * qDurbinSql and qSkillingsMackSql up to the ranked-cells stage.
+    */
+  private val incompleteCellsSql: String =
+    """WITH baseall AS (SELECT o_custkey AS blk, o_orderpriority AS cls,
+      |   CAST(floor(o_totalprice) AS BIGINT) AS spend,
+      |   CAST(substring(o_orderpriority, 1, 1) AS INT) AS sidx
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |   AND o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+      | comp AS (SELECT blk FROM baseall GROUP BY 1
+      |   HAVING COUNT(DISTINCT cls) = 5),
+      | rk AS (SELECT blk, ROW_NUMBER() OVER (ORDER BY blk) AS r,
+      |   COUNT(*) OVER () AS nb FROM comp),
+      | keep AS (SELECT blk, ((r - 1) % 5) + 1 AS dropi FROM rk
+      |   WHERE r <= 5 * (nb // 5)),
+      | rows2 AS (SELECT b.blk AS b, b.cls AS x, b.spend AS y
+      |   FROM baseall b JOIN keep USING (blk) WHERE b.sidx <> keep.dropi),
+      | cells AS (SELECT b, x, SUM(y) AS cell FROM rows2 GROUP BY 1, 2),
+      | rkd AS (SELECT b, x,
+      |   2 * RANK() OVER (PARTITION BY b ORDER BY cell)
+      |    + COUNT(*) OVER (PARTITION BY b, cell) - 1 AS mr2,
+      |   COUNT(*) OVER (PARTITION BY b) AS kb FROM cells)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Durbin's χ²/F over the rotating one-priority-out BIB design
+    * ([[graft.ops.Eval.durbinTest]]): does priority matter to a
+    * customer's per-priority spend when every customer ranks only the
+    * FOUR priorities their block kept? — the incomplete-design member
+    * of the q_friedman_w family, whose complete-block scaffold would
+    * drop every one of these blocks.
+    */
+  def qDurbin(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.durbinTest(rotatingIncomplete(spark, dir),
+      "blk", "cls", "spend")
+
+  lazy val qDurbinSql: String =
+    (incompleteCellsSql +
+      """,
+      | ca AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nc, MAX(kb) AS k,
+      |   COALESCE(SUM(CAST(mr2 AS HUGEINT) * mr2), 0) AS a4 FROM rkd),
+      | pt AS (SELECT x, CAST(COUNT(*) AS HUGEINT) AS r,
+      |   CAST(SUM(mr2) AS HUGEINT) AS r2 FROM rkd GROUP BY 1),
+      | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+      |   CAST(MAX(pt.r) AS BIGINT) AS rmax,
+      |   COALESCE(SUM((r2 - r * (k + 1)) * (r2 - r * (k + 1))), 0) AS s4
+      |  FROM pt, ca),
+      | w AS (SELECT (nc // k) AS b, t, k, rmax, s4, a4,
+      |   a4 - (nc // k) * k * (k + 1) * (k + 1) AS den,
+      |   CAST(t - 1 AS DOUBLE) * CAST(s4 AS DOUBLE)
+      |    / CAST(a4 - (nc // k) * k * (k + 1) * (k + 1) AS DOUBLE) AS t1,
+      |   CAST(nc // k AS DOUBLE) * CAST(k - 1 AS DOUBLE) AS bk1
+      |  FROM ag, ca)
+      | SELECT CAST(b AS BIGINT) AS n_blocks, t AS n_treatments,
+      |  CAST(k AS BIGINT) AS k_per_block, rmax AS r_reps,
+      |  CAST(s4 AS BIGINT) AS s4, CAST(a4 AS BIGINT) AS a4,
+      |  CASE WHEN t >= 2 AND den > 0 THEN
+      |   CAST(round(t1 * 1.0e12) AS BIGINT) END AS t1_pico,
+      |  CASE WHEN t >= 2 AND den > 0 AND bk1 - t1 > 0.0 THEN
+      |   CAST(round(t1 / CAST(t - 1 AS DOUBLE)
+      |    * (bk1 - CAST(t AS DOUBLE) + 1.0) / (bk1 - t1) * 1.0e12)
+      |    AS BIGINT) END AS t2_pico
+      | FROM w""").stripMargin.replace("\n", " ")
+
+  /** Skillings–Mack over the same rotating one-out design
+    * ([[graft.ops.Eval.skillingsMack]]): the general-missing-data
+    * statistic on a pairwise-balanced pattern, where its covariance
+    * solve collapses to the closed ΣA²/(λt) chain — the oracled leg of
+    * the op whose general path is spec-pinned (Gaussian elimination
+    * over the bounded treatment axis).
+    */
+  def qSkillingsMack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.skillingsMack(rotatingIncomplete(spark, dir),
+      "blk", "cls", "spend")
+
+  lazy val qSkillingsMackSql: String =
+    (incompleteCellsSql +
+      """,
+      | sized AS (SELECT b, x, mr2, kb FROM rkd WHERE kb >= 2),
+      | sc AS (SELECT x, kb, mr2 - (kb + 1) AS d,
+      |   CAST(round(sqrt(12.0 / CAST(kb + 1 AS DOUBLE)) * 1.0e6)
+      |     AS BIGINT) AS cm FROM sized),
+      | pt AS (SELECT x,
+      |   COALESCE(SUM(CAST(cm AS HUGEINT) * d), 0) AS a2m,
+      |   SUM(kb - 1) AS v FROM sc GROUP BY 1),
+      | pr AS (SELECT l.x AS xa, r.x AS xb, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM sized l JOIN sized r USING (b) WHERE l.x < r.x GROUP BY 1, 2),
+      | agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS t,
+      |   COALESCE(SUM(a2m * a2m), 0) AS ssq,
+      |   (MIN(v) = MAX(v)) AS dq FROM pt),
+      | pra AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, MIN(c) AS lam,
+      |   (MIN(c) = MAX(c)) AS pq FROM pr),
+      | nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_blocks
+      |  FROM sized),
+      | w AS (SELECT n_blocks, t,
+      |   (t >= 2 AND np = t * (t - 1) // 2 AND pq AND lam > 0 AND dq)
+      |     AS balanced,
+      |   CAST(ssq AS DOUBLE) AS ssq_a2, ssq, lam FROM agg, pra, nb)
+      | SELECT n_blocks, t AS n_treatments, balanced, ssq_a2,
+      |  CASE WHEN balanced THEN
+      |   CAST(round(CAST(ssq AS DOUBLE)
+      |    / (CAST(lam AS DOUBLE) * CAST(t AS DOUBLE) * 4.0e12) * 1.0e12)
+      |    AS BIGINT) END AS sm_pico
+      | FROM w""").stripMargin.replace("\n", " ")
+
   /** Dunn's post-hoc pairwise z over the q_kruskal_wallis design
     * ([[graft.ops.Eval.dunnTest]]): which SOURCE PAIRS differ in
     * document length, once the omnibus H fires — 190 tie-corrected

@@ -665,6 +665,58 @@ trait TimeseriesQueries { self: RegistryAll =>
       |    * 1.0e12) AS BIGINT) END AS p_pico
       | FROM ag""".stripMargin.replace("\n", " ")
 
+  /** Buishand range/Q change-point of daily event-value totals
+    * ([[graft.ops.Timeseries.buishandDaily]]): does the cumulative
+    * daily value mass bulge away from its mean line, and WHERE — the
+    * partial-sum companion of q_pettitt (mean-level drifts accumulate
+    * linearly here where rank statistics dilute them), off one
+    * prefix-sum pass over the bin axis.
+    */
+  def qBuishand(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.buishandDaily(
+      t(spark, dir, "events")
+        .select(col("ts"), floor(col("value") * lit(100.0)).as("cents")),
+      "ts", "cents")
+
+  lazy val qBuishandSql: String =
+    """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS t,
+      |   CAST(floor(value * 100.0) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      | pb AS (SELECT t, CAST(SUM(v) AS HUGEINT) AS y
+      |  FROM base GROUP BY 1),
+      | cumb AS (SELECT t, y, SUM(y) OVER w AS cy,
+      |   CAST(SUM(1) OVER w AS HUGEINT) AS ck,
+      |   SUM(y) OVER () AS cyt, CAST(COUNT(*) OVER () AS HUGEINT) AS tn
+      |  FROM pb WINDOW w AS (ORDER BY t
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      | u AS (SELECT t, y, tn * cy - ck * cyt AS ts2, tn, cyt FROM cumb),
+      | mx AS (SELECT COALESCE(MAX(ts2), 0) AS tsmax,
+      |   COALESCE(MIN(ts2), 0) AS tsmin FROM u),
+      | ag AS (SELECT COALESCE(CAST(MAX(tn) AS BIGINT), 0) AS n_bins,
+      |   COALESCE(CAST(MAX(cyt) AS HUGEINT), 0) AS cy,
+      |   COALESCE(SUM(y * y), 0) AS qy,
+      |   MAX(mx.tsmax) AS tsmax, MAX(mx.tsmin) AS tsmin,
+      |   MIN(CASE WHEN abs(ts2) = greatest(abs(mx.tsmax), abs(mx.tsmin))
+      |     THEN t END) AS change_bin
+      |  FROM u, mx),
+      | w AS (SELECT n_bins, tsmax, tsmin, change_bin,
+      |   (CAST(qy AS DOUBLE) - CAST(cy AS DOUBLE) * CAST(cy AS DOUBLE)
+      |      / CAST(n_bins AS DOUBLE)) / CAST(n_bins - 1 AS DOUBLE) AS svar
+      |  FROM ag)
+      | SELECT n_bins, CAST(tsmax AS DOUBLE) AS ts_max,
+      |  CAST(tsmin AS DOUBLE) AS ts_min,
+      |  CAST(change_bin AS BIGINT) AS change_bin,
+      |  CASE WHEN n_bins >= 2 AND svar > 0.0 THEN
+      |   CAST(round(CAST(tsmax - tsmin AS DOUBLE) / CAST(n_bins AS DOUBLE)
+      |    / (sqrt(svar) * sqrt(CAST(n_bins AS DOUBLE))) * 1.0e12)
+      |    AS BIGINT) END AS rb_pico,
+      |  CASE WHEN n_bins >= 2 AND svar > 0.0 THEN
+      |   CAST(round(CAST(greatest(abs(tsmax), abs(tsmin)) AS DOUBLE)
+      |    / CAST(n_bins AS DOUBLE)
+      |    / (sqrt(svar) * sqrt(CAST(n_bins AS DOUBLE))) * 1.0e12)
+      |    AS BIGINT) END AS qb_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
   /** Mann–Kendall trend test of daily event volume
     * ([[graft.ops.Timeseries.mannKendallDaily]]): is q_theil_sen's
     * slope a real monotone trend or noise? — sign-pair statistic S over

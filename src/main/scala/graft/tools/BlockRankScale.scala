@@ -109,6 +109,77 @@ object BlockRankScale {
     secs
   }
 
+  /** Incomplete-design leg (r19): the same n blocks × 5 treatments with
+    * a ROTATING ONE-OUT drop — block b (0-based) drops treatment
+    * (b mod 5)+1, cell = j·(b+1) as before — a BIB design (k = 4,
+    * r = 4n/5, λ = 3n/5 for n ≡ 0 mod 5) whose closed forms are exact:
+    *
+    *   Durbin:  R2_j = (2n/5)(3j+1) → S4 = 72n²/5, A4 = 120n,
+    *            C4 = 100n → T1 = 2.88n, T2 = T1/4·(3n−4)/(3n−T1)
+    *   S–M:     A2m_j = c·(6n/5)(j−3) with c = round(√(12/5)·10⁶)
+    *            → Σ = 72c²n²/5, λt = 3n → SM = ΣA2m²/(3n·4·10¹²)
+    *
+    * Both picos land PAST 2^53 at the default n — the leg exercises
+    * the roundSpark replay law end-to-end, plus the balanced-path
+    * detection (λ, diagonal equality) and Durbin's in-plan BIB gate.
+    */
+  private def incompleteLeg(spark: SparkSession, name: String,
+      n: Long): Double = {
+    require(n % 5 == 0, s"incomplete leg needs n ≡ 0 mod 5, got $n")
+    val df = spark.range(n).selectExpr("id AS blk",
+      s"explode(sequence(1, $K)) AS cls")
+      .selectExpr("blk", "cls", "cls * (blk + 1) AS v")
+      .filter(s"cls != (blk % $K) + 1")
+    val t0 = System.nanoTime()
+    val durbin = graft.ops.Eval.durbinTest(df, "blk", "cls", "v")
+      .collect().head
+    val sm = graft.ops.Eval.skillingsMack(df, "blk", "cls", "v")
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    // Durbin: exact integer cumulants, then the engine's double chains
+    require(durbin.getLong(0) == n && durbin.getLong(1) == K.toLong &&
+        durbin.getLong(2) == (K - 1).toLong &&
+        durbin.getLong(3) == 4 * n / 5,
+      s"$name durbin: design (b=${durbin.getLong(0)}, t=${durbin.getLong(1)}, " +
+        s"k=${durbin.getLong(2)}, r=${durbin.getLong(3)})")
+    val s4 = BigInt(72) * BigInt(n) * BigInt(n) / 5
+    require(durbin.getLong(4) == s4.toLong && durbin.getLong(5) == 120L * n,
+      s"$name durbin: S4/A4 drifted — got (${durbin.getLong(4)}, " +
+        s"${durbin.getLong(5)}), want ($s4, ${120 * n})")
+    val den = BigInt(120) * n - BigInt(100) * n
+    val t1d = 4.0 * s4.toDouble / den.toDouble
+    require(durbin.getLong(6) == roundSpark(t1d * 1.0e12),
+      s"$name durbin: t1_pico ${durbin.getLong(6)} != " +
+        s"${roundSpark(t1d * 1.0e12)} (closed form 2.88n = ${2.88 * n})")
+    val bk1 = n.toDouble * 3.0
+    val t2d = t1d / 4.0 * (bk1 - 5.0 + 1.0) / (bk1 - t1d)
+    require(durbin.getLong(7) == roundSpark(t2d * 1.0e12),
+      s"$name durbin: t2_pico ${durbin.getLong(7)} != " +
+        s"${roundSpark(t2d * 1.0e12)}")
+
+    // Skillings–Mack: the balanced path must fire with the exact
+    // quantized-weight cumulants
+    val c = roundSpark(math.sqrt(12.0 / 5.0) * 1.0e6)
+    val ssq = BigInt(72) * BigInt(c) * BigInt(c) * BigInt(n) * BigInt(n) / 5
+    require(sm.getLong(0) == n && sm.getLong(1) == K.toLong &&
+        sm.getBoolean(2),
+      s"$name sm: design/balance (b=${sm.getLong(0)}, t=${sm.getLong(1)}, " +
+        s"balanced=${sm.getBoolean(2)}) — the λ = 3n/5 BIB pattern must " +
+        "take the closed covariance chain")
+    require(sm.getDouble(3) == ssq.toDouble,
+      s"$name sm: ssq_a2 ${sm.getDouble(3)} != ${ssq.toDouble}")
+    val lam = 3 * n / 5
+    val smD = ssq.toDouble / (lam.toDouble * K.toDouble * 4.0e12)
+    require(sm.getLong(4) == roundSpark(smD * 1.0e12),
+      s"$name sm: sm_pico ${sm.getLong(4)} != ${roundSpark(smD * 1.0e12)}")
+
+    println(f"=== $name (incomplete): $n blocks x 4-of-5 kept " +
+      f"(${n * 4} cells) -> durbin T1 = ${2.88 * n}%.1f EXACT, " +
+      f"T2 EXACT, skillings-mack balanced-path EXACT, $secs%.1f s ===")
+    secs
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
     require(n >= 1000 && n <= 50000000L, s"nBlocks out of range: $n")
@@ -125,6 +196,18 @@ object BlockRankScale {
       f"time grew ${t2 / t1}%.2f x at 2x blocks — the block-rank " +
         "family should be ~linear; investigate before trusting " +
         "q_page_trend/q_friedman_w/q_quade at scale")
+    // the plant's T1 = 2.88n sits near its 3n ceiling, so T2 = 18n
+    // diverges with blocks — the probe MEASURED the pico-long ANSI
+    // cliff at n ≈ 5.1·10⁵ (T2·10¹² > 2⁶³); legs sit inside the
+    // documented domain (durbinTest's PICO-LONG DOMAIN note)
+    val nI = math.min(n - n % 5, 200000L)
+    val i1 = incompleteLeg(spark, "leg3", nI)
+    val i2 = incompleteLeg(spark, "leg4 (2x blocks)", 2 * nI)
+    println(f"=== incomplete 2x: time x${i2 / i1}%.2f ===")
+    require(i2 / i1 < 3.0,
+      f"time grew ${i2 / i1}%.2f x at 2x blocks — Durbin/Skillings-Mack " +
+        "should be ~linear in blocks; investigate before trusting " +
+        "q_durbin/q_skillings_mack at scale")
     spark.stop()
   }
 }

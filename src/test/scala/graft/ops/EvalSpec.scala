@@ -1088,4 +1088,121 @@ class EvalSpec extends SparkSpec {
     val lone = Seq((1L, true), (2L, true)).toDF("v", "fa")
     assert(Eval.moodScaleTest(lone, "v", "fa").collect().head.isNullAt(4))
   }
+
+  test("lepageTest: pure-scale data reads zw = 0 and L = zab², degenerate NULLs") {
+    // A = {1,4} brackets B = {2,3}: W2_A = 2+8 = 10 = E[W2] → z_W = 0;
+    // the AB leg reads −√3 (the ansariBradley spec's data) → L = 3
+    val sep = Seq((1L, true), (4L, true), (2L, false), (3L, false))
+      .toDF("v", "fa")
+    val r = Eval.lepageTest(sep, "v", "fa").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 2L, 10L)))
+    assert(r.getLong(3) === 0L)
+    assert(r.getLong(4) === -1732050807569L)
+    assert(r.getLong(5) === 3000000000000L)
+    // both legs must agree with their standalone ops bit-for-bit
+    val ab = Eval.ansariBradley(sep, "v", "fa").collect().head
+    assert(r.getLong(4) === ab.getLong(4), "AB leg must match ansariBradley")
+    // pure location shift: zw ≠ 0 carries the signal
+    val shift = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("v", "fa")
+    val r2 = Eval.lepageTest(shift, "v", "fa").collect().head
+    assert(r2.getLong(3) < 0L, "A below B must read z_W < 0")
+    // all values tied: both variances 0 → all NULL
+    val flat = Seq((5L, true), (5L, false)).toDF("v", "fa")
+    val r3 = Eval.lepageTest(flat, "v", "fa").collect().head
+    assert(r3.isNullAt(3) && r3.isNullAt(4) && r3.isNullAt(5))
+    // lone side: NULL
+    val lone = Seq((1L, true), (2L, true)).toDF("v", "fa")
+    assert(Eval.lepageTest(lone, "v", "fa").collect().head.isNullAt(5))
+  }
+
+  test("durbinTest: hand-exact BIB chi2 and F, complete-design Friedman equality, BIB contract enforced") {
+    // t=3, b=3, k=2, r=2, λ=1: R2 = (4, 6, 8) vs r(k+1) = 6 → S4 = 8,
+    // A4 = 60, C4 = 54 → T1 = 2·8/6 = 8/3; T2 = (4/3)·1/(1/3) = 4
+    val bib = Seq(("b1", "T1", 1L), ("b1", "T2", 2L),
+      ("b2", "T2", 1L), ("b2", "T3", 2L),
+      ("b3", "T1", 1L), ("b3", "T3", 2L)).toDF("blk", "cls", "v")
+    val r = Eval.durbinTest(bib, "blk", "cls", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((3L, 3L, 2L, 2L)))
+    assert((r.getLong(4), r.getLong(5)) === ((8L, 60L)))
+    assert(r.getLong(6) === 2666666666667L)
+    assert(r.getLong(7) === 4000000000000L)
+    // complete design (k = t): T1 IS the tie-corrected Friedman χ² —
+    // same pinned double chain, bit-equal picos
+    val complete = Seq(("b1", "c1", 1L), ("b1", "c2", 2L), ("b1", "c3", 3L),
+      ("b2", "c1", 1L), ("b2", "c2", 2L), ("b2", "c3", 3L))
+      .toDF("blk", "cls", "v")
+    val d = Eval.durbinTest(complete, "blk", "cls", "v").collect().head
+    val f = Eval.friedmanKendallW(complete, "blk", "cls", "v")
+      .collect().head
+    assert(d.getLong(6) === f.getLong(4),
+      "complete-design Durbin must equal Friedman bit-for-bit")
+    // unequal block sizes: the BIB contract fails the job in-plan
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val ragged = bib.union(Seq(("b1", "T3", 3L)).toDF("blk", "cls", "v"))
+    val e1 = intercept[Exception] {
+      Eval.durbinTest(ragged, "blk", "cls", "v").collect()
+    }
+    assert(messages(e1).exists(_.contains("unequal sizes")), messages(e1))
+    // unequal replication (equal k, ragged r): likewise enforced
+    val unrep = Seq(("b1", "T1", 1L), ("b1", "T2", 2L),
+      ("b2", "T1", 1L), ("b2", "T2", 2L),
+      ("b3", "T1", 1L), ("b3", "T3", 2L)).toDF("blk", "cls", "v")
+    val e2 = intercept[Exception] {
+      Eval.durbinTest(unrep, "blk", "cls", "v").collect()
+    }
+    assert(messages(e2).exists(_.contains("unequal replication")),
+      messages(e2))
+    // every block fully tied: A4 = C4 → NULL statistics
+    val flat = Seq(("b1", "T1", 5L), ("b1", "T2", 5L),
+      ("b2", "T1", 5L), ("b2", "T2", 5L)).toDF("blk", "cls", "v")
+    val rf = Eval.durbinTest(flat, "blk", "cls", "v").collect().head
+    assert(rf.isNullAt(6) && rf.isNullAt(7))
+  }
+
+  test("skillingsMack: balanced closed chain, general-path solve, disconnected NULL, singleton drop, require") {
+    // complete 2-block no-tie design: balanced (λ=2), the closed chain
+    // with k=3's quantized weight c = round(√3·10⁶) = 1732051 —
+    // SM = 4.000000888… (Friedman χ² = 4 + the documented ~1e-6
+    // quantization), ssq = 2·6928204²
+    val complete = Seq(("b1", "T1", 1L), ("b1", "T2", 2L), ("b1", "T3", 3L),
+      ("b2", "T1", 1L), ("b2", "T2", 2L), ("b2", "T3", 3L))
+      .toDF("blk", "cls", "v")
+    val r = Eval.skillingsMack(complete, "blk", "cls", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    assert(r.getBoolean(2))
+    assert(r.getDouble(3) === 96000021331232.0)
+    assert(r.getLong(4) === 4000000888801L)
+    // general missing pattern {T1,T2}, {T1,T2}, {T2,T3}: co-occurrence
+    // is unbalanced (2/1/0) → the Gaussian-elimination path; with k=2's
+    // EXACT weight c = 2·10⁶, A = (0,−1,1), Σ+J solve gives SM = 1
+    val general = Seq(("b1", "T1", 1L), ("b1", "T2", 2L),
+      ("b2", "T1", 2L), ("b2", "T2", 1L),
+      ("b3", "T2", 1L), ("b3", "T3", 2L)).toDF("blk", "cls", "v")
+    val g = Eval.skillingsMack(general, "blk", "cls", "v").collect().head
+    assert((g.getLong(0), g.getLong(1)) === ((3L, 3L)))
+    assert(!g.getBoolean(2))
+    assert(g.getLong(4) === 1000000000000L)
+    // disconnected design: no common ranking scale → NULL sm
+    val disc = Seq(("b1", "T1", 1L), ("b1", "T2", 2L),
+      ("b2", "T3", 1L), ("b2", "T4", 2L)).toDF("blk", "cls", "v")
+    val dd = Eval.skillingsMack(disc, "blk", "cls", "v").collect().head
+    assert(dd.isNullAt(4))
+    // singleton blocks carry no comparison — dropped, result unchanged
+    val withSingleton = general
+      .union(Seq(("b9", "T1", 7L)).toDF("blk", "cls", "v"))
+    val s = Eval.skillingsMack(withSingleton, "blk", "cls", "v")
+      .collect().head
+    assert((s.getLong(0), s.getLong(4)) === ((3L, 1000000000000L)))
+    // bounded treatment axis: the driver-side solve requires ≤ max
+    val many = (0 until 70).map(i => ("b1", f"T$i%02d", i.toLong))
+      .toDF("blk", "cls", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.skillingsMack(many, "blk", "cls", "v")
+    }
+    assert(e.getMessage.contains("64 distinct"))
+  }
 }

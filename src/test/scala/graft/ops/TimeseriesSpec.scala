@@ -245,4 +245,31 @@ class TimeseriesSpec extends SparkSpec {
     val r3 = Timeseries.pettittDaily(up, "ts", "v").collect().head
     assert(r3.getLong(2) === 2L && r3.getLong(3) === 0L)
   }
+
+  test("buishandDaily: hand-exact scaled partial sums, earliest max excursion, constant-series NULL") {
+    def tsAtDay(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // per-day sums y = (3,1,4,2): T·S = (2,−4,2,0) → max 2, min −4,
+    // |S| peaks at day 1; s² = 5/3 → R/√T = 6/4/(s·2), Q/√T = 4/4/(s·2)
+    val y = Seq((tsAtDay(0), 3L), (tsAtDay(1), 1L),
+      (tsAtDay(2), 4L), (tsAtDay(3), 2L)).toDF("ts", "v")
+    val r = Timeseries.buishandDaily(y, "ts", "v").collect().head
+    assert(r.getLong(0) === 4L)
+    assert((r.getDouble(1), r.getDouble(2)) === ((2.0, -4.0)))
+    assert(r.getLong(3) === 1L)
+    assert(r.getLong(4) === 580947501931L)
+    assert(r.getLong(5) === 387298334621L)
+    // per-day SUMS are the series: two events in one bin fold first
+    val folded = Seq((tsAtDay(0), 1L), (tsAtDay(0), 2L), (tsAtDay(1), 1L),
+      (tsAtDay(2), 4L), (tsAtDay(3), 2L)).toDF("ts", "v")
+    val r2 = Timeseries.buishandDaily(folded, "ts", "v").collect().head
+    assert(r2.getLong(4) === 580947501931L)
+    // constant series: s² = 0 → NULL statistics, excursions all 0
+    val flat = Seq((tsAtDay(0), 5L), (tsAtDay(1), 5L)).toDF("ts", "v")
+    val rf = Timeseries.buishandDaily(flat, "ts", "v").collect().head
+    assert(rf.getDouble(1) === 0.0 && rf.isNullAt(4) && rf.isNullAt(5))
+    // single bin: T < 2 → NULL
+    val one = Seq((tsAtDay(0), 5L)).toDF("ts", "v")
+    assert(Timeseries.buishandDaily(one, "ts", "v").collect().head
+      .isNullAt(4))
+  }
 }

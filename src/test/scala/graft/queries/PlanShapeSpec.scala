@@ -1037,7 +1037,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_cliffs_delta", "q_gamma_somers", "q_mood_median",
       "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
       "q_mood_scale", "q_quade", "q_pettitt",
-      "q_signed_rank").foreach { q =>
+      "q_signed_rank", "q_lepage", "q_buishand").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
@@ -1062,6 +1062,20 @@ class PlanShapeSpec extends SparkSpec {
         s"$name lost the complete-block semi filter:\n$p")
       assert(!p.contains("CartesianProduct"), name)
     }
+  }
+
+  test("q_durbin: per-block windows only, distributed block-rank prefix sum, no cartesian") {
+    val p = plan("q_durbin")
+    // the rotating-one-out construction ranks blocks via PrefixSum —
+    // never a one-task sort over the block axis
+    assert(p.contains("_ps_pid"),
+      s"q_durbin's block-rank construction lost the prefix-sum shape:\n$p")
+    // within-block ranking must stay on ≤ k-row partitions
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toList
+    assert(winLines.nonEmpty && winLines.forall(l =>
+      l.contains("_b#") || l.contains("_ps_pid")),
+      s"q_durbin: unpartitioned window in the block-ranking law:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_cvm_drift / q_ad_drift / q_kuiper_drift: the whole-curve laws share the KS prefix-sum shape") {
