@@ -1756,6 +1756,255 @@ object Eval {
         .as("l_pico"))
   }
 
+  /** Acklam's rational approximation of the standard normal inverse
+    * CDF (P. J. Acklam '03, the widely-reproduced public algorithm;
+    * |relative error| < 1.15·10⁻⁹), as a Catalyst expression over
+    * p ∈ (0.5, 1) — the regime the midrank normal scores
+    * p = ½ + r/(2(N+1)) live in. Pure +,−,×,÷,sqrt,ln arithmetic, so
+    * the chain replays verbatim in any engine (the KL-drift ln
+    * precedent); callers quantize the result ONCE (micro) before any
+    * distributed sum.
+    */
+  private def probitCol(p: Column): Column = {
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    def horner(cs: Seq[Double], x: Column): Column =
+      cs.tail.foldLeft(lit(cs.head): Column)((acc, ci) => acc * x + lit(ci))
+    val q = p - lit(0.5)
+    val r = q * q
+    val central = horner(a, r) * q / (horner(b, r) * r + lit(1.0))
+    val qt = sqrt(lit(-2.0) * log(lit(1.0) - p))
+    val tail = -horner(c, qt) / (horner(d, qt) * qt + lit(1.0))
+    when(p <= lit(0.97575), central).otherwise(tail)
+  }
+
+  /** Fligner–Killeen k-sample scale test (Fligner & Killeen, JASA '76;
+    * the median-centered normal-scores form R's fligner.test uses) —
+    * the ROBUST member of the scale family: [[ansariBradley]] and
+    * [[moodScaleTest]] assume equal centers; this removes each group's
+    * own MEDIAN first, so location shifts cannot masquerade as scale
+    * differences, and normal scores keep the test calibrated under
+    * heavy tails.
+    *
+    * Law with two one-time quantizations (the [[ansariBradley]]
+    * midscore posture — every distributed sum stays EXACT):
+    *
+    *   1. doubled group medians med2_g = x_(⌈n/2⌉) + x_(⌊n/2⌋+1) read
+    *      exactly off the per-group cumulative columns of ONE
+    *      [[PrefixSum.inclusiveAll]] pass (the [[cuzickTrend]] bounded
+    *      class-column discipline); doubled deviations d = |2x − med2|
+    *      are exact integers,
+    *   2. pooled midranks of d off a SECOND prefix-sum pass give
+    *      normal scores a = Φ⁻¹(½ + mr2/(4(N+1))) via [[probitCol]],
+    *      quantized ONCE as a_micro = round(a·10⁶),
+    *   3. per-group score means then quantize once more:
+    *      dev_j = round(S_j/n_j − SA/N) (micro units), so the
+    *      between-group mass Q = Σ_j n_j·dev_j² is an EXACT
+    *      order-free integer — no distributed double sum anywhere,
+    *
+    * and FK = Q/v̂ with v̂ = (SAA − SA²/N)/(N−1) (micro², exact
+    * cumulants) is ONE pinned double chain, pico-rounded (χ², k−1 df).
+    * NULL when N < 2 or v̂ ≤ 0 (every deviation tied). PICO-LONG
+    * DOMAIN as [[durbinTest]].
+    *
+    * Scale shape: two (value) hash aggregates with bounded per-group
+    * count columns (hard require ≤ maxGroups), two prefix-sum passes,
+    * one broadcast 1-row median frame, a 1-row fold. INTEGRAL-VALUE
+    * CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_rows, k_groups, q_mass, fk_pico); q_mass is a
+    * double diagnostic ([[quadeTest]] posture — micro²·N scale).
+    */
+  def flignerKilleen(df: DataFrame, valueCol: String, groupCol: String,
+      maxGroups: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val cls = base.select(col("_g")).distinct()
+      .orderBy(col("_g")).limit(maxGroups + 1).collect().map(_.get(0))
+    require(cls.nonEmpty, "flignerKilleen: no non-null (group, value) rows")
+    require(cls.length <= maxGroups,
+      s"flignerKilleen: group column exceeds $maxGroups distinct values " +
+        "— the per-group cumulative law needs a bounded group axis; " +
+        "bin the column or raise maxGroups")
+    val k = cls.length
+    def gCounts(g: Column): Seq[Column] = (0 until k).map(j =>
+      sum(when(g === lit(cls(j)), 1L).otherwise(0L)).as(s"_c$j"))
+    val vt1 = base.groupBy(col("_v")).agg(gCounts(col("_g")).head,
+      gCounts(col("_g")).tail: _*)
+    val cum1 = PrefixSum.inclusiveAll(vt1, "_v",
+      (0 until k).map(j => col(s"_c$j") -> s"_u$j"), withTotals = true)
+    val medCols = (0 until k).flatMap { j =>
+      Seq(min(when(col(s"_u$j") >= expr(s"(_u${j}_total + 1) div 2"),
+        col("_v"))).as(s"_ml$j"),
+        min(when(col(s"_u$j") >= expr(s"(_u${j}_total + 2) div 2"),
+          col("_v"))).as(s"_mh$j"))
+    }
+    val meds = cum1.agg(medCols.head, medCols.tail: _*)
+    val med2 = coalesce((0 until k).map(j =>
+      when(col("_g") === lit(cls(j)),
+        col(s"_ml$j") + col(s"_mh$j"))): _*)
+    val d2 = base.crossJoin(broadcast(meds))
+      .select(col("_g"), abs(lit(2L) * col("_v") - med2).as("_d"))
+    val vt2 = d2.groupBy(col("_d")).agg(gCounts(col("_g")).head,
+      gCounts(col("_g")).tail: _*)
+      .withColumn("_m", (0 until k).map(j => col(s"_c$j")).reduce(_ + _))
+    val cum2 = PrefixSum.inclusiveAll(vt2, "_d", Seq(col("_m") -> "_cum"),
+      withTotals = true)
+    val scored = cum2
+      .withColumn("_mr2", lit(2L) * col("_cum") - col("_m") + lit(1L))
+      .withColumn("_p", lit(0.5) + col("_mr2").cast("double") /
+        (lit(4.0) * (col("_cum_total") + lit(1L)).cast("double")))
+      .withColumn("_am", round(probitCol(col("_p")) * lit(1.0e6))
+        .cast("long"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val aggCols = Seq(
+      coalesce(max(col("_cum_total")), lit(0L)).as("_n"),
+      coalesce(sum(col("_m").cast(dec) * col("_am").cast(dec)), zero)
+        .as("_sa"),
+      coalesce(sum(col("_m").cast(dec) * col("_am").cast(dec)
+        * col("_am").cast(dec)), zero).as("_saa")) ++
+      (0 until k).flatMap(j => Seq(
+        coalesce(sum(col(s"_c$j")), lit(0L)).as(s"_n$j"),
+        coalesce(sum(col(s"_c$j").cast(dec) * col("_am").cast(dec)),
+          zero).as(s"_s$j")))
+    val agg = scored.agg(aggCols.head, aggCols.tail: _*)
+    // greatest clamps: identity whenever the matching when() fires
+    val nD = greatest(col("_n"), lit(1L)).cast("double")
+    val n1D = greatest(col("_n") - lit(1L), lit(1L)).cast("double")
+    val devs = (0 until k).map { j =>
+      round(col(s"_s$j").cast("double") /
+        greatest(col(s"_n$j"), lit(1L)).cast("double") -
+        col("_sa").cast("double") / nD).cast("long")
+    }
+    val q4 = (0 until k).map { j =>
+      col(s"_n$j").cast(dec) * (devs(j).cast(dec) * devs(j).cast(dec))
+    }.reduce(_ + _)
+    val vhat = (col("_saa").cast("double") -
+      col("_sa").cast("double") * col("_sa").cast("double") / nD) / n1D
+    agg.select(col("_n").as("n_rows"), lit(k.toLong).as("k_groups"),
+      q4.cast("double").as("q_mass"),
+      when(col("_n") >= 2L && vhat > 0.0,
+        round(q4.cast("double") / greatest(vhat, lit(1.0e-300))
+          * lit(1.0e12)).cast("long")).as("fk_pico"))
+  }
+
+  /** Hodges–Lehmann two-sample shift estimator (Hodges & Lehmann,
+    * AMS '63) — the POINT ESTIMATE the rank tests ([[brunnerMunzel]],
+    * [[lepageTest]]) only test: the median of all n_A·n_B pairwise
+    * differences a − b, the robust "how far did the distribution
+    * move" number one outlier cannot own.
+    *
+    * The classic computation materializes O(n²) differences; this is
+    * the [[graft.ops.Timeseries.pettittDaily]] discipline applied to a
+    * point estimate — NO pair stage: the count function
+    *
+    *   C(θ) = #{(a,b): a − b ≤ θ} = Σ_b f_B(v)·cumA(v + θ)
+    *
+    * is ONE [[PrefixSum.inclusive]] pass over the UNION of the A value
+    * table (key 2v) and the θ-shifted B table (key 2(v+θ)+1 — A rows
+    * sort first at equality, so the cumulative reads ≤), and the
+    * median difference is found by BISECTION on the integer θ axis:
+    * C is a monotone step function, so ⌈log₂ range⌉ count passes pin
+    * d_(r) = min{θ : C(θ) ≥ r} exactly, for the two middle ranks
+    * r = ⌊(T+1)/2⌋, ⌊(T+2)/2⌋ (shared-midpoint memoized). The value
+    * table is localCheckpointed ONCE — every bisection job reuses the
+    * same materialized RDD (the PrefixSum soundness posture).
+    *
+    * Exact law: all counts and θ integers; HL2 = d_lo + d_hi is exact
+    * (doubled median), hl = HL2/2 the one double. NULL hl2/hl when
+    * either side is empty.
+    *
+    * Scale shape: one value-table aggregate materialized once, then
+    * ~log₂(value range) rounds of (union → prefix-sum pass → 1-row
+    * fold) — rounds bounded by the INTEGER VALUE RANGE (64 worst
+    * case), never by rows or pairs. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Output (1 row): (n_a, n_b, n_pairs, hl2, hl); n_pairs is a
+    * double diagnostic (n_A·n_B — the [[quadeTest]] posture).
+    */
+  def hodgesLehmannShift(df: DataFrame, valueCol: String,
+      isACol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val base = df.filter(col(valueCol).isNotNull && col(isACol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"),
+        col(isACol).cast("boolean").as("_a"))
+    val bt = base.groupBy(col("_v"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("_fa"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("_fb"))
+      .localCheckpoint()
+    val st = bt.agg(
+      coalesce(sum(col("_fa")), lit(0L)).as("na"),
+      coalesce(sum(col("_fb")), lit(0L)).as("nb"),
+      min(when(col("_fa") > 0L, col("_v"))).as("minA"),
+      max(when(col("_fa") > 0L, col("_v"))).as("maxA"),
+      min(when(col("_fb") > 0L, col("_v"))).as("minB"),
+      max(when(col("_fb") > 0L, col("_v"))).as("maxB")).collect().head
+    val (na, nb) = (st.getAs[Long]("na"), st.getAs[Long]("nb"))
+    val t = BigInt(na) * BigInt(nb)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val memo = scala.collection.mutable.Map.empty[Long, BigInt]
+    def countLe(theta: Long): BigInt = memo.getOrElseUpdate(theta, {
+      val aRows = bt.filter(col("_fa") > 0L)
+        .select((col("_v") * lit(2L)).as("_k"), col("_fa").as("_wa"),
+          lit(0L).as("_wb"))
+      val bRows = bt.filter(col("_fb") > 0L)
+        .select(((col("_v") + lit(theta)) * lit(2L) + lit(1L)).as("_k"),
+          lit(0L).as("_wa"), col("_fb").as("_wb"))
+      val cum = PrefixSum.inclusive(aRows.unionAll(bRows), "_k",
+        col("_wa"), "_ca")
+      val row = cum.agg(coalesce(
+        sum(col("_wb").cast(dec) * col("_ca").cast(dec)), zero))
+        .collect().head
+      BigInt(row.getAs[java.math.BigDecimal](0).toBigIntegerExact)
+    })
+    // min{θ : C(θ) ≥ r} over the integer difference axis
+    def select(r: BigInt, lo0: Long, hi0: Long): Long = {
+      var lo = lo0; var hi = hi0
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (countLe(mid) >= r) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val hlOpt: Option[(Long, Long)] =
+      if (t == 0) None
+      else {
+        val lo0 = st.getAs[Long]("minA") - st.getAs[Long]("maxB")
+        val hi0 = st.getAs[Long]("maxA") - st.getAs[Long]("minB")
+        val dLo = select((t + 1) / 2, lo0, hi0)
+        // the memoized C(dLo) decides the upper middle for free in the
+        // common discrete-ties case (both middles in one tied run)
+        val dHi = if (countLe(dLo) >= (t + 2) / 2) dLo
+        else select((t + 2) / 2, dLo + 1, hi0)
+        Some((dLo, dHi))
+      }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val out = Seq(Row(na, nb, t.toDouble,
+      hlOpt.map(p => java.lang.Long.valueOf(p._1 + p._2)).orNull,
+      hlOpt.map(p => java.lang.Double.valueOf((p._1 + p._2).toDouble / 2.0))
+        .orNull))
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("n_a", LongType, nullable = false),
+      StructField("n_b", LongType, nullable = false),
+      StructField("n_pairs", DoubleType, nullable = false),
+      StructField("hl2", LongType, nullable = true),
+      StructField("hl", DoubleType, nullable = true))))
+  }
+
   /** Brunner–Munzel heteroscedastic rank test (Biometrical J. '00) —
     * [[cliffsDelta]]'s inferential sibling: tests H₀: P(A < B) + ½P(=)
     * = ½ WITHOUT the equal-variance/equal-shape assumption the
@@ -2457,9 +2706,12 @@ object Eval {
       .partitionBy(col("_b"), col("_cell"))
     // singleton blocks carry no within-block comparison — dropped by
     // the test's definition (their d ≡ 0 anyway; k_b ≥ 2 keeps the
-    // c_micro law off k_b = 1's degenerate weight)
+    // c_micro law off k_b = 1's degenerate weight). localCheckpoint:
+    // the cumulant, pair and block-count collects below each drive a
+    // job — one materialized RDD feeds all three instead of three
+    // recomputations of the upstream lineage
     val sized = cells.withColumn("_kb", count(lit(1)).over(wBlk))
-      .filter(col("_kb") >= 2L)
+      .filter(col("_kb") >= 2L).localCheckpoint()
     val ranked = sized
       .withColumn("_mr2", lit(2L) * rank().over(wRank).cast("long")
         + count(lit(1)).over(wTie) - lit(1L))

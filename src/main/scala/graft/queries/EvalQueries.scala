@@ -1694,6 +1694,114 @@ trait EvalQueries { self: RegistryAll =>
       |  END AS l_pico
       | FROM zd""".stripMargin.replace("\n", " ")
 
+  /** Fligner–Killeen scale test of document length across sources
+    * ([[graft.ops.Eval.flignerKilleen]]): do the twenty sources differ
+    * in length DISPERSION once each source's own median level is
+    * removed? — the robust scale companion of q_kruskal_wallis
+    * (location) and q_brown_forsythe (variance-of-deviations) on the
+    * same design, median-centered normal scores off two prefix-sum
+    * passes.
+    */
+  def qFligner(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.flignerKilleen(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qFlignerSql: String =
+    """WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | med AS (SELECT g, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+      |  FROM base GROUP BY 1),
+      | d2 AS (SELECT b.g, abs(2 * b.v - m.med2) AS d
+      |  FROM base b JOIN med m USING (g)),
+      | vt AS (SELECT d, CAST(COUNT(*) AS HUGEINT) AS m FROM d2 GROUP BY 1),
+      | cum AS (SELECT d, m, 2 * SUM(m) OVER (ORDER BY d
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1 AS mr2,
+      |   SUM(m) OVER () AS nn FROM vt),
+      | pp AS (SELECT d, m, nn,
+      |   0.5 + CAST(mr2 AS DOUBLE) / (4.0 * CAST(nn + 1 AS DOUBLE)) AS p
+      |  FROM cum),
+      | pr AS (SELECT d, m, nn, p, p - 0.5 AS q, (p - 0.5) * (p - 0.5) AS r,
+      |   sqrt(-2.0 * ln(1.0 - p)) AS qt FROM pp),
+      | am AS (SELECT d, m, nn, CAST(round((CASE WHEN p <= 0.97575 THEN
+      |    (((((-39.69683028665376 * r + 220.9460984245205) * r
+      |       - 275.9285104469687) * r + 138.357751867269) * r
+      |       - 30.66479806614716) * r + 2.506628277459239) * q
+      |    / (((((-54.47609879822406 * r + 161.5858368580409) * r
+      |       - 155.6989798598866) * r + 66.80131188771972) * r
+      |       - 13.28068155288572) * r + 1.0)
+      |   ELSE
+      |    -((((((-0.007784894002430293 * qt - 0.3223964580411365) * qt
+      |       - 2.400758277161838) * qt - 2.549732539343734) * qt
+      |       + 4.374664141464968) * qt + 2.938163982698783))
+      |    / ((((0.007784695709041462 * qt + 0.3224671290700398) * qt
+      |       + 2.445134137142996) * qt + 3.754408661907416) * qt + 1.0)
+      |   END) * 1.0e6) AS BIGINT) AS am FROM pr),
+      | j AS (SELECT g, am FROM d2 JOIN am USING (d)),
+      | pg AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS nj,
+      |   CAST(SUM(am) AS HUGEINT) AS sj FROM j GROUP BY 1),
+      | tot AS (SELECT CAST(SUM(nj) AS HUGEINT) AS n,
+      |   CAST(SUM(sj) AS HUGEINT) AS sa, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM pg),
+      | qa AS (SELECT CAST(SUM(m * am * am) AS HUGEINT) AS saa FROM am),
+      | dv AS (SELECT nj,
+      |   CAST(round(CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)
+      |     - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS dev
+      |  FROM pg, tot),
+      | qq AS (SELECT COALESCE(CAST(SUM(nj * dev * dev) AS HUGEINT), 0)
+      |   AS q4 FROM dv),
+      | w AS (SELECT n, k, q4,
+      |   (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS vhat
+      |  FROM tot, qa, qq)
+      | SELECT CAST(n AS BIGINT) AS n_rows, k AS k_groups,
+      |  CAST(q4 AS DOUBLE) AS q_mass,
+      |  CASE WHEN n >= 2 AND vhat > 0.0 THEN
+      |   CAST(round(CAST(q4 AS DOUBLE) / vhat * 1.0e12) AS BIGINT)
+      |  END AS fk_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
+  /** Hodges–Lehmann shift of returned vs kept line-item quantity
+    * ([[graft.ops.Eval.hodgesLehmannShift]]): HOW FAR did the returned
+    * quantity distribution move — the robust point estimate behind
+    * q_brunner_munzel's test on the same design, the median of all
+    * n_A·n_B pairwise differences WITHOUT a pair stage (bisection over
+    * prefix-sum count passes).
+    */
+  def qHodgesLehmann(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.hodgesLehmannShift(
+      t(spark, dir, "lineitem")
+        .select(floor(col("l_quantity")).as("qty"),
+          (col("l_returnflag") === "R").as("is_r")),
+      "qty", "is_r")
+
+  lazy val qHodgesLehmannSql: String =
+    """WITH base AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS v,
+      |   (l_returnflag = 'R') AS a
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+      | av AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS f
+      |  FROM base WHERE a GROUP BY 1),
+      | bv AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS f
+      |  FROM base WHERE NOT a GROUP BY 1),
+      | nn AS (SELECT (SELECT COALESCE(SUM(f), 0) FROM av) AS na,
+      |   (SELECT COALESCE(SUM(f), 0) FROM bv) AS nb),
+      | dg AS (SELECT av.v - bv.v AS d, SUM(av.f * bv.f) AS w
+      |  FROM av, bv GROUP BY 1),
+      | c AS (SELECT d, SUM(w) OVER (ORDER BY d
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM dg),
+      | lo AS (SELECT MIN(d) AS dlo FROM c, nn
+      |  WHERE cw >= (na * nb + 1) // 2),
+      | hi AS (SELECT MIN(d) AS dhi FROM c, nn
+      |  WHERE cw >= (na * nb + 2) // 2)
+      | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(na * nb AS DOUBLE) AS n_pairs,
+      |  CASE WHEN na * nb > 0 THEN CAST(dlo + dhi AS BIGINT) END AS hl2,
+      |  CASE WHEN na * nb > 0 THEN CAST(dlo + dhi AS DOUBLE) / 2.0 END
+      |    AS hl
+      | FROM nn, lo, hi""".stripMargin.replace("\n", " ")
+
   /** Rotating one-priority-out incomplete design over the complete
     * 5-priority customer blocks: blocks ranked by custkey (the
     * distributed [[graft.ops.PrefixSum]] — never a one-task sort over

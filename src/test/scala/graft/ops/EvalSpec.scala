@@ -1116,6 +1116,62 @@ class EvalSpec extends SparkSpec {
     assert(Eval.lepageTest(lone, "v", "fa").collect().head.isNullAt(5))
   }
 
+  test("flignerKilleen: dispersion fires, pure location shift reads exactly 0, all-tied NULL, require") {
+    // A = {10,10,11,11} tight vs B = {1,5,20,24} wide: the chain
+    // replica (median-centered |2x−med2|, Acklam normal scores ×10⁶,
+    // micro-quantized group deviations) pins Q = 1176038093952 and
+    // FK = 5.685838975672…
+    val d = Seq(("A", 10L), ("A", 10L), ("A", 11L), ("A", 11L),
+      ("B", 1L), ("B", 5L), ("B", 20L), ("B", 24L)).toDF("g", "v")
+    val r = Eval.flignerKilleen(d, "v", "g").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((8L, 2L)))
+    assert(r.getDouble(2) === 1176038093952.0)
+    assert(r.getLong(3) === 5685838975672L)
+    // a pure location shift: median centering makes the deviation
+    // multisets IDENTICAL → group score means equal → FK = 0 exactly
+    // (ansariBradley's common-center assumption would misread this)
+    val shifted = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 101L), ("B", 102L), ("B", 103L), ("B", 104L)).toDF("g", "v")
+    val r2 = Eval.flignerKilleen(shifted, "v", "g").collect().head
+    assert(r2.getDouble(2) === 0.0 && r2.getLong(3) === 0L)
+    // every group constant: all deviations 0 → v̂ = 0 → NULL
+    val flat = Seq(("A", 5L), ("A", 5L), ("B", 9L), ("B", 9L))
+      .toDF("g", "v")
+    assert(Eval.flignerKilleen(flat, "v", "g").collect().head.isNullAt(3))
+    // bounded group axis
+    val many = (0 until 70).map(i => (f"g$i%02d", i.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.flignerKilleen(many, "v", "g")
+    }
+    assert(e.getMessage.contains("64 distinct"))
+  }
+
+  test("hodgesLehmannShift: exact middle order statistics, shift recovery, empty-side NULL") {
+    // A = {5,6,7} vs B = {1,2}: differences sorted (3,4,4,5,5,6) →
+    // middle pair (4, 5) → HL2 = 9, HL = 4.5
+    val d = Seq((5L, true), (6L, true), (7L, true),
+      (1L, false), (2L, false)).toDF("v", "a")
+    val r = Eval.hodgesLehmannShift(d, "v", "a").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 6.0)
+    assert(r.getLong(3) === 9L)
+    assert(r.getDouble(4) === 4.5)
+    // odd pair count: the single middle difference
+    val odd = Seq((10L, true), (1L, false), (2L, false), (3L, false))
+      .toDF("v", "a")
+    val r2 = Eval.hodgesLehmannShift(odd, "v", "a").collect().head
+    assert(r2.getLong(3) === 16L && r2.getDouble(4) === 8.0)
+    // a pure location shift is recovered exactly
+    val shift = Seq((1L, true), (2L, true), (3L, true),
+      (11L, false), (12L, false), (13L, false)).toDF("v", "a")
+    val r3 = Eval.hodgesLehmannShift(shift, "v", "a").collect().head
+    assert(r3.getDouble(4) === -10.0)
+    // empty side: no pairs → NULL estimate
+    val lone = Seq((1L, true), (2L, true)).toDF("v", "a")
+    val r4 = Eval.hodgesLehmannShift(lone, "v", "a").collect().head
+    assert(r4.getDouble(2) === 0.0 && r4.isNullAt(3) && r4.isNullAt(4))
+  }
+
   test("durbinTest: hand-exact BIB chi2 and F, complete-design Friedman equality, BIB contract enforced") {
     // t=3, b=3, k=2, r=2, λ=1: R2 = (4, 6, 8) vs r(k+1) = 6 → S4 = 8,
     // A4 = 60, C4 = 54 → T1 = 2·8/6 = 8/3; T2 = (4/3)·1/(1/3) = 4

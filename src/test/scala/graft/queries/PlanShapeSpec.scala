@@ -1037,7 +1037,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_cliffs_delta", "q_gamma_somers", "q_mood_median",
       "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
       "q_mood_scale", "q_quade", "q_pettitt",
-      "q_signed_rank", "q_lepage", "q_buishand").foreach { q =>
+      "q_signed_rank", "q_lepage", "q_buishand",
+      "q_fligner").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
@@ -1186,6 +1187,18 @@ class PlanShapeSpec extends SparkSpec {
     val n = jobCount("q_top_component")
     assert(n <= 14,
       s"q_top_component spawned $n jobs — the distributed power-round pattern is back")
+  }
+
+  test("q_hodges_lehmann: bisection rounds bounded by the value RANGE, not rows") {
+    // quantity spans ~50 integers → ~12 distinct memoized count passes
+    // across the two rank searches, each a prefix-sum pass of ~7 AQE
+    // stage jobs (measured 93 on this config); an unmemoized or
+    // linear-scan regression would multiply the round count — pin the
+    // logarithmic order of magnitude
+    val n = jobCount("q_hodges_lehmann")
+    assert(n <= 130,
+      s"q_hodges_lehmann spawned $n jobs — the bisection should take " +
+        "~log2(range) memoized count passes per rank")
   }
 
   test("q_hits: cadence-1 per-round checkpoints stay — job count floor and ceiling") {
