@@ -1924,14 +1924,26 @@ object Eval {
     * (doubled median), hl = HL2/2 the one double. NULL hl2/hl when
     * either side is empty.
     *
+    * The MOSES distribution-free 95% interval (Hollander–Wolfe §4.2)
+    * rides the same memoized bisection: two more order statistics
+    * d_(C+1), d_(T−C) at C = max(0, ⌊T/2 − z·√(n_A·n_B·(N+1)/12)⌋),
+    * z = 1.959963984540054. The RANK is DEFINED by that double chain
+    * (multiplications left-to-right, one √, one floor — replayable
+    * verbatim in any IEEE engine); the ENDPOINTS the ranks select are
+    * exact integers. Past T ≈ 2^53 the rank itself coarsens with
+    * double spacing — harmless: adjacent order statistics there are
+    * statistically indistinguishable, and the endpoints stay exact
+    * order statistics of the true difference multiset.
+    *
     * Scale shape: one value-table aggregate materialized once, then
     * ~log₂(value range) rounds of (union → prefix-sum pass → 1-row
     * fold) — rounds bounded by the INTEGER VALUE RANGE (64 worst
     * case), never by rows or pairs. INTEGRAL-VALUE CONTRACT as
     * [[moodMedianTest]].
     *
-    * Output (1 row): (n_a, n_b, n_pairs, hl2, hl); n_pairs is a
-    * double diagnostic (n_A·n_B — the [[quadeTest]] posture).
+    * Output (1 row): (n_a, n_b, n_pairs, hl2, hl, ci_k, ci_lo,
+    * ci_hi); n_pairs is a double diagnostic (n_A·n_B — the
+    * [[quadeTest]] posture), ci_k the selected lower rank C+1.
     */
   def hodgesLehmannShift(df: DataFrame, valueCol: String,
       isACol: String): DataFrame = {
@@ -1978,7 +1990,7 @@ object Eval {
       }
       lo
     }
-    val hlOpt: Option[(Long, Long)] =
+    val hlOpt: Option[(Long, Long, Long, Long, Long)] =
       if (t == 0) None
       else {
         val lo0 = st.getAs[Long]("minA") - st.getAs[Long]("maxB")
@@ -1988,7 +2000,15 @@ object Eval {
         // common discrete-ties case (both middles in one tied run)
         val dHi = if (countLe(dLo) >= (t + 2) / 2) dLo
         else select((t + 2) / 2, dLo + 1, hi0)
-        Some((dLo, dHi))
+        // Moses rank: the documented double chain, left-to-right
+        val cRank = math.max(0L, math.floor(t.toDouble / 2.0 -
+          1.959963984540054 * math.sqrt(na.toDouble * nb.toDouble *
+            (na + nb + 1).toDouble / 12.0)).toLong)
+        val kLo = BigInt(cRank + 1L)
+        val kHi = t - cRank
+        val ciLo = select(kLo, lo0, dLo)
+        val ciHi = select(kHi, dHi, hi0)
+        Some((dLo, dHi, cRank + 1L, ciLo, ciHi))
       }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -1996,13 +2016,195 @@ object Eval {
     val out = Seq(Row(na, nb, t.toDouble,
       hlOpt.map(p => java.lang.Long.valueOf(p._1 + p._2)).orNull,
       hlOpt.map(p => java.lang.Double.valueOf((p._1 + p._2).toDouble / 2.0))
-        .orNull))
+        .orNull,
+      hlOpt.map(p => java.lang.Long.valueOf(p._3)).orNull,
+      hlOpt.map(p => java.lang.Long.valueOf(p._4)).orNull,
+      hlOpt.map(p => java.lang.Long.valueOf(p._5)).orNull))
     spark.createDataFrame(out.asJava, StructType(Seq(
       StructField("n_a", LongType, nullable = false),
       StructField("n_b", LongType, nullable = false),
       StructField("n_pairs", DoubleType, nullable = false),
       StructField("hl2", LongType, nullable = true),
+      StructField("hl", DoubleType, nullable = true),
+      StructField("ci_k", LongType, nullable = true),
+      StructField("ci_lo", LongType, nullable = true),
+      StructField("ci_hi", LongType, nullable = true))))
+  }
+
+  /** One-sample Hodges–Lehmann PSEUDOMEDIAN (Hodges & Lehmann '63;
+    * Hollander–Wolfe §3.2) — [[signedRankTest]]'s point estimate: the
+    * median of all n(n+1)/2 Walsh averages (x_i + x_j)/2, i ≤ j — the
+    * location estimate the signed-rank test implicitly inverts, robust
+    * where the mean is not and more efficient than the raw median
+    * under near-symmetry.
+    *
+    * Same NO-PAIR-STAGE discipline as [[hodgesLehmannShift]], on the
+    * DOUBLED Walsh axis s = x_i + x_j (integer): the ordered-pair
+    * count O(s) = Σ_v f(v)·F(s−v) is ONE [[PrefixSum.inclusive]] pass
+    * over the union of the value table (key 2v, cumulative side) and
+    * its s-reflection (key 2(s−v)+1, query side); the diagonal
+    * D(s) = F(⌊s/2⌋) folds into the SAME aggregate (a filtered sum
+    * over the cumulative side's keys), and the Walsh count is exactly
+    * C(s) = (O(s) + D(s)) / 2 — O double-counts unordered i≠j pairs
+    * and counts the diagonal once, so the sum is always even.
+    * Bisection on the integer s axis pins the two middle Walsh order
+    * statistics s_lo, s_hi exactly (shared-memo, ⌈log₂ range⌉ count
+    * passes per rank); the value table is localCheckpointed ONCE.
+    *
+    * Exact law: all counts and s integers; HL4 = s_lo + s_hi is exact
+    * (each s is a DOUBLED Walsh average, so their sum is 4× the
+    * pseudomedian), hl = HL4/4 the one double. NULL when the input is
+    * empty.
+    *
+    * Scale shape / INTEGRAL-VALUE CONTRACT as [[hodgesLehmannShift]].
+    *
+    * Output (1 row): (n_rows, n_walsh, hl4, hl); n_walsh is a double
+    * diagnostic (n(n+1)/2 — the [[quadeTest]] posture).
+    */
+  def hlPseudomedian(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+    val bt = base.groupBy(col("_v")).agg(count(lit(1)).as("_f"))
+      .localCheckpoint()
+    val st = bt.agg(
+      coalesce(sum(col("_f")), lit(0L)).as("n"),
+      min(col("_v")).as("minV"), max(col("_v")).as("maxV"))
+      .collect().head
+    val n = st.getAs[Long]("n")
+    val t = BigInt(n) * BigInt(n + 1) / 2
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val memo = scala.collection.mutable.Map.empty[Long, BigInt]
+    // C(s) = (O(s) + D(s)) / 2 — one prefix-sum pass, one 1-row fold
+    def countWalshLe(s: Long): BigInt = memo.getOrElseUpdate(s, {
+      val aRows = bt.select((col("_v") * lit(2L)).as("_k"),
+        col("_f").as("_wa"), lit(0L).as("_wb"))
+      val bRows = bt.select(((lit(s) - col("_v")) * lit(2L) + lit(1L))
+        .as("_k"), lit(0L).as("_wa"), col("_f").as("_wb"))
+      val cum = PrefixSum.inclusive(aRows.unionAll(bRows), "_k",
+        col("_wa"), "_ca")
+      val row = cum.agg(
+        coalesce(sum(col("_wb").cast(dec) * col("_ca").cast(dec)), zero)
+          .as("_o"),
+        coalesce(sum(when(col("_wa") > 0L && col("_k") <= lit(s),
+          col("_wa")).otherwise(0L).cast(dec)), zero).as("_d"))
+        .collect().head
+      val o = BigInt(row.getAs[java.math.BigDecimal]("_o").toBigIntegerExact)
+      val dg = BigInt(row.getAs[java.math.BigDecimal]("_d").toBigIntegerExact)
+      (o + dg) / 2
+    })
+    def select(r: BigInt, lo0: Long, hi0: Long): Long = {
+      var lo = lo0; var hi = hi0
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (countWalshLe(mid) >= r) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val hlOpt: Option[(Long, Long)] =
+      if (t == 0) None
+      else {
+        val lo0 = 2L * st.getAs[Long]("minV")
+        val hi0 = 2L * st.getAs[Long]("maxV")
+        val sLo = select((t + 1) / 2, lo0, hi0)
+        val sHi = if (countWalshLe(sLo) >= (t + 2) / 2) sLo
+        else select((t + 2) / 2, sLo + 1, hi0)
+        Some((sLo, sHi))
+      }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val out = Seq(Row(n, t.toDouble,
+      hlOpt.map(p => java.lang.Long.valueOf(p._1 + p._2)).orNull,
+      hlOpt.map(p => java.lang.Double.valueOf((p._1 + p._2).toDouble / 4.0))
+        .orNull))
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_walsh", DoubleType, nullable = false),
+      StructField("hl4", LongType, nullable = true),
       StructField("hl", DoubleType, nullable = true))))
+  }
+
+  /** Bartlett's k-sample variance test (Bartlett, Proc. Roy. Soc.
+    * A '37) — the PARAMETRIC member of the scale family, closing the
+    * trio with [[brownForsythe]] (deviation ANOVA) and
+    * [[flignerKilleen]] (rank-based): maximum power under normality,
+    * the classic pre-check before a pooled-variance ANOVA.
+    *
+    * Fully distributed — unlike the rank members, nothing here needs a
+    * bounded group axis: per-group cumulants (n_j, Σx, Σx²) are ONE
+    * hash aggregate at (group) granularity, each group's variance
+    * s²_j = (n_j·Σx² − (Σx)²) / (n_j(n_j−1)) is a per-row double off
+    * exact DECIMAL integers, and the three cross-group reductions are
+    * sums of ONCE-QUANTIZED integers (the [[flignerKilleen]] posture —
+    * order-free, so the distributed sum is exact):
+    *
+    *   l_j = round(ln(s²_j)·10¹²)   (pico log-variance),
+    *   m_j = round(s²_j·10⁶)        (micro variance; ANSI long cast
+    *                                 bounds the domain at s² < 9.2·10¹²),
+    *   r_j = round(10¹²/(n_j−1))    (pico reciprocal),
+    *
+    * then A = Σ(n_j−1)l_j, V = Σ(n_j−1)m_j, R = Σr_j exact DECIMALs
+    * and the statistic is ONE pinned double chain:
+    * T = [(N−k)·ln(s²_p) − A/10¹²] / C with s²_p = V/10⁶/(N−k) and
+    * C = 1 + (R/10¹² − 1/(N−k)) / (3(k−1)) (χ², k−1 df). The ln is
+    * engine-replayable pure arithmetic (the [[probitCol]] / KL-drift
+    * precedent). Groups with n_j < 2 carry no variance and are
+    * excluded by the test's definition; NULL when k < 2 or any kept
+    * s²_j = 0. INTEGRAL-VALUE CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_rows, k_groups, sp2, bartlett_pico); sp2 is a
+    * double diagnostic (the pooled variance in value² units).
+    */
+  def bartlettTest(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val perG = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v").cast(dec)).as("_s"),
+        sum(col("_v").cast(dec) * col("_v").cast(dec)).as("_q"))
+      .filter(col("_n") >= 2L)
+      .withColumn("_s2",
+        (col("_n").cast(dec) * col("_q") - col("_s") * col("_s"))
+          .cast("double") /
+          (col("_n").cast(dec) * (col("_n") - lit(1L)).cast(dec))
+            .cast("double"))
+      // greatest clamps ln's domain — identity whenever s2 > 0, and the
+      // final when() nulls the statistic if any group is degenerate
+      .withColumn("_l",
+        round(log(greatest(col("_s2"), lit(1.0e-300))) * lit(1.0e12))
+          .cast("long"))
+      .withColumn("_m", round(col("_s2") * lit(1.0e6)).cast("long"))
+      .withColumn("_r",
+        round(lit(1.0e12) / (col("_n") - lit(1L)).cast("double"))
+          .cast("long"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg = perG.agg(
+      count(lit(1)).as("k_groups"),
+      coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+      coalesce(sum((col("_n") - lit(1L)).cast(dec) * col("_l").cast(dec)),
+        zero).as("_a"),
+      coalesce(sum((col("_n") - lit(1L)).cast(dec) * col("_m").cast(dec)),
+        zero).as("_vv"),
+      coalesce(sum(col("_r").cast(dec)), zero).as("_rr"),
+      min(col("_s2")).as("_mins2"))
+    val nmk = (col("n_rows") - col("k_groups")).cast("double")
+    val sp2 = col("_vv").cast("double") / lit(1.0e6) / nmk
+    val tNum = nmk * log(greatest(sp2, lit(1.0e-300))) -
+      col("_a").cast("double") / lit(1.0e12)
+    val cFac = lit(1.0) + (col("_rr").cast("double") / lit(1.0e12) -
+      lit(1.0) / greatest(nmk, lit(1.0))) /
+      (lit(3.0) * greatest((col("k_groups") - lit(1L)).cast("double"),
+        lit(1.0)))
+    agg.select(col("n_rows"), col("k_groups"),
+      sp2.as("sp2"),
+      when(col("k_groups") >= 2L && col("n_rows") > col("k_groups") &&
+        col("_mins2") > 0.0,
+        round(tNum / cFac * lit(1.0e12)).cast("long"))
+        .as("bartlett_pico"))
   }
 
   /** Brunner–Munzel heteroscedastic rank test (Biometrical J. '00) —

@@ -1767,7 +1767,9 @@ trait EvalQueries { self: RegistryAll =>
     * quantity distribution move — the robust point estimate behind
     * q_brunner_munzel's test on the same design, the median of all
     * n_A·n_B pairwise differences WITHOUT a pair stage (bisection over
-    * prefix-sum count passes).
+    * prefix-sum count passes), with the Moses distribution-free 95%
+    * interval off two more order statistics of the same memoized
+    * count function.
     */
   def qHodgesLehmann(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Eval.hodgesLehmannShift(
@@ -1794,13 +1796,134 @@ trait EvalQueries { self: RegistryAll =>
       | lo AS (SELECT MIN(d) AS dlo FROM c, nn
       |  WHERE cw >= (na * nb + 1) // 2),
       | hi AS (SELECT MIN(d) AS dhi FROM c, nn
-      |  WHERE cw >= (na * nb + 2) // 2)
+      |  WHERE cw >= (na * nb + 2) // 2),
+      | ck AS (SELECT GREATEST(CAST(0 AS BIGINT),
+      |   CAST(floor(CAST(na * nb AS DOUBLE) / 2.0 - 1.959963984540054
+      |     * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |       * CAST(na + nb + 1 AS DOUBLE) / 12.0)) AS BIGINT)) AS cr
+      |  FROM nn),
+      | cl AS (SELECT MIN(d) AS dcl FROM c, nn, ck WHERE cw >= cr + 1),
+      | ch AS (SELECT MIN(d) AS dch FROM c, nn, ck
+      |  WHERE cw >= na * nb - cr)
       | SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
       |  CAST(na * nb AS DOUBLE) AS n_pairs,
       |  CASE WHEN na * nb > 0 THEN CAST(dlo + dhi AS BIGINT) END AS hl2,
       |  CASE WHEN na * nb > 0 THEN CAST(dlo + dhi AS DOUBLE) / 2.0 END
-      |    AS hl
+      |    AS hl,
+      |  CASE WHEN na * nb > 0 THEN cr + 1 END AS ci_k,
+      |  CASE WHEN na * nb > 0 THEN CAST(dcl AS BIGINT) END AS ci_lo,
+      |  CASE WHEN na * nb > 0 THEN CAST(dch AS BIGINT) END AS ci_hi
+      | FROM nn, lo, hi, ck, cl, ch""".stripMargin.replace("\n", " ")
+
+  /** One-sample Hodges–Lehmann pseudomedian of the per-customer
+    * early-vs-late spend shift, in thousands
+    * ([[graft.ops.Eval.hlPseudomedian]]): the location estimate
+    * q_signed_rank's test implicitly inverts, over the SAME
+    * per-customer differences — the median of all n(n+1)/2 Walsh
+    * averages WITHOUT a pair stage (bisection over the doubled Walsh
+    * axis, ordered-pair + diagonal counts off one prefix-sum pass per
+    * probe).
+    */
+  def qHlPseudomedian(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-05-01 00:00:00").cast("timestamp")
+    val per = t(spark, dir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") < cut,
+          floor(col("o_totalprice"))).otherwise(0L)).as("_early"),
+        sum(when(col("o_orderdate") >= cut,
+          floor(col("o_totalprice"))).otherwise(0L)).as("_late"),
+        sum(when(col("o_orderdate") < cut, 1L).otherwise(0L)).as("_ne"),
+        sum(when(col("o_orderdate") >= cut, 1L).otherwise(0L)).as("_nl"))
+      .filter(col("_ne") > 0L && col("_nl") > 0L)
+      .select(floor((col("_early") - col("_late")).cast("double")
+        / lit(1000.0)).as("shift_k"))
+    graft.ops.Eval.hlPseudomedian(per, "shift_k")
+  }
+
+  lazy val qHlPseudomedianSql: String =
+    """WITH per AS (SELECT o_custkey,
+      |   SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-05-01'
+      |     THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS e,
+      |   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-05-01'
+      |     THEN CAST(floor(o_totalprice) AS BIGINT) ELSE 0 END) AS l,
+      |   SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-05-01'
+      |     THEN 1 ELSE 0 END) AS ne,
+      |   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-05-01'
+      |     THEN 1 ELSE 0 END) AS nl
+      |  FROM orders
+      |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      |   AND o_totalprice IS NOT NULL
+      |  GROUP BY 1 HAVING ne > 0 AND nl > 0),
+      | base AS (SELECT CAST(floor(CAST(e - l AS DOUBLE) / 1000.0)
+      |   AS BIGINT) AS v FROM per),
+      | vt AS (SELECT v, CAST(COUNT(*) AS HUGEINT) AS f
+      |  FROM base GROUP BY 1),
+      | nn AS (SELECT COALESCE(SUM(f), 0) AS n,
+      |   COALESCE(SUM(f), 0) * (COALESCE(SUM(f), 0) + 1) // 2 AS t
+      |  FROM vt),
+      | pairs AS (SELECT a.v + b.v AS s,
+      |   CASE WHEN a.v = b.v THEN a.f * (a.f + 1) // 2
+      |    ELSE a.f * b.f END AS w
+      |  FROM vt a JOIN vt b ON a.v <= b.v),
+      | dg AS (SELECT s, SUM(w) AS w FROM pairs GROUP BY 1),
+      | c AS (SELECT s, SUM(w) OVER (ORDER BY s
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM dg),
+      | lo AS (SELECT MIN(s) AS slo FROM c, nn WHERE cw >= (t + 1) // 2),
+      | hi AS (SELECT MIN(s) AS shi FROM c, nn WHERE cw >= (t + 2) // 2)
+      | SELECT CAST(n AS BIGINT) AS n_rows, CAST(t AS DOUBLE) AS n_walsh,
+      |  CASE WHEN t > 0 THEN CAST(slo + shi AS BIGINT) END AS hl4,
+      |  CASE WHEN t > 0 THEN CAST(slo + shi AS DOUBLE) / 4.0 END AS hl
       | FROM nn, lo, hi""".stripMargin.replace("\n", " ")
+
+  /** Bartlett's variance test of document length across sources
+    * ([[graft.ops.Eval.bartlettTest]]): the parametric member closing
+    * the scale trio on the SAME design as q_fligner (rank-based) and
+    * q_brown_forsythe (deviation ANOVA) — per-source variances off
+    * exact integer cumulants, once-quantized log terms, one
+    * distributed hash aggregate end to end.
+    */
+  def qBartlett(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.bartlettTest(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qBartlettSql: String =
+    """WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | pg AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+      |   CAST(SUM(v) AS HUGEINT) AS s,
+      |   CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+      |  FROM base GROUP BY 1 HAVING COUNT(*) >= 2),
+      | s2t AS (SELECT n,
+      |   CAST(n * q - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+      |     AS s2 FROM pg),
+      | qz AS (SELECT n, s2,
+      |   CAST(round(ln(GREATEST(s2, 1.0e-300)) * 1.0e12) AS BIGINT) AS l,
+      |   CAST(round(s2 * 1.0e6) AS BIGINT) AS m,
+      |   CAST(round(1.0e12 / CAST(n - 1 AS DOUBLE)) AS BIGINT) AS r
+      |  FROM s2t),
+      | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |   CAST(SUM(n) AS BIGINT) AS nr,
+      |   CAST(SUM((n - 1) * l) AS HUGEINT) AS a,
+      |   CAST(SUM((n - 1) * m) AS HUGEINT) AS vv,
+      |   CAST(SUM(r) AS HUGEINT) AS rr,
+      |   MIN(s2) AS mins2 FROM qz),
+      | fin AS (SELECT k, nr, a, vv, rr, mins2,
+      |   CAST(nr - k AS DOUBLE) AS nmk FROM ag),
+      | ch AS (SELECT k, nr, mins2, nmk,
+      |   CAST(vv AS DOUBLE) / 1.0e6 / nmk AS sp2,
+      |   nmk * ln(GREATEST(CAST(vv AS DOUBLE) / 1.0e6 / nmk, 1.0e-300))
+      |     - CAST(a AS DOUBLE) / 1.0e12 AS tnum,
+      |   1.0 + (CAST(rr AS DOUBLE) / 1.0e12 - 1.0 / GREATEST(nmk, 1.0))
+      |     / (3.0 * GREATEST(CAST(k - 1 AS DOUBLE), 1.0)) AS cf
+      |  FROM fin)
+      | SELECT nr AS n_rows, k AS k_groups, sp2,
+      |  CASE WHEN k >= 2 AND nr > k AND mins2 > 0.0 THEN
+      |   CAST(round(tnum / cf * 1.0e12) AS BIGINT) END AS bartlett_pico
+      | FROM ch""".stripMargin.replace("\n", " ")
 
   /** Rotating one-priority-out incomplete design over the complete
     * 5-priority customer blocks: blocks ranked by custkey (the

@@ -1146,9 +1146,10 @@ class EvalSpec extends SparkSpec {
     assert(e.getMessage.contains("64 distinct"))
   }
 
-  test("hodgesLehmannShift: exact middle order statistics, shift recovery, empty-side NULL") {
+  test("hodgesLehmannShift: exact middle order statistics, shift recovery, Moses CI, empty-side NULL") {
     // A = {5,6,7} vs B = {1,2}: differences sorted (3,4,4,5,5,6) →
-    // middle pair (4, 5) → HL2 = 9, HL = 4.5
+    // middle pair (4, 5) → HL2 = 9, HL = 4.5; T = 6 → Moses C = 0 →
+    // CI = [d_(1), d_(6)] = [3, 6]
     val d = Seq((5L, true), (6L, true), (7L, true),
       (1L, false), (2L, false)).toDF("v", "a")
     val r = Eval.hodgesLehmannShift(d, "v", "a").collect().head
@@ -1156,6 +1157,7 @@ class EvalSpec extends SparkSpec {
     assert(r.getDouble(2) === 6.0)
     assert(r.getLong(3) === 9L)
     assert(r.getDouble(4) === 4.5)
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) === ((1L, 3L, 6L)))
     // odd pair count: the single middle difference
     val odd = Seq((10L, true), (1L, false), (2L, false), (3L, false))
       .toDF("v", "a")
@@ -1166,10 +1168,70 @@ class EvalSpec extends SparkSpec {
       (11L, false), (12L, false), (13L, false)).toDF("v", "a")
     val r3 = Eval.hodgesLehmannShift(shift, "v", "a").collect().head
     assert(r3.getDouble(4) === -10.0)
-    // empty side: no pairs → NULL estimate
+    // a nonzero Moses rank: A = 1..10 vs B = ten zeros → T = 100,
+    // C = ⌊50 − 1.96·√(100·21/12)⌋ = 24 → CI = [d_(25), d_(76)] =
+    // [3, 8] around HL = (d_50 + d_51)/2 = 5.5
+    val wide = ((1 to 10).map(i => (i.toLong, true)) ++
+      (1 to 10).map(_ => (0L, false))).toDF("v", "a")
+    val r5 = Eval.hodgesLehmannShift(wide, "v", "a").collect().head
+    assert(r5.getLong(3) === 11L && r5.getDouble(4) === 5.5)
+    assert((r5.getLong(5), r5.getLong(6), r5.getLong(7)) === ((25L, 3L, 8L)))
+    // empty side: no pairs → NULL estimate and NULL interval
     val lone = Seq((1L, true), (2L, true)).toDF("v", "a")
     val r4 = Eval.hodgesLehmannShift(lone, "v", "a").collect().head
     assert(r4.getDouble(2) === 0.0 && r4.isNullAt(3) && r4.isNullAt(4))
+    assert(r4.isNullAt(5) && r4.isNullAt(6) && r4.isNullAt(7))
+  }
+
+  test("hlPseudomedian: exact Walsh order statistics, robustness to one outlier, tie run, empty NULL") {
+    // x = {1,2,3}: Walsh averages (1, 1.5, 2, 2, 2.5, 3) → middle pair
+    // both 2 on the doubled axis (s_(3) = s_(4) = 4) → HL4 = 8, HL = 2
+    val d = Seq(1L, 2L, 3L).toDF("v")
+    val r = Eval.hlPseudomedian(d, "v").collect().head
+    assert(r.getLong(0) === 3L && r.getDouble(1) === 6.0)
+    assert(r.getLong(2) === 8L && r.getDouble(3) === 2.0)
+    // one outlier owns 3 of 6 Walsh averages but not the estimate:
+    // {1,2,10} → sorted Walsh (1, 1.5, 2, 5.5, 6, 10) → HL = 3.75
+    // (the mean would read 4.33; the raw median 2)
+    val out = Seq(1L, 2L, 10L).toDF("v")
+    val r2 = Eval.hlPseudomedian(out, "v").collect().head
+    assert(r2.getLong(2) === 15L && r2.getDouble(3) === 3.75)
+    // a tied run: {5,5} → 3 Walsh averages all 5
+    val tie = Seq(5L, 5L).toDF("v")
+    val r3 = Eval.hlPseudomedian(tie, "v").collect().head
+    assert(r3.getDouble(1) === 3.0 && r3.getDouble(3) === 5.0)
+    // empty input → NULL estimate
+    val none = Seq.empty[Long].toDF("v")
+    val r4 = Eval.hlPseudomedian(none, "v").collect().head
+    assert(r4.getLong(0) === 0L && r4.isNullAt(2) && r4.isNullAt(3))
+  }
+
+  test("bartlettTest: unequal variances fire, equal variances read quantization-zero, singleton excluded, degenerate NULL") {
+    // A = {10,10,11,11} (s² = 1/3) vs B = {1,5,20,24} (s² = 377/3):
+    // the textbook chain gives T = [6·ln 63 − 3(ln ⅓ + ln(377/3))]
+    // / (1 + (⅔ − ⅙)/3) ≈ 11.7032, and the documented once-quantized
+    // chain (per-group pico log-variances, micro pooled variance)
+    // pins it exactly
+    val d = Seq(("A", 10L), ("A", 10L), ("A", 11L), ("A", 11L),
+      ("B", 1L), ("B", 5L), ("B", 20L), ("B", 24L)).toDF("g", "v")
+    val r = Eval.bartlettTest(d, "v", "g").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((8L, 2L)))
+    assert(r.getLong(3) === 11703211309728L)
+    // equal variances (same shape, shifted): T collapses to the
+    // per-group quantization noise — zero at the 10⁻⁵ level
+    val eq = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 101L), ("B", 102L), ("B", 103L), ("B", 104L)).toDF("g", "v")
+    val r2 = Eval.bartlettTest(eq, "v", "g").collect().head
+    assert(math.abs(r2.getLong(3)) < 10000000L)
+    // a singleton group carries no variance — excluded by definition
+    val single = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 5L), ("B", 9L), ("C", 7L)).toDF("g", "v")
+    assert(Eval.bartlettTest(single, "v", "g").collect().head
+      .getLong(1) === 2L)
+    // a constant group: s² = 0 → ln undefined → NULL statistic
+    val flat = Seq(("A", 5L), ("A", 5L), ("B", 1L), ("B", 9L))
+      .toDF("g", "v")
+    assert(Eval.bartlettTest(flat, "v", "g").collect().head.isNullAt(3))
   }
 
   test("durbinTest: hand-exact BIB chi2 and F, complete-design Friedman equality, BIB contract enforced") {

@@ -12,6 +12,16 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** A corpus-order window prints `Window [exprs], [], [order]` — an
+    * EMPTY partition spec followed by an order spec. The older
+    * `windowexec`-token disjunct was vacuously true (plans print
+    * "Window", never "WindowExec"), so this is the non-vacuous form
+    * used by every no-global-order pin below.
+    */
+  private def assertNoCorpusOrderWindow(name: String, p: String): Unit =
+    assert(!p.contains("], [], ["),
+      s"$name: corpus-order (unpartitioned, ordered) window:\n$p")
+
   test("q_parent_join: broadcast hash join, no sort-merge/cartesian") {
     val p = plan("q_parent_join")
     assert(p.contains("BroadcastHashJoin"))
@@ -1025,9 +1035,7 @@ class PlanShapeSpec extends SparkSpec {
       // no window may impose a global corpus order
       assert(p.contains("LeftAnti"), s"$name df-cap anti join missing:\n$p")
       assert(!p.contains("CartesianProduct"), name)
-      assert(!p.toLowerCase.contains("windowexec") ||
-        !p.contains("SinglePartition"),
-        s"$name: corpus-order window in the pair law:\n$p")
+      assertNoCorpusOrderWindow(name, p)
     }
   }
 
@@ -1098,9 +1106,7 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan(name)
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"), name)
       assert(!p.contains("CartesianProduct"), name)
-      assert(!p.toLowerCase.contains("windowexec") ||
-        !p.contains("SinglePartition"),
-        s"$name: corpus-order window:\n$p")
+      assertNoCorpusOrderWindow(name, p)
     }
   }
 
@@ -1109,9 +1115,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_burrows_delta", "q_brier_decomp")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), name)
-      assert(!p.toLowerCase.contains("windowexec") ||
-        !p.contains("SinglePartition"),
-        s"$name: corpus-order window:\n$p")
+      assertNoCorpusOrderWindow(name, p)
     }
     // reciprocity's mutual count must stay a SEMI join, never a pair blowup
     assert(plan("q_reciprocity").contains("LeftSemi"),
@@ -1130,18 +1134,18 @@ class PlanShapeSpec extends SparkSpec {
       s"q_textrank top-k must be TakeOrdered, not a global sort:\n$p")
   }
 
-  test("q_anova_f / q_welch_ttest / q_trend_test / q_map_eval: one-pass moment/rank aggregates, no cartesian, no corpus-order window") {
-    // all four reduce the corpus in ONE hash aggregate (DECIMAL moment
-    // sums / bounded dose or query tables); anything joining rows to
-    // rows or imposing a global order would break the scale contract
+  test("q_anova_f / q_welch_ttest / q_trend_test / q_map_eval / q_bartlett: one-pass moment/rank aggregates, no cartesian, no corpus-order window") {
+    // all five reduce the corpus in ONE hash aggregate (DECIMAL moment
+    // sums / bounded dose or query tables; Bartlett's per-group
+    // log-variance terms are once-quantized so the cross-group sums
+    // stay exact); anything joining rows to rows or imposing a global
+    // order would break the scale contract
     for (name <- Seq("q_anova_f", "q_welch_ttest", "q_trend_test",
-      "q_map_eval")) {
+      "q_map_eval", "q_bartlett")) {
       val p = plan(name)
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"), name)
       assert(!p.contains("CartesianProduct"), name)
-      assert(!p.toLowerCase.contains("windowexec") ||
-        !p.contains("SinglePartition"),
-        s"$name: corpus-order window:\n$p")
+      assertNoCorpusOrderWindow(name, p)
     }
   }
 
@@ -1150,9 +1154,7 @@ class PlanShapeSpec extends SparkSpec {
       val p = plan(name)
       assert(p.contains("HashAggregate"), name)
       assert(!p.contains("CartesianProduct"), name)
-      assert(!p.toLowerCase.contains("windowexec") ||
-        !p.contains("SinglePartition"),
-        s"$name: corpus-order window:\n$p")
+      assertNoCorpusOrderWindow(name, p)
     }
   }
 
@@ -1190,14 +1192,25 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_hodges_lehmann: bisection rounds bounded by the value RANGE, not rows") {
-    // quantity spans ~50 integers → ~12 distinct memoized count passes
-    // across the two rank searches, each a prefix-sum pass of ~7 AQE
-    // stage jobs (measured 93 on this config); an unmemoized or
-    // linear-scan regression would multiply the round count — pin the
-    // logarithmic order of magnitude
+    // quantity spans ~50 integers → ~15 distinct memoized count passes
+    // across the FOUR rank searches (two middles + two Moses CI
+    // endpoints — the CI reuses most median probes), each a prefix-sum
+    // pass of ~7 AQE stage jobs (measured 101 on this config); an
+    // unmemoized or linear-scan regression would multiply the round
+    // count — pin the logarithmic order of magnitude
     val n = jobCount("q_hodges_lehmann")
-    assert(n <= 130,
+    assert(n <= 170,
       s"q_hodges_lehmann spawned $n jobs — the bisection should take " +
+        "~log2(range) memoized count passes per rank")
+  }
+
+  test("q_hl_pseudomedian: Walsh-median bisection also bounded by the value RANGE") {
+    // per-customer spend shift in thousands spans ~a few thousand
+    // integers → ~13 memoized count passes per rank with near-total
+    // overlap between the two middle ranks
+    val n = jobCount("q_hl_pseudomedian")
+    assert(n <= 150,
+      s"q_hl_pseudomedian spawned $n jobs — the bisection should take " +
         "~log2(range) memoized count passes per rank")
   }
 
