@@ -1898,6 +1898,45 @@ object Eval {
           * lit(1.0e12)).cast("long")).as("fk_pico"))
   }
 
+  /** Multi-rank k-ary search over a MONOTONE integer count function:
+    * resolves min{x : C(x) ≥ r} for SEVERAL ranks r at once, where
+    * `batchCount` evaluates C at many probe points in one distributed
+    * pass. Each round probes up to 7 interior points per unresolved
+    * rank interval (an ~8-way split), so total distributed passes are
+    * ~log₈(range) — NOT ranks × log₂(range) — and every memoized point
+    * narrows every rank's interval (the searches overlap heavily for
+    * nearby ranks). Used by the Hodges–Lehmann estimators, whose count
+    * passes dominate their wall time.
+    */
+  private def rankSearch(ranks: Seq[BigInt], lo0: Long, hi0: Long,
+      batchCount: Seq[Long] => Map[Long, BigInt]): Map[BigInt, Long] = {
+    val memo = scala.collection.mutable.Map.empty[Long, BigInt]
+    val iv = scala.collection.mutable.Map(
+      ranks.distinct.map(r => r -> ((lo0, hi0))): _*)
+    val q = 7L
+    var guard = 0
+    while (iv.values.exists { case (lo, hi) => lo < hi }) {
+      guard += 1
+      require(guard <= 64, "rankSearch failed to converge — " +
+        "is the count function monotone?")
+      val probes = iv.values.toSeq.flatMap { case (lo, hi) =>
+        if (lo >= hi) Nil
+        else if (hi - lo <= q) lo until hi
+        else (1L to q).map(i => lo + (hi - lo) / (q + 1L) * i)
+      }.distinct.filterNot(memo.contains)
+      if (probes.nonEmpty) memo ++= batchCount(probes)
+      iv.mapValuesInPlace { case (r, (lo, hi)) =>
+        var l = lo; var h = hi
+        // any memoized point inside [l, h): C ≥ r caps the upper end
+        // (answer ≤ p), C < r lifts the lower (answer > p)
+        memo.foreach { case (p, c) =>
+          if (p >= l && p < h) { if (c >= r) h = p else l = p + 1 } }
+        (l, h)
+      }
+    }
+    iv.map { case (r, (lo, _)) => r -> lo }.toMap
+  }
+
   /** Hodges–Lehmann two-sample shift estimator (Hodges & Lehmann,
     * AMS '63) — the POINT ESTIMATE the rank tests ([[brunnerMunzel]],
     * [[lepageTest]]) only test: the median of all n_A·n_B pairwise
@@ -1912,13 +1951,15 @@ object Eval {
     *
     * is ONE [[PrefixSum.inclusive]] pass over the UNION of the A value
     * table (key 2v) and the θ-shifted B table (key 2(v+θ)+1 — A rows
-    * sort first at equality, so the cumulative reads ≤), and the
-    * median difference is found by BISECTION on the integer θ axis:
-    * C is a monotone step function, so ⌈log₂ range⌉ count passes pin
-    * d_(r) = min{θ : C(θ) ≥ r} exactly, for the two middle ranks
-    * r = ⌊(T+1)/2⌋, ⌊(T+2)/2⌋ (shared-midpoint memoized). The value
-    * table is localCheckpointed ONCE — every bisection job reuses the
-    * same materialized RDD (the PrefixSum soundness posture).
+    * sort first at equality, so the cumulative reads ≤), and C is a
+    * monotone step function, so order statistics fall to [[rankSearch]]
+    * — a K-ARY search whose every round evaluates up to 7 probe points
+    * PER RANK in one batched pass (candidate index in the key's low
+    * bits, one shared range shuffle), pinning all four ranks (the two
+    * middles and the two CI endpoints) in ~log₈(range) distributed
+    * passes TOTAL. The value table is localCheckpointed ONCE — every
+    * probe pass reuses the same materialized RDD (the PrefixSum
+    * soundness posture).
     *
     * Exact law: all counts and θ integers; HL2 = d_lo + d_hi is exact
     * (doubled median), hl = HL2/2 the one double. NULL hl2/hl when
@@ -1966,49 +2007,51 @@ object Eval {
     val (na, nb) = (st.getAs[Long]("na"), st.getAs[Long]("nb"))
     val t = BigInt(na) * BigInt(nb)
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
-    val memo = scala.collection.mutable.Map.empty[Long, BigInt]
-    def countLe(theta: Long): BigInt = memo.getOrElseUpdate(theta, {
+    // C(θ) at MANY probe points in ONE pass: the candidate index rides
+    // the key's low bits (keys scaled by m+1 stay order-consistent and
+    // DISTINCT — the PrefixSum contract), so every probe shares the
+    // single range shuffle and the per-candidate counts split back out
+    // in one 1-row fold
+    def batchCount(thetas: Seq[Long]): Map[Long, BigInt] = {
+      val m = thetas.length
+      val mp = lit(m.toLong + 1L)
+      val cand = array(thetas.zipWithIndex.map { case (th, i) =>
+        struct(lit(th).as("th"), lit(i.toLong).as("si")) }: _*)
       val aRows = bt.filter(col("_fa") > 0L)
-        .select((col("_v") * lit(2L)).as("_k"), col("_fa").as("_wa"),
-          lit(0L).as("_wb"))
+        .select((col("_v") * lit(2L) * mp).as("_k"),
+          col("_fa").as("_wa"), lit(0L).as("_wb"), lit(-1L).as("_si"))
       val bRows = bt.filter(col("_fb") > 0L)
-        .select(((col("_v") + lit(theta)) * lit(2L) + lit(1L)).as("_k"),
-          lit(0L).as("_wa"), col("_fb").as("_wb"))
+        .select(explode(cand).as("_e"), col("_v"), col("_fb"))
+        .select((((col("_v") + col("_e.th")) * lit(2L) + lit(1L)) * mp +
+          col("_e.si")).as("_k"),
+          lit(0L).as("_wa"), col("_fb").as("_wb"), col("_e.si").as("_si"))
       val cum = PrefixSum.inclusive(aRows.unionAll(bRows), "_k",
         col("_wa"), "_ca")
-      val row = cum.agg(coalesce(
-        sum(col("_wb").cast(dec) * col("_ca").cast(dec)), zero))
-        .collect().head
-      BigInt(row.getAs[java.math.BigDecimal](0).toBigIntegerExact)
-    })
-    // min{θ : C(θ) ≥ r} over the integer difference axis
-    def select(r: BigInt, lo0: Long, hi0: Long): Long = {
-      var lo = lo0; var hi = hi0
-      while (lo < hi) {
-        val mid = lo + (hi - lo) / 2
-        if (countLe(mid) >= r) hi = mid else lo = mid + 1
-      }
-      lo
+      val aggs = thetas.indices.map(i =>
+        coalesce(sum(when(col("_si") === i.toLong,
+          col("_wb").cast(dec) * col("_ca").cast(dec))), zero).as(s"_c$i"))
+      val row = cum.agg(aggs.head, aggs.tail: _*).collect().head
+      thetas.zipWithIndex.map { case (th, i) =>
+        th -> BigInt(row.getAs[java.math.BigDecimal](s"_c$i")
+          .toBigIntegerExact)
+      }.toMap
     }
     val hlOpt: Option[(Long, Long, Long, Long, Long)] =
       if (t == 0) None
       else {
         val lo0 = st.getAs[Long]("minA") - st.getAs[Long]("maxB")
         val hi0 = st.getAs[Long]("maxA") - st.getAs[Long]("minB")
-        val dLo = select((t + 1) / 2, lo0, hi0)
-        // the memoized C(dLo) decides the upper middle for free in the
-        // common discrete-ties case (both middles in one tied run)
-        val dHi = if (countLe(dLo) >= (t + 2) / 2) dLo
-        else select((t + 2) / 2, dLo + 1, hi0)
         // Moses rank: the documented double chain, left-to-right
         val cRank = math.max(0L, math.floor(t.toDouble / 2.0 -
           1.959963984540054 * math.sqrt(na.toDouble * nb.toDouble *
             (na + nb + 1).toDouble / 12.0)).toLong)
+        val rLo = (t + 1) / 2
+        val rHi = (t + 2) / 2
         val kLo = BigInt(cRank + 1L)
         val kHi = t - cRank
-        val ciLo = select(kLo, lo0, dLo)
-        val ciHi = select(kHi, dHi, hi0)
-        Some((dLo, dHi, cRank + 1L, ciLo, ciHi))
+        val sel = rankSearch(Seq(rLo, rHi, kLo, kHi), lo0, hi0,
+          batchCount)
+        Some((sel(rLo), sel(rHi), cRank + 1L, sel(kLo), sel(kHi)))
       }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -2046,20 +2089,30 @@ object Eval {
     * D(s) = F(⌊s/2⌋) folds into the SAME aggregate (a filtered sum
     * over the cumulative side's keys), and the Walsh count is exactly
     * C(s) = (O(s) + D(s)) / 2 — O double-counts unordered i≠j pairs
-    * and counts the diagonal once, so the sum is always even.
-    * Bisection on the integer s axis pins the two middle Walsh order
-    * statistics s_lo, s_hi exactly (shared-memo, ⌈log₂ range⌉ count
-    * passes per rank); the value table is localCheckpointed ONCE.
+    * and counts the diagonal once, so the sum is always even. All four
+    * Walsh order statistics (the two middles and the two Tukey CI
+    * endpoints) resolve together via [[rankSearch]]'s batched k-ary
+    * probes in ~log₈(range) distributed passes TOTAL; the value table
+    * is localCheckpointed ONCE.
     *
     * Exact law: all counts and s integers; HL4 = s_lo + s_hi is exact
     * (each s is a DOUBLED Walsh average, so their sum is 4× the
     * pseudomedian), hl = HL4/4 the one double. NULL when the input is
     * empty.
     *
+    * The TUKEY distribution-free 95% interval (Hollander–Wolfe §3.3)
+    * — the one-sample twin of [[hodgesLehmannShift]]'s Moses interval
+    * — rides the same memoized bisection: Walsh order statistics
+    * W_(C+1), W_(T−C) at C = max(0, ⌊T/2 − z·√(n(n+1)(2n+1)/24)⌋),
+    * z = 1.959963984540054, rank chain and its replay caveat exactly
+    * as documented there. Endpoints surface exact on the doubled axis
+    * (ci_lo2/ci_hi2) and halved as the one double each.
+    *
     * Scale shape / INTEGRAL-VALUE CONTRACT as [[hodgesLehmannShift]].
     *
-    * Output (1 row): (n_rows, n_walsh, hl4, hl); n_walsh is a double
-    * diagnostic (n(n+1)/2 — the [[quadeTest]] posture).
+    * Output (1 row): (n_rows, n_walsh, hl4, hl, ci_k, ci_lo2, ci_hi2,
+    * ci_lo, ci_hi); n_walsh is a double diagnostic (n(n+1)/2 — the
+    * [[quadeTest]] posture), ci_k the selected lower rank C+1.
     */
   def hlPseudomedian(df: DataFrame, valueCol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -2075,42 +2128,57 @@ object Eval {
     val n = st.getAs[Long]("n")
     val t = BigInt(n) * BigInt(n + 1) / 2
     val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
-    val memo = scala.collection.mutable.Map.empty[Long, BigInt]
-    // C(s) = (O(s) + D(s)) / 2 — one prefix-sum pass, one 1-row fold
-    def countWalshLe(s: Long): BigInt = memo.getOrElseUpdate(s, {
-      val aRows = bt.select((col("_v") * lit(2L)).as("_k"),
-        col("_f").as("_wa"), lit(0L).as("_wb"))
-      val bRows = bt.select(((lit(s) - col("_v")) * lit(2L) + lit(1L))
-        .as("_k"), lit(0L).as("_wa"), col("_f").as("_wb"))
+    // C(s) = (O(s) + D(s)) / 2 at MANY probe points in ONE pass — the
+    // [[hodgesLehmannShift]] batched-key discipline; the diagonal
+    // D(s_i) folds into the same 1-row aggregate as conditional sums
+    // over the cumulative side's unscaled keys
+    def batchCount(cands: Seq[Long]): Map[Long, BigInt] = {
+      val m = cands.length
+      val mp = lit(m.toLong + 1L)
+      val cand = array(cands.zipWithIndex.map { case (s, i) =>
+        struct(lit(s).as("th"), lit(i.toLong).as("si")) }: _*)
+      val aRows = bt.select((col("_v") * lit(2L) * mp).as("_k"),
+        col("_f").as("_wa"), lit(0L).as("_wb"), lit(-1L).as("_si"),
+        col("_v").as("_v0"))
+      val bRows = bt.select(explode(cand).as("_e"), col("_v"), col("_f"))
+        .select((((col("_e.th") - col("_v")) * lit(2L) + lit(1L)) * mp +
+          col("_e.si")).as("_k"),
+          lit(0L).as("_wa"), col("_f").as("_wb"), col("_e.si").as("_si"),
+          lit(0L).as("_v0"))
       val cum = PrefixSum.inclusive(aRows.unionAll(bRows), "_k",
         col("_wa"), "_ca")
-      val row = cum.agg(
-        coalesce(sum(col("_wb").cast(dec) * col("_ca").cast(dec)), zero)
-          .as("_o"),
-        coalesce(sum(when(col("_wa") > 0L && col("_k") <= lit(s),
-          col("_wa")).otherwise(0L).cast(dec)), zero).as("_d"))
-        .collect().head
-      val o = BigInt(row.getAs[java.math.BigDecimal]("_o").toBigIntegerExact)
-      val dg = BigInt(row.getAs[java.math.BigDecimal]("_d").toBigIntegerExact)
-      (o + dg) / 2
-    })
-    def select(r: BigInt, lo0: Long, hi0: Long): Long = {
-      var lo = lo0; var hi = hi0
-      while (lo < hi) {
-        val mid = lo + (hi - lo) / 2
-        if (countWalshLe(mid) >= r) hi = mid else lo = mid + 1
-      }
-      lo
+      val aggs = cands.indices.flatMap(i => Seq(
+        coalesce(sum(when(col("_si") === i.toLong,
+          col("_wb").cast(dec) * col("_ca").cast(dec))), zero)
+          .as(s"_o$i"),
+        coalesce(sum(when(col("_si") === -1L &&
+          col("_v0") * lit(2L) <= lit(cands(i)),
+          col("_wa")).otherwise(0L).cast(dec)), zero).as(s"_d$i")))
+      val row = cum.agg(aggs.head, aggs.tail: _*).collect().head
+      cands.zipWithIndex.map { case (s, i) =>
+        val o = BigInt(row.getAs[java.math.BigDecimal](s"_o$i")
+          .toBigIntegerExact)
+        val dg = BigInt(row.getAs[java.math.BigDecimal](s"_d$i")
+          .toBigIntegerExact)
+        s -> (o + dg) / 2
+      }.toMap
     }
-    val hlOpt: Option[(Long, Long)] =
+    val hlOpt: Option[(Long, Long, Long, Long, Long)] =
       if (t == 0) None
       else {
         val lo0 = 2L * st.getAs[Long]("minV")
         val hi0 = 2L * st.getAs[Long]("maxV")
-        val sLo = select((t + 1) / 2, lo0, hi0)
-        val sHi = if (countWalshLe(sLo) >= (t + 2) / 2) sLo
-        else select((t + 2) / 2, sLo + 1, hi0)
-        Some((sLo, sHi))
+        // Tukey rank: the documented double chain, left-to-right
+        val cRank = math.max(0L, math.floor(t.toDouble / 2.0 -
+          1.959963984540054 * math.sqrt(n.toDouble * (n + 1L).toDouble *
+            (2L * n + 1L).toDouble / 24.0)).toLong)
+        val rLo = (t + 1) / 2
+        val rHi = (t + 2) / 2
+        val kLo = BigInt(cRank + 1L)
+        val kHi = t - cRank
+        val sel = rankSearch(Seq(rLo, rHi, kLo, kHi), lo0, hi0,
+          batchCount)
+        Some((sel(rLo), sel(rHi), cRank + 1L, sel(kLo), sel(kHi)))
       }
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -2118,12 +2186,22 @@ object Eval {
     val out = Seq(Row(n, t.toDouble,
       hlOpt.map(p => java.lang.Long.valueOf(p._1 + p._2)).orNull,
       hlOpt.map(p => java.lang.Double.valueOf((p._1 + p._2).toDouble / 4.0))
-        .orNull))
+        .orNull,
+      hlOpt.map(p => java.lang.Long.valueOf(p._3)).orNull,
+      hlOpt.map(p => java.lang.Long.valueOf(p._4)).orNull,
+      hlOpt.map(p => java.lang.Long.valueOf(p._5)).orNull,
+      hlOpt.map(p => java.lang.Double.valueOf(p._4.toDouble / 2.0)).orNull,
+      hlOpt.map(p => java.lang.Double.valueOf(p._5.toDouble / 2.0)).orNull))
     spark.createDataFrame(out.asJava, StructType(Seq(
       StructField("n_rows", LongType, nullable = false),
       StructField("n_walsh", DoubleType, nullable = false),
       StructField("hl4", LongType, nullable = true),
-      StructField("hl", DoubleType, nullable = true))))
+      StructField("hl", DoubleType, nullable = true),
+      StructField("ci_k", LongType, nullable = true),
+      StructField("ci_lo2", LongType, nullable = true),
+      StructField("ci_hi2", LongType, nullable = true),
+      StructField("ci_lo", DoubleType, nullable = true),
+      StructField("ci_hi", DoubleType, nullable = true))))
   }
 
   /** Bartlett's k-sample variance test (Bartlett, Proc. Roy. Soc.

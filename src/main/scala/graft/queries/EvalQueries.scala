@@ -1871,11 +1871,23 @@ trait EvalQueries { self: RegistryAll =>
       | c AS (SELECT s, SUM(w) OVER (ORDER BY s
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM dg),
       | lo AS (SELECT MIN(s) AS slo FROM c, nn WHERE cw >= (t + 1) // 2),
-      | hi AS (SELECT MIN(s) AS shi FROM c, nn WHERE cw >= (t + 2) // 2)
+      | hi AS (SELECT MIN(s) AS shi FROM c, nn WHERE cw >= (t + 2) // 2),
+      | ck AS (SELECT GREATEST(CAST(0 AS BIGINT),
+      |   CAST(floor(CAST(t AS DOUBLE) / 2.0 - 1.959963984540054
+      |    * sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+      |      * CAST(2 * n + 1 AS DOUBLE) / 24.0)) AS BIGINT)) AS cr
+      |  FROM nn),
+      | cl AS (SELECT MIN(s) AS scl FROM c, nn, ck WHERE cw >= cr + 1),
+      | chh AS (SELECT MIN(s) AS sch FROM c, nn, ck WHERE cw >= t - cr)
       | SELECT CAST(n AS BIGINT) AS n_rows, CAST(t AS DOUBLE) AS n_walsh,
       |  CASE WHEN t > 0 THEN CAST(slo + shi AS BIGINT) END AS hl4,
-      |  CASE WHEN t > 0 THEN CAST(slo + shi AS DOUBLE) / 4.0 END AS hl
-      | FROM nn, lo, hi""".stripMargin.replace("\n", " ")
+      |  CASE WHEN t > 0 THEN CAST(slo + shi AS DOUBLE) / 4.0 END AS hl,
+      |  CASE WHEN t > 0 THEN cr + 1 END AS ci_k,
+      |  CASE WHEN t > 0 THEN CAST(scl AS BIGINT) END AS ci_lo2,
+      |  CASE WHEN t > 0 THEN CAST(sch AS BIGINT) END AS ci_hi2,
+      |  CASE WHEN t > 0 THEN CAST(scl AS DOUBLE) / 2.0 END AS ci_lo,
+      |  CASE WHEN t > 0 THEN CAST(sch AS DOUBLE) / 2.0 END AS ci_hi
+      | FROM nn, lo, hi, ck, cl, chh""".stripMargin.replace("\n", " ")
 
   /** Bartlett's variance test of document length across sources
     * ([[graft.ops.Eval.bartlettTest]]): the parametric member closing

@@ -1183,27 +1183,41 @@ class EvalSpec extends SparkSpec {
     assert(r4.isNullAt(5) && r4.isNullAt(6) && r4.isNullAt(7))
   }
 
-  test("hlPseudomedian: exact Walsh order statistics, robustness to one outlier, tie run, empty NULL") {
+  test("hlPseudomedian: exact Walsh order statistics, robustness to one outlier, Tukey CI, tie run, empty NULL") {
     // x = {1,2,3}: Walsh averages (1, 1.5, 2, 2, 2.5, 3) → middle pair
-    // both 2 on the doubled axis (s_(3) = s_(4) = 4) → HL4 = 8, HL = 2
+    // both 2 on the doubled axis (s_(3) = s_(4) = 4) → HL4 = 8, HL = 2;
+    // T = 6 → Tukey C = 0 → CI = [W_(1), W_(6)] = [1, 3]
     val d = Seq(1L, 2L, 3L).toDF("v")
     val r = Eval.hlPseudomedian(d, "v").collect().head
     assert(r.getLong(0) === 3L && r.getDouble(1) === 6.0)
     assert(r.getLong(2) === 8L && r.getDouble(3) === 2.0)
+    assert((r.getLong(4), r.getDouble(7), r.getDouble(8)) ===
+      ((1L, 1.0, 3.0)))
     // one outlier owns 3 of 6 Walsh averages but not the estimate:
     // {1,2,10} → sorted Walsh (1, 1.5, 2, 5.5, 6, 10) → HL = 3.75
     // (the mean would read 4.33; the raw median 2)
     val out = Seq(1L, 2L, 10L).toDF("v")
     val r2 = Eval.hlPseudomedian(out, "v").collect().head
     assert(r2.getLong(2) === 15L && r2.getDouble(3) === 3.75)
+    // a nonzero Tukey rank: x = 1..10 → T = 55, C = ⌊27.5 −
+    // 1.96·√(10·11·21/24)⌋ = 8 → CI = [W_(9), W_(47)] = [3, 8]
+    // around HL = 5.5 (Walsh cum counts: s=6 reaches 9, s=16 reaches 49)
+    val ten = (1L to 10L).toDF("v")
+    val r5 = Eval.hlPseudomedian(ten, "v").collect().head
+    assert(r5.getDouble(3) === 5.5)
+    assert((r5.getLong(4), r5.getLong(5), r5.getLong(6)) ===
+      ((9L, 6L, 16L)))
+    assert((r5.getDouble(7), r5.getDouble(8)) === ((3.0, 8.0)))
     // a tied run: {5,5} → 3 Walsh averages all 5
     val tie = Seq(5L, 5L).toDF("v")
     val r3 = Eval.hlPseudomedian(tie, "v").collect().head
     assert(r3.getDouble(1) === 3.0 && r3.getDouble(3) === 5.0)
-    // empty input → NULL estimate
+    assert(r3.getDouble(7) === 5.0 && r3.getDouble(8) === 5.0)
+    // empty input → NULL estimate and interval
     val none = Seq.empty[Long].toDF("v")
     val r4 = Eval.hlPseudomedian(none, "v").collect().head
     assert(r4.getLong(0) === 0L && r4.isNullAt(2) && r4.isNullAt(3))
+    assert(r4.isNullAt(4) && r4.isNullAt(5) && r4.isNullAt(8))
   }
 
   test("bartlettTest: unequal variances fire, equal variances read quantization-zero, singleton excluded, degenerate NULL") {

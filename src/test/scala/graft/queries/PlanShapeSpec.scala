@@ -1192,26 +1192,27 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_hodges_lehmann: bisection rounds bounded by the value RANGE, not rows") {
-    // quantity spans ~50 integers → ~15 distinct memoized count passes
-    // across the FOUR rank searches (two middles + two Moses CI
-    // endpoints — the CI reuses most median probes), each a prefix-sum
-    // pass of ~7 AQE stage jobs (measured 101 on this config); an
-    // unmemoized or linear-scan regression would multiply the round
-    // count — pin the logarithmic order of magnitude
+    // quantity spans ~50 integers → rankSearch resolves ALL FOUR ranks
+    // (two middles + two Moses CI endpoints) in 2-3 batched k-ary
+    // probe passes, each a prefix-sum pass of ~7 AQE stage jobs
+    // (measured 29 on this config); a per-probe or per-rank regression
+    // would multiply the pass count — pin the batched order of
+    // magnitude
     val n = jobCount("q_hodges_lehmann")
-    assert(n <= 170,
-      s"q_hodges_lehmann spawned $n jobs — the bisection should take " +
-        "~log2(range) memoized count passes per rank")
+    assert(n <= 60,
+      s"q_hodges_lehmann spawned $n jobs — rankSearch should resolve " +
+        "all ranks in ~log8(range) batched count passes")
   }
 
   test("q_hl_pseudomedian: Walsh-median bisection also bounded by the value RANGE") {
     // per-customer spend shift in thousands spans ~a few thousand
-    // integers → ~13 memoized count passes per rank with near-total
-    // overlap between the two middle ranks
+    // integers → rankSearch resolves all four Walsh ranks (middles +
+    // Tukey CI endpoints) in ~4-5 batched probe passes (measured 46
+    // jobs on this config)
     val n = jobCount("q_hl_pseudomedian")
-    assert(n <= 150,
-      s"q_hl_pseudomedian spawned $n jobs — the bisection should take " +
-        "~log2(range) memoized count passes per rank")
+    assert(n <= 90,
+      s"q_hl_pseudomedian spawned $n jobs — rankSearch should resolve " +
+        "all ranks in ~log8(range) batched count passes")
   }
 
   test("q_hits: cadence-1 per-round checkpoints stay — job count floor and ceiling") {
