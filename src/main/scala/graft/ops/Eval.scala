@@ -1898,6 +1898,101 @@ object Eval {
           * lit(1.0e12)).cast("long")).as("fk_pico"))
   }
 
+  /** Conover's squared-ranks k-sample scale test (Conover & Iman '78;
+    * Conover, Practical Nonparametric Statistics §5.3) — the fourth
+    * member of the scale family: [[bartlettTest]] is parametric,
+    * [[brownForsythe]] an ANOVA on deviations, [[flignerKilleen]]
+    * normal-scores on median-centered ranks; Conover SQUARES the
+    * pooled ranks of MEAN-centered absolute deviations, the classic
+    * tie-robust squared-ranks form.
+    *
+    * Law with ONE quantization ([[flignerKilleen]] posture): group
+    * means are exact rationals S_g/n_g off one bounded hash aggregate
+    * (broadcast back), deviations quantize ONCE as
+    * d = round(|x − S_g/n_g|·10⁶); pooled doubled midranks mr2 of d
+    * off ONE [[PrefixSum.inclusiveAll]] pass make every cumulant an
+    * exact integer in mr2²-units — S_j = Σ c_j·mr2², SA = Σ m·mr2²,
+    * SAA = Σ m·mr2⁴ — and the uniform 4×/16× doubling scale cancels in
+    *
+    *   T = Σ_j n_j·dev_j² / v̂,  dev_j = round(S_j/n_j − SA/N),
+    *   v̂ = (SAA − SA²/N)/(N−1)
+    *
+    * (χ², k−1 df; per-group quantized dev keeps the cross-group mass
+    * an order-free exact integer). NULL when N < 2 or v̂ ≤ 0 (all
+    * deviations tied). Domain: the R⁴ cumulant needs 16N⁵ inside
+    * DECIMAL(38) → N ≲ 5·10⁷ pooled rows; past that the SAA column
+    * must move to a double emission. INTEGRAL-VALUE CONTRACT as
+    * [[moodMedianTest]].
+    *
+    * Scale shape: one bounded per-group aggregate (hard require ≤
+    * maxGroups), one broadcast join, one value-table prefix-sum pass,
+    * a 1-row fold.
+    *
+    * Output (1 row): (n_rows, k_groups, q_mass, conover_pico); q_mass
+    * is a double diagnostic (mr2⁴-scale — [[quadeTest]] posture).
+    */
+  def conoverSquaredRanks(df: DataFrame, valueCol: String,
+      groupCol: String, maxGroups: Int = 64): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val cls = base.select(col("_g")).distinct()
+      .orderBy(col("_g")).limit(maxGroups + 1).collect().map(_.get(0))
+    require(cls.nonEmpty,
+      "conoverSquaredRanks: no non-null (group, value) rows")
+    require(cls.length <= maxGroups,
+      s"conoverSquaredRanks: group column exceeds $maxGroups distinct " +
+        "values — the per-group cumulant law needs a bounded group " +
+        "axis; bin the column or raise maxGroups")
+    val k = cls.length
+    def gCounts(g: Column): Seq[Column] = (0 until k).map(j =>
+      sum(when(g === lit(cls(j)), 1L).otherwise(0L)).as(s"_c$j"))
+    val means = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng"), sum(col("_v").cast(dec)).as("_sg"))
+    val d2 = base.join(broadcast(means), "_g")
+      .select(col("_g"),
+        round(abs(col("_v").cast("double") -
+          col("_sg").cast("double") / col("_ng").cast("double"))
+          * lit(1.0e6)).cast("long").as("_d"))
+    val vt = d2.groupBy(col("_d")).agg(gCounts(col("_g")).head,
+      gCounts(col("_g")).tail: _*)
+      .withColumn("_m", (0 until k).map(j => col(s"_c$j")).reduce(_ + _))
+    val cum = PrefixSum.inclusiveAll(vt, "_d", Seq(col("_m") -> "_cum"),
+      withTotals = true)
+    val scored = cum
+      .withColumn("_mr2", lit(2L) * col("_cum") - col("_m") + lit(1L))
+      .withColumn("_sq", col("_mr2").cast(dec) * col("_mr2").cast(dec))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val aggCols = Seq(
+      coalesce(max(col("_cum_total")), lit(0L)).as("_n"),
+      coalesce(sum(col("_m").cast(dec) * col("_sq")), zero).as("_sa"),
+      coalesce(sum(col("_m").cast(dec) * col("_sq") * col("_sq")), zero)
+        .as("_saa")) ++
+      (0 until k).flatMap(j => Seq(
+        coalesce(sum(col(s"_c$j")), lit(0L)).as(s"_n$j"),
+        coalesce(sum(col(s"_c$j").cast(dec) * col("_sq")), zero)
+          .as(s"_s$j")))
+    val agg = scored.agg(aggCols.head, aggCols.tail: _*)
+    // greatest clamps: identity whenever the matching when() fires
+    val nD = greatest(col("_n"), lit(1L)).cast("double")
+    val n1D = greatest(col("_n") - lit(1L), lit(1L)).cast("double")
+    val devs = (0 until k).map { j =>
+      round(col(s"_s$j").cast("double") /
+        greatest(col(s"_n$j"), lit(1L)).cast("double") -
+        col("_sa").cast("double") / nD).cast("long")
+    }
+    val q4 = (0 until k).map { j =>
+      col(s"_n$j").cast(dec) * (devs(j).cast(dec) * devs(j).cast(dec))
+    }.reduce(_ + _)
+    val vhat = (col("_saa").cast("double") -
+      col("_sa").cast("double") * col("_sa").cast("double") / nD) / n1D
+    agg.select(col("_n").as("n_rows"), lit(k.toLong).as("k_groups"),
+      q4.cast("double").as("q_mass"),
+      when(col("_n") >= 2L && vhat > 0.0,
+        round(q4.cast("double") / greatest(vhat, lit(1.0e-300))
+          * lit(1.0e12)).cast("long")).as("conover_pico"))
+  }
+
   /** Multi-rank k-ary search over a MONOTONE integer count function:
     * resolves min{x : C(x) ≥ r} for SEVERAL ranks r at once, where
     * `batchCount` evaluates C at many probe points in one distributed

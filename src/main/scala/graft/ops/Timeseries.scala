@@ -618,6 +618,92 @@ object Timeseries {
         round(qb * lit(1.0e12)).cast("long")).as("qb_pico"))
   }
 
+  /** KPSS level-stationarity statistic (Kwiatkowski, Phillips, Schmidt
+    * & Shin, J. Econometrics '92) — the drift tier's STATIONARITY
+    * member: [[pettittDaily]] locates WHEN a level shifted and
+    * [[buishandDaily]] how far the cumulative wandered; KPSS tests
+    * whether the series is level-stationary AT ALL (H₀: stationary
+    * around a constant — large η rejects), with the Newey–West
+    * Bartlett-kernel long-run variance at lag ℓ.
+    *
+    * EXACT LAW, no quantization anywhere: over the observed-bin
+    * sequence k = 1..T (dense prefix-sum rank — gaps in the calendar
+    * axis do not break the lag join), the T-scaled partial sums
+    * ts_k = T·cum_k − k·Y and residuals e_k = T·y_k − Y are exact
+    * integers off ONE [[graft.ops.PrefixSum.inclusiveAll]] pass (the
+    * [[buishandDaily]] frame), the lag products ride ONE equi-join on
+    * the dense rank (explode of j = 1..ℓ — never a range join), and
+    * with G_j = Σ e_k·e_{k+j} (scaled autocovariances) the Bartlett
+    * weights 1 − j/(ℓ+1) clear denominators exactly:
+    *
+    *   S2 = (ℓ+1)·G₀ + 2·Σ_j ((ℓ+1) − j)·G_j,
+    *   η  = Σ ts_k² · (ℓ+1) / (T · S2)
+    *
+    * — every factor an exact DECIMAL, η ONE pinned double chain
+    * (pico-rounded). NULL when T < 2 or S2 ≤ 0 (constant series; for
+    * strongly negatively autocorrelated series the truncated kernel
+    * can also drive S2 ≤ 0 — surfaced as NULL, the variant's
+    * documented behavior). Overflow domain: Σts² ≤ T³·Y² must fit
+    * DECIMAL(38) — ~10⁵ bins × Y ≈ 10¹¹ reaches 10³⁷; the error-trend
+    * day-axis guard bounds T physically.
+    *
+    * Scale shape: one per-bin hash aggregate, one prefix-sum pass, one
+    * rank equi-join inflated ×ℓ, two 1-row folds.
+    *
+    * Output (1 row): (n_bins, sum_ts2, s2_scaled, kpss_pico); the two
+    * diagnostics are doubles ([[graft.ops.Eval.quadeTest]] posture).
+    */
+  def kpssDaily(events: DataFrame, tsCol: String, valueCol: String,
+      lag: Int = 4, binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    require(lag >= 0 && lag <= 32, s"lag must be in [0, 32], got $lag")
+    val dec = "decimal(38,0)"
+    val perBin = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_t"))
+      .agg(sum(col(valueCol).cast("long")).as("_y"))
+    val cum = graft.ops.PrefixSum.inclusiveAll(perBin, "_t",
+      Seq(col("_y") -> "_cy", lit(1L) -> "_ck"), withTotals = true)
+    val ts = cum.select(col("_ck"),
+      (col("_ck_total").cast(dec) * col("_cy").cast(dec)
+        - col("_ck").cast(dec) * col("_cy_total").cast(dec)).as("_ts"),
+      (col("_ck_total").cast(dec) * col("_y").cast(dec)
+        - col("_cy_total").cast(dec)).as("_es"),
+      col("_ck_total").as("_tn"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg0 = ts.agg(
+      coalesce(max(col("_tn")), lit(0L)).as("n_bins"),
+      coalesce(sum(col("_ts") * col("_ts")), zero).as("_sts"),
+      coalesce(sum(col("_es") * col("_es")), zero).as("_g0"))
+    val gw =
+      if (lag == 0) agg0.sparkSession.range(1).select(zero.as("_gw"))
+      else {
+        val js = array((1 to lag).map(j => lit(j.toLong)): _*)
+        val left = ts.select(col("_ck"), col("_es").as("_esa"))
+          .withColumn("_j", explode(js))
+          .select((col("_ck") + col("_j")).as("_ckb"), col("_j"),
+            col("_esa"))
+        left.join(ts.select(col("_ck").as("_ckb"),
+            col("_es").as("_esb")), "_ckb")
+          .agg(coalesce(sum((lit(lag.toLong + 1L) - col("_j")).cast(dec)
+            * col("_esa") * col("_esb")), zero).as("_gw"))
+      }
+    val agg = agg0.crossJoin(broadcast(gw))
+    val s2sc = lit(lag.toLong + 1L).cast(dec) * col("_g0") +
+      lit(2L).cast(dec) * col("_gw")
+    val eta = col("_sts").cast("double") * lit(lag + 1.0) /
+      (greatest(col("n_bins"), lit(1L)).cast("double") *
+        greatest(s2sc, lit(java.math.BigDecimal.ONE).cast(dec))
+          .cast("double"))
+    agg.select(col("n_bins"),
+      col("_sts").cast("double").as("sum_ts2"),
+      s2sc.cast("double").as("s2_scaled"),
+      when(col("n_bins") >= 2L &&
+        s2sc > lit(java.math.BigDecimal.ZERO).cast(dec),
+        round(eta * lit(1.0e12)).cast("long")).as("kpss_pico"))
+  }
+
   def mannKendallDaily(events: DataFrame, tsCol: String,
       binMicros: Long = 86400L * 1000000L): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")

@@ -1889,6 +1889,56 @@ trait EvalQueries { self: RegistryAll =>
       |  CASE WHEN t > 0 THEN CAST(sch AS DOUBLE) / 2.0 END AS ci_hi
       | FROM nn, lo, hi, ck, cl, chh""".stripMargin.replace("\n", " ")
 
+  /** Conover squared-ranks scale test of document length across
+    * sources ([[graft.ops.Eval.conoverSquaredRanks]]): the squared-
+    * ranks member on the SAME design as q_bartlett / q_fligner /
+    * q_brown_forsythe — mean-centered micro-quantized deviations,
+    * pooled squared midranks off one prefix-sum pass.
+    */
+  def qConoverSr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.conoverSquaredRanks(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len"), col("source")),
+      "len", "source")
+
+  lazy val qConoverSrSql: String =
+    """WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      | mg AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS ng,
+      |   CAST(SUM(v) AS HUGEINT) AS sg FROM base GROUP BY 1),
+      | d2 AS (SELECT b.g, CAST(round(abs(CAST(b.v AS DOUBLE)
+      |    - CAST(m.sg AS DOUBLE) / CAST(m.ng AS DOUBLE)) * 1.0e6)
+      |   AS BIGINT) AS d
+      |  FROM base b JOIN mg m USING (g)),
+      | vt AS (SELECT d, CAST(COUNT(*) AS HUGEINT) AS m FROM d2 GROUP BY 1),
+      | cum AS (SELECT d, m, 2 * SUM(m) OVER (ORDER BY d
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1 AS mr2,
+      |   SUM(m) OVER () AS nn FROM vt),
+      | sq AS (SELECT d, m, nn, mr2 * mr2 AS sq FROM cum),
+      | j AS (SELECT g, sq FROM d2 JOIN sq USING (d)),
+      | pg AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS nj,
+      |   CAST(SUM(sq) AS HUGEINT) AS sj FROM j GROUP BY 1),
+      | tot AS (SELECT CAST(SUM(nj) AS HUGEINT) AS n,
+      |   CAST(SUM(sj) AS HUGEINT) AS sa, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM pg),
+      | qa AS (SELECT CAST(SUM(m * sq * sq) AS HUGEINT) AS saa FROM sq),
+      | dv AS (SELECT nj,
+      |   CAST(round(CAST(sj AS DOUBLE) / CAST(nj AS DOUBLE)
+      |     - CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS dev
+      |  FROM pg, tot),
+      | qq AS (SELECT COALESCE(CAST(SUM(nj * dev * dev) AS HUGEINT), 0)
+      |   AS q4 FROM dv),
+      | w AS (SELECT n, k, q4,
+      |   (CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+      |      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS vhat
+      |  FROM tot, qa, qq)
+      | SELECT CAST(n AS BIGINT) AS n_rows, k AS k_groups,
+      |  CAST(q4 AS DOUBLE) AS q_mass,
+      |  CASE WHEN n >= 2 AND vhat > 0.0 THEN
+      |   CAST(round(CAST(q4 AS DOUBLE) / vhat * 1.0e12) AS BIGINT)
+      |  END AS conover_pico
+      | FROM w""".stripMargin.replace("\n", " ")
+
   /** Bartlett's variance test of document length across sources
     * ([[graft.ops.Eval.bartlettTest]]): the parametric member closing
     * the scale trio on the SAME design as q_fligner (rank-based) and

@@ -717,6 +717,50 @@ trait TimeseriesQueries { self: RegistryAll =>
       |    AS BIGINT) END AS qb_pico
       | FROM w""".stripMargin.replace("\n", " ")
 
+  /** KPSS level-stationarity of daily event revenue
+    * ([[graft.ops.Timeseries.kpssDaily]], lag-4 Newey–West): is the
+    * daily cents series stationary around a constant level at all? —
+    * completing the change-point pair (q_pettitt locates the shift,
+    * q_buishand sizes the excursion) with the stationarity H₀ itself;
+    * every cumulant exact off the same prefix-sum frame, lag products
+    * via one dense-rank equi-join.
+    */
+  def qKpss(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.kpssDaily(
+      t(spark, dir, "events")
+        .select(col("ts"), floor(col("value") * lit(100.0)).as("cents")),
+      "ts", "cents", lag = 4)
+
+  lazy val qKpssSql: String =
+    """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS t,
+      |   CAST(floor(value * 100.0) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      | pb AS (SELECT t, CAST(SUM(v) AS HUGEINT) AS y
+      |  FROM base GROUP BY 1),
+      | cumb AS (SELECT t, y, SUM(y) OVER w AS cy,
+      |   CAST(SUM(1) OVER w AS HUGEINT) AS ck,
+      |   SUM(y) OVER () AS cyt, CAST(COUNT(*) OVER () AS HUGEINT) AS tn
+      |  FROM pb WINDOW w AS (ORDER BY t
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      | tsf AS (SELECT ck, tn * cy - ck * cyt AS ts2,
+      |   tn * y - cyt AS es, tn FROM cumb),
+      | a0 AS (SELECT COALESCE(CAST(MAX(tn) AS BIGINT), 0) AS n_bins,
+      |   COALESCE(SUM(ts2 * ts2), 0) AS sts,
+      |   COALESCE(SUM(es * es), 0) AS g0 FROM tsf),
+      | js AS (SELECT CAST(j AS HUGEINT) AS j
+      |  FROM (VALUES (1), (2), (3), (4)) v(j)),
+      | gw AS (SELECT COALESCE(SUM((5 - j) * a.es * b.es), 0) AS gwv
+      |  FROM tsf a, js, tsf b WHERE b.ck = a.ck + j),
+      | fin AS (SELECT n_bins, sts, 5 * g0 + 2 * gwv AS s2sc
+      |  FROM a0, gw)
+      | SELECT n_bins, CAST(sts AS DOUBLE) AS sum_ts2,
+      |  CAST(s2sc AS DOUBLE) AS s2_scaled,
+      |  CASE WHEN n_bins >= 2 AND s2sc > 0 THEN
+      |   CAST(round(CAST(sts AS DOUBLE) * 5.0
+      |    / (CAST(n_bins AS DOUBLE) * CAST(s2sc AS DOUBLE)) * 1.0e12)
+      |    AS BIGINT) END AS kpss_pico
+      | FROM fin""".stripMargin.replace("\n", " ")
+
   /** Mann–Kendall trend test of daily event volume
     * ([[graft.ops.Timeseries.mannKendallDaily]]): is q_theil_sen's
     * slope a real monotone trend or noise? — sign-pair statistic S over

@@ -1220,6 +1220,34 @@ class EvalSpec extends SparkSpec {
     assert(r4.isNullAt(4) && r4.isNullAt(5) && r4.isNullAt(8))
   }
 
+  test("conoverSquaredRanks: hand-exact T = 3, equal-shape groups read exactly 0, all-tied NULL, require") {
+    // A = {1,5} (devs 2,2) vs B = {2,4} (devs 1,1): pooled midranks
+    // (1.5, 1.5, 3.5, 3.5) → squared-rank sums 24.5 vs 4.5 →
+    // T = 100/(100/3) = 3 exactly (the doubled-rank scaling cancels)
+    val d = Seq(("A", 1L), ("A", 5L), ("B", 2L), ("B", 4L)).toDF("g", "v")
+    val r = Eval.conoverSquaredRanks(d, "v", "g").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)))
+    assert(r.getDouble(2) === 1600.0)
+    assert(r.getLong(3) === 3000000000000L)
+    // identical deviation shapes (pure location shift): group
+    // squared-rank means equal → T = 0 exactly
+    val eq = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 11L), ("B", 12L), ("B", 13L)).toDF("g", "v")
+    val r2 = Eval.conoverSquaredRanks(eq, "v", "g").collect().head
+    assert(r2.getDouble(2) === 0.0 && r2.getLong(3) === 0L)
+    // every deviation tied (all groups symmetric pairs): v̂ = 0 → NULL
+    val flat = Seq(("A", 1L), ("A", 3L), ("B", 11L), ("B", 13L))
+      .toDF("g", "v")
+    assert(Eval.conoverSquaredRanks(flat, "v", "g").collect().head
+      .isNullAt(3))
+    // bounded group axis
+    val many = (0 until 70).map(i => (f"g$i%02d", i.toLong)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.conoverSquaredRanks(many, "v", "g")
+    }
+    assert(e.getMessage.contains("64 distinct"))
+  }
+
   test("bartlettTest: unequal variances fire, equal variances read quantization-zero, singleton excluded, degenerate NULL") {
     // A = {10,10,11,11} (s² = 1/3) vs B = {1,5,20,24} (s² = 377/3):
     // the textbook chain gives T = [6·ln 63 − 3(ln ⅓ + ln(377/3))]

@@ -272,4 +272,30 @@ class TimeseriesSpec extends SparkSpec {
     assert(Timeseries.buishandDaily(one, "ts", "v").collect().head
       .isNullAt(4))
   }
+
+  test("kpssDaily: hand-exact eta at lag 1 and 0, calendar-gap invariance, constant NULL") {
+    def tsAtDay(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // y = (1,2,3,4): T = 4, Y = 10 → ts = (−6,−8,−6,0), Σts² = 136;
+    // es = (−6,−2,2,6): G₀ = 80, G₁ = 20 → S2(ℓ=1) = 2·80 + 2·20 = 200
+    // → η = 136·2/(4·200) = 0.34 exactly
+    val y = Seq((tsAtDay(0), 1L), (tsAtDay(1), 2L),
+      (tsAtDay(2), 3L), (tsAtDay(3), 4L)).toDF("ts", "v")
+    val r = Timeseries.kpssDaily(y, "ts", "v", lag = 1).collect().head
+    assert(r.getLong(0) === 4L)
+    assert((r.getDouble(1), r.getDouble(2)) === ((136.0, 200.0)))
+    assert(r.getLong(3) === 340000000000L)
+    // lag 0 degenerates to S2 = G₀ → η = 136/(4·80) = 0.425
+    val r0 = Timeseries.kpssDaily(y, "ts", "v", lag = 0).collect().head
+    assert(r0.getLong(3) === 425000000000L)
+    // the law runs over the OBSERVED-bin sequence: calendar gaps do
+    // not break the lag join (dense prefix-sum rank, not day deltas)
+    val gap = Seq((tsAtDay(0), 1L), (tsAtDay(1), 2L),
+      (tsAtDay(5), 3L), (tsAtDay(9), 4L)).toDF("ts", "v")
+    val rg = Timeseries.kpssDaily(gap, "ts", "v", lag = 1).collect().head
+    assert(rg.getLong(3) === 340000000000L)
+    // constant series: every residual 0 → S2 = 0 → NULL
+    val flat = Seq((tsAtDay(0), 5L), (tsAtDay(1), 5L)).toDF("ts", "v")
+    assert(Timeseries.kpssDaily(flat, "ts", "v").collect().head
+      .isNullAt(3))
+  }
 }

@@ -1046,12 +1046,23 @@ class PlanShapeSpec extends SparkSpec {
       "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
       "q_mood_scale", "q_quade", "q_pettitt",
       "q_signed_rank", "q_lepage", "q_buishand",
-      "q_fligner").foreach { q =>
+      "q_fligner", "q_kpss", "q_conover_sr").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
       assert(!p.contains("CartesianProduct"), q)
     }
+    // KPSS's lag autocovariances must ride a dense-rank EQUI join on
+    // _ckb — a range/nested-loop join over the bin table would be the
+    // O(T·ℓ)→O(T²) regression the explode construction exists to
+    // avoid (the 1-row scalar attach is a legitimate broadcast cross)
+    val pk = plan("q_kpss")
+    assert(pk.linesIterator.exists(l => l.contains("_ckb") &&
+      (l.contains("HashJoin") || l.contains("SortMergeJoin"))),
+      s"q_kpss lag join lost its equi-join shape:\n$pk")
+    assert(!pk.linesIterator.exists(l => l.contains("_ckb") &&
+      l.contains("NestedLoopJoin")),
+      s"q_kpss lag join degenerated to a nested loop:\n$pk")
   }
 
   test("q_page_trend / q_friedman_w / q_quade: per-BLOCK windows only, semi-join completeness filter, no cartesian") {
