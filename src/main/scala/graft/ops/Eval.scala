@@ -1533,6 +1533,120 @@ object Eval {
     * Scale shape: one corpus aggregate → ≤ k-row table → 1 row. Values
     * must be integral (the DECIMAL-sum exactness contract).
     */
+  /** Jarque–Bera normality test (Jarque & Bera '80) — the
+    * distribution-SHAPE screen: are the sample skewness and excess
+    * kurtosis jointly consistent with a normal? — the standard
+    * pre-check before any of the parametric members ([[anovaF]],
+    * [[welchTTest]], [[bartlettTest]]) whose calibration assumes one.
+    *
+    * One codegen'd whole-stage aggregate: raw power sums S₁..S₄ are
+    * exact DECIMALs, and the N-scaled central moments
+    *
+    *   C₂ = N·S₂ − S₁²,
+    *   C₃ = N²·S₃ − 3N·S₁S₂ + 2S₁³,
+    *   C₄ = N³·S₄ − 4N²·S₁S₃ + 6N·S₁²S₂ − 3S₁⁴
+    *
+    * are exact integers in which the N-powers CANCEL: skewness
+    * b₁ = C₃/C₂^{3/2} and kurtosis b₂ = C₄/C₂² directly, so
+    * JB = N·(b₁²/6 + (b₂−3)²/24) (χ², 2 df) is one pinned double
+    * chain over three exact factors — no distributed double sum
+    * anywhere, hence bit-stable double OUTPUTS (no pico quantization
+    * needed; JB itself grows O(N) and a BIGINT cast would be the
+    * ANSI cliff the Quade diagnostics documented). NULL when N < 2 or
+    * C₂ = 0 (constant sample). Domain: C₄ ≈ N⁴·x⁴ must fit
+    * DECIMAL(38) → N·|x| ≲ 3·10⁹ (e.g. 10⁶ rows at |x| ≤ 3,000) —
+    * pre-scale or pre-bin larger magnitudes (the wired query feeds
+    * price in THOUSANDS for exactly this reason). INTEGRAL-VALUE
+    * CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_rows, skew_b1, kurt_b2, jb).
+    */
+  def jarqueBera(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val v = col("_v").cast(dec)
+    val agg = base.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(v), zero).as("_s1"),
+      coalesce(sum(v * v), zero).as("_s2"),
+      coalesce(sum(v * v * v), zero).as("_s3"),
+      coalesce(sum(v * v * v * v), zero).as("_s4"))
+    val n = col("n_rows").cast(dec)
+    val c2 = n * col("_s2") - col("_s1") * col("_s1")
+    val c3 = n * n * col("_s3") -
+      lit(3L).cast(dec) * n * col("_s1") * col("_s2") +
+      lit(2L).cast(dec) * col("_s1") * col("_s1") * col("_s1")
+    val c4 = n * n * n * col("_s4") -
+      lit(4L).cast(dec) * n * n * col("_s1") * col("_s3") +
+      lit(6L).cast(dec) * n * col("_s1") * col("_s1") * col("_s2") -
+      lit(3L).cast(dec) * col("_s1") * col("_s1") * col("_s1") *
+        col("_s1")
+    val c2d = c2.cast("double")
+    // greatest clamps: identity whenever the C₂ > 0 when() fires
+    val c2c = greatest(c2d, lit(1.0e-300))
+    val b1 = c3.cast("double") / (c2c * sqrt(c2c))
+    val b2 = c4.cast("double") / (c2c * c2c)
+    val jb = col("n_rows").cast("double") *
+      (b1 * b1 / lit(6.0) +
+        (b2 - lit(3.0)) * (b2 - lit(3.0)) / lit(24.0))
+    val ok = col("n_rows") >= 2L && c2d > 0.0
+    agg.select(col("n_rows"),
+      when(ok, b1).as("skew_b1"),
+      when(ok, b2).as("kurt_b2"),
+      when(ok, jb).as("jb"))
+  }
+
+  /** Grubbs' outlier test (Grubbs '50; the two-sided max-deviation
+    * form) — WHICH single point strains the sample most, and by how
+    * many standard deviations: G = max|x − x̄| / s. The screening
+    * companion of [[jarqueBera]] (one gross outlier is the commonest
+    * reason JB fires) and of the robust estimators
+    * ([[hodgesLehmannShift]], [[moodMedianTest]]) — this one NAMES the
+    * point.
+    *
+    * One codegen'd aggregate: the N-scaled deviations |N·x − S₁| are
+    * exact integers, so MX = max|N·x − S₁| and C₂ = N·S₂ − S₁² are
+    * exact DECIMALs and G = (MX/N) / √(C₂/(N(N−1))) is ONE pinned
+    * double chain (pico-rounded — G ≤ (N−1)/√N keeps g_pico inside
+    * the long well past 10¹² rows). The offending value surfaces as
+    * outlier_value (ties → the smallest such value, via a min over a
+    * when-guard — deterministic). NULL when N < 2 or C₂ = 0.
+    * INTEGRAL-VALUE CONTRACT as [[moodMedianTest]].
+    *
+    * Output (1 row): (n_rows, outlier_value, g_pico).
+    */
+  def grubbsTest(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val v = col("_v").cast(dec)
+    val st = base.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(v), zero).as("_s1"),
+      coalesce(sum(v * v), zero).as("_s2")).collect().head
+    val n = st.getAs[Long]("n_rows")
+    val s1 = lit(st.getAs[java.math.BigDecimal]("_s1")).cast(dec)
+    val dev = abs(lit(n).cast(dec) * v - s1)
+    // arg-max with smallest-value tiebreak in ONE pass: struct order
+    // compares the deviation first, then the negated value
+    val arg = base.agg(max(struct(dev.as("d"),
+        (lit(0L) - col("_v")).as("nv"))).as("_m"))
+      .select((lit(0L) - col("_m.nv")).as("outlier_value"),
+        coalesce(col("_m.d"), zero).as("_mx"))
+    val s2 = lit(st.getAs[java.math.BigDecimal]("_s2")).cast(dec)
+    val c2 = lit(n).cast(dec) * s2 - s1 * s1
+    val nD = lit(math.max(n, 1L)).cast("double")
+    val n1D = lit(math.max(n - 1L, 1L)).cast("double")
+    val g = col("_mx").cast("double") / nD /
+      sqrt(greatest(c2.cast("double") / nD / n1D, lit(1.0e-300)))
+    arg.select(lit(n).as("n_rows"), col("outlier_value"),
+      when(lit(n) >= 2L && c2.cast("double") > 0.0,
+        round(g * lit(1.0e12)).cast("long")).as("g_pico"))
+  }
+
   def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val v = col(valueCol).cast("long")

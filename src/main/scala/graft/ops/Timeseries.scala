@@ -704,6 +704,83 @@ object Timeseries {
         round(eta * lit(1.0e12)).cast("long")).as("kpss_pico"))
   }
 
+  /** Bartels' rank von Neumann ratio test of randomness (Bartels,
+    * JASA '82) — the RANK-ROBUST serial-correlation screen beside the
+    * sign-based runs test: RVN = Σ(R_k − R_{k+1})² / Σ(R_k − R̄)² over
+    * the per-bin value RANKS in sequence order (≈2 under randomness,
+    * <2 positive serial correlation, >2 alternation), with far better
+    * power than runs against trending data and none of the mean's
+    * outlier exposure.
+    *
+    * EXACT LAW on doubled midranks (mr2 = 2·cum − m + 1, integers off
+    * ONE value-table [[graft.ops.PrefixSum.inclusiveAll]] pass): the
+    * uniform ×2 cancels in the ratio, so with NM = Σ(mr2_k −
+    * mr2_{k+1})² (consecutive OBSERVED bins via the dense-rank
+    * equi-join — the [[kpssDaily]] discipline, calendar gaps
+    * harmless) and SR/SRR the rank cumulants,
+    *
+    *   RVN = T·NM / (T·SRR − SR²)
+    *
+    * — every factor an exact DECIMAL, RVN one double division. The
+    * null moments are Bartels' E = 2 and Var = 4(T−2)(5T²−2T−9) /
+    * (5T(T+1)(T−1)²) (exact-in-double factors under the bounded day
+    * axis), z one pinned chain. NULL when T < 3 or all values tied.
+    *
+    * Scale shape: one per-bin aggregate, two prefix-sum passes (value
+    * table + sequence index), one value equi-join, one dense-rank
+    * equi-join, a 1-row fold.
+    *
+    * Output (1 row): (n_bins, rvn_pico, z_pico); rvn ∈ [0, 4] keeps
+    * the pico long safe at any T.
+    */
+  def bartelsRvn(events: DataFrame, tsCol: String, valueCol: String,
+      binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val dec = "decimal(38,0)"
+    val perBin = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_t"))
+      .agg(sum(col(valueCol).cast("long")).as("_y"))
+    val seq0 = graft.ops.PrefixSum.inclusiveAll(perBin, "_t",
+      Seq(lit(1L) -> "_ck"), withTotals = true)
+      .select(col("_t"), col("_y"), col("_ck"),
+        col("_ck_total").as("_tn"))
+    val vt = perBin.groupBy(col("_y")).agg(count(lit(1)).as("_m"))
+    val mr = graft.ops.PrefixSum.inclusiveAll(vt, "_y",
+      Seq(col("_m") -> "_cum"))
+      .select(col("_y"),
+        (lit(2L) * col("_cum") - col("_m") + lit(1L)).as("_mr2"))
+    val ranked = seq0.join(mr, "_y")
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg0 = ranked.agg(
+      coalesce(max(col("_tn")), lit(0L)).as("n_bins"),
+      coalesce(sum(col("_mr2").cast(dec)), zero).as("_sr"),
+      coalesce(sum(col("_mr2").cast(dec) * col("_mr2").cast(dec)), zero)
+        .as("_srr"))
+    val nm = ranked.select((col("_ck") + lit(1L)).as("_ckb"),
+        col("_mr2").as("_ra"))
+      .join(ranked.select(col("_ck").as("_ckb"), col("_mr2").as("_rb")),
+        "_ckb")
+      .agg(coalesce(sum((col("_ra").cast(dec) - col("_rb").cast(dec)) *
+        (col("_ra").cast(dec) - col("_rb").cast(dec))), zero).as("_nm"))
+    val agg = agg0.crossJoin(broadcast(nm))
+    val t = col("n_bins").cast(dec)
+    val dn = t * col("_srr") - col("_sr") * col("_sr")
+    val tD = greatest(col("n_bins"), lit(1L)).cast("double")
+    val rvn = t.cast("double") * col("_nm").cast("double") /
+      greatest(dn.cast("double"), lit(1.0e-300))
+    val vr = lit(4.0) * (tD - lit(2.0)) *
+      (lit(5.0) * tD * tD - lit(2.0) * tD - lit(9.0)) /
+      (lit(5.0) * tD * (tD + lit(1.0)) * (tD - lit(1.0)) *
+        (tD - lit(1.0)))
+    val z = (rvn - lit(2.0)) / sqrt(greatest(vr, lit(1.0e-300)))
+    val ok = col("n_bins") >= 3L && dn.cast("double") > 0.0
+    agg.select(col("n_bins"),
+      when(ok, round(rvn * lit(1.0e12)).cast("long")).as("rvn_pico"),
+      when(ok, round(z * lit(1.0e12)).cast("long")).as("z_pico"))
+  }
+
   def mannKendallDaily(events: DataFrame, tsCol: String,
       binMicros: Long = 86400L * 1000000L): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")

@@ -1889,6 +1889,86 @@ trait EvalQueries { self: RegistryAll =>
       |  CASE WHEN t > 0 THEN CAST(sch AS DOUBLE) / 2.0 END AS ci_hi
       | FROM nn, lo, hi, ck, cl, chh""".stripMargin.replace("\n", " ")
 
+  /** Jarque–Bera normality of line-item price (in thousands)
+    * ([[graft.ops.Eval.jarqueBera]]): are prices normal enough for the
+    * parametric tests' calibration? — exact N-scaled central moments
+    * in which the N-powers cancel, one codegen'd aggregate.
+    */
+  def qJarqueBera(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.jarqueBera(
+      t(spark, dir, "lineitem")
+        .select(floor(col("l_extendedprice") / lit(1000.0)).as("price_k")),
+      "price_k")
+
+  lazy val qJarqueBeraSql: String =
+    """WITH base AS (SELECT CAST(floor(l_extendedprice / 1000.0)
+      |   AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(COALESCE(SUM(v), 0) AS HUGEINT) AS s1,
+      |   CAST(COALESCE(SUM(CAST(v AS HUGEINT) * v), 0) AS HUGEINT) AS s2,
+      |   CAST(COALESCE(SUM(CAST(v AS HUGEINT) * v * v), 0) AS HUGEINT)
+      |     AS s3,
+      |   CAST(COALESCE(SUM(CAST(v AS HUGEINT) * v * v * v), 0)
+      |     AS HUGEINT) AS s4
+      |  FROM base),
+      | cm AS (SELECT n,
+      |   CAST(n AS HUGEINT) * s2 - s1 * s1 AS c2,
+      |   CAST(n AS HUGEINT) * n * s3
+      |     - 3 * CAST(n AS HUGEINT) * s1 * s2 + 2 * s1 * s1 * s1 AS c3,
+      |   CAST(n AS HUGEINT) * n * n * s4
+      |     - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+      |     + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+      |     - 3 * s1 * s1 * s1 * s1 AS c4
+      |  FROM ag),
+      | ch AS (SELECT n, c2,
+      |   GREATEST(CAST(c2 AS DOUBLE), 1.0e-300) AS c2c,
+      |   CAST(c3 AS DOUBLE) AS c3d, CAST(c4 AS DOUBLE) AS c4d
+      |  FROM cm),
+      | fin AS (SELECT n, c2,
+      |   c3d / (c2c * sqrt(c2c)) AS b1, c4d / (c2c * c2c) AS b2
+      |  FROM ch)
+      | SELECT n AS n_rows,
+      |  CASE WHEN n >= 2 AND CAST(c2 AS DOUBLE) > 0.0 THEN b1 END
+      |    AS skew_b1,
+      |  CASE WHEN n >= 2 AND CAST(c2 AS DOUBLE) > 0.0 THEN b2 END
+      |    AS kurt_b2,
+      |  CASE WHEN n >= 2 AND CAST(c2 AS DOUBLE) > 0.0 THEN
+      |   CAST(n AS DOUBLE) * (b1 * b1 / 6.0
+      |     + (b2 - 3.0) * (b2 - 3.0) / 24.0) END AS jb
+      | FROM fin""".stripMargin.replace("\n", " ")
+
+  /** Grubbs' max-deviation outlier of raw line-item price
+    * ([[graft.ops.Eval.grubbsTest]]): WHICH price strains the sample
+    * most and by how many standard deviations — the screening
+    * companion of q_jarque_bera on the same table.
+    */
+  def qGrubbs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.grubbsTest(
+      t(spark, dir, "lineitem")
+        .select(floor(col("l_extendedprice")).as("price")),
+      "price")
+
+  lazy val qGrubbsSql: String =
+    """WITH base AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      | ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |   CAST(COALESCE(SUM(v), 0) AS HUGEINT) AS s1,
+      |   CAST(COALESCE(SUM(CAST(v AS HUGEINT) * v), 0) AS HUGEINT) AS s2
+      |  FROM base),
+      | dv AS (SELECT v, ABS(CAST(ag.n AS HUGEINT) * b.v - ag.s1) AS d
+      |  FROM base b, ag),
+      | mx AS (SELECT COALESCE(MAX(d), 0) AS mxd FROM dv),
+      | arg AS (SELECT MIN(v) AS outlier_value FROM dv, mx WHERE d = mxd),
+      | c2t AS (SELECT n, CAST(n AS HUGEINT) * s2 - s1 * s1 AS c2 FROM ag)
+      | SELECT n AS n_rows, outlier_value,
+      |  CASE WHEN n >= 2 AND CAST(c2 AS DOUBLE) > 0.0 THEN
+      |   CAST(round(CAST(mxd AS DOUBLE) / CAST(n AS DOUBLE)
+      |    / sqrt(GREATEST(CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / CAST(n - 1 AS DOUBLE), 1.0e-300)) * 1.0e12) AS BIGINT)
+      |  END AS g_pico
+      | FROM c2t, mx, arg""".stripMargin.replace("\n", " ")
+
   /** Conover squared-ranks scale test of document length across
     * sources ([[graft.ops.Eval.conoverSquaredRanks]]): the squared-
     * ranks member on the SAME design as q_bartlett / q_fligner /

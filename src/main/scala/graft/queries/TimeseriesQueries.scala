@@ -761,6 +761,58 @@ trait TimeseriesQueries { self: RegistryAll =>
       |    AS BIGINT) END AS kpss_pico
       | FROM fin""".stripMargin.replace("\n", " ")
 
+  /** Bartels rank von Neumann randomness of daily event revenue
+    * ([[graft.ops.Timeseries.bartelsRvn]]): is the daily cents series
+    * serially random at all? — the rank-robust screen beside
+    * q_runs_test on the same axis, exact doubled-midrank cumulants
+    * with the uniform scaling cancelling in RVN.
+    */
+  def qBartels(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.bartelsRvn(
+      t(spark, dir, "events")
+        .select(col("ts"), floor(col("value") * lit(100.0)).as("cents")),
+      "ts", "cents")
+
+  lazy val qBartelsSql: String =
+    """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS t,
+      |   CAST(floor(value * 100.0) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      | pb AS (SELECT t, CAST(SUM(v) AS HUGEINT) AS y
+      |  FROM base GROUP BY 1),
+      | rk AS (SELECT t, y, ROW_NUMBER() OVER (ORDER BY t) AS ck,
+      |   CAST(COUNT(*) OVER () AS BIGINT) AS tn FROM pb),
+      | vt AS (SELECT y, CAST(COUNT(*) AS HUGEINT) AS m
+      |  FROM pb GROUP BY 1),
+      | mr AS (SELECT y, 2 * SUM(m) OVER (ORDER BY y
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m + 1
+      |   AS mr2 FROM vt),
+      | rj AS (SELECT rk.ck, rk.tn, mr.mr2 FROM rk JOIN mr USING (y)),
+      | a0 AS (SELECT CAST(MAX(tn) AS BIGINT) AS t,
+      |   COALESCE(SUM(CAST(mr2 AS HUGEINT)), 0) AS sr,
+      |   COALESCE(SUM(CAST(mr2 AS HUGEINT) * mr2), 0) AS srr FROM rj),
+      | nmx AS (SELECT COALESCE(SUM((CAST(a.mr2 AS HUGEINT) - b.mr2)
+      |    * (CAST(a.mr2 AS HUGEINT) - b.mr2)), 0) AS nm
+      |  FROM rj a JOIN rj b ON b.ck = a.ck + 1),
+      | fin AS (SELECT t, nm,
+      |   CAST(t AS HUGEINT) * srr - sr * sr AS dn FROM a0, nmx),
+      | ch AS (SELECT t, dn,
+      |   CAST(t AS DOUBLE) * CAST(nm AS DOUBLE)
+      |     / GREATEST(CAST(dn AS DOUBLE), 1.0e-300) AS rvn,
+      |   4.0 * (CAST(t AS DOUBLE) - 2.0)
+      |     * (5.0 * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+      |        - 2.0 * CAST(t AS DOUBLE) - 9.0)
+      |     / (5.0 * CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) + 1.0)
+      |        * (CAST(t AS DOUBLE) - 1.0) * (CAST(t AS DOUBLE) - 1.0))
+      |     AS vr
+      |  FROM fin)
+      | SELECT t AS n_bins,
+      |  CASE WHEN t >= 3 AND CAST(dn AS DOUBLE) > 0.0 THEN
+      |   CAST(round(rvn * 1.0e12) AS BIGINT) END AS rvn_pico,
+      |  CASE WHEN t >= 3 AND CAST(dn AS DOUBLE) > 0.0 THEN
+      |   CAST(round((rvn - 2.0) / sqrt(GREATEST(vr, 1.0e-300))
+      |     * 1.0e12) AS BIGINT) END AS z_pico
+      | FROM ch""".stripMargin.replace("\n", " ")
+
   /** Mann–Kendall trend test of daily event volume
     * ([[graft.ops.Timeseries.mannKendallDaily]]): is q_theil_sen's
     * slope a real monotone trend or noise? — sign-pair statistic S over

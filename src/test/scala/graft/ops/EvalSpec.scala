@@ -1220,6 +1220,43 @@ class EvalSpec extends SparkSpec {
     assert(r4.isNullAt(4) && r4.isNullAt(5) && r4.isNullAt(8))
   }
 
+  test("jarqueBera: symmetric sample reads b1 = 0 exactly, skewed fires, constant NULL") {
+    // {1..5}: C2 = 50, C3 = 0 (symmetry), C4 = 4250 → b1 = 0,
+    // b2 = 1.7, JB = 5·(1.7−3)²/24 — the N-powers cancel by law
+    val d = Seq(1L, 2L, 3L, 4L, 5L).toDF("v")
+    val r = Eval.jarqueBera(d, "v").collect().head
+    assert(r.getLong(0) === 5L)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 4250.0 / 2500.0)
+    val b2 = 4250.0 / 2500.0
+    assert(r.getDouble(3) === 5.0 * ((b2 - 3.0) * (b2 - 3.0) / 24.0))
+    // {0,0,0,10}: C3 = 6000 → b1 = 6000/300^1.5 = 2/√3 > 0
+    val sk = Seq(0L, 0L, 0L, 10L).toDF("v")
+    val r2 = Eval.jarqueBera(sk, "v").collect().head
+    assert(r2.getDouble(1) === 6000.0 /
+      (300.0 * math.sqrt(300.0)) && r2.getDouble(1) > 1.15)
+    // constant sample: C2 = 0 → NULL
+    val flat = Seq(7L, 7L, 7L).toDF("v")
+    assert(Eval.jarqueBera(flat, "v").collect().head.isNullAt(3))
+  }
+
+  test("grubbsTest: names the outlier, smallest-value tiebreak, hand-exact G, degenerate NULL") {
+    // {1,2,3,4,100}: N-scaled deviations |5v−110| peak at 390 for
+    // v = 100; G = 78/√(38050/20)
+    val d = Seq(1L, 2L, 3L, 4L, 100L).toDF("v")
+    val r = Eval.grubbsTest(d, "v").collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 100L)
+    val g = 390.0 / 5.0 / math.sqrt(38050.0 / 5.0 / 4.0)
+    assert(r.getLong(2) === math.round(g * 1.0e12))
+    // symmetric pair ties the deviation → the SMALLEST value wins
+    val tie = Seq(0L, 10L).toDF("v")
+    val r2 = Eval.grubbsTest(tie, "v").collect().head
+    assert(r2.getLong(1) === 0L && r2.getLong(2) === 707106781187L)
+    // constant sample → NULL G
+    val flat = Seq(5L, 5L).toDF("v")
+    assert(Eval.grubbsTest(flat, "v").collect().head.isNullAt(2))
+  }
+
   test("conoverSquaredRanks: hand-exact T = 3, equal-shape groups read exactly 0, all-tied NULL, require") {
     // A = {1,5} (devs 2,2) vs B = {2,4} (devs 1,1): pooled midranks
     // (1.5, 1.5, 3.5, 3.5) → squared-rank sums 24.5 vs 4.5 →

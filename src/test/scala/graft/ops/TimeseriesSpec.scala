@@ -298,4 +298,34 @@ class TimeseriesSpec extends SparkSpec {
     assert(Timeseries.kpssDaily(flat, "ts", "v").collect().head
       .isNullAt(3))
   }
+
+  test("bartelsRvn: trend reads RVN < 2, alternation > 2, tie midranks exact, degenerate NULLs") {
+    def tsAtDay(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // y = (1,2,3,4): mr2 = (2,4,6,8) → NM = 12, T·SRR − SR² = 80 →
+    // RVN = 4·12/80 = 0.6 exactly; z < 0 (positive serial correlation)
+    val up = Seq((tsAtDay(0), 1L), (tsAtDay(1), 2L),
+      (tsAtDay(2), 3L), (tsAtDay(3), 4L)).toDF("ts", "v")
+    val r = Timeseries.bartelsRvn(up, "ts", "v").collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 600000000000L && r.getLong(2) < 0L)
+    // y = (1,9,2,8): mr2 = (2,8,4,6) → NM = 56 → RVN = 2.8; z > 0
+    val alt = Seq((tsAtDay(0), 1L), (tsAtDay(1), 9L),
+      (tsAtDay(2), 2L), (tsAtDay(3), 8L)).toDF("ts", "v")
+    val r2 = Timeseries.bartelsRvn(alt, "ts", "v").collect().head
+    assert(r2.getLong(1) === 2800000000000L && r2.getLong(2) > 0L)
+    // tie run y = (5,5,9): midranks (3,3,6) → NM = 9, DN = 18 →
+    // RVN = 3·9/18 = 1.5 exactly
+    val tie = Seq((tsAtDay(0), 5L), (tsAtDay(1), 5L),
+      (tsAtDay(2), 9L)).toDF("ts", "v")
+    val r3 = Timeseries.bartelsRvn(tie, "ts", "v").collect().head
+    assert(r3.getLong(1) === 1500000000000L)
+    // constant (DN = 0) and T < 3 → NULL
+    val flat = Seq((tsAtDay(0), 5L), (tsAtDay(1), 5L),
+      (tsAtDay(2), 5L)).toDF("ts", "v")
+    assert(Timeseries.bartelsRvn(flat, "ts", "v").collect().head
+      .isNullAt(1))
+    val two = Seq((tsAtDay(0), 1L), (tsAtDay(1), 2L)).toDF("ts", "v")
+    assert(Timeseries.bartelsRvn(two, "ts", "v").collect().head
+      .isNullAt(1))
+  }
 }

@@ -1046,7 +1046,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
       "q_mood_scale", "q_quade", "q_pettitt",
       "q_signed_rank", "q_lepage", "q_buishand",
-      "q_fligner", "q_kpss", "q_conover_sr").foreach { q =>
+      "q_fligner", "q_kpss", "q_conover_sr", "q_bartels").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
@@ -1145,14 +1145,15 @@ class PlanShapeSpec extends SparkSpec {
       s"q_textrank top-k must be TakeOrdered, not a global sort:\n$p")
   }
 
-  test("q_anova_f / q_welch_ttest / q_trend_test / q_map_eval / q_bartlett: one-pass moment/rank aggregates, no cartesian, no corpus-order window") {
-    // all five reduce the corpus in ONE hash aggregate (DECIMAL moment
-    // sums / bounded dose or query tables; Bartlett's per-group
+  test("q_anova_f / q_welch_ttest / q_trend_test / q_map_eval / q_bartlett / q_jarque_bera / q_grubbs: one-pass moment/rank aggregates, no cartesian, no corpus-order window") {
+    // all of these reduce the corpus in hash aggregates alone (DECIMAL
+    // moment sums / bounded dose or query tables; Bartlett's per-group
     // log-variance terms are once-quantized so the cross-group sums
-    // stay exact); anything joining rows to rows or imposing a global
-    // order would break the scale contract
+    // stay exact; Grubbs' argmax is a struct-max in the same pass);
+    // anything joining rows to rows or imposing a global order would
+    // break the scale contract
     for (name <- Seq("q_anova_f", "q_welch_ttest", "q_trend_test",
-      "q_map_eval", "q_bartlett")) {
+      "q_map_eval", "q_bartlett", "q_jarque_bera", "q_grubbs")) {
       val p = plan(name)
       assert(p.contains("HashAggregate") || p.contains("SortAggregate"), name)
       assert(!p.contains("CartesianProduct"), name)
