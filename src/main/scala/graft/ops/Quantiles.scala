@@ -198,6 +198,50 @@ object Quantiles {
     * cum_share_micro) — 10 rows (empty deciles drop when N < 10; none
     * on an empty input).
     */
+  /** Distribution-free quantile confidence interval (the binomial
+    * order-statistic interval, Thompson 1936 / Hollander–Wolfe §3.4,
+    * large-sample ranks) — a quantile POINT ESTIMATE is cheap; this
+    * says how sure you are: [x_(l), x_(u)] covers the true q-quantile
+    * with ~95% confidence REGARDLESS of the distribution, via
+    *
+    *   l = max(1, ⌊Nq − z·√(Nq(1−q))⌋),  u = min(N, ⌊Nq + z·√(Nq(1−q))⌋ + 1),
+    *
+    * z = 1.959963984540054. The point estimate is the type-1 quantile
+    * x_(⌈Nq⌉). EXACT selection: all three order statistics read off
+    * ONE [[graft.ops.PrefixSum.inclusiveAll]] pass over the value
+    * table (min value whose cumulative reaches the rank — the rank
+    * chain is the one documented double computation, replayable
+    * verbatim). NULL row values when N = 0.
+    *
+    * Scale shape: one value-table aggregate, one prefix-sum pass, a
+    * 1-row fold. INTEGRAL-VALUE CONTRACT as the sibling laws here.
+    *
+    * Output (1 row): (n_rows, k_lo, k_hi, point_value, ci_lo, ci_hi).
+    */
+  def quantileCi(df: DataFrame, valueCol: String,
+      q: Double = 0.5): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0,1), got $q")
+    val freq = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("_m"))
+    val cum = graft.ops.PrefixSum.inclusiveAll(freq, "_v",
+      Seq(col("_m") -> "_cum"), withTotals = true)
+    val n = col("_cum_total")
+    val nD = n.cast("double")
+    val h = lit(1.959963984540054) *
+      sqrt(nD * lit(q) * (lit(1.0) - lit(q)))
+    val rp = ceil(nD * lit(q)).cast("long")
+    val kLo = greatest(floor(nD * lit(q) - h).cast("long"), lit(1L))
+    val kHi = least(floor(nD * lit(q) + h).cast("long") + lit(1L), n)
+    val agg = cum.agg(
+      coalesce(max(n), lit(0L)).as("n_rows"),
+      max(kLo).as("k_lo"), max(kHi).as("k_hi"),
+      min(when(col("_cum") >= rp, col("_v"))).as("point_value"),
+      min(when(col("_cum") >= kLo, col("_v"))).as("ci_lo"),
+      min(when(col("_cum") >= kHi, col("_v"))).as("ci_hi"))
+    agg
+  }
+
   def lorenzDeciles(df: DataFrame, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = "decimal(38,0)"

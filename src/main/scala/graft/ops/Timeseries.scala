@@ -781,6 +781,54 @@ object Timeseries {
       when(ok, round(z * lit(1.0e12)).cast("long")).as("z_pico"))
   }
 
+  /** Cox–Stuart trend test (Cox & Stuart, Biometrika '55) — the
+    * LINEAR-COST trend screen: [[mannKendallDaily]] reads all O(days²)
+    * pairs; Cox–Stuart is the sign test on the (x_i, x_{i+c}) pairs of
+    * the series' two halves, c = ⌈T/2⌉ (odd length drops the middle),
+    * one O(T) pass — the test to reach for FIRST on a long axis.
+    *
+    * EXACT LAW over the observed-bin sequence (dense prefix-sum rank;
+    * calendar gaps harmless — the [[kpssDaily]] discipline): the
+    * half-offset join key _ck + (T+1) div 2 is column arithmetic off
+    * the in-frame total, so no driver collect anywhere; S⁺/S⁻ are
+    * exact counts (ties drop, the test's definition) and
+    * z = (2S⁺ − n′)/√n′ is ONE pinned chain. NULL when n′ = 0.
+    *
+    * Scale shape: one per-bin aggregate, one prefix-sum pass, one
+    * dense-rank equi-join, a 1-row fold.
+    *
+    * Output (1 row): (n_bins, n_pairs, s_plus, z_pico).
+    */
+  def coxStuartDaily(events: DataFrame, tsCol: String, valueCol: String,
+      binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val perBin = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_t"))
+      .agg(sum(col(valueCol).cast("long")).as("_y"))
+    val seq0 = graft.ops.PrefixSum.inclusiveAll(perBin, "_t",
+      Seq(lit(1L) -> "_ck"), withTotals = true)
+      .select(col("_y"), col("_ck"), col("_ck_total").as("_tn"))
+    val half = expr("(_tn + 1L) div 2")
+    val pairAgg = seq0
+      .select((col("_ck") + half).as("_ckb"), col("_y").as("_ya"))
+      .join(seq0.select(col("_ck").as("_ckb"), col("_y").as("_yb")),
+        "_ckb")
+      .agg(
+        coalesce(sum(when(col("_yb") > col("_ya"), 1L).otherwise(0L)),
+          lit(0L)).as("s_plus"),
+        coalesce(sum(when(col("_yb") < col("_ya"), 1L).otherwise(0L)),
+          lit(0L)).as("_sm"))
+    val agg = seq0.agg(coalesce(max(col("_tn")), lit(0L)).as("n_bins"))
+      .crossJoin(broadcast(pairAgg))
+    val np = col("s_plus") + col("_sm")
+    val z = (lit(2L) * col("s_plus") - np).cast("double") /
+      sqrt(greatest(np.cast("double"), lit(1.0e-300)))
+    agg.select(col("n_bins"), np.as("n_pairs"), col("s_plus"),
+      when(np > 0L, round(z * lit(1.0e12)).cast("long")).as("z_pico"))
+  }
+
   def mannKendallDaily(events: DataFrame, tsCol: String,
       binMicros: Long = 86400L * 1000000L): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive, got $binMicros")

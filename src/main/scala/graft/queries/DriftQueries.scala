@@ -538,6 +538,39 @@ trait DriftQueries { self: RegistryAll =>
       |  END AS alpha_milli
       | FROM a WHERE n = 100""".stripMargin.replace("\n", " ")
 
+  /** Distribution-free 95% CI for the median document length
+    * ([[graft.ops.Quantiles.quantileCi]]): the binomial
+    * order-statistic interval — how sure the median point estimate is,
+    * with NO distributional assumption; all three order statistics off
+    * one value-table prefix-sum pass.
+    */
+  def qMedianCi(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.quantileCi(
+      t(spark, dir, "documents")
+        .select(col("n_chars").cast("long").as("len")), "len")
+
+  lazy val qMedianCiSql: String =
+    """WITH vt AS (SELECT CAST(n_chars AS BIGINT) AS v,
+      |   CAST(COUNT(*) AS HUGEINT) AS m FROM documents
+      |  WHERE n_chars IS NOT NULL GROUP BY 1),
+      | cum AS (SELECT v, SUM(m) OVER (ORDER BY v
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |   CAST(SUM(m) OVER () AS BIGINT) AS nn FROM vt),
+      | ch AS (SELECT nn,
+      |   CAST(ceil(CAST(nn AS DOUBLE) * 0.5) AS BIGINT) AS rp,
+      |   GREATEST(CAST(floor(CAST(nn AS DOUBLE) * 0.5
+      |     - 1.959963984540054 * sqrt(CAST(nn AS DOUBLE) * 0.5
+      |       * (1.0 - 0.5))) AS BIGINT), 1) AS klo,
+      |   LEAST(CAST(floor(CAST(nn AS DOUBLE) * 0.5
+      |     + 1.959963984540054 * sqrt(CAST(nn AS DOUBLE) * 0.5
+      |       * (1.0 - 0.5))) AS BIGINT) + 1, nn) AS khi
+      |  FROM cum LIMIT 1)
+      | SELECT nn AS n_rows, klo AS k_lo, khi AS k_hi,
+      |  (SELECT MIN(v) FROM cum, ch WHERE cw >= rp) AS point_value,
+      |  (SELECT MIN(v) FROM cum, ch WHERE cw >= klo) AS ci_lo,
+      |  (SELECT MIN(v) FROM cum, ch WHERE cw >= khi) AS ci_hi
+      | FROM ch""".stripMargin.replace("\n", " ")
+
   /** Lorenz concentration deciles of document length
     * ([[graft.ops.Quantiles.lorenzDeciles]]): "the top 10% of documents
     * carry X% of the bytes" — the curve behind q_token_gini's one

@@ -813,6 +813,40 @@ trait TimeseriesQueries { self: RegistryAll =>
       |     * 1.0e12) AS BIGINT) END AS z_pico
       | FROM ch""".stripMargin.replace("\n", " ")
 
+  /** Cox–Stuart trend of daily event revenue
+    * ([[graft.ops.Timeseries.coxStuartDaily]]): the LINEAR-cost trend
+    * screen — sign test on the series' two halves — beside
+    * q_mann_kendall's O(days²) pair law on the same axis.
+    */
+  def qCoxStuart(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.coxStuartDaily(
+      t(spark, dir, "events")
+        .select(col("ts"), floor(col("value") * lit(100.0)).as("cents")),
+      "ts", "cents")
+
+  lazy val qCoxStuartSql: String =
+    """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS t,
+      |   CAST(floor(value * 100.0) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      | pb AS (SELECT t, CAST(SUM(v) AS HUGEINT) AS y
+      |  FROM base GROUP BY 1),
+      | rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY t) AS ck,
+      |   CAST(COUNT(*) OVER () AS BIGINT) AS tn FROM pb),
+      | pr AS (SELECT a.y AS ya, b.y AS yb
+      |  FROM rk a JOIN rk b ON b.ck = a.ck + (a.tn + 1) // 2),
+      | ag AS (SELECT
+      |   CAST(COALESCE(SUM(CASE WHEN yb > ya THEN 1 ELSE 0 END), 0)
+      |     AS BIGINT) AS sp,
+      |   CAST(COALESCE(SUM(CASE WHEN yb < ya THEN 1 ELSE 0 END), 0)
+      |     AS BIGINT) AS sm FROM pr),
+      | tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins FROM pb)
+      | SELECT n_bins, sp + sm AS n_pairs, sp AS s_plus,
+      |  CASE WHEN sp + sm > 0 THEN
+      |   CAST(round(CAST(2 * sp - (sp + sm) AS DOUBLE)
+      |    / sqrt(GREATEST(CAST(sp + sm AS DOUBLE), 1.0e-300))
+      |    * 1.0e12) AS BIGINT) END AS z_pico
+      | FROM tb, ag""".stripMargin.replace("\n", " ")
+
   /** Mann–Kendall trend test of daily event volume
     * ([[graft.ops.Timeseries.mannKendallDaily]]): is q_theil_sen's
     * slope a real monotone trend or noise? — sign-pair statistic S over

@@ -282,4 +282,30 @@ class QuantilesSpec extends SparkSpec {
     assert((r3.getLong(0), r3.getLong(1)) === ((0L, 0L)))
     assert(r3.isNullAt(3))
   }
+  test("quantileCi: exact order-statistic selection, clamped ranks, tie run, empty NULL") {
+    import spark.implicits._
+    // N = 100 over 1..100, q = 0.5: h = 1.96·5 → ranks 40 / 60 around
+    // the type-1 median x_(50) = 50
+    val d = (1L to 100L).toDF("v")
+    val r = Quantiles.quantileCi(d, "v").collect().head
+    assert(r.getLong(0) === 100L)
+    assert((r.getLong(1), r.getLong(2)) === ((40L, 60L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((50L, 40L, 60L)))
+    // tiny N: the rank clamps keep the interval inside [x_(1), x_(N)]
+    val small = (1L to 5L).toDF("v")
+    val r2 = Quantiles.quantileCi(small, "v").collect().head
+    assert((r2.getLong(3), r2.getLong(4), r2.getLong(5)) ===
+      ((3L, 1L, 5L)))
+    // a tied run collapses the interval onto the value
+    val tie = Seq(5L, 5L, 5L).toDF("v")
+    val r3 = Quantiles.quantileCi(tie, "v").collect().head
+    assert((r3.getLong(3), r3.getLong(4), r3.getLong(5)) ===
+      ((5L, 5L, 5L)))
+    // empty input
+    val none = Seq.empty[Long].toDF("v")
+    val r4 = Quantiles.quantileCi(none, "v").collect().head
+    assert(r4.getLong(0) === 0L && r4.isNullAt(3))
+  }
+
 }

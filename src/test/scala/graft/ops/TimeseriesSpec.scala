@@ -328,4 +328,33 @@ class TimeseriesSpec extends SparkSpec {
     assert(Timeseries.bartelsRvn(two, "ts", "v").collect().head
       .isNullAt(1))
   }
+
+  test("coxStuartDaily: half-offset sign pairs exact, odd middle dropped, tie NULL") {
+    def tsAtDay(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // (1,2,3,4): c = 2 → pairs (1,3)+ (2,4)+ → S⁺ = 2, n′ = 2,
+    // z = 2/√2 = √2
+    val up = Seq((tsAtDay(0), 1L), (tsAtDay(1), 2L),
+      (tsAtDay(2), 3L), (tsAtDay(3), 4L)).toDF("ts", "v")
+    val r = Timeseries.coxStuartDaily(up, "ts", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 2L, 2L)))
+    assert(r.getLong(3) === 1414213562373L)
+    // descending halves → mirrored sign
+    val dn = Seq((tsAtDay(0), 9L), (tsAtDay(1), 5L),
+      (tsAtDay(2), 3L), (tsAtDay(3), 1L)).toDF("ts", "v")
+    val r2 = Timeseries.coxStuartDaily(dn, "ts", "v").collect().head
+    assert(r2.getLong(2) === 0L && r2.getLong(3) === -1414213562373L)
+    // odd length drops the middle: (1, 9, 2) → the single pair (1,2)
+    val odd = Seq((tsAtDay(0), 1L), (tsAtDay(1), 9L),
+      (tsAtDay(2), 2L)).toDF("ts", "v")
+    val r3 = Timeseries.coxStuartDaily(odd, "ts", "v").collect().head
+    assert((r3.getLong(1), r3.getLong(2)) === ((1L, 1L)))
+    assert(r3.getLong(3) === 1000000000000L)
+    // all pairs tied → n′ = 0 → NULL; single bin → 0 pairs
+    val tie = Seq((tsAtDay(0), 5L), (tsAtDay(1), 5L)).toDF("ts", "v")
+    assert(Timeseries.coxStuartDaily(tie, "ts", "v").collect().head
+      .isNullAt(3))
+    val one = Seq((tsAtDay(0), 5L)).toDF("ts", "v")
+    val r5 = Timeseries.coxStuartDaily(one, "ts", "v").collect().head
+    assert(r5.getLong(0) === 1L && r5.getLong(1) === 0L && r5.isNullAt(3))
+  }
 }

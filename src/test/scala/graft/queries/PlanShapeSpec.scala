@@ -1046,7 +1046,8 @@ class PlanShapeSpec extends SparkSpec {
       "q_ansari_bradley", "q_brunner_munzel", "q_cuzick_trend",
       "q_mood_scale", "q_quade", "q_pettitt",
       "q_signed_rank", "q_lepage", "q_buishand",
-      "q_fligner", "q_kpss", "q_conover_sr", "q_bartels").foreach { q =>
+      "q_fligner", "q_kpss", "q_conover_sr", "q_bartels",
+      "q_cox_stuart", "q_median_ci").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
