@@ -781,6 +781,120 @@ object Timeseries {
       when(ok, round(z * lit(1.0e12)).cast("long")).as("z_pico"))
   }
 
+  /** Durbin–Watson first-order autocorrelation statistic (Durbin &
+    * Watson, Biometrika '50) — the classic residual-independence
+    * screen on the VALUES themselves, the parametric sibling of
+    * [[bartelsRvn]]'s rank form: DW = Σ(e_k − e_{k+1})² / Σe_k² over
+    * mean-centered per-bin values (≈2 independent, →0 positive
+    * autocorrelation, →4 alternation).
+    *
+    * EXACT LAW: the T-scaled residuals e_k = T·y_k − Y are exact
+    * integers off ONE [[graft.ops.PrefixSum.inclusiveAll]] pass (the
+    * [[kpssDaily]] frame; the T² scale cancels in the ratio),
+    * consecutive OBSERVED bins via the dense-rank equi-join, DW one
+    * double division of exact DECIMALs (pico-rounded — DW ∈ [0, 4]).
+    * NULL when T < 2 or the series is constant.
+    *
+    * Scale shape: one per-bin aggregate, one prefix-sum pass, one
+    * dense-rank equi-join, a 1-row fold.
+    *
+    * Output (1 row): (n_bins, dw_pico).
+    */
+  def durbinWatsonDaily(events: DataFrame, tsCol: String,
+      valueCol: String, binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val dec = "decimal(38,0)"
+    val perBin = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+        s"${binMicros}L)) div ${binMicros}L").as("_t"))
+      .agg(sum(col(valueCol).cast("long")).as("_y"))
+    val seq0 = graft.ops.PrefixSum.inclusiveAll(perBin, "_t",
+      Seq(col("_y") -> "_cy", lit(1L) -> "_ck"), withTotals = true)
+      .select(col("_ck"),
+        (col("_ck_total").cast(dec) * col("_y").cast(dec)
+          - col("_cy_total").cast(dec)).as("_es"),
+        col("_ck_total").as("_tn"))
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val agg0 = seq0.agg(
+      coalesce(max(col("_tn")), lit(0L)).as("n_bins"),
+      coalesce(sum(col("_es") * col("_es")), zero).as("_g0"))
+    val nm = seq0.select((col("_ck") + lit(1L)).as("_ckb"),
+        col("_es").as("_ea"))
+      .join(seq0.select(col("_ck").as("_ckb"), col("_es").as("_eb")),
+        "_ckb")
+      .agg(coalesce(sum((col("_ea") - col("_eb")) *
+        (col("_ea") - col("_eb"))), zero).as("_nm"))
+    val agg = agg0.crossJoin(broadcast(nm))
+    val dw = col("_nm").cast("double") /
+      greatest(col("_g0").cast("double"), lit(1.0e-300))
+    agg.select(col("n_bins"),
+      when(col("n_bins") >= 2L && col("_g0").cast("double") > 0.0,
+        round(dw * lit(1.0e12)).cast("long")).as("dw_pico"))
+  }
+
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack, Water Resour.
+    * Res. '84) — [[mannKendallDaily]] misreads SEASONAL series (every
+    * summer-vs-winter pair votes for a spurious "trend"); the seasonal
+    * form compares days only WITHIN the same calendar month-of-year,
+    * then pools: S = Σ_m S_m, Var = Σ_m Var_m (χ/normal with the
+    * standard continuity correction).
+    *
+    * The month key turns the day-pair join into an EQUI join with an
+    * inequality residual — a real hash join, and the pair count drops
+    * ×12 vs the unconditioned form. Ties correct per (month, value);
+    * every cumulant is an exact long. Same 30k-day
+    * [[Guards.boundedDomain]] ceiling as the plain form.
+    *
+    * Output (1 row): (n_days, n_seasons, s_stat, var_s18, z_pico).
+    */
+  def seasonalMannKendall(events: DataFrame, tsCol: String,
+      binMicros: Long = 86400L * 1000000L): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive, got $binMicros")
+    val d = Guards.boundedDomain(
+      events.filter(col(tsCol).isNotNull)
+        .groupBy(expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), " +
+          s"${binMicros}L)) div ${binMicros}L").as("_x"),
+          month(col(tsCol)).as("_m"))
+        .agg(count(lit(1)).as("_y")),
+      maxRows = 30000L, op = "seasonalMannKendall",
+      hint = "the bin axis grew past 82 years of daily bins (the within-" +
+        "season day-pair join is O(days^2/seasons)) — aggregate to a " +
+        "coarser time grain first")
+    val a = d.select(col("_x").as("_xa"), col("_m").as("_ma"),
+      col("_y").as("_ya"))
+    val b = d.select(col("_x").as("_xb"), col("_m").as("_mb"),
+      col("_y").as("_yb"))
+    val s = a.join(b, col("_ma") === col("_mb") &&
+        col("_xb") > col("_xa"))
+      .agg(coalesce(sum(
+        when(col("_yb") > col("_ya"), 1L)
+          .when(col("_yb") < col("_ya"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val perM = d.groupBy(col("_m")).agg(count(lit(1)).as("_n"))
+    val ties = d.groupBy(col("_m"), col("_y"))
+      .agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - lit(1L))
+        * (lit(2L) * col("_t") + lit(5L))), lit(0L)).as("_tt"))
+    val vsum = perM.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("n_days"),
+      count(lit(1)).as("n_seasons"),
+      coalesce(sum(col("_n") * (col("_n") - lit(1L))
+        * (lit(2L) * col("_n") + lit(5L))), lit(0L)).as("_vv"))
+    val var18 = col("_vv") - col("_tt")
+    val zNum = when(col("s_stat") > 0L,
+        (col("s_stat") - lit(1L)).cast("double"))
+      .when(col("s_stat") < 0L, (col("s_stat") + lit(1L)).cast("double"))
+      .otherwise(lit(0.0))
+    vsum.crossJoin(broadcast(s)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("n_seasons"), col("s_stat"),
+        var18.as("var_s18"),
+        // greatest clamp: identity whenever the when() fires
+        when(var18 > 0L,
+          round(zNum / sqrt(greatest(var18, lit(1L)).cast("double")
+            / lit(18.0)) * lit(1.0e12)).cast("long")).as("z_pico"))
+  }
+
   /** Cox–Stuart trend test (Cox & Stuart, Biometrika '55) — the
     * LINEAR-COST trend screen: [[mannKendallDaily]] reads all O(days²)
     * pairs; Cox–Stuart is the sign test on the (x_i, x_{i+c}) pairs of

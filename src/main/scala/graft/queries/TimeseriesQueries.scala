@@ -847,6 +847,76 @@ trait TimeseriesQueries { self: RegistryAll =>
       |    * 1.0e12) AS BIGINT) END AS z_pico
       | FROM tb, ag""".stripMargin.replace("\n", " ")
 
+  /** Durbin–Watson autocorrelation of daily event revenue
+    * ([[graft.ops.Timeseries.durbinWatsonDaily]]): the parametric
+    * serial-correlation screen beside q_bartels' rank form on the same
+    * axis — exact T-scaled residuals, the T² scale cancelling in DW.
+    */
+  def qDurbinWatson(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.durbinWatsonDaily(
+      t(spark, dir, "events")
+        .select(col("ts"), floor(col("value") * lit(100.0)).as("cents")),
+      "ts", "cents")
+
+  lazy val qDurbinWatsonSql: String =
+    """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS t,
+      |   CAST(floor(value * 100.0) AS BIGINT) AS v
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      | pb AS (SELECT t, CAST(SUM(v) AS HUGEINT) AS y
+      |  FROM base GROUP BY 1),
+      | rk AS (SELECT y, ROW_NUMBER() OVER (ORDER BY t) AS ck,
+      |   CAST(COUNT(*) OVER () AS BIGINT) AS tn,
+      |   SUM(y) OVER () AS cyt FROM pb),
+      | rj AS (SELECT ck, tn, CAST(tn AS HUGEINT) * y - cyt AS es
+      |  FROM rk),
+      | a0 AS (SELECT CAST(MAX(tn) AS BIGINT) AS n_bins,
+      |   COALESCE(SUM(es * es), 0) AS g0 FROM rj),
+      | nmx AS (SELECT COALESCE(SUM((a.es - b.es) * (a.es - b.es)), 0)
+      |   AS nm FROM rj a JOIN rj b ON b.ck = a.ck + 1)
+      | SELECT n_bins,
+      |  CASE WHEN n_bins >= 2 AND CAST(g0 AS DOUBLE) > 0.0 THEN
+      |   CAST(round(CAST(nm AS DOUBLE)
+      |    / GREATEST(CAST(g0 AS DOUBLE), 1.0e-300) * 1.0e12) AS BIGINT)
+      |  END AS dw_pico
+      | FROM a0, nmx""".stripMargin.replace("\n", " ")
+
+  /** Seasonal Mann–Kendall trend of daily event volume
+    * ([[graft.ops.Timeseries.seasonalMannKendall]]): the
+    * Hirsch–Slack form — day pairs compared only WITHIN the same
+    * calendar month, so seasonality cannot masquerade as trend; the
+    * month key turns the pair stage into a real hash join at 1/12 the
+    * pairs of q_mann_kendall.
+    */
+  def qSeasonalMk(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.seasonalMannKendall(
+      t(spark, dir, "events").select(col("ts")), "ts")
+
+  lazy val qSeasonalMkSql: String =
+    """WITH base AS (SELECT epoch_us(ts) // 86400000000 AS x,
+      |   EXTRACT(month FROM ts) AS m
+      |  FROM events WHERE ts IS NOT NULL),
+      | d AS (SELECT x, m, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM base GROUP BY 1, 2),
+      | s AS (SELECT COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+      |    WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS s_stat
+      |  FROM d a JOIN d b ON a.m = b.m AND b.x > a.x),
+      | pm AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      | tt AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt
+      |  FROM (SELECT m, y, CAST(COUNT(*) AS BIGINT) AS t
+      |        FROM d GROUP BY 1, 2)),
+      | vs AS (SELECT CAST(SUM(n) AS BIGINT) AS n_days,
+      |   CAST(COUNT(*) AS BIGINT) AS n_seasons,
+      |   COALESCE(SUM(n * (n - 1) * (2 * n + 5)), 0) AS vv FROM pm)
+      | SELECT n_days, n_seasons, CAST(s_stat AS BIGINT) AS s_stat,
+      |  CAST(vv - tt AS BIGINT) AS var_s18,
+      |  CASE WHEN vv - tt > 0 THEN
+      |   CAST(round((CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |     WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |     ELSE 0.0 END)
+      |    / sqrt(CAST(GREATEST(vv - tt, 1) AS DOUBLE) / 18.0)
+      |    * 1.0e12) AS BIGINT) END AS z_pico
+      | FROM vs, s, tt""".stripMargin.replace("\n", " ")
+
   /** Mann–Kendall trend test of daily event volume
     * ([[graft.ops.Timeseries.mannKendallDaily]]): is q_theil_sen's
     * slope a real monotone trend or noise? — sign-pair statistic S over

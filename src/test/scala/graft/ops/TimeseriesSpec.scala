@@ -329,6 +329,51 @@ class TimeseriesSpec extends SparkSpec {
       .isNullAt(1))
   }
 
+  test("durbinWatsonDaily: hand-exact DW, alternation near 4, constant NULL") {
+    def tsAtDay(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // y = (1,2,3,4): es = (−6,−2,2,6) → NM = 48, G0 = 80 → DW = 0.6
+    val up = Seq((tsAtDay(0), 1L), (tsAtDay(1), 2L),
+      (tsAtDay(2), 3L), (tsAtDay(3), 4L)).toDF("ts", "v")
+    val r = Timeseries.durbinWatsonDaily(up, "ts", "v").collect().head
+    assert(r.getLong(0) === 4L && r.getLong(1) === 600000000000L)
+    // y = (1,9,1,9): es = (−16,16,−16,16) → DW = 3072/1024 = 3 exactly
+    val alt = Seq((tsAtDay(0), 1L), (tsAtDay(1), 9L),
+      (tsAtDay(2), 1L), (tsAtDay(3), 9L)).toDF("ts", "v")
+    val r2 = Timeseries.durbinWatsonDaily(alt, "ts", "v").collect().head
+    assert(r2.getLong(1) === 3000000000000L)
+    // constant series and single bin → NULL
+    val flat = Seq((tsAtDay(0), 5L), (tsAtDay(1), 5L)).toDF("ts", "v")
+    assert(Timeseries.durbinWatsonDaily(flat, "ts", "v").collect().head
+      .isNullAt(1))
+  }
+
+  test("seasonalMannKendall: within-month pairs only, seasonality cannot masquerade as trend, tie NULL") {
+    def tsAt(d: Long, h: Long) =
+      new java.sql.Timestamp(d * 86400L * 1000L + h * 3600L * 1000L)
+    def events(spec: Seq[(Long, Int)]) =
+      spec.flatMap { case (d, n) => (0 until n).map(h => Tuple1(tsAt(d, h))) }
+        .toDF("ts")
+    // Jan counts rise (10 → 11), Feb counts rise (1 → 2), but Feb is
+    // FAR below Jan: within-month S = +2 (trend UP), while the plain
+    // unconditioned form reads S = −2 (seasonal masking)
+    val d = events(Seq((0L, 10), (1L, 11), (31L, 1), (32L, 2)))
+    val r = Timeseries.seasonalMannKendall(d, "ts").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)))
+    assert(r.getLong(2) === 2L)
+    val plain = Timeseries.mannKendallDaily(d, "ts").collect().head
+    assert(plain.getLong(1) === -2L)
+    // two-month rise with unit counts: S = 2, Var = 36/18 = 2 →
+    // z = (2−1)/√2
+    val u = events(Seq((0L, 1), (1L, 2), (31L, 1), (32L, 2)))
+    val r2 = Timeseries.seasonalMannKendall(u, "ts").collect().head
+    assert(r2.getLong(2) === 2L && r2.getLong(3) === 36L)
+    assert(r2.getLong(4) === 707106781187L)
+    // all days tied within the month → var18 = 0 → NULL z
+    val tie = events(Seq((0L, 1), (1L, 1)))
+    assert(Timeseries.seasonalMannKendall(tie, "ts").collect().head
+      .isNullAt(4))
+  }
+
   test("coxStuartDaily: half-offset sign pairs exact, odd middle dropped, tie NULL") {
     def tsAtDay(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
     // (1,2,3,4): c = 2 → pairs (1,3)+ (2,4)+ → S⁺ = 2, n′ = 2,

@@ -1047,7 +1047,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_mood_scale", "q_quade", "q_pettitt",
       "q_signed_rank", "q_lepage", "q_buishand",
       "q_fligner", "q_kpss", "q_conover_sr", "q_bartels",
-      "q_cox_stuart", "q_median_ci").foreach { q =>
+      "q_cox_stuart", "q_median_ci", "q_durbin_watson").foreach { q =>
       val p = plan(q)
       assert(p.contains("_ps_pid"),
         s"$q lost the distributed prefix-sum shape:\n$p")
@@ -1215,6 +1215,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(n <= 60,
       s"q_hodges_lehmann spawned $n jobs — rankSearch should resolve " +
         "all ranks in ~log8(range) batched count passes")
+  }
+
+  test("q_seasonal_mk: the month key makes the day-pair stage a HASH join, never a nested loop") {
+    // the Hirsch form's whole point at scale: a.m = b.m is an equi key
+    // (inequality stays a residual), cutting pairs x12 AND keeping the
+    // join off the BroadcastNestedLoop path the unconditioned form needs
+    val p = plan("q_seasonal_mk")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+        l.contains("_m")),
+      s"q_seasonal_mk pair stage lost its month equi-join:\n$p")
   }
 
   test("q_hl_pseudomedian: Walsh-median bisection also bounded by the value RANGE") {
