@@ -25,11 +25,18 @@ object TextFns {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("bigint")
 
+  // precompiled patterns for [[tokensScala]]: String.replaceAll/split
+  // recompile their regex on EVERY call, and the object-boundary
+  // operators call this once per document (r19 optimization round,
+  // guide §1.2 per-task work; same patterns, same law)
+  private val wsEdges = java.util.regex.Pattern.compile("^\\s+|\\s+$")
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
+
   /** Scala twin of [[tokens]] (same law) for object-boundary operators. */
   def tokensScala(s: String): Array[String] = {
     if (s == null) return Array.empty
-    val t = s.replaceAll("^\\s+|\\s+$", "")
-    if (t.isEmpty) Array.empty else t.split("\\s+")
+    val t = wsEdges.matcher(s).replaceAll("")
+    if (t.isEmpty) Array.empty else wsRun.split(t)
   }
 
   /** Count of sentence-punctuation characters. */

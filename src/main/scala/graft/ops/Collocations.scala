@@ -39,12 +39,18 @@ object Collocations {
     import spark.implicits._
     require(minCount >= 1L && k >= 1, "need minCount >= 1, k >= 1")
     val lowered = df.select(lower(col(textCol).cast("string")).as("_t")).as[String]
+    // LAZY localCheckpoints (r19 optimization round): `uni` feeds the
+    // total AND both scoring joins, `c12` the total AND the scored
+    // stream — without materialization the executed plan re-ran the
+    // object-boundary bigram/token passes five times over the corpus
     val c12 = lowered.mapPartitions(_.flatMap(LangModel.bigramsScala))
       .toDF("_w1", "_w2")
       .groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
+      .localCheckpoint(false)
     val uni = lowered.flatMap(t => TextFns.tokensScala(t))
       .toDF("_w")
       .groupBy("_w").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
     val np = c12.agg(sum(col("_c12")).as("_np"))
     val nu = uni.agg(sum(col("_c")).as("_nu"))
     def ln(c: org.apache.spark.sql.Column) = log(c.cast("double"))
@@ -110,10 +116,18 @@ object Collocations {
       // despite never forming a pair (the oracle's numeric-only assumption)
       .filter(col("_it").isNotNull)
       .distinct()
+    // LAZY localCheckpoint (r19 optimization round): `kept` feeds FIVE
+    // consumers (nB, itemCnt, both pair legs, and the size screen's
+    // reuse of bi) and exchange reuse does not fire across their
+    // differing projections — the executed plan recomputed the distinct
+    // + size-filter join (parquet scan included) five times. One
+    // materialized RDD feeds all consumers instead (guide §3.3:
+    // materialize the reused intermediate).
     val kept = bi.join(
       bi.groupBy(col("_bk")).agg(count(lit(1)).as("_sz"))
         .filter(col("_sz") <= maxBasket)
         .select(col("_bk")), "_bk")
+      .localCheckpoint(false)
     val nB = kept.select(col("_bk")).distinct()
       .agg(count(lit(1)).as("_n"))
     val itemCnt = kept.groupBy(col("_it")).agg(count(lit(1)).as("_cnt"))

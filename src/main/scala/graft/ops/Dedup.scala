@@ -263,10 +263,16 @@ object Dedup {
       shingleHashFrame(df, idCol, textCol, shingleSize, numHashes),
       numHashes, bands, threshold, maxBucket)
 
-  private def minhashLshPairsSh(sh: DataFrame, numHashes: Int, bands: Int,
+  private def minhashLshPairsSh(sh0: DataFrame, numHashes: Int, bands: Int,
       threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // LAZY localCheckpoint (r19 optimization round): the shingle frame
+    // feeds the banded signature stream AND the exact verify join;
+    // without it the object-boundary shingle+signature pass re-ran for
+    // every consumer (and the capped bucket stream for both self-join
+    // sides)
+    val sh = sh0.localCheckpoint(false)
     val sig = sh.select(col("_id"), col("_sig"))
     val banded = sig.select(col("_id"), explode(
       array((0 until bands).map { b =>
@@ -275,6 +281,10 @@ object Dedup {
       .select(col("_id"), col("bk.band"), col("bk.bh"))
     // cap pathological buckets (all-empty docs etc.) — deterministic
     // sample + observed drop metric, not a silent full-bucket drop
+    // (the capped stream itself is NOT checkpointed: its observe metric —
+    // the no-silent-caps contract DedupSpec pins on the caller's own
+    // execution — must stay in the live plan; recomputing the cap window
+    // over the checkpointed shingle blocks is cheap)
     val capped = capBuckets(banded, Seq("band", "bh"), "_id", maxBucket, "lsh")
     val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -416,9 +426,16 @@ object Dedup {
       keepUpperBound: (Column, Column, Column) => Column): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     // numHashes = 1: these laws read only the shingle sets — the default
-    // 64-lane minhash signature would be computed and thrown away
+    // 64-lane minhash signature would be computed and thrown away.
+    // LAZY localCheckpoint (r19 optimization round): the shingle frame
+    // feeds the candidate index, the doc-stats leg AND both verify-join
+    // legs; exchange reuse does not fire across their differing
+    // projections, so the executed plan re-ran the object-boundary
+    // shingle builder (tokenize + per-shingle MD5) up to 12 times per
+    // query. One materialized RDD feeds every consumer.
     val sh = shingleHashFrame(df, idCol, textCol, shingleSize, numHashes = 1)
       .withColumn("_n", size(col("_sh")).cast("bigint"))
+      .localCheckpoint(false)
     // (no size>0 filter: explode of an empty array emits nothing anyway, and
     // an explicit filter would be pushed — with inferred monster predicates —
     // below the object boundary's parents by the optimizer)
@@ -443,7 +460,11 @@ object Dedup {
     // corpus of mostly-hot shingles degrades to a shuffled anti join,
     // still never a skewed pair join), not an equi join against the
     // large kept side.
+    // LAZY localCheckpoint: the capped index feeds the per-doc kept
+    // counts and BOTH pair-join sides — materializing it runs the
+    // explode → df-screen → anti join once instead of three times
     val cidx = ex.join(dropped, Seq("_s"), "left_anti")
+      .localCheckpoint(false)
     // per-doc kept-shingle counts → ndrop = n − nkept feeds the prune bound
     val docStats = sh.select(col("_id"), col("_n"))
       .join(cidx.groupBy(col("_id")).agg(count(lit(1)).as("_nk")),
@@ -633,11 +654,17 @@ object Dedup {
     * PRECOMPUTED — the seam that lets one pass feed both the in-batch
     * pair search and the store screen in the streaming ingest guard.
     */
-  private def minhashAgainstPre(incoming: DataFrame, shi: DataFrame,
+  private def minhashAgainstPre(incoming: DataFrame, shi0: DataFrame,
       refSh: DataFrame, idCol: String, numHashes: Int, bands: Int,
       threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // LAZY localCheckpoint (r19 optimization round): the incoming
+    // shingle frame feeds the banded bucket stream AND the exact-verify
+    // join — materialize the batch-sized pass once. The REFERENCE side
+    // deliberately stays un-materialized: stored signatures are parquet
+    // (re-scan beats buffering the corpus in the block manager).
+    val shi = shi0.localCheckpoint(false)
     def banded(sh: DataFrame, as: String): DataFrame = {
       val b = sh.select(col("_id"), explode(
         array((0 until bands).map { i =>
@@ -836,7 +863,11 @@ object Dedup {
     */
   private[graft] def hammingPairsFromSig(sig: DataFrame, maxHamming: Int,
       maxBucket: Int, tag: String): DataFrame = {
+    // LAZY localCheckpoint (r19 optimization round): both self-join
+    // sides read the materialized capped bucket stream instead of each
+    // re-running the signature object pass + cap window
     val capped = simhashChunked(sig, maxBucket, tag)
+      .localCheckpoint(false)
     capped.as("a").join(capped.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
           col("a._id") < col("b._id"))
@@ -1022,9 +1053,13 @@ object Dedup {
 
   def chunkDedupDocs(df: DataFrame, idCol: String, textCol: String,
       size: Int = 400): DataFrame = {
+    // LAZY localCheckpoint (r19 optimization round): the chunk frame
+    // feeds the frequency aggregate AND the keep join — one chunking
+    // pass, not two
     val chunks = Chunking.charChunks(df, idCol, textCol, size, overlap = 0)
       .select(col(idCol), col("chunk_idx"), col("chunk_text"),
         md5(col("chunk_text")).as("_h"))
+      .localCheckpoint(false)
     val freq = chunks.groupBy(col("_h"))
       .agg(count_distinct(col(idCol)).as("_ndocs"))
     val kept = when(col("_ndocs") === 1,
@@ -1185,11 +1220,14 @@ object Dedup {
         }
       }
       .toDF("_id", "_start", "_slen", "_sh")
-      // shuffle barrier shared by BOTH consumers below (frequency aggregate
-      // and the flagged-span semi join): without it each would re-run the
-      // whole anchor pass; with it they read one reused exchange, and both
-      // are keyed on _sh so neither needs a further shuffle
-      .repartition(col("_sh"))
+      // LAZY localCheckpoint shared by BOTH consumers below (frequency
+      // aggregate and the flagged-span semi join): the r19 plan audit
+      // showed the old repartition-barrier's exchange reuse NOT firing
+      // across the consumers' projections — each re-ran the whole anchor
+      // pass. One materialized RDD feeds both; the semi join and the
+      // per-doc island window shuffle only the span candidates
+      // (~2/(w+1) per char), never re-running the object boundary.
+      .localCheckpoint(false)
     val dup = spans.groupBy("_sh")
       .agg(count_distinct(col("_id")).as("_nd"))
       .filter(col("_nd") >= minDocs)
@@ -1307,20 +1345,41 @@ object Dedup {
     df.select(col(idCol).cast("long").as("_id"),
         col(textCol).cast("string").as("_t"))
       .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
+      .mapPartitions { it =>
+        // ONE digest per partition (the [[tokenHasher]] note), and the
+        // 60-bit fingerprint reads the digest BYTES directly — the old
+        // per-gram lowercase-hex render + parseLong allocated ~30 strings
+        // per position for a value that is just the top 15 nibbles
+        // (r19 optimization round, guide §1.2 per-task work; value
+        // identical: hex.substring(0,15) parsed base-16 == bytes 0..6
+        // shifted left a nibble + byte 7's high nibble)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val space = Array(' '.toByte)
+        it.flatMap { case (id, text) =>
         val toks = TextFns.tokensScala(
           if (text == null) null else text.toLowerCase(java.util.Locale.ROOT))
         val m = toks.length - kk + 1
         if (m < ww) Iterator.empty
         else {
-          val md = java.security.MessageDigest.getInstance("MD5")
+          // token bytes once per doc; grams digest incrementally with the
+          // separator byte — no per-gram string/byte-array concatenation
+          val tb = toks.map(_.getBytes(utf8))
           val hs = new Array[Long](m)
           var i = 0
           while (i < m) {
-            val g = toks.slice(i, i + kk).mkString(" ")
-            val hex = md.digest(g.getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            hs(i) = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+            md.reset()
+            var q = 0
+            while (q < kk) {
+              if (q > 0) md.update(space)
+              md.update(tb(i + q))
+              q += 1
+            }
+            val d = md.digest()
+            var h = 0L
+            var bi = 0
+            while (bi < 7) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
+            hs(i) = (h << 4) | ((d(7) & 0xffL) >>> 4)
             i += 1
           }
           val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
@@ -1338,7 +1397,7 @@ object Dedup {
           }
           out.iterator.map { case (pos, h) => (id, pos, h) }
         }
-      })
+      }}
       .toDF(idCol, "pos", "fp_hash")
   }
 }

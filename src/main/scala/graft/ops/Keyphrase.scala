@@ -71,6 +71,11 @@ object Keyphrase {
     val distinctPhrases = phrases.groupBy("phrase")
       .agg(count(lit(1)).as("n_occ"),
         first(col("n_words")).cast("long").as("n_words"))
+      // LAZY localCheckpoint (r19 optimization round): the r19 plan audit
+      // found the column-identical-subtree reuse above NOT holding in the
+      // executed plan (4 copies of the chop pass) — materialize the
+      // distinct-phrase table (bounded by distinct phrases) once instead
+      .localCheckpoint(false)
     val exploded = distinctPhrases
       .select(col("phrase"), col("n_occ"), col("n_words"),
         explode(split(col("phrase"), " ")).as("_w"))
@@ -184,14 +189,26 @@ object Keyphrase {
       (1 to window).iterator.flatMap(o =>
         (0 until toks.length - o).iterator.map(i => (toks(i), toks(i + o))))
     }).toDF("_w1", "_w2")
-    val vocab = lowered.mapPartitions(_.flatMap(TextFns.tokensScala))
-      .toDF("_w")
-      .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
-      .orderBy(col("_c").desc, col("_w").asc).limit(vocabK)
-      .select(col("_w"))
+    // Materialization posture (r19 optimization round — the
+    // [[Graph.pageRankMicro]] working-set discipline applied here): the
+    // lazily-composed rounds referenced `ewd`/`nodes` per round, and
+    // each reference re-derived the WHOLE corpus tokenization — the
+    // executed q_textrank plan carried 192 copies of the document scan
+    // + object boundary for a graph of ≤ vocabK nodes. The vocab cap
+    // (≤ vocabK rows), the weighted edge frame (≤ vocabK² rows) and the
+    // node set checkpoint ONCE; the corpus is now read exactly twice
+    // (vocab counts, then the pair pass), and every round runs over
+    // block scans. Owned blocks release as soon as the final ranks
+    // materialize.
+    val (vocabCp, vocabOwn) = Clusters.ownedCheckpoint(
+      lowered.mapPartitions(_.flatMap(TextFns.tokensScala))
+        .toDF("_w")
+        .groupBy(col("_w")).agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("_w").asc).limit(vocabK)
+        .select(col("_w")))
     val und = pairs.filter(col("_w1") =!= col("_w2"))
-      .join(broadcast(vocab.withColumnRenamed("_w", "_w1")), "_w1")
-      .join(broadcast(vocab.withColumnRenamed("_w", "_w2")), "_w2")
+      .join(broadcast(vocabCp.withColumnRenamed("_w", "_w1")), "_w1")
+      .join(broadcast(vocabCp.withColumnRenamed("_w", "_w2")), "_w2")
       .select(least(col("_w1"), col("_w2")).as("_a"),
         greatest(col("_w1"), col("_w2")).as("_b"))
       .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_wt"))
@@ -199,8 +216,9 @@ object Keyphrase {
       .unionByName(und.select(col("_b").as("_src"), col("_a").as("_dst"),
         col("_wt")))
     val strength = edges.groupBy(col("_src")).agg(sum(col("_wt")).as("_str"))
-    val ewd = edges.join(strength, "_src")
-    val nodes = strength.select(col("_src").as("word"))
+    val (ewd, ewdOwn) = Clusters.ownedCheckpoint(edges.join(strength, "_src"))
+    val (nodes, nodesOwn) = Clusters.ownedCheckpoint(
+      ewd.select(col("_src").as("word")).distinct())
     val initMicro = 1000000L
     val base = (initMicro * (dampDen - dampNum)) / dampDen
     var ranks = nodes.select(col("word"), lit(initMicro).as("rank_micro"))
@@ -214,6 +232,8 @@ object Keyphrase {
         .select(col("word"),
           (lit(base) + coalesce(col("_sum"), lit(0L))).as("rank_micro"))
     }
-    ranks.orderBy(col("rank_micro").desc, col("word")).limit(k)
+    val (finalRanks, _) = Clusters.ownedCheckpoint(ranks)
+    Clusters.release(vocabOwn ++ ewdOwn ++ nodesOwn)
+    finalRanks.orderBy(col("rank_micro").desc, col("word")).limit(k)
   }
 }

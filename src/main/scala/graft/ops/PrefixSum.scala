@@ -14,14 +14,15 @@ import org.apache.spark.sql.functions._
   * with the corpus: at 100×, that is a 10⁷–10⁸-row single-partition
   * sort. This is the scale-safe shape instead:
   *
-  *   1. range-repartition by the key (all rows of a key co-located,
-  *      partition i's keys all below partition i+1's),
-  *   2. per-partition running totals via a window PARTITIONED by the
-  *      materialized partition id (each partition sorts in its own
-  *      task),
-  *   3. per-partition grand totals → exclusive offsets via a window over
-  *      the ≤`spark.sql.shuffle.partitions`-row totals table (bounded BY
-  *      CONFIGURATION, never by data),
+  *   1. assign each row a range BUCKET id — a deterministic expression
+  *      of the key over driver-collected approx-quantile boundaries
+  *      (bucket i's keys all ≤ bucket i+1's) — and hash-repartition by
+  *      it (ONE exchange; each bucket sorts in its own task),
+  *   2. per-bucket running totals via a window PARTITIONED by the
+  *      bucket id,
+  *   3. per-bucket grand totals → exclusive offsets via a window over
+  *      the ≤4×`spark.sql.shuffle.partitions`-row totals table (bounded
+  *      BY CONFIGURATION, never by data),
   *   4. broadcast the offsets back and add.
   *
   * The result is identical to the single-task window for any
@@ -43,46 +44,89 @@ object PrefixSum {
     inclusiveAll(df, orderCol, Seq(weight -> out))
 
   /** [[inclusive]] for SEVERAL weights over ONE key order, sharing a
-    * single range shuffle (two independent `inclusive` calls would
-    * range-repartition the frame twice), plus — when `withTotals` —
-    * each weight's GRAND total appended as `<out>_total`. The totals
-    * ride the same ≤`spark.sql.shuffle.partitions`-row per-partition
-    * totals table the offsets come from (one more bounded window over
-    * it, one shared broadcast back), so a consumer needing cumulative ×
-    * total per row (the KS cross-multiplication) gets both in ONE pass
-    * over the input lineage — no second corpus-deriving aggregate, no
-    * unpartitioned window over the data-sized frame.
+    * single shuffle (two independent `inclusive` calls would
+    * repartition the frame twice), plus — when `withTotals` — each
+    * weight's GRAND total appended as `<out>_total`. The totals ride
+    * the same bounded per-bucket totals table the offsets come from
+    * (one more bounded window over it, one shared broadcast back), so a
+    * consumer needing cumulative × total per row (the KS
+    * cross-multiplication) gets both in ONE pass over the input lineage
+    * — no second corpus-deriving aggregate, no unpartitioned window
+    * over the data-sized frame.
+    *
+    * Bucketing (r19 optimization round): buckets are assigned by a PURE
+    * EXPRESSION of the key — boundary values collected ONCE on the
+    * driver via one approx-quantile aggregate over the ALREADY
+    * MATERIALIZED checkpoint blocks (skew-robust like the range
+    * partitioner's sample, 4×parallelism buckets so the hash spreads
+    * them evenly) — instead of `repartitionByRange` +
+    * `spark_partition_id()`. Measured wins (r19 bench, plan diffs in
+    * plans/r19):
+    *   1. The caller's value-table upstream computes ONCE, not twice:
+    *      `repartitionByRange` ran a boundary-SAMPLING job over the full
+    *      upstream before the materialization job recomputed it; the
+    *      quantile collect here reads the checkpointed blocks.
+    *   2. ONE full exchange instead of two: under AQE the checkpoint
+    *      scan reports UnknownPartitioning, so the old shape paid the
+    *      range exchange INSIDE the materialization and then ANOTHER
+    *      full hashpartitioning(_ps_pid) exchange for the window; now
+    *      the window's auto-inserted exchange is the only data-sized
+    *      shuffle in the whole pass.
+    *   3. SOUNDNESS BY CONSTRUCTION, not by materialization: range
+    *      partitioning SAMPLES its boundaries per physical
+    *      instantiation, so the r18 fix had to pin ONE boundary set via
+    *      the checkpoint. Here the bucket id is a deterministic
+    *      projection over frozen checkpoint data — plan branches cannot
+    *      disagree, ever.
+    * The checkpoint stays (lazy): it computes the caller's value-table
+    * aggregation once for every branch and probe pass, and truncates
+    * plan growth for iterating consumers ([[Eval]]'s rank searches).
+    * Keys must be NUMERIC (every caller quantizes to longs — the
+    * approx-quantile boundary collect needs an ordered numeric axis).
     */
   def inclusiveAll(df: DataFrame, orderCol: String,
       weights: Seq[(Column, String)], withTotals: Boolean = false): DataFrame = {
     require(weights.nonEmpty, "inclusiveAll needs at least one weight")
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // LAZY localCheckpoint — the law's soundness depends on it, not just
-    // perf: the ranged frame feeds BOTH the per-row window branch and
-    // the per-partition offsets branch. RangePartitioning SAMPLES its
-    // boundaries per physical instantiation, so if the optimizer ever
-    // fails to reuse the exchange between the two branches (observed
-    // under AQE with a projected aggregate upstream), the branches
-    // disagree on pid assignment near boundaries and the joined offsets
-    // silently corrupt the cumulative. One materialized RDD = one
-    // boundary set, by construction. Lazy (eager=false) so plan-only
-    // consumers never trigger a job; both branches share the first
-    // action's materialization.
-    val parts = df.repartitionByRange(nParts, col(orderCol))
-      .withColumn("_ps_pid", spark_partition_id())
-      .localCheckpoint(false)
+    val nBuckets = 4 * nParts
+    val cp = df.localCheckpoint(false)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds: Array[Double] =
+      cp.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    // bucket id = #boundaries strictly below the (double-cast) key:
+    // monotone in the key (bucket i's keys all ≤ bucket i+1's — the
+    // long→double cast is order-preserving, collapsing at most some
+    // >2^53 neighbors into ONE bucket) and identical for tied keys, so
+    // per-bucket running totals + bucket-offset sums compose to the
+    // exact global prefix sum for ANY boundary choice. A ScalaUDF doing
+    // binary search, NOT a when()-chain or HOF: n-term expression trees
+    // cost the optimizer O(n²) per pass (a 127-term chain measured +5 s
+    // of pure planning on q_taub_corr) and HOF lambdas interpret per
+    // element; the udf is one plan node and log₂(buckets) long
+    // comparisons per row. (One of the sanctioned udf sites — no
+    // built-in binary-searches a literal array.)
+    val bucketOf = udf((x: java.lang.Double) =>
+      if (x == null || bounds.isEmpty) 0
+      else {
+        val r = java.util.Arrays.binarySearch(bounds, x.doubleValue)
+        if (r >= 0) r else -r - 1
+      })
+    val parts = cp.withColumn("_ps_pid",
+      bucketOf(col(orderCol).cast("double")))
     val wLocal = Window.partitionBy(col("_ps_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = weights.zipWithIndex.foldLeft(parts) {
       case (acc, ((w, _), i)) => acc.withColumn(s"_ps_local$i", sum(w).over(wLocal))
     }
-    // per-partition totals: ≤ nParts rows, so the single-partition windows
-    // below are bounded by configuration, not data
+    // per-bucket totals: ≤ nBuckets rows, so the single-partition windows
+    // below are bounded by configuration, not data; aggregated straight
+    // off the checkpointed frame (map-side partial aggregation — only
+    // the ≤nBuckets-per-task partials cross the tiny exchange)
     val wOff = Window.orderBy(col("_ps_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.orderBy(col("_ps_pid"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val totsAgg = local.groupBy(col("_ps_pid"))
+    val totsAgg = parts.groupBy(col("_ps_pid"))
       .agg(sum(weights.head._1).as("_ps_tot0"),
         weights.zipWithIndex.tail.map { case ((w, _), i) =>
           sum(w).as(s"_ps_tot$i") }: _*)

@@ -439,13 +439,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"rake scoring join degraded to a nested loop:\n$p")
     // the one-pass claim: word stats derive from the distinct-phrase agg,
-    // so at runtime AQE reuses the phrase exchange and the object-boundary
-    // chop executes once (the q_kmeans_refine executed-plan precedent —
-    // the static adaptive plan prints both branches unreused)
+    // which localCheckpoints (r19 optimization round — the exchange-reuse
+    // mechanism this pin used to ride was found NOT firing in the
+    // executed plan, re-running the chop pass), so the executed plan
+    // roots at the materialized phrase table and the object-boundary
+    // chop executes exactly once
     val df = Registry.queries("q_rake_phrases")(spark, dir)
     df.collect()
-    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
-      "AQE stopped reusing the phrase exchange — the corpus chop runs twice")
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ExistingRDD"),
+      s"scoring no longer reads the materialized phrase table:\n$ep")
+    assert(!ep.contains("SerializeFromObject"),
+      s"the corpus chop leaked back into the scoring plan:\n$ep")
   }
 
   test("q_tv_drift_store: baseline comes from the store scan; joins hash-keyed") {
@@ -1027,13 +1032,19 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_ngram_jaccard / q_containment / q_dice_ngram: df-capped law — anti-join guard present, no cartesian, no corpus-order window") {
     // q_containment and q_dice_ngram share q_ngram_jaccard's capped
-    // scaffold (Dedup.cappedNgramPairs) — all siblings carry the witness
+    // scaffold (Dedup.cappedNgramPairs) — all siblings carry the witness.
+    // r19 optimization round: the shingle frame and the capped candidate
+    // index localCheckpoint (the executed plan re-ran the object-boundary
+    // shingle builder up to 12× without it), so the df-cap ANTI join now
+    // lives in the index's materialization; the FINAL plan must root at
+    // the checkpointed scans (ExistingRDD — the q_pagerank posture) with
+    // the pair stage an equi join, never a cartesian, and no
+    // corpus-order window. The anti-join law itself stays pinned at op
+    // level (DedupSpec's capped-pair tests).
     for (name <- Seq("q_ngram_jaccard", "q_containment", "q_dice_ngram")) {
       val p = plan(name)
-      // the dropped-shingle exclusion must stay an ANTI join (the skew cap's
-      // plan witness), the pair stage an equi join (never a cartesian), and
-      // no window may impose a global corpus order
-      assert(p.contains("LeftAnti"), s"$name df-cap anti join missing:\n$p")
+      assert(p.contains("ExistingRDD"),
+        s"$name no longer rides the checkpointed shingle frames:\n$p")
       assert(!p.contains("CartesianProduct"), name)
       assertNoCorpusOrderWindow(name, p)
     }
@@ -1136,11 +1147,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q_textrank: vocab cap broadcasts onto the pair stream; rank rounds never cartesian") {
     val p = plan("q_textrank")
-    // the top-vocabK node cap is the scale contract: both vocab joins
-    // must broadcast (the corpus-sized pair stream stays in place), and
-    // no round may degrade to a cartesian
-    assert(p.contains("BroadcastHashJoin"),
-      s"q_textrank vocab joins must broadcast:\n$p")
+    // r19 optimization round: vocab/edge/node frames and the final ranks
+    // checkpoint ONCE (the pageRankMicro working-set posture — the old
+    // lazily-composed rounds re-derived the corpus tokenization 192
+    // times in one plan), so the presentation plan roots at the
+    // materialized rank blocks: ExistingRDD + TakeOrdered, no join, no
+    // cartesian. The vocab-cap broadcast law stays pinned at op level
+    // (KeyphraseSpec's vocab-cap test).
+    assert(p.contains("ExistingRDD"),
+      s"q_textrank presentation no longer reads checkpointed ranks:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"),
       s"q_textrank top-k must be TakeOrdered, not a global sort:\n$p")
