@@ -2234,8 +2234,18 @@ object Eval {
         .select((((col("_v") + col("_e.th")) * lit(2L) + lit(1L)) * mp +
           col("_e.si")).as("_k"),
           lit(0L).as("_wa"), col("_fb").as("_wb"), col("_e.si").as("_si"))
-      val cum = PrefixSum.inclusive(aRows.unionAll(bRows), "_k",
-        col("_wa"), "_ca")
+      // uniform-bucket fast path (r19 optimization round): the key
+      // bounds are exact functions of the already-collected value range
+      // and the probe set, so each probe pass costs ONE driver action
+      // (no per-pass checkpoint or quantile job) — bt is checkpointed
+      // once above and both prefix-sum branches re-scan its blocks
+      val mL = m.toLong + 1L
+      val loK = math.min(2L * st.getAs[Long]("minA"),
+        2L * (st.getAs[Long]("minB") + thetas.min) + 1L) * mL
+      val hiK = math.max(2L * st.getAs[Long]("maxA"),
+        2L * (st.getAs[Long]("maxB") + thetas.max) + 1L) * mL + m.toLong
+      val cum = PrefixSum.inclusiveUniform(aRows.unionAll(bRows), "_k",
+        col("_wa"), "_ca", loK, hiK)
       val aggs = thetas.indices.map(i =>
         coalesce(sum(when(col("_si") === i.toLong,
           col("_wb").cast(dec) * col("_ca").cast(dec))), zero).as(s"_c$i"))
@@ -2354,8 +2364,16 @@ object Eval {
           col("_e.si")).as("_k"),
           lit(0L).as("_wa"), col("_f").as("_wb"), col("_e.si").as("_si"),
           lit(0L).as("_v0"))
-      val cum = PrefixSum.inclusive(aRows.unionAll(bRows), "_k",
-        col("_wa"), "_ca")
+      // uniform-bucket fast path (r19 optimization round): key bounds
+      // are exact functions of the collected value range + probe set —
+      // one driver action per probe pass (see hodgesLehmannShift)
+      val mL = m.toLong + 1L
+      val loK = math.min(2L * st.getAs[Long]("minV"),
+        2L * (cands.min - st.getAs[Long]("maxV")) + 1L) * mL
+      val hiK = math.max(2L * st.getAs[Long]("maxV"),
+        2L * (cands.max - st.getAs[Long]("minV")) + 1L) * mL + m.toLong
+      val cum = PrefixSum.inclusiveAllUniform(aRows.unionAll(bRows), "_k",
+        Seq(col("_wa") -> "_ca"), loK, hiK)
       val aggs = cands.indices.flatMap(i => Seq(
         coalesce(sum(when(col("_si") === i.toLong,
           col("_wb").cast(dec) * col("_ca").cast(dec))), zero)
@@ -2669,8 +2687,12 @@ object Eval {
     val score = coalesce(
       (0 until k).map(j => when(col("_x") === lit(cls(j)),
         lit((j + 1).toLong))): _*)
+    // LAZY localCheckpoint (r19 optimization round): the cell table
+    // feeds the completeness screen AND the ranked stream — one base
+    // scan + aggregate instead of two
     val cells = base.withColumn("_s", score)
       .groupBy(col("_b"), col("_s")).agg(sum(col("_y")).as("_cell"))
+      .localCheckpoint(false)
     val complete = cells.groupBy(col("_b"))
       .agg(count(lit(1)).as("_kc")).filter(col("_kc") === lit(k.toLong))
       .select(col("_b"))
@@ -3195,15 +3217,21 @@ object Eval {
       .partitionBy(col("_b"), col("_cell"))
     // singleton blocks carry no within-block comparison — dropped by
     // the test's definition (their d ≡ 0 anyway; k_b ≥ 2 keeps the
-    // c_micro law off k_b = 1's degenerate weight). localCheckpoint:
-    // the cumulant, pair and block-count collects below each drive a
-    // job — one materialized RDD feeds all three instead of three
-    // recomputations of the upstream lineage
+    // c_micro law off k_b = 1's degenerate weight). All THREE windows
+    // share the _b partition key and are per-block independent, so they
+    // fuse into ONE exchange+sort pass BEFORE the kb filter (a
+    // singleton's rank-in-its-own-block is computed and then dropped —
+    // values of kept blocks are unaffected); r19 optimization round:
+    // the old shape windowed _kb, checkpointed, then re-exchanged the
+    // checkpoint (UnknownPartitioning) for the rank/tie windows.
+    // localCheckpoint: the cumulant, pair and block-count collects below
+    // each drive a job — one materialized RDD feeds all three instead of
+    // three recomputations of the upstream lineage.
     val sized = cells.withColumn("_kb", count(lit(1)).over(wBlk))
-      .filter(col("_kb") >= 2L).localCheckpoint()
-    val ranked = sized
       .withColumn("_mr2", lit(2L) * rank().over(wRank).cast("long")
         + count(lit(1)).over(wTie) - lit(1L))
+      .filter(col("_kb") >= 2L).localCheckpoint()
+    val ranked = sized
       .withColumn("_d", col("_mr2") - (col("_kb") + lit(1L)))
       .withColumn("_cm", round(sqrt(lit(12.0) /
         (col("_kb") + lit(1L)).cast("double")) * lit(1.0e6)).cast("long"))

@@ -1112,12 +1112,17 @@ object Graph {
     */
   def reciprocity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
+    // LAZY localCheckpoint (r19 optimization round): the distinct edge
+    // frame feeds the total, the semi-join probe AND its reversed build
+    // side — one distinct instead of three recomputations of the
+    // upstream join
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(false)
     val mutual = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")

@@ -48,12 +48,8 @@ object LangModel {
     */
   def bigramNllScore(df: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String): DataFrame = {
-    // LAZY localCheckpoint (r19 optimization round): c2 feeds the score
-    // join AND derives c1 — without it the training slice's
-    // object-boundary bigram pass ran twice more than needed
     val c2 = bigramCounts(train, trainTextCol)
       .withColumnRenamed("_c", "_c2")
-      .localCheckpoint(false)
     val c1 = c2.groupBy("_w1").agg(sum(col("_c2")).as("_c1"))
     val vFrame = vocabFrame(train, trainTextCol)
       .agg((count(lit(1)) + lit(1L)).as("_v"))

@@ -111,8 +111,52 @@ object PrefixSum {
         val r = java.util.Arrays.binarySearch(bounds, x.doubleValue)
         if (r >= 0) r else -r - 1
       })
-    val parts = cp.withColumn("_ps_pid",
-      bucketOf(col(orderCol).cast("double")))
+    fromBuckets(cp.withColumn("_ps_pid",
+      bucketOf(col(orderCol).cast("double"))), orderCol, weights, withTotals)
+  }
+
+  /** [[inclusiveAll]] with CALLER-SUPPLIED key bounds and UNIFORM
+    * buckets — the rank-search fast path (r19 optimization round): no
+    * checkpoint and no quantile job, so a probe pass costs ONE driver
+    * action instead of three. Sound unconditionally (the bucket id is a
+    * pure integer expression of the key over constants — exact-division
+    * monotone, so bucket i's keys all precede bucket i+1's); BALANCE is
+    * the caller's contract (use it on quantized near-uniform axes whose
+    * true [lo, hi] the caller already knows — the Hodges–Lehmann
+    * estimators' candidate-scaled keys). Falls back to the general
+    * quantile path when the span cannot scale by the bucket count
+    * without overflow. Keys must be integral and inside [lo, hi].
+    */
+  def inclusiveAllUniform(df: DataFrame, orderCol: String,
+      weights: Seq[(Column, String)], lo: Long, hi: Long,
+      withTotals: Boolean = false): DataFrame = {
+    require(weights.nonEmpty, "inclusiveAllUniform needs at least one weight")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val nBuckets = 4L * nParts
+    val span = hi - lo + 1L
+    if (span <= 0L || span > Long.MaxValue / nBuckets ||
+        lo < -(Long.MaxValue / nBuckets) || hi > Long.MaxValue / nBuckets)
+      inclusiveAll(df, orderCol, weights, withTotals)
+    else {
+      val bucket = expr(
+        s"int(least(greatest(((`$orderCol` - ${lo}L) * ${nBuckets}L) " +
+          s"div ${span}L, 0L), ${nBuckets - 1L}L))")
+      fromBuckets(df.withColumn("_ps_pid", bucket), orderCol, weights,
+        withTotals)
+    }
+  }
+
+  /** Single-weight convenience of [[inclusiveAllUniform]]. */
+  def inclusiveUniform(df: DataFrame, orderCol: String, weight: Column,
+      out: String, lo: Long, hi: Long): DataFrame =
+    inclusiveAllUniform(df, orderCol, Seq(weight -> out), lo, hi)
+
+  /** Shared core over a bucket-tagged frame (`_ps_pid` already
+    * assigned, monotone in the key): per-bucket running totals, bounded
+    * offsets table, broadcast add-back.
+    */
+  private def fromBuckets(parts: DataFrame, orderCol: String,
+      weights: Seq[(Column, String)], withTotals: Boolean): DataFrame = {
     val wLocal = Window.partitionBy(col("_ps_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = weights.zipWithIndex.foldLeft(parts) {

@@ -79,6 +79,62 @@ class PrefixSumSpec extends SparkSpec {
       s"a live range exchange re-appeared above the checkpoint:\n$p")
   }
 
+  test("r19 bucketing: keys past 2^53 stay EXACT (double-cast bucket collapse is balance-only)") {
+    // adjacent longs above 2^53 collapse to ONE double, so they land in
+    // the same bucket — the law must still order them by the TRUE long
+    // key inside the bucket's window. 40 consecutive keys at the cliff.
+    val base = (1L << 53) - 10L
+    val df = spark.range(40).select((lit(base) + col("id")).as("k"),
+      (col("id") + 1L).as("w"))
+    val got = PrefixSum.inclusive(df, "k", col("w"), "cum")
+      .select(col("k"), col("cum"))
+    val ref = df.withColumn("cum",
+      sum(col("w")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("cum"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("r19 bucketing: an all-tied boundary axis degrades to one bucket, never a wrong sum") {
+    // every quantile boundary equal (single hot key region): the bucket
+    // expression must keep tied keys together and the result exact
+    val df = spark.range(1000)
+      .select(when(col("id") < 990, lit(7L)).otherwise(col("id")).as("k0"))
+      .groupBy(col("k0")).agg(count(lit(1)).as("w"))
+      .select(col("k0").as("k"), col("w"))
+    val got = PrefixSum.inclusive(df, "k", col("w"), "cum")
+      .select(col("k"), col("cum"))
+    val ref = df.withColumn("cum",
+      sum(col("w")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("k"), col("cum"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("r19 bucketing: exactly ONE data-sized exchange in the executed plan") {
+    // the rewrite's point: the window's hashpartitioning(_ps_pid)
+    // exchange is the only shuffle of the data-sized frame — the old
+    // range exchange (inside the checkpoint) and its follow-up hash
+    // exchange are gone. Remaining exchanges must be the bounded totals
+    // table's (SinglePartition over an aggregate of ≤ buckets rows).
+    val df = spark.range(5000).select(col("id").as("k"), lit(1L).as("w"))
+    val q = PrefixSum.inclusive(df, "k", col("w"), "cum")
+    q.collect()
+    // the adaptive plan string prints Final AND Initial sections —
+    // count exchanges in the executed (final) section only
+    val p = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // two hashpartitioning(_ps_pid) exchanges are legitimate: the
+    // window's (data-sized) and the totals aggregate's (map-side
+    // partials only — ≤ buckets rows per task cross it). Three would
+    // mean the old double-shuffle came back.
+    val pidExchanges = "hashpartitioning\\(_ps_pid".r.findAllIn(p).size
+    assert(pidExchanges <= 2,
+      s"expected at most two _ps_pid exchanges, got $pidExchanges:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"a range exchange re-appeared:\n$p")
+  }
+
   test("no corpus-sized single-partition window in the executed plan") {
     // the point of the rewrite: every window in the plan is either
     // partitioned by the materialized pid or runs over the bounded
