@@ -267,12 +267,12 @@ object Dedup {
       threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // LAZY localCheckpoint (r19 optimization round): the shingle frame
-    // feeds the banded signature stream AND the exact verify join;
-    // without it the object-boundary shingle+signature pass re-ran for
-    // every consumer (and the capped bucket stream for both self-join
-    // sides)
-    val sh = sh0.localCheckpoint(false)
+    // NOT checkpointed (r19 optimization round, measured): materializing
+    // the 64-lane signature frame cost MORE at 10× scale than the
+    // runtime stage reuse it replaced (sf1 sweep +0.5-0.8 s on every
+    // minhash row) — unlike the numHashes=1 ngram shingle frame, whose
+    // checkpoint wins at both scales
+    val sh = sh0
     val sig = sh.select(col("_id"), col("_sig"))
     val banded = sig.select(col("_id"), explode(
       array((0 until bands).map { b =>
@@ -659,12 +659,10 @@ object Dedup {
       threshold: Double, maxBucket: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // LAZY localCheckpoint (r19 optimization round): the incoming
-    // shingle frame feeds the banded bucket stream AND the exact-verify
-    // join — materialize the batch-sized pass once. The REFERENCE side
-    // deliberately stays un-materialized: stored signatures are parquet
-    // (re-scan beats buffering the corpus in the block manager).
-    val shi = shi0.localCheckpoint(false)
+    // NOT checkpointed (r19 optimization round) — same measured verdict
+    // as minhashLshPairsSh: the 64-lane signature frame costs more to
+    // materialize than its consumers' reuse saves, on either side
+    val shi = shi0
     def banded(sh: DataFrame, as: String): DataFrame = {
       val b = sh.select(col("_id"), explode(
         array((0 until bands).map { i =>
